@@ -1,0 +1,109 @@
+package graft.core
+
+import graft.Flow
+import org.apache.spark.sql.DataFrame
+
+/** A dataflow component: a pure value transforming a [[graft.Flow]].
+  *
+  * Mirrors the reference's component contract `call(flow, component) ::
+  * flow` (reference: lib/strom.ex:6, lib/composite.ex:93-97). Components
+  * compose by ordinary function composition; a pipeline is a value, not
+  * a process tree — Spark's driver/executor scheduling replaces the
+  * reference's GenMix actor runtime (reference: lib/gen_mix.ex) wholesale.
+  */
+trait Component extends (Flow => Flow) {
+  def apply(flow: Flow): Flow
+
+  /** Sequential composition: `this andThen next` as a Composite. */
+  def |>(next: Component): Composite = Composite(Seq(this, next))
+}
+
+object FlowOps {
+  /** Name-collision rule: output landing on an existing stream name is
+    * concatenated (bag union), never replaced
+    * (reference: lib/gen_mix/streams.ex:18-23, lib/source.ex:108-112).
+    */
+  def merge(flow: Flow, name: String, df: DataFrame): Flow =
+    flow.get(name) match {
+      case Some(prev) => flow.updated(name, prev.unionByName(df))
+      case None       => flow.updated(name, df)
+    }
+
+  /** Consume `inputs` from the flow, then merge `outputs` under the
+    * collision rule — the core GenMix flow-rewrite step
+    * (reference: lib/gen_mix/streams.ex:16-24). Inputs are plucked
+    * first so a component may legally re-emit an input name.
+    */
+  def rewire(flow: Flow, inputs: Seq[String], outputs: Seq[(String, DataFrame)]): Flow = {
+    val missing = inputs.filterNot(flow.contains)
+    require(missing.isEmpty, s"flow is missing input stream(s): ${missing.mkString(", ")}")
+    outputs.foldLeft(flow -- inputs) { case (f, (n, df)) => merge(f, n, df) }
+  }
+}
+
+/** A pipeline of components that is itself a component
+  * (reference: lib/composite.ex:93-97). Nested composites flatten
+  * (reference: lib/composite.ex:40-52), so `Composite(a, Composite(b, c))`
+  * ≡ `Composite(a, b, c)`.
+  *
+  * The reference's start/stop lifecycle and supervision tree have no
+  * analog here: plans are immutable values and a failed action throws.
+  * The live-manipulation API (insert/replace/delete) is preserved at the
+  * value level — it returns a new Composite to re-run, since Catalyst
+  * plans are cheap to rebuild (in-flight rewrite is out of scope; see
+  * SURVEY §2.1 #17).
+  */
+final case class Composite(components: Seq[Component]) extends Component {
+  def apply(flow: Flow): Flow = components.foldLeft(flow)((f, c) => c(f))
+
+  /** Insert components at index `i` (reference: lib/composite.ex:102-117). */
+  def insert(i: Int, comps: Component*): Composite =
+    Composite(components.patch(i, Composite.flatten(comps), 0))
+
+  /** Replace components in `[from, to]` inclusive
+    * (reference: lib/composite/manipulations.ex:30-52).
+    */
+  def replace(from: Int, to: Int, comps: Component*): Composite =
+    Composite(components.patch(from, Composite.flatten(comps), to - from + 1))
+
+  /** Delete components in `[from, to]` inclusive
+    * (reference: lib/composite/manipulations.ex:54-74).
+    */
+  def delete(from: Int, to: Int): Composite =
+    Composite(components.patch(from, Nil, to - from + 1))
+
+  /** ASCII topology sketch (reference: lib/composite/topology.ex:9-33).
+    * For the physical plan use `df.explain` on any flow stream instead.
+    */
+  def topology: String =
+    components.zipWithIndex
+      .map { case (c, i) => s"[$i] ${c.getClass.getSimpleName.stripSuffix("$")}: $c" }
+      .mkString("\n")
+}
+
+object Composite {
+  /** Varargs constructor with reference flattening semantics. */
+  def apply(comps: Component*)(implicit d: DummyImplicit): Composite =
+    Composite(flatten(comps))
+
+  def of(comps: Component*): Composite = Composite(flatten(comps))
+
+  private[core] def flatten(comps: Seq[Component]): Seq[Component] =
+    comps.flatMap {
+      case Composite(inner) => flatten(inner)
+      case c                => Seq(c)
+    }
+}
+
+/** Renames flow keys; fails fast if a source name is absent
+  * (reference: lib/renamer.ex:16-33). A rename landing on an existing
+  * name concatenates under the collision rule.
+  */
+final case class Renamer(mapping: Map[String, String]) extends Component {
+  def apply(flow: Flow): Flow = {
+    val missing = mapping.keys.filterNot(flow.contains)
+    require(missing.isEmpty, s"Renamer: missing stream(s): ${missing.mkString(", ")}")
+    val renamed = mapping.map { case (from, to) => to -> flow(from) }
+    renamed.foldLeft(flow -- mapping.keys) { case (f, (n, df)) => FlowOps.merge(f, n, df) }
+  }
+}

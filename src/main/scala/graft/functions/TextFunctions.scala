@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for document pipelines. All are pure
+  * `functions._` compositions — codegen'd, no UDFs — so they inline into
+  * whole-stage codegen and never break predicate pushdown around them.
+  * (Generalizes the reference's hand-rolled words-count pipeline,
+  * reference: test/examples/words_count_test.exs:11-41.)
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. `split(trim(x), "\s+")`. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Word tokens after lowercasing and punctuation strip — the
+    * words-count tokenizer (split on non-word runs).
+    */
+  def words(c: Column): Column =
+    filter(split(lower(c), "\\W+"), w => length(w) > 0)
+
+  /** A BPE-ish subword count approximation: words + digit runs counted
+    * separately, long words counted as ceil(len/4) subtokens — a cheap,
+    * deterministic stand-in for a real tokenizer's token count.
+    */
+  def subwordCountApprox(c: Column): Column =
+    aggregate(
+      words(c),
+      lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / lit(4.0)).cast("long"))
+
+  /** Whitespace-normalized form: lowercase, collapse whitespace, trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized text. Stable across
+    * engines (md5 is standardized), usable as an exact-dedup key.
+    */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Word-level n-gram shingles ("a b c", n=2 → ["a b","b c"]).
+    * Built from `sequence` + `transform` + `slice` — pure codegen path.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ws = words(c)
+    when(size(ws) < n, array(array_join(ws, " ")))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(ws) - lit(n - 1)),
+          i => array_join(slice(ws, i, lit(n)), " ")))
+  }
+
+  /** Character k-shingles of the normalized text. */
+  def charShingles(c: Column, k: Int): Column = {
+    val s = normalize(c)
+    when(length(s) <= k, array(s))
+      .otherwise(
+        transform(sequence(lit(1), length(s) - lit(k - 1)), i => substring(s, i, lit(k))))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,;:!?]", ""))
+
+  private val Stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are common English stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val ws = words(c)
+    val stops = filter(ws, w => w.isInCollection(Stopwords))
+    when(size(ws) === 0, lit(0.0)).otherwise(size(stops).cast("double") / size(ws))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length documents,
+    * normal word lengths, and some-but-not-all stopwords. Deterministic
+    * arithmetic only (oracle-reproducible).
+    */
+  def qualityScore(c: Column): Column = {
+    val nWords = size(words(c)).cast("double")
+    val lenScore = least(nWords / lit(50.0), lit(1.0))
+    val avgWordLen =
+      when(nWords === 0, lit(0.0)).otherwise(length(regexp_replace(c, "\\s", "")) / nWords)
+    val wordLenScore = when(avgWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    val stopScore = when(stopwordRatio(c).between(0.01, 0.6), lit(1.0)).otherwise(lit(0.5))
+    round((lenScore + wordLenScore + stopScore) / lit(3.0), 4)
+  }
+
+  /** Stopword-profile language ID. Scores a handful of languages by
+    * counting language-specific function words; returns the argmax or
+    * 'und' when nothing matches. Regex-count based — runs entirely in
+    * codegen, no dictionary broadcast needed.
+    */
+  def langId(c: Column): Column = {
+    val lc = lower(c)
+    def score(wordsRe: String): Column = regexp_count(lc, lit("\\b(" + wordsRe + ")\\b"))
+    val en = score("the|and|of|to|is|in|that|it")
+    val es = score("el|la|los|las|que|de|en|es|una?")
+    val de = score("der|die|das|und|ist|nicht|ein|zu")
+    val fr = score("le|les|des|est|une?|et|dans|que")
+    val best = greatest(en, es, de, fr)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(es === best, lit("es"))
+      .when(de === best, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** 64-bit rolling (polynomial) hash of the normalized text:
+    * h = sum(c_i * 31^(n-1-i)) mod 2^64 — order-sensitive, cheap,
+    * computed via aggregate over the char codes (codegen path).
+    */
+  def rollingHash(c: Column): Column = {
+    val chars = split(normalize(c), "")
+    aggregate(
+      filter(chars, ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => acc * lit(31L) + ascii(ch).cast("long"))
+  }
+}

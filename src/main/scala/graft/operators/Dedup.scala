@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication at corpus scale. Every method returns a plain
+  * DataFrame plan — no driver-side loops — so each scales with the
+  * cluster. (North-star extension beyond the reference; the reference's
+  * only related primitive is hand-rolled keyed state,
+  * reference: lib/transformer.ex:44-47.)
+  *
+  * Scale design notes:
+  *  - exact/fingerprint dedup is one hash-aggregate (map-side partial).
+  *  - minhash/simhash candidate generation joins on short band keys, so
+  *    the shuffle carries (id, band) pairs, never documents.
+  *  - the inverted-index jaccard path caps posting-list length
+  *    (`maxDocFreq`) — the standard guard against a stop-shingle
+  *    producing a quadratic bucket at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup on a subset of columns: one shuffle, partial agg. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Exact text dedup via md5(normalized text): keeps the smallest id
+    * per fingerprint group (deterministic winner).
+    */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature column: array of `numHashes` min-hashes over the
+    * word-shingle set. Hash family: xxhash64(seed_i, shingle) —
+    * deterministic, no stored coefficients.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle → minhash → band → bucket-join → exact-Jaccard verify.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    * Banding: `bands` bands of `numHashes/bands` rows; a pair collides if
+    * any band matches — candidates are then verified with the exact
+    * Jaccard over distinct shingles, so banding only affects recall.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    val docs = df
+      .select(col(idCol).as("id"), array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    val banded = docs.select(
+      col("id"),
+      col("sh"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the word multiset: per bit, sign of the sum of
+    * ±1 votes from xxhash64(word). Computed as explode → 64 conditional
+    * sums → bit assembly; the aggregate is map-side partial so the
+    * shuffle carries one 64-counter row per doc partition.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1)).as(s"b$bit")
+    }
+    val agg = exploded.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
+    * hamming distance 3 must agree on at least one of 4 chunks), verify
+    * with exact popcount of the XOR.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash64(df, idCol, textCol)
+    val chunked = sigs.select(
+      col("id"),
+      col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(
+          lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.chunk"), col("ck.key"))
+    val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard pairs via a document-frequency-capped inverted
+    * index: explode distinct shingles, drop shingles appearing in more
+    * than `maxDocFreq` docs (they cannot discriminate and would create
+    * quadratic buckets), join postings, verify Jaccard exactly.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val docs = df.select(
+      col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val postings = docs
+      .select(col("id"), explode(col("sh")).as("g"))
+    val rare = postings
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq && col("df") >= 2)
+    val filtered = postings.join(rare, "g")
+    val cand = filtered.select(col("g"), col("id").as("id_a"))
+      .join(filtered.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: sign-random-projection buckets
+    * (multi-table for recall), verify with exact cosine. The join key is
+    * (table, bucket) — shuffle carries ids + vectors once per table.
+    */
+  def embeddingCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      bits: Int = 12,
+      tables: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val bucketed = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"), hyperplaneBucket(col(vecCol), bits, seed = 42L + t).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.Flow
+import graft.core.Component
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Feedback cycle (reference: lib/loop.ex:4-67): a named queue used as
+  * both sink and source, halting after an idle timeout.
+  *
+  * Spark has no cyclic plans, so the loop is realized as a driver-side
+  * iterate-to-fixpoint: each iteration applies `body` to the current
+  * frontier, and the loop terminates when the frontier is empty (the
+  * fixpoint) or `maxIterations` is reached. The reference's wall-clock
+  * idle timeout (lib/loop.ex:40-51) maps to the empty-frontier check —
+  * a deterministic and scale-safe condition (no polling).
+  *
+  * Each iteration is checkpointed to `stagingPath` as parquet; this
+  * truncates lineage (an N-deep iterative plan would otherwise blow up
+  * the optimizer) and makes iterations restartable — the same pattern
+  * iterative jobs use on real clusters.
+  */
+final case class Loop(
+    name: String,
+    body: DataFrame => DataFrame,
+    stagingPath: String,
+    maxIterations: Int = 100)
+    extends Component {
+
+  def apply(flow: Flow): Flow = {
+    val spark = SparkSession.active
+    var frontier = flow.getOrElse(
+      name, throw new IllegalArgumentException(s"Loop: missing stream '$name'"))
+    var acc: Option[DataFrame] = None
+    var i = 0
+    var done = false
+    while (!done && i < maxIterations) {
+      val stage = s"$stagingPath/iter_$i"
+      frontier.write.mode("overwrite").parquet(stage)
+      val materialized = spark.read.parquet(stage)
+      acc = Some(acc.fold(materialized)(_ unionByName materialized))
+      if (materialized.isEmpty) done = true
+      else { frontier = body(materialized); i += 1 }
+    }
+    flow.updated(name, acc.get)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns beside typed metadata, exactly like large
+  * training-data pipelines ship them in parquet. The Spark-side shape —
+  * schema, partition-preserving batch transforms, metadata extraction —
+  * is real; the actual media *decode* is STUBBED (the container has no
+  * image/audio libraries) behind [[fakeDecode]], a deterministic
+  * byte-derived stand-in with the same signature a real decoder would
+  * have. Swap `fakeDecode` for an opencv/ffmpeg call per partition and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Attach a binary payload column (here derived from text — in a real
+    * pipeline this is the stored media blob) plus its byte length.
+    */
+  def attachBinary(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
+    df.withColumn(binCol, col(srcCol).cast(BinaryType))
+      .withColumn(s"${binCol}_bytes", length(col(binCol)).cast("long"))
+
+  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
+    * Pure column arithmetic so it is oracle-reproducible; a real decoder
+    * would run per-partition (see [[decodePartitioned]]).
+    */
+  def fakeDecodeMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
+    val nBytes = length(col(binCol)).cast("long")
+    df.withColumn("width", (pmod(nBytes, lit(512L)) + 64L).cast("int"))
+      .withColumn("height", (pmod(nBytes, lit(384L)) + 64L).cast("int"))
+      .withColumn(
+        "format",
+        when(pmod(nBytes, lit(3L)) === 0, "png")
+          .when(pmod(nBytes, lit(3L)) === 1, "jpeg")
+          .otherwise("webp"))
+      .withColumn("n_bytes", nBytes)
+  }
+
+  /** Partition-batched decode shape: the real-decoder slot. Batches rows
+    * per partition through `decode` (bytes => metadata Row) — this is
+    * where a JNI/ffi decoder plugs in; the default is the deterministic
+    * stub. Output partitioning preserves input partitioning (narrow op).
+    */
+  def decodePartitioned(
+      df: DataFrame,
+      binCol: String,
+      decode: Array[Byte] => (Int, Int, String) = stubDecode): DataFrame = {
+    val schema = StructType(df.schema.fields ++ mediaMetaSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val (w, h, fmt) = decode(bytes)
+        Row.fromSeq(r.toSeq ++ Seq(w, h, fmt, bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Deterministic fake decode — stands in for an image library. */
+  private[operators] def stubDecode(bytes: Array[Byte]): (Int, Int, String) = {
+    val n = bytes.length.toLong
+    val fmt = (n % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
+    (((n % 512) + 64).toInt, ((n % 384) + 64).toInt, fmt)
+  }
+
+  /** Frame-sampling shape for video-like payloads: explode `nFrames`
+    * offsets per row, slicing the payload — the Spark-side plumbing of
+    * a frame sampler (real pipelines replace `slice` with a seek+decode).
+    */
+  def sampleFrames(df: DataFrame, binCol: String, nFrames: Int): DataFrame = {
+    val nBytes = length(col(binCol)).cast("long")
+    df.withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn(
+        "frame_offset",
+        (col("frame_idx").cast("long") * greatest(nBytes / nFrames, lit(1L))))
+      .withColumn(
+        "frame_bytes",
+        col(binCol).substr((col("frame_offset") + 1).cast("int"), lit(16)))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** First-class relational/CEP operators for the query patterns the
+  * reference implements with hand-rolled stateful Transformers
+  * (SURVEY §2.2). Each is a declarative plan Catalyst can optimize —
+  * partial aggregation, join-strategy selection and pushdown all apply.
+  */
+object Relational {
+
+  /** Tumbling count-window aggregation (reference:
+    * test/examples/window_test.exs:7-32): global row order chopped into
+    * fixed-size batches. Order-dependent ⇒ single global sort; use the
+    * time-window variant at scale.
+    */
+  def tumblingCountWindow(df: DataFrame, orderBy: Seq[Column], size: Int, aggs: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(orderBy: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("window_id", floor((col("_rn") - 1) / size))
+      .groupBy(col("window_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sliding count-window (reference: window_test.exs:36-63): every
+    * `step`-th row emits an aggregate over the trailing `size` rows.
+    */
+  def slidingCountWindow(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      size: Int,
+      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(-(size - 1), Window.currentRow)
+    df.withColumn("sliding_avg", avg(valueCol).over(w))
+  }
+
+  /** Positional zip of two streams (the reference's round-robin pairing,
+    * README.md:129-160): i-th row of `a` joined with i-th row of `b`.
+    * Requires explicit total orders on both sides. Global row_number ⇒
+    * single-partition window: inherently sequential semantics, kept for
+    * parity (SURVEY §7.5); do not put on the hot path.
+    */
+  def zipByIndex(a: DataFrame, aOrder: Seq[Column], b: DataFrame, bOrder: Seq[Column]): DataFrame = {
+    val ra = a.withColumn("_rn", row_number().over(Window.orderBy(aOrder: _*)))
+    val rb = b.withColumn("_rn", row_number().over(Window.orderBy(bOrder: _*)))
+    ra.join(rb, "_rn").drop("_rn")
+  }
+
+  /** As-of join: for each left row, the latest right row with
+    * `rightTs <= leftTs` on the same key. Implemented as a tagged union
+    * + one window pass — one shuffle on (key), no range-join explosion,
+    * the scale-correct form of the classic point-in-time join.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
+    val rTagged = right
+      .select((Seq(col(key), col(rightTs).as("_ts")) ++ rightValueCols.map(col)): _*)
+      .withColumn("_side", lit(0))
+    val leftCols = left.columns
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 1).select((leftCols ++ rightValueCols).map(col): _*)
+  }
+
+  /** Gap-based sessionization: events within `gapSeconds` of the
+    * previous event (per key) share a session. lag + conditional cumsum
+    * — one shuffle on the key.
+    */
+  def sessionize(df: DataFrame, keyCol: Column, tsCol: Column, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    df.withColumn("_prev_ts", lag(tsCol, 1).over(w))
+      .withColumn(
+        "_new_session",
+        when(col("_prev_ts").isNull ||
+          tsCol.cast("long") - col("_prev_ts").cast("long") > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id", sum(col("_new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev_ts", "_new_session")
+  }
+
+  /** The parcels CEP state machine (reference:
+    * test/examples/parcels_test.exs:106-252) as one declarative plan:
+    * per order, did all expected shipments arrive within `slaDays` of
+    * the order? The reference buffers events in per-order actor state;
+    * here it is a shuffle-on-order-key aggregate — same answer, scales
+    * linearly, and AQE handles skewed orders.
+    */
+  def shipmentSla(
+      orders: DataFrame,
+      shipments: DataFrame,
+      orderKey: String,
+      orderTs: String,
+      expectedCol: String,
+      shipTs: String,
+      slaDays: Int): DataFrame = {
+    val shipped = shipments.groupBy(col(orderKey))
+      .agg(count(lit(1)).as("n_shipped"), max(col(shipTs)).as("last_ship"))
+    orders
+      .join(shipped, Seq(orderKey), "left")
+      .withColumn(
+        "status",
+        when(col("n_shipped").isNull || col("n_shipped") < col(expectedCol), lit("PENDING"))
+          .when(
+            col("last_ship") > col(orderTs) + expr(s"INTERVAL $slaDays DAYS"),
+            lit("THRESHOLD_EXCEEDED"))
+          .otherwise(lit("ALL_PARCELS_SHIPPED")))
+  }
+
+  /** Top-k per group via rank window — the scalable form of per-group
+    * sort+limit (partial TopK pushed below the shuffle by Spark's
+    * WindowGroupLimit optimization).
+    */
+  def topKPerGroup(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

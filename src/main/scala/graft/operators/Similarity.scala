@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  * (North-star extension; the reference has no vector surface.)
+  *
+  * Scale design: the query set is always the broadcast side — corpus
+  * partitions stream once past an in-memory query table, so brute force
+  * is a single corpus scan regardless of corpus size. The LSH variant
+  * prunes the per-query candidate set by joining on hyperplane buckets,
+  * trading recall for a much smaller scoring join at 100 TB.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` MUST be small (driver-broadcastable); corpus any size.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: both sides keyed by sign-random-projection
+    * buckets over `tables` independent hash tables; candidates scored
+    * exactly, top-k per query. Recall < 1 by construction; raise
+    * `tables` or lower `bits` to trade compute for recall.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    def bucketize(df: DataFrame, id: String, vec: String) =
+      df.select(
+        col(idCol).as(id),
+        col(vecCol).as(vec),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"), hyperplaneBucket(col(vecCol), bits, seed = 7L + t).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.tbl"), col("tb.bucket"))
+
+    val q = broadcast(bucketize(queries, "query_id", "q_vec"))
+    val c = bucketize(corpus, "neighbor_id", "c_vec")
+    val cand = c.join(q, Seq("tbl", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Count of near-neighbor pairs above a cosine threshold (corpus
+    * self-similarity profile) — brute force within hyperplane buckets.
+    */
+  def thresholdPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame =
+    Dedup.embeddingCosinePairs(corpus, idCol, vecCol, threshold)
+}

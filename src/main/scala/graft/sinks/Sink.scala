@@ -1,0 +1,63 @@
+package graft.sinks
+
+import graft.Flow
+import graft.core.Component
+import org.apache.spark.sql.DataFrame
+import scala.concurrent.{ExecutionContext, Future}
+
+/** Consumes (runs) a named stream and removes it from the flow
+  * (reference: lib/sink.ex:33-42,69-91). The `run` thunk is the Spark
+  * action. `sync = true` blocks the caller (the reference's `sync: true`);
+  * otherwise the action is launched on a background thread and the
+  * returned Future is collected in [[Sink.drain]] — mirroring the
+  * reference's spawned runner (lib/sink.ex:77-83).
+  */
+final case class Sink(name: String, run: DataFrame => Unit, sync: Boolean = false)
+    extends Component {
+  def apply(flow: Flow): Flow = {
+    val df = flow.getOrElse(
+      name, throw new IllegalArgumentException(s"Sink: no stream named '$name' in flow"))
+    if (sync) run(df)
+    else Sink.register(Future(run(df))(ExecutionContext.global))
+    flow - name
+  }
+}
+
+object Sink {
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Future[Unit]]()
+  private def register(f: Future[Unit]): Unit = pending.add(f)
+
+  /** Await all async sinks started so far (test/process-exit helper). */
+  def drain(): Unit = {
+    import scala.concurrent.duration._
+    var f = pending.poll()
+    while (f != null) { scala.concurrent.Await.result(f, 10.minutes); f = pending.poll() }
+  }
+
+  def parquet(name: String, path: String, sync: Boolean = true): Sink =
+    Sink(name, _.write.mode("overwrite").parquet(path), sync)
+
+  /** Appends each event + separator to a text file
+    * (reference: lib/sink/write_lines.ex:9-29). Single-column string
+    * streams only, as in the reference.
+    */
+  def writeLines(name: String, path: String, sync: Boolean = true): Sink =
+    Sink(name, _.write.mode("overwrite").text(path), sync)
+
+  /** Prints events (reference: lib/sink/io_puts.ex:7-20). */
+  def console(name: String, numRows: Int = 20, sync: Boolean = true): Sink =
+    Sink(name, _.show(numRows, truncate = false), sync)
+
+  /** Discards events after computing them (reference: lib/sink/null.ex:7-16).
+    * Useful to force execution; `foreach(_ => ())` avoids driver collect.
+    */
+  def nullSink(name: String, sync: Boolean = true): Sink =
+    Sink(name, _.foreach(_ => ()), sync)
+
+  /** Side-effect per event via a user origin function
+    * (reference: lib/sink.ex:17-19 behaviour). Runs distributed on
+    * executors — the fn must be serializable.
+    */
+  def foreachRow(name: String, f: org.apache.spark.sql.Row => Unit, sync: Boolean = true): Sink =
+    Sink(name, _.foreach(r => f(r)), sync)
+}
