@@ -12,7 +12,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Dsl {
   def source(name: String, path: String): Source = Source.parquet(name, path)
   def sourceOf(name: String, df: DataFrame): Source = Source.of(name, df)
-  def sink(name: String, run: DataFrame => Unit, sync: Boolean = true): Sink =
+  // sync defaults false, matching Sink and the reference (lib/sink.ex:77).
+  def sink(name: String, run: DataFrame => Unit, sync: Boolean = false): Sink =
     Sink(name, run, sync)
   def mix(inputs: Seq[String], output: String): Mixer = Mixer(inputs, output)
   def split(input: String, preds: (String, Column)*): Splitter =

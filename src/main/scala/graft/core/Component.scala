@@ -18,6 +18,27 @@ trait Component extends (Flow => Flow) {
   def |>(next: Component): Composite = Composite(Seq(this, next))
 }
 
+/** Session-lifetime registry of DataFrames persisted by components
+  * (today: cache=true Splitters), so callers can release cached blocks
+  * deterministically instead of leaking them until session end.
+  * `Sink.drain()` calls [[unpersistAll]] after awaiting async sinks.
+  */
+object CacheRegistry {
+  private val persisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  def persist(df: DataFrame, level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    val p = df.persist(level)
+    persisted.add(p)
+    p
+  }
+
+  def unpersistAll(): Unit = {
+    var df = persisted.poll()
+    while (df != null) { df.unpersist(); df = persisted.poll() }
+  }
+}
+
 object FlowOps {
   /** Name-collision rule: output landing on an existing stream name is
     * concatenated (bag union), never replaced

@@ -110,15 +110,20 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
-  /** 64-bit rolling (polynomial) hash of the normalized text:
-    * h = sum(c_i * 31^(n-1-i)) mod 2^64 — order-sensitive, cheap,
-    * computed via aggregate over the char codes (codegen path).
+  /** Rolling (polynomial) document fingerprint of the normalized text:
+    * h = (h * 31 + code(c_i)) mod 1_000_000_007 — order-sensitive,
+    * cheap, computed via aggregate over the char codes (codegen path).
+    * The explicit prime modulus keeps every intermediate < 2^35, so the
+    * same value is reproducible in any engine with 64-bit ints (no
+    * silent two's-complement wraparound semantics required).
     */
+  val RollingHashMod = 1000000007L
+
   def rollingHash(c: Column): Column = {
     val chars = split(normalize(c), "")
     aggregate(
       filter(chars, ch => length(ch) > 0),
       lit(0L),
-      (acc, ch) => acc * lit(31L) + ascii(ch).cast("long"))
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(RollingHashMod)))
   }
 }

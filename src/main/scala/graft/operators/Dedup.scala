@@ -58,27 +58,37 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
+    require(
+      numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     val rows = numHashes / bands
     val docs = df
       .select(col(idCol).as("id"), array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+
+    // Banding carries only (id, band, bucket) through the shuffle — the
+    // shingle arrays rejoin AFTER candidate pairs are deduped, so a
+    // document's shingles cross the wire once per verified pair side,
+    // never bands× through the LSH self-join.
+    val banded = docs
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
-    val banded = docs.select(
-      col("id"),
-      col("sh"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -106,23 +116,32 @@ object Dedup {
     agg.select(col("id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
-    * hamming distance 3 must agree on at least one of 4 chunks), verify
-    * with exact popcount of the XOR.
+  /** SimHash near-dup pairs: block on `maxHamming + 1` bit-chunks of the
+    * 64-bit signature — by pigeonhole, a pair within hamming distance
+    * `maxHamming` must agree exactly on at least one chunk, so the
+    * blocking guarantee always matches the parameter. Candidates are
+    * verified with the exact popcount of the XOR.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(
+      maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks // last chunk absorbs the remainder bits
     val sigs = simhash64(df, idCol, textCol)
     val chunked = sigs.select(
       col("id"),
       col("simhash"),
-      explode(array((0 until 4).map { c =>
+      explode(array((0 until nChunks).map { c =>
+        val bits = if (c == nChunks - 1) 64 - c * width else width
+        val mask = if (bits >= 64) -1L else (1L << bits) - 1L
         struct(
           lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+          shiftright(col("simhash"), c * width).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.chunk"), col("ck.key"))
     val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("simhash").as("sig_a"))

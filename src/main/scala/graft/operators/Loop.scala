@@ -26,6 +26,8 @@ final case class Loop(
     maxIterations: Int = 100)
     extends Component {
 
+  require(maxIterations > 0, s"maxIterations must be positive, got $maxIterations")
+
   def apply(flow: Flow): Flow = {
     val spark = SparkSession.active
     var frontier = flow.getOrElse(
@@ -41,6 +43,12 @@ final case class Loop(
       if (materialized.isEmpty) done = true
       else { frontier = body(materialized); i += 1 }
     }
+    if (!done)
+      // Exited via the iteration cap, not the empty-frontier fixpoint:
+      // the last body(frontier) output is NOT in the result. Surface it.
+      System.err.println(
+        s"[graft.Loop:$name] did not converge within $maxIterations iterations; " +
+          "result excludes the final un-materialized frontier")
     flow.updated(name, acc.get)
   }
 }

@@ -42,9 +42,12 @@ object MixerTree {
   * nothing, exactly like the reference's per-output `Enum.split_with`.
   *
   * `cache = true` persists the parent so N downstream actions scan the
-  * input once. At 100 TB prefer cache=false + letting each branch push
-  * its own filter into the parquet scan — N cheap column-pruned scans
-  * usually beat materializing the full parent.
+  * input once; the persisted frame is tracked in
+  * [[graft.core.CacheRegistry]] — call `CacheRegistry.unpersistAll()`
+  * (done by `Sink.drain()`) to release the blocks. At 100 TB prefer
+  * cache=false + letting each branch push its own filter into the
+  * parquet scan — N cheap column-pruned scans usually beat
+  * materializing the full parent.
   */
 final case class Splitter(
     input: String,
@@ -54,7 +57,8 @@ final case class Splitter(
   def apply(flow: Flow): Flow = {
     val src0 = flow.getOrElse(
       input, throw new IllegalArgumentException(s"Splitter: missing stream '$input'"))
-    val src = if (cache) src0.persist(StorageLevel.MEMORY_AND_DISK) else src0
+    val src =
+      if (cache) graft.core.CacheRegistry.persist(src0, StorageLevel.MEMORY_AND_DISK) else src0
     val outs = outputs.map { case (n, pred) => n -> pred.fold(src)(src.filter) }
     FlowOps.rewire(flow, Seq(input), outs)
   }

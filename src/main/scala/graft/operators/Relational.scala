@@ -98,6 +98,12 @@ object Relational {
     * the order? The reference buffers events in per-order actor state;
     * here it is a shuffle-on-order-key aggregate — same answer, scales
     * linearly, and AQE handles skewed orders.
+    *
+    * Precedence matches the reference's decide/2
+    * (reference: test/examples/parcels_test.exs:144-201): a shipment
+    * past the deadline flips the order to THRESHOLD_EXCEEDED even while
+    * other parcels are still pending, so the deadline condition is
+    * evaluated BEFORE the completeness condition.
     */
   def shipmentSla(
       orders: DataFrame,
@@ -113,10 +119,10 @@ object Relational {
       .join(shipped, Seq(orderKey), "left")
       .withColumn(
         "status",
-        when(col("n_shipped").isNull || col("n_shipped") < col(expectedCol), lit("PENDING"))
-          .when(
-            col("last_ship") > col(orderTs) + expr(s"INTERVAL $slaDays DAYS"),
-            lit("THRESHOLD_EXCEEDED"))
+        when(
+          col("last_ship") > col(orderTs) + expr(s"INTERVAL $slaDays DAYS"),
+          lit("THRESHOLD_EXCEEDED"))
+          .when(col("n_shipped").isNull || col("n_shipped") < col(expectedCol), lit("PENDING"))
           .otherwise(lit("ALL_PARCELS_SHIPPED")))
   }
 

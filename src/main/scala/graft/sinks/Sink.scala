@@ -27,11 +27,14 @@ object Sink {
   private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Future[Unit]]()
   private def register(f: Future[Unit]): Unit = pending.add(f)
 
-  /** Await all async sinks started so far (test/process-exit helper). */
+  /** Await all async sinks started so far, then release any DataFrames
+    * cached by components (test/process-exit helper).
+    */
   def drain(): Unit = {
     import scala.concurrent.duration._
     var f = pending.poll()
     while (f != null) { scala.concurrent.Await.result(f, 10.minutes); f = pending.poll() }
+    graft.core.CacheRegistry.unpersistAll()
   }
 
   def parquet(name: String, path: String, sync: Boolean = true): Sink =
