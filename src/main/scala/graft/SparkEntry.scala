@@ -1,13 +1,629 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Composite
+import graft.operators._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.sources.Source
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` where the
+  * semantics are ANSI-SQL-expressible (hash-based LSH blocking and the
+  * ordered-stateful fold are checked rows-only).
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - money aggregates go through exact DECIMAL sums, cast back to
+  *    double (no float accumulation-order drift);
+  *  - timestamps are emitted as epoch microseconds (unix_micros /
+  *    epoch_us) so timezone-naive DuckDB and UTC-session Spark hash
+  *    identically;
+  *  - every window/top-k order has a deterministic tiebreak column.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is physically INT64 TIMESTAMP(NANOS) parquet, which Spark
+    // reads only as a long (spark.sql.legacy.parquet.nanosAsLong=true, set
+    // by Verify/Bench). Normalize to a µs TimestampType column; the
+    // source data is µs-aligned so the ns→µs floor division is lossless.
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    else df
+  }
+
+  /** Exact decimal sum rendered as double — accumulation-order-proof. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Epoch microseconds; the cast lifts parquet TIMESTAMP_NTZ to the
+    * session-TZ (UTC) timestamp unix_micros requires — value-preserving.
+    */
+  private def usec(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  // ---------------------------------------------------------------- //
+  // DuckDB oracle fragments (documents text is pure-ASCII word soup)  //
+  // ---------------------------------------------------------------- //
+
+  /** words(text): lowercase, split on non-word runs, drop empties. */
+  private val W =
+    """list_filter(regexp_split_to_array(lower(text), '\W+'), w -> len(w) > 0)"""
+
+  private val NormalizedText =
+    """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  // ---------------------------------------------------------------- //
+  // Queries                                                           //
+  // ---------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- relational core ------------------------------------------- //
+    "q_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))),
+
+    "q_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_quantity") >= 45)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          usec(col("l_shipdate")).as("ship_us"))),
+
+    // Flagship parity with the reference's words-count example
+    // (reference: test/examples/words_count_test.exs) — Flow-routed:
+    // Source |> Transformer(explode words) |> groupBy count.
+    "q_words_count" -> ((s, d) => {
+      val pipeline = Composite(Seq(
+        Source.parquet("docs", s"$d/documents.parquet"),
+        Transformer("docs")(df =>
+          df.select(explode(words(col("text"))).as("word"))
+            .groupBy("word").agg(count(lit(1)).as("n")))))
+      pipeline(EmptyFlow)("docs")
+    }),
+
+    // Mixer = bag union (reference: lib/mixer.ex) — Flow-routed.
+    "q_mix" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val pipeline = Composite(Seq(
+        Source.of("clicks", ev.where(col("event_type") === "click")),
+        Source.of("purchases", ev.where(col("event_type") === "purchase")),
+        Mixer(Seq("clicks", "purchases"), "mixed"),
+        Transformer("mixed")(
+          _.groupBy("event_type").agg(count(lit(1)).as("n")))))
+      pipeline(EmptyFlow)("mixed")
+    }),
+
+    // Splitter predicate fan-out + re-mix (reference: lib/splitter.ex).
+    "q_split" -> ((s, d) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val pipeline = Composite(Seq(
+        Source.parquet("orders", s"$d/orders.parquet"),
+        Splitter.predicates("orders", Seq("urgent" -> urgent, "rest" -> !urgent)),
+        Transformer("urgent")(_.agg(count(lit(1)).as("n")).withColumn("branch", lit("urgent"))),
+        Transformer("rest")(_.agg(count(lit(1)).as("n")).withColumn("branch", lit("rest"))),
+        Mixer(Seq("urgent", "rest"), "out")))
+      pipeline(EmptyFlow)("out")
+    }),
+
+    "q_topk" -> ((s, d) =>
+      Relational.topKPerGroup(
+        t(s, d, "orders"),
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        5)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rank"))),
+
+    "q_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "q_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "q_bcast_join" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))),
+
+    "q_join_multi" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))),
+
+    "q_intersect" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .intersect(o.where(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+    }),
+
+    "q_except" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .except(o.where(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+    }),
+
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        usec(col("o_orderdate")).as("order_us"),
+        count(lit(1)).over(w).as("run_n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("run_spend"))
+    }),
+
+    // -- windows (reference: test/examples/window_test.exs) --------- //
+    "q_tumble_count" -> ((s, d) =>
+      Relational.tumblingCountWindow(
+        t(s, d, "events"), Seq(col("event_id")), 500,
+        Seq(
+          count(lit(1)).as("n"), min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"), min(col("event_id")).as("first_id")))),
+
+    "q_slide" -> ((s, d) =>
+      Relational.slidingAvg(
+        t(s, d, "events"), Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+        5, col("value"))
+        .select(col("event_id"), col("user_id"), col("sliding_avg"))),
+
+    "q_time_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .select(usec(col("window.start")).as("day_us"), col("n"), col("min_v"), col("max_v"))),
+
+    // -- stream pairing / CEP --------------------------------------- //
+    "q_zip" -> ((s, d) =>
+      Relational.zipByIndex(
+        t(s, d, "nation").select(col("n_nationkey"), col("n_name")), Seq(col("n_nationkey")),
+        t(s, d, "region").select(col("r_regionkey"), col("r_name")), Seq(col("r_regionkey")))
+        .select(col("n_name"), col("r_name"))),
+
+    "q_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("click_value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Relational.asOfJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"), usec(col("ts")).as("purchase_us"),
+          col("click_value"))
+    }),
+
+    "q_session" -> ((s, d) =>
+      Relational.sessionize(
+        t(s, d, "events"), col("user_id"), col("ts"), 3600, Seq(col("event_id")))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(usec(col("ts"))).as("start_us"),
+          max(usec(col("ts"))).as("end_us"))),
+
+    // The parcels state machine (reference: test/examples/parcels_test.exs)
+    "q_sla" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+        .withColumn("to_ship", (col("o_orderkey") % 5 + 1).cast("int"))
+      val shipments = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      Relational.shipmentSla(
+        orders, shipments, "o_orderkey", "o_orderdate", "to_ship", "l_shipdate", 7)
+        .select(col("o_orderkey"), col("n_shipped"), col("status"))
+    }),
+
+    // -- dedup ------------------------------------------------------ //
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(
+        t(s, d, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
+    "q_dedup_fp" -> ((s, d) =>
+      Dedup.byFingerprint(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 2, threshold = 0.2, maxDocFreq = 400)),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(
+        t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    "q_embed_pairs" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, bits = 4, tables = 4)),
+
+    // -- similarity search ------------------------------------------ //
+    "q_sim_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+    }),
+
+    "q_sim_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(
+        e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5, bits = 6, tables = 8)
+    }),
+
+    // -- text analysis ---------------------------------------------- //
+    "q_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(words(col("text"))).as("n_words"),
+        subwordCountApprox(col("text")).as("n_subwords"),
+        langId(col("text")).as("lang_id"),
+        qualityScore(col("text")).as("quality"),
+        rollingHash(col("text")).as("rhash"))),
+
+    "q_lang_hist" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(langId(col("text")).as("lang_id"))
+        .agg(count(lit(1)).as("n"))),
+
+    // -- multimodal plumbing ---------------------------------------- //
+    "q_multimodal" -> ((s, d) =>
+      Multimodal.fakeDecodeMeta(
+        Multimodal.attachBinary(t(s, d, "documents"), "text"))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("format"))),
+
+    "q_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.attachBinary(t(s, d, "documents"), "text"), "payload", 4)
+        .select(col("doc_id"), col("frame_idx"), col("frame_offset"))),
+
+    // -- json / semistructured -------------------------------------- //
+    "q_json" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))),
+
+    // -- pivot ------------------------------------------------------- //
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy(col("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)),
+
+    // -- loop (reference: lib/loop.ex) ------------------------------- //
+    "q_loop" -> ((s, d) => {
+      val staging =
+        java.nio.file.Files.createTempDirectory("graft_loop_").toString
+      val pipeline = Composite(Seq(
+        Source.of("frontier",
+          t(s, d, "nation").select((col("n_nationkey") + 1).as("v"))),
+        Loop("frontier",
+          df => df.select((col("v") * 2).as("v")).where(col("v") <= 100),
+          staging)))
+      pipeline(EmptyFlow)("frontier")
+    }),
+
+    // -- ordered stateful fold (reference: telegram_test.exs) -------- //
+    "q_telegram" -> ((s, d) => {
+      val wordsDf = t(s, d, "documents")
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
+      val schema = StructType(Seq(
+        StructField("line_id", LongType, nullable = false),
+        StructField("line", StringType, nullable = false)))
+      val pipeline = Composite(Seq(
+        Source.of("words", wordsDf),
+        Transformer.stateful[(Long, String)](
+          "words", Seq(col("doc_id"), col("pos")), schema, (0L, ""),
+          finish = { case (id, cur) =>
+            if (cur.nonEmpty) Seq(org.apache.spark.sql.Row(id, cur)) else Nil
+          }) { case (r, (id, cur)) =>
+          val word = r.getString(r.fieldIndex("word"))
+          val joined = if (cur.isEmpty) word else cur + " " + word
+          if (joined.length > 80)
+            (Seq(org.apache.spark.sql.Row(id, joined)), (id + 1, ""))
+          else (Nil, (id, joined))
+        }))
+      pipeline(EmptyFlow)("words")
+    }))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_multi")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- //
+  // DuckDB oracles — column names/aliases MUST match the Spark side.  //
+  // ---------------------------------------------------------------- //
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         |count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |epoch_us(l_shipdate) AS ship_us FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity >= 45""".stripMargin,
+
+    "q_words_count" ->
+      s"""SELECT word, count(*) AS n FROM
+         |(SELECT unnest($W) AS word FROM documents) GROUP BY word""".stripMargin,
+
+    "q_mix" ->
+      """SELECT event_type, count(*) AS n FROM (
+        |SELECT event_type FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_type FROM events WHERE event_type = 'purchase'
+        |) GROUP BY event_type""".stripMargin,
+
+    "q_split" ->
+      """SELECT count(*) AS n, 'urgent' AS branch FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |UNION ALL
+        |SELECT count(*) AS n, 'rest' AS branch FROM orders
+        |WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        |SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |FROM orders) WHERE rank <= 5""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_bcast_join" ->
+      """SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+        |count(*) OVER w AS run_n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey
+        |ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_tumble_count" ->
+      """SELECT window_id, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+        |min(event_id) AS first_id FROM (
+        |SELECT *, CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 500) AS BIGINT) AS window_id
+        |FROM events) GROUP BY window_id""".stripMargin,
+
+    "q_slide" ->
+      """SELECT event_id, user_id,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / count(*) OVER w AS sliding_avg
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_time_window" ->
+      """SELECT epoch_us(date_trunc('day', ts::TIMESTAMP)) AS day_us, count(*) AS n,
+        |min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_zip" ->
+      """SELECT n_name, r_name FROM
+        |(SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation) a
+        |JOIN
+        |(SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS rn FROM region) b
+        |USING (rn)""".stripMargin,
+
+    "q_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, p.user_id, epoch_us(p.ts::TIMESTAMP) AS purchase_us,
+        |  c.click_value,
+        |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
+        |  FROM p LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT event_id, user_id, purchase_us, click_value FROM j WHERE rn = 1""".stripMargin,
+
+    "q_session" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR
+        |    epoch_us(ts::TIMESTAMP) // 1000000 - epoch_us(prev_ts::TIMESTAMP) // 1000000 > 3600
+        |    THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM l)
+        |SELECT user_id, session_id, count(*) AS n,
+        |min(epoch_us(ts::TIMESTAMP)) AS start_us, max(epoch_us(ts::TIMESTAMP)) AS end_us
+        |FROM f GROUP BY user_id, session_id""".stripMargin,
+
+    "q_sla" ->
+      """WITH shipped AS (
+        |  SELECT l_orderkey AS o_orderkey, count(*) AS n_shipped,
+        |  max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey, n_shipped,
+        |CASE WHEN last_ship > o_orderdate + INTERVAL 7 DAY THEN 'THRESHOLD_EXCEEDED'
+        |     WHEN n_shipped IS NULL OR n_shipped < (o_orderkey % 5 + 1) THEN 'PENDING'
+        |     ELSE 'ALL_PARCELS_SHIPPED' END AS status
+        |FROM orders LEFT JOIN shipped USING (o_orderkey)""".stripMargin,
+
+    "q_dedup_exact" ->
+      "SELECT DISTINCT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q_dedup_fp" ->
+      s"""SELECT md5($NormalizedText) AS fp, min(doc_id) AS keep_id,
+         |count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, list_distinct(CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS sh
+         |  FROM documents),
+         |postings AS (SELECT id, unnest(sh) AS g FROM docs),
+         |rare AS (SELECT g FROM postings GROUP BY g
+         |  HAVING count(*) <= 400 AND count(*) >= 2),
+         |filtered AS (SELECT p.id, p.g FROM postings p JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id),
+         |verified AS (SELECT id_a, id_b,
+         |  len(list_intersect(da.sh, db.sh))::DOUBLE /
+         |  len(list_distinct(list_concat(da.sh, db.sh))) AS j
+         |  FROM cand JOIN docs da ON cand.id_a = da.id
+         |  JOIN docs db ON cand.id_b = db.id)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM verified WHERE j >= 0.2""".stripMargin,
+
+    "q_sim_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(qv)),
+        |    i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a, x) -> a + x) AS dot,
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(qv)),
+        |    i -> qv[i]::DOUBLE * qv[i]::DOUBLE)), (a, x) -> a + x)) *
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(cv)),
+        |    i -> cv[i]::DOUBLE * cv[i]::DOUBLE)), (a, x) -> a + x)) AS denom
+        |  FROM c CROSS JOIN q WHERE query_id != neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END AS cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) DESC, neighbor_id)
+        |    AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         |CAST(len($W) AS INTEGER) AS n_words,
+         |list_reduce(list_prepend(0::BIGINT,
+         |  list_transform($W, w -> CAST(ceil(len(w) / 4.0) AS BIGINT))),
+         |  (a, x) -> a + x) AS n_subwords,
+         |CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+         |     WHEN en = greatest(en, es, de, fr) THEN 'en'
+         |     WHEN es = greatest(en, es, de, fr) THEN 'es'
+         |     WHEN de = greatest(en, es, de, fr) THEN 'de'
+         |     ELSE 'fr' END AS lang_id,
+         |round((
+         |  least(len($W) / 50.0, 1.0) +
+         |  (CASE WHEN (CASE WHEN len($W) = 0 THEN 0.0
+         |     ELSE length(regexp_replace(text, '\\s', '', 'g')) / CAST(len($W) AS DOUBLE) END)
+         |     BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) +
+         |  (CASE WHEN (CASE WHEN len($W) = 0 THEN 0.0
+         |     ELSE len(list_filter($W, w -> w IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len($W) END)
+         |     BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+         |) / 3.0, 4) AS quality,
+         |list_reduce(list_prepend(0::BIGINT,
+         |  list_transform(list_filter(regexp_split_to_array($NormalizedText, ''), ch -> len(ch) > 0),
+         |    ch -> CAST(ascii(ch) AS BIGINT))),
+         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+         |FROM (SELECT doc_id, text,
+         |  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it)\\b')) AS en,
+         |  len(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|de|en|es|una?)\\b')) AS es,
+         |  len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|zu)\\b')) AS de,
+         |  len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une?|et|dans|que)\\b')) AS fr
+         |  FROM documents)""".stripMargin,
+
+    "q_lang_hist" ->
+      """SELECT CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |     WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |     WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |     WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |     ELSE 'fr' END AS lang_id, count(*) AS n
+        |FROM (SELECT
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')) AS en,
+        |  len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|de|en|es|una?)\b')) AS es,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de,
+        |  len(regexp_extract_all(lower(text), '\b(le|les|des|est|une?|et|dans|que)\b')) AS fr
+        |  FROM documents) GROUP BY 1""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |CAST((length(text) % 512) + 64 AS INTEGER) AS width,
+        |CAST((length(text) % 384) + 64 AS INTEGER) AS height,
+        |CASE WHEN length(text) % 3 = 0 THEN 'png'
+        |     WHEN length(text) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
+
+    "q_frames" ->
+      """SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        |fi * greatest(length(text) // 4, 1) AS frame_offset
+        |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS fi)""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_type,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |count(*) AS n FROM events GROUP BY event_type""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |count(*) FILTER (WHERE event_type = 'click') AS click,
+        |count(*) FILTER (WHERE event_type = 'error') AS "error",
+        |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_loop" ->
+      """WITH RECURSIVE r(v) AS (
+        |  SELECT n_nationkey + 1 AS v FROM nation
+        |  UNION ALL
+        |  SELECT v * 2 FROM r WHERE v * 2 <= 100
+        |) SELECT v FROM r""".stripMargin)
 }

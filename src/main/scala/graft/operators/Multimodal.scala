@@ -79,10 +79,9 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, binCol: String, nFrames: Int): DataFrame = {
     val nBytes = length(col(binCol)).cast("long")
+    val step = greatest(floor(nBytes / nFrames).cast("long"), lit(1L))
     df.withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
-      .withColumn(
-        "frame_offset",
-        (col("frame_idx").cast("long") * greatest(nBytes / nFrames, lit(1L))))
+      .withColumn("frame_offset", col("frame_idx").cast("long") * step)
       .withColumn(
         "frame_bytes",
         col(binCol).substr((col("frame_offset") + 1).cast("int"), lit(16)))

@@ -24,19 +24,39 @@ object Relational {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Sliding count-window (reference: window_test.exs:36-63): every
-    * `step`-th row emits an aggregate over the trailing `size` rows.
+  /** Sliding count-window (reference: window_test.exs:36-63): each row
+    * carries aggregates over the trailing `size` rows. `frameAggs`
+    * receives the framed WindowSpec and returns the aggregate columns
+    * (e.g. `w => Seq(avg(c).over(w).as("sliding_avg"))`), so any frame
+    * aggregate — including exact-decimal sums that avoid float drift —
+    * can ride the same single shuffle.
     */
   def slidingCountWindow(
       df: DataFrame,
       partitionBy: Seq[Column],
       orderBy: Seq[Column],
-      size: Int,
-      valueCol: Column): DataFrame = {
+      size: Int)(
+      frameAggs: org.apache.spark.sql.expressions.WindowSpec => Seq[Column]): DataFrame = {
     val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
       .rowsBetween(-(size - 1), Window.currentRow)
-    df.withColumn("sliding_avg", avg(valueCol).over(w))
+    df.select(df.columns.map(col) ++ frameAggs(w): _*)
   }
+
+  /** Convenience: trailing-window average of `valueCol`, computed as an
+    * exact decimal sum divided by the frame row count — deterministic
+    * bit-for-bit across engines (no incremental float add/retract drift).
+    */
+  def slidingAvg(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      size: Int,
+      valueCol: Column): DataFrame =
+    slidingCountWindow(df, partitionBy, orderBy, size) { w =>
+      Seq(
+        (sum(valueCol.cast("decimal(18,6)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("sliding_avg"))
+    }
 
   /** Positional zip of two streams (the reference's round-robin pairing,
     * README.md:129-160): i-th row of `a` joined with i-th row of `b`.
@@ -80,8 +100,13 @@ object Relational {
     * previous event (per key) share a session. lag + conditional cumsum
     * — one shuffle on the key.
     */
-  def sessionize(df: DataFrame, keyCol: Column, tsCol: Column, gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+  def sessionize(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      gapSeconds: Long,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol +: tieBreak: _*)
     df.withColumn("_prev_ts", lag(tsCol, 1).over(w))
       .withColumn(
         "_new_session",

@@ -61,18 +61,26 @@ object Transformer {
     * For keyed state at scale use groupByKey + flatMapGroups (batch) or
     * flatMapGroupsWithState (streaming) instead.
     */
-  def stateful[S](name: String, orderBy: Seq[Column], outputSchema: org.apache.spark.sql.types.StructType, init: S)(
+  def stateful[S](
+      name: String,
+      orderBy: Seq[Column],
+      outputSchema: org.apache.spark.sql.types.StructType,
+      init: S,
+      finish: S => Seq[Row] = (_: S) => Seq.empty[Row])(
       fn: (Row, S) => (Seq[Row], S)): Transformer =
     Transformer(Seq(name), (df: DataFrame) => {
       implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outputSchema)
       val sorted = if (orderBy.nonEmpty) df.orderBy(orderBy: _*) else df
       sorted.coalesce(1).mapPartitions { rows =>
         var acc = init
+        // `++` takes its argument by name, so finish(acc) sees the final
+        // accumulator — the reference's end-of-stream flush (the `:done`
+        // sentinel in words_count_test.exs:12).
         rows.flatMap { r =>
           val (out, next) = fn(r, acc)
           acc = next
           out
-        }
+        } ++ finish(acc)
       }
     })
 }
