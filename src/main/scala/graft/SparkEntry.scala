@@ -246,7 +246,7 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         t(s, d, "documents"), "doc_id", "text",
-        shingleSize = 2, threshold = 0.2, maxDocFreq = 400)),
+        shingleSize = 2, threshold = 0.2, maxDocFreq = 100)),
 
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(
@@ -518,7 +518,7 @@ object SparkEntry {
          |  FROM documents),
          |postings AS (SELECT id, unnest(sh) AS g FROM docs),
          |rare AS (SELECT g FROM postings GROUP BY g
-         |  HAVING count(*) <= 400 AND count(*) >= 2),
+         |  HAVING count(*) <= 100 AND count(*) >= 2),
          |filtered AS (SELECT p.id, p.g FROM postings p JOIN rare USING (g)),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id),

@@ -1,0 +1,93 @@
+package graft.core
+
+import graft.{EmptyFlow, Flow, SparkSpec}
+import graft.operators.{Mixer, Splitter, Transformer}
+import graft.sources.Source
+import org.apache.spark.sql.functions._
+
+/** Flow/Composite semantics from the reference:
+  * collision-union (lib/gen_mix/streams.ex:18-23), source concat
+  * (lib/source.ex:100-113), composite flattening (lib/composite.ex:40-52),
+  * renamer failure on missing names (lib/renamer.ex:16-33).
+  */
+class ComponentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("source adds a named stream; same-name source concatenates") {
+    val f1 = Source.memory("s", Seq(1, 2, 3)).apply(EmptyFlow)
+    assert(f1("s").count() == 3)
+    val f2 = Source.memory("s", Seq(4, 5)).apply(f1)
+    assert(f2("s").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("mixer unions inputs and removes them from the flow") {
+    val flow: Flow = Map(
+      "a" -> Seq(1, 2).toDF("v"),
+      "b" -> Seq(3).toDF("v"),
+      "keep" -> Seq(9).toDF("v"))
+    val out = Mixer(Seq("a", "b"), "m")(flow)
+    assert(out.keySet == Set("m", "keep"))
+    assert(out("m").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("mixer output landing on an existing name concatenates (collision rule)") {
+    val flow: Flow = Map(
+      "a" -> Seq(1).toDF("v"),
+      "b" -> Seq(2).toDF("v"),
+      "m" -> Seq(7).toDF("v"))
+    val out = Mixer(Seq("a", "b"), "m")(flow)
+    assert(out("m").as[Int].collect().sorted.toSeq == Seq(1, 2, 7))
+  }
+
+  test("mixer may re-emit one of its own input names") {
+    val flow: Flow = Map("a" -> Seq(1).toDF("v"), "b" -> Seq(2).toDF("v"))
+    val out = Mixer(Seq("a", "b"), "a")(flow)
+    assert(out.keySet == Set("a"))
+    assert(out("a").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("splitter duplicate mode reuses the stream; predicate mode partitions independently") {
+    val flow: Flow = Map("in" -> Seq(1, 2, 3, 4).toDF("v"))
+    val dup = Splitter("in", Seq("x", "y"))(flow)
+    assert(dup("x").count() == 4 && dup("y").count() == 4)
+
+    val pred = Splitter.predicates(
+      "in",
+      Seq("even" -> (col("v") % 2 === 0), "big" -> (col("v") >= 2)))(flow)
+    assert(pred("even").as[Int].collect().sorted.toSeq == Seq(2, 4))
+    assert(pred("big").as[Int].collect().sorted.toSeq == Seq(2, 3, 4)) // overlap allowed
+  }
+
+  test("composite flattens nested composites and folds left-to-right") {
+    val inner = Composite(Seq(
+      Transformer("s")(df => df.withColumn("v", col("v") * 2))))
+    val outer = Composite(Seq(
+      Source.of("s", Seq(1, 2).toDF("v")),
+      inner,
+      Transformer("s")(df => df.withColumn("v", col("v") + 1))))
+    assert(outer.components.length == 3) // flattened
+    val out = outer(EmptyFlow)
+    assert(out("s").select("v").as[Int].collect().sorted.toSeq == Seq(3, 5))
+  }
+
+  test("composite insert/replace/delete rebuild the component list") {
+    val a = Transformer("s")(identity)
+    val b = Transformer("s")(df => df.withColumn("v", col("v") + 1))
+    val c = Composite(Seq(a))
+    assert(c.insert(1, b).components.length == 2)
+    assert(c.replace(0, 0, b).components == Seq(b))
+    assert(c.delete(0, 0).components.isEmpty)
+  }
+
+  test("renamer renames keys and fails fast on missing streams") {
+    val flow: Flow = Map("a" -> Seq(1).toDF("v"))
+    assert(Renamer(Map("a" -> "b"))(flow).keySet == Set("b"))
+    intercept[IllegalArgumentException](Renamer(Map("zzz" -> "y"))(flow))
+  }
+
+  test("transformer on many streams applies independently (per-stream acc rule)") {
+    val flow: Flow = Map("a" -> Seq(1).toDF("v"), "b" -> Seq(10).toDF("v"))
+    val out = Transformer.onEach(Seq("a", "b"))(df => df.withColumn("v", col("v") * 3))(flow)
+    assert(out("a").as[Int].head() == 3 && out("b").as[Int].head() == 30)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog in the park today"),
+    (2L, "the quick brown fox jumps over the lazy dog in the park tonight"),
+    (3L, "completely unrelated content about catalyst query optimization rules"),
+    (4L, "the quick brown fox jumps over the lazy dog in the park today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("byFingerprint groups exact duplicates under the smallest id") {
+    val out = Dedup.byFingerprint(docs, "doc_id", "text")
+    val dupGroup = out.where(col("n_dups") === 2).collect()
+    assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keep_id") == 1L)
+    assert(out.count() == 3)
+  }
+
+  test("minhashPairs finds near and exact duplicates above the threshold") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0, must collide
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashPairs blocks correctly for the requested hamming radius") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical text -> hamming 0
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64))
+  }
+
+  test("ngramJaccardPairs verifies with exact jaccard") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5, maxDocFreq = 10)
+    val m = out.collect().map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(m((1L, 4L)) == 1.0)
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) >= 0.5 && m((1L, 2L)) < 1.0)
+  }
+
+  test("minhashPairs rejects numHashes not divisible by bands") {
+    intercept[IllegalArgumentException](
+      Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 63, bands = 16))
+  }
+
+  test("embeddingCosinePairs finds identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("id", "v")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "id", "v", threshold = 0.99, bits = 2, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("rollingHash is order-sensitive, fingerprint is whitespace-insensitive") {
+    val df = Seq(("a b", 1), ("b a", 2), ("a  b", 3)).toDF("text", "id")
+    val hashes = df.select(TextFunctions.rollingHash(col("text"))).as[Long].collect()
+    assert(hashes(0) != hashes(1))
+    assert(hashes(0) == hashes(2)) // normalized whitespace
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{EmptyFlow, Flow, SparkSpec}
+import graft.sources.Source
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MiscOpSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Loop iterates to the empty-frontier fixpoint, accumulating every frontier") {
+    val staging = java.nio.file.Files.createTempDirectory("graft_loop_spec_").toString
+    val flow: Flow = Map("n" -> Seq(1, 3).toDF("v"))
+    val out = Loop("n", df => df.select((col("v") * 2).as("v")).where(col("v") <= 10), staging)(flow)
+    // frontiers: {1,3} -> {2,6} -> {4} (12 filtered) -> {8} -> {} (16 filtered)
+    assert(out("n").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 6, 8))
+  }
+
+  test("Transformer.stateful folds in order and flushes the final accumulator") {
+    val words = Seq((0, "aa"), (1, "bb"), (2, "cc"), (3, "dd")).toDF("pos", "w")
+    val schema = StructType(Seq(StructField("line", StringType, nullable = false)))
+    val t = Transformer.stateful[String](
+      "s", Seq(col("pos")), schema, "",
+      finish = acc => if (acc.nonEmpty) Seq(Row(acc)) else Nil) { (r, acc) =>
+      val joined = if (acc.isEmpty) r.getString(1) else acc + " " + r.getString(1)
+      if (joined.length >= 5) (Seq(Row(joined)), "") else (Nil, joined)
+    }
+    val out = t(Map("s" -> words))("s").as[String].collect().toSeq
+    assert(out == Seq("aa bb", "cc dd")) // 2 emitted, none lost at end-of-stream
+  }
+
+  test("Transformer.flatMap expands rows") {
+    val flow: Flow = Map("s" -> Seq("a b", "c").toDF("v"))
+    val out = Transformer("s")(df => df.select(explode(split(col("v"), " ")).as("w")))(flow)
+    assert(out("s").count() == 3)
+  }
+
+  test("SplitterTree.hash partitions disjointly and completely") {
+    val flow: Flow = Map("in" -> (1 to 100).toDF("v"))
+    val out = SplitterTree.hash("in", Seq("p0", "p1", "p2"), Seq(col("v")))(flow)
+    val counts = Seq("p0", "p1", "p2").map(out(_).count())
+    assert(counts.sum == 100)
+    val all = Seq("p0", "p1", "p2").flatMap(out(_).as[Int].collect())
+    assert(all.sorted == (1 to 100).toSeq) // disjoint + complete
+  }
+
+  test("Similarity.bruteForceTopK returns k ranked neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f))).toDF("id", "v")
+    val out = Similarity.bruteForceTopK(vecs.where(col("id") === 0), vecs, "id", "v", 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L)) // by cosine desc
+  }
+
+  test("Multimodal stub decode is deterministic and partition-preserving") {
+    val df = Seq((1L, "hello world")).toDF("id", "text")
+    val out = Multimodal.decodePartitioned(
+      Multimodal.attachBinary(df, "text"), "payload")
+    val r = out.collect().head
+    assert(r.getAs[Long]("n_bytes") == 11L)
+    assert(r.getAs[Int]("width") == (11 % 512) + 64)
+    val meta = Multimodal.fakeDecodeMeta(Multimodal.attachBinary(df, "text")).collect().head
+    assert(meta.getAs[Int]("width") == r.getAs[Int]("width")) // stub == column path
+  }
+
+  test("Sink removes its stream; async sinks complete on drain") {
+    val flag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val flow: Flow = Map("s" -> Seq(1).toDF("v"))
+    val out = graft.sinks.Sink("s", df => { df.count(); flag.set(true) }, sync = false)(flow)
+    assert(out.isEmpty)
+    graft.sinks.Sink.drain()
+    assert(flag.get())
+  }
+
+  test("SparkEntry.entry returns rows (driver smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("tumblingCountWindow chops the global order into fixed batches") {
+    val df = (1 to 10).toDF("v")
+    val out = Relational.tumblingCountWindow(
+      df, Seq(col("v")), 4, Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+      .orderBy("window_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(4, 4, 2)) // ns
+    assert(out.map(_.getLong(2)).toSeq == Seq(1 + 2 + 3 + 4, 5 + 6 + 7 + 8, 9 + 10))
+  }
+
+  test("slidingAvg matches the reference's trailing-window semantics") {
+    val df = Seq((1, 1.0), (1, 2.0), (1, 3.0), (1, 4.0)).toDF("k", "v")
+    val out = Relational.slidingAvg(df, Seq(col("k")), Seq(col("v")), 3, col("v"))
+      .orderBy("v").select("sliding_avg").as[Double].collect().toSeq
+    assert(out == Seq(1.0, 1.5, 2.0, 3.0))
+  }
+
+  test("zipByIndex pairs i-th rows (round-robin pairing parity)") {
+    val a = Seq("x", "y", "z").toDF("l")
+    val b = Seq(10, 20).toDF("r")
+    val out = Relational.zipByIndex(a, Seq(col("l")), b, Seq(col("r")))
+      .orderBy("l").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("x", 10), ("y", 20)))
+  }
+
+  test("asOfJoin picks the latest right row at or before the left timestamp") {
+    val left = Seq((1, ts("2024-01-01 10:00:00")), (1, ts("2024-01-01 12:00:00")),
+      (2, ts("2024-01-01 10:00:00")))
+      .toDF("k", "lts")
+    val right = Seq(
+      (1, ts("2024-01-01 09:00:00"), "a"), (1, ts("2024-01-01 11:00:00"), "b"),
+      (2, ts("2024-01-01 11:00:00"), "c"))
+      .toDF("k", "rts", "tag")
+    val out = Relational.asOfJoin(left, right, "k", "lts", "rts", Seq("tag"))
+      .orderBy("k", "lts").collect()
+    assert(out.map(_.getAs[String]("tag")).toSeq == Seq("a", "b", null))
+  }
+
+  test("sessionize splits on gaps larger than gapSeconds") {
+    val df = Seq(
+      (1, ts("2024-01-01 10:00:00")), (1, ts("2024-01-01 10:10:00")),
+      (1, ts("2024-01-01 12:00:00")), (2, ts("2024-01-01 10:00:00")))
+      .toDF("k", "t")
+    val out = Relational.sessionize(df, col("k"), col("t"), 3600)
+      .groupBy("k", "session_id").count().orderBy("k", "session_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2, 1, 1))
+  }
+
+  test("shipmentSla: deadline precedes completeness (parcels decide/2 parity)") {
+    val orders = Seq((1L, ts("2024-01-01 00:00:00"), 2), (2L, ts("2024-01-01 00:00:00"), 1),
+      (3L, ts("2024-01-01 00:00:00"), 1))
+      .toDF("k", "ots", "expected")
+    val ships = Seq((1L, ts("2024-01-20 00:00:00")), (2L, ts("2024-01-02 00:00:00")))
+      .toDF("k", "sts")
+    val out = Relational.shipmentSla(orders, ships, "k", "ots", "expected", "sts", 7)
+      .orderBy("k").select("status").as[String].collect().toSeq
+    // order 1: incomplete but a shipment is late -> THRESHOLD_EXCEEDED
+    assert(out == Seq("THRESHOLD_EXCEEDED", "ALL_PARCELS_SHIPPED", "PENDING"))
+  }
+
+  test("topKPerGroup returns exactly k per group with deterministic ties") {
+    val df = Seq(("a", 3), ("a", 2), ("a", 1), ("b", 9)).toDF("g", "v")
+    val out = Relational.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc), 2)
+    assert(out.where(col("g") === "a").count() == 2)
+    assert(out.where(col("g") === "b").count() == 1)
+  }
+}
