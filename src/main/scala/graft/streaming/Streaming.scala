@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.Flow
+import graft.core.Component
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming sources: the unbounded twin of [[graft.sources.Source]].
+  * A Flow holds streaming DataFrames transparently — every declarative
+  * component (Mixer, Splitter, Transformer expression form, the
+  * relational operators that keep to stream-supported shapes) applies
+  * unchanged; only sinks differ (queries instead of actions).
+  * (Reference: Strom streams are lazy and possibly infinite,
+  * lib/strom.ex:7; tests use Stream.cycle, test/gen_mix_test.exs:172.)
+  */
+final case class StreamSource(name: String, origin: SparkSession => DataFrame)
+    extends Component {
+  def apply(flow: Flow): Flow =
+    graft.core.FlowOps.merge(flow, name, origin(SparkSession.active))
+}
+
+object StreamSource {
+  /** Monotonic tick stream — the reference's tick source
+    * (test/examples/window_test.exs:66-108) without the wall-clock hack.
+    */
+  def rate(name: String, rowsPerSecond: Int): StreamSource =
+    StreamSource(name, _.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load())
+
+  /** Directory-watching file sources (streaming ReadLines,
+    * reference: lib/source/read_lines.ex).
+    */
+  def text(name: String, dir: String): StreamSource =
+    StreamSource(name, _.readStream.text(dir))
+
+  def parquet(name: String, dir: String, schema: StructType): StreamSource =
+    StreamSource(name, _.readStream.schema(schema).parquet(dir))
+
+  /** An existing streaming DataFrame (e.g. a MemoryStream in tests). */
+  def of(name: String, df: DataFrame): StreamSource = StreamSource(name, _ => df)
+}
+
+/** Event-time watermarking — bounds state like the reference never does
+  * (its force_order memo grows forever, parcels_test.exs:124-142);
+  * documented divergence: sufficiently late data is dropped.
+  */
+final case class Watermark(name: String, tsCol: String, delay: String) extends Component {
+  def apply(flow: Flow): Flow =
+    flow.updated(name, flow(name).withWatermark(tsCol, delay))
+}
+
+/** Tumbling/sliding event-time window aggregation over a stream —
+  * the principled form of the reference's processing-time windows
+  * (test/examples/window_test.exs:66-108).
+  */
+object WindowedAgg {
+  def tumbling(
+      name: String,
+      tsCol: String,
+      width: String,
+      aggs: Seq[org.apache.spark.sql.Column],
+      groupBy: Seq[org.apache.spark.sql.Column] = Nil): Component =
+    graft.operators.Transformer(name)(df =>
+      df.groupBy(window(col(tsCol), width) +: groupBy: _*).agg(aggs.head, aggs.tail: _*))
+}
+
+/** Streaming dedup with bounded state — dropDuplicatesWithinWatermark. */
+object StreamDedup {
+  def apply(name: String, cols: Seq[String]): Component =
+    graft.operators.Transformer(name)(_.dropDuplicatesWithinWatermark(cols))
+}
+
+/** Streaming sink: starts a StreamingQuery and removes the stream from
+  * the flow (reference: lib/sink.ex:69-91 — sync:true blocks, async
+  * returns; here sync means "process everything currently available,
+  * then stop", the batch-test-friendly trigger).
+  */
+final case class StreamSink(
+    name: String,
+    build: DataFrame => DataStreamWriter[org.apache.spark.sql.Row],
+    sync: Boolean = false)
+    extends Component {
+
+  def apply(flow: Flow): Flow = {
+    val df = flow.getOrElse(
+      name, throw new IllegalArgumentException(s"StreamSink: no stream named '$name'"))
+    val query = build(df).start()
+    StreamSink.register(query)
+    if (sync) { query.processAllAvailable(); query.stop() }
+    flow - name
+  }
+}
+
+object StreamSink {
+  private val queries =
+    new java.util.concurrent.ConcurrentLinkedQueue[StreamingQuery]()
+  private def register(q: StreamingQuery): Unit = queries.add(q)
+
+  /** All queries started by StreamSinks (the reference's "flow returned
+    * to the caller" with runnable handles, lib/sink.ex:77-83).
+    */
+  def active: Seq[StreamingQuery] =
+    queries.toArray(Array.empty[StreamingQuery]).toSeq.filter(_.isActive)
+
+  /** Let every active query drain its available input, then stop it. */
+  def drainAll(): Unit = {
+    var q = queries.poll()
+    while (q != null) {
+      if (q.isActive) { q.processAllAvailable(); q.stop() }
+      q = queries.poll()
+    }
+  }
+
+  def parquet(name: String, path: String, checkpoint: String): StreamSink =
+    StreamSink(name, _.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()))
+
+  def memory(name: String, tableName: String, outputMode: String = "append"): StreamSink =
+    StreamSink(name, _.writeStream.format("memory")
+      .queryName(tableName).outputMode(outputMode))
+
+  def console(name: String): StreamSink =
+    StreamSink(name, _.writeStream.format("console"))
+
+  /** Per-microbatch escape hatch — the idiomatic home for sinks Spark
+    * lacks natively, and for the reference's arbitrary sink origins.
+    */
+  def foreachBatch(name: String)(f: (DataFrame, Long) => Unit): StreamSink =
+    StreamSink(name, _.writeStream.foreachBatch(f))
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.{EmptyFlow, SparkSpec}
+import graft.operators.{Mixer, Transformer}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream pipeline: source -> watermark -> windowed agg -> memory sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("ts", "value")
+
+    val pipeline = graft.core.Composite(Seq(
+      StreamSource.of("ev", df),
+      Watermark("ev", "ts", "1 hour"),
+      WindowedAgg.tumbling("ev", "ts", "10 minutes",
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("s"))),
+      Transformer("ev")(_.select(col("window.start").as("w"), col("n"), col("s"))),
+      StreamSink.memory("ev", "win_out", outputMode = "complete").copy(sync = true)))
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (ts("2024-01-01 10:01:00"), 1.0), (ts("2024-01-01 10:04:00"), 2.0),
+      (ts("2024-01-01 10:15:00"), 5.0))
+    val out = pipeline(EmptyFlow)
+    assert(out.isEmpty) // sink consumed the stream
+
+    val rows = spark.table("win_out").orderBy("w").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L))
+    assert(rows.map(_.getAs[Double]("s")).toSeq == Seq(3.0, 5.0))
+  }
+
+  test("mixer unions streaming sources like batch ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[Int]; val b = MemoryStream[Int]
+    a.addData(1, 2); b.addData(3)
+    val flow = graft.core.Composite(Seq(
+      StreamSource.of("a", a.toDF()),
+      StreamSource.of("b", b.toDF()),
+      Mixer(Seq("a", "b"), "m"),
+      StreamSink.memory("m", "mix_out").copy(sync = true)))(EmptyFlow)
+    assert(flow.isEmpty)
+    assert(spark.table("mix_out").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("parcels CEP: SLA precedence, completeness, and out-of-order shipments") {
+    implicit val sqlCtx = spark.sqlContext
+    import ParcelsCep._
+    val day = 86400000000L
+    val in = MemoryStream[OrderEvent]
+
+    val statuses = ParcelsCep(in.toDS(), slaDays = 7)
+    val q = statuses.writeStream.format("memory").queryName("cep_out")
+      .outputMode("append").start()
+
+    // order 1: 2 parcels, both in time -> ALL_PARCELS_SHIPPED
+    // order 2: shipment 10 days late (before completeness!) -> THRESHOLD_EXCEEDED
+    // order 3: shipment arrives BEFORE its order (force_order path), in time
+    in.addData(
+      OrderEvent(1, "ORDER", 0L, 2),
+      OrderEvent(1, "SHIPMENT", 1 * day, 0),
+      OrderEvent(3, "SHIPMENT", 2 * day, 0), // early shipment, no order yet
+      OrderEvent(2, "ORDER", 0L, 5),
+      OrderEvent(2, "SHIPMENT", 10 * day, 0))
+    q.processAllAvailable()
+    in.addData(
+      OrderEvent(1, "SHIPMENT", 2 * day, 0),
+      OrderEvent(3, "ORDER", 1 * day, 1))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("cep_out").as[OrderStatus].collect()
+      .map(s => s.orderKey -> s.status).toMap
+    assert(out == Map(
+      1L -> "ALL_PARCELS_SHIPPED",
+      2L -> "THRESHOLD_EXCEEDED",
+      3L -> "ALL_PARCELS_SHIPPED"))
+  }
+
+  test("streaming dedup within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:01"), 1L),
+      (ts("2024-01-01 10:00:02"), 2L))
+    graft.core.Composite(Seq(
+      StreamSource.of("s", in.toDF().toDF("ts", "id")),
+      Watermark("s", "ts", "1 hour"),
+      StreamDedup("s", Seq("id")),
+      StreamSink.memory("s", "dedup_out").copy(sync = true)))(EmptyFlow)
+    assert(spark.table("dedup_out").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}
