@@ -33,6 +33,15 @@ object SparkEntry {
     // source data is µs-aligned so the ns→µs floor division is lossless.
     if (name == "events")
       df.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    // documents/embeddings ship as single-row-group files, so the scan
+    // is one task no matter the cluster size — while the operators over
+    // them (shingling, hashing, pairwise cosine) are compute-bound. A
+    // round-robin repartition costs one tiny shuffle (data is small by
+    // construction whenever scan parallelism is this low) and lets the
+    // heavy expressions use every core. At real scale the scan already
+    // yields thousands of splits and this would be skipped.
+    else if (name == "documents" || name == "embeddings")
+      df.repartition(s.sparkContext.defaultParallelism)
     else df
   }
 

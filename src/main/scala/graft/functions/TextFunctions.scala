@@ -44,15 +44,23 @@ object TextFunctions {
 
   /** Word-level n-gram shingles ("a b c", n=2 → ["a b","b c"]).
     * Built from `sequence` + `transform` + `slice` — pure codegen path.
+    *
+    * PERFORMANCE: pass an already-materialized array COLUMN (an
+    * attribute), not the `words(text)` expression itself — `ws` is
+    * referenced inside the transform lambda, and a non-attribute
+    * argument would be re-evaluated once per shingle, turning the
+    * tokenizer into O(words²) per document. Use [[shingleDocs]] or a
+    * two-step select; `wordShingles` keeps the fused convenience form
+    * for short texts.
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ws = words(c)
+  def wordShinglesFromWords(ws: Column, n: Int): Column =
     when(size(ws) < n, array(array_join(ws, " ")))
       .otherwise(
         transform(
           sequence(lit(1), size(ws) - lit(n - 1)),
           i => array_join(slice(ws, i, lit(n)), " ")))
-  }
+
+  def wordShingles(c: Column, n: Int): Column = wordShinglesFromWords(words(c), n)
 
   /** Character k-shingles of the normalized text. */
   def charShingles(c: Column, k: Int): Column = {

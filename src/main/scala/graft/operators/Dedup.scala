@@ -33,13 +33,26 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature column: array of `numHashes` min-hashes over the
-    * word-shingle set. Hash family: xxhash64(seed_i, shingle) —
-    * deterministic, no stored coefficients.
+  /** Distinct word-shingle sets, materialized in two projection steps so
+    * the tokenizer runs once per document, not once per shingle (see
+    * TextFunctions.wordShinglesFromWords).
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  private def shingleDocs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), words(col(textCol)).as("_ws"))
+      .select(col("id"), array_distinct(wordShinglesFromWords(col("_ws"), n)).as("sh"))
+
+  /** MinHash signature over an already-materialized array of base
+    * shingle hashes (`transform(sh, xxhash64)` in its own projection —
+    * pass the resulting ATTRIBUTE, so each shingle string is hashed
+    * once per document). The `numHashes` family members re-hash the
+    * fixed-width base hash with a per-index seed (xxhash64 over 8
+    * bytes — ANSI-safe, no overflow semantics needed, and far cheaper
+    * than re-hashing the shingle string per family member).
+    * Deterministic, no stored coefficients.
+    */
+  def minhashSignature(baseHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+      array_min(transform(baseHashes, h => xxhash64(lit(i), h)))
     }: _*)
 
   /** MinHash + LSH near-duplicate pairs.
@@ -62,15 +75,15 @@ object Dedup {
       numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     val rows = numHashes / bands
-    val docs = df
-      .select(col(idCol).as("id"), array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val docs = shingleDocs(df, idCol, textCol, shingleSize)
 
     // Banding carries only (id, band, bucket) through the shuffle — the
     // shingle arrays rejoin AFTER candidate pairs are deduped, so a
     // document's shingles cross the wire once per verified pair side,
     // never bands× through the LSH self-join.
     val banded = docs
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("_hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sig", minhashSignature(col("_hs"), numHashes))
       .select(
         col("id"),
         explode(
@@ -166,9 +179,7 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame = {
-    val docs = df.select(
-      col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val docs = shingleDocs(df, idCol, textCol, shingleSize)
     val postings = docs
       .select(col("id"), explode(col("sh")).as("g"))
     val rare = postings
