@@ -3,15 +3,23 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.GraftBridge
+
 /** Dense-vector column functions over `array<float>` embedding columns.
-  * Built on `zip_with`/`aggregate` higher-order functions — evaluated
-  * natively on Tungsten rows, no UDF serialization, usable inside any
-  * join/window without breaking the plan.
+  * The hot kernels (dot, cosine, hyperplane bucketing) are custom
+  * codegen Expressions ([[VectorExpressions]]) — a fused primitive
+  * loop inside whole-stage codegen, no per-element lambda dispatch.
+  * The `zip_with`/`aggregate` higher-order forms are kept (suffixed
+  * Hof) as the dependency-free reference implementations.
   */
 object VectorFunctions {
 
   /** Dot product of two float-array columns (computed in double). */
   def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Reference HOF implementation of [[dot]] (bit-identical). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -20,10 +28,16 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]; 0 when either vector is zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  /** Cosine similarity in [-1, 1]; 0 when either vector is zero.
+    * One fused codegen pass (dot + both norms).
+    */
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Reference HOF implementation of [[cosine]] (bit-identical). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val denom = sqrt(dotHof(a, a)) * sqrt(dotHof(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dotHof(a, b) / denom)
   }
 
   /** Squared euclidean distance. */
@@ -37,25 +51,14 @@ object VectorFunctions {
       (acc, x) => acc + x)
 
   /** Sign-random-projection (SimHash-for-vectors) signature: `bits`
-    * pseudo-random hyperplanes derived deterministically from
-    * xxhash64(planeIdx, dimIdx) — no stored plane matrix, so executors
-    * need no broadcast and the signature is reproducible run-to-run.
-    * Returns an int bucket id in [0, 2^bits).
+    * pseudo-random hyperplanes derived deterministically from a
+    * splitmix64 of (seed, planeIdx, dimIdx) — no stored plane matrix,
+    * so executors need no broadcast and the signature is reproducible
+    * run-to-run. Returns a bucket id in [0, 2^bits). Fused codegen
+    * loop over all planes (one array traversal per plane, zero
+    * allocation).
     */
-  def hyperplaneBucket(vec: Column, bits: Int, seed: Long = 42L): Column = {
-    val planeDots = (0 until bits).map { p =>
-      // plane weight for (p, dim i): map hash to {-1, +1}
-      val weighted = zip_with(
-        vec,
-        sequence(lit(0), size(vec) - 1),
-        (x, i) =>
-          x.cast("double") *
-            when(pmod(xxhash64(lit(seed), lit(p), i), lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0)))
-      aggregate(weighted, lit(0.0), (acc, x) => acc + x)
-    }
-    planeDots.zipWithIndex
-      .map { case (d, p) => when(d >= 0, lit(1L << p)).otherwise(lit(0L)) }
-      .reduce(_ + _)
-  }
+  def hyperplaneBucket(vec: Column, bits: Int, seed: Long = 42L): Column =
+    GraftBridge.column(
+      HyperplaneBucket(GraftBridge.expression(vec), GraftBridge.expression(lit(seed)), bits))
 }
