@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.{Relational, Transformer}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Parity against the reference's own example fixtures and golden
+  * outputs (reference: test/examples/ — read-only inputs; no code
+  * reused). These are the reference's de-facto query specs.
+  */
+class GoldenParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val refData = "/root/reference/test/data"
+  private val refParcels = "/root/reference/test/examples/parcels"
+
+  test("words-count golden: counts['00']==214, counts['order_created']==107 " +
+    "(reference: words_count_test.exs:78-79)") {
+    // The reference tokenizer is downcase + split on EVERY single
+    // non-word char (~r/[\W]/ — not runs), keeping empty tokens
+    // (words_count_test.exs:15-18).
+    val counts = spark.read.text(s"$refData/orders.csv")
+      .select(explode(split(lower(col("value")), "\\W")).as("word"))
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("00") == 214)
+    assert(counts("order_created") == 107)
+  }
+
+  // NOTE on the committed golden files: parcels_test.exs REGENERATES
+  // orders.csv/parcels.csv with random data on every run and rewrites
+  // the golden outputs; the checked-in all_parcels_shipped.csv /
+  // threshold_exceeded.csv (73/27) do not correspond to the checked-in
+  // inputs — an independent DuckDB evaluation of the reference's
+  // decide/2 rule over the committed inputs yields 79/21, matching this
+  // engine exactly. We therefore assert (a) the invariant the reference
+  // itself asserts (shipped + exceeded == orders), (b) the
+  // independently-computed partition, (c) batch/streaming agreement.
+  test("parcels fixtures: SLA partition matches independent evaluation of the " +
+    "reference rule (reference: test/examples/parcels/*.csv, decide/2)") {
+    val orderSchema = StructType(Seq(
+      StructField("type", StringType), StructField("occurred_at", StringType),
+      StructField("order_number", LongType), StructField("to_ship", IntegerType)))
+    val parcelSchema = StructType(Seq(
+      StructField("type", StringType), StructField("occurred_at", StringType),
+      StructField("order_number", LongType)))
+
+    val orders = spark.read.schema(orderSchema).csv(s"$refParcels/orders.csv")
+      .select(col("order_number"), col("occurred_at").cast("timestamp").as("order_ts"),
+        col("to_ship"))
+    val parcels = spark.read.schema(parcelSchema).csv(s"$refParcels/parcels.csv")
+      .select(col("order_number"), col("occurred_at").cast("timestamp").as("ship_ts"))
+
+    val statuses = Relational.shipmentSla(
+      orders, parcels, "order_number", "order_ts", "to_ship", "ship_ts", slaDays = 7)
+      .select("order_number", "status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // The reference's own asserted invariant (parcels_test.exs:304).
+    assert(statuses.size == 100)
+    assert(statuses.values.forall(s => s == "ALL_PARCELS_SHIPPED" || s == "THRESHOLD_EXCEEDED"))
+    // Independent evaluation of decide/2 over the committed inputs
+    // (DuckDB: any parcel with diff > 604800s => THRESHOLD_EXCEEDED).
+    assert(statuses.count(_._2 == "ALL_PARCELS_SHIPPED") == 79)
+    assert(statuses.count(_._2 == "THRESHOLD_EXCEEDED") == 21)
+  }
+
+  test("parcels fixtures: streaming CEP state machine agrees with the batch operator") {
+    import graft.streaming.ParcelsCep._
+    def usec(iso: String): Long = {
+      val inst = java.time.Instant.parse(iso)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    }
+    def lines(p: String) = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(p)).asScala.filter(_.nonEmpty)
+
+    val events =
+      lines(s"$refParcels/orders.csv").map { l =>
+        val f = l.split(","); OrderEvent(f(2).toLong, "ORDER", usec(f(1)), f(3).toInt)
+      } ++ lines(s"$refParcels/parcels.csv").map { l =>
+        val f = l.split(","); OrderEvent(f(2).toLong, "SHIPMENT", usec(f(1)), 0)
+      }
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[OrderEvent]
+    in.addData(events.toSeq)
+    val q = graft.streaming.ParcelsCep(in.toDS(), slaDays = 7).writeStream
+      .format("memory").queryName("parcels_golden").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("parcels_golden").as[OrderStatus].collect()
+      .map(s => s.orderKey -> s.status).toMap
+    assert(out.size == 100)
+    assert(out.count(_._2 == "ALL_PARCELS_SHIPPED") == 79)
+    assert(out.count(_._2 == "THRESHOLD_EXCEEDED") == 21)
+  }
+
+  test("telegram golden: exact re-wrapped lines (reference: telegram_test.exs + test/data/telegram.txt)") {
+    // Reference semantics (telegram_test.exs:19-30): words = acc;
+    // candidate = join(acc, " ") + " " + word (leading space when acc
+    // empty included in the length!); if candidate > 100 chars, emit it
+    // AND seed the next acc with the same word (the boundary word is
+    // duplicated); no end-of-stream flush.
+    val src = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$refData/orders.csv")).asScala
+    val words = src.flatMap(_.split(",", -1)).zipWithIndex
+      .map { case (w, i) => (i, w) }
+    val df = words.toSeq.toDF("pos", "word")
+
+    val schema = StructType(Seq(StructField("line", StringType)))
+    val out = Transformer.stateful[List[String]](
+      "w", Seq(col("pos")), schema, List.empty[String]) { (r, acc) =>
+      val word = r.getString(1)
+      val candidate = acc.mkString(" ") + " " + word
+      if (candidate.length > 100) (Seq(Row(candidate)), List(word))
+      else (Nil, acc :+ word)
+    }.apply(Map("w" -> df))("w").as[String].collect().toSeq
+
+    val golden = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$refData/telegram.txt")).asScala.toSeq
+    assert(out == golden)
+  }
+}
