@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's functions.
+  *
+  * Two registration paths, same function list:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the SparkSessionExtensions injection point), or
+  *  - `GraftFunctions.register(spark)` on a live session.
+  *
+  * After either, `spark.sql("SELECT vec_cosine(a, b) ...")` works, so
+  * the engine's capabilities are reachable from pure-SQL clients too —
+  * the reference has no SQL layer at all, this is part of the
+  * Spark-first re-expression (SURVEY §2.2: expose the engine's function
+  * library rather than reimplement per query).
+  */
+object GraftFunctions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  /** (name, usage, builder) for every SQL-exposed function.
+    *
+    * Only true catalyst Expressions can be registered — a Column
+    * composed from `functions._` converts to an opaque
+    * ColumnNodeExpression that the analyzer won't resolve inside a
+    * FunctionRegistry builder. The Column-composed text functions
+    * (rollingHash, fingerprint, langId, ...) therefore stay Scala-API
+    * only; SQL users reach the same logic via the spark built-ins they
+    * compose.
+    */
+  private def arity(name: String, n: Int)(es: Seq[Expression]): Seq[Expression] = {
+    require(es.length == n, s"$name expects $n arguments, got ${es.length}")
+    es
+  }
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays",
+      (es: Seq[Expression]) => { val a = arity("vec_dot", 2)(es); DotProduct(a(0), a(1)) }),
+    ("vec_cosine", "vec_cosine(a, b) - cosine similarity, 0.0 on zero norm",
+      (es: Seq[Expression]) => { val a = arity("vec_cosine", 2)(es); CosineSimilarity(a(0), a(1)) }),
+    ("vec_hyperplane_bucket",
+      "vec_hyperplane_bucket(vec, bits, seed) - sign-random-projection LSH bucket",
+      (es: Seq[Expression]) => {
+        val a = arity("vec_hyperplane_bucket", 3)(es)
+        HyperplaneBucket(a(0), Literal(litLong(a(2), "seed")), litInt(a(1), "bits"))
+      })
+  )
+
+  /** Register every function into a live session's registry. */
+  def register(spark: SparkSession): Unit = all.foreach { case (name, usage, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    val _ = usage
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf"),
+        builder))
+    }
+}

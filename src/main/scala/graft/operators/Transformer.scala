@@ -54,6 +54,34 @@ object Transformer {
   def flatMap[T: Encoder, U: Encoder](name: String)(fn: T => IterableOnce[U]): Transformer =
     Transformer(Seq(name), (df: DataFrame) => df.as[T].flatMap(fn).toDF())
 
+  /** Skip-poisoned-record map: rows whose `fn` throws are dropped and
+    * counted in a named LongAccumulator; everything else flows on.
+    *
+    * This reproduces the reference's task-restart semantics — a crashed
+    * task is restarted with its last good accumulator and only the
+    * in-flight chunk is lost (reference: lib/gen_mix.ex:355-365,
+    * behavior spec test/crash_test.exs:34-57: [1..5] with 3 poisoned
+    * ⇒ [2,4,8,10]). Spark's native retry is stronger (deterministic
+    * replay fails the job on a poisoned record), so dropping is opt-in
+    * here, never default.
+    */
+  def skippingFailures[T: Encoder, U: Encoder](
+      name: String,
+      counter: Option[org.apache.spark.util.LongAccumulator] = None)(
+      fn: T => U): Transformer =
+    Transformer(Seq(name), (df: DataFrame) => {
+      val acc = counter.getOrElse(
+        df.sparkSession.sparkContext.longAccumulator("graft.dropped"))
+      df.as[T].mapPartitions { it =>
+        it.flatMap { t =>
+          scala.util.Try(fn(t)) match {
+            case scala.util.Success(u) => Iterator.single(u)
+            case scala.util.Failure(_) => acc.add(1L); Iterator.empty
+          }
+        }
+      }.toDF()
+    })
+
   /** Ordered stateful flat-map: the reference's `fn(event, acc) ->
     * {[events], acc}` (lib/transformer.ex:44-47,91-101) over a GLOBAL
     * order. Sorts by `orderBy`, coalesces to a single partition, folds.
