@@ -174,6 +174,20 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))),
 
+    "q_cube" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("bucket", col("user_id") % 4)
+        .cube(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"))),
+
+    // HLL sketch — approximate, engine-specific estimate ⇒ rows-only.
+    "q_approx_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))),
+
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -441,6 +455,10 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, user_id % 4 AS bucket, count(*) AS n, min(value) AS min_v
+        |FROM events GROUP BY CUBE(event_type, user_id % 4)""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
