@@ -296,6 +296,14 @@ object SparkEntry {
         e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5, bits = 6, tables = 8)
     }),
 
+    // IVF coarse quantizer — k-means cells + nprobe probing; estimate
+    // quality is seed/partitioning-dependent ⇒ rows-only.
+    "q_sim_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5, nlist = 16, nprobe = 4)
+    }),
+
     // -- text analysis ---------------------------------------------- //
     "q_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(

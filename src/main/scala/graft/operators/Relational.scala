@@ -151,6 +151,36 @@ object Relational {
           .otherwise(lit("ALL_PARCELS_SHIPPED")))
   }
 
+  /** Skew-resistant equi-join: the classic salting pattern for when one
+    * join key carries a disproportionate share of rows and AQE's skew
+    * splitting isn't available or sufficient. The skewed (left) side
+    * gets a deterministic salt in [0, saltFactor) derived from a hash
+    * of its full row; the right side is replicated once per salt value.
+    * The join key becomes (key, salt), so the hot key's rows spread
+    * over `saltFactor` reducers instead of one.
+    *
+    * Cost model: right side × saltFactor replication — use when the
+    * left is skewed and the right is modest (but too big to broadcast).
+    * Inner and left-outer semantics are preserved exactly (the right
+    * is fully present under every salt).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    require(
+      joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val lSalted = left.withColumn(
+      "_salt", pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+    val rSalted = right.withColumn(
+      "_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    lSalted.join(rSalted, on :+ "_salt", joinType).drop("_salt")
+  }
+
   /** Top-k per group via rank window — the scalable form of per-group
     * sort+limit (partial TopK pushed below the shuffle by Spark's
     * WindowGroupLimit optimization).

@@ -71,6 +71,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
+    * queries probe their `nprobe` nearest centroids, candidates scored
+    * exactly within the probed cells — the classic big-corpus layout
+    * (train on a sample, partition-prune by cell at scan time).
+    *
+    * The centroid table is tiny (nlist × dim) and broadcast; corpus
+    * cell assignment is one MLlib transform; the candidate join is an
+    * equi-join on cell id, so the shuffle carries each corpus vector
+    * once. Recall < 1 by construction; raise `nprobe` to trade compute
+    * for recall.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("c_vec"), col("prediction").as("cell"))
+
+    // nprobe nearest centroids per query via a broadcast centroid table
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("cell", "centroid")
+    val probed = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_dist", cosine(col("q_vec"), col("centroid")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c_dist").desc, col("cell"))))
+      .where(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** Count of near-neighbor pairs above a cosine threshold (corpus
     * self-similarity profile) — brute force within hyperplane buckets.
     */

@@ -40,6 +40,15 @@ object Sink {
   def parquet(name: String, path: String, sync: Boolean = true): Sink =
     Sink(name, _.write.mode("overwrite").parquet(path), sync)
 
+  def csv(name: String, path: String, header: Boolean = true, sync: Boolean = true): Sink =
+    Sink(name, _.write.mode("overwrite").option("header", header.toString).csv(path), sync)
+
+  def json(name: String, path: String, sync: Boolean = true): Sink =
+    Sink(name, _.write.mode("overwrite").json(path), sync)
+
+  def orc(name: String, path: String, sync: Boolean = true): Sink =
+    Sink(name, _.write.mode("overwrite").orc(path), sync)
+
   /** Appends each event + separator to a text file
     * (reference: lib/sink/write_lines.ex:9-29). Single-column string
     * streams only, as in the reference.

@@ -36,6 +36,12 @@ object Source {
   def csv(name: String, path: String, schema: StructType, header: Boolean = false): Source =
     Source(name, _.read.schema(schema).option("header", header.toString).csv(path))
 
+  def json(name: String, path: String, schema: StructType): Source =
+    Source(name, _.read.schema(schema).json(path))
+
+  def orc(name: String, path: String): Source =
+    Source(name, _.read.orc(path))
+
   /** File → stream of trimmed lines (reference: lib/source/read_lines.ex:7-24).
     * Column name: `value` (Spark text convention); trailing whitespace trimmed
     * to match the reference's `String.trim_trailing`.

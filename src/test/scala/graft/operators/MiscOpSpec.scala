@@ -55,6 +55,18 @@ class MiscOpSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L)) // by cosine desc
   }
 
+  test("Similarity.ivfTopK finds exact duplicates through the probed cells") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val corpus = (base :+ (999L, base(5)._2.clone())).toDF("id", "v") // 999 == vector 5
+    val out = Similarity.ivfTopK(
+      corpus.where(col("id") === 5), corpus, "id", "v", k = 3, nlist = 4, nprobe = 2)
+    val top = out.orderBy("rank").collect()
+    assert(top.nonEmpty)
+    assert(top.head.getAs[Long]("neighbor_id") == 999L) // identical vector shares the cell
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+  }
+
   test("Multimodal stub decode is deterministic and partition-preserving") {
     val df = Seq((1L, "hello world")).toDF("id", "text")
     val out = Multimodal.decodePartitioned(

@@ -67,6 +67,21 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq("THRESHOLD_EXCEEDED", "ALL_PARCELS_SHIPPED", "PENDING"))
   }
 
+  test("saltedJoin equals the plain join on skewed data") {
+    val left = ((1 to 500).map(i => (1L, i)) ++ Seq((2L, 9000), (3L, 9001)))
+      .toDF("k", "payload") // key 1 is hot
+    val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).orderBy("k", "payload", "tag").collect().toSeq
+    val salted = Relational.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .orderBy("k", "payload", "tag").collect().toSeq
+    assert(salted == plain)
+    val plainLeft = left.join(right, Seq("k"), "left")
+      .orderBy("k", "payload", "tag").collect().toSeq
+    val saltedLeft = Relational.saltedJoin(left, right, Seq("k"), 8, "left")
+      .orderBy("k", "payload", "tag").collect().toSeq
+    assert(saltedLeft == plainLeft)
+  }
+
   test("topKPerGroup returns exactly k per group with deterministic ties") {
     val df = Seq(("a", 3), ("a", 2), ("a", 1), ("b", 9)).toDF("g", "v")
     val out = Relational.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc), 2)
