@@ -271,6 +271,16 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         shingleSize = 2, threshold = 0.2, maxDocFreq = 100)),
 
+    // Near-dup clustering: components of the exact-jaccard pair graph,
+    // every doc labeled with its cluster representative (min doc_id).
+    "q_dedup_cc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
+      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(
         t(s, d, "documents"), "doc_id", "text",
@@ -563,6 +573,31 @@ object SparkEntry {
          |  FROM cand JOIN docs da ON cand.id_a = da.id
          |  JOIN docs db ON cand.id_b = db.id)
          |SELECT id_a, id_b, round(j, 4) AS jaccard FROM verified WHERE j >= 0.2""".stripMargin,
+
+    "q_dedup_cc" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id AS id, list_distinct(CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS sh
+         |  FROM documents),
+         |postings AS (SELECT id, unnest(sh) AS g FROM docs),
+         |rare AS (SELECT g FROM postings GROUP BY g
+         |  HAVING count(*) <= 100 AND count(*) >= 2),
+         |filtered AS (SELECT p.id, p.g FROM postings p JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id),
+         |edges AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |  len(list_intersect(da.sh, db.sh))::DOUBLE /
+         |  len(list_distinct(list_concat(da.sh, db.sh))) AS j
+         |  FROM cand JOIN docs da ON cand.id_a = da.id
+         |  JOIN docs db ON cand.id_b = db.id) WHERE j >= 0.2),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS node FROM documents
+         |  UNION
+         |  SELECT r.src, CASE WHEN e.id_a = r.node THEN e.id_b ELSE e.id_a END
+         |  FROM reach r JOIN edges e ON r.node = e.id_a OR r.node = e.id_b)
+         |SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src""".stripMargin,
 
     "q_sim_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -201,6 +201,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over an undirected duplicate-pair graph:
+    * every node ends up labeled with the smallest id in its component —
+    * the survivor-selection step after near-dup pair generation (keep
+    * `component`, drop the rest).
+    *
+    * Min-label propagation to fixpoint, driver-coordinated like
+    * [[Loop]]: each round joins labels to the symmetrized edge list,
+    * takes the min of own and neighbor labels, and localCheckpoints to
+    * truncate lineage. Rounds needed = graph diameter; near-dup
+    * clusters are shallow (pairs chain through shared shingles), so a
+    * handful of rounds suffices. For billion-edge graphs swap the body
+    * for the large-star/small-star contraction — same driver-loop
+    * shape.
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nmin"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(
+          labels("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .where(col("component") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft.Dedup.connectedComponents] not converged after $maxIter rounds")
+    labels
+  }
+
   /** Embedding near-duplicate pairs: sign-random-projection buckets
     * (multi-table for recall), verify with exact cosine. The join key is
     * (table, bucket) — shuffle carries ids + vectors once per table.

@@ -62,6 +62,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connectedComponents labels every node with its component minimum") {
+    val nodes = (1L to 8L).toDF("id")
+    // components: {1,2,3} (chain), {4,5}, {6}, {7,8}
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (8L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(nodes, "id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("rollingHash is order-sensitive, fingerprint is whitespace-insensitive") {
     val df = Seq(("a b", 1), ("b a", 2), ("a  b", 3)).toDF("text", "id")
     val hashes = df.select(TextFunctions.rollingHash(col("text"))).as[Long].collect()
