@@ -223,8 +223,12 @@ object Dedup {
       bCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    // Materialize the (possibly expensive) edge plan once — every
+    // propagation round joins against it, and without the checkpoint
+    // the full upstream pair-generation pipeline would re-run per round.
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
       .localCheckpoint(true)
     var converged = false
