@@ -180,6 +180,15 @@ object SparkEntry {
         .cube(col("event_type"), col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"))),
 
+    // Exact interpolated percentiles (sort-based) per group.
+    "q_percentile" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          count(lit(1)).as("n"))),
+
     // HLL sketch — approximate, engine-specific estimate ⇒ rows-only.
     "q_approx_distinct" -> ((s, d) =>
       t(s, d, "events")
@@ -473,6 +482,11 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |quantile_cont(value, 0.95) AS p95, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_cube" ->
       """SELECT event_type, user_id % 4 AS bucket, count(*) AS n, min(value) AS min_v

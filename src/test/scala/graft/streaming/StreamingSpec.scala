@@ -81,6 +81,35 @@ class StreamingSpec extends SparkSpec {
       3L -> "ALL_PARCELS_SHIPPED"))
   }
 
+  test("stream-stream interval join with watermarks (canonical streaming CEP)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+
+    val flow = graft.core.Composite(Seq(
+      StreamSource.of("clicks", clicks.toDF().toDF("c_ts", "c_user")),
+      StreamSource.of("buys", buys.toDF().toDF("b_ts", "b_user")),
+      Watermark("clicks", "c_ts", "1 hour"),
+      Watermark("buys", "b_ts", "1 hour")))(EmptyFlow)
+
+    // purchases attributed to a click by the same user within 30 min
+    val joined = flow("buys").join(
+      flow("clicks"),
+      expr("b_user = c_user AND b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+    buys.addData(
+      (ts("2024-01-01 10:20:00"), 1L), // within 30 min of user 1's click
+      (ts("2024-01-01 11:30:00"), 2L)) // outside the window
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("ssj_out").select("b_user").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
   test("streaming dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]
