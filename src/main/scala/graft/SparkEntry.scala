@@ -266,6 +266,37 @@ object SparkEntry {
         .select(col("o_orderkey"), col("n_shipped"), col("status"))
     }),
 
+    // Batch twin of the streaming interval join: purchases attributed
+    // to same-user clicks within 30 minutes, via the binned range join.
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val halfHourUs = 1800000000L
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), usec(col("ts")).as("c_us"))
+        .withColumn("lo", col("c_us")).withColumn("hi", col("c_us") + halfHourUs)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("b_user"), usec(col("ts")).as("b_us"))
+      Relational.binnedRangeJoin(clicks, "lo", "hi", purchases, "b_us", halfHourUs)
+        .where(col("b_user") === col("c_user"))
+        .select(col("event_id"), col("b_user"), col("b_us"), col("c_us"))
+    }),
+
+    "q_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))),
+
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")),
+
     // -- dedup ------------------------------------------------------ //
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(
@@ -560,6 +591,24 @@ object SparkEntry {
         |     WHEN n_shipped IS NULL OR n_shipped < (o_orderkey % 5 + 1) THEN 'PENDING'
         |     ELSE 'ALL_PARCELS_SHIPPED' END AS status
         |FROM orders LEFT JOIN shipped USING (o_orderkey)""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.event_id, p.user_id AS b_user,
+        |epoch_us(p.ts::TIMESTAMP) AS b_us, epoch_us(c.ts::TIMESTAMP) AS c_us
+        |FROM events p JOIN events c
+        |ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |AND p.user_id = c.user_id
+        |AND epoch_us(p.ts::TIMESTAMP)
+        |  BETWEEN epoch_us(c.ts::TIMESTAMP) AND epoch_us(c.ts::TIMESTAMP) + 1800000000""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+        |UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT DISTINCT doc_id, text, lang, source, n_chars FROM documents",

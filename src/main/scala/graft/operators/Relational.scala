@@ -151,6 +151,34 @@ object Relational {
           .otherwise(lit("ALL_PARCELS_SHIPPED")))
   }
 
+  /** Binned range join: `point ∈ [lo, hi]` with no usable equi-key.
+    * A naive plan is a broadcast-nested-loop (O(|L|·|R|)); binning
+    * turns it into an equi-join on bin id — each interval explodes to
+    * the bins it overlaps, each point maps to one bin, candidates are
+    * verified with the exact predicate. With `binWidth` close to the
+    * median interval length each interval lands in O(1) bins and the
+    * join is O(|L| + |R| + matches), the standard interval-join layout.
+    * Intervals must be non-negative (`hi >= lo`).
+    */
+  def binnedRangeJoin(
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      points: DataFrame,
+      pointCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val iBinned = intervals.withColumn(
+      "_bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val pBinned = points.withColumn("_bin", floor(col(pointCol) / binWidth).cast("long"))
+    iBinned.join(pBinned, Seq("_bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
   /** Skew-resistant equi-join: the classic salting pattern for when one
     * join key carries a disproportionate share of rows and AQE's skew
     * splitting isn't available or sufficient. The skewed (left) side

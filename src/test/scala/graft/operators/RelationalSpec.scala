@@ -67,6 +67,19 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq("THRESHOLD_EXCEEDED", "ALL_PARCELS_SHIPPED", "PENDING"))
   }
 
+  test("binnedRangeJoin equals the naive range join") {
+    val intervals = Seq((0L, 10L, "a"), (5L, 25L, "b"), (100L, 100L, "c"))
+      .toDF("lo", "hi", "tag")
+    val points = Seq(0L, 5L, 10L, 11L, 25L, 99L, 100L).toDF("p")
+    val naive = intervals.join(points, col("p") >= col("lo") && col("p") <= col("hi"))
+      .orderBy("tag", "p").collect().toSeq
+    for (bw <- Seq(1L, 7L, 64L)) {
+      val binned = Relational.binnedRangeJoin(intervals, "lo", "hi", points, "p", bw)
+        .select("lo", "hi", "tag", "p").orderBy("tag", "p").collect().toSeq
+      assert(binned == naive, s"binWidth=$bw")
+    }
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     val left = ((1 to 500).map(i => (1L, i)) ++ Seq((2L, 9000), (3L, 9001)))
       .toDF("k", "payload") // key 1 is hot
