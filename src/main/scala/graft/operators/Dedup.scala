@@ -179,9 +179,18 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame = {
-    val docs = shingleDocs(df, idCol, textCol, shingleSize)
-    val postings = docs
-      .select(col("id"), explode(col("sh")).as("g"))
+    // docs is scanned three times (postings + two verification
+    // join-backs) and postings twice (df-cap + candidate self-join):
+    // persist both so shingling runs once per document, not 4-5×. The
+    // blocks release via CacheRegistry.unpersistAll() / Sink.drain();
+    // at corpus scale this is the stage a real pipeline would write to
+    // scratch storage anyway.
+    val docs = graft.core.CacheRegistry.persist(
+      shingleDocs(df, idCol, textCol, shingleSize),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = graft.core.CacheRegistry.persist(
+      docs.select(col("id"), explode(col("sh")).as("g")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = postings
       .groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq && col("df") >= 2)
