@@ -332,7 +332,7 @@ object SparkEntry {
     "q_embed_pairs" -> ((s, d) =>
       Dedup.embeddingCosinePairs(
         t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, bits = 4, tables = 4)),
+        threshold = 0.35, tables = 4)),
 
     // -- similarity search ------------------------------------------ //
     "q_sim_brute" -> ((s, d) => {

@@ -39,7 +39,7 @@ object Relational {
       frameAggs: org.apache.spark.sql.expressions.WindowSpec => Seq[Column]): DataFrame = {
     val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
       .rowsBetween(-(size - 1), Window.currentRow)
-    df.select(df.columns.map(col) ++ frameAggs(w): _*)
+    df.select(df.columns.toIndexedSeq.map(col) ++ frameAggs(w): _*)
   }
 
   /** Convenience: trailing-window average of `valueCol`, computed as an
@@ -93,7 +93,7 @@ object Relational {
     val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
     }
-    filled.where(col("_side") === 1).select((leftCols ++ rightValueCols).map(col): _*)
+    filled.where(col("_side") === 1).select((leftCols.toIndexedSeq ++ rightValueCols).map(col): _*)
   }
 
   /** Gap-based sessionization: events within `gapSeconds` of the
@@ -203,7 +203,7 @@ object Relational {
       joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"saltedJoin supports inner/left joins, got $joinType")
     val lSalted = left.withColumn(
-      "_salt", pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+      "_salt", pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val rSalted = right.withColumn(
       "_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     lSalted.join(rSalted, on :+ "_salt", joinType).drop("_salt")

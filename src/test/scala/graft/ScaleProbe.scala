@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe: replicate sf0.1 documents/embeddings tenfold and
+  * time the heavy operators — evidence that the candidate-generation
+  * layouts grow with matches, not corpus².
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
+    }
+
+    val docs0 = spark.read.parquet(s"$d/documents.parquet")
+    val docs10 = (0 until 10).map(k =>
+      docs0.select((col("doc_id") + k * 100000).as("doc_id"), col("text")))
+      .reduce(_ unionAll _).repartition(32)
+    println(s"docs10 count=${docs10.count()}")
+
+    time("minhashPairs 50k docs")(
+      Dedup.minhashPairs(docs10, "doc_id", "text", 2, 64, 16, 0.5).count())
+    time("simhashPairs 50k docs")(
+      Dedup.simhashPairs(docs10, "doc_id", "text", 3).count())
+    time("ngramJaccard 50k docs")(
+      Dedup.ngramJaccardPairs(docs10, "doc_id", "text", 2, 0.2, 100).count())
+    graft.core.CacheRegistry.unpersistAll()
+
+    val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
+    val emb10 = (0 until 10).map(k =>
+      emb0.select((col("vec_id") + k * 100000).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _).repartition(32)
+    println(s"emb10 count=${emb10.count()}")
+    time("embeddingCosinePairs 20k vecs (adaptive bits)")(
+      Dedup.embeddingCosinePairs(emb10, "vec_id", "embedding", 0.35, tables = 4).count())
+    time("bruteForceTopK 10q x 20k")(
+      Similarity.bruteForceTopK(emb10.where(col("vec_id") < 10), emb10, "vec_id", "embedding", 5).count())
+    spark.stop()
+  }
+}
