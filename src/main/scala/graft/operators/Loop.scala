@@ -23,7 +23,8 @@ final case class Loop(
     name: String,
     body: DataFrame => DataFrame,
     stagingPath: String,
-    maxIterations: Int = 100)
+    maxIterations: Int = 100,
+    ephemeral: Boolean = false)
     extends Component {
 
   require(maxIterations > 0, s"maxIterations must be positive, got $maxIterations")
@@ -36,9 +37,16 @@ final case class Loop(
     var i = 0
     var done = false
     while (!done && i < maxIterations) {
-      val stage = s"$stagingPath/iter_$i"
-      frontier.write.mode("overwrite").parquet(stage)
-      val materialized = spark.read.parquet(stage)
+      // ephemeral: eager localCheckpoint (executor-local blocks — faster,
+      // not restartable) vs. durable parquet staging (survives driver
+      // restarts, debuggable per-iteration artifacts).
+      val materialized =
+        if (ephemeral) frontier.localCheckpoint(true)
+        else {
+          val stage = s"$stagingPath/iter_$i"
+          frontier.write.mode("overwrite").parquet(stage)
+          spark.read.parquet(stage)
+        }
       acc = Some(acc.fold(materialized)(_ unionByName materialized))
       if (materialized.isEmpty) done = true
       else { frontier = body(materialized); i += 1 }

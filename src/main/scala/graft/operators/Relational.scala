@@ -70,6 +70,19 @@ object Relational {
     ra.join(rb, "_rn").drop("_rn")
   }
 
+  /** N-way positional zip (reference: the n-way round-robin pairing in
+    * test/examples/simple_numbers_test.exs:107-165): i-th rows of all
+    * frames joined into one row. Truncates to the shortest frame, like
+    * the reference's pairing accumulator that only emits complete
+    * tuples.
+    */
+  def zipByIndexN(frames: Seq[(DataFrame, Seq[Column])]): DataFrame = {
+    require(frames.size >= 2, "zipByIndexN needs at least two frames")
+    frames.map { case (df, order) =>
+      df.withColumn("_rn", row_number().over(Window.orderBy(order: _*)))
+    }.reduce((a, b) => a.join(b, "_rn")).drop("_rn")
+  }
+
   /** As-of join: for each left row, the latest right row with
     * `rightTs <= leftTs` on the same key. Implemented as a tagged union
     * + one window pass — one shuffle on (key), no range-join explosion,

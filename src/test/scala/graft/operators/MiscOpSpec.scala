@@ -15,6 +15,10 @@ class MiscOpSpec extends SparkSpec {
     val out = Loop("n", df => df.select((col("v") * 2).as("v")).where(col("v") <= 10), staging)(flow)
     // frontiers: {1,3} -> {2,6} -> {4} (12 filtered) -> {8} -> {} (16 filtered)
     assert(out("n").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 6, 8))
+    // ephemeral mode (localCheckpoint staging) computes the same fixpoint
+    val eph = Loop("n", df => df.select((col("v") * 2).as("v")).where(col("v") <= 10),
+      staging, ephemeral = true)(flow)
+    assert(eph("n").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 6, 8))
   }
 
   test("Transformer.stateful folds in order and flushes the final accumulator") {

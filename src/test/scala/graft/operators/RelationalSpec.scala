@@ -24,6 +24,25 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq(1.0, 1.5, 2.0, 3.0))
   }
 
+  test("tumbling window averages match the reference example " +
+    "(window_test.exs:7-32: [1..6] size 3 -> 2.0, 5.0)") {
+    val df = (1 to 6).toDF("v")
+    val out = Relational.tumblingCountWindow(
+      df, Seq(col("v")), 3, Seq(avg(col("v")).as("a")))
+      .orderBy("window_id").select("a").as[Double].collect().toSeq
+    assert(out == Seq(2.0, 5.0))
+  }
+
+  test("zipByIndexN zips three streams into aligned tuples (simple_numbers n-way parity)") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(10, 20, 30, 40).toDF("y")
+    val c = Seq(100, 200).toDF("z")
+    val out = Relational.zipByIndexN(Seq(
+      (a, Seq(col("x"))), (b, Seq(col("y"))), (c, Seq(col("z")))))
+      .orderBy("x").collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq((1, 10, 100), (2, 20, 200))) // truncated to shortest
+  }
+
   test("zipByIndex pairs i-th rows (round-robin pairing parity)") {
     val a = Seq("x", "y", "z").toDF("l")
     val b = Seq(10, 20).toDF("r")
