@@ -208,6 +208,26 @@ object SparkEntry {
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("run_spend"))
     }),
 
+    // -- scalar function families (string/date passthrough) --------- //
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        length(col("c_name")).as("len"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        reverse(col("c_name")).as("rev"))),
+
+    "q_date_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dd"),
+        usec(date_trunc("month", col("o_orderdate"))).as("month_us"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))),
+
     // -- windows (reference: test/examples/window_test.exs) --------- //
     "q_tumble_count" -> ((s, d) =>
       Relational.tumblingCountWindow(
@@ -529,6 +549,21 @@ object SparkEntry {
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend
         |FROM orders WINDOW w AS (PARTITION BY o_custkey
         |ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix,
+        |CAST(length(c_name) AS INTEGER) AS len,
+        |concat_ws('|', c_mktsegment, c_name) AS tagged,
+        |lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |reverse(c_name) AS rev FROM customer""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+        |CAST(month(o_orderdate) AS INTEGER) AS m,
+        |CAST(day(o_orderdate) AS INTEGER) AS dd,
+        |epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+        |CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS INTEGER) AS days_since
+        |FROM orders""".stripMargin,
 
     "q_tumble_count" ->
       """SELECT window_id, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
