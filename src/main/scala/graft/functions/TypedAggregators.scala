@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator[IN, BUF, OUT]` surface — the reference's
+  * acc-to-one-value Transformer form (reference: lib/transformer.ex:44-47;
+  * the words-count DoCount accumulator builds a `%{word => count}` map,
+  * test/examples/words_count_test.exs:11-25). Aggregators get Catalyst's
+  * partial/final aggregation for free: the buffer merges map-side, so the
+  * shuffle carries one buffer per partition, exactly the hand-rolled
+  * partial/final scheme the reference's words-count example wires up
+  * manually with a SumAll merge stage.
+  */
+object TypedAggregators {
+
+  /** The reference's DoCount/SumAll pair as one typed Aggregator:
+    * strings in, `Map[token, count]` out.
+    */
+  val countMap: Aggregator[String, Map[String, Long], Map[String, Long]] =
+    new Aggregator[String, Map[String, Long], Map[String, Long]] {
+      def zero: Map[String, Long] = Map.empty
+      def reduce(acc: Map[String, Long], w: String): Map[String, Long] =
+        acc.updated(w, acc.getOrElse(w, 0L) + 1L)
+      def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+        b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+      def finish(acc: Map[String, Long]): Map[String, Long] = acc
+      def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo
+      def outputEncoder: Encoder[Map[String, Long]] = Encoders.kryo
+    }
+
+  /** Numerically-stable mean/variance (Welford) — a typical custom
+    * statistical accumulator users would port from a reference
+    * Transformer acc.
+    */
+  final case class MomentsBuf(n: Long, mean: Double, m2: Double)
+
+  val moments: Aggregator[Double, MomentsBuf, (Long, Double, Double)] =
+    new Aggregator[Double, MomentsBuf, (Long, Double, Double)] {
+      def zero: MomentsBuf = MomentsBuf(0L, 0.0, 0.0)
+      def reduce(b: MomentsBuf, x: Double): MomentsBuf = {
+        val n = b.n + 1
+        val d = x - b.mean
+        val mean = b.mean + d / n
+        MomentsBuf(n, mean, b.m2 + d * (x - mean))
+      }
+      def merge(a: MomentsBuf, b: MomentsBuf): MomentsBuf =
+        if (a.n == 0) b
+        else if (b.n == 0) a
+        else {
+          val n = a.n + b.n
+          val d = b.mean - a.mean
+          MomentsBuf(
+            n,
+            a.mean + d * b.n / n,
+            a.m2 + b.m2 + d * d * a.n * b.n / n)
+        }
+      def finish(b: MomentsBuf): (Long, Double, Double) =
+        (b.n, b.mean, if (b.n > 1) b.m2 / (b.n - 1) else 0.0)
+      def bufferEncoder: Encoder[MomentsBuf] = Encoders.product[MomentsBuf]
+      def outputEncoder: Encoder[(Long, Double, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
+    }
+}

@@ -54,6 +54,34 @@ object Transformer {
   def flatMap[T: Encoder, U: Encoder](name: String)(fn: T => IterableOnce[U]): Transformer =
     Transformer(Seq(name), (df: DataFrame) => df.as[T].flatMap(fn).toDF())
 
+  /** Keyed ordered stateful fold — the SCALABLE form of [[stateful]]:
+    * one independent accumulator per key, keys processed in parallel
+    * (`groupByKey` + sorted `flatMapGroups`), state never leaves one
+    * executor. This is what per-key reference accumulators (the parcels
+    * decide/2 memo keyed by order) become at 100 TB; reserve the
+    * global [[stateful]] for genuinely total-order semantics.
+    */
+  def keyedStateful[K: Encoder, S](
+      name: String,
+      keyOf: Row => K,
+      orderBy: Row => Long,
+      outputSchema: org.apache.spark.sql.types.StructType,
+      init: S,
+      finish: (K, S) => Seq[Row] = (_: K, _: S) => Seq.empty[Row])(
+      fn: (Row, S) => (Seq[Row], S)): Transformer =
+    Transformer(Seq(name), (df: DataFrame) => {
+      val grouped = df.groupByKey(keyOf)(implicitly[Encoder[K]])
+      grouped.flatMapGroups { (key: K, rows: Iterator[Row]) =>
+        var acc = init
+        val out = rows.toSeq.sortBy(orderBy).iterator.flatMap { r =>
+          val (emitted, next) = fn(r, acc)
+          acc = next
+          emitted
+        }
+        out ++ finish(key, acc)
+      }(RowEncoder.encoderFor(outputSchema)).toDF()
+    })
+
   /** Skip-poisoned-record map: rows whose `fn` throws are dropped and
     * counted in a named LongAccumulator; everything else flows on.
     *
