@@ -81,6 +81,26 @@ class StreamingSpec extends SparkSpec {
       3L -> "ALL_PARCELS_SHIPPED"))
   }
 
+  test("streaming words-count over a file stream matches the batch counts " +
+    "(reference words_count example, unbounded form)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wc_stream_")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "hello world\nhello spark\n")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "world of streams\n")
+
+    graft.core.Composite(Seq(
+      StreamSource.text("lines", dir.toString),
+      Transformer("lines")(df =>
+        df.select(explode(split(lower(col("value")), "\\W+")).as("word"))
+          .where(length(col("word")) > 0)
+          .groupBy("word").count()),
+      StreamSink.memory("lines", "wc_stream_out", outputMode = "complete")
+        .copy(sync = true)))(graft.EmptyFlow)
+
+    val got = spark.table("wc_stream_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hello" -> 2L, "world" -> 2L, "spark" -> 1L, "of" -> 1L, "streams" -> 1L))
+  }
+
   test("stream-stream interval join with watermarks (canonical streaming CEP)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
