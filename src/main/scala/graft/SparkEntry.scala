@@ -292,13 +292,13 @@ object SparkEntry {
       val ev = t(s, d, "events")
       val halfHourUs = 1800000000L
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), usec(col("ts")).as("c_us"))
+        .select(col("user_id"), usec(col("ts")).as("c_us"))
         .withColumn("lo", col("c_us")).withColumn("hi", col("c_us") + halfHourUs)
       val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id").as("b_user"), usec(col("ts")).as("b_us"))
-      Relational.binnedRangeJoin(clicks, "lo", "hi", purchases, "b_us", halfHourUs)
-        .where(col("b_user") === col("c_user"))
-        .select(col("event_id"), col("b_user"), col("b_us"), col("c_us"))
+        .select(col("event_id"), col("user_id"), usec(col("ts")).as("b_us"))
+      Relational.binnedRangeJoin(
+        clicks, "lo", "hi", purchases, "b_us", halfHourUs, equiKeys = Seq("user_id"))
+        .select(col("event_id"), col("user_id").as("b_user"), col("b_us"), col("c_us"))
     }),
 
     "q_grouping_sets" -> ((s, d) =>
@@ -426,7 +426,7 @@ object SparkEntry {
           t(s, d, "nation").select((col("n_nationkey") + 1).as("v"))),
         Loop("frontier",
           df => df.select((col("v") * 2).as("v")).where(col("v") <= 100),
-          staging)))
+          staging, ephemeral = true)))
       pipeline(EmptyFlow)("frontier")
     }),
 
@@ -620,11 +620,14 @@ object SparkEntry {
     "q_sla" ->
       """WITH shipped AS (
         |  SELECT l_orderkey AS o_orderkey, count(*) AS n_shipped,
-        |  max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1)
+        |  list_sort(list(l_shipdate)) AS sts FROM lineitem GROUP BY 1)
         |SELECT o_orderkey, n_shipped,
-        |CASE WHEN last_ship > o_orderdate + INTERVAL 7 DAY THEN 'THRESHOLD_EXCEEDED'
-        |     WHEN n_shipped IS NULL OR n_shipped < (o_orderkey % 5 + 1) THEN 'PENDING'
-        |     ELSE 'ALL_PARCELS_SHIPPED' END AS status
+        |CASE WHEN n_shipped >= (o_orderkey % 5 + 1)
+        |       AND sts[o_orderkey % 5 + 1] <= o_orderdate + INTERVAL 7 DAY
+        |     THEN 'ALL_PARCELS_SHIPPED'
+        |     WHEN sts[CAST(n_shipped AS INTEGER)] > o_orderdate + INTERVAL 7 DAY
+        |     THEN 'THRESHOLD_EXCEEDED'
+        |     ELSE 'PENDING' END AS status
         |FROM orders LEFT JOIN shipped USING (o_orderkey)""".stripMargin,
 
     "q_range_join" ->

@@ -48,15 +48,23 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   }
 }
 
-/** dot(a, b) = Σ a_i·b_i accumulated left-to-right in double. */
+/** dot(a, b) = Σ a_i·b_i accumulated left-to-right in double.
+  * Mismatched lengths or a null element yield NULL — the same contract
+  * as the HOF form (zip_with pads with null, null poisons aggregate).
+  */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "vec_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var i = 0
-    while (i < n) { dot += elemD(a, i) * elemD(b, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += elemD(a, i) * elemD(b, i); i += 1
+    }
     dot
   }
 
@@ -65,12 +73,16 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (${getD(a, i)}) * (${getD(b, i)});
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += (${getD(a, i)}) * (${getD(b, i)});
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -83,12 +95,15 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "vec_cosine"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = elemD(a, i); val y = elemD(b, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -104,15 +119,21 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${getD(a, i)};
-         |  double $y = ${getD(b, i)};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = ${getD(a, i)};
+         |    double $y = ${getD(b, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |  }
          |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 
@@ -126,7 +147,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   * [[VectorFunctions.hyperplaneBucket]], but one fused codegen loop
   * over all planes instead of `bits` interpreted array traversals.
   * (Hash family differs from the HOF form — bucket ids are internal
-  * to LSH candidate generation, results are verified exactly.)
+  * to LSH candidate generation, results are verified exactly. Null
+  * elements contribute 0 to the plane dot — harmless for bucketing.)
   */
 case class HyperplaneBucket(left: Expression, right: Expression, bits: Int)
     extends VectorBinaryExpression {

@@ -137,11 +137,19 @@ object Relational {
     * here it is a shuffle-on-order-key aggregate — same answer, scales
     * linearly, and AQE handles skewed orders.
     *
-    * Precedence matches the reference's decide/2
-    * (reference: test/examples/parcels_test.exs:144-201): a shipment
-    * past the deadline flips the order to THRESHOLD_EXCEEDED even while
-    * other parcels are still pending, so the deadline condition is
-    * evaluated BEFORE the completeness condition.
+    * Semantics match the reference's decide/2 run in event-time order
+    * (reference: test/examples/parcels_test.exs:144-201):
+    *  - the order COMPLETES at its `expected`-th shipment; if that
+    *    shipment (the expected-th smallest ship time) is within the
+    *    deadline, the order is ALL_PARCELS_SHIPPED — later extra
+    *    shipments are ignored, exactly like the reference's nil-memo
+    *    branch after completion;
+    *  - otherwise any late shipment before completion trips
+    *    THRESHOLD_EXCEEDED (even while the order is incomplete);
+    *  - else PENDING.
+    * Per-order shipment lists are collected+sorted — bounded by
+    * parcels-per-order, not by table size, so this stays a single
+    * shuffle-on-key aggregate at any scale.
     */
   def shipmentSla(
       orders: DataFrame,
@@ -152,16 +160,23 @@ object Relational {
       shipTs: String,
       slaDays: Int): DataFrame = {
     val shipped = shipments.groupBy(col(orderKey))
-      .agg(count(lit(1)).as("n_shipped"), max(col(shipTs)).as("last_ship"))
+      .agg(
+        count(lit(1)).as("n_shipped"),
+        sort_array(collect_list(col(shipTs))).as("_ship_ts_sorted"))
+    val deadline = col(orderTs) + expr(s"INTERVAL $slaDays DAYS")
     orders
       .join(shipped, Seq(orderKey), "left")
+      .withColumn("_nth_ship", element_at(col("_ship_ts_sorted"), col(expectedCol)))
       .withColumn(
         "status",
         when(
-          col("last_ship") > col(orderTs) + expr(s"INTERVAL $slaDays DAYS"),
-          lit("THRESHOLD_EXCEEDED"))
-          .when(col("n_shipped").isNull || col("n_shipped") < col(expectedCol), lit("PENDING"))
-          .otherwise(lit("ALL_PARCELS_SHIPPED")))
+          col("n_shipped") >= col(expectedCol) && col("_nth_ship") <= deadline,
+          lit("ALL_PARCELS_SHIPPED"))
+          .when(
+            element_at(col("_ship_ts_sorted"), col("n_shipped").cast("int")) > deadline,
+            lit("THRESHOLD_EXCEEDED"))
+          .otherwise(lit("PENDING")))
+      .drop("_ship_ts_sorted", "_nth_ship")
   }
 
   /** Binned range join: `point ∈ [lo, hi]` with no usable equi-key.
@@ -179,15 +194,24 @@ object Relational {
       hiCol: String,
       points: DataFrame,
       pointCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long,
+      equiKeys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // Floor-division in INTEGER arithmetic: double division would lose
+    // precision past 2^53 (nanosecond epochs) and could place a value
+    // in the wrong bin; `div` truncates toward zero, so correct for
+    // negative values to get true floor semantics.
+    def bin(c: Column): Column = {
+      val v = c.cast("long")
+      val q = call_function("div", v, lit(binWidth)) // integral divide, truncates toward 0
+      when(v % binWidth < 0, q - 1).otherwise(q) // floor semantics for negatives
+    }
     val iBinned = intervals.withColumn(
-      "_bin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
-    val pBinned = points.withColumn("_bin", floor(col(pointCol) / binWidth).cast("long"))
-    iBinned.join(pBinned, Seq("_bin"))
+      "_bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    val pBinned = points.withColumn("_bin", bin(col(pointCol)))
+    // Any equi-keys join alongside the bin id, so candidate volume is
+    // per-key-per-bin, not per-bin across all keys.
+    iBinned.join(pBinned, "_bin" +: equiKeys)
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
   }
@@ -204,19 +228,28 @@ object Relational {
     * left is skewed and the right is modest (but too big to broadcast).
     * Inner and left-outer semantics are preserved exactly (the right
     * is fully present under every salt).
+    *
+    * The salt is seeded-random per row (not a row-content hash): the
+    * typical skew case is MANY IDENTICAL rows under one hot key, which
+    * a content hash would send to a single salt, defeating the spread;
+    * and content hashing would reject unhashable column types (maps).
+    * Any salt assignment is correct — the right side exists under
+    * every salt — so retry nondeterminism of rand() cannot change the
+    * join result.
     */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
       on: Seq[String],
       saltFactor: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      seed: Long = 42L): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
     require(
       joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"saltedJoin supports inner/left joins, got $joinType")
     val lSalted = left.withColumn(
-      "_salt", pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
+      "_salt", floor(rand(seed) * saltFactor).cast("int"))
     val rSalted = right.withColumn(
       "_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     lSalted.join(rSalted, on :+ "_salt", joinType).drop("_salt")

@@ -82,7 +82,11 @@ object ParcelsCep {
         }
       }
 
-    it.foreach { ev =>
+    // Spark gives no within-group iterator order; fold in event time
+    // (ORDER first on ties) so results are deterministic regardless of
+    // shuffle fetch order. Late-extra shipments after completion are
+    // ignored (st.done), matching the reference's nil-memo branch.
+    it.toSeq.sortBy(ev => (ev.tsUs, if (ev.kind == "ORDER") 0 else 1)).foreach { ev =>
       ev.kind match {
         case "ORDER" =>
           st = st.copy(orderTsUs = ev.tsUs, toShip = ev.toShip)
@@ -96,11 +100,12 @@ object ParcelsCep {
       }
     }
 
-    if (st.done && st.pendingShipTsUs.isEmpty) state.remove()
-    else {
-      state.update(st)
-      if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
-    }
+    // Keep a done-tombstone instead of removing: a shipment arriving
+    // after completion would otherwise re-create state as a forever-
+    // buffered pre-order shipment. Tombstones (and orphan buffers) are
+    // reclaimed by the timeout when configured.
+    state.update(st)
+    if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
     emit.reverseIterator
   }
 }

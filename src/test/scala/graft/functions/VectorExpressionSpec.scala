@@ -31,9 +31,21 @@ class VectorExpressionSpec extends SparkSpec {
     assert(c == 0.0)
   }
 
-  test("null arrays propagate null") {
+  test("null arrays, null elements, and length mismatches all propagate null (HOF contract)") {
     val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
     assert(df.select(cosine(col("a"), col("b"))).collect().head.isNullAt(0))
+
+    val ragged = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val r = ragged.select(dot(col("a"), col("b")).as("d"), dotHof(col("a"), col("b")).as("h"))
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1)) // codegen and HOF agree
+
+    val withNullElem = Seq((Seq(Some(1.0f), None, Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))))
+      .toDF("a", "b")
+    val n = withNullElem
+      .select(cosine(col("a"), col("b")).as("c"), cosineHof(col("a"), col("b")).as("h"))
+      .collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
   test("expressions survive both codegen and interpreted paths") {

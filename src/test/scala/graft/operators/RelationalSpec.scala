@@ -74,16 +74,23 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(2, 1, 1))
   }
 
-  test("shipmentSla: deadline precedes completeness (parcels decide/2 parity)") {
-    val orders = Seq((1L, ts("2024-01-01 00:00:00"), 2), (2L, ts("2024-01-01 00:00:00"), 1),
-      (3L, ts("2024-01-01 00:00:00"), 1))
-      .toDF("k", "ots", "expected")
-    val ships = Seq((1L, ts("2024-01-20 00:00:00")), (2L, ts("2024-01-02 00:00:00")))
+  test("shipmentSla: deadline precedes completeness; late extras after completion ignored " +
+    "(parcels decide/2 parity in event-time order)") {
+    val orders = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 2), // incomplete + late ship -> THRESHOLD
+      (2L, ts("2024-01-01 00:00:00"), 1), // one in-time ship -> ALL
+      (3L, ts("2024-01-01 00:00:00"), 1), // no ships -> PENDING
+      (4L, ts("2024-01-01 00:00:00"), 1)  // completes day2, extra late ship day20 -> ALL
+    ).toDF("k", "ots", "expected")
+    val ships = Seq(
+      (1L, ts("2024-01-20 00:00:00")),
+      (2L, ts("2024-01-02 00:00:00")),
+      (4L, ts("2024-01-02 00:00:00")), (4L, ts("2024-01-20 00:00:00")))
       .toDF("k", "sts")
     val out = Relational.shipmentSla(orders, ships, "k", "ots", "expected", "sts", 7)
       .orderBy("k").select("status").as[String].collect().toSeq
-    // order 1: incomplete but a shipment is late -> THRESHOLD_EXCEEDED
-    assert(out == Seq("THRESHOLD_EXCEEDED", "ALL_PARCELS_SHIPPED", "PENDING"))
+    assert(out == Seq(
+      "THRESHOLD_EXCEEDED", "ALL_PARCELS_SHIPPED", "PENDING", "ALL_PARCELS_SHIPPED"))
   }
 
   test("binnedRangeJoin equals the naive range join") {
@@ -97,6 +104,15 @@ class RelationalSpec extends SparkSpec {
         .select("lo", "hi", "tag", "p").orderBy("tag", "p").collect().toSeq
       assert(binned == naive, s"binWidth=$bw")
     }
+
+    // negative domain: truncating division would mis-bin without the floor fix
+    val negI = Seq((-10L, -2L, "n")).toDF("lo", "hi", "tag")
+    val negP = Seq(-10L, -7L, -2L, -1L, 0L).toDF("p")
+    val negNaive = negI.join(negP, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p").orderBy("p").as[Long].collect().toSeq
+    val negBinned = Relational.binnedRangeJoin(negI, "lo", "hi", negP, "p", 4L)
+      .select("p").orderBy("p").as[Long].collect().toSeq
+    assert(negBinned == negNaive && negNaive == Seq(-10L, -7L, -2L))
   }
 
   test("saltedJoin equals the plain join on skewed data") {

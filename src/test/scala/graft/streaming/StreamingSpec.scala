@@ -60,16 +60,20 @@ class StreamingSpec extends SparkSpec {
     // order 1: 2 parcels, both in time -> ALL_PARCELS_SHIPPED
     // order 2: shipment 10 days late (before completeness!) -> THRESHOLD_EXCEEDED
     // order 3: shipment arrives BEFORE its order (force_order path), in time
+    // order 4: completes in time, LATE EXTRA shipment afterwards -> still ALL
     in.addData(
       OrderEvent(1, "ORDER", 0L, 2),
       OrderEvent(1, "SHIPMENT", 1 * day, 0),
       OrderEvent(3, "SHIPMENT", 2 * day, 0), // early shipment, no order yet
       OrderEvent(2, "ORDER", 0L, 5),
-      OrderEvent(2, "SHIPMENT", 10 * day, 0))
+      OrderEvent(2, "SHIPMENT", 10 * day, 0),
+      OrderEvent(4, "ORDER", 0L, 1),
+      OrderEvent(4, "SHIPMENT", 1 * day, 0))
     q.processAllAvailable()
     in.addData(
       OrderEvent(1, "SHIPMENT", 2 * day, 0),
-      OrderEvent(3, "ORDER", 1 * day, 1))
+      OrderEvent(3, "ORDER", 1 * day, 1),
+      OrderEvent(4, "SHIPMENT", 20 * day, 0)) // late extra after completion
     q.processAllAvailable()
     q.stop()
 
@@ -78,7 +82,8 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(
       1L -> "ALL_PARCELS_SHIPPED",
       2L -> "THRESHOLD_EXCEEDED",
-      3L -> "ALL_PARCELS_SHIPPED"))
+      3L -> "ALL_PARCELS_SHIPPED",
+      4L -> "ALL_PARCELS_SHIPPED"))
   }
 
   test("streaming words-count over a file stream matches the batch counts " +
