@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing: pre-shuffling fact tables on their join/agg key at write
+  * time so repeated joins and aggregations skip the exchange entirely —
+  * the co-located-join strategy SCALE.md prescribes for repeated
+  * big-big joins at 100 TB.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joining two tables bucketed on the key plans no shuffle exchange") {
+    val orders = (1L to 1000L).map(i => (i, i % 7)).toDF("order_id", "status")
+    val items = (1L to 3000L).map(i => (i % 1000 + 1, i)).toDF("order_id", "item_id")
+
+    orders.write.mode("overwrite").bucketBy(8, "order_id").sortBy("order_id")
+      .saveAsTable("orders_bkt")
+    items.write.mode("overwrite").bucketBy(8, "order_id").sortBy("order_id")
+      .saveAsTable("items_bkt")
+    try {
+      val joined = spark.table("orders_bkt").join(spark.table("items_bkt"), "order_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 3000)
+
+      // aggregation on the bucket key also skips the exchange
+      val agg = spark.table("items_bkt").groupBy("order_id").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+      assert(agg.count() == 1000)
+
+      // control: the same join on unbucketed data does shuffle
+      val plain = orders.join(items, "order_id")
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange") ||
+        plain.queryExecution.executedPlan.toString.contains("Broadcast"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS items_bkt")
+    }
+  }
+}
