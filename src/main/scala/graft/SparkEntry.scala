@@ -419,14 +419,12 @@ object SparkEntry {
 
     // -- loop (reference: lib/loop.ex) ------------------------------- //
     "q_loop" -> ((s, d) => {
-      val staging =
-        java.nio.file.Files.createTempDirectory("graft_loop_").toString
       val pipeline = Composite(Seq(
         Source.of("frontier",
           t(s, d, "nation").select((col("n_nationkey") + 1).as("v"))),
         Loop("frontier",
           df => df.select((col("v") * 2).as("v")).where(col("v") <= 100),
-          staging, ephemeral = true)))
+          ephemeral = true)))
       pipeline(EmptyFlow)("frontier")
     }),
 

@@ -75,7 +75,12 @@ object Dedup {
       numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     val rows = numHashes / bands
-    val docs = shingleDocs(df, idCol, textCol, shingleSize)
+    // docs feeds banding plus BOTH verification join-backs (different
+    // join keys, so ReuseExchange can't help) — persist so tokenization
+    // and shingling run once, as ngramJaccardPairs already does.
+    val docs = graft.core.CacheRegistry.persist(
+      shingleDocs(df, idCol, textCol, shingleSize),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Banding carries only (id, band, bucket) through the shuffle — the
     // shingle arrays rejoin AFTER candidate pairs are deduped, so a
@@ -230,7 +235,8 @@ object Dedup {
       edges: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50,
+      bestEffort: Boolean = false): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     // Materialize the (possibly expensive) edge plan once — every
     // propagation round joins against it, and without the checkpoint
@@ -256,9 +262,16 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    if (!converged)
-      System.err.println(
-        s"[graft.Dedup.connectedComponents] not converged after $maxIter rounds")
+    if (!converged) {
+      // Labels mid-propagation are WRONG (far nodes still carry
+      // intermediate minima), so silent return would corrupt survivor
+      // selection — fail unless the caller opted into partial labels.
+      val msg =
+        s"connectedComponents did not converge within $maxIter rounds " +
+          "(graph diameter exceeds maxIter); labels are incomplete"
+      if (!bestEffort) throw new IllegalStateException(msg)
+      System.err.println(s"[graft.Dedup.connectedComponents] $msg")
+    }
     labels
   }
 

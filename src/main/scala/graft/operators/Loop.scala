@@ -22,12 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Loop(
     name: String,
     body: DataFrame => DataFrame,
-    stagingPath: String,
+    stagingPath: String = "",
     maxIterations: Int = 100,
     ephemeral: Boolean = false)
     extends Component {
 
   require(maxIterations > 0, s"maxIterations must be positive, got $maxIterations")
+  require(
+    ephemeral || stagingPath.nonEmpty,
+    "Loop needs a stagingPath unless ephemeral = true")
 
   def apply(flow: Flow): Flow = {
     val spark = SparkSession.active

@@ -159,24 +159,31 @@ object Relational {
       expectedCol: String,
       shipTs: String,
       slaDays: Int): DataFrame = {
-    val shipped = shipments.groupBy(col(orderKey))
+    // Null ship timestamps carry no information for the state machine;
+    // drop them so the count and the sorted list stay consistent.
+    val shipped = shipments.where(col(shipTs).isNotNull).groupBy(col(orderKey))
       .agg(
         count(lit(1)).as("n_shipped"),
         sort_array(collect_list(col(shipTs))).as("_ship_ts_sorted"))
     val deadline = col(orderTs) + expr(s"INTERVAL $slaDays DAYS")
+    val expected = col(expectedCol).cast("int")
+    // element_at is 1-based; clamp the probe index so expected <= 0
+    // (trivially-complete orders, decided by the first branch) cannot
+    // raise INVALID_INDEX_OF_ZERO.
+    val nthShip = element_at(col("_ship_ts_sorted"), greatest(expected, lit(1)))
     orders
       .join(shipped, Seq(orderKey), "left")
-      .withColumn("_nth_ship", element_at(col("_ship_ts_sorted"), col(expectedCol)))
       .withColumn(
         "status",
-        when(
-          col("n_shipped") >= col(expectedCol) && col("_nth_ship") <= deadline,
-          lit("ALL_PARCELS_SHIPPED"))
+        when(expected <= 0, lit("ALL_PARCELS_SHIPPED"))
+          .when(
+            col("n_shipped") >= expected && nthShip <= deadline,
+            lit("ALL_PARCELS_SHIPPED"))
           .when(
             element_at(col("_ship_ts_sorted"), col("n_shipped").cast("int")) > deadline,
             lit("THRESHOLD_EXCEEDED"))
           .otherwise(lit("PENDING")))
-      .drop("_ship_ts_sorted", "_nth_ship")
+      .drop("_ship_ts_sorted")
   }
 
   /** Binned range join: `point ∈ [lo, hi]` with no usable equi-key.

@@ -104,12 +104,14 @@ object Similarity {
     // nprobe nearest centroids per query via a broadcast centroid table
     val spark = corpus.sparkSession
     import spark.implicits._
+    // centroids kept as double; the query side is cast to match so the
+    // probe works for both array<float> and array<double> vectors.
     val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .map { case (c, i) => (i, c.toArray) }
       .toDF("cell", "centroid")
     val probed = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
       .crossJoin(broadcast(centroids))
-      .withColumn("c_dist", cosine(col("q_vec"), col("centroid")))
+      .withColumn("c_dist", cosine(col("q_vec").cast("array<double>"), col("centroid")))
       .withColumn("c_rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("c_dist").desc, col("cell"))))
       .where(col("c_rank") <= nprobe)

@@ -64,16 +64,19 @@ object Transformer {
   def keyedStateful[K: Encoder, S](
       name: String,
       keyOf: Row => K,
-      orderBy: Row => Long,
+      orderBy: Seq[Column],
       outputSchema: org.apache.spark.sql.types.StructType,
       init: S,
       finish: (K, S) => Seq[Row] = (_: K, _: S) => Seq.empty[Row])(
       fn: (Row, S) => (Seq[Row], S)): Transformer =
     Transformer(Seq(name), (df: DataFrame) => {
       val grouped = df.groupByKey(keyOf)(implicitly[Encoder[K]])
-      grouped.flatMapGroups { (key: K, rows: Iterator[Row]) =>
+      // flatMapSortedGroups sorts within the shuffle (secondary sort) —
+      // the group streams through in order without materializing on the
+      // heap, so a hot key cannot OOM the task.
+      grouped.flatMapSortedGroups(orderBy: _*) { (key: K, rows: Iterator[Row]) =>
         var acc = init
-        val out = rows.toSeq.sortBy(orderBy).iterator.flatMap { r =>
+        val out = rows.flatMap { r =>
           val (emitted, next) = fn(r, acc)
           acc = next
           emitted

@@ -93,6 +93,9 @@ object ParcelsCep {
           val pending = st.pendingShipTsUs.sorted
           st = st.copy(pendingShipTsUs = Nil)
           pending.foreach(absorb)
+          // a zero-parcel order is complete the moment it exists
+          if (!st.done && st.shipped >= st.toShip)
+            { emit ::= OrderStatus(key, "ALL_PARCELS_SHIPPED"); st = st.copy(done = true) }
         case _ =>
           if (st.orderTsUs < 0) // shipment before its order: buffer (force_order)
             st = st.copy(pendingShipTsUs = ev.tsUs :: st.pendingShipTsUs)

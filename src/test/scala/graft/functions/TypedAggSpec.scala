@@ -38,7 +38,7 @@ class TypedAggSpec extends SparkSpec {
     val out = Transformer.keyedStateful[Long, (Long, Int)](
       "s",
       keyOf = _.getLong(0),
-      orderBy = _.getLong(1),
+      orderBy = Seq(col("seq")),
       schema,
       init = (-1L, 0),
       finish = { case (k, (_, acc)) => if (acc > 0) Seq(Row(k, acc)) else Nil }) {
