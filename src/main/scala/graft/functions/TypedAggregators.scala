@@ -25,8 +25,13 @@ object TypedAggregators {
       def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
         b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
       def finish(acc: Map[String, Long]): Map[String, Long] = acc
-      def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo
-      def outputEncoder: Encoder[Map[String, Long]] = Encoders.kryo
+      // Catalyst map encoders (not kryo): the buffer stays in struct
+      // form across reduce/merge and the output is a queryable MapType
+      // column, not an opaque binary blob.
+      def bufferEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+      def outputEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     }
 
   /** Numerically-stable mean/variance (Welford) — a typical custom

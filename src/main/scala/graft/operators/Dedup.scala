@@ -292,12 +292,16 @@ object Dedup {
       vecCol: String,
       threshold: Double = 0.95,
       bits: Int = -1,
-      tables: Int = 2): DataFrame = {
+      tables: Int = 2,
+      knownCount: Option[Long] = None): DataFrame = {
     import graft.functions.VectorFunctions._
     val effectiveBits =
       if (bits > 0) bits
       else {
-        val n = df.count()
+        // Adaptive sizing needs the corpus cardinality; pass knownCount
+        // when df is an expensive derived pipeline — otherwise this
+        // count() action runs the upstream plan once, eagerly.
+        val n = knownCount.getOrElse(df.count())
         math.max(4, math.ceil(math.log(math.max(n, 1L).toDouble / 128.0) / math.log(2.0)).toInt)
       }
     val bucketed = df.select(

@@ -64,11 +64,8 @@ object Relational {
     * single-partition window: inherently sequential semantics, kept for
     * parity (SURVEY §7.5); do not put on the hot path.
     */
-  def zipByIndex(a: DataFrame, aOrder: Seq[Column], b: DataFrame, bOrder: Seq[Column]): DataFrame = {
-    val ra = a.withColumn("_rn", row_number().over(Window.orderBy(aOrder: _*)))
-    val rb = b.withColumn("_rn", row_number().over(Window.orderBy(bOrder: _*)))
-    ra.join(rb, "_rn").drop("_rn")
-  }
+  def zipByIndex(a: DataFrame, aOrder: Seq[Column], b: DataFrame, bOrder: Seq[Column]): DataFrame =
+    zipByIndexN(Seq((a, aOrder), (b, bOrder)))
 
   /** N-way positional zip (reference: the n-way round-robin pairing in
     * test/examples/simple_numbers_test.exs:107-165): i-th rows of all

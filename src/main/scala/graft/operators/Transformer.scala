@@ -66,7 +66,8 @@ object Transformer {
       keyOf: Row => K,
       orderBy: Seq[Column],
       outputSchema: org.apache.spark.sql.types.StructType,
-      init: S,
+      init: () => S, // factory: each key gets a FRESH accumulator, so a
+      // mutable S (the natural port of a reference memo map) is safe
       finish: (K, S) => Seq[Row] = (_: K, _: S) => Seq.empty[Row])(
       fn: (Row, S) => (Seq[Row], S)): Transformer =
     Transformer(Seq(name), (df: DataFrame) => {
@@ -75,7 +76,7 @@ object Transformer {
       // the group streams through in order without materializing on the
       // heap, so a hot key cannot OOM the task.
       grouped.flatMapSortedGroups(orderBy: _*) { (key: K, rows: Iterator[Row]) =>
-        var acc = init
+        var acc = init()
         val out = rows.flatMap { r =>
           val (emitted, next) = fn(r, acc)
           acc = next

@@ -90,12 +90,15 @@ object ParcelsCep {
       ev.kind match {
         case "ORDER" =>
           st = st.copy(orderTsUs = ev.tsUs, toShip = ev.toShip)
+          // a zero-parcel order is complete the moment it exists —
+          // decided BEFORE absorbing buffered shipments, so a late
+          // pre-order shipment cannot trip the threshold (matches
+          // shipmentSla's expected <= 0 branch)
+          if (!st.done && st.shipped >= st.toShip)
+            { emit ::= OrderStatus(key, "ALL_PARCELS_SHIPPED"); st = st.copy(done = true) }
           val pending = st.pendingShipTsUs.sorted
           st = st.copy(pendingShipTsUs = Nil)
           pending.foreach(absorb)
-          // a zero-parcel order is complete the moment it exists
-          if (!st.done && st.shipped >= st.toShip)
-            { emit ::= OrderStatus(key, "ALL_PARCELS_SHIPPED"); st = st.copy(done = true) }
         case _ =>
           if (st.orderTsUs < 0) // shipment before its order: buffer (force_order)
             st = st.copy(pendingShipTsUs = ev.tsUs :: st.pendingShipTsUs)
@@ -103,12 +106,18 @@ object ParcelsCep {
       }
     }
 
-    // Keep a done-tombstone instead of removing: a shipment arriving
-    // after completion would otherwise re-create state as a forever-
-    // buffered pre-order shipment. Tombstones (and orphan buffers) are
-    // reclaimed by the timeout when configured.
-    state.update(st)
-    if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
+    // With a timeout configured, keep a done-tombstone so a shipment
+    // arriving after completion is ignored rather than re-created as a
+    // forever-buffered pre-order shipment; the timeout reclaims it.
+    // Without a timeout there is nothing to reclaim tombstones, so
+    // remove completed state immediately — bounded state wins over the
+    // post-completion-orphan edge (which then re-buffers until the
+    // (nonexistent) order returns, as the reference's memo also would).
+    if (st.done && st.pendingShipTsUs.isEmpty && stateTimeoutMs <= 0) state.remove()
+    else {
+      state.update(st)
+      if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
+    }
     emit.reverseIterator
   }
 }

@@ -18,9 +18,15 @@ class BucketingSpec extends SparkSpec {
       .saveAsTable("orders_bkt")
     items.write.mode("overwrite").bucketBy(8, "order_id").sortBy("order_id")
       .saveAsTable("items_bkt")
+    // Disable auto-broadcast: tiny test tables would otherwise be
+    // broadcast-joined and the bucketed no-exchange property would
+    // never actually be exercised (a vacuous pass).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.table("orders_bkt").join(spark.table("items_bkt"), "order_id")
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a non-broadcast join:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join should not shuffle:\n$plan")
       assert(joined.count() == 3000)
@@ -35,6 +41,7 @@ class BucketingSpec extends SparkSpec {
       assert(plain.queryExecution.executedPlan.toString.contains("Exchange") ||
         plain.queryExecution.executedPlan.toString.contains("Broadcast"))
     } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
       spark.sql("DROP TABLE IF EXISTS items_bkt")
     }

@@ -40,7 +40,7 @@ class TypedAggSpec extends SparkSpec {
       keyOf = _.getLong(0),
       orderBy = Seq(col("seq")),
       schema,
-      init = (-1L, 0),
+      init = () => (-1L, 0),
       finish = { case (k, (_, acc)) => if (acc > 0) Seq(Row(k, acc)) else Nil }) {
       case (r, (_, acc)) =>
         val next = acc + r.getInt(2)
