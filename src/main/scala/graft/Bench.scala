@@ -18,12 +18,24 @@ object Bench {
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9 // cache release untimed
-      graft.core.CacheRegistry.unpersistAll()
-      name -> elapsed
+    // Per-query MEDIAN of `runs` measurements: single-shot totals vary
+    // ±25% run-to-run on a shared box, so builder- and driver-side
+    // numbers only converge on medians (BASELINE.md methodology).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // Dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times a subset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val elapsed = (System.nanoTime() - t0) / 1e9 // cache release untimed
+        graft.core.CacheRegistry.unpersistAll()
+        elapsed
+      }.sorted
+      name -> times(runs / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

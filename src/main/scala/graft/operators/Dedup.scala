@@ -220,14 +220,22 @@ object Dedup {
     * the survivor-selection step after near-dup pair generation (keep
     * `component`, drop the rest).
     *
-    * Min-label propagation to fixpoint, driver-coordinated like
-    * [[Loop]]: each round joins labels to the symmetrized edge list,
-    * takes the min of own and neighbor labels, and localCheckpoints to
-    * truncate lineage. Rounds needed = graph diameter; near-dup
-    * clusters are shallow (pairs chain through shared shingles), so a
-    * handful of rounds suffices. For billion-edge graphs swap the body
-    * for the large-star/small-star contraction — same driver-loop
-    * shape.
+    * Min-label propagation accelerated with pointer jumping,
+    * driver-coordinated like [[Loop]]. Each round:
+    *   1. propagate: m(id) = min(own label, neighbor labels) — one
+    *      join against the checkpointed symmetric edge list;
+    *   2. jump: follow the label one hop through the label table
+    *      (label(m) <= m always holds, labels are node ids), which
+    *      contracts chains geometrically — rounds ~ log(diameter)
+    *      instead of diameter;
+    *   3. ONE action materializes the round: the new label frame is a
+    *      lazy localCheckpoint and the convergence probe (sum of a
+    *      `_chg` flag computed in the same plan) is the job that
+    *      forces it. No separate convergence join, no second pass
+    *      over the propagation plan.
+    * Wall-clock is rounds × one shuffle-join job, the scale shape the
+    * large-star/small-star contraction papers target, with the same
+    * driver-loop skeleton.
     */
   def connectedComponents(
       nodes: DataFrame,
@@ -251,15 +259,26 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nmin"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(
           labels("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .where(col("component") =!= col("prev")).limit(1).count()
-      labels = next
-      converged = changed == 0
+          col("component").as("_old"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("_m"))
+      // Pointer jump: labels(_m) — _m is always a node id, so the
+      // label table itself is the parent table.
+      val parents = labels.select(col("id").as("_pid"), col("component").as("_pcomp"))
+      val jumped = least(col("_m"), coalesce(col("_pcomp"), col("_m")))
+      val next = prop.join(parents, col("_m") === col("_pid"), "left")
+        .select(
+          col("id"),
+          jumped.as("component"),
+          (jumped =!= col("_old")).as("_chg"))
+        .localCheckpoint(eager = false) // materialized by the probe below
+      val changed = next
+        .agg(coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      labels = next.select(col("id"), col("component"))
+      converged = changed == 0L
       i += 1
     }
     if (!converged) {
