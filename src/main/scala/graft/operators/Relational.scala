@@ -11,18 +11,35 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
+  /** Dense 1-based global row index over an explicit total order — the
+    * scale-safe replacement for a no-partition `row_number()` window
+    * (which collapses to ONE task): range-partition on the order keys,
+    * sort within partitions, then offset per-partition local indexes by
+    * prefix counts via RDD `zipWithIndex` (one extra lightweight count
+    * job, partition count stays at spark.sql.shuffle.partitions).
+    * Requires `orderBy` to be a total order for a deterministic result.
+    */
+  def globalIndex(df: DataFrame, orderBy: Seq[Column], indexCol: String = "_rn"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*)
+    val schema = StructType(sorted.schema.fields :+ StructField(indexCol, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
   /** Tumbling count-window aggregation (reference:
     * test/examples/window_test.exs:7-32): global row order chopped into
-    * fixed-size batches. Order-dependent ⇒ single global sort; use the
-    * time-window variant at scale.
+    * fixed-size batches. Built on [[globalIndex]], so the sort is a
+    * distributed range sort — no single-partition WindowExec.
     */
-  def tumblingCountWindow(df: DataFrame, orderBy: Seq[Column], size: Int, aggs: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(orderBy: _*)
-    df.withColumn("_rn", row_number().over(w))
+  def tumblingCountWindow(df: DataFrame, orderBy: Seq[Column], size: Int, aggs: Seq[Column]): DataFrame =
+    globalIndex(df, orderBy)
       .withColumn("window_id", floor((col("_rn") - 1) / size))
       .groupBy(col("window_id"))
       .agg(aggs.head, aggs.tail: _*)
-  }
 
   /** Sliding count-window (reference: window_test.exs:36-63): each row
     * carries aggregates over the trailing `size` rows. `frameAggs`
@@ -60,9 +77,7 @@ object Relational {
 
   /** Positional zip of two streams (the reference's round-robin pairing,
     * README.md:129-160): i-th row of `a` joined with i-th row of `b`.
-    * Requires explicit total orders on both sides. Global row_number ⇒
-    * single-partition window: inherently sequential semantics, kept for
-    * parity (SURVEY §7.5); do not put on the hot path.
+    * Requires explicit total orders on both sides.
     */
   def zipByIndex(a: DataFrame, aOrder: Seq[Column], b: DataFrame, bOrder: Seq[Column]): DataFrame =
     zipByIndexN(Seq((a, aOrder), (b, bOrder)))
@@ -71,13 +86,14 @@ object Relational {
     * test/examples/simple_numbers_test.exs:107-165): i-th rows of all
     * frames joined into one row. Truncates to the shortest frame, like
     * the reference's pairing accumulator that only emits complete
-    * tuples.
+    * tuples. Each side is indexed with [[globalIndex]] (distributed
+    * range sort, no single-partition window); the pairing itself is an
+    * equi-join on the index.
     */
   def zipByIndexN(frames: Seq[(DataFrame, Seq[Column])]): DataFrame = {
     require(frames.size >= 2, "zipByIndexN needs at least two frames")
-    frames.map { case (df, order) =>
-      df.withColumn("_rn", row_number().over(Window.orderBy(order: _*)))
-    }.reduce((a, b) => a.join(b, "_rn")).drop("_rn")
+    frames.map { case (df, order) => globalIndex(df, order) }
+      .reduce((a, b) => a.join(b, "_rn")).drop("_rn")
   }
 
   /** As-of join: for each left row, the latest right row with

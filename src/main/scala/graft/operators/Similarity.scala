@@ -71,16 +71,94 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
-    * queries probe their `nprobe` nearest centroids, candidates scored
-    * exactly within the probed cells — the classic big-corpus layout
-    * (train on a sample, partition-prune by cell at scan time).
-    *
-    * The centroid table is tiny (nlist × dim) and broadcast; corpus
-    * cell assignment is one MLlib transform; the candidate join is an
-    * equi-join on cell id, so the shuffle carries each corpus vector
-    * once. Recall < 1 by construction; raise `nprobe` to trade compute
-    * for recall.
+  /** Reusable IVF (inverted-file) index: coarse-quantizer centroids
+    * (tiny: nlist × dim, always broadcast) plus the corpus with its
+    * cell assignment (persisted — released via CacheRegistry like every
+    * other staged intermediate). Build once, serve many query batches;
+    * at 100 TB the `assigned` frame is what you'd write to
+    * cell-partitioned parquet so probes prune at scan time.
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame, nlist: Int)
+
+  /** Train the quantizer on a bounded driver-side sample (default 4096
+    * vectors via `takeSample` — two cheap projected passes, never a
+    * full-corpus k-means), then assign every corpus vector to its cell
+    * in one distributed transform.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      trainSample: Int = 4096,
+      seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(trainSample >= nlist, s"trainSample ($trainSample) must be >= nlist ($nlist)")
+
+    val corpusVec = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Bounded quantizer training set: k-means iterations run over at
+    // most `trainSample` vectors on one partition instead of 10 full
+    // corpus scans. Deterministic for a fixed corpus + partitioning.
+    val sample = corpusVec.select(col("features"))
+      .rdd.map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+      .takeSample(withReplacement = false, trainSample, seed)
+    val k = math.min(nlist, sample.length)
+    require(k >= 1, "buildIvfIndex: corpus is empty")
+    val trainDf = spark.createDataFrame(sample.toIndexedSeq.map(Tuple1(_))).toDF("features")
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(trainDf)
+
+    val assigned = graft.core.CacheRegistry.persist(
+      model.transform(corpusVec)
+        .select(col("neighbor_id"), col("c_vec"), col("prediction").as("cell")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // centroids kept as double; the query side is cast to match so the
+    // probe works for both array<float> and array<double> vectors.
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+    IvfIndex(centroids, assigned, k)
+  }
+
+  /** Probe an [[IvfIndex]]: queries pick their `nprobe` nearest
+    * centroids (broadcast × broadcast, driver-cheap), candidates are an
+    * equi-join on cell id — the shuffle carries each probed corpus
+    * vector once. Recall < 1 by construction; raise `nprobe` to trade
+    * compute for recall.
+    */
+  def ivfQuery(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val probed = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("c_dist", cosine(col("q_vec").cast("array<double>"), col("centroid")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c_dist").desc, col("cell"))))
+      .where(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    index.assigned.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** One-shot IVF ANN: build (sampled training) + probe. Prefer
+    * [[buildIvfIndex]] + [[ivfQuery]] when serving repeated batches —
+    * the index is the expensive part and it is reusable.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -90,41 +168,8 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val corpusVec = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(corpusVec)
-    val assigned = model.transform(corpusVec)
-      .select(col("neighbor_id"), col("c_vec"), col("prediction").as("cell"))
-
-    // nprobe nearest centroids per query via a broadcast centroid table
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // centroids kept as double; the query side is cast to match so the
-    // probe works for both array<float> and array<double> vectors.
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray) }
-      .toDF("cell", "centroid")
-    val probed = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-      .crossJoin(broadcast(centroids))
-      .withColumn("c_dist", cosine(col("q_vec").cast("array<double>"), col("centroid")))
-      .withColumn("c_rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("c_dist").desc, col("cell"))))
-      .where(col("c_rank") <= nprobe)
-      .select(col("query_id"), col("q_vec"), col("cell"))
-
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned.join(broadcast(probed), Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
-  }
+      seed: Long = 42L): DataFrame =
+    ivfQuery(buildIvfIndex(corpus, idCol, vecCol, nlist, seed = seed), queries, idCol, vecCol, k, nprobe)
 
   /** Count of near-neighbor pairs above a cosine threshold (corpus
     * self-similarity profile) — brute force within hyperplane buckets.

@@ -71,6 +71,22 @@ class MiscOpSpec extends SparkSpec {
     assert(top.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("Similarity.buildIvfIndex trains on a sample and serves repeated query batches") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val corpus = (base :+ (999L, base(7)._2.clone())).toDF("id", "v")
+    val index = Similarity.buildIvfIndex(corpus, "id", "v", nlist = 4, trainSample = 32)
+    assert(index.nlist == 4)
+    assert(index.centroids.count() == 4)
+    assert(index.assigned.count() == 81) // every corpus vector assigned a cell
+    // two query batches against the SAME index — no retraining
+    val q1 = Similarity.ivfQuery(index, corpus.where(col("id") === 7), "id", "v", k = 2, nprobe = 2)
+    assert(q1.orderBy("rank").collect().head.getAs[Long]("neighbor_id") == 999L)
+    val q2 = Similarity.ivfQuery(index, corpus.where(col("id") === 999), "id", "v", k = 2, nprobe = 2)
+    assert(q2.orderBy("rank").collect().head.getAs[Long]("neighbor_id") == 7L)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("Multimodal stub decode is deterministic and partition-preserving") {
     val df = Seq((1L, "hello world")).toDF("id", "text")
     val out = Multimodal.decodePartitioned(
