@@ -39,6 +39,19 @@ object CacheRegistry {
   }
 }
 
+/** Session-lifetime registry marking streams whose mix was declared
+  * `no_wait` (reference: lib/gen_mix.ex:377-387 — output halts as soon
+  * as one input halts). Batch unions are all-finite so the flag is a
+  * no-op there; for streams, [[graft.streaming.StreamSink]] consumes
+  * the mark and applies the stop-when-an-input-drains policy.
+  */
+object NoWait {
+  private val marked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def mark(stream: String): Unit = marked.add(stream)
+  /** True if the stream was marked; clears the mark (one consumer). */
+  def consume(stream: String): Boolean = marked.remove(stream)
+}
+
 object FlowOps {
   /** Name-collision rule: output landing on an existing stream name is
     * concatenated (bag union), never replaced

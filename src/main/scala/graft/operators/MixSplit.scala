@@ -13,14 +13,18 @@ import org.apache.spark.storage.StorageLevel
   * inputs are simply concatenated, so an N-way mix is free at any scale.
   *
   * `noWait` (reference: lib/gen_mix.ex:377-387) — halt output when one
-  * input halts — is meaningless in batch (all inputs finite) and becomes
-  * a trigger/stop policy in streaming; kept as documentation flag.
+  * input halts — is meaningless in batch (all inputs finite); on a
+  * streaming flow it marks the output via [[graft.core.NoWait]] and the
+  * downstream [[graft.streaming.StreamSink]] stops its query as soon as
+  * any constituent source drains (reference test:
+  * test/mixer_test.exs:126-147, the tick+finite idiom).
   */
 final case class Mixer(inputs: Seq[String], output: String, noWait: Boolean = false)
     extends Component {
   def apply(flow: Flow): Flow = {
     val dfs = inputs.map(n =>
       flow.getOrElse(n, throw new IllegalArgumentException(s"Mixer: missing stream '$n'")))
+    if (noWait) graft.core.NoWait.mark(output)
     FlowOps.rewire(flow, inputs, Seq(output -> dfs.reduce(_ unionByName _)))
   }
 }

@@ -80,7 +80,9 @@ object StreamDedup {
 final case class StreamSink(
     name: String,
     build: DataFrame => DataStreamWriter[org.apache.spark.sql.Row],
-    sync: Boolean = false)
+    sync: Boolean = false,
+    noWait: Boolean = false,
+    noWaitTimeoutMs: Long = 30000L)
     extends Component {
 
   def apply(flow: Flow): Flow = {
@@ -88,7 +90,9 @@ final case class StreamSink(
       name, throw new IllegalArgumentException(s"StreamSink: no stream named '$name'"))
     val query = build(df).start()
     StreamSink.register(query)
-    if (sync) { query.processAllAvailable(); query.stop() }
+    if (noWait || graft.core.NoWait.consume(name))
+      StreamSink.awaitAnyInputDrained(query, noWaitTimeoutMs)
+    else if (sync) { query.processAllAvailable(); query.stop() }
     flow - name
   }
 }
@@ -103,6 +107,38 @@ object StreamSink {
     */
   def active: Seq[StreamingQuery] =
     queries.toArray(Array.empty[StreamingQuery]).toSeq.filter(_.isActive)
+
+  /** The `no_wait` stop policy (reference: lib/gen_mix.ex:377-387 via
+    * [[graft.operators.Mixer]]): block until some constituent source of
+    * the query reports fully-drained after a completed micro-batch
+    * (progress endOffset == latestOffset — the closest observable to
+    * the reference's "an input halted"), then stop the query. Infinite
+    * sources (rate/kafka) keep advancing their latest offset, so only a
+    * genuinely finite side trips the stop — exactly the reference's
+    * tick-plus-finite mixing idiom (test/mixer_test.exs:126-147).
+    * Throws on timeout: a no_wait mix of only-infinite inputs never
+    * halts, which is a caller error in a blocking context.
+    */
+  def awaitAnyInputDrained(
+      query: StreamingQuery,
+      timeoutMs: Long = 30000L,
+      pollMs: Long = 25L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var stopped = false
+    while (!stopped && query.isActive && System.currentTimeMillis() < deadline) {
+      val p = query.lastProgress
+      val drained = p != null && p.sources.exists { s =>
+        s.endOffset != null && s.latestOffset != null && s.endOffset == s.latestOffset
+      }
+      if (drained) { query.stop(); stopped = true }
+      else Thread.sleep(pollMs)
+    }
+    if (!stopped) {
+      if (query.isActive) query.stop()
+      throw new IllegalStateException(
+        s"no_wait: no input drained within ${timeoutMs}ms (all inputs appear unbounded)")
+    }
+  }
 
   /** Let every active query drain its available input, then stop it. */
   def drainAll(): Unit = {

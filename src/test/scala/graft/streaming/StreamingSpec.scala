@@ -47,6 +47,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("mix_out").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("no_wait mix: tick + finite stream stops on its own when the finite side drains") {
+    // Reference semantics (lib/gen_mix.ex:377-387, test/mixer_test.exs:
+    // 126-147): mixing an infinite tick stream with a finite stream,
+    // the mixed output halts as soon as the finite input halts.
+    implicit val sqlCtx = spark.sqlContext
+    val finite = MemoryStream[Long]
+    finite.addData(1L, 2L, 3L)
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select((col("value") + 1000000L).as("value")) // disjoint from finite ids
+    val flow = graft.core.Composite(Seq(
+      StreamSource.of("ticks", ticks),
+      StreamSource.of("fin", finite.toDF().toDF("value")),
+      graft.operators.Mixer(Seq("ticks", "fin"), "mixed", noWait = true),
+      StreamSink.memory("mixed", "nowait_out")))(graft.EmptyFlow)
+    assert(flow.isEmpty)
+    assert(StreamSink.active.isEmpty) // the query stopped itself, no manual stop
+    val out = spark.table("nowait_out").as[Long].collect().toSet
+    assert(Set(1L, 2L, 3L).subsetOf(out)) // the finite side was fully mixed
+  }
+
   test("parcels CEP: SLA precedence, completeness, and out-of-order shipments") {
     implicit val sqlCtx = spark.sqlContext
     import ParcelsCep._
