@@ -106,13 +106,46 @@ final case class Composite(components: Seq[Component]) extends Component {
   def delete(from: Int, to: Int): Composite =
     Composite(components.patch(from, Nil, to - from + 1))
 
-  /** ASCII topology sketch (reference: lib/composite/topology.ex:9-33).
+  /** ASCII stream-graph (reference: lib/composite/topology.ex:9-33).
     * For the physical plan use `df.explain` on any flow stream instead.
     */
-  def topology: String =
-    components.zipWithIndex
-      .map { case (c, i) => s"[$i] ${c.getClass.getSimpleName.stripSuffix("$")}: $c" }
-      .mkString("\n")
+  def topology: String = Topology.draw(this)
+}
+
+/** Stream-graph rendering for composites (reference:
+  * lib/composite/topology.ex:9-33 draws each component with the stream
+  * names flowing in and out of it). Components are values here, so the
+  * edges are recovered from their declared input/output names.
+  */
+object Topology {
+
+  /** (consumed streams, produced streams) for a component, by shape. */
+  def edges(c: Component): (Seq[String], Seq[String]) = c match {
+    case s: graft.sources.Source          => (Nil, Seq(s.name))
+    case s: graft.streaming.StreamSource  => (Nil, Seq(s.name))
+    case k: graft.sinks.Sink              => (Seq(k.name), Nil)
+    case k: graft.streaming.StreamSink    => (Seq(k.name), Nil)
+    case w: graft.streaming.Watermark     => (Seq(w.name), Seq(w.name))
+    case t: graft.operators.Transformer   => (t.names, t.names)
+    case m: graft.operators.Mixer         => (m.inputs, Seq(m.output))
+    case sp: graft.operators.Splitter     => (Seq(sp.input), sp.outputs.map(_._1))
+    case l: graft.operators.Loop          => (Seq(l.name), Seq(l.name))
+    case r: Renamer                       => (r.mapping.keys.toSeq, r.mapping.values.toSeq)
+    case comp: Composite =>
+      val es = comp.components.map(edges)
+      (es.flatMap(_._1), es.flatMap(_._2))
+    case _                                => (Nil, Nil)
+  }
+
+  /** One line per component: `[i] Name  ins ──▶ outs` (`·` = none). */
+  def draw(composite: Composite): String =
+    composite.components.zipWithIndex.map { case (c, i) =>
+      val (ins, outs) = edges(c)
+      val name = c.getClass.getSimpleName.stripSuffix("$")
+      val in = if (ins.isEmpty) "·" else ins.distinct.mkString(", ")
+      val out = if (outs.isEmpty) "·" else outs.distinct.mkString(", ")
+      f"[$i] $name%-12s $in ──▶ $out"
+    }.mkString("\n")
 }
 
 object Composite {

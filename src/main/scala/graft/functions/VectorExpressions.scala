@@ -152,6 +152,10 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   */
 case class HyperplaneBucket(left: Expression, right: Expression, bits: Int)
     extends VectorBinaryExpression {
+  // Without this guard, bits >= 64 silently aliases via Java's shift-
+  // mod-64 (1L << 64 == 1L), producing colliding bucket ids instead of
+  // an error — reachable from SQL via vec_hyperplane_bucket(v, p, s).
+  require(bits >= 1 && bits <= 63, s"vec_hyperplane_bucket: bits must be in [1, 63], got $bits")
   override def prettyName: String = "vec_hyperplane_bucket"
   override def dataType: DataType = LongType
 

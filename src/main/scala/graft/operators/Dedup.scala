@@ -319,8 +319,15 @@ object Dedup {
       else {
         // Adaptive sizing needs the corpus cardinality; pass knownCount
         // when df is an expensive derived pipeline — otherwise this
-        // count() action runs the upstream plan once, eagerly.
-        val n = knownCount.getOrElse(df.count())
+        // count() action runs the upstream plan once, eagerly (logged,
+        // since the cost lands on whatever timing wraps plan building).
+        val n = knownCount.getOrElse {
+          System.err.println(
+            "[graft.Dedup.embeddingCosinePairs] no knownCount given: running an eager " +
+              "count() over the input to size the LSH bucket space (pass knownCount " +
+              "or explicit bits to avoid re-executing a derived input)")
+          df.count()
+        }
         math.max(4, math.ceil(math.log(math.max(n, 1L).toDouble / 128.0) / math.log(2.0)).toInt)
       }
     val bucketed = df.select(

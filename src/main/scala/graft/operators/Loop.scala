@@ -24,7 +24,8 @@ final case class Loop(
     body: DataFrame => DataFrame,
     stagingPath: String = "",
     maxIterations: Int = 100,
-    ephemeral: Boolean = false)
+    ephemeral: Boolean = false,
+    bestEffort: Boolean = false)
     extends Component {
 
   require(maxIterations > 0, s"maxIterations must be positive, got $maxIterations")
@@ -54,12 +55,18 @@ final case class Loop(
       if (materialized.isEmpty) done = true
       else { frontier = body(materialized); i += 1 }
     }
-    if (!done)
+    if (!done) {
       // Exited via the iteration cap, not the empty-frontier fixpoint:
-      // the last body(frontier) output is NOT in the result. Surface it.
-      System.err.println(
-        s"[graft.Loop:$name] did not converge within $maxIterations iterations; " +
-          "result excludes the final un-materialized frontier")
+      // the last body(frontier) output is NOT in the result — a silent
+      // return would hand back a truncated fixpoint, so fail unless the
+      // caller opted into partial results (same contract as
+      // Dedup.connectedComponents).
+      val msg =
+        s"Loop('$name') did not converge within $maxIterations iterations; " +
+          "result excludes the final un-materialized frontier"
+      if (!bestEffort) throw new IllegalStateException(msg)
+      System.err.println(s"[graft.Loop:$name] $msg")
+    }
     flow.updated(name, acc.get)
   }
 }

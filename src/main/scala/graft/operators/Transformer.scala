@@ -24,8 +24,11 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
   */
 final case class Transformer(names: Seq[String], fn: DataFrame => DataFrame)
     extends Component {
-  def apply(flow: Flow): Flow =
+  def apply(flow: Flow): Flow = {
+    val missing = names.filterNot(flow.contains)
+    require(missing.isEmpty, s"Transformer: missing stream(s): ${missing.mkString(", ")}")
     FlowOps.rewire(flow, names, names.map(n => n -> fn(flow(n))))
+  }
 }
 
 object Transformer {

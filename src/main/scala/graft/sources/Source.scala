@@ -51,4 +51,23 @@ object Source {
 
   /** An existing DataFrame as an origin (raw-stream form). */
   def of(name: String, df: DataFrame): Source = Source(name, _ => df)
+
+  /** Interactive line source (reference: lib/source/io_gets.ex:7-16):
+    * prints `prompt`, reads lines until EOF, each trimmed line one
+    * event. Driver-side and dev-only by design, like the reference
+    * (the data must fit the driver — it came from a keyboard).
+    * `in` defaults to stdin; injectable for tests.
+    */
+  def ioGets(
+      name: String,
+      prompt: String = "> ",
+      in: java.io.InputStream = System.in,
+      out: java.io.PrintStream = System.out): Source =
+    Source(name, { spark =>
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in))
+      val lines = Iterator.continually { out.print(prompt); reader.readLine() }
+        .takeWhile(_ != null).map(_.trim).toSeq
+      import spark.implicits._
+      spark.createDataset(lines).toDF()
+    })
 }

@@ -149,6 +149,17 @@ object StreamSink {
     }
   }
 
+  /** Stop every registered query immediately (no drain) — the first
+    * half of the stop → rebuild → restart-from-checkpoint cycle.
+    */
+  def stopAll(): Unit = {
+    var q = queries.poll()
+    while (q != null) {
+      if (q.isActive) q.stop()
+      q = queries.poll()
+    }
+  }
+
   def parquet(name: String, path: String, checkpoint: String): StreamSink =
     StreamSink(name, _.writeStream.format("parquet")
       .option("path", path).option("checkpointLocation", checkpoint)
@@ -166,4 +177,25 @@ object StreamSink {
     */
   def foreachBatch(name: String)(f: (DataFrame, Long) => Unit): StreamSink =
     StreamSink(name, _.writeStream.foreachBatch(f))
+}
+
+/** Live manipulation of a RUNNING streaming pipeline (reference:
+  * lib/composite/manipulations.ex:10-74 rewires in-flight actors; on
+  * Spark the documented equivalent is stop → rebuild the composite
+  * value → restart from the sinks' checkpoints). Value-level
+  * insert/replace/delete already exist on [[graft.core.Composite]];
+  * this helper supplies the runtime half: stop every active query,
+  * apply the rewrite, and re-run — source offsets and sink commit logs
+  * live in the checkpoint locations, so the new incarnation resumes
+  * exactly where the old one stopped (no reprocessing, no loss), state
+  * schema compatibility permitting.
+  */
+object Restart {
+  def replaceAndRestart(
+      composite: graft.core.Composite,
+      flow: Flow)(
+      rewrite: graft.core.Composite => graft.core.Composite): Flow = {
+    StreamSink.stopAll()
+    rewrite(composite)(flow)
+  }
 }

@@ -20,6 +20,14 @@ class ComponentSpec extends SparkSpec {
     assert(f2("s").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("ioGets prompts and reads trimmed lines until EOF (reference io_gets source)") {
+    val in = new java.io.ByteArrayInputStream("hello \nworld\n".getBytes)
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val flow = Source.ioGets("kbd", "> ", in, new java.io.PrintStream(outBuf))(EmptyFlow)
+    assert(flow("kbd").as[String].collect().toSeq == Seq("hello", "world"))
+    assert(outBuf.toString.startsWith("> ")) // prompted at least once per read
+  }
+
   test("mixer unions inputs and removes them from the flow") {
     val flow: Flow = Map(
       "a" -> Seq(1, 2).toDF("v"),
@@ -83,6 +91,25 @@ class ComponentSpec extends SparkSpec {
     val flow: Flow = Map("a" -> Seq(1).toDF("v"))
     assert(Renamer(Map("a" -> "b"))(flow).keySet == Set("b"))
     intercept[IllegalArgumentException](Renamer(Map("zzz" -> "y"))(flow))
+  }
+
+  test("topology draws the stream edges of the words-count pipeline") {
+    // reference: lib/composite/topology.ex:9-33 — the useful part is
+    // which stream names flow into and out of each component.
+    val pipeline = Composite(Seq(
+      Source.of("docs", Seq("a b").toDF("text")),
+      Transformer("docs")(df => df.select(explode(split(col("text"), " ")).as("word"))),
+      Splitter.predicates("docs", Seq("short" -> (length(col("word")) <= 3), "long" -> (length(col("word")) > 3))),
+      Mixer(Seq("short", "long"), "merged"),
+      graft.sinks.Sink("merged", _.count(): Unit)))
+    val drawn = pipeline.topology
+    val lines = drawn.split("\n").toSeq
+    assert(lines.length == 5)
+    assert(lines(0).contains("Source") && lines(0).contains("· ──▶ docs"))
+    assert(lines(1).contains("Transformer") && lines(1).contains("docs ──▶ docs"))
+    assert(lines(2).contains("Splitter") && lines(2).contains("docs ──▶ short, long"))
+    assert(lines(3).contains("Mixer") && lines(3).contains("short, long ──▶ merged"))
+    assert(lines(4).contains("Sink") && lines(4).contains("merged ──▶ ·"))
   }
 
   test("transformer on many streams applies independently (per-stream acc rule)") {

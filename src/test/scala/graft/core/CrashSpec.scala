@@ -1,0 +1,91 @@
+package graft.core
+
+import graft.{EmptyFlow, Flow, SparkSpec}
+import graft.operators.{Splitter, Transformer}
+import graft.sinks.Sink
+import org.apache.spark.sql.functions._
+
+/** The reference's crash matrix (reference: test/crash_test.exs:34-198)
+  * re-expressed for Spark's execution model. The reference restarts a
+  * crashed task with its last accumulator and drops only the in-flight
+  * chunk; Spark's deterministic replay instead fails the job on a
+  * poisoned record (fail-stop), with `Transformer.skippingFailures` as
+  * the opt-in skip-the-poisoned-record parity mode. These specs pin
+  * where each kind of poison surfaces.
+  */
+class CrashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Walk the cause chain for the poison marker (Spark wraps user
+    * exceptions in SparkException layers).
+    */
+  private def poisoned(e: Throwable, marker: String): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(t => Option(t.getMessage).exists(_.contains(marker)))
+
+  private val boom = udf((v: Int) =>
+    if (v == 3) throw new RuntimeException("poisoned-fn") else v)
+
+  test("poisoned transformer fn fails the job at action time (fail-stop default)") {
+    // reference: crash_test.exs poisoned source fn — Strom restarts the
+    // task; Spark deterministically replays the same record, so the
+    // default contract is job failure, surfaced at the ACTION.
+    val flow: Flow = Map("s" -> Seq(1, 2, 3, 4, 5).toDF("v"))
+    val out = Transformer("s")(_.select(boom(col("v")).as("v")))(flow)
+    val e = intercept[Exception](out("s").count())
+    assert(poisoned(e, "poisoned-fn"))
+  }
+
+  test("poisoned splitter predicate fails only the branch that evaluates it") {
+    val flow: Flow = Map("in" -> Seq(1, 2, 3, 4).toDF("v"))
+    val out = Splitter.predicates(
+      "in",
+      Seq("bad" -> (boom(col("v")) === 0), "good" -> (col("v") % 2 === 0)))(flow)
+    assert(out("good").as[Int].collect().sorted.toSeq == Seq(2, 4)) // unaffected
+    val e = intercept[Exception](out("bad").count())
+    assert(poisoned(e, "poisoned-fn"))
+  }
+
+  test("poisoned sync sink propagates to the pipeline caller") {
+    // reference: crash_test.exs poisoned sink fn crashes the component;
+    // a sync sink runs in the caller, so the caller sees the crash.
+    val pipeline = Composite(Seq(
+      Sink("s", df => { df.count(); throw new RuntimeException("poisoned-sink") }, sync = true)))
+    val e = intercept[RuntimeException](pipeline(Map("s" -> Seq(1).toDF("v"))))
+    assert(poisoned(e, "poisoned-sink"))
+  }
+
+  test("poisoned async sink surfaces at drain, not at call") {
+    val flow = Sink(
+      "s", _ => throw new RuntimeException("poisoned-async"), sync = false)(
+      Map("s" -> Seq(1).toDF("v")))
+    assert(flow.isEmpty) // call returned: the crash is in the background runner
+    val e = intercept[RuntimeException](Sink.drain())
+    assert(poisoned(e, "poisoned-async"))
+  }
+
+  test("a crashing component aborts the composite fold before later members run") {
+    // reference: composite crash propagation (lib/composite.ex:223-230,
+    // crash_test.exs:171-198) — one dead member takes the composite down.
+    val ran = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pipeline = Composite(Seq(
+      Transformer("does-not-exist")(identity), // rewire fails fast
+      Transformer("s")(df => { ran.set(true); df })))
+    intercept[IllegalArgumentException](pipeline(Map("s" -> Seq(1).toDF("v"))))
+    assert(!ran.get()) // fail-stop: downstream members never started
+  }
+
+  test("skippingFailures keeps the pipeline alive and downstream components consume survivors") {
+    // reference: crash_test.exs:34-57 — [1..5] with 3 poisoned, doubled
+    // => [2,4,8,10]; the crashed task restarts and the stream continues.
+    val drops = spark.sparkContext.longAccumulator("crash-spec-drops")
+    val pipeline = Composite(Seq(
+      Transformer.skippingFailures[Int, Int]("s", Some(drops)) { v =>
+        if (v == 3) throw new RuntimeException("poisoned-rec") else v * 2
+      },
+      Transformer("s")(_.agg(sum(col("value")).cast("long").as("total")))))
+    val out = pipeline(Map("s" -> Seq(1, 2, 3, 4, 5).toDF("value")))
+    assert(out("s").as[Long].head() == 24L) // 2+4+8+10
+    assert(drops.value == 1L) // exactly the poisoned record was dropped
+  }
+}

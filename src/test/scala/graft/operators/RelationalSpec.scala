@@ -93,6 +93,19 @@ class RelationalSpec extends SparkSpec {
       "THRESHOLD_EXCEEDED", "ALL_PARCELS_SHIPPED", "PENDING", "ALL_PARCELS_SHIPPED"))
   }
 
+  test("shipmentSla drops null ship timestamps (they carry no state-machine information)") {
+    val orders = Seq((1L, ts("2024-01-01 00:00:00"), 1)).toDF("k", "ots", "expected")
+    // one real in-time shipment + one null row: the null must not count
+    // toward n_shipped nor perturb the sorted ship-time list.
+    val ships = Seq(
+      (1L, Option(ts("2024-01-02 00:00:00"))),
+      (1L, Option.empty[java.sql.Timestamp])).toDF("k", "sts")
+    val out = Relational.shipmentSla(orders, ships, "k", "ots", "expected", "sts", 7)
+      .select("n_shipped", "status").collect().head
+    assert(out.getLong(0) == 1L) // null row excluded from the count
+    assert(out.getString(1) == "ALL_PARCELS_SHIPPED")
+  }
+
   test("binnedRangeJoin equals the naive range join") {
     val intervals = Seq((0L, 10L, "a"), (5L, 25L, "b"), (100L, 100L, "c"))
       .toDF("lo", "hi", "tag")

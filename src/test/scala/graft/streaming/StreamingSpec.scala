@@ -68,6 +68,34 @@ class StreamingSpec extends SparkSpec {
     assert(Set(1L, 2L, 3L).subsetOf(out)) // the finite side was fully mixed
   }
 
+  test("live manipulation: replace a stage, restart from checkpoint, no reprocessing") {
+    // reference: lib/composite/manipulations.ex:10-74 — here the
+    // documented streaming contract: stop -> Composite.replace (value
+    // level) -> re-run; the checkpoint carries source offsets across
+    // incarnations so already-committed input is NOT reprocessed.
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("graft_restart_in_").toString
+    val out = Files.createTempDirectory("graft_restart_out_").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt_").toString
+    def mult(m: Int) = Transformer("nums")(
+      _.select((col("value").cast("int") * m).as("v")))
+    def sink = StreamSink("nums", _.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()), sync = true)
+
+    Files.writeString(Path.of(dir, "f1.txt"), "1\n2\n")
+    val v1 = graft.core.Composite(Seq(StreamSource.text("nums", dir), mult(1), sink))
+    assert(v1(graft.EmptyFlow).isEmpty)
+    assert(spark.read.parquet(out).as[Int].collect().sorted.toSeq == Seq(1, 2))
+
+    Files.writeString(Path.of(dir, "f2.txt"), "3\n4\n")
+    val flow2 = Restart.replaceAndRestart(v1, graft.EmptyFlow)(_.replace(1, 1, mult(10)))
+    assert(flow2.isEmpty)
+    // f1 rows kept their v1 values (not reprocessed as 10/20); only f2
+    // flowed through the replaced stage.
+    assert(spark.read.parquet(out).as[Int].collect().sorted.toSeq == Seq(1, 2, 30, 40))
+  }
+
   test("parcels CEP: SLA precedence, completeness, and out-of-order shipments") {
     implicit val sqlCtx = spark.sqlContext
     import ParcelsCep._
