@@ -515,6 +515,68 @@ object SparkEntry {
         .groupBy(langId(col("text")).as("lang_id"))
         .agg(count(lit(1)).as("n"))),
 
+    // -- training-data pipeline ------------------------------------- //
+    // Deterministic stratified sampling: md5-threshold per language
+    // stratum — reproducible across engines/retries, unlike rand().
+    "q_sample" -> ((s, d) =>
+      TrainingData.stratifiedSample(
+        t(s, d, "documents"), col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "es" -> 0.25), defaultFraction = 1.0)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // Per-domain cap (corpus balancing): at most 30 docs per source,
+    // deterministic keep order.
+    "q_domain_cap" -> ((s, d) =>
+      TrainingData.capPerGroup(
+        t(s, d, "documents"), Seq(col("source")), Seq(col("doc_id")), 30)
+        .select(col("source"), col("doc_id"), col("rank"))),
+
+    // Overlapping word-window chunking (context-window splitter).
+    // Chunk text is emitted as md5 so the gate compares content without
+    // hauling full chunk strings through the hash compare.
+    "q_chunks" -> ((s, d) =>
+      TrainingData.chunkWords(t(s, d, "documents"), Seq("doc_id"), "text", 64, 32)
+        .select(col("doc_id"), col("chunk_id"), md5(col("chunk")).as("chunk_md5"),
+          col("n_tokens"))),
+
+    // Gopher-style repetition quality stats over word 2-grams.
+    "q_repetition" -> ((s, d) =>
+      TrainingData.repetitionStats(t(s, d, "documents"), "doc_id", "text", 2)
+        .select(col("id").as("doc_id"), col("n_grams"), col("top_frac"),
+          col("distinct_frac"))),
+
+    // PII redaction; synthetic email+phone appended per row so the scrub
+    // fires on EVERY document (testdata text alone would be vacuous).
+    "q_redact" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TrainingData.redactPii(
+          concat(substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id"), lit("@example.com or 555-123-4567")))
+          .as("redacted"))),
+
+    // Concat-and-chunk sequence packing into 2048-token sequences,
+    // packed per source shard in doc_id order.
+    "q_pack" -> ((s, d) =>
+      TrainingData.packSequences(
+        t(s, d, "documents").select(
+          col("doc_id"), col("source"), size(words(col("text"))).as("n_tokens")),
+        Seq(col("source")), Seq(col("doc_id")), col("n_tokens"), 2048L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("seq_index"), col("seq_offset"))),
+
+    // Train/benchmark contamination: doc_id % 5 == 0 plays the held-out
+    // benchmark; training docs sharing >= 3 distinct word 3-grams with
+    // any benchmark doc are flagged (planted near-dup pairs that cross
+    // the split make this non-vacuous).
+    "q_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TrainingData.contaminationCheck(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3, minShared = 3, maxDocFreq = 100)
+    }),
+
     // -- multimodal plumbing ---------------------------------------- //
     "q_multimodal" -> ((s, d) =>
       Multimodal.fakeDecodeMeta(
@@ -837,6 +899,72 @@ object SparkEntry {
          |  SELECT r.src, CASE WHEN e.id_a = r.node THEN e.id_b ELSE e.id_a END
          |  FROM reach r JOIN edges e ON r.node = e.id_a OR r.node = e.id_b)
          |SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src""".stripMargin,
+
+    "q_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5('graft:' || doc_id), 1, 8) <
+        |  CASE WHEN lang = 'en' THEN '80000000'
+        |       WHEN lang = 'es' THEN '40000000'
+        |       ELSE 'ffffffff' END""".stripMargin,
+
+    "q_domain_cap" ->
+      """SELECT source, doc_id, rank FROM (
+        |SELECT source, doc_id, CAST(row_number() OVER (
+        |  PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rank
+        |FROM documents) WHERE rank <= 30""".stripMargin,
+
+    "q_chunks" ->
+      s"""WITH docs AS (SELECT doc_id, $W AS ws FROM documents),
+         |starts AS (SELECT doc_id, ws,
+         |  unnest(generate_series(1,
+         |    ((greatest(ceil((len(ws) - 64) / 32.0) + 1, 1) - 1) * 32 + 1)::BIGINT,
+         |    32)) AS s
+         |  FROM docs)
+         |SELECT doc_id, ((s - 1) // 32)::BIGINT AS chunk_id,
+         |  md5(array_to_string(ws[s:s+63], ' ')) AS chunk_md5,
+         |  least(64, len(ws) - s + 1)::BIGINT AS n_tokens
+         |FROM starts""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH docs AS (SELECT doc_id AS id, CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END AS grams
+         |  FROM documents),
+         |gc AS (SELECT id, g, count(*) AS c
+         |  FROM (SELECT id, unnest(grams) AS g FROM docs) GROUP BY id, g)
+         |SELECT id AS doc_id, sum(c)::BIGINT AS n_grams,
+         |  round(max(c)::DOUBLE / sum(c), 4) AS top_frac,
+         |  round(count(*)::DOUBLE / sum(c), 4) AS distinct_frac
+         |FROM gc GROUP BY id""".stripMargin,
+
+    "q_redact" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(
+        |  substr(text, 1, 40) || ' contact user' || doc_id || '@example.com or 555-123-4567',
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    "q_pack" ->
+      s"""WITH d AS (SELECT doc_id, source, len($W)::INTEGER AS n_tokens FROM documents)
+         |SELECT source, doc_id, n_tokens,
+         |  ((sum(n_tokens) OVER w - n_tokens) // 2048)::BIGINT AS seq_index,
+         |  ((sum(n_tokens) OVER w - n_tokens) % 2048)::BIGINT AS seq_offset
+         |FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH docs AS (SELECT doc_id, list_distinct(CASE WHEN len($W) < 3
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 2),
+         |      i -> array_to_string(($W)[i:i+2], ' ')) END) AS sh
+         |  FROM documents),
+         |tg AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM docs WHERE doc_id % 5 <> 0),
+         |bg AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM docs WHERE doc_id % 5 = 0),
+         |rare AS (SELECT g FROM tg GROUP BY g HAVING count(*) <= 100)
+         |SELECT train_id, bench_id, count(*) AS n_shared
+         |FROM tg JOIN rare USING (g) JOIN bg USING (g)
+         |GROUP BY train_id, bench_id HAVING count(*) >= 3""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""${ngramPairsSql(0.5)}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond dedup/similarity: deterministic sampling, per-domain
+  * balancing, document chunking, repetition-based quality stats,
+  * PII redaction, sequence packing, and train/benchmark contamination
+  * checks. (North-star extensions beyond the reference; everything is
+  * a declarative plan — no UDFs, no driver loops — so each scales with
+  * the cluster and stays inside whole-stage codegen.)
+  *
+  * Scale design notes:
+  *  - sampling/redaction are pure row-local projections (no shuffle);
+  *  - balancing/packing shuffle once on their explicit partition key —
+  *    never on a global order;
+  *  - chunking explodes bounded windows, so output ~ tokens/stride;
+  *  - repetition stats and contamination are explode + hash-aggregate
+  *    pipelines whose shuffle carries (id, gram) keys, not documents,
+  *    with the same df-cap guard as [[Dedup.ngramJaccardPairs]].
+  */
+object TrainingData {
+
+  /** Deterministic hash sampling: keep a row iff the first 8 hex chars
+    * of md5(seed:key) fall below `fraction` of the 32-bit space.
+    * Reproducible across engines and runs (md5 is standardized; equal-
+    * width lowercase hex compares lexicographically = numerically) —
+    * unlike `rand()`-based sampling, a retry or a different partition
+    * layout cannot change the sample.
+    */
+  def hashKeep(keyCol: Column, fraction: Double, seed: String = "graft"): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    substring(md5(concat(lit(seed), lit(":"), keyCol.cast("string"))), 1, 8) < lit(hexThreshold(fraction))
+  }
+
+  /** `floor(fraction * 2^32)` as 8-digit lowercase hex. */
+  def hexThreshold(fraction: Double): String =
+    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double, seed: String = "graft"): DataFrame =
+    df.where(hashKeep(keyCol, fraction, seed))
+
+  /** Stratified deterministic sampling: per-stratum keep fractions
+    * (e.g. downsample boilerplate-heavy domains, keep all of a rare
+    * language). Strata with no entry keep `defaultFraction`. Pure
+    * projection + filter — the stratum column never shuffles.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: Column,
+      keyCol: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0,
+      seed: String = "graft"): DataFrame = {
+    val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (stratum, f)) => when(strataCol === stratum, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.where(substring(md5(concat(lit(seed), lit(":"), keyCol.cast("string"))), 1, 8) < threshold)
+  }
+
+  /** Per-domain cap (corpus balancing): keep at most `k` rows per
+    * group in a deterministic order — rank-window form, one shuffle on
+    * the group key, partial TopK pushed below the shuffle by Spark's
+    * WindowGroupLimit rule (same engine path as
+    * [[Relational.topKPerGroup]], kept here under its pipeline intent).
+    */
+  def capPerGroup(df: DataFrame, groupBy: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame =
+    Relational.topKPerGroup(df, groupBy, orderBy, k)
+
+  /** Overlapping word-window chunks (the RAG / context-window splitter):
+    * windows of `window` words every `stride` words; the final chunk is
+    * allowed to be partial so every token is covered (chunk count =
+    * `max(ceil((tokens - window) / stride) + 1, 1)`). Output rows carry
+    * (id columns.., chunk_id, chunk, n_tokens). Words are materialized
+    * as an attribute first so the tokenizer runs once per document, not
+    * once per chunk; output volume ~ tokens/stride per doc.
+    */
+  def chunkWords(
+      df: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive, got $window/$stride")
+    val nChunks = greatest(
+      ceil((size(col("_ws")) - lit(window)).cast("double") / lit(stride)) + lit(1L), lit(1L))
+    df.select(idCols.map(col) :+ words(col(textCol)).as("_ws"): _*)
+      .select(
+        idCols.map(col) :+ col("_ws") :+
+          explode(sequence(lit(1L), (nChunks - 1L) * stride + 1L, lit(stride.toLong)))
+            .as("_start"): _*)
+      .select(
+        idCols.map(col) :+
+          ((col("_start") - 1) / stride).cast("long").as("chunk_id") :+
+          array_join(slice(col("_ws"), col("_start").cast("int"), lit(window)), " ").as("chunk") :+
+          least(lit(window), size(col("_ws")) - col("_start") + 1)
+            .cast("long").as("n_tokens"): _*)
+  }
+
+  /** Per-document n-gram repetition statistics (the Gopher-style
+    * repetition quality signals): fraction of all n-gram occurrences
+    * taken by the single most frequent n-gram (`top_frac`) and the
+    * distinct-gram fraction (`distinct_frac`). High top_frac / low
+    * distinct_frac = boilerplate or degenerate repetition. Explode →
+    * two hash-aggregates; the shuffle carries (id, gram) keys.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    df.select(col(idCol).as("id"), words(col(textCol)).as("_ws"))
+      .select(col("id"), explode(wordShinglesFromWords(col("_ws"), n)).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("_total"),
+        max(col("c")).as("_top"),
+        count(lit(1)).as("_distinct"))
+      .select(
+        col("id"),
+        col("_total").as("n_grams"),
+        round(col("_top").cast("double") / col("_total"), 4).as("top_frac"),
+        round(col("_distinct").cast("double") / col("_total"), 4).as("distinct_frac"))
+
+  /** PII redaction: emails → `<EMAIL>`, NNN-NNN-NNNN phones → `<PHONE>`.
+    * Regexes chosen from the RE2-compatible subset so the exact same
+    * pattern runs in any engine; pure codegen projection, no shuffle.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>")
+
+  /** Concat-and-chunk sequence packing (the standard LLM pre-training
+    * layout): per partition key, documents in `orderBy` order are laid
+    * end-to-end on a token tape that is chopped into fixed `budget`-
+    * token sequences. Emits each document's starting sequence index and
+    * offset within it. One shuffle on the partition key — the partition
+    * key (shard / source / date bucket) is the unit of packing, so no
+    * global order and no single-partition window at any scale.
+    */
+  def packSequences(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      tokensCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_begin", sum(tokensCol.cast("long")).over(w) - tokensCol.cast("long"))
+      .withColumn("seq_index", floor(col("_begin") / budget))
+      .withColumn("seq_offset", col("_begin") % budget)
+      .drop("_begin")
+  }
+
+  /** Train/benchmark contamination check: training documents sharing at
+    * least `minShared` distinct word n-grams with any benchmark
+    * document. Bench-side grams join the (df-capped) train postings on
+    * the gram — the shuffle carries (id, gram) keys; `maxDocFreq` drops
+    * grams occurring in more than that many TRAIN docs (stop-gram
+    * quadratic guard, same contract as [[Dedup.ngramJaccardPairs]]:
+    * affects which low-signal grams can count toward the overlap, so
+    * mirror it in any oracle).
+    */
+  def contaminationCheck(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Int = 2,
+      maxDocFreq: Int = 1000): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), words(col(textCol)).as("_ws"))
+        .select(col(as), explode(array_distinct(wordShinglesFromWords(col("_ws"), n))).as("g"))
+    val tg = grams(train, "train_id")
+    val rare = tg.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
+    tg.join(rare, "g")
+      .join(grams(bench, "bench_id"), "g")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample is deterministic and close to the requested fraction") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = TrainingData.hashSample(df, col("id"), 0.3).select("id").as[Long].collect().toSet
+    val s2 = TrainingData.hashSample(df, col("id"), 0.3).select("id").as[Long].collect().toSet
+    assert(s1 == s2) // same seed, same sample — retry-proof
+    assert(math.abs(s1.size / 10000.0 - 0.3) < 0.02)
+    // monotone in fraction: a smaller sample is a SUBSET of a larger one
+    val s3 = TrainingData.hashSample(df, col("id"), 0.1).select("id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+    // different seed, different sample
+    val s4 = TrainingData.hashSample(df, col("id"), 0.3, seed = "other").select("id").as[Long].collect().toSet
+    assert(s4 != s1)
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val df = spark.range(6000)
+      .select(col("id"), (col("id") % 3).cast("string").as("stratum"))
+    val out = TrainingData.stratifiedSample(
+      df, col("stratum"), col("id"), Map("0" -> 0.5, "1" -> 0.1), defaultFraction = 1.0)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(math.abs(out("0") / 2000.0 - 0.5) < 0.06)
+    assert(math.abs(out("1") / 2000.0 - 0.1) < 0.04)
+    assert(out("2") == 2000L) // default keeps everything
+  }
+
+  test("capPerGroup keeps at most k rows per group, smallest order first") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
+    val out = TrainingData.capPerGroup(df, Seq(col("g")), Seq(col("v")), 2)
+      .select("g", "v").as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 1), ("a", 2), ("b", 9)))
+  }
+
+  test("chunkWords covers every token; final chunk may be partial") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = TrainingData.chunkWords(df, Seq("doc_id"), "text", 64, 32)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    assert(chunks.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(chunks.map(_._3).toSeq == Seq(64L, 64L, 36L)) // tail covered, partial
+    assert(chunks(0)._2.startsWith("w1 ") && chunks(2)._2.endsWith(" w100"))
+    // a short doc yields exactly one (partial) chunk
+    val short = TrainingData.chunkWords(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), Seq("doc_id"), "text", 64, 32)
+      .select("chunk", "n_tokens").as[(String, Long)].collect()
+    assert(short.toSeq == Seq(("a b c", 3L)))
+  }
+
+  test("repetitionStats measures top-gram and distinct-gram fractions") {
+    // 2-grams of "a a a a b": [a a, a a, a a, a b] — top 3/4, distinct 2/4
+    val df = Seq((1L, "a a a a b")).toDF("doc_id", "text")
+    val out = TrainingData.repetitionStats(df, "doc_id", "text", 2)
+      .select("n_grams", "top_frac", "distinct_frac")
+      .as[(Long, Double, Double)].collect().head
+    assert(out == ((4L, 0.75, 0.5)))
+  }
+
+  test("redactPii scrubs emails and phones, leaves clean text alone") {
+    val df = Seq(
+      "reach me at john.doe+x@corp.example.org today",
+      "call 555-123-4567 now",
+      "nothing sensitive here").toDF("t")
+    val out = df.select(TrainingData.redactPii(col("t")).as("r")).as[String].collect()
+    assert(out(0) == "reach me at <EMAIL> today")
+    assert(out(1) == "call <PHONE> now")
+    assert(out(2) == "nothing sensitive here")
+  }
+
+  test("packSequences lays docs end-to-end and chops at the token budget") {
+    val df = Seq(
+      ("s1", 1L, 600), ("s1", 2L, 600), ("s1", 3L, 600), ("s1", 4L, 600),
+      ("s2", 5L, 100)).toDF("src", "id", "n")
+    val out = TrainingData.packSequences(
+      df, Seq(col("src")), Seq(col("id")), col("n"), 1000L)
+      .select("id", "seq_index", "seq_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // offsets 0/600/1200/1800 on the s1 tape; s2 restarts its own tape
+    assert(out == Seq((1L, 0L, 0L), (2L, 0L, 600L), (3L, 1L, 200L), (4L, 1L, 800L), (5L, 0L, 0L)))
+  }
+
+  test("contaminationCheck flags train docs sharing n-grams with the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contaminated
+      (2L, "completely unrelated words live here peacefully")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "quick brown fox jumps over a fence")).toDF("doc_id", "text")
+    val out = TrainingData.contaminationCheck(train, bench, "doc_id", "text", n = 3, minShared = 2)
+      .select("train_id", "bench_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSeq
+    // shared 3-grams: "quick brown fox", "brown fox jumps", "fox jumps over"
+    assert(out == Seq((1L, 100L, 3L)))
+  }
+}
