@@ -515,6 +515,25 @@ object SparkEntry {
         .groupBy(langId(col("text")).as("lang_id"))
         .agg(count(lit(1)).as("n"))),
 
+    // TF-IDF + BM25 term weights over the document corpus.
+    "q_tfidf" -> ((s, d) =>
+      Ranking.termScores(t(s, d, "documents"), "doc_id", "text")),
+
+    // Approximate-quantile gate (same pattern as the HLL gate): the
+    // sketch median must land between the exact 49th and 51st
+    // percentiles — rank error 1.5/accuracy makes that structural.
+    "q_approx_quantile" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("_apx"),
+          percentile(col("value"), lit(0.49)).as("_p49"),
+          percentile(col("value"), lit(0.51)).as("_p51"))
+        .select(
+          col("event_type"), col("n"),
+          (col("_apx") >= col("_p49") && col("_apx") <= col("_p51")).as("approx_ok"))),
+
     // -- training-data pipeline ------------------------------------- //
     // Deterministic stratified sampling: md5-threshold per language
     // stratum — reproducible across engines/retries, unlike rand().
@@ -899,6 +918,22 @@ object SparkEntry {
          |  SELECT r.src, CASE WHEN e.id_a = r.node THEN e.id_b ELSE e.id_a END
          |  FROM reach r JOIN edges e ON r.node = e.id_a OR r.node = e.id_b)
          |SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($W) AS term FROM documents) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)
+         |SELECT doc_id, term, tf,
+         |  round(tf * ln(n::DOUBLE / df), 4) AS tfidf,
+         |  round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+         |    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats""".stripMargin,
+
+    "q_approx_quantile" ->
+      """SELECT event_type, count(*) AS n, TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus term-weighting (TF-IDF / BM25) — the retrieval-scoring side
+  * of the text family (north-star extension; the reference has no
+  * ranking surface).
+  *
+  * Scale design: one explode over attribute-materialized words feeds a
+  * (doc, term) hash-aggregate; document length and document frequency
+  * both derive from that aggregate (no second pass over the corpus);
+  * the global (N, avgdl) statistics row is a broadcast cross join, so
+  * the only shuffles are the (doc, term) and (term) aggregations.
+  */
+object Ranking {
+
+  /** Per-(doc, term) tf, TF-IDF (`tf · ln(N/df)`) and Okapi BM25
+    * (`idf_bm25 · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))` with
+    * `idf_bm25 = ln((N-df+0.5)/(df+0.5) + 1)`). Scores are rounded to
+    * 4 decimals — deterministic cross-engine (the inputs to every
+    * division are exact integer aggregates).
+    */
+  def termScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    // tf is read by three consumers (score join, doc length, doc
+    // frequency) — persist so the tokenize+explode runs once.
+    val tf = graft.core.CacheRegistry.persist(
+      df.select(col(idCol).as("_id"), explode(words(col(textCol))).as("term"))
+        .groupBy(col("_id"), col("term")).agg(count(lit(1)).as("tf")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col("_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")))
+    val idf = log(col("n").cast("double") / col("df"))
+    val idfBm25 = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    tf.join(dl, "_id").join(dfreq, "term").crossJoin(stats)
+      .select(
+        col("_id").as(idCol),
+        col("term"),
+        col("tf"),
+        round(col("tf") * idf, 4).as("tfidf"),
+        round(
+          idfBm25 * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+          4).as("bm25"))
+  }
+}

@@ -174,7 +174,12 @@ object TrainingData {
     def grams(df: DataFrame, as: String) =
       df.select(col(idCol).as(as), words(col(textCol)).as("_ws"))
         .select(col(as), explode(array_distinct(wordShinglesFromWords(col("_ws"), n))).as("g"))
-    val tg = grams(train, "train_id")
+    // The train postings feed both the df-cap aggregate and the overlap
+    // join — persist so the corpus is shingled once, not twice (same
+    // contract as ngramJaccardPairs; released by CacheRegistry).
+    val tg = graft.core.CacheRegistry.persist(
+      grams(train, "train_id"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = tg.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
     tg.join(rare, "g")
       .join(grams(bench, "bench_id"), "g")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Relational, Similarity, TrainingData}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,24 @@ object ScaleProbe {
     time("ngramJaccard 50k docs")(
       Dedup.ngramJaccardPairs(docs10, "doc_id", "text", 2, 0.2, 100).count())
     graft.core.CacheRegistry.unpersistAll()
+    time("connectedComponents 50k nodes")(
+      Dedup.connectedComponents(
+        docs10.select(col("doc_id")), "doc_id",
+        Dedup.ngramJaccardPairs(docs10, "doc_id", "text", 2, 0.2, 100)).count())
+    graft.core.CacheRegistry.unpersistAll()
+    time("contamination 40k train vs 10k bench")(
+      TrainingData.contaminationCheck(
+        docs10.where(col("doc_id") % 5 =!= 0), docs10.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", 3, 3, 100).count())
+    time("chunkWords 50k docs")(
+      TrainingData.chunkWords(docs10, Seq("doc_id"), "text", 64, 32).count())
+    time("repetitionStats 50k docs")(
+      TrainingData.repetitionStats(docs10, "doc_id", "text", 2).count())
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    time("globalIndex 600k lineitem")(
+      Relational.globalIndex(
+        li.select(col("l_orderkey"), col("l_linenumber")),
+        Seq(col("l_orderkey"), col("l_linenumber"))).count())
 
     val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
     val emb10 = (0 until 10).map(k =>
