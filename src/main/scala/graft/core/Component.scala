@@ -90,21 +90,42 @@ object FlowOps {
 final case class Composite(components: Seq[Component]) extends Component {
   def apply(flow: Flow): Flow = components.foldLeft(flow)((f, c) => c(f))
 
+  /** Reference error contract (`:indicies_not_in_range`, reference:
+    * test/composite/manipulations/delete_components_test.exs:36-55):
+    * invalid indices fail loudly instead of silently clamping — a
+    * `patch` on a bad range would quietly rewrite the wrong stages.
+    * (The reference's `:cannot_replace_last_component` rule guards its
+    * RUNNING actor topology; value-level rebuilds have no such hazard,
+    * so it intentionally does not apply here.)
+    */
+  private def requireRange(from: Int, to: Int): Unit =
+    require(
+      from >= 0 && to >= from && to < components.length,
+      s"indices [$from, $to] not in range [0, ${components.length - 1}]")
+
   /** Insert components at index `i` (reference: lib/composite.ex:102-117). */
-  def insert(i: Int, comps: Component*): Composite =
+  def insert(i: Int, comps: Component*): Composite = {
+    require(
+      i >= 0 && i <= components.length,
+      s"insert index $i not in range [0, ${components.length}]")
     Composite(components.patch(i, Composite.flatten(comps), 0))
+  }
 
   /** Replace components in `[from, to]` inclusive
     * (reference: lib/composite/manipulations.ex:30-52).
     */
-  def replace(from: Int, to: Int, comps: Component*): Composite =
+  def replace(from: Int, to: Int, comps: Component*): Composite = {
+    requireRange(from, to)
     Composite(components.patch(from, Composite.flatten(comps), to - from + 1))
+  }
 
   /** Delete components in `[from, to]` inclusive
     * (reference: lib/composite/manipulations.ex:54-74).
     */
-  def delete(from: Int, to: Int): Composite =
+  def delete(from: Int, to: Int): Composite = {
+    requireRange(from, to)
     Composite(components.patch(from, Nil, to - from + 1))
+  }
 
   /** ASCII stream-graph (reference: lib/composite/topology.ex:9-33).
     * For the physical plan use `df.explain` on any flow stream instead.

@@ -87,6 +87,33 @@ class ComponentSpec extends SparkSpec {
     assert(c.delete(0, 0).components.isEmpty)
   }
 
+  test("splitter output may reuse the input stream name across chained splits") {
+    // reference: test/splitter_test.exs "when output stream has the same
+    // name as one of the input streams": numbers → {numbers: even, odd},
+    // then numbers → {numbers: >5, less} ⇒ numbers=[6,8,10], odd=[1,3,5,7,9],
+    // less=[2,4].
+    val flow: Flow = Map("numbers" -> (1 to 10).toDF("v"))
+    val step1 = Splitter.predicates(
+      "numbers", Seq("numbers" -> (col("v") % 2 === 0), "odd" -> (col("v") % 2 === 1)))(flow)
+    val out = Splitter.predicates(
+      "numbers", Seq("numbers" -> (col("v") > 5), "less" -> (col("v") <= 5)))(step1)
+    assert(out("numbers").as[Int].collect().sorted.toSeq == Seq(6, 8, 10))
+    assert(out("odd").as[Int].collect().sorted.toSeq == Seq(1, 3, 5, 7, 9))
+    assert(out("less").as[Int].collect().sorted.toSeq == Seq(2, 4))
+  }
+
+  test("manipulation indices out of range fail loudly (reference indicies_not_in_range)") {
+    // reference: test/composite/manipulations/delete_components_test.exs:36-55
+    val c = Composite(Seq(Transformer("s")(identity), Transformer("s")(identity)))
+    intercept[IllegalArgumentException](c.delete(-5, 10))
+    intercept[IllegalArgumentException](c.delete(0, 2))
+    intercept[IllegalArgumentException](c.delete(1, 0))
+    intercept[IllegalArgumentException](c.delete(-1, -2))
+    intercept[IllegalArgumentException](c.replace(0, 2, Transformer("s")(identity)))
+    intercept[IllegalArgumentException](c.insert(3, Transformer("s")(identity)))
+    intercept[IllegalArgumentException](c.insert(-1, Transformer("s")(identity)))
+  }
+
   test("renamer renames keys and fails fast on missing streams") {
     val flow: Flow = Map("a" -> Seq(1).toDF("v"))
     assert(Renamer(Map("a" -> "b"))(flow).keySet == Set("b"))
