@@ -24,8 +24,12 @@ final case class Mixer(inputs: Seq[String], output: String, noWait: Boolean = fa
   def apply(flow: Flow): Flow = {
     val dfs = inputs.map(n =>
       flow.getOrElse(n, throw new IllegalArgumentException(s"Mixer: missing stream '$n'")))
-    if (noWait) graft.core.NoWait.mark(output)
-    FlowOps.rewire(flow, inputs, Seq(output -> dfs.reduce(_ unionByName _)))
+    val mixed = dfs.reduce(_ unionByName _)
+    // Only a streaming mix marks: a batch Mixer(noWait) is a no-op by
+    // contract, and marking here would leak the session-global flag to
+    // an unrelated later streaming query on the same stream name.
+    if (noWait && mixed.isStreaming) graft.core.NoWait.mark(output)
+    FlowOps.rewire(flow, inputs, Seq(output -> mixed))
   }
 }
 

@@ -33,12 +33,26 @@ object TrainingData {
     */
   def hashKeep(keyCol: Column, fraction: Double, seed: String = "graft"): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
-    substring(md5(concat(lit(seed), lit(":"), keyCol.cast("string"))), 1, 8) < lit(hexThreshold(fraction))
+    keyHash(keyCol, seed) < lit(hexThreshold(fraction))
   }
 
-  /** `floor(fraction * 2^32)` as 8-digit lowercase hex. */
+  /** The shared sampling hash: first 8 hex chars of md5(seed:key). One
+    * definition so hashSample and stratifiedSample can never drift
+    * apart (their equality at a uniform fraction is a documented
+    * invariant, mirrored in the DuckDB oracles).
+    */
+  def keyHash(keyCol: Column, seed: String): Column =
+    substring(md5(concat(lit(seed), lit(":"), keyCol.cast("string"))), 1, 8)
+
+  /** `floor(fraction * 2^32)` as 8-digit lowercase hex; fraction 1.0
+    * maps to `"g"`, which sorts after every hex string, so keep-all
+    * really keeps ALL rows (a 0xffffffff threshold with the strict `<`
+    * would drop the ~1-in-4.3B rows whose hash prefix is exactly
+    * ffffffff).
+    */
   def hexThreshold(fraction: Double): String =
-    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+    if (fraction >= 1.0) "g"
+    else f"${(fraction * 4294967296.0).toLong}%08x"
 
   def hashSample(df: DataFrame, keyCol: Column, fraction: Double, seed: String = "graft"): DataFrame =
     df.where(hashKeep(keyCol, fraction, seed))
@@ -58,7 +72,7 @@ object TrainingData {
     val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
       case (acc, (stratum, f)) => when(strataCol === stratum, lit(hexThreshold(f))).otherwise(acc)
     }
-    df.where(substring(md5(concat(lit(seed), lit(":"), keyCol.cast("string"))), 1, 8) < threshold)
+    df.where(keyHash(keyCol, seed) < threshold)
   }
 
   /** Per-domain cap (corpus balancing): keep at most `k` rows per

@@ -89,8 +89,12 @@ final case class StreamSink(
     val df = flow.getOrElse(
       name, throw new IllegalArgumentException(s"StreamSink: no stream named '$name'"))
     val query = build(df).start()
-    StreamSink.register(query)
-    if (noWait || graft.core.NoWait.consume(name))
+    StreamSink.register(name, query)
+    // Consume the mark unconditionally: a stale mark left behind when
+    // the sink already has noWait=true would poison the NEXT query
+    // started on this stream name.
+    val marked = graft.core.NoWait.consume(name)
+    if (noWait || marked)
       StreamSink.awaitAnyInputDrained(query, noWaitTimeoutMs)
     else if (sync) { query.processAllAvailable(); query.stop() }
     flow - name
@@ -99,25 +103,30 @@ final case class StreamSink(
 
 object StreamSink {
   private val queries =
-    new java.util.concurrent.ConcurrentLinkedQueue[StreamingQuery]()
-  private def register(q: StreamingQuery): Unit = queries.add(q)
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, StreamingQuery)]()
+  private def register(name: String, q: StreamingQuery): Unit = queries.add(name -> q)
 
   /** All queries started by StreamSinks (the reference's "flow returned
     * to the caller" with runnable handles, lib/sink.ex:77-83).
     */
   def active: Seq[StreamingQuery] =
-    queries.toArray(Array.empty[StreamingQuery]).toSeq.filter(_.isActive)
+    queries.toArray(Array.empty[(String, StreamingQuery)]).toSeq.map(_._2).filter(_.isActive)
 
   /** The `no_wait` stop policy (reference: lib/gen_mix.ex:377-387 via
     * [[graft.operators.Mixer]]): block until some constituent source of
-    * the query reports fully-drained after a completed micro-batch
-    * (progress endOffset == latestOffset — the closest observable to
-    * the reference's "an input halted"), then stop the query. Infinite
-    * sources (rate/kafka) keep advancing their latest offset, so only a
+    * the query reports fully-drained across TWO consecutive completed
+    * micro-batches (progress endOffset == latestOffset — the closest
+    * observable to the reference's "an input halted"; one caught-up
+    * batch alone is just a momentary lull, so a repeat observation on a
+    * later batch is required), then stop the query. Infinite sources
+    * (rate/kafka) keep advancing their latest offset, so only a
     * genuinely finite side trips the stop — exactly the reference's
     * tick-plus-finite mixing idiom (test/mixer_test.exs:126-147).
-    * Throws on timeout: a no_wait mix of only-infinite inputs never
-    * halts, which is a caller error in a blocking context.
+    * A query that terminates on its own is handled by outcome: a failed
+    * query rethrows its StreamingQueryException; a normally-completed
+    * one (e.g. Trigger.AvailableNow — every input was finite) counts as
+    * drained. Throws on timeout: a no_wait mix of only-infinite inputs
+    * never halts, which is a caller error in a blocking context.
     */
   def awaitAnyInputDrained(
       query: StreamingQuery,
@@ -125,18 +134,32 @@ object StreamSink {
       pollMs: Long = 25L): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     var stopped = false
+    // Source indexes seen drained on the previous distinct batch, and
+    // that batch's id — the two-consecutive-batches memory.
+    var prevBatch = -1L
+    var prevDrained = Set.empty[Int]
     while (!stopped && query.isActive && System.currentTimeMillis() < deadline) {
       val p = query.lastProgress
-      val drained = p != null && p.sources.exists { s =>
-        s.endOffset != null && s.latestOffset != null && s.endOffset == s.latestOffset
+      if (p != null && p.batchId != prevBatch) {
+        val drainedNow = p.sources.zipWithIndex.collect {
+          case (s, i)
+              if s.endOffset != null && s.latestOffset != null &&
+                s.endOffset == s.latestOffset => i
+        }.toSet
+        if ((prevDrained intersect drainedNow).nonEmpty) { query.stop(); stopped = true }
+        else { prevBatch = p.batchId; prevDrained = drainedNow }
       }
-      if (drained) { query.stop(); stopped = true }
-      else Thread.sleep(pollMs)
+      if (!stopped) Thread.sleep(pollMs)
     }
     if (!stopped) {
-      if (query.isActive) query.stop()
-      throw new IllegalStateException(
-        s"no_wait: no input drained within ${timeoutMs}ms (all inputs appear unbounded)")
+      if (query.isActive) {
+        query.stop()
+        throw new IllegalStateException(
+          s"no_wait: no input drained within ${timeoutMs}ms (all inputs appear unbounded)")
+      }
+      // The query ended on its own: propagate a real failure, treat
+      // normal self-termination (all inputs finite) as drained.
+      query.exception.foreach(e => throw e)
     }
   }
 
@@ -144,7 +167,7 @@ object StreamSink {
   def drainAll(): Unit = {
     var q = queries.poll()
     while (q != null) {
-      if (q.isActive) { q.processAllAvailable(); q.stop() }
+      if (q._2.isActive) { q._2.processAllAvailable(); q._2.stop() }
       q = queries.poll()
     }
   }
@@ -152,12 +175,22 @@ object StreamSink {
   /** Stop every registered query immediately (no drain) — the first
     * half of the stop → rebuild → restart-from-checkpoint cycle.
     */
-  def stopAll(): Unit = {
+  def stopAll(): Unit = stopNamed(None)
+
+  /** Stop (and unregister) only the queries started by sinks with the
+    * given stream names, leaving unrelated pipelines running.
+    */
+  def stop(names: Set[String]): Unit = stopNamed(Some(names))
+
+  private def stopNamed(names: Option[Set[String]]): Unit = {
+    val keep = Seq.newBuilder[(String, StreamingQuery)]
     var q = queries.poll()
     while (q != null) {
-      if (q.isActive) q.stop()
+      if (names.forall(_.contains(q._1))) { if (q._2.isActive) q._2.stop() }
+      else keep += q
       q = queries.poll()
     }
+    keep.result().foreach(queries.add)
   }
 
   def parquet(name: String, path: String, checkpoint: String): StreamSink =
@@ -195,7 +228,15 @@ object Restart {
       composite: graft.core.Composite,
       flow: Flow)(
       rewrite: graft.core.Composite => graft.core.Composite): Flow = {
-    StreamSink.stopAll()
+    // Stop ONLY this composite's queries (matched by its StreamSinks'
+    // stream names) — unrelated pipelines in the session keep running.
+    def sinks(cs: Seq[graft.core.Component]): Seq[String] = cs.flatMap {
+      case s: StreamSink           => Seq(s.name)
+      case c: graft.core.Composite => sinks(c.components)
+      case _                       => Nil
+    }
+    val sinkNames = sinks(composite.components).toSet
+    if (sinkNames.nonEmpty) StreamSink.stop(sinkNames) else StreamSink.stopAll()
     rewrite(composite)(flow)
   }
 }
