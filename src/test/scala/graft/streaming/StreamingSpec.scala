@@ -96,6 +96,58 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).as[Int].collect().sorted.toSeq == Seq(1, 2, 30, 40))
   }
 
+  test("restart is scoped: an unrelated pipeline keeps running across replaceAndRestart") {
+    import java.nio.file.{Files, Path}
+    implicit val sqlCtx = spark.sqlContext
+    // Unrelated async pipeline B on its own stream name.
+    val bIn = MemoryStream[Int]
+    bIn.addData(7)
+    val bFlow = graft.core.Composite(Seq(
+      StreamSource.of("other", bIn.toDF()),
+      StreamSink.memory("other", "scoped_b_out")))(EmptyFlow)
+    assert(bFlow.isEmpty && StreamSink.active.nonEmpty)
+
+    // Pipeline A: the checkpointed file pipeline being rewired.
+    val dir = Files.createTempDirectory("graft_scope_in_").toString
+    val out = Files.createTempDirectory("graft_scope_out_").toString
+    val ckpt = Files.createTempDirectory("graft_scope_ckpt_").toString
+    def sink = StreamSink("nums", _.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()), sync = true)
+    Files.writeString(Path.of(dir, "f1.txt"), "1\n")
+    val a = graft.core.Composite(Seq(
+      StreamSource.text("nums", dir),
+      Transformer("nums")(_.select(col("value").cast("int").as("v"))),
+      sink))
+    assert(a(EmptyFlow).isEmpty)
+
+    Files.writeString(Path.of(dir, "f2.txt"), "2\n")
+    Restart.replaceAndRestart(a, EmptyFlow)(identity)
+    // B's query survived the restart of A (stop was scoped to A's sink).
+    assert(StreamSink.active.nonEmpty)
+    assert(spark.read.parquet(out).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    StreamSink.stopAll()
+  }
+
+  test("no_wait on an all-finite AvailableNow query: normal self-termination counts as drained") {
+    // awaitAnyInputDrained must not mistake normal completion for the
+    // all-inputs-unbounded timeout error.
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("graft_nw_in_").toString
+    val out = Files.createTempDirectory("graft_nw_out_").toString
+    val ckpt = Files.createTempDirectory("graft_nw_ckpt_").toString
+    Files.writeString(Path.of(dir, "f1.txt"), "5\n6\n")
+    val flow = graft.core.Composite(Seq(
+      StreamSource.text("nums", dir),
+      Transformer("nums")(_.select(col("value").cast("int").as("v"))),
+      StreamSink("nums", _.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        noWait = true)))(graft.EmptyFlow) // returns without throwing
+    assert(flow.isEmpty)
+    assert(spark.read.parquet(out).as[Int].collect().sorted.toSeq == Seq(5, 6))
+  }
+
   test("parcels CEP: SLA precedence, completeness, and out-of-order shipments") {
     implicit val sqlCtx = spark.sqlContext
     import ParcelsCep._
