@@ -19,8 +19,11 @@ object Ranking {
   /** Per-(doc, term) tf, TF-IDF (`tf · ln(N/df)`) and Okapi BM25
     * (`idf_bm25 · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))` with
     * `idf_bm25 = ln((N-df+0.5)/(df+0.5) + 1)`). Scores are rounded to
-    * 4 decimals — deterministic cross-engine (the inputs to every
-    * division are exact integer aggregates).
+    * 4 decimals; the inputs to every division are exact integer
+    * aggregates, so the only residual cross-engine hazard is ln()
+    * itself (not guaranteed correctly-rounded by either libm) landing
+    * within 1 ulp of a .00005 rounding boundary — ~1e-7 probability
+    * per corpus, accepted and called out rather than hidden.
     */
   def termScores(
       df: DataFrame,

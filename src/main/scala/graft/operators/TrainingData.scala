@@ -99,6 +99,9 @@ object TrainingData {
       window: Int,
       stride: Int): DataFrame = {
     require(window > 0 && stride > 0, s"window/stride must be positive, got $window/$stride")
+    // stride > window would silently skip the tokens between chunks,
+    // breaking the every-token-covered contract documented above.
+    require(stride <= window, s"stride ($stride) must be <= window ($window) for full coverage")
     val nChunks = greatest(
       ceil((size(col("_ws")) - lit(window)).cast("double") / lit(stride)) + lit(1L), lit(1L))
     df.select(idCols.map(col) :+ words(col(textCol)).as("_ws"): _*)

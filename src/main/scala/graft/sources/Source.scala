@@ -65,7 +65,7 @@ object Source {
       out: java.io.PrintStream = System.out): Source =
     Source(name, { spark =>
       val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in))
-      val lines = Iterator.continually { out.print(prompt); reader.readLine() }
+      val lines = Iterator.continually { out.print(prompt); out.flush(); reader.readLine() }
         .takeWhile(_ != null).map(_.trim).toSeq
       import spark.implicits._
       spark.createDataset(lines).toDF()

@@ -102,52 +102,77 @@ final case class StreamSink(
 }
 
 object StreamSink {
+  // All registry mutations run under this lock: drain-and-re-add in
+  // stopNamed would otherwise open a window where a concurrent
+  // drainAll/active sees an empty queue and misses live queries.
   private val queries =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, StreamingQuery)]()
-  private def register(name: String, q: StreamingQuery): Unit = queries.add(name -> q)
+  private def register(name: String, q: StreamingQuery): Unit =
+    queries.synchronized { queries.add(name -> q); () }
 
   /** All queries started by StreamSinks (the reference's "flow returned
     * to the caller" with runnable handles, lib/sink.ex:77-83).
     */
-  def active: Seq[StreamingQuery] =
+  def active: Seq[StreamingQuery] = queries.synchronized {
     queries.toArray(Array.empty[(String, StreamingQuery)]).toSeq.map(_._2).filter(_.isActive)
+  }
 
   /** The `no_wait` stop policy (reference: lib/gen_mix.ex:377-387 via
-    * [[graft.operators.Mixer]]): block until some constituent source of
-    * the query reports fully-drained across TWO consecutive completed
-    * micro-batches (progress endOffset == latestOffset — the closest
-    * observable to the reference's "an input halted"; one caught-up
-    * batch alone is just a momentary lull, so a repeat observation on a
-    * later batch is required), then stop the query. Infinite sources
-    * (rate/kafka) keep advancing their latest offset, so only a
-    * genuinely finite side trips the stop — exactly the reference's
-    * tick-plus-finite mixing idiom (test/mixer_test.exs:126-147).
-    * A query that terminates on its own is handled by outcome: a failed
-    * query rethrows its StreamingQueryException; a normally-completed
-    * one (e.g. Trigger.AvailableNow — every input was finite) counts as
-    * drained. Throws on timeout: a no_wait mix of only-infinite inputs
-    * never halts, which is a caller error in a blocking context.
+    * [[graft.operators.Mixer]]): stop the query once some constituent
+    * input has halted. Spark exposes no "source ended" signal, so the
+    * observable is **a source whose endOffset stops advancing across
+    * `confirmBatches` consecutive completed micro-batches** while the
+    * query keeps batching (the live side keeps producing batches; a
+    * drained finite side contributes nothing to any of them). An
+    * end==latest comparison would be wrong on both sides of the mix:
+    * rate/kafka report caught-up (end == latest) on nearly every
+    * healthy batch, and MemoryStream reports no latestOffset at all.
+    * Two supplementary paths close the gaps:
+    *  - no further batch AT ALL for `confirmMs` after the last
+    *    progress ⇒ nothing is arriving anywhere ⇒ stop (an all-finite
+    *    default-trigger query runs one batch and never another);
+    *  - a query that terminates on its own rethrows its real failure,
+    *    and normal self-termination (Trigger.AvailableNow — every
+    *    input finite) counts as drained.
+    * Residual heuristic, by construction: a source that is merely idle
+    * for `confirmBatches` full batch cycles (or `confirmMs` of total
+    * silence) is indistinguishable from a halted one — raise the knobs
+    * for bursty production sources. Throws on timeout: a no_wait mix
+    * of only-advancing inputs never halts, which is a caller error in
+    * a blocking context.
     */
   def awaitAnyInputDrained(
       query: StreamingQuery,
       timeoutMs: Long = 30000L,
-      pollMs: Long = 25L): Unit = {
+      pollMs: Long = 25L,
+      confirmMs: Long = 1000L,
+      confirmBatches: Int = 2): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     var stopped = false
-    // Source indexes seen drained on the previous distinct batch, and
-    // that batch's id — the two-consecutive-batches memory.
-    var prevBatch = -1L
-    var prevDrained = Set.empty[Int]
+    var curBatch = -1L
+    var lastEnds = Map.empty[Int, String] // per-source endOffset at curBatch
+    var streaks = Map.empty[Int, Int] // consecutive batch transitions with no advancement
+    var lastProgressAt = 0L
     while (!stopped && query.isActive && System.currentTimeMillis() < deadline) {
       val p = query.lastProgress
-      if (p != null && p.batchId != prevBatch) {
-        val drainedNow = p.sources.zipWithIndex.collect {
-          case (s, i)
-              if s.endOffset != null && s.latestOffset != null &&
-                s.endOffset == s.latestOffset => i
-        }.toSet
-        if ((prevDrained intersect drainedNow).nonEmpty) { query.stop(); stopped = true }
-        else { prevBatch = p.batchId; prevDrained = drainedNow }
+      if (p != null) {
+        if (p.batchId != curBatch) {
+          val ends = p.sources.zipWithIndex.map { case (s, i) =>
+            i -> String.valueOf(s.endOffset)
+          }.toMap
+          if (curBatch >= 0L) {
+            streaks = ends.map { case (i, e) =>
+              i -> (if (lastEnds.get(i).contains(e)) streaks.getOrElse(i, 0) + 1 else 0)
+            }
+            if (streaks.values.exists(_ >= confirmBatches)) { query.stop(); stopped = true }
+          }
+          curBatch = p.batchId
+          lastEnds = ends
+          lastProgressAt = System.currentTimeMillis()
+        } else if (lastProgressAt > 0L &&
+            System.currentTimeMillis() - lastProgressAt >= confirmMs) {
+          query.stop(); stopped = true
+        }
       }
       if (!stopped) Thread.sleep(pollMs)
     }
@@ -164,7 +189,7 @@ object StreamSink {
   }
 
   /** Let every active query drain its available input, then stop it. */
-  def drainAll(): Unit = {
+  def drainAll(): Unit = queries.synchronized {
     var q = queries.poll()
     while (q != null) {
       if (q._2.isActive) { q._2.processAllAvailable(); q._2.stop() }
@@ -182,7 +207,7 @@ object StreamSink {
     */
   def stop(names: Set[String]): Unit = stopNamed(Some(names))
 
-  private def stopNamed(names: Option[Set[String]]): Unit = {
+  private def stopNamed(names: Option[Set[String]]): Unit = queries.synchronized {
     val keep = Seq.newBuilder[(String, StreamingQuery)]
     var q = queries.poll()
     while (q != null) {
@@ -235,8 +260,11 @@ object Restart {
       case c: graft.core.Composite => sinks(c.components)
       case _                       => Nil
     }
+    // A composite with no StreamSink owns no queries — stop nothing
+    // (falling back to stopAll here would kill unrelated pipelines,
+    // the exact hazard this scoping exists to prevent).
     val sinkNames = sinks(composite.components).toSet
-    if (sinkNames.nonEmpty) StreamSink.stop(sinkNames) else StreamSink.stopAll()
+    if (sinkNames.nonEmpty) StreamSink.stop(sinkNames)
     rewrite(composite)(flow)
   }
 }

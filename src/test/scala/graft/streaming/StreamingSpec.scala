@@ -129,6 +129,24 @@ class StreamingSpec extends SparkSpec {
     StreamSink.stopAll()
   }
 
+  test("no_wait with only finite inputs on a default trigger stops via the standing-drain path") {
+    // With no rate side there is no second micro-batch to confirm the
+    // drain — the caught-up report standing for confirmMs with no
+    // further batch must stop the query (not the 30 s timeout error).
+    implicit val sqlCtx = spark.sqlContext
+    val x = MemoryStream[Int]; val y = MemoryStream[Int]
+    x.addData(1, 2); y.addData(3)
+    val t0 = System.currentTimeMillis()
+    val flow = graft.core.Composite(Seq(
+      StreamSource.of("x", x.toDF()),
+      StreamSource.of("y", y.toDF()),
+      graft.operators.Mixer(Seq("x", "y"), "fmix", noWait = true),
+      StreamSink.memory("fmix", "fmix_out")))(EmptyFlow)
+    assert(flow.isEmpty)
+    assert(System.currentTimeMillis() - t0 < 25000L) // stopped well before the timeout
+    assert(spark.table("fmix_out").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("no_wait on an all-finite AvailableNow query: normal self-termination counts as drained") {
     // awaitAnyInputDrained must not mistake normal completion for the
     // all-inputs-unbounded timeout error.
