@@ -396,6 +396,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    // One-call survivor selection: drop near-duplicates, keep each
+    // cluster's min-id representative.
+    "q_dedup_survivors" -> ((s, d) =>
+      Dedup.dropNearDuplicates(
+        t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // MinHash+LSH recall gate: banding may only LOSE pairs relative to
     // the exact (df-capped) n-gram Jaccard set. The catch probability
     // under 16 bands × 4 rows is 1-(1-j⁴)¹⁶ — 0.645 at j=0.50, →1 as
@@ -1009,6 +1017,33 @@ object SparkEntry {
          |SELECT train_id, bench_id, count(*) AS n_shared
          |FROM tg JOIN rare USING (g) JOIN bg USING (g)
          |GROUP BY train_id, bench_id HAVING count(*) >= 3""".stripMargin,
+
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id AS id, list_distinct(CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS sh
+         |  FROM documents),
+         |postings AS (SELECT id, unnest(sh) AS g FROM docs),
+         |rare AS (SELECT g FROM postings GROUP BY g
+         |  HAVING count(*) <= 100 AND count(*) >= 2),
+         |filtered AS (SELECT p.id, p.g FROM postings p JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id),
+         |edges AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |  len(list_intersect(da.sh, db.sh))::DOUBLE /
+         |  len(list_distinct(list_concat(da.sh, db.sh))) AS j
+         |  FROM cand JOIN docs da ON cand.id_a = da.id
+         |  JOIN docs db ON cand.id_b = db.id) WHERE j >= 0.2),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS node FROM documents
+         |  UNION
+         |  SELECT r.src, CASE WHEN e.id_a = r.node THEN e.id_b ELSE e.id_a END
+         |  FROM reach r JOIN edges e ON r.node = e.id_a OR r.node = e.id_b),
+         |labels AS (SELECT src AS id, min(node) AS component FROM reach GROUP BY src)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id IN (SELECT id FROM labels WHERE id = component)""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""${ngramPairsSql(0.5)}

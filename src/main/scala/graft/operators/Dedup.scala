@@ -294,6 +294,26 @@ object Dedup {
     labels
   }
 
+  /** One-call near-duplicate removal: n-gram Jaccard pair generation →
+    * connected components → keep each cluster's representative (the
+    * smallest id). The composition every dedup user actually wants;
+    * the staged forms remain available for pipelines that need the
+    * pairs or labels themselves.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold, maxDocFreq)
+    val labels = connectedComponents(df.select(col(idCol)), idCol, pairs)
+    df.join(
+      labels.where(col("id") === col("component")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Embedding near-duplicate pairs: sign-random-projection buckets
     * (multi-table for recall), verify with exact cosine. The join key is
     * (table, bucket) — shuffle carries ids + vectors once per table.

@@ -30,6 +30,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dropNearDuplicates keeps exactly each cluster's min-id representative") {
+    val out = Dedup.dropNearDuplicates(docs, "doc_id", "text", shingleSize = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // 1,2,4 cluster together (1 survives); 3 is its own cluster.
+    assert(out == Set(1L, 3L))
+  }
+
   test("simhashPairs blocks correctly for the requested hamming radius") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -166,6 +166,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).as[Int].collect().sorted.toSeq == Seq(5, 6))
   }
 
+  test("stateless corpus operators apply to streams unchanged (sampling + redaction)") {
+    // hashKeep/redactPii are pure projections, so the same Transformer
+    // runs on a streaming flow with no code change — the Flow carrying
+    // streaming DataFrames transparently is the core design claim.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "mail a@b.co now"), (2L, "clean"), (3L, "call 555-123-4567"))
+    val flow = graft.core.Composite(Seq(
+      StreamSource.of("docs", in.toDF().toDF("id", "text")),
+      Transformer("docs")(df => df
+        .where(graft.operators.TrainingData.hashKeep(col("id"), 1.0))
+        .select(col("id"), graft.operators.TrainingData.redactPii(col("text")).as("text"))),
+      StreamSink.memory("docs", "stateless_out").copy(sync = true)))(EmptyFlow)
+    assert(flow.isEmpty)
+    val out = spark.table("stateless_out").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "mail <EMAIL> now", 2L -> "clean", 3L -> "call <PHONE>"))
+  }
+
   test("parcels CEP: SLA precedence, completeness, and out-of-order shipments") {
     implicit val sqlCtx = spark.sqlContext
     import ParcelsCep._
