@@ -191,6 +191,10 @@ final case class Renamer(mapping: Map[String, String]) extends Component {
   def apply(flow: Flow): Flow = {
     val missing = mapping.keys.filterNot(flow.contains)
     require(missing.isEmpty, s"Renamer: missing stream(s): ${missing.mkString(", ")}")
+    // A no_wait mark travels with the stream it describes — without the
+    // transfer, renaming between the Mixer and the StreamSink would
+    // silently drop the stop policy AND leave a stale mark behind.
+    mapping.foreach { case (from, to) => if (NoWait.consume(from)) NoWait.mark(to) }
     val renamed = mapping.map { case (from, to) => to -> flow(from) }
     renamed.foldLeft(flow -- mapping.keys) { case (f, (n, df)) => FlowOps.merge(f, n, df) }
   }

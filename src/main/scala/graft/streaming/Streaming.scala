@@ -47,8 +47,11 @@ object StreamSource {
   * documented divergence: sufficiently late data is dropped.
   */
 final case class Watermark(name: String, tsCol: String, delay: String) extends Component {
-  def apply(flow: Flow): Flow =
-    flow.updated(name, flow(name).withWatermark(tsCol, delay))
+  def apply(flow: Flow): Flow = {
+    val df = flow.getOrElse(
+      name, throw new IllegalArgumentException(s"Watermark: no stream named '$name'"))
+    flow.updated(name, df.withWatermark(tsCol, delay))
+  }
 }
 
 /** Tumbling/sliding event-time window aggregation over a stream —
@@ -62,8 +65,22 @@ object WindowedAgg {
       width: String,
       aggs: Seq[org.apache.spark.sql.Column],
       groupBy: Seq[org.apache.spark.sql.Column] = Nil): Component =
+    sliding(name, tsCol, width, width, aggs, groupBy)
+
+  /** Sliding windows: a window of `width` every `slide` (tumbling when
+    * equal — [[tumbling]] is that special case).
+    */
+  def sliding(
+      name: String,
+      tsCol: String,
+      width: String,
+      slide: String,
+      aggs: Seq[org.apache.spark.sql.Column],
+      groupBy: Seq[org.apache.spark.sql.Column] = Nil): Component = {
+    require(aggs.nonEmpty, "WindowedAgg: at least one aggregate column is required")
     graft.operators.Transformer(name)(df =>
-      df.groupBy(window(col(tsCol), width) +: groupBy: _*).agg(aggs.head, aggs.tail: _*))
+      df.groupBy(window(col(tsCol), width, slide) +: groupBy: _*).agg(aggs.head, aggs.tail: _*))
+  }
 }
 
 /** Streaming dedup with bounded state — dropDuplicatesWithinWatermark. */
@@ -88,12 +105,12 @@ final case class StreamSink(
   def apply(flow: Flow): Flow = {
     val df = flow.getOrElse(
       name, throw new IllegalArgumentException(s"StreamSink: no stream named '$name'"))
+    // Consume the mark unconditionally and BEFORE start(): a stale
+    // mark left behind on a failed start (or when the sink already has
+    // noWait=true) would poison the NEXT query on this stream name.
+    val marked = graft.core.NoWait.consume(name)
     val query = build(df).start()
     StreamSink.register(name, query)
-    // Consume the mark unconditionally: a stale mark left behind when
-    // the sink already has noWait=true would poison the NEXT query
-    // started on this stream name.
-    val marked = graft.core.NoWait.consume(name)
     if (noWait || marked)
       StreamSink.awaitAnyInputDrained(query, noWaitTimeoutMs)
     else if (sync) { query.processAllAvailable(); query.stop() }
@@ -102,20 +119,27 @@ final case class StreamSink(
 }
 
 object StreamSink {
-  // All registry mutations run under this lock: drain-and-re-add in
-  // stopNamed would otherwise open a window where a concurrent
-  // drainAll/active sees an empty queue and misses live queries.
-  private val queries =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, StreamingQuery)]()
+  // One plain buffer under one lock. The lock covers REGISTRY state
+  // only — blocking Spark calls (processAllAvailable, stop) always run
+  // on a snapshot taken outside it, so a never-returning drain on an
+  // unbounded source cannot deadlock register/active/stop callers.
+  private val registry = scala.collection.mutable.ArrayBuffer.empty[(String, StreamingQuery)]
   private def register(name: String, q: StreamingQuery): Unit =
-    queries.synchronized { queries.add(name -> q); () }
+    registry.synchronized { registry += (name -> q); () }
+
+  /** Remove and return the entries matching the predicate. */
+  private def take(p: ((String, StreamingQuery)) => Boolean): Seq[(String, StreamingQuery)] =
+    registry.synchronized {
+      val (out, keep) = registry.partition(p)
+      registry.clear(); registry ++= keep
+      out.toSeq
+    }
 
   /** All queries started by StreamSinks (the reference's "flow returned
     * to the caller" with runnable handles, lib/sink.ex:77-83).
     */
-  def active: Seq[StreamingQuery] = queries.synchronized {
-    queries.toArray(Array.empty[(String, StreamingQuery)]).toSeq.map(_._2).filter(_.isActive)
-  }
+  def active: Seq[StreamingQuery] =
+    registry.synchronized(registry.map(_._2).toSeq).filter(_.isActive)
 
   /** The `no_wait` stop policy (reference: lib/gen_mix.ex:377-387 via
     * [[graft.operators.Mixer]]): stop the query once some constituent
@@ -152,27 +176,32 @@ object StreamSink {
     var curBatch = -1L
     var lastEnds = Map.empty[Int, String] // per-source endOffset at curBatch
     var streaks = Map.empty[Int, Int] // consecutive batch transitions with no advancement
-    var lastProgressAt = 0L
+    // Armed from the start so a query that never executes a batch at
+    // all (every input empty) still stops via the silence path instead
+    // of hitting the timeout error.
+    var lastProgressAt = System.currentTimeMillis()
     while (!stopped && query.isActive && System.currentTimeMillis() < deadline) {
       val p = query.lastProgress
-      if (p != null) {
-        if (p.batchId != curBatch) {
-          val ends = p.sources.zipWithIndex.map { case (s, i) =>
-            i -> String.valueOf(s.endOffset)
-          }.toMap
-          if (curBatch >= 0L) {
-            streaks = ends.map { case (i, e) =>
-              i -> (if (lastEnds.get(i).contains(e)) streaks.getOrElse(i, 0) + 1 else 0)
-            }
-            if (streaks.values.exists(_ >= confirmBatches)) { query.stop(); stopped = true }
+      if (p != null && p.batchId != curBatch) {
+        val ends = p.sources.zipWithIndex.map { case (s, i) =>
+          i -> String.valueOf(s.endOffset)
+        }.toMap
+        if (curBatch >= 0L) {
+          streaks = ends.map { case (i, e) =>
+            i -> (if (lastEnds.get(i).contains(e)) streaks.getOrElse(i, 0) + 1 else 0)
           }
-          curBatch = p.batchId
-          lastEnds = ends
-          lastProgressAt = System.currentTimeMillis()
-        } else if (lastProgressAt > 0L &&
-            System.currentTimeMillis() - lastProgressAt >= confirmMs) {
-          query.stop(); stopped = true
+          if (streaks.values.exists(_ >= confirmBatches)) { query.stop(); stopped = true }
         }
+        curBatch = p.batchId
+        lastEnds = ends
+        lastProgressAt = System.currentTimeMillis()
+      } else if (System.currentTimeMillis() - lastProgressAt >= confirmMs &&
+          !query.status.isTriggerActive && !query.status.isDataAvailable) {
+        // Silence ≠ a long-running micro-batch: lastProgress only
+        // updates on batch COMPLETION, so an executing trigger (or
+        // known-available data) must never be interrupted — only stop
+        // when the engine itself reports idle with nothing to do.
+        query.stop(); stopped = true
       }
       if (!stopped) Thread.sleep(pollMs)
     }
@@ -189,13 +218,10 @@ object StreamSink {
   }
 
   /** Let every active query drain its available input, then stop it. */
-  def drainAll(): Unit = queries.synchronized {
-    var q = queries.poll()
-    while (q != null) {
-      if (q._2.isActive) { q._2.processAllAvailable(); q._2.stop() }
-      q = queries.poll()
+  def drainAll(): Unit =
+    take(_ => true).foreach { case (_, q) =>
+      if (q.isActive) { q.processAllAvailable(); q.stop() }
     }
-  }
 
   /** Stop every registered query immediately (no drain) — the first
     * half of the stop → rebuild → restart-from-checkpoint cycle.
@@ -207,16 +233,9 @@ object StreamSink {
     */
   def stop(names: Set[String]): Unit = stopNamed(Some(names))
 
-  private def stopNamed(names: Option[Set[String]]): Unit = queries.synchronized {
-    val keep = Seq.newBuilder[(String, StreamingQuery)]
-    var q = queries.poll()
-    while (q != null) {
-      if (names.forall(_.contains(q._1))) { if (q._2.isActive) q._2.stop() }
-      else keep += q
-      q = queries.poll()
-    }
-    keep.result().foreach(queries.add)
-  }
+  private def stopNamed(names: Option[Set[String]]): Unit =
+    take(e => names.forall(_.contains(e._1)))
+      .foreach { case (_, q) => if (q.isActive) q.stop() }
 
   def parquet(name: String, path: String, checkpoint: String): StreamSink =
     StreamSink(name, _.writeStream.format("parquet")

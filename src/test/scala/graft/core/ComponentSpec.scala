@@ -114,6 +114,13 @@ class ComponentSpec extends SparkSpec {
     intercept[IllegalArgumentException](c.insert(-1, Transformer("s")(identity)))
   }
 
+  test("renamer carries a no_wait mark to the new stream name") {
+    NoWait.mark("m1")
+    Renamer(Map("m1" -> "m2"))(Map("m1" -> Seq(1).toDF("v")))
+    assert(!NoWait.consume("m1")) // old mark gone
+    assert(NoWait.consume("m2")) // policy travelled with the stream
+  }
+
   test("renamer renames keys and fails fast on missing streams") {
     val flow: Flow = Map("a" -> Seq(1).toDF("v"))
     assert(Renamer(Map("a" -> "b"))(flow).keySet == Set("b"))
