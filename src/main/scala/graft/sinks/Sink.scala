@@ -49,6 +49,26 @@ object Sink {
   def orc(name: String, path: String, sync: Boolean = true): Sink =
     Sink(name, _.write.mode("overwrite").orc(path), sync)
 
+  /** Bucketed, sorted parquet table — the write side of the
+    * co-located-join path (BucketingSpec proves two tables bucketed on
+    * the same key join with ZERO exchanges): at 100 TB, bucketing the
+    * big fact tables once amortizes the join shuffle across every
+    * downstream query. Bucketed writes go through the catalog
+    * (`saveAsTable`) — plain path writes cannot carry bucket metadata.
+    */
+  def bucketedTable(
+      name: String,
+      table: String,
+      buckets: Int,
+      bucketCols: Seq[String],
+      sync: Boolean = true): Sink = {
+    require(buckets > 0 && bucketCols.nonEmpty, "bucketedTable needs buckets > 0 and at least one column")
+    Sink(name, _.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table), sync)
+  }
+
   /** Appends each event + separator to a text file
     * (reference: lib/sink/write_lines.ex:9-29). Single-column string
     * streams only, as in the reference.

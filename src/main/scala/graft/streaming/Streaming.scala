@@ -38,6 +38,13 @@ object StreamSource {
   def parquet(name: String, dir: String, schema: StructType): StreamSource =
     StreamSource(name, _.readStream.schema(schema).parquet(dir))
 
+  def csv(name: String, dir: String, schema: StructType, header: Boolean = true): StreamSource =
+    StreamSource(name, _.readStream.schema(schema)
+      .option("header", header.toString).csv(dir))
+
+  def json(name: String, dir: String, schema: StructType): StreamSource =
+    StreamSource(name, _.readStream.schema(schema).json(dir))
+
   /** An existing streaming DataFrame (e.g. a MemoryStream in tests). */
   def of(name: String, df: DataFrame): StreamSource = StreamSource(name, _ => df)
 }

@@ -14,8 +14,10 @@ class BucketingSpec extends SparkSpec {
     val orders = (1L to 1000L).map(i => (i, i % 7)).toDF("order_id", "status")
     val items = (1L to 3000L).map(i => (i % 1000 + 1, i)).toDF("order_id", "item_id")
 
-    orders.write.mode("overwrite").bucketBy(8, "order_id").sortBy("order_id")
-      .saveAsTable("orders_bkt")
+    // One side written through the Sink API, the other directly — both
+    // must carry identical bucket metadata for the exchange-free join.
+    graft.sinks.Sink.bucketedTable("orders", "orders_bkt", 8, Seq("order_id"))(
+      Map("orders" -> orders))
     items.write.mode("overwrite").bucketBy(8, "order_id").sortBy("order_id")
       .saveAsTable("items_bkt")
     // Disable auto-broadcast: tiny test tables would otherwise be

@@ -166,6 +166,21 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).as[Int].collect().sorted.toSeq == Seq(5, 6))
   }
 
+  test("csv stream source reads directory drops with the declared schema") {
+    import java.nio.file.{Files, Path}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv_in_").toString
+    Files.writeString(Path.of(dir, "a.csv"), "id,qty\n1,10\n2,20\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType)))
+    val flow = graft.core.Composite(Seq(
+      StreamSource.csv("rows", dir, schema),
+      StreamSink.memory("rows", "csv_out").copy(sync = true)))(EmptyFlow)
+    assert(flow.isEmpty)
+    assert(spark.table("csv_out").as[(Long, Int)].collect().sorted.toSeq ==
+      Seq((1L, 10), (2L, 20)))
+  }
+
   test("stateless corpus operators apply to streams unchanged (sampling + redaction)") {
     // hashKeep/redactPii are pure projections, so the same Transformer
     // runs on a streaming flow with no code change — the Flow carrying
