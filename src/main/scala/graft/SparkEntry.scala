@@ -396,6 +396,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
 
+    // Fuzzy (edit-distance <= 1) self-join over supplier names — the
+    // entity-resolution primitive; consecutive TPC-H supplier names
+    // differ in single digits, so the match set is non-vacuous.
+    "q_fuzzy_join" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+      Dedup.fuzzyJoin(sup, sup, "s_name", "s_name", maxEdit = 1)
+        .where(col("left_val") < col("right_val"))
+    }),
+
     // One-call survivor selection: drop near-duplicates, keep each
     // cluster's min-id representative.
     "q_dedup_survivors" -> ((s, d) =>
@@ -1017,6 +1026,12 @@ object SparkEntry {
          |SELECT train_id, bench_id, count(*) AS n_shared
          |FROM tg JOIN rare USING (g) JOIN bg USING (g)
          |GROUP BY train_id, bench_id HAVING count(*) >= 3""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """SELECT a.s_name AS left_val, b.s_name AS right_val,
+        |levenshtein(a.s_name, b.s_name) AS edit_dist
+        |FROM supplier a JOIN supplier b ON a.s_name < b.s_name
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
 
     "q_dedup_survivors" ->
       s"""WITH RECURSIVE docs AS (

@@ -294,6 +294,43 @@ object Dedup {
     labels
   }
 
+  /** Fuzzy (edit-distance) join over the distinct values of two string
+    * columns: pairs with `levenshtein(a, b) <= maxEdit`, the entity-
+    * resolution primitive. Candidates are blocked on shared character
+    * q-grams (df-capped postings, like [[ngramJaccardPairs]]) plus a
+    * length band (|len(a)-len(b)| <= maxEdit, necessary for any match)
+    * and verified with the exact codegen `levenshtein`. Pigeonhole
+    * completeness: k edits disturb at most k·q q-grams, so values with
+    * at least `len - q + 1 - maxEdit·q > 0` shared grams always meet in
+    * a block — the blocking only loses pairs whose every shared gram
+    * exceeds `maxDocFreq` (raise it when exactness matters more than
+    * the stop-gram guard).
+    */
+  def fuzzyJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxEdit: Int,
+      q: Int = 2,
+      maxDocFreq: Int = 10000): DataFrame = {
+    require(maxEdit >= 0, s"maxEdit must be >= 0, got $maxEdit")
+    require(q >= 1, s"q must be >= 1, got $q")
+    def grams(df: DataFrame, c: String, as: String) =
+      df.select(col(c).as(as)).where(col(as).isNotNull).distinct()
+        .select(col(as), explode(array_distinct(charShingles(col(as), q))).as("g"))
+    val lg = grams(left, leftCol, "left_val")
+    val rg = grams(right, rightCol, "right_val")
+    val rare = lg.select(col("g")).unionAll(rg.select(col("g")))
+      .groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
+    lg.join(rare, "g").join(rg, "g")
+      .select(col("left_val"), col("right_val"))
+      .where(abs(length(col("left_val")) - length(col("right_val"))) <= maxEdit)
+      .dropDuplicates("left_val", "right_val")
+      .withColumn("edit_dist", levenshtein(col("left_val"), col("right_val")))
+      .where(col("edit_dist") <= maxEdit)
+  }
+
   /** One-call near-duplicate removal: n-gram Jaccard pair generation →
     * connected components → keep each cluster's representative (the
     * smallest id). The composition every dedup user actually wants;

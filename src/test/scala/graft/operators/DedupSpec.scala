@@ -30,6 +30,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("fuzzyJoin finds exactly the pairs within the edit-distance bound") {
+    val a = Seq("kitten", "sitting", "flour", "completely-different").toDF("v")
+    val b = Seq("mitten", "kitten", "flower", "flour").toDF("v")
+    val out = Dedup.fuzzyJoin(a, b, "v", "v", maxEdit = 2)
+      .select("left_val", "right_val", "edit_dist")
+      .as[(String, String, Int)].collect().toSet
+    assert(out == Set(
+      ("kitten", "mitten", 1), ("kitten", "kitten", 0),
+      ("flour", "flower", 2), ("flour", "flour", 0)))
+  }
+
   test("dropNearDuplicates keeps exactly each cluster's min-id representative") {
     val out = Dedup.dropNearDuplicates(docs, "doc_id", "text", shingleSize = 2, threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
