@@ -296,15 +296,18 @@ object Dedup {
 
   /** Fuzzy (edit-distance) join over the distinct values of two string
     * columns: pairs with `levenshtein(a, b) <= maxEdit`, the entity-
-    * resolution primitive. Candidates are blocked on shared character
-    * q-grams (df-capped postings, like [[ngramJaccardPairs]]) plus a
-    * length band (|len(a)-len(b)| <= maxEdit, necessary for any match)
-    * and verified with the exact codegen `levenshtein`. Pigeonhole
-    * completeness: k edits disturb at most k·q q-grams, so values with
-    * at least `len - q + 1 - maxEdit·q > 0` shared grams always meet in
-    * a block — the blocking only loses pairs whose every shared gram
-    * exceeds `maxDocFreq` (raise it when exactness matters more than
-    * the stop-gram guard).
+    * resolution primitive. Candidate generation uses Ed-Join-style
+    * PREFIX FILTERING: under one global gram order (ascending document
+    * frequency over both sides, gram as tiebreak), each value keeps
+    * only its `maxEdit·q + 1` first grams — k edits disturb at most
+    * k·q q-grams, so two values within k edits must share a gram from
+    * these prefixes. Joining prefixes instead of full gram sets is
+    * what keeps clustered values (common prefixes, shared vocabulary)
+    * from exploding quadratically: candidate volume follows the RARE
+    * gram frequencies. A length band (`|len(a)-len(b)| <= maxEdit`,
+    * necessary for any match) prunes further; survivors verify with
+    * the exact codegen `levenshtein`. No recall loss — the prefix
+    * theorem is exact, so the result equals the quadratic join.
     */
   def fuzzyJoin(
       left: DataFrame,
@@ -312,18 +315,26 @@ object Dedup {
       leftCol: String,
       rightCol: String,
       maxEdit: Int,
-      q: Int = 2,
-      maxDocFreq: Int = 10000): DataFrame = {
+      q: Int = 2): DataFrame = {
     require(maxEdit >= 0, s"maxEdit must be >= 0, got $maxEdit")
     require(q >= 1, s"q must be >= 1, got $q")
+    val prefixLen = maxEdit * q + 1
     def grams(df: DataFrame, c: String, as: String) =
       df.select(col(c).as(as)).where(col(as).isNotNull).distinct()
         .select(col(as), explode(array_distinct(charShingles(col(as), q))).as("g"))
     val lg = grams(left, leftCol, "left_val")
     val rg = grams(right, rightCol, "right_val")
-    val rare = lg.select(col("g")).unionAll(rg.select(col("g")))
-      .groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq)
-    lg.join(rare, "g").join(rg, "g")
+    // One global gram order for BOTH sides: ascending df, gram tiebreak.
+    val dfOrder = lg.select(col("g")).unionAll(rg.select(col("g")))
+      .groupBy("g").agg(count(lit(1)).as("_df"))
+    def prefix(postings: DataFrame, valCol: String) = {
+      val w = Window.partitionBy(col(valCol)).orderBy(col("_df"), col("g"))
+      postings.join(dfOrder, "g")
+        .withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= prefixLen)
+        .select(col(valCol), col("g"))
+    }
+    prefix(lg, "left_val").join(prefix(rg, "right_val"), "g")
       .select(col("left_val"), col("right_val"))
       .where(abs(length(col("left_val")) - length(col("right_val"))) <= maxEdit)
       .dropDuplicates("left_val", "right_val")
