@@ -48,6 +48,13 @@ object ScaleProbe {
       TrainingData.chunkWords(docs10, Seq("doc_id"), "text", 64, 32).count())
     time("repetitionStats 50k docs")(
       TrainingData.repetitionStats(docs10, "doc_id", "text", 2).count())
+    val sup = spark.read.parquet(s"$d/supplier.parquet")
+    val sup10 = (0 until 10).map(k =>
+      sup.select(concat(col("s_name"), lit("#"), lit(k)).as("s_name")))
+      .reduce(_ unionAll _).repartition(32)
+    time("fuzzyJoin 10k names maxEdit=1")(
+      Dedup.fuzzyJoin(sup10, sup10, "s_name", "s_name", 1)
+        .where(col("left_val") < col("right_val")).count())
     val li = spark.read.parquet(s"$d/lineitem.parquet")
     time("globalIndex 600k lineitem")(
       Relational.globalIndex(
