@@ -470,7 +470,11 @@ object SparkEntry {
           col("id_a") < col("id_b"))
         .where(cosine(col("v_a"), col("v_b")) >= 0.35)
         .select(col("id_a"), col("id_b"))
-      val found = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", 0.35, tables = 4)
+      // knownCount: parquet-metadata count (cheap, no data scan) —
+      // keeps the adaptive bucket sizing out of the bench hot path and
+      // the "eager count" warning out of the log (ADVICE round 2).
+      val found = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", 0.35, tables = 4,
+        knownCount = Some(e.count()))
         .select(col("id_a"), col("id_b"))
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.join(exact, key, "left_anti").agg(count(lit(1)).as("_extra")))

@@ -1,0 +1,203 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused codegen hash-sketch kernels over `array<string>` columns.
+  *
+  * The composable forms in [[graft.operators.Dedup]] — `transform(sh,
+  * xxhash64)` re-hashed per family member, and the 64-conditional-sum
+  * SimHash aggregate — are correct but pay interpreted per-element
+  * lambda dispatch (`transform` lambdas never enter whole-stage
+  * codegen) and, for SimHash, an explode + shuffle per corpus pass.
+  * These expressions compute the identical values in one fused
+  * primitive loop per row.
+  *
+  * Bit-compatibility contract (pinned by HashExpressionSpec): every
+  * hash matches Spark's `xxhash64` composition exactly —
+  * string base = XXH64.hashUTF8String(s, 42), null element base = 42
+  * (xxhash64 of a null returns the seed), family member i =
+  * hashLong(base, hashInt(i, 42)) = `xxhash64(lit(i), baseHash)` —
+  * so swapping the fused and composable forms never changes results.
+  */
+object HashExpressions {
+  val SparkHashSeed = 42L
+}
+
+/** MinHash signature straight from the shingle-string array: for each
+  * family member i, min over shingles of xxhash64(lit(i),
+  * xxhash64(shingle)). One pass per row: each shingle string is hashed
+  * once, the 64 family mins update in registers; replaces one
+  * interpreted `transform` + `numHashes` interpreted
+  * `array_min(transform(...))` traversals.
+  * Empty shingle arrays yield an all-null signature (array_min of an
+  * empty array is null) — identical to the composable form.
+  */
+case class MinhashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1, s"minhash_signature: numHashes must be >= 1, got $numHashes")
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${child.dataType.catalogString}")
+    }
+
+  // xxhash64(lit(i), h) hashes the int literal first: seed 42 -> hashInt.
+  private lazy val famSeeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, HashExpressions.SparkHashSeed))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base =
+        if (arr.isNullAt(j)) HashExpressions.SparkHashSeed
+        else XXH64.hashUTF8String(arr.getUTF8String(j), HashExpressions.SparkHashSeed)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashLong(base, famSeeds(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val seeds = ctx.addReferenceObj("famSeeds", famSeeds, "long[]")
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val mins = ctx.freshName("mins")
+      val base = ctx.freshName("base"); val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new $gad(new Object[$numHashes]);
+         |} else {
+         |  long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $base = $a.isNullAt($j)
+         |      ? ${HashExpressions.SparkHashSeed}L
+         |      : $xxh.hashUTF8String($a.getUTF8String($j), ${HashExpressions.SparkHashSeed}L);
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      long $h = $xxh.hashLong($base, $seeds[$i]);
+         |      if ($h < $mins[$i]) $mins[$i] = $h;
+         |    }
+         |  }
+         |  ${ev.value} = new $gad($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a word array: per bit, sign of the sum of ±1
+  * votes from xxhash64(word) — the same votes as the explode +
+  * 64-conditional-sum aggregate in [[graft.operators.Dedup]], with no
+  * explode and no shuffle: one loop over the row's words, 64 int
+  * accumulators in registers. Empty arrays are NULL (the aggregate
+  * form simply has no rows for such a doc — callers filter).
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${child.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val acc = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h =
+        if (arr.isNullAt(j)) HashExpressions.SparkHashSeed
+        else XXH64.hashUTF8String(arr.getUTF8String(j), HashExpressions.SparkHashSeed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val b = ctx.freshName("b"); val acc = ctx.freshName("acc")
+      val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; }
+         |else {
+         |  int[] $acc = new int[64];
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $h = $a.isNullAt($j)
+         |      ? ${HashExpressions.SparkHashSeed}L
+         |      : $xxh.hashUTF8String($a.getUTF8String($j), ${HashExpressions.SparkHashSeed}L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $acc[$b]++; else $acc[$b]--;
+         |    }
+         |  }
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($acc[$b] > 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column wrappers for the fused hash-sketch kernels. */
+object HashFunctions {
+  /** Fused MinHash signature from shingle strings (one pass, bit-identical
+    * to `minhashSignature(transform(sh, xxhash64), n)`).
+    */
+  def minhashSignatureFused(shingles: Column, numHashes: Int): Column =
+    GraftBridge.column(MinhashSignature(GraftBridge.expression(shingles), numHashes))
+
+  /** Fused 64-bit SimHash from a word array (NULL for empty arrays). */
+  def simhash64Fused(wordArr: Column): Column =
+    GraftBridge.column(Simhash64(GraftBridge.expression(wordArr)))
+}

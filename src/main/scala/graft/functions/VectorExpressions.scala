@@ -213,6 +213,91 @@ case class HyperplaneBucket(left: Expression, right: Expression, bits: Int)
     copy(left = l, right = r)
 }
 
+/** Index of the nearest centroid by squared euclidean distance — the
+  * IVF cell-assignment kernel. Centroids ride along as a codegen
+  * reference object (tiny: nlist × dim doubles), so assignment is one
+  * fused loop per row inside whole-stage codegen instead of a 16×
+  * crossJoin expansion or an ML pipeline pass. Ties break to the
+  * lowest cell id; centroids whose dimension mismatches the input are
+  * skipped (NULL if none match); null elements contribute 0 like
+  * [[HyperplaneBucket]] — assignment is a routing decision, results
+  * are verified with exact cosine downstream.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "vec_nearest_centroid: centroids must be non-empty")
+  override def prettyName: String = "vec_nearest_centroid"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(e, _) if e == FloatType || e == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${child.dataType.catalogString}")
+    }
+
+  private def elementType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  private def elemD(arr: ArrayData, i: Int): Double = elementType match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _         => arr.getDouble(i)
+  }
+  private def getD(arr: String, i: String): String = elementType match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _         => s"$arr.getDouble($i)"
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var best = -1; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (cent.length == n) {
+        var d = 0.0; var i = 0
+        while (i < n) {
+          val x = (if (a.isNullAt(i)) 0.0 else elemD(a, i)) - cent(i)
+          d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    if (best < 0) null else best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val x = ctx.freshName("x"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val cent = ctx.freshName("cent")
+      s"""
+         |int $n = $a.numElements();
+         |int $best = -1; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  double[] $cent = $cents[$c];
+         |  if ($cent.length == $n) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $x = ($a.isNullAt($i) ? 0.0 : (${getD(a, i)})) - $cent[$i];
+         |      $d += $x * $x;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |}
+         |if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HyperplaneBucket {
   /** splitmix64 of (seed, plane, dim) mapped to ±1 — stateless, so
     * executors reconstruct the hyperplanes with zero broadcast.

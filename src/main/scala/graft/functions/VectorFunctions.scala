@@ -61,4 +61,11 @@ object VectorFunctions {
   def hyperplaneBucket(vec: Column, bits: Int, seed: Long = 42L): Column =
     GraftBridge.column(
       HyperplaneBucket(GraftBridge.expression(vec), GraftBridge.expression(lit(seed)), bits))
+
+  /** Nearest-centroid cell id (squared euclidean, ties to the lowest
+    * cell) — IVF assignment as one fused codegen loop; the centroid
+    * table rides along as a reference object, no join or ML pass.
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centroids))
 }

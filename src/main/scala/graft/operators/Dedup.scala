@@ -49,6 +49,12 @@ object Dedup {
     * bytes — ANSI-safe, no overflow semantics needed, and far cheaper
     * than re-hashing the shingle string per family member).
     * Deterministic, no stored coefficients.
+    *
+    * This is the composable REFERENCE form; the hot path uses the
+    * bit-identical fused kernel
+    * [[graft.functions.HashFunctions.minhashSignatureFused]] (the
+    * `transform` lambdas here evaluate interpretively — `numHashes`
+    * array traversals per document vs one).
     */
   def minhashSignature(baseHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
@@ -87,8 +93,7 @@ object Dedup {
     // document's shingles cross the wire once per verified pair side,
     // never bands× through the LSH self-join.
     val banded = docs
-      .withColumn("_hs", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("sig", minhashSignature(col("_hs"), numHashes))
+      .withColumn("sig", graft.functions.HashFunctions.minhashSignatureFused(col("sh"), numHashes))
       .select(
         col("id"),
         explode(
@@ -116,11 +121,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the word multiset: per bit, sign of the sum of
-    * ±1 votes from xxhash64(word). Computed as explode → 64 conditional
-    * sums → bit assembly; the aggregate is map-side partial so the
-    * shuffle carries one 64-counter row per doc partition.
+    * ±1 votes from xxhash64(word) — one fused codegen pass per row
+    * ([[graft.functions.HashFunctions.simhash64Fused]]): no explode, no
+    * shuffle, 64 accumulators in registers. Docs with no words are
+    * dropped (they carry no signature), matching the aggregate form,
+    * which simply has no rows for them.
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      graft.functions.HashFunctions.simhash64Fused(words(col(textCol))).as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** Composable REFERENCE form of [[simhash64]] (explode → 64
+    * conditional sums → bit assembly; map-side partial agg, so the
+    * shuffle carries one 64-counter row per doc partition). Kept for
+    * the bit-identity spec and as the shape a SQL-only engine would
+    * use; the fused kernel computes the same signature with no shuffle
+    * at all.
+    */
+  def simhash64Agg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
       .withColumn("h", xxhash64(col("w")))

@@ -83,7 +83,14 @@ object Similarity {
   /** Train the quantizer on a bounded driver-side sample (default 4096
     * vectors via `takeSample` — two cheap projected passes, never a
     * full-corpus k-means), then assign every corpus vector to its cell
+    * with the fused [[graft.functions.NearestCentroid]] codegen kernel
     * in one distributed transform.
+    *
+    * Lloyd's iterations run ON THE DRIVER over the collected sample:
+    * 4096 × dim doubles is microseconds of CPU, and pushing it through
+    * a distributed k-means costs a Spark job per iteration — at any
+    * scale the right split is "sample distributed, train local, assign
+    * distributed" (the FAISS train/add split).
     */
   def buildIvfIndex(
       corpus: DataFrame,
@@ -92,38 +99,101 @@ object Similarity {
       nlist: Int = 16,
       trainSample: Int = 4096,
       seed: Long = 42L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     require(trainSample >= nlist, s"trainSample ($trainSample) must be >= nlist ($nlist)")
-
-    val corpusVec = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-
     val spark = corpus.sparkSession
     import spark.implicits._
-    // Bounded quantizer training set: k-means iterations run over at
-    // most `trainSample` vectors on one partition instead of 10 full
-    // corpus scans. Deterministic for a fixed corpus + partitioning.
-    val sample = corpusVec.select(col("features"))
-      .rdd.map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .rdd.map(_.getSeq[Double](0).toArray)
       .takeSample(withReplacement = false, trainSample, seed)
-    val k = math.min(nlist, sample.length)
-    require(k >= 1, "buildIvfIndex: corpus is empty")
-    val trainDf = spark.createDataFrame(sample.toIndexedSeq.map(Tuple1(_))).toDF("features")
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(trainDf)
+    require(sample.nonEmpty, "buildIvfIndex: corpus is empty")
+    val centroidArr = Similarity.lloydLocal(sample, math.min(nlist, sample.length), 10, seed)
 
     val assigned = graft.core.CacheRegistry.persist(
-      model.transform(corpusVec)
-        .select(col("neighbor_id"), col("c_vec"), col("prediction").as("cell")),
+      corpus.select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        nearestCentroid(col(vecCol), centroidArr).as("cell")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // centroids kept as double; the query side is cast to match so the
     // probe works for both array<float> and array<double> vectors.
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray) }
+    val centroids = centroidArr.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
-    IvfIndex(centroids, assigned, k)
+    IvfIndex(centroids, assigned, centroidArr.length)
+  }
+
+  private def sqDistLocal(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Driver-local Lloyd's with k-means++ seeding. Deterministic for a
+    * fixed (sample, k, seed); empty clusters keep their previous
+    * centroid. Input rows must share one dimension (they do — one
+    * embedding column).
+    */
+  private[operators] def lloydLocal(
+      points: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val dim = points(0).length
+    // k-means++ seeding: next center drawn ∝ distance² to nearest chosen.
+    val centers = new scala.collection.mutable.ArrayBuffer[Array[Double]](k)
+    centers += points(rnd.nextInt(n))
+    val minD = Array.fill(n)(Double.MaxValue)
+    while (centers.length < k) {
+      val last = centers.last
+      var total = 0.0; var i = 0
+      while (i < n) {
+        val d = sqDistLocal(points(i), last)
+        if (d < minD(i)) minD(i) = d
+        total += minD(i); i += 1
+      }
+      var j = 0
+      if (total > 0) {
+        var target = rnd.nextDouble() * total
+        while (j < n - 1 && target > minD(j)) { target -= minD(j); j += 1 }
+      } else j = rnd.nextInt(n) // all points identical: any pick works
+      centers += points(j)
+    }
+    val cents = centers.map(_.clone()).toArray
+    val sums = Array.ofDim[Double](k, dim)
+    val counts = new Array[Long](k)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(counts, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = sqDistLocal(p, cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Probe an [[IvfIndex]]: queries pick their `nprobe` nearest

@@ -79,4 +79,29 @@ class VectorExpressionSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException](
       bad.select(cosine(col("x"), col("y"))).collect())
   }
+
+  test("nearestCentroid assigns the closest cell, ties to the lowest id, both eval paths") {
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(10.0, 0.0))
+    val pts = Seq(
+      (1L, Array(1.0f, 1.0f)),   // nearest cell 0
+      (2L, Array(9.0f, 0.5f)),   // nearest cells 1 and 2 tie -> 1
+      (3L, Array(5.0f, 0.0f))    // equidistant 0 vs 1/2 tie -> 0
+    ).toDF("id", "v")
+    val sel = pts.orderBy("id").select(nearestCentroid(col("v"), cents).as("c"))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      val cg = sel.as[Int].collect().toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = sel.as[Int].collect().toSeq
+      assert(cg == Seq(0, 1, 0))
+      assert(interp == cg)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // dimension mismatch against every centroid -> null, not a crash
+    val ragged = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    assert(ragged.select(nearestCentroid(col("v"), cents)).collect().head.isNullAt(0))
+  }
 }
