@@ -626,6 +626,40 @@ object SparkEntry {
         "doc_id", "text", n = 3, minShared = 3, maxDocFreq = 100)
     }),
 
+    // Duplicated-span fraction: share of each doc's distinct 3-grams
+    // already seen in an earlier doc — the span-level "copied text"
+    // filter signal (planted near-dups make the tail non-vacuous).
+    "q_span_dup" -> ((s, d) =>
+      Dedup.duplicateSpanFraction(t(s, d, "documents"), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_dup"), col("dup_frac"))),
+
+    // One-sided containment (quote detection): |A∩B|/|A| per direction —
+    // a short doc quoted inside a long one scores high here while its
+    // Jaccard stays low.
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentPairs(
+        t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 2, threshold = 0.6, maxDocFreq = 100)),
+
+    // Per-type quantile clipping (outlier winsorization) on the event
+    // stream; exact percentiles so the oracle can pin the bounds.
+    "q_winsorize" -> ((s, d) =>
+      TrainingData.winsorize(
+        t(s, d, "events"), Seq(col("event_type")), col("value"), 0.05, 0.95)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("value_clipped"), 4).as("value_clipped"))),
+
+    // Deterministic global training-order shuffle: md5-keyed position,
+    // range-partitioned sort + partition-local indexing (no single-
+    // partition window, no rand()).
+    "q_shuffle" -> ((s, d) =>
+      TrainingData.deterministicShuffle(t(s, d, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("pos"))),
+
+    // Corpus top-50 word-bigram vocabulary (stop-gram profiling).
+    "q_top_ngrams" -> ((s, d) =>
+      Ranking.topNgrams(t(s, d, "documents"), "text", n = 2, k = 50)),
+
     // -- multimodal plumbing ---------------------------------------- //
     "q_multimodal" -> ((s, d) =>
       Multimodal.fakeDecodeMeta(
@@ -1036,6 +1070,58 @@ object SparkEntry {
         |levenshtein(a.s_name, b.s_name) AS edit_dist
         |FROM supplier a JOIN supplier b ON a.s_name < b.s_name
         |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+
+    "q_span_dup" ->
+      s"""WITH docs AS (SELECT doc_id AS id, list_distinct(CASE WHEN len($W) < 3
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 2),
+         |      i -> array_to_string(($W)[i:i+2], ' ')) END) AS sh
+         |  FROM documents),
+         |g AS (SELECT id, unnest(sh) AS g FROM docs),
+         |own AS (SELECT g, min(id) AS first_id FROM g GROUP BY g)
+         |SELECT id AS doc_id, count(*) AS n_grams,
+         |CAST(sum(CASE WHEN first_id < id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |round(sum(CASE WHEN first_id < id THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac
+         |FROM g JOIN own USING (g) GROUP BY 1""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH docs AS (SELECT doc_id AS id, list_distinct(CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS sh
+         |  FROM documents),
+         |postings AS (SELECT id, unnest(sh) AS g FROM docs),
+         |rare AS (SELECT g FROM postings GROUP BY g
+         |  HAVING count(*) <= 100 AND count(*) >= 2),
+         |filtered AS (SELECT p.id, p.g FROM postings p JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM filtered a JOIN filtered b ON a.g = b.g AND a.id <> b.id)
+         |SELECT id_a, id_b, round(c, 4) AS containment FROM (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(da.sh, db.sh))::DOUBLE / len(da.sh) AS c
+         |  FROM cand JOIN docs da ON cand.id_a = da.id
+         |  JOIN docs db ON cand.id_b = db.id)
+         |WHERE c >= 0.6""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |round(least(greatest(value, lo), hi), 4) AS value_clipped
+        |FROM events e JOIN b USING (event_type)""".stripMargin,
+
+    "q_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+        |  ORDER BY md5('graft:' || doc_id::VARCHAR), doc_id) AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+
+    "q_top_ngrams" ->
+      s"""WITH g AS (SELECT unnest(list_transform(generate_series(1, len($W) - 1),
+         |    i -> array_to_string(($W)[i:i+1], ' '))) AS gram
+         |  FROM documents WHERE len($W) >= 2)
+         |SELECT gram, count(*) AS freq FROM g GROUP BY 1
+         |ORDER BY freq DESC, gram LIMIT 50""".stripMargin,
 
     "q_dedup_survivors" ->
       s"""WITH RECURSIVE docs AS (

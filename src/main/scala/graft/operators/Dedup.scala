@@ -314,6 +314,79 @@ object Dedup {
     labels
   }
 
+  /** Per-document duplicated-span fraction: the share of a document's
+    * distinct word n-grams that already occur in an earlier document
+    * (smaller id) — the C4/RefinedWeb-style "how much of this doc is
+    * copied text" signal, usable as a filter threshold without running
+    * full pair-wise dedup.
+    *
+    * Scale design: explode distinct grams once (persisted — it feeds
+    * both the first-owner aggregate and the join back), hash-aggregate
+    * min(id) per gram, one join on the gram key, one final per-doc
+    * aggregate. The shuffle carries (id, gram) keys; no df cap is
+    * applied because dropping common grams would change the fraction —
+    * the gram aggregate is a plain hash-agg and scales like any
+    * word-count.
+    */
+  def duplicateSpanFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val grams = graft.core.CacheRegistry.persist(
+      df.select(col(idCol).as("id"), words(col(textCol)).as("_ws"))
+        .select(col("id"), explode(array_distinct(wordShinglesFromWords(col("_ws"), shingleSize))).as("g")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val owner = grams.groupBy(col("g")).agg(min(col("id")).as("first_id"))
+    grams.join(owner, "g")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") < col("id"), 1L).otherwise(0L)).as("n_dup"))
+      .select(
+        col("id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 4).as("dup_frac"))
+  }
+
+  /** One-sided containment pairs: |A ∩ B| / |A| >= threshold — the
+    * quote/inclusion detector (a short document fully contained in a
+    * long one scores 1.0 here but near 0 on Jaccard). Emitted per
+    * DIRECTION (id_a containing-side set in the denominator, id_a !=
+    * id_b), since containment is asymmetric. Candidate generation is
+    * the same df-capped inverted index as [[ngramJaccardPairs]] —
+    * banding recall/quadratic-bucket properties carry over unchanged.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val docs = graft.core.CacheRegistry.persist(
+      shingleDocs(df, idCol, textCol, shingleSize),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = graft.core.CacheRegistry.persist(
+      docs.select(col("id"), explode(col("sh")).as("g")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = postings
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq && col("df") >= 2)
+    val filtered = postings.join(rare, "g")
+    val cand = filtered.select(col("g"), col("id").as("id_a"))
+      .join(filtered.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .where(col("id_a") =!= col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn(
+        "containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / size(col("sh_a")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+  }
+
   /** Fuzzy (edit-distance) join over the distinct values of two string
     * columns: pairs with `levenshtein(a, b) <= maxEdit`, the entity-
     * resolution primitive. Candidate generation uses Ed-Join-style

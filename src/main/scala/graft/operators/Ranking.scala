@@ -53,4 +53,28 @@ object Ranking {
             (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
           4).as("bm25"))
   }
+
+  /** Corpus top-k n-gram vocabulary with frequencies — the profiling
+    * pass behind stop-gram lists, df-cap tuning, and boilerplate
+    * detection. Multiset counts (every occurrence, not per-doc
+    * distinct). Deterministic: rank ties break on the gram itself.
+    *
+    * Scale design: explode feeds one partial-aggregated hash-agg on
+    * the gram key; the top-k is `orderBy(...).limit(k)`, which Spark
+    * executes as TakeOrderedAndProject — per-partition heaps of k,
+    * driver merges k·partitions rows, never a global sort.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 1, k: Int = 100): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grams =
+      if (n == 1) df.select(explode(words(col(textCol))).as("gram"))
+      else df.select(col(textCol))
+        .select(words(col(textCol)).as("_ws"))
+        .where(size(col("_ws")) >= n) // multiset form: no short-doc fallback gram
+        .select(explode(wordShinglesFromWords(col("_ws"), n)).as("gram"))
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram"))
+      .limit(k)
+  }
 }

@@ -204,4 +204,57 @@ object TrainingData {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Winsorize (quantile-clip) a numeric column per group: values below
+    * the `lo` percentile or above the `hi` percentile are clamped to
+    * it — the standard outlier guard before loss-weighting or reward
+    * normalization.
+    *
+    * `exact = true` computes true percentiles (a sort-based aggregate —
+    * fine up to millions of rows per group, and the cross-engine-
+    * deterministic form the oracle checks); `exact = false` switches to
+    * `percentile_approx`, the sketch any 100 TB run would use (bounded
+    * memory, one pass, no sort). The clip itself is a broadcast join of
+    * the tiny per-group bounds row back onto the stream — no second
+    * shuffle of the data.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      valueCol: Column,
+      lo: Double = 0.05,
+      hi: Double = 0.95,
+      exact: Boolean = true): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val (loB, hiB) =
+      if (exact) (percentile(valueCol, lit(lo)), percentile(valueCol, lit(hi)))
+      else (
+        percentile_approx(valueCol, lit(lo), lit(10000)),
+        percentile_approx(valueCol, lit(hi), lit(10000)))
+    val bounds = broadcast(df.groupBy(groupCols: _*).agg(loB.as("_lo"), hiB.as("_hi")))
+    df.join(bounds, groupCols.map(_.toString))
+      .withColumn("value_clipped", least(greatest(valueCol, col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * stable position from the md5 of (seed : key) — reproducible
+    * across engines, retries, and partition layouts, unlike
+    * `orderBy(rand())`. Implemented with the range-partitioned
+    * [[Relational.globalIndex]] (sort + per-partition zipWithIndex),
+    * NOT a single-partition window — the sort distributes and the
+    * index assignment is partition-local, so it scales like any global
+    * sort. At 100 TB you would usually keep only the sorted write and
+    * skip the explicit position column.
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      keyCol: Column,
+      seed: String = "graft",
+      posCol: String = "pos"): DataFrame =
+    Relational.globalIndex(
+      df.withColumn("_shuffle_key", md5(concat(lit(seed), lit(":"), keyCol.cast("string")))),
+      Seq(col("_shuffle_key"), keyCol),
+      posCol)
+      .drop("_shuffle_key")
 }

@@ -98,4 +98,33 @@ class DedupSpec extends SparkSpec {
     val fps = df.select(TextFunctions.fingerprint(col("text"))).as[String].collect()
     assert(fps(0) == fps(2) && fps(0) != fps(1))
   }
+
+  test("duplicateSpanFraction: full copy of an earlier doc scores 1.0, first doc 0.0") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),        // verbatim copy of 1
+      (3L, "totally fresh words appear here now"), // no overlap
+      (4L, "totally fresh words but then diverges completely afterwards")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanFraction(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 == 0.0)          // first owner of all its grams
+    assert(out(2L)._3 == 1.0)          // every gram seen in doc 1
+    assert(out(3L)._3 == 0.0)
+    assert(out(4L)._1 == 6L && out(4L)._2 == 1L) // shares only "totally fresh words"
+    assert(out(4L)._3 == math.BigDecimal(1.0 / 6.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("containmentPairs is asymmetric: the quoted short doc scores 1.0 one way only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                                     // fully inside 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "unrelated content stands alone")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", shingleSize = 2, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)   // |A∩B|/|A| with A the 2-gram set of doc 1
+    assert(out((2L, 1L)) == 0.25)  // 2 shared of doc 2's 8 bigrams
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
 }

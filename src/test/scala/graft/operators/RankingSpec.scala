@@ -33,4 +33,18 @@ class RankingSpec extends SparkSpec {
     assert(math.abs(rows((2L, "shared"))._5 - bm25(7.0, 7.0, 5.0)) < 1e-3)
     assert(math.abs(rows((1L, "shared"))._5 - bm25(2.0, 3.0, 5.0)) < 1e-3)
   }
+
+  test("topNgrams counts multiset frequency with a deterministic tiebreak") {
+    val df = Seq(
+      (1L, "a b a b c"),   // bigrams: "a b","b a","a b","b c"
+      (2L, "a b z"),       // "a b","b z"
+      (3L, "solo")         // < 2 words: contributes no bigram
+    ).toDF("doc_id", "text")
+    val top = Ranking.topNgrams(df, "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L))) // ties: gram asc
+    val uni = Ranking.topNgrams(df, "text", n = 1, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(uni == Seq(("a", 3L), ("b", 3L))) // a/b tie broken by gram
+  }
 }

@@ -99,4 +99,35 @@ class TrainingDataSpec extends SparkSpec {
     // shared 3-grams: "quick brown fox", "brown fox jumps", "fox jumps over"
     assert(out == Seq((1L, 100L, 3L)))
   }
+
+  test("winsorize clamps to the group's percentile bounds and leaves interior values alone") {
+    val df = (1 to 100).map(i => ("a", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val out = TrainingData.winsorize(df, Seq(col("g")), col("v"), 0.10, 0.90)
+      .select("id", "value_clipped").as[(Long, Double)].collect().toMap
+    // exact percentile of 1..100 at p10/p90 interpolates to ~10.9 / ~90.1
+    // (compare with tolerance: the interpolation fraction 0.9*99-89
+    // carries float error, so the bound is 90.10000000000001)
+    assert(math.abs(out(1L) - 10.9) < 1e-9 && out(1L) == out(5L))
+    assert(math.abs(out(100L) - 90.1) < 1e-9 && out(100L) == out(95L))
+    assert(out(50L) == 50.0) // interior untouched
+    // approx sketch path: same shape, bounds within the value domain
+    val approx = TrainingData.winsorize(df, Seq(col("g")), col("v"), 0.10, 0.90, exact = false)
+      .select("value_clipped").as[Double].collect()
+    assert(approx.forall(v => v >= 1.0 && v <= 100.0))
+    assert(approx.min >= 9.0 && approx.max <= 92.0)
+  }
+
+  test("deterministicShuffle is a stable permutation, keyed by seed") {
+    val df = (1L to 50L).toDF("id")
+    val run1 = TrainingData.deterministicShuffle(df, col("id"))
+      .select("id", "pos").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val run2 = TrainingData.deterministicShuffle(df, col("id"))
+      .select("id", "pos").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run1 == run2) // retry-stable
+    assert(run1.map(_._2).sorted == (1L to 50L)) // a real permutation
+    assert(run1.map(_._2) != (1L to 50L)) // and actually shuffled
+    val reseeded = TrainingData.deterministicShuffle(df, col("id"), seed = "other")
+      .select("id", "pos").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(reseeded.map(_._2) != run1.map(_._2)) // seed changes the order
+  }
 }
