@@ -277,13 +277,22 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("nmin"))
-      val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(
-          labels("id"),
-          col("component").as("_old"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("_m"))
+      // Propagate: min over (own label ∪ neighbor labels) in ONE
+      // aggregation — the self-label rides the union instead of a
+      // separate left join, and the same aggregate recovers the old
+      // label (max of the self-tagged rows; each id has exactly one)
+      // for change detection. One join + one agg, vs join + agg +
+      // join in the naive form.
+      val prop = sym.join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("component"), lit(false).as("_self"))
+        .unionAll(labels.select(col("id"), col("component"), lit(true).as("_self")))
+        .groupBy(col("id"))
+        .agg(
+          min(col("component")).as("_m"),
+          max(when(col("_self"), col("component"))).as("_old"))
+        // edge endpoints absent from `nodes` have no self row — drop
+        // them (the pre-fusion left join did this implicitly)
+        .where(col("_old").isNotNull)
       // Pointer jump: labels(_m) — _m is always a node id, so the
       // label table itself is the parent table.
       val parents = labels.select(col("id").as("_pid"), col("component").as("_pcomp"))
