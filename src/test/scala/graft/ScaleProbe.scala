@@ -61,6 +61,18 @@ object ScaleProbe {
         li.select(col("l_orderkey"), col("l_linenumber")),
         Seq(col("l_orderkey"), col("l_linenumber"))).count())
 
+    graft.core.CacheRegistry.unpersistAll()
+    time("duplicateSpanFraction 50k docs")(
+      Dedup.duplicateSpanFraction(docs10, "doc_id", "text", 3).count())
+    graft.core.CacheRegistry.unpersistAll()
+    time("containmentPairs 50k docs")(
+      Dedup.containmentPairs(docs10, "doc_id", "text", 2, 0.6, 100).count())
+    graft.core.CacheRegistry.unpersistAll()
+    time("deterministicShuffle 50k docs")(
+      TrainingData.deterministicShuffle(docs10, col("doc_id")).count())
+    time("topNgrams 50k docs bigrams")(
+      graft.operators.Ranking.topNgrams(docs10, "text", 2, 50).count())
+
     val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
     val emb10 = (0 until 10).map(k =>
       emb0.select((col("vec_id") + k * 100000).as("vec_id"), col("embedding")))
@@ -70,6 +82,10 @@ object ScaleProbe {
       Dedup.embeddingCosinePairs(emb10, "vec_id", "embedding", 0.35, tables = 4).count())
     time("bruteForceTopK 10q x 20k")(
       Similarity.bruteForceTopK(emb10.where(col("vec_id") < 10), emb10, "vec_id", "embedding", 5).count())
+    graft.core.CacheRegistry.unpersistAll()
+    time("ivfTopK 10q x 20k (sampled local quantizer)")(
+      Similarity.ivfTopK(emb10.where(col("vec_id") < 10), emb10, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 6).count())
     spark.stop()
   }
 }
