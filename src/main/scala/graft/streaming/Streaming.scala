@@ -94,6 +94,34 @@ object WindowedAgg {
 object StreamDedup {
   def apply(name: String, cols: Seq[String]): Component =
     graft.operators.Transformer(name)(_.dropDuplicatesWithinWatermark(cols))
+
+  /** Streaming NEAR-dup dedup: drop documents whose full MinHash
+    * signature was already seen inside the watermark. Signature
+    * equality is the all-bands-collide limit of LSH banding — a
+    * conservative, high-threshold near-dup test (exact duplicates and
+    * trivial rewrites collapse; lower `numHashes` to loosen it).
+    * State is one xxhash64 of the signature per kept doc, bounded by
+    * the watermark — the streaming-safe shape of batch LSH: no pair
+    * joins, no unbounded signature table, one row-local fused-codegen
+    * projection ([[graft.functions.HashFunctions.minhashSignatureFused]])
+    * ahead of the stateful drop.
+    */
+  def byMinhashSignature(
+      name: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16): Component =
+    graft.operators.Transformer(name) { df =>
+      import graft.functions.TextFunctions.{words, wordShinglesFromWords}
+      import org.apache.spark.sql.functions._
+      df.withColumn(
+        "_sig_hash",
+        xxhash64(graft.functions.HashFunctions.minhashSignatureFused(
+          array_distinct(wordShinglesFromWords(words(col(textCol)), shingleSize)),
+          numHashes)))
+        .dropDuplicatesWithinWatermark(Seq("_sig_hash"))
+        .drop("_sig_hash")
+    }
 }
 
 /** Streaming sink: starts a StreamingQuery and removes the stream from

@@ -300,4 +300,31 @@ class StreamingSpec extends SparkSpec {
       StreamSink.memory("s", "dedup_out").copy(sync = true)))(EmptyFlow)
     assert(spark.table("dedup_out").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("streaming near-dup dedup drops signature-equal docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val copied = "the quick brown fox jumps over the lazy dog again and again"
+    val fresh = "completely unrelated subject matter discussed at considerable length here"
+    // precondition (batch): the copied docs share a signature, fresh differs
+    val sigs = Seq(copied, copied, fresh).toDF("text")
+      .select(graft.functions.HashFunctions.minhashSignatureFused(
+        org.apache.spark.sql.functions.array_distinct(
+          graft.functions.TextFunctions.wordShingles(
+            org.apache.spark.sql.functions.col("text"), 3)), 16).cast("string"))
+      .as[String].collect()
+    assert(sigs(0) == sigs(1) && sigs(0) != sigs(2))
+
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, copied),
+      (ts("2024-01-01 10:00:01"), 2L, copied), // near-dup of 1 -> dropped
+      (ts("2024-01-01 10:00:02"), 3L, fresh))
+    graft.core.Composite(Seq(
+      StreamSource.of("nd", in.toDF().toDF("ts", "id", "text")),
+      Watermark("nd", "ts", "1 hour"),
+      StreamDedup.byMinhashSignature("nd", "text", shingleSize = 3, numHashes = 16),
+      StreamSink.memory("nd", "neardup_out").copy(sync = true)))(EmptyFlow)
+    assert(spark.table("neardup_out").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
 }
