@@ -19,9 +19,16 @@ object TextFunctions {
 
   /** Word tokens after lowercasing and punctuation strip — the
     * words-count tokenizer (split on non-word runs).
+    *
+    * `array_remove(_, "")` rather than a `filter(len > 0)` lambda:
+    * identical result (split never yields nulls, so the only
+    * non-words are empty edge tokens), but higher-order functions are
+    * CodegenFallback — one lambda here would knock EVERY downstream
+    * text projection (shingles, sketches, quality stats) out of
+    * whole-stage codegen (pinned by PlanShapeSpec).
     */
   def words(c: Column): Column =
-    filter(split(lower(c), "\\W+"), w => length(w) > 0)
+    array_remove(split(lower(c), "\\W+"), "")
 
   /** A BPE-ish subword count approximation: words + digit runs counted
     * separately, long words counted as ceil(len/4) subtokens — a cheap,

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Dedup, Ranking, TrainingData}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions for the round-4 operators: the scale
+  * claims ("broadcast bounds join", "TakeOrdered top-k, never a global
+  * sort", "no nested-loop candidate generation", "no single-partition
+  * window") are properties of the PLAN, so pin them against the plan —
+  * a regression that silently flips a broadcast to a shuffle or a
+  * heap-k to a global sort should fail a test, not a bench run.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // let AQE finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "alpha beta gamma delta epsilon"),
+    (3L, "zeta eta theta iota kappa lambda")
+  ).toDF("doc_id", "text")
+
+  test("topNgrams uses TakeOrderedAndProject, not a global sort") {
+    val p = plan(Ranking.topNgrams(docs, "text", 2, 5))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("\nSort ")) // no full-result Sort node feeding the limit
+  }
+
+  test("winsorize clips through a broadcast join of the bounds row") {
+    val df = (1 to 50).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val p = plan(TrainingData.winsorize(df, Seq(col("g")), col("v"), 0.1, 0.9))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("deterministicShuffle has no window and no cartesian anywhere") {
+    val p = plan(TrainingData.deterministicShuffle(docs, col("doc_id")))
+    assert(!p.contains("Window"))
+    assert(!p.contains("Cartesian"))
+  }
+
+  test("span-dup and containment candidate generation never falls back to nested loops") {
+    val p1 = plan(Dedup.duplicateSpanFraction(docs, "doc_id", "text", 2))
+    val p2 = plan(Dedup.containmentPairs(docs, "doc_id", "text", 2, 0.1))
+    Seq(p1, p2).foreach { p =>
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+    }
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("fused sketch kernels run inside whole-stage codegen") {
+    // a real scan (not a LocalTableScan, which constant-folds the
+    // whole projection) so the codegen stage is visible in the plan
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(real.select(
+      graft.functions.HashFunctions.simhash64Fused(
+        graft.functions.TextFunctions.words(col("text"))).as("s")))
+    // the `*(n)` prefix is the whole-stage-codegen marker; a lambda
+    // anywhere in the tokenizer would strip it (HOFs are
+    // CodegenFallback), which is exactly the regression this pins
+    assert(p.linesIterator.exists(l => l.trim.matches("""\*\(\d+\) Project .*simhash64.*""")))
+  }
+}
