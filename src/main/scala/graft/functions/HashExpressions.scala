@@ -189,6 +189,68 @@ case class Simhash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Word n-gram shingles as one fused kernel: position i yields the
+  * space-joined words [i, i+n); fewer than n words yield the single
+  * all-words shingle — exactly the `transform(sequence, i =>
+  * array_join(slice(ws, i, n), " "))` form in
+  * [[TextFunctions.wordShinglesFromWords]], which pays an interpreted
+  * lambda + a slice allocation per shingle AND (being a HOF) knocks
+  * the whole projection out of whole-stage codegen. Null words are
+  * skipped inside a shingle, matching array_join's null handling.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_shingles: n must be >= 1, got $n")
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${child.dataType.catalogString}")
+    }
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Shared by eval and codegen (the generated code calls this method
+    * on the expression reference object — a plain static-shaped call,
+    * so the surrounding stage keeps whole-stage codegen).
+    */
+  def compute(v: ArrayData): ArrayData = {
+    val m = v.numElements()
+    def join(from: Int, until: Int): org.apache.spark.unsafe.types.UTF8String = {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](until - from)
+      var i = from
+      while (i < until) { // concatWs skips nulls, like array_join
+        parts(i - from) = if (v.isNullAt(i)) null else v.getUTF8String(i)
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+    }
+    if (m < n) new GenericArrayData(Array[Any](join(0, m)))
+    else {
+      val out = new Array[Any](m - n + 1)
+      var i = 0
+      while (i <= m - n) { out(i) = join(i, i + n); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the fused hash-sketch kernels. */
 object HashFunctions {
   /** Fused MinHash signature from shingle strings (one pass, bit-identical
@@ -200,4 +262,10 @@ object HashFunctions {
   /** Fused 64-bit SimHash from a word array (NULL for empty arrays). */
   def simhash64Fused(wordArr: Column): Column =
     GraftBridge.column(Simhash64(GraftBridge.expression(wordArr)))
+
+  /** Fused word n-gram shingles (bit-identical to the HOF form in
+    * [[TextFunctions.wordShinglesFromWords]]).
+    */
+  def wordShinglesFused(wordArr: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(wordArr), n))
 }

@@ -49,18 +49,23 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
-  /** Word-level n-gram shingles ("a b c", n=2 → ["a b","b c"]).
-    * Built from `sequence` + `transform` + `slice` — pure codegen path.
-    *
-    * PERFORMANCE: pass an already-materialized array COLUMN (an
-    * attribute), not the `words(text)` expression itself — `ws` is
-    * referenced inside the transform lambda, and a non-attribute
-    * argument would be re-evaluated once per shingle, turning the
-    * tokenizer into O(words²) per document. Use [[shingleDocs]] or a
-    * two-step select; `wordShingles` keeps the fused convenience form
-    * for short texts.
+  /** Word-level n-gram shingles ("a b c", n=2 → ["a b","b c"]) — the
+    * fused codegen kernel [[HashFunctions.wordShinglesFused]]: one
+    * loop per row, the input array evaluated once, and the projection
+    * stays inside whole-stage codegen (the HOF reference form below is
+    * a CodegenFallback lambda that would break the stage).
     */
   def wordShinglesFromWords(ws: Column, n: Int): Column =
+    HashFunctions.wordShinglesFused(ws, n)
+
+  /** Composable HOF REFERENCE form of [[wordShinglesFromWords]]
+    * (`sequence` + `transform` + `slice`), kept for the bit-identity
+    * spec. PERFORMANCE hazard of this form: a non-attribute `ws`
+    * argument is re-evaluated once per shingle inside the lambda —
+    * O(words²) per document — which is one more reason the fused
+    * kernel is the production path.
+    */
+  def wordShinglesFromWordsHof(ws: Column, n: Int): Column =
     when(size(ws) < n, array(array_join(ws, " ")))
       .otherwise(
         transform(

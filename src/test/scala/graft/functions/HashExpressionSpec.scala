@@ -64,6 +64,24 @@ class HashExpressionSpec extends SparkSpec {
     }
   }
 
+  test("fused word shingles are bit-identical to the HOF sequence/slice form") {
+    val ws = docs.select(col("id"), words(col("text")).as("ws"))
+    Seq(1, 2, 3, 9).foreach { n =>
+      val both = ws.select(
+        col("id"),
+        wordShinglesFused(col("ws"), n).as("fused"),
+        graft.functions.TextFunctions.wordShinglesFromWordsHof(col("ws"), n).as("ref"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"shingle mismatch for id ${r.getLong(0)} at n=$n")
+      }
+    }
+    // the empty doc yields the single empty-join shingle, like the HOF form
+    val empty = ws.where(col("id") === 5)
+      .select(wordShinglesFused(col("ws"), 2)).collect().head.getSeq[String](0)
+    assert(empty == Seq(""))
+  }
+
   test("non-array input is rejected at analysis") {
     intercept[org.apache.spark.sql.AnalysisException](
       docs.select(minhashSignatureFused(col("text"), 4)).collect())
