@@ -470,11 +470,12 @@ object SparkEntry {
           col("id_a") < col("id_b"))
         .where(cosine(col("v_a"), col("v_b")) >= 0.35)
         .select(col("id_a"), col("id_b"))
-      // knownCount: parquet-metadata count (cheap, no data scan) —
-      // keeps the adaptive bucket sizing out of the bench hot path and
-      // the "eager count" warning out of the log (ADVICE round 2).
+      // knownCount from the RAW parquet read — a metadata-only count
+      // (no scan, no shuffle); counting `e` would replan t()'s
+      // round-robin repartition and run a real job at query-build time
+      // (ADVICE round 2 / round-4 review).
       val found = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", 0.35, tables = 4,
-        knownCount = Some(e.count()))
+        knownCount = Some(s.read.parquet(s"$d/embeddings.parquet").count()))
         .select(col("id_a"), col("id_b"))
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.join(exact, key, "left_anti").agg(count(lit(1)).as("_extra")))
@@ -645,7 +646,7 @@ object SparkEntry {
     // stream; exact percentiles so the oracle can pin the bounds.
     "q_winsorize" -> ((s, d) =>
       TrainingData.winsorize(
-        t(s, d, "events"), Seq(col("event_type")), col("value"), 0.05, 0.95)
+        t(s, d, "events"), Seq("event_type"), col("value"), 0.05, 0.95)
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("value_clipped"), 4).as("value_clipped"))),
 
@@ -1076,7 +1077,7 @@ object SparkEntry {
          |    THEN [array_to_string($W, ' ')]
          |    ELSE list_transform(generate_series(1, len($W) - 2),
          |      i -> array_to_string(($W)[i:i+2], ' ')) END) AS sh
-         |  FROM documents),
+         |  FROM documents WHERE len($W) > 0),
          |g AS (SELECT id, unnest(sh) AS g FROM docs),
          |own AS (SELECT g, min(id) AS first_id FROM g GROUP BY g)
          |SELECT id AS doc_id, count(*) AS n_grams,
@@ -1089,7 +1090,7 @@ object SparkEntry {
          |    THEN [array_to_string($W, ' ')]
          |    ELSE list_transform(generate_series(1, len($W) - 1),
          |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS sh
-         |  FROM documents),
+         |  FROM documents WHERE len($W) > 0),
          |postings AS (SELECT id, unnest(sh) AS g FROM docs),
          |rare AS (SELECT g FROM postings GROUP BY g
          |  HAVING count(*) <= 100 AND count(*) >= 2),

@@ -336,6 +336,11 @@ object Dedup {
     * applied because dropping common grams would change the fraction —
     * the gram aggregate is a plain hash-agg and scales like any
     * word-count.
+    *
+    * Docs with NO word tokens have no grams and are absent from the
+    * output (the shingle fallback would otherwise give every empty doc
+    * the same "" gram — and every empty doc after the first a bogus
+    * dup_frac of 1.0).
     */
   def duplicateSpanFraction(
       df: DataFrame,
@@ -344,6 +349,7 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val grams = graft.core.CacheRegistry.persist(
       df.select(col(idCol).as("id"), words(col(textCol)).as("_ws"))
+        .where(size(col("_ws")) > 0)
         .select(col("id"), explode(array_distinct(wordShinglesFromWords(col("_ws"), shingleSize))).as("g")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val owner = grams.groupBy(col("g")).agg(min(col("id")).as("first_id"))
@@ -364,6 +370,10 @@ object Dedup {
     * id_b), since containment is asymmetric. Candidate generation is
     * the same df-capped inverted index as [[ngramJaccardPairs]] —
     * banding recall/quadratic-bucket properties carry over unchanged.
+    *
+    * Docs with NO word tokens are excluded: the shingle fallback gives
+    * them all the identical "" gram, which would report unrelated
+    * empty docs as mutually contained (containment 1.0).
     */
   def containmentPairs(
       df: DataFrame,
@@ -373,7 +383,7 @@ object Dedup {
       threshold: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame = {
     val docs = graft.core.CacheRegistry.persist(
-      shingleDocs(df, idCol, textCol, shingleSize),
+      shingleDocs(df.where(size(words(col(textCol))) > 0), idCol, textCol, shingleSize),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = graft.core.CacheRegistry.persist(
       docs.select(col("id"), explode(col("sh")).as("g")),

@@ -103,12 +103,18 @@ object Similarity {
     require(trainSample >= nlist, s"trainSample ($trainSample) must be >= nlist ($nlist)")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Double]] = corpus
+    val sampleRaw: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
       .rdd.map(_.getSeq[Double](0).toArray)
       .takeSample(withReplacement = false, trainSample, seed)
-    require(sample.nonEmpty, "buildIvfIndex: corpus is empty")
+    require(sampleRaw.nonEmpty, "buildIvfIndex: corpus is empty")
+    // Mixed-dimension corpora: train on the first sampled vector's
+    // dimension only (lloydLocal assumes one dim; a truncated partial
+    // distance would silently mis-train). Assignment stays consistent:
+    // NearestCentroid gives other-dimension vectors a NULL cell, so
+    // they simply never match a probe.
+    val sample = sampleRaw.filter(_.length == sampleRaw(0).length)
     val centroidArr = Similarity.lloydLocal(sample, math.min(nlist, sample.length), 10, seed)
 
     val assigned = graft.core.CacheRegistry.persist(

@@ -36,13 +36,21 @@ object TrainingData {
     keyHash(keyCol, seed) < lit(hexThreshold(fraction))
   }
 
+  /** The `seed:key` string every salted hash is computed over — ONE
+    * definition shared by sampling ([[keyHash]]) and
+    * [[deterministicShuffle]], so the salt format can never drift
+    * between them.
+    */
+  def saltedKey(keyCol: Column, seed: String): Column =
+    concat(lit(seed), lit(":"), keyCol.cast("string"))
+
   /** The shared sampling hash: first 8 hex chars of md5(seed:key). One
     * definition so hashSample and stratifiedSample can never drift
     * apart (their equality at a uniform fraction is a documented
     * invariant, mirrored in the DuckDB oracles).
     */
   def keyHash(keyCol: Column, seed: String): Column =
-    substring(md5(concat(lit(seed), lit(":"), keyCol.cast("string"))), 1, 8)
+    substring(md5(saltedKey(keyCol, seed)), 1, 8)
 
   /** `floor(fraction * 2^32)` as 8-digit lowercase hex; fraction 1.0
     * maps to `"g"`, which sorts after every hex string, so keep-all
@@ -220,7 +228,7 @@ object TrainingData {
     */
   def winsorize(
       df: DataFrame,
-      groupCols: Seq[Column],
+      groupCols: Seq[String],
       valueCol: Column,
       lo: Double = 0.05,
       hi: Double = 0.95,
@@ -231,9 +239,16 @@ object TrainingData {
       else (
         percentile_approx(valueCol, lit(lo), lit(10000)),
         percentile_approx(valueCol, lit(hi), lit(10000)))
-    val bounds = broadcast(df.groupBy(groupCols: _*).agg(loB.as("_lo"), hiB.as("_hi")))
-    df.join(bounds, groupCols.map(_.toString))
-      .withColumn("value_clipped", least(greatest(valueCol, col("_lo")), col("_hi")))
+    val bounds = broadcast(
+      df.groupBy(groupCols.map(col): _*).agg(loB.as("_lo"), hiB.as("_hi")))
+    // least/greatest SKIP nulls, so a bare least(greatest(v, lo), hi)
+    // would rewrite a NULL value into the low bound — clipping must
+    // never invent data, so nulls stay null.
+    df.join(bounds, groupCols)
+      .withColumn(
+        "value_clipped",
+        when(valueCol.isNull, lit(null))
+          .otherwise(least(greatest(valueCol, col("_lo")), col("_hi"))))
       .drop("_lo", "_hi")
   }
 
@@ -246,6 +261,12 @@ object TrainingData {
     * index assignment is partition-local, so it scales like any global
     * sort. At 100 TB you would usually keep only the sorted write and
     * skip the explicit position column.
+    *
+    * `keyCol` must be a UNIQUE, non-null row key (a doc id): the
+    * md5(seed:key) is the entire sort order, so duplicate or null keys
+    * tie, and position assignment among tied rows follows shuffle-
+    * fetch order — not reproducible. (Nulls all hash to the same NULL
+    * sort key, the worst tie.)
     */
   def deterministicShuffle(
       df: DataFrame,
@@ -253,7 +274,7 @@ object TrainingData {
       seed: String = "graft",
       posCol: String = "pos"): DataFrame =
     Relational.globalIndex(
-      df.withColumn("_shuffle_key", md5(concat(lit(seed), lit(":"), keyCol.cast("string")))),
+      df.withColumn("_shuffle_key", md5(saltedKey(keyCol, seed))),
       Seq(col("_shuffle_key"), keyCol),
       posCol)
       .drop("_shuffle_key")

@@ -105,6 +105,15 @@ object StreamDedup {
     * joins, no unbounded signature table, one row-local fused-codegen
     * projection ([[graft.functions.HashFunctions.minhashSignatureFused]])
     * ahead of the stateful drop.
+    *
+    * WORDLESS docs (null text or no word tokens) have no meaningful
+    * signature — an all-null signature array hashes to the xxhash64
+    * seed, which would silently collapse every such doc (e.g. image
+    * rows with null captions) into one. Punctuation-only docs are
+    * keyed by their RAW text instead (byte-identical still dedups,
+    * distinct ones pass through), and NULL-text rows bypass the
+    * stateful drop entirely (filter → dedup → union, all inside one
+    * streaming plan).
     */
   def byMinhashSignature(
       name: String,
@@ -114,13 +123,19 @@ object StreamDedup {
     graft.operators.Transformer(name) { df =>
       import graft.functions.TextFunctions.{words, wordShinglesFromWords}
       import org.apache.spark.sql.functions._
-      df.withColumn(
-        "_sig_hash",
-        xxhash64(graft.functions.HashFunctions.minhashSignatureFused(
-          array_distinct(wordShinglesFromWords(words(col(textCol)), shingleSize)),
-          numHashes)))
+      val ws = words(col(textCol))
+      val sigHash = xxhash64(
+        lit("sig"),
+        graft.functions.HashFunctions.minhashSignatureFused(
+          array_distinct(wordShinglesFromWords(ws, shingleSize)), numHashes))
+      // distinct hash domains ("sig"/"raw") so a raw-text key can
+      // never collide with a signature key
+      val rawHash = xxhash64(lit("raw"), col(textCol))
+      val deduped = df.where(col(textCol).isNotNull)
+        .withColumn("_sig_hash", when(size(ws) === 0, rawHash).otherwise(sigHash))
         .dropDuplicatesWithinWatermark(Seq("_sig_hash"))
         .drop("_sig_hash")
+      deduped.unionByName(df.where(col(textCol).isNull))
     }
 }
 

@@ -33,7 +33,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("winsorize clips through a broadcast join of the bounds row") {
     val df = (1 to 50).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
-    val p = plan(TrainingData.winsorize(df, Seq(col("g")), col("v"), 0.1, 0.9))
+    val p = plan(TrainingData.winsorize(df, Seq("g"), col("v"), 0.1, 0.9))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
     assert(!p.contains("SortMergeJoin"))
   }

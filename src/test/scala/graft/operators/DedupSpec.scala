@@ -127,4 +127,16 @@ class DedupSpec extends SparkSpec {
     assert(out((2L, 1L)) == 0.25)  // 2 shared of doc 2's 8 bigrams
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("wordless docs are excluded from span-dup and containment, not conflated via the \"\" fallback gram") {
+    val docs = Seq(
+      (1L, "real words in this document"),
+      (2L, "!!!"), (3L, "???"), (4L, "")
+    ).toDF("doc_id", "text")
+    val span = Dedup.duplicateSpanFraction(docs, "doc_id", "text", 2)
+      .select("id").as[Long].collect().toSet
+    assert(span == Set(1L)) // wordless docs absent, not "100% duplicated"
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", 2, 0.1).collect()
+    assert(cont.isEmpty) // no bogus mutual-containment among empty docs
+  }
 }

@@ -102,7 +102,7 @@ class TrainingDataSpec extends SparkSpec {
 
   test("winsorize clamps to the group's percentile bounds and leaves interior values alone") {
     val df = (1 to 100).map(i => ("a", i.toLong, i.toDouble)).toDF("g", "id", "v")
-    val out = TrainingData.winsorize(df, Seq(col("g")), col("v"), 0.10, 0.90)
+    val out = TrainingData.winsorize(df, Seq("g"), col("v"), 0.10, 0.90)
       .select("id", "value_clipped").as[(Long, Double)].collect().toMap
     // exact percentile of 1..100 at p10/p90 interpolates to ~10.9 / ~90.1
     // (compare with tolerance: the interpolation fraction 0.9*99-89
@@ -111,10 +111,20 @@ class TrainingDataSpec extends SparkSpec {
     assert(math.abs(out(100L) - 90.1) < 1e-9 && out(100L) == out(95L))
     assert(out(50L) == 50.0) // interior untouched
     // approx sketch path: same shape, bounds within the value domain
-    val approx = TrainingData.winsorize(df, Seq(col("g")), col("v"), 0.10, 0.90, exact = false)
+    val approx = TrainingData.winsorize(df, Seq("g"), col("v"), 0.10, 0.90, exact = false)
       .select("value_clipped").as[Double].collect()
     assert(approx.forall(v => v >= 1.0 && v <= 100.0))
     assert(approx.min >= 9.0 && approx.max <= 92.0)
+  }
+
+  test("winsorize never invents data: null values stay null, not the low bound") {
+    val df = ((1 to 20).map(i => ("a", i.toLong, Some(i.toDouble))) :+ ("a", 99L, None))
+      .toDF("g", "id", "v")
+    val out = TrainingData.winsorize(df, Seq("g"), col("v"), 0.10, 0.90)
+      .select("id", "value_clipped").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(99L).isEmpty) // least/greatest skip nulls - must not leak _lo
+    assert(out(10L).contains(10.0))
   }
 
   test("deterministicShuffle is a stable permutation, keyed by seed") {

@@ -327,4 +327,23 @@ class StreamingSpec extends SparkSpec {
       StreamSink.memory("nd", "neardup_out").copy(sync = true)))(EmptyFlow)
     assert(spark.table("neardup_out").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("streaming near-dup dedup never collapses wordless or null-text docs together") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Option[String])]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, Some("!!!")),  // wordless
+      (ts("2024-01-01 10:00:01"), 2L, Some("???")),  // wordless, distinct -> kept
+      (ts("2024-01-01 10:00:02"), 3L, Some("!!!")),  // byte-identical to 1 -> dropped
+      (ts("2024-01-01 10:00:03"), 4L, None),         // null text -> kept
+      (ts("2024-01-01 10:00:04"), 5L, None))         // null text -> kept too
+    graft.core.Composite(Seq(
+      StreamSource.of("ndw", in.toDF().toDF("ts", "id", "text")),
+      Watermark("ndw", "ts", "1 hour"),
+      StreamDedup.byMinhashSignature("ndw", "text"),
+      StreamSink.memory("ndw", "neardup_wordless_out").copy(sync = true)))(EmptyFlow)
+    assert(spark.table("neardup_wordless_out").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 5L))
+  }
 }
