@@ -122,4 +122,42 @@ class GoldenParitySpec extends SparkSpec {
       .readAllLines(java.nio.file.Paths.get(s"$refData/telegram.txt")).asScala.toSeq
     assert(out == golden)
   }
+
+  test("simple-numbers example: mix -> +1 -> odd/even split " +
+    "(reference: test/examples/simple_numbers_test.exs:7-35)") {
+    import graft.core.Composite
+    import graft.operators.{Mixer, Splitter}
+    import graft.sources.Source
+    val out = Composite(Seq(
+      Source.of("numbers1", Seq(1, 2, 3, 4, 5).toDF("v")),
+      Source.of("numbers2", Seq(6, 7, 8, 9, 10).toDF("v")),
+      Mixer(Seq("numbers1", "numbers2"), "number"),
+      Transformer("number")(df => df.withColumn("v", col("v") + 1))))(Map.empty)
+    val split = Splitter.predicates(
+      "number", Seq("odd" -> (col("v") % 2 === 1), "even" -> (col("v") % 2 === 0)))(out)
+    assert(split("odd").select("v").as[Int].collect().sorted.toSeq == Seq(3, 5, 7, 9, 11))
+    assert(split("even").select("v").as[Int].collect().sorted.toSeq == Seq(2, 4, 6, 8, 10))
+  }
+
+  test("simple-numbers round-robin: n-way zip interleaves one event per stream per turn " +
+    "(reference: test/examples/simple_numbers_test.exs round robin, RoundRobinMany)") {
+    // The reference builds round-robin mixing from hand-rolled keyed
+    // state; the engine's native form is zipByIndexN. Same invariants
+    // as the reference asserts: first turn = one event from each
+    // stream, last turn likewise, 2-way chunks pair x with 10x.
+    val two = Relational.zipByIndex(
+      Seq(1, 2, 3).toDF("a"), Seq(col("a")),
+      Seq(10, 20, 30).toDF("b"), Seq(col("b")))
+    two.collect().foreach(r => assert(r.getInt(1) == r.getInt(0) * 10))
+    val three = Relational.zipByIndexN(Seq(
+      (Seq(1, 2, 3).toDF("a"), Seq(col("a"))),
+      (Seq(10, 20, 30).toDF("b"), Seq(col("b"))),
+      (Seq(100, 200, 300).toDF("c"), Seq(col("c")))))
+    val rows = three.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(0) * 10 && r.getInt(2) == r.getInt(0) * 100)
+    }
+  }
 }
