@@ -661,6 +661,16 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, d) =>
       Ranking.topNgrams(t(s, d, "documents"), "text", n = 2, k = 50)),
 
+    // Leakage-safe train/val/test assignment: split by near-dup
+    // CLUSTER hash (same pair graph as q_dedup_cc), so planted
+    // near-dups can never straddle the train/test boundary.
+    "q_split_assign" -> ((s, d) =>
+      TrainingData.leakageSafeSplit(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
+        .select(col("doc_id"), col("component"), col("split"))),
+
     // -- multimodal plumbing ---------------------------------------- //
     "q_multimodal" -> ((s, d) =>
       Multimodal.fakeDecodeMeta(
@@ -1123,6 +1133,40 @@ object SparkEntry {
          |  FROM documents WHERE len($W) >= 2)
          |SELECT gram, count(*) AS freq FROM g GROUP BY 1
          |ORDER BY freq DESC, gram LIMIT 50""".stripMargin,
+
+    // same CC recursive CTE as q_dedup_cc, then the md5 cluster-hash
+    // split (thresholds = hexThreshold(0.8)/(0.9) from the Spark side)
+    "q_split_assign" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id AS id, list_distinct(CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS sh
+         |  FROM documents),
+         |postings AS (SELECT id, unnest(sh) AS g FROM docs),
+         |rare AS (SELECT g FROM postings GROUP BY g
+         |  HAVING count(*) <= 100 AND count(*) >= 2),
+         |filtered AS (SELECT p.id, p.g FROM postings p JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id),
+         |edges AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |  len(list_intersect(da.sh, db.sh))::DOUBLE /
+         |  len(list_distinct(list_concat(da.sh, db.sh))) AS j
+         |  FROM cand JOIN docs da ON cand.id_a = da.id
+         |  JOIN docs db ON cand.id_b = db.id) WHERE j >= 0.2),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS node FROM documents
+         |  UNION
+         |  SELECT r.src, CASE WHEN e.id_a = r.node THEN e.id_b ELSE e.id_a END
+         |  FROM reach r JOIN edges e ON r.node = e.id_a OR r.node = e.id_b),
+         |lab AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src)
+         |SELECT doc_id, component,
+         |CASE WHEN substr(md5('graft:' || component::VARCHAR), 1, 8)
+         |       < '${TrainingData.hexThreshold(0.8)}' THEN 'train'
+         |     WHEN substr(md5('graft:' || component::VARCHAR), 1, 8)
+         |       < '${TrainingData.hexThreshold(0.9)}' THEN 'val'
+         |     ELSE 'test' END AS split
+         |FROM lab""".stripMargin,
 
     "q_dedup_survivors" ->
       s"""WITH RECURSIVE docs AS (

@@ -252,6 +252,45 @@ object TrainingData {
       .drop("_lo", "_hi")
   }
 
+  /** Leakage-safe train/val/test assignment: hash the NEAR-DUP CLUSTER
+    * id, not the doc id — near-duplicates always land in the same
+    * split, so a test document can never have a training-set twin (the
+    * eval-contamination guard a doc-hash split silently lacks).
+    * Composition: df-capped n-gram Jaccard pairs → connected
+    * components → md5 split on the component id (same deterministic
+    * [[keyHash]] as sampling). Fractions apply to clusters, so
+    * doc-level proportions are approximate when cluster sizes vary —
+    * exactly the trade a leakage-safe split must make.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      fractions: Seq[(String, Double)],
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 1000,
+      seed: String = "graft"): DataFrame = {
+    require(fractions.nonEmpty, "leakageSafeSplit needs at least one split")
+    require(
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val pairs = Dedup.ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold, maxDocFreq)
+    val labels = Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .select(col("id").as(idCol), col("component"))
+    val h = keyHash(col("component"), seed)
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val first = fractions.head._1
+    val splitCol = fractions.zip(cum)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cumF)) =>
+        val cond = h < lit(hexThreshold(cumF))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }
+      .map(_.otherwise(lit(fractions.last._1)))
+      .getOrElse(lit(first))
+    df.join(labels, idCol).withColumn("split", splitCol)
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * stable position from the md5 of (seed : key) — reproducible
     * across engines, retries, and partition layouts, unlike

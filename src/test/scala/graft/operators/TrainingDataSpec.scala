@@ -127,6 +127,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(10L).contains(10.0))
   }
 
+  test("leakageSafeSplit keeps near-duplicates in one split and is deterministic") {
+    val base = "the quick brown fox jumps over the lazy sleeping dog today"
+    val docs = ((1 to 40).map(i => (i.toLong, s"unique document number $i about topic ${i * 7} entirely"))
+      :+ (100L, base) :+ (101L, base + " extra")).toDF("doc_id", "text")
+    val out = TrainingData.leakageSafeSplit(
+      docs, "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      shingleSize = 2, threshold = 0.3, maxDocFreq = 100)
+      .select("doc_id", "component", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 42)
+    // the planted near-dup pair shares a component, hence a split
+    assert(out(100L)._1 == out(101L)._1 && out(100L)._1 == 100L)
+    assert(out(100L)._2 == out(101L)._2)
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic rerun
+    val again = TrainingData.leakageSafeSplit(
+      docs, "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      shingleSize = 2, threshold = 0.3, maxDocFreq = 100)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("deterministicShuffle is a stable permutation, keyed by seed") {
     val df = (1L to 50L).toDF("id")
     val run1 = TrainingData.deterministicShuffle(df, col("id"))
