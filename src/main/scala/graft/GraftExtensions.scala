@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, MinhashSignature, Simhash64, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -58,6 +58,21 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         val a = arity("vec_hyperplane_bucket", 3)(es)
         HyperplaneBucket(a(0), Literal(litLong(a(2), "seed")), litInt(a(1), "bits"))
+      }),
+    ("minhash_signature",
+      "minhash_signature(shingles, numHashes) - fused MinHash signature over a string array",
+      (es: Seq[Expression]) => {
+        val a = arity("minhash_signature", 2)(es)
+        MinhashSignature(a(0), litInt(a(1), "numHashes"))
+      }),
+    ("simhash64",
+      "simhash64(words) - fused 64-bit SimHash of a string array (NULL when empty)",
+      (es: Seq[Expression]) => { val a = arity("simhash64", 1)(es); Simhash64(a(0)) }),
+    ("word_shingles",
+      "word_shingles(words, n) - word n-gram shingles; short arrays fall back to one joined shingle",
+      (es: Seq[Expression]) => {
+        val a = arity("word_shingles", 2)(es)
+        WordShingles(a(0), litInt(a(1), "n"))
       })
   )
 

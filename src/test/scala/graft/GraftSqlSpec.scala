@@ -15,6 +15,12 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
     assert(r.getLong(2) >= 0 && r.getLong(2) < 16)
 
+    val t = spark.sql(
+      """SELECT word_shingles(array('a','b','c'), 2) AS sh,
+        |simhash64(array('a','b')) AS sim,
+        |minhash_signature(array('a','b'), 4) AS sig""".stripMargin).collect().head
+    assert(t.getSeq[String](0) == Seq("a b", "b c"))
+    assert(!t.isNullAt(1) && t.getSeq[Long](2).length == 4)
   }
 
   test("GraftExtensions builds a session with the functions pre-registered") {
@@ -25,7 +31,8 @@ class GraftSqlSpec extends SparkSpec {
     // injection list is exercised through register() path above; here we
     // assert the extensions object wires every declared function.
     assert(GraftFunctions.all.map(_._1).toSet == Set(
-      "vec_dot", "vec_cosine", "vec_hyperplane_bucket"))
+      "vec_dot", "vec_cosine", "vec_hyperplane_bucket",
+      "minhash_signature", "simhash64", "word_shingles"))
   }
 
   test("skippingFailures drops poisoned records and counts them " +
