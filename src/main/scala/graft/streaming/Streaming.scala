@@ -88,6 +88,21 @@ object WindowedAgg {
     graft.operators.Transformer(name)(df =>
       df.groupBy(window(col(tsCol), width, slide) +: groupBy: _*).agg(aggs.head, aggs.tail: _*))
   }
+
+  /** Session windows: gap-based grouping with native `session_window`
+    * (merging window state, watermark-evicted) — the streaming twin of
+    * the batch `Relational.sessionize` lag/cumsum form.
+    */
+  def session(
+      name: String,
+      tsCol: String,
+      gap: String,
+      aggs: Seq[org.apache.spark.sql.Column],
+      groupBy: Seq[org.apache.spark.sql.Column] = Nil): Component = {
+    require(aggs.nonEmpty, "WindowedAgg: at least one aggregate column is required")
+    graft.operators.Transformer(name)(df =>
+      df.groupBy(session_window(col(tsCol), gap) +: groupBy: _*).agg(aggs.head, aggs.tail: _*))
+  }
 }
 
 /** Streaming dedup with bounded state — dropDuplicatesWithinWatermark. */

@@ -34,6 +34,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("s")).toSeq == Seq(3.0, 5.0))
   }
 
+  test("streaming session windows: gap-based grouping matches the batch sessionize cuts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two events 5 min apart (one session), then a 40-min gap
+    // (new session); user 2: a single event
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0), (ts("2024-01-01 10:05:00"), 1L, 2.0),
+      (ts("2024-01-01 10:45:00"), 1L, 4.0),
+      (ts("2024-01-01 10:10:00"), 2L, 8.0))
+    graft.core.Composite(Seq(
+      StreamSource.of("sess", in.toDF().toDF("ts", "user_id", "value")),
+      Watermark("sess", "ts", "1 hour"),
+      WindowedAgg.session("sess", "ts", "30 minutes",
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("s")), Seq(col("user_id"))),
+      Transformer("sess")(_.select(
+        col("user_id"), col("session_window.start").as("w"), col("n"), col("s"))),
+      StreamSink.memory("sess", "sess_out", outputMode = "complete").copy(sync = true)))(EmptyFlow)
+    val rows = spark.table("sess_out").orderBy("user_id", "w")
+      .select("user_id", "n", "s").as[(Long, Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
   test("mixer unions streaming sources like batch ones") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[Int]; val b = MemoryStream[Int]
