@@ -468,10 +468,17 @@ object Dedup {
       threshold: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame = {
     val pairs = ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold, maxDocFreq)
-    val labels = connectedComponents(df.select(col(idCol)), idCol, pairs)
+    // Propagate labels only over edge-INCIDENT nodes: docs in no pair
+    // are their own component and never change, so pushing them
+    // through every CC round would scale the propagation joins with
+    // the corpus instead of with the (typically tiny) near-dup graph.
+    val inGraph = pairs.select(col("id_a").as(idCol))
+      .unionAll(pairs.select(col("id_b").as(idCol))).distinct()
+    val labels = connectedComponents(inGraph, idCol, pairs)
+    // survivors = everything minus cluster non-representatives
     df.join(
-      labels.where(col("id") === col("component")).select(col("id").as(idCol)),
-      Seq(idCol), "left_semi")
+      labels.where(col("id") =!= col("component")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
   }
 
   /** Embedding near-duplicate pairs: sign-random-projection buckets

@@ -276,8 +276,13 @@ object TrainingData {
       math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val pairs = Dedup.ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold, maxDocFreq)
-    val labels = Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
-      .select(col("id").as(idCol), col("component"))
+    // CC only over edge-incident nodes (docs in no pair are their own
+    // component — a left join + coalesce recovers them without pushing
+    // the whole corpus through every propagation round).
+    val inGraph = pairs.select(col("id_a").as(idCol))
+      .unionAll(pairs.select(col("id_b").as(idCol))).distinct()
+    val labels = Dedup.connectedComponents(inGraph, idCol, pairs)
+      .select(col("id").as(idCol), col("component").as("_cc"))
     val h = keyHash(col("component"), seed)
     val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     val first = fractions.head._1
@@ -288,7 +293,10 @@ object TrainingData {
       }
       .map(_.otherwise(lit(fractions.last._1)))
       .getOrElse(lit(first))
-    df.join(labels, idCol).withColumn("split", splitCol)
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("_cc"), col(idCol)))
+      .drop("_cc")
+      .withColumn("split", splitCol)
   }
 
   /** Deterministic global shuffle for training order: every row gets a
