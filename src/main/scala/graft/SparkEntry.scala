@@ -1119,7 +1119,8 @@ object SparkEntry {
         |  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
         |  FROM events GROUP BY 1)
         |SELECT event_id, e.event_type, value,
-        |round(least(greatest(value, lo), hi), 4) AS value_clipped
+        |CASE WHEN value IS NULL THEN NULL
+        |     ELSE round(least(greatest(value, lo), hi), 4) END AS value_clipped
         |FROM events e JOIN b USING (event_type)""".stripMargin,
 
     "q_shuffle" ->

@@ -382,8 +382,12 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame = {
+    // filter on the materialized word array so the regex tokenizer
+    // runs once per doc, not once in the filter + once in shingling
     val docs = graft.core.CacheRegistry.persist(
-      shingleDocs(df.where(size(words(col(textCol))) > 0), idCol, textCol, shingleSize),
+      df.select(col(idCol).as("id"), words(col(textCol)).as("_ws"))
+        .where(size(col("_ws")) > 0)
+        .select(col("id"), array_distinct(wordShinglesFromWords(col("_ws"), shingleSize)).as("sh")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = graft.core.CacheRegistry.persist(
       docs.select(col("id"), explode(col("sh")).as("g")),
@@ -460,6 +464,27 @@ object Dedup {
     * the staged forms remain available for pipelines that need the
     * pairs or labels themselves.
     */
+  /** Component labels for the nodes INCIDENT to a pair edge, with the
+    * (typically expensive) pair plan materialized exactly once — both
+    * the node set and the propagation edges derive from the same
+    * checkpoint, so candidate generation + verification never re-runs.
+    * Docs in no pair are their own component and never change, so
+    * pushing them through every CC round would scale the propagation
+    * joins with the corpus instead of with the (typically tiny)
+    * near-dup graph; callers recover singletons with an anti-join or a
+    * left join + coalesce. Shared by [[dropNearDuplicates]] and
+    * [[TrainingData.leakageSafeSplit]].
+    */
+  private[operators] def edgeIncidentLabels(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    val nodes = p.select(col(aCol).as("id"))
+      .unionAll(p.select(col(bCol).as("id"))).distinct()
+    connectedComponents(nodes, "id", p, aCol, bCol)
+  }
+
   def dropNearDuplicates(
       df: DataFrame,
       idCol: String,
@@ -468,13 +493,7 @@ object Dedup {
       threshold: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame = {
     val pairs = ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold, maxDocFreq)
-    // Propagate labels only over edge-INCIDENT nodes: docs in no pair
-    // are their own component and never change, so pushing them
-    // through every CC round would scale the propagation joins with
-    // the corpus instead of with the (typically tiny) near-dup graph.
-    val inGraph = pairs.select(col("id_a").as(idCol))
-      .unionAll(pairs.select(col("id_b").as(idCol))).distinct()
-    val labels = connectedComponents(inGraph, idCol, pairs)
+    val labels = edgeIncidentLabels(pairs)
     // survivors = everything minus cluster non-representatives
     df.join(
       labels.where(col("id") =!= col("component")).select(col("id").as(idCol)),

@@ -109,12 +109,16 @@ object Similarity {
       .rdd.map(_.getSeq[Double](0).toArray)
       .takeSample(withReplacement = false, trainSample, seed)
     require(sampleRaw.nonEmpty, "buildIvfIndex: corpus is empty")
-    // Mixed-dimension corpora: train on the first sampled vector's
-    // dimension only (lloydLocal assumes one dim; a truncated partial
-    // distance would silently mis-train). Assignment stays consistent:
-    // NearestCentroid gives other-dimension vectors a NULL cell, so
-    // they simply never match a probe.
-    val sample = sampleRaw.filter(_.length == sampleRaw(0).length)
+    // Mixed-dimension corpora: train on the MAJORITY dimension of the
+    // sample (lloydLocal assumes one dim; a truncated partial distance
+    // would silently mis-train, and keying on the first sampled vector
+    // could canonicalize a 1% minority dim). Ties break to the lowest
+    // dim for determinism. Assignment stays consistent: NearestCentroid
+    // gives other-dimension vectors a NULL cell, so they simply never
+    // match a probe.
+    val majorityDim = sampleRaw.groupBy(_.length).view.mapValues(_.length)
+      .toSeq.maxBy { case (dim, n) => (n, -dim) }._1
+    val sample = sampleRaw.filter(_.length == majorityDim)
     val centroidArr = Similarity.lloydLocal(sample, math.min(nlist, sample.length), 10, seed)
 
     val assigned = graft.core.CacheRegistry.persist(

@@ -276,23 +276,19 @@ object TrainingData {
       math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val pairs = Dedup.ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold, maxDocFreq)
-    // CC only over edge-incident nodes (docs in no pair are their own
-    // component — a left join + coalesce recovers them without pushing
-    // the whole corpus through every propagation round).
-    val inGraph = pairs.select(col("id_a").as(idCol))
-      .unionAll(pairs.select(col("id_b").as(idCol))).distinct()
-    val labels = Dedup.connectedComponents(inGraph, idCol, pairs)
+    // CC only over edge-incident nodes (Dedup.edgeIncidentLabels —
+    // pair plan materialized once); singletons are recovered by the
+    // left join + coalesce below without riding every propagation
+    // round.
+    val labels = Dedup.edgeIncidentLabels(pairs)
       .select(col("id").as(idCol), col("component").as("_cc"))
     val h = keyHash(col("component"), seed)
     val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
-    val first = fractions.head._1
-    val splitCol = fractions.zip(cum)
-      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cumF)) =>
-        val cond = h < lit(hexThreshold(cumF))
-        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    val splitCol = fractions.zip(cum).tail
+      .foldLeft(when(h < lit(hexThreshold(cum.head)), fractions.head._1)) {
+        case (acc, ((name, _), cumF)) => acc.when(h < lit(hexThreshold(cumF)), name)
       }
-      .map(_.otherwise(lit(fractions.last._1)))
-      .getOrElse(lit(first))
+      .otherwise(lit(fractions.last._1))
     df.join(labels, Seq(idCol), "left")
       .withColumn("component", coalesce(col("_cc"), col(idCol)))
       .drop("_cc")

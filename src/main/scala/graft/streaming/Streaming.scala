@@ -98,8 +98,15 @@ object WindowedAgg {
       tsCol: String,
       gap: String,
       aggs: Seq[org.apache.spark.sql.Column],
-      groupBy: Seq[org.apache.spark.sql.Column] = Nil): Component = {
+      groupBy: Seq[org.apache.spark.sql.Column]): Component = {
     require(aggs.nonEmpty, "WindowedAgg: at least one aggregate column is required")
+    // Spark's streaming session_window requires a grouping key beside
+    // the window itself; a Nil default would throw at query START, not
+    // at build — fail early with the actual restriction instead.
+    require(
+      groupBy.nonEmpty,
+      "WindowedAgg.session: streaming session windows need at least one " +
+        "grouping column besides session_window (Spark restriction)")
     graft.operators.Transformer(name)(df =>
       df.groupBy(session_window(col(tsCol), gap) +: groupBy: _*).agg(aggs.head, aggs.tail: _*))
   }

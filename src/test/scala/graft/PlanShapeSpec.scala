@@ -28,7 +28,9 @@ class PlanShapeSpec extends SparkSpec {
   test("topNgrams uses TakeOrderedAndProject, not a global sort") {
     val p = plan(Ranking.topNgrams(docs, "text", 2, 5))
     assert(p.contains("TakeOrderedAndProject"))
-    assert(!p.contains("\nSort ")) // no full-result Sort node feeding the limit
+    // no full-result Sort node anywhere in the tree (tree lines render
+    // as "+- Sort", ":- Sort", or "+- *(2) Sort" — never "\nSort")
+    assert(!p.linesIterator.exists(_.matches(""".*(\+-|:-) (\*\(\d+\) )?Sort .*""")))
   }
 
   test("winsorize clips through a broadcast join of the bounds row") {
