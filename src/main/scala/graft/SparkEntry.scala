@@ -661,6 +661,45 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, d) =>
       Ranking.topNgrams(t(s, d, "documents"), "text", n = 2, k = 50)),
 
+    // Incremental (day-2) dedup gate: a new batch — the %5==0 docs
+    // plus verbatim copies of some standing docs under shifted ids —
+    // dedupes against the standing corpus's fingerprint+band index.
+    // Pins: every exact copy is dropped (fingerprint path, guaranteed)
+    // and >= 90% of the new-side members of exact near-dup pairs are
+    // dropped (any-band LSH path; planted pairs are high-jaccard, so
+    // banding catches them — measured 100%).
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val old = docs.where(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
+      val copies = old.where(col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val newBatch = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")).unionAll(copies)
+      val index = Dedup.buildDedupIndex(old, "doc_id", "text", 2, 64, 16)
+      val kept = Dedup.dropAgainstIndex(newBatch, index, "doc_id", "text", 2, 64, 16)
+      val keptIds = kept.select(col("doc_id"))
+
+      val newFp = newBatch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val oldFp = old.select(fingerprint(col("text")).as("fp")).distinct()
+      val exactDupIds = newFp.join(oldFp, Seq("fp"), "left_semi").select(col("doc_id"))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5, 100)
+      val nearNewIds = pairs
+        .where((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
+        .select(when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b")).as("doc_id"))
+        .distinct()
+      newBatch.agg(count(lit(1)).as("n_new"))
+        .crossJoin(exactDupIds.agg(count(lit(1)).as("n_exact_dup")))
+        .crossJoin(exactDupIds.join(keptIds, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("_exact_kept")))
+        .crossJoin(nearNewIds.agg(count(lit(1)).as("n_near")))
+        .crossJoin(nearNewIds.join(keptIds, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("_near_dropped")))
+        .select(
+          col("n_new"), col("n_exact_dup"), col("n_near"),
+          (col("_exact_kept") === 0L).as("exact_dropped_ok"),
+          (col("_near_dropped") >= col("n_near").cast("double") * 0.9).as("near_recall_ok"))
+    }),
+
     // Leakage-safe train/val/test assignment: split by near-dup
     // CLUSTER hash (same pair graph as q_dedup_cc), so planted
     // near-dups can never straddle the train/test boundary.
@@ -1134,6 +1173,26 @@ object SparkEntry {
          |  FROM documents WHERE len($W) >= 2)
          |SELECT gram, count(*) AS freq FROM g GROUP BY 1
          |ORDER BY freq DESC, gram LIMIT 50""".stripMargin,
+
+    // n_new/n_exact_dup/n_near recomputed from first principles; the
+    // booleans are pinned true (gate style, like the recall oracles)
+    "q_dedup_incremental" ->
+      s"""${ngramPairsSql(0.5)},
+         |old AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |copies AS (SELECT doc_id + 100000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1),
+         |new_batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id, text FROM copies),
+         |near_new AS (SELECT DISTINCT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS doc_id
+         |  FROM exact_pairs WHERE (id_a % 5 = 0) <> (id_b % 5 = 0))
+         |SELECT
+         |  (SELECT count(*) FROM new_batch) AS n_new,
+         |  (SELECT count(*) FROM new_batch n WHERE EXISTS (SELECT 1 FROM old o
+         |     WHERE md5(trim(regexp_replace(lower(n.text), '\\s+', ' ', 'g'))) =
+         |           md5(trim(regexp_replace(lower(o.text), '\\s+', ' ', 'g'))))) AS n_exact_dup,
+         |  (SELECT count(*) FROM near_new) AS n_near,
+         |  true AS exact_dropped_ok,
+         |  true AS near_recall_ok""".stripMargin,
 
     // same CC recursive CTE as q_dedup_cc, then the md5 cluster-hash
     // split (thresholds = hexThreshold(0.8)/(0.9) from the Spark side)

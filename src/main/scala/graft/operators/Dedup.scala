@@ -500,6 +500,69 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** The persistent dedup index a standing corpus maintains: one row
+    * per document with its exact fingerprint and MinHash signature
+    * band keys — what day-2 ingestion dedupes NEW batches against
+    * without rescanning yesterday's documents. At 100 TB this is the
+    * table you keep partitioned by band/bucket on disk; each incoming
+    * batch joins against it and appends its own rows.
+    */
+  def buildDedupIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    val rows = numHashes / bands
+    df.select(
+      col(idCol).as("id"),
+      fingerprint(col(textCol)).as("fp"),
+      words(col(textCol)).as("_ws"))
+      .select(
+        col("id"), col("fp"),
+        graft.functions.HashFunctions.minhashSignatureFused(
+          array_distinct(wordShinglesFromWords(col("_ws"), shingleSize)), numHashes).as("sig"))
+      .select(
+        col("id"), col("fp"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
+          .as("bb"))
+      .select(col("id"), col("fp"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Incremental dedup: drop rows of a NEW batch that duplicate the
+    * standing corpus behind `index` ([[buildDedupIndex]] rows, same
+    * shingle/hash parameters). Exact duplicates match on fingerprint;
+    * near-duplicates match on any LSH band key (the all-bands-collide
+    * signature test of the streaming variant, relaxed to any-band —
+    * conservative towards dropping, like production ingestion dedup;
+    * raise `bands` on the index to loosen). Both checks are LEFT ANTI
+    * joins on short keys — the new batch never joins documents, and
+    * the standing corpus is never rescanned.
+    */
+  def dropAgainstIndex(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val newIdx = graft.core.CacheRegistry.persist(
+      buildDedupIndex(newDocs, idCol, textCol, shingleSize, numHashes, bands),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hitFp = newIdx.join(index.select(col("fp")), Seq("fp"), "left_semi")
+    val hitBand = newIdx.join(
+      index.select(col("band"), col("bucket")), Seq("band", "bucket"), "left_semi")
+    val dupIds = hitFp.select(col("id")).unionAll(hitBand.select(col("id"))).distinct()
+    newDocs.join(dupIds.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: sign-random-projection buckets
     * (multi-table for recall), verify with exact cosine. The join key is
     * (table, bucket) — shuffle carries ids + vectors once per table.

@@ -128,6 +128,23 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("dropAgainstIndex removes exact and near copies of the standing corpus, keeps fresh docs") {
+    val standing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different standing document with its own words")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),         // exact copy -> drop
+      (11L, "the quick brown fox jumps over the lazy dogs"),        // near copy -> drop (bands)
+      (12L, "entirely novel content nothing like the corpus at all") // fresh -> keep
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(standing, "doc_id", "text", 2, 64, 16)
+    val kept = Dedup.dropAgainstIndex(incoming, index, "doc_id", "text", 2, 64, 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("wordless docs are excluded from span-dup and containment, not conflated via the \"\" fallback gram") {
     val docs = Seq(
       (1L, "real words in this document"),
