@@ -251,6 +251,195 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Character k-shingles of an (already-normalized) string: positions
+  * 1..len-k+1 of SQL `substring(s, i, k)`; strings of length <= k
+  * yield the single whole-string shingle — the fused form of the
+  * `transform(sequence, i => substring(s, i, k))` HOF chain.
+  */
+case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"char_shingles: k must be >= 1, got $k")
+  override def prettyName: String = "char_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${child.dataType.catalogString}")
+    }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val n = s.numChars()
+    if (n <= k) new GenericArrayData(Array[Any](s))
+    else {
+      val out = new Array[Any](n - k + 1)
+      var i = 0
+      while (i <= n - k) { out(i) = s.substringSQL(i + 1, k); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("charShingles", this, classOf[CharShingles].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of words present in a fixed (small) stopword set — the fused
+  * form of `size(filter(ws, w => w.isInCollection(stops)))`. Null
+  * words never match (SQL IN semantics in a filter).
+  */
+case class StopwordCount(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  require(stopwords.nonEmpty, "stopword_count: stopwords must be non-empty")
+  override def prettyName: String = "stopword_count"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${child.dataType.catalogString}")
+    }
+
+  private lazy val stops: Array[org.apache.spark.unsafe.types.UTF8String] =
+    stopwords.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  def compute(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var c = 0; var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        var j = 0
+        var found = false
+        while (j < stops.length && !found) { found = stops(j) == w; j += 1 }
+        if (found) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("stopwordCount", this, classOf[StopwordCount].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** BPE-ish subword count: Σ ceil(numChars(w)/4) over the word array —
+  * the fused form of the `aggregate(ws, 0, acc + ceil(len/4))` HOF.
+  * A null word poisons the result to NULL, matching the aggregate
+  * (null arithmetic propagates through the lambda).
+  */
+case class SubwordCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "subword_count"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${child.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0L; var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      acc += (arr.getUTF8String(i).numChars() + 3) / 4
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += ($a.getUTF8String($i).numChars() + 3) / 4;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Rolling polynomial fingerprint h = (h·31 + codePoint) mod
+  * 1_000_000_007 over the code points of an (already-normalized)
+  * string — the fused form of split('')/filter/aggregate-with-ascii.
+  * Every intermediate stays < 2^35, so the value is reproducible in
+  * any engine with 64-bit ints.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "rolling_hash"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${child.dataType.catalogString}")
+    }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("rollingHash", this, classOf[RollingHash].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the fused hash-sketch kernels. */
 object HashFunctions {
   /** Fused MinHash signature from shingle strings (one pass, bit-identical
@@ -268,4 +457,20 @@ object HashFunctions {
     */
   def wordShinglesFused(wordArr: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(wordArr), n))
+
+  /** Fused character k-shingles of an already-normalized string. */
+  def charShinglesFused(s: Column, k: Int): Column =
+    GraftBridge.column(CharShingles(GraftBridge.expression(s), k))
+
+  /** Fused stopword-membership count over a word array. */
+  def stopwordCountFused(wordArr: Column, stopwords: Seq[String]): Column =
+    GraftBridge.column(StopwordCount(GraftBridge.expression(wordArr), stopwords))
+
+  /** Fused BPE-ish subword count over a word array. */
+  def subwordCountFused(wordArr: Column): Column =
+    GraftBridge.column(SubwordCount(GraftBridge.expression(wordArr)))
+
+  /** Fused rolling polynomial fingerprint of an already-normalized string. */
+  def rollingHashFused(s: Column): Column =
+    GraftBridge.column(RollingHash(GraftBridge.expression(s)))
 }

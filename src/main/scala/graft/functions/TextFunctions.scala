@@ -33,8 +33,14 @@ object TextFunctions {
   /** A BPE-ish subword count approximation: words + digit runs counted
     * separately, long words counted as ceil(len/4) subtokens — a cheap,
     * deterministic stand-in for a real tokenizer's token count.
+    * Fused kernel; [[subwordCountApproxHof]] is the aggregate-HOF
+    * reference form.
     */
   def subwordCountApprox(c: Column): Column =
+    HashFunctions.subwordCountFused(words(c))
+
+  /** Composable HOF REFERENCE form of [[subwordCountApprox]]. */
+  def subwordCountApproxHof(c: Column): Column =
     aggregate(
       words(c),
       lit(0L),
@@ -74,8 +80,14 @@ object TextFunctions {
 
   def wordShingles(c: Column, n: Int): Column = wordShinglesFromWords(words(c), n)
 
-  /** Character k-shingles of the normalized text. */
-  def charShingles(c: Column, k: Int): Column = {
+  /** Character k-shingles of the normalized text (fused kernel;
+    * [[charShinglesHof]] is the transform-HOF reference form).
+    */
+  def charShingles(c: Column, k: Int): Column =
+    HashFunctions.charShinglesFused(normalize(c), k)
+
+  /** Composable HOF REFERENCE form of [[charShingles]]. */
+  def charShinglesHof(c: Column, k: Int): Column = {
     val s = normalize(c)
     when(length(s) <= k, array(s))
       .otherwise(
@@ -89,8 +101,19 @@ object TextFunctions {
   private val Stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
-  /** Fraction of tokens that are common English stopwords. */
+  /** Fraction of tokens that are common English stopwords (fused
+    * membership count; [[stopwordRatioHof]] is the filter-HOF
+    * reference form).
+    */
   def stopwordRatio(c: Column): Column = {
+    val ws = words(c)
+    when(size(ws) === 0, lit(0.0))
+      .otherwise(
+        HashFunctions.stopwordCountFused(ws, Stopwords).cast("double") / size(ws))
+  }
+
+  /** Composable HOF REFERENCE form of [[stopwordRatio]]. */
+  def stopwordRatioHof(c: Column): Column = {
     val ws = words(c)
     val stops = filter(ws, w => w.isInCollection(Stopwords))
     when(size(ws) === 0, lit(0.0)).otherwise(size(stops).cast("double") / size(ws))
@@ -139,7 +162,14 @@ object TextFunctions {
     */
   val RollingHashMod = 1000000007L
 
-  def rollingHash(c: Column): Column = {
+  /** Fused kernel; [[rollingHashHof]] is the split/aggregate reference
+    * form.
+    */
+  def rollingHash(c: Column): Column =
+    HashFunctions.rollingHashFused(normalize(c))
+
+  /** Composable HOF REFERENCE form of [[rollingHash]]. */
+  def rollingHashHof(c: Column): Column = {
     val chars = split(normalize(c), "")
     aggregate(
       filter(chars, ch => length(ch) > 0),

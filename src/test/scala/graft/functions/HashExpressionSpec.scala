@@ -82,6 +82,32 @@ class HashExpressionSpec extends SparkSpec {
     assert(empty == Seq(""))
   }
 
+  test("fused char shingles, stopword ratio, subword count, rolling hash match their HOF forms") {
+    import graft.functions.TextFunctions._
+    val texts = Seq(
+      (1L, "The quick  brown fox, and a dog!"),
+      (2L, "a"),
+      (3L, "it is the end of an era and the tide turns to it"),
+      (4L, "numbers 12345 and w0rds mix 678"),
+      (5L, "")
+    ).toDF("id", "text")
+    Seq(2, 3, 5).foreach { k =>
+      texts.select(
+        charShingles(col("text"), k).as("f"), charShinglesHof(col("text"), k).as("h"))
+        .collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k"))
+    }
+    texts.select(
+      stopwordRatio(col("text")).as("f"), stopwordRatioHof(col("text")).as("h"),
+      subwordCountApprox(col("text")).as("sf"), subwordCountApproxHof(col("text")).as("sh"),
+      rollingHash(col("text")).as("rf"), rollingHashHof(col("text")).as("rh"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+        assert(r.getLong(2) == r.getLong(3))
+        assert(r.getLong(4) == r.getLong(5))
+      }
+  }
+
   test("non-array input is rejected at analysis") {
     intercept[org.apache.spark.sql.AnalysisException](
       docs.select(minhashSignatureFused(col("text"), 4)).collect())
