@@ -665,9 +665,11 @@ object SparkEntry {
     // plus verbatim copies of some standing docs under shifted ids —
     // dedupes against the standing corpus's fingerprint+band index.
     // Pins: every exact copy is dropped (fingerprint path, guaranteed)
-    // and >= 90% of the new-side members of exact near-dup pairs are
-    // dropped (any-band LSH path; planted pairs are high-jaccard, so
-    // banding catches them — measured 100%).
+    // and >= 90% of the new-side members of HIGH-jaccard (>= 0.8)
+    // cross-boundary near-dup pairs are dropped: at j=0.8 the any-band
+    // miss probability is (1-j⁴)¹⁶ ≈ 2e-4 per pair, so the pin is
+    // robust to organic pairs a testdata refresh might introduce
+    // (at j=0.5 it would be ~0.36 and the gate would flap).
     "q_dedup_incremental" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val old = docs.where(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
@@ -675,14 +677,21 @@ object SparkEntry {
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       val newBatch = docs.where(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text")).unionAll(copies)
-      val index = Dedup.buildDedupIndex(old, "doc_id", "text", 2, 64, 16)
+      // index and kept each feed multiple gate legs — persist so the
+      // 64-hash/16-band index build and the anti-join pipeline run
+      // once, not once per leg (the edgeIncidentLabels lesson).
+      val index = graft.core.CacheRegistry.persist(
+        Dedup.buildDedupIndex(old, "doc_id", "text", 2, 64, 16),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = Dedup.dropAgainstIndex(newBatch, index, "doc_id", "text", 2, 64, 16)
-      val keptIds = kept.select(col("doc_id"))
+      val keptIds = graft.core.CacheRegistry.persist(
+        kept.select(col("doc_id")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val newFp = newBatch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
       val oldFp = old.select(fingerprint(col("text")).as("fp")).distinct()
       val exactDupIds = newFp.join(oldFp, Seq("fp"), "left_semi").select(col("doc_id"))
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5, 100)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.8, 100)
       val nearNewIds = pairs
         .where((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
         .select(when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b")).as("doc_id"))
@@ -1177,7 +1186,7 @@ object SparkEntry {
     // n_new/n_exact_dup/n_near recomputed from first principles; the
     // booleans are pinned true (gate style, like the recall oracles)
     "q_dedup_incremental" ->
-      s"""${ngramPairsSql(0.5)},
+      s"""${ngramPairsSql(0.8)},
          |old AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
          |copies AS (SELECT doc_id + 100000 AS doc_id, text FROM documents
          |  WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1),

@@ -94,13 +94,7 @@ object Dedup {
     // never bands× through the LSH self-join.
     val banded = docs
       .withColumn("sig", graft.functions.HashFunctions.minhashSignatureFused(col("sh"), numHashes))
-      .select(
-        col("id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
-          .as("bb"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -119,6 +113,17 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** The LSH banding key array for a MinHash signature: one
+    * (band, bucket) struct per band, bucket = murmur3 of the band's
+    * signature slice. ONE definition shared by [[minhashPairs]] and
+    * [[buildDedupIndex]] so a standing index and the pair generator
+    * can never disagree on the banding scheme.
+    */
+  private def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), hash(slice(sig, b * rows + 1, lit(rows))).as("bucket")))
 
   /** 64-bit SimHash of the word multiset: per bit, sign of the sum of
     * ±1 votes from xxhash64(word) — one fused codegen pass per row
@@ -517,21 +522,27 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     val rows = numHashes / bands
+    // WORDLESS docs (no word tokens) get their fp row but NO band keys
+    // (explode_outer of an empty array → null band/bucket, which never
+    // equi-joins): the "" fallback shingle would otherwise give every
+    // wordless doc the same constant signature and the band path —
+    // which has no verification step — would drop unrelated wordless
+    // docs as near-dups (the same conflation duplicateSpanFraction and
+    // containmentPairs guard against). Exact dedup still covers them
+    // via the fingerprint.
     df.select(
       col(idCol).as("id"),
       fingerprint(col(textCol)).as("fp"),
       words(col(textCol)).as("_ws"))
       .select(
         col("id"), col("fp"),
-        graft.functions.HashFunctions.minhashSignatureFused(
-          array_distinct(wordShinglesFromWords(col("_ws"), shingleSize)), numHashes).as("sig"))
+        when(size(col("_ws")) > 0,
+          graft.functions.HashFunctions.minhashSignatureFused(
+            array_distinct(wordShinglesFromWords(col("_ws"), shingleSize)), numHashes))
+          .as("sig"))
       .select(
         col("id"), col("fp"),
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
-          .as("bb"))
+        explode_outer(when(col("sig").isNotNull, bandKeys(col("sig"), bands, rows))).as("bb"))
       .select(col("id"), col("fp"), col("bb.band"), col("bb.bucket"))
   }
 
@@ -556,8 +567,11 @@ object Dedup {
     val newIdx = graft.core.CacheRegistry.persist(
       buildDedupIndex(newDocs, idCol, textCol, shingleSize, numHashes, bands),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hitFp = newIdx.join(index.select(col("fp")), Seq("fp"), "left_semi")
-    val hitBand = newIdx.join(
+    // fp check on one-row-per-doc projections (the index is band-
+    // exploded — joining it raw would shuffle bands× the needed rows)
+    val hitFp = newIdx.select(col("id"), col("fp")).distinct()
+      .join(index.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+    val hitBand = newIdx.where(col("band").isNotNull).join(
       index.select(col("band"), col("bucket")), Seq("band", "bucket"), "left_semi")
     val dupIds = hitFp.select(col("id")).unionAll(hitBand.select(col("id"))).distinct()
     newDocs.join(dupIds.select(col("id").as(idCol)), Seq(idCol), "left_anti")

@@ -89,7 +89,8 @@ class HashExpressionSpec extends SparkSpec {
       (2L, "a"),
       (3L, "it is the end of an era and the tide turns to it"),
       (4L, "numbers 12345 and w0rds mix 678"),
-      (5L, "")
+      (5L, ""),
+      (6L, "café déjà vu naïve") // Spark ascii() is code-point based, like DuckDB ord
     ).toDF("id", "text")
     Seq(2, 3, 5).foreach { k =>
       texts.select(

@@ -145,6 +145,20 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("dropAgainstIndex never conflates wordless docs; identical wordless text still drops") {
+    val standing = Seq((1L, "!!!"), (2L, "real standing words here")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "???"),   // wordless, UNRELATED to standing "!!!" -> keep
+      (11L, "!!!"),   // byte-identical wordless text -> fingerprint drop
+      (12L, "")       // empty, unrelated -> keep
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(standing, "doc_id", "text", 2, 64, 16)
+    val kept = Dedup.dropAgainstIndex(incoming, index, "doc_id", "text", 2, 64, 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("wordless docs are excluded from span-dup and containment, not conflated via the \"\" fallback gram") {
     val docs = Seq(
       (1L, "real words in this document"),
