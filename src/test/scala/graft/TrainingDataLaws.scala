@@ -66,4 +66,40 @@ object TrainingDataLaws extends Properties("TrainingData") {
         TrainingData.hashSample(df, col("id"), hi), col("id"), hi).as[Long].collect().toSet
       small.subsetOf(big) && again == big
     }
+
+  property("winsorize clamps into [lo-bound, hi-bound] and fixes interior values") =
+    forAll(
+      Gen.listOfN(40, Gen.chooseNum(-1000.0, 1000.0)),
+      Gen.chooseNum(0.01, 0.4)) { (vals, lo) =>
+      val hi = 1.0 - lo
+      val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "v")
+      val out = TrainingData.winsorize(df, Seq("g"), col("v"), lo, hi)
+        .select("id", "v", "value_clipped").as[(Long, Double, Double)].collect()
+      val clipped = out.map(_._3)
+      val (cmin, cmax) = (clipped.min, clipped.max)
+      out.forall { case (_, v, c) =>
+        (c >= cmin && c <= cmax) && // all inside the clamp band
+          (v < cmin || v > cmax || c == v) // interior values untouched
+      }
+    }
+
+  property("deterministicShuffle emits positions 1..n exactly once for unique keys") =
+    forAll(Gen.chooseNum(1, 120)) { n =>
+      val df = spark.range(n).toDF("id")
+      val pos = TrainingData.deterministicShuffle(df, col("id"))
+        .select("pos").as[Long].collect().sorted.toSeq
+      pos == (1L to n.toLong)
+    }
+
+  property("duplicateSpanFraction is 0 for unique docs, 1 for verbatim copies, in [0,1] always") =
+    forAll(Gen.chooseNum(2, 6)) { n =>
+      val unique = (1 to n).map(i => (i.toLong, s"totally unique words number $i only here $i"))
+      val copies = (1 to n).map(i => (100L + i, unique.head._2)) // verbatim copies of doc 1
+      val df = (unique ++ copies).toDF("doc_id", "text")
+      val out = graft.operators.Dedup.duplicateSpanFraction(df, "doc_id", "text", 2)
+        .select("id", "dup_frac").as[(Long, Double)].collect().toMap
+      graft.core.CacheRegistry.unpersistAll()
+      out(1L) == 0.0 && copies.forall { case (id, _) => out(id) == 1.0 } &&
+        out.values.forall(f => f >= 0.0 && f <= 1.0)
+    }
 }
