@@ -78,7 +78,29 @@ object Similarity {
     * at 100 TB the `assigned` frame is what you'd write to
     * cell-partitioned parquet so probes prune at scan time.
     */
-  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame, nlist: Int)
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame, nlist: Int) {
+    /** Persist the index: centroids as one small parquet, assignments
+      * CELL-PARTITIONED — a probe that reads `nprobe` cells then scans
+      * only those directories (partition pruning does the IVF pruning
+      * at the storage layer, which is the whole point of IVF at
+      * 100 TB).
+      */
+    def save(path: String): Unit = {
+      centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+    }
+  }
+
+  /** Reload a saved [[IvfIndex]]. Probing the loaded index prunes at
+    * the parquet-partition level: `.where(cell IN probed)` becomes a
+    * directory filter, so only nprobe/nlist of the corpus is read.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(col("neighbor_id"), col("c_vec"), col("cell").cast("int").as("cell"))
+    IvfIndex(centroids, assigned, centroids.count().toInt)
+  }
 
   /** Train the quantizer on a bounded driver-side sample (default 4096
     * vectors via `takeSample` — two cheap projected passes, never a

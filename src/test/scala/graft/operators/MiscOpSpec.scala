@@ -71,6 +71,27 @@ class MiscOpSpec extends SparkSpec {
     assert(top.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("IvfIndex round-trips through cell-partitioned parquet with identical probe results") {
+    import spark.implicits._
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array(math.cos(i / 8.0).toFloat, math.sin(i / 8.0).toFloat))).toDF("id", "v")
+    val index = Similarity.buildIvfIndex(corpus, "id", "v", nlist = 4, trainSample = 32)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    index.save(dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.nlist == index.nlist)
+    val q = corpus.where(col("id") === 7)
+    def probe(ix: Similarity.IvfIndex) =
+      Similarity.ivfQuery(ix, q, "id", "v", k = 3, nprobe = 2)
+        .select("neighbor_id").as[Long].collect().toSeq
+    assert(probe(loaded) == probe(index))
+    // the saved layout is cell-partitioned (one directory per cell)
+    val cells = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cells.nonEmpty && cells.size <= 4)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("Similarity.buildIvfIndex trains on a sample and serves repeated query batches") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
