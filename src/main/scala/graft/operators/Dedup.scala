@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Document deduplication at corpus scale. Every method returns a plain
-  * DataFrame plan — no driver-side loops — so each scales with the
-  * cluster. (North-star extension beyond the reference; the reference's
+  * DataFrame plan — the one driver-coordinated loop is
+  * [[connectedComponents]] (documented there: rounds ~ log diameter,
+  * one action per round) — so each scales with the cluster.
+  * (North-star extension beyond the reference; the reference's
   * only related primitive is hand-rolled keyed state,
   * reference: lib/transformer.ex:44-47.)
   *

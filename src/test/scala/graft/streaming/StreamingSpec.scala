@@ -351,6 +351,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("neardup_out").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("foreachBatch incremental dedup: each micro-batch drops against the standing index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val standing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some other standing corpus document right here")).toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(standing, "doc_id", "text", 2, 64, 16)
+      .localCheckpoint(true) // the materialized standing index a real pipeline keeps
+
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact copy -> dropped
+      (11L, "a genuinely fresh incoming document"))          // kept + appended
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    graft.core.Composite(Seq(
+      StreamSource.of("inc", in.toDF().toDF("doc_id", "text")),
+      StreamSink.foreachBatch("inc") { (batch, _) =>
+        // the production micro-batch ingestion shape: dedup the batch
+        // against the standing index, append survivors
+        val survivors = Dedup.dropAgainstIndex(batch, index, "doc_id", "text", 2, 64, 16)
+        kept ++= survivors.select("doc_id").collect().map(_.getLong(0))
+        graft.core.CacheRegistry.unpersistAll()
+      }.copy(sync = true)))(EmptyFlow)
+    assert(kept.sorted.toSeq == Seq(11L))
+  }
+
   test("streaming near-dup dedup never collapses wordless or null-text docs together") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long, Option[String])]
