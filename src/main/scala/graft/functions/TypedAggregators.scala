@@ -66,4 +66,52 @@ object TypedAggregators {
       def outputEncoder: Encoder[(Long, Double, Double)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
     }
+
+  /** Element-wise vector mean — the embedding-centroid pooling
+    * aggregate (per-cluster centroid refresh, per-language corpus
+    * centroid, chunk→document pooling). Buffer = (count, running sum
+    * per dimension); partial aggregation merges sums map-side like any
+    * Aggregator, so the shuffle carries one (n, sums) row per
+    * partition. Empty input → null; mismatched dimensions fail fast
+    * (mixing 384- and 768-dim vectors in one group is a data bug, not
+    * something to average through).
+    */
+  final case class VecMeanBuf(n: Long, sums: Array[Double])
+
+  val vectorMean: Aggregator[Array[Float], VecMeanBuf, Array[Double]] =
+    new Aggregator[Array[Float], VecMeanBuf, Array[Double]] {
+      def zero: VecMeanBuf = VecMeanBuf(0L, Array.empty)
+      def reduce(b: VecMeanBuf, v: Array[Float]): VecMeanBuf = {
+        if (v == null) return b
+        if (b.n == 0L) {
+          val s = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { s(i) = v(i).toDouble; i += 1 }
+          VecMeanBuf(1L, s)
+        } else {
+          require(v.length == b.sums.length,
+            s"vectorMean: dimension mismatch (${v.length} vs ${b.sums.length})")
+          val s = b.sums.clone()
+          var i = 0
+          while (i < v.length) { s(i) += v(i).toDouble; i += 1 }
+          VecMeanBuf(b.n + 1L, s)
+        }
+      }
+      def merge(a: VecMeanBuf, b: VecMeanBuf): VecMeanBuf =
+        if (a.n == 0L) b
+        else if (b.n == 0L) a
+        else {
+          require(a.sums.length == b.sums.length,
+            s"vectorMean: dimension mismatch (${a.sums.length} vs ${b.sums.length})")
+          val s = a.sums.clone()
+          var i = 0
+          while (i < s.length) { s(i) += b.sums(i); i += 1 }
+          VecMeanBuf(a.n + b.n, s)
+        }
+      def finish(b: VecMeanBuf): Array[Double] =
+        if (b.n == 0L) null else b.sums.map(_ / b.n)
+      def bufferEncoder: Encoder[VecMeanBuf] = Encoders.product[VecMeanBuf]
+      def outputEncoder: Encoder[Array[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    }
 }

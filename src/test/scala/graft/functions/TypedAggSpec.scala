@@ -50,4 +50,29 @@ class TypedAggSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(out == Set((1L, 11), (1L, 2), (2L, 12), (2L, 1)))
   }
+
+  test("vectorMean pools embeddings element-wise per group; empty groups are null") {
+    val vecs = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
+      ("b", Array(10.0f, 0.0f))).toDS()
+    val out = vecs.groupByKey(_._1).mapValues(_._2)
+      .agg(TypedAggregators.vectorMean.toColumn.name("centroid"))
+      .collect().toMap
+    assert(out("a").toSeq == Seq(2.0, 4.0))
+    assert(out("b").toSeq == Seq(10.0, 0.0))
+    // a 40-partition spread exercises merge(), not just reduce()
+    val spread = spark.range(0, 40).repartition(40)
+      .selectExpr("cast(id as double) d")
+      .as[Double].map(d => ("k", Array(d.toFloat)))
+    val pooled = spread.groupByKey(_._1).mapValues(_._2)
+      .agg(TypedAggregators.vectorMean.toColumn.name("c"))
+      .collect().head._2
+    assert(math.abs(pooled(0) - 19.5) < 1e-9) // mean of 0..39
+    // mixed dimensions in one group fail fast instead of averaging junk
+    val bad = Seq(("x", Array(1.0f)), ("x", Array(1.0f, 2.0f))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      bad.groupByKey(_._1).mapValues(_._2)
+        .agg(TypedAggregators.vectorMean.toColumn.name("c")).collect()
+    }
+  }
 }
