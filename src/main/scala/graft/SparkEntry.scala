@@ -486,6 +486,34 @@ object SparkEntry {
           (col("_hit") >= col("n_exact").cast("double") * 0.3).as("recall_ok"))
     }),
 
+    // Semantic dedup gate (SemDeDup): cluster-bounded candidate pairs
+    // carry an exact-cosine verify, so the dropped set must be a SUBSET
+    // of the exact dropped set (ids with a smaller-id exact partner at
+    // cosine >= 0.35) and catch >= 50% of it; n_total and the exact
+    // dropped count are pinned by the oracle. (Clustering only loses
+    // pairs straddling a cell boundary; the embeddings plant 10 label
+    // clusters, so the sampled k-means recovers most of them — measured
+    // recall ~0.9 at both SFs.)
+    "q_semdedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      import graft.functions.VectorFunctions.cosine
+      val exact = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("v_b")),
+          col("id_a") < col("id_b"))
+        .where(cosine(col("v_a"), col("v_b")) >= 0.35)
+        .select(col("id_b")).distinct()
+      val found = Dedup.semanticPairs(e, "vec_id", "embedding", 0.35, nlist = 16)
+        .select(col("id_b")).distinct()
+      e.agg(count(lit(1)).as("n_total"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_dropped_exact")))
+        .crossJoin(found.join(exact, Seq("id_b"), "left_anti").agg(count(lit(1)).as("_extra")))
+        .crossJoin(found.join(exact, Seq("id_b"), "left_semi").agg(count(lit(1)).as("_hit")))
+        .select(
+          col("n_total"), col("n_dropped_exact"),
+          (col("_extra") === 0L).as("subset_ok"),
+          (col("_hit") >= col("n_dropped_exact").cast("double") * 0.5).as("recall_ok"))
+    }),
+
     // -- similarity search ------------------------------------------ //
     "q_sim_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1283,6 +1311,19 @@ object SparkEntry {
         |     sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(b.embedding)),
         |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y))) >= 0.35)
         |SELECT count(*) AS n_exact, TRUE AS subset_ok, TRUE AS recall_ok FROM exact""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |exact AS (SELECT DISTINCT b.vec_id AS id_b FROM e a JOIN e b
+        |  ON a.vec_id < b.vec_id
+        |  WHERE (list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)) /
+        |    (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)), (x, y) -> x + y)) *
+        |     sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(b.embedding)),
+        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y))) >= 0.35)
+        |SELECT (SELECT count(*) FROM e) AS n_total,
+        |  count(*) AS n_dropped_exact, TRUE AS subset_ok, TRUE AS recall_ok FROM exact""".stripMargin,
 
     "q_sim_lsh" ->
       s"""$BruteTop5Sql

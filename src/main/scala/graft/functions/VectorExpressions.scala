@@ -298,6 +298,123 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Indexes of the `p` nearest centroids (ascending distance, ties to
+  * the lowest cell id) — multi-probe assignment for cluster-bounded
+  * candidate generation ([[graft.operators.Dedup.semanticPairs]]): a
+  * near-dup pair straddling one cell boundary is still caught when any
+  * of the p cells overlap. Same kernel shape as [[NearestCentroid]],
+  * with p selection passes (p is tiny; each pass excludes the cells
+  * already chosen). Centroids with a mismatched dimension are skipped;
+  * NULL if none match.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], p: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "vec_nearest_centroids: centroids must be non-empty")
+  require(p >= 1 && p <= centroids.length,
+    s"vec_nearest_centroids: p must be in [1, ${centroids.length}], got $p")
+  override def prettyName: String = "vec_nearest_centroids"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(e, _) if e == FloatType || e == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${child.dataType.catalogString}")
+    }
+
+  private def elementType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  private def elemD(arr: ArrayData, i: Int): Double = elementType match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _         => arr.getDouble(i)
+  }
+  private def getD(arr: String, i: String): String = elementType match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _         => s"$arr.getDouble($i)"
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val dists = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (cent.length == n) {
+        var d = 0.0; var i = 0
+        while (i < n) {
+          val x = (if (a.isNullAt(i)) 0.0 else elemD(a, i)) - cent(i)
+          d += x * x; i += 1
+        }
+        dists(c) = d
+      } else dists(c) = Double.NaN // dim mismatch: never selected
+      c += 1
+    }
+    val chosen = new Array[Int](p)
+    var found = 0
+    while (found < p) {
+      var best = -1; var bestD = Double.MaxValue; var c2 = 0
+      while (c2 < dists.length) {
+        if (!dists(c2).isNaN && dists(c2) < bestD) { bestD = dists(c2); best = c2 }
+        c2 += 1
+      }
+      if (best < 0) {
+        return if (found == 0) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(chosen.take(found))
+      }
+      chosen(found) = best; dists(best) = Double.NaN; found += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(chosen)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val x = ctx.freshName("x"); val dists = ctx.freshName("dists")
+      val chosen = ctx.freshName("chosen"); val found = ctx.freshName("found")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val c2 = ctx.freshName("c2"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $dists = new double[$cents.length];
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  if ($cents[$c].length == $n) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $x = ($a.isNullAt($i) ? 0.0 : (${getD(a, i)})) - $cents[$c][$i];
+         |      $d += $x * $x;
+         |    }
+         |    $dists[$c] = $d;
+         |  } else $dists[$c] = Double.NaN;
+         |}
+         |int[] $chosen = new int[$p];
+         |int $found = 0;
+         |while ($found < $p) {
+         |  int $best = -1; double $bestD = Double.MAX_VALUE;
+         |  for (int $c2 = 0; $c2 < $dists.length; $c2++) {
+         |    if (!Double.isNaN($dists[$c2]) && $dists[$c2] < $bestD) {
+         |      $bestD = $dists[$c2]; $best = $c2;
+         |    }
+         |  }
+         |  if ($best < 0) break;
+         |  $chosen[$found] = $best; $dists[$best] = Double.NaN; $found++;
+         |}
+         |if ($found == 0) { ${ev.isNull} = true; }
+         |else {
+         |  int[] $out = ($found == $p) ? $chosen : java.util.Arrays.copyOf($chosen, $found);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HyperplaneBucket {
   /** splitmix64 of (seed, plane, dim) mapped to ±1 — stateless, so
     * executors reconstruct the hyperplanes with zero broadcast.

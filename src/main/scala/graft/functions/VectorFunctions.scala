@@ -68,4 +68,11 @@ object VectorFunctions {
     */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centroids))
+
+  /** The `p` nearest cell ids, ascending by distance — multi-probe
+    * assignment (a vector participates in p cells, so near-dup pairs
+    * that straddle one cell boundary still share a cell).
+    */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], p: Int): Column =
+    GraftBridge.column(NearestCentroids(GraftBridge.expression(vec), centroids, p))
 }

@@ -579,6 +579,73 @@ object Dedup {
     newDocs.join(dupIds.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the sampled
+    * driver-trained coarse quantizer the IVF index uses
+    * ([[Similarity.buildIvfIndex]] — bounded `takeSample`, local
+    * Lloyd's, fused codegen cell assignment), generate candidate pairs
+    * ONLY within a cell, and verify every candidate with the exact
+    * fused cosine kernel. Candidates are an equi-join on the cell id —
+    * the shuffle carries each vector once, and pair work is
+    * Σ|cell|² instead of n²: size `nlist` so cells stay bounded
+    * (FAISS-style nlist ≈ n / targetCellSize; at 100 TB the assigned
+    * frame would live as cell-partitioned parquet, exactly like the
+    * persisted IVF index).
+    *
+    * Found pairs are a SUBSET of the exact cosine≥threshold pair set by
+    * construction (exact verification); clustering only costs recall
+    * for pairs whose `probes` nearest cells are disjoint — multi-probe
+    * assignment (each vector participates in its `probes` nearest
+    * cells, pairs dedup'd) recovers boundary-straddling pairs at the
+    * cost of `probes`× shuffle volume.
+    */
+  def semanticPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nlist: Int = 16,
+      probes: Int = 2,
+      trainSample: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cents = Similarity.trainCentroids(df, vecCol, nlist, trainSample, seed)
+    val assigned = graft.core.CacheRegistry.persist(
+      df.select(
+        col(idCol).as("id"), col(vecCol).as("v"),
+        explode(nearestCentroids(col(vecCol), cents, math.min(probes, cents.length)))
+          .as("cell")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** One-call semantic dedup: [[semanticPairs]], then drop every row
+    * whose embedding has a verified near-duplicate with a smaller id
+    * (the deterministic min-id survivor rule — greedy per pair, no
+    * transitive closure: SemDeDup keeps one representative per
+    * *pairwise* duplicate relation, which is the published semantics).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nlist: Int = 16,
+      probes: Int = 2,
+      trainSample: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    val dropped = semanticPairs(df, idCol, vecCol, threshold, nlist, probes, trainSample, seed)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: sign-random-projection buckets
     * (multi-table for recall), verify with exact cosine. The join key is
     * (table, bucket) — shuffle carries ids + vectors once per table.

@@ -114,23 +114,27 @@ object Similarity {
     * scale the right split is "sample distributed, train local, assign
     * distributed" (the FAISS train/add split).
     */
-  def buildIvfIndex(
+  /** Sample-train a coarse quantizer: bounded `takeSample` (two cheap
+    * projected passes, never a full-corpus k-means), then driver-local
+    * k-means++/Lloyd's. The returned centroid table is tiny
+    * (nlist × dim) and rides into codegen kernels as a reference
+    * object. Shared by [[buildIvfIndex]] and
+    * [[Dedup.semanticPairs]].
+    */
+  private[operators] def trainCentroids(
       corpus: DataFrame,
-      idCol: String,
       vecCol: String,
-      nlist: Int = 16,
-      trainSample: Int = 4096,
-      seed: Long = 42L): IvfIndex = {
+      nlist: Int,
+      trainSample: Int,
+      seed: Long): Array[Array[Double]] = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     require(trainSample >= nlist, s"trainSample ($trainSample) must be >= nlist ($nlist)")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val sampleRaw: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
       .rdd.map(_.getSeq[Double](0).toArray)
       .takeSample(withReplacement = false, trainSample, seed)
-    require(sampleRaw.nonEmpty, "buildIvfIndex: corpus is empty")
+    require(sampleRaw.nonEmpty, "trainCentroids: corpus is empty")
     // Mixed-dimension corpora: train on the MAJORITY dimension of the
     // sample (lloydLocal assumes one dim; a truncated partial distance
     // would silently mis-train, and keying on the first sampled vector
@@ -141,7 +145,19 @@ object Similarity {
     val majorityDim = sampleRaw.groupBy(_.length).view.mapValues(_.length)
       .toSeq.maxBy { case (dim, n) => (n, -dim) }._1
     val sample = sampleRaw.filter(_.length == majorityDim)
-    val centroidArr = Similarity.lloydLocal(sample, math.min(nlist, sample.length), 10, seed)
+    Similarity.lloydLocal(sample, math.min(nlist, sample.length), 10, seed)
+  }
+
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      trainSample: Int = 4096,
+      seed: Long = 42L): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroidArr = trainCentroids(corpus, vecCol, nlist, trainSample, seed)
 
     val assigned = graft.core.CacheRegistry.persist(
       corpus.select(

@@ -104,4 +104,32 @@ class VectorExpressionSpec extends SparkSpec {
     val ragged = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     assert(ragged.select(nearestCentroid(col("v"), cents)).collect().head.isNullAt(0))
   }
+
+  test("nearestCentroids returns the p nearest cells ascending, both eval paths") {
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0))
+    val pts = Seq(
+      (1L, Array(1.0f, 1.0f)),   // order: 0, then 1 (dist 82) ties 2 (82) -> 1
+      (2L, Array(9.0f, 1.0f))    // order: 1, then 0 (82) vs 2 (162) -> 0
+    ).toDF("id", "v")
+    val sel = pts.orderBy("id").select(nearestCentroids(col("v"), cents, 2).as("c"))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      val cg = sel.as[Seq[Int]].collect().toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = sel.as[Seq[Int]].collect().toSeq
+      assert(cg == Seq(Seq(0, 1), Seq(1, 0)))
+      assert(interp == cg)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // dim-mismatched centroids are skipped; all mismatched -> null
+    val mixed = Array(Array(0.0, 0.0), Array(1.0, 2.0, 3.0))
+    val pts2 = Seq((1L, Array(1.0f, 1.0f))).toDF("id", "v")
+    assert(pts2.select(nearestCentroids(col("v"), mixed, 2)).as[Seq[Int]].head() == Seq(0))
+    val ragged = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("id", "v")
+    assert(ragged.select(nearestCentroids(col("v"), mixed, 2)).collect().head.isNullAt(0))
+    intercept[IllegalArgumentException](nearestCentroids(col("v"), mixed, 3))
+  }
 }

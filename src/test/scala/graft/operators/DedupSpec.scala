@@ -159,6 +159,26 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("semanticDedup drops within-cluster cosine near-dups, keeps the min id") {
+    // two tight planted clusters + one far-off singleton; any k-means
+    // cut keeps each tight pair inside one cell, so both non-min ids
+    // drop and the singleton survives
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(1.0f, 0.02f, 0.0f)),   // near-dup of 1 -> dropped
+      (3L, Array(0.0f, 1.0f, 0.01f)),
+      (4L, Array(0.0f, 1.0f, 0.02f)),   // near-dup of 3 -> dropped
+      (5L, Array(0.0f, 0.0f, -1.0f))
+    ).toDF("id", "v")
+    val pairs = Dedup.semanticPairs(vecs, "id", "v", threshold = 0.99, nlist = 3, trainSample = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+    val kept = Dedup.semanticDedup(vecs, "id", "v", threshold = 0.99, nlist = 3, trainSample = 5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("wordless docs are excluded from span-dup and containment, not conflated via the \"\" fallback gram") {
     val docs = Seq(
       (1L, "real words in this document"),
