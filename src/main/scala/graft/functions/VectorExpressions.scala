@@ -415,6 +415,268 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: split the vector into `m` contiguous
+  * subspaces and emit, per subspace, the index of the nearest codeword
+  * (squared euclidean, ties to the lowest index) — `codebooks(j)` is
+  * the `kSub × (dim/m)` codeword table of subspace `j`. One fused scan
+  * per (subspace × codeword), no slice allocation, no join. The
+  * codebooks ride along as a codegen reference object (m × kSub ×
+  * subDim doubles — a few KB). Vectors whose length ≠ m·subDim yield
+  * NULL (mixed-dimension corpora never silently mis-encode); null
+  * elements contribute 0 like [[NearestCentroid]] — encoding is a
+  * routing/compression decision, scores are approximations by design.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_encode: codebooks must be non-empty per subspace")
+  require(codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+    "pq_encode: all codewords must share one subspace dimension")
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(e, _) if e == FloatType || e == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${child.dataType.catalogString}")
+    }
+
+  private def elementType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  private def elemD(arr: ArrayData, i: Int): Double = elementType match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _         => arr.getDouble(i)
+  }
+  private def getD(arr: String, i: String): String = elementType match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _         => s"$arr.getDouble($i)"
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != m * subDim) return null
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val off = j * subDim
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          val x = (if (a.isNullAt(off + i)) 0.0 else elemD(a, off + i)) - cw(i)
+          d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best; j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbs = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val codes = ctx.freshName("codes"); val j = ctx.freshName("j")
+      val cb = ctx.freshName("cb"); val off = ctx.freshName("off")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c"); val cw = ctx.freshName("cw")
+      val d = ctx.freshName("d"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+         |if ($a.numElements() != ${m * subDim}) { ${ev.isNull} = true; }
+         |else {
+         |  int[] $codes = new int[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    double[][] $cb = $cbs[$j];
+         |    int $off = $j * $subDim;
+         |    int $best = 0; double $bestD = Double.MAX_VALUE;
+         |    for (int $c = 0; $c < $cb.length; $c++) {
+         |      double[] $cw = $cb[$c];
+         |      double $d = 0.0;
+         |      for (int $i = 0; $i < $subDim; $i++) {
+         |        double $x = ($a.isNullAt($off + $i) ? 0.0 : (${getD(a, s"$off + $i")})) - $cw[$i];
+         |        $d += $x * $x;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |    }
+         |    $codes[$j] = $best;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: lut[j·kSub + c] = dot(q_subspace_j,
+  * codeword_{j,c}) — computed once per QUERY row (queries are the tiny
+  * broadcast side), then reused against every corpus code via
+  * [[CodeLookupSum]]. Output is subspace-major, length m·kSub. NULL
+  * when the query's length ≠ m·subDim; null elements contribute 0.
+  */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_lut: codebooks must be non-empty per subspace")
+  private val m = codebooks.length
+  private val kSub = codebooks(0).length
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(cb => cb.length == kSub && cb.forall(_.length == subDim)),
+    "pq_lut: ragged codebooks")
+
+  override def prettyName: String = "pq_lut"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(e, _) if e == FloatType || e == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${child.dataType.catalogString}")
+    }
+
+  private def elementType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  private def elemD(arr: ArrayData, i: Int): Double = elementType match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _         => arr.getDouble(i)
+  }
+  private def getD(arr: String, i: String): String = elementType match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _         => s"$arr.getDouble($i)"
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != m * subDim) return null
+    val lut = new Array[Double](m * kSub)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j); val off = j * subDim
+      var c = 0
+      while (c < kSub) {
+        val cw = cb(c)
+        var acc = 0.0; var i = 0
+        while (i < subDim) {
+          acc += (if (a.isNullAt(off + i)) 0.0 else elemD(a, off + i)) * cw(i)
+          i += 1
+        }
+        lut(j * kSub + c) = acc; c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbs = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val lut = ctx.freshName("lut"); val j = ctx.freshName("j")
+      val cb = ctx.freshName("cb"); val off = ctx.freshName("off")
+      val c = ctx.freshName("c"); val cw = ctx.freshName("cw")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      s"""
+         |if ($a.numElements() != ${m * subDim}) { ${ev.isNull} = true; }
+         |else {
+         |  double[] $lut = new double[${m * kSub}];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    double[][] $cb = $cbs[$j];
+         |    int $off = $j * $subDim;
+         |    for (int $c = 0; $c < $kSub; $c++) {
+         |      double[] $cw = $cb[$c];
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $subDim; $i++) {
+         |        $acc += ($a.isNullAt($off + $i) ? 0.0 : (${getD(a, s"$off + $i")})) * $cw[$i];
+         |      }
+         |      $lut[$j * $kSub + $c] = $acc;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance lookup: Σ_j lut[j·kSub + codes[j]] — the ADC
+  * kernel of PQ search. `codes` is the array<int> from [[PqEncode]];
+  * `lut` is a per-query (or global) table of `m · kSub` doubles laid
+  * out subspace-major. NULL on null inputs, a lut whose length is not
+  * a multiple of kSub, or an out-of-range code (defensive: a foreign
+  * codes column scores NULL rather than reading garbage).
+  */
+case class CodeLookupSum(left: Expression, right: Expression, kSub: Int)
+    extends BinaryExpression {
+  require(kSub >= 1, s"code_lookup_sum: kSub must be >= 1, got $kSub")
+  override def prettyName: String = "code_lookup_sum"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int> codes, array<double> lut), got " +
+            s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]; val lut = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (lut.numElements() != m * kSub) return null
+    var acc = 0.0; var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      if (c < 0 || c >= kSub) return null
+      if (lut.isNullAt(j * kSub + c)) return null
+      acc += lut.getDouble(j * kSub + c); j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $codes.numElements();
+         |if ($lut.numElements() != $m * $kSub) { ${ev.isNull} = true; }
+         |else {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    if ($codes.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    int $c = $codes.getInt($j);
+         |    if ($c < 0 || $c >= $kSub || $lut.isNullAt($j * $kSub + $c)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $acc += $lut.getDouble($j * $kSub + $c);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object HyperplaneBucket {
   /** splitmix64 of (seed, plane, dim) mapped to ±1 — stateless, so
     * executors reconstruct the hyperplanes with zero broadcast.

@@ -75,4 +75,23 @@ object VectorFunctions {
     */
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], p: Int): Column =
     GraftBridge.column(NearestCentroids(GraftBridge.expression(vec), centroids, p))
+
+  /** Product-quantization codes: per contiguous subspace, the index of
+    * the nearest codeword (one fused scan, no slicing).
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), codebooks))
+
+  /** Per-query ADC lookup table (subspace-major dot products against
+    * every codeword).
+    */
+  def pqLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(vec), codebooks))
+
+  /** ADC lookup sum Σ_j lut[j·kSub + codes[j]] over a subspace-major
+    * lookup table.
+    */
+  def codeLookupSum(codes: Column, lut: Column, kSub: Int): Column =
+    GraftBridge.column(
+      CodeLookupSum(GraftBridge.expression(codes), GraftBridge.expression(lut), kSub))
 }

@@ -289,6 +289,175 @@ object Similarity {
       seed: Long = 42L): DataFrame =
     ivfQuery(buildIvfIndex(corpus, idCol, vecCol, nlist, seed = seed), queries, idCol, vecCol, k, nprobe)
 
+  /** Product-quantization index: per-subspace codebooks (m × kSub ×
+    * dim/m doubles — a few KB, rides into codegen as a reference
+    * object) plus the corpus compressed to `m` small codes per vector
+    * (+ its reconstruction norm). This is the FAISS memory-compression
+    * path: at 100 TB the codes table is ~dim·4/m× smaller than the raw
+    * embeddings (64-dim float → 8 codes ≈ 32× lighter incl. the norm),
+    * so an ADC scan touches a fraction of the bytes a brute-force scan
+    * reads. Compose with [[IvfIndex]] by building the codes frame from
+    * `ivf.assigned` (keep the `cell` column) for IVF-PQ.
+    */
+  final case class PqIndex(
+      codebooks: Array[Array[Array[Double]]],
+      codes: DataFrame,
+      m: Int,
+      kSub: Int) {
+    /** Persist codes + codebooks (codebooks as one tiny parquet of
+      * (subspace, codeword, vector) rows).
+      */
+    def save(path: String): Unit = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+      }.toSeq.toDF("subspace", "codeword", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    }
+  }
+
+  /** Reload a saved [[PqIndex]]. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("codeword"), col("vec"))
+      .collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val kSub = cbRows.map(_.getInt(1)).max + 1
+    val codebooks = Array.ofDim[Array[Double]](m, kSub)
+    cbRows.foreach { r =>
+      codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    PqIndex(codebooks, spark.read.parquet(s"$path/codes"), m, kSub)
+  }
+
+  /** Train per-subspace codebooks on a bounded driver-side sample
+    * (the same train/add split as [[buildIvfIndex]] — m tiny local
+    * k-means runs), then encode the whole corpus distributed with the
+    * fused [[graft.functions.PqEncode]] kernel. `c_norm` is the exact
+    * norm of each vector's RECONSTRUCTION (subspaces are disjoint, so
+    * ‖x̂‖² = Σ_j ‖codeword_{j,code_j}‖² — a lookup-sum against the
+    * codeword-norm table), used to turn ADC dots into approximate
+    * cosines.
+    */
+  def buildPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      kSub: Int = 32,
+      trainSample: Int = 4096,
+      seed: Long = 42L): PqIndex = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(kSub >= 1, s"kSub must be >= 1, got $kSub")
+    import graft.functions.VectorFunctions._
+    val sampleRaw: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .rdd.map(_.getSeq[Double](0).toArray)
+      .takeSample(withReplacement = false, trainSample, seed)
+    require(sampleRaw.nonEmpty, "buildPqIndex: corpus is empty")
+    val majorityDim = sampleRaw.groupBy(_.length).view.mapValues(_.length)
+      .toSeq.maxBy { case (dim, n) => (n, -dim) }._1
+    require(majorityDim % m == 0,
+      s"buildPqIndex: dimension $majorityDim is not divisible into $m subspaces")
+    val subDim = majorityDim / m
+    val sample = sampleRaw.filter(_.length == majorityDim)
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      Similarity.lloydLocal(sub, math.min(kSub, sub.length), 10, seed + j)
+    }
+    // fixed-width codebooks: pad empty-cluster slots never happen
+    // (lloydLocal keeps previous centroids), but k may clamp below kSub
+    // on tiny corpora — rebuild kSub from what training produced.
+    val kEff = codebooks(0).length
+    val normLut = codebooks.flatMap(_.map(cw => cw.map(x => x * x).sum)).toSeq
+    val codes = graft.core.CacheRegistry.persist(
+      corpus.select(
+        col(idCol).as("neighbor_id"),
+        pqEncode(col(vecCol), codebooks).as("codes"))
+        .withColumn("c_norm",
+          sqrt(codeLookupSum(col("codes"), typedLit(normLut), kEff))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(codebooks, codes, m, kEff)
+  }
+
+  /** ADC top-k over a [[PqIndex]]: each (tiny, broadcast) query builds
+    * its lookup table ONCE with the fused [[graft.functions.PqLut]]
+    * kernel, then every corpus vector scores with m table lookups
+    * ([[graft.functions.CodeLookupSum]]) — no float-vector reads at
+    * all. `rerank > 0` re-scores the top-`rerank` ADC candidates per
+    * query with exact cosine against `rerankWith` (id + vector — the
+    * usual fetch-originals-by-id step) before cutting to k.
+    */
+  def pqQuery(
+      index: PqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int = 0,
+      rerankWith: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(rerank == 0 || rerankWith.nonEmpty,
+      "pqQuery: rerank > 0 needs rerankWith (id + original vectors)")
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"),
+      pqLut(col(vecCol), index.codebooks).as("lut"),
+      l2Norm(col(vecCol)).as("q_norm")))
+    val scored = index.codes.crossJoin(q)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        when(col("q_norm") === 0.0 || col("c_norm") === 0.0, lit(0.0))
+          .otherwise(
+            codeLookupSum(col("codes"), col("lut"), index.kSub) /
+              (col("q_norm") * col("c_norm"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val cut = if (rerank > 0) math.max(rerank, k) else k
+    val top = scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= cut)
+    if (rerank == 0) {
+      top.select(
+        col("query_id"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc"), col("rank"))
+    } else {
+      val corpus = rerankWith.get
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      val queriesV = broadcast(queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+      val w2 = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      top.select(col("query_id"), col("neighbor_id"))
+        .join(corpus, Seq("neighbor_id"))
+        .join(queriesV, Seq("query_id"))
+        .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+    }
+  }
+
+  /** One-shot PQ ANN: train + encode + ADC scan (+ exact rerank of the
+    * top `rerank` when > 0). Prefer [[buildPqIndex]] + [[pqQuery]] for
+    * repeated batches.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      kSub: Int = 32,
+      rerank: Int = 0,
+      trainSample: Int = 4096,
+      seed: Long = 42L): DataFrame =
+    pqQuery(
+      buildPqIndex(corpus, idCol, vecCol, m, kSub, trainSample, seed),
+      queries, idCol, vecCol, k, rerank,
+      if (rerank > 0) Some(corpus) else None)
+
   /** Count of near-neighbor pairs above a cosine threshold (corpus
     * self-similarity profile) — brute force within hyperplane buckets.
     */

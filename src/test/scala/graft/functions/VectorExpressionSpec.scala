@@ -132,4 +132,34 @@ class VectorExpressionSpec extends SparkSpec {
     assert(ragged.select(nearestCentroids(col("v"), mixed, 2)).collect().head.isNullAt(0))
     intercept[IllegalArgumentException](nearestCentroids(col("v"), mixed, 3))
   }
+
+  test("pqEncode/pqLut/codeLookupSum: ADC equals the exact dot against the reconstruction") {
+    // 2 subspaces × 2 codewords of dim 2
+    val codebooks = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(2.0, 0.0), Array(0.0, 2.0)))
+    val df = Seq(
+      (1L, Array(0.9f, 1.1f, 1.9f, 0.1f)),  // codes (1, 0), reconstruction (1,1,2,0)
+      (2L, Array(0.1f, -0.1f, 0.0f, 1.8f))  // codes (0, 1), reconstruction (0,0,0,2)
+    ).toDF("id", "v")
+    val enc = df.orderBy("id").select(pqEncode(col("v"), codebooks).as("c"))
+      .as[Seq[Int]].collect().toSeq
+    assert(enc == Seq(Seq(1, 0), Seq(0, 1)))
+    // query (1,0,0,1): lut = [dot((1,0),cw) per sub1, dot((0,1),cw) per sub2]
+    val q = Seq((Array(1.0f, 0.0f, 0.0f, 1.0f), enc.head.toArray, enc(1).toArray))
+      .toDF("qv", "c1", "c2")
+    val out = q.select(
+      pqLut(col("qv"), codebooks).as("lut"),
+      codeLookupSum(col("c1"), pqLut(col("qv"), codebooks), 2).as("s1"),
+      codeLookupSum(col("c2"), pqLut(col("qv"), codebooks), 2).as("s2"))
+      .collect().head
+    assert(out.getSeq[Double](out.fieldIndex("lut")).toList == List(0.0, 1.0, 0.0, 2.0))
+    assert(out.getAs[Double]("s1") == 1.0) // dot((1,0,0,1),(1,1,2,0)) = 1
+    assert(out.getAs[Double]("s2") == 2.0) // dot((1,0,0,1),(0,0,0,2)) = 2
+    // defensive nulls: wrong dim -> null encode; out-of-range code -> null sum
+    val bad = Seq((Array(1.0f, 2.0f, 3.0f), Array(5, 0), Array(0.0, 1.0, 0.0, 2.0)))
+      .toDF("v", "c", "lut")
+    assert(bad.select(pqEncode(col("v"), codebooks)).collect().head.isNullAt(0))
+    assert(bad.select(codeLookupSum(col("c"), col("lut"), 2)).collect().head.isNullAt(0))
+  }
 }

@@ -108,6 +108,43 @@ class MiscOpSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("Similarity.pqTopK ranks an exact duplicate first; rerank path returns exact cosine") {
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val corpus = (base :+ (999L, base(5)._2.clone())).toDF("id", "v")
+    val q = corpus.where(col("id") === 5)
+    // ADC-only: the duplicate encodes to the same codes -> top ADC score
+    val adc = Similarity.pqTopK(q, corpus, "id", "v", k = 3, m = 4, kSub = 16, trainSample = 32)
+      .orderBy("rank").collect()
+    assert(adc.head.getAs[Long]("neighbor_id") == 999L)
+    // rerank: exact cosine of the duplicate is 1.0
+    val rr = Similarity.pqTopK(q, corpus, "id", "v", k = 3, m = 4, kSub = 16,
+      rerank = 10, trainSample = 32)
+      .orderBy("rank").collect()
+    assert(rr.head.getAs[Long]("neighbor_id") == 999L)
+    assert(rr.head.getAs[Double]("cosine") == 1.0)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("PqIndex round-trips through parquet with identical ADC results") {
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array(math.cos(i / 8.0).toFloat, math.sin(i / 8.0).toFloat,
+        math.cos(i / 5.0).toFloat, math.sin(i / 5.0).toFloat))).toDF("id", "v")
+    val index = Similarity.buildPqIndex(corpus, "id", "v", m = 2, kSub = 8, trainSample = 32)
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    index.save(dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert(loaded.m == index.m && loaded.kSub == index.kSub)
+    assert(loaded.codebooks.map(_.toSeq.map(_.toSeq)).toSeq ==
+      index.codebooks.map(_.toSeq.map(_.toSeq)).toSeq)
+    val q = corpus.where(col("id") === 7)
+    def probe(ix: Similarity.PqIndex) =
+      Similarity.pqQuery(ix, q, "id", "v", k = 3)
+        .select("neighbor_id").as[Long].collect().toSeq
+    assert(probe(loaded) == probe(index))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("Multimodal stub decode is deterministic and partition-preserving") {
     val df = Seq((1L, "hello world")).toDF("id", "text")
     val out = Multimodal.decodePartitioned(
