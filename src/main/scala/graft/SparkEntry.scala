@@ -594,6 +594,38 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       Ranking.termScores(t(s, d, "documents"), "doc_id", "text")),
 
+    // Gopher-rules quality filter: pure-scalar projection, every rule
+    // recomputed by the oracle; thresholds chosen so the bundled docs
+    // split on words_ok (~1/3 fail minWords=40) — non-vacuous keep.
+    "q_quality_filter" -> ((s, d) =>
+      TrainingData.qualityFilter(t(s, d, "documents"), "doc_id", "text",
+        minWords = 40, maxWords = 1000)),
+
+    // Misra-Gries heavy-hitters gate, run at real eviction pressure
+    // (capacity 2 over 5 langs): the MG guarantee — every item with
+    // frequency > n/(capacity+1) is PRESENT, undercounted by at most
+    // n/(capacity+1) — holds under ANY partition merge order, so the
+    // booleans are stable even though the sketch itself is
+    // order-sensitive. The oracle pins the exact-heavy set and counts.
+    "q_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val skItems = docs.select(col("lang")).as[String]
+        .select(graft.functions.TypedAggregators.heavyHitters(2).toColumn)
+        .toDF("sk")
+        .select(explode(col("sk"))).toDF("lang", "sk_count")
+      val exact = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+      exact.crossJoin(docs.agg(count(lit(1)).as("_t")))
+        .where(col("n_exact") > col("_t") / 3.0)
+        .join(skItems, Seq("lang"), "left")
+        .select(
+          col("lang"), col("n_exact"),
+          col("sk_count").isNotNull.as("found_ok"),
+          (coalesce(col("sk_count"), lit(-1L)) <= col("n_exact") &&
+            coalesce(col("sk_count"), lit(-1L)) >= col("n_exact") - col("_t") / 3.0)
+            .as("bound_ok"))
+    }),
+
     // Approximate-quantile gate (same pattern as the HLL gate): the
     // sketch median must land between the exact 49th and 51st
     // percentiles. The bound is only structural once a group has
@@ -1356,6 +1388,39 @@ object SparkEntry {
     "q_sim_pq" ->
       s"""$BruteTop5Sql
          |SELECT count(*) AS n_brute, TRUE AS recall_ok FROM brute""".stripMargin,
+
+    "q_quality_filter" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  len($W) AS nw,
+         |  length(regexp_replace(text, '\\s', '', 'g')) AS nsp,
+         |  length(text) AS lt,
+         |  length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS nonsym,
+         |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         |  len(list_filter($W, w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS stops
+         |  FROM documents),
+         |v AS (SELECT doc_id, nw,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE nsp::DOUBLE / nw END AS mwl,
+         |  CASE WHEN lt = 0 THEN 0.0 ELSE (lt - nonsym)::DOUBLE / lt END AS sym,
+         |  CASE WHEN nsp = 0 THEN 0.0 ELSE alpha::DOUBLE / nsp END AS alr,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE stops::DOUBLE / nw END AS str
+         |  FROM s)
+         |SELECT doc_id AS id, CAST(nw AS INTEGER) AS n_words,
+         |  round(mwl, 4) AS mean_word_len, round(sym, 4) AS symbol_ratio,
+         |  round(alr, 4) AS alpha_ratio, round(str, 4) AS stopword_ratio,
+         |  nw BETWEEN 40 AND 1000 AS words_ok,
+         |  mwl BETWEEN 3.0 AND 10.0 AS word_len_ok,
+         |  sym <= 0.1 AS symbol_ok,
+         |  alr >= 0.5 AS alpha_ok,
+         |  str BETWEEN 0.0 AND 0.6 AS stopword_ok,
+         |  (nw BETWEEN 40 AND 1000) AND (mwl BETWEEN 3.0 AND 10.0) AND sym <= 0.1
+         |    AND alr >= 0.5 AND (str BETWEEN 0.0 AND 0.6) AS keep
+         |FROM v""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT lang, count(*) AS n_exact FROM documents GROUP BY lang),
+        |t AS (SELECT count(*) AS t FROM documents)
+        |SELECT lang, n_exact, TRUE AS found_ok, TRUE AS bound_ok
+        |FROM c, t WHERE n_exact > t / 3.0""".stripMargin,
 
     "q_sim_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

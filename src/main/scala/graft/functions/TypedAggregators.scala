@@ -67,6 +67,46 @@ object TypedAggregators {
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
     }
 
+  /** Misra-Gries heavy hitters: one-pass approximate top frequent
+    * items in bounded space (`capacity` counters per buffer — the
+    * shuffle carries one tiny map per partition instead of the full
+    * per-item count table, which is the point at 100 TB: finding the
+    * dominant domains/languages/tokens without a full groupBy over
+    * billions of distinct keys).
+    *
+    * Guarantees (classic MG, preserved by the counter-wise merge +
+    * re-prune, Agarwal et al., "Mergeable Summaries", PODS'12):
+    * every item with true frequency > n/(capacity+1) is present in the
+    * output, and each reported count is an UNDERCOUNT by at most
+    * n/(capacity+1). Exact counts for the survivors can be pinned with
+    * one cheap semi-join pass when needed.
+    */
+  def heavyHitters(capacity: Int): Aggregator[String, Map[String, Long], Map[String, Long]] = {
+    require(capacity >= 1, s"heavyHitters: capacity must be >= 1, got $capacity")
+    new Aggregator[String, Map[String, Long], Map[String, Long]] {
+      /** Keep the top `capacity` counters, subtracting the (capacity+1)-th
+        * largest value from every counter (the batched MG decrement).
+        */
+      private def prune(m: Map[String, Long]): Map[String, Long] =
+        if (m.size <= capacity) m
+        else {
+          val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+          m.collect { case (k, v) if v > cut => k -> (v - cut) }
+        }
+      def zero: Map[String, Long] = Map.empty
+      def reduce(acc: Map[String, Long], w: String): Map[String, Long] =
+        if (w == null) acc
+        else prune(acc.updated(w, acc.getOrElse(w, 0L) + 1L))
+      def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+        prune(b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) })
+      def finish(acc: Map[String, Long]): Map[String, Long] = acc
+      def bufferEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+      def outputEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    }
+  }
+
   /** Element-wise vector mean — the embedding-centroid pooling
     * aggregate (per-cluster centroid refresh, per-language corpus
     * centroid, chunk→document pooling). Buffer = (count, running sum

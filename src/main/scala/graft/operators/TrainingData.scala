@@ -147,6 +147,58 @@ object TrainingData {
         round(col("_top").cast("double") / col("_total"), 4).as("top_frac"),
         round(col("_distinct").cast("double") / col("_total"), 4).as("distinct_frac"))
 
+  /** Gopher-style document quality filter (Rae et al. 2021, table A1
+    * subset): word count band, mean-word-length band, symbol-character
+    * ratio cap, alphabetic-character floor, stopword-ratio band. One
+    * pure-scalar codegen projection — every rule is deterministic
+    * arithmetic over the same tokenizer the rest of the engine uses, so
+    * the whole filter is oracle-reproducible in ANSI SQL and runs
+    * inside whole-stage codegen (no UDF, no shuffle, no join: at
+    * 100 TB this is a map-only pass that fuses into the scan).
+    * Returns the stats, per-rule booleans and the conjunction `keep`;
+    * compose with `.where(col("keep"))` to drop.
+    */
+  def qualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaRatio: Double = 0.5,
+      minStopwordRatio: Double = 0.0,
+      maxStopwordRatio: Double = 0.6): DataFrame = {
+    val text = col(textCol)
+    val nWords = size(words(text))
+    val noSpace = length(regexp_replace(text, "\\s", ""))
+    val meanWordLen = when(nWords === 0, lit(0.0))
+      .otherwise(noSpace.cast("double") / nWords)
+    val symbolRatio = when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(text))
+    val alphaRatio = when(noSpace === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / noSpace)
+    val stopRatio = graft.functions.TextFunctions.stopwordRatio(text)
+    val rules = Seq(
+      "words_ok" -> nWords.between(minWords, maxWords),
+      "word_len_ok" -> meanWordLen.between(minMeanWordLen, maxMeanWordLen),
+      "symbol_ok" -> (symbolRatio <= maxSymbolRatio),
+      "alpha_ok" -> (alphaRatio >= minAlphaRatio),
+      "stopword_ok" -> stopRatio.between(minStopwordRatio, maxStopwordRatio))
+    df.select(
+      Seq(
+        col(idCol).as("id"),
+        nWords.as("n_words"),
+        round(meanWordLen, 4).as("mean_word_len"),
+        round(symbolRatio, 4).as("symbol_ratio"),
+        round(alphaRatio, 4).as("alpha_ratio"),
+        round(stopRatio, 4).as("stopword_ratio")) ++
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   /** PII redaction: emails → `<EMAIL>`, NNN-NNN-NNNN phones → `<PHONE>`.
     * Regexes chosen from the RE2-compatible subset so the exact same
     * pattern runs in any engine; pure codegen projection, no shuffle.

@@ -51,6 +51,28 @@ class TypedAggSpec extends SparkSpec {
     assert(out == Set((1L, 11), (1L, 2), (2L, 12), (2L, 1)))
   }
 
+  test("heavyHitters keeps every item above n/(capacity+1) with bounded undercount") {
+    // planted zipf-ish skew: a=500, b=300, c=100, then 60 singletons
+    val items = Seq.fill(500)("a") ++ Seq.fill(300)("b") ++ Seq.fill(100)("c") ++
+      (1 to 60).map(i => s"rare$i")
+    val n = items.length // 960
+    val cap = 4
+    val sketch = scala.util.Random.shuffle(items).toDS().repartition(8)
+      .select(TypedAggregators.heavyHitters(cap).toColumn).head()
+    assert(sketch.size <= cap)
+    val slack = n.toDouble / (cap + 1) // 192
+    for ((item, exact) <- Seq("a" -> 500L, "b" -> 300L)) { // both > 192
+      assert(sketch.contains(item), s"$item must survive (freq $exact > $slack)")
+      assert(sketch(item) <= exact && sketch(item) >= exact - slack,
+        s"$item count ${sketch(item)} outside [${exact - slack}, $exact]")
+    }
+    // distinct <= capacity: the sketch is exact (no eviction ever fires)
+    val small = Seq("x", "y", "x", "z", "x", "y").toDS()
+      .select(TypedAggregators.heavyHitters(5).toColumn).head()
+    assert(small == Map("x" -> 3L, "y" -> 2L, "z" -> 1L))
+    intercept[IllegalArgumentException](TypedAggregators.heavyHitters(0))
+  }
+
   test("vectorMean pools embeddings element-wise per group; empty groups are null") {
     val vecs = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),

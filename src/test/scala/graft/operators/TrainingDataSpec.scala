@@ -31,6 +31,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(out("2") == 2000L) // default keeps everything
   }
 
+  test("qualityFilter trips each Gopher rule independently") {
+    val good = "the quick brown fox and the lazy dog ran to town in a big hurry " * 4 // 64 words
+    val docs = Seq(
+      (1L, good),                                    // passes everything
+      (2L, "too short"),                             // words_ok fails
+      (3L, ("a " * 64).trim),                        // word_len_ok fails (mean 1.0)
+      (4L, good + " " + "$$$ ### @@@ !!! %%% ^^^ &&& *** ((( )))" * 3), // symbol_ok fails
+      (5L, ("12345 67890 24680 13579 11111 22222 " * 11).trim) // alpha_ok fails (all digits)
+    ).toDF("doc_id", "text")
+    val out = TrainingData.qualityFilter(docs, "doc_id", "text", minWords = 20)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("words_ok"), r.getAs[Boolean]("word_len_ok"),
+          r.getAs[Boolean]("symbol_ok"), r.getAs[Boolean]("alpha_ok"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._5)
+    assert(out(3L)._1 && !out(3L)._2 && !out(3L)._5)
+    assert(!out(4L)._3 && !out(4L)._5)
+    assert(out(5L)._1 && !out(5L)._4 && !out(5L)._5)
+  }
+
   test("capPerGroup keeps at most k rows per group, smallest order first") {
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
     val out = TrainingData.capPerGroup(df, Seq(col("g")), Seq(col("v")), 2)
