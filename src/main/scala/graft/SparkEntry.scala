@@ -594,6 +594,20 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       Ranking.termScores(t(s, d, "documents"), "doc_id", "text")),
 
+    // Bloom-pruned join, pinned to EXACT equality with the plain join
+    // (no false negatives; false positives die in the join): the probe
+    // side (lineitem) is filtered by the build side's key sketch
+    // BEFORE its shuffle — 9 of 100 suppliers survive the acctbal
+    // predicate, so ~91% of probe rows never leave the scan stage.
+    "q_bloom_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier").where(col("s_acctbal") > 9000)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Relational.bloomPrunedJoin(li, sup, Seq("l_suppkey"), expectedItems = 100)
+        .groupBy(col("l_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // Gopher-rules quality filter: pure-scalar projection, every rule
     // recomputed by the oracle; thresholds chosen so the bundled docs
     // split on words_ok (~1/3 fail minWords=40) — non-vacuous keep.
@@ -1388,6 +1402,13 @@ object SparkEntry {
     "q_sim_pq" ->
       s"""$BruteTop5Sql
          |SELECT count(*) AS n_brute, TRUE AS recall_ok FROM brute""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT l_suppkey, s_name, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 9000
+        |GROUP BY l_suppkey, s_name""".stripMargin,
 
     "q_quality_filter" ->
       s"""WITH s AS (SELECT doc_id,

@@ -677,6 +677,54 @@ case class CodeLookupSum(left: Expression, right: Expression, kSub: Int)
     copy(left = l, right = r)
 }
 
+/** Membership probe against a pre-built
+  * `org.apache.spark.util.sketch.BloomFilter` — the probe-side kernel
+  * of [[graft.operators.Relational.bloomPrunedJoin]]. The filter rides
+  * along as a codegen reference object (it is `Serializable`, sized by
+  * expectedItems × fpp at build time). Integral keys probe as longs,
+  * strings as their UTF-8 bytes — matching how
+  * [[graft.operators.Relational.buildBloom]] inserts them. NULL input
+  * → NULL (filter semantics drop it, same as an equi-join would).
+  */
+case class BloomMightContain(
+    child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "bloom_might_contain"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an integral or string key, got ${child.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case LongType    => bloom.mightContainLong(v.asInstanceOf[Long])
+    case IntegerType => bloom.mightContainLong(v.asInstanceOf[Int].toLong)
+    case ShortType   => bloom.mightContainLong(v.asInstanceOf[Short].toLong)
+    case ByteType    => bloom.mightContainLong(v.asInstanceOf[Byte].toLong)
+    case StringType =>
+      bloom.mightContainBinary(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val b = ctx.addReferenceObj("bloom", bloom, "org.apache.spark.util.sketch.BloomFilter")
+      child.dataType match {
+        case StringType => s"${ev.value} = $b.mightContainBinary(($v).getBytes());"
+        case _          => s"${ev.value} = $b.mightContainLong((long) $v);"
+      }
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HyperplaneBucket {
   /** splitmix64 of (seed, plane, dim) mapped to ±1 — stateless, so
     * executors reconstruct the hyperplanes with zero broadcast.

@@ -94,4 +94,10 @@ object VectorFunctions {
   def codeLookupSum(codes: Column, lut: Column, kSub: Int): Column =
     GraftBridge.column(
       CodeLookupSum(GraftBridge.expression(codes), GraftBridge.expression(lut), kSub))
+
+  /** Bloom-filter membership probe (probe-side kernel of
+    * bloomPrunedJoin).
+    */
+  def bloomMightContain(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftBridge.column(BloomMightContain(GraftBridge.expression(key), bloom))
 }

@@ -275,6 +275,76 @@ object Relational {
     lSalted.join(rSalted, on :+ "_salt", joinType).drop("_salt")
   }
 
+  /** Build a Bloom filter over one key column — driver-side
+    * treeAggregate (one projected pass; the sketch itself is
+    * `expectedItems`-sized bits, independent of the input row count).
+    * Integral keys insert as longs, strings as their UTF-8 bytes —
+    * mirrored exactly by [[graft.functions.BloomMightContain]].
+    */
+  def buildBloom(
+      df: DataFrame,
+      keyCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.03): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.spark.util.sketch.BloomFilter
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val keyed = df.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val isString = keyed.schema.head.dataType ==
+      org.apache.spark.sql.types.StringType
+    keyed.rdd.treeAggregate(BloomFilter.create(expectedItems, fpp))(
+      (bf, row) => {
+        if (isString) bf.putBinary(row.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        else bf.putLong(row.get(0) match {
+          case l: Long => l; case i: Int => i.toLong
+          case s: Short => s.toLong; case b: Byte => b.toLong
+          case other => throw new IllegalArgumentException(
+            s"buildBloom: unsupported key ${other.getClass}")
+        })
+        bf
+      },
+      (a, b) => a.mergeInPlace(b))
+  }
+
+  /** Bloom-pruned equi-join: sketch the (smaller) build side's keys,
+    * pre-filter the probe side BEFORE its shuffle, then join normally.
+    * This is the explicit, composable form of runtime row-level
+    * filtering: at 100 TB the probe side's exchange shrinks by the
+    * join selectivity (bytes that never leave the scan stage), while
+    * the result is EXACTLY the plain join — Bloom filters have no
+    * false negatives, and false positives are removed by the join
+    * itself. Restricted to inner/semi joins: pruning the probe side of
+    * an outer join would change its result.
+    *
+    * `expectedItems` sizes the sketch; pass the build side's
+    * (approximate) distinct-key count. -1 runs an eager count() over
+    * the build side (logged — the build side should be the small one,
+    * so this is cheap by construction).
+    */
+  def bloomPrunedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      on: Seq[String],
+      joinType: String = "inner",
+      expectedItems: Long = -1L,
+      fpp: Double = 0.03): DataFrame = {
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloomPrunedJoin supports inner/left_semi (pruning changes outer-join results), got $joinType")
+    require(on.nonEmpty, "bloomPrunedJoin: need at least one join column")
+    val items =
+      if (expectedItems > 0) expectedItems
+      else {
+        System.err.println(
+          "[graft.Relational.bloomPrunedJoin] no expectedItems given: running an eager " +
+            "count() over the build side to size the sketch")
+        math.max(build.count(), 1L)
+      }
+    val pruned = on.foldLeft(probe) { (df, k) =>
+      df.where(graft.functions.VectorFunctions.bloomMightContain(
+        col(k), buildBloom(build, k, items, fpp)))
+    }
+    pruned.join(build, on, joinType)
+  }
+
   /** Top-k per group via rank window — the scalable form of per-group
     * sort+limit (partial TopK pushed below the shuffle by Spark's
     * WindowGroupLimit optimization).

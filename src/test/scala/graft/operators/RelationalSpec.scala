@@ -143,6 +143,29 @@ class RelationalSpec extends SparkSpec {
     assert(saltedLeft == plainLeft)
   }
 
+  test("bloomPrunedJoin equals the plain join; the bloom filter actually prunes") {
+    val probe = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "payload")
+    val build = Seq((3L, "a"), (7L, "b"), (42L, "c")).toDF("k", "tag")
+    val plain = probe.join(build, Seq("k")).orderBy("k", "payload").collect().toSeq
+    val pruned = Relational.bloomPrunedJoin(probe, build, Seq("k"), expectedItems = 3)
+      .orderBy("k", "payload").collect().toSeq
+    assert(pruned == plain)
+    // semi form and string keys
+    val probeS = Seq("x", "y", "z", "w").toDF("k")
+    val buildS = Seq("y", "w").toDF("k")
+    val semi = Relational.bloomPrunedJoin(probeS, buildS, Seq("k"), "left_semi", 2)
+      .as[String].collect().toSet
+    assert(semi == Set("y", "w"))
+    // the filter itself removes most non-matching keys pre-join
+    val bloom = Relational.buildBloom(build, "k", 3)
+    val survivors = probe.where(
+      graft.functions.VectorFunctions.bloomMightContain(col("k"), bloom)).count()
+    assert(survivors >= 30 && survivors < 200) // 30 true + few false positives
+    // outer joins are rejected: pruning would change their result
+    intercept[IllegalArgumentException](
+      Relational.bloomPrunedJoin(probe, build, Seq("k"), "left"))
+  }
+
   test("topKPerGroup returns exactly k per group with deterministic ties") {
     val df = Seq(("a", 3), ("a", 2), ("a", 1), ("b", 9)).toDF("g", "v")
     val out = Relational.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc), 2)
