@@ -813,6 +813,21 @@ object SparkEntry {
         shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
         .select(col("doc_id"), col("component"), col("split"))),
 
+    // -- event-sequence analytics ----------------------------------- //
+    // Ordered strict funnel over the event stream: signup -> view ->
+    // click -> purchase, matched greedily in event-time order. One
+    // shuffle on user_id; the per-user fold reads a secondary-sorted
+    // iterator with O(1) state (step index + two timestamps).
+    "q_funnel" -> ((s, d) =>
+      Analytics.funnel(
+        t(s, d, "events"), col("user_id"), col("ts"), col("event_type"),
+        Seq("signup", "view", "click", "purchase"))),
+
+    // Weekly cohort retention: cohort = Monday week of first event;
+    // cells count distinct users active k whole weeks later.
+    "q_cohort" -> ((s, d) =>
+      Analytics.cohortRetention(t(s, d, "events"), col("user_id"), col("ts"))),
+
     // -- multimodal plumbing ---------------------------------------- //
     "q_multimodal" -> ((s, d) =>
       Multimodal.fakeDecodeMeta(
@@ -1506,6 +1521,37 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de,
         |  len(regexp_extract_all(lower(text), '\b(le|les|des|est|une?|et|dans|que)\b')) AS fr
         |  FROM documents) GROUP BY 1""".stripMargin,
+
+    // Cascaded greedy funnel in the microsecond domain (matching the
+    // Spark side's cast-to-timestamp truncation BEFORE comparisons, so
+    // sub-microsecond parquet precision can never flip a strict `>`).
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.us) AS t1 FROM e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.us > s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 4 WHEN t2 IS NOT NULL THEN 3
+        |       WHEN t1 IS NOT NULL THEN 2 WHEN t0 IS NOT NULL THEN 1
+        |       ELSE 0 END AS steps_done,
+        |  t0 AS t0_us, coalesce(t3, t2, t1, t0) AS t_end_us
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_cohort" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+        |SELECT date_trunc('week', f.first_ts)::DATE AS cohort_week,
+        |  CAST((e.ts::DATE - f.first_ts::DATE) // 7 AS BIGINT) AS week_no,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a clickstream-shaped table: ordered
+  * funnels and cohort retention. (North-star extensions beyond the
+  * reference — the event-time/stateful half of what its parcels CEP
+  * example gestures at, generalized to arbitrary step sequences.)
+  *
+  * Scale design notes:
+  *  - [[funnel]] is ONE shuffle on the user key; events arrive at the
+  *    fold already secondary-sorted by the shuffle machinery
+  *    (`flatMapSortedGroups`), so per-group state is O(1) — a step
+  *    index and two timestamps — never a buffered event list. At 100
+  *    TB the plan is a single exchange whose value payload is three
+  *    narrow columns, not the raw rows.
+  *  - [[cohortRetention]] aggregates per-user firsts (output rows =
+  *    |users|, tiny next to |events|) and broadcasts them back; the
+  *    only big-data shuffle is the final (cohort, offset) aggregate,
+  *    whose key space is weeks², i.e. trivially small.
+  */
+object Analytics {
+
+  // Public: Catalyst's generated (de)serializers must reach these.
+  case class FunnelEvent(u: Long, tsUs: Long, et: String)
+  case class FunnelRow(user_id: Long, steps_done: Int,
+      t0_us: java.lang.Long, t_end_us: java.lang.Long)
+
+  /** Ordered strict funnel: for each user, greedily match `steps` in
+    * event-time order — step 0 anchors at the user's EARLIEST event of
+    * that type, and each later step matches the earliest event of its
+    * type with a STRICTLY larger timestamp than the previous matched
+    * step (ties can never double-count one instant).
+    *
+    * Greedy-from-earliest is exactly the cascaded
+    * `min(ts) WHERE ts > prev` SQL form (the DuckDB oracle), and for
+    * unwindowed funnels greedy is complete: if any in-order assignment
+    * exists, the greedy one does too.
+    *
+    * Returns one row per user: `user_id`, `steps_done` (0..n),
+    * `t0_us` / `t_end_us` (anchor and last-matched event times,
+    * microseconds; null when no step matched).
+    */
+  def funnel(df: DataFrame, user: Column, ts: Column, eventType: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = steps.length
+    val stepArr = steps.toArray
+    val events = df
+      .select(user.cast("long").as("u"), unix_micros(ts.cast("timestamp")).as("tsUs"),
+        eventType.cast("string").as("et"))
+      .as[FunnelEvent]
+    events
+      .groupByKey(_.u)
+      .flatMapSortedGroups($"tsUs") { (u: Long, it: Iterator[FunnelEvent]) =>
+        var done = 0
+        var t0 = -1L
+        var tLast = -1L
+        it.foreach { e =>
+          if (done < n && e.et == stepArr(done) && (done == 0 || e.tsUs > tLast)) {
+            if (done == 0) t0 = e.tsUs
+            tLast = e.tsUs
+            done += 1
+          }
+        }
+        Iterator.single(FunnelRow(u, done,
+          if (done == 0) null else java.lang.Long.valueOf(t0),
+          if (done == 0) null else java.lang.Long.valueOf(tLast)))
+      }
+      .toDF()
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of
+    * each user's first event; for every (cohort week, whole-week
+    * offset) cell, the count of distinct users active in that week.
+    * Offsets are day-difference based (`days // 7`), so a user is
+    * "week k" relative to their own first event, not a calendar grid.
+    */
+  def cohortRetention(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val events = df.select(user.as("u"), ts.cast("timestamp").as("ts"))
+    val firsts = events.groupBy(col("u")).agg(min(col("ts")).as("first_ts"))
+    events
+      .join(broadcast(firsts), "u")
+      .select(col("u"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        floor(datediff(col("ts").cast("date"), col("first_ts").cast("date")) / 7)
+          .as("week_no"))
+      .groupBy(col("cohort_week"), col("week_no"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
+}

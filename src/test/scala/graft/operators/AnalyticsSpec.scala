@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toSeq.toDF("user_id", "sec", "event_type")
+      .select(col("user_id"), col("sec").cast("timestamp").as("ts"), col("event_type"))
+
+  test("funnel matches steps strictly in order from the earliest anchor") {
+    val df = ev(
+      // user 1 completes all three steps in order
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      // user 2 has b BEFORE its first a — never reaches step 2
+      (2L, 20L, "b"), (2L, 30L, "a"),
+      // user 3 anchors at its EARLIEST a (t=5); the b at t=50 counts
+      (3L, 5L, "a"), (3L, 40L, "a"), (3L, 50L, "b"),
+      // user 4 never emits step-0 at all
+      (4L, 10L, "b"), (4L, 20L, "c"))
+    val out = Analytics.funnel(df, col("user_id"), col("ts"), col("event_type"),
+      Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long] / 1000000L),
+          Option(r.get(3)).map(_.asInstanceOf[Long] / 1000000L)))).toMap
+    assert(out(1L) == ((3, Some(10L), Some(30L))))
+    assert(out(2L) == ((1, Some(30L), Some(30L))))
+    assert(out(3L) == ((2, Some(5L), Some(50L))))
+    assert(out(4L) == ((0, None, None)))
+  }
+
+  test("funnel ties on one instant never double-count it") {
+    // a and b share t=10: step 1 requires STRICTLY later, so only the
+    // b at t=20 advances the funnel.
+    val df = ev((1L, 10L, "a"), (1L, 10L, "b"), (1L, 20L, "b"))
+    val out = Analytics.funnel(df, col("user_id"), col("ts"), col("event_type"),
+      Seq("a", "b")).collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(1) == 2)
+    assert(out.head.getLong(3) == 20L * 1000000L)
+  }
+
+  test("cohortRetention buckets users by their own first-event week") {
+    val day = 86400L
+    val df = ev(
+      // user 1 first event Mon 2024-01-01; active again 10 days later (week 1)
+      (1L, 1704067200L, "x"), (1L, 1704067200L + 10 * day, "x"),
+      // user 2 first event Thu 2024-01-04 (same Monday cohort); only week 0
+      (2L, 1704326400L, "x"),
+      // user 3 first event Mon 2024-01-08 -> next cohort, active week 2
+      (3L, 1704672000L, "x"), (3L, 1704672000L + 15 * day, "x"))
+    val out = Analytics.cohortRetention(df, col("user_id"), col("ts"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("2024-01-01", 0L)) == 2L) // users 1 and 2 in week 0
+    assert(out(("2024-01-01", 1L)) == 1L) // user 1 back in week 1
+    assert(out(("2024-01-08", 0L)) == 1L)
+    assert(out(("2024-01-08", 2L)) == 1L)
+    assert(!out.contains(("2024-01-01", 2L)))
+  }
+
+  test("funnel output is one row per user with at-least-one event") {
+    val df = ev((1L, 1L, "a"), (1L, 2L, "a"), (2L, 3L, "z"))
+    val out = Analytics.funnel(df, col("user_id"), col("ts"), col("event_type"), Seq("a"))
+    assert(out.count() == 2)
+  }
+}
