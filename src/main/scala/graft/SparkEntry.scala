@@ -668,6 +668,17 @@ object SparkEntry {
         Map("en" -> 0.5, "es" -> 0.25), defaultFraction = 1.0)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // Temperature-flattened language mixing: per-lang keep fraction
+    // sqrt(c_min/c_lang) (temperature 0.5), md5-threshold keeps —
+    // IEEE-exact math end-to-end so the oracle re-derives the exact
+    // same sample from counts alone. (lang is the skewed domain in the
+    // testdata — en dominates — so the downsample actually fires;
+    // source counts are uniform and would make the gate vacuous.)
+    "q_mixture" -> ((s, d) =>
+      TrainingData.mixtureSample(
+        t(s, d, "documents"), col("lang"), col("doc_id"), temperature = 0.5)
+        .select(col("doc_id"), col("lang"))),
+
     // Per-domain cap (corpus balancing): at most 30 docs per source,
     // deterministic keep order.
     "q_domain_cap" -> ((s, d) =>
@@ -812,6 +823,19 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
         shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
         .select(col("doc_id"), col("component"), col("split"))),
+
+    // -- data layout ------------------------------------------------- //
+    // Z-order clustering: Morton key over (partkey, suppkey) buckets,
+    // range-partitioned + sorted so parquet footer ranges tile the
+    // curve and predicates on either key prune files. The oracle
+    // recomputes the interleave with plain bit arithmetic.
+    "q_zorder" -> ((s, d) =>
+      Layout.zorderBy(
+        t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y")),
+        bits = 8, Seq(col("x"), col("y")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"), col("zval"))),
 
     // -- event-sequence analytics ----------------------------------- //
     // Ordered strict funnel over the event stream: signup -> view ->
@@ -1174,6 +1198,16 @@ object SparkEntry {
         |       WHEN lang = 'es' THEN '40000000'
         |       ELSE 'g' END""".stripMargin,
 
+    "q_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |m AS (SELECT min(cnt) AS min_cnt FROM c),
+        |f AS (SELECT lang, sqrt(CAST(min_cnt AS DOUBLE) / cnt) AS frac FROM c, m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+        |WHERE substr(md5('graft:' || d.doc_id), 1, 8) <
+        |  CASE WHEN frac >= 1 THEN 'g'
+        |       ELSE lpad(lower(to_hex(CAST(floor(frac * 4294967296.0) AS BIGINT))), 8, '0')
+        |  END""".stripMargin,
+
     "q_domain_cap" ->
       """SELECT source, doc_id, rank FROM (
         |SELECT source, doc_id, CAST(row_number() OVER (
@@ -1521,6 +1555,16 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de,
         |  len(regexp_extract_all(lower(text), '\b(le|les|des|est|une?|et|dans|que)\b')) AS fr
         |  FROM documents) GROUP BY 1""".stripMargin,
+
+    "q_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+         |l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, x, y,
+         |CAST($terms AS BIGINT) AS zval FROM b""".stripMargin
+    },
 
     // Cascaded greedy funnel in the microsecond domain (matching the
     // Spark side's cast-to-timestamp truncation BEFORE comparisons, so

@@ -83,6 +83,45 @@ object TrainingData {
     df.where(keyHash(keyCol, seed) < threshold)
   }
 
+  /** Temperature-flattened mixture resampling (multilingual-corpus
+    * style source balancing): each domain keeps fraction
+    * `(c_min / c_domain)^(1 - temperature)` — temperature 1 keeps the
+    * natural distribution, temperature → 0 flattens toward uniform,
+    * and the rarest domain always keeps everything. Keep decisions are
+    * the same md5-threshold rule as [[hashSample]], so the sample is
+    * retry-proof and engine-portable.
+    *
+    * Scale notes: the domain-count aggregate's output is |domains|
+    * rows, broadcast back — the corpus itself never shuffles; the keep
+    * filter is a row-local projection. Fraction math uses only
+    * IEEE-exact operations at the default temperature (divide + sqrt),
+    * so an external engine recomputing the thresholds (the DuckDB
+    * oracle does) reproduces the sample bit-for-bit. Rows with a null
+    * domain are dropped (they match no count bucket).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      domainCol: Column,
+      keyCol: Column,
+      temperature: Double = 0.5,
+      seed: String = "graft"): DataFrame = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature must be in (0,1], got $temperature")
+    val counts = df.groupBy(domainCol.as("_dom")).agg(count(lit(1)).as("_cnt"))
+    val minCnt = counts.agg(min(col("_cnt")).as("_min_cnt"))
+    val frac =
+      if (temperature == 0.5) sqrt(col("_min_cnt").cast("double") / col("_cnt"))
+      else pow(col("_min_cnt").cast("double") / col("_cnt"), lit(1.0 - temperature))
+    val thresholds = counts.crossJoin(broadcast(minCnt))
+      .select(col("_dom"),
+        when(frac >= 1.0, lit("g"))
+          .otherwise(lpad(lower(hex(floor(frac * lit(4294967296.0)).cast("long"))), 8, "0"))
+          .as("_thr"))
+    df.join(broadcast(thresholds), domainCol === col("_dom"))
+      .where(keyHash(keyCol, seed) < col("_thr"))
+      .drop("_dom", "_thr")
+  }
+
   /** Per-domain cap (corpus balancing): keep at most `k` rows per
     * group in a deterministic order — rank-window form, one shuffle on
     * the group key, partial TopK pushed below the shuffle by Spark's

@@ -31,6 +31,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(out("2") == 2000L) // default keeps everything
   }
 
+  test("mixtureSample flattens skewed domains and keeps the rarest fully") {
+    // 4000 'big', 1000 'mid', 250 'small' rows
+    val df = spark.range(5250).select(col("id"),
+      when(col("id") < 4000, "big").when(col("id") < 5000, "mid").otherwise("small")
+        .as("dom"))
+    val out = TrainingData.mixtureSample(df, col("dom"), col("id"), temperature = 0.5)
+    val kept = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 250L) // rarest domain: fraction 1, keep ALL
+    // expected fractions: sqrt(250/4000)=0.25, sqrt(250/1000)=0.5
+    assert(math.abs(kept("big") / 4000.0 - 0.25) < 0.03)
+    assert(math.abs(kept("mid") / 1000.0 - 0.5) < 0.05)
+    // deterministic: same call, same sample
+    val again = TrainingData.mixtureSample(df, col("dom"), col("id"), temperature = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // temperature 1 keeps the natural distribution (everything)
+    assert(TrainingData.mixtureSample(df, col("dom"), col("id"), temperature = 1.0)
+      .count() == 5250L)
+  }
+
   test("qualityFilter trips each Gopher rule independently") {
     val good = "the quick brown fox and the lazy dog ran to town in a big hurry " * 4 // 64 words
     val docs = Seq(
