@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, MinhashSignature, Simhash64, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, JaroWinklerSim, MinhashSignature, Simhash64, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -73,7 +73,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         val a = arity("word_shingles", 2)(es)
         WordShingles(a(0), litInt(a(1), "n"))
-      })
+      }),
+    ("jaro_winkler",
+      "jaro_winkler(a, b) - byte-level Jaro-Winkler similarity (DuckDB-compatible)",
+      (es: Seq[Expression]) => { val a = arity("jaro_winkler", 2)(es); JaroWinklerSim(a(0), a(1)) })
   )
 
   /** Register every function into a live session's registry. */

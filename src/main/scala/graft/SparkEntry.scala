@@ -824,6 +824,24 @@ object SparkEntry {
         shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
         .select(col("doc_id"), col("component"), col("split"))),
 
+    // Blocked record linkage: customers vs deterministically-dirtied
+    // clones (one digit deleted), blocked on nation, verified with the
+    // codegen Jaro-Winkler kernel (byte-pinned to DuckDB's, so the
+    // oracle compares the raw double). 0.975 splits true matches from
+    // the formulaic-name noise floor without being vacuous.
+    "q_jaro_link" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val pos = (col("c_custkey") % 8 + 10).cast("int")
+      val dirty = cust.select(
+        col("c_custkey").as("d_custkey"), col("c_nationkey").as("d_nationkey"),
+        concat(col("c_name").substr(lit(1), pos - 1),
+          col("c_name").substr(pos + 1, lit(99))).as("d_name"))
+      Dedup.linkageJoin(
+        cust, dirty, Seq(col("c_nationkey") -> col("d_nationkey")),
+        col("c_name"), col("d_name"), threshold = 0.975)
+        .select(col("c_custkey"), col("d_custkey"), col("jw_sim"))
+    }),
+
     // -- data layout ------------------------------------------------- //
     // Z-order clustering: Morton key over (partkey, suppkey) buckets,
     // range-partitioned + sorted so parquet footer ranges tile the
@@ -1555,6 +1573,17 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de,
         |  len(regexp_extract_all(lower(text), '\b(le|les|des|est|une?|et|dans|que)\b')) AS fr
         |  FROM documents) GROUP BY 1""".stripMargin,
+
+    "q_jaro_link" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,
+        |         substr(c_name, 1, CAST(c_custkey % 8 + 9 AS INT)) ||
+        |         substr(c_name, CAST(c_custkey % 8 + 11 AS INT)) AS d_name
+        |  FROM customer)
+        |SELECT c.c_custkey, d.d_custkey,
+        |       jaro_winkler_similarity(c.c_name, d.d_name) AS jw_sim
+        |FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nationkey
+        |WHERE jaro_winkler_similarity(c.c_name, d.d_name) >= 0.975""".stripMargin,
 
     "q_zorder" -> {
       val terms = (0 until 8).flatMap(i => Seq(

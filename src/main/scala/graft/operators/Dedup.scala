@@ -465,6 +465,37 @@ object Dedup {
       .where(col("edit_dist") <= maxEdit)
   }
 
+  /** Blocked record-linkage join: equi-join on a user-chosen blocking
+    * key (nation, zip, phonetic code — whatever bounds the candidate
+    * space), then verify candidates with the fused codegen
+    * [[graft.functions.JaroWinklerSim]] kernel at `threshold`. Output
+    * is the joined row plus a `jw_sim` column.
+    *
+    * Unlike [[fuzzyJoin]]'s prefix-filter (exact for edit distance),
+    * Jaro-Winkler admits no lossless cheap blocking — candidate
+    * completeness is the BLOCKING KEY's contract, supplied by the
+    * caller as in every production linkage system. Within blocks the
+    * verify is exact and bit-reproducible (byte-pinned to DuckDB's
+    * `jaro_winkler_similarity`). Scale shape: one shuffle per side on
+    * the block key; skewed blocks are the caller's salt-or-split
+    * responsibility, same as any equi-join.
+    */
+  def linkageJoin(
+      left: DataFrame,
+      right: DataFrame,
+      blockKeys: Seq[(Column, Column)],
+      leftStr: Column,
+      rightStr: Column,
+      threshold: Double): DataFrame = {
+    require(blockKeys.nonEmpty, "linkageJoin: at least one blocking key pair")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"linkageJoin: threshold must be in [0,1], got $threshold")
+    val cond = blockKeys.map { case (l, r) => l === r }.reduce(_ && _)
+    left.join(right, cond)
+      .withColumn("jw_sim", graft.functions.StringFunctions.jaroWinkler(leftStr, rightStr))
+      .where(col("jw_sim") >= threshold)
+  }
+
   /** One-call near-duplicate removal: n-gram Jaccard pair generation →
     * connected components → keep each cluster's representative (the
     * smallest id). The composition every dedup user actually wants;
