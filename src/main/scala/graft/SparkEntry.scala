@@ -824,6 +824,18 @@ object SparkEntry {
         shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
         .select(col("doc_id"), col("component"), col("split"))),
 
+    // Corpus-level paragraph dedup over 30-word aligned "paragraphs":
+    // each repeated paragraph occurrence survives only at its first
+    // (doc_id, pos) owner; docs reassemble from the survivors (planted
+    // near-dup docs share aligned spans, so the drop actually fires).
+    "q_para_dedup" -> ((s, d) => {
+      val paras = TrainingData.chunkWords(
+        t(s, d, "documents"), Seq("doc_id"), "text", 30, 30)
+        .select(col("doc_id"), col("chunk_id").as("pos"), col("chunk").as("para"))
+      Dedup.dropDuplicateParagraphs(paras, "doc_id", "pos", "para", " ")
+        .select(col("id").as("doc_id"), col("n_kept"), md5(col("text")).as("text_md5"))
+    }),
+
     // Blocked record linkage: customers vs deterministically-dirtied
     // clones (one digit deleted), blocked on nation, verified with the
     // codegen Jaro-Winkler kernel (byte-pinned to DuckDB's, so the
@@ -1573,6 +1585,21 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de,
         |  len(regexp_extract_all(lower(text), '\b(le|les|des|est|une?|et|dans|que)\b')) AS fr
         |  FROM documents) GROUP BY 1""".stripMargin,
+
+    "q_para_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, $W AS ws FROM documents),
+         |starts AS (SELECT doc_id, ws,
+         |  unnest(generate_series(1,
+         |    ((greatest(ceil((len(ws) - 30) / 30.0) + 1, 1) - 1) * 30 + 1)::BIGINT,
+         |    30)) AS s
+         |  FROM docs),
+         |p AS (SELECT doc_id, ((s - 1) // 30)::BIGINT AS pos,
+         |  array_to_string(ws[s:s+29], ' ') AS para FROM starts),
+         |k AS (SELECT doc_id, pos, para FROM p
+         |  QUALIFY row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1)
+         |SELECT doc_id, count(*) AS n_kept,
+         |  md5(string_agg(para, ' ' ORDER BY pos)) AS text_md5
+         |FROM k GROUP BY doc_id""".stripMargin,
 
     "q_jaro_link" ->
       """WITH dirty AS (

@@ -465,6 +465,43 @@ object Dedup {
       .where(col("edit_dist") <= maxEdit)
   }
 
+  /** Corpus-level paragraph dedup (the CCNet move): drop every repeated
+    * paragraph OCCURRENCE — across documents and within one — keeping
+    * only its first owner (smallest `(id, pos)`), then reassemble each
+    * document from its surviving paragraphs in order. Documents whose
+    * every paragraph is owned elsewhere drop out entirely.
+    *
+    * Takes an already-split `(id, pos, para)` frame — splitting is
+    * corpus-specific (blank lines, sentence bounds, fixed word
+    * windows; see [[TrainingData.chunkWords]]) and stays caller-side.
+    * Returns `(id, n_kept, text)`.
+    *
+    * Scale shape: ownership is a windowed min over md5(paragraph) —
+    * one shuffle on the fingerprint, one for the per-doc rebuild; the
+    * shuffle payload is paragraphs, never whole documents twice.
+    * Boilerplate paragraphs repeated across the whole corpus make hot
+    * fingerprint partitions — the standard mitigation (pre-filter
+    * ultra-high-df fingerprints into a broadcast kill set) composes in
+    * front of this operator.
+    */
+  def dropDuplicateParagraphs(
+      paras: DataFrame,
+      idCol: String,
+      posCol: String,
+      paraCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val w = Window.partitionBy(col("_fp"))
+    paras
+      .select(col(idCol).as("id"), col(posCol).as("pos"), col(paraCol).as("para"))
+      .withColumn("_fp", md5(col("para")))
+      .withColumn("_owner", min(struct(col("id"), col("pos"))).over(w))
+      .where(col("_owner.id") === col("id") && col("_owner.pos") === col("pos"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("para")))).as("_arr"))
+      .select(col("id"), col("n_kept"), array_join(col("_arr.para"), sep).as("text"))
+  }
+
   /** Blocked record-linkage join: equi-join on a user-chosen blocking
     * key (nation, zip, phonetic code — whatever bounds the candidate
     * space), then verify candidates with the fused codegen

@@ -179,6 +179,19 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("dropDuplicateParagraphs keeps first owners and reassembles in order") {
+    val paras = Seq(
+      (1L, 0L, "alpha"), (1L, 1L, "beta"), (1L, 2L, "alpha"),   // in-doc repeat drops
+      (2L, 0L, "beta"), (2L, 1L, "gamma"),                      // beta owned by doc 1
+      (3L, 0L, "alpha"), (3L, 1L, "beta")                       // fully owned elsewhere
+    ).toDF("doc_id", "pos", "para")
+    val out = Dedup.dropDuplicateParagraphs(paras, "doc_id", "pos", "para", sep = "\n\n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((2L, "alpha\n\nbeta")))
+    assert(out(2L) == ((1L, "gamma")))
+    assert(!out.contains(3L)) // every paragraph owned elsewhere -> doc drops out
+  }
+
   test("wordless docs are excluded from span-dup and containment, not conflated via the \"\" fallback gram") {
     val docs = Seq(
       (1L, "real words in this document"),
