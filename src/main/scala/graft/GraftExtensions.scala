@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, JaroWinklerSim, MinhashSignature, Simhash64, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, Simhash64, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -76,7 +76,13 @@ object GraftFunctions {
       }),
     ("jaro_winkler",
       "jaro_winkler(a, b) - byte-level Jaro-Winkler similarity (DuckDB-compatible)",
-      (es: Seq[Expression]) => { val a = arity("jaro_winkler", 2)(es); JaroWinklerSim(a(0), a(1)) })
+      (es: Seq[Expression]) => { val a = arity("jaro_winkler", 2)(es); JaroWinklerSim(a(0), a(1)) }),
+    ("interleave_bits",
+      "interleave_bits(bits, c1, c2, ...) - Morton/Z-order key over the low `bits` of each bigint",
+      (es: Seq[Expression]) => {
+        require(es.length >= 2, s"interleave_bits expects (bits, col...), got ${es.length} args")
+        InterleaveBits(es.tail, litInt(es.head, "bits"))
+      })
   )
 
   /** Register every function into a live session's registry. */

@@ -66,6 +66,13 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("interleave_bits is reachable from SQL") {
+    graft.GraftFunctions.register(spark)
+    val out = Seq((3L, 5L)).toDF("a", "b")
+      .selectExpr("interleave_bits(8, a, b) AS z").as[Long].collect()
+    assert(out.head == refZ(8, Seq(3L, 5L)))
+  }
+
   test("interleave guards reject bit overflows") {
     intercept[IllegalArgumentException](Layout.zValue(32, col("a"), col("b"), col("c")))
     intercept[IllegalArgumentException](Layout.zValue(0, col("a")))

@@ -261,6 +261,32 @@ class StreamingSpec extends SparkSpec {
       4L -> "ALL_PARCELS_SHIPPED"))
   }
 
+  test("streaming funnel advances across micro-batches and never re-anchors on late data") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamFunnel._
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamFunnel(in.toDS(), Seq("a", "b", "c"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+
+    // batch 1: user 1 does a@10 then b@20 (out of arrival order -> the
+    // in-batch sort fixes it); user 2 does only b (no anchor).
+    in.addData(FunnelEvent(1, 20, "b"), FunnelEvent(1, 10, "a"), FunnelEvent(2, 5, "b"))
+    q.processAllAvailable()
+    // batch 2: user 1 completes with c@30; the a@1 would re-anchor a
+    // batch run but MUST be ignored here; user 2 anchors at a@7.
+    in.addData(FunnelEvent(1, 30, "c"), FunnelEvent(1, 1, "a"), FunnelEvent(2, 7, "a"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_out").as[FunnelProgress].collect()
+    // progress log: user 1 advanced in both batches, user 2 once
+    assert(rows.filter(_.user_id == 1).map(r => (r.steps_done, r.t0_us, r.t_end_us)).toSet ==
+      Set((2, 10L, 20L), (3, 10L, 30L)))
+    assert(rows.filter(_.user_id == 2).map(r => (r.steps_done, r.t0_us, r.t_end_us)).toSeq ==
+      Seq((1, 7L, 7L)))
+  }
+
   test("streaming words-count over a file stream matches the batch counts " +
     "(reference words_count example, unbounded form)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wc_stream_")
