@@ -32,7 +32,8 @@ class GraftSqlSpec extends SparkSpec {
     // assert the extensions object wires every declared function.
     assert(GraftFunctions.all.map(_._1).toSet == Set(
       "vec_dot", "vec_cosine", "vec_hyperplane_bucket",
-      "minhash_signature", "simhash64", "word_shingles"))
+      "minhash_signature", "simhash64", "word_shingles",
+      "jaro_winkler", "interleave_bits"))
   }
 
   test("skippingFailures drops poisoned records and counts them " +

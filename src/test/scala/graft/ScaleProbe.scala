@@ -73,6 +73,43 @@ object ScaleProbe {
     time("topNgrams 50k docs bigrams")(
       graft.operators.Ranking.topNgrams(docs10, "text", 2, 50).count())
 
+    graft.core.CacheRegistry.unpersistAll()
+    time("paragraphDedup 50k docs (30-word paras)")(
+      Dedup.dropDuplicateParagraphs(
+        TrainingData.chunkWords(docs10, Seq("doc_id"), "text", 30, 30)
+          .select(col("doc_id"), col("chunk_id").as("pos"), col("chunk").as("para")),
+        "doc_id", "pos", "para", " ").count())
+    time("mixtureSample 50k docs")(
+      TrainingData.mixtureSample(docs10, col("lang"), col("doc_id"), 0.5).count())
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    val ev10 = (0 until 10).map(k =>
+      ev.select((col("user_id") + k * 10000).as("user_id"), col("ts"), col("event_type")))
+      .reduce(_ unionAll _).repartition(32)
+    time("funnel 1M events / 1.5k users")(
+      graft.operators.Analytics.funnel(
+        ev10, col("user_id"), col("ts"), col("event_type"),
+        Seq("signup", "view", "click", "purchase")).count())
+    time("zorderBy 600k lineitem")(
+      graft.operators.Layout.zorderBy(
+        li.select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y")),
+        8, Seq(col("x"), col("y"))).count())
+    // Linkage cost = Σ block² — the probe uses a sane composite
+    // blocking key (nation, custkey%200: ~30-row blocks), the shape a
+    // production linkage would choose; candidate volume stays ~linear
+    // in corpus size at fixed block width.
+    val cust = spark.read.parquet(s"$d/customer.parquet")
+    val cust10 = (0 until 10).map(k =>
+      cust.select((col("c_custkey") + k * 100000).as("c_custkey"),
+        col("c_nationkey"), concat(col("c_name"), lit("#"), lit(k)).as("c_name")))
+      .reduce(_ unionAll _).repartition(32)
+    time("jaro linkage 150k x 150k composite-blocked")(
+      Dedup.linkageJoin(
+        cust10, cust10.select(col("c_custkey").as("d_custkey"),
+          col("c_nationkey").as("d_nationkey"), col("c_name").as("d_name")),
+        Seq(col("c_nationkey") -> col("d_nationkey"),
+          (col("c_custkey") % 200) -> (col("d_custkey") % 200)),
+        col("c_name"), col("d_name"), 0.975).count())
+
     val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
     val emb10 = (0 until 10).map(k =>
       emb0.select((col("vec_id") + k * 100000).as("vec_id"), col("embedding")))

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val centers = Seq(
+    Array(10.0f, 0.0f, 0.0f, 0.0f),
+    Array(0.0f, 10.0f, 0.0f, 0.0f),
+    Array(0.0f, 0.0f, 10.0f, 0.0f))
+
+  // 60 points per cluster, deterministic +-0.02 jitter on one axis.
+  private def planted = (0 until 180).map { i =>
+    val c = centers(i % 3).clone()
+    c(3) = ((i / 3) % 5 - 2) * 0.01f
+    (i.toLong, c)
+  }.toDF("id", "v")
+
+  test("distributed Lloyd's recovers planted cluster means exactly") {
+    val res = Clustering.kmeans(planted, "v", k = 3, maxIter = 10, trainSample = 180)
+    assert(res.iters <= 10 && res.lastShift <= 1e-4)
+    // every planted cluster maps to one distinct cell
+    val cells = Clustering.assign(planted, "v", res.centroids)
+      .select((col("id") % 3).as("truth"), col("cell"))
+      .distinct().as[(Long, Int)].collect()
+    assert(cells.length == 3 && cells.map(_._2).distinct.length == 3)
+    // the refined centroid of each cell equals the exact cluster mean:
+    // big axis 10.0, jitter axis mean 0.0 (the +-2..+2 pattern sums to 0)
+    res.centroids.foreach { c =>
+      assert(c.count(x => math.abs(x - 10.0) < 1e-9) == 1)
+      assert(math.abs(c(3)) < 1e-9)
+    }
+  }
+
+  test("kmeans with maxIter=0 returns the sampled init unchanged") {
+    val res = Clustering.kmeans(planted, "v", k = 3, maxIter = 0, trainSample = 180)
+    assert(res.iters == 0)
+    assert(res.centroids.length == 3)
+  }
+
+  test("assign gives null cells to dimension-mismatched vectors") {
+    val mixed = Seq(
+      (1L, Array(10.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val res = Clustering.kmeans(planted, "v", 3, maxIter = 2, trainSample = 180)
+    val out = Clustering.assign(mixed, "v", res.centroids)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isDefined && out(2L).isEmpty)
+  }
+}
