@@ -19,6 +19,15 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Only the AQE final plan — node COUNTS must not double-count the
+    * `== Initial Plan ==` rendering.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    val p = plan(df)
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
   private val docs = Seq(
     (1L, "alpha beta gamma delta epsilon"),
     (2L, "alpha beta gamma delta epsilon"),
@@ -54,6 +63,46 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"))
     }
     graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("funnel plans exactly one exchange, hashed on the user key") {
+    val ev = (1 to 50).map(i => (i.toLong % 5, i.toLong, "a")).toDF("u", "sec", "et")
+      .select(col("u"), col("sec").cast("timestamp").as("ts"), col("et"))
+    val p = finalPlan(graft.operators.Analytics.funnel(
+      ev, col("u"), col("ts"), col("et"), Seq("a")))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    // the fold reads a secondary-sorted iterator: Sort rides the same
+    // exchange, and MapGroups carries the sort order spec
+    assert(p.contains("MapGroups") && p.contains("ASC NULLS FIRST"))
+  }
+
+  test("zorderBy plans a range partitioning on the Morton key") {
+    val df = (1 to 100).map(i => (i.toLong % 16, i.toLong / 16)).toDF("x", "y")
+    val p = plan(graft.operators.Layout.zorderBy(df, 4, Seq(col("x"), col("y"))))
+    assert(p.contains("rangepartitioning(zval"))
+    assert(!p.contains("Cartesian"))
+  }
+
+  test("linkageJoin is an equi-join on the block key, never a nested loop") {
+    val l = (1 to 40).map(i => (i.toLong, i % 4, s"name $i")).toDF("id", "b", "s")
+    val r = (1 to 40).map(i => (i.toLong, i % 4, s"name ${i + 1}")).toDF("rid", "rb", "rs")
+    val p = finalPlan(Dedup.linkageJoin(l, r, Seq(col("b") -> col("rb")),
+      col("s"), col("rs"), 0.5))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the jw verify rides the join condition, not a separate pass:
+    // exactly one join node in the final tree
+    assert(p.linesIterator.count(l0 => l0.contains("HashJoin") || l0.contains("SortMergeJoin")) == 1)
+  }
+
+  test("paragraph dedup reassembly never plans a single-partition window") {
+    val paras = (1 to 60).map(i => (i.toLong % 6, i.toLong, s"para $i"))
+      .toDF("doc_id", "pos", "para")
+    val p = plan(Dedup.dropDuplicateParagraphs(paras, "doc_id", "pos", "para"))
+    // windowed first-owner min partitions by fingerprint — a global
+    // (empty-key) window would collapse to one partition
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition(_fp"))
+    assert(p.contains("hashpartitioning(_fp") || p.contains("hashpartitioning(id"))
   }
 
   test("fused sketch kernels run inside whole-stage codegen") {

@@ -13,6 +13,7 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
@@ -24,7 +25,7 @@ object ScaleProbe {
 
     val docs0 = spark.read.parquet(s"$d/documents.parquet")
     val docs10 = (0 until 10).map(k =>
-      docs0.select((col("doc_id") + k * 100000).as("doc_id"), col("text")))
+      docs0.select((col("doc_id") + k * 100000).as("doc_id"), col("text"), col("lang")))
       .reduce(_ unionAll _).repartition(32)
     println(s"docs10 count=${docs10.count()}")
 
@@ -81,7 +82,9 @@ object ScaleProbe {
         "doc_id", "pos", "para", " ").count())
     time("mixtureSample 50k docs")(
       TrainingData.mixtureSample(docs10, col("lang"), col("doc_id"), 0.5).count())
+    // ts is INT64 TIMESTAMP(NANOS) parquet: read as long, floor to µs.
     val ev = spark.read.parquet(s"$d/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
     val ev10 = (0 until 10).map(k =>
       ev.select((col("user_id") + k * 10000).as("user_id"), col("ts"), col("event_type")))
       .reduce(_ unionAll _).repartition(32)
