@@ -836,6 +836,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_kept"), md5(col("text")).as("text_md5"))
     }),
 
+    // Boilerplate removal: any 30-word paragraph present in >= 2
+    // distinct docs vanishes from ALL of them (broadcast kill set).
+    "q_boilerplate" -> ((s, d) => {
+      val paras = TrainingData.chunkWords(
+        t(s, d, "documents"), Seq("doc_id"), "text", 30, 30)
+        .select(col("doc_id"), col("chunk_id").as("pos"), col("chunk").as("para"))
+      Dedup.dropBoilerplateParagraphs(paras, "doc_id", "pos", "para", minDocFreq = 2, sep = " ")
+        .select(col("id").as("doc_id"), col("n_kept"), md5(col("text")).as("text_md5"))
+    }),
+
     // Blocked record linkage: customers vs deterministically-dirtied
     // clones (one digit deleted), blocked on nation, verified with the
     // codegen Jaro-Winkler kernel (byte-pinned to DuckDB's, so the
@@ -876,6 +886,13 @@ object SparkEntry {
       Analytics.funnel(
         t(s, d, "events"), col("user_id"), col("ts"), col("event_type"),
         Seq("signup", "view", "click", "purchase"))),
+
+    // Same funnel under a 3-day completion window from the anchor —
+    // the conversion-deadline form every product-analytics tool ships.
+    "q_funnel_window" -> ((s, d) =>
+      Analytics.funnel(
+        t(s, d, "events"), col("user_id"), col("ts"), col("event_type"),
+        Seq("signup", "view", "click", "purchase"), maxSpanUs = 3L * 86400000000L)),
 
     // Weekly cohort retention: cohort = Monday week of first event;
     // cells count distinct users active k whole weeks later.
@@ -1601,6 +1618,23 @@ object SparkEntry {
          |  md5(string_agg(para, ' ' ORDER BY pos)) AS text_md5
          |FROM k GROUP BY doc_id""".stripMargin,
 
+    "q_boilerplate" ->
+      s"""WITH docs AS (SELECT doc_id, $W AS ws FROM documents),
+         |starts AS (SELECT doc_id, ws,
+         |  unnest(generate_series(1,
+         |    ((greatest(ceil((len(ws) - 30) / 30.0) + 1, 1) - 1) * 30 + 1)::BIGINT,
+         |    30)) AS s
+         |  FROM docs),
+         |p AS (SELECT doc_id, ((s - 1) // 30)::BIGINT AS pos,
+         |  array_to_string(ws[s:s+29], ' ') AS para FROM starts),
+         |hot AS (SELECT md5(para) AS f FROM p
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |k AS (SELECT doc_id, pos, para FROM p
+         |  WHERE md5(para) NOT IN (SELECT f FROM hot))
+         |SELECT doc_id, count(*) AS n_kept,
+         |  md5(string_agg(para, ' ' ORDER BY pos)) AS text_md5
+         |FROM k GROUP BY doc_id""".stripMargin,
+
     "q_jaro_link" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,
@@ -1641,6 +1675,29 @@ object SparkEntry {
         |       WHEN t1 IS NOT NULL THEN 2 WHEN t0 IS NOT NULL THEN 1
         |       ELSE 0 END AS steps_done,
         |  t0 AS t0_us, coalesce(t3, t2, t1, t0) AS t_end_us
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, s0.t0, min(e.us) AS t1 FROM e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.us > s0.t0
+        |         AND e.us - s0.t0 <= 259200000000 GROUP BY 1, 2),
+        |s2 AS (SELECT e.user_id, s1.t0, min(e.us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1
+        |         AND e.us - s1.t0 <= 259200000000 GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2
+        |         AND e.us - s2.t0 <= 259200000000 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 4 WHEN t2 IS NOT NULL THEN 3
+        |       WHEN t1 IS NOT NULL THEN 2 WHEN s0.t0 IS NOT NULL THEN 1
+        |       ELSE 0 END AS steps_done,
+        |  s0.t0 AS t0_us, coalesce(t3, t2, t1, s0.t0) AS t_end_us
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
         |LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,

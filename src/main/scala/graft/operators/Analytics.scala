@@ -36,15 +36,21 @@ object Analytics {
     * Greedy-from-earliest is exactly the cascaded
     * `min(ts) WHERE ts > prev` SQL form (the DuckDB oracle), and for
     * unwindowed funnels greedy is complete: if any in-order assignment
-    * exists, the greedy one does too.
+    * exists, the greedy one does too. With `maxSpanUs` set, later steps
+    * must also fall within that many microseconds of the step-0 anchor;
+    * the anchor stays the EARLIEST step-0 event by definition (a
+    * later anchor might complete where the earliest cannot — windowed
+    * funnel semantics are anchor-greedy, matching the SQL cascade,
+    * not best-possible-completion).
     *
     * Returns one row per user: `user_id`, `steps_done` (0..n),
     * `t0_us` / `t_end_us` (anchor and last-matched event times,
     * microseconds; null when no step matched).
     */
   def funnel(df: DataFrame, user: Column, ts: Column, eventType: Column,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], maxSpanUs: Long = Long.MaxValue): DataFrame = {
     require(steps.nonEmpty, "funnel: steps must be non-empty")
+    require(maxSpanUs > 0L, s"funnel: maxSpanUs must be positive, got $maxSpanUs")
     val spark = df.sparkSession
     import spark.implicits._
     val n = steps.length
@@ -60,7 +66,8 @@ object Analytics {
         var t0 = -1L
         var tLast = -1L
         it.foreach { e =>
-          if (done < n && e.et == stepArr(done) && (done == 0 || e.tsUs > tLast)) {
+          if (done < n && e.et == stepArr(done) && (done == 0 || e.tsUs > tLast) &&
+            (done == 0 || maxSpanUs == Long.MaxValue || e.tsUs - t0 <= maxSpanUs)) {
             if (done == 0) t0 = e.tsUs
             tLast = e.tsUs
             done += 1

@@ -491,16 +491,49 @@ object Dedup {
       paraCol: String,
       sep: String = "\n\n"): DataFrame = {
     val w = Window.partitionBy(col("_fp"))
+    val kept = fingerprinted(paras, idCol, posCol, paraCol)
+      .withColumn("_owner", min(struct(col("id"), col("pos"))).over(w))
+      .where(col("_owner.id") === col("id") && col("_owner.pos") === col("pos"))
+    reassemble(kept, sep)
+  }
+
+  /** Corpus-boilerplate removal: paragraphs whose fingerprint occurs in
+    * `minDocFreq`+ DISTINCT documents are dropped from EVERY document —
+    * cookie banners, nav chrome, license footers. Complements
+    * [[dropDuplicateParagraphs]] (which keeps one owner); boilerplate
+    * is noise in every copy, so no owner survives. This is also the
+    * skew mitigation for the first-owner pass: the hot-fingerprint set
+    * is tiny (df ≥ k shrinks it combinatorially) and rides a BROADCAST
+    * anti-join, so corpus-wide repeats never hash into one reducer.
+    */
+  def dropBoilerplateParagraphs(
+      paras: DataFrame,
+      idCol: String,
+      posCol: String,
+      paraCol: String,
+      minDocFreq: Int,
+      sep: String = "\n\n"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val fp = fingerprinted(paras, idCol, posCol, paraCol)
+    val hot = fp.groupBy(col("_fp"))
+      .agg(countDistinct(col("id")).as("_df"))
+      .where(col("_df") >= minDocFreq)
+      .select(col("_fp"))
+    reassemble(fp.join(broadcast(hot), Seq("_fp"), "left_anti"), sep)
+  }
+
+  private def fingerprinted(
+      paras: DataFrame, idCol: String, posCol: String, paraCol: String): DataFrame =
     paras
       .select(col(idCol).as("id"), col(posCol).as("pos"), col(paraCol).as("para"))
       .withColumn("_fp", md5(col("para")))
-      .withColumn("_owner", min(struct(col("id"), col("pos"))).over(w))
-      .where(col("_owner.id") === col("id") && col("_owner.pos") === col("pos"))
+
+  private def reassemble(kept: DataFrame, sep: String): DataFrame =
+    kept
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
         array_sort(collect_list(struct(col("pos"), col("para")))).as("_arr"))
       .select(col("id"), col("n_kept"), array_join(col("_arr.para"), sep).as("text"))
-  }
 
   /** Blocked record-linkage join: equi-join on a user-chosen blocking
     * key (nation, zip, phonetic code — whatever bounds the candidate

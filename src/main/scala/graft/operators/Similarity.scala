@@ -91,6 +91,32 @@ object Similarity {
     }
   }
 
+  /** Add a batch to a SAVED index in place — the FAISS train/add split's
+    * "add" leg: the coarse quantizer stays FROZEN (same centroids, so
+    * existing cell assignments and probe routing remain valid) and the
+    * new vectors' assignments append as new files under their cell
+    * directories. One distributed projection + one partitioned append;
+    * the standing assignments are never read, let alone rewritten —
+    * day-2 ingestion cost is O(batch), not O(index). Centroid drift
+    * under a shifting distribution is the caller's retrain signal
+    * (rebuild + save, as FAISS re-trains).
+    */
+  def addToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    batch.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      nearestCentroid(col(vecCol), cents).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   /** Reload a saved [[IvfIndex]]. Probing the loaded index prunes at
     * the parquet-partition level: `.where(cell IN probed)` becomes a
     * directory filter, so only nprobe/nlist of the corpus is read.

@@ -42,6 +42,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getLong(3) == 20L * 1000000L)
   }
 
+  test("funnel maxSpan cuts steps outside the anchor window") {
+    val df = ev(
+      // user 1: b at +15s is outside a 10s window; the later b@30 too
+      (1L, 10L, "a"), (1L, 25L, "b"), (1L, 30L, "b"),
+      // user 2: completes inside the window (exactly at the bound)
+      (2L, 10L, "a"), (2L, 20L, "b"))
+    val out = Analytics.funnel(df, col("user_id"), col("ts"), col("event_type"),
+      Seq("a", "b"), maxSpanUs = 10L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 1)
+    assert(out(2L) == 2) // e.tsUs - t0 == maxSpan is INSIDE (<=)
+  }
+
   test("cohortRetention buckets users by their own first-event week") {
     val day = 86400L
     val df = ev(

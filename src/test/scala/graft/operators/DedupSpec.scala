@@ -192,6 +192,21 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(3L)) // every paragraph owned elsewhere -> doc drops out
   }
 
+  test("dropBoilerplateParagraphs kills cross-doc repeats everywhere, keeps in-doc repeats") {
+    val paras = Seq(
+      (1L, 0L, "cookie banner"), (1L, 1L, "unique alpha"), (1L, 2L, "unique alpha"),
+      (2L, 0L, "cookie banner"), (2L, 1L, "unique beta"),
+      (3L, 0L, "cookie banner")                      // nothing but boilerplate
+    ).toDF("doc_id", "pos", "para")
+    val out = Dedup.dropBoilerplateParagraphs(paras, "doc_id", "pos", "para", minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // banner df=3 -> gone from every doc; doc 1's in-doc repeat has
+    // df=1 (distinct docs!) so BOTH copies stay
+    assert(out(1L) == ((2L, "unique alpha\n\nunique alpha")))
+    assert(out(2L) == ((1L, "unique beta")))
+    assert(!out.contains(3L))
+  }
+
   test("wordless docs are excluded from span-dup and containment, not conflated via the \"\" fallback gram") {
     val docs = Seq(
       (1L, "real words in this document"),

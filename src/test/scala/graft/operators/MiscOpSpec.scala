@@ -92,6 +92,25 @@ class MiscOpSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("addToIvfIndex appends a day-2 batch under the frozen quantizer") {
+    import spark.implicits._
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array(math.cos(i / 8.0).toFloat, math.sin(i / 8.0).toFloat))).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_add").toString
+    Similarity.buildIvfIndex(corpus, "id", "v", nlist = 4, trainSample = 32).save(dir)
+    // batch: an exact clone of vector 7 under a new id
+    val batch = corpus.where(col("id") === 7).select((col("id") + 1000L).as("id"), col("v"))
+    Similarity.addToIvfIndex(spark, dir, batch, "id", "v")
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    // the clone lands in vector 7's own cell, so a probe for 7 (self
+    // excluded) now surfaces it at cosine 1.0 ahead of true neighbors
+    val hits = Similarity.ivfQuery(loaded, corpus.where(col("id") === 7), "id", "v",
+      k = 2, nprobe = 1).select("neighbor_id").as[Long].collect()
+    assert(hits.length == 2 && hits.contains(1007L))
+    assert(loaded.assigned.count() == 65)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("Similarity.buildIvfIndex trains on a sample and serves repeated query batches") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
