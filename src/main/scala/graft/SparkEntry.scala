@@ -321,6 +321,38 @@ object SparkEntry {
           col("click_value"))
     }),
 
+    // Interval-overlap join: per-user 1h view windows x 30min click
+    // windows — the interval-interval generalization of the binned
+    // range join (one equi-shuffle on (bin, user), overlap charged to
+    // its first bin, exact verify).
+    "q_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"),
+          usec(col("ts")).as("lo"), (usec(col("ts")) + 3600000000L).as("hi"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          usec(col("ts")).as("lo2"), (usec(col("ts")) + 1800000000L).as("hi2"))
+      Relational.intervalOverlapJoin(
+        views, "lo", "hi", clicks, "lo2", "hi2",
+        binWidth = 3600000000L, equiKeys = Seq("user_id"))
+        .select(col("v_id"), col("c_id"))
+    }),
+
+    // Forward as-of: for each signup, the user's EARLIEST subsequent
+    // purchase (time-to-convert joins; ties inclusive).
+    "q_asof_fwd" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("purchase_value"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Relational.asOfJoin(signups, purchases, "user_id", "ts", "ts",
+        Seq("purchase_value"), direction = "forward")
+        .select(col("event_id"), col("user_id"), usec(col("ts")).as("signup_us"),
+          col("purchase_value"))
+    }),
+
     "q_session" -> ((s, d) =>
       Relational.sessionize(
         t(s, d, "events"), col("user_id"), col("ts"), 3600, Seq(col("event_id")))
@@ -1120,6 +1152,27 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
         |  FROM p LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts)
         |SELECT event_id, user_id, purchase_us, click_value FROM j WHERE rn = 1""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH v AS (SELECT event_id AS v_id, user_id, epoch_us(ts::TIMESTAMP) AS lo,
+        |  epoch_us(ts::TIMESTAMP) + 3600000000 AS hi FROM events
+        |  WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS c_id, user_id, epoch_us(ts::TIMESTAMP) AS lo2,
+        |  epoch_us(ts::TIMESTAMP) + 1800000000 AS hi2 FROM events
+        |  WHERE event_type = 'click')
+        |SELECT v_id, c_id FROM v JOIN c USING (user_id)
+        |WHERE lo <= hi2 AND lo2 <= hi""".stripMargin,
+
+    "q_asof_fwd" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+        |j AS (SELECT s.event_id, s.user_id, epoch_us(s.ts::TIMESTAMP) AS signup_us,
+        |  p.purchase_value,
+        |  row_number() OVER (PARTITION BY s.event_id ORDER BY p.ts ASC) AS rn
+        |  FROM s LEFT JOIN purchases p ON s.user_id = p.user_id AND p.ts >= s.ts)
+        |SELECT event_id, user_id, signup_us, purchase_value FROM j WHERE rn = 1""".stripMargin,
 
     "q_session" ->
       """WITH l AS (

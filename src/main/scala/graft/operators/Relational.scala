@@ -96,10 +96,12 @@ object Relational {
       .reduce((a, b) => a.join(b, "_rn")).drop("_rn")
   }
 
-  /** As-of join: for each left row, the latest right row with
-    * `rightTs <= leftTs` on the same key. Implemented as a tagged union
-    * + one window pass — one shuffle on (key), no range-join explosion,
-    * the scale-correct form of the classic point-in-time join.
+  /** As-of join: for each left row, the nearest right row on the same
+    * key — `backward` (default): latest right with `rightTs <= leftTs`;
+    * `forward`: earliest right with `rightTs >= leftTs` (ties join in
+    * both directions). Implemented as a tagged union + one window pass
+    * — one shuffle on (key), no range-join explosion, the
+    * scale-correct form of the classic point-in-time join.
     */
   def asOfJoin(
       left: DataFrame,
@@ -107,14 +109,22 @@ object Relational {
       key: String,
       leftTs: String,
       rightTs: String,
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asOfJoin: direction must be backward|forward, got $direction")
     val lTagged = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
     val rTagged = right
       .select((Seq(col(key), col(rightTs).as("_ts")) ++ rightValueCols.map(col)): _*)
       .withColumn("_side", lit(0))
     val leftCols = left.columns
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
+    // at equal _ts the right row (side 0) precedes the left in BOTH
+    // directions, so ties are joinable either way
+    val ord =
+      if (direction == "backward") Seq(col("_ts"), col("_side"))
+      else Seq(col("_ts").desc, col("_side"))
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
@@ -233,6 +243,39 @@ object Relational {
     // per-key-per-bin, not per-bin across all keys.
     iBinned.join(pBinned, "_bin" +: equiKeys)
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
+  /** Interval-overlap join: pairs where `[lLo,lHi]` and `[rLo,rHi]`
+    * intersect — the interval-interval generalization of
+    * [[binnedRangeJoin]] (temporal overlap, IP-range intersection,
+    * genomic intervals). Both sides explode to their covered bins; a
+    * candidate pair can share many bins, so it is charged to the bin
+    * where the OVERLAP STARTS (`max(lLo, rLo)`) — an arithmetic dedup,
+    * no `dropDuplicates` shuffle — then verified with the exact
+    * predicate. O(|L| + |R| + matches) at bin widths near the median
+    * interval length.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      binWidth: Long,
+      equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: Column): Column = {
+      val v = c.cast("long")
+      val q = call_function("div", v, lit(binWidth))
+      when(v % binWidth < 0, q - 1).otherwise(q)
+    }
+    val lBinned = left.withColumn("_bin", explode(sequence(bin(col(lLo)), bin(col(lHi)))))
+    val rBinned = right.withColumn("_bin", explode(sequence(bin(col(rLo)), bin(col(rHi)))))
+    lBinned.join(rBinned, "_bin" +: equiKeys)
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        bin(greatest(col(lLo), col(rLo))) === col("_bin"))
       .drop("_bin")
   }
 

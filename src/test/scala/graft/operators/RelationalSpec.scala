@@ -64,6 +64,35 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("tag")).toSeq == Seq("a", "b", null))
   }
 
+  test("asOfJoin forward picks the earliest right row at or after the left timestamp") {
+    val left = Seq((1, ts("2024-01-01 10:00:00")), (1, ts("2024-01-01 12:00:00")),
+      (2, ts("2024-01-01 12:00:00")))
+      .toDF("k", "lts")
+    val right = Seq(
+      (1, ts("2024-01-01 11:00:00"), "a"), (1, ts("2024-01-01 12:00:00"), "b"),
+      (2, ts("2024-01-01 11:00:00"), "c"))
+      .toDF("k", "rts", "tag")
+    val out = Relational.asOfJoin(left, right, "k", "lts", "rts", Seq("tag"),
+      direction = "forward")
+      .orderBy("k", "lts").collect()
+    // 10:00 -> earliest at/after is 11:00 "a"; 12:00 ties with "b"
+    // (inclusive); key 2 has nothing at/after 12:00
+    assert(out.map(_.getAs[String]("tag")).toSeq == Seq("a", "b", null))
+  }
+
+  test("intervalOverlapJoin equals the quadratic overlap join across bin widths") {
+    val l = Seq((1L, 0L, 10L), (2L, 5L, 6L), (3L, 20L, 30L), (4L, -7L, -3L))
+      .toDF("lid", "lo", "hi")
+    val r = Seq((10L, 9L, 25L), (11L, 6L, 6L), (12L, 40L, 50L), (13L, -5L, -4L))
+      .toDF("rid", "lo2", "hi2")
+    val expect = Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, 10L), (4L, 13L))
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = Relational.intervalOverlapJoin(l, "lo", "hi", r, "lo2", "hi2", w)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"binWidth=$w")
+    }
+  }
+
   test("sessionize splits on gaps larger than gapSeconds") {
     val df = Seq(
       (1, ts("2024-01-01 10:00:00")), (1, ts("2024-01-01 10:10:00")),
