@@ -787,6 +787,12 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("value_clipped"), 4).as("value_clipped"))),
 
+    // Robust outlier flags: per-type median + MAD, |x-med| > 3σ_robust.
+    "q_mad" -> ((s, d) =>
+      TrainingData.madOutliers(t(s, d, "events"), Seq(col("event_type")), col("value"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("is_outlier"))),
+
     // Deterministic global training-order shuffle: md5-keyed position,
     // range-partitioned sort + partition-local indexing (no single-
     // partition window, no rand()).
@@ -1152,6 +1158,17 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
         |  FROM p LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts)
         |SELECT event_id, user_id, purchase_us, click_value FROM j WHERE rn = 1""".stripMargin,
+
+    "q_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value, d.med, md.mad,
+        |  abs(d.value - d.med) > 3.0 * 1.4826 * md.mad AS is_outlier
+        |FROM d JOIN md USING (event_type)""".stripMargin,
 
     "q_interval_join" ->
       """WITH v AS (SELECT event_id AS v_id, user_id, epoch_us(ts::TIMESTAMP) AS lo,

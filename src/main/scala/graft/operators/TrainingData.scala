@@ -122,6 +122,34 @@ object TrainingData {
       .drop("_dom", "_thr")
   }
 
+  /** Robust (MAD) outlier flagging: per group, median and median
+    * absolute deviation, then `|x - med| > k * 1.4826 * mad` — the
+    * robust z-score every quality pipeline uses where mean/stddev
+    * would be dragged by the outliers themselves. Two grouped exact
+    * percentiles + a broadcast join of the per-group stats (|groups|
+    * rows); the corpus shuffles once per percentile pass. 1.4826
+    * rescales MAD to σ under normality. Constant-valued groups
+    * (mad = 0) flag any deviation from the median.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupBy: Seq[Column],
+      valueCol: Column,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0.0, s"madOutliers: k must be positive, got $k")
+    val gNames = groupBy.zipWithIndex.map { case (_, i) => s"_g$i" }
+    val keyed = df.withColumns(gNames.zip(groupBy).toMap)
+    val med = keyed.groupBy(gNames.map(col): _*)
+      .agg(percentile(valueCol, lit(0.5)).as("_med"))
+    val withMed = keyed.join(broadcast(med), gNames)
+    val mad = withMed.groupBy(gNames.map(col): _*)
+      .agg(percentile(abs(valueCol - col("_med")), lit(0.5)).as("_mad"))
+    withMed.join(broadcast(mad), gNames)
+      .withColumn("is_outlier", abs(valueCol - col("_med")) > lit(k * 1.4826) * col("_mad"))
+      .withColumnsRenamed(Map("_med" -> "med", "_mad" -> "mad"))
+      .drop(gNames: _*)
+  }
+
   /** Per-domain cap (corpus balancing): keep at most `k` rows per
     * group in a deterministic order — rank-window form, one shuffle on
     * the group key, partial TopK pushed below the shuffle by Spark's

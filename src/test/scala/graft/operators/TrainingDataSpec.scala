@@ -51,6 +51,24 @@ class TrainingDataSpec extends SparkSpec {
       .count() == 5250L)
   }
 
+  test("madOutliers flags robust outliers and handles constant groups") {
+    val df = (Seq.tabulate(21)(i => ("a", i.toLong, 10.0 + (i % 5))) ++  // tight band
+      Seq(("a", 100L, 500.0)) ++                                          // wild outlier
+      Seq.tabulate(5)(i => ("c", 200L + i, 7.0))                          // constant group
+      ).toDF("g", "id", "v")
+    val out = TrainingData.madOutliers(df, Seq(col("g")), col("v"))
+      .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    assert(out(100L))                                  // 500 vs median ~12
+    assert(Seq.tabulate(21)(_.toLong).forall(i => !out(i)))
+    assert((200L to 204L).forall(i => !out(i)))        // mad=0, all AT the median
+    // the robust score is immune to the outlier's own pull: a
+    // mean/stddev z-score with one 500 in 22 points would mask it far
+    // more than the median does — here med stays ~12
+    val med = TrainingData.madOutliers(df, Seq(col("g")), col("v"))
+      .where(col("g") === "a").select("med").head().getDouble(0)
+    assert(med >= 10.0 && med <= 14.0)
+  }
+
   test("qualityFilter trips each Gopher rule independently") {
     val good = "the quick brown fox and the lazy dog ran to town in a big hurry " * 4 // 64 words
     val docs = Seq(
