@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *    TB the plan is a single exchange whose value payload is three
   *    narrow columns, not the raw rows.
   *  - [[cohortRetention]] aggregates per-user firsts (output rows =
-  *    |users|, tiny next to |events|) and broadcasts them back; the
-  *    only big-data shuffle is the final (cohort, offset) aggregate,
-  *    whose key space is weeks², i.e. trivially small.
+  *    |users|, small next to |events| but corpus-bound) and joins them
+  *    back on the same user key the aggregate already partitioned by —
+  *    AQE broadcasts when the frame is genuinely small; the final
+  *    (cohort, offset) aggregate's key space is weeks².
   */
 object Analytics {
 
@@ -58,6 +59,9 @@ object Analytics {
     val events = df
       .select(user.cast("long").as("u"), unix_micros(ts.cast("timestamp")).as("tsUs"),
         eventType.cast("string").as("et"))
+      // null/uncastable user or timestamp can anchor no step — and
+      // would crash the non-nullable FunnelEvent encoder outright
+      .where(col("u").isNotNull && col("tsUs").isNotNull)
       .as[FunnelEvent]
     events
       .groupByKey(_.u)
@@ -89,8 +93,11 @@ object Analytics {
   def cohortRetention(df: DataFrame, user: Column, ts: Column): DataFrame = {
     val events = df.select(user.as("u"), ts.cast("timestamp").as("ts"))
     val firsts = events.groupBy(col("u")).agg(min(col("ts")).as("first_ts"))
+    // no broadcast hint: |users| is corpus-bound, not constant-bound —
+    // AQE broadcasts when firsts is actually small, and the fallback
+    // sort-merge join reuses the groupBy's hash partitioning on u
     events
-      .join(broadcast(firsts), "u")
+      .join(firsts, "u")
       .select(col("u"),
         date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
         floor(datediff(col("ts").cast("date"), col("first_ts").cast("date")) / 7)

@@ -501,10 +501,15 @@ object Dedup {
     * `minDocFreq`+ DISTINCT documents are dropped from EVERY document —
     * cookie banners, nav chrome, license footers. Complements
     * [[dropDuplicateParagraphs]] (which keeps one owner); boilerplate
-    * is noise in every copy, so no owner survives. This is also the
-    * skew mitigation for the first-owner pass: the hot-fingerprint set
-    * is tiny (df ≥ k shrinks it combinatorially) and rides a BROADCAST
-    * anti-join, so corpus-wide repeats never hash into one reducer.
+    * is noise in every copy, so no owner survives.
+    *
+    * The kill set is df-filtered but still corpus-bound — on a web
+    * corpus at `minDocFreq = 2` it is a large fraction of all distinct
+    * paragraphs, so it is NOT broadcast-hinted: the anti-join shuffles
+    * on the fingerprint (AQE broadcasts when the set really is small,
+    * e.g. high `minDocFreq`), and per-row work in the anti-join is a
+    * hash probe, so even a corpus-wide banner fingerprint costs its
+    * partition only volume, which AQE's skew split absorbs.
     */
   def dropBoilerplateParagraphs(
       paras: DataFrame,
@@ -519,7 +524,7 @@ object Dedup {
       .agg(countDistinct(col("id")).as("_df"))
       .where(col("_df") >= minDocFreq)
       .select(col("_fp"))
-    reassemble(fp.join(broadcast(hot), Seq("_fp"), "left_anti"), sep)
+    reassemble(fp.join(hot, Seq("_fp"), "left_anti"), sep)
   }
 
   private def fingerprinted(

@@ -114,16 +114,22 @@ object Relational {
     require(direction == "backward" || direction == "forward",
       s"asOfJoin: direction must be backward|forward, got $direction")
     val lTagged = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
+    // a null right timestamp can never satisfy rightTs <=/>= leftTs —
+    // and left in the union it would sort to an end and leak its value
+    // columns into real frames
     val rTagged = right
       .select((Seq(col(key), col(rightTs).as("_ts")) ++ rightValueCols.map(col)): _*)
+      .where(col("_ts").isNotNull)
       .withColumn("_side", lit(0))
     val leftCols = left.columns
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // at equal _ts the right row (side 0) precedes the left in BOTH
-    // directions, so ties are joinable either way
+    // directions, so ties are joinable either way. Null-ts LEFT rows
+    // must sort before every right row (empty frame -> null match):
+    // asc is NULLS FIRST natively; desc needs it spelled out.
     val ord =
       if (direction == "backward") Seq(col("_ts"), col("_side"))
-      else Seq(col("_ts").desc, col("_side"))
+      else Seq(col("_ts").desc_nulls_first, col("_side"))
     val w = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
@@ -264,15 +270,30 @@ object Relational {
       rLo: String,
       rHi: String,
       binWidth: Long,
-      equiKeys: Seq[String] = Nil): DataFrame = {
+      equiKeys: Seq[String] = Nil,
+      maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0, s"maxBinsPerInterval must be positive")
     def bin(c: Column): Column = {
       val v = c.cast("long")
       val q = call_function("div", v, lit(binWidth))
       when(v % binWidth < 0, q - 1).otherwise(q)
     }
-    val lBinned = left.withColumn("_bin", explode(sequence(bin(col(lLo)), bin(col(lHi)))))
-    val rBinned = right.withColumn("_bin", explode(sequence(bin(col(rLo)), bin(col(rHi)))))
+    // An open-ended sentinel interval (hi = Long.MaxValue) or a badly
+    // undersized binWidth would explode one row into billions of bins
+    // and die deep inside sequence() — fail with an actionable message
+    // instead (raise binWidth, or cap/split open intervals upstream).
+    def guarded(lo: Column, hi: Column): Column = {
+      val n = bin(hi) - bin(lo) + 1
+      when(n > maxBinsPerInterval,
+        raise_error(concat(
+          lit(s"intervalOverlapJoin: interval covers more than $maxBinsPerInterval bins " +
+            s"at binWidth=$binWidth (lo="), lo.cast("string"), lit(", hi="),
+          hi.cast("string"), lit(") — raise binWidth or cap open-ended intervals"))))
+        .otherwise(sequence(bin(lo), bin(hi)))
+    }
+    val lBinned = left.withColumn("_bin", explode(guarded(col(lLo), col(lHi))))
+    val rBinned = right.withColumn("_bin", explode(guarded(col(rLo), col(rHi))))
     lBinned.join(rBinned, "_bin" +: equiKeys)
       .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
         bin(greatest(col(lLo), col(rLo))) === col("_bin"))

@@ -91,13 +91,14 @@ object TrainingData {
     * the same md5-threshold rule as [[hashSample]], so the sample is
     * retry-proof and engine-portable.
     *
-    * Scale notes: the domain-count aggregate's output is |domains|
-    * rows, broadcast back — the corpus itself never shuffles; the keep
-    * filter is a row-local projection. Fraction math uses only
-    * IEEE-exact operations at the default temperature (divide + sqrt),
-    * so an external engine recomputing the thresholds (the DuckDB
-    * oracle does) reproduces the sample bit-for-bit. Rows with a null
-    * domain are dropped (they match no count bucket).
+    * Scale notes: the domain-count aggregate collects |domains| rows to
+    * the driver (one eager action at call time; domains are a bounded
+    * vocabulary by definition) and the keep filter is a row-local
+    * when-chain projection — the corpus itself never shuffles. Fraction
+    * math uses only IEEE-exact operations at the default temperature
+    * (divide + sqrt), so an external engine recomputing the thresholds
+    * (the DuckDB oracle does) reproduces the sample bit-for-bit. Rows
+    * with a null domain are dropped (they match no count bucket).
     */
   def mixtureSample(
       df: DataFrame,
@@ -107,19 +108,23 @@ object TrainingData {
       seed: String = "graft"): DataFrame = {
     require(temperature > 0.0 && temperature <= 1.0,
       s"temperature must be in (0,1], got $temperature")
-    val counts = df.groupBy(domainCol.as("_dom")).agg(count(lit(1)).as("_cnt"))
-    val minCnt = counts.agg(min(col("_cnt")).as("_min_cnt"))
-    val frac =
-      if (temperature == 0.5) sqrt(col("_min_cnt").cast("double") / col("_cnt"))
-      else pow(col("_min_cnt").cast("double") / col("_cnt"), lit(1.0 - temperature))
-    val thresholds = counts.crossJoin(broadcast(minCnt))
-      .select(col("_dom"),
-        when(frac >= 1.0, lit("g"))
-          .otherwise(lpad(lower(hex(floor(frac * lit(4294967296.0)).cast("long"))), 8, "0"))
-          .as("_thr"))
-    df.join(broadcast(thresholds), domainCol === col("_dom"))
-      .where(keyHash(keyCol, seed) < col("_thr"))
-      .drop("_dom", "_thr")
+    // Domain counts collect to the driver (|domains| rows — domains are
+    // a bounded vocabulary by definition) so the fractions go through
+    // the SAME hexThreshold encoding as every other sampler in this
+    // file — one definition, no Column-side re-implementation to drift.
+    val counts = df.groupBy(domainCol.cast("string").as("_dom"))
+      .agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "mixtureSample: input is empty")
+    val minCnt = counts.values.min.toDouble
+    val fractions = counts.map { case (dom, c) =>
+      val ratio = minCnt / c
+      dom -> (if (temperature == 0.5) math.sqrt(ratio)
+              else math.pow(ratio, 1.0 - temperature))
+    }
+    // defaultFraction 0: a null domain matched no count bucket — drop.
+    stratifiedSample(df, domainCol.cast("string"), keyCol, fractions,
+      defaultFraction = 0.0, seed = seed)
   }
 
   /** Robust (MAD) outlier flagging: per group, median and median

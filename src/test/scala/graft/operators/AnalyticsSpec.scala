@@ -78,4 +78,16 @@ class AnalyticsSpec extends SparkSpec {
     val out = Analytics.funnel(df, col("user_id"), col("ts"), col("event_type"), Seq("a"))
     assert(out.count() == 2)
   }
+
+  test("funnel tolerates null users and timestamps instead of crashing the encoder") {
+    val df = Seq(
+      (Some(1L), Some(10L), "a"),
+      (None: Option[Long], Some(20L), "a"),   // null user -> dropped
+      (Some(1L), None: Option[Long], "b"))     // null ts -> dropped
+      .toDF("user_id", "sec", "event_type")
+      .select(col("user_id"), col("sec").cast("timestamp").as("ts"), col("event_type"))
+    val out = Analytics.funnel(df, col("user_id"), col("ts"), col("event_type"), Seq("a", "b"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L && out.head.getInt(1) == 1)
+  }
 }

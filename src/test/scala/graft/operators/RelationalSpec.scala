@@ -80,6 +80,31 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("tag")).toSeq == Seq("a", "b", null))
   }
 
+  test("asOfJoin matches nothing for null timestamps, both directions") {
+    val left = Seq((1, Some(ts("2024-01-01 10:00:00"))), (1, None)).toDF("k", "lts")
+    val right = Seq(
+      (1, Some(ts("2024-01-01 09:00:00")), "a"),
+      (1, None: Option[java.sql.Timestamp], "poison")).toDF("k", "rts", "tag")
+    for (dir <- Seq("backward", "forward")) {
+      val out = Relational.asOfJoin(left, right, "k", "lts", "rts", Seq("tag"), dir)
+        .collect().map(r => Option(r.getTimestamp(1)).isDefined -> r.getAs[String]("tag")).toMap
+      // null-ts left row joins nothing; null-ts right row never leaks
+      assert(out(false) == null, dir)
+      assert(out(true) == (if (dir == "backward") "a" else null), dir)
+    }
+  }
+
+  test("intervalOverlapJoin fails loud on an open-ended interval instead of exploding") {
+    val l = Seq((1L, 0L, Long.MaxValue - 1)).toDF("lid", "lo", "hi")
+    val r = Seq((10L, 5L, 6L)).toDF("rid", "lo2", "hi2")
+    val ex = intercept[Exception] {
+      Relational.intervalOverlapJoin(l, "lo", "hi", r, "lo2", "hi2", 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("raise binWidth")))
+  }
+
   test("intervalOverlapJoin equals the quadratic overlap join across bin widths") {
     val l = Seq((1L, 0L, 10L), (2L, 5L, 6L), (3L, 20L, 30L), (4L, -7L, -3L))
       .toDF("lid", "lo", "hi")
