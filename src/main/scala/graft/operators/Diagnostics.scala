@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.TypedAggregators
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pre-flight diagnostics for the two silent killers of 100 TB jobs:
+  * key skew (one reducer drowning while 999 idle) and partition
+  * imbalance. Cheap, single-pass, and deliberately approximate — the
+  * point is to decide between a plain join, AQE skew splitting, and
+  * [[Relational.saltedJoin]] BEFORE burning a cluster-day discovering
+  * the answer.
+  */
+object Diagnostics {
+
+  /** One-pass key-skew profile of `df` grouped by `keys`:
+    * total rows, a Misra-Gries estimate of the heaviest key counts
+    * (undercounts by at most `rows/capacity` — capacity 1000 bounds
+    * the error at 0.1%), and the share of the heaviest key. Returns a
+    * LOCAL summary (collects `capacity` counters, not data).
+    *
+    * `saltFactorFor` turns the result into the salt a
+    * [[Relational.saltedJoin]] would need: enough splits that the
+    * hottest key's share lands near the mean partition load.
+    */
+  final case class SkewReport(
+      totalRows: Long,
+      topKeys: Seq[(String, Long)],
+      shufflePartitions: Int) {
+    /** Share of all rows on the single heaviest key (lower bound). */
+    def topShare: Double =
+      if (totalRows == 0L) 0.0 else topKeys.headOption.map(_._2.toDouble / totalRows).getOrElse(0.0)
+    /** true when one key exceeds `factor`× the mean partition load —
+      * the regime where AQE splitting or salting is worth it.
+      */
+    def isSkewed(factor: Double = 4.0): Boolean =
+      topKeys.headOption.exists(_._2.toDouble > factor * totalRows / shufflePartitions)
+    /** Salt factor that spreads the hottest key to ~mean partition
+      * load (capped at the partition count — beyond that salting only
+      * adds replication).
+      */
+    def saltFactorFor: Int =
+      if (totalRows == 0L || topKeys.isEmpty) 1
+      else math.min(shufflePartitions,
+        math.max(1, math.ceil(topKeys.head._2.toDouble * shufflePartitions / totalRows).toInt))
+  }
+
+  def keySkew(df: DataFrame, keys: Seq[Column], topK: Int = 10,
+      capacity: Int = 1000): SkewReport = {
+    require(topK >= 1 && capacity >= topK,
+      s"keySkew: need capacity ($capacity) >= topK ($topK) >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // two cheap projected passes (MG sketch + count) — diagnostics
+    // cost, run once before committing to a join strategy. Keys join
+    // with a control-char separator so composite keys cannot alias.
+    val keyed = df.select(concat_ws("\u0001", keys.map(_.cast("string")): _*).as("k"))
+    val hh = keyed.as[String]
+      .select(TypedAggregators.heavyHitters(capacity).toColumn)
+      .head()
+    SkewReport(
+      keyed.count(),
+      hh.toSeq.sortBy(-_._2).take(topK),
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
+  /** Per-partition row counts — imbalance at a glance (returns
+    * |partitions| rows: partition id, rows).
+    */
+  def partitionHistogram(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keySkew surfaces a planted hot key and sizes the salt for it") {
+    // 5000 rows of key "hot", 100 keys with 10 rows each
+    val df = (spark.range(5000).select(lit("hot").as("k")) unionAll
+      spark.range(1000).select(concat(lit("k"), col("id") % 100).as("k")))
+    val report = Diagnostics.keySkew(df, Seq(col("k")))
+    assert(report.totalRows == 6000L)
+    assert(report.topKeys.head._1 == "hot")
+    // MG undercount bound: rows/capacity = 6 at capacity 1000
+    assert(math.abs(report.topKeys.head._2 - 5000L) <= 6L)
+    assert(report.topShare > 0.8)
+    // hot = 5000 rows vs mean partition load 6000/4 = 1500 -> 3.3x
+    assert(report.isSkewed(3.0) && !report.isSkewed(4.0))
+    // hot key is ~83% of rows: salting must spread it over most of the
+    // partition space (capped at the partition count)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(report.saltFactorFor == math.min(parts, math.ceil(
+      report.topKeys.head._2.toDouble * parts / 6000L).toInt))
+  }
+
+  test("keySkew on a uniform key space reports no skew") {
+    val df = spark.range(4000).select((col("id") % 400).cast("string").as("k"))
+    val report = Diagnostics.keySkew(df, Seq(col("k")))
+    assert(!report.isSkewed())
+    assert(report.saltFactorFor == 1)
+  }
+
+  test("partitionHistogram accounts for every row") {
+    val df = spark.range(1000).toDF("id").repartition(8)
+    val hist = Diagnostics.partitionHistogram(df).collect()
+    assert(hist.map(_.getLong(1)).sum == 1000L)
+    assert(hist.length <= 8)
+  }
+}

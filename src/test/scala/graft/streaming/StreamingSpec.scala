@@ -287,6 +287,25 @@ class StreamingSpec extends SparkSpec {
       Seq((1, 7L, 7L)))
   }
 
+  test("streaming funnel timeout evicts idle users without emitting; progress sets the next timeout") {
+    import StreamFunnel._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val steps = Array("a", "b")
+    val timedOut = TestGroupState.create[FunnelState](
+      Optional.of(FunnelState(1, 5L, 5L)), GroupStateTimeout.ProcessingTimeTimeout,
+      0L, Optional.empty[Long], hasTimedOut = true)
+    assert(StreamFunnel.process(1L, Iterator.empty, timedOut, steps, 1000L).isEmpty)
+    assert(timedOut.isRemoved)
+    val st = TestGroupState.create[FunnelState](
+      Optional.empty[FunnelState], GroupStateTimeout.ProcessingTimeTimeout,
+      100L, Optional.empty[Long], hasTimedOut = false)
+    val out = StreamFunnel.process(2L, Iterator(FunnelEvent(2L, 10L, "a")), st, steps, 1000L)
+    assert(out.toSeq.map(_.steps_done) == Seq(1))
+    assert(st.get == FunnelState(1, 10L, 10L))
+    assert(st.getTimeoutTimestampMs.isPresent) // idle eviction armed
+  }
+
   test("streaming words-count over a file stream matches the batch counts " +
     "(reference words_count example, unbounded form)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wc_stream_")
