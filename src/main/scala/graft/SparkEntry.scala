@@ -787,6 +787,13 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("value_clipped"), 4).as("value_clipped"))),
 
+    // Decile assignment per event type (ntile window, tiebroken).
+    "q_ntile" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          ntile(10).over(Window.partitionBy(col("event_type"))
+            .orderBy(col("value"), col("event_id"))).as("decile"))),
+
     // Robust outlier flags: per-type median + MAD, |x-med| > 3σ_robust.
     "q_mad" -> ((s, d) =>
       TrainingData.madOutliers(t(s, d, "events"), Seq(col("event_type")), col("value"))
@@ -1158,6 +1165,12 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
         |  FROM p LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts)
         |SELECT event_id, user_id, purchase_us, click_value FROM j WHERE rn = 1""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+        |CAST(ntile(10) OVER (PARTITION BY event_type
+        |  ORDER BY value, event_id) AS INTEGER) AS decile
+        |FROM events""".stripMargin,
 
     "q_mad" ->
       """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -91,6 +91,33 @@ object TrainingDataLaws extends Properties("TrainingData") {
       pos == (1L to n.toLong)
     }
 
+  property("mixtureSample keeps are NESTED in temperature (lower T = subset)") =
+    forAll(Gen.chooseNum(2, 5), Gen.chooseNum(0.1, 0.9), Gen.chooseNum(0.1, 0.9)) {
+      (nDoms, tA, tB) =>
+        val (lo, hi) = (math.min(tA, tB), math.max(tA, tB))
+        val df = spark.range(600)
+          .select(col("id"), (col("id") % nDoms).cast("string").as("dom"))
+        def kept(t: Double) = TrainingData.mixtureSample(df, col("dom"), col("id"), t)
+          .select("id").as[Long].collect().toSet
+        // fraction (cmin/c)^(1-T) is monotone in T and the md5-threshold
+        // rule is monotone in the fraction, so keeps nest
+        kept(lo).subsetOf(kept(hi)) && kept(1.0) == (0L until 600L).toSet
+    }
+
+  property("funnel steps_done is monotone in the step-list prefix") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(1L, 50L),
+      Gen.oneOf("a", "b", "c")))) { evs =>
+      val df = evs.toDF("user_id", "sec", "event_type")
+        .select(col("user_id"), col("sec").cast("timestamp").as("ts"), col("event_type"))
+      def done(steps: Seq[String]) =
+        graft.operators.Analytics.funnel(df, col("user_id"), col("ts"), col("event_type"), steps)
+          .select("user_id", "steps_done").as[(Long, Int)].collect().toMap
+      val d2 = done(Seq("a", "b")); val d3 = done(Seq("a", "b", "c"))
+      // greedy matching of the first k steps ignores later steps, so a
+      // k-step funnel equals the longer funnel truncated at k
+      d2.keySet == d3.keySet && d2.forall { case (u, k) => k == math.min(d3(u), 2) }
+    }
+
   property("duplicateSpanFraction is 0 for unique docs, 1 for verbatim copies, in [0,1] always") =
     forAll(Gen.chooseNum(2, 6)) { n =>
       val unique = (1 to n).map(i => (i.toLong, s"totally unique words number $i only here $i"))
