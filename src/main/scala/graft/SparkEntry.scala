@@ -787,6 +787,21 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("value_clipped"), 4).as("value_clipped"))),
 
+    // Data-quality expectation report over lineitem: one aggregate
+    // pass for the scalar checks + one grouped pass per uniqueness
+    // constraint; the narrow quantity range and low-cardinality unique
+    // key are deliberate failures so both branches are exercised.
+    "q_expect" -> ((s, d) =>
+      Quality.expect(
+        t(s, d, "lineitem"),
+        Seq(
+          Quality.notNull("l_orderkey"),
+          Quality.inRange("l_quantity", 1, 10),
+          Quality.accepted("l_returnflag", Seq("A", "N", "R")),
+          Quality.satisfies("positive_price", col("l_extendedprice") > 0),
+          Quality.rowCountBetween(1L, 1000000000L)),
+        unique = Seq(Seq("l_orderkey", "l_linenumber"), Seq("l_returnflag")))),
+
     // Decile assignment per event type (ntile window, tiebroken).
     "q_ntile" -> ((s, d) =>
       t(s, d, "events")
@@ -1165,6 +1180,30 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
         |  FROM p LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts)
         |SELECT event_id, user_id, purchase_us, click_value FROM j WHERE rn = 1""".stripMargin,
+
+    "q_expect" ->
+      """WITH r AS (
+        |SELECT 'not_null(l_orderkey)' AS "check",
+        |  CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS violations
+        |FROM lineitem
+        |UNION ALL SELECT 'in_range(l_quantity)',
+        |  count(CASE WHEN l_quantity < 1 OR l_quantity > 10 THEN 1 END) FROM lineitem
+        |UNION ALL SELECT 'accepted(l_returnflag)',
+        |  count(CASE WHEN l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL
+        |    THEN 1 END) FROM lineitem
+        |UNION ALL SELECT 'satisfies(positive_price)',
+        |  count(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 END)
+        |FROM lineitem
+        |UNION ALL SELECT 'row_count[1,1000000000]',
+        |  CAST(CASE WHEN count(*) BETWEEN 1 AND 1000000000 THEN 0 ELSE 1 END AS BIGINT)
+        |FROM lineitem
+        |UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+        |  (SELECT count(*) FROM (SELECT 1 AS x FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+        |UNION ALL SELECT 'unique(l_returnflag)',
+        |  (SELECT count(*) FROM (SELECT 1 AS x FROM lineitem
+        |    GROUP BY l_returnflag HAVING count(*) > 1))
+        |) SELECT "check", violations, violations = 0 AS pass FROM r""".stripMargin,
 
     "q_ntile" ->
       """SELECT event_id, event_type,

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations over a frame — the contract
+  * layer a production pipeline runs BEFORE writing a table downstream
+  * consumers trust (dbt-test / Deequ shape, re-expressed as one Spark
+  * aggregate).
+  *
+  * Every check compiles to a conditional aggregate over ONE pass of
+  * the input (a single partial-aggregating scan, no per-check jobs,
+  * no collect of data — the result is |checks| rows). Checks:
+  *
+  *  - `notNull(col)` — no nulls
+  *  - `unique(cols…)` — no duplicate key combinations
+  *  - `accepted(col, values)` — domain membership
+  *  - `inRange(col, lo, hi)` — numeric bounds (nulls don't trip it;
+  *    pair with notNull to forbid them)
+  *  - `satisfies(name, predicate)` — arbitrary boolean column
+  *  - `rowCountBetween(lo, hi)` — table-level cardinality bound
+  *
+  * Returns `(check, violations, pass)` — one row per check.
+  * `requireAll` throws on the first report with failures (the
+  * write-gate form).
+  */
+object Quality {
+
+  /** A named expectation: `violations` counts rows (or groups) that
+    * break the contract.
+    */
+  final case class Check(name: String, violations: DataFrame => Column)
+
+  def notNull(c: String): Check =
+    Check(s"not_null($c)", _ => count(when(col(c).isNull, 1)))
+
+  def accepted(c: String, values: Seq[Any]): Check =
+    Check(s"accepted($c)",
+      _ => count(when(!col(c).isin(values: _*) || col(c).isNull, 1)))
+
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"in_range($c)", _ => count(when(col(c) < lo || col(c) > hi, 1)))
+
+  def satisfies(name: String, predicate: Column): Check =
+    Check(s"satisfies($name)", _ => count(when(!coalesce(predicate, lit(false)), 1)))
+
+  def rowCountBetween(lo: Long, hi: Long): Check =
+    Check(s"row_count[$lo,$hi]",
+      _ => when(count(lit(1)).between(lo, hi), lit(0L)).otherwise(lit(1L)))
+
+  /** Uniqueness needs its own grouped pass (duplicate key combos);
+    * still one aggregate, output = 1 row.
+    */
+  def uniqueViolations(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(count(when(col("_n") > 1, 1)).as("violations"))
+
+  /** Run all checks in ONE aggregate pass (+ one grouped pass per
+    * `unique` constraint) and union the reports.
+    */
+  def expect(df: DataFrame, checks: Seq[Check], unique: Seq[Seq[String]] = Nil): DataFrame = {
+    require(checks.nonEmpty || unique.nonEmpty, "expect: no checks given")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scalar =
+      if (checks.isEmpty) Seq.empty[DataFrame]
+      else {
+        val aggs = checks.map(ch => ch.violations(df).cast("long").as(ch.name))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        Seq(checks.zipWithIndex.map { case (ch, i) => (ch.name, row.getLong(i)) }
+          .toDF("check", "violations"))
+      }
+    val uniq = unique.map(cols =>
+      uniqueViolations(df, cols)
+        .select(lit(s"unique(${cols.mkString(",")})").as("check"),
+          col("violations").cast("long")))
+    (scalar ++ uniq).reduce(_ unionAll _)
+      .withColumn("pass", col("violations") === 0L)
+  }
+
+  /** The write gate: throw (listing every failed check) unless all
+    * expectations hold.
+    */
+  def requireAll(df: DataFrame, checks: Seq[Check], unique: Seq[Seq[String]] = Nil): Unit = {
+    val failed = expect(df, checks, unique)
+      .where(!col("pass")).collect()
+      .map(r => s"${r.getString(0)}: ${r.getLong(1)} violations")
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"data-quality expectations failed:\n  ${failed.mkString("\n  ")}")
+  }
+}

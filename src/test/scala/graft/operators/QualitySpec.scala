@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some("a"), 5.0), (2L, Some("b"), 50.0), (2L, Some("b"), 7.0),
+    (3L, None, -1.0)
+  ).toDF("id", "tag", "v")
+
+  test("expect counts violations per check in one report") {
+    val report = Quality.expect(df,
+      Seq(
+        Quality.notNull("tag"),                       // 1 null
+        Quality.inRange("v", 0.0, 10.0),              // 50.0 and -1.0
+        Quality.accepted("tag", Seq("a", "b")),       // null not accepted
+        Quality.satisfies("id_positive", col("id") > 0),
+        Quality.rowCountBetween(1L, 100L)),
+      unique = Seq(Seq("id"), Seq("id", "tag")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(report("not_null(tag)") == ((1L, false)))
+    assert(report("in_range(v)") == ((2L, false)))
+    assert(report("accepted(tag)") == ((1L, false)))
+    assert(report("satisfies(id_positive)") == ((0L, true)))
+    assert(report("row_count[1,100]") == ((0L, true)))
+    assert(report("unique(id)") == ((1L, false)))      // id=2 duplicated
+    assert(report("unique(id,tag)") == ((1L, false)))  // (2,b) duplicated
+  }
+
+  test("requireAll throws listing every failed check, passes on a clean frame") {
+    val ex = intercept[IllegalStateException] {
+      Quality.requireAll(df, Seq(Quality.notNull("tag"), Quality.inRange("v", 0, 10)))
+    }
+    assert(ex.getMessage.contains("not_null(tag): 1"))
+    assert(ex.getMessage.contains("in_range(v): 2"))
+    Quality.requireAll(df, Seq(Quality.notNull("id")), unique = Seq(Seq("id", "tag", "v")))
+  }
+
+  test("null predicate rows count as satisfies violations (coalesce false)") {
+    val d2 = Seq((Some(1.0)), (None: Option[Double])).toDF("x")
+    val r = Quality.expect(d2, Seq(Quality.satisfies("x_pos", col("x") > 0)))
+      .head()
+    assert(r.getLong(1) == 1L) // the null row fails the predicate
+  }
+}
