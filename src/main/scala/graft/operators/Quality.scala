@@ -89,4 +89,17 @@ object Quality {
       throw new IllegalStateException(
         s"data-quality expectations failed:\n  ${failed.mkString("\n  ")}")
   }
+
+  /** Attach the scalar checks as `observe` metrics riding the frame's
+    * own execution — zero extra jobs or scans. On a STREAM the metrics
+    * surface per micro-batch in `StreamingQueryProgress.observedMetrics
+    * (name)` (continuous data-quality monitoring); on a batch frame
+    * they reach `QueryExecutionListener` after any action. Uniqueness
+    * checks need their own grouped pass and stay in [[expect]].
+    */
+  def observed(df: DataFrame, name: String, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "observed: no checks given")
+    val aggs = checks.map(ch => ch.violations(df).cast("long").as(ch.name))
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
 }

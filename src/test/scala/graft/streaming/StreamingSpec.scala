@@ -261,6 +261,24 @@ class StreamingSpec extends SparkSpec {
       4L -> "ALL_PARCELS_SHIPPED"))
   }
 
+  test("observed data-quality checks surface per micro-batch in query progress") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Quality
+    val in = MemoryStream[(Long, Double)]
+    val observed = Quality.observed(
+      in.toDF().toDF("id", "v"), "dq",
+      Seq(Quality.inRange("v", 0.0, 10.0), Quality.notNull("id")))
+    val q = observed.writeStream.format("memory").queryName("dq_out")
+      .outputMode("append").start()
+    in.addData((1L, 5.0), (2L, 99.0), (3L, -1.0))
+    q.processAllAvailable()
+    val metrics = q.lastProgress.observedMetrics.get("dq")
+    q.stop()
+    assert(metrics != null)
+    assert(metrics.getAs[Long]("in_range(v)") == 2L) // 99.0 and -1.0
+    assert(metrics.getAs[Long]("not_null(id)") == 0L)
+  }
+
   test("streaming funnel advances across micro-batches and never re-anchors on late data") {
     implicit val sqlCtx = spark.sqlContext
     import StreamFunnel._
