@@ -806,8 +806,10 @@ object SparkEntry {
     "q_ntile" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_id"), col("event_type"),
+          // explicit NULLS LAST: Spark asc defaults nulls-first, DuckDB
+          // nulls-last — pin the tie so a null value can never diverge
           ntile(10).over(Window.partitionBy(col("event_type"))
-            .orderBy(col("value"), col("event_id"))).as("decile"))),
+            .orderBy(asc_nulls_last("value"), col("event_id"))).as("decile"))),
 
     // Robust outlier flags: per-type median + MAD, |x-med| > 3σ_robust.
     "q_mad" -> ((s, d) =>
@@ -1208,7 +1210,7 @@ object SparkEntry {
     "q_ntile" ->
       """SELECT event_id, event_type,
         |CAST(ntile(10) OVER (PARTITION BY event_type
-        |  ORDER BY value, event_id) AS INTEGER) AS decile
+        |  ORDER BY value ASC NULLS LAST, event_id) AS INTEGER) AS decile
         |FROM events""".stripMargin,
 
     "q_mad" ->

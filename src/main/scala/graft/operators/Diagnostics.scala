@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object Diagnostics {
 
-  /** One-pass key-skew profile of `df` grouped by `keys`:
+  /** Single-scan key-skew profile of `df` grouped by `keys`:
     * total rows, a Misra-Gries estimate of the heaviest key counts
     * (undercounts by at most `rows/capacity` — capacity 1000 bounds
     * the error at 0.1%), and the share of the heaviest key. Returns a
@@ -50,17 +50,20 @@ object Diagnostics {
     require(topK >= 1 && capacity >= topK,
       s"keySkew: need capacity ($capacity) >= topK ($topK) >= 1")
     val spark = df.sparkSession
-    import spark.implicits._
-    // two cheap projected passes (MG sketch + count) — diagnostics
-    // cost, run once before committing to a join strategy. Keys join
-    // with a control-char separator so composite keys cannot alias.
-    val keyed = df.select(concat_ws("\u0001", keys.map(_.cast("string")): _*).as("k"))
-    val hh = keyed.as[String]
-      .select(TypedAggregators.heavyHitters(capacity).toColumn)
-      .head()
+    // ONE aggregation pass carries both the MG sketch (as a udaf) and
+    // the row count — profiling a derived frame never re-executes its
+    // lineage twice. Null key parts get an explicit sentinel before
+    // concat_ws (which otherwise SKIPS nulls, aliasing ("a", null)
+    // with (null, "a") and null with "").
+    val hhUdaf = udaf(TypedAggregators.heavyHitters(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    val parts = keys.map(k =>
+      coalesce(k.cast("string"), lit("\u0002null\u0002")))
+    val keyed = df.select(concat_ws("\u0001", parts: _*).as("k"))
+    val row = keyed.agg(hhUdaf(col("k")).as("hh"), count(lit(1)).as("n")).head()
     SkewReport(
-      keyed.count(),
-      hh.toSeq.sortBy(-_._2).take(topK),
+      row.getAs[Long]("n"),
+      row.getAs[Map[String, Long]]("hh").toSeq.sortBy(-_._2).take(topK),
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
   }
 

@@ -26,27 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** A named expectation: `violations` counts rows (or groups) that
-    * break the contract.
+  /** A named expectation: `violations` is a conditional aggregate
+    * counting rows (or groups) that break the contract.
     */
-  final case class Check(name: String, violations: DataFrame => Column)
+  final case class Check(name: String, violations: Column)
 
   def notNull(c: String): Check =
-    Check(s"not_null($c)", _ => count(when(col(c).isNull, 1)))
+    Check(s"not_null($c)", count(when(col(c).isNull, 1)))
 
   def accepted(c: String, values: Seq[Any]): Check =
     Check(s"accepted($c)",
-      _ => count(when(!col(c).isin(values: _*) || col(c).isNull, 1)))
+      count(when(!col(c).isin(values: _*) || col(c).isNull, 1)))
 
   def inRange(c: String, lo: Double, hi: Double): Check =
-    Check(s"in_range($c)", _ => count(when(col(c) < lo || col(c) > hi, 1)))
+    Check(s"in_range($c)", count(when(col(c) < lo || col(c) > hi, 1)))
 
   def satisfies(name: String, predicate: Column): Check =
-    Check(s"satisfies($name)", _ => count(when(!coalesce(predicate, lit(false)), 1)))
+    Check(s"satisfies($name)", count(when(!coalesce(predicate, lit(false)), 1)))
 
   def rowCountBetween(lo: Long, hi: Long): Check =
     Check(s"row_count[$lo,$hi]",
-      _ => when(count(lit(1)).between(lo, hi), lit(0L)).otherwise(lit(1L)))
+      when(count(lit(1)).between(lo, hi), lit(0L)).otherwise(lit(1L)))
 
   /** Uniqueness needs its own grouped pass (duplicate key combos);
     * still one aggregate, output = 1 row.
@@ -60,15 +60,17 @@ object Quality {
     */
   def expect(df: DataFrame, checks: Seq[Check], unique: Seq[Seq[String]] = Nil): DataFrame = {
     require(checks.nonEmpty || unique.nonEmpty, "expect: no checks given")
-    val spark = df.sparkSession
-    import spark.implicits._
     val scalar =
       if (checks.isEmpty) Seq.empty[DataFrame]
       else {
-        val aggs = checks.map(ch => ch.violations(df).cast("long").as(ch.name))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        Seq(checks.zipWithIndex.map { case (ch, i) => (ch.name, row.getLong(i)) }
-          .toDF("check", "violations"))
+        // one wide aggregate row, unpivoted lazily with stack() — the
+        // report is a plan like every other query, nothing runs until
+        // the caller acts on it
+        val aggs = checks.map(ch => ch.violations.cast("long").as(ch.name))
+        val stackArgs = checks
+          .map(ch => s"'${ch.name.replace("'", "''")}', `${ch.name}`").mkString(", ")
+        Seq(df.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${checks.length}, $stackArgs) AS (check, violations)"))
       }
     val uniq = unique.map(cols =>
       uniqueViolations(df, cols)
@@ -99,7 +101,7 @@ object Quality {
     */
   def observed(df: DataFrame, name: String, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "observed: no checks given")
-    val aggs = checks.map(ch => ch.violations(df).cast("long").as(ch.name))
+    val aggs = checks.map(ch => ch.violations.cast("long").as(ch.name))
     df.observe(name, aggs.head, aggs.tail: _*)
   }
 }

@@ -18,11 +18,10 @@ class DiagnosticsSpec extends SparkSpec {
     assert(report.topShare > 0.8)
     // hot = 5000 rows vs mean partition load 6000/4 = 1500 -> 3.3x
     assert(report.isSkewed(3.0) && !report.isSkewed(4.0))
-    // hot key is ~83% of rows: salting must spread it over most of the
-    // partition space (capped at the partition count)
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    assert(report.saltFactorFor == math.min(parts, math.ceil(
-      report.topKeys.head._2.toDouble * parts / 6000L).toInt))
+    // hot key is ~83% of 6000 rows at 4 partitions: ceil(0.83 * 4) = 4
+    // = the partition-count cap — an independent expectation, not the
+    // formula restated
+    assert(report.saltFactorFor == 4)
   }
 
   test("keySkew on a uniform key space reports no skew") {
@@ -30,6 +29,18 @@ class DiagnosticsSpec extends SparkSpec {
     val report = Diagnostics.keySkew(df, Seq(col("k")))
     assert(!report.isSkewed())
     assert(report.saltFactorFor == 1)
+  }
+
+  test("keySkew never aliases composite keys through nulls") {
+    val df = (Seq.fill(300)((Some("x"), None: Option[String])) ++
+      Seq.fill(300)((None: Option[String], Some("x"))) ++
+      Seq.fill(300)((Some(""), Some(""))))
+      .toDF("a", "b")
+    val report = Diagnostics.keySkew(df, Seq(col("a"), col("b")), topK = 5)
+    // three DISTINCT key shapes: ("x", null), (null, "x"), ("", "") —
+    // concat_ws alone would merge the first two into "x"
+    assert(report.topKeys.length == 3)
+    assert(report.topKeys.forall(_._2 == 300L))
   }
 
   test("partitionHistogram accounts for every row") {
