@@ -824,6 +824,22 @@ object SparkEntry {
       TrainingData.deterministicShuffle(t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), col("pos"))),
 
+    // BPE tokenizer: train 200 merges on the corpus vocabulary (one
+    // distributed word count + driver merge loop), encode every doc
+    // with the fused expression, and gate LOSSLESSNESS — detokenizing
+    // (join tokens, </w> -> space) must rebuild the exact word stream
+    // the oracle computes independently.
+    "q_bpe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.functions.Bpe.learnMerges(
+        docs.select(explode(words(col("text"))).as("w")), "w", numMerges = 200)
+      docs.select(col("doc_id"),
+        graft.functions.Bpe.encode(words(col("text")), merges).as("_toks"))
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(array_join(col("_toks"), ""), "</w>", " ")))
+            .as("detok_md5"))
+    }),
+
     // Corpus top-50 word-bigram vocabulary (stop-gram profiling).
     "q_top_ngrams" -> ((s, d) =>
       Ranking.topNgrams(t(s, d, "documents"), "text", n = 2, k = 50)),
@@ -1489,6 +1505,10 @@ object SparkEntry {
       """SELECT doc_id, CAST(row_number() OVER (
         |  ORDER BY md5('graft:' || doc_id::VARCHAR), doc_id) AS BIGINT) AS pos
         |FROM documents""".stripMargin,
+
+    "q_bpe" ->
+      s"""SELECT doc_id, md5(array_to_string($W, ' ')) AS detok_md5
+         |FROM documents""".stripMargin,
 
     "q_top_ngrams" ->
       s"""WITH g AS (SELECT unnest(list_transform(generate_series(1, len($W) - 1),
