@@ -833,11 +833,17 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val merges = graft.functions.Bpe.learnMerges(
         docs.select(explode(words(col("text"))).as("w")), "w", numMerges = 200)
+      // top_merge pins the TRAINING path too: the first learned merge
+      // is the corpus-wide argmax adjacent symbol pair, which the
+      // oracle recomputes from scratch in SQL (same freq-then-lexi
+      // tiebreak) — a lossless roundtrip alone would pass for any
+      // character-preserving encoder.
       docs.select(col("doc_id"),
         graft.functions.Bpe.encode(words(col("text")), merges).as("_toks"))
         .select(col("doc_id"),
           md5(trim(regexp_replace(array_join(col("_toks"), ""), "</w>", " ")))
-            .as("detok_md5"))
+            .as("detok_md5"),
+          lit(merges.head._1 + " " + merges.head._2).as("top_merge"))
     }),
 
     // Corpus top-50 word-bigram vocabulary (stop-gram profiling).
@@ -1507,7 +1513,18 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_bpe" ->
-      s"""SELECT doc_id, md5(array_to_string($W, ' ')) AS detok_md5
+      s"""WITH wf AS (
+         |  SELECT w, count(*) AS n FROM (SELECT unnest($W) AS w FROM documents)
+         |  GROUP BY w),
+         |p AS (
+         |  SELECT substr(w, i, 1) AS a,
+         |    CASE WHEN i = len(w) THEN '</w>' ELSE substr(w, i + 1, 1) END AS b, n
+         |  FROM wf, unnest(generate_series(1, len(w))) AS t(i)),
+         |best AS (
+         |  SELECT a || ' ' || b AS top_merge FROM p
+         |  GROUP BY a, b ORDER BY sum(n) DESC, a, b LIMIT 1)
+         |SELECT doc_id, md5(array_to_string($W, ' ')) AS detok_md5,
+         |  (SELECT top_merge FROM best) AS top_merge
          |FROM documents""".stripMargin,
 
     "q_top_ngrams" ->

@@ -18,8 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * .Similarity]]): the distributed pass reduces the corpus to a WORD
   * FREQUENCY table (vocabulary-sized — Zipf-bounded, ~10⁵–10⁶ rows at
   * any corpus size, and optionally df-capped), the merge loop runs on
-  * the driver over that table (classic Sennrich BPE, microseconds per
-  * merge), and encoding returns to the cluster as a fused expression
+  * the driver over that table (classic Sennrich BPE with incremental
+  * pair counts — each merge touches only the words containing it), and encoding returns to the cluster as a fused expression
   * with the learned ranks riding along as a reference object — no
   * join, no UDF registry, one pass per row.
   *
@@ -32,6 +32,23 @@ object Bpe {
     * distinct from "est</w>" in "lowest".
     */
   val Eow = "</w>"
+
+  /** Initial symbols of a word: one per UNICODE CODE POINT (splitting
+    * UTF-16 code units would break surrogate pairs — a non-BMP char
+    * would shatter into two lone surrogates that can never re-encode),
+    * plus the terminal marker.
+    */
+  private[functions] def toSymbols(word: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out += Eow
+    out.toArray
+  }
 
   /** Learn `numMerges` merge rules from the corpus: ONE distributed
     * word-count aggregate (its output is the vocabulary, not the
@@ -62,42 +79,64 @@ object Bpe {
       numMerges: Int,
       minPairFreq: Long): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    var vocab: Seq[(Array[String], Long)] = wordFreq.map { case (w, n) =>
-      (w.map(_.toString).toArray :+ Eow) -> n
+    val vocab: Array[(Array[String], Long)] = wordFreq.map { case (w, n) =>
+      toSymbols(w) -> n
+    }.toArray
+    // Incremental counting: pair counts and a pair -> word-ids index
+    // are built ONCE; each merge re-counts only the words that contain
+    // the merged pair (index entries can go stale after a rewrite, so
+    // membership is re-verified on read). Selection is a scan of the
+    // standing count map — no per-merge rebuild of anything global.
+    val counts = mutable.Map.empty[(String, String), Long]
+    val where = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    def index(idx: Int, syms: Array[String], n: Long, sign: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * n
+        if (c <= 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.Set.empty) += idx
+        i += 1
+      }
     }
+    def rewrite(syms: Array[String], a: String, b: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    vocab.zipWithIndex.foreach { case ((syms, n), idx) => index(idx, syms, n, 1L) }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var continue = numMerges > 0
     while (continue && merges.length < numMerges) {
-      val counts = mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (syms, n) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts(p) = counts.getOrElse(p, 0L) + n
-          i += 1
-        }
-      }
       if (counts.isEmpty) continue = false
       else {
         // max by frequency; lexicographic pair tiebreak = determinism
-        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        val best = counts.minBy { case ((a, b), c) => (-c, a, b) }
         if (best._2 < minPairFreq) continue = false
         else {
           val (a, b) = best._1
           merges += ((a, b))
-          vocab = vocab.map { case (syms, n) =>
-            if (syms.length < 2) (syms, n)
-            else {
-              val out = mutable.ArrayBuffer.empty[String]
-              var i = 0
-              while (i < syms.length) {
-                if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-                  out += a + b; i += 2
-                } else { out += syms(i); i += 1 }
-              }
-              (out.toArray, n)
+          where.getOrElse((a, b), mutable.Set.empty).toArray.sorted.foreach { idx =>
+            val (syms, n) = vocab(idx)
+            var contains = false
+            var i = 0
+            while (i < syms.length - 1 && !contains) {
+              if (syms(i) == a && syms(i + 1) == b) contains = true
+              i += 1
+            }
+            if (contains) {
+              index(idx, syms, n, -1L)
+              val next = rewrite(syms, a, b)
+              vocab(idx) = (next, n)
+              index(idx, next, n, 1L)
             }
           }
+          where.remove((a, b))
         }
       }
     }
@@ -110,7 +149,7 @@ object Bpe {
     */
   def encodeWord(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var syms = (word.map(_.toString) :+ Eow).toArray
+    var syms = toSymbols(word)
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

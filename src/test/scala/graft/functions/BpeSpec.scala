@@ -55,12 +55,23 @@ class BpeSpec extends SparkSpec {
 
   test("encode survives nulls and empty arrays") {
     val df = Seq(
-      (1L, Seq("ab", "cd")), (2L, Seq.empty[String])
+      (1L, Seq("ab", "cd")), (2L, Seq.empty[String]),
+      (3L, Seq("ab", null, "cd")),       // null WORD skipped
+      (4L, null: Seq[String])            // null input -> null output
     ).toDF("id", "ws")
     val merges = Seq(("a", "b"))
     val out = df.select(col("id"), Bpe.encode(col("ws"), merges).as("t"))
-      .as[(Long, Seq[String])].collect().toMap
-    assert(out(1L) == Seq("ab", "</w>", "c", "d", "</w>"))
-    assert(out(2L).isEmpty)
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(out(1L).get == Seq("ab", "</w>", "c", "d", "</w>"))
+    assert(out(2L).get.isEmpty)
+    assert(out(3L).get == Seq("ab", "</w>", "c", "d", "</w>"))
+    assert(out(4L).isEmpty)
+  }
+
+  test("symbols split on code points, not UTF-16 units (non-BMP stays lossless)") {
+    val word = "😀ok" // emoji (surrogate pair) + "ok"
+    val toks = Bpe.encodeWord(word, new java.util.HashMap[String, Integer])
+    assert(toks.toSeq == Seq("😀", "o", "k", Bpe.Eow))
+    assert(toks.mkString.replace(Bpe.Eow, "") == word)
   }
 }
