@@ -32,8 +32,10 @@ object StreamFunnel {
   def apply(
       events: Dataset[FunnelEvent],
       steps: Seq[String],
-      stateTimeoutMs: Long = 0L): Dataset[FunnelProgress] = {
+      stateTimeoutMs: Long = 0L,
+      maxSpanUs: Long = Long.MaxValue): Dataset[FunnelProgress] = {
     require(steps.nonEmpty, "StreamFunnel: steps must be non-empty")
+    require(maxSpanUs > 0L, s"StreamFunnel: maxSpanUs must be positive, got $maxSpanUs")
     import events.sparkSession.implicits._
     val stepArr = steps.toArray
     events
@@ -43,7 +45,7 @@ object StreamFunnel {
         if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout())(
         (u: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          process(u, it, state, stepArr, stateTimeoutMs))
+          process(u, it, state, stepArr, stateTimeoutMs, maxSpanUs))
   }
 
   private[streaming] def process(
@@ -51,7 +53,8 @@ object StreamFunnel {
       it: Iterator[FunnelEvent],
       state: GroupState[FunnelState],
       steps: Array[String],
-      stateTimeoutMs: Long): Iterator[FunnelProgress] = {
+      stateTimeoutMs: Long,
+      maxSpanUs: Long = Long.MaxValue): Iterator[FunnelProgress] = {
     if (state.hasTimedOut) {
       state.remove()
       return Iterator.empty
@@ -62,7 +65,8 @@ object StreamFunnel {
     var i = 0
     while (i < batch.length && s.done < steps.length) {
       val e = batch(i)
-      if (e.et == steps(s.done) && (s.done == 0 || e.tsUs > s.tLastUs)) {
+      if (e.et == steps(s.done) && (s.done == 0 || e.tsUs > s.tLastUs) &&
+        (s.done == 0 || maxSpanUs == Long.MaxValue || e.tsUs - s.t0Us <= maxSpanUs)) {
         s = FunnelState(s.done + 1, if (s.done == 0) e.tsUs else s.t0Us, e.tsUs)
       }
       i += 1

@@ -113,6 +113,21 @@ object ScaleProbe {
           (col("c_custkey") % 200) -> (col("d_custkey") % 200)),
         col("c_name"), col("d_name"), 0.975).count())
 
+    time("bpe train 200 merges on 50k docs") {
+      val merges = graft.functions.Bpe.learnMerges(
+        docs10.select(explode(graft.functions.TextFunctions.words(col("text"))).as("w")),
+        "w", numMerges = 200)
+      merges.length.toLong
+    }
+    time("kmeans k=16 x 3 iters on 20k vecs") {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val e10 = (0 until 10).map(k =>
+        emb.select((col("vec_id") + k * 100000).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _).repartition(32)
+      graft.operators.Clustering.kmeans(e10, "embedding", k = 16, maxIter = 3)
+        .centroids.length.toLong
+    }
+
     val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
     val emb10 = (0 until 10).map(k =>
       emb0.select((col("vec_id") + k * 100000).as("vec_id"), col("embedding")))

@@ -324,6 +324,29 @@ class StreamingSpec extends SparkSpec {
     assert(st.getTimeoutTimestampMs.isPresent) // idle eviction armed
   }
 
+  test("streaming funnel maxSpan matches the batch anchor-window rule") {
+    import StreamFunnel._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[FunnelState](
+      Optional.empty[FunnelState], GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Long], hasTimedOut = false)
+    // a@10; b@25 outside a 10us window; b@15 later batch inside it... but
+    // state already saw 25 fail: the 15 arrives late and STILL advances
+    // (15 > tLast=10 and within span) — matching batch greedy on what
+    // this operator has actually seen
+    val out1 = StreamFunnel.process(1L,
+      Iterator(FunnelEvent(1L, 10L, "a"), FunnelEvent(1L, 25L, "b")),
+      st, Array("a", "b"), 0L, maxSpanUs = 10L)
+    assert(out1.toSeq.map(_.steps_done) == Seq(1))
+    val st2 = TestGroupState.create[FunnelState](
+      Optional.of(st.get), GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Long], hasTimedOut = false)
+    val out2 = StreamFunnel.process(1L, Iterator(FunnelEvent(1L, 15L, "b")),
+      st2, Array("a", "b"), 0L, maxSpanUs = 10L)
+    assert(out2.toSeq.map(r => (r.steps_done, r.t_end_us)) == Seq((2, 15L)))
+  }
+
   test("streaming words-count over a file stream matches the batch counts " +
     "(reference words_count example, unbounded form)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wc_stream_")
