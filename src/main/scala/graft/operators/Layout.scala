@@ -25,6 +25,20 @@ object Layout {
     GraftBridge.column(
       InterleaveBits(cols.map(c => GraftBridge.expression(c.cast("long"))).toSeq, bits))
 
+  /** Small-file compaction (the OPTIMIZE half without the clustering):
+    * size the partition count so each output file lands near
+    * `targetRowsPerFile`. One count action; at 100 TB the small-file
+    * problem is the metadata + open-cost killer this exists for —
+    * thousands of drip-fed streaming files become
+    * ceil(rows/target) right-sized ones.
+    */
+  def compact(df: DataFrame, targetRowsPerFile: Long): DataFrame = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
+    val n = df.count()
+    val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+    df.repartition(parts.toInt)
+  }
+
   /** Cluster `df` along the Z-curve of `cols`: compute `zval`,
     * range-partition on it (`numPartitions` when given, else the
     * session shuffle default) and sort each partition by it. Writing

@@ -326,6 +326,34 @@ object StreamSink {
     */
   def foreachBatch(name: String)(f: (DataFrame, Long) => Unit): StreamSink =
     StreamSink(name, _.writeStream.foreachBatch(f))
+
+  /** Exactly-once `foreachBatch`: Spark's checkpoint guarantees each
+    * micro-batch is DELIVERED at least once, but after a crash between
+    * the user function's side effect and the offset commit, the same
+    * `batchId` is REPLAYED — any non-transactional sink (HTTP POST,
+    * plain file append, non-idempotent upsert) double-writes. This
+    * wrapper makes the side effect idempotent with the standard
+    * commit-marker protocol: a `batchId` marker file is written to
+    * `commitDir` AFTER `f` succeeds; replays of an already-marked batch
+    * are skipped. `commitDir` must live alongside the checkpoint (same
+    * fault domain): marker-then-crash replays skip (correct — f
+    * completed), crash-then-marker replays re-run f (at-least-once for
+    * the unmarked tail, exactly-once end-to-end for everything marked).
+    */
+  def idempotentForeachBatch(
+      name: String, commitDir: String)(f: (DataFrame, Long) => Unit): StreamSink = {
+    val dir = java.nio.file.Paths.get(commitDir)
+    java.nio.file.Files.createDirectories(dir)
+    val guarded: (DataFrame, Long) => Unit = (df, batchId) => {
+      val marker = dir.resolve(s"batch-$batchId.committed")
+      if (!java.nio.file.Files.exists(marker)) {
+        f(df, batchId)
+        java.nio.file.Files.createFile(marker)
+        ()
+      }
+    }
+    StreamSink(name, _.writeStream.foreachBatch(guarded))
+  }
 }
 
 /** Live manipulation of a RUNNING streaming pipeline (reference:

@@ -73,6 +73,14 @@ class LayoutSpec extends SparkSpec {
     assert(out.head == refZ(8, Seq(3L, 5L)))
   }
 
+  test("compact right-sizes partition count to the row target") {
+    val df = spark.range(1000).toDF("id")
+    assert(Layout.compact(df, 300).rdd.getNumPartitions == 4) // ceil(1000/300)
+    assert(Layout.compact(df, 5000).rdd.getNumPartitions == 1)
+    assert(Layout.compact(df.where(col("id") < 0), 100).rdd.getNumPartitions == 1)
+    intercept[IllegalArgumentException](Layout.compact(df, 0))
+  }
+
   test("interleave guards reject bit overflows") {
     intercept[IllegalArgumentException](Layout.zValue(32, col("a"), col("b"), col("c")))
     intercept[IllegalArgumentException](Layout.zValue(0, col("a")))

@@ -324,6 +324,31 @@ class StreamingSpec extends SparkSpec {
     assert(st.getTimeoutTimestampMs.isPresent) // idle eviction armed
   }
 
+  test("idempotentForeachBatch skips replayed batch ids, runs fresh ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val commits = java.nio.file.Files.createTempDirectory("graft_commits_").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val in = MemoryStream[Int]
+    in.addData(1, 2)
+    graft.core.Composite(Seq(
+      StreamSource.of("xs", in.toDF()),
+      StreamSink.idempotentForeachBatch("xs", commits) { (_, id) => seen.add(id); () }
+        .copy(sync = true)))(EmptyFlow)
+    val firstRun = seen.size()
+    assert(firstRun >= 1)
+    // simulate a replay of batch 0 (crash after commit marker): the
+    // wrapper must skip it — the marker is already on disk
+    val sink2 = StreamSink.idempotentForeachBatch("xs", commits) { (_, id) => seen.add(id); () }
+    val in2 = MemoryStream[Int]
+    in2.addData(3)
+    // fresh query, same commitDir; its batch 0 marker EXISTS already,
+    // so the side effect must NOT fire again for id 0
+    graft.core.Composite(Seq(
+      StreamSource.of("xs", in2.toDF()),
+      sink2.copy(sync = true)))(EmptyFlow)
+    assert(seen.size() == firstRun) // replayed id skipped, nothing new ran
+  }
+
   test("streaming funnel maxSpan matches the batch anchor-window rule") {
     import StreamFunnel._
     import org.apache.spark.api.java.Optional
