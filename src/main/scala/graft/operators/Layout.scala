@@ -36,6 +36,8 @@ object Layout {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
     val n = df.count()
     val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+    require(parts <= Int.MaxValue,
+      s"compact: ceil($n / $targetRowsPerFile) = $parts exceeds the partition limit — raise targetRowsPerFile")
     df.repartition(parts.toInt)
   }
 

@@ -333,23 +333,39 @@ object StreamSink {
     * `batchId` is REPLAYED — any non-transactional sink (HTTP POST,
     * plain file append, non-idempotent upsert) double-writes. This
     * wrapper makes the side effect idempotent with the standard
-    * commit-marker protocol: a `batchId` marker file is written to
-    * `commitDir` AFTER `f` succeeds; replays of an already-marked batch
-    * are skipped. `commitDir` must live alongside the checkpoint (same
-    * fault domain): marker-then-crash replays skip (correct — f
-    * completed), crash-then-marker replays re-run f (at-least-once for
+    * commit-marker protocol: a `$name-batch-$batchId` marker is written
+    * to `commitDir` AFTER `f` succeeds; replays of an already-marked
+    * batch are skipped. Markers go through the Hadoop FileSystem API
+    * resolved from the session, so `commitDir` can (and SHOULD) live
+    * next to the checkpoint on the same fault-tolerant store — a
+    * driver-local path would lose the markers exactly when failover
+    * replays batches. Marker-then-crash replays skip (correct — f
+    * completed); crash-then-marker replays re-run f (at-least-once for
     * the unmarked tail, exactly-once end-to-end for everything marked).
+    *
+    * Reset `commitDir` together with the checkpoint: a checkpoint wipe
+    * recycles batchIds from 0, and stale markers would silently skip
+    * the reprocessed batches. Markers are retained for the trailing
+    * `retainBatches` ids (each new marker deletes the one falling off
+    * the window — replays only ever target the checkpoint's own tail),
+    * so the directory stays bounded on long-running queries.
     */
   def idempotentForeachBatch(
-      name: String, commitDir: String)(f: (DataFrame, Long) => Unit): StreamSink = {
-    val dir = java.nio.file.Paths.get(commitDir)
-    java.nio.file.Files.createDirectories(dir)
+      name: String, commitDir: String, retainBatches: Long = 10000L)(
+      f: (DataFrame, Long) => Unit): StreamSink = {
+    require(retainBatches > 0, "retainBatches must be positive")
     val guarded: (DataFrame, Long) => Unit = (df, batchId) => {
-      val marker = dir.resolve(s"batch-$batchId.committed")
-      if (!java.nio.file.Files.exists(marker)) {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(commitDir)
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      val marker = new org.apache.hadoop.fs.Path(dir, s"$name-batch-$batchId.committed")
+      if (!fs.exists(marker)) {
         f(df, batchId)
-        java.nio.file.Files.createFile(marker)
-        ()
+        fs.create(marker, true).close()
+        val expired = new org.apache.hadoop.fs.Path(
+          dir, s"$name-batch-${batchId - retainBatches}.committed")
+        if (fs.exists(expired)) { val _ = fs.delete(expired, false) }
       }
     }
     StreamSink(name, _.writeStream.foreachBatch(guarded))

@@ -119,20 +119,14 @@ object ScaleProbe {
         "w", numMerges = 200)
       merges.length.toLong
     }
-    time("kmeans k=16 x 3 iters on 20k vecs") {
-      val emb = spark.read.parquet(s"$d/embeddings.parquet")
-      val e10 = (0 until 10).map(k =>
-        emb.select((col("vec_id") + k * 100000).as("vec_id"), col("embedding")))
-        .reduce(_ unionAll _).repartition(32)
-      graft.operators.Clustering.kmeans(e10, "embedding", k = 16, maxIter = 3)
-        .centroids.length.toLong
-    }
-
     val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
     val emb10 = (0 until 10).map(k =>
       emb0.select((col("vec_id") + k * 100000).as("vec_id"), col("embedding")))
       .reduce(_ unionAll _).repartition(32)
     println(s"emb10 count=${emb10.count()}")
+    time("kmeans k=16 x 3 iters on 20k vecs")(
+      graft.operators.Clustering.kmeans(emb10, "embedding", k = 16, maxIter = 3)
+        .centroids.length.toLong)
     time("embeddingCosinePairs 20k vecs (adaptive bits)")(
       Dedup.embeddingCosinePairs(emb10, "vec_id", "embedding", 0.35, tables = 4).count())
     time("bruteForceTopK 10q x 20k")(
