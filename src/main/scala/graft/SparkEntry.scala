@@ -824,6 +824,28 @@ object SparkEntry {
       TrainingData.deterministicShuffle(t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), col("pos"))),
 
+    // Document-embedding pipeline composition: 32-word chunks -> a
+    // deterministic 8-dim "embedding" per chunk (md5-derived DYADIC
+    // values k/1024, so float casts and double sums are exact in any
+    // order) -> per-doc mean pooling through the TYPED vectorMean
+    // Aggregator. Gates the UDAF's reduce/merge/finish arithmetic
+    // against an oracle that recomputes the means from scratch.
+    "q_doc_embed" -> ((s, d) => {
+      val dims = 1 to 8
+      val chunks = TrainingData.chunkWords(
+        t(s, d, "documents"), Seq("doc_id"), "text", 32, 32)
+      val emb = chunks.select(col("doc_id"),
+        array(dims.map(i =>
+          (conv(substring(md5(concat(col("chunk"), lit(s":$i"))), 1, 8), 16, 10)
+            .cast("long") % 1024 / lit(1024.0))): _*)
+          .cast("array<float>").as("vec"))
+      val mean = udaf(graft.functions.TypedAggregators.vectorMean,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+      val pooled = emb.groupBy(col("doc_id")).agg(mean(col("vec")).as("_m"))
+      pooled.select(col("doc_id") +:
+        dims.map(i => col("_m").getItem(i - 1).as(s"mean_$i")): _*)
+    }),
+
     // BPE tokenizer: train 200 merges on the corpus vocabulary (one
     // distributed word count + driver merge loop), encode every doc
     // with the fused expression, and gate LOSSLESSNESS — detokenizing
@@ -1511,6 +1533,24 @@ object SparkEntry {
       """SELECT doc_id, CAST(row_number() OVER (
         |  ORDER BY md5('graft:' || doc_id::VARCHAR), doc_id) AS BIGINT) AS pos
         |FROM documents""".stripMargin,
+
+    "q_doc_embed" -> {
+      val cases = (1 to 8).map(i =>
+        s"max(CASE WHEN d = $i THEN mv END) AS mean_$i").mkString(", ")
+      s"""WITH docs AS (SELECT doc_id, $W AS ws FROM documents),
+         |starts AS (SELECT doc_id, ws,
+         |  unnest(generate_series(1,
+         |    ((greatest(ceil((len(ws) - 32) / 32.0) + 1, 1) - 1) * 32 + 1)::BIGINT,
+         |    32)) AS s
+         |  FROM docs),
+         |c AS (SELECT doc_id, array_to_string(ws[s:s+31], ' ') AS chunk FROM starts),
+         |e AS (SELECT doc_id, d,
+         |  ((('0x' || substr(md5(chunk || ':' || d), 1, 8))::UBIGINT % 1024) / 1024.0)
+         |    AS mv_part
+         |  FROM c, unnest(generate_series(1, 8)) AS t(d)),
+         |m AS (SELECT doc_id, d, sum(mv_part) / count(*) AS mv FROM e GROUP BY 1, 2)
+         |SELECT doc_id, $cases FROM m GROUP BY doc_id""".stripMargin
+    },
 
     "q_bpe" ->
       s"""WITH wf AS (
