@@ -139,6 +139,32 @@ class GoldenParitySpec extends SparkSpec {
     assert(split("even").select("v").as[Int].collect().sorted.toSeq == Seq(2, 4, 6, 8, 10))
   }
 
+  test("massive call: 3x100k mixed into odd/even predicate outputs, complete " +
+    "(reference: gen_mix_test.exs:199-236)") {
+    import graft.core.Composite
+    import graft.operators.{Mixer, Splitter}
+    import graft.sources.Source
+    val mixed = Composite(Seq(
+      Source.of("numbers1", spark.range(1, 100001).toDF("v")),
+      Source.of("numbers2", spark.range(1, 100001).toDF("v")),
+      Source.of("numbers3", spark.range(1, 100001).toDF("v")),
+      Mixer(Seq("numbers1", "numbers2", "numbers3"), "mixed")))(Map.empty)
+    val split = Splitter.predicates("mixed",
+      Seq("odd" -> (col("v") % 2 === 1), "even" -> (col("v") % 2 === 0)),
+      cache = true)(mixed)
+    // the reference's own assertion: each output drains 150,000 events
+    assert(split("odd").count() == 150000L)
+    assert(split("even").count() == 150000L)
+    // stronger than the reference: the multiset is COMPLETE — every
+    // value appears exactly 3x, odd values only in the odd output
+    val oddCounts = split("odd").groupBy("v").count()
+      .select(min(col("count")), max(col("count")), count(lit(1))).head()
+    assert(oddCounts.getLong(0) == 3L && oddCounts.getLong(1) == 3L
+      && oddCounts.getLong(2) == 50000L)
+    assert(split("odd").where(col("v") % 2 === 0).count() == 0L)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("simple-numbers round-robin: n-way zip interleaves one event per stream per turn " +
     "(reference: test/examples/simple_numbers_test.exs round robin, RoundRobinMany)") {
     // The reference builds round-robin mixing from hand-rolled keyed
