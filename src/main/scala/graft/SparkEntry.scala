@@ -252,6 +252,19 @@ object SparkEntry {
           (abs(col("_approx") - col("exact_users")) <=
             col("exact_users").cast("double") * 0.05).as("approx_ok"))),
 
+    // RANGE-frame rolling window: per-user 1-hour trailing sum over
+    // event time — peers at equal timestamps share the frame, so no
+    // tiebreak is needed; the decimal sum keeps doubles order-proof.
+    "q_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(usec(col("ts")))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"), usec(col("ts")).as("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("sum_1h"))
+    }),
+
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1169,6 +1182,14 @@ object SparkEntry {
     "q_cube" ->
       """SELECT event_type, user_id % 4 AS bucket, count(*) AS n, min(value) AS min_v
         |FROM events GROUP BY CUBE(event_type, user_id % 4)""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |count(*) OVER w AS n_1h,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
