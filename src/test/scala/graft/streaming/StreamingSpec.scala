@@ -349,6 +349,36 @@ class StreamingSpec extends SparkSpec {
     assert(seen.size() == firstRun) // replayed id skipped, nothing new ran
   }
 
+  test("streaming funnel over one batch equals the batch funnel exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamFunnel._
+    // deterministic pseudo-random event log: 40 users x 25 events
+    val events = for (u <- 0L until 40L; i <- 0 until 25) yield {
+      val h = (u * 31 + i * 17) % 97
+      FunnelEvent(u, (h * 13 + i) % 200, Seq("a", "b", "c")((h % 3).toInt))
+    }
+    val steps = Seq("a", "b", "c")
+    val in = MemoryStream[FunnelEvent]
+    in.addData(events)
+    val q = StreamFunnel(in.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // latest progress row per user == the batch answer for users who
+    // advanced at least one step (streaming emits no zero-step rows)
+    val streamed = spark.table("funnel_parity").as[FunnelProgress].collect()
+      .groupBy(_.user_id).view.mapValues(_.maxBy(_.steps_done)).toMap
+      .map { case (u, p) => u -> ((p.steps_done, p.t0_us, p.t_end_us)) }
+    val batchDf = events.toDF("user_id", "ts_us", "et")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("et"))
+    val batch = graft.operators.Analytics
+      .funnel(batchDf, col("user_id"), col("ts"), col("et"), steps)
+      .collect().filter(_.getInt(1) > 0)
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming funnel maxSpan matches the batch anchor-window rule") {
     import StreamFunnel._
     import org.apache.spark.api.java.Optional
