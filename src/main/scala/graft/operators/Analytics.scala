@@ -84,6 +84,47 @@ object Analytics {
       .toDF()
   }
 
+  case class KeyedFunnelEvent(k: String, tsUs: Long, et: String)
+  case class KeyedFunnelRow(key: String, steps_done: Int,
+      t0_us: java.lang.Long, t_end_us: java.lang.Long)
+
+  /** [[funnel]] for NON-NUMERIC or composite keys: the fold is keyed by
+    * an arbitrary string (`concat(user, '#', session_id)` gives a
+    * sessionized funnel for free). Same semantics, same single-shuffle
+    * sorted-group plan; output column is `key`.
+    */
+  def funnelBy(df: DataFrame, key: Column, ts: Column, eventType: Column,
+      steps: Seq[String], maxSpanUs: Long = Long.MaxValue): DataFrame = {
+    require(steps.nonEmpty, "funnelBy: steps must be non-empty")
+    require(maxSpanUs > 0L, s"funnelBy: maxSpanUs must be positive, got $maxSpanUs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = steps.length
+    val stepArr = steps.toArray
+    df.select(key.cast("string").as("k"), unix_micros(ts.cast("timestamp")).as("tsUs"),
+        eventType.cast("string").as("et"))
+      .where(col("k").isNotNull && col("tsUs").isNotNull)
+      .as[KeyedFunnelEvent]
+      .groupByKey(_.k)
+      .flatMapSortedGroups($"tsUs") { (k: String, it: Iterator[KeyedFunnelEvent]) =>
+        var done = 0
+        var t0 = -1L
+        var tLast = -1L
+        it.foreach { e =>
+          if (done < n && e.et == stepArr(done) && (done == 0 || e.tsUs > tLast) &&
+            (done == 0 || maxSpanUs == Long.MaxValue || e.tsUs - t0 <= maxSpanUs)) {
+            if (done == 0) t0 = e.tsUs
+            tLast = e.tsUs
+            done += 1
+          }
+        }
+        Iterator.single(KeyedFunnelRow(k, done,
+          if (done == 0) null else java.lang.Long.valueOf(t0),
+          if (done == 0) null else java.lang.Long.valueOf(tLast)))
+      }
+      .toDF()
+  }
+
   /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of
     * each user's first event; for every (cohort week, whole-week
     * offset) cell, the count of distinct users active in that week.

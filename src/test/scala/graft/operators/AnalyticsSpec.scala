@@ -55,6 +55,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) == 2) // e.tsUs - t0 == maxSpan is INSIDE (<=)
   }
 
+  test("funnelBy on a composite key yields per-session funnels") {
+    // user 1 has two sessions; the funnel completes only inside s1
+    val df = Seq(
+      ("1#s1", 10L, "a"), ("1#s1", 20L, "b"),
+      ("1#s2", 30L, "a"),
+      ("2#s1", 5L, "b")).toDF("k", "sec", "event_type")
+      .select(col("k"), col("sec").cast("timestamp").as("ts"), col("event_type"))
+    val out = Analytics.funnelBy(df, col("k"), col("ts"), col("event_type"), Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("1#s1" -> 2, "1#s2" -> 1, "2#s1" -> 0))
+  }
+
+  test("funnelBy agrees with funnel on numeric keys") {
+    val df = ev((7L, 10L, "a"), (7L, 20L, "b"), (8L, 5L, "a"))
+    val viaLong = Analytics.funnel(df, col("user_id"), col("ts"), col("event_type"),
+      Seq("a", "b")).collect().map(r => r.getLong(0).toString -> r.getInt(1)).toMap
+    val viaKey = Analytics.funnelBy(df, col("user_id"), col("ts"), col("event_type"),
+      Seq("a", "b")).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaLong == viaKey)
+  }
+
   test("cohortRetention buckets users by their own first-event week") {
     val day = 86400L
     val df = ev(
