@@ -873,12 +873,20 @@ object SparkEntry {
       // oracle recomputes from scratch in SQL (same freq-then-lexi
       // tiebreak) — a lossless roundtrip alone would pass for any
       // character-preserving encoder.
+      // Guard the degenerate corpus (no adjacent pair reaches
+      // minPairFreq): emit a null top_merge instead of throwing.
+      // Note the oracle recomputes the argmax over the FULL
+      // vocabulary while learnMerges caps at maxVocab=65536 — at the
+      // test SFs the vocab is far below the cap, so they agree; a
+      // corpus past the cap would need the oracle capped the same way.
+      val topMerge = merges.headOption
+        .fold(lit(null).cast("string"))(m => lit(m._1 + " " + m._2))
       docs.select(col("doc_id"),
         graft.functions.Bpe.encode(words(col("text")), merges).as("_toks"))
         .select(col("doc_id"),
           md5(trim(regexp_replace(array_join(col("_toks"), ""), "</w>", " ")))
             .as("detok_md5"),
-          lit(merges.head._1 + " " + merges.head._2).as("top_merge"))
+          topMerge.as("top_merge"))
     }),
 
     // Corpus top-50 word-bigram vocabulary (stop-gram profiling).

@@ -429,8 +429,18 @@ object Dedup {
     * from exploding quadratically: candidate volume follows the RARE
     * gram frequencies. A length band (`|len(a)-len(b)| <= maxEdit`,
     * necessary for any match) prunes further; survivors verify with
-    * the exact codegen `levenshtein`. No recall loss — the prefix
-    * theorem is exact, so the result equals the quadratic join.
+    * the exact codegen `levenshtein`.
+    *
+    * The prefix theorem needs `> maxEdit·q` distinct grams on both
+    * sides — a shorter (or gram-poor repetitive, or `len < q` and thus
+    * gram-LESS) value can have its every gram destroyed by the allowed
+    * edits. Those values take a FALLBACK path: each short value joins
+    * the other side on exact length keys (its `2·maxEdit + 1`
+    * admissible lengths, exploded), so the extra candidate volume is
+    * |short values| × (values per length band) — short values are a
+    * thin slice of any real corpus, and the length equi-join keeps the
+    * fallback a hash join, never a cross join. With both paths the
+    * result EQUALS the quadratic join — no recall loss for any input.
     */
   def fuzzyJoin(
       left: DataFrame,
@@ -442,11 +452,14 @@ object Dedup {
     require(maxEdit >= 0, s"maxEdit must be >= 0, got $maxEdit")
     require(q >= 1, s"q must be >= 1, got $q")
     val prefixLen = maxEdit * q + 1
-    def grams(df: DataFrame, c: String, as: String) =
+    def vals(df: DataFrame, c: String, as: String) =
       df.select(col(c).as(as)).where(col(as).isNotNull).distinct()
-        .select(col(as), explode(array_distinct(charShingles(col(as), q))).as("g"))
-    val lg = grams(left, leftCol, "left_val")
-    val rg = grams(right, rightCol, "right_val")
+    val lv = vals(left, leftCol, "left_val")
+    val rv = vals(right, rightCol, "right_val")
+    def grams(values: DataFrame, as: String) =
+      values.select(col(as), explode(array_distinct(charShingles(col(as), q))).as("g"))
+    val lg = grams(lv, "left_val")
+    val rg = grams(rv, "right_val")
     // One global gram order for BOTH sides: ascending df, gram tiebreak.
     val dfOrder = lg.select(col("g")).unionAll(rg.select(col("g")))
       .groupBy("g").agg(count(lit(1)).as("_df"))
@@ -457,8 +470,28 @@ object Dedup {
         .where(col("_rk") <= prefixLen)
         .select(col(valCol), col("g"))
     }
-    prefix(lg, "left_val").join(prefix(rg, "right_val"), "g")
+    val prefixPairs = prefix(lg, "left_val").join(prefix(rg, "right_val"), "g")
       .select(col("left_val"), col("right_val"))
+    // Fallback for gram-poor values (fewer than prefixLen distinct
+    // grams — including len < q, which produces none at all and would
+    // otherwise vanish from the posting join entirely): pair them with
+    // the other side on exact admissible lengths.
+    def short(values: DataFrame, postings: DataFrame, as: String) =
+      values.join(
+        postings.groupBy(as).agg(count(lit(1)).as("_n")).where(col("_n") >= prefixLen),
+        Seq(as), "left_anti")
+    def banded(shorts: DataFrame, shortCol: String, other: DataFrame, otherCol: String) =
+      shorts
+        .withColumn("_len",
+          explode(sequence(
+            greatest(length(col(shortCol)) - maxEdit, lit(0)),
+            length(col(shortCol)) + maxEdit)))
+        .join(other.withColumn("_len", length(col(otherCol))), "_len")
+        .select(col("left_val"), col("right_val"))
+    val shortPairs =
+      banded(short(lv, lg, "left_val"), "left_val", rv, "right_val")
+        .unionAll(banded(short(rv, rg, "right_val"), "right_val", lv, "left_val"))
+    prefixPairs.unionAll(shortPairs)
       .where(abs(length(col("left_val")) - length(col("right_val"))) <= maxEdit)
       .dropDuplicates("left_val", "right_val")
       .withColumn("edit_dist", levenshtein(col("left_val"), col("right_val")))

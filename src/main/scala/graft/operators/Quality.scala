@@ -60,6 +60,14 @@ object Quality {
     */
   def expect(df: DataFrame, checks: Seq[Check], unique: Seq[Seq[String]] = Nil): DataFrame = {
     require(checks.nonEmpty || unique.nonEmpty, "expect: no checks given")
+    // Each check's aggregate is aliased by its name; duplicates (two
+    // inRange on one column, two rowCountBetween, ...) would collide
+    // into ambiguous columns and fail at stack()-resolution with an
+    // opaque AnalysisException — fail here with the actual culprits.
+    val dup = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dup.isEmpty,
+      s"expect: duplicate check names ${dup.mkString(", ")} — " +
+        "give colliding checks distinct names via satisfies(name, ...)")
     val scalar =
       if (checks.isEmpty) Seq.empty[DataFrame]
       else {

@@ -4,6 +4,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, NumericType}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   * (North-star extension; the reference has no vector surface.)
@@ -111,8 +112,21 @@ object Similarity {
       .select(col("cell"), col("centroid"))
       .collect().sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
+    // Pin the appended files to the STANDING vector schema: an
+    // array<double> batch appended under an array<float> index (or
+    // vice versa) would leave conflicting parquet footers, and a later
+    // load resolves from whichever footer wins. Numeric element types
+    // cast; anything else (non-array, non-numeric elements) fails fast.
+    val standingVec = spark.read.parquet(s"$path/assigned").schema("c_vec").dataType
+    val castVec = (standingVec, batch.schema(vecCol).dataType) match {
+      case (s, b) if s == b => col(vecCol)
+      case (s @ ArrayType(_: NumericType, _), ArrayType(_: NumericType, _)) =>
+        col(vecCol).cast(s)
+      case (s, b) => throw new IllegalArgumentException(
+        s"addToIvfIndex: batch vector type $b incompatible with standing index type $s")
+    }
     batch.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col(idCol).as("neighbor_id"), castVec.as("c_vec"),
       nearestCentroid(col(vecCol), cents).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }

@@ -41,6 +41,31 @@ class DedupSpec extends SparkSpec {
       ("flour", "flower", 2), ("flour", "flour", 0)))
   }
 
+  test("fuzzyJoin keeps gram-poor short strings (fallback path) — equals the quadratic join") {
+    // "ab" vs "cb" at q=2/maxEdit=1: one edit destroys the single
+    // 2-gram on each side, so the prefix path alone can never pair
+    // them; "a" and "b" are shorter than q and produce NO grams at
+    // all. All must still surface, exactly as a brute-force join does.
+    val a = Seq("ab", "a", "xy", "kitten", "aaaa").toDF("v")
+    val b = Seq("cb", "b", "xz", "mitten", "aaab").toDF("v")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("left_val", "right_val", "edit_dist")
+        .as[(String, String, Int)].collect().toSet
+    val got = pairs(Dedup.fuzzyJoin(a, b, "v", "v", maxEdit = 1))
+    val brute = pairs(
+      a.select(col("v").as("left_val")).crossJoin(b.select(col("v").as("right_val")))
+        .withColumn("edit_dist", levenshtein(col("left_val"), col("right_val")))
+        .where(col("edit_dist") <= 1))
+    assert(got == brute)
+    assert(got.contains(("ab", "cb", 1)) && got.contains(("a", "b", 1)))
+    // repetitive "aaaa" has a single distinct gram — also fallback territory
+    assert(got.contains(("aaaa", "aaab", 1)))
+    // maxEdit = 0 with len < q values: plain equality must still work
+    val eq = pairs(Dedup.fuzzyJoin(Seq("a", "zz").toDF("v"), Seq("a", "b").toDF("v"),
+      "v", "v", maxEdit = 0))
+    assert(eq == Set(("a", "a", 0)))
+  }
+
   test("dropNearDuplicates keeps exactly each cluster's min-id representative") {
     val out = Dedup.dropNearDuplicates(docs, "doc_id", "text", shingleSize = 2, threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet

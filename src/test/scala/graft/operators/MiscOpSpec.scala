@@ -111,6 +111,27 @@ class MiscOpSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("addToIvfIndex casts a drifted batch vector type to the standing index schema") {
+    import spark.implicits._
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array(math.cos(i / 4.0).toFloat, math.sin(i / 4.0).toFloat))).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cast").toString
+    Similarity.buildIvfIndex(corpus, "id", "v", nlist = 2, trainSample = 16).save(dir)
+    // a day-2 producer drifted to array<double> — the append must be
+    // pinned back to the standing array<float>, or the mixed footers
+    // would poison every later load
+    val batch = Seq((2000L, Array(0.5d, 0.5d))).toDF("id", "v")
+    Similarity.addToIvfIndex(spark, dir, batch, "id", "v")
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.assigned.count() == 33)
+    assert(loaded.assigned.schema("c_vec").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    // non-numeric element types must fail fast, not append garbage
+    val bad = Seq((3000L, Array("x", "y"))).toDF("id", "v")
+    intercept[IllegalArgumentException](Similarity.addToIvfIndex(spark, dir, bad, "id", "v"))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("Similarity.buildIvfIndex trains on a sample and serves repeated query batches") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))

@@ -39,6 +39,13 @@ class QualitySpec extends SparkSpec {
     Quality.requireAll(df, Seq(Quality.notNull("id")), unique = Seq(Seq("id", "tag", "v")))
   }
 
+  test("expect rejects duplicate check names up front with the culprits listed") {
+    val ex = intercept[IllegalArgumentException] {
+      Quality.expect(df, Seq(Quality.inRange("v", 0, 10), Quality.inRange("v", 5, 50)))
+    }
+    assert(ex.getMessage.contains("in_range(v)"))
+  }
+
   test("null predicate rows count as satisfies violations (coalesce false)") {
     val d2 = Seq((Some(1.0)), (None: Option[Double])).toDF("x")
     val r = Quality.expect(d2, Seq(Quality.satisfies("x_pos", col("x") > 0)))
