@@ -27,7 +27,23 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    // The artifact line is ALSO rewritten to /tmp/graft_bench.json after
+    // every query (with the running total and a completeness flag), so a
+    // truncated stdout capture can never lose the totals again — the
+    // file always holds a parseable snapshot of everything measured.
+    def jsonLine(rs: Seq[(String, Double)], complete: Boolean): String = {
+      val qs = rs.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = rs.map(_._2).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","complete":$complete}"""
+    }
+    def snapshot(rs: Seq[(String, Double)], complete: Boolean): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft_bench.json"),
+        (jsonLine(rs, complete) + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    selected.foreach { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -35,12 +51,11 @@ object Bench {
         graft.core.CacheRegistry.unpersistAll()
         elapsed
       }.sorted
-      name -> times(runs / 2)
+      results += (name -> times(runs / 2))
+      snapshot(results.toSeq, complete = false)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    snapshot(results.toSeq, complete = true)
+    println(jsonLine(results.toSeq, complete = true))
     spark.stop()
   }
 }

@@ -941,6 +941,34 @@ object SparkEntry {
           (col("_near_dropped") >= col("n_near").cast("double") * 0.9).as("near_recall_ok"))
     }),
 
+    // Pure-operator timing twin of q_dedup_incremental: ONLY the
+    // day-2 ingestion path (buildDedupIndex + dropAgainstIndex) plus
+    // the cheap exact-fingerprint audit — none of the gate's
+    // ngram-jaccard recall legs, which cost ~4x the operator itself.
+    // The bench figure for incremental dedup is THIS query; the full
+    // gate above keeps the near-dup recall verification.
+    "q_dedup_incr_op" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val old = docs.where(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
+      val copies = old.where(col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val newBatch = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")).unionAll(copies)
+      val index = graft.core.CacheRegistry.persist(
+        Dedup.buildDedupIndex(old, "doc_id", "text", 2, 64, 16),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = Dedup.dropAgainstIndex(newBatch, index, "doc_id", "text", 2, 64, 16)
+      val newFp = newBatch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val oldFp = old.select(fingerprint(col("text")).as("fp")).distinct()
+      val exactDupIds = newFp.join(oldFp, Seq("fp"), "left_semi").select(col("doc_id"))
+      newBatch.agg(count(lit(1)).as("n_new"))
+        .crossJoin(exactDupIds.agg(count(lit(1)).as("n_exact_dup")))
+        .crossJoin(exactDupIds.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("_exact_kept")))
+        .select(col("n_new"), col("n_exact_dup"),
+          (col("_exact_kept") === 0L).as("exact_dropped_ok"))
+    }),
+
     // Leakage-safe train/val/test assignment: split by near-dup
     // CLUSTER hash (same pair graph as q_dedup_cc), so planted
     // near-dups can never straddle the train/test boundary.
@@ -1622,6 +1650,20 @@ object SparkEntry {
          |  (SELECT count(*) FROM near_new) AS n_near,
          |  true AS exact_dropped_ok,
          |  true AS near_recall_ok""".stripMargin,
+
+    // operator-only twin: n_new/n_exact_dup from first principles,
+    // exact_dropped_ok pinned (the fingerprint-path guarantee)
+    "q_dedup_incr_op" ->
+      s"""WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |new_batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1)
+         |SELECT
+         |  (SELECT count(*) FROM new_batch) AS n_new,
+         |  (SELECT count(*) FROM new_batch n WHERE EXISTS (SELECT 1 FROM old o
+         |     WHERE md5(trim(regexp_replace(lower(n.text), '\\s+', ' ', 'g'))) =
+         |           md5(trim(regexp_replace(lower(o.text), '\\s+', ' ', 'g'))))) AS n_exact_dup,
+         |  true AS exact_dropped_ok""".stripMargin,
 
     // same CC recursive CTE as q_dedup_cc, then the md5 cluster-hash
     // split (thresholds = hexThreshold(0.8)/(0.9) from the Spark side)
