@@ -18,38 +18,76 @@ trait Component extends (Flow => Flow) {
   def |>(next: Component): Composite = Composite(Seq(this, next))
 }
 
-/** Session-lifetime registry of DataFrames persisted by components
-  * (today: cache=true Splitters), so callers can release cached blocks
-  * deterministically instead of leaking them until session end.
-  * `Sink.drain()` calls [[unpersistAll]] after awaiting async sinks.
+/** One flow run's mutable bookkeeping: the DataFrames its components
+  * persisted, its `no_wait` stream marks, and its pending async sinks.
+  * Every registry below reads the ACTIVE scope, so two pipelines that
+  * reuse stream names — or that drain at different times — cannot
+  * interfere once each runs inside [[RunScope.scoped]]:
+  *
+  * {{{
+  * RunScope.scoped { pipeline(flow); Sink.drain() }  // releases ONLY
+  *                                                   // this run's caches
+  * }}}
+  *
+  * Code outside any `scoped` block shares the [[RunScope.root]] scope,
+  * which preserves the session-lifetime behavior (tests, Verify, Bench
+  * call `CacheRegistry.unpersistAll()` to sweep it).
+  */
+final class RunScope {
+  private[graft] val persisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private[graft] val noWaitMarks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] val pendingSinks =
+    new java.util.concurrent.ConcurrentLinkedQueue[scala.concurrent.Future[Unit]]()
+}
+
+object RunScope {
+  /** The default scope shared by everything not running under [[scoped]]. */
+  val root = new RunScope
+  private val current = new scala.util.DynamicVariable[RunScope](root)
+  def active: RunScope = current.value
+  /** Run `body` under a fresh scope. The scope is thread-confined (the
+    * thread applying the flow is the thread that drains it — Spark
+    * actions block their caller, so one flow run IS one thread); async
+    * sink FUTURES may hop threads, but they register with the caller's
+    * scope before launching.
+    */
+  def scoped[A](body: => A): A = current.withValue(new RunScope)(body)
+}
+
+/** Registry of DataFrames persisted by components (cache=true
+  * Splitters, multi-leg dedup/similarity operators), so callers can
+  * release cached blocks deterministically instead of leaking them
+  * until session end. `Sink.drain()` calls [[unpersistAll]] after
+  * awaiting async sinks. Scoped per flow run via [[RunScope]].
   */
 object CacheRegistry {
-  private val persisted =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
   def persist(df: DataFrame, level: org.apache.spark.storage.StorageLevel): DataFrame = {
     val p = df.persist(level)
-    persisted.add(p)
+    RunScope.active.persisted.add(p)
     p
   }
 
   def unpersistAll(): Unit = {
-    var df = persisted.poll()
-    while (df != null) { df.unpersist(); df = persisted.poll() }
+    val q = RunScope.active.persisted
+    var df = q.poll()
+    while (df != null) { df.unpersist(); df = q.poll() }
   }
 }
 
-/** Session-lifetime registry marking streams whose mix was declared
-  * `no_wait` (reference: lib/gen_mix.ex:377-387 — output halts as soon
-  * as one input halts). Batch unions are all-finite so the flag is a
-  * no-op there; for streams, [[graft.streaming.StreamSink]] consumes
-  * the mark and applies the stop-when-an-input-drains policy.
+/** Marks streams whose mix was declared `no_wait` (reference:
+  * lib/gen_mix.ex:377-387 — output halts as soon as one input halts).
+  * Batch unions are all-finite so the flag is a no-op there; for
+  * streams, [[graft.streaming.StreamSink]] consumes the mark and
+  * applies the stop-when-an-input-drains policy. Scoped per flow run
+  * via [[RunScope]], so two flows reusing a stream name can't exchange
+  * marks.
   */
 object NoWait {
-  private val marked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  def mark(stream: String): Unit = marked.add(stream)
+  def mark(stream: String): Unit = RunScope.active.noWaitMarks.add(stream)
   /** True if the stream was marked; clears the mark (one consumer). */
-  def consume(stream: String): Boolean = marked.remove(stream)
+  def consume(stream: String): Boolean = RunScope.active.noWaitMarks.remove(stream)
 }
 
 object FlowOps {
@@ -159,7 +197,7 @@ object Topology {
   }
 
   /** One line per component: `[i] Name  ins ──▶ outs` (`·` = none). */
-  def draw(composite: Composite): String =
+  def edgeList(composite: Composite): String =
     composite.components.zipWithIndex.map { case (c, i) =>
       val (ins, outs) = edges(c)
       val name = c.getClass.getSimpleName.stripSuffix("$")
@@ -167,6 +205,78 @@ object Topology {
       val out = if (outs.isEmpty) "·" else outs.distinct.mkString(", ")
       f"[$i] $name%-12s $in ──▶ $out"
     }.mkString("\n")
+
+  /** Component glyphs, as the reference draws them
+    * (lib/composite/topology.ex:181-185): source ▼, sink ▲, mixer Y,
+    * splitter Λ, transformer ⏺.
+    */
+  private def glyph(c: Component): String = c match {
+    case _: graft.sources.Source | _: graft.streaming.StreamSource => "▼"
+    case _: graft.sinks.Sink | _: graft.streaming.StreamSink       => "▲"
+    case _: graft.operators.Mixer                                  => "Y"
+    case _: graft.operators.Splitter                               => "Λ"
+    case _: graft.operators.Loop                                   => "↻"
+    case _                                                         => "⏺"
+  }
+
+  /** Vertical stream-graph rendering (reference:
+    * lib/composite/topology.ex:9-33): streams are vertical tracks
+    * (`|`), each component is three lines — the active stream names,
+    * the track line with the component's consumed inputs solid
+    * (`❚`), and the glyph line placed at the mean input track with
+    * produced streams marked `.`. Ended streams free their track; new
+    * outputs take the freed slot closest to the component (splitter
+    * fan-out spreads outward from its glyph). Returns the drawing; the
+    * reference prints it.
+    */
+  def draw(composite: Composite): String = {
+    val lines = Vector.newBuilder[String]
+    def line(s: String): Unit = lines += s.replaceAll("\\s+$", "")
+    var tracks = Vector.empty[Option[String]]
+    composite.components.zipWithIndex.foreach { case (c, i) =>
+      val (insAll, outsAll) = edges(c)
+      val ins = insAll.distinct
+      val outs = outsAll.distinct
+      // streams appearing for the first time open a track
+      ins.filterNot(n => tracks.contains(Some(n))).foreach(n => tracks :+= Some(n))
+      line(tracks.flatten.mkString(" "))
+      line(tracks.map {
+        case Some(n) if ins.contains(n) => "❚ "
+        case Some(_)                    => "| "
+        case None                       => "  "
+      }.mkString)
+      val inPos = tracks.zipWithIndex.collect { case (Some(n), p) if ins.contains(n) => p }
+      val avg0 = if (inPos.isEmpty) tracks.length // source: glyph sits on its new track
+                 else math.round(inPos.sum.toDouble / inPos.size).toInt
+      // consumed-and-not-re-emitted streams end: their tracks free up
+      tracks = tracks.map {
+        case Some(n) if ins.contains(n) && !outs.contains(n) => None
+        case t                                               => t
+      }
+      // new outputs take the free slot nearest the glyph, else append
+      outs.filterNot(n => tracks.contains(Some(n))).foreach { n =>
+        val free = tracks.zipWithIndex.collect { case (None, p) => p }
+        if (free.isEmpty) tracks :+= Some(n)
+        else tracks = tracks.updated(free.minBy(p => math.abs(p - avg0)), Some(n))
+      }
+      // an input-less component (source) anchors on its first output's track
+      val avg = if (inPos.nonEmpty) avg0
+        else tracks.indexWhere(t => t.exists(outs.contains)) match {
+          case -1 => math.max(tracks.length - 1, 0)
+          case p  => p
+        }
+      val glyphLine = tracks.zipWithIndex.map {
+        case (_, p) if p == avg          => glyph(c) + " "
+        case (Some(n), _) if outs.contains(n) => ". "
+        case (Some(_), _)                => "| "
+        case (None, _)                   => "  "
+      }.mkString
+      val name = c.getClass.getSimpleName.stripSuffix("$")
+      line(glyphLine.replaceAll("\\s+$", "") + s"  $name ($i)")
+    }
+    val tail = tracks.flatten.mkString(" ")
+    (lines.result() ++ (if (tail.nonEmpty) Seq(tail) else Nil)).mkString("\n")
+  }
 }
 
 object Composite {

@@ -24,14 +24,19 @@ final case class Sink(name: String, run: DataFrame => Unit, sync: Boolean = fals
 }
 
 object Sink {
-  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Future[Unit]]()
-  private def register(f: Future[Unit]): Unit = pending.add(f)
+  // Per-run-scope: the Future registers with the CALLER's scope before
+  // launching, so drain() in one flow run never awaits (or releases the
+  // caches of) a concurrent pipeline running in its own RunScope.
+  private def register(f: Future[Unit]): Unit =
+    graft.core.RunScope.active.pendingSinks.add(f)
 
-  /** Await all async sinks started so far, then release any DataFrames
-    * cached by components (test/process-exit helper).
+  /** Await all async sinks started so far IN THIS RUN SCOPE, then
+    * release the DataFrames cached by this scope's components
+    * (test/process-exit helper).
     */
   def drain(): Unit = {
     import scala.concurrent.duration._
+    val pending = graft.core.RunScope.active.pendingSinks
     var f = pending.poll()
     while (f != null) { scala.concurrent.Await.result(f, 10.minutes); f = pending.poll() }
     graft.core.CacheRegistry.unpersistAll()

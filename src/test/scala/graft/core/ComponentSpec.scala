@@ -127,9 +127,10 @@ class ComponentSpec extends SparkSpec {
     intercept[IllegalArgumentException](Renamer(Map("zzz" -> "y"))(flow))
   }
 
-  test("topology draws the stream edges of the words-count pipeline") {
-    // reference: lib/composite/topology.ex:9-33 — the useful part is
-    // which stream names flow into and out of each component.
+  test("topology draws the stream graph of the words-count pipeline") {
+    // reference: lib/composite/topology.ex:9-33 — streams as vertical
+    // tracks, one glyph row per component, splitter fan-out spreading
+    // from the glyph. edgeList keeps the compact in/out summary.
     val pipeline = Composite(Seq(
       Source.of("docs", Seq("a b").toDF("text")),
       Transformer("docs")(df => df.select(explode(split(col("text"), " ")).as("word"))),
@@ -137,18 +138,106 @@ class ComponentSpec extends SparkSpec {
       Mixer(Seq("short", "long"), "merged"),
       graft.sinks.Sink("merged", _.count(): Unit)))
     val drawn = pipeline.topology
-    val lines = drawn.split("\n").toSeq
-    assert(lines.length == 5)
-    assert(lines(0).contains("Source") && lines(0).contains("· ──▶ docs"))
-    assert(lines(1).contains("Transformer") && lines(1).contains("docs ──▶ docs"))
-    assert(lines(2).contains("Splitter") && lines(2).contains("docs ──▶ short, long"))
-    assert(lines(3).contains("Mixer") && lines(3).contains("short, long ──▶ merged"))
-    assert(lines(4).contains("Sink") && lines(4).contains("merged ──▶ ·"))
+    assert(drawn ==
+      """|
+         |
+         |▼  Source (0)
+         |docs
+         |❚
+         |⏺  Transformer (1)
+         |docs
+         |❚
+         |Λ .  Splitter (2)
+         |short long
+         |❚ ❚
+         |  Y  Mixer (3)
+         |merged
+         |  ❚
+         |  ▲  Sink (4)""".stripMargin)
+    val edges = Topology.edgeList(pipeline).split("\n").toSeq
+    assert(edges(0).contains("Source") && edges(0).contains("· ──▶ docs"))
+    assert(edges(2).contains("Splitter") && edges(2).contains("docs ──▶ short, long"))
+    assert(edges(4).contains("Sink") && edges(4).contains("merged ──▶ ·"))
+  }
+
+  test("topology draws the two-source parcels pipeline with a shared mix") {
+    // orders + parcels mix into events; a splitter fans out the CEP
+    // verdict streams; each verdict drains to its own sink.
+    val orders = Seq((1, "order")).toDF("id", "kind")
+    val parcels = Seq((1, "parcel")).toDF("id", "kind")
+    val pipeline = Composite(Seq(
+      Source.of("orders", orders),
+      Source.of("parcels", parcels),
+      Mixer(Seq("orders", "parcels"), "events"),
+      Transformer("events")(identity),
+      Splitter.predicates("events",
+        Seq("in_time" -> (col("kind") === "parcel"), "late" -> (col("kind") =!= "parcel"))),
+      graft.sinks.Sink("in_time", _.count(): Unit),
+      graft.sinks.Sink("late", _.count(): Unit)))
+    val drawn = pipeline.topology
+    assert(drawn ==
+      """|
+         |
+         |▼  Source (0)
+         |orders
+         ||
+         || ▼  Source (1)
+         |orders parcels
+         |❚ ❚
+         |  Y  Mixer (2)
+         |events
+         |  ❚
+         |  ⏺  Transformer (3)
+         |events
+         |  ❚
+         |. Λ  Splitter (4)
+         |late in_time
+         || ❚
+         || ▲  Sink (5)
+         |late
+         |❚
+         |▲  Sink (6)""".stripMargin)
   }
 
   test("transformer on many streams applies independently (per-stream acc rule)") {
     val flow: Flow = Map("a" -> Seq(1).toDF("v"), "b" -> Seq(10).toDF("v"))
     val out = Transformer.onEach(Seq("a", "b"))(df => df.withColumn("v", col("v") * 3))(flow)
     assert(out("a").as[Int].head() == 3 && out("b").as[Int].head() == 30)
+  }
+
+  test("two concurrent scoped flows with colliding names share no caches or no_wait marks") {
+    import java.util.concurrent.CyclicBarrier
+    import org.apache.spark.storage.StorageLevel
+    // Both flows use stream name "s", persist a cache, mark "s" no_wait,
+    // and drain at different times. Scoping must keep them apart:
+    // flow A's drain may not release flow B's cache or see its mark.
+    val barrier = new CyclicBarrier(2)
+    @volatile var bCache: org.apache.spark.sql.DataFrame = null
+    @volatile var bSawOwnMark = false
+    @volatile var aSawForeignMark = true
+    val a = new Thread(() => RunScope.scoped {
+      val cached = CacheRegistry.persist(
+        Seq(1, 2).toDF("v"), StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      barrier.await() // B has marked "s" in ITS scope by now
+      aSawForeignMark = NoWait.consume("s") // must NOT see B's mark
+      graft.sinks.Sink.drain()              // releases only A's cache
+      barrier.await() // let B check its cache survived A's drain
+    })
+    val b = new Thread(() => RunScope.scoped {
+      bCache = CacheRegistry.persist(
+        Seq(3, 4).toDF("v"), StorageLevel.MEMORY_AND_DISK)
+      bCache.count()
+      NoWait.mark("s")
+      barrier.await()
+      barrier.await() // A drained; our cache must still be resident
+      bSawOwnMark = NoWait.consume("s")
+    })
+    a.start(); b.start(); a.join(30000); b.join(30000)
+    assert(!aSawForeignMark, "flow A consumed flow B's no_wait mark")
+    assert(bSawOwnMark, "flow B lost its own no_wait mark")
+    assert(bCache.storageLevel != StorageLevel.NONE,
+      "flow A's drain released flow B's cache")
+    bCache.unpersist()
   }
 }

@@ -305,6 +305,45 @@ class StreamingSpec extends SparkSpec {
       Seq((1, 7L, 7L)))
   }
 
+  test("late-arrival fixture: the streaming funnel's no-re-anchor divergence from the batch funnel, pinned exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamFunnel._
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamFunnel(in.toDS(), Seq("a", "b", "c"))
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append").start()
+    // batch 1: user 1 matches a@10, b@20; user 3 sees b@20, c@30 but has
+    // no anchor yet, so they pass through unmatched (and unremembered).
+    in.addData(FunnelEvent(1, 10, "a"), FunnelEvent(1, 20, "b"),
+      FunnelEvent(3, 20, "b"), FunnelEvent(3, 30, "c"))
+    q.processAllAvailable()
+    // batch 2: LATE anchors arrive — a@1 (user 1), a@5 (user 3).
+    in.addData(FunnelEvent(1, 30, "c"), FunnelEvent(1, 1, "a"), FunnelEvent(3, 5, "a"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("funnel_late").as[FunnelProgress].collect()
+      .groupBy(_.user_id).view.mapValues { ps =>
+        val m = ps.maxBy(_.steps_done); (m.steps_done, m.t0_us, m.t_end_us)
+      }.toMap
+    // the batch funnel re-runs greedy over the SAME complete event log
+    val all = Seq((1L, 10L, "a"), (1L, 20L, "b"), (3L, 20L, "b"), (3L, 30L, "c"),
+      (1L, 30L, "c"), (1L, 1L, "a"), (3L, 5L, "a"))
+    val batchDf = all.toDF("user_id", "ts_us", "et")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("et"))
+    val batch = graft.operators.Analytics
+      .funnel(batchDf, col("user_id"), col("ts"), col("et"), Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // The exact behavioral delta of bounded streaming state:
+    // user 1 — batch re-anchors at the late a@1; streaming keeps its
+    // original anchor (same steps, different t0).
+    assert(batch(1L) == ((3, 1L, 30L)))
+    assert(streamed(1L) == ((3, 10L, 30L)))
+    // user 3 — batch completes all 3 steps from the late anchor;
+    // streaming CANNOT replay the b/c it already passed through
+    // pre-anchor, so it sits at step 1 forever.
+    assert(batch(3L) == ((3, 5L, 30L)))
+    assert(streamed(3L) == ((1, 5L, 5L)))
+  }
+
   test("streaming funnel timeout evicts idle users without emitting; progress sets the next timeout") {
     import StreamFunnel._
     import org.apache.spark.api.java.Optional
