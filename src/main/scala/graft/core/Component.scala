@@ -169,6 +169,36 @@ final case class Composite(components: Seq[Component]) extends Component {
     * For the physical plan use `df.explain` on any flow stream instead.
     */
   def topology: String = Topology.draw(this)
+
+  /** Deep-chain escape hatch: insert a [[LocalCheckpoint]] stage after
+    * every `n` components. Catalyst analysis cost grows superlinearly
+    * with plan depth, so a program that COMPOSES pipelines (the
+    * reference's 100k-transformer envelope,
+    * test/experiments_test.exs:76-181) eventually pays more to analyze
+    * the plan than to run it; truncating lineage every `n` stages caps
+    * the depth Catalyst ever sees at `n`. Costs one materialization of
+    * every live stream per checkpoint (executor-local blocks — cheap,
+    * but not free, and not fault-tolerant storage: a lost executor
+    * kills the run, acceptable for the driver-local deep-chain case).
+    * Streaming frames pass through untouched.
+    */
+  def checkpointEvery(n: Int): Composite = {
+    require(n > 0, s"checkpointEvery: n must be positive, got $n")
+    Composite(components.grouped(n).flatMap { g =>
+      if (g.length == n) g :+ LocalCheckpoint() else g // no trailing stage
+    }.toSeq)
+  }
+}
+
+/** Truncates every batch stream's lineage via `localCheckpoint` —
+  * inserted by [[Composite.checkpointEvery]]; usable directly anywhere
+  * a pipeline grows too deep for Catalyst analysis.
+  */
+final case class LocalCheckpoint(eager: Boolean = true) extends Component {
+  def apply(flow: Flow): Flow =
+    flow.map { case (n, df) =>
+      n -> (if (df.isStreaming) df else df.localCheckpoint(eager))
+    }
 }
 
 /** Stream-graph rendering for composites (reference:

@@ -205,6 +205,24 @@ class ComponentSpec extends SparkSpec {
     assert(out("a").as[Int].head() == 3 && out("b").as[Int].head() == 30)
   }
 
+  test("deep composite chains: 1000 stages complete under checkpointEvery, values exact") {
+    // the reference's composition envelope chains 100k transformers
+    // (test/experiments_test.exs:76-181, disabled there). Here the
+    // limit is Catalyst: recursive plan analysis overflows the JVM
+    // stack around ~1000 chained stages. checkpointEvery(n) truncates
+    // lineage every n stages so analysis depth never exceeds n.
+    val stage = Transformer("s")(df => df.withColumn("v", col("v") + 1))
+    // moderate depth needs no hatch
+    val plain = Composite(Seq.fill(300)(stage: Component))
+    assert(plain(Map("s" -> Seq(1, 2, 3).toDF("v")))("s")
+      .agg(sum("v")).head().getLong(0) == 6 + 3 * 300)
+    // 1000 stages WITHOUT the hatch would StackOverflowError (measured
+    // on this JVM's default stack); with it the chain is routine
+    val deep = Composite(Seq.fill(1000)(stage: Component)).checkpointEvery(100)
+    assert(deep(Map("s" -> Seq(1, 2, 3).toDF("v")))("s")
+      .agg(sum("v")).head().getLong(0) == 6 + 3 * 1000)
+  }
+
   test("two concurrent scoped flows with colliding names share no caches or no_wait marks") {
     import java.util.concurrent.CyclicBarrier
     import org.apache.spark.storage.StorageLevel

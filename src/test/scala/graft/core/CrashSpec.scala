@@ -88,4 +88,31 @@ class CrashSpec extends SparkSpec {
     assert(out("s").as[Long].head() == 24L) // 2+4+8+10
     assert(drops.value == 1L) // exactly the poisoned record was dropped
   }
+
+  test("Spark task retry (spark.task.maxFailures) recovers a once-failing task with exact results") {
+    // SURVEY §2.1 #20 maps the reference's supervision/restart strategy
+    // (test/crash_test.exs kill-and-resume) onto Spark's task-level
+    // retry. The shared session is local[4] = fail-fast and a JVM holds
+    // one SparkContext, so RetryProbe runs the local[2, 2] scenario in
+    // its own JVM: every task's first attempt throws, the retry
+    // succeeds, and the flow's results are exact.
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    // reuse this (forked, Spark-configured) JVM's --add-opens flags;
+    // flag and module may arrive as one "--add-opens=..." token or two
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val addOpens = jvmArgs.zipWithIndex.flatMap {
+      case (a, i) if a == "--add-opens" || a == "--add-exports" => Seq(a, jvmArgs(i + 1))
+      case (a, _) if a.startsWith("--add-opens=") || a.startsWith("--add-exports=") => Seq(a)
+      case _ => Nil
+    }
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", System.getProperty("java.class.path"), "graft.core.RetryProbe")
+    val p = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    val code = p.waitFor()
+    assert(code == 0, s"RetryProbe exited $code:\n${out.takeRight(2000)}")
+  }
 }
