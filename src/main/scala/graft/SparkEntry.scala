@@ -660,6 +660,20 @@ object SparkEntry {
       TrainingData.qualityFilter(t(s, d, "documents"), "doc_id", "text",
         minWords = 40, maxWords = 1000)),
 
+    // Token-budget corpus selection: the best 150k words of the corpus
+    // in (stopword-quality DESC, doc_id) order — range-partitioned
+    // prefix sums, never a single-partition running-sum window. The
+    // oracle recomputes the running total with a plain window.
+    "q_budget_select" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        round(graft.functions.TextFunctions.stopwordRatio(col("text")), 4).as("quality"))
+      TrainingData.budgetSelect(
+        scored, Seq(col("quality").desc, col("doc_id")), col("n_tokens"), 150000L)
+        .select(col("doc_id"), col("n_tokens"), col("quality"), col("cum_tokens"))
+    }),
+
     // Misra-Gries heavy-hitters gate, run at real eviction pressure
     // (capacity 2 over 5 langs): the MG guarantee — every item with
     // frequency > n/(capacity+1) is PRESENT, undercounted by at most
@@ -814,6 +828,20 @@ object SparkEntry {
           Quality.satisfies("positive_price", col("l_extendedprice") > 0),
           Quality.rowCountBetween(1L, 1000000000L)),
         unique = Seq(Seq("l_orderkey", "l_linenumber"), Seq("l_returnflag")))),
+
+    // Corpus snapshot diff (day-2 release gate): v1 = docs with
+    // id % 7 != 0, v2 = docs with id % 5 != 0 where every id % 3 == 0
+    // doc gained a " v2" suffix — all four statuses appear, and the
+    // join carries only (id, md5 fingerprint), never text.
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val v1 = docs.where(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+      val v2 = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Quality.snapshotDiff(v1, v2, "doc_id", "text")
+    }),
 
     // Decile assignment per event type (ntile window, tiebroken).
     "q_ntile" -> ((s, d) =>
@@ -1307,6 +1335,21 @@ object SparkEntry {
         |  (SELECT count(*) FROM (SELECT 1 AS x FROM lineitem
         |    GROUP BY l_returnflag HAVING count(*) > 1))
         |) SELECT "check", violations, violations = 0 AS pass FROM r""".stripMargin,
+
+    // same normalized-md5 fingerprints, full-outer joined
+    "q_snapshot_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, md5($NormalizedText) AS fp
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |v2src AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |v2 AS (SELECT doc_id, md5($NormalizedText) AS fp FROM v2src)
+         |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         |  CASE WHEN v1.fp IS NULL THEN 'added'
+         |       WHEN v2.fp IS NULL THEN 'removed'
+         |       WHEN v1.fp = v2.fp THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
 
     "q_ntile" ->
       """SELECT event_id, event_type,
@@ -1804,6 +1847,20 @@ object SparkEntry {
          |  (nw BETWEEN 40 AND 1000) AND (mwl BETWEEN 3.0 AND 10.0) AND sym <= 0.1
          |    AND alr >= 0.5 AND (str BETWEEN 0.0 AND 0.6) AS keep
          |FROM v""".stripMargin,
+
+    // running word-total recomputed with a plain window over the same
+    // (rounded stopword quality DESC, doc_id) total order
+    "q_budget_select" ->
+      s"""WITH s AS (SELECT doc_id, len($W) AS nw,
+         |  CASE WHEN len($W) = 0 THEN 0.0
+         |       ELSE len(list_filter($W, w -> w IN
+         |         ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len($W)
+         |  END AS str FROM documents),
+         |r AS (SELECT doc_id, nw, round(str, 4) AS quality,
+         |  sum(nw) OVER (ORDER BY round(str, 4) DESC, doc_id) AS cum FROM s)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_tokens, quality,
+         |  CAST(cum AS BIGINT) AS cum_tokens
+         |FROM r WHERE cum <= 150000""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH c AS (SELECT lang, count(*) AS n_exact FROM documents GROUP BY lang),

@@ -100,6 +100,33 @@ object Quality {
         s"data-quality expectations failed:\n  ${failed.mkString("\n  ")}")
   }
 
+  /** Corpus snapshot diff — the day-2 regression check run between two
+    * versions of a table before promoting the new one: classify every
+    * key as `added` / `removed` / `changed` / `unchanged` by comparing
+    * content FINGERPRINTS ([[graft.functions.TextFunctions.fingerprint]]:
+    * md5 of whitespace/case-normalized content), so the join carries
+    * `(key, 16-byte fp)` — never payloads. One full-outer hash join on
+    * the key; at 100 TB both projections prune to two columns at the
+    * scan and the shuffle is keys + fingerprints. Aggregate the result
+    * for the release-gate summary (`groupBy(status).count`), or
+    * anti-filter `changed` for targeted re-validation.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val o = oldDf.select(col(idCol).as("id"), fingerprint(col(contentCol)).as("_fp_old"))
+    val n = newDf.select(col(idCol).as("id"), fingerprint(col(contentCol)).as("_fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_new").isNull, "removed")
+          .when(col("_fp_old") === col("_fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Attach the scalar checks as `observe` metrics riding the frame's
     * own execution — zero extra jobs or scans. On a STREAM the metrics
     * surface per micro-batch in `StreamingQueryProgress.observedMetrics

@@ -445,4 +445,60 @@ object TrainingData {
       Seq(col("_shuffle_key"), keyCol),
       posCol)
       .drop("_shuffle_key")
+
+  /** Token-budget corpus selection — the LAST step of a pretraining
+    * data recipe: keep documents in `orderBy` order (quality-ranked;
+    * or md5-ranked for a deterministic random subset) while the
+    * running `tokensCol` total stays within `budget`. A kept row's
+    * cumulative total rides along as `cumCol`.
+    *
+    * `orderBy` must be a TOTAL order (include a unique id tiebreak) or
+    * the boundary document is arbitrary.
+    *
+    * Scale shape: one range repartition gives the global order; the
+    * running total is per-partition prefix sums shifted by the
+    * partition totals — |partitions| longs through the driver, the
+    * [[Relational.globalIndex]] pattern — NEVER a single-partition
+    * running-sum window. The budget cut is then one comparison per
+    * row, and partitions whose offset already exceeds the budget
+    * contribute nothing (at 100 TB the cut prunes them wholesale; a
+    * cluster job would push `offset <= budget` into a partition-level
+    * skip).
+    */
+  def budgetSelect(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      tokensCol: Column,
+      budget: Long,
+      cumCol: String = "cum_tokens"): DataFrame = {
+    require(orderBy.nonEmpty, "budgetSelect: orderBy must be non-empty")
+    require(budget >= 0L, s"budgetSelect: budget must be >= 0, got $budget")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val sorted = graft.core.CacheRegistry.persist(
+      df.withColumn("_tok", tokensCol.cast("long"))
+        .repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded driver state: one (pid, token total) per partition
+    val totals = sorted
+      .groupBy(spark_partition_id().as("_pid")).agg(sum(col("_tok")).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nPart = sorted.rdd.getNumPartitions
+    val offsets = (0 until nPart).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val schema = StructType(sorted.schema.fields :+ StructField(cumCol, LongType, nullable = false))
+    val tokIdx = sorted.schema.fieldIndex("_tok")
+    val withCum = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      // a partition starting past the budget emits nothing — one check,
+      // not one per row
+      if (acc > budget) Iterator.empty
+      else it.map { r =>
+        acc += (if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(withCum, schema)
+      .where(col(cumCol) <= budget)
+      .drop("_tok")
+  }
 }

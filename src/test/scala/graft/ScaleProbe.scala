@@ -49,6 +49,13 @@ object ScaleProbe {
       TrainingData.chunkWords(docs10, Seq("doc_id"), "text", 64, 32).count())
     time("repetitionStats 50k docs")(
       TrainingData.repetitionStats(docs10, "doc_id", "text", 2).count())
+    time("budgetSelect 50k docs, 2M-token budget")(
+      TrainingData.budgetSelect(
+        docs10.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          graft.functions.TextFunctions.stopwordRatio(col("text")).as("q")),
+        Seq(col("q").desc, col("doc_id")), col("n_tokens"), 2000000L).count())
+    graft.core.CacheRegistry.unpersistAll()
     val sup = spark.read.parquet(s"$d/supplier.parquet")
     val sup10 = (0 until 10).map(k =>
       sup.select(concat(col("s_name"), lit("#"), lit(k)).as("s_name")))

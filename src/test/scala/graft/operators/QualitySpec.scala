@@ -39,6 +39,18 @@ class QualitySpec extends SparkSpec {
     Quality.requireAll(df, Seq(Quality.notNull("id")), unique = Seq(Seq("id", "tag", "v")))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged by normalized fingerprint") {
+    val v1 = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta")).toDF("id", "text")
+    val v2 = Seq((1L, "ALPHA   beta"), (2L, "gamma prime"), (4L, "epsilon")).toDF("id", "text")
+    val out = Quality.snapshotDiff(v1, v2, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unchanged", // case/whitespace normalize away
+      2L -> "changed",
+      3L -> "removed",
+      4L -> "added"))
+  }
+
   test("expect rejects duplicate check names up front with the culprits listed") {
     val ex = intercept[IllegalArgumentException] {
       Quality.expect(df, Seq(Quality.inRange("v", 0, 10), Quality.inRange("v", 5, 50)))

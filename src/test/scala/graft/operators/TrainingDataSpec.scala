@@ -209,6 +209,30 @@ class TrainingDataSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("budgetSelect keeps the exact greedy prefix of the global order") {
+    // 200 docs, token counts 1..200, priority = descending id. Greedy
+    // prefix from id=200 down: kept while inclusive cumsum <= budget.
+    val docs = (1L to 200L).map(i => (i, i)).toDF("id", "toks")
+    val budget = 3000L
+    val out = TrainingData.budgetSelect(
+      docs, Seq(col("id").desc), col("toks"), budget)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(-_._1).toSeq
+    // expected: 200+199+... while <= 3000 -> 200..186 (sum 2895; adding
+    // 185 -> 3080 > budget, and NOTHING later backfills: greedy prefix,
+    // not knapsack)
+    val expected = (200L to 1L by -1L)
+      .scanLeft((0L, 0L)) { case ((_, cum), id) => (id, cum + id) }
+      .tail.takeWhile(_._2 <= budget)
+    assert(out == expected)
+    assert(out.last._1 == 186L && out.last._2 == 2895L)
+    // boundary doc 185 is dropped even though doc 1 alone would fit
+    assert(!out.exists(_._1 == 185L) && !out.exists(_._1 == 1L))
+    // budget 0 selects nothing; full budget selects everything
+    assert(TrainingData.budgetSelect(docs, Seq(col("id")), col("toks"), 0L).count() == 0)
+    assert(TrainingData.budgetSelect(docs, Seq(col("id")), col("toks"), 1000000L).count() == 200)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("deterministicShuffle is a stable permutation, keyed by seed") {
     val df = (1L to 50L).toDF("id")
     val run1 = TrainingData.deterministicShuffle(df, col("id"))
