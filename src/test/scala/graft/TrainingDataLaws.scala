@@ -118,6 +118,36 @@ object TrainingDataLaws extends Properties("TrainingData") {
       d2.keySet == d3.keySet && d2.forall { case (u, k) => k == math.min(d3(u), 2) }
     }
 
+  property("budgetSelect equals the window-cumsum greedy prefix for any tokens/budget") =
+    forAll(Gen.listOfN(30, Gen.chooseNum(0, 50)), Gen.chooseNum(0L, 800L)) { (tokens, budget) =>
+      val df = tokens.zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }.toDF("id", "toks")
+      val got = TrainingData.budgetSelect(df, Seq(col("id")), col("toks"), budget)
+        .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      graft.core.CacheRegistry.unpersistAll()
+      val expected = tokens.zipWithIndex
+        .scanLeft((-1L, 0L)) { case ((_, cum), (n, i)) => (i.toLong, cum + n) }
+        .tail.filter(_._2 <= budget)
+      got == expected
+    }
+
+  property("fuzzyJoin equals the quadratic levenshtein join on arbitrary short strings") =
+    forAll(
+      Gen.listOfN(8, Gen.chooseNum(0, 4).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))),
+      Gen.listOfN(8, Gen.chooseNum(0, 4).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))),
+      Gen.chooseNum(0, 2)) { (ls, rs, maxEdit) =>
+      // tiny tri-letter strings maximize gram-poor cases — every pair
+      // must still match the brute-force join (the prefix theorem never
+      // applies here; this drives the fallback leg exclusively)
+      val l = ls.toDF("v"); val r = rs.toDF("v")
+      val got = graft.operators.Dedup.fuzzyJoin(l, r, "v", "v", maxEdit)
+        .select("left_val", "right_val").as[(String, String)].collect().toSet
+      val brute = l.select(col("v").as("left_val"))
+        .crossJoin(r.select(col("v").as("right_val")))
+        .where(levenshtein(col("left_val"), col("right_val")) <= maxEdit)
+        .distinct().as[(String, String)].collect().toSet
+      got == brute
+    }
+
   property("duplicateSpanFraction is 0 for unique docs, 1 for verbatim copies, in [0,1] always") =
     forAll(Gen.chooseNum(2, 6)) { n =>
       val unique = (1 to n).map(i => (i.toLong, s"totally unique words number $i only here $i"))
