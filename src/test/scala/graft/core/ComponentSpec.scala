@@ -205,6 +205,44 @@ class ComponentSpec extends SparkSpec {
     assert(out("a").as[Int].head() == 3 && out("b").as[Int].head() == 30)
   }
 
+  test("topology draw survives the reference draw-test matrix (trees, collisions, multi-source)") {
+    // reference: test/composite/topology/draw_test.exs — these fixtures
+    // assert nothing beyond "draw does not crash" on awkward graphs:
+    // inputs declared before any producer, splitter mid-chain, two
+    // mixers landing on the same output name, trees, parallel rails.
+    val one = Seq(1).toDF("v")
+    val ex1 = Composite(Seq(
+      Source.of("stream1", one),
+      Transformer("stream1")(identity),
+      Splitter("stream1", Seq("stream4", "stream5")),
+      Transformer("stream5")(identity),
+      Transformer("stream2")(identity), // stream2 has no producer here
+      Mixer(Seq("stream1", "stream2", "stream3"), "stream"),
+      Transformer("stream4")(identity),
+      Transformer("stream")(identity),
+      graft.sinks.Sink("stream", _ => ()),
+      graft.sinks.Sink("stream4", _ => ())))
+    val d1 = ex1.topology
+    assert(d1.contains("Λ") && d1.contains("Y") && d1.linesIterator.size > 20)
+    val collide = Composite(Seq(
+      Mixer(Seq("s1", "s2"), "stream"),
+      Mixer(Seq("s3", "s4"), "stream"), // collision-union onto "stream"
+      Transformer("stream")(identity)))
+    assert(collide.topology.linesIterator.count(_.contains("Y")) == 2)
+    val tree = Composite(Seq(
+      graft.operators.MixerTree(Seq("s1", "s2", "s3", "s4", "s5", "s6", "s7"), "m", parts = 3),
+      graft.operators.SplitterTree.copy("m", Seq("o1", "o2", "o3"))))
+    val dt = tree.topology
+    assert(dt.contains("Y") && dt.contains("Λ") && dt.contains("o3"))
+    val rails = Composite(Seq(
+      Source.of("s1", one), Source.of("s2", one), Source.of("s3", one),
+      graft.sinks.Sink("s1", _ => ()), graft.sinks.Sink("s2", _ => ()),
+      graft.sinks.Sink("s3", _ => ())))
+    val dr = rails.topology
+    assert(dr.linesIterator.count(_.contains("▼")) == 3)
+    assert(dr.linesIterator.count(_.contains("▲")) == 3)
+  }
+
   test("deep composite chains: 1000 stages complete under checkpointEvery, values exact") {
     // the reference's composition envelope chains 100k transformers
     // (test/experiments_test.exs:76-181, disabled there). Here the
