@@ -358,6 +358,39 @@ object Similarity {
     }
   }
 
+  /** Add a batch to a SAVED PQ index in place — the FAISS add leg with
+    * FROZEN codebooks, mirroring [[addToIvfIndex]]: the batch encodes
+    * through the standing per-subspace codebooks (so existing codes and
+    * every query LUT stay valid) and its code rows append under
+    * `codes/`. One distributed encode + one append; the standing codes
+    * are never read. Codebook drift under a shifting distribution is
+    * the caller's retrain signal. The id column is pinned to the
+    * standing index's type (numeric drift casts, anything else fails
+    * fast — the [[addToIvfIndex]] schema-footer lesson).
+    */
+  def addToPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    import graft.functions.VectorFunctions._
+    val ix = loadPqIndex(spark, path) // codebooks are a few KB; codes stay lazy
+    val normLut = ix.codebooks.flatMap(_.map(cw => cw.map(x => x * x).sum)).toSeq
+    val standingId = ix.codes.schema("neighbor_id").dataType
+    val idC = (standingId, batch.schema(idCol).dataType) match {
+      case (s, b) if s == b                      => col(idCol)
+      case (s: NumericType, _: NumericType)      => col(idCol).cast(s)
+      case (s, b) => throw new IllegalArgumentException(
+        s"addToPqIndex: batch id type $b incompatible with standing index type $s")
+    }
+    batch.select(
+      idC.as("neighbor_id"),
+      pqEncode(col(vecCol), ix.codebooks).as("codes"))
+      .withColumn("c_norm", sqrt(codeLookupSum(col("codes"), typedLit(normLut), ix.kSub)))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Reload a saved [[PqIndex]]. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
     val cbRows = spark.read.parquet(s"$path/codebooks")

@@ -185,6 +185,29 @@ class MiscOpSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("addToPqIndex appends a day-2 batch under the frozen codebooks") {
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array(math.cos(i / 8.0).toFloat, math.sin(i / 8.0).toFloat,
+        math.cos(i / 5.0).toFloat, math.sin(i / 5.0).toFloat))).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("pq_add").toString
+    Similarity.buildPqIndex(corpus, "id", "v", m = 2, kSub = 8, trainSample = 32).save(dir)
+    // batch: an exact clone of vector 7 under a new id, with a DRIFTED
+    // id type (int, standing index holds long) — must cast, not poison
+    val batch = corpus.where(col("id") === 7)
+      .select((col("id") + 2000L).cast("int").as("id"), col("v"))
+    Similarity.addToPqIndex(spark, dir, batch, "id", "v")
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert(loaded.codes.count() == 65)
+    assert(loaded.codes.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // identical codes => identical ADC score; the clone must rank at
+    // the top of vector 7's neighbors (self excluded)
+    val hits = Similarity.pqQuery(loaded, corpus.where(col("id") === 7), "id", "v", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(hits.contains(2007L))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("Multimodal stub decode is deterministic and partition-preserving") {
     val df = Seq((1L, "hello world")).toDF("id", "text")
     val out = Multimodal.decodePartitioned(
