@@ -363,6 +363,61 @@ class StreamingSpec extends SparkSpec {
     assert(st.getTimeoutTimestampMs.isPresent) // idle eviction armed
   }
 
+  test("streaming heavy hitters: bounded sketch state, MG guarantee per shard across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamHeavyHitters._
+    val capacity = 2
+    val in = MemoryStream[String]
+    val q = StreamHeavyHitters(in.toDS(), capacity = capacity, shards = 2)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    // skewed stream: "top" dominates, "mid" is second, singletons churn
+    in.addData(Seq.fill(30)("top") ++ Seq.fill(8)("mid") ++ Seq("x1", "x2", "x3"))
+    q.processAllAvailable()
+    in.addData(Seq.fill(20)("top") ++ Seq.fill(7)("mid") ++ Seq("x4", "x5"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("hh_out").as[HHRow].collect()
+    // bounded state: every emission carries <= capacity counters
+    rows.groupBy(r => (r.shard, r.n_shard)).foreach { case (_, g) =>
+      assert(g.length <= capacity)
+    }
+    // latest emission per shard = the current sketch
+    val latest = rows.groupBy(_.shard).map { case (_, g) =>
+      val n = g.map(_.n_shard).max
+      g.filter(_.n_shard == n)
+    }.toSeq.flatten
+    val est = latest.map(r => r.item -> ((r.count, r.n_shard))).toMap
+    // exact per-shard truth: keys co-shard by hashCode % 2
+    def shardOf(k: String) = math.floorMod(k.hashCode, 2)
+    val trueCounts = Map("top" -> 50L, "mid" -> 15L) ++
+      (1 to 5).map(i => s"x$i" -> 1L).toMap
+    val perShardN = trueCounts.groupBy { case (k, _) => shardOf(k) }
+      .view.mapValues(_.values.sum).toMap
+    trueCounts.foreach { case (k, freq) =>
+      val bound = perShardN(shardOf(k)) / (capacity + 1)
+      if (freq > bound) { // MG: must be present, undercount <= bound
+        assert(est.contains(k), s"heavy item $k missing")
+        val (cnt, _) = est(k)
+        assert(cnt <= freq && cnt >= freq - bound, s"$k count $cnt outside [${freq - bound}, $freq]")
+      }
+    }
+  }
+
+  test("streaming heavy hitters process(): empty batch emits nothing and keeps state") {
+    import StreamHeavyHitters._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[HHState](
+      Optional.of(HHState(Map("a" -> 3L), 3L)), GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Long], hasTimedOut = false)
+    assert(StreamHeavyHitters.process(0, Iterator.empty, st, 2).isEmpty)
+    assert(!st.isUpdated && !st.isRemoved)
+    val out = StreamHeavyHitters.process(0, Iterator("a", "b", "c"), st, 2).toSeq
+    // a:3 +a = 4; +b -> {a4,b1}; +c over capacity -> cut = 1 -> {a3}
+    assert(out == Seq(HHRow(0, "a", 3L, 6L)))
+    assert(st.get == HHState(Map("a" -> 3L), 6L))
+  }
+
   test("idempotentForeachBatch skips replayed batch ids, runs fresh ones") {
     implicit val sqlCtx = spark.sqlContext
     val commits = java.nio.file.Files.createTempDirectory("graft_commits_").toString
