@@ -599,6 +599,26 @@ object SparkEntry {
           (col("_hit") >= col("n_brute").cast("double") * 0.6).as("recall_ok"))
     }),
 
+    // IVF-PQ recall gate (FAISS IndexIVFPQ shape): coarse probe of
+    // 8/16 cells, 16×64 PQ ADC shortlist of 25, exact-cosine rerank to
+    // top-5 — recall >= 0.5 pinned vs the brute-force top-5 (both
+    // pruning axes lose recall; nprobe and rerank are the dials).
+    "q_sim_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val key = Seq("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivfpq = Similarity.ivfPqTopK(q, e, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 8, m = 16, kSub = 64, rerank = 25)
+        .select(col("query_id"), col("neighbor_id"))
+      brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(brute.join(ivfpq, key, "left_semi").agg(count(lit(1)).as("_hit")))
+        .select(
+          col("n_brute"),
+          (col("_hit") >= col("n_brute").cast("double") * 0.5).as("recall_ok"))
+    }),
+
     // PQ recall gate: 16×64 product quantization, ADC shortlist of 25,
     // exact-cosine rerank to top-5 (the production PQ search shape) vs
     // the oracle-checked brute-force top-5 — recall >= 0.6 pinned
@@ -1811,6 +1831,10 @@ object SparkEntry {
          |SELECT count(*) AS n_brute, TRUE AS recall_ok FROM brute""".stripMargin,
 
     "q_sim_pq" ->
+      s"""$BruteTop5Sql
+         |SELECT count(*) AS n_brute, TRUE AS recall_ok FROM brute""".stripMargin,
+
+    "q_sim_ivfpq" ->
       s"""$BruteTop5Sql
          |SELECT count(*) AS n_brute, TRUE AS recall_ok FROM brute""".stripMargin,
 

@@ -414,6 +414,37 @@ object Similarity {
     * codeword-norm table), used to turn ADC dots into approximate
     * cosines.
     */
+  /** Per-subspace PQ codebook training on a bounded driver-side sample
+    * — shared by [[buildPqIndex]] and [[buildIvfPqIndex]] (m tiny local
+    * k-means runs over subvector slices).
+    */
+  private[operators] def trainPqCodebooks(
+      corpus: DataFrame,
+      vecCol: String,
+      m: Int,
+      kSub: Int,
+      trainSample: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(kSub >= 1, s"kSub must be >= 1, got $kSub")
+    val sampleRaw: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .rdd.map(_.getSeq[Double](0).toArray)
+      .takeSample(withReplacement = false, trainSample, seed)
+    require(sampleRaw.nonEmpty, "trainPqCodebooks: corpus is empty")
+    val majorityDim = sampleRaw.groupBy(_.length).view.mapValues(_.length)
+      .toSeq.maxBy { case (dim, n) => (n, -dim) }._1
+    require(majorityDim % m == 0,
+      s"trainPqCodebooks: dimension $majorityDim is not divisible into $m subspaces")
+    val subDim = majorityDim / m
+    val sample = sampleRaw.filter(_.length == majorityDim)
+    Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      Similarity.lloydLocal(sub, math.min(kSub, sub.length), 10, seed + j)
+    }
+  }
+
   def buildPqIndex(
       corpus: DataFrame,
       idCol: String,
@@ -422,25 +453,8 @@ object Similarity {
       kSub: Int = 32,
       trainSample: Int = 4096,
       seed: Long = 42L): PqIndex = {
-    require(m >= 1, s"m must be >= 1, got $m")
-    require(kSub >= 1, s"kSub must be >= 1, got $kSub")
     import graft.functions.VectorFunctions._
-    val sampleRaw: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"))
-      .where(col("v").isNotNull)
-      .rdd.map(_.getSeq[Double](0).toArray)
-      .takeSample(withReplacement = false, trainSample, seed)
-    require(sampleRaw.nonEmpty, "buildPqIndex: corpus is empty")
-    val majorityDim = sampleRaw.groupBy(_.length).view.mapValues(_.length)
-      .toSeq.maxBy { case (dim, n) => (n, -dim) }._1
-    require(majorityDim % m == 0,
-      s"buildPqIndex: dimension $majorityDim is not divisible into $m subspaces")
-    val subDim = majorityDim / m
-    val sample = sampleRaw.filter(_.length == majorityDim)
-    val codebooks = Array.tabulate(m) { j =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
-      Similarity.lloydLocal(sub, math.min(kSub, sub.length), 10, seed + j)
-    }
+    val codebooks = trainPqCodebooks(corpus, vecCol, m, kSub, trainSample, seed)
     // fixed-width codebooks: pad empty-cluster slots never happen
     // (lloydLocal keeps previous centroids), but k may clamp below kSub
     // on tiny corpora — rebuild kSub from what training produced.
@@ -529,6 +543,126 @@ object Similarity {
     pqQuery(
       buildPqIndex(corpus, idCol, vecCol, m, kSub, trainSample, seed),
       queries, idCol, vecCol, k, rerank,
+      if (rerank > 0) Some(corpus) else None)
+
+  /** IVF-PQ — the FAISS `IndexIVFPQ` shape, composing the two pruning
+    * axes: the coarse quantizer cuts WHICH rows a probe reads
+    * (`nprobe/nlist` of the corpus, a partition-level skip on the
+    * saved layout) and PQ cuts HOW MANY BYTES each read row costs
+    * (`m` codes + a norm instead of the float vector). At 100 TB this
+    * is the only ANN shape whose scan cost is sub-linear in BOTH rows
+    * and bytes; the codes frame keeps the `cell` column so a persisted
+    * index prunes at the parquet-partition level exactly like
+    * [[IvfIndex.save]].
+    */
+  final case class IvfPqIndex(
+      centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      codes: DataFrame, // (cell, neighbor_id, codes, c_norm)
+      nlist: Int,
+      m: Int,
+      kSub: Int)
+
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      kSub: Int = 32,
+      trainSample: Int = 4096,
+      seed: Long = 42L): IvfPqIndex = {
+    import graft.functions.VectorFunctions._
+    val ivf = buildIvfIndex(corpus, idCol, vecCol, nlist, trainSample, seed)
+    val codebooks = trainPqCodebooks(corpus, vecCol, m, kSub, trainSample, seed)
+    val kEff = codebooks(0).length
+    val normLut = codebooks.flatMap(_.map(cw => cw.map(x => x * x).sum)).toSeq
+    val codes = graft.core.CacheRegistry.persist(
+      ivf.assigned.select(
+        col("cell"), col("neighbor_id"),
+        pqEncode(col("c_vec"), codebooks).as("codes"))
+        .withColumn("c_norm", sqrt(codeLookupSum(col("codes"), typedLit(normLut), kEff))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfPqIndex(ivf.centroids, codebooks, codes, ivf.nlist, m, kEff)
+  }
+
+  /** Probe an [[IvfPqIndex]]: each query picks its `nprobe` nearest
+    * cells and builds its ADC lookup table ONCE (broadcast ×
+    * broadcast, driver-cheap); candidates are an equi-join on cell id
+    * scored by m table lookups — no float-vector reads. `rerank > 0`
+    * re-scores the top ADC candidates with exact cosine against
+    * `rerankWith` before cutting to k, as in [[pqQuery]].
+    */
+  def ivfPqQuery(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerank: Int = 0,
+      rerankWith: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(rerank == 0 || rerankWith.nonEmpty,
+      "ivfPqQuery: rerank > 0 needs rerankWith (id + original vectors)")
+    val probed = broadcast(queries.select(
+      col(idCol).as("query_id"),
+      pqLut(col(vecCol), index.codebooks).as("lut"),
+      l2Norm(col(vecCol)).as("q_norm"),
+      col(vecCol).as("q_vec")))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("c_dist", cosine(col("q_vec").cast("array<double>"), col("centroid")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c_dist").desc, col("cell"))))
+      .where(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("lut"), col("q_norm"), col("cell"))
+    val scored = index.codes.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        when(col("q_norm") === 0.0 || col("c_norm") === 0.0, lit(0.0))
+          .otherwise(
+            codeLookupSum(col("codes"), col("lut"), index.kSub) /
+              (col("q_norm") * col("c_norm"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val cut = if (rerank > 0) math.max(rerank, k) else k
+    val top = scored.withColumn("rank", row_number().over(w)).where(col("rank") <= cut)
+    if (rerank == 0) {
+      top.select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc"), col("rank"))
+    } else {
+      val corpus = rerankWith.get
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      val queriesV = broadcast(queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+      val w2 = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      top.select(col("query_id"), col("neighbor_id"))
+        .join(corpus, Seq("neighbor_id"))
+        .join(queriesV, Seq("query_id"))
+        .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    }
+  }
+
+  /** One-shot IVF-PQ ANN: train both quantizers + encode + probe. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      kSub: Int = 32,
+      rerank: Int = 0,
+      trainSample: Int = 4096,
+      seed: Long = 42L): DataFrame =
+    ivfPqQuery(
+      buildIvfPqIndex(corpus, idCol, vecCol, nlist, m, kSub, trainSample, seed),
+      queries, idCol, vecCol, k, nprobe, rerank,
       if (rerank > 0) Some(corpus) else None)
 
   /** Count of near-neighbor pairs above a cosine threshold (corpus

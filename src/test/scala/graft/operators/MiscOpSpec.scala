@@ -208,6 +208,27 @@ class MiscOpSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("ivfPqTopK surfaces a planted clone; probing every cell + rerank recovers brute-force exactly") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val corpus = (base :+ (999L, base(5)._2.clone())).toDF("id", "v")
+    val q = corpus.where(col("id") === 5)
+    // full probe + rerank >= corpus => exact: must equal brute force
+    val exact = Similarity.ivfPqTopK(q, corpus, "id", "v", k = 3,
+      nlist = 4, nprobe = 4, m = 4, kSub = 16, rerank = 81)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(q, corpus, "id", "v", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(exact == brute)
+    assert(exact.head == 999L) // the clone ranks first at cosine 1.0
+    // pruned probe still finds the clone (it shares the query's cell)
+    val pruned = Similarity.ivfPqTopK(q, corpus, "id", "v", k = 3,
+      nlist = 4, nprobe = 1, m = 4, kSub = 16)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(pruned.head == 999L)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("Multimodal stub decode is deterministic and partition-preserving") {
     val df = Seq((1L, "hello world")).toDF("id", "text")
     val out = Multimodal.decodePartitioned(
