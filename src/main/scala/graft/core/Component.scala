@@ -201,6 +201,14 @@ final case class LocalCheckpoint(eager: Boolean = true) extends Component {
     }
 }
 
+/** Attaches a display label to a component — the reference's
+  * `label:` option (lib/composite/topology.ex:139-163 prefers it over
+  * the struct name when drawing). Purely cosmetic: apply delegates.
+  */
+final case class Labeled(label: String, inner: Component) extends Component {
+  def apply(flow: Flow): Flow = inner(flow)
+}
+
 /** Stream-graph rendering for composites (reference:
   * lib/composite/topology.ex:9-33 draws each component with the stream
   * names flowing in and out of it). Components are values here, so the
@@ -220,6 +228,7 @@ object Topology {
     case sp: graft.operators.Splitter     => (Seq(sp.input), sp.outputs.map(_._1))
     case l: graft.operators.Loop          => (Seq(l.name), Seq(l.name))
     case r: Renamer                       => (r.mapping.keys.toSeq, r.mapping.values.toSeq)
+    case l: Labeled                       => edges(l.inner)
     case comp: Composite =>
       val es = comp.components.map(edges)
       (es.flatMap(_._1), es.flatMap(_._2))
@@ -230,7 +239,7 @@ object Topology {
   def edgeList(composite: Composite): String =
     composite.components.zipWithIndex.map { case (c, i) =>
       val (ins, outs) = edges(c)
-      val name = c.getClass.getSimpleName.stripSuffix("$")
+      val name = displayName(c)
       val in = if (ins.isEmpty) "·" else ins.distinct.mkString(", ")
       val out = if (outs.isEmpty) "·" else outs.distinct.mkString(", ")
       f"[$i] $name%-12s $in ──▶ $out"
@@ -246,7 +255,13 @@ object Topology {
     case _: graft.operators.Mixer                                  => "Y"
     case _: graft.operators.Splitter                               => "Λ"
     case _: graft.operators.Loop                                   => "↻"
+    case l: Labeled                                                => glyph(l.inner)
     case _                                                         => "⏺"
+  }
+
+  private def displayName(c: Component): String = c match {
+    case Labeled(label, _) => label
+    case _                 => c.getClass.getSimpleName.stripSuffix("$")
   }
 
   /** Vertical stream-graph rendering (reference:
@@ -301,7 +316,7 @@ object Topology {
         case (Some(_), _)                => "| "
         case (None, _)                   => "  "
       }.mkString
-      val name = c.getClass.getSimpleName.stripSuffix("$")
+      val name = displayName(c)
       line(glyphLine.replaceAll("\\s+$", "") + s"  $name ($i)")
     }
     val tail = tracks.flatten.mkString(" ")

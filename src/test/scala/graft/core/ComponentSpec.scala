@@ -205,6 +205,20 @@ class ComponentSpec extends SparkSpec {
     assert(out("a").as[Int].head() == 3 && out("b").as[Int].head() == 30)
   }
 
+  test("Labeled components draw with their label (reference label: option) and delegate apply") {
+    val p = Composite(Seq(
+      Labeled("Source of stream1", Source.of("s", Seq(1).toDF("v"))),
+      Labeled("Double it", Transformer("s")(df => df.select((col("v") * 2).as("v")))),
+      graft.sinks.Sink("s", _ => ())))
+    val d = p.topology
+    assert(d.contains("Source of stream1 (0)") && d.contains("Double it (1)"))
+    assert(d.contains("▼") && d.contains("⏺")) // glyphs come from the inner component
+    // apply is a pure delegate
+    val out = Labeled("x2", Transformer("s")(df => df.select((col("v") * 2).as("v"))))(
+      Map("s" -> Seq(3).toDF("v")))
+    assert(out("s").as[Int].head() == 6)
+  }
+
   test("topology draw survives the reference draw-test matrix (trees, collisions, multi-source)") {
     // reference: test/composite/topology/draw_test.exs — these fixtures
     // assert nothing beyond "draw does not crash" on awkward graphs:
