@@ -659,6 +659,17 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       Ranking.termScores(t(s, d, "documents"), "doc_id", "text")),
 
+    // Per-document keyword extraction: top-5 terms by tf-idf, ranked
+    // on the ROUNDED score (identical across engines — q_tfidf pins
+    // the rounded values bit-exact) with the term as tiebreak; the
+    // rank filter compiles to WindowGroupLimit partial+final top-k.
+    "q_keywords" -> ((s, d) => {
+      val scores = Ranking.termScores(t(s, d, "documents"), "doc_id", "text")
+      TrainingData.capPerGroup(
+        scores, Seq(col("doc_id")), Seq(col("tfidf").desc, col("term")), 5)
+        .select(col("doc_id"), col("term"), col("tfidf"))
+    }),
+
     // Bloom-pruned join, pinned to EXACT equality with the plain join
     // (no false negatives; false positives die in the join): the probe
     // side (lineitem) is filtered by the build side's key sketch
@@ -1521,6 +1532,20 @@ object SparkEntry {
          |  round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
          |    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
          |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats""".stripMargin,
+
+    // rank on the same rounded tf-idf, term tiebreak
+    "q_keywords" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($W) AS term FROM documents) GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         |scored AS (SELECT doc_id, term,
+         |  round(tf * ln(n::DOUBLE / df), 4) AS tfidf
+         |  FROM tf JOIN dfreq USING (term), stats),
+         |r AS (SELECT doc_id, term, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+         |  FROM scored)
+         |SELECT doc_id, term, tfidf FROM r WHERE rn <= 5""".stripMargin,
 
     "q_approx_quantile" ->
       """SELECT event_type, count(*) AS n, TRUE AS approx_ok
