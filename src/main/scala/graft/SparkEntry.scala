@@ -659,6 +659,23 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       Ranking.termScores(t(s, d, "documents"), "doc_id", "text")),
 
+    // BM25 retrieval: top-20 documents for a 3-term query, scored as
+    // the sum of per-term BM25 weights. The per-term weights are the
+    // q_tfidf-pinned rounded doubles; summing goes through
+    // DECIMAL(18,4) so the total is EXACT and order-independent (a
+    // double sum could differ by an ulp per engine and flip the
+    // ranking), then surfaces as double.
+    "q_bm25_search" -> ((s, d) => {
+      val scores = Ranking.termScores(t(s, d, "documents"), "doc_id", "text")
+      scores.where(col("term").isin("spark", "window", "join"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("bm25").cast("decimal(18,4)")).cast("double").as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Per-document keyword extraction: top-5 terms by tf-idf, ranked
     // on the ROUNDED score (identical across engines — q_tfidf pins
     // the rounded values bit-exact) with the term as tiebreak; the
@@ -1532,6 +1549,23 @@ object SparkEntry {
          |  round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
          |    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
          |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats""".stripMargin,
+
+    // same bm25 weights, exact decimal sum, double surface
+    "q_bm25_search" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($W) AS term FROM documents) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |scored AS (SELECT doc_id, term,
+         |  round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+         |    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats)
+         |SELECT doc_id,
+         |  CAST(SUM(CAST(bm25 AS DECIMAL(18,4))) AS DOUBLE) AS score,
+         |  count(*) AS n_terms
+         |FROM scored WHERE term IN ('spark', 'window', 'join')
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // rank on the same rounded tf-idf, term tiebreak
     "q_keywords" ->
