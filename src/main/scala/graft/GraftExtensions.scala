@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, Simhash64, WordShingles}
+import graft.functions.{CharShingles, CosineSimilarity, DotProduct, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RollingHash, Simhash64, StopwordCount, SubwordCount, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -31,6 +31,20 @@ object GraftFunctions {
     case Literal(v: Int, _)  => v.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be a long literal, got $other")
+  }
+
+  /** SQL `array('a','b')` arrives as a foldable CreateArray, not a
+    * Literal — accept any foldable array<string>.
+    */
+  private def litStringSeq(e: Expression, what: String): Seq[String] = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)
+        if e.foldable =>
+      val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      arr.toSeq[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType)
+        .map(s => if (s == null) null else s.toString)
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a foldable array<string> literal, got $e")
   }
 
   /** (name, usage, builder) for every SQL-exposed function.
@@ -82,7 +96,25 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         require(es.length >= 2, s"interleave_bits expects (bits, col...), got ${es.length} args")
         InterleaveBits(es.tail, litInt(es.head, "bits"))
-      })
+      }),
+    ("char_shingles",
+      "char_shingles(str, k) - character k-grams of a string",
+      (es: Seq[Expression]) => {
+        val a = arity("char_shingles", 2)(es)
+        CharShingles(a(0), litInt(a(1), "k"))
+      }),
+    ("stopword_count",
+      "stopword_count(words, stopwords_array) - fused membership count over a string array",
+      (es: Seq[Expression]) => {
+        val a = arity("stopword_count", 2)(es)
+        StopwordCount(a(0), litStringSeq(a(1), "stopwords"))
+      }),
+    ("subword_count",
+      "subword_count(words) - BPE-ish subword token estimate over a string array",
+      (es: Seq[Expression]) => { val a = arity("subword_count", 1)(es); SubwordCount(a(0)) }),
+    ("rolling_hash",
+      "rolling_hash(str) - polynomial rolling hash (document fingerprinting)",
+      (es: Seq[Expression]) => { val a = arity("rolling_hash", 1)(es); RollingHash(a(0)) })
   )
 
   /** Register every function into a live session's registry. */

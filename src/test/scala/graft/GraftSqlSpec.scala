@@ -21,6 +21,17 @@ class GraftSqlSpec extends SparkSpec {
         |minhash_signature(array('a','b'), 4) AS sig""".stripMargin).collect().head
     assert(t.getSeq[String](0) == Seq("a b", "b c"))
     assert(!t.isNullAt(1) && t.getSeq[Long](2).length == 4)
+
+    val u = spark.sql(
+      """SELECT char_shingles('abcd', 2) AS cs,
+        |stopword_count(array('the','fox','a'), array('the','a','an')) AS sw,
+        |subword_count(array('hello','world')) AS sub,
+        |rolling_hash('abc') = rolling_hash('abc') AS rh_det,
+        |rolling_hash('abc') <> rolling_hash('abd') AS rh_diff""".stripMargin).collect().head
+    assert(u.getSeq[String](0) == Seq("ab", "bc", "cd"))
+    assert(u.getInt(1) == 2)   // StopwordCount is IntegerType
+    assert(u.getLong(2) >= 2L) // SubwordCount is LongType
+    assert(u.getBoolean(3) && u.getBoolean(4))
   }
 
   test("GraftExtensions builds a session with the functions pre-registered") {
@@ -33,7 +44,8 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1).toSet == Set(
       "vec_dot", "vec_cosine", "vec_hyperplane_bucket",
       "minhash_signature", "simhash64", "word_shingles",
-      "jaro_winkler", "interleave_bits"))
+      "jaro_winkler", "interleave_bits",
+      "char_shingles", "stopword_count", "subword_count", "rolling_hash"))
   }
 
   test("skippingFailures drops poisoned records and counts them " +
