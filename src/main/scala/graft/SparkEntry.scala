@@ -1130,6 +1130,12 @@ object SparkEntry {
     "q_cohort" -> ((s, d) =>
       Analytics.cohortRetention(t(s, d, "events"), col("user_id"), col("ts"))),
 
+    // Top-20 event-type trigram paths across users (the Sankey/path
+    // view): lead windows per user, TakeOrdered top-k over counts.
+    "q_paths" -> ((s, d) =>
+      Analytics.topPaths(t(s, d, "events"), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"), n = 3, k = 20)),
+
     // -- multimodal plumbing ---------------------------------------- //
     "q_multimodal" -> ((s, d) =>
       Multimodal.fakeDecodeMeta(
@@ -2121,6 +2127,14 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_paths" ->
+      """WITH e AS (SELECT event_type AS e1,
+        |  lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

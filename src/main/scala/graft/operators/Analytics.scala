@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Event-sequence analytics over a clickstream-shaped table: ordered
   * funnels and cohort retention. (North-star extensions beyond the
@@ -145,5 +146,38 @@ object Analytics {
           .as("week_no"))
       .groupBy(col("cohort_week"), col("week_no"))
       .agg(countDistinct(col("u")).as("n_users"))
+  }
+
+  /** Top-k event-type PATHS: the most common length-`n` event
+    * sequences across users (the "what do users actually do"
+    * product-analytics primitive behind Sankey/path views). A path is
+    * `n` consecutive event types in one user's event-time order;
+    * `orderBy` must totalize ties (pass an event id).
+    *
+    * Scale shape: one shuffle on the user key; the n-gram forms with
+    * `lead` windows inside each user partition (per-user state, no
+    * cross-user order), and the final top-k is
+    * TakeOrderedAndProject over the path counts — never a global
+    * sort.
+    */
+  def topPaths(
+      df: DataFrame,
+      user: Column,
+      orderBy: Seq[Column],
+      eventType: Column,
+      n: Int = 3,
+      k: Int = 20,
+      sep: String = ">"): DataFrame = {
+    require(n >= 2, s"topPaths: n must be >= 2, got $n")
+    require(k >= 1, s"topPaths: k must be >= 1, got $k")
+    val w = Window.partitionBy(user).orderBy(orderBy: _*)
+    val steps = (0 until n).map(i =>
+      if (i == 0) eventType.as("_e0") else lead(eventType, i).over(w).as(s"_e$i"))
+    df.select(steps: _*)
+      .where((1 until n).map(i => col(s"_e$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(sep, (0 until n).map(i => col(s"_e$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
   }
 }

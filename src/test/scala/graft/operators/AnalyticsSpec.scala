@@ -100,6 +100,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("topPaths counts per-user ordered trigrams, top-k with path tiebreak") {
+    // user 1: a b c d  -> a>b>c, b>c>d ; user 2: a b c -> a>b>c
+    // user 3: only 2 events -> no trigram
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),
+      (3L, 1L, "x"), (3L, 2L, "y"))
+      .toDF("user_id", "sec", "event_type")
+      .withColumn("ts", col("sec").cast("timestamp"))
+      .withColumn("event_id", col("sec"))
+    val out = Analytics.topPaths(df, col("user_id"),
+      Seq(col("ts"), col("event_id")), col("event_type"), n = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a>b>c", 2L), ("b>c>d", 1L)))
+    // k truncates deterministically on (count desc, path)
+    val top1 = Analytics.topPaths(df, col("user_id"),
+      Seq(col("ts"), col("event_id")), col("event_type"), n = 3, k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(top1 == Seq(("a>b>c", 2L)))
+  }
+
   test("funnel tolerates null users and timestamps instead of crashing the encoder") {
     val df = Seq(
       (Some(1L), Some(10L), "a"),
