@@ -54,6 +54,14 @@ object RunScope {
     * scope before launching.
     */
   def scoped[A](body: => A): A = current.withValue(new RunScope)(body)
+  /** Re-install a captured scope on the current thread for `body`.
+    * Async sink bodies use this: DynamicVariable is an
+    * InheritableThreadLocal, so a pooled worker born inside some run's
+    * `scoped` block keeps that run's scope as its default forever —
+    * re-installing the launching flow's scope makes registrations land
+    * where drain() will find them regardless of which thread runs.
+    */
+  def withScope[A](s: RunScope)(body: => A): A = current.withValue(s)(body)
 }
 
 /** Registry of DataFrames persisted by components (cache=true
@@ -184,9 +192,13 @@ final case class Composite(components: Seq[Component]) extends Component {
     */
   def checkpointEvery(n: Int): Composite = {
     require(n > 0, s"checkpointEvery: n must be positive, got $n")
-    Composite(components.grouped(n).flatMap { g =>
-      if (g.length == n) g :+ LocalCheckpoint() else g // no trailing stage
-    }.toSeq)
+    val groups = components.grouped(n).toSeq
+    Composite(groups.zipWithIndex.flatMap { case (g, i) =>
+      // No trailing stage: the last group never checkpoints, even when
+      // it is exactly n long — a checkpoint AFTER the final component
+      // would materialize every live stream once more for nothing.
+      if (i < groups.length - 1) g :+ LocalCheckpoint() else g
+    })
   }
 }
 

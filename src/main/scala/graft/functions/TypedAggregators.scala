@@ -81,18 +81,23 @@ object TypedAggregators {
     * n/(capacity+1). Exact counts for the survivors can be pinned with
     * one cheap semi-join pass when needed.
     */
+  /** The batched MG decrement shared by the batch aggregator and
+    * [[graft.streaming.StreamHeavyHitters]]: keep the top `capacity`
+    * counters, subtracting the (capacity+1)-th largest value from every
+    * survivor. One definition so the subtle cut/tie handling can never
+    * diverge between the batch and streaming sketches.
+    */
+  private[graft] def mgPrune(m: Map[String, Long], capacity: Int): Map[String, Long] =
+    if (m.size <= capacity) m
+    else {
+      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      m.collect { case (k, v) if v > cut => k -> (v - cut) }
+    }
+
   def heavyHitters(capacity: Int): Aggregator[String, Map[String, Long], Map[String, Long]] = {
     require(capacity >= 1, s"heavyHitters: capacity must be >= 1, got $capacity")
     new Aggregator[String, Map[String, Long], Map[String, Long]] {
-      /** Keep the top `capacity` counters, subtracting the (capacity+1)-th
-        * largest value from every counter (the batched MG decrement).
-        */
-      private def prune(m: Map[String, Long]): Map[String, Long] =
-        if (m.size <= capacity) m
-        else {
-          val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-          m.collect { case (k, v) if v > cut => k -> (v - cut) }
-        }
+      private def prune(m: Map[String, Long]): Map[String, Long] = mgPrune(m, capacity)
       def zero: Map[String, Long] = Map.empty
       def reduce(acc: Map[String, Long], w: String): Map[String, Long] =
         if (w == null) acc

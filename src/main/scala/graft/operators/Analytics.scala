@@ -174,7 +174,7 @@ object Analytics {
     val steps = (0 until n).map(i =>
       if (i == 0) eventType.as("_e0") else lead(eventType, i).over(w).as(s"_e$i"))
     df.select(steps: _*)
-      .where((1 until n).map(i => col(s"_e$i").isNotNull).reduce(_ && _))
+      .where((0 until n).map(i => col(s"_e$i").isNotNull).reduce(_ && _))
       .select(concat_ws(sep, (0 until n).map(i => col(s"_e$i")): _*).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))

@@ -454,12 +454,16 @@ object Dedup {
     val prefixLen = maxEdit * q + 1
     def vals(df: DataFrame, c: String, as: String) =
       df.select(col(c).as(as)).where(col(as).isNotNull).distinct()
-    val lv = vals(left, leftCol, "left_val")
-    val rv = vals(right, rightCol, "right_val")
+    // Each side's value and gram frames feed three consumers apiece
+    // (gram order, prefix join, short-value fallback) — persist so the
+    // distinct and the shingle explode run once, not per leg.
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lv = graft.core.CacheRegistry.persist(vals(left, leftCol, "left_val"), MEMORY_AND_DISK)
+    val rv = graft.core.CacheRegistry.persist(vals(right, rightCol, "right_val"), MEMORY_AND_DISK)
     def grams(values: DataFrame, as: String) =
       values.select(col(as), explode(array_distinct(charShingles(col(as), q))).as("g"))
-    val lg = grams(lv, "left_val")
-    val rg = grams(rv, "right_val")
+    val lg = graft.core.CacheRegistry.persist(grams(lv, "left_val"), MEMORY_AND_DISK)
+    val rg = graft.core.CacheRegistry.persist(grams(rv, "right_val"), MEMORY_AND_DISK)
     // One global gram order for BOTH sides: ascending df, gram tiebreak.
     val dfOrder = lg.select(col("g")).unionAll(rg.select(col("g")))
       .groupBy("g").agg(count(lit(1)).as("_df"))

@@ -117,7 +117,8 @@ object Similarity {
     // vice versa) would leave conflicting parquet footers, and a later
     // load resolves from whichever footer wins. Numeric element types
     // cast; anything else (non-array, non-numeric elements) fails fast.
-    val standingVec = spark.read.parquet(s"$path/assigned").schema("c_vec").dataType
+    val standing = spark.read.parquet(s"$path/assigned").schema
+    val standingVec = standing("c_vec").dataType
     val castVec = (standingVec, batch.schema(vecCol).dataType) match {
       case (s, b) if s == b => col(vecCol)
       case (s @ ArrayType(_: NumericType, _), ArrayType(_: NumericType, _)) =>
@@ -125,8 +126,17 @@ object Similarity {
       case (s, b) => throw new IllegalArgumentException(
         s"addToIvfIndex: batch vector type $b incompatible with standing index type $s")
     }
+    // Same pin for the id column: a drifted id type (long index, int
+    // batch) would poison the neighbor_id footers identically.
+    val standingId = standing("neighbor_id").dataType
+    val castId = (standingId, batch.schema(idCol).dataType) match {
+      case (s, b) if s == b => col(idCol)
+      case (s: NumericType, _: NumericType) => col(idCol).cast(s)
+      case (s, b) => throw new IllegalArgumentException(
+        s"addToIvfIndex: batch id type $b incompatible with standing index id type $s")
+    }
     batch.select(
-      col(idCol).as("neighbor_id"), castVec.as("c_vec"),
+      castId.as("neighbor_id"), castVec.as("c_vec"),
       nearestCentroid(col(vecCol), cents).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }
@@ -583,6 +593,12 @@ object Similarity {
         pqEncode(col("c_vec"), codebooks).as("codes"))
         .withColumn("c_norm", sqrt(codeLookupSum(col("codes"), typedLit(normLut), kEff))),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the codes once, then release the full-float assigned
+    // cache: IVF-PQ exists to avoid holding raw vectors, so keeping
+    // `assigned` resident for the run would negate the compression
+    // memory-wise. (unpersist here is idempotent vs the scope's drain.)
+    codes.count()
+    ivf.assigned.unpersist()
     IvfPqIndex(ivf.centroids, codebooks, codes, ivf.nlist, m, kEff)
   }
 

@@ -481,7 +481,9 @@ object TrainingData {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded driver state: one (pid, token total) per partition
     val totals = sorted
-      .groupBy(spark_partition_id().as("_pid")).agg(sum(col("_tok")).as("_t"))
+      .groupBy(spark_partition_id().as("_pid"))
+      // all-null partitions sum to NULL — coalesce, like the row loop below
+      .agg(coalesce(sum(col("_tok")), lit(0L)).as("_t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nPart = sorted.rdd.getNumPartitions
     val offsets = (0 until nPart).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))

@@ -18,7 +18,16 @@ final case class Sink(name: String, run: DataFrame => Unit, sync: Boolean = fals
     val df = flow.getOrElse(
       name, throw new IllegalArgumentException(s"Sink: no stream named '$name' in flow"))
     if (sync) run(df)
-    else Sink.register(Future(run(df))(ExecutionContext.global))
+    else {
+      // Capture the caller's scope and re-install it inside the future
+      // body: pooled workers inherit whatever scope was active when the
+      // pool spawned them (DynamicVariable is inheritable), so without
+      // the explicit re-install a thunk can register caches/marks into
+      // a dead foreign scope that no drain() will ever release.
+      val scope = graft.core.RunScope.active
+      Sink.register(
+        Future(graft.core.RunScope.withScope(scope)(run(df)))(ExecutionContext.global))
+    }
     flow - name
   }
 }

@@ -37,16 +37,12 @@ object StreamHeavyHitters {
 
   private[streaming] case class HHState(counters: Map[String, Long], n: Long)
 
-  /** The batch aggregator's batched MG decrement, verbatim semantics:
-    * keep the top `capacity` counters, subtracting the (capacity+1)-th
-    * largest from every survivor.
+  /** The batch aggregator's batched MG decrement — literally the same
+    * definition ([[graft.functions.TypedAggregators.mgPrune]]), so the
+    * per-shard streaming sketches combine exactly like batch partials.
     */
   private[streaming] def prune(m: Map[String, Long], capacity: Int): Map[String, Long] =
-    if (m.size <= capacity) m
-    else {
-      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-      m.collect { case (k, v) if v > cut => k -> (v - cut) }
-    }
+    graft.functions.TypedAggregators.mgPrune(m, capacity)
 
   def apply(keys: Dataset[String], capacity: Int, shards: Int = 16): Dataset[HHRow] = {
     require(capacity >= 1, s"StreamHeavyHitters: capacity must be >= 1, got $capacity")

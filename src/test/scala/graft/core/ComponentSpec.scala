@@ -271,6 +271,10 @@ class ComponentSpec extends SparkSpec {
     // 1000 stages WITHOUT the hatch would StackOverflowError (measured
     // on this JVM's default stack); with it the chain is routine
     val deep = Composite(Seq.fill(1000)(stage: Component)).checkpointEvery(100)
+    // exact-multiple chains must not checkpoint AFTER the last stage —
+    // that would re-materialize every live stream once for nothing
+    assert(!deep.components.last.isInstanceOf[LocalCheckpoint])
+    assert(deep.components.count(_.isInstanceOf[LocalCheckpoint]) == 9)
     assert(deep(Map("s" -> Seq(1, 2, 3).toDF("v")))("s")
       .agg(sum("v")).head().getLong(0) == 6 + 3 * 1000)
   }

@@ -129,6 +129,17 @@ class MiscOpSpec extends SparkSpec {
     // non-numeric element types must fail fast, not append garbage
     val bad = Seq((3000L, Array("x", "y"))).toDF("id", "v")
     intercept[IllegalArgumentException](Similarity.addToIvfIndex(spark, dir, bad, "id", "v"))
+    // a drifted id type (int batch under a long index) gets the same
+    // pin — appended footers must stay int64
+    val idDrift = Seq((4000, Array(0.25f, 0.25f))).toDF("id", "v")
+    Similarity.addToIvfIndex(spark, dir, idDrift, "id", "v")
+    val reloaded = Similarity.loadIvfIndex(spark, dir)
+    assert(reloaded.assigned.count() == 34)
+    assert(reloaded.assigned.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a non-castable id type fails fast
+    val badId = Seq(("nope", Array(0.1f, 0.1f))).toDF("id", "v")
+    intercept[IllegalArgumentException](Similarity.addToIvfIndex(spark, dir, badId, "id", "v"))
     graft.core.CacheRegistry.unpersistAll()
   }
 
