@@ -747,6 +747,50 @@ object SparkEntry {
             .as("bound_ok"))
     }),
 
+    // Count-Min point-frequency estimates, byte-exact: the md5-derived
+    // bucket assignment is reproducible in DuckDB, and a CMS estimate
+    // is BY DEFINITION the exact sum of the colliding keys' counts —
+    // so the oracle recomputes every estimate from the raw table and
+    // the match is exact, collisions included (w=8 over ~O(10²)
+    // distinct keys forces real collisions, so the min-over-rows logic
+    // is genuinely exercised, not vacuously equal to exact counts).
+    "q_cms" -> ((s, dd) => {
+      import s.implicits._
+      val d = 3; val w = 8
+      val keysDf = t(s, dd, "documents")
+        .select(concat(col("lang"), lit(":"), col("source")).as("key"))
+      val sketch = keysDf.as[String]
+        .select(graft.functions.TypedAggregators.countMin(d, w).toColumn)
+        .head()
+      // bounded driver state: d*w longs (24 here) — the whole point of
+      // the sketch is that this never grows with the keyspace
+      val skLit = typedLit(sketch.toSeq)
+      val ests = (0 until d).map { i =>
+        val b = (conv(substring(md5(concat(lit(s"cms$i:"), col("key"))), 1, 8), 16, 10)
+          .cast("long") % w).cast("int")
+        element_at(skLit, lit(i * w) + b + 1)
+      }
+      keysDf.distinct().select(col("key"), least(ests: _*).as("cms_est"))
+    }),
+
+    // PageRank over the bidirectional customer↔supplier trade graph —
+    // scaled-integer arithmetic end to end, so three full iterations
+    // compare BIT-EXACT against the oracle's chained CTEs: every step
+    // is bigint add/multiply/truncating-divide, immune to shuffle
+    // order and partition count on both engines.
+    "q_pagerank" -> ((s, dd) => {
+      val pairs = t(s, dd, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dd, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+    }),
+
     // Approximate-quantile gate (same pattern as the HLL gate): the
     // sketch median must land between the exact 49th and 51st
     // percentiles. The bound is only structural once a group has
@@ -1950,6 +1994,51 @@ object SparkEntry {
          |SELECT doc_id, CAST(nw AS BIGINT) AS n_tokens, quality,
          |  CAST(cum AS BIGINT) AS cum_tokens
          |FROM r WHERE cum <= 150000""".stripMargin,
+
+    // CMS estimate(k) = min over hash rows of the colliding keys'
+    // total count — computable exactly from the raw table; the bucket
+    // recipe ('0x'||substr(md5(...),1,8))::UBIGINT % w matches the
+    // aggregator's cmsBucket byte for byte.
+    "q_cms" ->
+      """WITH docs AS (SELECT lang || ':' || source AS key FROM documents),
+        |hs AS (SELECT key, i,
+        |  CAST(('0x' || substr(md5('cms' || i || ':' || key), 1, 8)) AS UBIGINT) % 8 AS b
+        |  FROM docs, (SELECT unnest(range(3)) AS i)),
+        |cells AS (SELECT i, b, count(*) AS c FROM hs GROUP BY i, b),
+        |kh AS (SELECT DISTINCT key, i, b FROM hs)
+        |SELECT kh.key AS key, CAST(MIN(c.c) AS BIGINT) AS cms_est
+        |FROM kh JOIN cells c ON kh.i = c.i AND kh.b = c.b
+        |GROUP BY kh.key""".stripMargin,
+
+    // Chained-CTE PageRank, one CTE per iteration; '//' is DuckDB's
+    // integer floor-divide == Spark's `div` on the all-positive scores.
+    // Sums are CAST back to BIGINT (DuckDB widens SUM to HUGEINT).
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |verts AS (SELECT DISTINCT src AS node FROM edges
+        |          UNION SELECT DISTINCT dst AS node FROM edges),
+        |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score FROM verts),
+        |inf1 AS (SELECT e.dst, CAST(SUM(sc.score // od.deg) AS BIGINT) AS f
+        |  FROM edges e JOIN it0 sc ON e.src = sc.node JOIN outdeg od ON e.src = od.src
+        |  GROUP BY e.dst),
+        |it1 AS (SELECT v.node, 150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
+        |  FROM verts v LEFT JOIN inf1 i ON v.node = i.dst),
+        |inf2 AS (SELECT e.dst, CAST(SUM(sc.score // od.deg) AS BIGINT) AS f
+        |  FROM edges e JOIN it1 sc ON e.src = sc.node JOIN outdeg od ON e.src = od.src
+        |  GROUP BY e.dst),
+        |it2 AS (SELECT v.node, 150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
+        |  FROM verts v LEFT JOIN inf2 i ON v.node = i.dst),
+        |inf3 AS (SELECT e.dst, CAST(SUM(sc.score // od.deg) AS BIGINT) AS f
+        |  FROM edges e JOIN it2 sc ON e.src = sc.node JOIN outdeg od ON e.src = od.src
+        |  GROUP BY e.dst),
+        |it3 AS (SELECT v.node, 150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
+        |  FROM verts v LEFT JOIN inf3 i ON v.node = i.dst)
+        |SELECT node, CAST(score AS BIGINT) AS score FROM it3""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH c AS (SELECT lang, count(*) AS n_exact FROM documents GROUP BY lang),

@@ -81,6 +81,62 @@ object TypedAggregators {
     * n/(capacity+1). Exact counts for the survivors can be pinned with
     * one cheap semi-join pass when needed.
     */
+  /** Count-Min bucket for hash row `i`: first 4 bytes of
+    * `md5("cms<i>:<key>")` as an unsigned int, mod `w`. md5-derived so
+    * an external engine can reproduce the cell assignment exactly —
+    * the DuckDB oracle computes the identical bucket as
+    * `('0x' || substr(md5('cms' || i || ':' || key), 1, 8))::UBIGINT % w`.
+    */
+  private[graft] def cmsBucket(i: Int, key: String, w: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cms$i:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u % w).toInt
+  }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan '05): approximate
+    * per-key frequencies in `d × w` counters, independent of
+    * distinct-key volume. Where [[heavyHitters]] answers "which keys
+    * are frequent", Count-Min answers point queries for ANY key —
+    * including keys chosen after the pass — with the one-sided
+    * guarantee: `estimate(k) >= true(k)` always (every occurrence of
+    * `k` lands in all `d` of its cells; collisions only ADD), and
+    * `estimate(k) <= true(k) + e·n/w` with probability `1 − 2^−d`.
+    *
+    * The buffer is one flat `d·w` long array; merge is element-wise
+    * addition, so the sketch is a mergeable summary (Agarwal et al.
+    * PODS'12): partial sketches combine map-side and the shuffle
+    * carries `d·w` longs per partition — the point at 100 TB, where a
+    * full `groupBy(key).count` over billions of open-world keys is a
+    * shuffle of the whole keyspace. Estimates need no re-scan:
+    * `min_i buf(i·w + cmsBucket(i, k, w))`.
+    */
+  def countMin(d: Int, w: Int): Aggregator[String, Array[Long], Array[Long]] = {
+    require(d >= 1, s"countMin: depth d must be >= 1, got $d")
+    require(w >= 1, s"countMin: width w must be >= 1, got $w")
+    new Aggregator[String, Array[Long], Array[Long]] {
+      def zero: Array[Long] = new Array[Long](d * w)
+      def reduce(buf: Array[Long], key: String): Array[Long] = {
+        if (key != null) {
+          var i = 0
+          while (i < d) { buf(i * w + cmsBucket(i, key, w)) += 1L; i += 1 }
+        }
+        buf
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(buf: Array[Long]): Array[Long] = buf
+      def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      def outputEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+  }
+
   /** The batched MG decrement shared by the batch aggregator and
     * [[graft.streaming.StreamHeavyHitters]]: keep the top `capacity`
     * counters, subtracting the (capacity+1)-th largest value from every

@@ -18,6 +18,32 @@ class TypedAggSpec extends SparkSpec {
     assert(viaAgg == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("countMin sketch equals the sequential fold and overestimates one-sidedly") {
+    val rnd = new scala.util.Random(3)
+    // zipfy-ish: key k appears ~60/(k+1) times over 30 distinct keys
+    val keys = (0 until 30).flatMap(k => Seq.fill(60 / (k + 1))(s"k$k"))
+    val shuffled = rnd.shuffle(keys)
+    val d = 3; val w = 8 // tiny width forces real collisions
+    val sketch = shuffled.toDS().repartition(4)
+      .select(TypedAggregators.countMin(d, w).toColumn).head()
+    // distributed merge-order-independent: equals the sequential fold
+    val expected = new Array[Long](d * w)
+    for (k <- keys; i <- 0 until d)
+      expected(i * w + TypedAggregators.cmsBucket(i, k, w)) += 1L
+    assert(sketch.sameElements(expected))
+    // point estimates: never below truth, and exact when no row collides
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val estimates = exact.keys.map { k =>
+      k -> (0 until d).map(i => sketch(i * w + TypedAggregators.cmsBucket(i, k, w))).min
+    }.toMap
+    assert(exact.forall { case (k, n) => estimates(k) >= n })
+    assert(estimates.exists { case (k, e) => e > exact(k) }) // collisions really happened
+    // null inputs are skipped, not counted
+    val withNulls = (shuffled :+ null).toDS()
+      .select(TypedAggregators.countMin(d, w).toColumn).head()
+    assert(withNulls.sameElements(expected))
+  }
+
   test("moments aggregator computes mean and sample variance with map-side merge") {
     val xs = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
     val (n, mean, variance) = xs.toDS().repartition(4)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("pageRank: one iteration matches the hand-computed scaled-integer step") {
+    // A fans out to B and C; both point back — A is the hub.
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "A"), ("C", "A")).toDF("src", "dst")
+    val r = ranks(Graph.pageRank(edges, "src", "dst", iters = 1, scale = 1000L))
+    // base = 1000*15/100 = 150; A's contribs: 1000 div 2 = 500 each;
+    // inflow(A) = 1000+1000, inflow(B) = inflow(C) = 500
+    assert(r == Map(
+      "A" -> (150L + 85L * 2000L / 100L), // 1850
+      "B" -> (150L + 85L * 500L / 100L),  // 575
+      "C" -> (150L + 85L * 500L / 100L)))
+  }
+
+  test("pageRank: truncating division and dangling/no-inlink nodes") {
+    // A has 3 outlinks: each contrib is 1000 div 3 = 333 (trunc, not
+    // round); D is dangling (no outlinks — its mass drops), A has no
+    // inlinks and settles at base.
+    val edges = Seq(("A", "B"), ("A", "C"), ("A", "D")).toDF("src", "dst")
+    val r = ranks(Graph.pageRank(edges, "src", "dst", iters = 1, scale = 1000L))
+    assert(r("A") == 150L)
+    assert(r("B") == 150L + 85L * 333L / 100L) // 433 — trunc twice
+    assert(r == Map("A" -> 150L, "B" -> 433L, "C" -> 433L, "D" -> 433L))
+  }
+
+  test("pageRank: ring is a fixed point; deep runs checkpoint without changing values") {
+    val ring = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst")
+    // every node: inflow = scale div 1, next = base + 85%*scale... the
+    // symmetric ring keeps all nodes equal at every iteration
+    val one = ranks(Graph.pageRank(ring, "src", "dst", iters = 1))
+    val deep = ranks(Graph.pageRank(ring, "src", "dst", iters = 12, checkpointIters = 4))
+    assert(one.values.toSet.size == 1 && deep.values.toSet.size == 1)
+    // duplicate edges collapse: doubling the edge list changes nothing
+    val dup = ranks(Graph.pageRank(ring.unionAll(ring), "src", "dst", iters = 1))
+    assert(dup == one)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("pageRank: hub ranking is stable across partitioning (integer arithmetic)") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 400)
+      .map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val a = ranks(Graph.pageRank(edges.repartition(1), "src", "dst", iters = 3))
+    val b = ranks(Graph.pageRank(edges.repartition(7), "src", "dst", iters = 3))
+    assert(a == b) // bit-exact, not approximately equal
+    graft.core.CacheRegistry.unpersistAll()
+  }
+}
