@@ -791,6 +791,27 @@ object SparkEntry {
       Graph.pageRank(edges, "src", "dst", iters = 3)
     }),
 
+    // Multi-source BFS over the trade graph: hop distance from the
+    // NATION_7 suppliers as the "distance from trusted seeds" quality
+    // measure. Exact integers — byte-comparable against the oracle's
+    // recursive CTE at any partitioning.
+    "q_hop_distance" -> ((s, dd) => {
+      val pairs = t(s, dd, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dd, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = t(s, dd, "supplier")
+        .join(t(s, dd, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name") === "NATION_7")
+        .select(concat(lit("s:"), col("s_suppkey")).as("seed"))
+      Graph.hopDistance(edges, "src", "dst", seeds, "seed", maxHops = 3)
+    }),
+
     // Approximate-quantile gate (same pattern as the HLL gate): the
     // sketch median must land between the exact 49th and 51st
     // percentiles. The bound is only structural once a group has
@@ -2039,6 +2060,23 @@ object SparkEntry {
         |it3 AS (SELECT v.node, 150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
         |  FROM verts v LEFT JOIN inf3 i ON v.node = i.dst)
         |SELECT node, CAST(score AS BIGINT) AS score FROM it3""".stripMargin,
+
+    // BFS as a bounded recursive CTE; UNION dedups (node, dist) pairs
+    // and the dist < 3 guard caps recursion at maxHops. MIN(dist) per
+    // node = first hop the frontier reached it.
+    "q_hop_distance" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |bfs(node, dist) AS (
+        |  SELECT 's:' || s_suppkey, 0 FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.node
+        |  WHERE b.dist < 3)
+        |SELECT node, CAST(MIN(dist) AS INT) AS dist FROM bfs GROUP BY node""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH c AS (SELECT lang, count(*) AS n_exact FROM documents GROUP BY lang),

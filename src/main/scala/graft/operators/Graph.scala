@@ -87,4 +87,59 @@ object Graph {
     }
     scores
   }
+
+  /** Multi-source BFS hop distance: for every node reachable from
+    * `seeds` within `maxHops` directed hops, the MINIMUM hop count.
+    * The "distance from trusted seeds" corpus-quality measure — crawl
+    * pipelines score pages by graph distance from a curated seed set
+    * (link spam lives far from every seed), the same shape as
+    * personalized-PageRank's support. Exact integers, so the result is
+    * partitioning-independent and byte-comparable against a recursive
+    * CTE.
+    *
+    * Scale shape: textbook frontier expansion — per round one join of
+    * the (shrinking) frontier against edges persisted partitioned on
+    * `src`, one anti-join against the visited set, one distinct on the
+    * new frontier. One materializing action per round (the new
+    * frontier's eager `localCheckpoint`; the empty probe then reads a
+    * cached block), the visited set accumulates as a union of
+    * checkpointed per-hop deltas (shallow O(hops) lineage, never
+    * re-materialized), and rounds are capped by `maxHops` — the
+    * connected-components loop discipline
+    * ([[Dedup.connectedComponents]]).
+    */
+  def hopDistance(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"hopDistance: maxHops must be >= 0, got $maxHops")
+    val e = graft.core.CacheRegistry.persist(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+        .repartition(col("src")),
+      MEMORY_AND_DISK)
+    var visited = seeds.select(col(seedCol).as("node")).where(col("node").isNotNull)
+      .distinct().select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = e.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist"))
+        .localCheckpoint(true) // the round's one materializing action
+      // visited stays a union chain of checkpointed deltas: lineage is
+      // O(hops) and SHALLOW (each leg a cached-block scan), so no
+      // re-materialization of the full visited set per round
+      visited = visited.union(next)
+      frontier = next
+    }
+    visited
+  }
 }

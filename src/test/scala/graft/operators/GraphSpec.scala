@@ -45,6 +45,27 @@ class GraphSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("hopDistance: multi-source BFS takes the minimum hop, respects maxHops") {
+    //   A → B → C → D → E,  F → C  (F and A both seeds)
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"), ("F", "C"))
+      .toDF("src", "dst")
+    val seeds = Seq("A", "F", "A").toDF("seed") // duplicate seed collapses
+    val out = Graph.hopDistance(edges, "src", "dst", seeds, "seed", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // C is 2 hops from A but 1 from F — min wins; E (3 hops via
+    // F→C→D→E) is beyond the cap; unreached nodes are absent, not null
+    assert(out == Map("A" -> 0, "F" -> 0, "B" -> 1, "C" -> 1, "D" -> 2))
+    // maxHops = 0 returns exactly the seed set
+    val justSeeds = Graph.hopDistance(edges, "src", "dst", seeds, "seed", maxHops = 0)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(justSeeds == Map("A" -> 0, "F" -> 0))
+    // early exit: a frontier that dies before maxHops terminates the loop
+    val far = Graph.hopDistance(edges, "src", "dst", seeds, "seed", maxHops = 50)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(far == Map("A" -> 0, "F" -> 0, "B" -> 1, "C" -> 1, "D" -> 2, "E" -> 3))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("pageRank: hub ranking is stable across partitioning (integer arithmetic)") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 400)
