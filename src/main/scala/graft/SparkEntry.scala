@@ -791,6 +791,26 @@ object SparkEntry {
       Graph.pageRank(edges, "src", "dst", iters = 3)
     }),
 
+    // TrustRank: teleport mass restricted to the NATION_7 seed
+    // suppliers — same scaled-integer step as q_pagerank with the base
+    // term masked by seed membership, two iterations, bit-exact.
+    "q_trustrank" -> ((s, dd) => {
+      val pairs = t(s, dd, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dd, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = t(s, dd, "supplier")
+        .join(t(s, dd, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name") === "NATION_7")
+        .select(concat(lit("s:"), col("s_suppkey")).as("seed"))
+      Graph.trustRank(edges, "src", "dst", seeds, "seed", iters = 2)
+    }),
+
     // Multi-source BFS over the trade graph: hop distance from the
     // NATION_7 suppliers as the "distance from trusted seeds" quality
     // measure. Exact integers — byte-comparable against the oracle's
@@ -2060,6 +2080,34 @@ object SparkEntry {
         |it3 AS (SELECT v.node, 150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
         |  FROM verts v LEFT JOIN inf3 i ON v.node = i.dst)
         |SELECT node, CAST(score AS BIGINT) AS score FROM it3""".stripMargin,
+
+    // TrustRank = the PageRank CTE chain with the base term masked by
+    // seed membership (is_seed in {0,1}); two iterations.
+    "q_trustrank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |vertbase AS (SELECT DISTINCT src AS node FROM edges
+        |             UNION SELECT DISTINCT dst AS node FROM edges),
+        |seeds AS (SELECT DISTINCT 's:' || s_suppkey AS node FROM supplier
+        |          JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'),
+        |v AS (SELECT vb.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+        |      FROM vertbase vb LEFT JOIN seeds s ON vb.node = s.node),
+        |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |it0 AS (SELECT node, CAST(1000000000 * is_seed AS BIGINT) AS score FROM v),
+        |inf1 AS (SELECT e.dst, CAST(SUM(sc.score // od.deg) AS BIGINT) AS f
+        |  FROM edges e JOIN it0 sc ON e.src = sc.node JOIN outdeg od ON e.src = od.src
+        |  GROUP BY e.dst),
+        |it1 AS (SELECT v.node, 150000000 * v.is_seed + (85 * COALESCE(i.f, 0)) // 100 AS score
+        |  FROM v LEFT JOIN inf1 i ON v.node = i.dst),
+        |inf2 AS (SELECT e.dst, CAST(SUM(sc.score // od.deg) AS BIGINT) AS f
+        |  FROM edges e JOIN it1 sc ON e.src = sc.node JOIN outdeg od ON e.src = od.src
+        |  GROUP BY e.dst),
+        |it2 AS (SELECT v.node, 150000000 * v.is_seed + (85 * COALESCE(i.f, 0)) // 100 AS score
+        |  FROM v LEFT JOIN inf2 i ON v.node = i.dst)
+        |SELECT node, CAST(score AS BIGINT) AS score FROM it2""".stripMargin,
 
     // BFS as a bounded recursive CTE; UNION dedups (node, dist) pairs
     // and the dist < 3 guard caps recursion at maxHops. MIN(dist) per

@@ -54,7 +54,48 @@ object Graph {
       scale: Long = 1000000000L,
       dampNum: Long = 85L,
       dampDen: Long = 100L,
-      checkpointIters: Int = 1): DataFrame = {
+      checkpointIters: Int = 1): DataFrame =
+    prLoop(edges, srcCol, dstCol, None, iters, scale, dampNum, dampDen, checkpointIters)
+
+  /** Personalized PageRank (TrustRank, Gyöngyi et al. VLDB'04): the
+    * teleport term lands ONLY on a trusted seed set, so score measures
+    * endorsement reachable from the seeds — pages no trust path
+    * reaches decay toward 0, which is exactly the spam-demotion signal
+    * crawl pipelines combine with [[hopDistance]]. Identical
+    * scaled-integer step as [[pageRank]] with `base` masked by seed
+    * membership:
+    *
+    * {{{ next(v) = [v ∈ seeds]·base + (dampNum · inflow(v)) div dampDen }}}
+    *
+    * (plain PageRank is the special case where every vertex is a
+    * seed). Same loop, same bit-exactness, same superstep scale shape.
+    * Seeds absent from the edge list are ignored — an isolated seed
+    * has no edges to propagate trust over.
+    */
+  def trustRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int,
+      scale: Long = 1000000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      checkpointIters: Int = 1): DataFrame =
+    prLoop(edges, srcCol, dstCol, Some(seeds.select(col(seedCol).as("node"))),
+      iters, scale, dampNum, dampDen, checkpointIters)
+
+  private def prLoop(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Option[DataFrame],
+      iters: Int,
+      scale: Long,
+      dampNum: Long,
+      dampDen: Long,
+      checkpointIters: Int): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(scale > 0L, s"pageRank: scale must be positive, got $scale")
     require(dampDen > 0L && dampNum >= 0L && dampNum <= dampDen,
@@ -77,8 +118,17 @@ object Graph {
       e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
         .repartition(col("src")),
       MEMORY_AND_DISK)
+    // verts carries the teleport mask: is_seed ∈ {0, 1}, all-1 for
+    // plain PageRank — one loop body serves both variants exactly.
+    val vertBase = e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct()
     val verts = graft.core.CacheRegistry.persist(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct(),
+      seeds match {
+        case None => vertBase.select(col("node"), lit(1L).as("is_seed"))
+        case Some(sd) =>
+          val s = sd.where(col("node").isNotNull).distinct().select(col("node"), lit(1L).as("_s"))
+          vertBase.join(s, Seq("node"), "left")
+            .select(col("node"), coalesce(col("_s"), lit(0L)).as("is_seed"))
+      },
       MEMORY_AND_DISK)
     // materialize both loop-invariant caches (e fills on the first,
     // the second reuses it), then drop the now-redundant edge cache —
@@ -87,7 +137,7 @@ object Graph {
     verts.count()
     e.unpersist()
     val base = scale * (dampDen - dampNum) / dampDen
-    var scores = verts.select(col("node"), lit(scale).as("score"))
+    var scores = verts.select(col("node"), (lit(scale) * col("is_seed")).as("score"))
     for (i <- 1 to iters) {
       val inflow = contrib
         .join(scores, col("src") === col("node"))
@@ -97,7 +147,8 @@ object Graph {
         .join(inflow, col("node") === col("dst"), "left")
         .select(
           col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen"))
+          (lit(base) * col("is_seed") +
+            expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen"))
             .as("score"))
       if (i % checkpointIters == 0 && i < iters) scores = scores.localCheckpoint(true)
     }

@@ -45,6 +45,32 @@ class GraphSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("trustRank: teleport lands only on seeds; untrusted components decay to zero") {
+    // hub graph + a disconnected X→Y component; A is the only seed
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "A"), ("C", "A"), ("X", "Y"))
+      .toDF("src", "dst")
+    val seeds = Seq("A").toDF("seed")
+    val r1 = ranks(Graph.trustRank(edges, "src", "dst", seeds, "seed", iters = 1, scale = 1000L))
+    // init: A=1000, rest 0. A's contribs 1000 div 2 = 500 to B and C;
+    // B,C,X contribute 0. next: A = 150 (its inflow is all zeros),
+    // B = C = 85*500 div 100 = 425; X, Y stay 0.
+    assert(r1 == Map("A" -> 150L, "B" -> 425L, "C" -> 425L, "X" -> 0L, "Y" -> 0L))
+    val r2 = ranks(Graph.trustRank(edges, "src", "dst", seeds, "seed", iters = 2, scale = 1000L))
+    // iter2: A's contribs 150 div 2 = 75; inflow(A) = 425+425 = 850 →
+    // A = 150 + 85*850 div 100 = 872; B = C = 85*75 div 100 = 63
+    assert(r2 == Map("A" -> 872L, "B" -> 63L, "C" -> 63L, "X" -> 0L, "Y" -> 0L))
+    // plain PageRank IS trustRank with every vertex seeded
+    val allSeeds = Seq("A", "B", "C", "X", "Y").toDF("seed")
+    val pr = ranks(Graph.pageRank(edges, "src", "dst", iters = 2, scale = 1000L))
+    val tr = ranks(Graph.trustRank(edges, "src", "dst", allSeeds, "seed", iters = 2, scale = 1000L))
+    assert(pr == tr)
+    // isolated seeds (not in the edge list) are ignored
+    val ghost = ranks(Graph.trustRank(edges, "src", "dst",
+      Seq("A", "GHOST").toDF("seed"), "seed", iters = 1, scale = 1000L))
+    assert(ghost == r1)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("hopDistance: multi-source BFS takes the minimum hop, respects maxHops") {
     //   A → B → C → D → E,  F → C  (F and A both seeds)
     val edges = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"), ("F", "C"))
