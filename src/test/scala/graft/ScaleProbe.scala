@@ -131,6 +131,42 @@ object ScaleProbe {
       emb0.select((col("vec_id") + k * 100000).as("vec_id"), col("embedding")))
       .reduce(_ unionAll _).repartition(32)
     println(s"emb10 count=${emb10.count()}")
+    // 10x trade graph: 10 disjoint copies of the customer↔supplier
+    // pairs (volume scaling is the probe's point; diameter is fixed)
+    val ord = spark.read.parquet(s"$d/orders.parquet")
+    val pairs0 = ord.select(col("o_orderkey"), col("o_custkey"))
+      .join(li.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp")).distinct()
+    val half10 = (0 until 10).map(k =>
+      pairs0.select(
+        concat(lit("c:"), col("cust") + k * 1000000).as("src"),
+        concat(lit("s:"), col("supp") + k * 1000000).as("dst")))
+      .reduce(_ unionAll _)
+    val graph10 = half10
+      .unionAll(half10.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(32)
+    val seeds10 = (0 until 10).map(k =>
+      pairs0.where(col("supp") % 10 === 0)
+        .select(concat(lit("s:"), col("supp") + k * 1000000).as("seed")))
+      .reduce(_ unionAll _).distinct()
+    time("pageRank 3 iters on 2.4M edges")(
+      graft.operators.Graph.pageRank(graph10, "src", "dst", iters = 3).count())
+    graft.core.CacheRegistry.unpersistAll()
+    time("trustRank 2 iters on 2.4M edges")(
+      graft.operators.Graph.trustRank(graph10, "src", "dst", seeds10, "seed", iters = 2).count())
+    graft.core.CacheRegistry.unpersistAll()
+    time("hopDistance 3 hops on 2.4M edges")(
+      graft.operators.Graph.hopDistance(graph10, "src", "dst", seeds10, "seed", maxHops = 3).count())
+    graft.core.CacheRegistry.unpersistAll()
+    locally {
+      import spark.implicits._
+      time("countMin d=4 w=1024 over 1M event keys")(
+        ev10.select(col("event_type")).as[String]
+          .select(graft.functions.TypedAggregators.countMin(4, 1024).toColumn)
+          .head().length.toLong)
+    }
+
     time("kmeans k=16 x 3 iters on 20k vecs")(
       graft.operators.Clustering.kmeans(emb10, "embedding", k = 16, maxIter = 3)
         .centroids.length.toLong)
