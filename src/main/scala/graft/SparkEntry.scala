@@ -45,6 +45,31 @@ object SparkEntry {
     else df
   }
 
+  /** The bidirectional customer↔supplier trade graph (distinct
+    * orders⋈lineitem pairs, namespaced node ids) — shared by the three
+    * graph queries; the oracle SQL repeats the same CTE verbatim.
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c:"), col("o_custkey")).as("c"),
+        concat(lit("s:"), col("l_suppkey")).as("p"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+  }
+
+  /** The NATION_7 supplier nodes — the trusted seed set for
+    * q_trustrank / q_hop_distance.
+    */
+  private def nation7Seeds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === "NATION_7")
+      .select(concat(lit("s:"), col("s_suppkey")).as("seed"))
+
   /** Exact decimal sum rendered as double — accumulation-order-proof. */
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -757,8 +782,15 @@ object SparkEntry {
     "q_cms" -> ((s, dd) => {
       import s.implicits._
       val d = 3; val w = 8
-      val keysDf = t(s, dd, "documents")
-        .select(concat(col("lang"), lit(":"), col("source")).as("key"))
+      // NULL keys are pinned out on BOTH engines (the aggregator would
+      // skip them but the oracle's bucket join silently drops them —
+      // filtering here keeps the parity structural, not accidental);
+      // persisted because the frame feeds two jobs (sketch, keys).
+      val keysDf = graft.core.CacheRegistry.persist(
+        t(s, dd, "documents")
+          .select(concat(col("lang"), lit(":"), col("source")).as("key"))
+          .where(col("key").isNotNull),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sketch = keysDf.as[String]
         .select(graft.functions.TypedAggregators.countMin(d, w).toColumn)
         .head()
@@ -778,59 +810,23 @@ object SparkEntry {
     // compare BIT-EXACT against the oracle's chained CTEs: every step
     // is bigint add/multiply/truncating-divide, immune to shuffle
     // order and partition count on both engines.
-    "q_pagerank" -> ((s, dd) => {
-      val pairs = t(s, dd, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dd, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(
-          concat(lit("c:"), col("o_custkey")).as("c"),
-          concat(lit("s:"), col("l_suppkey")).as("p"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
-      Graph.pageRank(edges, "src", "dst", iters = 3)
-    }),
+    "q_pagerank" -> ((s, dd) =>
+      Graph.pageRank(tradeEdges(s, dd), "src", "dst", iters = 3)),
 
     // TrustRank: teleport mass restricted to the NATION_7 seed
     // suppliers — same scaled-integer step as q_pagerank with the base
     // term masked by seed membership, two iterations, bit-exact.
-    "q_trustrank" -> ((s, dd) => {
-      val pairs = t(s, dd, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dd, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(
-          concat(lit("c:"), col("o_custkey")).as("c"),
-          concat(lit("s:"), col("l_suppkey")).as("p"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
-      val seeds = t(s, dd, "supplier")
-        .join(t(s, dd, "nation"), col("s_nationkey") === col("n_nationkey"))
-        .where(col("n_name") === "NATION_7")
-        .select(concat(lit("s:"), col("s_suppkey")).as("seed"))
-      Graph.trustRank(edges, "src", "dst", seeds, "seed", iters = 2)
-    }),
+    "q_trustrank" -> ((s, dd) =>
+      Graph.trustRank(tradeEdges(s, dd), "src", "dst",
+        nation7Seeds(s, dd), "seed", iters = 2)),
 
     // Multi-source BFS over the trade graph: hop distance from the
     // NATION_7 suppliers as the "distance from trusted seeds" quality
     // measure. Exact integers — byte-comparable against the oracle's
     // recursive CTE at any partitioning.
-    "q_hop_distance" -> ((s, dd) => {
-      val pairs = t(s, dd, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dd, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(
-          concat(lit("c:"), col("o_custkey")).as("c"),
-          concat(lit("s:"), col("l_suppkey")).as("p"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
-      val seeds = t(s, dd, "supplier")
-        .join(t(s, dd, "nation"), col("s_nationkey") === col("n_nationkey"))
-        .where(col("n_name") === "NATION_7")
-        .select(concat(lit("s:"), col("s_suppkey")).as("seed"))
-      Graph.hopDistance(edges, "src", "dst", seeds, "seed", maxHops = 3)
-    }),
+    "q_hop_distance" -> ((s, dd) =>
+      Graph.hopDistance(tradeEdges(s, dd), "src", "dst",
+        nation7Seeds(s, dd), "seed", maxHops = 3)),
 
     // Approximate-quantile gate (same pattern as the HLL gate): the
     // sketch median must land between the exact 49th and 51st
@@ -2041,7 +2037,8 @@ object SparkEntry {
     // recipe ('0x'||substr(md5(...),1,8))::UBIGINT % w matches the
     // aggregator's cmsBucket byte for byte.
     "q_cms" ->
-      """WITH docs AS (SELECT lang || ':' || source AS key FROM documents),
+      """WITH docs AS (SELECT lang || ':' || source AS key FROM documents
+        |              WHERE lang || ':' || source IS NOT NULL),
         |hs AS (SELECT key, i,
         |  CAST(('0x' || substr(md5('cms' || i || ':' || key), 1, 8)) AS UBIGINT) % 8 AS b
         |  FROM docs, (SELECT unnest(range(3)) AS i)),

@@ -67,20 +67,6 @@ object TypedAggregators {
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
     }
 
-  /** Misra-Gries heavy hitters: one-pass approximate top frequent
-    * items in bounded space (`capacity` counters per buffer — the
-    * shuffle carries one tiny map per partition instead of the full
-    * per-item count table, which is the point at 100 TB: finding the
-    * dominant domains/languages/tokens without a full groupBy over
-    * billions of distinct keys).
-    *
-    * Guarantees (classic MG, preserved by the counter-wise merge +
-    * re-prune, Agarwal et al., "Mergeable Summaries", PODS'12):
-    * every item with true frequency > n/(capacity+1) is present in the
-    * output, and each reported count is an UNDERCOUNT by at most
-    * n/(capacity+1). Exact counts for the survivors can be pinned with
-    * one cheap semi-join pass when needed.
-    */
   /** Count-Min bucket for hash row `i`: first 4 bytes of
     * `md5("cms<i>:<key>")` as an unsigned int, mod `w`. md5-derived so
     * an external engine can reproduce the cell assignment exactly —
@@ -150,6 +136,20 @@ object TypedAggregators {
       m.collect { case (k, v) if v > cut => k -> (v - cut) }
     }
 
+  /** Misra-Gries heavy hitters: one-pass approximate top frequent
+    * items in bounded space (`capacity` counters per buffer — the
+    * shuffle carries one tiny map per partition instead of the full
+    * per-item count table, which is the point at 100 TB: finding the
+    * dominant domains/languages/tokens without a full groupBy over
+    * billions of distinct keys).
+    *
+    * Guarantees (classic MG, preserved by the counter-wise merge +
+    * re-prune, Agarwal et al., "Mergeable Summaries", PODS'12):
+    * every item with true frequency > n/(capacity+1) is present in the
+    * output, and each reported count is an UNDERCOUNT by at most
+    * n/(capacity+1). Exact counts for the survivors can be pinned with
+    * one cheap semi-join pass when needed.
+    */
   def heavyHitters(capacity: Int): Aggregator[String, Map[String, Long], Map[String, Long]] = {
     require(capacity >= 1, s"heavyHitters: capacity must be >= 1, got $capacity")
     new Aggregator[String, Map[String, Long], Map[String, Long]] {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{ArrayType, NumericType}
@@ -102,6 +102,26 @@ object Similarity {
     * under a shifting distribution is the caller's retrain signal
     * (rebuild + save, as FAISS re-trains).
     */
+  /** Pin a batch id column to a standing index's id type, allowing
+    * only LOSSLESS widening (`Cast.canUpCast`): ids are identities, so
+    * a narrowing cast (long batch under an int-id index) silently
+    * wrapping values into the saved footers would corrupt every later
+    * lookup — unlike the vector columns, where a double→float downcast
+    * loses precision, not identity, and is deliberate.
+    */
+  private def pinIdType(
+      op: String,
+      standing: org.apache.spark.sql.types.DataType,
+      batch: DataFrame,
+      idCol: String): Column = {
+    val b = batch.schema(idCol).dataType
+    if (standing == b) col(idCol)
+    else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(b, standing))
+      col(idCol).cast(standing)
+    else throw new IllegalArgumentException(
+      s"$op: batch id type $b cannot be losslessly cast to standing index id type $standing")
+  }
+
   def addToIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -128,13 +148,7 @@ object Similarity {
     }
     // Same pin for the id column: a drifted id type (long index, int
     // batch) would poison the neighbor_id footers identically.
-    val standingId = standing("neighbor_id").dataType
-    val castId = (standingId, batch.schema(idCol).dataType) match {
-      case (s, b) if s == b => col(idCol)
-      case (s: NumericType, _: NumericType) => col(idCol).cast(s)
-      case (s, b) => throw new IllegalArgumentException(
-        s"addToIvfIndex: batch id type $b incompatible with standing index id type $s")
-    }
+    val castId = pinIdType("addToIvfIndex", standing("neighbor_id").dataType, batch, idCol)
     batch.select(
       castId.as("neighbor_id"), castVec.as("c_vec"),
       nearestCentroid(col(vecCol), cents).as("cell"))
@@ -387,13 +401,7 @@ object Similarity {
     import graft.functions.VectorFunctions._
     val ix = loadPqIndex(spark, path) // codebooks are a few KB; codes stay lazy
     val normLut = ix.codebooks.flatMap(_.map(cw => cw.map(x => x * x).sum)).toSeq
-    val standingId = ix.codes.schema("neighbor_id").dataType
-    val idC = (standingId, batch.schema(idCol).dataType) match {
-      case (s, b) if s == b                      => col(idCol)
-      case (s: NumericType, _: NumericType)      => col(idCol).cast(s)
-      case (s, b) => throw new IllegalArgumentException(
-        s"addToPqIndex: batch id type $b incompatible with standing index type $s")
-    }
+    val idC = pinIdType("addToPqIndex", ix.codes.schema("neighbor_id").dataType, batch, idCol)
     batch.select(
       idC.as("neighbor_id"),
       pqEncode(col(vecCol), ix.codebooks).as("codes"))

@@ -19,6 +19,7 @@ class GraphSpec extends SparkSpec {
       "A" -> (150L + 85L * 2000L / 100L), // 1850
       "B" -> (150L + 85L * 500L / 100L),  // 575
       "C" -> (150L + 85L * 500L / 100L)))
+    graft.core.CacheRegistry.unpersistAll()
   }
 
   test("pageRank: truncating division and dangling/no-inlink nodes") {
@@ -30,6 +31,7 @@ class GraphSpec extends SparkSpec {
     assert(r("A") == 150L)
     assert(r("B") == 150L + 85L * 333L / 100L) // 433 — trunc twice
     assert(r == Map("A" -> 150L, "B" -> 433L, "C" -> 433L, "D" -> 433L))
+    graft.core.CacheRegistry.unpersistAll()
   }
 
   test("pageRank: ring is a fixed point; deep runs checkpoint without changing values") {

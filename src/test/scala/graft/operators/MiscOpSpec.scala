@@ -140,6 +140,13 @@ class MiscOpSpec extends SparkSpec {
     // a non-castable id type fails fast
     val badId = Seq(("nope", Array(0.1f, 0.1f))).toDF("id", "v")
     intercept[IllegalArgumentException](Similarity.addToIvfIndex(spark, dir, badId, "id", "v"))
+    // NARROWING is refused too: a long batch id under an int-id index
+    // would silently wrap identities into the footers
+    val corpusInt = (0 until 8).map(i => (i, Array(i.toFloat, -i.toFloat))).toDF("id", "v")
+    val dirInt = java.nio.file.Files.createTempDirectory("ivf_narrow").toString
+    Similarity.buildIvfIndex(corpusInt, "id", "v", nlist = 2, trainSample = 8).save(dirInt)
+    val wide = Seq((5000000000L, Array(0.5f, 0.5f))).toDF("id", "v")
+    intercept[IllegalArgumentException](Similarity.addToIvfIndex(spark, dirInt, wide, "id", "v"))
     graft.core.CacheRegistry.unpersistAll()
   }
 
