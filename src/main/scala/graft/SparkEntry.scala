@@ -813,6 +813,19 @@ object SparkEntry {
     "q_pagerank" -> ((s, dd) =>
       Graph.pageRank(tradeEdges(s, dd), "src", "dst", iters = 3)),
 
+    // Grouped OLS trend fit (per-priority order-value drift over
+    // time): the five partial sums are EXACT (bigint/decimal), and
+    // slope/intercept/r2 evaluate in double from identical exact
+    // inputs with identical operation shapes on both engines — so the
+    // floating-point outputs hash-compare exactly.
+    "q_trend_fit" -> ((s, dd) =>
+      Analytics.groupedLinearFit(
+        t(s, dd, "orders").select(
+          col("o_orderpriority").as("prio"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("x"),
+          col("o_totalprice").cast("decimal(18,2)").as("y")),
+        Seq(col("prio")), col("x"), col("y"))),
+
     // TrustRank: teleport mass restricted to the NATION_7 seed
     // suppliers — same scaled-integer step as q_pagerank with the base
     // term masked by seed membership, two iterations, bit-exact.
@@ -2077,6 +2090,39 @@ object SparkEntry {
         |it3 AS (SELECT v.node, 150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
         |  FROM verts v LEFT JOIN inf3 i ON v.node = i.dst)
         |SELECT node, CAST(score AS BIGINT) AS score FROM it3""".stripMargin,
+
+    // Exact partial sums, then the SAME double-arithmetic shapes as
+    // the Spark side — identical inputs + identical IEEE ops =
+    // identical bits, even for r2. The decimal→double casts go VIA
+    // VARCHAR: DuckDB's direct decimal→double double-rounds (int128
+    // unscaled → double, then ÷10^scale — off by one ulp on Σy² here),
+    // while string→double is correctly rounded, matching the JVM's
+    // BigDecimal.doubleValue exactly.
+    "q_trend_fit" ->
+      """WITH b AS (SELECT o_orderpriority AS prio,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS y FROM orders),
+        |a AS (SELECT prio, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |      FROM b GROUP BY prio),
+        |d AS (SELECT prio, n,
+        |  CAST(n AS DOUBLE) AS nd,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+        |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        |  CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+        |  FROM a)
+        |SELECT prio, n,
+        |  CASE WHEN nd*sxxd - sxd*sxd = 0 THEN NULL
+        |       ELSE (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) END AS slope,
+        |  CASE WHEN nd*sxxd - sxd*sxd = 0 THEN NULL
+        |       ELSE (syd - ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) * sxd) / nd
+        |       END AS intercept,
+        |  CASE WHEN nd*sxxd - sxd*sxd = 0 OR nd*syyd - syd*syd = 0 THEN NULL
+        |       ELSE (nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd)
+        |            / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)) END AS r2
+        |FROM d""".stripMargin,
 
     // TrustRank = the PageRank CTE chain with the base term masked by
     // seed membership (is_seed in {0,1}); two iterations.

@@ -148,6 +148,58 @@ object Analytics {
       .agg(countDistinct(col("u")).as("n_users"))
   }
 
+  /** Grouped ordinary-least-squares trend fit — "is this source's
+    * quality drifting?" per group, in one aggregation pass. `x` must
+    * be integer-valued and `y` exact-decimal (cast upstream): the five
+    * partial sums (Σx, Σy, Σxy, Σx², Σy²) then accumulate EXACTLY
+    * (bigint/decimal, associative in any merge order), and the closed
+    * forms evaluate in double from identical exact inputs on any
+    * engine — so even the floating-point slope/intercept/r² are
+    * deterministic and cross-engine hash-comparable:
+    *
+    * {{{ slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) }}}
+    *
+    * Degenerate groups (zero x-variance, or zero y-variance for r²)
+    * yield null, never NaN/±Inf.
+    *
+    * Scale shape: one shuffle on the group key with map-side partial
+    * aggregation — the shuffle carries six exact numbers per group per
+    * partition, never rows; this is the textbook mergeable-statistics
+    * layout (same family as [[graft.functions.TypedAggregators.moments]],
+    * but exact and grouped).
+    */
+  def groupedLinearFit(
+      df: DataFrame,
+      groupBy: Seq[Column],
+      x: Column,
+      y: Column): DataFrame = {
+    require(groupBy.nonEmpty, "groupedLinearFit: groupBy must be non-empty")
+    val xl = x.cast("long")
+    val agg = df.groupBy(groupBy: _*).agg(
+      count(lit(1)).as("n"),
+      sum(xl).as("_sx"),
+      sum(y).as("_sy"),
+      sum(xl * y).as("_sxy"),
+      sum(xl * xl).as("_sxx"),
+      sum(y * y).as("_syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("_sx").cast("double"); val syD = col("_sy").cast("double")
+    val sxyD = col("_sxy").cast("double"); val sxxD = col("_sxx").cast("double")
+    val syyD = col("_syy").cast("double")
+    val num = nD * sxyD - sxD * syD
+    val denX = nD * sxxD - sxD * sxD
+    val denY = nD * syyD - syD * syD
+    val slope = when(denX === 0.0d, lit(null)).otherwise(num / denX)
+    agg.select(
+      groupBy.indices.map(i => col(agg.columns(i))) ++ Seq(
+        col("n"),
+        slope.as("slope"),
+        when(denX === 0.0d, lit(null))
+          .otherwise((syD - (num / denX) * sxD) / nD).as("intercept"),
+        when(denX === 0.0d || denY === 0.0d, lit(null))
+          .otherwise(num * num / (denX * denY)).as("r2")): _*)
+  }
+
   /** Top-k event-type PATHS: the most common length-`n` event
     * sequences across users (the "what do users actually do"
     * product-analytics primitive behind Sankey/path views). A path is

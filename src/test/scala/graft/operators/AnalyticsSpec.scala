@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("groupedLinearFit: exact closed-form fit, degenerate groups yield null") {
+    val df = Seq(
+      ("g", 0L, "1.00"), ("g", 1L, "3.00"), ("g", 2L, "5.00"), // y = 2x + 1 exactly
+      ("one", 7L, "4.00"),                                     // single point
+      ("flat", 5L, "1.00"), ("flat", 5L, "2.00"),              // zero x-variance
+      ("const", 1L, "3.00"), ("const", 2L, "3.00")             // zero y-variance
+    ).toDF("grp", "x", "ys")
+      .select(col("grp"), col("x"), col("ys").cast("decimal(18,2)").as("y"))
+    val out = Analytics.groupedLinearFit(df, Seq(col("grp")), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out("g") == ((3L, Some(2.0d), Some(1.0d), Some(1.0d)))) // exact doubles
+    assert(out("one") == ((1L, None, None, None)))
+    assert(out("flat") == ((2L, None, None, None)))
+    // zero y-variance: slope/intercept are defined (0, 3), r2 is not
+    assert(out("const") == ((2L, Some(0.0d), Some(3.0d), None)))
+  }
+
   private def ev(rows: (Long, Long, String)*) =
     rows.toSeq.toDF("user_id", "sec", "event_type")
       .select(col("user_id"), col("sec").cast("timestamp").as("ts"), col("event_type"))
