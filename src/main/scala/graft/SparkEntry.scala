@@ -90,6 +90,43 @@ object SparkEntry {
   private val NormalizedText =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** q_corr_matrix oracle, generated so the 6 pair blocks carry
+    * EXACTLY the Spark-side arithmetic shapes (bit-exact parity needs
+    * identical IEEE op order, not just the same formula).
+    */
+  private def corrMatrixSql: String = {
+    val ms = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    def viaStr(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val sums = ms.map { case (nm, _) => s"SUM($nm) AS s_$nm" } ++
+      (for { i <- ms.indices; j <- i until ms.size }
+        yield s"SUM(${ms(i)._1}*${ms(j)._1}) AS p_${i}_$j")
+    val dbls = ms.map { case (nm, _) => s"${viaStr(s"s_$nm")} AS sd_$nm" } ++
+      (for { i <- ms.indices; j <- i until ms.size }
+        yield s"${viaStr(s"p_${i}_$j")} AS pd_${i}_$j")
+    val blocks = for { i <- ms.indices; j <- (i + 1) until ms.size } yield {
+      val (nx, ny) = (ms(i)._1, ms(j)._1)
+      val num = s"nd*pd_${i}_$j - sd_$nx*sd_$ny"
+      val vx = s"nd*pd_${i}_$i - sd_$nx*sd_$nx"
+      val vy = s"nd*pd_${j}_$j - sd_$ny*sd_$ny"
+      s"""SELECT rf, n, '$nx' AS col_x, '$ny' AS col_y,
+         |  CASE WHEN $vx <= 0 OR $vy <= 0 THEN NULL
+         |       ELSE ($num) / (sqrt($vx) * sqrt($vy)) END AS corr
+         |FROM d""".stripMargin
+    }
+    s"""WITH b AS (SELECT l_returnflag AS rf,
+       |  CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+       |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+       |  CAST(l_discount AS DECIMAL(18,2)) AS disc,
+       |  CAST(l_tax AS DECIMAL(18,2)) AS tax
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+       |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+       |a AS (SELECT rf, COUNT(*) AS n, ${sums.mkString(", ")} FROM b GROUP BY rf),
+       |d AS (SELECT rf, n, CAST(n AS DOUBLE) AS nd, ${dbls.mkString(", ")} FROM a)
+       |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Exact df-capped n-gram Jaccard pairs (the q_dedup_ngram pipeline)
     * at a given threshold — shared by the dedup-recall oracles.
     */
@@ -825,6 +862,30 @@ object SparkEntry {
           datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("x"),
           col("o_totalprice").cast("decimal(18,2)").as("y")),
         Seq(col("prio")), col("x"), col("y"))),
+
+    // Grouped pairwise Pearson matrix over the four lineitem metrics:
+    // exact decimal sums, then ×/−/÷/√ only — bit-exact cross-engine.
+    "q_corr_matrix" -> ((s, dd) =>
+      Analytics.groupedCorrMatrix(
+        t(s, dd, "lineitem").select(
+          col("l_returnflag").as("rf"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          col("l_discount").cast("decimal(18,2)").as("disc"),
+          col("l_tax").cast("decimal(18,2)").as("tax")),
+        Seq(col("rf")),
+        Seq("qty" -> col("qty"), "price" -> col("price"),
+          "disc" -> col("disc"), "tax" -> col("tax")))),
+
+    // Per-document n-gram novelty of the held-out slice vs the
+    // standing corpus (exact integer counts, one IEEE division).
+    "q_novelty" -> ((s, dd) => {
+      val docs = t(s, dd, "documents")
+      TrainingData.noveltyScore(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3)
+    }),
 
     // TrustRank: teleport mass restricted to the NATION_7 seed
     // suppliers — same scaled-integer step as q_pagerank with the base
@@ -2090,6 +2151,28 @@ object SparkEntry {
         |it3 AS (SELECT v.node, 150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
         |  FROM verts v LEFT JOIN inf3 i ON v.node = i.dst)
         |SELECT node, CAST(score AS BIGINT) AS score FROM it3""".stripMargin,
+
+    // Pairwise Pearson from exact decimal sums; the 6 pair blocks are
+    // generated to keep the ×/−/÷/√ shapes EXACTLY the Spark ones
+    // (bit-exact cross-engine); decimal→double via the VARCHAR pin
+    // (see q_trend_fit).
+    "q_corr_matrix" -> corrMatrixSql,
+
+    // Probe grams LEFT JOIN the corpus' distinct gram set: exact
+    // integer counts, one long/long IEEE division for the fraction.
+    "q_novelty" ->
+      s"""WITH docs AS (SELECT doc_id, list_distinct(CASE WHEN len($W) < 3
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 2),
+         |      i -> array_to_string(($W)[i:i+2], ' ')) END) AS sh
+         |  FROM documents),
+         |cg AS (SELECT DISTINCT unnest(sh) AS g FROM docs WHERE doc_id % 5 <> 0),
+         |pg AS (SELECT doc_id AS probe_id, unnest(sh) AS g FROM docs WHERE doc_id % 5 = 0)
+         |SELECT probe_id, count(*) AS n_grams,
+         |  count(*) - count(cg.g) AS n_unseen,
+         |  CAST(count(*) - count(cg.g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM pg LEFT JOIN cg ON pg.g = cg.g
+         |GROUP BY probe_id""".stripMargin,
 
     // Exact partial sums, then the SAME double-arithmetic shapes as
     // the Spark side — identical inputs + identical IEEE ops =

@@ -200,6 +200,64 @@ object Analytics {
           .otherwise(num * num / (denX * denY)).as("r2")): _*)
   }
 
+  /** Grouped pairwise Pearson correlation matrix over `metrics`
+    * (name → column), long format: one row per group × unordered
+    * metric pair. The inputs should be exact types (cast to decimal
+    * upstream): all sums and pair-products then accumulate exactly,
+    * and the closed form
+    *
+    * {{{ r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) }}}
+    *
+    * uses only multiply/subtract/divide/sqrt — each correctly rounded
+    * under IEEE-754 — so the double output is bit-identical on any
+    * engine fed the same exact sums. Zero-variance metrics yield null.
+    * Rows with a null in ANY metric are dropped (listwise deletion),
+    * so every pair is computed over the same `n`.
+    *
+    * Scale shape: ONE shuffle on the group key with map-side partial
+    * aggregation; the shuffle carries k + k·(k+1)/2 + 1 exact numbers
+    * per group per partition (k metrics), never rows. The pair
+    * explosion happens on the tiny aggregated frame.
+    */
+  def groupedCorrMatrix(
+      df: DataFrame,
+      groupBy: Seq[Column],
+      metrics: Seq[(String, Column)]): DataFrame = {
+    require(groupBy.nonEmpty, "groupedCorrMatrix: groupBy must be non-empty")
+    require(metrics.size >= 2, "groupedCorrMatrix: need at least 2 metrics")
+    require(metrics.map(_._1).distinct.size == metrics.size,
+      "groupedCorrMatrix: metric names must be distinct")
+    val k = metrics.size
+    val base = df
+      .select(groupBy ++ metrics.map { case (nm, c) => c.as(s"_m_$nm") }: _*)
+      .na.drop(metrics.map { case (nm, _) => s"_m_$nm" })
+    def m(i: Int) = col(s"_m_${metrics(i)._1}")
+    val sums = metrics.map { case (nm, _) => sum(col(s"_m_$nm")).as(s"_s_$nm") }
+    val prods = for { i <- 0 until k; j <- i until k }
+      yield sum(m(i) * m(j)).as(s"_p_${i}_$j")
+    val gcols = base.columns.take(groupBy.size).map(col)
+    val allAggs = count(lit(1)).as("n") +: (sums ++ prods)
+    val agg = base.groupBy(gcols: _*).agg(allAggs.head, allAggs.tail: _*)
+    val nD = col("n").cast("double")
+    def sD(i: Int) = col(s"_s_${metrics(i)._1}").cast("double")
+    def pD(i: Int, j: Int) = col(s"_p_${i}_$j").cast("double")
+    val entries = for { i <- 0 until k; j <- (i + 1) until k } yield {
+      val num = nD * pD(i, j) - sD(i) * sD(j)
+      val vx = nD * pD(i, i) - sD(i) * sD(i)
+      val vy = nD * pD(j, j) - sD(j) * sD(j)
+      struct(
+        lit(metrics(i)._1).as("col_x"),
+        lit(metrics(j)._1).as("col_y"),
+        when(vx <= 0.0d || vy <= 0.0d, lit(null).cast("double"))
+          .otherwise(num / (sqrt(vx) * sqrt(vy))).as("corr"))
+    }
+    agg
+      .select(gcols ++ Seq(col("n"), explode(array(entries: _*)).as("_e")): _*)
+      .select(gcols ++ Seq(col("n"),
+        col("_e.col_x").as("col_x"), col("_e.col_y").as("col_y"),
+        col("_e.corr").as("corr")): _*)
+  }
+
   /** Top-k event-type PATHS: the most common length-`n` event
     * sequences across users (the "what do users actually do"
     * product-analytics primitive behind Sankey/path views). A path is

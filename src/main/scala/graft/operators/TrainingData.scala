@@ -337,6 +337,46 @@ object TrainingData {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-document n-gram NOVELTY vs a reference corpus: for each probe
+    * document, the fraction of its distinct word n-grams that appear
+    * NOWHERE in the corpus. The inverse lens of [[contaminationCheck]]:
+    * contamination flags pairwise overlap (memorization risk between
+    * train and bench), novelty scores each incoming document's new
+    * information against the standing corpus — the "is this batch
+    * adding anything?" ingestion gate.
+    *
+    * All counts are exact integers and `novelty = n_unseen / n_grams`
+    * is a single IEEE double division of two exact longs, so the
+    * output is cross-engine bit-exact.
+    *
+    * Scale shape: the corpus is reduced to its DISTINCT gram set (one
+    * hash-aggregate — grams, never documents); the probe grams join it
+    * on the gram key, so every shuffle carries (id, gram) or bare gram
+    * strings of n words. Corpus text never moves past the shingle
+    * projection; no broadcast assumption on either side.
+    */
+  def noveltyScore(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), words(col(textCol)).as("_ws"))
+        .select(col(as), explode(array_distinct(wordShinglesFromWords(col("_ws"), n))).as("g"))
+    val seen = grams(corpus, "corpus_id").select(col("g")).distinct()
+      .withColumn("_seen", lit(1))
+    grams(probe, "probe_id")
+      .join(seen, Seq("g"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("_seen")).as("n_seen"))
+      .select(
+        col("probe_id"), col("n_grams"),
+        (col("n_grams") - col("n_seen")).as("n_unseen"),
+        ((col("n_grams") - col("n_seen")).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+  }
+
   /** Winsorize (quantile-clip) a numeric column per group: values below
     * the `lo` percentile or above the `hi` percentile are clamped to
     * it — the standard outlier guard before loss-weighting or reward

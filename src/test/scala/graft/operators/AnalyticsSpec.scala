@@ -24,6 +24,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("const") == ((2L, Some(0.0d), Some(3.0d), None)))
   }
 
+  test("groupedCorrMatrix: perfect/anti/zero-variance pairs, listwise deletion") {
+    val df = Seq(
+      // g: y = 2x (r=1), z = -x (r(x,z) = -1, r(y,z) = -1), c constant
+      ("g", "1.00", "2.00", "-1.00", "5.00"),
+      ("g", "2.00", "4.00", "-2.00", "5.00"),
+      ("g", "3.00", "6.00", "-3.00", "5.00"),
+      // one row with a null metric: dropped listwise everywhere
+      ("g", "9.00", null, "9.00", "9.00")
+    ).toDF("grp", "x", "y", "z", "c")
+      .select(col("grp"), col("x").cast("decimal(18,2)").as("x"),
+        col("y").cast("decimal(18,2)").as("y"),
+        col("z").cast("decimal(18,2)").as("z"),
+        col("c").cast("decimal(18,2)").as("c"))
+    val out = Analytics.groupedCorrMatrix(df, Seq(col("grp")),
+      Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z"), "c" -> col("c")))
+      .collect().map(r => (r.getString(2), r.getString(3)) ->
+        ((r.getLong(1), Option(r.get(4))))).toMap
+    assert(out.size == 6) // 4 choose 2
+    // perfect ±1 correlations land 1 ulp past ±1 (√vx·√vy rounds just
+    // under the exact product) — deterministic, pinned exactly
+    assert(out(("x", "y")) == ((3L, Some(1.0000000000000002d))))
+    assert(out(("x", "z")) == ((3L, Some(-1.0000000000000002d))))
+    assert(out(("y", "z")) == ((3L, Some(-1.0000000000000002d))))
+    // constant column: zero variance -> null, never NaN
+    assert(out(("x", "c")) == ((3L, None)))
+    assert(out(("y", "c")) == ((3L, None)))
+    assert(out(("z", "c")) == ((3L, None)))
+  }
+
   private def ev(rows: (Long, Long, String)*) =
     rows.toSeq.toDF("user_id", "sec", "event_type")
       .select(col("user_id"), col("sec").cast("timestamp").as("ts"), col("event_type"))

@@ -159,6 +159,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(out == Seq((1L, 100L, 3L)))
   }
 
+  test("noveltyScore: fraction of probe n-grams unseen in the corpus, exact counts") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words live here peacefully")).toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "quick brown fox jumps over a fence"), // 5 grams, 3 seen
+      (101L, "the quick brown fox jumps"),          // 3 grams, all seen
+      (102L, "nothing in common whatsoever today"), // 3 grams, none seen
+      (103L, "tiny doc")                            // < n words: whole-text gram
+    ).toDF("doc_id", "text")
+    val out = TrainingData.noveltyScore(corpus, probe, "doc_id", "text", n = 3)
+      .select("probe_id", "n_grams", "n_unseen", "novelty")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(100L) == ((5L, 2L, 0.4d))) // "jumps over a", "over a fence" are new
+    assert(out(101L) == ((3L, 0L, 0.0d)))
+    assert(out(102L) == ((3L, 3L, 1.0d)))
+    assert(out(103L) == ((1L, 1L, 1.0d)))
+  }
+
   test("winsorize clamps to the group's percentile bounds and leaves interior values alone") {
     val df = (1 to 100).map(i => ("a", i.toLong, i.toDouble)).toDF("g", "id", "v")
     val out = TrainingData.winsorize(df, Seq("g"), col("v"), 0.10, 0.90)
