@@ -887,6 +887,63 @@ object SparkEntry {
         "doc_id", "text", n = 3)
     }),
 
+    // Bigram-LM fluency scoring of the held-out slice against the
+    // standing corpus (CCNet-style quality filter): add-one-smoothed
+    // conditional probabilities in fixed point — bigint mul/div only,
+    // one final IEEE division — so even the double avg is bit-exact.
+    "q_lm_score" -> ((s, dd) => {
+      val docs = t(s, dd, "documents")
+      TrainingData.lmScore(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+    }),
+
+    // SCD-2 snapshot merge on a synthetic day-2 customer snapshot
+    // exercising all five branches: unchanged, changed (%7 balance
+    // bump), deleted (%3), inserted (+1e6 keys), and pre-closed
+    // version passthrough.
+    "q_scd2" -> ((s, dd) => {
+      val c = t(s, dd, "customer")
+      val bal = col("c_acctbal").cast("decimal(18,2)")
+      val hist = c.select(
+          col("c_custkey").as("k"), col("c_name").as("name"), bal.as("bal"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+        .unionAll(c.where(col("c_custkey") % 10 === 0).select(
+          col("c_custkey"), col("c_name"),
+          (bal - lit(BigDecimal("50.00"))).cast("decimal(18,2)"),
+          lit(-100L), lit(0L).cast("long")))
+      val snap = c.where(col("c_custkey") % 3 =!= 0).select(
+          col("c_custkey").as("k"), col("c_name").as("name"),
+          when(col("c_custkey") % 7 === 0,
+            (bal + lit(BigDecimal("100.00"))).cast("decimal(18,2)"))
+            .otherwise(bal).as("bal"))
+        .unionAll(c.where(col("c_custkey") % 11 === 0).select(
+          (col("c_custkey") + 1000000L).as("k"),
+          concat(lit("NEW#"), col("c_custkey").cast("string")).as("name"),
+          lit(BigDecimal("0.00")).cast("decimal(18,2)").as("bal")))
+      Quality.scd2Merge(hist, snap, Seq("k"), Seq("name", "bal"), asOf = 100L)
+    }),
+
+    // Deterministic weighted sampling: 20 docs per language, selection
+    // probability increasing in document length — priority ranks are
+    // one truncating bigint divide of the standard md5 uniform, so the
+    // oracle replays the exact sample.
+    "q_weighted_sample" -> ((s, d) =>
+      TrainingData.weightedSample(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("w")),
+        col("doc_id"), col("w"), k = 20, groupCols = Seq(col("lang")))),
+
+    // Grouped equi-width histogram with densified (zero-count) bins:
+    // bin math on unscaled cents (bigint div), counts exact.
+    "q_histogram" -> ((s, d) =>
+      Analytics.histogram(
+        t(s, d, "lineitem").select(col("l_returnflag").as("rf"),
+          col("l_extendedprice").as("v")),
+        Seq(col("rf")), col("v"),
+        lo = BigDecimal("900.00"), width = BigDecimal("5000.00"), nbins = 21)),
+
     // TrustRank: teleport mass restricted to the NATION_7 seed
     // suppliers — same scaled-integer step as q_pagerank with the base
     // term masked by seed membership, two iterations, bit-exact.
@@ -2173,6 +2230,94 @@ object SparkEntry {
          |  CAST(count(*) - count(cg.g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
          |FROM pg LEFT JOIN cg ON pg.g = cg.g
          |GROUP BY probe_id""".stripMargin,
+
+    // Same bigram extraction as the Spark fused kernel (docs with < 2
+    // words contribute nothing on either side); all-bigint fixed-point
+    // probabilities, one double division at the end.
+    "q_lm_score" ->
+      s"""WITH dw AS (SELECT doc_id, $W AS ws FROM documents),
+         |cb AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |    i -> array_to_string(ws[i:i+1], ' '))) AS g
+         |  FROM dw WHERE doc_id % 5 <> 0 AND len(ws) >= 2),
+         |c2 AS (SELECT g, count(*) AS c2 FROM cb GROUP BY g),
+         |c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM cb GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |  FROM (SELECT unnest(ws) AS w FROM dw WHERE doc_id % 5 <> 0)),
+         |pb AS (SELECT doc_id AS probe_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |    i -> array_to_string(ws[i:i+1], ' '))) AS g
+         |  FROM dw WHERE doc_id % 5 = 0 AND len(ws) >= 2),
+         |p AS (SELECT probe_id,
+         |    ((COALESCE(c2.c2, 0) + 1) * 1000000) // (COALESCE(c1.c1, 0) + v.v) AS p
+         |  FROM pb LEFT JOIN c2 ON pb.g = c2.g
+         |          LEFT JOIN c1 ON split_part(pb.g, ' ', 1) = c1.w1
+         |          CROSS JOIN v)
+         |SELECT probe_id, count(*) AS n_bigrams, CAST(sum(p) AS BIGINT) AS score_scaled,
+         |  CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS avg_prob
+         |FROM p GROUP BY probe_id""".stripMargin,
+
+    // Mirrors scd2Merge branch-for-branch: closed versions pass
+    // through outside the join; the full-outer join of the current
+    // slice vs the snapshot classifies keep/close/open with null-safe
+    // attr equality.
+    "q_scd2" ->
+      """WITH c AS (SELECT c_custkey AS k, c_name AS name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |hist AS (
+        |  SELECT k, name, bal, CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to FROM c
+        |  UNION ALL
+        |  SELECT k, name, CAST(bal - 50.00 AS DECIMAL(18,2)),
+        |    CAST(-100 AS BIGINT), CAST(0 AS BIGINT) FROM c WHERE k % 10 = 0),
+        |snap AS (
+        |  SELECT k, name, CASE WHEN k % 7 = 0 THEN CAST(bal + 100.00 AS DECIMAL(18,2))
+        |    ELSE bal END AS bal FROM c WHERE k % 3 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR),
+        |    CAST(0.00 AS DECIMAL(18,2)) FROM c WHERE k % 11 = 0),
+        |cur AS (SELECT * FROM hist WHERE valid_to IS NULL),
+        |closed AS (SELECT * FROM hist WHERE valid_to IS NOT NULL),
+        |j AS (SELECT cur.k AS ck, cur.name AS cn, cur.bal AS cb,
+        |    cur.valid_from AS cvf, snap.k AS sk, snap.name AS sn, snap.bal AS sb
+        |  FROM cur FULL OUTER JOIN snap ON cur.k = snap.k)
+        |SELECT ck AS k, cn AS name, cb AS bal, cvf AS valid_from,
+        |  CAST(CASE WHEN sk IS NULL THEN 100
+        |    WHEN (cn IS NOT DISTINCT FROM sn) AND (cb IS NOT DISTINCT FROM sb) THEN NULL
+        |    ELSE 100 END AS BIGINT) AS valid_to
+        |FROM j WHERE ck IS NOT NULL
+        |UNION ALL
+        |SELECT sk, sn, sb, CAST(100 AS BIGINT), CAST(NULL AS BIGINT) FROM j
+        |WHERE sk IS NOT NULL AND (ck IS NULL
+        |  OR NOT ((cn IS NOT DISTINCT FROM sn) AND (cb IS NOT DISTINCT FROM sb)))
+        |UNION ALL
+        |SELECT k, name, bal, valid_from, valid_to FROM closed""".stripMargin,
+
+    // The exact same priority ranks: md5 uniform // weight, k smallest
+    // per language with the (rank, doc_id) tiebreak.
+    "q_weighted_sample" ->
+      """WITH r AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS w,
+        |    CAST(CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) AS BIGINT) AS u
+        |  FROM documents),
+        |rk AS (SELECT doc_id, lang, w, u // w AS sample_rank FROM r WHERE w > 0),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY sample_rank, doc_id) AS _rn FROM rk)
+        |SELECT doc_id, lang, w, sample_rank FROM rn WHERE _rn <= 20""".stripMargin,
+
+    // Bin on unscaled cents with bigint div; densify on a
+    // generate_series spine per group so zero bins surface.
+    "q_histogram" ->
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi
+        |  FROM lineitem),
+        |binned AS (SELECT rf, (vi - 90000) // 500000 AS bin, count(*) AS cnt
+        |  FROM b WHERE vi >= 90000 AND vi < 90000 + 500000 * 21 GROUP BY 1, 2),
+        |spine AS (SELECT rf, unnest(generate_series(0, 20)) AS bin
+        |  FROM (SELECT DISTINCT rf FROM b))
+        |SELECT spine.rf AS rf, CAST(spine.bin AS BIGINT) AS bin,
+        |  CAST(900.00 + 5000.00 * spine.bin AS DECIMAL(18,2)) AS bin_lo,
+        |  CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt
+        |FROM spine LEFT JOIN binned
+        |  ON spine.rf = binned.rf AND spine.bin = binned.bin""".stripMargin,
 
     // Exact partial sums, then the SAME double-arithmetic shapes as
     // the Spark side — identical inputs + identical IEEE ops =

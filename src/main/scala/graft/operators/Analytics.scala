@@ -258,6 +258,61 @@ object Analytics {
         col("_e.corr").as("corr")): _*)
   }
 
+  /** Grouped equi-width histogram with DENSIFIED bins: per group, the
+    * exact row count of every bin `[lo + i·width, lo + (i+1)·width)`
+    * for `i ∈ [0, nbins)` — including empty bins, so downstream
+    * plotting/drift comparison never has to re-align sparse bin sets.
+    * Values outside `[lo, lo + nbins·width)` and nulls are excluded
+    * (clip first — [[TrainingData.winsorize]] — to keep them).
+    *
+    * Bin assignment is exact decimal arithmetic (`(v − lo) div width`
+    * on the unscaled values — no float boundary jitter), so counts are
+    * cross-engine bit-exact.
+    *
+    * Scale shape: one hash aggregate keyed by (group, bin) — partial
+    * map-side combine collapses the scan to ≤ |groups|·nbins rows
+    * before the shuffle. The bin spine is `explode(sequence(...))`
+    * over the DISTINCT groups (|groups|·nbins rows, corpus never
+    * re-scanned) with the counts hash-left-joined on.
+    */
+  def histogram(
+      df: DataFrame,
+      groupBy: Seq[Column],
+      valueCol: Column,
+      lo: BigDecimal,
+      width: BigDecimal,
+      nbins: Int): DataFrame = {
+    require(nbins > 0, s"histogram: nbins must be > 0, got $nbins")
+    require(width > 0, s"histogram: width must be > 0, got $width")
+    // Unscaled-integer bin math: value·100 as bigint, truncating div —
+    // decimal division itself would NOT be portable (DuckDB runs it in
+    // double), bigint div is.
+    val loI = (lo * 100).toBigIntExact
+      .getOrElse(throw new IllegalArgumentException(s"histogram: lo $lo needs scale <= 2")).longValue
+    val widthI = (width * 100).toBigIntExact
+      .getOrElse(throw new IllegalArgumentException(s"histogram: width $width needs scale <= 2")).longValue
+    val gnames = df.select(groupBy: _*).schema.fieldNames.toSeq
+    require(gnames.distinct.size == gnames.size,
+      s"histogram: groupBy column names must be distinct, got $gnames")
+    val gcols = gnames.map(col)
+    val v = valueCol.cast("decimal(18,2)")
+    val binned = df
+      .select(groupBy.zip(gnames).map { case (c, n) => c.as(n) } :+ v.as("_v"): _*)
+      .select(gcols :+ (col("_v") * 100).cast("long").as("_vi"): _*)
+      .where(col("_vi").isNotNull && col("_vi") >= loI &&
+        col("_vi") < loI + widthI * nbins)
+      .select(gcols :+ expr(s"(_vi - $loI) div $widthI").as("bin"): _*)
+      .groupBy(gcols :+ col("bin"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val spine = df.select(groupBy.zip(gnames).map { case (c, n) => c.as(n) }: _*)
+      .distinct()
+      .select(gcols :+ explode(sequence(lit(0L), lit(nbins - 1L))).as("bin"): _*)
+    spine.join(binned, gnames :+ "bin", "left")
+      .select(gcols ++ Seq(col("bin"),
+        (lit(lo) + lit(width) * col("bin")).cast("decimal(18,2)").as("bin_lo"),
+        coalesce(col("_cnt"), lit(0L)).as("cnt")): _*)
+  }
+
   /** Top-k event-type PATHS: the most common length-`n` event
     * sequences across users (the "what do users actually do"
     * product-analytics primitive behind Sankey/path views). A path is

@@ -127,6 +127,69 @@ object Quality {
           .otherwise("changed").as("status"))
   }
 
+  /** SCD-2 snapshot merge — fold a day-N full snapshot into a
+    * slowly-changing-dimension history (the metadata-management step a
+    * training-data pipeline runs on its document/license/source
+    * catalogs; Kimball type-2, the `MERGE` pattern of Delta/Iceberg
+    * re-expressed as one join):
+    *
+    *  - key absent from history        → open a new version
+    *    `[asOf, null)`
+    *  - current attrs differ (null-safe) → close the current version
+    *    at `asOf` AND open a new one
+    *  - current attrs equal            → untouched
+    *  - key absent from snapshot       → closed at `asOf` when
+    *    `closeMissing` (logical delete), else left open
+    *
+    * Scale shape: already-closed versions NEVER join — they union
+    * through untouched, so the one hash join carries only the current
+    * slice vs the snapshot (at 100 TB the history is mostly closed
+    * rows; the join stays proportional to the live key space). The
+    * changed-key case emits its two rows from one joined row via an
+    * inline array → no second join, no double scan. Output schema =
+    * `keyCols ++ attrCols ++ (validFromCol, validToCol)`.
+    */
+  def scd2Merge(
+      history: DataFrame,
+      snapshot: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      asOf: Long,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to",
+      closeMissing: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Merge: keyCols must be non-empty")
+    require(attrCols.nonEmpty, "scd2Merge: attrCols must be non-empty")
+    val outCols = keyCols ++ attrCols :+ validFromCol :+ validToCol
+    val closed = history.where(col(validToCol).isNotNull)
+      .select(outCols.map(col): _*)
+    val cur = history.where(col(validToCol).isNull).withColumn("_h", lit(1))
+    val snap = snapshot.select(
+      (keyCols ++ attrCols).map(c => col(c).as(s"_s_$c")) :+ lit(1).as("_s"): _*)
+    val joinCond = keyCols.map(k => col(k) <=> col(s"_s_$k")).reduce(_ && _)
+    val inHist = col("_h").isNotNull
+    val inSnap = col("_s").isNotNull
+    val attrsEqual = attrCols.map(c => col(c) <=> col(s"_s_$c")).reduce(_ && _)
+    def ver(key: Seq[Column], attrs: Seq[Column], from: Column, to: Column) =
+      struct((key ++ attrs :+ from :+ to).zip(outCols)
+        .map { case (c, n) => c.as(n) }: _*)
+    val curVer = ver(keyCols.map(col), attrCols.map(col),
+      col(validFromCol), lit(null).cast("long"))
+    val curClosed = ver(keyCols.map(col), attrCols.map(col),
+      col(validFromCol), lit(asOf))
+    val snapVer = ver(keyCols.map(c => col(s"_s_$c")),
+      attrCols.map(c => col(s"_s_$c")), lit(asOf), lit(null).cast("long"))
+    val emitted =
+      when(inHist && !inSnap, if (closeMissing) array(curClosed) else array(curVer))
+        .when(!inHist && inSnap, array(snapVer))
+        .when(attrsEqual, array(curVer))
+        .otherwise(array(curClosed, snapVer))
+    cur.join(snap, joinCond, "full_outer")
+      .select(explode(emitted).as("_v"))
+      .select(outCols.map(c => col(s"_v.$c").as(c)): _*)
+      .unionAll(closed)
+  }
+
   /** Attach the scalar checks as `observe` metrics riding the frame's
     * own execution — zero extra jobs or scans. On a STREAM the metrics
     * surface per micro-batch in `StreamingQueryProgress.observedMetrics

@@ -83,6 +83,46 @@ object TrainingData {
     df.where(keyHash(keyCol, seed) < threshold)
   }
 
+  /** Deterministic weighted sampling — pick `k` rows per group (or
+    * globally when `groupCols` is empty) with probability increasing
+    * in `weightCol`, without randomness: priority sampling in the
+    * Duffield–Lund–Thorup shape. Each row draws the shared md5 uniform
+    * ([[keyHash]], 32 bits as a bigint) and is ranked by
+    * `u div weight` — heavier rows draw stochastically smaller ranks —
+    * and the k smallest ranks win. Retry-proof and engine-portable:
+    * rank is one truncating bigint divide of the standard hash, so an
+    * external engine (the DuckDB oracle) reproduces the exact sample.
+    * Rows with a non-positive or null weight are dropped.
+    *
+    * Scale shape: grouped → ONE shuffle on `groupCols`, per-group
+    * row_number over (rank, key) with k bounded; global → sort-free
+    * TakeOrderedAndProject (top-k per partition, k·|partitions| rows
+    * to one reducer — never a full sort).
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: Column,
+      weightCol: Column,
+      k: Int,
+      groupCols: Seq[Column] = Nil,
+      seed: String = "graft",
+      rankCol: String = "sample_rank"): DataFrame = {
+    require(k > 0, s"weightedSample: k must be > 0, got $k")
+    val ranked = df
+      .withColumn("_w", weightCol.cast("long"))
+      .where(col("_w") > 0)
+      .withColumn("_u", conv(keyHash(keyCol, seed), 16, 10).cast("long"))
+      .withColumn(rankCol, expr("_u div _w"))
+    val out =
+      if (groupCols.isEmpty)
+        ranked.orderBy(col(rankCol), keyCol).limit(k)
+      else {
+        val w = Window.partitionBy(groupCols: _*).orderBy(col(rankCol), keyCol)
+        ranked.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+      }
+    out.drop("_w", "_u")
+  }
+
   /** Temperature-flattened mixture resampling (multilingual-corpus
     * style source balancing): each domain keeps fraction
     * `(c_min / c_domain)^(1 - temperature)` — temperature 1 keeps the
@@ -375,6 +415,63 @@ object TrainingData {
         (col("n_grams") - col("n_seen")).as("n_unseen"),
         ((col("n_grams") - col("n_seen")).cast("double") /
           col("n_grams").cast("double")).as("novelty"))
+  }
+
+  /** Per-document bigram language-model fluency score vs a reference
+    * corpus — the CCNet/Gopher-style "train a small LM on trusted
+    * text, score candidates by how well it predicts them" quality
+    * filter, re-expressed with exact integer arithmetic so the score
+    * is cross-engine bit-exact (no log/pow, which are libm-divergent):
+    *
+    * For each adjacent word pair (w1, w2) of a probe document, the
+    * add-one-smoothed conditional probability under the corpus bigram
+    * model, in fixed point:
+    * {{{ p = (c2(w1 w2) + 1) · scale div (c1(w1) + V) }}}
+    * where c2 = corpus count of the bigram, c1 = corpus count of w1 as
+    * a left context (bigrams starting with w1), V = distinct corpus
+    * vocabulary. Output per probe doc: `n_bigrams`, exact
+    * `score_scaled = Σ p`, and `avg_prob = score / (n·scale)` (one
+    * IEEE division of two exact longs). Documents with fewer than two
+    * words score nothing and are excluded, both engines alike.
+    *
+    * Scale shape: the corpus collapses to its bigram/context count
+    * tables (hash aggregates keyed by gram strings — counts, never
+    * documents); V is one scalar aggregate joined by literal cross
+    * join. Probe bigrams join the count tables on the gram key, so
+    * every shuffle carries (id, gram) pairs or counted grams — the
+    * same (id, gram) discipline as [[noveltyScore]] and
+    * [[contaminationCheck]].
+    */
+  def lmScore(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"lmScore: scale must be > 0, got $scale")
+    def bigrams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), words(col(textCol)).as("_ws"))
+        .where(size(col("_ws")) >= 2)
+        .select(col(as), explode(wordShinglesFromWords(col("_ws"), 2)).as("g"))
+    val cb = bigrams(corpus, "corpus_id")
+    val c2 = cb.groupBy(col("g")).agg(count(lit(1)).as("_c2"))
+    val c1 = cb.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("_c1"))
+    val vocab = corpus.select(words(col(textCol)).as("_ws"))
+      .select(explode(col("_ws")).as("w")).agg(countDistinct(col("w")).as("_v"))
+    bigrams(probe, "probe_id")
+      .join(c2, Seq("g"), "left")
+      .join(c1, substring_index(col("g"), " ", 1) === col("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("probe_id"),
+        ((coalesce(col("_c2"), lit(0L)) + 1) * lit(scale)).as("_num"),
+        (coalesce(col("_c1"), lit(0L)) + col("_v")).as("_den"))
+      .select(col("probe_id"), expr("_num div _den").as("_p"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_p")).as("score_scaled"))
+      .select(col("probe_id"), col("n_bigrams"), col("score_scaled"),
+        (col("score_scaled").cast("double") /
+          (col("n_bigrams") * lit(scale)).cast("double")).as("avg_prob"))
   }
 
   /** Winsorize (quantile-clip) a numeric column per group: values below

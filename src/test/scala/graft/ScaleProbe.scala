@@ -167,6 +167,32 @@ object ScaleProbe {
           .head().length.toLong)
     }
 
+    // Stats family: one-shuffle partial-sum aggregations — cost is the
+    // scan + a |groups|-row reduce, so 10× data ≈ 10× scan time flat.
+    val li10 = (0 until 10).map(k =>
+      li.select((col("l_orderkey") + k * 10000000L).as("ok"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")))
+      .reduce(_ unionAll _).repartition(32)
+    time("groupedLinearFit 6M rows")(
+      graft.operators.Analytics.groupedLinearFit(
+        li10.select(col("l_returnflag").as("g"), (col("ok") % 2048).cast("long").as("x"),
+          col("l_extendedprice").cast("decimal(18,2)").as("y")),
+        Seq(col("g")), col("x"), col("y")).count())
+    time("groupedCorrMatrix 6M rows x 4 metrics")(
+      graft.operators.Analytics.groupedCorrMatrix(
+        li10.select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          col("l_discount").cast("decimal(18,2)").as("disc"),
+          col("l_tax").cast("decimal(18,2)").as("tax")),
+        Seq(col("rf")),
+        Seq("qty" -> col("qty"), "price" -> col("price"),
+          "disc" -> col("disc"), "tax" -> col("tax"))).count())
+    time("noveltyScore 40k corpus vs 10k probe")(
+      TrainingData.noveltyScore(
+        docs10.where(col("doc_id") % 5 =!= 0), docs10.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3).count())
+
     time("kmeans k=16 x 3 iters on 20k vecs")(
       graft.operators.Clustering.kmeans(emb10, "embedding", k = 16, maxIter = 3)
         .centroids.length.toLong)

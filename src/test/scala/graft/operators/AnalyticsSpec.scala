@@ -179,4 +179,30 @@ class AnalyticsSpec extends SparkSpec {
       .collect()
     assert(out.length == 1 && out.head.getLong(0) == 1L && out.head.getInt(1) == 1)
   }
+
+  test("histogram densifies empty bins, clips the domain, and bins on exact cents") {
+    val df = Seq(
+      ("x", "0.00"), ("x", "9.99"), ("x", "10.00"), ("x", "29.99"),
+      ("x", "30.00"),             // == hi: excluded (right-open domain)
+      ("x", "-0.01"),             // < lo: excluded
+      ("y", "15.00"))
+      .toDF("g", "v").withColumn("v", col("v").cast("decimal(18,2)"))
+    val out = Analytics.histogram(df, Seq(col("g")), col("v"),
+      lo = BigDecimal("0.00"), width = BigDecimal("10.00"), nbins = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getLong(3))).toSet
+    assert(out == Set(
+      ("x", 0L, "0.00", 2L),   // 0.00, 9.99 (boundary 10.00 goes up)
+      ("x", 1L, "10.00", 1L),
+      ("x", 2L, "20.00", 1L),
+      ("y", 0L, "0.00", 0L),   // densified zero bins
+      ("y", 1L, "10.00", 1L),
+      ("y", 2L, "20.00", 0L)))
+    // null values are excluded, not binned or crashed on
+    val withNull = df.unionAll(Seq(("x", null.asInstanceOf[String])).toDF("g", "v")
+      .withColumn("v", col("v").cast("decimal(18,2)")))
+    assert(Analytics.histogram(withNull, Seq(col("g")), col("v"),
+      BigDecimal("0.00"), BigDecimal("10.00"), 3)
+      .agg(sum(col("cnt"))).head().getLong(0) == 5L)
+  }
 }

@@ -64,4 +64,40 @@ class QualitySpec extends SparkSpec {
       .head()
     assert(r.getLong(1) == 1L) // the null row fails the predicate
   }
+
+  test("scd2Merge covers all five branches in one merge") {
+    // history: k=1 unchanged, k=2 changed, k=3 deleted, k=4 arrives
+    // new; k=2 also carries an already-closed prior version that must
+    // pass through untouched.
+    val hist = Seq(
+      (1L, "a", Some(0L), None: Option[Long]),
+      (2L, "b", Some(5L), None: Option[Long]),
+      (2L, "b0", Some(0L), Some(5L)),
+      (3L, "c", Some(0L), None: Option[Long])
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val snap = Seq((1L, "a"), (2L, "B!"), (4L, "d")).toDF("k", "attr")
+    val out = Quality.scd2Merge(hist, snap, Seq("k"), Seq("attr"), asOf = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(out == Set(
+      (1L, "a", 0L, None),          // unchanged: still open
+      (2L, "b", 5L, Some(10L)),     // changed: closed at asOf...
+      (2L, "B!", 10L, None),        // ...new version opened
+      (2L, "b0", 0L, Some(5L)),     // closed history passes through
+      (3L, "c", 0L, Some(10L)),     // missing from snapshot: closed
+      (4L, "d", 10L, None)))        // insert
+  }
+
+  test("scd2Merge closeMissing=false leaves absent keys open; null attrs compare null-safe") {
+    val hist = Seq((1L, None: Option[String], Some(0L), None: Option[Long]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val snapSame = Seq((1L, None: Option[String])).toDF("k", "attr")
+    val same = Quality.scd2Merge(hist, snapSame, Seq("k"), Seq("attr"), asOf = 7L)
+      .collect()
+    assert(same.length == 1 && same.head.isNullAt(3)) // null == null: unchanged
+    val snapEmpty = Seq.empty[(Long, Option[String])].toDF("k", "attr")
+    val open = Quality.scd2Merge(hist, snapEmpty, Seq("k"), Seq("attr"),
+      asOf = 7L, closeMissing = false).collect()
+    assert(open.length == 1 && open.head.isNullAt(3)) // left open
+  }
 }

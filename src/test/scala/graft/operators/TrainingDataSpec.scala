@@ -265,4 +265,54 @@ class TrainingDataSpec extends SparkSpec {
       .select("id", "pos").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(reseeded.map(_._2) != run1.map(_._2)) // seed changes the order
   }
+
+  test("weightedSample is deterministic, weight-biased, and equals its brute-force rank") {
+    val df = (1L to 400L).map(id => (id, if (id <= 200) 1L else 100L))
+      .toDF("id", "w").withColumn("grp", lit("g"))
+    val got = TrainingData.weightedSample(df, col("id"), col("w"), k = 50,
+      groupCols = Seq(col("grp")))
+      .select("id").as[Long].collect().toSet
+    // brute-force the same ranks driver-side
+    def u32(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val expect = (1L to 400L).map(id => (u32(id) / (if (id <= 200) 1L else 100L), id))
+      .sorted.take(50).map(_._2).toSet
+    assert(got == expect)
+    // heavy rows (w=100) should dominate the sample
+    assert(got.count(_ > 200) > 40)
+    // retry-stable and identical for the global (ungrouped) path
+    val global = TrainingData.weightedSample(df, col("id"), col("w"), k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(global == expect)
+    // non-positive weights are dropped, never sampled
+    val withZero = df.withColumn("w", when(col("id") === 1L, 0L).otherwise(col("w")))
+    assert(!TrainingData.weightedSample(withZero, col("id"), col("w"), k = 400)
+      .select("id").as[Long].collect().contains(1L))
+  }
+
+  test("lmScore: add-one bigram probabilities in fixed point, hand-checked") {
+    // corpus: "a b" x3, "a c" — c1(a)=4, c2(a b)=3, c2(a c)=1, V=3
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("id", "text")
+    val probe = Seq(
+      (10L, "a b"),      // p = (3+1)*1e6 div (4+3) = 571428
+      (11L, "a z"),      // unseen bigram, seen context: (0+1)*1e6 div 7 = 142857
+      (12L, "z q"),      // unseen context: (0+1)*1e6 div (0+3) = 333333
+      (13L, "solo"))     // < 2 words: excluded
+      .toDF("id", "text")
+    val out = TrainingData.lmScore(corpus, probe, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L))
+    assert(out(10L) == ((1L, 571428L, 571428.0 / 1000000.0)))
+    assert(out(11L) == ((1L, 142857L, 142857.0 / 1000000.0)))
+    assert(out(12L) == ((1L, 333333L, 333333.0 / 1000000.0)))
+    // a two-bigram doc sums exactly
+    val two = TrainingData.lmScore(corpus, Seq((20L, "a b c")).toDF("id", "text"),
+      "id", "text").head()
+    // bigrams: "a b" -> 571428, "b c": c2=0, c1(b)=0 -> 333333
+    assert(two.getLong(1) == 2L && two.getLong(2) == 571428L + 333333L)
+  }
 }
