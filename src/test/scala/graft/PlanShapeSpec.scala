@@ -144,4 +144,55 @@ class PlanShapeSpec extends SparkSpec {
     // CodegenFallback), which is exactly the regression this pins
     assert(p.linesIterator.exists(l => l.trim.matches("""\*\(\d+\) Project .*simhash64.*""")))
   }
+
+  test("weightedSample global path is TakeOrderedAndProject, never a full sort") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 9 + 1).toLong)).toDF("id", "w")
+    val p = plan(TrainingData.weightedSample(df, col("id"), col("w"), k = 10))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.linesIterator.exists(l => l.trim.matches("""[+\-:*\s()\d]*Sort .*""")))
+  }
+
+  test("scd2Merge joins only the current slice; closed history unions past the join") {
+    val hist = (1 to 60).map(i =>
+      (i.toLong, s"v$i", 0L, if (i % 3 == 0) Some(5L) else None))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val snap = (1 to 60).map(i => (i.toLong, s"v${i * 2}")).toDF("k", "attr")
+    val out = graft.operators.Quality.scd2Merge(hist, snap, Seq("k"), Seq("attr"), asOf = 9L)
+    val p = finalPlan(out)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"))
+    // exactly one join in the whole merge (the current-vs-snapshot one)
+    assert(p.linesIterator.count(l => l.contains("Join")) == 1)
+    // the closed-history leg is filter + union, no exchange feeding it:
+    // the union node sits above the join but the passthrough side is a
+    // plain filter over the input
+    assert(p.contains("Union"))
+  }
+
+  test("histogram is one hash aggregate on (group, bin) plus a spine join") {
+    val df = (1 to 500).map(i => ("g" + i % 3, BigDecimal(i % 97)))
+      .toDF("g", "v")
+    val out = graft.operators.Analytics.histogram(
+      df, Seq(col("g")), col("v"), BigDecimal(0), BigDecimal(10), 10)
+    val p = finalPlan(out)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"))
+    // bin math stays in whole-stage codegen (no UDF / fallback node)
+    assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"))
+  }
+
+  test("lmScore shuffles carry grams and counts, never document text") {
+    val corpus = (1 to 40).map(i => (i.toLong, s"alpha beta word$i gamma")).toDF("id", "text")
+    val probe = (1 to 10).map(i => (i.toLong, s"alpha beta delta word$i")).toDF("id", "text")
+    val out = TrainingData.lmScore(corpus, probe, "id", "text")
+    val p = finalPlan(out)
+    assert(!p.contains("Cartesian"))
+    // the ONLY nested-loop join allowed is the broadcast of the 1-row
+    // vocab scalar (a cross join by construction); the count tables
+    // must join hashed on the gram key
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1)
+    // no raw text column crosses any exchange: text is consumed by the
+    // shingle projection before the first shuffle
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty && exchangeLines.forall(!_.contains("text#")))
+  }
 }
