@@ -935,6 +935,33 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("w")),
         col("doc_id"), col("w"), k = 20, groupCols = Seq(col("lang")))),
 
+    // Time-series gap fill over weekly per-key order aggregates:
+    // spine = each key's own [min, max] tick range; missing weeks get
+    // n_orders = 0 and a forward-filled last-observed sum_price.
+    // custkey % 97 gives ~0.5 orders/key/week at sf0.01, so gaps
+    // genuinely occur and LOCF genuinely carries.
+    "q_gapfill" -> ((s, dd) => {
+      val weekly = t(s, dd, "orders")
+        .select((col("o_custkey") % 97).as("k"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("_d"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .select(col("k"), expr("_d div 7").as("tick"), col("p"))
+        .groupBy(col("k"), col("tick"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("p")).cast("decimal(18,2)").as("sum_price"))
+      Relational.gapFill(weekly, Seq("k"), "tick", step = 1L,
+        locf = Seq("sum_price"), defaults = Map("n_orders" -> lit(0L)))
+    }),
+
+    // Equal-frequency quartile binning of event values (exact
+    // interpolated percentiles — quantile_cont parity proven by
+    // q_percentile — then a strict-compare comparison chain).
+    "q_quantile_bins" -> ((s, d) =>
+      Relational.quantileBins(
+        t(s, d, "events").select(col("event_id"), col("value")),
+        col("value"), Seq(0.25, 0.5, 0.75))),
+
     // Grouped equi-width histogram with densified (zero-count) bins:
     // bin math on unscaled cents (bigint div), counts exact.
     "q_histogram" -> ((s, d) =>
@@ -2302,6 +2329,35 @@ object SparkEntry {
         |rn AS (SELECT *, row_number() OVER (PARTITION BY lang
         |    ORDER BY sample_rank, doc_id) AS _rn FROM rk)
         |SELECT doc_id, lang, w, sample_rank FROM rn WHERE _rn <= 20""".stripMargin,
+
+    // Per-key generate_series spine, left join, IGNORE NULLS running
+    // last_value for LOCF — integer grid, exact decimals.
+    "q_gapfill" ->
+      """WITH weekly AS (SELECT o_custkey % 97 AS k,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7 AS tick,
+        |    count(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  FROM orders GROUP BY 1, 2),
+        |spine AS (SELECT k, unnest(generate_series(min(tick), max(tick))) AS tick
+        |  FROM weekly GROUP BY k)
+        |SELECT spine.k AS k, spine.tick AS tick,
+        |  CAST(COALESCE(w.n_orders, 0) AS BIGINT) AS n_orders,
+        |  last_value(w.sum_price IGNORE NULLS) OVER (PARTITION BY spine.k
+        |    ORDER BY spine.tick ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_price,
+        |  (w.k IS NULL) AS is_gap
+        |FROM spine LEFT JOIN weekly w ON spine.k = w.k AND spine.tick = w.tick""".stripMargin,
+
+    // Boundaries via quantile_cont (== Spark percentile, proven by
+    // q_percentile), then the same strict-compare chain.
+    "q_quantile_bins" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.25) AS q0,
+        |    quantile_cont(value, 0.5) AS q1, quantile_cont(value, 0.75) AS q2
+        |  FROM events)
+        |SELECT event_id, value,
+        |  CASE WHEN value IS NULL THEN NULL ELSE
+        |    CAST(value > q0 AS BIGINT) + CAST(value > q1 AS BIGINT)
+        |    + CAST(value > q2 AS BIGINT) END AS bin
+        |FROM events CROSS JOIN b""".stripMargin,
 
     // Bin on unscaled cents with bigint div; densify on a
     // generate_series spine per group so zero bins surface.

@@ -417,4 +417,82 @@ object Relational {
     val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
     df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Time-series gap fill: densify each key's integer tick axis to a
+    * regular `step` grid between that key's own min and max tick, then
+    * fill the manufactured rows — `locf` columns forward-fill from the
+    * last observed value (last-observation-carried-forward), `defaults`
+    * columns take a constant. Manufactured rows carry `is_gap = true`.
+    * The resample/gap-fill primitive every metrics or sensor pipeline
+    * needs before rate/delta math; input must be pre-aggregated to one
+    * row per (key, tick).
+    *
+    * All grid arithmetic is integer (ticks are pre-bucketed longs), so
+    * the result is cross-engine exact; LOCF is deterministic because
+    * (key, tick) is unique by contract.
+    *
+    * Scale shape: the spine is |keys| aggregate rows exploded to grid
+    * size — it never re-scans the data; the join and the LOCF window
+    * both hash on the key, so the whole fill is key-local (one shuffle
+    * family, no global order). Grid volume is (span/step) per key —
+    * the caller controls density by bucketing ticks first.
+    */
+  def gapFill(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tickCol: String,
+      step: Long,
+      locf: Seq[String] = Nil,
+      defaults: Map[String, Column] = Map.empty,
+      gapCol: String = "is_gap"): DataFrame = {
+    require(keyCols.nonEmpty, "gapFill: keyCols must be non-empty")
+    require(step > 0, s"gapFill: step must be > 0, got $step")
+    val spine = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(tickCol)).as("_lo"), max(col(tickCol)).as("_hi"))
+      .select(keyCols.map(col) :+
+        explode(sequence(col("_lo"), col("_hi"), lit(step))).as(tickCol): _*)
+    val src = df.withColumn("_present", lit(1))
+    val joined = spine.join(src, keyCols :+ tickCol, "left")
+      .withColumn(gapCol, col("_present").isNull)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tickCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = locf.foldLeft(joined)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    defaults.foldLeft(filled) { case (d, (c, dflt)) =>
+      d.withColumn(c, coalesce(col(c), dflt))
+    }.drop("_present")
+  }
+
+  /** Equal-frequency (quantile) binning of a numeric column: compute
+    * the exact interpolated percentile boundaries at `probs`, then
+    * assign `bin = #{boundaries strictly below the value}` — the
+    * feature-discretization step of classic ML prep (Spark ML's
+    * QuantileDiscretizer, re-expressed relationally with the same
+    * exact-percentile parity story as [[TrainingData.winsorize]]: the
+    * sort-based exact percentile is the oracle-checked form; a 100 TB
+    * run would swap `percentile` for `percentile_approx` unchanged).
+    *
+    * One aggregate produces the 1-row boundary vector, broadcast back
+    * onto the stream; bin assignment is a codegen'd comparison chain —
+    * no shuffle of the data itself.
+    */
+  def quantileBins(
+      df: DataFrame,
+      valueCol: Column,
+      probs: Seq[Double],
+      binCol: String = "bin"): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"quantileBins: probs must be in [0,1], got $probs")
+    require(probs == probs.sorted && probs.distinct.size == probs.size,
+      s"quantileBins: probs must be strictly increasing, got $probs")
+    val qs = (0 until probs.size).map(i =>
+      percentile(valueCol, lit(probs(i))).as(s"_q$i"))
+    val bounds = df.agg(qs.head, qs.tail: _*)
+    val bin = (0 until probs.size)
+      .map(i => (valueCol > col(s"_q$i")).cast("long"))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(binCol, when(valueCol.isNull, lit(null).cast("long")).otherwise(bin))
+      .drop((0 until probs.size).map(i => s"_q$i"): _*)
+  }
 }

@@ -226,4 +226,43 @@ class RelationalSpec extends SparkSpec {
     assert(out.where(col("g") === "a").count() == 2)
     assert(out.where(col("g") === "b").count() == 1)
   }
+
+  test("gapFill densifies each key's own range, LOCF carries, defaults fill, gaps flagged") {
+    val df = Seq(
+      ("a", 10L, 5L, Some(100L)),
+      ("a", 13L, 2L, Some(70L)),   // ticks 11, 12 missing
+      ("b", 20L, 1L, None: Option[Long])) // single-tick key: no spine growth
+      .toDF("k", "tick", "n", "v")
+    val out = Relational.gapFill(df, Seq("k"), "tick", step = 1L,
+      locf = Seq("v"), defaults = Map("n" -> lit(0L)))
+      .orderBy("k", "tick")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("a", 10L, 5L, Some(100L), false),
+      ("a", 11L, 0L, Some(100L), true),   // gap: n defaulted, v carried
+      ("a", 12L, 0L, Some(100L), true),
+      ("a", 13L, 2L, Some(70L), false),   // real row wins over carry
+      ("b", 20L, 1L, None, false)))       // key 'b' never had a v: stays null
+    // step > 1 builds a coarser grid off the key's own min
+    val coarse = Relational.gapFill(df.where(col("k") === "a"), Seq("k"), "tick",
+      step = 3L, locf = Seq("v"), defaults = Map("n" -> lit(0L)))
+    assert(coarse.select("tick").as[Long].collect().sorted.toSeq == Seq(10L, 13L))
+  }
+
+  test("quantileBins assigns equal-frequency quartiles; nulls stay null") {
+    // values 1..8: q25=2.75, q50=4.5, q75=6.25
+    val df = (1L to 8L).map(i => (i, Some(i.toDouble))).toDF("id", "v")
+      .unionAll(Seq((9L, None: Option[Double])).toDF("id", "v"))
+    val out = Relational.quantileBins(df, col("v"), Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L, 9L -> -1L))
+    // ~equal bucket sizes on a bigger uniform set
+    val big = (1L to 1000L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val sizes = Relational.quantileBins(big, col("v"), Seq(0.25, 0.5, 0.75))
+      .groupBy("bin").count().as[(Long, Long)].collect().toMap
+    assert(sizes.values.forall(c => c >= 249 && c <= 251))
+  }
 }
