@@ -370,6 +370,80 @@ object StreamSink {
     }
     StreamSink(name, _.writeStream.foreachBatch(guarded))
   }
+
+  /** Streaming SCD-2 dimension maintenance: fold every micro-batch of
+    * a CDC/upsert feed (one row per key per batch — defensively
+    * deduped) into a versioned on-disk history via
+    * [[graft.operators.Quality.scd2Merge]] with
+    * `closeMissing = false` (a micro-batch is a partial feed, not a
+    * full snapshot — absent keys stay open). The miniature of what a
+    * table format's MERGE does, composed from the batch operator:
+    *
+    *  - each batch writes a NEW version directory
+    *    `tablePath/v=<batchId>` and then flips a `_LATEST` pointer —
+    *    readers never observe a half-written table, and the merge
+    *    never reads the directory it is writing;
+    *  - wrapped in [[idempotentForeachBatch]], so a replayed batch
+    *    (sink-side at-least-once) is a no-op — exactly-once downstream;
+    *  - `asOf` is the batch id (monotone per stream), so version
+    *    intervals are replay-stable.
+    *
+    * Old versions beyond `retainVersions` are deleted. Read the
+    * current table with [[readLatest]].
+    */
+  def scd2(
+      name: String, tablePath: String, commitDir: String,
+      keyCols: Seq[String], attrCols: Seq[String],
+      retainVersions: Int = 3): StreamSink = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    idempotentForeachBatch(name, commitDir) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val outCols = keyCols ++ attrCols :+ "valid_from" :+ "valid_to"
+      val hist = readLatest(spark, tablePath).getOrElse(
+        batch.select(keyCols.map(col) ++ attrCols.map(col) :+
+          lit(0L).as("valid_from") :+ lit(0L).cast("long").as("valid_to"): _*).limit(0))
+      val feed = batch.dropDuplicates(keyCols)
+      val merged = graft.operators.Quality.scd2Merge(
+        hist, feed, keyCols, attrCols, asOf = batchId, closeMissing = false)
+        .select(outCols.map(col): _*)
+      merged.write.mode("overwrite").parquet(s"$tablePath/v=$batchId")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = root.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(root, s"_LATEST.$batchId.tmp")
+      val out = fs.create(tmp, true)
+      out.write(batchId.toString.getBytes("UTF-8")); out.close()
+      val marker = new org.apache.hadoop.fs.Path(root, "_LATEST")
+      fs.delete(marker, false)
+      fs.rename(tmp, marker)
+      // prune versions older than the newest retainVersions
+      val keep = versionIds(fs, root).sorted.takeRight(retainVersions).toSet
+      versionIds(fs, root).filterNot(keep).foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
+    }
+  }
+
+  /** The current SCD-2 table maintained by [[scd2]], or None before
+    * the first committed batch.
+    */
+  def readLatest(spark: SparkSession, tablePath: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_LATEST")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(spark.read.parquet(s"$tablePath/v=$v"))
+    }
+  }
+
+  private def versionIds(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
 }
 
 /** Live manipulation of a RUNNING streaming pipeline (reference:

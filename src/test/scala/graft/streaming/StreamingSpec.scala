@@ -443,6 +443,36 @@ class StreamingSpec extends SparkSpec {
     assert(seen.size() == firstRun) // replayed id skipped, nothing new ran
   }
 
+  test("streaming SCD2 sink folds CDC batches into a versioned history, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_scd2_").toString
+    val commits = java.nio.file.Files.createTempDirectory("graft_scd2_c_").toString
+    val sink = StreamSink.scd2("dim", table, commits, Seq("k"), Seq("attr"))
+    val in = MemoryStream[(Long, String)]
+    val q = sink.build(in.toDF().toDF("k", "attr")).start()
+    in.addData(1L -> "a", 2L -> "b"); q.processAllAvailable() // batch 0
+    in.addData(1L -> "a2", 3L -> "c"); q.processAllAvailable() // batch 1
+    q.stop()
+    def snap() = StreamSink.readLatest(spark, table).get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val hist = snap()
+    assert(hist == Set(
+      (1L, "a", 0L, Some(1L)),  // closed when the update arrived in batch 1
+      (1L, "a2", 1L, None),     // the update, open
+      (2L, "b", 0L, None),      // untouched by batch 1: partial feed keeps it open
+      (3L, "c", 1L, None)))     // batch-1 insert
+    // a NEW query incarnation replays batch ids from 0 (same commitDir
+    // = same logical stream): the committed markers make it a no-op —
+    // the poisoned replay data must NOT reach the table
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = sink.build(in2.toDF().toDF("k", "attr")).start()
+    in2.addData(1L -> "POISON"); q2.processAllAvailable() // replayed batch 0
+    q2.stop()
+    assert(snap() == hist)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("streaming funnel over one batch equals the batch funnel exactly") {
     implicit val sqlCtx = spark.sqlContext
     import StreamFunnel._
