@@ -274,6 +274,10 @@ object Analytics {
     * before the shuffle. The bin spine is `explode(sequence(...))`
     * over the DISTINCT groups (|groups|·nbins rows, corpus never
     * re-scanned) with the counts hash-left-joined on.
+    *
+    * Null group keys don't equi-join back onto the spine — their bins
+    * surface zero-count. `coalesce` group keys to a sentinel first if
+    * null is a real group.
     */
   def histogram(
       df: DataFrame,

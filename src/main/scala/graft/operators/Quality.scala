@@ -148,6 +148,11 @@ object Quality {
     * changed-key case emits its two rows from one joined row via an
     * inline array → no second join, no double scan. Output schema =
     * `keyCols ++ attrCols ++ (validFromCol, validToCol)`.
+    *
+    * Contract: at most ONE open (`validToCol` null) version per key in
+    * `history`, and one row per key in `snapshot` — the SCD-2
+    * invariant itself. Duplicates multiply through the join exactly as
+    * they would in a SQL MERGE.
     */
   def scd2Merge(
       history: DataFrame,

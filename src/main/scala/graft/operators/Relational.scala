@@ -429,7 +429,11 @@ object Relational {
     *
     * All grid arithmetic is integer (ticks are pre-bucketed longs), so
     * the result is cross-engine exact; LOCF is deterministic because
-    * (key, tick) is unique by contract.
+    * (key, tick) is unique by contract. Ticks must lie ON the grid —
+    * a row whose tick is not `min + i·step` for its key matches no
+    * spine row and is dropped (bucket ticks to the step BEFORE calling
+    * with `step > 1`; with the default `step = 1` every integer tick
+    * is on the grid).
     *
     * Scale shape: the spine is |keys| aggregate rows exploded to grid
     * size — it never re-scans the data; the join and the LOCF window

@@ -193,6 +193,46 @@ object ScaleProbe {
         docs10.where(col("doc_id") % 5 =!= 0), docs10.where(col("doc_id") % 5 === 0),
         "doc_id", "text", n = 3).count())
 
+    // Catalog/sampling/LM family (round-5 continuation)
+    val cust10b = (0 until 10).map(k =>
+      cust.select((col("c_custkey") + k * 100000).as("k"),
+        concat(col("c_name"), lit("#"), lit(k)).as("name"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal")))
+      .reduce(_ unionAll _).repartition(32)
+    time("scd2Merge 150k-key history vs 100k-key snapshot") {
+      val hist = cust10b
+        .select(col("k"), col("name"), col("bal"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val snap = cust10b.where(col("k") % 3 =!= 0)
+        .select(col("k"), col("name"),
+          when(col("k") % 7 === 0, col("bal") + 100).otherwise(col("bal")).as("bal"))
+      graft.operators.Quality.scd2Merge(hist, snap, Seq("k"), Seq("name", "bal"), asOf = 1L).count()
+    }
+    time("weightedSample 50k docs, k=100 per lang")(
+      TrainingData.weightedSample(
+        docs10.select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("w")),
+        col("doc_id"), col("w"), k = 100, groupCols = Seq(col("lang"))).count())
+    time("lmScore 40k corpus vs 10k probe")(
+      TrainingData.lmScore(
+        docs10.where(col("doc_id") % 5 =!= 0), docs10.where(col("doc_id") % 5 === 0),
+        "doc_id", "text").count())
+    time("histogram 6M rows, 21 bins")(
+      graft.operators.Analytics.histogram(
+        li10.select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v")),
+        Seq(col("rf")), col("v"), BigDecimal("900.00"), BigDecimal("5000.00"), 21).count())
+    time("gapFill 150k orders -> 97-key weekly grid")(
+      graft.operators.Relational.gapFill(
+        ord.select((col("o_custkey") % 97).as("k"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("_d"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+          .select(col("k"), expr("_d div 7").as("tick"), col("p"))
+          .groupBy("k", "tick").agg(count(lit(1)).as("n"), sum("p").as("s")),
+        Seq("k"), "tick", 1L, locf = Seq("s"), defaults = Map("n" -> lit(0L))).count())
+    time("quantileBins 600k lineitem values")(
+      graft.operators.Relational.quantileBins(
+        li.select(col("l_orderkey"), col("l_extendedprice").as("v")),
+        col("v"), Seq(0.25, 0.5, 0.75)).count())
+
     time("kmeans k=16 x 3 iters on 20k vecs")(
       graft.operators.Clustering.kmeans(emb10, "embedding", k = 16, maxIter = 3)
         .centroids.length.toLong)
