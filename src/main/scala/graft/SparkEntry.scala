@@ -899,6 +899,23 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // DSIR importance weights: score the raw 3/4 slice against the
+    // target 1/4 slice over hashed 1+2-gram features — fixed-point
+    // likelihood ratios, so even avg_ratio is bit-exact.
+    "q_dsir" -> ((s, dd) => {
+      val docs = t(s, dd, "documents")
+      TrainingData.dsirWeights(
+        docs.where(col("doc_id") % 4 =!= 0),
+        docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text")
+    }),
+
+    // Market-basket co-occurrence on lineitem: parts bought together
+    // within an order, support >= 2, with exact-division lift.
+    "q_cooccur" -> ((s, dd) =>
+      graft.operators.Analytics.cooccurrence(
+        t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))),
+
     // SCD-2 snapshot merge on a synthetic day-2 customer snapshot
     // exercising all five branches: unchanged, changed (%7 balance
     // bump), deleted (%3), inserted (+1e6 keys), and pre-closed
@@ -2281,6 +2298,49 @@ object SparkEntry {
          |SELECT probe_id, count(*) AS n_bigrams, CAST(sum(p) AS BIGINT) AS score_scaled,
          |  CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS avg_prob
          |FROM p GROUP BY probe_id""".stripMargin,
+
+    // Mirrors dsirWeights: hashed 1+2-gram features (first-8-md5-hex
+    // mod 65536 — same hash family as the sampling oracles), add-one
+    // smoothed fixed-point likelihood ratio, bigint // only.
+    "q_dsir" ->
+      s"""WITH dw AS (SELECT doc_id, $W AS ws FROM documents),
+         |uni AS (SELECT doc_id, unnest(ws) AS g FROM dw WHERE len(ws) >= 1),
+         |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |    i -> array_to_string(ws[i:i+1], ' '))) AS g FROM dw WHERE len(ws) >= 2),
+         |feats AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT AS BIGINT) % 65536 AS f
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |rawf AS (SELECT doc_id, f FROM feats WHERE doc_id % 4 <> 0),
+         |tgtf AS (SELECT f FROM feats WHERE doc_id % 4 = 0),
+         |cr AS (SELECT f, count(*) AS cr FROM rawf GROUP BY f),
+         |ct AS (SELECT f, count(*) AS ct FROM tgtf GROUP BY f),
+         |tot AS (SELECT (SELECT count(*) FROM rawf) AS tr,
+         |               (SELECT count(*) FROM tgtf) AS tt),
+         |p AS (SELECT doc_id,
+         |    ((COALESCE(ct.ct, 0) + 1) * (tot.tr + 65536) * 1000)
+         |      // ((cr.cr + 1) * (tot.tt + 65536)) AS r
+         |  FROM rawf LEFT JOIN ct USING (f) JOIN cr USING (f) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_feats, CAST(sum(r) AS BIGINT) AS ratio_sum_scaled,
+         |  CAST(CAST(sum(r) AS BIGINT) AS DOUBLE) / CAST(count(*) * 1000 AS DOUBLE) AS avg_ratio
+         |FROM p GROUP BY doc_id""".stripMargin,
+
+    // Mirrors cooccurrence: distinct items, 2..1024 basket cap, a<b
+    // self-join pairs, lift as one IEEE division of bigint products.
+    "q_cooccur" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT b, count(*) AS sz FROM items GROUP BY b
+        |       HAVING count(*) BETWEEN 2 AND 1024),
+        |kept AS (SELECT items.b, items.i FROM items JOIN sz USING (b)),
+        |nb AS (SELECT count(*) AS n_baskets FROM sz),
+        |cnt AS (SELECT i, count(*) AS ci FROM kept GROUP BY i),
+        |pairs AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS support
+        |  FROM kept a JOIN kept b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, support, ca.ci AS n_a, cb.ci AS n_b,
+        |  nb.n_baskets, CAST(support * nb.n_baskets AS DOUBLE)
+        |    / CAST(ca.ci * cb.ci AS DOUBLE) AS lift
+        |FROM pairs JOIN cnt ca ON pairs.item_a = ca.i
+        |           JOIN cnt cb ON pairs.item_b = cb.i CROSS JOIN nb""".stripMargin,
 
     // Mirrors scd2Merge branch-for-branch: closed versions pass
     // through outside the join; the full-outer join of the current

@@ -349,4 +349,55 @@ object Analytics {
       .orderBy(col("n").desc, col("path"))
       .limit(k)
   }
+
+  /** Frequent pairwise co-occurrence (market-basket / Apriori level-2):
+    * item pairs that appear together in at least `minSupport` baskets,
+    * with per-item counts and lift. The level-2 pass is where
+    * association mining spends ~all its time at scale, so it's the one
+    * worth a first-class operator.
+    *
+    * Scale shape: baskets are deduped to distinct (basket, item) rows,
+    * then baskets larger than `maxBasketSize` are DROPPED before the
+    * pair self-join — one pathological 10^5-item basket would
+    * otherwise emit 10^10 pairs and take the stage down; the cap
+    * bounds per-basket work at maxBasketSize². The self-join shuffles
+    * both sides on the basket key once (narrow (basket, item) rows,
+    * not source rows) and the pair aggregate is a hash-agg with
+    * map-side partials. `n_baskets` and lift are defined over the
+    * pair-eligible universe (kept baskets with >= 2 items) so support,
+    * item counts, and lift are mutually consistent.
+    *
+    * Lift = support·N / (n_a·n_b) as ONE IEEE double division of
+    * exact bigint products (cross-engine exact while the products stay
+    * under 2^53). Output: `item_a, item_b, support, n_a, n_b,
+    * n_baskets, lift` with item_a < item_b.
+    */
+  def cooccurrence(
+      df: DataFrame,
+      basketCol: Column,
+      itemCol: Column,
+      minSupport: Long = 2L,
+      maxBasketSize: Int = 1024): DataFrame = {
+    require(minSupport >= 1, s"cooccurrence: minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2, s"cooccurrence: maxBasketSize must be >= 2, got $maxBasketSize")
+    val items = df.select(basketCol.as("_b"), itemCol.as("_i")).distinct()
+    val sizes = items.groupBy(col("_b")).agg(count(lit(1)).as("_sz"))
+      .where(col("_sz").between(2, maxBasketSize))
+    val kept = items.join(sizes.select(col("_b")), Seq("_b"))
+    val nBaskets = sizes.agg(count(lit(1)).as("n_baskets"))
+    val cnt = kept.groupBy(col("_i")).agg(count(lit(1)).as("_ci"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a._b") === col("b._b") && col("a._i") < col("b._i"))
+      .groupBy(col("a._i").as("item_a"), col("b._i").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    pairs
+      .join(cnt.select(col("_i").as("item_a"), col("_ci").as("n_a")), Seq("item_a"))
+      .join(cnt.select(col("_i").as("item_b"), col("_ci").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        ((col("support") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
 }

@@ -640,4 +640,83 @@ object TrainingData {
       .where(col(cumCol) <= budget)
       .drop("_tok")
   }
+
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document of the `raw` corpus by how
+    * much its hashed n-gram features look like the `target`
+    * distribution, so the raw corpus can be resampled toward the
+    * target (e.g. resample Common Crawl toward Wikipedia).
+    *
+    * Features are word 1..n-grams hashed into `buckets` slots (the
+    * hashing trick — the count tables are bounded by `buckets`
+    * REGARDLESS of corpus size, which is the whole 100 TB story: both
+    * count tables broadcast, so scoring is explode + two broadcast
+    * joins + one hash-aggregate on the doc id; the only full shuffles
+    * are the two bounded-output feature counts). The per-feature
+    * likelihood ratio is add-one smoothed and computed in fixed point —
+    * bigint multiply and truncating divide only, like [[lmScore]] — so
+    * the result is bit-exact cross-engine:
+    *
+    * {{{ r(f) = ((ct(f)+1) * (TR+B) * scale) div ((cr(f)+1) * (TT+B)) }}}
+    *
+    * where ct/cr are target/raw bucket counts, TT/TR the token totals,
+    * B = buckets. The per-doc weight is the MEAN ratio (linear space),
+    * a deterministic integer-exact variant of DSIR's sum-of-log-ratios
+    * (libm `ln` is not bit-identical across engines; monotone callers
+    * who want the classic form can `log` the ratio column themselves).
+    * Overflow bound: `(max ct+1) * (TR+B) * scale` must stay below
+    * 2^63 — at the default scale=1000 that holds to ~10^8-token
+    * corpora per bucket-count; shrink `scale` beyond that.
+    *
+    * Output: one row per raw doc — `idCol, n_feats, ratio_sum_scaled,
+    * avg_ratio` (docs with zero features drop out, as in [[lmScore]]).
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 65536,
+      scale: Long = 1000L,
+      ngrams: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(buckets > 0, s"dsirWeights: buckets must be > 0, got $buckets")
+    require(scale > 0, s"dsirWeights: scale must be > 0, got $scale")
+    require(ngrams.nonEmpty && ngrams.forall(_ >= 1),
+      s"dsirWeights: ngrams must be non-empty positive, got $ngrams")
+    // first 8 md5 hex chars as a number mod buckets — the same
+    // cross-engine hash family as hashSample / the CMS kernels
+    def bucket(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % buckets
+    def feats(df: DataFrame, id: Column, as: String) = {
+      val ws = df.select(id.as(as), words(col(textCol)).as("_ws"))
+      ngrams.map { n =>
+        val grams = if (n == 1) col("_ws") else wordShinglesFromWords(col("_ws"), n)
+        ws.where(size(col("_ws")) >= n).select(col(as), explode(grams).as("_g"))
+      }.reduce(_ unionAll _)
+        .select(col(as), bucket(col("_g")).as("_f"))
+    }
+    val rawF = feats(raw, col(idCol), "_id")
+    val tgtF = feats(target, lit(0L), "_tid").drop("_tid")
+    val cr = rawF.groupBy(col("_f")).agg(count(lit(1)).as("_cr"))
+    val ct = tgtF.groupBy(col("_f")).agg(count(lit(1)).as("_ct"))
+    // totals = one row each; sums over <= buckets count rows
+    val totals = cr.agg(sum(col("_cr")).as("_tr"))
+      .crossJoin(ct.agg(coalesce(sum(col("_ct")), lit(0L)).as("_tt")))
+    val b = lit(buckets.toLong)
+    rawF
+      .join(broadcast(ct), Seq("_f"), "left")
+      // inner: every raw feature has cr >= 1 by construction
+      .join(broadcast(cr), Seq("_f"))
+      .crossJoin(broadcast(totals))
+      .select(col("_id"),
+        ((coalesce(col("_ct"), lit(0L)) + 1) * (col("_tr") + b) * lit(scale)).as("_num"),
+        ((col("_cr") + 1) * (col("_tt") + b)).as("_den"))
+      .select(col("_id"), expr("_num div _den").as("_r"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("_r")).as("ratio_sum_scaled"))
+      .select(col("_id").as(idCol), col("n_feats"), col("ratio_sum_scaled"),
+        (col("ratio_sum_scaled").cast("double") /
+          (col("n_feats") * lit(scale)).cast("double")).as("avg_ratio"))
+  }
 }

@@ -195,4 +195,35 @@ class PlanShapeSpec extends SparkSpec {
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchangeLines.nonEmpty && exchangeLines.forall(!_.contains("text#")))
   }
+
+  test("dsirWeights joins the bounded count tables as broadcasts") {
+    val raw = (1 to 40).map(i => (i.toLong, s"alpha beta word$i gamma")).toDF("doc_id", "text")
+    val tgt = (1 to 10).map(i => (100L + i, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = TrainingData.dsirWeights(raw, tgt, "doc_id", "text")
+    val p = finalPlan(out)
+    assert(!p.contains("Cartesian"))
+    // ct and cr are <= buckets rows by construction: both must arrive
+    // broadcast, never shuffled onto the token stream
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    // only nested loops allowed: the 1-row totals construction (tr × tt)
+    // and its scalar cross join onto the token stream
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 2)
+    // raw text never crosses an exchange — features do
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty && exchangeLines.forall(!_.contains("text#")))
+  }
+
+  test("cooccurrence pair join shuffles narrow basket-item rows, no cartesian") {
+    val rows = (1 to 200).flatMap(b => (0 until 4).map(i => (b.toLong, s"it${(b + i) % 20}")))
+    val out = graft.operators.Analytics.cooccurrence(
+      rows.toDF("b", "i"), col("b"), col("i"))
+    val p = finalPlan(out)
+    assert(!p.contains("Cartesian"))
+    // the a<b condition is a join FILTER on the basket-key equi-join,
+    // not a nested-loop predicate
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).forall(_.contains("Cross")))
+  }
 }

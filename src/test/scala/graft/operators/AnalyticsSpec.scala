@@ -205,4 +205,26 @@ class AnalyticsSpec extends SparkSpec {
       BigDecimal("0.00"), BigDecimal("10.00"), 3)
       .agg(sum(col("cnt"))).head().getLong(0) == 5L)
   }
+
+  test("cooccurrence: support/lift over capped distinct baskets") {
+    // b1={x,y,z}, b2={x,y}, b3={x,y} (x duplicated — collapses),
+    // b4={x} (size-1, dropped), b5 = 11 items (over cap, dropped)
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "x"), (3L, "y"),
+      (4L, "x")) ++ (0 until 11).map(i => (5L, s"i$i"))
+    val df = rows.toDF("b", "i")
+    val out = Analytics.cooccurrence(df, col("b"), col("i"),
+        minSupport = 2L, maxBasketSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // only (x,y) reaches support 2; n_baskets=3 kept, n_x=n_y=3
+    assert(out.toSeq == Seq(("x", "y", 3L, 3L, 3L, 3L, 3.0 * 3 / (3 * 3))))
+    // minSupport=1 also surfaces b1's other pairs, lexicographic a<b
+    val all = Analytics.cooccurrence(df, col("b"), col("i"),
+        minSupport = 1L, maxBasketSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(all == Set(("x", "y", 3L), ("x", "z", 1L), ("y", "z", 1L)))
+  }
 }

@@ -315,4 +315,26 @@ class TrainingDataSpec extends SparkSpec {
     // bigrams: "a b" -> 571428, "b c": c2=0, c1(b)=0 -> 333333
     assert(two.getLong(1) == 2L && two.getLong(2) == 571428L + 333333L)
   }
+
+  test("dsirWeights: fixed-point likelihood ratios, hand-checked") {
+    // raw: doc1 "aa aa", doc2 "bb bb"; target: "aa aa aa".
+    // Features (1+2-grams, no bucket collisions — verified offline):
+    //   cr: aa=2, 'aa aa'=1, bb=2, 'bb bb'=1; TR=6
+    //   ct: aa=3, 'aa aa'=2;                  TT=5
+    // r = ((ct+1)*(TR+B)*1000) div ((cr+1)*(TT+B)), B=65536:
+    //   r(aa)=1333, r(aa aa)=1500, r(bb)=333, r(bb bb)=500
+    val raw = Seq((1L, "aa aa"), (2L, "bb bb")).toDF("doc_id", "text")
+    val tgt = Seq((100L, "aa aa aa")).toDF("doc_id", "text")
+    val out = TrainingData.dsirWeights(raw, tgt, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, 2 * 1333L + 1500L, 4166.0 / 3000.0)))
+    assert(out(2L) == ((3L, 2 * 333L + 500L, 1166.0 / 3000.0)))
+    // the target-like doc scores strictly higher — the selection property
+    assert(out(1L)._3 > out(2L)._3)
+    // unigrams only: bigram features vanish, n_feats drops to 2
+    val uni = TrainingData.dsirWeights(raw, tgt, "doc_id", "text", ngrams = Seq(1))
+      .where(col("doc_id") === 1L).head()
+    assert(uni.getLong(1) == 2L)
+  }
 }
