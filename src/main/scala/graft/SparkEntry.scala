@@ -916,6 +916,15 @@ object SparkEntry {
       graft.operators.Analytics.cooccurrence(
         t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))),
 
+    // Triangle census of the co-purchase graph (edges = q_cooccur
+    // pairs): per-node triangle counts + clustering coefficient via
+    // degree-ordered orientation.
+    "q_triangles" -> ((s, dd) => {
+      val pairs = graft.operators.Analytics.cooccurrence(
+        t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.triangleCounts(pairs, col("item_a"), col("item_b"))
+    }),
+
     // SCD-2 snapshot merge on a synthetic day-2 customer snapshot
     // exercising all five branches: unchanged, changed (%7 balance
     // bump), deleted (%3), inserted (+1e6 keys), and pre-closed
@@ -2341,6 +2350,29 @@ object SparkEntry {
         |    / CAST(ca.ci * cb.ci AS DOUBLE) AS lift
         |FROM pairs JOIN cnt ca ON pairs.item_a = ca.i
         |           JOIN cnt cb ON pairs.item_b = cb.i CROSS JOIN nb""".stripMargin,
+
+    // Mirrors triangleCounts over the q_cooccur edge set: (deg, id)
+    // orientation, wedge join + closure semi-check, per-node explode.
+    "q_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT b FROM items GROUP BY b HAVING count(*) BETWEEN 2 AND 1024),
+        |kept AS (SELECT items.b, items.i FROM items JOIN sz USING (b)),
+        |e AS (SELECT a.i AS u, b.i AS v FROM kept a JOIN kept b
+        |      ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS d FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |ori AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+        |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM ori e1 JOIN ori e2 ON e1.t = e2.s
+        |  WHERE EXISTS (SELECT 1 FROM ori e3 WHERE e3.s = e1.s AND e3.t = e2.t)),
+        |pernode AS (SELECT node, count(*) AS n_tri FROM
+        |  (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY node)
+        |SELECT node, d AS degree, n_tri,
+        |  CAST(n_tri * 2 AS DOUBLE) / CAST(d * (d - 1) AS DOUBLE) AS clustering
+        |FROM pernode JOIN deg ON pernode.node = deg.n""".stripMargin,
 
     // Mirrors scd2Merge branch-for-branch: closed versions pass
     // through outside the join; the full-outer join of the current

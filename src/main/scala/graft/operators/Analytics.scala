@@ -371,6 +371,10 @@ object Analytics {
     * exact bigint products (cross-engine exact while the products stay
     * under 2^53). Output: `item_a, item_b, support, n_a, n_b,
     * n_baskets, lift` with item_a < item_b.
+    *
+    * Null baskets and null items are excluded up front — a null item
+    * can never satisfy the `<` pair predicate, so keeping it would
+    * inflate basket sizes and item counts without ever pairing.
     */
   def cooccurrence(
       df: DataFrame,
@@ -380,7 +384,8 @@ object Analytics {
       maxBasketSize: Int = 1024): DataFrame = {
     require(minSupport >= 1, s"cooccurrence: minSupport must be >= 1, got $minSupport")
     require(maxBasketSize >= 2, s"cooccurrence: maxBasketSize must be >= 2, got $maxBasketSize")
-    val items = df.select(basketCol.as("_b"), itemCol.as("_i")).distinct()
+    val items = df.select(basketCol.as("_b"), itemCol.as("_i"))
+      .where(col("_b").isNotNull && col("_i").isNotNull).distinct()
     val sizes = items.groupBy(col("_b")).agg(count(lit(1)).as("_sz"))
       .where(col("_sz").between(2, maxBasketSize))
     val kept = items.join(sizes.select(col("_b")), Seq("_b"))

@@ -209,4 +209,65 @@ object Graph {
     }
     visited
   }
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected edge list (duplicates, reversed duplicates, and
+    * self-loops tolerated — edges canonicalize to distinct u<v pairs).
+    * Triangle density separates organic link neighborhoods from link
+    * farms (spam rings are near-bipartite: high degree, no closure),
+    * so it sits next to [[pageRank]] in the corpus-quality toolbox.
+    *
+    * Algorithm: degree-ordered edge orientation (Schank–Wagner /
+    * compact-forward) — orient each edge from its (degree, id)-smaller
+    * endpoint to the larger, which caps every node's out-degree at
+    * O(√m) on ANY graph, then count closed wedges with two equi-joins:
+    * (s→b)⋈(b→c) forms the wedge, a semi-check against (s→c) closes
+    * it. Each triangle is found exactly once (its (deg,id)-minimum
+    * vertex is the unique pivot). Without the orientation a hub with
+    * degree d contributes d² wedges; with it, the worst case is m^1.5
+    * total wedge rows — the difference between a feasible and an
+    * impossible plan on a power-law co-purchase graph.
+    *
+    * Scale shape: the oriented edge frame is persisted once (three
+    * narrow scans, not three recomputes); every join is an equi-join
+    * on node keys shuffling (s, t) pairs only. Output: `node, degree,
+    * n_tri, clustering` for every node in >= 1 triangle, where
+    * clustering = 2·n_tri / (degree·(degree−1)) as one IEEE division
+    * of exact bigints (cross-engine exact).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    // least/greatest skip nulls: a null endpoint collapses to u==v and
+    // the strict < drops it, like a self-loop. Persisted: e feeds the
+    // degree union (two scans) + the orientation join — an expensive
+    // upstream edge pipeline must not run three times.
+    val e = graft.core.CacheRegistry.persist(
+      edges
+        .select(least(srcCol, dstCol).as("_u"), greatest(srcCol, dstCol).as("_v"))
+        .where(col("_u") < col("_v"))
+        .distinct(),
+      MEMORY_AND_DISK)
+    val deg = e.select(col("_u").as("_n")).unionAll(e.select(col("_v").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    val withDeg = e
+      .join(deg.select(col("_n").as("_u"), col("_d").as("_du")), Seq("_u"))
+      .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), Seq("_v"))
+    val uFirst = col("_du") < col("_dv") ||
+      (col("_du") === col("_dv") && col("_u") < col("_v"))
+    val ori = graft.core.CacheRegistry.persist(
+      withDeg.select(
+        when(uFirst, col("_u")).otherwise(col("_v")).as("_s"),
+        when(uFirst, col("_v")).otherwise(col("_u")).as("_t")),
+      MEMORY_AND_DISK)
+    val tri = ori.as("e1")
+      .join(ori.as("e2"), col("e1._t") === col("e2._s"))
+      .join(ori.as("e3"),
+        col("e3._s") === col("e1._s") && col("e3._t") === col("e2._t"), "left_semi")
+      .select(col("e1._s").as("_a"), col("e1._t").as("_b"), col("e2._t").as("_c"))
+    tri.select(explode(array(col("_a"), col("_b"), col("_c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .join(deg.select(col("_n").as("node"), col("_d").as("degree")), Seq("node"))
+      .select(col("node"), col("degree"), col("n_tri"),
+        ((col("n_tri") * 2).cast("double") /
+          (col("degree") * (col("degree") - 1)).cast("double")).as("clustering"))
+  }
 }

@@ -233,6 +233,28 @@ object ScaleProbe {
         li.select(col("l_orderkey"), col("l_extendedprice").as("v")),
         col("v"), Seq(0.25, 0.5, 0.75)).count())
 
+    // Data-selection / association family (round-5 continuation)
+    time("dsirWeights 37k raw vs 13k target docs")(
+      TrainingData.dsirWeights(
+        docs10.where(col("doc_id") % 4 =!= 0), docs10.where(col("doc_id") % 4 === 0),
+        "doc_id", "text").count())
+    val li10p = (0 until 10).map(k =>
+      spark.read.parquet(s"$d/lineitem.parquet")
+        .select((col("l_orderkey") + k * 10000000L).as("ok"), col("l_partkey")))
+      .reduce(_ unionAll _).repartition(32)
+    time("cooccurrence 6M rows, 1.5M baskets")(
+      graft.operators.Analytics.cooccurrence(li10p, col("ok"), col("l_partkey")).count())
+    // 10x replication multiplies every support 10x, so >= 20 is the
+    // scale-equivalent of the gate's >= 2 threshold
+    time("triangleCounts over support>=20 co-purchase graph") {
+      val n = graft.operators.Graph.triangleCounts(
+        graft.operators.Analytics.cooccurrence(li10p, col("ok"), col("l_partkey"),
+          minSupport = 20L),
+        col("item_a"), col("item_b")).count()
+      graft.core.CacheRegistry.unpersistAll()
+      n
+    }
+
     time("kmeans k=16 x 3 iters on 20k vecs")(
       graft.operators.Clustering.kmeans(emb10, "embedding", k = 16, maxIter = 3)
         .centroids.length.toLong)

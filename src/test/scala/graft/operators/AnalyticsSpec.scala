@@ -208,10 +208,11 @@ class AnalyticsSpec extends SparkSpec {
 
   test("cooccurrence: support/lift over capped distinct baskets") {
     // b1={x,y,z}, b2={x,y}, b3={x,y} (x duplicated — collapses),
-    // b4={x} (size-1, dropped), b5 = 11 items (over cap, dropped)
+    // b4={x} (size-1, dropped), b5 = 11 items (over cap, dropped);
+    // null items must not inflate sizes or counts
     val rows = Seq(
       (1L, "x"), (1L, "y"), (1L, "z"),
-      (2L, "x"), (2L, "y"),
+      (2L, "x"), (2L, "y"), (2L, null),
       (3L, "x"), (3L, "x"), (3L, "y"),
       (4L, "x")) ++ (0 until 11).map(i => (5L, s"i$i"))
     val df = rows.toDF("b", "i")

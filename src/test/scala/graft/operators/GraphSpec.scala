@@ -105,4 +105,38 @@ class GraphSpec extends SparkSpec {
     assert(a == b) // bit-exact, not approximately equal
     graft.core.CacheRegistry.unpersistAll()
   }
+
+  test("triangleCounts: hand-checked census, dirty edge list tolerated") {
+    // triangle {1,2,3}, pendant 3-4, square 4-5-6-7 (no closure),
+    // plus a self-loop, a duplicate, and a reversed duplicate
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L),
+      (2L, 2L),          // self-loop: dropped
+      (1L, 2L),          // duplicate: collapsed
+      (3L, 2L))          // reversed duplicate: collapsed
+      .toDF("s", "d")
+    val out = Graph.triangleCounts(edges, col("s"), col("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // degrees: 1->2, 2->2, 3->3; clustering 2*1/(d*(d-1))
+    assert(out == Map(
+      1L -> ((2L, 1L, 1.0)),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 1.0 / 3.0))))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("triangleCounts: K4 counts every face once, partitioning-invariant") {
+    // K4 has 4 triangles; every vertex sits in 3 of them, clustering 1
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("s", "d")
+    def census(df: org.apache.spark.sql.DataFrame) =
+      Graph.triangleCounts(df, col("s"), col("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val expected = (1 to 4).map(n => (n.toLong, 3L, 3L, 1.0)).toSet
+    assert(census(k4) == expected)
+    assert(census(k4.repartition(5)) == expected)
+    graft.core.CacheRegistry.unpersistAll()
+  }
 }
