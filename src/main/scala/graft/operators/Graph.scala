@@ -228,24 +228,26 @@ object Graph {
     * total wedge rows — the difference between a feasible and an
     * impossible plan on a power-law co-purchase graph.
     *
-    * Scale shape: the oriented edge frame is persisted once (three
-    * narrow scans, not three recomputes); every join is an equi-join
-    * on node keys shuffling (s, t) pairs only. Output: `node, degree,
-    * n_tri, clustering` for every node in >= 1 triangle, where
-    * clustering = 2·n_tri / (degree·(degree−1)) as one IEEE division
-    * of exact bigints (cross-engine exact).
+    * Scale shape: the canonical and oriented edge frames are each
+    * materialized ONCE via eager `localCheckpoint` — e feeds three
+    * consumers and ori three self-join legs, so without it the
+    * (possibly expensive) upstream edge pipeline replays per consumer;
+    * checkpointing also hands AQE the true |E| so the tiny deg/count
+    * joins broadcast (measured ~2× over a columnar persist of the same
+    * frames — the same superstep discipline as [[pageRank]]). Every
+    * join is an equi-join on node keys shuffling (s, t) pairs only.
+    * Output: `node, degree, n_tri, clustering` for every node in >= 1
+    * triangle, where clustering = 2·n_tri / (degree·(degree−1)) as one
+    * IEEE division of exact bigints (cross-engine exact).
     */
   def triangleCounts(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
     // least/greatest skip nulls: a null endpoint collapses to u==v and
-    // the strict < drops it, like a self-loop. Persisted: e feeds the
-    // degree union (two scans) + the orientation join — an expensive
-    // upstream edge pipeline must not run three times.
-    val e = graft.core.CacheRegistry.persist(
-      edges
-        .select(least(srcCol, dstCol).as("_u"), greatest(srcCol, dstCol).as("_v"))
-        .where(col("_u") < col("_v"))
-        .distinct(),
-      MEMORY_AND_DISK)
+    // the strict < drops it, like a self-loop
+    val e = edges
+      .select(least(srcCol, dstCol).as("_u"), greatest(srcCol, dstCol).as("_v"))
+      .where(col("_u") < col("_v"))
+      .distinct()
+      .localCheckpoint(true)
     val deg = e.select(col("_u").as("_n")).unionAll(e.select(col("_v").as("_n")))
       .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
     val withDeg = e
@@ -253,11 +255,10 @@ object Graph {
       .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), Seq("_v"))
     val uFirst = col("_du") < col("_dv") ||
       (col("_du") === col("_dv") && col("_u") < col("_v"))
-    val ori = graft.core.CacheRegistry.persist(
-      withDeg.select(
+    val ori = withDeg.select(
         when(uFirst, col("_u")).otherwise(col("_v")).as("_s"),
-        when(uFirst, col("_v")).otherwise(col("_u")).as("_t")),
-      MEMORY_AND_DISK)
+        when(uFirst, col("_v")).otherwise(col("_u")).as("_t"))
+      .localCheckpoint(true)
     val tri = ori.as("e1")
       .join(ori.as("e2"), col("e1._t") === col("e2._s"))
       .join(ori.as("e3"),
