@@ -916,6 +916,17 @@ object SparkEntry {
       graft.operators.Analytics.cooccurrence(
         t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))),
 
+    // Trailing-window z-score anomaly flags on the event stream: each
+    // value vs its user's 20 preceding events (cents-exact sums,
+    // closed-form IEEE z, integer-decided degenerate windows).
+    "q_zscore" -> ((s, d) =>
+      graft.operators.Analytics.rollingZscore(
+        t(s, d, "events"),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+        round(col("value") * 100).cast("long"),
+        window = 20, minPeriods = 5, threshold = 2.0)
+        .select(col("event_id"), col("z"), col("is_anomaly"))),
+
     // Triangle census of the co-purchase graph (edges = q_cooccur
     // pairs): per-node triangle counts + clustering coefficient via
     // degree-ordered orientation.
@@ -2350,6 +2361,23 @@ object SparkEntry {
         |    / CAST(ca.ci * cb.ci AS DOUBLE) AS lift
         |FROM pairs JOIN cnt ca ON pairs.item_a = ca.i
         |           JOIN cnt cb ON pairs.item_b = cb.i CROSS JOIN nb""".stripMargin,
+
+    // Mirrors rollingZscore: cents-exact trailing sums, one IEEE op
+    // shape for z, integer zero-variance/min-periods guards.
+    "q_zscore" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |w AS (SELECT event_id, x,
+        |    count(x) OVER win AS n, sum(x) OVER win AS s, sum(x * x) OVER win AS q
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, z, COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly FROM (
+        |  SELECT event_id,
+        |    CASE WHEN n >= 5 AND n * q - s * s > 0 THEN
+        |      CAST(n * x - s AS DOUBLE) / sqrt(CAST(n * q - s * s AS DOUBLE)
+        |        * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |    END AS z
+        |  FROM w)""".stripMargin,
 
     // Mirrors triangleCounts over the q_cooccur edge set: (deg, id)
     // orientation, wedge join + closure semi-check, per-node explode.

@@ -350,6 +350,62 @@ object Analytics {
       .limit(k)
   }
 
+  /** Trailing-window z-score anomaly detection: for each row, how many
+    * sample standard deviations its value sits from the mean of the
+    * PRECEDING `window` rows of its key (the current row is excluded —
+    * an anomaly must not dilute its own baseline). The monitoring
+    * primitive for metric streams: flag a value against its own recent
+    * history, per key, in one pass.
+    *
+    * Exactness discipline (the [[groupedLinearFit]] pattern): the
+    * value column must be INTEGER (pre-scale currency/metrics to
+    * cents/ticks — same contract as [[histogram]]), so the window
+    * aggregates S = Σx and Q = Σx² are exact bigints, and the z-score
+    * is one fixed IEEE op shape over exact ingredients:
+    *
+    * {{{ z = (n·x − S) / sqrt((n·Q − S²) · n / (n−1)) }}}
+    *
+    * — cross-engine bit-exact (sqrt and divide are IEEE-identical;
+    * every input to the double stage is an exactly-representable
+    * bigint). Degenerate windows are decided in INTEGER arithmetic:
+    * fewer than `minPeriods` prior rows, or zero variance
+    * (n·Q − S² == 0), yield a null z and `is_anomaly = false` — never
+    * a float comparison against an epsilon.
+    *
+    * Scale shape: ONE shuffle on the key (every window aggregate
+    * shares the same frame, so Catalyst fuses them into a single
+    * Window node); state per row is three numbers. `orderBy` must be a
+    * total order within each key (add a tiebreak column) or the
+    * trailing frame itself is nondeterministic.
+    */
+  def rollingZscore(
+      df: DataFrame,
+      keyCols: Seq[Column],
+      orderBy: Seq[Column],
+      valueCol: Column,
+      window: Int,
+      minPeriods: Int = 5,
+      threshold: Double = 3.0): DataFrame = {
+    require(window >= 2, s"rollingZscore: window must be >= 2, got $window")
+    require(minPeriods >= 2 && minPeriods <= window,
+      s"rollingZscore: need 2 <= minPeriods <= window, got $minPeriods")
+    require(threshold > 0, s"rollingZscore: threshold must be > 0, got $threshold")
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderBy: _*)
+      .rowsBetween(-window, -1)
+    val x = col("_x"); val n = col("_n"); val s = col("_s"); val q = col("_q")
+    df.withColumn("_x", valueCol.cast("long"))
+      .withColumn("_n", count(x).over(w))
+      .withColumn("_s", sum(x).over(w))
+      .withColumn("_q", sum(x * x).over(w))
+      .withColumn("z",
+        when(n >= minPeriods && (n * q - s * s) > 0,
+          (n * x - s).cast("double") /
+            sqrt((n * q - s * s).cast("double") * n.cast("double") /
+              (n - 1).cast("double"))))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("_x", "_n", "_s", "_q")
+  }
+
   /** Frequent pairwise co-occurrence (market-basket / Apriori level-2):
     * item pairs that appear together in at least `minSupport` baskets,
     * with per-item counts and lift. The level-2 pass is where

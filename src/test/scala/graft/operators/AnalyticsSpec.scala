@@ -206,6 +206,27 @@ class AnalyticsSpec extends SparkSpec {
       .agg(sum(col("cnt"))).head().getLong(0) == 5L)
   }
 
+  test("rollingZscore: hand-checked trailing z, integer degenerate guards") {
+    // key a: 5 warmup rows then a spike; key b: zero-variance history
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 10L), ("a", 4L, 12L), ("a", 5L, 10L),
+      ("a", 6L, 25L),
+      ("b", 1L, 7L), ("b", 2L, 7L), ("b", 3L, 7L), ("b", 4L, 7L), ("b", 5L, 7L),
+      ("b", 6L, 99L))
+    val df = rows.toDF("k", "i", "v")
+    val out = Analytics.rollingZscore(df, Seq(col("k")), Seq(col("i")), col("v"),
+        window = 5, minPeriods = 5, threshold = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3))), r.getBoolean(4))).toMap
+    // warmup rows: < minPeriods preceding -> null z, not anomalous
+    for (i <- 1L to 5L) { assert(out(("a", i)) == ((None, false))) }
+    // spike: n=5, S=54, Q=588, z = (5*25-54)/sqrt((5*588-54*54)*5/4)
+    val z = (5.0 * 25 - 54) / math.sqrt((5.0 * 588 - 54 * 54) * 5.0 / 4.0)
+    assert(out(("a", 6L)) == ((Some(z), true)))
+    // zero-variance history: integer-decided null, never a div-by-zero
+    assert(out(("b", 6L)) == ((None, false)))
+  }
+
   test("cooccurrence: support/lift over capped distinct baskets") {
     // b1={x,y,z}, b2={x,y}, b3={x,y} (x duplicated — collapses),
     // b4={x} (size-1, dropped), b5 = 11 items (over cap, dropped);
