@@ -916,6 +916,21 @@ object SparkEntry {
       graft.operators.Analytics.cooccurrence(
         t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))),
 
+    // Welch two-sample t per event type, arms split on user parity —
+    // exact (n, S, Q) sums, one IEEE op shape for mean/variance/t.
+    "q_abtest" -> ((s, d) =>
+      graft.operators.Analytics.abTest(
+        t(s, d, "events"), Seq(col("event_type")),
+        col("user_id") % 2, round(col("value") * 100).cast("long"),
+        armA = "0", armB = "1")),
+
+    // First-order Markov transition matrix of per-user event-type
+    // sequences: exact pair counts, IEEE row-normalized probabilities.
+    "q_transitions" -> ((s, d) =>
+      graft.operators.Analytics.transitionMatrix(
+        t(s, d, "events"), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"))),
+
     // Trailing-window z-score anomaly flags on the event stream: each
     // value vs its user's 20 preceding events (cents-exact sums,
     // closed-form IEEE z, integer-decided degenerate windows).
@@ -2361,6 +2376,45 @@ object SparkEntry {
         |    / CAST(ca.ci * cb.ci AS DOUBLE) AS lift
         |FROM pairs JOIN cnt ca ON pairs.item_a = ca.i
         |           JOIN cnt cb ON pairs.item_b = cb.i CROSS JOIN nb""".stripMargin,
+
+    // Mirrors abTest op-for-op: HUGEINT sums pinned back to BIGINT,
+    // identical cast/divide/sqrt shapes, integer zero-variance guard.
+    "q_abtest" ->
+      """WITH e AS (SELECT event_type, CAST(user_id % 2 AS VARCHAR) AS arm,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT event_type, arm, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+        |  FROM e GROUP BY 1, 2),
+        |j AS (SELECT aa.event_type, aa.n AS n_a, aa.s AS s_a, aa.q AS q_a,
+        |             bb.n AS n_b, bb.s AS s_b, bb.q AS q_b
+        |  FROM a aa JOIN a bb ON aa.event_type = bb.event_type
+        |  WHERE aa.arm = '0' AND bb.arm = '1')
+        |SELECT event_type, n_a, n_b,
+        |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2
+        |      AND NOT (n_a * q_a = s_a * s_a AND n_b * q_b = s_b * s_b) THEN
+        |    (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |            / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+        |         + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |            / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE))
+        |  END AS t
+        |FROM j""".stripMargin,
+
+    // Mirrors transitionMatrix: lead pairs, exact counts, one IEEE
+    // division for the row-normalized probability.
+    "q_transitions" ->
+      """WITH p AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM p
+        |  WHERE from_state IS NOT NULL AND to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        |FROM c JOIN t USING (from_state)""".stripMargin,
 
     // Mirrors rollingZscore: cents-exact trailing sums, one IEEE op
     // shape for z, integer zero-variance/min-periods guards.

@@ -350,6 +350,91 @@ object Analytics {
       .limit(k)
   }
 
+  /** Welch's two-sample t statistic per group — the A/B-test readout
+    * (unequal variances, unequal sizes: the form real experiment
+    * platforms use). One aggregation pass computes per-(group, arm)
+    * exact bigint sums (n, Σx, Σx²) — the value column must be INTEGER
+    * (pre-scale to cents, same contract as [[rollingZscore]]); the
+    * statistic is then a fixed IEEE op shape over those sums:
+    *
+    * {{{ t = (S_a/n_a − S_b/n_b) / sqrt(v_a/n_a + v_b/n_b) }}}
+    *
+    * with v = (Q − S·S/n)/(n−1). Bigint→double casts are correctly
+    * rounded on every engine, and every subsequent double op has one
+    * shape, so the result is cross-engine bit-exact even where the
+    * intermediate products are not exactly representable. Degenerate
+    * groups (either arm with n < 2, or both variances zero) yield a
+    * null t, decided before any division.
+    *
+    * Scale shape: one hash-aggregate on (group, arm) — map-side
+    * partials collapse the stream, reduce state is 2 rows per group —
+    * then a self-join of the two tiny arm slices on the group key
+    * (AQE broadcasts). Rows whose arm is neither `armA` nor `armB`
+    * are ignored. Output: group cols, `n_a, n_b, mean_a, mean_b, t`.
+    */
+  def abTest(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      armCol: Column,
+      valueCol: Column,
+      armA: String,
+      armB: String): DataFrame = {
+    require(armA != armB, s"abTest: arms must differ, got '$armA' twice")
+    val x = valueCol.cast("long")
+    val agg = df
+      .where(armCol.cast("string").isin(armA, armB) && x.isNotNull)
+      .groupBy((groupCols :+ armCol.cast("string").as("_arm")): _*)
+      .agg(count(lit(1)).as("_n"), sum(x).as("_s"), sum(x * x).as("_q"))
+    val names = agg.columns.dropRight(4).toSeq // the group columns as named
+    def arm(tag: String, a: String) = agg.where(col("_arm") === a)
+      .select((names.map(col) :+ col("_n").as(s"n_$tag") :+
+        col("_s").as(s"_s_$tag") :+ col("_q").as(s"_q_$tag")): _*)
+    def mean(tag: String) =
+      col(s"_s_$tag").cast("double") / col(s"n_$tag").cast("double")
+    def variance(tag: String) =
+      (col(s"_q_$tag").cast("double") -
+        col(s"_s_$tag").cast("double") * col(s"_s_$tag").cast("double") /
+          col(s"n_$tag").cast("double")) /
+        (col(s"n_$tag") - 1).cast("double")
+    def se(tag: String) = variance(tag) / col(s"n_$tag").cast("double")
+    // zero variance is an integer fact: n·Q == S·S
+    def zeroVar(tag: String) =
+      col(s"n_$tag") * col(s"_q_$tag") === col(s"_s_$tag") * col(s"_s_$tag")
+    arm("a", armA).join(arm("b", armB), names)
+      .select((names.map(col) :+ col("n_a") :+ col("n_b") :+
+        mean("a").as("mean_a") :+ mean("b").as("mean_b") :+
+        when(col("n_a") >= 2 && col("n_b") >= 2 && !(zeroVar("a") && zeroVar("b")),
+          (mean("a") - mean("b")) / sqrt(se("a") + se("b"))).as("t")): _*)
+  }
+
+  /** First-order Markov transition matrix over an event stream: for
+    * every observed (from, to) consecutive state pair within a key,
+    * its count and row-normalized probability — the session-modeling /
+    * next-event-prediction primitive, the edge-weight companion of
+    * [[topPaths]].
+    *
+    * One window shuffle on the key builds the lag pairs (`lead` over
+    * the per-key order — which must be total, add a tiebreak), one
+    * hash-aggregate counts them; the per-from totals join is a
+    * broadcast of |states|² at most. p = n / total as one IEEE
+    * division of exact counts. Output: `from_state, to_state, n, p`.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      keyCol: Column,
+      orderBy: Seq[Column],
+      stateCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderBy: _*)
+    val pairs = df
+      .select(stateCol.as("from_state"), lead(stateCol, 1).over(w).as("to_state"))
+      .where(col("from_state").isNotNull && col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state")).agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_state")).agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("p"))
+  }
+
   /** Trailing-window z-score anomaly detection: for each row, how many
     * sample standard deviations its value sits from the mean of the
     * PRECEDING `window` rows of its key (the current row is excluded —

@@ -206,6 +206,43 @@ class AnalyticsSpec extends SparkSpec {
       .agg(sum(col("cnt"))).head().getLong(0) == 5L)
   }
 
+  test("abTest: hand-checked Welch t, degenerate arms yield null") {
+    // g1: A=[10,12,14] B=[20,22] -> meanA=12, meanB=21, vA=4, vB=2
+    // g2: arm B has n=1 -> null t; g3: both arms constant -> null t
+    val rows = Seq(
+      ("g1", 0L, 10L), ("g1", 0L, 12L), ("g1", 0L, 14L), ("g1", 1L, 20L), ("g1", 1L, 22L),
+      ("g2", 0L, 5L), ("g2", 0L, 6L), ("g2", 1L, 9L),
+      ("g3", 0L, 7L), ("g3", 0L, 7L), ("g3", 1L, 4L), ("g3", 1L, 4L))
+    val df = rows.toDF("g", "arm", "v")
+    val out = Analytics.abTest(df, Seq(col("g")), col("arm"), col("v"), "0", "1")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      .toMap
+    val t = (12.0 - 21.0) / math.sqrt(4.0 / 3.0 + 2.0 / 2.0)
+    assert(out("g1") == ((3L, 2L, 12.0, 21.0, Some(t))))
+    assert(out("g2")._5.isEmpty)     // n_b < 2
+    assert(out("g3")._5.isEmpty)     // both variances zero
+    // one constant arm is fine: se still positive
+    val one = Analytics.abTest(
+      Seq(("g", 0L, 7L), ("g", 0L, 7L), ("g", 1L, 3L), ("g", 1L, 5L)).toDF("g", "arm", "v"),
+      Seq(col("g")), col("arm"), col("v"), "0", "1").head()
+    assert(!one.isNullAt(5) && one.getDouble(5) == (7.0 - 4.0) / math.sqrt(0.0 + 2.0 / 2.0))
+  }
+
+  test("transitionMatrix: counts and row-normalized probabilities") {
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "c"))
+    val out = Analytics.transitionMatrix(rows.toDF("u", "i", "e"),
+        col("u"), Seq(col("i")), col("e"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 2.0 / 3.0)),
+      ("a", "c") -> ((1L, 1.0 / 3.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("rollingZscore: hand-checked trailing z, integer degenerate guards") {
     // key a: 5 warmup rows then a spike; key b: zero-variance history
     val rows = Seq(
