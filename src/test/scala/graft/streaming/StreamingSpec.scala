@@ -660,4 +660,52 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("neardup_wordless_out").select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 4L, 5L))
   }
+
+  test("streaming z-score matches the batch operator bit-exactly on an in-order feed") {
+    import graft.streaming.StreamZscore
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 40).map(i => ("a", i.toLong, (rnd.nextInt(20) + 5).toLong)) ++
+      (1 to 25).map(i => ("b", i.toLong, (rnd.nextInt(90) + 10).toLong))
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamZscore(in.toDS(), window = 8, minPeriods = 4, threshold = 1.5)
+      .writeStream.format("memory").queryName("zs_out").outputMode("append").start()
+    val (batch1, batch2) = data.partition(_._2 <= 20) // split mid-history per key
+    in.addData(batch1); q.processAllAvailable()
+    in.addData(batch2); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("zs_out")
+      .select("key", "seq", "z", "isAnomaly")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getBoolean(3))).toMap
+    val batch = graft.operators.Analytics.rollingZscore(
+        data.toDF("key", "seq", "v"), Seq(col("key")), Seq(col("seq")), col("v"),
+        window = 8, minPeriods = 4, threshold = 1.5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3))), r.getBoolean(4))).toMap
+    assert(streamed.size == data.size && batch.size == data.size)
+    // bit-exact agreement, doubles compared with ==
+    data.foreach { case (k, i, _) => assert(streamed((k, i)) == batch((k, i)), s"($k, $i)") }
+    assert(streamed.values.exists(_._2), "fixture should contain at least one anomaly")
+  }
+
+  test("streaming z-score drops late/duplicate seqs and flags them, state stays bounded") {
+    import graft.streaming.StreamZscore
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamZscore(in.toDS(), window = 3, minPeriods = 2, threshold = 9.0)
+      .writeStream.format("memory").queryName("zs_late").outputMode("append").start()
+    in.addData(Seq(("k", 1L, 10L), ("k", 2L, 12L), ("k", 3L, 11L), ("k", 4L, 13L)))
+    q.processAllAvailable()
+    in.addData(Seq(("k", 3L, 99L), ("k", 5L, 12L))) // 3 replays: late, must not re-anchor
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("zs_late").as[StreamZscore.ZRow].collect()
+    val late = rows.filter(_.late)
+    assert(late.map(r => (r.seq, r.x)).toSeq == Seq((3L, 99L)) && late.forall(_.z.isEmpty))
+    // seq 5 sees window {11, 12, 13} (seq 2..4) — the replayed 99 never entered
+    val r5 = rows.find(r => r.seq == 5L && !r.late).get
+    assert(r5.n == 3L && r5.x == 12L)
+    val z5 = (3.0 * 12 - 36) / math.sqrt((3.0 * 434 - 36.0 * 36) * 3.0 / 2.0)
+    assert(r5.z.contains(z5))
+  }
 }
