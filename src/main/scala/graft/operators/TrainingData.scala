@@ -684,6 +684,8 @@ object TrainingData {
     require(scale > 0, s"dsirWeights: scale must be > 0, got $scale")
     require(ngrams.nonEmpty && ngrams.forall(_ >= 1),
       s"dsirWeights: ngrams must be non-empty positive, got $ngrams")
+    require(ngrams.distinct.size == ngrams.size,
+      s"dsirWeights: duplicate n in $ngrams would double-count its features")
     // first 8 md5 hex chars as a number mod buckets — the same
     // cross-engine hash family as hashSample / the CMS kernels
     def bucket(c: Column): Column =

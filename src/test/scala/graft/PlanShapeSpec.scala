@@ -215,6 +215,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchangeLines.nonEmpty && exchangeLines.forall(!_.contains("text#")))
   }
 
+  test("rollingZscore fuses all trailing aggregates into one Window node") {
+    val df = (1 to 100).map(i => ("k", i.toLong, (i % 7).toLong)).toDF("k", "i", "v")
+    val out = graft.operators.Analytics.rollingZscore(
+      df, Seq(col("k")), Seq(col("i")), col("v"), window = 10)
+    val p = finalPlan(out)
+    // n, S, Q share one frame: exactly one Window node, one exchange
+    assert(p.linesIterator.count(_.matches(""".*(\+-|:-) (\*\(\d+\) )?Window .*""")) == 1)
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1)
+  }
+
   test("cooccurrence pair join shuffles narrow basket-item rows, no cartesian") {
     val rows = (1 to 200).flatMap(b => (0 until 4).map(i => (b.toLong, s"it${(b + i) % 20}")))
     val out = graft.operators.Analytics.cooccurrence(
