@@ -916,6 +916,13 @@ object SparkEntry {
       graft.operators.Analytics.cooccurrence(
         t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))),
 
+    // Per-language percentile rank of document length — scale-free
+    // cross-domain score calibration; null order pinned explicitly.
+    "q_prank" -> ((s, d) =>
+      graft.operators.Analytics.percentileRank(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq(col("lang")), col("n_chars").asc_nulls_first)),
+
     // Welch two-sample t per event type, arms split on user parity —
     // exact (n, S, Q) sums, one IEEE op shape for mean/variance/t.
     "q_abtest" -> ((s, d) =>
@@ -2376,6 +2383,15 @@ object SparkEntry {
         |    / CAST(ca.ci * cb.ci AS DOUBLE) AS lift
         |FROM pairs JOIN cnt ca ON pairs.item_a = ca.i
         |           JOIN cnt cb ON pairs.item_b = cb.i CROSS JOIN nb""".stripMargin,
+
+    // Mirrors percentileRank: same window, NULLS FIRST pinned (Spark
+    // asc default vs DuckDB's NULLS LAST).
+    "q_prank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  cume_dist() OVER w AS pct_rank,
+        |  percent_rank() OVER w AS pct_rank_excl
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars ASC NULLS FIRST)""".stripMargin,
 
     // Mirrors abTest op-for-op: HUGEINT sums pinned back to BIGINT,
     // identical cast/divide/sqrt shapes, integer zero-variance guard.

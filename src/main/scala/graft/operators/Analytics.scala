@@ -350,6 +350,30 @@ object Analytics {
       .limit(k)
   }
 
+  /** Per-group percentile rank (cume_dist): each row's value as a
+    * fraction of its group at-or-below it — the scale-free way to
+    * compare a quality score ACROSS groups with different score
+    * distributions (a 0.9-percentile doc is top-decile in its own
+    * language/domain whatever the raw scale there). `percent_rank`
+    * (rank−1)/(n−1) is emitted alongside; both are pure count ratios —
+    * one IEEE division of exact integers, so cross-engine bit-exact,
+    * and ties share a value by definition (no tiebreak needed for
+    * determinism, peers are peers).
+    *
+    * Scale shape: one window shuffle on the group key; no joins, no
+    * second pass. For a GLOBAL percentile over 100 TB (single
+    * partition trap) switch to the [[graft.operators.Relational
+    * .quantileBins]] broadcast shape instead.
+    */
+  def percentileRank(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*).orderBy(valueCol)
+    df.withColumn("pct_rank", cume_dist().over(w))
+      .withColumn("pct_rank_excl", percent_rank().over(w))
+  }
+
   /** Welch's two-sample t statistic per group — the A/B-test readout
     * (unequal variances, unequal sizes: the form real experiment
     * platforms use). One aggregation pass computes per-(group, arm)

@@ -206,6 +206,19 @@ class AnalyticsSpec extends SparkSpec {
       .agg(sum(col("cnt"))).head().getLong(0) == 5L)
   }
 
+  test("percentileRank: exact count ratios, ties are peers") {
+    val df = Seq(("g", 10L), ("g", 20L), ("g", 20L), ("g", 40L), ("h", 5L))
+      .toDF("g", "v")
+    val out = Analytics.percentileRank(df, Seq(col("g")), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      ("g", 10L, 1.0 / 4.0, 0.0),
+      ("g", 20L, 3.0 / 4.0, 1.0 / 3.0), // both ties: cume over peers, rank-based excl
+      ("g", 40L, 1.0, 1.0),
+      ("h", 5L, 1.0, 0.0)))             // singleton group: percent_rank defined 0
+  }
+
   test("abTest: hand-checked Welch t, degenerate arms yield null") {
     // g1: A=[10,12,14] B=[20,22] -> meanA=12, meanB=21, vA=4, vB=2
     // g2: arm B has n=1 -> null t; g3: both arms constant -> null t
