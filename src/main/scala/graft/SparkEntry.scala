@@ -916,6 +916,23 @@ object SparkEntry {
       graft.operators.Analytics.cooccurrence(
         t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))),
 
+    // Reciprocal-rank fusion of two per-language rankings — a length
+    // prior over ALL docs fused with a deterministic md5 exploration
+    // ranking over a 2/3 candidate subset (non-overlap is RRF's
+    // raison d'etre; misses contribute 0).
+    "q_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w1 = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val w2 = Window.partitionBy(col("lang"))
+        .orderBy(TrainingData.keyHash(col("doc_id"), "graft"), col("doc_id"))
+      graft.operators.Ranking.rrfFuse(Seq(
+        docs.select(col("doc_id"), row_number().over(w1).as("rank")),
+        docs.where(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), row_number().over(w2).as("rank"))),
+        "doc_id")
+    }),
+
     // Per-language percentile rank of document length — scale-free
     // cross-domain score calibration; null order pinned explicitly.
     "q_prank" -> ((s, d) =>
@@ -2383,6 +2400,23 @@ object SparkEntry {
         |    / CAST(ca.ci * cb.ci AS DOUBLE) AS lift
         |FROM pairs JOIN cnt ca ON pairs.item_a = ca.i
         |           JOIN cnt cb ON pairs.item_b = cb.i CROSS JOIN nb""".stripMargin,
+
+    // Mirrors rrfFuse: full-outer join of the two rank lists, fixed
+    // left-to-right coalesce(1/(60+r), 0) chain, one IEEE division
+    // per term over exact integer ranks.
+    "q_rrf" ->
+      """WITH r1 AS (SELECT doc_id, row_number() OVER
+        |    (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r FROM documents),
+        |r2 AS (SELECT doc_id, row_number() OVER
+        |    (PARTITION BY lang ORDER BY substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |     doc_id) AS r
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+        |  (CASE WHEN r1.r IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN r2.r IS NULL THEN 0 ELSE 1 END) AS n_rankers,
+        |  (COALESCE(CAST(1 AS DOUBLE) / CAST(60 + r1.r AS DOUBLE), 0)
+        |    + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + r2.r AS DOUBLE), 0)) AS rrf
+        |FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id""".stripMargin,
 
     // Mirrors percentileRank: same window, NULLS FIRST pinned (Spark
     // asc default vs DuckDB's NULLS LAST).

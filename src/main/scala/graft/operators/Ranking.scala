@@ -77,4 +77,41 @@ object Ranking {
       .orderBy(col("freq").desc, col("gram"))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) —
+    * the standard hybrid-retrieval combiner: merge N independent
+    * rankings of the same id space (lexical BM25, embedding cosine, a
+    * recency prior, ...) into one list by
+    *
+    * {{{ rrf(id) = Σ_i 1/(k + rank_i(id)) }}}
+    *
+    * summing only over rankers that scored the id (a miss contributes
+    * 0 — RRF's robustness to non-overlapping candidate sets is the
+    * point). Each input frame carries `(idCol, "rank")`. The sum is a
+    * FIXED left-to-right chain of `coalesce(1/(k+r), 0)` terms over
+    * exact integer ranks, one IEEE division each — cross-engine
+    * bit-exact because the ranker count (not the data) fixes the
+    * operation order.
+    *
+    * Scale shape: a chain of full-outer equi-joins on the id — ranking
+    * frames are top-k lists (bounded, broadcastable) in retrieval use,
+    * or per-group ranks (window-partitioned, never a single-partition
+    * global sort) in calibration use; nothing here shuffles more than
+    * the rankings themselves. Output: `idCol, n_rankers, rrf`.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int = 60): DataFrame = {
+    require(rankings.size >= 2, s"rrfFuse: need >= 2 rankings, got ${rankings.size}")
+    require(k >= 1, s"rrfFuse: k must be >= 1, got $k")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").cast("long").as(s"_r$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val terms = rankings.indices.map(i =>
+      coalesce(lit(1.0) / (lit(k.toLong) + col(s"_r$i")).cast("double"), lit(0.0)))
+    val present = rankings.indices.map(i =>
+      when(col(s"_r$i").isNotNull, 1).otherwise(0))
+    joined.select(col(idCol),
+      present.reduce(_ + _).as("n_rankers"),
+      terms.reduce(_ + _).as("rrf"))
+  }
 }

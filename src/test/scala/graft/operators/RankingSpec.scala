@@ -47,4 +47,22 @@ class RankingSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(uni == Seq(("a", 3L), ("b", 3L))) // a/b tie broken by gram
   }
+
+  test("rrfFuse: hand-checked fusion, misses contribute zero") {
+    val a = Seq(("x", 1L), ("y", 2L)).toDF("id", "rank")
+    val b = Seq(("y", 1L), ("z", 2L)).toDF("id", "rank")
+    val out = Ranking.rrfFuse(Seq(a, b), "id")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      "x" -> ((1, 1.0 / 61.0 + 0.0)),
+      "y" -> ((2, 1.0 / 62.0 + 1.0 / 61.0)),
+      "z" -> ((1, 0.0 + 1.0 / 62.0))))
+    // consensus id outranks every single-list id at these depths
+    assert(out("y")._2 > out("x")._2 && out("x")._2 > out("z")._2)
+    // three-ranker fusion keeps the fixed term order
+    val c = Seq(("x", 1L)).toDF("id", "rank")
+    val three = Ranking.rrfFuse(Seq(a, b, c), "id")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(three("x") == 1.0 / 61.0 + 0.0 + 1.0 / 61.0)
+  }
 }
