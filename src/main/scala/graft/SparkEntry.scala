@@ -90,6 +90,37 @@ object SparkEntry {
   private val NormalizedText =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** Mirrors Graph.kCore over the q_cooccur edge set with `rounds`
+    * UNROLLED peels (peeling is idempotent past its fixpoint, so any
+    * rounds >= the SF's convergence depth — 3 at sf0.01 for k=2 —
+    * yields the true core; the operator early-exits at the fixpoint).
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: un-materialized CTEs inline, and
+    // each peel references its predecessor ~4 times — 5 rounds would
+    // expand to 4^5 scans of lineitem (observed as a DuckDB
+    // too-many-open-files blowup)
+    val base =
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT b FROM items GROUP BY b HAVING count(*) BETWEEN 2 AND 1024),
+        |kept AS (SELECT items.b, items.i FROM items JOIN sz USING (b)),
+        |e0 AS MATERIALIZED (SELECT a.i AS u, b.i AS v FROM kept a JOIN kept b
+        |       ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s""",
+         |k$r AS MATERIALIZED (SELECT n FROM
+         |  (SELECT u AS n FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+         |  GROUP BY n HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT n FROM k$r) AND v IN (SELECT n FROM k$r))""".stripMargin
+    }.mkString
+    base + peels +
+      s"""
+         |SELECT node, count(*) AS degree FROM
+         |  (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY node""".stripMargin
+  }
+
   /** q_corr_matrix oracle, generated so the 6 pair blocks carry
     * EXACTLY the Spark-side arithmetic shapes (bit-exact parity needs
     * identical IEEE op order, not just the same formula).
@@ -965,6 +996,16 @@ object SparkEntry {
         round(col("value") * 100).cast("long"),
         window = 20, minPeriods = 5, threshold = 2.0)
         .select(col("event_id"), col("z"), col("is_anomaly"))),
+
+    // 2-core of the co-purchase graph: peel pendant tendrils to the
+    // subgraph where every part keeps >= 2 co-purchase partners
+    // (fixpoint inside 5 rounds at this SF — the oracle unrolls 5,
+    // idempotent past convergence).
+    "q_kcore" -> ((s, dd) => {
+      val pairs = graft.operators.Analytics.cooccurrence(
+        t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.kCore(pairs, col("item_a"), col("item_b"), k = 2)
+    }),
 
     // Triangle census of the co-purchase graph (edges = q_cooccur
     // pairs): per-node triangle counts + clustering coefficient via
@@ -2482,6 +2523,8 @@ object SparkEntry {
         |        * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
         |    END AS z
         |  FROM w)""".stripMargin,
+
+    "q_kcore" -> kCoreOracle(2, 5),
 
     // Mirrors triangleCounts over the q_cooccur edge set: (deg, id)
     // orientation, wedge join + closure semi-check, per-node explode.

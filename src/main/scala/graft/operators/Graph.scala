@@ -240,6 +240,57 @@ object Graph {
     * triangle, where clustering = 2·n_tri / (degree·(degree−1)) as one
     * IEEE division of exact bigints (cross-engine exact).
     */
+  /** k-core of an undirected graph: the maximal subgraph where every
+    * node keeps degree >= k, found by iterated peeling (remove
+    * under-degree nodes, recompute, repeat to fixpoint). Coreness
+    * separates densely-embedded pages from pendant spam tendrils the
+    * same way triangle closure does, one notch more global — the
+    * third lens of the [[pageRank]] / [[triangleCounts]] quality
+    * family.
+    *
+    * Runs peel rounds until the edge set stops shrinking or
+    * `maxRounds` is hit (each round is one degree aggregate + two
+    * semi-joins on node keys over the checkpointed edge frame — the
+    * [[hopDistance]] superstep discipline: one materializing action
+    * per round, lineage truncated, AQE sees real sizes). Peeling is
+    * monotone, so the fixpoint IS the k-core regardless of round
+    * order; a `maxRounds` exit returns the (deterministic)
+    * partially-peeled bound instead — callers wanting certainty check
+    * `degree >= k` holds on the output. Output: `node, degree` over
+    * the surviving subgraph.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      k: Int,
+      maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kCore: maxRounds must be >= 1, got $maxRounds")
+    var e = edges
+      .select(least(srcCol, dstCol).as("_u"), greatest(srcCol, dstCol).as("_v"))
+      .where(col("_u") < col("_v"))
+      .distinct()
+      .localCheckpoint(true)
+    var n = e.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged && n > 0) {
+      val deg = e.select(col("_u").as("_n")).unionAll(e.select(col("_v").as("_n")))
+        .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+      val keep = deg.where(col("_d") >= k).select(col("_n"))
+      val next = e
+        .join(keep, col("_u") === col("_n"), "left_semi")
+        .join(keep, col("_v") === col("_n"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = next.count()
+      converged = n2 == n
+      e = next; n = n2; round += 1
+    }
+    e.select(col("_u").as("node")).unionAll(e.select(col("_v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
     // least/greatest skip nulls: a null endpoint collapses to u==v and
     // the strict < drops it, like a self-loop

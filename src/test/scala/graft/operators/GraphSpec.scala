@@ -106,6 +106,22 @@ class GraphSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("kCore: peels pendant chains to the true core, handles total collapse") {
+    // triangle {1,2,3} + chain 3-4-5: the 2-core is exactly the
+    // triangle (4,5 peel off in two rounds — a one-round peel would
+    // wrongly keep node 4, degree 2 before 5 vanishes)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val core = Graph.kCore(edges, col("s"), col("d"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the densest subgraph: everything peels away, empty result
+    assert(Graph.kCore(edges, col("s"), col("d"), k = 3).count() == 0L)
+    // maxRounds bound: one round keeps the partially-peeled superset
+    val partial = Graph.kCore(edges, col("s"), col("d"), k = 2, maxRounds = 1)
+      .select("node").as[Long].collect().toSet
+    assert(partial == Set(1L, 2L, 3L, 4L))
+  }
+
   test("triangleCounts: hand-checked census, dirty edge list tolerated") {
     // triangle {1,2,3}, pendant 3-4, square 4-5-6-7 (no closure),
     // plus a self-loop, a duplicate, and a reversed duplicate
