@@ -225,6 +225,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange")) == 1)
   }
 
+  test("abTest arm slices join broadcast, never sort-merge") {
+    val rows = (1 to 400).map(i => (s"g${i % 3}", i % 2, (i % 17).toLong))
+    val out = graft.operators.Analytics.abTest(
+      rows.toDF("g", "arm", "v"), Seq(col("g")), col("arm"), col("v"), "0", "1")
+    val p = finalPlan(out)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"))
+  }
+
+  test("transitionMatrix: one window, totals arrive broadcast") {
+    val rows = (1 to 300).map(i => (i % 20L, i.toLong, s"e${i % 5}"))
+    val out = graft.operators.Analytics.transitionMatrix(
+      rows.toDF("u", "i", "e"), col("u"), Seq(col("i")), col("e"))
+    val p = finalPlan(out)
+    assert(p.linesIterator.count(_.matches(""".*(\+-|:-) (\*\(\d+\) )?Window .*""")) == 1)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
   test("cooccurrence pair join shuffles narrow basket-item rows, no cartesian") {
     val rows = (1 to 200).flatMap(b => (0 until 4).map(i => (b.toLong, s"it${(b + i) % 20}")))
     val out = graft.operators.Analytics.cooccurrence(

@@ -122,6 +122,24 @@ class GraphSpec extends SparkSpec {
     assert(partial == Set(1L, 2L, 3L, 4L))
   }
 
+  test("kCore laws on a random graph: min-degree holds, result is a fixpoint") {
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 600)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("s", "d")
+    val core = Graph.kCore(edges, col("s"), col("d"), k = 4)
+    val degs = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(degs.nonEmpty && degs.values.forall(_ >= 4L)) // min-degree invariant
+    // fixpoint: peeling the core's own edge set again changes nothing
+    val coreEdges = edges
+      .join(core.select(col("node").as("s")), Seq("s"), "left_semi")
+      .join(core.select(col("node").as("d")), Seq("d"), "left_semi")
+    val again = Graph.kCore(coreEdges, col("s"), col("d"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == degs)
+  }
+
   test("triangleCounts: hand-checked census, dirty edge list tolerated") {
     // triangle {1,2,3}, pendant 3-4, square 4-5-6-7 (no closure),
     // plus a self-loop, a duplicate, and a reversed duplicate
