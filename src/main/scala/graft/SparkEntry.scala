@@ -947,6 +947,18 @@ object SparkEntry {
       graft.operators.Analytics.cooccurrence(
         t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))),
 
+    // Distribution drift: chi-square of the odd-event value-histogram
+    // against the even-event baseline per event type — denominators
+    // cleared, so the statistic is an exact integer sum.
+    "q_drift" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT) div 500").as("bin"))
+      graft.operators.Quality.chiSquareDrift(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 =!= 0),
+        Seq("event_type"), col("bin"))
+    }),
+
     // Reciprocal-rank fusion of two per-language rankings — a length
     // prior over ALL docs fused with a deterministic md5 exploration
     // ranking over a 2/3 candidate subset (non-overlap is RRF's
@@ -2441,6 +2453,31 @@ object SparkEntry {
         |    / CAST(ca.ci * cb.ci AS DOUBLE) AS lift
         |FROM pairs JOIN cnt ca ON pairs.item_a = ca.i
         |           JOIN cnt cb ON pairs.item_b = cb.i CROSS JOIN nb""".stripMargin,
+
+    // Mirrors chiSquareDrift: add-one smoothing over the union bin
+    // set, HUGEINT cleared-denominator terms, exact integer sum.
+    "q_drift" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) // 500 AS bin FROM events),
+        |a AS (SELECT event_type, bin, count(*) AS a FROM ev
+        |      WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |b AS (SELECT event_type, bin, count(*) AS b FROM ev
+        |      WHERE event_id % 2 <> 0 GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+        |             COALESCE(a.bin, b.bin) AS bin,
+        |             COALESCE(a.a, 0) + 1 AS a1, COALESCE(b.b, 0) + 1 AS o1
+        |      FROM a FULL OUTER JOIN b ON a.event_type = b.event_type AND a.bin = b.bin),
+        |tot AS (SELECT event_type, CAST(sum(a1) AS BIGINT) AS ta,
+        |        CAST(sum(o1) AS BIGINT) AS tb, count(*) AS n_bins FROM j GROUP BY 1),
+        |terms AS (SELECT j.event_type, tot.n_bins,
+        |    (o1 * tot.ta - a1 * tot.tb)::HUGEINT AS d,
+        |    (a1 * tot.tb * tot.ta)::HUGEINT AS den
+        |  FROM j JOIN tot ON j.event_type = tot.event_type)
+        |SELECT event_type, n_bins,
+        |  CAST(SUM(d * d * 1000000 // den) AS BIGINT) AS chi2_scaled,
+        |  CAST(CAST(SUM(d * d * 1000000 // den) AS BIGINT) AS DOUBLE)
+        |    / CAST(1000000 AS DOUBLE) AS chi2
+        |FROM terms GROUP BY 1, 2""".stripMargin,
 
     // Mirrors rrfFuse: full-outer join of the two rank lists, fixed
     // left-to-right coalesce(1/(60+r), 0) chain, one IEEE division

@@ -207,4 +207,68 @@ object Quality {
     val aggs = checks.map(ch => ch.violations.cast("long").as(ch.name))
     df.observe(name, aggs.head, aggs.tail: _*)
   }
+
+  /** Distribution-drift monitor: per-group chi-square statistic of a
+    * `current` snapshot's binned distribution against a `base`
+    * snapshot's — the day-over-day alarm a corpus pipeline runs on its
+    * quality-score / length / language histograms before shipping a
+    * new crawl into training (PSI needs ln, which is not bit-stable
+    * across engines; Pearson's chi-square carries the same signal on
+    * exact arithmetic).
+    *
+    * Both inputs arrive pre-binned (`groupCols`, `binCol` — bucket
+    * with [[graft.operators.Analytics.histogram]]'s cents/ticks
+    * discipline upstream). Counts are add-one smoothed over the union
+    * bin set (so a bin present on only one side contributes finitely),
+    * and each bin's term is computed WITHOUT floats by clearing
+    * denominators:
+    *
+    * {{{ (o'·A' − a'·B')² · scale  div  (a'·B'·A')   summed per group }}}
+    *
+    * where a'/o' are smoothed base/current bin counts and A'/B' the
+    * smoothed totals — bigint/decimal multiply and one truncating
+    * divide per bin, so the per-group SUM is an exact integer and the
+    * statistic is cross-engine bit-exact (a float chi-square would sum
+    * per-bin doubles in shuffle order). Precision bound: the squared
+    * term times `scale` must fit DECIMAL(38) — fine through ~10^10-row
+    * snapshot×total products at the default scale=10^6.
+    *
+    * Scale shape: two (group, bin) hash-aggregates (map-side partials),
+    * a full-outer bin join inside each group key, broadcast per-group
+    * totals, one final group aggregate. Output: group cols, `n_bins,
+    * chi2_scaled, chi2` (chi2 = chi2_scaled/scale as one IEEE
+    * division; compare against the chi-square critical value for
+    * n_bins−1 degrees of freedom).
+    */
+  def chiSquareDrift(
+      base: DataFrame,
+      current: DataFrame,
+      groupCols: Seq[String],
+      binCol: Column,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"chiSquareDrift: scale must be > 0, got $scale")
+    def binned(df: DataFrame, cnt: String) = df
+      .groupBy((groupCols.map(col) :+ binCol.as("_bin")): _*)
+      .agg(count(lit(1)).as(cnt))
+    val a = binned(base, "_a")
+    val b = binned(current, "_b")
+    val joined = a.join(b, groupCols :+ "_bin", "full_outer")
+      .select((groupCols.map(col) :+ col("_bin") :+
+        (coalesce(col("_a"), lit(0L)) + 1).as("_a1") :+
+        (coalesce(col("_b"), lit(0L)) + 1).as("_o1")): _*)
+    val totals = joined.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_a1")).as("_A"), sum(col("_o1")).as("_B"),
+        count(lit(1)).as("n_bins"))
+    joined.join(broadcast(totals), groupCols)
+      .select((groupCols.map(col) :+ col("n_bins") :+
+        (col("_o1") * col("_A") - col("_a1") * col("_B"))
+          .cast("decimal(19,0)").as("_d") :+
+        (col("_a1") * col("_B") * col("_A")).cast("decimal(19,0)").as("_den")): _*)
+      .select((groupCols.map(col) :+ col("n_bins") :+
+        expr(s"CAST(_d * _d * $scale AS DECIMAL(38,0)) div _den").as("_t")): _*)
+      .groupBy((groupCols.map(col) :+ col("n_bins")): _*)
+      .agg(sum(col("_t")).as("chi2_scaled"))
+      .select((groupCols.map(col) :+ col("n_bins") :+ col("chi2_scaled") :+
+        (col("chi2_scaled").cast("double") / lit(scale).cast("double")).as("chi2")): _*)
+  }
 }

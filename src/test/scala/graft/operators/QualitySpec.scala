@@ -100,4 +100,21 @@ class QualitySpec extends SparkSpec {
       asOf = 7L, closeMissing = false).collect()
     assert(open.length == 1 && open.head.isNullAt(3)) // left open
   }
+
+  test("chiSquareDrift: hand-checked cleared-denominator statistic") {
+    // base g: bins {0:3, 1:1}; current g: {0:1, 1:3} — smoothed
+    // a1={4,2} o1={2,4}, A=B=6; terms: 144e6/144 + 144e6/72 = 3e6
+    val base = Seq(("g", 0L), ("g", 0L), ("g", 0L), ("g", 1L)).toDF("g", "bin")
+    val cur = Seq(("g", 0L), ("g", 1L), ("g", 1L), ("g", 1L)).toDF("g", "bin")
+    val r = Quality.chiSquareDrift(base, cur, Seq("g"), col("bin")).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      (("g", 2L, 3000000L, 3.0)))
+    // identical distributions: zero drift exactly
+    val same = Quality.chiSquareDrift(base, base, Seq("g"), col("bin")).head()
+    assert(same.getLong(2) == 0L && same.getDouble(3) == 0.0)
+    // disjoint bin sets still finite (smoothing), one-sided bins count
+    val shifted = Quality.chiSquareDrift(
+      base, Seq(("g", 9L), ("g", 9L)).toDF("g", "bin"), Seq("g"), col("bin")).head()
+    assert(shifted.getLong(1) == 3L && shifted.getLong(2) > 0L)
+  }
 }
