@@ -949,7 +949,10 @@ object SparkEntry {
 
     // Distribution drift: chi-square of the odd-event value-histogram
     // against the even-event baseline per event type — denominators
-    // cleared, so the statistic is an exact integer sum.
+    // cleared, so the statistic is an exact integer sum. Binning uses
+    // `div` on NON-NEGATIVE cents only (events.value >= 0 at every
+    // SF): Spark div truncates toward zero but DuckDB // floors, so
+    // negative ticks would need a floordiv expression on both sides.
     "q_drift" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("event_type"), col("event_id"),
         expr("CAST(round(value * 100) AS BIGINT) div 500").as("bin"))
