@@ -90,6 +90,22 @@ object SparkEntry {
   private val NormalizedText =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** Mirrors Similarity.randomProject coordinate-for-coordinate: the
+    * same md5-derived ±1 sign rows inlined as literals, the same
+    * ascending ordered-reduce dot, one division by sqrt(outDim).
+    */
+  private def jlOracle(inDim: Int, outDim: Int): String = {
+    val signs = graft.operators.Similarity.jlSigns(inDim, outDim, "graft")
+    (0 until outDim).map { j =>
+      val g = signs(j).map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+      s"""SELECT vec_id, CAST($j AS INTEGER) AS j,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $inDim),
+         |    i -> embedding[i]::DOUBLE * (list_value($g)[i]))), (a, x) -> a + x)
+         |    / sqrt(CAST($outDim AS DOUBLE)) AS proj
+         |FROM embeddings""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   /** Mirrors Graph.kCore over the q_cooccur edge set with `rounds`
     * UNROLLED peels (peeling is idempotent past its fixpoint, so any
     * rounds >= the SF's convergence depth — 3 at sf0.01 for k=2 —
@@ -946,6 +962,13 @@ object SparkEntry {
     "q_cooccur" -> ((s, dd) =>
       graft.operators.Analytics.cooccurrence(
         t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))),
+
+    // JL random projection 64 -> 8 dims, exploded to (vec, coord)
+    // rows — each coordinate one deterministic ordered IEEE sum.
+    "q_jlproj" -> ((s, d) =>
+      graft.operators.Similarity.randomProject(
+        t(s, d, "embeddings"), col("embedding"), inDim = 64, outDim = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "proj")))),
 
     // Distribution drift: chi-square of the odd-event value-histogram
     // against the even-event baseline per event type — denominators
@@ -2565,6 +2588,8 @@ object SparkEntry {
         |  FROM w)""".stripMargin,
 
     "q_kcore" -> kCoreOracle(2, 5),
+
+    "q_jlproj" -> jlOracle(64, 8),
 
     // Mirrors triangleCounts over the q_cooccur edge set: (deg, id)
     // orientation, wedge join + closure semi-check, per-node explode.

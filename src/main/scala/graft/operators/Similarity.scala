@@ -698,4 +698,48 @@ object Similarity {
       vecCol: String,
       threshold: Double): DataFrame =
     Dedup.embeddingCosinePairs(corpus, idCol, vecCol, threshold)
+
+  /** The deterministic ±1 projection matrix behind [[randomProject]]:
+    * sign(j, i) = +1 iff the first md5 hex nibble of `seed:j:i` is
+    * even — reproducible from the seed alone on any engine (the same
+    * md5 contract as [[TrainingData.keyHash]]), no RNG state to ship.
+    */
+  private[graft] def jlSigns(
+      inDim: Int, outDim: Int, seed: String): Array[Array[Float]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xf) % 2 == 0) 1.0f else -1.0f
+    }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas ±1 variant,
+    * JCSS'03): compress an embedding column from `inDim` to `outDim`
+    * dimensions as `proj_j = vec·g_j / sqrt(outDim)` over the
+    * deterministic sign matrix [[jlSigns]] — the standard
+    * dimensionality cut in front of an ANN index (pairwise distances
+    * are preserved within 1±ε for outDim ~ O(log n / ε²)).
+    *
+    * A pure row-local projection: `outDim` fused [[graft.functions
+    * .VectorFunctions.dot]] kernels against broadcast sign literals —
+    * no shuffle, no state, embarrassingly parallel at any corpus
+    * size. The dot accumulates ascending and ±1 multiplication is
+    * float-exact, so each output coordinate is one deterministic IEEE
+    * sum ÷ sqrt(outDim) — cross-engine bit-exact. Vectors of the
+    * wrong length yield null coordinates (the kernel's contract).
+    * Output: input columns + `proj` (array<double>, length outDim).
+    */
+  def randomProject(
+      df: DataFrame,
+      vecCol: Column,
+      inDim: Int,
+      outDim: Int,
+      seed: String = "graft"): DataFrame = {
+    require(inDim >= 1, s"randomProject: inDim must be >= 1, got $inDim")
+    require(outDim >= 1 && outDim <= inDim,
+      s"randomProject: need 1 <= outDim <= inDim, got $outDim (inDim $inDim)")
+    val signs = jlSigns(inDim, outDim, seed)
+    val scale = sqrt(lit(outDim.toDouble))
+    df.withColumn("proj",
+      array(signs.map(g => dot(vecCol, typedLit(g)) / scale).toIndexedSeq: _*))
+  }
 }

@@ -267,6 +267,41 @@ class MiscOpSpec extends SparkSpec {
     assert(flag.get())
   }
 
+  test("randomProject: deterministic JL projection preserves pairwise distance roughly") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val rnd = new scala.util.Random(31)
+    // dyadic coordinates: exact as floats, sums reproducible
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextInt(256) - 128) / 128.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.randomProject(df, col("embedding"), 64, 16)
+      .select(col("vec_id"), col("proj")).as[(Long, Seq[Double])].collect().toMap
+    assert(out.values.forall(_.length == 16))
+    // determinism: second run bit-identical
+    val again = graft.operators.Similarity.randomProject(df, col("embedding"), 64, 16)
+      .select(col("vec_id"), col("proj")).as[(Long, Seq[Double])].collect().toMap
+    assert(again == out)
+    // JL property (statistical, generous ε): projected squared
+    // distances track true squared distances within 3x either way
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = vecs.map(_._1)
+    val checks = for {
+      a <- ids.take(10); b <- ids.take(10) if a < b
+      ta = vecs(a.toInt)._2.map(_.toDouble).toSeq
+      tb = vecs(b.toInt)._2.map(_.toDouble).toSeq
+      if d2(ta, tb) > 0
+    } yield d2(out(a), out(b)) / d2(ta, tb)
+    assert(checks.nonEmpty && checks.forall(r => r > 1.0 / 3 && r < 3.0),
+      s"ratios out of band: ${checks.filterNot(r => r > 1.0 / 3 && r < 3.0)}")
+    // hand-check one coordinate: proj_0 = Σ ±v_i / sqrt(16)
+    val signs = graft.operators.Similarity.jlSigns(64, 16, "graft")
+    val v = vecs.head._2
+    var acc = 0.0
+    for (i <- 0 until 64) acc += v(i).toDouble * signs(0)(i).toDouble
+    assert(out(0L).head == acc / math.sqrt(16.0))
+  }
+
   test("SparkEntry.entry returns rows (driver smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
