@@ -689,6 +689,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.exists(_._2), "fixture should contain at least one anomaly")
   }
 
+  test("streaming drift monitor: chiSquareDrift per micro-batch against a static baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: uniform over bins 0/1; batch 1 matches it, batch 2 is
+    // all-bin-9 — the alarm fires only on the drifted batch
+    val baseline = Seq(("g", 0L), ("g", 0L), ("g", 1L), ("g", 1L)).toDF("g", "bin")
+    val alarms = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val in = MemoryStream[(String, Long)]
+    // explicit function value: foreachBatch has a Java overload the
+    // Scala 2.13 lambda would be ambiguous against
+    val monitor: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) =>
+        if (!batch.isEmpty) {
+          val r = graft.operators.Quality
+            .chiSquareDrift(baseline, batch.toDF(), Seq("g"), col("bin")).head()
+          alarms += ((id, r.getLong(2), r.getDouble(3)))
+        }
+    val q = in.toDF().toDF("g", "bin").writeStream.foreachBatch(monitor).start()
+    in.addData(Seq(("g", 0L), ("g", 0L), ("g", 1L), ("g", 1L)))
+    q.processAllAvailable()
+    in.addData(Seq(("g", 9L), ("g", 9L), ("g", 9L), ("g", 9L)))
+    q.processAllAvailable(); q.stop()
+    assert(alarms.size == 2)
+    val (inBand, drifted) = (alarms.head, alarms.last)
+    assert(inBand._2 == 0L)                 // identical distribution: exactly zero
+    assert(drifted._3 > 3.84)               // chi2 over the 1-dof 5% critical value
+  }
+
   test("streaming z-score drops late/duplicate seqs and flags them, state stays bounded") {
     import graft.streaming.StreamZscore
     implicit val sqlCtx = spark.sqlContext
