@@ -1035,6 +1035,17 @@ object SparkEntry {
         window = 20, minPeriods = 5, threshold = 2.0)
         .select(col("event_id"), col("z"), col("is_anomaly"))),
 
+    // Per-user EWMA of event values (alpha = 0.25, seeded at the first
+    // event): the ordered stateful fold — bit-exact with the oracle's
+    // recursive CTE because both engines run the identical IEEE
+    // multiply-add chain in the identical sequence order.
+    "q_ewma" -> ((s, d) =>
+      graft.operators.Analytics.ewma(
+        t(s, d, "events").where(col("value").isNotNull),
+        key = col("user_id"), orderBy = Seq(col("ts"), col("event_id")),
+        id = col("event_id"), value = col("value"), alpha = 0.25)
+        .select(col("id").as("event_id"), col("key").as("user_id"), col("ewma"))),
+
     // 2-core of the co-purchase graph: peel pendant tendrils to the
     // subgraph where every part keeps >= 2 co-purchase partners
     // (fixpoint inside 5 rounds at this SF — the oracle unrolls 5,
@@ -2569,6 +2580,22 @@ object SparkEntry {
         |SELECT c.from_state, c.to_state, c.n,
         |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
         |FROM c JOIN t USING (from_state)""".stripMargin,
+
+    // Mirrors ewma: the same recurrence as a per-key linear recursion
+    // (each CTE iteration advances every key by one row_number), with
+    // the same `0.25·x + (1 - 0.25)·s` literal so the IEEE chain is
+    // operation-for-operation identical to the Spark fold.
+    "q_ewma" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, rn, value AS s FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.rn, 0.25 * e.value + (1 - 0.25) * r.s
+        |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT event_id, user_id, s AS ewma FROM r""".stripMargin,
 
     // Mirrors rollingZscore: cents-exact trailing sums, one IEEE op
     // shape for z, integer zero-variance/min-periods guards.

@@ -524,6 +524,65 @@ object Analytics {
       .drop("_x", "_xx", "_n", "_s", "_q")
   }
 
+  /** Per-key exponentially weighted moving average: the ordered
+    * recurrence s_t = α·x_t + (1-α)·s_{t-1}, seeded s_1 = x_1. The
+    * trend/level smoother every monitoring pipeline wants next to
+    * [[rollingZscore]]'s fixed window — EWMA weights the whole history
+    * with exponential decay instead of a hard cutoff.
+    *
+    * Deliberately the FOLD, not the closed form: s_t = α·Σ(1-α)^(t-j)
+    * x_j as window arithmetic needs pow() terms that overflow/underflow
+    * past ~1000 rows and rounds differently per grouping, while the
+    * fold does one multiply-add per row in sequence order — the exact
+    * IEEE operation chain a recursive-CTE oracle (or any reference
+    * implementation) performs, so results are bit-reproducible
+    * cross-engine. Scale shape: ONE shuffle on the key;
+    * `flatMapSortedGroups` secondary-sorts inside that shuffle, so the
+    * group streams through the fold in order without materializing on
+    * the heap and per-key state is a single double — a hot key cannot
+    * OOM the task, and 100 TB of events is still exactly one exchange
+    * of narrow (key, id, value, order) rows.
+    *
+    * Null keys are dropped (no sequence identity); a null value emits
+    * a null smoothed row and leaves the accumulator untouched, so one
+    * missing reading neither poisons nor resets the trend. Output:
+    * `id, key, ewma` (key/id cast to long, value to double).
+    */
+  def ewma(
+      df: DataFrame,
+      key: Column,
+      orderBy: Seq[Column],
+      id: Column,
+      value: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"ewma: need 0 < alpha <= 1, got $alpha")
+    // 1.0 - alpha here and `(1 - <alpha>)` in an oracle SQL round to
+    // the same double for the same literal, keeping the chains aligned.
+    val beta = 1.0 - alpha
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordCols = orderBy.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
+    val proj = df
+      .where(key.isNotNull)
+      .select(key.cast("long").as("_k") +: id.cast("long").as("_id") +:
+        value.cast("double").as("_v") +: ordCols: _*)
+    proj.groupByKey(_.getLong(0))
+      .flatMapSortedGroups(orderBy.indices.map(i => col(s"_o$i")): _*) {
+        (k: Long, rows: Iterator[org.apache.spark.sql.Row]) =>
+          var s = 0.0
+          var seeded = false
+          rows.map { r =>
+            if (r.isNullAt(2)) (r.getLong(1), k, None: Option[Double])
+            else {
+              val x = r.getDouble(2)
+              s = if (!seeded) { seeded = true; x } else alpha * x + beta * s
+              (r.getLong(1), k, Some(s))
+            }
+          }
+      }
+      .toDF("id", "key", "ewma")
+  }
+
   /** Frequent pairwise co-occurrence (market-basket / Apriori level-2):
     * item pairs that appear together in at least `minSupport` baskets,
     * with per-item counts and lift. The level-2 pass is where

@@ -277,6 +277,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("b", 6L)) == ((None, false)))
   }
 
+  test("ewma: hand-checked fold, null values skip without resetting state") {
+    val rows = Seq(
+      (Some(1L), 1L, 10L, Some(8.0)),
+      (Some(1L), 2L, 20L, Some(4.0)),
+      (Some(1L), 3L, 30L, None),        // gap: emits null, state unchanged
+      (Some(1L), 4L, 40L, Some(12.0)),
+      (Some(2L), 5L, 10L, Some(5.0)),   // second key: independent seed
+      (None, 6L, 10L, Some(1.0)))       // null key dropped
+    val df = rows.toDF("k", "id", "o", "v")
+    val out = Analytics.ewma(df.repartition(4), col("k"), Seq(col("o")),
+        col("id"), col("v"), alpha = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val s2 = 0.25 * 4.0 + 0.75 * 8.0        // 7.0
+    val s4 = 0.25 * 12.0 + 0.75 * s2        // 8.25
+    assert(out == Map(
+      1L -> Some(8.0), 2L -> Some(s2), 3L -> None, 4L -> Some(s4),
+      5L -> Some(5.0)))
+    // alpha = 1 degenerates to identity on the value
+    val id1 = Analytics.ewma(df.where(col("v").isNotNull), col("k"),
+        Seq(col("o")), col("id"), col("v"), alpha = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(id1 == Map(1L -> 8.0, 2L -> 4.0, 4L -> 12.0, 5L -> 5.0))
+  }
+
   test("cooccurrence: support/lift over capped distinct baskets") {
     // b1={x,y,z}, b2={x,y}, b3={x,y} (x duplicated — collapses),
     // b4={x} (size-1, dropped), b5 = 11 items (over cap, dropped);
