@@ -361,6 +361,26 @@ object SparkEntry {
           (abs(col("_approx") - col("exact_users")) <=
             col("exact_users").cast("double") * 0.05).as("approx_ok"))),
 
+    // Hierarchical distinct via HLL sketch rollup: sketch once per
+    // (type, day), hll_union_agg upward to type and grand total —
+    // the raw table is scanned once for all three levels. Estimates
+    // are engine-specific, so the oracle pins `approx_ok` (±5 % of
+    // exact at every level) plus the exact counts themselves.
+    "q_hll_rollup" -> ((s, d) => {
+      val e = t(s, d, "events").select(
+        col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val est = graft.operators.Sketches.distinctRollup(
+        e, Seq("event_type" -> col("event_type"), "day" -> col("day")),
+        col("user_id"), lgK = 14)
+      val exact = e.rollup(col("event_type"), col("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact,
+          est("event_type") <=> exact("event_type") && est("day") <=> exact("day"))
+        .select(est("event_type"), est("day"), col("depth"), col("exact_users"),
+          (abs(col("estimate") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.05).as("approx_ok"))
+    }),
+
     // RANGE-frame rolling window: per-user 1-hour trailing sum over
     // event time — peers at equal timestamps share the frame, so no
     // tiebreak is needed; the decimal sum keeps doubles order-proof.
@@ -1669,6 +1689,17 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |count(*) AS n, TRUE AS approx_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Mirrors distinctRollup's level set with GROUP BY ROLLUP; depth
+    // is recoverable from the null pattern because event_type/day are
+    // never null in the data.
+    "q_hll_rollup" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events)
+        |SELECT event_type, day,
+        |  CASE WHEN day IS NOT NULL THEN 2
+        |       WHEN event_type IS NOT NULL THEN 1 ELSE 0 END AS depth,
+        |  count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+        |FROM e GROUP BY ROLLUP (event_type, day)""".stripMargin,
 
     "q_bcast_join" ->
       """SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty
