@@ -137,6 +137,59 @@ object SparkEntry {
          |GROUP BY node""".stripMargin
   }
 
+  /** q_lpa oracle: the q_kcore edge universe, then `rounds` unrolled
+    * synchronous label-propagation steps. Neighbor-label counts are
+    * integers and the tie-break is min(label), so every step is
+    * engine-exact; MATERIALIZED keeps DuckDB from inlining each
+    * round's predecessor multiple times.
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val base =
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT b FROM items GROUP BY b HAVING count(*) BETWEEN 2 AND 1024),
+        |kept AS (SELECT items.b, items.i FROM items JOIN sz USING (b)),
+        |p AS MATERIALIZED (SELECT a.i AS u, b.i AS v FROM kept a JOIN kept b
+        |       ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s""",
+         |c$r AS (SELECT e.u AS node, l.lbl AS lbl, count(*) AS c
+         |  FROM e JOIN l${r - 1} l ON e.v = l.node GROUP BY 1, 2),
+         |m$r AS (SELECT node, lbl, c, max(c) OVER (PARTITION BY node) AS mx FROM c$r),
+         |l$r AS MATERIALIZED (
+         |  SELECT node, min(lbl) AS lbl FROM m$r WHERE c = mx GROUP BY node)""".stripMargin
+    }.mkString
+    base + steps + s"\nSELECT node, lbl AS community FROM l$rounds"
+  }
+
+  /** q_sssp oracle: the q_kcore edge universe made directed with the
+    * same synthetic (u+v)%97+1 weight, then `rounds` unrolled
+    * Bellman-Ford relaxations from the %50 source set. All integers;
+    * min-aggregation is order-free, so the horizon-pinned distances
+    * match exactly.
+    */
+  private def ssspOracle(rounds: Int): String = {
+    val base =
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT b FROM items GROUP BY b HAVING count(*) BETWEEN 2 AND 1024),
+        |kept AS (SELECT items.b, items.i FROM items JOIN sz USING (b)),
+        |p AS MATERIALIZED (SELECT a.i AS u, b.i AS v FROM kept a JOIN kept b
+        |       ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT u, v, (u + v) % 97 + 1 AS w FROM p
+        |  UNION ALL SELECT v, u, (u + v) % 97 + 1 FROM p),
+        |d0 AS MATERIALIZED (SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM e WHERE u % 50 = 0)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s""",
+         |r$r AS (SELECT e.v AS node, min(d.dist + e.w) AS dist
+         |  FROM e JOIN d${r - 1} d ON e.u = d.node GROUP BY 1),
+         |d$r AS MATERIALIZED (SELECT node, min(dist) AS dist FROM
+         |  (SELECT * FROM d${r - 1} UNION ALL SELECT * FROM r$r) GROUP BY node)""".stripMargin
+    }.mkString
+    base + steps + s"\nSELECT node, dist FROM d$rounds"
+  }
+
   /** q_corr_matrix oracle, generated so the 6 pair blocks carry
     * EXACTLY the Spark-side arithmetic shapes (bit-exact parity needs
     * identical IEEE op order, not just the same formula).
@@ -1074,6 +1127,32 @@ object SparkEntry {
       val pairs = graft.operators.Analytics.cooccurrence(
         t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))
       graft.operators.Graph.kCore(pairs, col("item_a"), col("item_b"), k = 2)
+    }),
+
+    // Label-propagation communities on the co-purchase graph: 3
+    // synchronous rounds, neighbor-majority labels, min-label
+    // tie-break — all-integer, so the unrolled oracle matches exactly.
+    "q_lpa" -> ((s, dd) => {
+      val pairs = graft.operators.Analytics.cooccurrence(
+        t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.labelPropagation(
+        pairs, col("item_a"), col("item_b"), rounds = 3)
+    }),
+
+    // Bellman-Ford shortest paths over the co-purchase graph with a
+    // synthetic deterministic weight ((u+v) % 97 + 1, symmetric), 4
+    // relaxation rounds from every item divisible by 50 — exact
+    // integer distances at a pinned horizon, oracle unrolls the same.
+    "q_sssp" -> ((s, dd) => {
+      val pairs = graft.operators.Analytics.cooccurrence(
+        t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      val w = (pmod(col("item_a") + col("item_b"), lit(97)) + 1).as("w")
+      val fwd = pairs.select(col("item_a").as("u"), col("item_b").as("v"), w)
+      val dir = fwd.unionAll(
+        pairs.select(col("item_b").as("u"), col("item_a").as("v"), w))
+      val srcs = dir.select(col("u").as("n")).distinct().where(col("n") % 50 === 0)
+      graft.operators.Graph.shortestPaths(
+        dir, col("u"), col("v"), col("w"), srcs, col("n"), rounds = 4)
     }),
 
     // Triangle census of the co-purchase graph (edges = q_cooccur
@@ -2646,6 +2725,10 @@ object SparkEntry {
         |  FROM w)""".stripMargin,
 
     "q_kcore" -> kCoreOracle(2, 5),
+
+    "q_lpa" -> lpaOracle(3),
+
+    "q_sssp" -> ssspOracle(4),
 
     "q_jlproj" -> jlOracle(64, 8),
 

@@ -291,6 +291,104 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007): every node
+    * starts in its own community (label = node id); each round every
+    * node adopts the most frequent label among its neighbors,
+    * breaking count ties toward the SMALLEST label. Runs a FIXED
+    * number of rounds — async LPA's convergence is order-dependent
+    * and sync LPA can oscillate on bipartite structures, so a pinned
+    * round count is the only form that is deterministic across
+    * engines and partitionings (an oracle unrolls the same rounds).
+    * Integer counts + integer tie-break mean no float enters the
+    * computation at all.
+    *
+    * Scale shape: each round is one shuffle join of the (checkpointed,
+    * both-direction) edge frame against the |V|-row label frame on the
+    * neighbor key, one (node, label) hash-agg with map-side partials,
+    * and one arg-max agg per node — O(|E|) rows in motion per round,
+    * no driver state. Labels are `localCheckpoint`ed per round
+    * (superstep discipline: truncate lineage, give AQE real sizes —
+    * the label join broadcasts when |V| allows). Isolated nodes never
+    * appear (the graph is the edge set). Output: `node, community`.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    val e = edges
+      .select(least(srcCol, dstCol).cast("long").as("_u"),
+        greatest(srcCol, dstCol).cast("long").as("_v"))
+      .where(col("_u") < col("_v"))
+      .distinct()
+    val und = e.unionAll(e.select(col("_v").as("_u"), col("_u").as("_v")))
+      .localCheckpoint(true)
+    var labels = und.select(col("_u").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val counts = und.join(labels, und("_v") === labels("node"))
+        .groupBy(col("_u"), col("lbl")).agg(count(lit(1)).as("_c"))
+      // arg-max with min-label tie-break in one agg: max of
+      // (count, -label) lexicographic struct order, then un-negate
+      labels = counts.groupBy(col("_u"))
+        .agg(max(struct(col("_c"), (-col("lbl")).as("_nl"))).as("_m"))
+        .select(col("_u").as("node"), (-col("_m._nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Multi-source weighted shortest paths by Bellman-Ford supersteps:
+    * sources start at distance 0; each round relaxes every directed
+    * edge once (`dist'(v) = min(dist(v), min over u→v of dist(u)+w)`).
+    * After `rounds` rounds the frame holds exact shortest distances
+    * over paths of ≤ `rounds` edges — a pinned-horizon result that is
+    * deterministic and engine-exact (all-integer arithmetic, min is
+    * order-free), which is what an oracle can check; run more rounds
+    * for a wider horizon. Weights must be non-negative longs (negative
+    * weights would make the pinned-horizon result order-sensitive to
+    * relaxation count, and negative cycles never converge). Nodes not
+    * yet reached are simply absent.
+    *
+    * Scale shape: the [[hopDistance]] discipline with weights — each
+    * round is one shuffle join of the checkpointed edge frame against
+    * the frontier-inclusive distance frame on the edge source key,
+    * then one min-agg on the node key (map-side partials); O(|E|)
+    * rows in motion per round, zero driver state, distances
+    * `localCheckpoint`ed per round so lineage stays flat and AQE
+    * broadcasts the |V|-row side when it can.
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      weightCol: Column,
+      sources: DataFrame,
+      sourceCol: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"shortestPaths: rounds must be >= 1, got $rounds")
+    val e = edges
+      .select(srcCol.cast("long").as("_s"), dstCol.cast("long").as("_d"),
+        weightCol.cast("long").as("_w"))
+      .where(col("_s").isNotNull && col("_d").isNotNull && col("_w") >= 0)
+      .localCheckpoint(true)
+    var dist = sources.select(sourceCol.cast("long").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist, e("_s") === dist("node"))
+        .select(col("_d").as("node"), (col("dist") + col("_w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
     // least/greatest skip nulls: a null endpoint collapses to u==v and
     // the strict < drops it, like a self-loop

@@ -140,6 +140,55 @@ class GraphSpec extends SparkSpec {
     assert(again == degs)
   }
 
+  test("labelPropagation: two cliques joined by a bridge separate; ties go min") {
+    // K3 {1,2,3} and K3 {10,11,12} with bridge 3-10. Round 1: clique
+    // nodes see two clique labels + maybe the bridge; min tie-break
+    // pulls each clique to its min id, and the communities stabilize.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("s", "d")
+    val out = Graph.labelPropagation(edges, col("s"), col("d"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    // the bridge leaks 3's early label into the right clique, which
+    // then keeps it — the cliques still end as two distinct communities
+    assert(out(10L) == out(11L) && out(11L) == out(12L))
+    assert(out(10L) != out(1L))
+    // round-pinned determinism: same rounds, different partitioning
+    val again = Graph.labelPropagation(
+        edges.repartition(7), col("s"), col("d"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
+  test("labelPropagation round 1 is the exact neighbor-min on a star") {
+    // star center 5 with leaves 1,2,3: every leaf sees only {5}; the
+    // center sees {1,2,3} each once -> tie -> min = 1
+    val edges = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("s", "d")
+    val out = Graph.labelPropagation(edges, col("s"), col("d"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(5L -> 1L, 1L -> 5L, 2L -> 5L, 3L -> 5L))
+  }
+
+  test("shortestPaths: hand-checked relaxation horizon and weight minimum") {
+    //   1 --4--> 2 --1--> 3          1 --10--> 3 (direct, longer)
+    val edges = Seq((1L, 2L, 4L), (2L, 3L, 1L), (1L, 3L, 10L)).toDF("s", "d", "w")
+    val srcs = Seq(1L).toDF("n")
+    def run(r: Int) = Graph.shortestPaths(
+        edges, col("s"), col("d"), col("w"), srcs, col("n"), rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // one round: only direct edges relaxed — 3 is reached at 10
+    assert(run(1) == Map(1L -> 0L, 2L -> 4L, 3L -> 10L))
+    // two rounds: the 2-hop path 1->2->3 = 5 beats the direct 10
+    assert(run(2) == Map(1L -> 0L, 2L -> 4L, 3L -> 5L))
+    // sources are never displaced from 0 (self-min holds)
+    val back = Seq((3L, 1L, 1L)).toDF("s", "d", "w")
+    val out = Graph.shortestPaths(edges.unionAll(back),
+        col("s"), col("d"), col("w"), srcs, col("n"), rounds = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out(1L) == 0L)
+  }
+
   test("triangleCounts: hand-checked census, dirty edge list tolerated") {
     // triangle {1,2,3}, pendant 3-4, square 4-5-6-7 (no closure),
     // plus a self-loop, a duplicate, and a reversed duplicate
