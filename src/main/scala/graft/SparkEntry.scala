@@ -414,6 +414,38 @@ object SparkEntry {
           (abs(col("_approx") - col("exact_users")) <=
             col("exact_users").cast("double") * 0.05).as("approx_ok"))),
 
+    // Audience overlap via KMV sketches: one bounded sketch per event
+    // type, pairwise intersection estimates from the sketches alone
+    // (HLL can't intersect; KMV can). At this SF every sketch is
+    // below its cap, so the estimate is EXACT and approx_ok trivially
+    // holds; at scale the same query degrades gracefully to ±5 %. The
+    // estimator UDF runs on |types|² = tiny rows — never a hot path.
+    "q_kmv_intersect" -> ((s, d) => {
+      val k = 1024
+      val e = t(s, d, "events")
+        .select(col("event_type"), xxhash64(col("user_id")).as("_h"))
+      val kmvAgg = udaf(graft.functions.TypedAggregators.kmv(k))
+      val sk = e.groupBy(col("event_type")).agg(kmvAgg(col("_h")).as("_sk"))
+      val est = udf((a: Seq[Long], b: Seq[Long]) =>
+        graft.operators.Sketches.kmvIntersectEstimate(a.toArray, b.toArray, k))
+      val pairs = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          est(col("a._sk"), col("b._sk")).as("_est"))
+      val du = t(s, d, "events").select(col("event_type"), col("user_id")).distinct()
+      val exact = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type"), col("y.event_type"))
+        .agg(count(lit(1)).as("exact_common"))
+        .select(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"),
+          col("exact_common"))
+      pairs.join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_common"),
+          (abs(col("_est") - col("exact_common")) <=
+            col("exact_common").cast("double") * 0.05).as("approx_ok"))
+    }),
+
     // Hierarchical distinct via HLL sketch rollup: sketch once per
     // (type, day), hll_union_agg upward to type and grand total —
     // the raw table is scanned once for all three levels. Estimates
@@ -1768,6 +1800,14 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |count(*) AS n, TRUE AS approx_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_kmv_intersect" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  count(*) AS exact_common, TRUE AS approx_ok
+        |FROM du x JOIN du y
+        |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     // Mirrors distinctRollup's level set with GROUP BY ROLLUP; depth
     // is recoverable from the null pattern because event_type/day are

@@ -168,6 +168,73 @@ object TypedAggregators {
     }
   }
 
+  /** Merge two sorted-distinct long arrays, keep the `k` smallest.
+    * Shared by the [[kmv]] aggregator's merge and the set-operation
+    * estimators in [[graft.operators.Sketches]] so the union
+    * semantics can never diverge between build and estimate time.
+    */
+  private[graft] def mergeSortedCapped(
+      a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val take =
+        if (i >= a.length) { val v = b(j); j += 1; v }
+        else if (j >= b.length) { val v = a(i); i += 1; v }
+        else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+        else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+        else { val v = a(i); i += 1; j += 1; v }
+      if (n == 0 || out(n - 1) != take) { out(n) = take; n += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** KMV (k-minimum-values) distinct sketch (Beyer et al., SIGMOD'07):
+    * keep the `k` smallest distinct hash values seen. Unlike HLL it
+    * supports INTERSECTION (and difference) estimation — the k
+    * smallest of A ∪ B form a uniform sample of the union, and the
+    * fraction of that sample present in both sketches estimates the
+    * Jaccard — which is what audience-overlap / cross-corpus-leakage
+    * questions need; see [[graft.operators.Sketches
+    * .kmvIntersectEstimate]]. Buffer is a sorted long array capped at
+    * `k` (mergeable, so map-side partials carry ≤ k values per
+    * partition and the shuffle payload is bounded). Input must be a
+    * 64-bit hash (e.g. `xxhash64`); values are stored sign-flipped
+    * (`h ^ Long.MinValue`) so signed array order equals unsigned hash
+    * order. When fewer than `k` distinct values exist the sketch IS
+    * the exact distinct hash set.
+    */
+  def kmv(k: Int): Aggregator[Long, Array[Long], Array[Long]] = {
+    require(k >= 16, s"kmv: k must be >= 16, got $k")
+    new Aggregator[Long, Array[Long], Array[Long]] {
+      def zero: Array[Long] = Array.empty
+      def reduce(buf: Array[Long], hRaw: Long): Array[Long] = {
+        val h = hRaw ^ Long.MinValue
+        val pos = java.util.Arrays.binarySearch(buf, h)
+        if (pos >= 0) buf // already present
+        else {
+          val ins = -pos - 1
+          if (ins >= k) buf // beyond the cap: cannot be among k smallest
+          else {
+            val n = math.min(buf.length + 1, k)
+            val out = new Array[Long](n)
+            System.arraycopy(buf, 0, out, 0, ins)
+            out(ins) = h
+            System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+            out
+          }
+        }
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+        mergeSortedCapped(a, b, k)
+      def finish(buf: Array[Long]): Array[Long] = buf
+      def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      def outputEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+  }
+
   /** Element-wise vector mean — the embedding-centroid pooling
     * aggregate (per-cluster centroid refresh, per-language corpus
     * centroid, chunk→document pooling). Buffer = (count, running sum

@@ -63,4 +63,35 @@ object Sketches {
     }
     out
   }
+
+  /** Intersection-cardinality estimate from two [[graft.functions
+    * .TypedAggregators.kmv]] sketches built with the same `k`. The k
+    * smallest hashes of A ∪ B are a uniform sample of the union;
+    * ρ̂ = (members of that sample present in BOTH sketches) / k
+    * estimates the Jaccard, and |A∪B| ≈ (k-1)/u(θ) with θ the k-th
+    * union minimum (Beyer et al., SIGMOD'07), giving |A∩B| ≈ ρ̂ ·
+    * (k-1)/u(θ). When the combined sketch holds fewer than `k` values
+    * neither input was ever truncated, so the sketches are exact hash
+    * sets and the EXACT intersection count is returned — small-side
+    * queries pay zero approximation. Deterministic for a fixed
+    * dataset and hash; sketch values are sign-flipped longs (signed
+    * order = unsigned hash order).
+    */
+  def kmvIntersectEstimate(a: Array[Long], b: Array[Long], k: Int): Double = {
+    require(k >= 16, s"kmvIntersectEstimate: k must be >= 16, got $k")
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val union = graft.functions.TypedAggregators.mergeSortedCapped(a, b, k)
+    def inBoth(h: Long): Boolean =
+      java.util.Arrays.binarySearch(a, h) >= 0 &&
+        java.util.Arrays.binarySearch(b, h) >= 0
+    if (union.length < k) union.count(inBoth).toDouble
+    else {
+      val theta = union(k - 1)
+      // u(θ): the k-th minimum as a fraction of the unsigned 64-bit
+      // hash space (flipped repr: Long.MinValue ↦ 0, Long.MaxValue ↦ 1)
+      val uTheta = (theta.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+      val c = union.count(inBoth)
+      (c.toDouble / k.toDouble) * ((k - 1).toDouble / uTheta)
+    }
+  }
 }

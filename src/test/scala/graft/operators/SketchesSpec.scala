@@ -29,6 +29,49 @@ class SketchesSpec extends SparkSpec {
       (None, None, 0, 4L)))
   }
 
+  test("kmv: exact mode below the cap, partitioning-invariant") {
+    import graft.functions.TypedAggregators
+    val agg = udaf(TypedAggregators.kmv(64))
+    val df = Seq.tabulate(200)(i => ("g", i.toLong % 40)).toDF("g", "v")
+    def sketch(parts: Int): Seq[Long] = df.repartition(parts)
+      .select(xxhash64(col("v")).as("h"))
+      .agg(agg(col("h"))).collect()(0).getSeq[Long](0)
+    val s4 = sketch(4)
+    assert(s4.length == 40 && s4 == s4.sorted) // exact distinct set, sorted
+    assert(sketch(13) == s4)                   // merge-order invariant
+  }
+
+  test("kmvIntersectEstimate: exact when under cap, ~right when over") {
+    import graft.functions.TypedAggregators
+    val k = 1024
+    def mix(z0: Long): Long = { // splitmix64 finalizer: uniform 64-bit
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def sk(vs: Seq[Long]): Array[Long] = {
+      val agg = TypedAggregators.kmv(k)
+      var b = agg.zero
+      vs.foreach(v => b = agg.reduce(b, mix(v)))
+      b
+    }
+    // under cap: exact intersection of {0..99} and {50..149} = 50
+    val a = sk(0L until 100L)
+    val b = sk(50L until 150L)
+    assert(Sketches.kmvIntersectEstimate(a, b, k) == 50.0)
+    // over cap: |A|=20k, |B|=20k, overlap 10k — estimate within 20 %
+    val bigA = sk(0L until 20000L)
+    val bigB = sk(10000L until 30000L)
+    val est = Sketches.kmvIntersectEstimate(bigA, bigB, k)
+    assert(est > 8000.0 && est < 12000.0, s"estimate $est")
+    // disjoint sets estimate (near) zero
+    val dA = sk(0L until 5000L)
+    val dB = sk(100000L until 105000L)
+    assert(Sketches.kmvIntersectEstimate(dA, dB, k) < 500.0)
+    assert(Sketches.kmvIntersectEstimate(Array.empty[Long], dB, k) == 0.0)
+  }
+
   test("distinctRollup: single level degenerates to per-group + total") {
     val df = Seq(("x", 1L), ("x", 2L), ("y", 2L)).toDF("g", "u")
     val out = Sketches.distinctRollup(df, Seq("g" -> col("g")), col("u"))
