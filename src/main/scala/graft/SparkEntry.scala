@@ -1382,6 +1382,15 @@ object SparkEntry {
       Dedup.duplicateSpanFraction(t(s, d, "documents"), "doc_id", "text", 3)
         .select(col("id").as("doc_id"), col("n_grams"), col("n_dup"), col("dup_frac"))),
 
+    // Lee-et-al-style span REMOVAL: every 5-gram occurrence whose text
+    // appears in an earlier doc is cut (first owner keeps its copy),
+    // and the cleaned token text is rebuilt — exact string output,
+    // byte-compared against the oracle's rebuild.
+    "q_span_removal" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          col("clean_text"))),
+
     // One-sided containment (quote detection): |A∩B|/|A| per direction —
     // a short doc quoted inside a long one scores high here while its
     // Jaccard stays low.
@@ -2240,6 +2249,30 @@ object SparkEntry {
          |CAST(sum(CASE WHEN first_id < id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
          |round(sum(CASE WHEN first_id < id THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac
          |FROM g JOIN own USING (g) GROUP BY 1""".stripMargin,
+
+    // Mirrors removeDuplicateSpans at n=5: 1-based positions vs
+    // Spark's 0-based are internally consistent on each side; the
+    // rebuilt clean_text must match byte-for-byte.
+    "q_span_removal" ->
+      s"""WITH w AS (SELECT doc_id AS id, $W AS ws FROM documents WHERE len($W) > 0),
+         |g AS (SELECT id, unnest(generate_series(1, len(ws) - 4)) AS pos, ws
+         |  FROM w WHERE len(ws) >= 5),
+         |g2 AS (SELECT id, pos, array_to_string(ws[pos:pos+4], ' ') AS gram FROM g),
+         |own AS (SELECT gram, min(id) AS owner FROM g2 GROUP BY gram),
+         |rem AS (SELECT g2.id, g2.pos FROM g2 JOIN own USING (gram)
+         |  WHERE own.owner < g2.id),
+         |cov AS (SELECT DISTINCT id, cp FROM
+         |  (SELECT id, unnest(generate_series(pos, pos + 4)) AS cp FROM rem)),
+         |tok AS (SELECT id, unnest(generate_series(1, len(ws))) AS i, ws FROM w),
+         |tok2 AS (SELECT id, i, ws[i] AS wd FROM tok),
+         |keep AS (SELECT t.id, t.i, t.wd FROM tok2 t
+         |  LEFT JOIN cov c ON t.id = c.id AND t.i = c.cp WHERE c.id IS NULL),
+         |k AS (SELECT id, count(*) AS nk, string_agg(wd, ' ' ORDER BY i) AS txt
+         |  FROM keep GROUP BY id)
+         |SELECT w.id AS doc_id, len(w.ws) AS n_tokens,
+         |  CAST(len(w.ws) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+         |  coalesce(k.txt, '') AS clean_text
+         |FROM w LEFT JOIN k ON w.id = k.id""".stripMargin,
 
     "q_containment" ->
       s"""WITH docs AS (SELECT doc_id AS id, list_distinct(CASE WHEN len($W) < 2

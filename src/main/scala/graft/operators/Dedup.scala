@@ -370,6 +370,66 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_grams"), 4).as("dup_frac"))
   }
 
+  /** Cross-document duplicated-span REMOVAL (the cleaning step behind
+    * "Deduplicating Training Data Makes Language Models Better", Lee
+    * et al., ACL'22): any word n-gram occurrence whose gram text also
+    * appears in an EARLIER document (smaller id — the first-owner
+    * convention shared with [[duplicateSpanFraction]]) is removed,
+    * along with every token it covers; the first owner keeps its
+    * copy, so exactly one copy of each duplicated span survives the
+    * corpus. Within-doc repeats are untouched (their owner is the doc
+    * itself). Docs with fewer than `n` tokens generate no grams and
+    * pass through unchanged.
+    *
+    * Defined over the [[graft.functions.TextFunctions.words]] token
+    * stream (lowercased, punctuation-split), so `clean_text` is
+    * normalized token text rejoined with single spaces — the form
+    * training pipelines tokenize anyway; a raw-byte-offset variant
+    * would need char spans and is deliberately out of scope.
+    *
+    * Scale shape: one (id, pos, gram) explode (persisted — feeds the
+    * owner aggregate and the join back), one hash-agg min(id) per
+    * gram, one join on the gram key, then coverage expansion is ≤ n
+    * rows per REMOVED occurrence only (never n·|tokens|), an anti
+    * join on (id, pos), and one per-doc sort_array aggregate to
+    * rebuild text order without any non-deterministic collect_list
+    * ordering. Shuffles carry token/gram keys, never documents.
+    * Output: `id, n_tokens, n_removed, clean_text`.
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, s"removeDuplicateSpans: n must be >= 2, got $n")
+    val docs = graft.core.CacheRegistry.persist(
+      df.select(col(idCol).as("id"), words(col(textCol)).as("_ws"))
+        .where(size(col("_ws")) > 0),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = graft.core.CacheRegistry.persist(
+      docs.where(size(col("_ws")) >= n)
+        .select(col("id"),
+          posexplode(wordShinglesFromWords(col("_ws"), n)).as(Seq("pos", "g"))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val owner = grams.groupBy(col("g")).agg(min(col("id")).as("_owner"))
+    val covered = grams.join(owner, "g")
+      .where(col("_owner") < col("id"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("_cp"))
+      .distinct()
+    val toks = docs.select(col("id"), posexplode(col("_ws")).as(Seq("_i", "_wd")))
+    val kept = toks.join(covered,
+        toks("id") === covered("id") && col("_i") === col("_cp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("_nk"),
+        sort_array(collect_list(struct(col("_i"), col("_wd")))).as("_a"))
+      .select(col("id"), col("_nk"), array_join(col("_a._wd"), " ").as("_txt"))
+    docs.select(col("id"), size(col("_ws")).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_nk"), lit(0L))).as("n_removed"),
+        coalesce(col("_txt"), lit("")).as("clean_text"))
+  }
+
   /** One-sided containment pairs: |A ∩ B| / |A| >= threshold — the
     * quote/inclusion detector (a short document fully contained in a
     * long one scores 1.0 here but near 0 on Jaccard). Emitted per

@@ -140,6 +140,46 @@ class DedupSpec extends SparkSpec {
     assert(out(4L)._3 == math.BigDecimal(1.0 / 6.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("removeDuplicateSpans: later copy is cut, owner keeps it, short docs pass") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      // doc 2 embeds doc 1's opening 5-gram inside fresh text
+      (2L, "start here the quick brown fox jumps and then continues onward"),
+      (3L, "tiny doc"),                        // < n tokens: no grams, untouched
+      (4L, "the quick brown fox jumps over the lazy dog")  // full verbatim copy
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    // owner keeps everything
+    assert(out(1L) == ((9, 0L, "the quick brown fox jumps over the lazy dog")))
+    // doc 2: the one duplicated 5-gram covers tokens 2..6 (0-based)
+    assert(out(2L) == ((11, 5L, "start here and then continues onward")))
+    assert(out(3L) == ((2, 0L, "tiny doc")))
+    // full copy: every token covered by some duplicated 5-gram
+    assert(out(4L) == ((9, 9L, "")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("removeDuplicateSpans: within-doc repeats survive; overlap merges coverage") {
+    val docs = Seq(
+      // the same 5 words twice INSIDE one doc: owner is the doc itself
+      (1L, "p q r s t p q r s t"),
+      // overlapping duplicated grams: tokens removed once, not twice
+      (2L, "x a b c d e f y"),
+      (3L, "x a b c d e f z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._2 == 0L)
+    assert(out(2L)._2 == 0L)                    // first owner of its grams
+    // doc 3 shares "x a b c d", "a b c d e", "b c d e f" with doc 2 —
+    // coverage is their union, tokens 0..6 once each
+    assert(out(3L) == ((8, 7L, "z")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("containmentPairs is asymmetric: the quoted short doc scores 1.0 one way only") {
     val docs = Seq(
       (1L, "alpha beta gamma"),                                     // fully inside 2
