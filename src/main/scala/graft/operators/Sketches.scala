@@ -94,4 +94,34 @@ object Sketches {
       (c.toDouble / k.toDouble) * ((k - 1).toDouble / uTheta)
     }
   }
+
+  /** Union-cardinality estimate from two [[graft.functions
+    * .TypedAggregators.kmv]] sketches: (k−1)/u(θ) over the combined
+    * sketch; exact count when the union never filled the cap. Same
+    * conventions as [[kmvIntersectEstimate]].
+    */
+  def kmvUnionEstimate(a: Array[Long], b: Array[Long], k: Int): Double = {
+    require(k >= 16, s"kmvUnionEstimate: k must be >= 16, got $k")
+    val union = graft.functions.TypedAggregators.mergeSortedCapped(a, b, k)
+    if (union.length < k) union.length.toDouble
+    else {
+      val theta = union(k - 1)
+      val uTheta = (theta.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+      (k - 1).toDouble / uTheta
+    }
+  }
+
+  /** Jaccard estimate |A∩B| / |A∪B| from two kmv sketches: the
+    * fraction of the combined sketch present in both sides — the
+    * direct ρ̂ estimator, no division of two noisy cardinalities.
+    */
+  def kmvJaccardEstimate(a: Array[Long], b: Array[Long], k: Int): Double = {
+    require(k >= 16, s"kmvJaccardEstimate: k must be >= 16, got $k")
+    val union = graft.functions.TypedAggregators.mergeSortedCapped(a, b, k)
+    if (union.isEmpty) return 0.0
+    def inBoth(h: Long): Boolean =
+      java.util.Arrays.binarySearch(a, h) >= 0 &&
+        java.util.Arrays.binarySearch(b, h) >= 0
+    union.count(inBoth).toDouble / union.length.toDouble
+  }
 }

@@ -70,6 +70,13 @@ class SketchesSpec extends SparkSpec {
     val dB = sk(100000L until 105000L)
     assert(Sketches.kmvIntersectEstimate(dA, dB, k) < 500.0)
     assert(Sketches.kmvIntersectEstimate(Array.empty[Long], dB, k) == 0.0)
+    // union: exact under cap, ~|A∪B| over; jaccard ~ 1/3 for the big pair
+    assert(Sketches.kmvUnionEstimate(a, b, k) == 150.0)
+    val u = Sketches.kmvUnionEstimate(bigA, bigB, k)
+    assert(u > 25000.0 && u < 35000.0, s"union $u")
+    val j = Sketches.kmvJaccardEstimate(bigA, bigB, k)
+    assert(j > 0.25 && j < 0.42, s"jaccard $j")
+    assert(Sketches.kmvJaccardEstimate(dA, dA, k) == 1.0)
   }
 
   test("distinctRollup: single level degenerates to per-group + total") {

@@ -735,4 +735,48 @@ class StreamingSpec extends SparkSpec {
     val z5 = (3.0 * 12 - 36) / math.sqrt((3.0 * 434 - 36.0 * 36) * 3.0 / 2.0)
     assert(r5.z.contains(z5))
   }
+
+  test("streaming EWMA matches the batch operator bit-exactly on an in-order feed") {
+    import graft.streaming.StreamEwma
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 30).map(i => (1L, i.toLong, Some(rnd.nextDouble() * 50))) ++
+      (1 to 20).map(i => (2L, i.toLong, Some(rnd.nextDouble() * 9)))
+    val in = MemoryStream[(Long, Long, Option[Double])]
+    val q = StreamEwma(in.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ew_out").outputMode("append").start()
+    val (b1, b2) = data.partition(_._2 <= 12) // split mid-history per key
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ew_out").as[StreamEwma.ERow].collect()
+      .map(r => (r.key, r.seq) -> r.ewma).toMap
+    val batch = graft.operators.Analytics.ewma(
+        data.map(t => (t._1, t._2, t._3.get)).toDF("k", "seq", "v"),
+        col("k"), Seq(col("seq")), col("seq"), col("v"), alpha = 0.25)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    assert(streamed.size == data.size)
+    data.foreach { case (k, i, _) =>
+      assert(streamed((k, i)).contains(batch((k, i))), s"($k, $i)") // == on doubles
+    }
+  }
+
+  test("streaming EWMA: late seqs are flagged, nulls skip without resetting state") {
+    import graft.streaming.StreamEwma
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Option[Double])]
+    val q = StreamEwma(in.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ew_late").outputMode("append").start()
+    in.addData(Seq((9L, 1L, Some(8.0)), (9L, 2L, Some(4.0)), (9L, 3L, None)))
+    q.processAllAvailable()
+    in.addData(Seq((9L, 2L, Some(999.0)), (9L, 4L, Some(12.0)))) // 2 replays: late
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ew_late").as[StreamEwma.ERow].collect()
+    assert(rows.filter(_.late).map(_.seq).toSeq == Seq(2L))
+    val bySeq = rows.filterNot(_.late).map(r => r.seq -> r.ewma).toMap
+    val s2 = 0.25 * 4.0 + 0.75 * 8.0
+    // null at seq 3 emitted None; seq 4 folds onto s2, not onto 999
+    assert(bySeq == Map(1L -> Some(8.0), 2L -> Some(s2), 3L -> None,
+      4L -> Some(0.25 * 12.0 + 0.75 * s2)))
+  }
 }
