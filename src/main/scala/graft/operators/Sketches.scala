@@ -41,10 +41,16 @@ object Sketches {
     require(levels.nonEmpty, "distinctRollup: need at least one level")
     require(lgK >= 4 && lgK <= 21, s"distinctRollup: lgK out of [4,21]: $lgK")
     val names = levels.map(_._1)
-    val base = df
-      .select(levels.map { case (n, c) => c.as(n) } :+ value.as("_v"): _*)
-      .groupBy(names.map(col): _*)
-      .agg(hll_sketch_agg(col("_v"), lgK).as("_sk"))
+    // persisted: every cascade level AND the final union branch off
+    // this frame — without it each union branch re-runs the base
+    // aggregate (= one extra scan of the raw table per level at 100
+    // TB, unless AQE exchange reuse happens to fire). The frame is
+    // |deepest groups| sketch rows — tiny.
+    val base = graft.core.CacheRegistry.persist(
+      df.select(levels.map { case (n, c) => c.as(n) } :+ value.as("_v"): _*)
+        .groupBy(names.map(col): _*)
+        .agg(hll_sketch_agg(col("_v"), lgK).as("_sk")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val types = names.map(n => base.schema(n).dataType)
     def finish(fr: DataFrame, depth: Int): DataFrame =
       fr.select(names.map(col) :+ lit(depth).as("depth") :+

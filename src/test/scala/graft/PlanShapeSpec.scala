@@ -76,6 +76,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("MapGroups") && p.contains("ASC NULLS FIRST"))
   }
 
+  test("ewma plans exactly one exchange, hashed on the key, sorted fold") {
+    val ev = (1 to 60).map(i => (i.toLong % 4, i.toLong, i.toDouble)).toDF("k", "id", "v")
+    val p = finalPlan(graft.operators.Analytics.ewma(
+      ev, col("k"), Seq(col("id")), col("id"), col("v"), alpha = 0.25))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    assert(p.contains("MapGroups") && p.contains("ASC NULLS FIRST"))
+    assert(!p.contains("Window"))
+  }
+
+  test("removeDuplicateSpans: gram joins hash, coverage anti-join, no window") {
+    val p = plan(Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 2))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // text order is rebuilt by sort_array over (pos, word) structs —
+    // never a single-partition window
+    assert(!p.contains("Window"))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("distinctRollup scans its input once: cascade rides the cached base") {
+    val df = (1 to 40).map(i => (s"g${i % 3}", s"d${i % 5}", i.toLong)).toDF("g", "d", "u")
+    val out = graft.operators.Sketches.distinctRollup(
+      df, Seq("g" -> col("g"), "d" -> col("d")), col("u"), lgK = 12)
+    val p = plan(out)
+    // all 3 union branches read the CACHED base sketch frame.
+    // TableCacheQueryStage nodes exist only in the final AQE plan
+    // (InMemoryRelation re-prints of the build plan never carry one),
+    // so their count is exactly the number of cache reads.
+    assert(p.linesIterator.count(_.contains("TableCacheQueryStage")) == 3)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("zorderBy plans a range partitioning on the Morton key") {
     val df = (1 to 100).map(i => (i.toLong % 16, i.toLong / 16)).toDF("x", "y")
     val p = plan(graft.operators.Layout.zorderBy(df, 4, Seq(col("x"), col("y"))))
