@@ -266,6 +266,47 @@ object ScaleProbe {
     time("ivfTopK 10q x 20k (sampled local quantizer)")(
       Similarity.ivfTopK(emb10.where(col("vec_id") < 10), emb10, "vec_id", "embedding", 5,
         nlist = 16, nprobe = 6).count())
+
+    // Round-6 family: EWMA, sketch rollup/set-ops, graph propagation,
+    // span removal
+    graft.core.CacheRegistry.unpersistAll()
+    time("ewma 1M events")(
+      graft.operators.Analytics.ewma(
+        ev10.withColumn("eid", monotonically_increasing_id()),
+        col("user_id"), Seq(col("ts"), col("eid")), col("eid"),
+        col("user_id") % 100, alpha = 0.25).count())
+    time("distinctRollup 1M events, (type, day) cascade")(
+      graft.operators.Sketches.distinctRollup(
+        ev10.select(col("event_type"), to_date(col("ts")).as("day"), col("user_id")),
+        Seq("event_type" -> col("event_type"), "day" -> col("day")),
+        col("user_id")).count())
+    graft.core.CacheRegistry.unpersistAll()
+    time("labelPropagation 3 rounds, support>=20 co-purchase graph") {
+      val n = graft.operators.Graph.labelPropagation(
+        graft.operators.Analytics.cooccurrence(li10p, col("ok"), col("l_partkey"),
+          minSupport = 20L),
+        col("item_a"), col("item_b"), rounds = 3).count()
+      graft.core.CacheRegistry.unpersistAll()
+      n
+    }
+    time("shortestPaths 4 rounds, support>=20 co-purchase graph") {
+      val pairs = graft.operators.Analytics.cooccurrence(
+        li10p, col("ok"), col("l_partkey"), minSupport = 20L)
+      val w = (pmod(col("item_a") + col("item_b"), lit(97)) + 1).as("w")
+      val dir = pairs.select(col("item_a").as("u"), col("item_b").as("v"), w)
+        .unionAll(pairs.select(col("item_b").as("u"), col("item_a").as("v"), w))
+      val n = graft.operators.Graph.shortestPaths(
+        dir, col("u"), col("v"), col("w"),
+        dir.select(col("u").as("n")).distinct().where(col("n") % 50 === 0),
+        col("n"), rounds = 4).count()
+      graft.core.CacheRegistry.unpersistAll()
+      n
+    }
+    time("removeDuplicateSpans 50k docs n=5") {
+      val n = Dedup.removeDuplicateSpans(docs10, "doc_id", "text", n = 5).count()
+      graft.core.CacheRegistry.unpersistAll()
+      n
+    }
     spark.stop()
   }
 }
