@@ -137,6 +137,37 @@ object SparkEntry {
          |GROUP BY node""".stripMargin
   }
 
+  /** q_hits oracle: `rounds` unrolled a-then-h HITS steps over the
+    * directed trade graph. Integer sums, one max-rescale per half
+    * round (`//` floor division == Spark `div` truncation on the
+    * all-positive scores), so every score matches exactly.
+    */
+  private def hitsOracle(rounds: Int, scale: Long = 1000000L): String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT 'c:' || o_custkey AS s, 's:' || l_suppkey AS d
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT s AS node, CAST(1000000 AS BIGINT) AS h FROM e)"""
+        .stripMargin
+    val steps = (1 to rounds).map { r =>
+      s""",
+         |ar$r AS (SELECT e.d, CAST(sum(h.h) AS BIGINT) AS raw
+         |  FROM e JOIN h${r - 1} h ON e.s = h.node GROUP BY e.d),
+         |a$r AS MATERIALIZED (SELECT d AS node,
+         |  (raw * $scale) // (SELECT max(raw) FROM ar$r) AS a FROM ar$r),
+         |hr$r AS (SELECT e.s, CAST(sum(a.a) AS BIGINT) AS raw
+         |  FROM e JOIN a$r a ON e.d = a.node GROUP BY e.s),
+         |h$r AS MATERIALIZED (SELECT s AS node,
+         |  (raw * $scale) // (SELECT max(raw) FROM hr$r) AS h FROM hr$r)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT COALESCE(h$rounds.node, a$rounds.node) AS node,
+         |  COALESCE(h$rounds.h, 0) AS hub, COALESCE(a$rounds.a, 0) AS authority
+         |FROM h$rounds FULL OUTER JOIN a$rounds ON h$rounds.node = a$rounds.node"""
+        .stripMargin
+  }
+
   /** q_lpa oracle: the q_kcore edge universe, then `rounds` unrolled
     * synchronous label-propagation steps. Neighbor-label counts are
     * integers and the tie-break is min(label), so every step is
@@ -1001,6 +1032,18 @@ object SparkEntry {
     // order and partition count on both engines.
     "q_pagerank" -> ((s, dd) =>
       Graph.pageRank(tradeEdges(s, dd), "src", "dst", iters = 3)),
+
+    // HITS over the DIRECTED customer→supplier trade graph (customers
+    // are hubs, suppliers authorities): 2 rounds of scaled-integer
+    // sum + max-rescale — bit-exact, oracle unrolls the same rounds.
+    "q_hits" -> ((s, dd) => {
+      val pairs = t(s, dd, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dd, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+      Graph.hits(pairs, col("src"), col("dst"), rounds = 2)
+    }),
 
     // Grouped OLS trend fit (per-priority order-value drift over
     // time): the five partial sums are EXACT (bigint/decimal), and
@@ -2798,6 +2841,8 @@ object SparkEntry {
         |  FROM w)""".stripMargin,
 
     "q_kcore" -> kCoreOracle(2, 5),
+
+    "q_hits" -> hitsOracle(2),
 
     "q_lpa" -> lpaOracle(3),
 

@@ -291,6 +291,66 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM'99) in SCALED-INTEGER
+    * arithmetic: per round, authority(v) = Σ_{u→v} hub(u) then
+    * hub(u) = Σ_{u→v} authority(v) (the classic a-then-h order, each
+    * using the CURRENT round's counterpart), each re-normalized so
+    * the maximum score equals `scale` — max is order-free and the
+    * rescale is one bigint multiply + truncating divide, so (like
+    * [[pageRank]]) the result is bit-exact under any partitioning /
+    * shuffle order / engine, where the textbook L2 normalization
+    * would be an order-dependent float sum. Runs a pinned `rounds`
+    * (an oracle unrolls the same); scores of the max hub/authority
+    * are exactly `scale` each round.
+    *
+    * Overflow bound: raw sums satisfy Σ ≤ maxInDegree·scale, and the
+    * rescale computes raw·scale, so maxDegree·scale² must stay below
+    * 2^63 — the default scale 10^6 tolerates degree ≤ ~9·10^6; lower
+    * `scale` for denser graphs.
+    *
+    * Scale shape: deduped edges persisted once; each half-round is
+    * one shuffle join of edges against a |V|-row score frame, one
+    * map-side-partial sum, and a 1-row max broadcast back over the
+    * aggregate; score frames are `localCheckpoint`ed per round
+    * (superstep discipline). Output: `node, hub, authority` (0 for a
+    * side the node never plays).
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      rounds: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
+    require(scale > 0L, s"hits: scale must be positive, got $scale")
+    def rescale(raw: DataFrame, key: String, out: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max(col("_raw")).as("_mx"))))
+        .select(col(key).as("node"), expr(s"(_raw * ${scale}L) div _mx").as(out))
+    val e = graft.core.CacheRegistry.persist(
+      edges.select(srcCol.cast("string").as("_s"), dstCol.cast("string").as("_d"))
+        .where(col("_s").isNotNull && col("_d").isNotNull)
+        .distinct(),
+      MEMORY_AND_DISK)
+    var hubs = e.select(col("_s").as("node")).distinct()
+      .select(col("node"), lit(scale).as("h")).localCheckpoint(true)
+    var auths = e.select(col("_d").as("node")).distinct()
+      .select(col("node"), lit(scale).as("a")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      auths = rescale(
+        e.join(hubs, e("_s") === hubs("node"))
+          .groupBy(col("_d")).agg(sum(col("h")).as("_raw")),
+        "_d", "a").localCheckpoint(true)
+      hubs = rescale(
+        e.join(auths, e("_d") === auths("node"))
+          .groupBy(col("_s")).agg(sum(col("a")).as("_raw")),
+        "_s", "h").localCheckpoint(true)
+    }
+    hubs.select(col("node"), col("h").as("hub"))
+      .join(auths.select(col("node"), col("a").as("authority")), Seq("node"), "full")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("authority"), lit(0L)).as("authority"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007): every node
     * starts in its own community (label = node id); each round every
     * node adopts the most frequent label among its neighbors,
