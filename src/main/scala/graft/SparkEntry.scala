@@ -1262,7 +1262,11 @@ object SparkEntry {
           (col("c_custkey") + 1000000L).as("k"),
           concat(lit("NEW#"), col("c_custkey").cast("string")).as("name"),
           lit(BigDecimal("0.00")).cast("decimal(18,2)").as("bal")))
+      // Attr compare runs in exact decimal; the OUTPUT casts to double
+      // (exact for cent-scale) — the driver's comparator renders Spark
+      // decimals and DuckDB decimals differently, doubles identically.
       Quality.scd2Merge(hist, snap, Seq("k"), Seq("name", "bal"), asOf = 100L)
+        .withColumn("bal", col("bal").cast("double"))
     }),
 
     // Deterministic weighted sampling: 20 docs per language, selection
@@ -1290,8 +1294,11 @@ object SparkEntry {
         .groupBy(col("k"), col("tick"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("p")).cast("decimal(18,2)").as("sum_price"))
+      // LOCF runs in exact decimal; output casts to double (exact at
+      // cent scale) so the comparator sees identical renderings.
       Relational.gapFill(weekly, Seq("k"), "tick", step = 1L,
         locf = Seq("sum_price"), defaults = Map("n_orders" -> lit(0L)))
+        .withColumn("sum_price", col("sum_price").cast("double"))
     }),
 
     // Equal-frequency quartile binning of event values (exact
@@ -1309,7 +1316,8 @@ object SparkEntry {
         t(s, d, "lineitem").select(col("l_returnflag").as("rf"),
           col("l_extendedprice").as("v")),
         Seq(col("rf")), col("v"),
-        lo = BigDecimal("900.00"), width = BigDecimal("5000.00"), nbins = 21)),
+        lo = BigDecimal("900.00"), width = BigDecimal("5000.00"), nbins = 21)
+        .withColumn("bin_lo", col("bin_lo").cast("double"))),
 
     // TrustRank: teleport mass restricted to the NATION_7 seed
     // suppliers — same scaled-integer step as q_pagerank with the base
@@ -2897,17 +2905,17 @@ object SparkEntry {
         |j AS (SELECT cur.k AS ck, cur.name AS cn, cur.bal AS cb,
         |    cur.valid_from AS cvf, snap.k AS sk, snap.name AS sn, snap.bal AS sb
         |  FROM cur FULL OUTER JOIN snap ON cur.k = snap.k)
-        |SELECT ck AS k, cn AS name, cb AS bal, cvf AS valid_from,
+        |SELECT ck AS k, cn AS name, CAST(cb AS DOUBLE) AS bal, cvf AS valid_from,
         |  CAST(CASE WHEN sk IS NULL THEN 100
         |    WHEN (cn IS NOT DISTINCT FROM sn) AND (cb IS NOT DISTINCT FROM sb) THEN NULL
         |    ELSE 100 END AS BIGINT) AS valid_to
         |FROM j WHERE ck IS NOT NULL
         |UNION ALL
-        |SELECT sk, sn, sb, CAST(100 AS BIGINT), CAST(NULL AS BIGINT) FROM j
+        |SELECT sk, sn, CAST(sb AS DOUBLE), CAST(100 AS BIGINT), CAST(NULL AS BIGINT) FROM j
         |WHERE sk IS NOT NULL AND (ck IS NULL
         |  OR NOT ((cn IS NOT DISTINCT FROM sn) AND (cb IS NOT DISTINCT FROM sb)))
         |UNION ALL
-        |SELECT k, name, bal, valid_from, valid_to FROM closed""".stripMargin,
+        |SELECT k, name, CAST(bal AS DOUBLE), valid_from, valid_to FROM closed""".stripMargin,
 
     // The exact same priority ranks: md5 uniform // weight, k smallest
     // per language with the (rank, doc_id) tiebreak.
@@ -2933,8 +2941,8 @@ object SparkEntry {
         |  FROM weekly GROUP BY k)
         |SELECT spine.k AS k, spine.tick AS tick,
         |  CAST(COALESCE(w.n_orders, 0) AS BIGINT) AS n_orders,
-        |  last_value(w.sum_price IGNORE NULLS) OVER (PARTITION BY spine.k
-        |    ORDER BY spine.tick ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_price,
+        |  CAST(last_value(w.sum_price IGNORE NULLS) OVER (PARTITION BY spine.k
+        |    ORDER BY spine.tick ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_price,
         |  (w.k IS NULL) AS is_gap
         |FROM spine LEFT JOIN weekly w ON spine.k = w.k AND spine.tick = w.tick""".stripMargin,
 
@@ -2961,7 +2969,7 @@ object SparkEntry {
         |spine AS (SELECT rf, unnest(generate_series(0, 20)) AS bin
         |  FROM (SELECT DISTINCT rf FROM b))
         |SELECT spine.rf AS rf, CAST(spine.bin AS BIGINT) AS bin,
-        |  CAST(900.00 + 5000.00 * spine.bin AS DECIMAL(18,2)) AS bin_lo,
+        |  CAST(CAST(900.00 + 5000.00 * spine.bin AS DECIMAL(18,2)) AS DOUBLE) AS bin_lo,
         |  CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt
         |FROM spine LEFT JOIN binned
         |  ON spine.rf = binned.rf AND spine.bin = binned.bin""".stripMargin,
