@@ -34,40 +34,67 @@ object Bench {
     // bench_detail.json in the repo root (committed, judge-readable)
     // and rewritten to /tmp/graft_bench.json after every query so no
     // truncation or kill can lose the measurements.
-    def r3(v: Double): String = f"$v%.3f"
-    def jsonLine(rs: Seq[(String, Double)], complete: Boolean,
-                 topN: Int): String = {
+    // Locale-pinned formatting: f"" uses the JVM default locale, which in
+    // comma-decimal locales (de_DE, …) emits "1,234" — invalid JSON.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jq(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    // A query that ERRORS must never masquerade as a fast timing: it is
+    // excluded from `queries`/total and reported in an "errors" map with a
+    // top-level nonzero "nerrors" (this hid a 31-query breakage once).
+    def jsonLine(rs: Seq[(String, Double)], errs: Seq[(String, String)],
+                 complete: Boolean, topN: Int): String = {
       val shown =
         if (topN >= rs.size) rs
         else rs.sortBy(-_._2).take(topN).sortBy(_._1)
-      val qs = shown.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      val qs = shown.map { case (k, v) => jq(k) + ":" + r3(v) }
+        .mkString("{", ",", "}")
+      val es = errs.map { case (k, v) => jq(k) + ":" + jq(v.take(200)) }
         .mkString("{", ",", "}")
       val total = r3(rs.map(_._2).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${rs.size},"queries":$qs,"sf":"$sfDir","complete":$complete,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${rs.size},"nerrors":${errs.size},"queries":$qs,"queries_truncated":${shown.size < rs.size},"errors":$es,"sf":"$sfDir","complete":$complete,"detail":"bench_detail.json"}"""
     }
-    def writeTo(path: String, rs: Seq[(String, Double)], complete: Boolean): Unit =
+    // bench_detail.json must land in the REPO ROOT (committed, judge-read),
+    // not the driver's CWD; and a failed write is a real problem, not noise.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    def writeTo(path: String, rs: Seq[(String, Double)],
+                errs: Seq[(String, String)], complete: Boolean): Unit =
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(path),
-        (jsonLine(rs, complete, Int.MaxValue) + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
-    def snapshot(rs: Seq[(String, Double)], complete: Boolean): Unit = {
-      writeTo("/tmp/graft_bench.json", rs, complete)
-      writeTo("bench_detail.json", rs, complete)
+        (jsonLine(rs, errs, complete, Int.MaxValue) + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED writing $path: $e")
+      }
+    def snapshot(rs: Seq[(String, Double)], errs: Seq[(String, String)],
+                 complete: Boolean): Unit = {
+      writeTo("/tmp/graft_bench.json", rs, errs, complete)
+      writeTo(s"$repoRoot/bench_detail.json", rs, errs, complete)
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     selected.foreach { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n')}")
+        }
         val elapsed = (System.nanoTime() - t0) / 1e9 // cache release untimed
         graft.core.CacheRegistry.unpersistAll()
         elapsed
       }.sorted
-      results += (name -> times(runs / 2))
-      snapshot(results.toSeq, complete = false)
+      err match {
+        case Some(m) =>
+          errors += (name -> m)
+          System.err.println(s"[bench] $name ERRORED: $m")
+        case None => results += (name -> times(runs / 2))
+      }
+      snapshot(results.toSeq, errors.toSeq, complete = false)
     }
-    snapshot(results.toSeq, complete = true)
-    println(jsonLine(results.toSeq, complete = true, topN = 40))
+    snapshot(results.toSeq, errors.toSeq, complete = true)
+    println(jsonLine(results.toSeq, errors.toSeq, complete = true, topN = 40))
     spark.stop()
   }
 }

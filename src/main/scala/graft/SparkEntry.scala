@@ -25,14 +25,23 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is physically INT64 TIMESTAMP(NANOS) parquet, which Spark
-    // reads only as a long (spark.sql.legacy.parquet.nanosAsLong=true, set
-    // by Verify/Bench). Normalize to a µs TimestampType column; the
-    // source data is µs-aligned so the ns→µs floor division is lossless.
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    // events.ts has shipped under two physical parquet types across
+    // testdata generations: INT64 TIMESTAMP(NANOS) (reads as a raw long
+    // under spark.sql.legacy.parquet.nanosAsLong=true) and
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ).
+    // Branch on the dtype Spark actually inferred and normalize both to a
+    // µs-precision UTC TimestampType — the session TZ is pinned to UTC, so
+    // the NTZ→TZ cast preserves the exact epoch micros DuckDB sees when it
+    // reads the same naive-µs column. Queries downstream always see the
+    // same column type regardless of which generation is on disk.
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType         => // nanos-as-long: µs-aligned, division lossless
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df // already TimestampType
+    }
     // documents/embeddings ship as single-row-group files, so the scan
     // is one task no matter the cluster size — while the operators over
     // them (shingling, hashing, pairwise cosine) are compute-bound. A
@@ -1036,13 +1045,22 @@ object SparkEntry {
     // HITS over the DIRECTED customer→supplier trade graph (customers
     // are hubs, suppliers authorities): 2 rounds of scaled-integer
     // sum + max-rescale — bit-exact, oracle unrolls the same rounds.
+    // Nodes travel as LOW-BIT-TAGGED LONGS (custkey·2 / suppkey·2+1)
+    // through every superstep shuffle — fixed 8-byte keys instead of
+    // the oracle's decorated strings — and decode to the oracle's
+    // 'c:'/'s:' labels only in the final |V|-row projection.
     "q_hits" -> ((s, dd) => {
       val pairs = t(s, dd, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dd, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2L).as("src"),
+          (col("l_suppkey") * 2L + 1L).as("dst"))
       Graph.hits(pairs, col("src"), col("dst"), rounds = 2)
+        .select(
+          when(col("node") % 2L === 0L, concat(lit("c:"), shiftright(col("node"), 1)))
+            .otherwise(concat(lit("s:"), shiftright(col("node"), 1)))
+            .as("node"),
+          col("hub"), col("authority"))
     }),
 
     // Grouped OLS trend fit (per-priority order-value drift over

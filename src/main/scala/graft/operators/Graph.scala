@@ -309,11 +309,14 @@ object Graph {
     * `scale` for denser graphs.
     *
     * Scale shape: deduped edges persisted once; each half-round is
-    * one shuffle join of edges against a |V|-row score frame, one
-    * map-side-partial sum, and a 1-row max broadcast back over the
-    * aggregate; score frames are `localCheckpoint`ed per round
-    * (superstep discipline). Output: `node, hub, authority` (0 for a
-    * side the node never plays).
+    * ONE materializing job — a shuffle join of edges against a
+    * |V|-row score frame with a map-side-partial sum, checkpointed —
+    * followed by a 1-row max over the checkpointed aggregate (driver
+    * scalar, bounded) that feeds the rescale as a lazy projection.
+    * Node keys keep the caller's type: pass integral ids (tag sides
+    * into disjoint ranges) so shuffles move fixed-width longs, not
+    * decorated strings. Output: `node, hub, authority` (0 for a side
+    * the node never plays).
     */
   def hits(
       edges: DataFrame,
@@ -323,27 +326,37 @@ object Graph {
       scale: Long = 1000000L): DataFrame = {
     require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
     require(scale > 0L, s"hits: scale must be positive, got $scale")
-    def rescale(raw: DataFrame, key: String, out: String): DataFrame =
-      raw.crossJoin(broadcast(raw.agg(max(col("_raw")).as("_mx"))))
-        .select(col(key).as("node"), expr(s"(_raw * ${scale}L) div _mx").as(out))
+    // Node keys keep the caller's column type: a (long-encoded) key
+    // shuffles as 8 fixed bytes where a decorated string would carry
+    // 10-20 variable bytes through every join of every round.
     val e = graft.core.CacheRegistry.persist(
-      edges.select(srcCol.cast("string").as("_s"), dstCol.cast("string").as("_d"))
+      edges.select(srcCol.as("_s"), dstCol.as("_d"))
         .where(col("_s").isNotNull && col("_d").isNotNull)
         .distinct(),
       MEMORY_AND_DISK)
+    // Per half-round: ONE materializing job — the edge⋈score join +
+    // partial-sum agg, checkpointed eagerly (superstep discipline).
+    // The max needed for the exact floor-division rescale is then a
+    // 1-row scan of that |V|-row checkpointed frame (driver scalar,
+    // bounded), and the rescale itself stays a lazy narrow projection
+    // the next half-round's join consumes in place. The previous shape
+    // (crossJoin over a broadcast max of the UNcheckpointed aggregate)
+    // recomputed the heavy join twice per half-round.
+    def step(scores: DataFrame, joinKey: String, outKey: String,
+             valIn: String, valOut: String): DataFrame = {
+      val raw = e.join(scores, e(joinKey) === scores("node"))
+        .groupBy(col(outKey)).agg(sum(col(valIn)).as("_raw"))
+        .localCheckpoint(true)
+      val mx = raw.agg(max(col("_raw"))).head().getLong(0)
+      raw.select(col(outKey).as("node"),
+        expr(s"(_raw * ${scale}L) div ${mx}L").as(valOut))
+    }
     var hubs = e.select(col("_s").as("node")).distinct()
       .select(col("node"), lit(scale).as("h")).localCheckpoint(true)
-    var auths = e.select(col("_d").as("node")).distinct()
-      .select(col("node"), lit(scale).as("a")).localCheckpoint(true)
+    var auths: DataFrame = null
     for (_ <- 1 to rounds) {
-      auths = rescale(
-        e.join(hubs, e("_s") === hubs("node"))
-          .groupBy(col("_d")).agg(sum(col("h")).as("_raw")),
-        "_d", "a").localCheckpoint(true)
-      hubs = rescale(
-        e.join(auths, e("_d") === auths("node"))
-          .groupBy(col("_s")).agg(sum(col("a")).as("_raw")),
-        "_s", "h").localCheckpoint(true)
+      auths = step(hubs, "_s", "_d", "h", "a")
+      hubs = step(auths, "_d", "_s", "a", "h")
     }
     hubs.select(col("node"), col("h").as("hub"))
       .join(auths.select(col("node"), col("a").as("authority")), Seq("node"), "full")

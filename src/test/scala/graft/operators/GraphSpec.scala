@@ -210,6 +210,27 @@ class GraphSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("hits: one round matches the hand-computed scaled-integer step, long keys") {
+    // Bipartite: hubs 2,4 (even), authorities 1,3 (odd). h0 = 1000 each.
+    //   edges: 2→1, 2→3, 4→3
+    // a-step raw: a(1)=1000, a(3)=2000; max=2000 → a(1)=500, a(3)=1000
+    // h-step raw: h(2)=500+1000=1500, h(4)=1000; max=1500
+    //   → h(2)=1000, h(4)=1000*1000 div 1500 = 666
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val out = Graph.hits(edges, col("src"), col("dst"), rounds = 1, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      2L -> ((1000L, 0L)),
+      4L -> ((666L, 0L)),
+      1L -> ((0L, 500L)),
+      3L -> ((0L, 1000L))))
+    // node keys keep the caller's integral type through the supersteps
+    val schema = Graph.hits(edges, col("src"), col("dst"), rounds = 1)
+      .schema("node").dataType
+    assert(schema == org.apache.spark.sql.types.LongType)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("triangleCounts: K4 counts every face once, partitioning-invariant") {
     // K4 has 4 triangles; every vertex sits in 3 of them, clustering 1
     val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
