@@ -55,29 +55,39 @@ object SparkEntry {
   }
 
   /** The bidirectional customer↔supplier trade graph (distinct
-    * orders⋈lineitem pairs, namespaced node ids) — shared by the three
-    * graph queries; the oracle SQL repeats the same CTE verbatim.
+    * orders⋈lineitem pairs) — shared by the three graph queries; the
+    * oracle SQL repeats the same CTE verbatim with string node ids.
+    * Spark-side nodes are LOW-BIT-TAGGED LONGS (custkey·2 /
+    * suppkey·2+1): every superstep shuffle then moves fixed 8-byte
+    * keys instead of decorated strings; [[decodeTradeNode]] restores
+    * the oracle's 'c:'/'s:' labels in the final |V|-row projection.
     */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(
-        concat(lit("c:"), col("o_custkey")).as("c"),
-        concat(lit("s:"), col("l_suppkey")).as("p"))
+        (col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("p"))
       .distinct()
     pairs.select(col("c").as("src"), col("p").as("dst"))
       .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
   }
 
+  /** Tagged-long trade-graph node → the oracle's 'c:<id>'/'s:<id>'. */
+  private def decodeTradeNode(c: Column): Column =
+    when(c % 2L === 0L, concat(lit("c:"), shiftright(c, 1)))
+      .otherwise(concat(lit("s:"), shiftright(c, 1)))
+
   /** The NATION_7 supplier nodes — the trusted seed set for
-    * q_trustrank / q_hop_distance.
+    * q_trustrank / q_hop_distance (same tagged-long encoding as
+    * [[tradeEdges]]).
     */
   private def nation7Seeds(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier")
       .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
       .where(col("n_name") === "NATION_7")
-      .select(concat(lit("s:"), col("s_suppkey")).as("seed"))
+      .select((col("s_suppkey") * 2L + 1L).as("seed"))
 
   /** Exact decimal sum rendered as double — accumulation-order-proof. */
   private def moneySum(c: Column): Column =
@@ -232,7 +242,12 @@ object SparkEntry {
 
   /** q_corr_matrix oracle, generated so the 6 pair blocks carry
     * EXACTLY the Spark-side arithmetic shapes (bit-exact parity needs
-    * identical IEEE op order, not just the same formula).
+    * identical IEEE op order, not just the same formula). Metrics are
+    * the same cent-long fixed point the Spark side uses; DuckDB's
+    * integer SUM accumulates in HUGEINT, so every sum is the same
+    * exact integer Spark's long/decimal accumulators produce, and the
+    * VARCHAR→DOUBLE hop makes the conversion correctly rounded on
+    * both engines.
     */
   private def corrMatrixSql: String = {
     val ms = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
@@ -254,11 +269,12 @@ object SparkEntry {
          |       ELSE ($num) / (sqrt($vx) * sqrt($vy)) END AS corr
          |FROM d""".stripMargin
     }
+    def cents(x: String) = s"CAST(CAST($x AS DECIMAL(18,2))*100 AS BIGINT)"
     s"""WITH b AS (SELECT l_returnflag AS rf,
-       |  CAST(l_quantity AS DECIMAL(18,2)) AS qty,
-       |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
-       |  CAST(l_discount AS DECIMAL(18,2)) AS disc,
-       |  CAST(l_tax AS DECIMAL(18,2)) AS tax
+       |  ${cents("l_quantity")} AS qty,
+       |  ${cents("l_extendedprice")} AS price,
+       |  ${cents("l_discount")} AS disc,
+       |  ${cents("l_tax")} AS tax
        |  FROM lineitem
        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
@@ -1039,8 +1055,13 @@ object SparkEntry {
     // compare BIT-EXACT against the oracle's chained CTEs: every step
     // is bigint add/multiply/truncating-divide, immune to shuffle
     // order and partition count on both engines.
+    // checkpointIters=2: at 3 iterations one mid-loop checkpoint
+    // (after iter 2) is enough lineage truncation — every checkpoint
+    // is a full |V|-row materializing job, so fewer is faster.
     "q_pagerank" -> ((s, dd) =>
-      Graph.pageRank(tradeEdges(s, dd), "src", "dst", iters = 3)),
+      Graph.pageRank(tradeEdges(s, dd), "src", "dst", iters = 3,
+        checkpointIters = 2)
+        .select(decodeTradeNode(col("node")).as("node"), col("score"))),
 
     // HITS over the DIRECTED customer→supplier trade graph (customers
     // are hubs, suppliers authorities): 2 rounds of scaled-integer
@@ -1056,10 +1077,7 @@ object SparkEntry {
         .select((col("o_custkey") * 2L).as("src"),
           (col("l_suppkey") * 2L + 1L).as("dst"))
       Graph.hits(pairs, col("src"), col("dst"), rounds = 2)
-        .select(
-          when(col("node") % 2L === 0L, concat(lit("c:"), shiftright(col("node"), 1)))
-            .otherwise(concat(lit("s:"), shiftright(col("node"), 1)))
-            .as("node"),
+        .select(decodeTradeNode(col("node")).as("node"),
           col("hub"), col("authority"))
     }),
 
@@ -1076,19 +1094,30 @@ object SparkEntry {
           col("o_totalprice").cast("decimal(18,2)").as("y")),
         Seq(col("prio")), col("x"), col("y"))),
 
-    // Grouped pairwise Pearson matrix over the four lineitem metrics:
-    // exact decimal sums, then ×/−/÷/√ only — bit-exact cross-engine.
-    "q_corr_matrix" -> ((s, dd) =>
+    // Grouped pairwise Pearson matrix over the four lineitem metrics.
+    // Metrics enter as exact CENT LONGS (decimal(18,2)·100 — the same
+    // half-up rounding on both engines), so 13 of the 15 accumulators
+    // are codegen'd 64-bit sums; only the price-involving products are
+    // promoted to decimal(38,0) ("price" is the one metric whose
+    // products could wrap 2^63 at cluster row counts). Pearson r is
+    // scale-invariant, and the double closed form evaluates from
+    // identical exact integer sums with identical op shapes on both
+    // engines — bit-exact cross-engine.
+    "q_corr_matrix" -> ((s, dd) => {
+      def cents(c: String) =
+        (col(c).cast("decimal(18,2)") * 100).cast("long")
       Analytics.groupedCorrMatrix(
         t(s, dd, "lineitem").select(
           col("l_returnflag").as("rf"),
-          col("l_quantity").cast("decimal(18,2)").as("qty"),
-          col("l_extendedprice").cast("decimal(18,2)").as("price"),
-          col("l_discount").cast("decimal(18,2)").as("disc"),
-          col("l_tax").cast("decimal(18,2)").as("tax")),
+          cents("l_quantity").as("qty"),
+          cents("l_extendedprice").as("price"),
+          cents("l_discount").as("disc"),
+          cents("l_tax").as("tax")),
         Seq(col("rf")),
         Seq("qty" -> col("qty"), "price" -> col("price"),
-          "disc" -> col("disc"), "tax" -> col("tax")))),
+          "disc" -> col("disc"), "tax" -> col("tax")),
+        wideProducts = Set("price"))
+    }),
 
     // Per-document n-gram novelty of the held-out slice vs the
     // standing corpus (exact integer counts, one IEEE division).
@@ -1340,9 +1369,13 @@ object SparkEntry {
     // TrustRank: teleport mass restricted to the NATION_7 seed
     // suppliers — same scaled-integer step as q_pagerank with the base
     // term masked by seed membership, two iterations, bit-exact.
+    // checkpointIters=2: a 2-iteration run needs no mid-loop
+    // checkpoint at all — the full superstep chain evaluates in the
+    // consumer's single job over the persisted contrib frame.
     "q_trustrank" -> ((s, dd) =>
       Graph.trustRank(tradeEdges(s, dd), "src", "dst",
-        nation7Seeds(s, dd), "seed", iters = 2)),
+        nation7Seeds(s, dd), "seed", iters = 2, checkpointIters = 2)
+        .select(decodeTradeNode(col("node")).as("node"), col("score"))),
 
     // Multi-source BFS over the trade graph: hop distance from the
     // NATION_7 suppliers as the "distance from trusted seeds" quality
@@ -1350,7 +1383,8 @@ object SparkEntry {
     // recursive CTE at any partitioning.
     "q_hop_distance" -> ((s, dd) =>
       Graph.hopDistance(tradeEdges(s, dd), "src", "dst",
-        nation7Seeds(s, dd), "seed", maxHops = 3)),
+        nation7Seeds(s, dd), "seed", maxHops = 3)
+        .select(decodeTradeNode(col("node")).as("node"), col("dist"))),
 
     // Approximate-quantile gate (same pattern as the HLL gate): the
     // sketch median must land between the exact 49th and 51st

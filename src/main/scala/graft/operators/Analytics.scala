@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 
 /** Event-sequence analytics over a clickstream-shaped table: ordered
   * funnels and cohort retention. (North-star extensions beyond the
@@ -218,23 +219,53 @@ object Analytics {
     * aggregation; the shuffle carries k + k·(k+1)/2 + 1 exact numbers
     * per group per partition (k metrics), never rows. The pair
     * explosion happens on the tiny aggregated frame.
+    *
+    * Integral fast path: metrics pre-scaled to INTEGRAL fixed-point
+    * (e.g. cents as long) accumulate in plain 64-bit sums — codegen'd
+    * long adds instead of 128-bit decimal accumulators, which is both
+    * several× cheaper and far kinder under executor memory pressure.
+    * 64-bit products can overflow once per-row-max·rows approaches
+    * 2^63, so name every metric whose PRODUCTS could overflow at the
+    * target scale in `wideProducts`: its product accumulators are
+    * promoted to exact decimal(38,0) (each factor widened to
+    * decimal(19,0) first, so the multiply itself cannot wrap). Plain
+    * sums stay 64-bit — a per-row max of 10^7 tolerates ~10^11 rows.
+    * The closed form is scale-invariant mathematically, and bit-exact
+    * cross-engine as long as the oracle mirrors the same fixed-point
+    * inputs and accumulator shapes.
     */
   def groupedCorrMatrix(
       df: DataFrame,
       groupBy: Seq[Column],
-      metrics: Seq[(String, Column)]): DataFrame = {
+      metrics: Seq[(String, Column)],
+      wideProducts: Set[String] = Set.empty): DataFrame = {
     require(groupBy.nonEmpty, "groupedCorrMatrix: groupBy must be non-empty")
     require(metrics.size >= 2, "groupedCorrMatrix: need at least 2 metrics")
     require(metrics.map(_._1).distinct.size == metrics.size,
       "groupedCorrMatrix: metric names must be distinct")
+    require(wideProducts.subsetOf(metrics.map(_._1).toSet),
+      "groupedCorrMatrix: wideProducts must name declared metrics")
     val k = metrics.size
     val base = df
       .select(groupBy ++ metrics.map { case (nm, c) => c.as(s"_m_$nm") }: _*)
       .na.drop(metrics.map { case (nm, _) => s"_m_$nm" })
+    val integral = metrics.map { case (nm, _) =>
+      base.schema(s"_m_$nm").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
     def m(i: Int) = col(s"_m_${metrics(i)._1}")
     val sums = metrics.map { case (nm, _) => sum(col(s"_m_$nm")).as(s"_s_$nm") }
-    val prods = for { i <- 0 until k; j <- i until k }
-      yield sum(m(i) * m(j)).as(s"_p_${i}_$j")
+    val prods = for { i <- 0 until k; j <- i until k } yield {
+      val wide = wideProducts.contains(metrics(i)._1) ||
+        wideProducts.contains(metrics(j)._1)
+      val p =
+        if (integral(i) && integral(j) && wide)
+          m(i).cast(DecimalType(19, 0)) * m(j).cast(DecimalType(19, 0))
+        else m(i) * m(j)
+      sum(p).as(s"_p_${i}_$j")
+    }
     val gcols = base.columns.take(groupBy.size).map(col)
     val allAggs = count(lit(1)).as("n") +: (sums ++ prods)
     val agg = base.groupBy(gcols: _*).agg(allAggs.head, allAggs.tail: _*)

@@ -69,7 +69,16 @@ object TrainingData {
     * (e.g. downsample boilerplate-heavy domains, keep all of a rare
     * language). Strata with no entry keep `defaultFraction`. Pure
     * projection + filter — the stratum column never shuffles.
+    *
+    * The fractions map compiles into an O(|strata|) when-chain in the
+    * plan, so it is hard-capped at [[maxStrata]] entries: beyond that
+    * the expression tree (and codegen) degrades and the map belongs in
+    * a broadcast-joined threshold table instead — build one with
+    * `df.join(broadcast(thresholds), ...)` and filter on the joined
+    * column using the same [[hexThreshold]] encoding.
     */
+  val maxStrata = 10000
+
   def stratifiedSample(
       df: DataFrame,
       strataCol: Column,
@@ -77,6 +86,10 @@ object TrainingData {
       fractions: Map[String, Double],
       defaultFraction: Double = 1.0,
       seed: String = "graft"): DataFrame = {
+    require(fractions.size <= maxStrata,
+      s"stratifiedSample: ${fractions.size} strata exceed maxStrata=$maxStrata " +
+        "(the per-stratum when-chain would dominate the plan); join a " +
+        "broadcast threshold table instead")
     val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
       case (acc, (stratum, f)) => when(strataCol === stratum, lit(hexThreshold(f))).otherwise(acc)
     }
@@ -139,6 +152,14 @@ object TrainingData {
     * (divide + sqrt), so an external engine recomputing the thresholds
     * (the DuckDB oracle does) reproduces the sample bit-for-bit. Rows
     * with a null domain are dropped (they match no count bucket).
+    *
+    * The domain vocabulary is hard-capped at [[maxStrata]]: the counts
+    * collect to the driver and compile into stratifiedSample's
+    * when-chain, so an unbounded-cardinality column (a URL, an id)
+    * passed as "domain" must fail fast, not OOM the driver. The cap is
+    * enforced with a `limit(cap+1)` BEFORE the collect — the driver
+    * never materializes more than cap+1 rows even on a pathological
+    * input.
     */
   def mixtureSample(
       df: DataFrame,
@@ -154,7 +175,11 @@ object TrainingData {
     // file — one definition, no Column-side re-implementation to drift.
     val counts = df.groupBy(domainCol.cast("string").as("_dom"))
       .agg(count(lit(1)).as("_cnt"))
+      .limit(maxStrata + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.size <= maxStrata,
+      s"mixtureSample: more than $maxStrata distinct domains — the domain " +
+        "column looks unbounded (url/id?); pre-bucket it or raise maxStrata")
     require(counts.nonEmpty, "mixtureSample: input is empty")
     val minCnt = counts.values.min.toDouble
     val fractions = counts.map { case (dom, c) =>

@@ -164,6 +164,76 @@ class PlanShapeSpec extends SparkSpec {
     assert(joinLines.nonEmpty && joinLines.forall(!_.contains("text#")))
   }
 
+  // ---- events family (the time/window/as-of operators): these pins
+  // did not exist while the events gate queries were broken, which is
+  // exactly when a plan regression would have gone unnoticed.
+
+  test("asOfJoin is one keyed window pass — no join node, no single-partition window") {
+    val l = (1 to 60).map(i => (i.toLong % 5, i.toLong * 10)).toDF("k", "ts")
+    val r = (1 to 30).map(i => (i.toLong % 5, i.toLong * 17, i.toDouble)).toDF("k", "rts", "v")
+    val p = finalPlan(graft.operators.Relational.asOfJoin(
+      l, r, "k", "ts", "rts", Seq("v")))
+    // the point-in-time match is a tagged union + window, NEVER a
+    // range join (no join node of any kind in the plan)
+    assert(!p.contains("Join"))
+    assert(p.contains("Window"))
+    // the window partitions on the key — an empty partition spec would
+    // collapse all events onto one task
+    assert(p.contains("windowspecdefinition(k#"))
+    assert(p.contains("hashpartitioning(k#"))
+  }
+
+  test("sessionize windows partition on the session key, one exchange") {
+    val ev = (1 to 80).map(i => (i.toLong % 4, i.toLong * 100)).toDF("u", "sec")
+      .select(col("u"), col("sec").cast("timestamp").as("ts"))
+    val p = finalPlan(graft.operators.Relational.sessionize(
+      ev, col("u"), col("ts"), gapSeconds = 300L))
+    assert(p.contains("windowspecdefinition(u#"))
+    // lag and the conditional cumsum ride the SAME keyed exchange
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+  }
+
+  test("binnedRangeJoin is an equi hash join on the bin id, never a nested loop") {
+    val iv = (1 to 40).map(i => (i.toLong * 10, i.toLong * 10 + 15, i)).toDF("lo", "hi", "iid")
+    val pt = (1 to 200).map(i => (i.toLong * 3, i)).toDF("p", "pid")
+    val p = finalPlan(graft.operators.Relational.binnedRangeJoin(
+      iv, "lo", "hi", pt, "p", binWidth = 20L))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // candidates meet on the bin id equi-key; the exact range predicate
+    // verifies candidates inside the join, not in a later filter pass
+    assert(p.contains("hashpartitioning(_bin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("tumblingCountWindow rides a distributed range sort, no single-partition window") {
+    val ev = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val p = plan(graft.operators.Relational.tumblingCountWindow(
+      ev, Seq(col("id")), size = 10, Seq(sum(col("v")).as("s"))))
+    // no empty-partition-spec WindowExec anywhere (the numbering is a
+    // per-partition zipWithIndex over the range-sorted RDD, so the
+    // final plan has no Window node at all)
+    assert(!p.contains("Window"))
+    // the ordering stage itself is a range repartition: each partition
+    // numbers its own slice (the index pass hides inside an RDD scan,
+    // so pin the sorted stage the operator builds)
+    val sortedPlan = ev.repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id")).queryExecution.executedPlan.toString
+    assert(sortedPlan.contains("rangepartitioning"))
+  }
+
+  test("shipmentSla is one shuffle-on-order-key aggregate joined back to orders") {
+    val os = (1 to 40).map(i => (i.toLong, i.toLong * 100, 2)).toDF("ok", "sec", "expected")
+      .select(col("ok"), col("sec").cast("timestamp").as("ots"), col("expected"))
+    val sh = (1 to 80).map(i => (i.toLong % 40 + 1, i.toLong * 40)).toDF("ok", "sec")
+      .select(col("ok"), col("sec").cast("timestamp").as("sts"))
+    val p = finalPlan(graft.operators.Relational.shipmentSla(
+      os, sh, "ok", "ots", "expected", "sts", slaDays = 1))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // per-order shipment state is ONE hash aggregate (count + sorted
+    // list), not a window over the event stream
+    assert(!p.contains("Window"))
+  }
+
   test("fused sketch kernels run inside whole-stage codegen") {
     // a real scan (not a LocalTableScan, which constant-folds the
     // whole projection) so the codegen stage is visible in the plan

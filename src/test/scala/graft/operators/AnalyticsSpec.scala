@@ -53,6 +53,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("z", "c")) == ((3L, None)))
   }
 
+  test("groupedCorrMatrix integral fast path: long metrics + wideProducts match the decimal path") {
+    // Same data both ways: decimal(18,2) metrics vs 100×-scaled cent
+    // longs. Pearson r is scale-invariant, so the two paths agree to
+    // FP noise (compared at 1e-12 — the fixed-point rescale can move
+    // the final sqrt/divide by an ulp); n and the null structure are
+    // exact.
+    val raw = Seq(
+      ("g", 125L, 250L, 7500L),
+      ("g", 250L, 425L, 5000L),
+      ("g", 375L, 700L, 2500L),
+      ("h", 100L, 900L, 100L),
+      ("h", 300L, 700L, 300L),
+      ("h", 500L, 100L, 900L)
+    ).toDF("grp", "xc", "yc", "zc")
+    val dec = raw.select(col("grp"),
+      (col("xc").cast("decimal(18,2)") / 100).cast("decimal(18,2)").as("x"),
+      (col("yc").cast("decimal(18,2)") / 100).cast("decimal(18,2)").as("y"),
+      (col("zc").cast("decimal(18,2)") / 100).cast("decimal(18,2)").as("z"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(2), r.getString(3)) ->
+        ((r.getLong(1), Option(r.get(4))))).toMap
+    val viaDecimal = toMap(Analytics.groupedCorrMatrix(dec, Seq(col("grp")),
+      Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z"))))
+    val viaLongs = toMap(Analytics.groupedCorrMatrix(raw, Seq(col("grp")),
+      Seq("x" -> col("xc"), "y" -> col("yc"), "z" -> col("zc")),
+      wideProducts = Set("y")))
+    assert(viaLongs.size == 6)
+    assert(viaLongs.keySet == viaDecimal.keySet)
+    viaLongs.foreach { case (key, (n, c)) =>
+      val (nD, cD) = viaDecimal(key)
+      assert(n == nD, s"$key: n $n != $nD")
+      (c, cD) match {
+        case (Some(a: Double), Some(b: Double)) =>
+          assert(math.abs(a - b) < 1e-12, s"$key: $a vs $b")
+        case (a, b) => assert(a == b, s"$key: $a vs $b")
+      }
+    }
+    // wideProducts must name declared metrics
+    intercept[IllegalArgumentException](Analytics.groupedCorrMatrix(raw,
+      Seq(col("grp")), Seq("x" -> col("xc"), "y" -> col("yc")),
+      wideProducts = Set("nope")))
+  }
+
   private def ev(rows: (Long, Long, String)*) =
     rows.toSeq.toDF("user_id", "sec", "event_type")
       .select(col("user_id"), col("sec").cast("timestamp").as("ts"), col("event_type"))

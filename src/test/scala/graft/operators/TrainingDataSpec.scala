@@ -51,6 +51,24 @@ class TrainingDataSpec extends SparkSpec {
       .count() == 5250L)
   }
 
+  test("sampler cardinality caps fail fast on unbounded stratum columns") {
+    // stratifiedSample: an over-cap fractions map is rejected before a
+    // maxStrata-deep when-chain reaches the optimizer
+    val big = (0 to TrainingData.maxStrata).map(i => s"s$i" -> 0.5).toMap
+    val df = spark.range(10).select(col("id"), lit("x").as("dom"))
+    val e1 = intercept[IllegalArgumentException](
+      TrainingData.stratifiedSample(df, col("dom"), col("id"), big))
+    assert(e1.getMessage.contains("maxStrata"))
+    // mixtureSample: a unique-per-row "domain" (an id) must fail fast,
+    // not collect the whole column to the driver — the limit bounds
+    // driver rows at cap+1 regardless of input size
+    val unbounded = spark.range(TrainingData.maxStrata.toLong + 100)
+      .select(col("id"), col("id").cast("string").as("dom"))
+    val e2 = intercept[IllegalArgumentException](
+      TrainingData.mixtureSample(unbounded, col("dom"), col("id")))
+    assert(e2.getMessage.contains("distinct domains"))
+  }
+
   test("madOutliers flags robust outliers and handles constant groups") {
     val df = (Seq.tabulate(21)(i => ("a", i.toLong, 10.0 + (i % 5))) ++  // tight band
       Seq(("a", 100L, 500.0)) ++                                          // wild outlier
