@@ -86,7 +86,14 @@ def main():
             entry["error"] = str(e)[:500]
         results[q] = entry
 
-    missing = [q for q in oracle if q not in qdirs]
+    # Queries that errored inside graft.Verify write no parquet dir but ARE
+    # recorded in errors.json — surface them as failing rows, never silence.
+    err_path = Path(out_dir) / "errors.json"
+    if err_path.exists():
+        for q, msg in json.loads(err_path.read_text()).items():
+            results[q] = {"status": "VERIFY_ERROR", "ok": False, "error": msg[:500]}
+
+    missing = [q for q in oracle if q not in qdirs and q not in results]
     n_ok = sum(1 for e in results.values() if e.get("ok"))
     print(json.dumps(results, indent=1, default=str))
     print(f"\n== {n_ok}/{len(results)} ok; missing outputs for oracles: {missing}")

@@ -35,11 +35,11 @@ object Verify {
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         failed(name) = msg
         System.err.println(s"[verify] $name FAILED: $msg")
-        try {
-          val fdir = Paths.get(s"$outDir/_failed")
-          Files.createDirectories(fdir)
-          Files.writeString(fdir.resolve(s"$name.txt"), msg + "\n")
-        } catch { case w: Throwable =>
+        // Plain FILES (not a subdirectory): the driver's compare walks
+        // outDir's directories expecting parquet, so a _failed/ dir
+        // would itself surface as a bogus query row.
+        try Files.writeString(Paths.get(s"$outDir/_failed_$name.txt"), msg + "\n")
+        catch { case w: Throwable =>
           System.err.println(s"[verify] could not write failure artifact for $name: $w")
         }
       }

@@ -89,9 +89,9 @@ object ScaleProbe {
         "doc_id", "pos", "para", " ").count())
     time("mixtureSample 50k docs")(
       TrainingData.mixtureSample(docs10, col("lang"), col("doc_id"), 0.5).count())
-    // ts is INT64 TIMESTAMP(NANOS) parquet: read as long, floor to µs.
-    val ev = spark.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    // events.ts physical type has drifted across testdata generations;
+    // SparkEntry.t() normalizes any of them to the µs-UTC column.
+    val ev = SparkEntry.t(spark, d, "events")
     val ev10 = (0 until 10).map(k =>
       ev.select((col("user_id") + k * 10000).as("user_id"), col("ts"), col("event_type")))
       .reduce(_ unionAll _).repartition(32)
@@ -138,17 +138,19 @@ object ScaleProbe {
       .join(li.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp")).distinct()
+    // tagged-long node keys, same encoding as the SparkEntry gates:
+    // fixed 8-byte shuffle keys through every superstep
     val half10 = (0 until 10).map(k =>
       pairs0.select(
-        concat(lit("c:"), col("cust") + k * 1000000).as("src"),
-        concat(lit("s:"), col("supp") + k * 1000000).as("dst")))
+        ((col("cust") + k * 1000000) * 2).as("src"),
+        ((col("supp") + k * 1000000) * 2 + 1).as("dst")))
       .reduce(_ unionAll _)
     val graph10 = half10
       .unionAll(half10.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(32)
     val seeds10 = (0 until 10).map(k =>
       pairs0.where(col("supp") % 10 === 0)
-        .select(concat(lit("s:"), col("supp") + k * 1000000).as("seed")))
+        .select(((col("supp") + k * 1000000) * 2 + 1).as("seed")))
       .reduce(_ unionAll _).distinct()
     time("pageRank 3 iters on 2.4M edges")(
       graft.operators.Graph.pageRank(graph10, "src", "dst", iters = 3).count())
@@ -188,6 +190,17 @@ object ScaleProbe {
         Seq(col("rf")),
         Seq("qty" -> col("qty"), "price" -> col("price"),
           "disc" -> col("disc"), "tax" -> col("tax"))).count())
+    time("groupedCorrMatrix 6M rows x 4 metrics, cent-long fast path") {
+      def cents(c: String) = (col(c).cast("decimal(18,2)") * 100).cast("long")
+      graft.operators.Analytics.groupedCorrMatrix(
+        li10.select(col("l_returnflag").as("rf"),
+          cents("l_quantity").as("qty"), cents("l_extendedprice").as("price"),
+          cents("l_discount").as("disc"), cents("l_tax").as("tax")),
+        Seq(col("rf")),
+        Seq("qty" -> col("qty"), "price" -> col("price"),
+          "disc" -> col("disc"), "tax" -> col("tax")),
+        wideProducts = Set("price")).count()
+    }
     time("noveltyScore 40k corpus vs 10k probe")(
       TrainingData.noveltyScore(
         docs10.where(col("doc_id") % 5 =!= 0), docs10.where(col("doc_id") % 5 === 0),
