@@ -1852,6 +1852,69 @@ object SparkEntry {
           else (Nil, (id, joined))
         }))
       pipeline(EmptyFlow)("words")
+    }),
+
+    // -- dataset profiling / eval / preprocessing (round 7) ---------- //
+
+    // One-scan column profiler (dataset-card stats): all 5 columns'
+    // null/distinct/min/max come out of a SINGLE pass — the multi
+    // count-DISTINCT compiles to one Expand(k)+aggregate, not k scans.
+    // Profiled columns are integral/string/timestamp only: their
+    // string renderings are engine-identical (float rendering is not).
+    "q_profile" -> ((s, d) =>
+      Diagnostics.profile(
+        t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_shipdate"))),
+
+    // Retrieval-eval loop: BM25 top-10 per query term scored against
+    // graded relevance rel=tf (docs with tf>=2 — single mentions are
+    // noise, so precision/MRR are non-degenerate). DCG terms round to
+    // 6dp then sum as DECIMAL(18,6) (order-proof); the ln discount is
+    // the one cross-engine-identical log (see Ranking.rankEval).
+    "q_rank_eval" -> ((s, d) => {
+      val scores = Ranking
+        .termScores(t(s, d, "documents"), "doc_id", "text")
+        .where(col("term").isin("spark", "window", "join"))
+      val w = Window.partitionBy(col("term"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val ranked = scores
+        .select(col("term").as("query"), col("doc_id"),
+          row_number().over(w).as("rank"))
+        .where(col("rank") <= 10)
+      val rel = scores.where(col("tf") >= 2)
+        .select(col("term").as("query"), col("doc_id"), col("tf").as("rel"))
+      Ranking.rankEval(ranked, rel, "query", "doc_id", 10)
+    }),
+
+    // Per-dimension embedding standardization: gate is the whitening
+    // CONTRACT (all 64 dims land at mean 0 ± 1e-6, var 1 ± 1e-3 after
+    // the transform) — thresholds absorb float accumulation-order
+    // noise, the same recall-gate shape as the ANN queries.
+    "q_whiten" -> ((s, d) => {
+      val z = Similarity.standardize(t(s, d, "embeddings"), col("embedding"), 64)
+      z.select(posexplode(col("z")).as(Seq("zd", "zx")))
+        .groupBy(col("zd"))
+        .agg(avg(col("zx")).as("m2"), var_pop(col("zx")).as("v2"))
+        .agg(
+          count(lit(1)).as("n_dims"),
+          count(when(abs(col("m2")) <= 1e-6 && abs(col("v2") - 1.0) <= 1e-3, 1))
+            .as("dims_ok"))
+    }),
+
+    // Salted join gate: the skew-mitigation rewrite (left rows salted
+    // randomly, right rows replicated saltFactor ways) must be
+    // RESULT-IDENTICAL to the plain join — the oracle IS the plain
+    // join, aggregated to a stable surface.
+    "q_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      Relational.saltedJoin(li, ord, Seq("okey"), 4)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice")).as("revenue"))
     }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -3356,5 +3419,73 @@ object SparkEntry {
         |  SELECT n_nationkey + 1 AS v FROM nation
         |  UNION ALL
         |  SELECT v * 2 FROM r WHERE v * 2 <= 100
-        |) SELECT v FROM r""".stripMargin)
+        |) SELECT v FROM r""".stripMargin,
+
+    // one UNION-ALL branch per profiled column; the Spark side does it
+    // in ONE scan (Expand), the oracle spells the naive form
+    "q_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |count(*) - count($c) AS n_nulls,
+           |count(DISTINCT $c) AS n_distinct,
+           |CAST(min($c) AS VARCHAR) AS min_val,
+           |CAST(max($c) AS VARCHAR) AS max_val FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_shipdate").map(branch).mkString("\nUNION ALL\n")
+    },
+
+    "q_rank_eval" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($W) AS term FROM documents) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |scored AS (SELECT doc_id, term AS query, tf,
+         |  round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+         |    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats
+         |  WHERE term IN ('spark', 'window', 'join')),
+         |ranked AS (SELECT query, doc_id,
+         |  row_number() OVER (PARTITION BY query ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |rel AS (SELECT query, doc_id, tf AS rel FROM scored WHERE tf >= 2),
+         |hits AS (SELECT r.query, r.rank, coalesce(rel.rel, 0) AS gain
+         |  FROM ranked r LEFT JOIN rel ON r.query = rel.query AND r.doc_id = rel.doc_id),
+         |acc AS (SELECT query,
+         |  sum(CAST(round(CAST(gain AS DOUBLE) / ln(CAST(rank AS DOUBLE) + 1.0), 6)
+         |      AS DECIMAL(18,6))) AS dcg,
+         |  coalesce(CAST(1.0 AS DOUBLE) / min(CASE WHEN gain > 0 THEN rank END),
+         |      CAST(0.0 AS DOUBLE)) AS mrr,
+         |  CAST(count(CASE WHEN gain > 0 THEN 1 END) AS DOUBLE) / 10 AS precision
+         |  FROM hits GROUP BY query),
+         |ideal AS (SELECT query,
+         |  sum(CAST(round(CAST(rel AS DOUBLE) / ln(CAST(rnk AS DOUBLE) + 1.0), 6)
+         |      AS DECIMAL(18,6))) AS idcg,
+         |  count(*) AS n_rel
+         |  FROM (SELECT query, rel,
+         |    row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS rnk
+         |    FROM rel QUALIFY rnk <= 10) GROUP BY query)
+         |SELECT acc.query,
+         |  CASE WHEN idcg IS NULL THEN CAST(0.0 AS DOUBLE)
+         |       ELSE round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END AS ndcg,
+         |  mrr, precision, coalesce(n_rel, 0) AS n_rel
+         |FROM acc LEFT JOIN ideal ON acc.query = ideal.query""".stripMargin,
+
+    "q_whiten" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |  unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |st AS (SELECT d, avg(x) AS m, stddev_pop(x) AS sd FROM e GROUP BY d),
+        |z AS (SELECT e.d, CASE WHEN sd > 0 THEN (x - m) / sd ELSE 0.0 END AS zx
+        |  FROM e JOIN st USING (d)),
+        |post AS (SELECT d, avg(zx) AS m2, var_pop(zx) AS v2 FROM z GROUP BY d)
+        |SELECT count(*) AS n_dims,
+        |count(CASE WHEN abs(m2) <= 1e-6 AND abs(v2 - 1.0) <= 1e-3 THEN 1 END)
+        |  AS dims_ok FROM post""".stripMargin,
+
+    // the salted rewrite must equal the PLAIN join — the oracle is it
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
 }

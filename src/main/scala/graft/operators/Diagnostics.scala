@@ -73,4 +73,38 @@ object Diagnostics {
   def partitionHistogram(df: DataFrame): DataFrame =
     df.groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("rows"))
+
+  /** ONE-SCAN column profiler — the dataset-card / data-contract
+    * summary (row count, null count, exact distinct count, min, max
+    * per column) a pipeline publishes next to every table it writes.
+    *
+    * Scale design: all k columns profile in a SINGLE pass. The multi
+    * count-DISTINCT compiles to one Expand(k)-then-aggregate plan —
+    * the scan runs once and emits k tagged copies of each row, where
+    * the naive per-column loop would run k full scans (at 100 TB:
+    * one pass vs k passes of I/O). The aggregate is one row wide;
+    * the long-form pivot is a `stack` over that single row, free at
+    * any scale.
+    *
+    * min/max surface as strings so one schema covers heterogeneous
+    * column types; restrict to integral / string / date / timestamp
+    * columns when the output must hash-match another engine (float
+    * rendering differs across engines).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        count(col(c)).as(s"_nn$i"),
+        count_distinct(col(c)).as(s"_nd$i"),
+        min(col(c)).cast("string").as(s"_mn$i"),
+        max(col(c)).cast("string").as(s"_mx$i"))
+    }
+    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val stacked = cols.indices.map(i =>
+      s"'${cols(i)}', _n, _n - _nn$i, _nd$i, _mn$i, _mx$i").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus term-weighting (TF-IDF / BM25) — the retrieval-scoring side
@@ -113,5 +113,71 @@ object Ranking {
     joined.select(col(idCol),
       present.reduce(_ + _).as("n_rankers"),
       terms.reduce(_ + _).as("rrf"))
+  }
+
+  /** Ranking-quality evaluation — per-query nDCG@k, MRR@k and
+    * precision@k, the offline-eval loop every retrieval stack runs
+    * after re-ranking changes (north-star extension; the reference has
+    * no eval surface).
+    *
+    * Inputs: `ranked(queryCol, idCol, rank)` with rank starting at 1
+    * (each (query, rank) unique), `relevance(queryCol, idCol, rel)`
+    * with graded integer gains (absent pair = gain 0). Linear-gain DCG
+    * with a NATURAL-log discount: `Σ gain/ln(rank+1)` — ln because
+    * both engines compute the same libm-quality natural log, whereas
+    * log2 is ln-ratio on one engine and a distinct libm call on the
+    * other. Each discounted term is rounded to 6 decimals and summed
+    * as DECIMAL(18,6), so the total is accumulation-order-proof;
+    * nDCG = dcg/idcg divides the two exact decimals as doubles (one
+    * IEEE op) and rounds to 6.
+    *
+    * Scale shape: `ranked` is already top-k per query (bounded fan-in
+    * k rows/query); the relevance join is an equi-join on
+    * (query, id); ideal ranks come from one rank() window partitioned
+    * by query — nothing global. Output:
+    * `queryCol, ndcg, mrr, precision, n_rel`.
+    */
+  def rankEval(
+      ranked: DataFrame,
+      relevance: DataFrame,
+      queryCol: String,
+      idCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"rankEval: k must be >= 1, got $k")
+    def term(gain: Column, rank: Column) =
+      round(gain.cast("double") / log(rank.cast("double") + 1.0), 6)
+        .cast("decimal(18,6)")
+    val hits = ranked.where(col("rank") <= k)
+      .join(
+        relevance.select(col(queryCol), col(idCol), col("rel")),
+        Seq(queryCol, idCol), "left")
+      .select(
+        col(queryCol), col("rank"),
+        coalesce(col("rel"), lit(0L)).cast("long").as("gain"))
+    val dcg = hits.groupBy(col(queryCol)).agg(
+      sum(term(col("gain"), col("rank"))).as("dcg"),
+      // first relevant rank → MRR@k; no relevant in top-k → 0
+      coalesce(
+        lit(1.0) / min(when(col("gain") > 0, col("rank"))).cast("double"),
+        lit(0.0)).as("mrr"),
+      (count(when(col("gain") > 0, 1)).cast("double") / k).as("precision"))
+    // Ideal ordering: rel desc with the id as deterministic tiebreak.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col("rel").desc, col(idCol))
+    val ideal = relevance.where(col("rel") > 0)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .groupBy(col(queryCol)).agg(
+        sum(term(col("rel"), col("rank"))).as("idcg"),
+        count(lit(1)).as("n_rel"))
+    dcg.join(ideal, Seq(queryCol), "left").select(
+      col(queryCol),
+      when(col("idcg").isNull, lit(0.0))
+        .otherwise(round(
+          col("dcg").cast("double") / col("idcg").cast("double"), 6))
+        .as("ndcg"),
+      col("mrr"),
+      col("precision"),
+      coalesce(col("n_rel"), lit(0L)).as("n_rel"))
   }
 }

@@ -742,4 +742,42 @@ object Similarity {
     df.withColumn("proj",
       array(signs.map(g => dot(vecCol, typedLit(g)) / scale).toIndexedSeq: _*))
   }
+
+  /** Per-dimension standardization (whitening without rotation) of an
+    * embedding column: `z_i = (x_i - μ_i) / σ_i` with population σ —
+    * the preprocessing step in front of cosine/L2 indexes whenever
+    * dimensions carry wildly different scales (and the cheap 99% of
+    * "whitening": full PCA rotation needs an eigensolver; per-dim
+    * scaling needs two passes and no linear algebra).
+    *
+    * Scale design: pass 1 posexplodes to (dim, x) narrow rows and
+    * hash-aggregates per dimension — a shuffle of `dim` groups no
+    * matter the corpus size; the `dim`-row result collects to the
+    * driver (bounded by the embedding width, same contract as the
+    * quantizer training collects) and re-enters the plan as broadcast
+    * literals, so pass 2 is a pure row-local `transform` — no join, no
+    * second shuffle. Constant dimensions (σ = 0) standardize to 0
+    * rather than NaN. Output: input columns + `z` (array<double>).
+    */
+  def standardize(df: DataFrame, vecCol: Column, dim: Int): DataFrame = {
+    require(dim >= 1, s"standardize: dim must be >= 1, got $dim")
+    val stats = df
+      .select(posexplode(vecCol).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(avg(col("x").cast("double")).as("m"),
+        stddev_pop(col("x").cast("double")).as("sd"))
+      .orderBy(col("d"))
+      .collect()
+    require(stats.length == dim && stats.head.getInt(0) == 0,
+      s"standardize: expected dims 0..${dim - 1}, got ${stats.length} groups " +
+        "(ragged or empty vector column?)")
+    val means = stats.map(_.getDouble(1))
+    val sds = stats.map(_.getDouble(2))
+    df.withColumn("z",
+      transform(vecCol, (x, i) => {
+        val m = element_at(typedLit(means), i + 1)
+        val sd = element_at(typedLit(sds), i + 1)
+        when(sd > 0.0, (x.cast("double") - m) / sd).otherwise(lit(0.0))
+      }))
+  }
 }

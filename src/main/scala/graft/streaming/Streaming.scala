@@ -477,3 +477,71 @@ object Restart {
     rewrite(composite)(flow)
   }
 }
+
+/** TRUE in-flight rewrite — the reference's live component replacement
+  * (lib/composite/manipulations.ex:10-74 rewires running actors and
+  * hands the in-flight tasks to the new components) re-expressed on
+  * Spark's execution model, WITHOUT the stop/restart cycle of
+  * [[Restart.replaceAndRestart]].
+  *
+  * Structured Streaming compiles the transform plan once at
+  * `start()`, so a running query's MIDDLE cannot be rewired — but the
+  * `foreachBatch` boundary re-enters driver code once per micro-batch,
+  * and a plan built THERE is fresh every batch. A [[HotSwap]] handle
+  * holds the current rewrite function; [[HotSwap.sink]] applies
+  * `handle.current` to each micro-batch before writing. Swapping the
+  * handle is the task handoff: the batch already executing finishes
+  * under the old function (exactly the reference's in-flight tasks
+  * completing in the old component), the next batch plans under the
+  * new one, and the query never stops — same runId, same source
+  * offsets, same sink commit log, stateful upstream operators keep
+  * their state. Cluster-correct by construction: the function lives
+  * on the driver and each batch ships a fresh plan to the executors.
+  *
+  * Residual divergence, documented: the handoff granularity is one
+  * micro-batch (the reference hands off mid-stream at task
+  * granularity); rows inside a single batch never see both functions.
+  */
+final class HotSwap(initial: DataFrame => DataFrame) {
+  private val ref =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame => DataFrame](initial)
+  private val swaps = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Install `f` for every subsequent micro-batch (atomic; in-flight
+    * batches finish under the function they started with).
+    */
+  def swap(f: DataFrame => DataFrame): Unit = { ref.set(f); swaps.incrementAndGet(); () }
+
+  /** The function the NEXT micro-batch will plan with. */
+  def current: DataFrame => DataFrame = ref.get()
+
+  /** How many times [[swap]] has run — observability for operators
+    * ("which rewrite generation produced this batch").
+    */
+  def swapCount: Long = swaps.get()
+}
+
+object HotSwap {
+  def apply(initial: DataFrame => DataFrame): HotSwap = new HotSwap(initial)
+
+  /** A [[StreamSink]] whose per-batch transform is `handle.current` at
+    * the moment each micro-batch fires. `write(transformed, batchId)`
+    * persists the result (compose with
+    * [[StreamSink.foreachBatchExactlyOnce]]'s marker protocol via the
+    * `write` body when the target store is non-transactional).
+    */
+  def sink(
+      name: String,
+      handle: HotSwap,
+      write: (DataFrame, Long) => Unit,
+      checkpoint: Option[String] = None,
+      sync: Boolean = false): StreamSink =
+    StreamSink(
+      name,
+      df => {
+        val w = df.writeStream.foreachBatch(
+          (batch: DataFrame, id: Long) => write(handle.current(batch), id))
+        checkpoint.fold(w)(p => w.option("checkpointLocation", p))
+      },
+      sync = sync)
+}

@@ -49,4 +49,30 @@ class DiagnosticsSpec extends SparkSpec {
     assert(hist.map(_.getLong(1)).sum == 1000L)
     assert(hist.length <= 8)
   }
+
+  test("profile: one-scan null/distinct/min/max per column, hand-checked") {
+    val df = Seq(
+      (Some(3L), Some("b")),
+      (Some(1L), None),
+      (Some(1L), Some("a")),
+      (None, Some("a"))).toDF("k", "s")
+    val rows = Diagnostics.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("k", "s"))
+    val k = rows("k")
+    assert((k.getLong(1), k.getLong(2), k.getLong(3)) == ((4L, 1L, 2L)))
+    assert((k.getString(4), k.getString(5)) == (("1", "3")))
+    val s = rows("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3)) == ((4L, 1L, 2L)))
+    assert((s.getString(4), s.getString(5)) == (("a", "b")))
+  }
+
+  test("profile runs ONE scan: a single Expand-based aggregate, not a scan per column") {
+    val df = spark.range(100).selectExpr("id AS a", "id % 7 AS b", "id % 3 AS c")
+    val plan = Diagnostics.profile(df, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    // the multi count-DISTINCT plan shape: one Expand feeding the agg
+    assert(plan.contains("Expand"))
+    assert("(?s)Range".r.findAllIn(plan).size == 1, s"expected one scan:\n$plan")
+  }
 }

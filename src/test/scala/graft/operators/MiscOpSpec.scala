@@ -302,6 +302,35 @@ class MiscOpSpec extends SparkSpec {
     assert(out(0L).head == acc / math.sqrt(16.0))
   }
 
+  test("standardize: per-dim mean 0 / var 1, constant dims map to 0, ragged input rejected") {
+    import org.apache.spark.sql.functions.col
+    // dim 0 varies, dim 1 is CONSTANT (σ=0), dim 2 varies
+    val df = Seq(
+      (1L, Array(1.0f, 5.0f, 10.0f)),
+      (2L, Array(3.0f, 5.0f, 20.0f)),
+      (3L, Array(5.0f, 5.0f, 60.0f))).toDF("vec_id", "embedding")
+    val z = graft.operators.Similarity.standardize(df, col("embedding"), 3)
+      .select(col("vec_id"), col("z")).as[(Long, Seq[Double])].collect().toMap
+    // hand-check dim 0: μ=3, σ_pop=sqrt(8/3)
+    val sd0 = math.sqrt(8.0 / 3.0)
+    assert(math.abs(z(1L)(0) - (1.0 - 3.0) / sd0) < 1e-12)
+    assert(math.abs(z(3L)(0) - (5.0 - 3.0) / sd0) < 1e-12)
+    // constant dim standardizes to 0, not NaN
+    assert(z.values.forall(_(1) == 0.0))
+    // post-standardization stats: mean ~0, var_pop ~1 on varying dims
+    for (d <- Seq(0, 2)) {
+      val xs = z.values.map(_(d)).toSeq
+      val m = xs.sum / xs.size
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.size
+      assert(math.abs(m) < 1e-12 && math.abs(v - 1.0) < 1e-9)
+    }
+    // ragged vectors (wrong dim count) must be rejected loudly
+    val ragged = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.standardize(ragged, col("embedding"), 3)
+    }
+  }
+
   test("SparkEntry.entry returns rows (driver smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

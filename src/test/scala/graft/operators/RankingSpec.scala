@@ -65,4 +65,32 @@ class RankingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(three("x") == 1.0 / 61.0 + 0.0 + 1.0 / 61.0)
   }
+
+  test("rankEval: nDCG/MRR/precision hand-checked against the closed form") {
+    // query "a": retrieved docs 10,20,30 at ranks 1..3; relevance has
+    // 20→3, 30→1 and an UNRETRIEVED 90→2 (hurts nDCG, not precision).
+    val ranked = Seq(
+      ("a", 10L, 1), ("a", 20L, 2), ("a", 30L, 3),
+      ("b", 10L, 1), ("b", 20L, 2)).toDF("query", "doc_id", "rank")
+    val rel = Seq(
+      ("a", 20L, 3L), ("a", 30L, 1L), ("a", 90L, 2L)).toDF("query", "doc_id", "rel")
+    val out = Ranking.rankEval(ranked, rel, "query", "doc_id", k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    def term(g: Double, r: Int) =
+      BigDecimal(g / math.log(r + 1.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val dcg = term(3, 2) + term(1, 3)           // gains at ranks 2, 3
+    val idcg = term(3, 1) + term(2, 2) + term(1, 3) // ideal: 3,2,1
+    val expNdcg = BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = out("a")
+    assert(a.getDouble(1) == expNdcg)
+    assert(a.getDouble(2) == 0.5)               // first hit at rank 2
+    assert(a.getDouble(3) == 2.0 / 3)           // 2 of k=3 relevant
+    assert(a.getLong(4) == 3L)
+    // query "b" has no relevance rows at all: all metrics zero
+    val b = out("b")
+    assert(b.getDouble(1) == 0.0 && b.getDouble(2) == 0.0 &&
+      b.getDouble(3) == 0.0 && b.getLong(4) == 0L)
+  }
 }

@@ -779,4 +779,29 @@ class StreamingSpec extends SparkSpec {
     assert(bySeq == Map(1L -> Some(8.0), 2L -> Some(s2), 3L -> None,
       4L -> Some(0.25 * 12.0 + 0.75 * s2)))
   }
+
+  test("HotSwap: in-flight transform rewrite — same runId, no restart, batch-boundary handoff") {
+    // reference: lib/composite/manipulations.ex rewires RUNNING actors;
+    // here the query keeps running and only the per-batch plan changes.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val handle = HotSwap(_.select((col("value") * 1).as("v")))
+    val flow = graft.core.Composite(Seq(
+      StreamSource.of("hs", in.toDF().toDF("value")),
+      HotSwap.sink("hs", handle,
+        (df, _) => buf.synchronized { buf ++= df.as[Int](org.apache.spark.sql.Encoders.scalaInt).collect() })))(
+      EmptyFlow)
+    assert(flow.isEmpty)
+    val q = StreamSink.active.last
+    val runId = q.runId
+    in.addData(1, 2); q.processAllAvailable()
+    handle.swap(_.select((col("value") * 10).as("v")))
+    in.addData(3); q.processAllAvailable()
+    // the query NEVER stopped: same incarnation served both functions
+    assert(q.isActive && q.runId == runId)
+    q.stop()
+    assert(buf.synchronized(buf.sorted.toSeq) == Seq(1, 2, 30))
+    assert(handle.swapCount == 1L)
+  }
 }
