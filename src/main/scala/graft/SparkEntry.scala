@@ -1902,6 +1902,35 @@ object SparkEntry {
             .as("dims_ok"))
     }),
 
+    // Incremental (mergeable-state) profile: two disjoint halves
+    // profiled separately, states union-merged, finished — the exact
+    // legs (counts/nulls/min/max) must equal the full-table profile
+    // bit-for-bit; the HLL distinct estimate is gated within 5% of
+    // the exact count (sketch bits are engine-specific, estimates
+    // are not comparable cross-engine — same contract as
+    // q_approx_distinct / q_hll_rollup).
+    "q_profile_incr" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_returnflag", "l_shipdate")
+      val li = t(s, d, "lineitem")
+      val a = Diagnostics.profileState(li.where(col("l_orderkey") % 2 === 0), cols)
+      val b = Diagnostics.profileState(li.where(col("l_orderkey") % 2 =!= 0), cols)
+      val merged = Diagnostics.mergeProfileStates(Seq(a, b), cols)
+      val prof = Diagnostics.profileFinish(merged, cols)
+      val exact = li.agg(
+        count_distinct(col(cols.head)).as("_e0"),
+        cols.tail.zipWithIndex.map { case (c, i) =>
+          count_distinct(col(c)).as(s"_e${i + 1}")
+        }: _*)
+        .selectExpr(s"stack(${cols.size}, " +
+          cols.indices.map(i => s"'${cols(i)}', _e$i").mkString(", ") +
+          ") AS (column_name, n_exact)")
+      prof.join(exact, "column_name").select(
+        col("column_name"), col("n_rows"), col("n_nulls"),
+        col("min_val"), col("max_val"),
+        (abs(col("n_distinct_est") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("approx_ok"))
+    }),
+
     // Salted join gate: the skew-mitigation rewrite (left rows salted
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
@@ -3481,6 +3510,19 @@ object SparkEntry {
         |SELECT count(*) AS n_dims,
         |count(CASE WHEN abs(m2) <= 1e-6 AND abs(v2 - 1.0) <= 1e-3 THEN 1 END)
         |  AS dims_ok FROM post""".stripMargin,
+
+    // exact legs of the merged incremental profile = full-table
+    // profile; the HLL leg surfaces only as the within-5% boolean
+    "q_profile_incr" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |count(*) - count($c) AS n_nulls,
+           |CAST(min($c) AS VARCHAR) AS min_val,
+           |CAST(max($c) AS VARCHAR) AS max_val,
+           |TRUE AS approx_ok FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_returnflag", "l_shipdate")
+        .map(branch).mkString("\nUNION ALL\n")
+    },
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

@@ -119,4 +119,73 @@ object Diagnostics {
       s"stack(${cols.size}, $stacked) AS " +
         "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
   }
+
+  /** MERGEABLE profile state — the day-2 shape of [[profile]]. At
+    * 100 TB a daily full-table profile re-scans the whole corpus;
+    * the right pattern (Deequ's metric-state pattern) is a per-batch
+    * STATE that merges: counts add, typed min/max re-min/re-max, and
+    * distinct counts become Datasketches HLL sketches whose union is
+    * exactly the sketch of the union. Profile each day's delta,
+    * union-merge the 1-row states, finish — the standing corpus is
+    * never rescanned (the same incremental contract as
+    * `Dedup.dedupIncremental` and the IVF frozen-codebook add).
+    *
+    * One row wide, all aggregates plain (the HLL sketch agg is NOT a
+    * distinct rewrite — no Expand, so state-building is a single
+    * cheap pass, unlike [[profile]]'s exact-distinct leg). min/max
+    * stay TYPED in the state (string min/max would order "10" < "9");
+    * [[profileFinish]] casts at the very end.
+    */
+  def profileState(df: DataFrame, cols: Seq[String], lgK: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "profileState: need at least one column")
+    import org.apache.spark.sql.types._
+    // the sketch agg accepts int/bigint/string/binary only; other
+    // types sketch their canonical string form (same distinct count)
+    def sketchable(c: String): Column = df.schema(c).dataType match {
+      case IntegerType | LongType | StringType | BinaryType => col(c)
+      case _ => col(c).cast("string")
+    }
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        count(col(c)).as(s"_nn$i"),
+        min(col(c)).as(s"_mn$i"),
+        max(col(c)).as(s"_mx$i"),
+        hll_sketch_agg(sketchable(c), lit(lgK)).as(s"_sk$i"))
+    }
+    df.agg(count(lit(1)).as("_n"), aggs: _*)
+  }
+
+  /** Merge any number of [[profileState]] frames (1 row each, same
+    * `cols`) into one state: counts sum, min/max fold, sketches
+    * `hll_union_agg`. Associative and commutative — daily states can
+    * roll up bottom-up in any order.
+    */
+  def mergeProfileStates(states: Seq[DataFrame], cols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeProfileStates: need at least one state")
+    val aggs = cols.indices.flatMap { i =>
+      Seq(
+        sum(col(s"_nn$i")).as(s"_nn$i"),
+        min(col(s"_mn$i")).as(s"_mn$i"),
+        max(col(s"_mx$i")).as(s"_mx$i"),
+        hll_union_agg(col(s"_sk$i"), lit(true)).as(s"_sk$i"))
+    }
+    states.reduce(_ unionByName _).agg(sum(col("_n")).as("_n"), aggs: _*)
+  }
+
+  /** Long-form profile from a (possibly merged) state. Identical
+    * schema to [[profile]] except `n_distinct_est` — the HLL estimate
+    * (±~1.6% at the default lgK=12) instead of the exact count.
+    */
+  def profileFinish(state: DataFrame, cols: Seq[String]): DataFrame = {
+    val projected = state.select(col("_n") +: cols.indices.flatMap(i => Seq(
+      col(s"_nn$i"),
+      coalesce(hll_sketch_estimate(col(s"_sk$i")), lit(0L)).as(s"_nd$i"),
+      col(s"_mn$i").cast("string").as(s"_mns$i"),
+      col(s"_mx$i").cast("string").as(s"_mxs$i"))): _*)
+    val stacked = cols.indices.map(i =>
+      s"'${cols(i)}', _n, _n - _nn$i, _nd$i, _mns$i, _mxs$i").mkString(", ")
+    projected.selectExpr(
+      s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct_est, min_val, max_val)")
+  }
 }

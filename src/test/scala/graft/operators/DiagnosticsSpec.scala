@@ -82,4 +82,35 @@ class DiagnosticsSpec extends SparkSpec {
         s"expected both aggs on the cached projection:\n$plan")
     } finally graft.core.CacheRegistry.unpersistAll()
   }
+
+  test("profileState merge: exact legs equal the full profile; HLL estimate exact at small cardinality") {
+    val full = spark.range(1000)
+      .selectExpr("id AS k", "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 97 END AS v")
+    val cols = Seq("k", "v")
+    val a = Diagnostics.profileState(full.where("id < 400"), cols)
+    val b = Diagnostics.profileState(full.where("id >= 400"), cols)
+    val merged = Diagnostics.mergeProfileStates(Seq(a, b), cols)
+    val out = Diagnostics.profileFinish(merged, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert((k.getLong(1), k.getLong(2)) == ((1000L, 0L)))
+    assert((k.getString(4), k.getString(5)) == (("0", "999")))
+    val v = out("v")
+    assert((v.getLong(1), v.getLong(2)) == ((1000L, 100L)))
+    // HLL at lgK=12: within 5% (not exact — estimation mode engages
+    // well below 2^lgK; 1000 distincts measured 988 here)
+    assert(math.abs(k.getLong(3) - 1000L) <= 50L, s"k est ${k.getLong(3)}")
+    assert(math.abs(v.getLong(3) - 96L) <= 5L, s"v est ${v.getLong(3)}")
+    // merge order must not matter (associative/commutative state)
+    val flipped = Diagnostics.profileFinish(
+      Diagnostics.mergeProfileStates(Seq(b, a), cols), cols).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(out.keys.forall(c => flipped(c) == out(c).toSeq))
+    // an EMPTY delta state is a merge identity (day with no data)
+    val empty = Diagnostics.profileState(full.where("id < 0"), cols)
+    val withEmpty = Diagnostics.profileFinish(
+      Diagnostics.mergeProfileStates(Seq(empty, a, b), cols), cols)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(withEmpty.keys.forall(c => withEmpty(c) == out(c).toSeq))
+  }
 }
