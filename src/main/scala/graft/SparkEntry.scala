@@ -1932,6 +1932,75 @@ object SparkEntry {
     }),
 
     // Salted join gate: the skew-mitigation rewrite (left rows salted
+    // Exact skew report over the hottest-key table: integer-only
+    // derived columns (share_ppm, ceil-div salt factor) so the salting
+    // recommendation itself is cross-engine bit-checkable. partitions
+    // pinned at 32 (the session's shuffle width) so the oracle is a
+    // closed form, not a conf read.
+    "q_key_skew" -> ((s, d) =>
+      Diagnostics.skewReport(t(s, d, "events"), Seq(col("event_type")),
+        topK = 10, partitions = 32)),
+
+    // Newman modularity of the nation-partition of the trade graph:
+    // are customer↔supplier edges intra-nation? Exact integer
+    // statistic (Q·E² = Σ_c E·L'_c − D_c²) until one final division.
+    "q_modularity" -> ((s, d) => {
+      val labels = t(s, d, "customer")
+        .select((col("c_custkey") * 2L).as("node"), col("c_nationkey").as("comm"))
+        .unionAll(t(s, d, "supplier")
+          .select((col("s_suppkey") * 2L + 1L).as("node"), col("s_nationkey").as("comm")))
+      Graph.modularity(tradeEdges(s, d), col("src"), col("dst"),
+        labels, col("node"), col("comm"))
+    }),
+
+    // Strict-prefix dedup: corpus = documents ∪ their half-truncations
+    // (synthetic ids +10M) — every half that is a strict prefix of its
+    // source (i.e. almost all) must surface, via ONE distributed sort
+    // + lead, never a self-join. Returns the flagged ids.
+    "q_prefix_dup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val halves = docs.select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        expr("substring(text, 1, length(text) div 2)").as("text"))
+      Dedup.prefixDups(docs.unionAll(halves), col("text"))
+        .select(col("doc_id"))
+    }),
+
+    // Expanding distinct-count (COUNT(DISTINCT) OVER — unsupported
+    // directly in Spark) via the first-seen-flag + running-sum
+    // rewrite; surfaced as the "time to 3rd distinct event type"
+    // milestone per user.
+    "q_cum_distinct" -> ((s, d) => {
+      val e = t(s, d, "events")
+      Analytics.expandingDistinct(e, col("user_id"), col("event_type"),
+          col("ts"), Seq(col("event_id")))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("cum_distinct")).as("n_types"),
+          usec(min(when(col("cum_distinct") === 3, col("ts")))).as("ts3_us"))
+    }),
+
+    // One Lloyd's assignment step from deterministic seeds (the 8
+    // smallest-vec_id embeddings): the fused NearestCentroid codegen
+    // kernel vs the oracle's explicit argmin — integer-only aggregate
+    // surface (counts, id ranges, label sums), distances compared as
+    // in-order double folds on both engines.
+    "q_cluster" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val seeds = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .collect()
+        .sortBy(_.getLong(0)) // collect order is not a contract; vec_id is
+        .map(_.getSeq[Double](1).toArray)
+      Clustering.assign(emb, "embedding", seeds)
+        .groupBy(col("cell"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("vec_id")).as("min_vid"),
+          max(col("vec_id")).as("max_vid"),
+          sum(col("label").cast("long")).as("label_sum"))
+    }),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -3523,6 +3592,93 @@ object SparkEntry {
       Seq("l_orderkey", "l_returnflag", "l_shipdate")
         .map(branch).mkString("\nUNION ALL\n")
     },
+
+    // integer-only skew report: ppm share + ceil-div salt, P pinned 32
+    "q_key_skew" ->
+      """WITH c AS (SELECT coalesce(CAST(event_type AS VARCHAR), 'null') AS key,
+        |  count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |r AS (SELECT key, cnt, total,
+        |  row_number() OVER (ORDER BY cnt DESC, key) AS rnk
+        |  FROM c, t QUALIFY rnk <= 10)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, key, cnt,
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(least(32, greatest(1, (cnt * 32 + total - 1) // total)) AS BIGINT)
+        |    AS salt_factor
+        |FROM r""".stripMargin,
+
+    // Q·E² as exact integers; same trade CTE as the graph family
+    "q_modularity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |lab AS (SELECT 'c:' || c_custkey AS node, c_nationkey AS comm FROM customer
+        |        UNION ALL SELECT 's:' || s_suppkey, s_nationkey FROM supplier),
+        |e AS (SELECT ls.comm AS sc, ld.comm AS dc
+        |  FROM edges JOIN lab ls ON edges.src = ls.node
+        |  JOIN lab ld ON edges.dst = ld.node),
+        |byc AS (SELECT sc AS comm, CAST(count(*) AS BIGINT) AS deg_sum,
+        |  CAST(sum(CASE WHEN sc = dc THEN 1 ELSE 0 END) AS BIGINT) AS intra
+        |  FROM e GROUP BY sc),
+        |tot AS (SELECT CAST(sum(deg_sum) AS BIGINT) AS e2 FROM byc)
+        |SELECT CAST(count(*) AS BIGINT) AS communities,
+        |  CAST(e2 // 2 AS BIGINT) AS m_edges,
+        |  CAST(sum(e2 * intra - deg_sum * deg_sum) AS DOUBLE) AS q_num,
+        |  CAST(e2 AS DOUBLE) * CAST(e2 AS DOUBLE) AS q_denom,
+        |  round(CAST(sum(e2 * intra - deg_sum * deg_sum) AS DOUBLE) /
+        |    (CAST(e2 AS DOUBLE) * CAST(e2 AS DOUBLE)), 6) AS modularity
+        |FROM byc, tot GROUP BY e2""".stripMargin,
+
+    // lexicographic-successor prefix test over the distinct texts
+    "q_prefix_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, substr(text, 1, length(text) // 2)
+        |  FROM documents),
+        |d AS (SELECT DISTINCT text AS t FROM corpus
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |s AS (SELECT t, lead(t) OVER (ORDER BY t) AS nxt FROM d),
+        |p AS (SELECT t FROM s WHERE nxt IS NOT NULL
+        |  AND length(t) < length(nxt) AND left(nxt, length(t)) = t)
+        |SELECT c.doc_id FROM corpus c JOIN p ON c.text = p.t""".stripMargin,
+
+    // first-seen flag + running sum == COUNT(DISTINCT) OVER
+    "q_cum_distinct" ->
+      """WITH f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+        |  FROM events),
+        |c AS (SELECT user_id, ts,
+        |  sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM f)
+        |SELECT user_id, CAST(max(cum) AS BIGINT) AS n_types,
+        |  epoch_us(min(CASE WHEN cum = 3 THEN ts END)) AS ts3_us
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    // explicit argmin over the 8 smallest-id seed vectors; ties to the
+    // lowest cell index = the kernel's strict-< keep-first
+    "q_cluster" ->
+      """WITH seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+        |    embedding AS ce
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |dist AS (SELECT v.vec_id, v.label, s.cell,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, len(v.embedding)),
+        |      i -> (v.embedding[i]::DOUBLE - s.ce[i]::DOUBLE) *
+        |           (v.embedding[i]::DOUBLE - s.ce[i]::DOUBLE))),
+        |    (a, x) -> a + x) AS d2
+        |  FROM embeddings v CROSS JOIN seeds s),
+        |a AS (SELECT vec_id, label, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+        |  FROM dist)
+        |SELECT cell, count(*) AS n, min(vec_id) AS min_vid,
+        |  max(vec_id) AS max_vid, CAST(sum(label) AS BIGINT) AS label_sum
+        |FROM a WHERE rk = 1 GROUP BY cell""".stripMargin,
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

@@ -675,4 +675,32 @@ object Analytics {
         ((col("support") * col("n_baskets")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
+
+  /** Expanding (cumulative) DISTINCT count per key — "how many
+    * distinct `valCol` values has this key seen so far", a window
+    * shape neither Spark nor ANSI SQL expresses directly
+    * (`COUNT(DISTINCT) OVER` is unsupported in Spark and quadratic
+    * where it exists).
+    *
+    * Rewrite: mark each row's FIRST occurrence of (key, value) with a
+    * `row_number` window, then running-`sum` the 0/1 flag over the
+    * key's event order. Two windows, both partitioned by the key —
+    * shuffle-compatible (one hash exchange on `keyCol` serves both;
+    * no global sort, no per-row set state). Ordering must be made
+    * total via `tieCols` (e.g. an event id) or the flag attribution
+    * inside equal order values is nondeterministic.
+    *
+    * Adds `cum_distinct` to the input rows.
+    */
+  def expandingDistinct(df: DataFrame, keyCol: Column, valCol: Column,
+      orderCol: Column, tieCols: Seq[Column] = Nil): DataFrame = {
+    val order = (orderCol +: tieCols).map(_.asc)
+    val wFirst = Window.partitionBy(keyCol, valCol).orderBy(order: _*)
+    val wRun = Window.partitionBy(keyCol).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_is_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("cum_distinct", sum(col("_is_first")).over(wRun))
+      .drop("_is_first")
+  }
 }

@@ -903,4 +903,64 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** EXACT strict-prefix dedup: rows whose text is a strict prefix of
+    * some OTHER document's text (truncated re-crawls, cut-off
+    * generations, partial mirrors — near-dups that shingle-based
+    * methods only catch probabilistically).
+    *
+    * One sort, no self-join. Key fact: among the DISTINCT texts in
+    * lexicographic order, x is a strict prefix of SOME text iff x is a
+    * prefix of its immediate successor succ(x) — any z with
+    * x < z < y (y = an x-prefixed text) must itself start with x
+    * (z's first |x| chars can be neither < x nor > x without
+    * contradicting x < z < y). So the whole corpus needs exactly one
+    * `lead()` pass.
+    *
+    * Scale shape: a global sort would force the naive
+    * `Window.orderBy(text)` into ONE partition, so instead the
+    * distinct texts are range-partitioned + locally sorted, `lead` runs
+    * per partition, and the |partitions| boundary rows are repaired
+    * with a collected (bounded: one row per partition) first-text map
+    * broadcast back — the standard distributed-adjacency pattern.
+    * Returns the input rows whose text is a strict prefix (semi-join
+    * on text), original schema preserved.
+    */
+  def prefixDups(df: DataFrame, textCol: Column, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val texts = df.select(textCol.as("_t"))
+      .where(col("_t").isNotNull && length(col("_t")) > 0)
+      .distinct()
+      .repartitionByRange(p, col("_t"))
+      .sortWithinPartitions(col("_t"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true) // pin the partition ids the repair map keys on
+    val w = Window.partitionBy(col("_pid")).orderBy(col("_t"))
+    val local = texts.withColumn("_nxt", lead(col("_t"), 1).over(w))
+    // per-partition first texts: ≤ p rows, driver-safe at any corpus size
+    val firstByPid = texts.groupBy(col("_pid")).agg(min(col("_t")).as("_first"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).sortBy(_._1)
+    // successor of partition i's LAST text = first text of the next
+    // non-empty partition (range partitioning keeps global order)
+    val repair = firstByPid.zipWithIndex.flatMap { case ((pid, _), i) =>
+      firstByPid.drop(i + 1).headOption.map { case (_, nf) => (pid, nf) }
+    }.toSeq
+    val repairDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(repair.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("_bnxt", org.apache.spark.sql.types.StringType))))
+    val prefixes = local
+      .join(broadcast(repairDf), Seq("_pid"), "left")
+      // boundary repair applies exactly where the local lead ran out
+      .withColumn("_succ", coalesce(col("_nxt"), col("_bnxt")))
+      .where(col("_succ").isNotNull &&
+        length(col("_t")) < length(col("_succ")) &&
+        col("_succ").startsWith(col("_t")))
+      .select(col("_t"))
+    df.join(prefixes, textCol === col("_t"), "left_semi")
+  }
 }

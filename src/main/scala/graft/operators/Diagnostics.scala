@@ -67,6 +67,47 @@ object Diagnostics {
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
   }
 
+  /** EXACT distributed key-skew report — the auditable complement of
+    * the sketch-based [[keySkew]]: one `groupBy(keys).count()` shuffle
+    * (map-side partial aggregation makes the shuffle |distinct keys|
+    * rows, not |rows|), a broadcast 1-row total, and a top-`topK`
+    * take. Returns `topK` rows ranked by count with a deterministic
+    * key tiebreak:
+    *
+    *   rnk, key, cnt, share_ppm, salt_factor
+    *
+    * All derived columns are INTEGER math, so the report is bit-equal
+    * across engines: `share_ppm = cnt·1e6 div total` and
+    * `salt_factor = min(partitions, max(1, ceil(cnt·partitions /
+    * total)))` computed as `(cnt·P + total − 1) div total` — the salt
+    * a [[Relational.saltedJoin]] needs to spread the hottest key to
+    * ~mean partition load. Null key parts get the same sentinel
+    * treatment as [[keySkew]].
+    */
+  def skewReport(df: DataFrame, keys: Seq[Column], topK: Int = 10,
+      partitions: Int = 0): DataFrame = {
+    require(topK >= 1, s"skewReport: topK must be >= 1, got $topK")
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = keys.map(k =>
+      coalesce(k.cast("string"), lit("null")))
+    val counts = df
+      .select(concat_ws("", parts: _*).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_total")) // 1 row, broadcast
+    counts.crossJoin(broadcast(total))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key").asc)).as("rnk"),
+        col("key"), col("cnt"),
+        expr("cnt * 1000000L div _total").as("share_ppm"),
+        least(lit(p.toLong), greatest(lit(1L),
+          expr(s"(cnt * ${p}L + _total - 1L) div _total"))).as("salt_factor"))
+  }
+
   /** Per-partition row counts — imbalance at a glance (returns
     * |partitions| rows: partition id, rows).
     */

@@ -493,4 +493,55 @@ object Graph {
         ((col("n_tri") * 2).cast("double") /
           (col("degree") * (col("degree") - 1)).cast("double")).as("clustering"))
   }
+
+  /** Newman modularity Q of a community assignment over an undirected
+    * graph given as a SYMMETRIC directed edge list (both directions
+    * present, the [[pageRank]]/[[labelPropagation]] convention).
+    *
+    * With E = |symmetric edges| = 2m, L'_c = symmetric intra-community
+    * edge count (= 2·undirected intra edges) and D_c = Σ degrees in c:
+    *
+    *   Q = Σ_c [ L_c/m − (D_c/2m)² ]  ⇒  Q·E² = Σ_c (E·L'_c − D_c²)
+    *
+    * so the whole statistic is INTEGER arithmetic until one final IEEE
+    * division — bit-identical across engines and shuffle orders. The
+    * per-community sums are exact DECIMAL(38,0) (E·L'_c can pass 2^63
+    * on big graphs); the plan is two narrow |E|-row joins against the
+    * broadcast-able labels frame plus two tiny aggregations — no
+    * materialized per-pair structure, safe at any |E|.
+    *
+    * `labels`: (node, community) one row per node. Edges whose
+    * endpoint has no label are dropped (documented: modularity of the
+    * labeled subgraph). Returns one row:
+    * (communities, m_edges, q_num, q_denom, modularity).
+    */
+  def modularity(edges: DataFrame, srcCol: Column, dstCol: Column,
+      labels: DataFrame, nodeCol: Column, communityCol: Column): DataFrame = {
+    val lab = labels.select(nodeCol.as("_n"), communityCol.as("_c"))
+    val e = edges.select(srcCol.as("_s"), dstCol.as("_d"))
+      .join(lab.select(col("_n").as("_s"), col("_c").as("_sc")), Seq("_s"))
+      .join(lab.select(col("_n").as("_d"), col("_c").as("_dc")), Seq("_d"))
+    // one pass over labeled symmetric edges: per source-community degree
+    // sums and intra-community symmetric counts
+    val byC = e.groupBy(col("_sc").as("_comm")).agg(
+      count(lit(1)).as("_deg_sum"), // Σ out-degree in c == D_c (symmetric list)
+      sum(when(col("_sc") === col("_dc"), 1L).otherwise(0L)).as("_intra_sym"))
+    val tot = byC.agg(sum(col("_deg_sum")).as("_e")) // E = 2m, one row
+    byC.crossJoin(broadcast(tot))
+      .select(
+        col("_comm"),
+        (col("_e").cast("decimal(38,0)") * col("_intra_sym") -
+          col("_deg_sum").cast("decimal(38,0)") * col("_deg_sum")).as("_qc"),
+        col("_e"))
+      .groupBy(col("_e"))
+      .agg(count(lit(1)).as("communities"), sum(col("_qc")).as("_qn"))
+      .select(
+        col("communities"),
+        expr("_e div 2L").as("m_edges"), // `/` on longs would widen to double
+        col("_qn").cast("double").as("q_num"),
+        (col("_e").cast("decimal(38,0)") * col("_e")).cast("double").as("q_denom"),
+        round(col("_qn").cast("double") /
+          (col("_e").cast("decimal(38,0)") * col("_e")).cast("double"), 6)
+          .as("modularity"))
+  }
 }

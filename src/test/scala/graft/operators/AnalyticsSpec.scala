@@ -367,4 +367,33 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(all == Set(("x", "y", 3L), ("x", "z", 1L), ("y", "z", 1L)))
   }
+
+  test("expandingDistinct: running distinct count with repeats, per key") {
+    val df = Seq(
+      // (user, type, t, id) — u1 sees a,a,b,a,c -> cum 1,1,2,2,3
+      ("u1", "a", 1L, 1L), ("u1", "a", 2L, 2L), ("u1", "b", 3L, 3L),
+      ("u1", "a", 4L, 4L), ("u1", "c", 5L, 5L),
+      // u2 sees b,b -> 1,1 (keys independent)
+      ("u2", "b", 1L, 6L), ("u2", "b", 2L, 7L)
+    ).toDF("u", "et", "t", "id")
+    val got = Analytics.expandingDistinct(df, col("u"), col("et"), col("t"),
+        Seq(col("id")))
+      .select("u", "id", "cum_distinct")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("u1", 1L, 1L), ("u1", 2L, 1L), ("u1", 3L, 2L), ("u1", 4L, 2L),
+      ("u1", 5L, 3L), ("u2", 6L, 1L), ("u2", 7L, 1L)))
+  }
+
+  test("expandingDistinct: equal-timestamp ties resolved by the tie column") {
+    val df = Seq(
+      ("u", "a", 1L, 2L), // same t=1; id 1 is "b", id 2 is "a"
+      ("u", "b", 1L, 1L)
+    ).toDF("u", "et", "t", "id")
+    val got = Analytics.expandingDistinct(df, col("u"), col("et"), col("t"),
+        Seq(col("id")))
+      .select("id", "cum_distinct")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 2L))) // b first (id 1), then a -> 2
+  }
 }

@@ -283,4 +283,32 @@ class DedupSpec extends SparkSpec {
     val cont = Dedup.containmentPairs(docs, "doc_id", "text", 2, 0.1).collect()
     assert(cont.isEmpty) // no bogus mutual-containment among empty docs
   }
+
+  test("prefixDups flags strict prefixes only, across partition boundaries") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta"),     // strict prefix of 1
+      (3L, "alpha"),          // strict prefix of 2 (and 1)
+      (4L, "alphabet"),       // NOT a prefix of anything ("alphabet" vs "alpha beta")
+      (5L, "zulu"),
+      (6L, "zulu"),           // exact duplicate, NOT a strict prefix
+      (7L, "delta"),
+      (8L, ""),               // empty: excluded by contract
+      (9L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // partitions > distinct texts: forces empty range partitions, so the
+    // boundary-repair path (next NON-EMPTY partition's first) is exercised
+    for (p <- Seq(1, 4, 16)) {
+      val got = Dedup.prefixDups(corpus, col("text"), partitions = p)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(2L, 3L), s"partitions=$p")
+    }
+  }
+
+  test("prefixDups: chain where every text prefixes the next, last one clean") {
+    val chain = (1 to 6).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
+    val got = Dedup.prefixDups(chain, col("text"), partitions = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == (1L to 5L).toSet)
+  }
 }

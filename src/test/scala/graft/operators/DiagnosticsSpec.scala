@@ -113,4 +113,31 @@ class DiagnosticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.toSeq).toMap
     assert(withEmpty.keys.forall(c => withEmpty(c) == out(c).toSeq))
   }
+
+  test("skewReport: exact counts, integer share/salt math, key tiebreak") {
+    // 60 "hot", 20 "warm", 20 "cold" -> total 100; P = 10
+    val df = (spark.range(60).select(lit("hot").as("k")) unionAll
+      spark.range(20).select(lit("warm").as("k")) unionAll
+      spark.range(20).select(lit("cold").as("k")))
+    val rows = Diagnostics.skewReport(df, Seq(col("k")), topK = 3, partitions = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // hot: share 600000 ppm, salt ceil(60*10/100)=6
+    // tie warm/cold at 20 -> key ASC puts cold first; salt ceil(2)=2
+    assert(rows.toSeq == Seq(
+      (1, "hot", 60L, 600000L, 6L),
+      (2, "cold", 20L, 200000L, 2L),
+      (3, "warm", 20L, 200000L, 2L)))
+  }
+
+  test("skewReport caps salt at the partition count and floors at 1") {
+    val oneKey = spark.range(100).select(lit("only").as("k"))
+    val r1 = Diagnostics.skewReport(oneKey, Seq(col("k")), topK = 1, partitions = 8)
+      .collect().head
+    assert(r1.getLong(4) == 8L) // 100% share -> ceil(8) capped at P
+    val uniform = spark.range(1000).select(col("id").as("k"))
+    val r2 = Diagnostics.skewReport(uniform, Seq(col("k")), topK = 1, partitions = 8)
+      .collect().head
+    assert(r2.getLong(4) == 1L) // 1-row keys -> ceil(8/1000) -> 1
+  }
 }

@@ -243,4 +243,33 @@ class GraphSpec extends SparkSpec {
     assert(census(k4.repartition(5)) == expected)
     graft.core.CacheRegistry.unpersistAll()
   }
+
+  test("modularity: closed-form check on two triangles joined by one edge") {
+    // Communities {1,2,3} and {4,5,6}: two triangles + bridge 3-4.
+    // m=7, intra L_c=3 each, D_A=D_B=7:
+    // Q = 2*(3/7 - (7/14)^2) = 6/7 - 1/2 = 5/14 ~ 0.357143
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"), (6L, "B"))
+      .toDF("node", "comm")
+    val r = Graph.modularity(edges, col("src"), col("dst"),
+      labels, col("node"), col("comm")).collect().head
+    assert(r.getAs[Long]("communities") == 2L)
+    assert(r.getAs[Long]("m_edges") == 7L)
+    // Q*E^2 with E=14: 2*(14*6 - 49) = 70; denom 196; 70/196 = 5/14
+    assert(r.getAs[Double]("q_num") == 70.0)
+    assert(r.getAs[Double]("q_denom") == 196.0)
+    assert(r.getAs[Double]("modularity") == math.rint(5.0 / 14.0 * 1e6) / 1e6 ||
+      math.abs(r.getAs[Double]("modularity") - 5.0 / 14.0) < 1e-6)
+  }
+
+  test("modularity of a single all-in-one community is exactly zero") {
+    val und = Seq((1L, 2L), (2L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq(1L, 2L, 3L).map(_ -> "all").toDF("node", "comm")
+    val r = Graph.modularity(edges, col("src"), col("dst"),
+      labels, col("node"), col("comm")).collect().head
+    // L=m and D=2m: Q = m/m - (2m/2m)^2 = 0 exactly
+    assert(r.getAs[Double]("q_num") == 0.0 && r.getAs[Double]("modularity") == 0.0)
+  }
 }
