@@ -2001,6 +2001,48 @@ object SparkEntry {
           sum(col("label").cast("long")).as("label_sum"))
     }),
 
+    // Gini concentration of supplier revenue: exact integer cents +
+    // distributed rank (globalIndex, never a one-partition window),
+    // one IEEE division pair at the very end.
+    "q_gini" -> ((s, d) =>
+      Analytics.gini(
+        t(s, d, "lineitem").select(col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")),
+        col("l_suppkey"), col("cents"))),
+
+    // Mutual information event_type × user-bucket: exact integer
+    // counts, 6dp-rounded DECIMAL term sums (order-proof), ln only.
+    "q_mutual_info" -> ((s, d) =>
+      Analytics.mutualInfo(t(s, d, "events"),
+        col("event_type"), (col("user_id") % 4L).as("ubucket"))),
+
+    // Time-weighted average value per user: duration-weighted mean
+    // with DECIMAL(38,6) value×µs accumulation, right-open intervals.
+    "q_twap" -> ((s, d) =>
+      Analytics.timeWeightedAvg(t(s, d, "events"), col("user_id"),
+          col("ts"), col("value"), Seq(col("event_id")))
+        .withColumnRenamed("key", "user_id")),
+
+    // CMS join-size estimate vs the exact Σ n_A(k)·n_B(k): the
+    // one-sided guarantee surfaces as booleans the oracle pins TRUE
+    // (the heavy-hitters contract-gate pattern).
+    "q_join_size" -> ((s, d) => {
+      val est = Sketches.joinSizeEstimate(
+        t(s, d, "orders"), col("o_custkey"),
+        t(s, d, "customer"), col("c_custkey"), d = 4, w = 2048)
+      val exact = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("na"))
+        .join(t(s, d, "customer")
+          .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("nb")), Seq("k"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_size"))
+      est.crossJoin(exact).select(
+        col("exact_size"),
+        (col("join_size_est") >= col("exact_size")).as("found_ok"),
+        (col("join_size_est") <= col("exact_size") + col("bound_slack"))
+          .as("bound_ok"))
+    }),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -3679,6 +3721,59 @@ object SparkEntry {
         |SELECT cell, count(*) AS n, min(vec_id) AS min_vid,
         |  max(vec_id) AS max_vid, CAST(sum(label) AS BIGINT) AS label_sum
         |FROM a WHERE rk = 1 GROUP BY cell""".stripMargin,
+
+    // exact cents + row_number rank; same division shapes as Spark
+    "q_gini" ->
+      """WITH tot AS (SELECT l_suppkey AS k,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT k, x, row_number() OVER (ORDER BY x, k) AS i FROM tot)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(x) AS BIGINT) AS sum_val,
+        |  CAST(sum(CAST(i AS DECIMAL(38,0)) * x) AS DOUBLE) AS weighted_sum,
+        |  round(CAST(sum(CAST(i AS DECIMAL(38,0)) * x) AS DOUBLE) * 2.0 /
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) -
+        |    CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini
+        |FROM r""".stripMargin,
+
+    // integer cell/marginal counts; 6dp DECIMAL term sums; ln only
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT event_type AS x, user_id % 4 AS y,
+        |  CAST(count(*) AS BIGINT) AS n_xy FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+        |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+        |n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nn FROM cells),
+        |t AS (SELECT x, y, n_xy, n_x, n_y, nn,
+        |  CAST(round(CAST(n_xy AS DOUBLE) *
+        |    ln(CAST(n_xy AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |      (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS term
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y), n)
+        |SELECT x, y, n_xy, n_x, n_y, CAST(term AS DOUBLE) AS term,
+        |  round(CAST(sum(term) OVER () AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS mi
+        |FROM t""".stripMargin,
+
+    // right-open intervals via lead; DECIMAL(18,6)×µs weighted sums
+    "q_twap" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, value, event_id
+        |  FROM events),
+        |i AS (SELECT user_id, value,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+        |  FROM o)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(dt) AS BIGINT) AS dt_total_us,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6)) * dt) AS DOUBLE) /
+        |    CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE), 6) AS twap
+        |FROM i WHERE dt IS NOT NULL AND value IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+
+    // exact inner product of key frequencies; CMS bound booleans TRUE
+    "q_join_size" ->
+      """WITH a AS (SELECT o_custkey AS k, count(*) AS na FROM orders GROUP BY 1),
+        |b AS (SELECT c_custkey AS k, count(*) AS nb FROM customer GROUP BY 1)
+        |SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_size,
+        |  TRUE AS found_ok, TRUE AS bound_ok
+        |FROM a JOIN b USING (k)""".stripMargin,
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

@@ -703,4 +703,112 @@ object Analytics {
       .withColumn("cum_distinct", sum(col("_is_first")).over(wRun))
       .drop("_is_first")
   }
+
+  /** Gini concentration index of an integer measure over keys — "how
+    * concentrated is revenue/traffic/token volume across suppliers/
+    * domains/sources", the inequality summary next to a skew report.
+    *
+    * Over the per-key totals x₁ ≤ … ≤ xₙ (ties broken by key):
+    *
+    *   G = 2·Σ i·xᵢ / (n·Σxᵢ) − (n+1)/n
+    *
+    * Exact until the final division: per-key totals are one shuffle
+    * (map-side partial), the global rank i comes from
+    * [[Relational.globalIndex]] (range-partitioned sort +
+    * partition-local indexing — NEVER a single-partition window; the
+    * ranked frame is |keys|, not |rows|), and Σi·xᵢ accumulates in
+    * DECIMAL(38,0) (rank × total can pass 2^63). Returns one row:
+    * (n_keys, sum_val, weighted_sum, gini).
+    *
+    * `valueCol` must be integral (cents, bytes, tokens) and
+    * non-negative — Gini over negative totals is not defined here.
+    */
+  def gini(df: DataFrame, keyCol: Column, valueCol: Column): DataFrame = {
+    val totals = df.groupBy(keyCol.as("_k"))
+      .agg(sum(valueCol.cast("long")).as("_x"))
+    Relational.globalIndex(totals, Seq(col("_x"), col("_k")), "_i")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("_x")).as("sum_val"),
+        sum(col("_i").cast("decimal(38,0)") * col("_x")).as("_w"))
+      .select(
+        col("n_keys"), col("sum_val"),
+        col("_w").cast("double").as("weighted_sum"),
+        round(
+          (col("_w").cast("double") * 2.0) /
+            (col("n_keys").cast("double") * col("sum_val").cast("double")) -
+            (col("n_keys") + 1L).cast("double") / col("n_keys").cast("double"),
+          6).as("gini"))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * dependence screen of a feature audit ("does source predict
+    * language?"). Exact integer cell/marginal counts; each cell's
+    * term nᵪᵧ·ln(nᵪᵧ·N / (nᵪ·nᵧ)) is rounded to 6 dp and summed as
+    * DECIMAL(18,6), so the total is independent of accumulation
+    * order (the [[Ranking.rankEval]] discipline — ln is the one
+    * cross-engine-identical transcendental). Returns one row per
+    * observed cell plus the corpus MI (nats, same on every row):
+    * (x, y, n_xy, n_x, n_y, term, mi).
+    *
+    * Scale shape: one groupBy over (x,y) then two broadcast-able
+    * marginal joins; the final total is a window over the |X|·|Y|
+    * cell frame — bounded by construction (categorical columns), not
+    * by the row count.
+    */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val n = cells.agg(sum(col("n_xy")).as("_n"))
+    val w = Window.partitionBy() // |X|.|Y| cells: bounded, documented
+    cells
+      .join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(n))
+      .withColumn("term",
+        round(col("n_xy").cast("double") *
+          log((col("n_xy").cast("double") * col("_n").cast("double")) /
+            (col("n_x").cast("double") * col("n_y").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("mi",
+        round(sum(col("term")).over(w).cast("double") /
+          col("_n").cast("double"), 6))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("term").cast("double").as("term"), col("mi"))
+  }
+
+  /** Per-key time-weighted average — the TWAP/uptime-mean shape:
+    * each observation holds its value until the NEXT observation, so
+    * the mean weights by holding duration, not sample count
+    * (irregular telemetry sampled uniformly otherwise biases toward
+    * chatty periods).
+    *
+    * Interval attribution via one `lead` window per key (one hash
+    * exchange, no global sort); the value×µs products accumulate in
+    * DECIMAL(38,6) so the sum is shuffle-order-proof. The key's LAST
+    * observation has no successor and is excluded (the standard
+    * right-open convention); null values drop their interval. One row
+    * per key: (key, n_intervals, dt_total_us, twap).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: Column, tsCol: Column,
+      valCol: Column, tieCols: Seq[Column] = Nil): DataFrame = {
+    val tieNames = tieCols.indices.map(i => s"_t$i")
+    val sel = Seq(keyCol.as("_k"), unix_micros(tsCol).as("_us"), valCol.as("_v")) ++
+      tieCols.zip(tieNames).map { case (c, n) => c.as(n) }
+    val order = col("_us").asc +: tieNames.map(col(_).asc)
+    df.select(sel: _*)
+      .withColumn("_dt", lead(col("_us"), 1).over(
+        Window.partitionBy(col("_k")).orderBy(order: _*)) - col("_us"))
+      .where(col("_dt").isNotNull && col("_v").isNotNull)
+      .groupBy(col("_k").as("key"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("_dt")).as("dt_total_us"),
+        sum(col("_v").cast("decimal(18,6)") * col("_dt")).as("_wsum"))
+      .select(col("key"), col("n_intervals"), col("dt_total_us"),
+        round(col("_wsum").cast("double") / col("dt_total_us").cast("double"), 6)
+          .as("twap"))
+  }
 }

@@ -130,4 +130,43 @@ object Sketches {
         java.util.Arrays.binarySearch(b, h) >= 0
     union.count(inBoth).toDouble / union.length.toDouble
   }
+
+  /** Pre-flight JOIN SIZE estimate via Count-Min inner products
+    * (Cormode & Muthukrishnan §4.2): |A ⋈ₖ B| = Σₖ n_A(k)·n_B(k) is
+    * exactly the inner product of the two key-frequency vectors, and
+    * the CMS estimate min_i ⟨sketchA_i, sketchB_i⟩ obeys the one-sided
+    * guarantee  exact ≤ est ≤ exact + e·|A|·|B|/w  (collisions only
+    * ADD). The planner question it answers — "will this join explode?"
+    * — costs two single-pass d×w sketches and a d·w-long dot product,
+    * never a shuffle of either table's keyspace, which is the point
+    * before launching a 100 TB join whose output size is unknown.
+    *
+    * Returns one row: (join_size_est, n_a, n_b, bound_slack) where
+    * bound_slack = ⌈e·n_a·n_b/w⌉, the additive error budget the
+    * estimate is guaranteed (w.h.p. 1−2^−d per row, min over d rows)
+    * to stay within.
+    */
+  def joinSizeEstimate(dfA: DataFrame, keyA: Column, dfB: DataFrame,
+      keyB: Column, d: Int = 4, w: Int = 2048): DataFrame = {
+    val cmsUdaf = udaf(graft.functions.TypedAggregators.countMin(d, w),
+      org.apache.spark.sql.Encoders.STRING)
+    val sa = dfA.select(keyA.cast("string").as("k"))
+      .agg(cmsUdaf(col("k")).as("_ska"), count(col("k")).as("n_a"))
+    val sb = dfB.select(keyB.cast("string").as("k"))
+      .agg(cmsUdaf(col("k")).as("_skb"), count(col("k")).as("n_b"))
+    val dots = (0 until d).map { i =>
+      aggregate(
+        zip_with(
+          slice(col("_ska"), i * w + 1, w),
+          slice(col("_skb"), i * w + 1, w),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }
+    sa.crossJoin(sb) // 1×1 rows
+      .select(
+        array_min(array(dots: _*)).as("join_size_est"),
+        col("n_a"), col("n_b"),
+        ceil(col("n_a").cast("double") * col("n_b").cast("double") *
+          (math.E / w)).cast("long").as("bound_slack"))
+  }
 }

@@ -396,4 +396,42 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 1L), (2L, 2L))) // b first (id 1), then a -> 2
   }
+
+  test("gini: closed forms — uniform is 0, linear totals are 0.25") {
+    val uniform = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L)).toDF("k", "v")
+    val g0 = Analytics.gini(uniform, col("k"), col("v")).collect().head
+    assert(g0.getAs[Long]("n_keys") == 4L && g0.getAs[Long]("sum_val") == 20L)
+    assert(g0.getAs[Double]("gini") == 0.0)
+    // totals 1,2,3,4: W = 30, G = 60/40 - 5/4 = 0.25
+    val linear = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "v")
+    val g1 = Analytics.gini(linear, col("k"), col("v")).collect().head
+    assert(g1.getAs[Double]("weighted_sum") == 30.0)
+    assert(g1.getAs[Double]("gini") == 0.25)
+  }
+
+  test("mutualInfo: independence gives 0, identity gives ln 2") {
+    // 2x2 uniform: every cell n=5 -> each term ln(1) = 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq(0, 1); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val mi0 = Analytics.mutualInfo(indep, col("x"), col("y")).collect()
+    assert(mi0.length == 4 && mi0.forall(_.getAs[Double]("mi") == 0.0))
+    // y == x over 2 symbols: MI = ln 2
+    val dep = (Seq.fill(6)("a") ++ Seq.fill(6)("b")).map(s => (s, s)).toDF("x", "y")
+    val mi1 = Analytics.mutualInfo(dep, col("x"), col("y")).collect()
+    assert(mi1.forall(r => math.abs(r.getAs[Double]("mi") - math.log(2.0)) < 1e-6))
+  }
+
+  test("timeWeightedAvg: duration-weighted, right-open, last point dropped") {
+    val df = Seq(
+      ("u", 0L, 1.0), ("u", 10L, 4.0), ("u", 30L, 7.0), // 7.0 has no successor
+      ("v", 0L, 2.0) // single point: no interval at all
+    ).toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val rows = Analytics.timeWeightedAvg(df, col("k"), col("ts"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // u: 1.0*10 + 4.0*20 = 90 over 30us -> 3.0
+    assert(rows("u") == ((2L, 30L, 3.0)))
+    assert(!rows.contains("v"))
+  }
 }

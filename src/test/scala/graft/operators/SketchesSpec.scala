@@ -86,4 +86,30 @@ class SketchesSpec extends SparkSpec {
     assert(out == Set(
       (Some("x"), 1, 2L), (Some("y"), 1, 1L), (None, 0, 2L)))
   }
+
+  test("joinSizeEstimate: one-sided bound holds, exact on collision-free keys") {
+    val a = Seq("a", "a", "b").toDF("k")
+    val b = Seq("a", "b", "b", "c").toDF("k")
+    val r = Sketches.joinSizeEstimate(a, col("k"), b, col("k")).collect().head
+    val est = r.getAs[Long]("join_size_est")
+    // exact inner product: 2*1 + 1*2 = 4; w=2048 over 4 keys -> no collisions
+    assert(est == 4L)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 4L)
+    // disjoint keyspaces estimate 0 (min over d rows kills any 1-row collision)
+    val z = Sketches.joinSizeEstimate(
+      Seq("x").toDF("k"), col("k"), Seq("y").toDF("k"), col("k")).collect().head
+    assert(z.getAs[Long]("join_size_est") == 0L)
+  }
+
+  test("joinSizeEstimate is partition-layout-proof (mergeable sketches)") {
+    val a = (1 to 200).map(i => s"k${i % 50}").toDF("k")
+    val b = (1 to 100).map(i => s"k${i % 25}").toDF("k")
+    val one = Sketches.joinSizeEstimate(a.coalesce(1), col("k"), b.coalesce(1), col("k"))
+      .collect().head.getAs[Long]("join_size_est")
+    val many = Sketches.joinSizeEstimate(a.repartition(7), col("k"), b.repartition(5), col("k"))
+      .collect().head.getAs[Long]("join_size_est")
+    assert(one == many)
+    // exact = sum over 25 shared keys of 4*4 = 400; CMS never undercounts
+    assert(one >= 400L)
+  }
 }
