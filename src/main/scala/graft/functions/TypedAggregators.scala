@@ -204,27 +204,35 @@ object TypedAggregators {
     * order. When fewer than `k` distinct values exist the sketch IS
     * the exact distinct hash set.
     */
+  /** The kmv single-value insert, shared with the streaming twin
+    * ([[graft.streaming.StreamDistinct]]) so the cap/dup handling can
+    * never diverge between the batch and streaming sketches. Stores
+    * sign-flipped (`h ^ Long.MinValue`) like the aggregator buffer.
+    */
+  private[graft] def kmvInsert(buf: Array[Long], hRaw: Long, k: Int): Array[Long] = {
+    val h = hRaw ^ Long.MinValue
+    val pos = java.util.Arrays.binarySearch(buf, h)
+    if (pos >= 0) buf // already present
+    else {
+      val ins = -pos - 1
+      if (ins >= k) buf // beyond the cap: cannot be among k smallest
+      else {
+        val n = math.min(buf.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+        out
+      }
+    }
+  }
+
   def kmv(k: Int): Aggregator[Long, Array[Long], Array[Long]] = {
     require(k >= 16, s"kmv: k must be >= 16, got $k")
     new Aggregator[Long, Array[Long], Array[Long]] {
       def zero: Array[Long] = Array.empty
-      def reduce(buf: Array[Long], hRaw: Long): Array[Long] = {
-        val h = hRaw ^ Long.MinValue
-        val pos = java.util.Arrays.binarySearch(buf, h)
-        if (pos >= 0) buf // already present
-        else {
-          val ins = -pos - 1
-          if (ins >= k) buf // beyond the cap: cannot be among k smallest
-          else {
-            val n = math.min(buf.length + 1, k)
-            val out = new Array[Long](n)
-            System.arraycopy(buf, 0, out, 0, ins)
-            out(ins) = h
-            System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
-            out
-          }
-        }
-      }
+      def reduce(buf: Array[Long], hRaw: Long): Array[Long] =
+        kmvInsert(buf, hRaw, k)
       def merge(a: Array[Long], b: Array[Long]): Array[Long] =
         mergeSortedCapped(a, b, k)
       def finish(buf: Array[Long]): Array[Long] = buf

@@ -780,6 +780,64 @@ class StreamingSpec extends SparkSpec {
       4L -> Some(0.25 * 12.0 + 0.75 * s2)))
   }
 
+  test("streaming distinct-count twin: exact below cap, equals batch expandingDistinct") {
+    import graft.streaming.StreamDistinct
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    // uniform 64-bit "hashes" (the kmv contract); repeats planted
+    val vals1 = Vector.fill(12)(rnd.nextLong())
+    val key1 = (1 to 20).map(i => (1L, i.toLong, vals1(rnd.nextInt(12))))
+    val vals2 = Vector.fill(5)(rnd.nextLong())
+    val key2 = (1 to 8).map(i => (2L, i.toLong, vals2(rnd.nextInt(5))))
+    val data = key1 ++ key2
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = StreamDistinct(in.toDS(), k = 64)
+      .writeStream.format("memory").queryName("sd_out").outputMode("append").start()
+    val (b1, b2) = data.partition(_._2 <= 9) // split mid-history per key
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sd_out").as[StreamDistinct.DRow].collect()
+    assert(streamed.forall(r => r.exact && !r.late)) // far below cap 64
+    val got = streamed.map(r => (r.key, r.seq) -> r.distinct_count.toLong).toMap
+    val batch = graft.operators.Analytics.expandingDistinct(
+        data.toDF("k", "seq", "v"), col("k"), col("v"), col("seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.size == data.size)
+    data.foreach { case (k, i, _) =>
+      assert(got((k, i)) == batch((k, i)), s"($k, $i)")
+    }
+  }
+
+  test("streaming distinct-count twin: cap switch flags estimates, late seqs flagged") {
+    import graft.streaming.StreamDistinct
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val distincts = Vector.fill(48)(rnd.nextLong())
+    val feed = distincts.zipWithIndex.map { case (v, i) => (7L, (i + 1).toLong, v) }
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = StreamDistinct(in.toDS(), k = 16)
+      .writeStream.format("memory").queryName("sd_cap").outputMode("append").start()
+    in.addData(feed); q.processAllAvailable()
+    in.addData(Seq((7L, 10L, rnd.nextLong()))) // replayed seq: must be late
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sd_cap").as[StreamDistinct.DRow].collect()
+    val late = rows.filter(_.late)
+    assert(late.map(_.seq).toSeq == Seq(10L))
+    val inOrder = rows.filterNot(_.late).sortBy(_.seq)
+    // exact while the sketch holds < 16 hashes, estimates after
+    assert(inOrder.takeWhile(_.exact).map(_.distinct_count.toLong).toSeq ==
+      (1L to 15L))
+    val tail = inOrder.dropWhile(_.exact)
+    assert(tail.nonEmpty && tail.forall(!_.exact))
+    // KMV k=16: ~25% stderr — pin a loose 2.5-sigma band on the final estimate
+    val fin = inOrder.last.distinct_count
+    assert(fin > 48 * 0.4 && fin < 48 * 1.8, s"estimate $fin vs true 48")
+    // estimates never decrease on a pure-insert feed... not guaranteed for KMV
+    // (theta only moves when a smaller hash lands), but they must stay positive
+    assert(tail.forall(_.distinct_count > 0))
+  }
+
   test("HotSwap: in-flight transform rewrite — same runId, no restart, batch-boundary handoff") {
     // reference: lib/composite/manipulations.ex rewires RUNNING actors;
     // here the query keeps running and only the per-batch plan changes.
