@@ -2043,6 +2043,32 @@ object SparkEntry {
           .as("bound_ok"))
     }),
 
+    // CDC latest-wins merge: deletes (%7=0), two-version updates
+    // (%7=1, seq 2 must win), inserts under fresh keys (%7=2) — the
+    // changelog reduces to one winner per key BEFORE touching the
+    // base, which is only scanned, never shuffled.
+    "q_cdc_merge" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val cols = cust.columns.map(col)
+      def tag(df: DataFrame, seq: Long, op: String) =
+        df.withColumn("_seq", lit(seq)).withColumn("_op", lit(op))
+      val del = tag(cust.where(col("c_custkey") % 7 === 0), 1L, "D")
+      val u1 = tag(cust.where(col("c_custkey") % 7 === 1)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0), 1L, "U")
+      val u2 = tag(cust.where(col("c_custkey") % 7 === 1)
+        .withColumn("c_acctbal", col("c_acctbal") + 200.0), 2L, "U")
+      val ins = tag(cust.where(col("c_custkey") % 7 === 2)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L), 1L, "I")
+      Relational.applyChangelog(cust,
+        del.unionByName(u1).unionByName(u2).unionByName(ins),
+        Seq("c_custkey"), col("_seq"), col("_op"))
+    }),
+
+    // B-cubed agreement between the lang and source partitions of the
+    // corpus: exact integer cells, 6dp DECIMAL term sums.
+    "q_bcubed" -> ((s, d) =>
+      Ranking.bcubed(t(s, d, "documents"), col("lang"), col("source"))),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -3774,6 +3800,57 @@ object SparkEntry {
         |SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_size,
         |  TRUE AS found_ok, TRUE AS bound_ok
         |FROM a JOIN b USING (k)""".stripMargin,
+
+    // same synthesized changelog; latest-wins via row_number desc
+    "q_cdc_merge" -> {
+      val base = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+      s"""WITH changes AS (
+         |  SELECT $base, 1 AS seq, 'D' AS op FROM customer WHERE c_custkey % 7 = 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
+         |    c_mktsegment, 1, 'U'
+         |  FROM customer WHERE c_custkey % 7 = 1
+         |  UNION ALL
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 200.0,
+         |    c_mktsegment, 2, 'U'
+         |  FROM customer WHERE c_custkey % 7 = 1
+         |  UNION ALL
+         |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+         |    c_mktsegment, 1, 'I'
+         |  FROM customer WHERE c_custkey % 7 = 2),
+         |win AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+         |  FROM changes) WHERE rn = 1)
+         |SELECT $base FROM customer c
+         |WHERE NOT EXISTS (SELECT 1 FROM win w WHERE w.c_custkey = c.c_custkey)
+         |UNION ALL
+         |SELECT $base FROM win WHERE op <> 'D'""".stripMargin
+    },
+
+    // exact cells/marginals; 6dp DECIMAL term sums; same div shapes
+    "q_bcubed" ->
+      """WITH cells AS (SELECT lang AS p, source AS g,
+        |  CAST(count(*) AS BIGINT) AS npg FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |np AS (SELECT p, CAST(sum(npg) AS BIGINT) AS np FROM cells GROUP BY p),
+        |ng AS (SELECT g, CAST(sum(npg) AS BIGINT) AS ng FROM cells GROUP BY g),
+        |t AS (SELECT npg,
+        |  CAST(round(CAST(npg * npg AS DOUBLE) / CAST(np AS DOUBLE), 6)
+        |    AS DECIMAL(18,6)) AS tp,
+        |  CAST(round(CAST(npg * npg AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+        |    AS DECIMAL(18,6)) AS tr
+        |  FROM cells JOIN np USING (p) JOIN ng USING (g)),
+        |s AS (SELECT CAST(sum(npg) AS BIGINT) AS n_items,
+        |  sum(tp) AS sp, sum(tr) AS sr FROM t),
+        |f AS (SELECT n_items,
+        |  round(CAST(sp AS DOUBLE) / CAST(n_items AS DOUBLE), 6) AS bcubed_precision,
+        |  round(CAST(sr AS DOUBLE) / CAST(n_items AS DOUBLE), 6) AS bcubed_recall
+        |  FROM s)
+        |SELECT n_items, bcubed_precision, bcubed_recall,
+        |  CASE WHEN bcubed_precision + bcubed_recall = 0 THEN 0.0
+        |       ELSE round(2.0 * bcubed_precision * bcubed_recall /
+        |         (bcubed_precision + bcubed_recall), 6) END AS bcubed_f1
+        |FROM f""".stripMargin,
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

@@ -698,7 +698,13 @@ object Analytics {
     val wFirst = Window.partitionBy(keyCol, valCol).orderBy(order: _*)
     val wRun = Window.partitionBy(keyCol).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_is_first",
+    // ONE exchange for both windows: hashpartitioning(key) satisfies the
+    // first window's ClusteredDistribution(key, value) (subset rule) AND
+    // the second's (key) — left to EnsureRequirements, the inner window
+    // would instead exchange on (key, value) and the outer would have to
+    // re-exchange on (key). Plan-shape pinned.
+    df.repartition(keyCol)
+      .withColumn("_is_first",
         when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
       .withColumn("cum_distinct", sum(col("_is_first")).over(wRun))
       .drop("_is_first")

@@ -936,12 +936,30 @@ object Dedup {
       .distinct()
       .repartitionByRange(p, col("_t"))
       .sortWithinPartitions(col("_t"))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true) // pin the partition ids the repair map keys on
-    val w = Window.partitionBy(col("_pid")).orderBy(col("_t"))
-    val local = texts.withColumn("_nxt", lead(col("_t"), 1).over(w))
+      .localCheckpoint(true) // pin the partition layout the repair map keys on
+    // Local-successor pairing in ONE narrow pass: the data is already
+    // range-partitioned AND sorted, so a streaming mapPartitions pairs
+    // each text with its in-partition successor. A `lead` window here
+    // would re-shuffle on the partition id (the checkpoint erases the
+    // partitioning info EnsureRequirements would need) and re-sort rows
+    // that are already in order — measured as one extra full exchange
+    // of every distinct text. Plan-shape pinned windowless instead.
+    import spark.implicits._
+    val local = texts.select(col("_t")).as[String].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      new Iterator[(Int, String, Option[String])] {
+        private var cur: String = if (it.hasNext) it.next() else null
+        def hasNext: Boolean = cur != null
+        def next(): (Int, String, Option[String]) = {
+          val nxt = if (it.hasNext) it.next() else null
+          val out = (pid, cur, Option(nxt))
+          cur = nxt
+          out
+        }
+      }
+    }.toDF("_pid", "_t", "_nxt")
     // per-partition first texts: ≤ p rows, driver-safe at any corpus size
-    val firstByPid = texts.groupBy(col("_pid")).agg(min(col("_t")).as("_first"))
+    val firstByPid = local.groupBy(col("_pid")).agg(min(col("_t")).as("_first"))
       .collect().map(r => r.getInt(0) -> r.getString(1)).sortBy(_._1)
     // successor of partition i's LAST text = first text of the next
     // non-empty partition (range partitioning keeps global order)

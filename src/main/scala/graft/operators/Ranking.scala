@@ -180,4 +180,55 @@ object Ranking {
       col("precision"),
       coalesce(col("n_rel"), lit(0L)).as("n_rel"))
   }
+
+  /** B-cubed clustering evaluation (Bagga & Baldwin '98) — the
+    * standard extrinsic score for a dedup/linkage clustering against
+    * gold labels (item-weighted, unlike pair-F1 it doesn't let one
+    * giant cluster dominate):
+    *
+    *   P = (1/N)·Σ_items |pred∩gold cluster| / |pred cluster|
+    *     = (1/N)·Σ_{cells (p,g)} n_pg² / n_p     (recall dually / n_g)
+    *
+    * Exact integer cell/marginal counts from ONE (p,g) aggregate
+    * (marginals re-aggregate the cell frame — never a second corpus
+    * scan); each cell's rational term is rounded to 6 dp and summed
+    * as DECIMAL(18,6) so the score is accumulation-order-proof (the
+    * [[rankEval]] / mutualInfo discipline). The final frame is
+    * |P|·|G| cells — bounded by label cardinality, not rows. Items
+    * with a null predicted OR gold label are excluded (documented:
+    * unlabeled items score neither side).
+    *
+    * Returns one row: (n_items, bcubed_precision, bcubed_recall,
+    * bcubed_f1), all 6-dp.
+    */
+  def bcubed(df: DataFrame, predictedCol: Column, goldCol: Column): DataFrame = {
+    val cells = df
+      .where(predictedCol.isNotNull && goldCol.isNotNull)
+      .groupBy(predictedCol.as("_p"), goldCol.as("_g"))
+      .agg(count(lit(1)).as("_npg"))
+    val np = cells.groupBy(col("_p")).agg(sum(col("_npg")).as("_np"))
+    val ng = cells.groupBy(col("_g")).agg(sum(col("_npg")).as("_ng"))
+    val terms = cells
+      .join(broadcast(np), Seq("_p"))
+      .join(broadcast(ng), Seq("_g"))
+      .select(
+        col("_npg"),
+        round((col("_npg") * col("_npg")).cast("double") /
+          col("_np").cast("double"), 6).cast("decimal(18,6)").as("_tp"),
+        round((col("_npg") * col("_npg")).cast("double") /
+          col("_ng").cast("double"), 6).cast("decimal(18,6)").as("_tr"))
+      .agg(sum(col("_npg")).as("n_items"),
+        sum(col("_tp")).as("_sp"), sum(col("_tr")).as("_sr"))
+    terms.select(
+        col("n_items"),
+        round(col("_sp").cast("double") / col("n_items").cast("double"), 6)
+          .as("bcubed_precision"),
+        round(col("_sr").cast("double") / col("n_items").cast("double"), 6)
+          .as("bcubed_recall"))
+      .withColumn("bcubed_f1",
+        when(col("bcubed_precision") + col("bcubed_recall") === 0.0, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * col("bcubed_precision") * col("bcubed_recall") /
+              (col("bcubed_precision") + col("bcubed_recall")), 6)))
+  }
 }

@@ -499,4 +499,38 @@ object Relational {
       .withColumn(binCol, when(valueCol.isNull, lit(null).cast("long")).otherwise(bin))
       .drop((0 until probs.size).map(i => s"_q$i"): _*)
   }
+
+  /** CDC MERGE: apply a changelog of keyed upserts/deletes onto a base
+    * table, latest-wins — the lakehouse `MERGE INTO` / Debezium-apply
+    * shape a daily ingestion pipeline runs against every managed table.
+    *
+    * `changes` carries (key, sequence, op ∈ {I,U,D}, payload columns
+    * named like `base`'s). Per key the highest-`seq` change wins
+    * (`seqCol` must totally order each key's changes — a commit LSN);
+    * a winning D drops the key, a winning I/U replaces the row.
+    * Base keys without changes pass through untouched.
+    *
+    * Scale shape: the changelog (normally ≪ base — a day's deltas vs
+    * a standing corpus) is reduced FIRST to one winner per key (one
+    * shuffle of the changelog only), then the base anti-joins the
+    * winner keyset and the surviving upserts union in — the standing
+    * table is never shuffled, only scanned, the same incremental
+    * contract as `Dedup.dedupIncremental`. With a small changelog both
+    * joins broadcast (AQE); the base-side work is a scan + filter.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      seqCol: Column, opCol: Column): DataFrame = {
+    val dataCols = base.columns
+    require(keyCols.forall(dataCols.contains),
+      s"applyChangelog: key columns ${keyCols.mkString(",")} must exist in base")
+    val winner = topKPerGroup(
+        changes.select((dataCols.map(col) :+ seqCol.as("_seq")) :+ opCol.as("_op"): _*),
+        keyCols.map(col), Seq(col("_seq").desc), 1)
+      .drop("rank")
+    val untouched = base.join(winner.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    val upserts = winner.where(col("_op") =!= "D")
+      .select(dataCols.map(col): _*)
+    untouched.unionByName(upserts)
+  }
 }

@@ -356,4 +356,77 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") ||
       p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).forall(_.contains("Cross")))
   }
+
+  // ---- round-7 additions ------------------------------------------- //
+
+  test("expandingDistinct: both windows ride ONE key exchange") {
+    val rows = (1 to 400).map(i => (i % 8L, s"v${i % 30}", i.toLong))
+    val out = graft.operators.Analytics.expandingDistinct(
+      rows.toDF("k", "v", "o"), col("k"), col("v"), col("o"))
+    val p = finalPlan(out)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.linesIterator.count(_.matches(""".*(\+-|:-) (\*\(\d+\) )?Window .*""")) == 2)
+  }
+
+  test("skewReport: partial-agg shuffle + broadcast total, no sort-merge join") {
+    val rows = (1 to 500).map(i => s"k${i % 40}").toDF("k")
+    val p = finalPlan(graft.operators.Diagnostics.skewReport(
+      rows, Seq(col("k")), topK = 5, partitions = 8))
+    assert(!p.contains("SortMergeJoin"))
+    // map-side partial + final aggregate pair for the key counts
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("prefixDups: windowless successor pairing, no cartesian, no re-sort") {
+    val rows = (1 to 300).map(i => (i.toLong, s"text body number $i")).toDF("doc_id", "text")
+    val p = finalPlan(graft.operators.Dedup.prefixDups(rows, col("text"), partitions = 4))
+    assert(!p.contains("Cartesian"))
+    // successor pairing is a narrow mapPartitions over the checkpointed
+    // range-sorted layout — a Window here would re-shuffle AND re-sort
+    assert(!p.contains("Window"))
+    assert(!p.linesIterator.exists(_.matches(""".*(\+-|:-) (\*\(\d+\) )?Sort .*""")))
+  }
+
+  test("gini ranks without any window node (globalIndex, not row_number)") {
+    val rows = (1 to 300).map(i => (s"k${i % 30}", i.toLong)).toDF("k", "v")
+    val p = finalPlan(graft.operators.Analytics.gini(rows, col("k"), col("v")))
+    assert(!p.contains("Window"))
+    assert(!p.contains("Cartesian"))
+  }
+
+  test("mutualInfo joins marginals broadcast, never sort-merge") {
+    val rows = (1 to 400).map(i => (s"x${i % 5}", i % 3L)).toDF("x", "y")
+    val p = finalPlan(graft.operators.Analytics.mutualInfo(rows, col("x"), col("y")))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("timeWeightedAvg: the lead window's key exchange feeds the aggregate") {
+    val rows = (1 to 300).map(i => (i % 6L, i.toLong * 1000L, i.toDouble))
+      .toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val p = finalPlan(graft.operators.Analytics.timeWeightedAvg(
+      rows, col("k"), col("ts"), col("v")))
+    // one exchange total: window on k, then groupBy(k) reuses the layout
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("joinSizeEstimate never shuffles a keyspace: two 1-row sketch aggs, broadcast cross") {
+    val a = (1 to 200).map(i => s"k${i % 50}").toDF("k")
+    val b = (1 to 100).map(i => s"k${i % 25}").toDF("k")
+    val p = finalPlan(graft.operators.Sketches.joinSizeEstimate(a, col("k"), b, col("k")))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange hashpartitioning")) // only the 1-row agg exchanges
+  }
+
+  test("modularity: label joins plus two aggregates, no cartesian blowup") {
+    val und = (1 to 60).map(i => (i.toLong, (i % 30 + 1).toLong))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = (1L to 60L).map(n => (n, (n % 4).toString)).toDF("node", "comm")
+    val p = finalPlan(graft.operators.Graph.modularity(
+      edges, col("src"), col("dst"), labels, col("node"), col("comm")))
+    assert(!p.contains("Cartesian"))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross")))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class RankingSpec extends SparkSpec {
   import spark.implicits._
@@ -92,5 +93,25 @@ class RankingSpec extends SparkSpec {
     val b = out("b")
     assert(b.getDouble(1) == 0.0 && b.getDouble(2) == 0.0 &&
       b.getDouble(3) == 0.0 && b.getLong(4) == 0L)
+  }
+
+  test("bcubed: textbook 3-item split scores P = R = F1 = 2/3; identity scores 1") {
+    // pred {1,2},{3} vs gold {1},{2,3}
+    val df = Seq((1L, "p1", "g1"), (2L, "p1", "g2"), (3L, "p2", "g2"))
+      .toDF("id", "pred", "gold")
+    val r = Ranking.bcubed(df, col("pred"), col("gold")).collect().head
+    assert(r.getAs[Long]("n_items") == 3L)
+    val twoThirds = math.rint(2.0 / 3.0 * 1e6) / 1e6
+    assert(r.getAs[Double]("bcubed_precision") == twoThirds)
+    assert(r.getAs[Double]("bcubed_recall") == twoThirds)
+    assert(math.abs(r.getAs[Double]("bcubed_f1") - twoThirds) <= 1e-6)
+    // identical labelings: perfect score; null-labeled items excluded
+    val perfect = Seq((1L, "a", "a"), (2L, "a", "a"), (3L, "b", "b"),
+      (4L, null, "b")).toDF("id", "pred", "gold")
+    val p = Ranking.bcubed(perfect, col("pred"), col("gold")).collect().head
+    assert(p.getAs[Long]("n_items") == 3L)
+    assert(p.getAs[Double]("bcubed_precision") == 1.0 &&
+      p.getAs[Double]("bcubed_recall") == 1.0 &&
+      p.getAs[Double]("bcubed_f1") == 1.0)
   }
 }

@@ -265,4 +265,28 @@ class RelationalSpec extends SparkSpec {
       .groupBy("bin").count().as[(Long, Long)].collect().toMap
     assert(sizes.values.forall(c => c >= 249 && c <= 251))
   }
+
+  test("applyChangelog: latest-wins upserts, deletes, inserts, pass-through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "x", 1L, "D"),             // delete key 2
+      (3L, "c1", 1L, "U"),            // superseded...
+      (3L, "c2", 2L, "U"),            // ...by seq 2
+      (9L, "new", 1L, "I"),           // brand-new key
+      (5L, "ghost", 1L, "I"),         // insert...
+      (5L, "gone", 2L, "D")           // ...then deleted: never appears
+    ).toDF("k", "v", "seq", "op")
+    val out = Relational.applyChangelog(base, changes, Seq("k"),
+        col("seq"), col("op"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (3L, "c2"), (4L, "d"), (9L, "new")))
+  }
+
+  test("applyChangelog with an empty changelog is the identity") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val none = Seq.empty[(Long, String, Long, String)].toDF("k", "v", "seq", "op")
+    val out = Relational.applyChangelog(base, none, Seq("k"), col("seq"), col("op"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "b")))
+  }
 }
