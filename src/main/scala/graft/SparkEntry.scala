@@ -2069,6 +2069,25 @@ object SparkEntry {
     "q_bcubed" -> ((s, d) =>
       Ranking.bcubed(t(s, d, "documents"), col("lang"), col("source"))),
 
+    // Rendezvous sharding minimal-disruption law, checked EXACTLY:
+    // dropping shard 7 of 8 may move only the keys that lived on 7.
+    "q_rendezvous" -> ((s, d) => {
+      val keys = t(s, d, "orders").select(col("o_orderkey").as("k"))
+      val sharded = Layout.rendezvousShard(
+        Layout.rendezvousShard(keys, col("k"), 8, "s8"), col("k"), 7, "s7")
+      sharded.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("s8") === 7, 1L).otherwise(0L)).as("on_removed"),
+        sum(when(col("s8") =!= col("s7"), 1L).otherwise(0L)).as("moved"),
+        (sum(when(col("s8") =!= col("s7") && col("s8") =!= 7, 1L).otherwise(0L))
+          === 0L).as("minimal_disruption"))
+    }),
+
+    // Chance-corrected pair-counting companion of q_bcubed: exact
+    // DECIMAL(38,0) C(n,2) sums, two IEEE divisions at the end.
+    "q_ari" -> ((s, d) =>
+      Ranking.adjustedRand(t(s, d, "documents"), col("lang"), col("source"))),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -3851,6 +3870,45 @@ object SparkEntry {
         |       ELSE round(2.0 * bcubed_precision * bcubed_recall /
         |         (bcubed_precision + bcubed_recall), 6) END AS bcubed_f1
         |FROM f""".stripMargin,
+
+    // same md5 scores recomputed per shard id; argmax via row_number
+    "q_rendezvous" ->
+      """WITH k AS (SELECT o_orderkey AS k FROM orders),
+        |sc AS (SELECT k, s,
+        |  ('0x' || substr(md5('rdv:' || s || ':' || k), 1, 8))::UBIGINT AS score
+        |  FROM k, unnest(generate_series(0, 7)) AS t(s)),
+        |a8 AS (SELECT k, s AS s8 FROM (
+        |  SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY score DESC, s) AS rk
+        |  FROM sc) WHERE rk = 1),
+        |a7 AS (SELECT k, s AS s7 FROM (
+        |  SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY score DESC, s) AS rk
+        |  FROM sc WHERE s < 7) WHERE rk = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN s8 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS on_removed,
+        |  CAST(sum(CASE WHEN s8 <> s7 THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+        |  (sum(CASE WHEN s8 <> s7 AND s8 <> 7 THEN 1 ELSE 0 END) = 0)
+        |    AS minimal_disruption
+        |FROM a8 JOIN a7 USING (k)""".stripMargin,
+
+    // exact integer pair counting; identical final division shapes
+    "q_ari" ->
+      """WITH cells AS (SELECT lang AS p, source AS g,
+        |  CAST(count(*) AS BIGINT) AS npg FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |np AS (SELECT p, CAST(sum(npg) AS BIGINT) AS n FROM cells GROUP BY p),
+        |ng AS (SELECT g, CAST(sum(npg) AS BIGINT) AS n FROM cells GROUP BY g),
+        |s AS (SELECT CAST(sum(npg) AS BIGINT) AS n_items,
+        |  CAST(sum(npg * (npg - 1) // 2) AS DOUBLE) AS sum_comb_cells FROM cells),
+        |sp AS (SELECT CAST(sum(n * (n - 1) // 2) AS DOUBLE) AS sum_comb_pred FROM np),
+        |sg AS (SELECT CAST(sum(n * (n - 1) // 2) AS DOUBLE) AS sum_comb_gold FROM ng)
+        |SELECT n_items, sum_comb_cells, sum_comb_pred, sum_comb_gold,
+        |  round((sum_comb_cells -
+        |    sum_comb_pred * sum_comb_gold /
+        |      CAST(n_items * (n_items - 1) // 2 AS DOUBLE)) /
+        |   ((sum_comb_pred + sum_comb_gold) / 2.0 -
+        |    sum_comb_pred * sum_comb_gold /
+        |      CAST(n_items * (n_items - 1) // 2 AS DOUBLE)), 6) AS ari
+        |FROM s, sp, sg""".stripMargin,
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

@@ -56,4 +56,34 @@ object Layout {
     }
     ranged.sortWithinPartitions(col("zval"))
   }
+
+  /** Rendezvous (highest-random-weight) sharding: assign each key to
+    * `argmax_i md5("rdv:<i>:<key>")` over the shard ids. The property
+    * plain `hash(key) mod n` lacks: resizing n → n−1 moves ONLY the
+    * keys whose winning shard was removed (~1/n of them) — every
+    * other key's argmax is untouched. That is the difference between
+    * re-ingesting 1/n of a 100 TB corpus and re-ingesting all of it
+    * when a shard/bucket/consumer count changes.
+    *
+    * Row-local codegen builtins (md5/conv/greatest) — no shuffle, no
+    * state, and the md5-derived 32-bit scores are reproducible by any
+    * engine (same contract as the CMS bucket and doc-embed hashes).
+    * Ties (p ≈ 2⁻³²) go to the LOWEST shard id, pinned via the
+    * negated-id struct compare.
+    */
+  def rendezvousShard(df: DataFrame, keyCol: Column, shards: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(shards >= 1, s"rendezvousShard: shards must be >= 1, got $shards")
+    if (shards == 1) df.withColumn(shardCol, lit(0))
+    else {
+      val ks = keyCol.cast("string")
+      val candidates = (0 until shards).map { i =>
+        struct(
+          conv(substring(md5(concat(lit(s"rdv:$i:"), ks)), 1, 8), 16, 10)
+            .cast("long").as("s"),
+          lit(-i).as("negShard"))
+      }
+      df.withColumn(shardCol, -greatest(candidates: _*).getField("negShard"))
+    }
+  }
 }

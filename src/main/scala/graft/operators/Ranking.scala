@@ -231,4 +231,45 @@ object Ranking {
             lit(2.0) * col("bcubed_precision") * col("bcubed_recall") /
               (col("bcubed_precision") + col("bcubed_recall")), 6)))
   }
+
+  /** Adjusted Rand Index — the pair-counting companion of [[bcubed]]
+    * (chance-corrected: random labelings score ~0, identity scores 1):
+    *
+    *   ARI = (Σ C(n_pg,2) − E) / (½(Σ C(n_p,2) + Σ C(n_g,2)) − E),
+    *   E = Σ C(n_p,2)·Σ C(n_g,2) / C(N,2)
+    *
+    * Everything up to the final two divisions is exact integer pair
+    * counting in DECIMAL(38,0) (C(n,2) sums can pass 2^63 exactly when
+    * clusters are huge); same one-aggregate cell frame as bcubed, so
+    * the cost is bounded by |P|·|G|, not rows. Returns one row:
+    * (n_items, sum_comb_cells, sum_comb_pred, sum_comb_gold, ari).
+    */
+  def adjustedRand(df: DataFrame, predictedCol: Column, goldCol: Column): DataFrame = {
+    def comb2(c: Column): Column =
+      (c.cast("decimal(38,0)") * (c - 1)) / 2 // exact: n(n-1) is even
+    val cells = df
+      .where(predictedCol.isNotNull && goldCol.isNotNull)
+      .groupBy(predictedCol.as("_p"), goldCol.as("_g"))
+      .agg(count(lit(1)).as("_npg"))
+    val np = cells.groupBy(col("_p")).agg(sum(col("_npg")).as("_np"))
+    val ng = cells.groupBy(col("_g")).agg(sum(col("_npg")).as("_ng"))
+    val parts = cells.agg(
+        sum(col("_npg")).as("n_items"),
+        sum(comb2(col("_npg"))).as("sum_comb_cells"))
+      .crossJoin(broadcast(np.agg(sum(comb2(col("_np"))).as("sum_comb_pred"))))
+      .crossJoin(broadcast(ng.agg(sum(comb2(col("_ng"))).as("sum_comb_gold"))))
+    parts.select(
+      col("n_items"),
+      col("sum_comb_cells").cast("double").as("sum_comb_cells"),
+      col("sum_comb_pred").cast("double").as("sum_comb_pred"),
+      col("sum_comb_gold").cast("double").as("sum_comb_gold"),
+      round({
+        val total = comb2(col("n_items")).cast("double")
+        val e = col("sum_comb_pred").cast("double") *
+          col("sum_comb_gold").cast("double") / total
+        val max = (col("sum_comb_pred").cast("double") +
+          col("sum_comb_gold").cast("double")) / 2.0
+        (col("sum_comb_cells").cast("double") - e) / (max - e)
+      }, 6).as("ari"))
+  }
 }

@@ -85,4 +85,30 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.zValue(32, col("a"), col("b"), col("c")))
     intercept[IllegalArgumentException](Layout.zValue(0, col("a")))
   }
+
+  test("rendezvousShard: minimal disruption on resize, every shard populated") {
+    val keys = (1L to 2000L).toDF("k")
+    val both = Layout.rendezvousShard(
+      Layout.rendezvousShard(keys, col("k"), 8, "s8"), col("k"), 7, "s7")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // all 8 shards see traffic, roughly balanced (md5 uniformity)
+    val by8 = both.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(by8.keySet == (0 until 8).toSet)
+    assert(by8.values.forall(c => c > 150 && c < 350)) // 250 ± wide band
+    // THE law: dropping shard 7 moves exactly the keys that were on 7
+    both.foreach { case (k, s8, s7) =>
+      if (s8 != 7) assert(s7 == s8, s"key $k moved needlessly: $s8 -> $s7")
+      else assert(s7 != 7 && s7 >= 0 && s7 < 7)
+    }
+    // assignment is a pure function of (key, n): stable across evaluations
+    val again = Layout.rendezvousShard(keys, col("k"), 8, "s8")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    both.foreach { case (k, s8, _) => assert(again(k) == s8) }
+  }
+
+  test("rendezvousShard: single shard short-circuits to 0") {
+    val out = Layout.rendezvousShard(Seq(1L, 2L).toDF("k"), col("k"), 1)
+      .select("shard").as[Int].collect().toSet
+    assert(out == Set(0))
+  }
 }

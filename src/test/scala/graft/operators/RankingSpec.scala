@@ -114,4 +114,20 @@ class RankingSpec extends SparkSpec {
       p.getAs[Double]("bcubed_recall") == 1.0 &&
       p.getAs[Double]("bcubed_f1") == 1.0)
   }
+
+  test("adjustedRand: identity scores 1, the anti-correlated 3-item split scores -0.5") {
+    val perfect = Seq((1L, "a", "a"), (2L, "a", "a"), (3L, "b", "b"))
+      .toDF("id", "pred", "gold")
+    val p = Ranking.adjustedRand(perfect, col("pred"), col("gold")).collect().head
+    assert(p.getAs[Double]("ari") == 1.0)
+    // pred {1,2},{3} vs gold {1},{2,3}: cells all singletons -> S_cells = 0,
+    // S_pred = S_gold = 1, total pairs 3, E = 1/3 -> ARI = -0.5
+    val split = Seq((1L, "p1", "g1"), (2L, "p1", "g2"), (3L, "p2", "g2"))
+      .toDF("id", "pred", "gold")
+    val s = Ranking.adjustedRand(split, col("pred"), col("gold")).collect().head
+    assert(s.getAs[Double]("sum_comb_cells") == 0.0)
+    assert(s.getAs[Double]("sum_comb_pred") == 1.0 &&
+      s.getAs[Double]("sum_comb_gold") == 1.0)
+    assert(s.getAs[Double]("ari") == -0.5)
+  }
 }
