@@ -2088,6 +2088,14 @@ object SparkEntry {
     "q_ari" -> ((s, d) =>
       Ranking.adjustedRand(t(s, d, "documents"), col("lang"), col("source"))),
 
+    // Distributed power iteration (2 rounds) for the corpus's top
+    // principal direction: per-row in-order dot folds, DECIMAL(38,10)
+    // matvec sums, driver-side O(dim) normalization — every step
+    // bit-mirrored by the unrolled SQL oracle.
+    "q_power_iter" -> ((s, d) =>
+      Linalg.powerIteration(
+        t(s, d, "embeddings").select(col("embedding")), "embedding", iters = 2)),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -3909,6 +3917,39 @@ object SparkEntry {
         |    sum_comb_pred * sum_comb_gold /
         |      CAST(n_items * (n_items - 1) // 2 AS DOUBLE)), 6) AS ari
         |FROM s, sp, sg""".stripMargin,
+
+    // two unrolled power-iteration rounds; 1/sqrt(64) = 0.125 exact
+    "q_power_iter" ->
+      """WITH x AS (SELECT embedding AS e FROM embeddings
+        |  WHERE len(embedding) = 64),
+        |w1 AS (SELECT e, list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, 64), i -> e[i]::DOUBLE * 0.125)),
+        |    (a, b) -> a + b) AS w FROM x),
+        |t1 AS (SELECT unnest(generate_series(1, 64)) AS j,
+        |    unnest(list_transform(generate_series(1, 64),
+        |      i -> CAST(round(w * e[i]::DOUBLE, 10) AS DECIMAL(38,10)))) AS t
+        |  FROM w1),
+        |u1 AS (SELECT j, sum(t) AS u FROM t1 GROUP BY j),
+        |n1 AS (SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) ORDER BY j)),
+        |    (a, b) -> a + b)) AS nrm FROM u1),
+        |v1 AS (SELECT list(CAST(u AS DOUBLE) / nrm ORDER BY j) AS vl
+        |  FROM u1, n1),
+        |w2 AS (SELECT e, list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, 64), i -> e[i]::DOUBLE * vl[i])),
+        |    (a, b) -> a + b) AS w FROM x, v1),
+        |t2 AS (SELECT unnest(generate_series(1, 64)) AS j,
+        |    unnest(list_transform(generate_series(1, 64),
+        |      i -> CAST(round(w * e[i]::DOUBLE, 10) AS DECIMAL(38,10)))) AS t
+        |  FROM w2),
+        |u2 AS (SELECT j, sum(t) AS u FROM t2 GROUP BY j),
+        |n2 AS (SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) ORDER BY j)),
+        |    (a, b) -> a + b)) AS nrm FROM u2)
+        |SELECT CAST(j - 1 AS INTEGER) AS dim,
+        |  round(CAST(u AS DOUBLE) / nrm, 6) AS coord,
+        |  round(nrm, 6) AS lambda
+        |FROM u2, n2""".stripMargin,
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

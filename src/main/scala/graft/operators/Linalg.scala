@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed iterative linear algebra over an embedding column —
+  * the power-iteration building block behind PCA/spectral pipelines
+  * (north-star extension; nothing comparable exists in the
+  * reference's single-stream folds).
+  *
+  * Everything here obeys the repo's cross-engine determinism rules:
+  * matvec partial products are rounded to fixed decimal and summed as
+  * DECIMAL(38,10) (shuffle-order-proof), per-row dot products are
+  * in-order IEEE folds, and the only driver state is O(dim) doubles
+  * per iteration (the `trainCentroids` bounded-collect contract).
+  */
+object Linalg {
+
+  /** Top right-singular direction of the (uncentered) data matrix X —
+    * power iteration on the Gram matrix Xᵀ X without ever forming it:
+    *
+    *   w = X·v   (per-row fold — one codegen'd pass, no shuffle)
+    *   u = Xᵀ·w  (posexplode → groupBy(dim) → DECIMAL sum: the ONLY
+    *              shuffle, and it carries dim×partitions rows)
+    *   v ← u/‖u‖ (driver: dim doubles — bounded)
+    *
+    * Starting vector = 1/√dim on every coordinate (deterministic sign
+    * and phase); after `iters` rounds the dominant eigendirection of
+    * Xᵀ X has converged at rate (λ₂/λ₁)^iters. λ̂ = ‖u‖ of the last
+    * round (the Rayleigh-quotient estimate for a unit input).
+    *
+    * Scale shape: per iteration ONE scan of the (persisted, pruned)
+    * vector column, one |partitions|·dim-row partial-agg shuffle, one
+    * dim-row collect. No driver-side matrix, no n×n or dim×dim
+    * intermediate anywhere — this is exactly how you get a principal
+    * direction out of a 100 TB embedding table.
+    *
+    * Vectors whose length differs from the first row's dimension are
+    * dropped (the IVF/kmeans ragged-input contract). Returns one row
+    * per dimension: (dim, coord, lambda) — coord the unit
+    * eigenvector entry (6 dp), lambda the shared eigenvalue estimate
+    * (6 dp).
+    */
+  def powerIteration(df: DataFrame, vecCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"powerIteration: iters must be in [1,16], got $iters")
+    val spark = df.sparkSession
+    val first = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0).head()
+    val dim = first.getInt(0)
+    val x = graft.core.CacheRegistry.persist(
+      df.select(col(vecCol).cast("array<double>").as("_x"))
+        .where(size(col("_x")) === dim),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val vLit = array(v.map(lit): _*)
+      // w = x·v : in-order fold, identical to the oracle's list_reduce
+      val w = x.withColumn("_w",
+        aggregate(zip_with(col("_x"), vLit, (a, b) => a * b),
+          lit(0.0), (acc, y) => acc + y))
+      // u_j = Σ_i round(w_i·x_ij, 10) as exact decimal — order-proof
+      val u = w
+        .select(col("_w"), posexplode(col("_x")).as(Seq("_j", "_xj")))
+        .select(col("_j"),
+          round(col("_w") * col("_xj"), 10).cast("decimal(38,10)").as("_t"))
+        .groupBy(col("_j")).agg(sum(col("_t")).as("_u"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue).toMap
+      val uArr = (0 until dim).map(j => u.getOrElse(j, 0.0)).toArray
+      var n2 = 0.0
+      var j = 0
+      while (j < dim) { n2 += uArr(j) * uArr(j); j += 1 } // ascending-j fold
+      val norm = math.sqrt(n2)
+      require(norm > 0.0, "powerIteration: X^T X v vanished — degenerate input")
+      lambda = norm
+      v = uArr.map(_ / norm)
+      it += 1
+    }
+    def r6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    val rows = (0 until dim).map(j => Row(j, r6(v(j)), r6(lambda)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("dim", IntegerType, nullable = false),
+        StructField("coord", DoubleType, nullable = false),
+        StructField("lambda", DoubleType, nullable = false))))
+  }
+}

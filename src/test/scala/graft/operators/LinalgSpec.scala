@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class LinalgSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("powerIteration: rank-1 data recovers the known direction and eigenvalue") {
+    // rows c_i·w with w = (0.6, 0.8) unit and c = (1, 2, 2):
+    // X^T X = 9·w·w^T  ->  eigenvector (0.6, 0.8), eigenvalue 9
+    val rows = Seq(1.0f, 2.0f, 2.0f)
+      .map(c => Tuple1(Array(0.6f * c, 0.8f * c))).toDF("embedding")
+    val out = Linalg.powerIteration(rows, "embedding", iters = 2)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0, 1))
+    // float32 inputs + 1e-10 term rounding: expect ~1e-6 fidelity
+    assert(math.abs(out(0)._1 - 0.6) < 1e-4, s"coord0 ${out(0)._1}")
+    assert(math.abs(out(1)._1 - 0.8) < 1e-4, s"coord1 ${out(1)._1}")
+    assert(math.abs(out(0)._2 - 9.0) < 1e-3, s"lambda ${out(0)._2}")
+    assert(out(0)._2 == out(1)._2) // lambda shared on every row
+  }
+
+  test("powerIteration: dimension-mismatched rows are dropped, not folded") {
+    val rows = Seq(
+      Array(1.0f, 0.0f),
+      Array(1.0f, 0.0f),
+      Array(9.9f, 9.9f, 9.9f) // ragged: must not perturb the result
+    ).map(Tuple1(_)).toDF("embedding")
+    val out = Linalg.powerIteration(rows, "embedding", iters = 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out.size == 2)
+    assert(math.abs(out(0) - 1.0) < 1e-9 && math.abs(out(1)) < 1e-9)
+  }
+
+  test("powerIteration rejects degenerate all-zero input") {
+    val rows = Seq(Array(0.0f, 0.0f)).map(Tuple1(_)).toDF("embedding")
+    intercept[IllegalArgumentException](
+      Linalg.powerIteration(rows, "embedding", iters = 1))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+}
