@@ -2096,6 +2096,33 @@ object SparkEntry {
       Linalg.powerIteration(
         t(s, d, "embeddings").select(col("embedding")), "embedding", iters = 2)),
 
+    // One-sided CUSUM drift alarm per user: the ewma fold machinery,
+    // branch-clamped (never max()) so the recursive-CTE oracle can
+    // mirror the exact IEEE chain.
+    "q_cusum" -> ((s, d) =>
+      Analytics.cusum(t(s, d, "events").where(col("value").isNotNull),
+        key = col("user_id"), orderBy = Seq(col("ts"), col("event_id")),
+        id = col("event_id"), value = col("value"),
+        drift = 0.5, threshold = 5.0)
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          col("cusum"), col("alarm"))),
+
+    // Functional-dependency contract: does l_orderkey determine
+    // l_suppkey? (No — multi-supplier orders; the summary counts how
+    // badly.) One Expand aggregate + one tiny aggregate.
+    "q_fd" -> ((s, d) =>
+      Diagnostics.fdCheck(t(s, d, "lineitem"),
+        Seq(col("l_orderkey")), col("l_suppkey"))),
+
+    // Benford first-digit screen over exact price cents — integer
+    // surface, expectation via the one blessed transcendental (ln).
+    "q_benford" -> ((s, d) =>
+      Diagnostics.benfordDigits(
+        t(s, d, "lineitem").select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents")),
+        col("cents"))),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -3950,6 +3977,52 @@ object SparkEntry {
         |  round(CAST(u AS DOUBLE) / nrm, 6) AS coord,
         |  round(nrm, 6) AS lambda
         |FROM u2, n2""".stripMargin,
+
+    // recursive-CTE fold, clamp as the same CASE branch as the Scala
+    "q_cusum" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, rn,
+        |    CASE WHEN (0.0 + (value - 0.5)) > 0
+        |         THEN (0.0 + (value - 0.5)) ELSE 0.0 END AS s
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.rn,
+        |    CASE WHEN (r.s + (e.value - 0.5)) > 0
+        |         THEN (r.s + (e.value - 0.5)) ELSE 0.0 END
+        |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT event_id, user_id, s AS cusum, s > 5.0 AS alarm FROM r""".stripMargin,
+
+    // one distinct-count aggregate then a count-of-counts summary
+    "q_fd" ->
+      """WITH g AS (SELECT coalesce(CAST(l_orderkey AS VARCHAR), 'null') AS l,
+        |  CAST(count(DISTINCT coalesce(CAST(l_suppkey AS VARCHAR), 'null'))
+        |    AS BIGINT) AS nr
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+        |  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(max(nr) AS BIGINT) AS max_rhs_per_lhs,
+        |  sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+        |FROM g""".stripMargin,
+
+    // first digit from the exact cents STRING; ln-ratio expectation
+    "q_benford" ->
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS cents FROM lineitem),
+        |c AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+        |  CAST(count(*) AS BIGINT) AS n
+        |  FROM v WHERE cents IS NOT NULL AND cents > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+        |SELECT digit, n, CAST(n * 1000000 // tt AS BIGINT) AS obs_ppm,
+        |  CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0)
+        |    AS BIGINT) AS benford_ppm,
+        |  CAST(n * 1000000 // tt AS BIGINT) -
+        |  CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0)
+        |    AS BIGINT) AS dev_ppm
+        |FROM c, t""".stripMargin,
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

@@ -614,6 +614,53 @@ object Analytics {
       .toDF("id", "key", "ewma")
   }
 
+  /** One-sided (upper) CUSUM change detection per key — the classic
+    * sequential drift alarm (Page '54): s_t = max(0, s_{t−1} + (x_t −
+    * drift)) with an alarm once s_t exceeds `threshold`. Where
+    * [[rollingZscore]] asks "is this point odd vs its window", CUSUM
+    * accumulates SMALL persistent shifts that no single point reveals
+    * — the metric-regression / data-drift tripwire shape.
+    *
+    * Same engine as [[ewma]]: one shuffle on the key, the fold runs
+    * over shuffle-sorted rows (`flatMapSortedGroups`), O(1) state. The
+    * clamp is written `if (t > 0) t else 0.0` — NOT max() — so a
+    * signed-zero never leaks into the output and the recursive-CTE
+    * oracle can mirror the exact branch. Null values emit a null
+    * cusum row and leave state untouched (the ewma contract). Output:
+    * id, key, cusum, alarm.
+    */
+  def cusum(
+      df: DataFrame,
+      key: Column,
+      orderBy: Seq[Column],
+      id: Column,
+      value: Column,
+      drift: Double,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0, s"cusum: threshold must be > 0, got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordCols = orderBy.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
+    val proj = df
+      .where(key.isNotNull)
+      .select(key.cast("long").as("_k") +: id.cast("long").as("_id") +:
+        value.cast("double").as("_v") +: ordCols: _*)
+    proj.groupByKey(_.getLong(0))
+      .flatMapSortedGroups(orderBy.indices.map(i => col(s"_o$i")): _*) {
+        (k: Long, rows: Iterator[org.apache.spark.sql.Row]) =>
+          var s = 0.0
+          rows.map { r =>
+            if (r.isNullAt(2)) (r.getLong(1), k, None: Option[Double], false)
+            else {
+              val t = s + (r.getDouble(2) - drift)
+              s = if (t > 0.0) t else 0.0
+              (r.getLong(1), k, Some(s), s > threshold)
+            }
+          }
+      }
+      .toDF("id", "key", "cusum", "alarm")
+  }
+
   /** Frequent pairwise co-occurrence (market-basket / Apriori level-2):
     * item pairs that appear together in at least `minSupport` baskets,
     * with per-item counts and lift. The level-2 pass is where

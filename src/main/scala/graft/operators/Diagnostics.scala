@@ -108,6 +108,57 @@ object Diagnostics {
           expr(s"(cnt * ${p}L + _total - 1L) div _total"))).as("salt_factor"))
   }
 
+  /** Functional-dependency check lhs → rhs: a data-contract assertion
+    * ("order_id determines currency", "user_id determines region")
+    * verified in ONE aggregate pass. Returns a single summary row —
+    * (n_lhs, n_violating, max_rhs_per_lhs, fd_holds) — because at
+    * 100 TB the per-violation listing is itself a table you'd filter
+    * on demand, while the contract gate only needs the counts.
+    *
+    * Shape: groupBy(lhs) with a count_distinct(rhs) leg (one Expand
+    * pass), then a tiny second aggregate over |lhs groups| rows. Null
+    * lhs parts get the [[keySkew]] sentinel; null rhs counts as a
+    * value (two rhs where one is null IS a violation).
+    */
+  def fdCheck(df: DataFrame, lhs: Seq[Column], rhs: Column): DataFrame = {
+    require(lhs.nonEmpty, "fdCheck: need at least one lhs column")
+    val parts = lhs.map(k => coalesce(k.cast("string"), lit("null")))
+    df.select(concat_ws("", parts: _*).as("_l"),
+        coalesce(rhs.cast("string"), lit("null")).as("_r"))
+      .groupBy(col("_l"))
+      .agg(count_distinct(col("_r")).as("_nr"))
+      .agg(
+        count(lit(1)).as("n_lhs"),
+        sum(when(col("_nr") > 1L, 1L).otherwise(0L)).as("n_violating"),
+        max(col("_nr")).as("max_rhs_per_lhs"),
+        (sum(when(col("_nr") > 1L, 1L).otherwise(0L)) === 0L).as("fd_holds"))
+  }
+
+  /** Benford first-digit profile of a positive integer measure —
+    * the forensic screen for fabricated/synthetic numeric columns.
+    * Exact integer surface: per leading digit the observed count,
+    * observed ppm, the Benford expectation ⌊log₁₀(1+1/d)·10⁶⌋ ppm
+    * (ln-ratio — deterministic IEEE), and the signed deviation. One
+    * partial-agg shuffle of ≤ 9 rows; rows with a non-positive value
+    * are excluded (Benford is defined on positive magnitudes).
+    * The first digit comes from the value's DECIMAL STRING — exact at
+    * any magnitude, immune to float log edge cases.
+    */
+  def benfordDigits(df: DataFrame, valueCol: Column): DataFrame = {
+    val counts = df
+      .where(valueCol.isNotNull && valueCol > 0)
+      .select(substring(valueCol.cast("long").cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_t"))
+    counts.crossJoin(broadcast(total))
+      .select(
+        col("digit"), col("n"),
+        expr("n * 1000000L div _t").as("obs_ppm"),
+        floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)) * 1000000.0).cast("long").as("benford_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("benford_ppm"))
+  }
+
   /** Per-partition row counts — imbalance at a glance (returns
     * |partitions| rows: partition id, rows).
     */

@@ -434,4 +434,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows("u") == ((2L, 30L, 3.0)))
     assert(!rows.contains("v"))
   }
+
+  test("cusum: hand-checked fold, clamp at zero, alarm threshold, null skip") {
+    val df = Seq(
+      (1L, 1L, Some(2.0)), (1L, 2L, Some(0.0)), (1L, 3L, None),
+      (1L, 4L, Some(0.5)), (1L, 5L, Some(3.0)),
+      (2L, 1L, Some(0.0)) // independent key, stays clamped
+    ).toDF("k", "i", "v")
+    val got = Analytics.cusum(df, col("k"), Seq(col("i")), col("i"), col("v"),
+        drift = 1.0, threshold = 1.5)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+      .toMap
+    // s: 0+1=1; 1-1=0; (null keeps 0); 0-0.5 -> clamp 0; 0+2=2 -> alarm
+    assert(got((1L, 1L)) == ((Some(1.0), false)))
+    assert(got((1L, 2L)) == ((Some(0.0), false)))
+    assert(got((1L, 3L)) == ((None, false)))
+    assert(got((1L, 4L)) == ((Some(0.0), false)))
+    assert(got((1L, 5L)) == ((Some(2.0), true)))
+    assert(got((2L, 1L)) == ((Some(0.0), false)))
+  }
 }

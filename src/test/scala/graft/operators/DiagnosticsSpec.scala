@@ -140,4 +140,34 @@ class DiagnosticsSpec extends SparkSpec {
       .collect().head
     assert(r2.getLong(4) == 1L) // 1-row keys -> ceil(8/1000) -> 1
   }
+
+  test("fdCheck: violations counted exactly; null rhs is a value") {
+    val bad = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b")).toDF("l", "r")
+    val b = Diagnostics.fdCheck(bad, Seq(col("l")), col("r")).collect().head
+    assert(b.getLong(0) == 2L && b.getLong(1) == 1L && b.getLong(2) == 2L)
+    assert(!b.getBoolean(3))
+    val good = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("l", "r")
+    val g = Diagnostics.fdCheck(good, Seq(col("l")), col("r")).collect().head
+    assert(g.getBoolean(3) && g.getLong(1) == 0L)
+    // (3, "x") vs (3, null): two distinct rhs values -> violation
+    val withNull = Seq((3L, "x"), (3L, null.asInstanceOf[String])).toDF("l", "r")
+    val n = Diagnostics.fdCheck(withNull, Seq(col("l")), col("r")).collect().head
+    assert(!n.getBoolean(3) && n.getLong(2) == 2L)
+  }
+
+  test("benfordDigits: integer ppm surface, ln-ratio expectation, positives only") {
+    val df = ((1L to 9L) ++ Seq(-5L, 0L)).toDF("v") // negatives/zero excluded
+    val rows = Diagnostics.benfordDigits(df, col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == (1 to 9).map(_.toString).toSet)
+    // uniform digits: 9 values, each 1/9 = 111111 ppm
+    assert(rows.values.forall { case (n, ppm, _, _) => n == 1L && ppm == 111111L })
+    // digit 1: floor(log10(2) * 1e6) = 301029
+    assert(rows("1")._3 == 301029L)
+    assert(rows("1")._4 == 111111L - 301029L)
+    // expectations sum to ~1e6 (floor slack < 9)
+    val s = rows.values.map(_._3).sum
+    assert(s > 999990L && s <= 1000000L)
+  }
 }
