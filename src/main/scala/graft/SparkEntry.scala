@@ -2123,6 +2123,15 @@ object SparkEntry {
             .cast("long").as("cents")),
         col("cents"))),
 
+    // Exact phrase search ("table hash" adjacent, in order) over
+    // positional postings: filtered+shifted posting joins on the
+    // (doc, start) key — no text crosses a join.
+    "q_phrase" -> ((s, d) =>
+      Ranking.phraseSearch(t(s, d, "documents"), col("doc_id"), col("text"),
+          Seq("table", "hash"))
+        .select(col("id").as("doc_id"), col("n_matches"),
+          col("first_pos").cast("long").as("first_pos"))),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -4023,6 +4032,17 @@ object SparkEntry {
         |  CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0)
         |    AS BIGINT) AS dev_ppm
         |FROM c, t""".stripMargin,
+
+    // positional-posting intersection in SQL, same word splitter
+    "q_phrase" ->
+      s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+         |pos AS (SELECT doc_id, g - 1 AS p, ws[g] AS word FROM w,
+         |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS g) t),
+         |a AS (SELECT doc_id, p AS s FROM pos WHERE word = 'table'),
+         |b AS (SELECT doc_id, p - 1 AS s FROM pos WHERE word = 'hash')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(s) AS BIGINT) AS first_pos
+         |FROM a JOIN b USING (doc_id, s) GROUP BY doc_id""".stripMargin,
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

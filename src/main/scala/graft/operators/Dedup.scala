@@ -926,6 +926,32 @@ object Dedup {
     * Returns the input rows whose text is a strict prefix (semi-join
     * on text), original schema preserved.
     */
+  /** MinHash-LSH parameter plan: given a signature budget and a
+    * target jaccard threshold, pick the (bands, rows) split whose
+    * S-curve inflection (1/b)^(1/r) lands closest to the target, and
+    * report the capture probability AT the target. Pure driver math —
+    * run it before [[minhashPairs]] instead of hand-guessing band
+    * counts; at 100 TB a mis-set band count is either a recall hole
+    * (threshold too high) or a candidate-pair explosion (too low).
+    */
+  final case class LshPlan(bands: Int, rows: Int, inflection: Double,
+      captureAtTarget: Double)
+
+  def lshPlan(numHashes: Int, targetThreshold: Double): LshPlan = {
+    require(numHashes >= 2, s"lshPlan: need >= 2 hashes, got $numHashes")
+    require(targetThreshold > 0.0 && targetThreshold < 1.0,
+      s"lshPlan: threshold must be in (0,1), got $targetThreshold")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    val (b, r, inf) = candidates.minBy { case (_, _, t) =>
+      math.abs(t - targetThreshold)
+    }
+    val capture = 1.0 - math.pow(1.0 - math.pow(targetThreshold, r), b)
+    LshPlan(b, r, inf, capture)
+  }
+
   def prefixDups(df: DataFrame, textCol: Column, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val p =

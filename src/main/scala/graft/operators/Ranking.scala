@@ -232,6 +232,35 @@ object Ranking {
               (col("bcubed_precision") + col("bcubed_recall")), 6)))
   }
 
+  /** Exact phrase search over positional postings — the retrieval
+    * operator BM25's bag-of-words scoring cannot express ("hash
+    * table" ≠ documents containing both words somewhere).
+    *
+    * Shape: one posexplode gives (doc, position, word); each phrase
+    * word's postings are FILTERED (pushed to the scan) and shifted so
+    * every occurrence of the full phrase collapses to the same
+    * (doc, start) key; k−1 equi-joins on that short key find the
+    * matches. The joined frames carry (doc_id, start) pairs only —
+    * never text — and each side is pre-shrunk to one word's postings,
+    * the classic positional-index intersection an inverted index
+    * would do, expressed as Catalyst joins so AQE can broadcast the
+    * rarest word's postings. Returns (id, n_matches, first_pos) per
+    * matching document.
+    */
+  def phraseSearch(df: DataFrame, idCol: Column, textCol: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: phrase must be non-empty")
+    require(phrase.forall(_.nonEmpty), "phraseSearch: empty phrase word")
+    val pos = df.select(idCol.as("_id"),
+      posexplode(words(textCol)).as(Seq("_p", "_w")))
+    val parts = phrase.zipWithIndex.map { case (w, i) =>
+      pos.where(col("_w") === w).select(col("_id"), (col("_p") - i).as("_s"))
+    }
+    parts.reduce(_.join(_, Seq("_id", "_s")))
+      .groupBy(col("_id").as("id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("_s")).as("first_pos"))
+  }
+
   /** Adjusted Rand Index — the pair-counting companion of [[bcubed]]
     * (chance-corrected: random labelings score ~0, identity scores 1):
     *

@@ -311,4 +311,19 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got == (1L to 5L).toSet)
   }
+
+  test("lshPlan picks the divisor split nearest the target S-curve inflection") {
+    // 128 hashes, target 0.8: inflections are 0.707 (16x8) and 0.878 (8x16);
+    // 0.878 is nearer
+    val p = Dedup.lshPlan(128, 0.8)
+    assert(p.bands == 8 && p.rows == 16)
+    assert(math.abs(p.inflection - math.pow(1.0 / 8, 1.0 / 16)) < 1e-12)
+    val expectedCapture = 1.0 - math.pow(1.0 - math.pow(0.8, 16), 8)
+    assert(math.abs(p.captureAtTarget - expectedCapture) < 1e-12)
+    // a low threshold prefers many bands (few rows per band)
+    val lo = Dedup.lshPlan(128, 0.2)
+    assert(lo.bands > p.bands)
+    intercept[IllegalArgumentException](Dedup.lshPlan(1, 0.5))
+    intercept[IllegalArgumentException](Dedup.lshPlan(128, 1.0))
+  }
 }

@@ -130,4 +130,26 @@ class RankingSpec extends SparkSpec {
       s.getAs[Double]("sum_comb_gold") == 1.0)
     assert(s.getAs[Double]("ari") == -0.5)
   }
+
+  test("phraseSearch: adjacency in order, overlaps counted, non-matches absent") {
+    val docs = Seq(
+      (1L, "hash table hash table"),  // "hash table" at 0 and 2
+      (2L, "table hash"),             // reversed: no match
+      (3L, "hash x table"),           // gap: no match
+      (4L, "a hash table b"),         // one match at position 1
+      (5L, "hash hash hash")          // self-overlap probe for ["hash","hash"]
+    ).toDF("doc_id", "text")
+    val got = Ranking.phraseSearch(docs, col("doc_id"), col("text"),
+        Seq("hash", "table"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got == Map(1L -> ((2L, 0)), 4L -> ((1L, 1))))
+    val overlap = Ranking.phraseSearch(docs, col("doc_id"), col("text"),
+        Seq("hash", "hash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(overlap == Map(5L -> 2L)) // starts 0 and 1
+    val tri = Ranking.phraseSearch(docs, col("doc_id"), col("text"),
+        Seq("hash", "table", "hash"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(tri == Map(1L -> ((1L, 0))))
+  }
 }
