@@ -2132,6 +2132,31 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_matches"),
           col("first_pos").cast("long").as("first_pos"))),
 
+    // Exact two-sample KS over ONE distributed prefix-sum pass (the
+    // Relational.prefixSums primitive — never a one-partition
+    // window); integer numerator, one division.
+    "q_ks" -> ((s, d) =>
+      Analytics.ksTest(t(s, d, "events"), col("event_type"), col("value"),
+        "click", "purchase")),
+
+    // Shannon entropy + normalized diversity of the event-type mix.
+    "q_entropy" -> ((s, d) =>
+      Analytics.entropy(t(s, d, "events"), col("event_type"))),
+
+    // Compaction sizing contract: ceil(n/target) partitions, checked
+    // against the physical layout the operator actually produced.
+    "q_compact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val target = 100L
+      val compacted = Layout.compact(docs, target)
+      val parts = compacted.rdd.getNumPartitions.toLong
+      val n = docs.count()
+      val expected = (n + target - 1) / target
+      import s.implicits._
+      Seq((n, parts, expected, parts == expected))
+        .toDF("n_rows", "n_partitions", "expected_partitions", "sized_ok")
+    }),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -4043,6 +4068,49 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
          |  CAST(min(s) AS BIGINT) AS first_pos
          |FROM a JOIN b USING (doc_id, s) GROUP BY doc_id""".stripMargin,
+
+    // plain window cumsums are fine at DuckDB's scale; integer gap
+    "q_ks" ->
+      """WITH pv AS (SELECT value AS v,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL GROUP BY value),
+        |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+        |  sum(cb) OVER (ORDER BY v) AS cumb FROM pv),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM pv)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(max(abs(nb * cuma - na * cumb)) AS BIGINT) AS ks_num,
+        |  na * nb AS ks_denom,
+        |  round(CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE) /
+        |    CAST(na * nb AS DOUBLE), 6) AS ks
+        |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // H = ln N − (Σ n·ln n)/N with 6dp DECIMAL term sums
+    "q_entropy" ->
+      """WITH c AS (SELECT event_type AS x, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |s AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |  sum(CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6))) AS sd
+        |  FROM c)
+        |SELECT n, k,
+        |  round(ln(CAST(n AS DOUBLE)) - CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS entropy,
+        |  CASE WHEN k <= 1 THEN 0.0
+        |       ELSE round(round(ln(CAST(n AS DOUBLE)) -
+        |         CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6) /
+        |         ln(CAST(k AS DOUBLE)), 6) END AS entropy_norm
+        |FROM s""".stripMargin,
+
+    // the sizing arithmetic re-derived; layout check pinned TRUE
+    "q_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST((count(*) + 99) // 100 AS BIGINT) AS n_partitions,
+        |  CAST((count(*) + 99) // 100 AS BIGINT) AS expected_partitions,
+        |  TRUE AS sized_ok
+        |FROM documents""".stripMargin,
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

@@ -661,6 +661,68 @@ object Analytics {
       .toDF("id", "key", "cusum", "alarm")
   }
 
+  /** EXACT two-sample Kolmogorov-Smirnov statistic — the continuous
+    * distribution-drift test next to the chi-square one ([[graft
+    * .operators.Quality]]'s drift monitor bins; KS needs no binning).
+    *
+    * D = max_v |F_a(v) − F_b(v)| is computed as INTEGER arithmetic:
+    * per distinct value the side counts, then both cumulative counts
+    * over ONE distributed range sort ([[Relational.prefixSums]] — no
+    * single-partition window), and D's numerator
+    * max |n_b·cumA − n_a·cumB| is exact in longs. One IEEE division
+    * at the end. Returns one row: (n_a, n_b, ks_num, ks_denom, ks).
+    */
+  def ksTest(df: DataFrame, groupCol: Column, valueCol: Column,
+      a: String, b: String): DataFrame = {
+    val perValue = df
+      .where(groupCol.isin(a, b) && valueCol.isNotNull)
+      .select(valueCol.as("_v"), groupCol.as("_g"))
+      .groupBy(col("_v"))
+      .agg(
+        sum(when(col("_g") === a, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === b, 1L).otherwise(0L)).as("_cb"))
+    val cums = Relational.prefixSums(perValue, Seq(col("_v")),
+      Seq(col("_ca") -> "_cumA", col("_cb") -> "_cumB"))
+    val totals = perValue.agg(
+      sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    cums.crossJoin(broadcast(totals))
+      .select(
+        abs(col("_nb") * col("_cumA") - col("_na") * col("_cumB")).as("_gap"),
+        col("_na"), col("_nb"))
+      .groupBy(col("_na").as("n_a"), col("_nb").as("n_b"))
+      .agg(max(col("_gap")).as("ks_num"))
+      .select(
+        col("n_a"), col("n_b"), col("ks_num"),
+        (col("n_a") * col("n_b")).as("ks_denom"),
+        round(col("ks_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
+  }
+
+  /** Shannon entropy of a categorical column (nats, plus the
+    * 0..1 normalization by ln k) — the diversity half of a
+    * mixture/balance audit, same determinism discipline as
+    * [[mutualInfo]]: exact integer counts, 6dp DECIMAL term sums,
+    * H = ln N − (Σ nₓ·ln nₓ)/N so ln is the only transcendental.
+    * Nulls are excluded. One row: (n, k, entropy, entropy_norm).
+    */
+  def entropy(df: DataFrame, c: Column): DataFrame = {
+    val counts = df.where(c.isNotNull).groupBy(c.as("_x"))
+      .agg(count(lit(1)).as("_n"))
+    counts
+      .agg(
+        sum(col("_n")).as("n"),
+        count(lit(1)).as("k"),
+        sum(round(col("_n").cast("double") * log(col("_n").cast("double")), 6)
+          .cast("decimal(18,6)")).as("_s"))
+      .select(
+        col("n"), col("k"),
+        round(log(col("n").cast("double")) -
+          col("_s").cast("double") / col("n").cast("double"), 6).as("entropy"))
+      .withColumn("entropy_norm",
+        when(col("k") <= 1L, lit(0.0))
+          .otherwise(round(col("entropy") / log(col("k").cast("double")), 6)))
+  }
+
   /** Frequent pairwise co-occurrence (market-basket / Apriori level-2):
     * item pairs that appear together in at least `minSupport` baskets,
     * with per-item counts and lift. The level-2 pass is where

@@ -500,6 +500,76 @@ object Relational {
       .drop((0 until probs.size).map(i => s"_q$i"): _*)
   }
 
+  /** Distributed GLOBAL running totals — the prefix-sum primitive a
+    * single-partition `Window.orderBy(...)` fakes on small data and
+    * destroys clusters with on big data. Range-partition + local sort
+    * gives the global order; per-partition totals (|partitions| longs
+    * through the driver) become start offsets; one narrow
+    * mapPartitions emits each row's inclusive running total. The same
+    * machinery `budgetSelect` and `globalIndex` use, exposed as the
+    * reusable operator (CDF/quantile/budget shapes all reduce to it).
+    *
+    * `orderBy` must be a total order or tied rows' cumulative values
+    * are shuffle-dependent. Nulls in `sumCol` add zero. Adds `cumCol`
+    * (inclusive prefix sum, long).
+    */
+  def prefixSum(df: DataFrame, orderBy: Seq[Column], sumCol: Column,
+      cumCol: String = "cum"): DataFrame =
+    prefixSums(df, orderBy, Seq(sumCol -> cumCol))
+
+  /** Multi-column [[prefixSum]]: all running totals ride ONE range
+    * sort and one narrow pass (a CDF comparison needs two cumulative
+    * counts over the same order — sorting twice would double the
+    * dominant cost).
+    */
+  def prefixSums(df: DataFrame, orderBy: Seq[Column],
+      sums: Seq[(Column, String)]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(orderBy.nonEmpty, "prefixSums: orderBy must be non-empty")
+    require(sums.nonEmpty, "prefixSums: need at least one sum column")
+    val spark = df.sparkSession
+    val tmp = sums.indices.map(i => s"_ps$i")
+    val projected = sums.zip(tmp).foldLeft(df) { case (acc, ((c, _), t)) =>
+      acc.withColumn(t, c.cast("long"))
+    }
+    val sorted = graft.core.CacheRegistry.persist(
+      projected.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded driver state: |partitions| × |sums| longs
+    val totals = sorted
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(coalesce(sum(col(tmp.head)), lit(0L)).as(s"_t0"),
+        tmp.tail.zipWithIndex.map { case (t, i) =>
+          coalesce(sum(col(t)), lit(0L)).as(s"_t${i + 1}")
+        }: _*)
+      .collect().map(r => r.getInt(0) -> tmp.indices.map(i => r.getLong(i + 1)).toArray)
+      .toMap
+    val nPart = sorted.rdd.getNumPartitions
+    val zero = Array.fill(tmp.size)(0L)
+    val offsets = (0 until nPart).scanLeft(zero) { (acc, p) =>
+      val t = totals.getOrElse(p, zero)
+      Array.tabulate(tmp.size)(i => acc(i) + t(i))
+    }
+    val psIdx = tmp.map(sorted.schema.fieldIndex).toArray
+    val keep = sorted.schema.fields.indices.filterNot(psIdx.contains).toArray
+    val schema = StructType(
+      keep.map(sorted.schema.fields) ++
+        sums.map { case (_, n) => StructField(n, LongType, nullable = false) })
+    val withCum = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = offsets(pid).clone()
+      it.map { r =>
+        var i = 0
+        while (i < psIdx.length) {
+          acc(i) += (if (r.isNullAt(psIdx(i))) 0L else r.getLong(psIdx(i)))
+          i += 1
+        }
+        // acc mutates across rows — materialize a copy into each Row
+        org.apache.spark.sql.Row.fromSeq(keep.map(r.get).toSeq ++ acc.toList)
+      }
+    }
+    spark.createDataFrame(withCum, schema)
+  }
+
   /** CDC MERGE: apply a changelog of keyed upserts/deletes onto a base
     * table, latest-wins — the lakehouse `MERGE INTO` / Debezium-apply
     * shape a daily ingestion pipeline runs against every managed table.

@@ -455,4 +455,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((1L, 5L)) == ((Some(2.0), true)))
     assert(got((2L, 1L)) == ((Some(0.0), false)))
   }
+
+  test("ksTest: identical samples score 0, disjoint supports score 1, shift in between") {
+    def mk(rows: Seq[(String, Double)]) = rows.toDF("g", "v")
+    val same = mk(Seq("a", "b").flatMap(g => (1 to 10).map(i => (g, i.toDouble))))
+    val s = Analytics.ksTest(same, col("g"), col("v"), "a", "b").collect().head
+    assert(s.getAs[Long]("ks_num") == 0L && s.getAs[Double]("ks") == 0.0)
+    val disjoint = mk((1 to 5).map(i => ("a", i.toDouble)) ++
+      (11 to 15).map(i => ("b", i.toDouble)))
+    val d = Analytics.ksTest(disjoint, col("g"), col("v"), "a", "b").collect().head
+    assert(d.getAs[Double]("ks") == 1.0)
+    // a = {1,2}, b = {2,3}: D = 1/2 at v in [1,2)... exact: max|2*cumA-2*cumB|/4
+    val shift = mk(Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)))
+    val h = Analytics.ksTest(shift, col("g"), col("v"), "a", "b").collect().head
+    assert(h.getAs[Long]("ks_num") == 2L && h.getAs[Long]("ks_denom") == 4L)
+    assert(h.getAs[Double]("ks") == 0.5)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("entropy: uniform hits ln k (norm 1), constant column scores 0") {
+    val uniform = Seq("a", "b", "c", "d").flatMap(x => Seq.fill(25)(x)).toDF("x")
+    val u = Analytics.entropy(uniform, col("x")).collect().head
+    assert(u.getAs[Long]("n") == 100L && u.getAs[Long]("k") == 4L)
+    assert(math.abs(u.getAs[Double]("entropy") - math.log(4.0)) < 1e-4)
+    assert(u.getAs[Double]("entropy_norm") > 0.9999)
+    val const = Seq.fill(50)("only").toDF("x")
+    val c = Analytics.entropy(const, col("x")).collect().head
+    assert(c.getAs[Double]("entropy") == 0.0 && c.getAs[Double]("entropy_norm") == 0.0)
+  }
 }

@@ -282,6 +282,27 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set((1L, "a"), (3L, "c2"), (4L, "d"), (9L, "new")))
   }
 
+  test("prefixSums: exact inclusive running totals, partition-layout-proof") {
+    val df = Seq((3L, 10L, 1L), (1L, 5L, 2L), (2L, 7L, 3L), (4L, 0L, 4L))
+      .toDF("o", "a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.prefixSums(d, Seq(col("o")), Seq(col("a") -> "ca", col("b") -> "cb"))
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    val expected = Set(
+      (1L, 5L, 2L), (2L, 12L, 5L), (3L, 22L, 6L), (4L, 22L, 10L))
+    assert(run(df) == expected)
+    assert(run(df.repartition(7)) == expected)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
+  test("prefixSum treats null addends as zero and keeps every row") {
+    val df = Seq((1L, Some(2L)), (2L, None), (3L, Some(5L))).toDF("o", "v")
+    val got = Relational.prefixSum(df, Seq(col("o")), col("v"), "c")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 7L))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("applyChangelog with an empty changelog is the identity") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val none = Seq.empty[(Long, String, Long, String)].toDF("k", "v", "seq", "op")
