@@ -2157,6 +2157,35 @@ object SparkEntry {
         .toDF("n_rows", "n_partitions", "expected_partitions", "sized_ok")
     }),
 
+    // Point-in-time join: each order reads the dimension version that
+    // was valid at ITS order date (the leakage-safe feature-store /
+    // SCD2 lookup) — asOfJoin composition, aggregated per version.
+    "q_pit" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val bal = col("c_acctbal").cast("decimal(18,2)")
+      val dim = c.select(col("c_custkey").as("k"), lit(1).as("ver"),
+          bal.as("bal"), lit(0L).as("vf"))
+        .unionAll(c.where(col("c_custkey") % 2 === 0).select(
+          col("c_custkey"), lit(2),
+          (bal + lit(BigDecimal("100.00"))).cast("decimal(18,2)"), lit(9496L)))
+      val facts = t(s, d, "orders").select(col("o_custkey").as("k"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("t"),
+        col("o_totalprice"))
+      Relational.asOfJoin(facts, dim, "k", "t", "vf", Seq("ver", "bal"))
+        .groupBy(col("ver"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("revenue"),
+          sum(col("bal")).cast("double").as("bal_sum"))
+    }),
+
+    // Top-2 PCA by Hotelling deflation: the q_power_iter loop, then
+    // x ← x − (x·v₁)v₁ row-local and the loop again — four unrolled
+    // SQL iterations reproduce every coordinate bit-for-bit.
+    "q_pca2" -> ((s, d) =>
+      Linalg.topComponents(
+        t(s, d, "embeddings").select(col("embedding")), "embedding",
+        components = 2, iters = 2)),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -4111,6 +4140,62 @@ object SparkEntry {
         |  CAST((count(*) + 99) // 100 AS BIGINT) AS expected_partitions,
         |  TRUE AS sized_ok
         |FROM documents""".stripMargin,
+
+    // latest valid_from <= t per order via row_number; same math
+    "q_pit" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS k, 1 AS ver, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+        |    0 AS vf FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2, CAST(c_acctbal AS DECIMAL(18,2)) + 100.00, 9496
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |f AS (SELECT o_orderkey AS id, o_custkey AS k,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate) AS t,
+        |  o_totalprice FROM orders),
+        |m AS (SELECT f.id, f.o_totalprice, d.ver, d.bal,
+        |  row_number() OVER (PARTITION BY f.id ORDER BY d.vf DESC) AS rk
+        |  FROM f JOIN dim d ON f.k = d.k AND d.vf <= f.t)
+        |SELECT ver, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(sum(bal) AS DOUBLE) AS bal_sum
+        |FROM m WHERE rk = 1 GROUP BY ver""".stripMargin,
+
+    // four unrolled rounds: two on x, deflate by v2, two on the residual
+    "q_pca2" -> {
+      // one power round: w fold, 1e-10-rounded DECIMAL matvec, norm, unit v
+      def round(src: String, li: String, vi: String, s: String, vFrom: String) =
+        s"""w$s AS (SELECT * , list_reduce(list_prepend(0.0::DOUBLE,
+           |    list_transform(generate_series(1, 64), i -> $li * $vi)),
+           |    (a, b) -> a + b) AS w FROM $src$vFrom),
+           |t$s AS (SELECT unnest(generate_series(1, 64)) AS j,
+           |    unnest(list_transform(generate_series(1, 64),
+           |      i -> CAST(round(w * $li, 10) AS DECIMAL(38,10)))) AS t
+           |  FROM w$s),
+           |u$s AS (SELECT j, sum(t) AS u FROM t$s GROUP BY j),
+           |n$s AS (SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           |    list(CAST(u AS DOUBLE) * CAST(u AS DOUBLE) ORDER BY j)),
+           |    (a, b) -> a + b)) AS nrm FROM u$s),
+           |v$s AS (SELECT list(CAST(u AS DOUBLE) / nrm ORDER BY j) AS vl
+           |  FROM u$s, n$s)""".stripMargin
+      s"""WITH x AS (SELECT embedding AS e FROM embeddings
+         |  WHERE len(embedding) = 64),
+         |${round("x", "e[i]::DOUBLE", "0.125", "1", "")},
+         |${round("x", "e[i]::DOUBLE", "vl[i]", "2", ", v1")},
+         |y AS (SELECT e, list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, 64), i -> e[i]::DOUBLE * vl[i])),
+         |    (a, b) -> a + b) AS w FROM x, v2),
+         |x2 AS (SELECT list_transform(generate_series(1, 64),
+         |    j -> e[j]::DOUBLE - w * vl[j]) AS e2 FROM y, v2),
+         |${round("x2", "e2[i]", "0.125", "3", "")},
+         |${round("x2", "e2[i]", "vl[i]", "4", ", v3")}
+         |SELECT CAST(1 AS INTEGER) AS component, CAST(j - 1 AS INTEGER) AS dim,
+         |  round(CAST(u AS DOUBLE) / nrm, 6) AS coord, round(nrm, 6) AS lambda
+         |FROM u2, n2
+         |UNION ALL
+         |SELECT CAST(2 AS INTEGER), CAST(j - 1 AS INTEGER),
+         |  round(CAST(u AS DOUBLE) / nrm, 6), round(nrm, 6)
+         |FROM u4, n4""".stripMargin
+    },
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

@@ -42,16 +42,12 @@ object Linalg {
     * eigenvector entry (6 dp), lambda the shared eigenvalue estimate
     * (6 dp).
     */
-  def powerIteration(df: DataFrame, vecCol: String, iters: Int = 2): DataFrame = {
-    require(iters >= 1 && iters <= 16,
-      s"powerIteration: iters must be in [1,16], got $iters")
-    val spark = df.sparkSession
-    val first = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0).head()
-    val dim = first.getInt(0)
-    val x = graft.core.CacheRegistry.persist(
-      df.select(col(vecCol).cast("array<double>").as("_x"))
-        .where(size(col("_x")) === dim),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** The power loop over a prepared `(_x: array<double>)` frame:
+    * returns (unit eigenvector, λ̂). Shared verbatim by
+    * [[powerIteration]] and [[topComponents]] so the deflated pass
+    * cannot drift arithmetically from the first.
+    */
+  private def powerLoop(x: DataFrame, dim: Int, iters: Int): (Array[Double], Double) = {
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var lambda = 0.0
     var it = 0
@@ -78,13 +74,79 @@ object Linalg {
       v = uArr.map(_ / norm)
       it += 1
     }
-    def r6(d: Double): Double =
-      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
-        .doubleValue
+    (v, lambda)
+  }
+
+  private def r6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue
+
+  private def prepared(df: DataFrame, vecCol: String): (DataFrame, Int) = {
+    val dim = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
+      .head().getInt(0)
+    val x = graft.core.CacheRegistry.persist(
+      df.select(col(vecCol).cast("array<double>").as("_x"))
+        .where(size(col("_x")) === dim),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (x, dim)
+  }
+
+  def powerIteration(df: DataFrame, vecCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"powerIteration: iters must be in [1,16], got $iters")
+    val spark = df.sparkSession
+    val (x, dim) = prepared(df, vecCol)
+    val (v, lambda) = powerLoop(x, dim, iters)
     val rows = (0 until dim).map(j => Row(j, r6(v(j)), r6(lambda)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
+        StructField("dim", IntegerType, nullable = false),
+        StructField("coord", DoubleType, nullable = false),
+        StructField("lambda", DoubleType, nullable = false))))
+  }
+
+  /** Top-k principal directions by HOTELLING DEFLATION: after each
+    * converged component v, every row is re-expressed as
+    * x ← x − (x·v)·v (a row-local zip_with — no shuffle, no
+    * materialized dim×dim matrix) and the same power loop runs on the
+    * residual. Components come out in decreasing λ̂ order; deflation
+    * error compounds like (λ₂/λ₁)^iters, which is why `iters` should
+    * grow with k. Output: (component ∈ 1..k, dim, coord, lambda).
+    *
+    * Scale: identical to [[powerIteration]] per component — the
+    * deflated frame is a lazy projection over the SAME cached base
+    * scan (deflation literals ride into codegen), so k components
+    * cost k × the single-component passes, nothing more.
+    */
+  def topComponents(df: DataFrame, vecCol: String, components: Int = 2,
+      iters: Int = 2): DataFrame = {
+    require(components >= 1 && components <= 8,
+      s"topComponents: components must be in [1,8], got $components")
+    val spark = df.sparkSession
+    val (x0, dim) = prepared(df, vecCol)
+    require(components <= dim, "topComponents: more components than dimensions")
+    var x = x0
+    val out = Vector.newBuilder[Row]
+    for (c <- 1 to components) {
+      val (v, lambda) = powerLoop(x, dim, iters)
+      (0 until dim).foreach(j => out += Row(c, j, r6(v(j)), r6(lambda)))
+      if (c < components) {
+        val vLit = array(v.map(lit): _*)
+        // w = x·v once per row, then x − w·v — mirrors the oracle's
+        // two-step (dot in one CTE, subtraction in the next)
+        x = x
+          .withColumn("_w",
+            aggregate(zip_with(col("_x"), vLit, (a, b) => a * b),
+              lit(0.0), (acc, y) => acc + y))
+          .select(zip_with(col("_x"), vLit,
+            (xi, vi) => xi - col("_w") * vi).as("_x"))
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result(), 1),
+      StructType(Seq(
+        StructField("component", IntegerType, nullable = false),
         StructField("dim", IntegerType, nullable = false),
         StructField("coord", DoubleType, nullable = false),
         StructField("lambda", DoubleType, nullable = false))))

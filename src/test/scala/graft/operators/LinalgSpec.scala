@@ -32,6 +32,27 @@ class LinalgSpec extends SparkSpec {
     assert(math.abs(out(0) - 1.0) < 1e-9 && math.abs(out(1)) < 1e-9)
   }
 
+  test("topComponents: deflation recovers two orthogonal axes in spectral order") {
+    // rows 3·e1 (x2) and 1·e2: X^T X = diag(18, 1) — well-separated, so
+    // 3 rounds put v1 within (1/18)^3 of e1 and the residual is ~e2
+    val rows = Seq(
+      Array(3.0f, 0.0f), Array(3.0f, 0.0f), Array(0.0f, 1.0f)
+    ).map(Tuple1(_)).toDF("embedding")
+    val out = Linalg.topComponents(rows, "embedding", components = 2, iters = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val v1 = Array(out((1, 0))._1, out((1, 1))._1)
+    val v2 = Array(out((2, 0))._1, out((2, 1))._1)
+    assert(math.abs(v1(0) - 1.0) < 0.01 && math.abs(v1(1)) < 0.01, v1.toSeq)
+    assert(math.abs(v2(1) - 1.0) < 0.01 && math.abs(v2(0)) < 0.01, v2.toSeq)
+    assert(math.abs(v1(0) * v2(0) + v1(1) * v2(1)) < 0.01) // orthogonal
+    val l1 = out((1, 0))._2
+    val l2 = out((2, 0))._2
+    assert(l1 > l2 && math.abs(l1 - 18.0) < 0.1 && math.abs(l2 - 1.0) < 0.1)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("powerIteration rejects degenerate all-zero input") {
     val rows = Seq(Array(0.0f, 0.0f)).map(Tuple1(_)).toDF("embedding")
     intercept[IllegalArgumentException](
