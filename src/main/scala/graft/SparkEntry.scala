@@ -2186,6 +2186,12 @@ object SparkEntry {
         t(s, d, "embeddings").select(col("embedding")), "embedding",
         components = 2, iters = 2)),
 
+    // Cramér's V over the full r×c grid without zero cells:
+    // χ² = Σ_obs[(n−E)²/E − E] + N, 6dp DECIMAL terms.
+    "q_cramers_v" -> ((s, d) =>
+      Analytics.cramersV(t(s, d, "events"),
+        col("event_type"), (col("user_id") % 4L).as("ub"))),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -4196,6 +4202,33 @@ object SparkEntry {
          |  round(CAST(u AS DOUBLE) / nrm, 6), round(nrm, 6)
          |FROM u4, n4""".stripMargin
     },
+
+    // zero-cell-free chi-square identity; same division shapes
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT event_type AS x, user_id % 4 AS y,
+        |  CAST(count(*) AS BIGINT) AS nxy
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY x),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY y),
+        |nn AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT x) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT y) AS BIGINT) AS c FROM cells),
+        |tt AS (SELECT CAST(round(
+        |    ((CAST(nxy AS DOUBLE) - e) * (CAST(nxy AS DOUBLE) - e)) / e - e, 6)
+        |    AS DECIMAL(18,6)) AS t
+        |  FROM (SELECT nxy,
+        |    CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE) AS e
+        |    FROM cells JOIN mx USING (x) JOIN my USING (y), nn)),
+        |s2 AS (SELECT n, r, c,
+        |  round(CAST(sum(t) AS DOUBLE) + CAST(n AS DOUBLE), 6) AS chi2
+        |  FROM tt, nn GROUP BY n, r, c)
+        |SELECT n, r, c, chi2,
+        |  CASE WHEN least(r, c) <= 1 THEN NULL
+        |       ELSE round(sqrt(chi2 /
+        |         (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
+        |  END AS cramers_v
+        |FROM s2""".stripMargin,
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

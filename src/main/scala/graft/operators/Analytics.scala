@@ -698,6 +698,48 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
+  /** Cramér's V association strength between two categorical columns
+    * (0 = independent, 1 = determined) — the bounded companion of
+    * [[mutualInfo]] (MI is unbounded, V is comparable across pairs).
+    *
+    * χ² over the FULL r×c grid without materializing zero cells: an
+    * unobserved cell contributes (0−E)²/E = E, and Σ E over the grid
+    * is N, so χ² = Σ_observed[(n−E)²/E − E] + N — the sum stays over
+    * the observed cell frame only (|X|·|Y|-bounded like mutualInfo),
+    * with the 6dp-DECIMAL term discipline for order-proof totals.
+    * Returns one row: (n, r, c, chi2, cramers_v); V is null when
+    * either column is constant (min(r−1, c−1) = 0).
+    */
+  def cramersV(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df
+      .where(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val n = cells.agg(sum(col("n_xy")).as("_n"),
+      count_distinct(col("x")).as("r"), count_distinct(col("y")).as("c"))
+    val e = col("n_x").cast("double") * col("n_y").cast("double") /
+      col("_n").cast("double")
+    val nd = col("n_xy").cast("double")
+    cells
+      .join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(n))
+      .select(col("_n"), col("r"), col("c"),
+        round(((nd - e) * (nd - e)) / e - e, 6)
+          .cast("decimal(18,6)").as("_t"))
+      .groupBy(col("_n"), col("r"), col("c"))
+      .agg(round(sum(col("_t")).cast("double") + col("_n").cast("double"), 6)
+        .as("chi2"))
+      .select(col("_n").as("n"), col("r"), col("c"), col("chi2"))
+      .withColumn("cramers_v",
+        when(least(col("r"), col("c")) <= 1L, lit(null).cast("double"))
+          .otherwise(round(sqrt(col("chi2") /
+            (col("n").cast("double") *
+              (least(col("r"), col("c")) - 1L).cast("double"))), 6)))
+  }
+
   /** Shannon entropy of a categorical column (nats, plus the
     * 0..1 normalization by ln k) — the diversity half of a
     * mixture/balance audit, same determinism discipline as

@@ -159,6 +159,51 @@ object Diagnostics {
       .withColumn("dev_ppm", col("obs_ppm") - col("benford_ppm"))
   }
 
+  /** PLAN LINT — the pre-flight review PlanShapeSpec applies to this
+    * repo's own operators, exposed for user queries: walk the
+    * optimized physical plan and flag the four cluster-killers BEFORE
+    * they burn a 1000-executor day. Returns one row per finding
+    * (rule, severity, detail); empty = clean.
+    *
+    *  - `cartesian-product`: an unconditioned cross join — output is
+    *    |L|·|R|.
+    *  - `global-window`: a window with ORDER BY but no PARTITION BY —
+    *    the whole input collapses into ONE task.
+    *  - `global-sort-no-limit`: a total sort that doesn't feed a
+    *    take — usually a `prefixSums`/`globalIndex` job mis-spelled.
+    *  - `nested-loop-join`: BroadcastNestedLoopJoin on a non-cross
+    *    type — an equi-join that lost its keys.
+    *
+    * Inspection only — the frame is analyzed, not executed.
+    */
+  def planLint(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val spark = df.sparkSession
+    import spark.implicits._
+    // typed tree walk, not string matching — plan renderings drift
+    // across Spark versions, node classes don't. The PRE-adaptive
+    // plan: lint runs before execution, and AQE's wrapper nodes would
+    // hide the subtrees behind leaf query stages.
+    val root: SparkPlan = df.queryExecution.sparkPlan
+    val nodes = root.collect { case p => p }
+    val hasTake = nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec])
+    val findings = nodes.flatMap {
+      case c: CartesianProductExec =>
+        Some(("cartesian-product", "error", c.simpleStringWithNodeId().take(160)))
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Some(("global-window", "error", w.simpleStringWithNodeId().take(160)))
+      case j: BroadcastNestedLoopJoinExec
+          if j.joinType != org.apache.spark.sql.catalyst.plans.Cross =>
+        Some(("nested-loop-join", "warn", j.simpleStringWithNodeId().take(160)))
+      case s: SortExec if s.global && !hasTake =>
+        Some(("global-sort-no-limit", "warn", s.simpleStringWithNodeId().take(160)))
+      case _ => None
+    }
+    findings.toSeq.toDF("rule", "severity", "detail")
+  }
+
   /** Per-partition row counts — imbalance at a glance (returns
     * |partitions| rows: partition id, rows).
     */

@@ -112,6 +112,33 @@ object WindowedAgg {
   }
 }
 
+/** Watermarked stream-stream INTERVAL join: match left rows to right
+  * rows on a key within `[leftTs + lowerBound, leftTs + upperBound]`.
+  * Both watermarks plus the time-bound condition are what let Spark
+  * EVICT buffered rows — an unbounded-state stream join without them
+  * grows forever, which is the entire design constraint at stream
+  * scale. Column names must be disjoint apart from the key.
+  */
+object StreamJoin {
+  def interval(
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      delay: String,
+      lowerBound: String,
+      upperBound: String): org.apache.spark.sql.DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r,
+      l(key) === r(key) &&
+        expr(s"$rightTs >= $leftTs + interval $lowerBound") &&
+        expr(s"$rightTs <= $leftTs + interval $upperBound"))
+      .drop(r(key))
+  }
+}
+
 /** Streaming dedup with bounded state — dropDuplicatesWithinWatermark. */
 object StreamDedup {
   def apply(name: String, cols: Seq[String]): Component =

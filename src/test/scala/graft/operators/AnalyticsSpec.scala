@@ -473,6 +473,22 @@ class AnalyticsSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("cramersV: identity association is 1, independence is 0, constant is null") {
+    val ident = Seq.fill(5)(("a", "a")) ++ Seq.fill(5)(("b", "b"))
+    val i = Analytics.cramersV(ident.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    assert(i.getAs[Double]("chi2") == 10.0) // = N for a 2x2 identity
+    assert(i.getAs[Double]("cramers_v") == 1.0)
+    val indep = for { x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (x, y)
+    val d = Analytics.cramersV(indep.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    assert(d.getAs[Double]("chi2") == 0.0 && d.getAs[Double]("cramers_v") == 0.0)
+    val const = Seq.fill(6)(("only", "y")).toDF("x", "y")
+    val c = Analytics.cramersV(const, col("x"), col("y")).collect().head
+    assert(c.isNullAt(c.fieldIndex("cramers_v")))
+  }
+
   test("entropy: uniform hits ln k (norm 1), constant column scores 0") {
     val uniform = Seq("a", "b", "c", "d").flatMap(x => Seq.fill(25)(x)).toDF("x")
     val u = Analytics.entropy(uniform, col("x")).collect().head

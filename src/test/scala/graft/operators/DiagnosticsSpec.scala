@@ -155,6 +155,29 @@ class DiagnosticsSpec extends SparkSpec {
     assert(!n.getBoolean(3) && n.getLong(2) == 2L)
   }
 
+  test("planLint flags cartesians, global windows, unbounded sorts; clean plans pass") {
+    import org.apache.spark.sql.expressions.Window
+    val a = spark.range(100).toDF("a")
+    val b = spark.range(100).toDF("b")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cart = Diagnostics.planLint(a.crossJoin(b)).collect()
+      assert(cart.exists(_.getString(0) == "cartesian-product"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    val gw = Diagnostics.planLint(
+      a.withColumn("rn", row_number().over(Window.orderBy(col("a"))))).collect()
+    assert(gw.exists(r => r.getString(0) == "global-window" &&
+      r.getString(1) == "error"))
+    val gs = Diagnostics.planLint(a.orderBy(col("a"))).collect()
+    assert(gs.exists(_.getString(0) == "global-sort-no-limit"))
+    // clean: keyed window; global sort feeding a take
+    val keyed = a.withColumn("g", col("a") % 5)
+      .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("a")))
+    assert(Diagnostics.planLint(keyed).collect().isEmpty)
+    assert(Diagnostics.planLint(a.orderBy(col("a")).limit(5)).collect().isEmpty)
+  }
+
   test("benfordDigits: integer ppm surface, ln-ratio expectation, positives only") {
     val df = ((1L to 9L) ++ Seq(-5L, 0L)).toDF("v") // negatives/zero excluded
     val rows = Diagnostics.benfordDigits(df, col("v"))

@@ -780,6 +780,29 @@ class StreamingSpec extends SparkSpec {
       4L -> Some(0.25 * 12.0 + 0.75 * s2)))
   }
 
+  test("stream-stream interval join: in-window pairs match, out-of-window and cross-key drop") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val l = MemoryStream[(Timestamp, Long, String)]
+    val r = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamJoin.interval(
+        l.toDS().toDF("lt", "k", "lv"), r.toDS().toDF("rt", "k", "rv"),
+        key = "k", leftTs = "lt", rightTs = "rt",
+        delay = "10 seconds", lowerBound = "0 seconds", upperBound = "5 seconds")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    l.addData((ts(10), 1L, "a"), (ts(30), 3L, "b"))
+    r.addData(
+      (ts(12), 1L, "x"), // within [10, 15] on key 1: MATCH
+      (ts(20), 1L, "y"), // past the 5s window: drop
+      (ts(11), 2L, "z"), // wrong key: drop
+      (ts(30), 3L, "w")) // lower bound inclusive: MATCH
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getAs[String]("lv"), r.getAs[String]("rv"))).toSet
+    assert(rows == Set(("a", "x"), ("b", "w")))
+  }
+
   test("streaming distinct-count twin: exact below cap, equals batch expandingDistinct") {
     import graft.streaming.StreamDistinct
     import org.apache.spark.sql.functions._
