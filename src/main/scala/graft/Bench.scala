@@ -67,10 +67,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED writing $path: $e")
       }
+    // A BENCH_ONLY subset run must never clobber the committed
+    // full-set artifact (it has, twice) — subsets write *_subset.
+    val detailName =
+      if (only.isDefined) "bench_detail_subset.json" else "bench_detail.json"
     def snapshot(rs: Seq[(String, Double)], errs: Seq[(String, String)],
                  complete: Boolean): Unit = {
       writeTo("/tmp/graft_bench.json", rs, errs, complete)
-      writeTo(s"$repoRoot/bench_detail.json", rs, errs, complete)
+      writeTo(s"$repoRoot/$detailName", rs, errs, complete)
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
