@@ -2192,6 +2192,18 @@ object SparkEntry {
       Analytics.cramersV(t(s, d, "events"),
         col("event_type"), (col("user_id") % 4L).as("ub"))),
 
+    // Sweep-line max overlap over synthetic shipment windows
+    // [shipdate, shipdate + qty%30 + 1): the +1/−1 deltas run through
+    // the distributed prefix-sum primitive, never a global window.
+    "q_concurrency" -> ((s, d) => {
+      val day0 = lit("1970-01-01")
+      val li = t(s, d, "lineitem").select(
+        datediff(col("l_shipdate"), day0).cast("long").as("st"),
+        (datediff(col("l_shipdate"), day0).cast("long") +
+          col("l_quantity").cast("long") % 30L + 1L).as("en"))
+      Analytics.maxConcurrency(li, col("st"), col("en"))
+    }),
+
     // randomly, right rows replicated saltFactor ways) must be
     // RESULT-IDENTICAL to the plain join — the oracle IS the plain
     // join, aggregated to a stable surface.
@@ -4229,6 +4241,21 @@ object SparkEntry {
         |         (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         |FROM s2""".stripMargin,
+
+    // window cumsum sweep; same half-open interval construction
+    "q_concurrency" ->
+      """WITH iv AS (SELECT
+        |  date_diff('day', DATE '1970-01-01', l_shipdate) AS st,
+        |  date_diff('day', DATE '1970-01-01', l_shipdate) +
+        |    CAST(l_quantity AS BIGINT) % 30 + 1 AS en
+        |  FROM lineitem),
+        |d AS (SELECT t, CAST(sum(dd) AS BIGINT) AS dd FROM (
+        |  SELECT st AS t, 1 AS dd FROM iv
+        |  UNION ALL SELECT en, -1 FROM iv) GROUP BY t),
+        |c AS (SELECT t, sum(dd) OVER (ORDER BY t) AS cc FROM d),
+        |m AS (SELECT CAST(max(cc) AS BIGINT) AS max_concurrent FROM c)
+        |SELECT max_concurrent, CAST(min(t) AS BIGINT) AS first_peak_t
+        |FROM c, m WHERE cc = max_concurrent GROUP BY max_concurrent""".stripMargin,
 
     // the salted rewrite must equal the PLAIN join — the oracle is it
     "q_salted_join" ->

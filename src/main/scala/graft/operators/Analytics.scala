@@ -698,6 +698,28 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
+  /** Maximum interval overlap ("how many shipments/sessions/jobs were
+    * open at once, and when did the peak first happen") — the
+    * +1/−1 sweep-line: one delta per endpoint, per-instant delta
+    * sums, then a GLOBAL running total via [[Relational.prefixSum]]
+    * (the primitive makes the sweep distributed; a window spelling
+    * collapses to one task). Intervals are half-open [start, end) —
+    * an end and a start on the same instant do not overlap. Returns
+    * one row: (max_concurrent, first_peak_t).
+    */
+  def maxConcurrency(df: DataFrame, startCol: Column, endCol: Column): DataFrame = {
+    val deltas = df.select(startCol.cast("long").as("_t"), lit(1L).as("_d"))
+      .unionAll(df.select(endCol.cast("long").as("_t"), lit(-1L).as("_d")))
+      .where(col("_t").isNotNull)
+      .groupBy(col("_t")).agg(sum(col("_d")).as("_dd"))
+    val cum = Relational.prefixSum(deltas, Seq(col("_t")), col("_dd"), "_c")
+    val m = cum.agg(max(col("_c")).as("max_concurrent"))
+    cum.crossJoin(broadcast(m))
+      .where(col("_c") === col("max_concurrent"))
+      .groupBy(col("max_concurrent"))
+      .agg(min(col("_t")).as("first_peak_t"))
+  }
+
   /** Cramér's V association strength between two categorical columns
     * (0 = independent, 1 = determined) — the bounded companion of
     * [[mutualInfo]] (MI is unbounded, V is comparable across pairs).

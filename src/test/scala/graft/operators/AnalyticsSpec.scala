@@ -473,6 +473,18 @@ class AnalyticsSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("maxConcurrency: half-open sweep — touching intervals don't overlap") {
+    // [1,5) [2,4) [4,6): peak 2 first at t=2; [4,6) starts exactly as [2,4)
+    // ends, so t=4 stays at 2, never 3
+    val iv = Seq((1L, 5L), (2L, 4L), (4L, 6L)).toDF("s", "e")
+    val r = Analytics.maxConcurrency(iv, col("s"), col("e")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    val disjoint = Seq((1L, 2L), (3L, 4L)).toDF("s", "e")
+    val d = Analytics.maxConcurrency(disjoint, col("s"), col("e")).collect().head
+    assert(d.getLong(0) == 1L && d.getLong(1) == 1L)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("cramersV: identity association is 1, independence is 0, constant is null") {
     val ident = Seq.fill(5)(("a", "a")) ++ Seq.fill(5)(("b", "b"))
     val i = Analytics.cramersV(ident.toDF("x", "y"), col("x"), col("y"))

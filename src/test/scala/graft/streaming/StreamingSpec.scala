@@ -780,6 +780,37 @@ class StreamingSpec extends SparkSpec {
       4L -> Some(0.25 * 12.0 + 0.75 * s2)))
   }
 
+  test("streaming CUSUM matches the batch operator bit-exactly; late and null contracts hold") {
+    import graft.streaming.StreamCusum
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val data = (1 to 25).map(i => (1L, i.toLong, Some(rnd.nextDouble() * 2))) ++
+      (1 to 15).map(i => (2L, i.toLong, Some(rnd.nextDouble())))
+    val in = MemoryStream[(Long, Long, Option[Double])]
+    val q = StreamCusum(in.toDS(), drift = 0.8, threshold = 2.0)
+      .writeStream.format("memory").queryName("cs_out").outputMode("append").start()
+    val (b1, b2) = data.partition(_._2 <= 10)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2)
+    in.addData(Seq((1L, 3L, Some(99.0)))) // replay: late, never folded
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("cs_out").as[StreamCusum.CRow].collect()
+    assert(rows.count(_.late) == 1 && rows.filter(_.late).head.seq == 3L)
+    val streamed = rows.filterNot(_.late)
+      .map(r => (r.key, r.seq) -> (r.cusum, r.alarm)).toMap
+    val batch = graft.operators.Analytics.cusum(
+        data.map(t => (t._1, t._2, t._3.get)).toDF("k", "i", "v"),
+        col("k"), Seq(col("i")), col("i"), col("v"),
+        drift = 0.8, threshold = 2.0)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+        (Some(r.getDouble(2)), r.getBoolean(3))).toMap
+    assert(streamed.size == data.size)
+    data.foreach { case (k, i, _) =>
+      assert(streamed((k, i)) == batch((k, i)), s"($k, $i)") // == on doubles
+    }
+  }
+
   test("stream-stream interval join: in-window pairs match, out-of-window and cross-key drop") {
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
