@@ -2192,6 +2192,16 @@ object SparkEntry {
       Analytics.cramersV(t(s, d, "events"),
         col("event_type"), (col("user_id") % 4L).as("ub"))),
 
+    // Exact order statistics at scale: per-value counts -> ONE
+    // prefix-sum CDF -> each p reads the smallest value reaching
+    // ceil(p.N). Zero error, no raw-row sort.
+    "q_exact_quantiles" -> ((s, d) =>
+      Analytics.exactQuantiles(
+        t(s, d, "lineitem").select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents")),
+        col("cents"), Seq(0.5, 0.9, 0.99))),
+
     // Sweep-line max overlap over synthetic shipment windows
     // [shipdate, shipdate + qty%30 + 1): the +1/−1 deltas run through
     // the distributed prefix-sum primitive, never a global window.
@@ -4241,6 +4251,20 @@ object SparkEntry {
         |         (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         |FROM s2""".stripMargin,
+
+    // window CDF; identical ceil(p*N) target arithmetic
+    "q_exact_quantiles" ->
+      """WITH src AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY v),
+        |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cu FROM c),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM c)
+        |SELECT pd AS p, CAST(min(v) AS BIGINT) AS value,
+        |  CAST(ceil(pd * nn) AS BIGINT) AS rank, nn AS n
+        |FROM cum, n,
+        |  (SELECT CAST(p AS DOUBLE) AS pd
+        |   FROM (VALUES (0.5), (0.9), (0.99)) t(p)) ps
+        |WHERE cu >= ceil(pd * nn) GROUP BY pd, nn""".stripMargin,
 
     // window cumsum sweep; same half-open interval construction
     "q_concurrency" ->

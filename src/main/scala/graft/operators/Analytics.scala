@@ -698,6 +698,36 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
+  /** EXACT distributed quantiles (type-1 / lower) — the scale-honest
+    * alternative to `percentile_approx` when the answer must be a
+    * real data value with zero error: per-value counts (one partial-
+    * agg shuffle of |distinct| rows), ONE [[Relational.prefixSum]]
+    * CDF pass, then each requested p reads the smallest value whose
+    * cumulative count reaches ⌈p·N⌉ — a filter + min over the cached
+    * CDF per quantile, no sort of raw rows, no single-partition
+    * window, no second scan of the source. Returns one row per p:
+    * (p, value, rank, n).
+    */
+  def exactQuantiles(df: DataFrame, valueCol: Column,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"exactQuantiles: probs must be in (0,1], got $probs")
+    val counts = df.where(valueCol.isNotNull)
+      .groupBy(valueCol.as("_v")).agg(count(lit(1)).as("_c"))
+    val cdf = graft.core.CacheRegistry.persist(
+      Relational.prefixSum(counts, Seq(col("_v")), col("_c"), "_cum"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = counts.agg(sum(col("_c")).as("_n"))
+    probs.map { p =>
+      cdf.crossJoin(broadcast(n))
+        .where(col("_cum") >= ceil(lit(p) * col("_n")))
+        .groupBy(col("_n"))
+        .agg(min(col("_v")).as("value"))
+        .select(lit(p).as("p"), col("value"),
+          ceil(lit(p) * col("_n")).as("rank"), col("_n").as("n"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Maximum interval overlap ("how many shipments/sessions/jobs were
     * open at once, and when did the peak first happen") — the
     * +1/−1 sweep-line: one delta per endpoint, per-instant delta

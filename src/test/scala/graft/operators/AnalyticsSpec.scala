@@ -473,6 +473,22 @@ class AnalyticsSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("exactQuantiles: type-1 order statistics, repeats and boundaries exact") {
+    // values 1..10: p=0.5 -> rank 5 -> value 5; p=1.0 -> 10; p=0.01 -> rank 1
+    val df = (1L to 10L).toDF("v")
+    val got = Analytics.exactQuantiles(df, col("v"), Seq(0.01, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0.01) == ((1L, 1L)))
+    assert(got(0.5) == ((5L, 5L)))
+    assert(got(1.0) == ((10L, 10L)))
+    // heavy repeats: 1x1, 8x2, 1x3 -> median is 2, p90 -> rank 9 -> 2
+    val rep = (Seq(1L) ++ Seq.fill(8)(2L) ++ Seq(3L)).toDF("v")
+    val g2 = Analytics.exactQuantiles(rep, col("v"), Seq(0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(g2(0.5) == 2L && g2(0.9) == 2L && g2(1.0) == 3L)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("maxConcurrency: half-open sweep — touching intervals don't overlap") {
     // [1,5) [2,4) [4,6): peak 2 first at t=2; [4,6) starts exactly as [2,4)
     // ends, so t=4 stays at 2, never 3
