@@ -27,6 +27,10 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // A BENCH_ONLY subset run must never clobber the committed
+    // full-set artifact (it has, twice) — subsets write *_subset.
+    val detailName =
+      if (only.isDefined) "bench_detail_subset.json" else "bench_detail.json"
     // The driver captures only the LAST 2000 chars of stdout (measured
     // from the BENCH_r05 artifact), so the stdout line must stay well
     // under that: it carries the total + the slowest `topN` queries at
@@ -54,7 +58,7 @@ object Bench {
       val es = errs.map { case (k, v) => jq(k) + ":" + jq(v.take(200)) }
         .mkString("{", ",", "}")
       val total = r3(rs.map(_._2).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${rs.size},"nerrors":${errs.size},"queries":$qs,"queries_truncated":${shown.size < rs.size},"errors":$es,"sf":"$sfDir","complete":$complete,"detail":"bench_detail.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${rs.size},"nerrors":${errs.size},"queries":$qs,"queries_truncated":${shown.size < rs.size},"errors":$es,"sf":"$sfDir","complete":$complete,"detail":"$detailName"}"""
     }
     // bench_detail.json must land in the REPO ROOT (committed, judge-read),
     // not the driver's CWD; and a failed write is a real problem, not noise.
@@ -67,10 +71,6 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED writing $path: $e")
       }
-    // A BENCH_ONLY subset run must never clobber the committed
-    // full-set artifact (it has, twice) — subsets write *_subset.
-    val detailName =
-      if (only.isDefined) "bench_detail_subset.json" else "bench_detail.json"
     def snapshot(rs: Seq[(String, Double)], errs: Seq[(String, String)],
                  complete: Boolean): Unit = {
       writeTo("/tmp/graft_bench.json", rs, errs, complete)
