@@ -2192,6 +2192,30 @@ object SparkEntry {
       Analytics.cramersV(t(s, d, "events"),
         col("event_type"), (col("user_id") % 4L).as("ub"))),
 
+    // Last-touch attribution: each purchase credits the latest click
+    // by the same user within 7 days — the as-of join composition;
+    // only the click TIME surfaces (equal-instant click ids would be
+    // tie-nondeterministic, times are not).
+    "q_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), usec(col("ts")).as("pt"),
+          col("event_id").as("pid"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("k"), usec(col("ts")).as("ct"))
+        .withColumn("click_us", col("ct"))
+      val windowUs = 7L * 24 * 3600 * 1000000L
+      Relational.asOfJoin(purchases, clicks, "k", "pt", "ct", Seq("click_us"))
+        .select(col("pid"),
+          (col("click_us").isNotNull &&
+            col("pt") - col("click_us") <= windowUs).as("_attr"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(when(col("_attr"), 1L).otherwise(0L)).as("n_attributed"))
+        .select(col("n_purchases"), col("n_attributed"),
+          expr("n_attributed * 1000000L div n_purchases").as("attributed_ppm"))
+    }),
+
     // Exact order statistics at scale: per-value counts -> ONE
     // prefix-sum CDF -> each p reads the smallest value reaching
     // ceil(p.N). Zero error, no raw-row sort.
@@ -4251,6 +4275,24 @@ object SparkEntry {
         |         (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         |FROM s2""".stripMargin,
+
+    // latest click at-or-before each purchase; 7-day window in µs
+    "q_attribution" ->
+      """WITH p AS (SELECT user_id AS k, epoch_us(ts) AS pt, event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS k, epoch_us(ts) AS ct
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.pid, p.pt, c.ct,
+        |  row_number() OVER (PARTITION BY p.pid ORDER BY c.ct DESC) AS rk
+        |  FROM p LEFT JOIN c ON p.k = c.k AND c.ct <= p.pt),
+        |a AS (SELECT pid,
+        |  (ct IS NOT NULL AND pt - ct <= 604800000000) AS attr
+        |  FROM m WHERE rk = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |  CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS attributed_ppm
+        |FROM a""".stripMargin,
 
     // window CDF; identical ceil(p*N) target arithmetic
     "q_exact_quantiles" ->
