@@ -2192,6 +2192,15 @@ object SparkEntry {
       Analytics.cramersV(t(s, d, "events"),
         col("event_type"), (col("user_id") % 4L).as("ub"))),
 
+    // Hard negatives for contrastive training: top-3 most-similar
+    // DIFFERENT-label vectors per query — the near-miss examples a
+    // triplet loss learns from; label predicate pushed into the join.
+    "q_hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.hardNegatives(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", 3)
+    }),
+
     // Last-touch attribution: each purchase credits the latest click
     // by the same user within 7 days — the as-of join composition;
     // only the click TIME surfaces (equal-instant click ids would be
@@ -4275,6 +4284,29 @@ object SparkEntry {
         |         (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         |FROM s2""".stripMargin,
+
+    // the q_sim_brute kernel with the label-mismatch predicate
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 10 AND label IS NOT NULL),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |s AS (SELECT query_id, neighbor_id, nl,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(qv)),
+        |    i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a, x) -> a + x) AS dot,
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(qv)),
+        |    i -> qv[i]::DOUBLE * qv[i]::DOUBLE)), (a, x) -> a + x)) *
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(cv)),
+        |    i -> cv[i]::DOUBLE * cv[i]::DOUBLE)), (a, x) -> a + x)) AS denom
+        |  FROM c CROSS JOIN q WHERE query_id != neighbor_id AND ql != nl),
+        |r AS (SELECT query_id, neighbor_id, nl,
+        |  CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END AS cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) DESC, neighbor_id)
+        |    AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, nl AS neg_label,
+        |  round(cos, 4) AS cosine, rank FROM r WHERE rank <= 3""".stripMargin,
 
     // latest click at-or-before each purchase; 7-day window in µs
     "q_attribution" ->

@@ -37,6 +37,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: per query, the
+    * `k` most-similar corpus vectors whose LABEL DIFFERS — the
+    * near-miss examples a triplet/InfoNCE loss learns most from
+    * (random negatives are trivially far; hard ones sit just across
+    * the boundary). Same broadcast-queries + fused-cosine kernel as
+    * [[bruteForceTopK]] with the label-mismatch predicate pushed into
+    * the join; rows with null labels are excluded on both sides
+    * (unlabeled data cannot certify a negative). At corpus scale,
+    * swap the exact kernel for [[ivfTopK]] candidates and re-filter —
+    * same shape, cell-pruned.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.where(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col(labelCol).as("q_label")))
+    val c = corpus.where(col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("neg_label"))
+    val scored = c.join(q,
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("neg_label"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: both sides keyed by sign-random-projection
     * buckets over `tables` independent hash tables; candidates scored
     * exactly, top-k per query. Recall < 1 by construction; raise

@@ -334,4 +334,23 @@ class MiscOpSpec extends SparkSpec {
   test("SparkEntry.entry returns rows (driver smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("hardNegatives: same-label near-duplicates excluded, nearest other-label wins") {
+    import org.apache.spark.sql.functions.col
+    // query (1,0) label A; corpus: identical same-label twin (must be
+    // skipped), a close other-label (cos ~0.995), a far other-label
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), "A"),
+      (2L, Array(1.0f, 0.001f), "A"),   // twin — same label, excluded
+      (3L, Array(0.9f, 0.1f), "B"),     // hard negative
+      (4L, Array(0.0f, 1.0f), "B"),     // easy negative
+      (5L, Array(0.5f, 0.5f), null.asInstanceOf[String]) // unlabeled: out
+    ).toDF("id", "vec", "lab")
+    val out = Similarity.hardNegatives(
+        rows.where(col("id") === 1L), rows, "id", "vec", "lab", 2)
+      .collect().map(r => (r.getInt(4), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(3L, 4L)) // hardness order
+    assert(out.forall(_._3 == "B"))
+  }
 }
