@@ -2192,6 +2192,18 @@ object SparkEntry {
       Analytics.cramersV(t(s, d, "events"),
         col("event_type"), (col("user_id") % 4L).as("ub"))),
 
+    // Leave-one-out kNN label probe: do neighbors share labels?
+    // Majority of the 5 nearest, ties to the smallest label.
+    "q_knn_eval" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.knnClassify(e.where(col("vec_id") < 50), e,
+          "vec_id", "embedding", "label", 5)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("n"), col("n_correct"),
+          expr("n_correct * 1000000L div n").as("acc_ppm"))
+    }),
+
     // Hard negatives for contrastive training: top-3 most-similar
     // DIFFERENT-label vectors per query — the near-miss examples a
     // triplet loss learns from; label predicate pushed into the join.
@@ -4284,6 +4296,36 @@ object SparkEntry {
         |         (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         |FROM s2""".stripMargin,
+
+    // the sim kernel + majority vote (count desc, label asc)
+    "q_knn_eval" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 50 AND label IS NOT NULL),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |s AS (SELECT query_id, ql, neighbor_id, nl,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(qv)),
+        |    i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a, x) -> a + x) AS dot,
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(qv)),
+        |    i -> qv[i]::DOUBLE * qv[i]::DOUBLE)), (a, x) -> a + x)) *
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(cv)),
+        |    i -> cv[i]::DOUBLE * cv[i]::DOUBLE)), (a, x) -> a + x)) AS denom
+        |  FROM c CROSS JOIN q WHERE query_id != neighbor_id),
+        |r AS (SELECT query_id, ql, nl,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) DESC,
+        |      neighbor_id) AS rank
+        |  FROM s),
+        |v AS (SELECT query_id, ql, nl, count(*) AS votes FROM r
+        |  WHERE rank <= 5 GROUP BY query_id, ql, nl),
+        |p AS (SELECT query_id, (nl = ql) AS correct,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, nl ASC) AS rk FROM v)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS acc_ppm
+        |FROM p WHERE rk = 1""".stripMargin,
 
     // the q_sim_brute kernel with the label-mismatch predicate
     "q_hard_negatives" ->

@@ -74,6 +74,45 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Leave-one-out kNN classification — the standard "are these
+    * embeddings any good" probe (a representation whose neighbors
+    * share labels is learnable; one whose neighbors are random is
+    * noise). Per query: the k nearest corpus vectors (self excluded)
+    * vote by majority, ties to the smallest label. Returns one row
+    * per query: (query_id, true_label, predicted_label, votes,
+    * correct). Same broadcast/fused-kernel shape as
+    * [[bruteForceTopK]]; at corpus scale the candidates come from
+    * [[ivfTopK]] instead.
+    */
+  def knnClassify(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val neighbors = bruteForceTopK(
+      queries.where(col(labelCol).isNotNull),
+      corpus.where(col(labelCol).isNotNull), idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("_nl"))
+    val truth = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("true_label"))
+    val votes = neighbors
+      .join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("_nl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("_nl").asc)
+    votes
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .join(truth, Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("_nl").as("predicted_label"), col("votes"),
+        (col("_nl") === col("true_label")).as("correct"))
+  }
+
   /** LSH-bucketed ANN: both sides keyed by sign-random-projection
     * buckets over `tables` independent hash tables; candidates scored
     * exactly, top-k per query. Recall < 1 by construction; raise

@@ -353,4 +353,26 @@ class MiscOpSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq(3L, 4L)) // hardness order
     assert(out.forall(_._3 == "B"))
   }
+
+  test("knnClassify: majority vote with smallest-label ties, self excluded") {
+    import org.apache.spark.sql.functions.col
+    // query 1 (label A) at (1,0); neighbors within k=3: two A-ish, one B
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), "A"),
+      (2L, Array(0.99f, 0.01f), "A"),
+      (3L, Array(0.98f, 0.02f), "A"),
+      (4L, Array(0.97f, 0.03f), "B"),
+      (5L, Array(0.0f, 1.0f), "B")
+    ).toDF("id", "vec", "lab")
+    val r = Similarity.knnClassify(
+        rows.where(col("id") === 1L), rows, "id", "vec", "lab", 3)
+      .collect().head
+    assert(r.getAs[String]("predicted_label") == "A" &&
+      r.getAs[Long]("votes") == 2L && r.getAs[Boolean]("correct"))
+    // 2-2 tie at k=4: smallest label wins deterministically
+    val t4 = Similarity.knnClassify(
+        rows.where(col("id") === 1L), rows, "id", "vec", "lab", 4)
+      .collect().head
+    assert(t4.getAs[String]("predicted_label") == "A") // tie -> "A" < "B"
+  }
 }
