@@ -2192,6 +2192,19 @@ object SparkEntry {
       Analytics.cramersV(t(s, d, "events"),
         col("event_type"), (col("user_id") % 4L).as("ub"))),
 
+    // Wilson intervals per event type for P(value > 1): closed-form
+    // per-group expression, exact integer counts.
+    "q_wilson" -> ((s, d) =>
+      Analytics.wilsonRates(t(s, d, "events").where(col("value").isNotNull),
+        col("event_type"), col("value") > 1.0)),
+
+    // RFM lifecycle grid over orders: quintiled recency/frequency/
+    // monetary digits, exact cents.
+    "q_rfm" -> ((s, d) =>
+      Analytics.rfmSegments(t(s, d, "orders"), col("o_custkey"),
+        col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
+
     // Leave-one-out kNN label probe: do neighbors share labels?
     // Majority of the 5 nearest, ties to the smallest label.
     "q_knn_eval" -> ((s, d) => {
@@ -4296,6 +4309,50 @@ object SparkEntry {
         |         (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         |FROM s2""".stripMargin,
+
+    // identical Wilson formula shapes; z = 1.96
+    "q_wilson" ->
+      """WITH a AS (SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN value > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS successes
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT grp, n, successes,
+        |  round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  round((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) +
+        |      3.8415999999999997 / (2.0 * CAST(n AS DOUBLE))) /
+        |      (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)) -
+        |    1.96 * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) *
+        |      (1.0 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      CAST(n AS DOUBLE) +
+        |      3.8415999999999997 /
+        |      (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+        |      (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)), 6) AS lo,
+        |  round((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) +
+        |      3.8415999999999997 / (2.0 * CAST(n AS DOUBLE))) /
+        |      (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)) +
+        |    1.96 * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) *
+        |      (1.0 - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      CAST(n AS DOUBLE) +
+        |      3.8415999999999997 /
+        |      (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+        |      (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)), 6) AS hi
+        |FROM a""".stripMargin,
+
+    // same quintile windows; ntile ties broken by the key
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey AS k, max(o_orderdate) AS last_d,
+        |  CAST(count(*) AS BIGINT) AS f,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT CAST(max(last_d) AS DATE) AS anchor FROM per),
+        |b AS (SELECT k, date_diff('day', last_d, anchor) AS r, f, m FROM per, a),
+        |s AS (SELECT k,
+        |  ntile(5) OVER (ORDER BY r, k) * 100 +
+        |  ntile(5) OVER (ORDER BY f, k) * 10 +
+        |  ntile(5) OVER (ORDER BY m, k) AS segment FROM b)
+        |SELECT CAST(segment AS INTEGER) AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_keys
+        |FROM s GROUP BY segment""".stripMargin,
 
     // the sim kernel + majority vote (count desc, label asc)
     "q_knn_eval" ->

@@ -698,6 +698,67 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
+  /** Per-group success rates with WILSON score intervals — the
+    * ship/no-ship reporting surface for binary metrics (Wald
+    * intervals lie badly at small n or extreme p; Wilson is the
+    * standard fix). Counts are exact integers; the interval is a
+    * closed-form per-group expression (no row-order float sums), so
+    * cross-engine equality needs only mirrored formula SHAPE:
+    *
+    *   c = (p̂ + z²/2n)/(1 + z²/n),
+    *   h = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n)
+    *
+    * One aggregate; output (group, n, successes, rate, lo, hi), 6 dp.
+    */
+  def wilsonRates(df: DataFrame, groupCol: Column, successCol: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"wilsonRates: z must be > 0, got $z")
+    val agg = df.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("successes"))
+    val nd = col("n").cast("double")
+    val p = col("successes").cast("double") / nd
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nd
+    val center = (p + z2 / (lit(2.0) * nd)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nd +
+      z2 / (lit(4.0) * nd * nd)) / denom
+    agg.select(col("grp"), col("n"), col("successes"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("lo"),
+      round(center + half, 6).as("hi"))
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation —
+    * the classic lifecycle grid: per key the days since last event,
+    * the event count, and the exact money total, each quintiled, the
+    * three digits concatenated into a segment code.
+    *
+    * The gate form uses global `ntile` windows over the PER-KEY frame
+    * (|keys| rows — one partition, fine for a dimension-sized key
+    * set and exactly mirrorable in SQL); when keys are corpus-scale,
+    * swap the ntile for [[Relational.quantileBins]] (broadcast
+    * bounds, no global window) — same digits, documented trade.
+    * Returns one row per segment: (segment, n_keys).
+    */
+  def rfmSegments(df: DataFrame, keyCol: Column, dateCol: Column,
+      amountCents: Column, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"rfmSegments: buckets must be >= 2, got $buckets")
+    val per = df.groupBy(keyCol.as("k"))
+      .agg(max(dateCol).as("_last"), count(lit(1)).as("_f"),
+        sum(amountCents).as("_m"))
+    val anchor = per.agg(max(col("_last")).as("_anchor"))
+    val based = per.crossJoin(broadcast(anchor))
+      .select(col("k"), datediff(col("_anchor"), col("_last")).as("_r"),
+        col("_f"), col("_m"))
+    def q(c: Column) = ntile(buckets).over(
+      Window.orderBy(c.asc, col("k").asc))
+    based
+      .select(col("k"),
+        (q(col("_r")) * 100 + q(col("_f")) * 10 + q(col("_m"))).as("segment"))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n_keys"))
+  }
+
   /** EXACT distributed quantiles (type-1 / lower) — the scale-honest
     * alternative to `percentile_approx` when the answer must be a
     * real data value with zero error: per-value counts (one partial-

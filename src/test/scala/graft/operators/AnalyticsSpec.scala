@@ -473,6 +473,42 @@ class AnalyticsSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("wilsonRates: closed-form interval, exact counts, degenerate p=0/1 stay in [0,1]") {
+    val df = (Seq.fill(50)(("g", true)) ++ Seq.fill(50)(("g", false)) ++
+      Seq.fill(10)(("z", true))).toDF("grp", "ok")
+    val rows = Analytics.wilsonRates(df, col("grp"), col("ok"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val (n, s) = (100.0, 50.0)
+    val z = 1.96; val z2 = z * z
+    val p = s / n
+    val denom = 1.0 + z2 / n
+    val center = (p + z2 / (2.0 * n)) / denom
+    val half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    val g = rows("g")
+    assert(g._1 == 100L && g._2 == 50L && g._3 == 0.5)
+    assert(math.abs(g._4 - r6(center - half)) < 2e-6 &&
+      math.abs(g._5 - r6(center + half)) < 2e-6)
+    // all-true group: p=1, upper bound capped under 1 by the formula
+    val zr = rows("z")
+    assert(zr._3 == 1.0 && zr._5 <= 1.0 && zr._4 > 0.6)
+  }
+
+  test("rfmSegments: aligned quintiles produce the expected lifecycle codes") {
+    val day0 = java.sql.Date.valueOf("2020-01-01")
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i))
+    val orders = (1 to 5).map(i => (i.toLong, d(i), i.toLong * 100))
+      .toDF("k", "dt", "cents")
+    val segs = Analytics.rfmSegments(orders, col("k"), col("dt"), col("cents"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // cust 5: most recent (r_q=1), ties f=1 by key -> 5, biggest spend -> 155
+    // cust 1: oldest -> 511
+    assert(segs == Map(511 -> 1L, 422 -> 1L, 333 -> 1L, 244 -> 1L, 155 -> 1L))
+    val _ = day0
+  }
+
   test("exactQuantiles: type-1 order statistics, repeats and boundaries exact") {
     // values 1..10: p=0.5 -> rank 5 -> value 5; p=1.0 -> 10; p=0.01 -> rank 1
     val df = (1L to 10L).toDF("v")
