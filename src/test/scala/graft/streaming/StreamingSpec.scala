@@ -780,6 +780,39 @@ class StreamingSpec extends SparkSpec {
       4L -> Some(0.25 * 12.0 + 0.75 * s2)))
   }
 
+  test("streaming quantile twin: exact running medians below cap, estimate flag past it") {
+    import graft.streaming.StreamQuantile
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    val vals = Vector.fill(30)(rnd.nextDouble() * 100)
+    val feed = vals.zipWithIndex.map { case (v, i) => (5L, (i + 1).toLong, Some(v)) }
+    val in = MemoryStream[(Long, Long, Option[Double])]
+    val q = StreamQuantile(in.toDS(), p = 0.5, k = 64)
+      .writeStream.format("memory").queryName("sq_out").outputMode("append").start()
+    val (b1, b2) = feed.partition(_._2 <= 13)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val rows = spark.table("sq_out").as[StreamQuantile.QRow].collect()
+      .sortBy(_.seq)
+    assert(rows.forall(r => r.exact && !r.late)) // 30 < 64: all exact
+    // running type-1 medians recomputed independently
+    rows.foreach { r =>
+      val prefix = vals.take(r.seq.toInt).sorted
+      val expect = prefix(math.ceil(0.5 * prefix.length).toInt - 1)
+      assert(r.quantile.contains(expect), s"seq ${r.seq}")
+    }
+    // past the cap the flag flips (k=16 on a fresh key)
+    val in2 = MemoryStream[(Long, Long, Option[Double])]
+    val q2 = StreamQuantile(in2.toDS(), p = 0.5, k = 16)
+      .writeStream.format("memory").queryName("sq_cap").outputMode("append").start()
+    in2.addData((1 to 40).map(i => (9L, i.toLong, Some(i.toDouble))))
+    q2.processAllAvailable(); q2.stop()
+    val capped = spark.table("sq_cap").as[StreamQuantile.QRow].collect().sortBy(_.seq)
+    assert(capped.takeWhile(_.exact).size == 16)
+    val est = capped.last.quantile.get
+    assert(est > 1.0 && est < 40.0) // a sane in-range estimate
+  }
+
   test("streaming CUSUM matches the batch operator bit-exactly; late and null contracts hold") {
     import graft.streaming.StreamCusum
     import org.apache.spark.sql.functions._
