@@ -1795,6 +1795,14 @@ object SparkEntry {
         Multimodal.attachBinary(t(s, d, "documents"), "text"), "payload", 4)
         .select(col("doc_id"), col("frame_idx"), col("frame_offset"))),
 
+    // Frame featurize -> pool: md5-derived per-frame signatures and
+    // energies aggregated per payload (the mel-then-pool shape with
+    // the extractor stubbed deterministically).
+    "q_frame_features" -> ((s, d) =>
+      Multimodal.frameFeatures(
+        Multimodal.attachBinary(t(s, d, "documents"), "text"),
+        "doc_id", "payload", 4)),
+
     // The real-decoder slot: same metadata as q_multimodal but routed
     // through the mapPartitions decode path (deterministic stub), so
     // the partition-batched plumbing itself is oracle-gated.
@@ -3733,6 +3741,22 @@ object SparkEntry {
       """SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
         |fi * greatest(length(text) // 4, 1) AS frame_offset
         |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS fi)""".stripMargin,
+
+    // same frame slicing; md5 signature arithmetic mirrored
+    "q_frame_features" ->
+      """WITH f AS (SELECT doc_id,
+        |  substr(text, CAST(fi * greatest(length(text) // 4, 1) + 1 AS BIGINT), 16)
+        |    AS fb
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS fi)),
+        |s AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(fb), 1, 8))::UBIGINT AS BIGINT) AS sig
+        |  FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(count(DISTINCT sig) AS BIGINT) AS n_distinct_frames,
+        |  CAST(max(sig) AS BIGINT) AS max_energy,
+        |  CAST(sum(sig) AS BIGINT) AS energy_sum
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     "q_decode" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -86,4 +86,29 @@ object Multimodal {
         "frame_bytes",
         col(binCol).substr((col("frame_offset") + 1).cast("int"), lit(16)))
   }
+
+  /** Per-frame FEATURIZE → per-payload AGGREGATE — the missing half of
+    * the media pipeline shape ([[sampleFrames]] windows, this is the
+    * "mel-spectrogram then pool" stage): each sampled frame gets a
+    * deterministic md5-derived signature and pseudo-energy (the
+    * feature-extractor slot — swap for a real DSP/vision call per
+    * frame), then one hash-aggregate pools them per payload row:
+    * frame count, DISTINCT-signature count (scene-change proxy), max
+    * and exact total energy. Everything is codegen column arithmetic
+    * over the exploded frame rows — the explode factor is `nFrames`,
+    * so the shuffle is nFrames×|rows| NARROW rows and the aggregate
+    * partial-combines map-side.
+    */
+  def frameFeatures(df: DataFrame, idCol: String, binCol: String,
+      nFrames: Int): DataFrame = {
+    val framed = sampleFrames(df, binCol, nFrames)
+      .withColumn("_sig",
+        conv(substring(md5(col("frame_bytes")), 1, 8), 16, 10).cast("long"))
+    framed.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        count_distinct(col("_sig")).as("n_distinct_frames"),
+        max(col("_sig")).as("max_energy"),
+        sum(col("_sig")).as("energy_sum"))
+  }
 }
