@@ -2200,6 +2200,13 @@ object SparkEntry {
       Analytics.cramersV(t(s, d, "events"),
         col("event_type"), (col("user_id") % 4L).as("ub"))),
 
+    // CUPED variance reduction: first event = pre covariate, rest =
+    // post mean; theta/xbar closed-form from exact decimal moments.
+    "q_cuped" -> ((s, d) =>
+      Analytics.cuped(t(s, d, "events"), col("user_id"),
+        (col("user_id") % 2L).as("arm"), col("ts"), col("event_id"),
+        col("value"))),
+
     // Wilson intervals per event type for P(value > 1): closed-form
     // per-group expression, exact integer counts.
     "q_wilson" -> ((s, d) =>
@@ -4333,6 +4340,44 @@ object SparkEntry {
         |         (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         |FROM s2""".stripMargin,
+
+    // same decimal moments, same closed-form theta/xbar shapes
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id AS u, user_id % 2 AS arm, ts, event_id, value
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT u, arm, value,
+        |  row_number() OVER (PARTITION BY u ORDER BY ts, event_id) AS rn FROM e),
+        |pu0 AS (SELECT u, min(arm) AS arm,
+        |  sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS vsum,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(round(max(CASE WHEN rn = 1 THEN value END), 6)
+        |    AS DECIMAL(18,6)) AS fx
+        |  FROM r GROUP BY u),
+        |pu AS (SELECT u, arm, fx AS x,
+        |  CAST(round(CAST(vsum - fx AS DOUBLE) / CAST(cnt - 1 AS DOUBLE), 6)
+        |    AS DECIMAL(18,6)) AS y
+        |  FROM pu0 WHERE cnt >= 2),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * x) AS sxx, sum(x * y) AS sxy FROM pu),
+        |th AS (SELECT n, sx,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
+        |  FROM st),
+        |adj AS (SELECT arm, y,
+        |  CAST(round(CAST(y AS DOUBLE) - theta *
+        |    (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS yadj,
+        |  round(theta, 6) AS theta FROM pu, th)
+        |SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_post,
+        |  round(CAST(sum(yadj) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_adj,
+        |  theta
+        |FROM adj GROUP BY arm, theta""".stripMargin,
 
     // identical Wilson formula shapes; z = 1.96
     "q_wilson" ->

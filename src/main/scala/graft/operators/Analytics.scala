@@ -698,6 +698,69 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM'13) — the standard
+    * experiment-sensitivity trick: regress each user's post-period
+    * metric on their PRE-period covariate and compare arms on the
+    * residualized metric y′ = y − θ(x − x̄), which strips the variance
+    * the pre-period already explains (same-mean arms, tighter CIs).
+    *
+    * Determinism discipline: pre/post per-user values round once to
+    * DECIMAL(18,6); all cross-user moments (Σx, Σy, Σx², Σxy) are
+    * exact decimal sums; θ, x̄ and the per-user adjustment are then
+    * closed-form doubles; per-arm means re-enter 6dp DECIMAL sums.
+    * Users need ≥ 2 events (first = pre, rest = post mean); the
+    * per-user reduction is ONE key shuffle, the stats row broadcasts.
+    * Output per arm: (arm, n_users, mean_post, mean_adj, theta).
+    */
+  def cuped(df: DataFrame, userCol: Column, armCol: Column,
+      tsCol: Column, idCol: Column, valueCol: Column): DataFrame = {
+    val perUser = df
+      .where(userCol.isNotNull && valueCol.isNotNull)
+      .groupBy(userCol.as("u"))
+      .agg(
+        min(armCol).as("arm"), // constant per user; min = deterministic pick
+        min(struct(tsCol.as("_t"), idCol.as("_i"), valueCol.as("_v")))
+          .as("_first"),
+        sum(round(valueCol, 6).cast("decimal(18,6)")).as("_vsum"),
+        count(lit(1)).as("_cnt"))
+      .where(col("_cnt") >= 2)
+      .select(col("u"), col("arm"),
+        round(col("_first").getField("_v"), 6).cast("decimal(18,6)").as("x"),
+        // post mean: (Σ all − first) / (cnt − 1), exact decimal then 6dp
+        round((col("_vsum") -
+            round(col("_first").getField("_v"), 6).cast("decimal(18,6)"))
+          .cast("double") / (col("_cnt") - 1).cast("double"), 6)
+          .cast("decimal(18,6)").as("y"))
+    val stats = perUser.agg(
+      count(lit(1)).as("_n"),
+      sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+      sum(col("x") * col("x")).as("_sxx"),
+      sum(col("x") * col("y")).as("_sxy"))
+    val nD = col("_n").cast("double")
+    val theta =
+      (nD * col("_sxy").cast("double") -
+        col("_sx").cast("double") * col("_sy").cast("double")) /
+        (nD * col("_sxx").cast("double") -
+          col("_sx").cast("double") * col("_sx").cast("double"))
+    val xbar = col("_sx").cast("double") / nD
+    perUser.crossJoin(broadcast(stats))
+      .select(col("arm"),
+        col("y"),
+        round(col("y").cast("double") -
+          theta * (col("x").cast("double") - xbar), 6)
+          .cast("decimal(18,6)").as("_yadj"),
+        round(theta, 6).as("theta"))
+      .groupBy(col("arm"), col("theta"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(sum(col("y")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_post"),
+        round(sum(col("_yadj")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_adj"))
+      .select(col("arm"), col("n_users"), col("mean_post"),
+        col("mean_adj"), col("theta"))
+  }
+
   /** Per-group success rates with WILSON score intervals — the
     * ship/no-ship reporting surface for binary metrics (Wald
     * intervals lie badly at small n or extreme p; Wilson is the

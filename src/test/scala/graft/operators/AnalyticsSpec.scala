@@ -473,6 +473,29 @@ class AnalyticsSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("cuped: hand-computed theta and residualized arm means shrink the gap") {
+    // users (x=first, y=second): u1=(1,2) arm1, u2=(2,5) arm0,
+    // u3=(3,6) arm1, u4=(4,9) arm0
+    // theta = (4*66 - 10*22)/(4*30 - 100) = 2.2, xbar = 2.5
+    // arm1 adj: (5.3 + 4.9)/2 = 5.1; arm0 adj: (6.1 + 5.7)/2 = 5.9
+    val rows = Seq(
+      (1L, 1L, 1.0), (1L, 2L, 2.0),
+      (2L, 1L, 2.0), (2L, 2L, 5.0),
+      (3L, 1L, 3.0), (3L, 2L, 6.0),
+      (4L, 1L, 4.0), (4L, 2L, 9.0),
+      (5L, 1L, 77.0) // single event: no post period, excluded
+    ).toDF("u", "i", "v")
+      .select(col("u"), timestamp_micros(col("i") * 1000000L).as("ts"),
+        col("i"), col("v"))
+    val out = Analytics.cuped(rows, col("u"), (col("u") % 2L).as("arm"),
+        col("ts"), col("i"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(1L) == ((2L, 4.0, 5.1, 2.2)))
+    assert(out(0L) == ((2L, 7.0, 5.9, 2.2)))
+  }
+
   test("wilsonRates: closed-form interval, exact counts, degenerate p=0/1 stay in [0,1]") {
     val df = (Seq.fill(50)(("g", true)) ++ Seq.fill(50)(("g", false)) ++
       Seq.fill(10)(("z", true))).toDF("grp", "ok")
