@@ -2200,6 +2200,16 @@ object SparkEntry {
       Analytics.cramersV(t(s, d, "events"),
         col("event_type"), (col("user_id") % 4L).as("ub"))),
 
+    // Holt level+trend smoothing per user (α=0.5, β=0.3): the ewma
+    // fold engine with two-double state; recursive-CTE oracle.
+    "q_holt" -> ((s, d) =>
+      Analytics.holt(t(s, d, "events").where(col("value").isNotNull),
+        key = col("user_id"), orderBy = Seq(col("ts"), col("event_id")),
+        id = col("event_id"), value = col("value"),
+        alpha = 0.5, beta = 0.3)
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          col("level"), col("trend"), col("forecast"))),
+
     // CUPED variance reduction: first event = pre covariate, rest =
     // post mean; theta/xbar closed-form from exact decimal moments.
     "q_cuped" -> ((s, d) =>
@@ -4340,6 +4350,23 @@ object SparkEntry {
         |         (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
         |  END AS cramers_v
         |FROM s2""".stripMargin,
+
+    // recursive two-state fold: l' inline twice, same IEEE chains
+    "q_holt" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.rn,
+        |    0.5 * e.value + 0.5 * (r.l + r.b),
+        |    0.3 * ((0.5 * e.value + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+        |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT event_id, user_id, l AS level, b AS trend,
+        |  l + b AS forecast FROM r""".stripMargin,
 
     // same decimal moments, same closed-form theta/xbar shapes
     "q_cuped" ->

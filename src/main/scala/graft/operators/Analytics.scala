@@ -941,6 +941,63 @@ object Analytics {
           .otherwise(round(col("entropy") / log(col("k").cast("double")), 6)))
   }
 
+  /** Holt double-exponential smoothing (level + trend) — the
+    * one-step-ahead forecaster [[ewma]] cannot be (EWMA lags any
+    * trending series by construction; Holt's trend state removes the
+    * lag):
+    *
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1},   seed l₁ = x₁, b₁ = 0
+    *
+    * Same engine and contracts as [[ewma]]/[[cusum]]: one key
+    * shuffle, sorted-group fold, O(1) two-double state, the exact
+    * IEEE chains mirrored by a recursive-CTE oracle. Output:
+    * (id, key, level, trend, forecast = level + trend).
+    */
+  def holt(
+      df: DataFrame,
+      key: Column,
+      orderBy: Seq[Column],
+      id: Column,
+      value: Column,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"holt: need 0 < alpha <= 1, got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"holt: need 0 <= beta <= 1, got $beta")
+    val a2 = 1.0 - alpha
+    val b2 = 1.0 - beta
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordCols = orderBy.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
+    val proj = df
+      .where(key.isNotNull)
+      .select(key.cast("long").as("_k") +: id.cast("long").as("_id") +:
+        value.cast("double").as("_v") +: ordCols: _*)
+    proj.groupByKey(_.getLong(0))
+      .flatMapSortedGroups(orderBy.indices.map(i => col(s"_o$i")): _*) {
+        (k: Long, rows: Iterator[org.apache.spark.sql.Row]) =>
+          var l = 0.0
+          var b = 0.0
+          var seeded = false
+          rows.map { r =>
+            if (r.isNullAt(2))
+              (r.getLong(1), k, None: Option[Double], None: Option[Double],
+                None: Option[Double])
+            else {
+              val x = r.getDouble(2)
+              if (!seeded) { l = x; b = 0.0; seeded = true }
+              else {
+                val lNew = alpha * x + a2 * (l + b)
+                b = beta * (lNew - l) + b2 * b
+                l = lNew
+              }
+              (r.getLong(1), k, Some(l), Some(b), Some(l + b))
+            }
+          }
+      }
+      .toDF("id", "key", "level", "trend", "forecast")
+  }
+
   /** Frequent pairwise co-occurrence (market-basket / Apriori level-2):
     * item pairs that appear together in at least `minSupport` baskets,
     * with per-item counts and lift. The level-2 pass is where

@@ -473,6 +473,28 @@ class AnalyticsSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("holt: hand-folded level/trend; a perfectly linear series converges to lag-free forecasts") {
+    val xs = Seq(10.0, 14.0, 18.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("k", "i", "v")
+    val got = Analytics.holt(df, col("k"), Seq(col("i")), col("i"), col("v"),
+        alpha = 0.5, beta = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((10.0, 0.0)))
+    assert(math.abs(got(2L)._1 - 12.0) < 1e-12 &&
+      math.abs(got(2L)._2 - 0.6) < 1e-12)
+    assert(math.abs(got(3L)._1 - 15.3) < 1e-12 &&
+      math.abs(got(3L)._2 - 1.41) < 1e-12)
+    // long linear ramp: forecast converges onto the next point (EWMA
+    // alone would lag by a constant offset forever)
+    val ramp = (1 to 60).map(i => (2L, i.toLong, i.toDouble * 3)).toDF("k", "i", "v")
+    val tail = Analytics.holt(ramp, col("k"), Seq(col("i")), col("i"), col("v"),
+        alpha = 0.5, beta = 0.3)
+      .collect().filter(_.getLong(0) == 60L).head
+    assert(math.abs(tail.getDouble(4) - 183.0) < 0.01) // next value = 61*3
+  }
+
   test("cuped: hand-computed theta and residualized arm means shrink the gap") {
     // users (x=first, y=second): u1=(1,2) arm1, u2=(2,5) arm0,
     // u3=(3,6) arm1, u4=(4,9) arm0
