@@ -2309,7 +2309,36 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           moneySum(col("l_extendedprice")).as("revenue"))
-    }))
+    }),
+
+    // ROC AUC of "price predicts returns" via the rank-sum identity:
+    // midranks over the distinct-price CDF (one prefixSum), exact
+    // bigints until the single final division.
+    "q_auc" -> ((s, d) =>
+      Analytics.aucRankSum(t(s, d, "lineitem"),
+        (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))),
+
+    // Smoothed mean target encoding of order priority -> E[totalprice]:
+    // integer cents, floor-div contract, m=20 shrink to global mean.
+    "q_target_encode" -> ((s, d) =>
+      Analytics.targetEncode(t(s, d, "orders"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"), m = 20L)
+        .orderBy(col("category"))),
+
+    // Deterministic half-sample bootstrap of mean order value: 32
+    // arithmetic-rule replicates, exact integer means, spread summary.
+    "q_bootstrap" -> ((s, d) =>
+      Analytics.bootstrapMean(t(s, d, "orders"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        replicates = 32)),
+
+    // Lag-1 autocorrelation of `value` per user over (ts, event_id)
+    // order: momentum-vs-noise per series, decimal moments.
+    "q_autocorr" -> ((s, d) =>
+      Analytics.lagAutocorr(t(s, d, "events"),
+        col("user_id"), Seq(col("ts"), col("event_id")), col("value"),
+        k = 1, minPairs = 3L)
+        .select(col("key").as("user_id"), col("n_pairs"), col("r"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -4555,5 +4584,62 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // same midrank-over-CDF identity, spelled with a window cumsum
+    "q_auc" ->
+      """WITH c AS (SELECT l_extendedprice AS s, count(*) AS c,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (SELECT s, c, p, sum(c) OVER (ORDER BY s) AS cu FROM c)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(c - p) AS BIGINT) AS n_neg,
+        |  round((sum(p * (2 * (cu - c) + c + 1)) - sum(p) * (sum(p) + 1))::DOUBLE /
+        |    (2.0 * sum(p) * sum(c - p)), 6) AS auc
+        |FROM cum""".stripMargin,
+
+    // floor-div integer contract: global mean first, then per-category
+    "q_target_encode" ->
+      """WITH per AS (SELECT o_orderpriority AS category, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS s
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT sum(s) // sum(n) AS gmean FROM per)
+        |SELECT category, n, s // n AS mean_cents,
+        |  (s + 20 * gmean) // (n + 20) AS enc_cents
+        |FROM per, g ORDER BY category""".stripMargin,
+
+    // identical arithmetic inclusion rule, replicate means as bigints
+    "q_bootstrap" ->
+      """WITH rep AS (SELECT b, o_orderkey AS id,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders, (SELECT unnest(generate_series(0, 31)) AS b)
+        |  WHERE ((o_orderkey % 1000003) * (b + 17) + 31 * b * b) % 97 < 48),
+        |m AS (SELECT b, sum(v) // count(*) AS m FROM rep GROUP BY b)
+        |SELECT count(*) AS b, sum(m) // count(*) AS mean_of_means_cents,
+        |  min(m) AS lo_cents, max(m) AS hi_cents,
+        |  round(sqrt((count(*)::DOUBLE * sum(m * m)::DOUBLE -
+        |    sum(m)::DOUBLE * sum(m)::DOUBLE) /
+        |    (count(*)::DOUBLE * (count(*) - 1)::DOUBLE)), 6) AS std
+        |FROM m""".stripMargin,
+
+    // lag window per user; decimal moments, one double expression
+    "q_autocorr" ->
+      """WITH p AS (SELECT user_id, CAST(value AS DECIMAL(18,6)) AS x,
+        |  lag(CAST(value AS DECIMAL(18,6)), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_pairs,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p WHERE y IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_pairs,
+        |  CASE WHEN n_pairs < 3
+        |    OR n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <= 0
+        |    OR n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE <= 0
+        |  THEN NULL ELSE
+        |    round((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |      (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |       sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+        |  END AS r
+        |FROM a""".stripMargin)
 }

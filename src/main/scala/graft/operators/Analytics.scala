@@ -1169,6 +1169,142 @@ object Analytics {
         col("term").cast("double").as("term"), col("mi"))
   }
 
+  /** ROC AUC via the Mann-Whitney rank-sum identity — the standard
+    * large-scale spelling (a sorted sweep, never the O(n²) pair
+    * count): AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the sum of
+    * the positives' MIDRANKS (ties share the average rank, the
+    * convention that makes AUC equal P(score⁺ > score⁻) + ½P(=)).
+    *
+    * Shape: one hash-agg to per-score (count, positives) — the only
+    * pass over the data — then ONE [[Relational.prefixSum]] over the
+    * |distinct scores| frame gives every value's rank offset; midranks
+    * are doubled (2·offset + c + 1) so everything stays in exact
+    * bigints until the single final IEEE division. No global window,
+    * no sort of raw rows. Returns one row: (n_pos, n_neg, auc).
+    */
+  def aucRankSum(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+    val counts = df.where(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(scoreCol.as("_s"))
+      .agg(count(lit(1)).as("_c"),
+        sum(labelCol.cast("long")).as("_p"))
+    Relational.prefixSum(counts, Seq(col("_s")), col("_c"), "_cum")
+      .agg(
+        sum(col("_p")).as("n_pos"),
+        sum(col("_c") - col("_p")).as("n_neg"),
+        // Σ positives × (2·midrank): midrank of a value with c ties
+        // starting after `cum − c` lower rows is offset + (c+1)/2.
+        sum(col("_p") * (lit(2L) * (col("_cum") - col("_c")) + col("_c") + lit(1L)))
+          .as("_r2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (col("_r2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+            6)).as("auc"))
+  }
+
+  /** Smoothed mean target encoding (the Micci-Barreca / CatBoost-style
+    * category → E[y|cat] feature): enc = (Σy_cat + m·ȳ_global) /
+    * (n_cat + m) — rare categories shrink toward the global mean
+    * instead of memorizing noise. The INTEGER-ARITHMETIC contract
+    * (cents in, floor-div out) keeps the encoding cross-engine
+    * bit-exact: ȳ_global = Σ_total div n_total first, then one more
+    * floor division per category.
+    *
+    * Shape: one hash-agg to |categories| rows, a 1-row global
+    * broadcast, zero extra scans. Output: (category, n, mean_cents,
+    * enc_cents).
+    */
+  def targetEncode(df: DataFrame, catCol: Column, centsCol: Column,
+      m: Long = 20L): DataFrame = {
+    require(m >= 0, s"targetEncode: smoothing m must be >= 0, got $m")
+    val per = df.where(catCol.isNotNull && centsCol.isNotNull)
+      .groupBy(catCol.as("category"))
+      .agg(count(lit(1)).as("n"), sum(centsCol.cast("long")).as("_sum"))
+    val g = per.agg(sum(col("n")).as("_nt"), sum(col("_sum")).as("_st"))
+      .select(expr("_st div _nt").as("_gmean"))
+    per.crossJoin(broadcast(g))
+      .select(col("category"), col("n"),
+        expr("_sum div n").as("mean_cents"),
+        expr(s"(_sum + $m * _gmean) div (n + $m)").as("enc_cents"))
+  }
+
+  /** Deterministic half-sample bootstrap of a mean — the variance
+    * readout behind every "is this aggregate stable" check, made
+    * reproducible (and therefore oracle-checkable) by replacing the
+    * RNG with an arithmetic inclusion rule: row `id` joins replicate
+    * `b` iff ((id mod 1000003)·(b+17) + 31·b²) mod 97 < 48 — a
+    * different ~49.5% half-sample per replicate, identical on any
+    * engine with 64-bit integers (all intermediates ≤ ~10¹¹).
+    *
+    * Shape: explode×B (narrow — no shuffle), then ONE hash-agg keyed
+    * by replicate with map-side partials, so the shuffle carries B
+    * rows regardless of input size; the replicate-spread summary is a
+    * second B-row agg. Exact integer replicate means (floor-div
+    * cents); the spread (std of the B means) is the only double.
+    * Output: (b, mean_of_means_cents, lo_cents, hi_cents, std).
+    */
+  def bootstrapMean(df: DataFrame, idCol: Column, centsCol: Column,
+      replicates: Int = 32): DataFrame = {
+    require(replicates >= 2 && replicates <= 256,
+      s"bootstrapMean: replicates must be in [2,256], got $replicates")
+    val means = df.where(idCol.isNotNull && centsCol.isNotNull)
+      .select(idCol.cast("long").as("_id"), centsCol.cast("long").as("_v"))
+      .select(col("_id"), col("_v"),
+        explode(sequence(lit(0L), lit(replicates - 1L))).as("_b"))
+      .where(((col("_id") % 1000003L) * (col("_b") + 17L) +
+        lit(31L) * col("_b") * col("_b")) % 97L < 48L)
+      .groupBy(col("_b"))
+      .agg(expr("sum(_v) div count(1)").as("_m"))
+    means.agg(
+      count(lit(1)).as("b"),
+      expr("sum(_m) div count(1)").as("mean_of_means_cents"),
+      min(col("_m")).as("lo_cents"),
+      max(col("_m")).as("hi_cents"),
+      sum(col("_m")).as("_sm"),
+      sum(col("_m") * col("_m")).as("_sm2"))
+      .select(col("b"), col("mean_of_means_cents"), col("lo_cents"), col("hi_cents"),
+        // sample variance of the B means from exact integer sums
+        round(sqrt((col("b").cast("double") * col("_sm2").cast("double") -
+          col("_sm").cast("double") * col("_sm").cast("double")) /
+          (col("b").cast("double") * (col("b") - 1L).cast("double"))), 6).as("std"))
+  }
+
+  /** Per-key lag-k autocorrelation — the "is this series momentum or
+    * noise" diagnostic: Pearson r between x_t and x_{t−k} within each
+    * key, over the n−k aligned pairs. One `lag` window per key (hash
+    * exchange on the key, no global sort), then the
+    * [[groupedCorrMatrix]] moment discipline: exact DECIMAL(38,6)
+    * sums, doubles only in the final fixed-shape expression. Keys
+    * with fewer than `minPairs` aligned pairs or zero variance on
+    * either leg return null r. Output: (key, n_pairs, r).
+    */
+  def lagAutocorr(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
+      valueCol: Column, k: Int = 1, minPairs: Long = 3L): DataFrame = {
+    require(k >= 1, s"lagAutocorr: lag must be >= 1, got $k")
+    val w = Window.partitionBy(col("_k")).orderBy(orderBy: _*)
+    val pairs = df.where(valueCol.isNotNull)
+      .select((keyCol.as("_k") +: orderBy) :+
+        valueCol.cast("decimal(18,6)").as("_x"): _*)
+      .withColumn("_y", lag(col("_x"), k).over(w))
+      .where(col("_y").isNotNull)
+    val agg = pairs.groupBy(col("_k").as("key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val nD = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nD * d("_sxy") - d("_sx") * d("_sy")
+    val vx = nD * d("_sxx") - d("_sx") * d("_sx")
+    val vy = nD * d("_syy") - d("_sy") * d("_sy")
+    agg.select(col("key"), col("n_pairs"),
+      when(col("n_pairs") < minPairs || vx <= 0.0d || vy <= 0.0d,
+        lit(null).cast("double"))
+        .otherwise(round(num / (sqrt(vx) * sqrt(vy)), 6)).as("r"))
+  }
+
   /** Per-key time-weighted average — the TWAP/uptime-mean shape:
     * each observation holds its value until the NEXT observation, so
     * the mean weights by holding duration, not sample count

@@ -608,4 +608,80 @@ class AnalyticsSpec extends SparkSpec {
     val c = Analytics.entropy(const, col("x")).collect().head
     assert(c.getAs[Double]("entropy") == 0.0 && c.getAs[Double]("entropy_norm") == 0.0)
   }
+
+  test("aucRankSum: perfect/reverse/random separation and midrank ties") {
+    // positives strictly above negatives -> AUC 1; reversed -> 0
+    val perfect = Seq((0L, 1.0), (0L, 2.0), (1L, 3.0), (1L, 4.0)).toDF("y", "s")
+    val p = Analytics.aucRankSum(perfect, col("y"), col("s")).collect().head
+    assert(p.getAs[Long]("n_pos") == 2L && p.getAs[Long]("n_neg") == 2L)
+    assert(p.getAs[Double]("auc") == 1.0)
+    val rev = Analytics.aucRankSum(perfect, lit(1L) - col("y"), col("s"))
+      .collect().head
+    assert(rev.getAs[Double]("auc") == 0.0)
+    // all scores tied: every pair is a tie, AUC = 1/2 exactly (midranks)
+    val tied = Seq((1L, 5.0), (0L, 5.0), (1L, 5.0), (0L, 5.0)).toDF("y", "s")
+    assert(Analytics.aucRankSum(tied, col("y"), col("s"))
+      .collect().head.getAs[Double]("auc") == 0.5)
+    // single-class input -> null AUC
+    val mono = Seq((1L, 1.0), (1L, 2.0)).toDF("y", "s")
+    val m = Analytics.aucRankSum(mono, col("y"), col("s")).collect().head
+    assert(m.isNullAt(m.fieldIndex("auc")))
+  }
+
+  test("targetEncode: shrinkage pulls rare categories toward the global mean") {
+    // cats: a has 4 rows mean 100, b has 1 row at 1000; global mean 280
+    val df = Seq(("a", 100L), ("a", 100L), ("a", 100L), ("a", 100L), ("b", 1000L))
+      .toDF("cat", "cents")
+    val out = Analytics.targetEncode(df, col("cat"), col("cents"), m = 4L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // gmean = 1400 div 5 = 280
+    // a: (400 + 4*280) div (4+4) = 1520 div 8 = 190
+    // b: (1000 + 4*280) div (1+4) = 2120 div 5 = 424
+    assert(out("a") == ((4L, 100L, 190L)))
+    assert(out("b") == ((1L, 1000L, 424L)))
+    // m=0 degenerates to the plain per-category mean
+    val plain = Analytics.targetEncode(df, col("cat"), col("cents"), m = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(plain == Map("a" -> 100L, "b" -> 1000L))
+  }
+
+  test("bootstrapMean: constant data has zero spread; replicate count honored") {
+    val df = (1L to 400L).map(i => (i, 500L)).toDF("id", "cents")
+    val r = Analytics.bootstrapMean(df, col("id"), col("cents"), replicates = 8)
+      .collect().head
+    assert(r.getAs[Long]("b") == 8L)
+    assert(r.getAs[Long]("mean_of_means_cents") == 500L)
+    assert(r.getAs[Long]("lo_cents") == 500L && r.getAs[Long]("hi_cents") == 500L)
+    assert(r.getAs[Double]("std") == 0.0)
+    // non-constant data: mean-of-means lands inside [lo, hi], std > 0
+    val v = (1L to 400L).map(i => (i, i % 100L)).toDF("id", "cents")
+    val s = Analytics.bootstrapMean(v, col("id"), col("cents"), replicates = 8)
+      .collect().head
+    assert(s.getAs[Long]("lo_cents") <= s.getAs[Long]("mean_of_means_cents") &&
+      s.getAs[Long]("mean_of_means_cents") <= s.getAs[Long]("hi_cents"))
+    assert(s.getAs[Double]("std") > 0.0)
+  }
+
+  test("lagAutocorr: alternating series -> r = -1; monotone ramp -> r = 1") {
+    // x alternates 0,1,0,1..: lag-1 pairs are perfectly anti-correlated
+    val alt = (0 until 12).map(i => ("k", i.toLong, (i % 2).toDouble))
+      .toDF("k", "t", "v")
+    val a = Analytics.lagAutocorr(alt, col("k"), Seq(col("t")), col("v"), k = 1)
+      .collect().head
+    assert(a.getAs[Long]("n_pairs") == 11L && a.getAs[Double]("r") == -1.0)
+    // lag-2 on the same series: pairs align identical phases -> +1
+    val a2 = Analytics.lagAutocorr(alt, col("k"), Seq(col("t")), col("v"), k = 2)
+      .collect().head
+    assert(a2.getAs[Long]("n_pairs") == 10L && a2.getAs[Double]("r") == 1.0)
+    // below minPairs or zero variance -> null
+    val tiny = Seq(("k", 0L, 1.0), ("k", 1L, 2.0)).toDF("k", "t", "v")
+    val t = Analytics.lagAutocorr(tiny, col("k"), Seq(col("t")), col("v"), k = 1)
+      .collect().head
+    assert(t.isNullAt(t.fieldIndex("r")))
+    val const = (0 until 8).map(i => ("k", i.toLong, 7.0)).toDF("k", "t", "v")
+    val c = Analytics.lagAutocorr(const, col("k"), Seq(col("t")), col("v"), k = 1)
+      .collect().head
+    assert(c.isNullAt(c.fieldIndex("r")))
+  }
 }
