@@ -2338,7 +2338,31 @@ object SparkEntry {
       Analytics.lagAutocorr(t(s, d, "events"),
         col("user_id"), Seq(col("ts"), col("event_id")), col("value"),
         k = 1, minPairs = 3L)
-        .select(col("key").as("user_id"), col("n_pairs"), col("r"))))
+        .select(col("key").as("user_id"), col("n_pairs"), col("r"))),
+
+    // Degree distribution of the bidirectional trade graph: per-degree
+    // node counts + ppm share of total degree — hub/skew readout.
+    "q_degree_dist" -> ((s, d) =>
+      Graph.degreeDistribution(tradeEdges(s, d), col("src"))),
+
+    // Skip-gram pairs (window 2) with PMI over the documents corpus —
+    // word2vec-style training pairs + collocation score.
+    "q_skipgram" -> ((s, d) =>
+      Ranking.skipgramPmi(t(s, d, "documents"), "doc_id", "text",
+        window = 2, minCount = 2L, k = 100)),
+
+    // Deterministic 5-fold assignment audit: per-(fold, priority)
+    // counts + stratum share — the split-balance check.
+    "q_kfold" -> ((s, d) =>
+      TrainingData.kfoldAudit(t(s, d, "orders"), col("o_orderkey"),
+        col("o_orderpriority"), k = 5)),
+
+    // Reliability bins: does price level predict return rate —
+    // $5k-wide bins, exact observed positive rate in ppm.
+    "q_calibration" -> ((s, d) =>
+      Analytics.calibrationBins(t(s, d, "lineitem"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_returnflag") === "R").cast("long"), binWidth = 500000L)))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -4641,5 +4665,62 @@ object SparkEntry {
         |      (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
         |       sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |  END AS r
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin,
+
+    // same trade-graph CTE as q_pagerank; degrees on the doubled list
+    "q_degree_dist" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+        |dist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree),
+        |t AS (SELECT sum(degree * n_nodes) AS te FROM dist)
+        |SELECT degree, n_nodes,
+        |  CAST(degree * n_nodes * 1000000 // te AS BIGINT) AS degree_share_ppm
+        |FROM dist, t""".stripMargin,
+
+    // zipped parallel unnest gives 1-based positions; only position
+    // DIFFERENCES matter so the 0-based Spark side agrees exactly
+    "q_skipgram" ->
+      s"""WITH base AS (SELECT doc_id, $W AS ws FROM documents),
+         |toks AS (SELECT doc_id, unnest(ws) AS w,
+         |  unnest(range(1, len(ws) + 1)) AS p FROM base),
+         |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+         |u AS (SELECT sum(cw) AS uu FROM uni),
+         |pr AS (SELECT least(a.w, b.w) AS token_a, greatest(a.w, b.w) AS token_b
+         |  FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2),
+         |pairs AS (SELECT token_a, token_b, count(*) AS n_pair
+         |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+         |t AS (SELECT sum(n_pair) AS tt FROM pairs)
+         |SELECT token_a, token_b, n_pair,
+         |  ua.cw AS n_a, ub.cw AS n_b,
+         |  round(ln((n_pair::DOUBLE / tt::DOUBLE) *
+         |    (uu::DOUBLE / ua.cw::DOUBLE) * (uu::DOUBLE / ub.cw::DOUBLE)), 6) AS pmi
+         |FROM pairs JOIN uni ua ON pairs.token_a = ua.w
+         |  JOIN uni ub ON pairs.token_b = ub.w, t, u
+         |ORDER BY n_pair DESC, token_a, token_b LIMIT 100""".stripMargin,
+
+    // same multiplicative scramble, parenthesized to the same op order
+    "q_kfold" ->
+      """WITH f AS (SELECT
+        |  ((o_orderkey % 1000003) * 2654435761 % 2147483648) % 5 AS fold,
+        |  o_orderpriority AS stratum FROM orders),
+        |cells AS (SELECT fold, stratum, count(*) AS n FROM f GROUP BY 1, 2),
+        |per AS (SELECT stratum, sum(n) AS ns FROM cells GROUP BY 1)
+        |SELECT fold, cells.stratum AS stratum, n,
+        |  CAST(n * 1000000 // ns AS BIGINT) AS stratum_share_ppm
+        |FROM cells JOIN per ON cells.stratum = per.stratum""".stripMargin,
+
+    // integer bin + ppm rate; '//' == Spark's div on positive longs
+    "q_calibration" ->
+      """WITH b AS (SELECT
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 500000 AS bin,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem)
+        |SELECT bin, bin * 500000 AS lo, count(*) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS rate_ppm
+        |FROM b GROUP BY bin""".stripMargin)
 }

@@ -1305,6 +1305,30 @@ object Analytics {
         .otherwise(round(num / (sqrt(vx) * sqrt(vy)), 6)).as("r"))
   }
 
+  /** Score-calibration (reliability) bins — "when the score says X,
+    * how often is the outcome true": equi-width score bins, each with
+    * its exact observed positive rate. The reliability-diagram input
+    * for any scorer (quality filter, classifier, ANN distance) —
+    * perfectly calibrated means rate tracks the bin's score range.
+    *
+    * Integer contract end-to-end: bin = score div width (exact, no
+    * float boundary jitter), rate in ppm by floor division — so the
+    * frame is cross-engine bit-exact. One hash-agg keyed by bin with
+    * map-side partials. Output: (bin, lo, n, n_pos, rate_ppm).
+    */
+  def calibrationBins(df: DataFrame, scoreCol: Column, outcomeCol: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"calibrationBins: binWidth must be >= 1, got $binWidth")
+    df.where(scoreCol.isNotNull && outcomeCol.isNotNull)
+      .select(scoreCol.cast("long").as("_s"), outcomeCol.cast("long").as("_y"))
+      .select(expr(s"_s div $binWidth").as("bin"), col("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"))
+      .select(col("bin"), (col("bin") * binWidth).as("lo"),
+        col("n"), col("n_pos"),
+        expr("n_pos * 1000000L div n").as("rate_ppm"))
+  }
+
   /** Per-key time-weighted average — the TWAP/uptime-mean shape:
     * each observation holds its value until the NEXT observation, so
     * the mean weights by holding duration, not sample count

@@ -544,4 +544,27 @@ object Graph {
           (col("_e").cast("decimal(38,0)") * col("_e")).cast("double"), 6)
           .as("modularity"))
   }
+
+  /** Degree distribution — the first thing to look at on any graph
+    * (hub structure, power-law tail, skew that will break a
+    * superstep's shuffle): per-degree node counts plus each bucket's
+    * share of total degree (ppm), so "the top-degree bucket carries
+    * X% of the edges" reads straight off the result.
+    *
+    * Two hash-aggs on narrow longs: node → degree (|E| rows in,
+    * map-side combined), then degree → node count (|V| rows in). The
+    * totals row is a 1-row broadcast. Degree is OUT-degree of the
+    * edge list as given — pass a symmetrized list (both directions)
+    * for undirected total degree. Output: (degree, n_nodes,
+    * degree_share_ppm) — exact integers only.
+    */
+  def degreeDistribution(edges: DataFrame, srcCol: Column): DataFrame = {
+    val deg = edges.where(srcCol.isNotNull)
+      .groupBy(srcCol.as("_n")).agg(count(lit(1)).as("degree"))
+    val dist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val tot = dist.agg(sum(col("degree") * col("n_nodes")).as("_te"))
+    dist.crossJoin(broadcast(tot))
+      .select(col("degree"), col("n_nodes"),
+        expr("degree * n_nodes * 1000000L div _te").as("degree_share_ppm"))
+  }
 }

@@ -301,4 +301,54 @@ object Ranking {
         (col("sum_comb_cells").cast("double") - e) / (max - e)
       }, 6).as("ari"))
   }
+
+  /** Skip-gram co-occurrence pairs with PMI — the word2vec-style
+    * training-pair extraction plus the association score that
+    * separates collocations from frequency accidents:
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = n_ab/T over
+    * window pairs and p(w) = n_w/U over unigram occurrences.
+    *
+    * Shape: positions via posexplode, then a per-doc positional
+    * self-join constrained to 1 ≤ pos_b − pos_a ≤ window — the join
+    * shuffles narrow (doc, pos, token) rows on the doc key and each
+    * doc contributes ≤ len·window pairs (window is the blowup cap).
+    * Pairs are canonicalized (token_a < token_b) so left/right
+    * contexts collapse; `minCount` prunes the long tail BEFORE the
+    * stats join; top-k by count (token tiebreak) bounds the output.
+    * Counts are exact bigints; PMI is a FIXED chain of three IEEE
+    * divisions and one ln, rounded to 6dp (same ln caveat as
+    * [[termScores]]). Output: (token_a, token_b, n_pair, n_a, n_b,
+    * pmi).
+    */
+  def skipgramPmi(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, minCount: Long = 2L, k: Int = 100): DataFrame = {
+    require(window >= 1, s"skipgramPmi: window must be >= 1, got $window")
+    require(k >= 1, s"skipgramPmi: k must be >= 1, got $k")
+    val toks = df
+      .select(col(idCol).as("_doc"), posexplode(words(col(textCol))).as(Seq("_p", "_w")))
+    val uni = toks.groupBy(col("_w")).agg(count(lit(1)).as("_cw"))
+    val totals = uni.agg(sum(col("_cw")).as("_u"))
+    val pairs = toks.as("a")
+      .join(toks.as("b"),
+        col("a._doc") === col("b._doc") &&
+          col("b._p") > col("a._p") && col("b._p") <= col("a._p") + window)
+      .select(least(col("a._w"), col("b._w")).as("token_a"),
+        greatest(col("a._w"), col("b._w")).as("token_b"))
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val tPairs = pairs.agg(sum(col("n_pair")).as("_t"))
+    pairs
+      .join(uni.select(col("_w").as("token_a"), col("_cw").as("n_a")), Seq("token_a"))
+      .join(uni.select(col("_w").as("token_b"), col("_cw").as("n_b")), Seq("token_b"))
+      .crossJoin(broadcast(tPairs))
+      .crossJoin(broadcast(totals))
+      .select(col("token_a"), col("token_b"), col("n_pair"), col("n_a"), col("n_b"),
+        // ((n_ab/T) · (U/n_a)) · (U/n_b): fixed op order, one ln
+        round(log((col("n_pair").cast("double") / col("_t").cast("double")) *
+          (col("_u").cast("double") / col("n_a").cast("double")) *
+          (col("_u").cast("double") / col("n_b").cast("double"))), 6).as("pmi"))
+      .orderBy(col("n_pair").desc, col("token_a"), col("token_b"))
+      .limit(k)
+  }
 }

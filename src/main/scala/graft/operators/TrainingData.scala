@@ -746,4 +746,38 @@ object TrainingData {
         (col("ratio_sum_scaled").cast("double") /
           (col("n_feats") * lit(scale)).cast("double")).as("avg_ratio"))
   }
+
+  /** Deterministic k-fold assignment — the cross-validation split as a
+    * pure function of the row id (no RNG, no global shuffle, stable
+    * across reruns and engines): fold = ((id mod 1000003)·2654435761
+    * mod 2³¹) mod k — the Knuth multiplicative scramble breaks any
+    * id-ordering correlation (plain `id mod k` puts every k-th row in
+    * the same fold, which for clustered ids IS a leak). Adds `foldCol`
+    * (long in [0, k)); all intermediates ≤ ~2.6·10¹⁵, exact in any
+    * 64-bit engine. Narrow projection — zero shuffles.
+    */
+  def kfoldAssign(df: DataFrame, idCol: Column, k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"kfoldAssign: k must be in [2,1000], got $k")
+    df.withColumn(foldCol,
+      ((idCol.cast("long") % 1000003L) * 2654435761L % 2147483648L) % k)
+  }
+
+  /** Fold-balance audit for [[kfoldAssign]]: per-(fold, stratum) row
+    * counts plus each cell's share of its stratum (ppm) — the check
+    * that every fold sees every stratum at ~1/k before anyone trains
+    * on the split. One hash-agg to k·|strata| rows; the per-stratum
+    * total joins back broadcast. Output: (fold, stratum, n,
+    * stratum_share_ppm).
+    */
+  def kfoldAudit(df: DataFrame, idCol: Column, stratumCol: Column,
+      k: Int): DataFrame = {
+    val cells = kfoldAssign(df.select(idCol.as("_id"), stratumCol.as("stratum")),
+      col("_id"), k)
+      .groupBy(col("fold"), col("stratum")).agg(count(lit(1)).as("n"))
+    val per = cells.groupBy(col("stratum")).agg(sum(col("n")).as("_ns"))
+    cells.join(broadcast(per), Seq("stratum"))
+      .select(col("fold"), col("stratum"), col("n"),
+        expr("n * 1000000L div _ns").as("stratum_share_ppm"))
+  }
 }

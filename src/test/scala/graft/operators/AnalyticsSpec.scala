@@ -684,4 +684,19 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head
     assert(c.isNullAt(c.fieldIndex("r")))
   }
+
+  test("calibrationBins: exact bin edges and ppm rates") {
+    // scores 0..9 with width 5 -> bins 0 and 1; outcome = score >= 8
+    val df = (0L until 10L).map(s => (s, if (s >= 8) 1L else 0L)).toDF("s", "y")
+    val out = Analytics.calibrationBins(df, col("s"), col("y"), binWidth = 5L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bin 0: scores 0-4, 0 positives; bin 1: scores 5-9, 2 of 5
+    assert(out == Map(0L -> ((0L, 5L, 0L, 0L)), 1L -> ((5L, 5L, 2L, 400000L))))
+    // nulls in either column are excluded
+    val withNull = df.unionAll(Seq((99L, 1L)).toDF("s", "y")
+      .select(lit(null).cast("long").as("s"), col("y")))
+    assert(Analytics.calibrationBins(withNull, col("s"), col("y"), 5L)
+      .agg(sum(col("n"))).collect().head.getLong(0) == 10L)
+  }
 }

@@ -272,4 +272,14 @@ class GraphSpec extends SparkSpec {
     // L=m and D=2m: Q = m/m - (2m/2m)^2 = 0 exactly
     assert(r.getAs[Double]("q_num") == 0.0 && r.getAs[Double]("modularity") == 0.0)
   }
+
+  test("degreeDistribution: star graph — hub degree n, leaves degree 1") {
+    // undirected star on 5 nodes: symmetrize 4 hub-leaf edges
+    val e = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val out = Graph.degreeDistribution(sym, col("src"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // total degree 8: hub bucket 4/8 = 500000 ppm, leaf bucket 4·1/8
+    assert(out == Map(4L -> ((1L, 500000L)), 1L -> ((4L, 500000L))))
+  }
 }

@@ -152,4 +152,25 @@ class RankingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(tri == Map(1L -> ((1L, 0))))
   }
+
+  test("skipgramPmi: window pairs, canonical order, counts and PMI sign") {
+    // "a b a b": window-1 pairs = (a,b)x3; window-2 adds (a,a),(b,b)
+    val docs = Seq((1L, "a b a b"), (2L, "a b a b")).toDF("doc_id", "text")
+    val w1 = Ranking.skipgramPmi(docs, "doc_id", "text",
+        window = 1, minCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 6 (a,b) pairs across 2 docs; 4 occurrences of each token
+    assert(w1 == Map(("a", "b") -> ((6L, 4L, 4L))))
+    val w2 = Ranking.skipgramPmi(docs, "doc_id", "text",
+        window = 2, minCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w2 == Map(("a", "b") -> 6L, ("a", "a") -> 2L, ("b", "b") -> 2L))
+    // uniform independent-ish corpus: the (a,b) PMI under window 1 is
+    // ln((6/6)·(8/4)·(8/4)) = ln 4 — exact check of the fixed op chain
+    val pmi = Ranking.skipgramPmi(docs, "doc_id", "text",
+        window = 1, minCount = 1L, k = 10)
+      .collect().head.getDouble(5)
+    assert(math.abs(pmi - math.log(4.0)) < 1e-6)
+  }
 }

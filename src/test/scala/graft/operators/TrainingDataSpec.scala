@@ -355,4 +355,29 @@ class TrainingDataSpec extends SparkSpec {
       .where(col("doc_id") === 1L).head()
     assert(uni.getLong(1) == 2L)
   }
+
+  test("kfoldAssign/kfoldAudit: total partition, stable, stratum shares sum to 1M") {
+    val df = (1L to 500L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val folds = TrainingData.kfoldAssign(df, col("id"), k = 5)
+    // every row gets exactly one fold in [0,5); assignment is a pure
+    // function of id (re-running yields identical folds)
+    val counts = folds.groupBy(col("fold")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf((0L until 5L).toSet))
+    assert(counts.values.sum == 500L)
+    assert(counts.values.forall(n => n > 50L && n < 150L)) // roughly balanced
+    val again = TrainingData.kfoldAssign(df, col("id"), k = 5)
+      .groupBy(col("fold")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+    // audit: per-stratum ppm shares sum to ~1M (floor-div slack < k)
+    val audit = TrainingData.kfoldAudit(df, col("id"), col("stratum"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byStratum = audit.groupBy(_._2)
+    assert(byStratum.keySet == Set("s0", "s1", "s2"))
+    byStratum.values.foreach { cells =>
+      val ppm = cells.map(_._4).sum
+      assert(ppm > 1000000L - 5 && ppm <= 1000000L)
+    }
+  }
 }
