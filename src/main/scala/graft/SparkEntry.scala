@@ -2362,7 +2362,37 @@ object SparkEntry {
     "q_calibration" -> ((s, d) =>
       Analytics.calibrationBins(t(s, d, "lineitem"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
-        (col("l_returnflag") === "R").cast("long"), binWidth = 500000L)))
+        (col("l_returnflag") === "R").cast("long"), binWidth = 500000L)),
+
+    // Blocked Levenshtein linkage: near-identical customer names
+    // within a nation, block-summarized (codegen'd builtin kernel).
+    "q_edit_dist" -> ((s, d) =>
+      Dedup.editDistanceLink(t(s, d, "customer"), col("c_nationkey"),
+        col("c_custkey"), col("c_name"), maxDist = 2)
+        .select(col("block").as("c_nationkey"), col("n_pairs"),
+          col("min_dist"), col("sum_dist"))),
+
+    // PSI between even/odd event halves over the q_drift bin grid —
+    // drift MAGNITUDE next to q_drift's chi-square significance.
+    "q_psi" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT) div 500").as("bin"))
+      graft.operators.Quality.psi(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 =!= 0), col("bin"))
+    }),
+
+    // Information gain + gain ratio of event_type about the user
+    // bucket — the decision-tree split readout beside q_cramers_v.
+    "q_info_gain" -> ((s, d) =>
+      Analytics.informationGain(t(s, d, "events"),
+        col("event_type"), (col("user_id") % 4L).as("ub"))),
+
+    // chi2 term selection: which words mark English-labeled docs —
+    // document-presence 2x2 tables, top-50 discriminators.
+    "q_chi2_terms" -> ((s, d) =>
+      Ranking.chi2Terms(t(s, d, "documents"), "doc_id", "text",
+        (col("lang") === "en").cast("long"), minDf = 2L, k = 50)))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -4722,5 +4752,84 @@ object SparkEntry {
         |SELECT bin, bin * 500000 AS lo, count(*) AS n,
         |  CAST(sum(y) AS BIGINT) AS n_pos,
         |  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS rate_ppm
-        |FROM b GROUP BY bin""".stripMargin)
+        |FROM b GROUP BY bin""".stripMargin,
+
+    // DuckDB's levenshtein == Spark's (unit-cost edits); same blocking
+    "q_edit_dist" ->
+      """WITH p AS (SELECT a.c_nationkey AS nk,
+        |  levenshtein(a.c_name, b.c_name) AS d
+        |  FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+        |SELECT nk AS c_nationkey, count(*) AS n_pairs,
+        |  CAST(min(d) AS BIGINT) AS min_dist, CAST(sum(d) AS BIGINT) AS sum_dist
+        |FROM p WHERE d <= 2 GROUP BY nk""".stripMargin,
+
+    // +1-smoothed shares on the union spine; 6dp decimal terms
+    "q_psi" ->
+      """WITH ev AS (SELECT event_id,
+        |  CAST(round(value * 100) AS BIGINT) // 500 AS bin FROM events),
+        |r AS (SELECT bin, count(*) AS cr FROM ev
+        |  WHERE event_id % 2 = 0 AND bin IS NOT NULL GROUP BY bin),
+        |c AS (SELECT bin, count(*) AS cc FROM ev
+        |  WHERE event_id % 2 <> 0 AND bin IS NOT NULL GROUP BY bin),
+        |j AS (SELECT COALESCE(cr, 0) + 1 AS r1, COALESCE(cc, 0) + 1 AS c1,
+        |  COALESCE(cr, 0) AS r0, COALESCE(cc, 0) AS c0
+        |  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+        |t AS (SELECT sum(r1) AS sr, sum(c1) AS sc,
+        |  CAST(sum(r0) AS BIGINT) AS n_ref, CAST(sum(c0) AS BIGINT) AS n_cur,
+        |  count(*) AS n_bins FROM j)
+        |SELECT n_bins, n_ref, n_cur,
+        |  CAST(sum(CAST(round(
+        |    (r1::DOUBLE / sr::DOUBLE - c1::DOUBLE / sc::DOUBLE) *
+        |    ln((r1::DOUBLE / sr::DOUBLE) / (c1::DOUBLE / sc::DOUBLE)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS psi
+        |FROM j, t GROUP BY n_bins, n_ref, n_cur""".stripMargin,
+
+    // three entropies off one cell frame; 6dp decimal term sums
+    "q_info_gain" ->
+      """WITH cells AS (SELECT event_type AS x, user_id % 4 AS y,
+        |  count(*) AS nxy FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, sum(nxy) AS nx FROM cells GROUP BY 1),
+        |my AS (SELECT y, sum(nxy) AS ny FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn FROM cells),
+        |hx AS (SELECT -CAST(sum(CAST(round(
+        |  (nx::DOUBLE / nn::DOUBLE) * ln(nx::DOUBLE / nn::DOUBLE), 6)
+        |  AS DECIMAL(18,6))) AS DOUBLE) AS h FROM mx, n),
+        |hy AS (SELECT -CAST(sum(CAST(round(
+        |  (ny::DOUBLE / nn::DOUBLE) * ln(ny::DOUBLE / nn::DOUBLE), 6)
+        |  AS DECIMAL(18,6))) AS DOUBLE) AS h FROM my, n),
+        |hyx AS (SELECT -CAST(sum(CAST(round(
+        |  (nxy::DOUBLE / nn::DOUBLE) * ln(nxy::DOUBLE / nx::DOUBLE), 6)
+        |  AS DECIMAL(18,6))) AS DOUBLE) AS h
+        |  FROM cells JOIN mx USING (x), n)
+        |SELECT nn AS n, hx.h AS h_x, hy.h AS h_y, hyx.h AS h_y_given_x,
+        |  round(hy.h - hyx.h, 6) AS info_gain,
+        |  CASE WHEN hx.h <= 0 THEN NULL
+        |    ELSE round((hy.h - hyx.h) / hx.h, 6) END AS gain_ratio
+        |FROM n, hx, hy, hyx""".stripMargin,
+
+    // per-doc DISTINCT presence; chi2 mirrored double-op-for-double-op
+    "q_chi2_terms" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text FROM documents),
+         |tot AS (SELECT CAST(sum(y) AS BIGINT) AS np,
+         |  CAST(count(*) - sum(y) AS BIGINT) AS nneg FROM docs),
+         |pres AS (SELECT DISTINCT doc_id, y, term FROM
+         |  (SELECT doc_id, y, unnest($W) AS term FROM docs)),
+         |cnt AS (SELECT term, CAST(sum(y) AS BIGINT) AS n_pos_docs,
+         |  CAST(count(*) - sum(y) AS BIGINT) AS n_neg_docs
+         |  FROM pres GROUP BY term HAVING count(*) >= 2),
+         |sel AS (SELECT term, n_pos_docs, n_neg_docs,
+         |  n_pos_docs::DOUBLE AS a, n_neg_docs::DOUBLE AS b,
+         |  np::DOUBLE - n_pos_docs::DOUBLE AS cc,
+         |  nneg::DOUBLE - n_neg_docs::DOUBLE AS dd,
+         |  np::DOUBLE + nneg::DOUBLE AS ntot,
+         |  n_pos_docs * nneg > n_neg_docs * np AS positive_assoc
+         |  FROM cnt, tot)
+         |SELECT term, n_pos_docs, n_neg_docs,
+         |  CASE WHEN cc + dd = 0 OR a + cc = 0 OR b + dd = 0 THEN 0.0
+         |  ELSE round((ntot * ((a * dd - b * cc) * (a * dd - b * cc))) /
+         |    (((a + b) * (cc + dd)) * ((a + cc) * (b + dd))), 6) END AS chi2,
+         |  positive_assoc
+         |FROM sel ORDER BY chi2 DESC, term LIMIT 50""".stripMargin)
 }

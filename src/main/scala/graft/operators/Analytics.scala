@@ -1305,6 +1305,52 @@ object Analytics {
         .otherwise(round(num / (sqrt(vx) * sqrt(vy)), 6)).as("r"))
   }
 
+  /** Information gain of a categorical feature about a categorical
+    * target — the decision-tree split criterion and the feature-
+    * selection score [[mutualInfo]] reports unnormalized: IG =
+    * H(Y) − H(Y|X) (equal to MI), plus the entropies themselves and
+    * Quinlan's gain ratio IG/H(X) (the correction that stops
+    * high-cardinality features from winning on fragmentation alone).
+    *
+    * All four read off the same |X|·|Y| cell frame + margins (one
+    * hash-agg over the data, two margin aggs over cells): each
+    * entropy is a Σ of per-cell `round(·,6)` DECIMAL terms — the
+    * shuffle-order-proof discipline — with one ln per term over
+    * exact bigint ratios. Returns one row: (n, h_x, h_y,
+    * h_y_given_x, info_gain, gain_ratio); gain_ratio is null when
+    * H(X) = 0 (constant feature).
+    */
+  def informationGain(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.where(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val n = cells.agg(sum(col("n_xy")).as("_n"))
+    def nd(c: String) = col(c).cast("double")
+    // −Σ (c/N)·ln(c/N) over a margin frame, 6dp decimal terms
+    def entropyOf(margin: DataFrame, cnt: String): DataFrame =
+      margin.crossJoin(broadcast(n))
+        .select(round((nd(cnt) / nd("_n")) * log(nd(cnt) / nd("_n")), 6)
+          .cast("decimal(18,6)").as("_t"))
+        .agg((-sum(col("_t"))).cast("double").as("h"))
+    val hx = entropyOf(mx, "n_x")
+    val hy = entropyOf(my, "n_y")
+    // H(Y|X) = −Σ_xy (n_xy/N)·ln(n_xy/n_x)
+    val hyx = cells.join(broadcast(mx), Seq("x")).crossJoin(broadcast(n))
+      .select(round((nd("n_xy") / nd("_n")) * log(nd("n_xy") / nd("n_x")), 6)
+        .cast("decimal(18,6)").as("_t"))
+      .agg((-sum(col("_t"))).cast("double").as("h"))
+    n.crossJoin(broadcast(hx.select(col("h").as("h_x"))))
+      .crossJoin(broadcast(hy.select(col("h").as("h_y"))))
+      .crossJoin(broadcast(hyx.select(col("h").as("h_y_given_x"))))
+      .select(col("_n").as("n"), col("h_x"), col("h_y"), col("h_y_given_x"),
+        round(col("h_y") - col("h_y_given_x"), 6).as("info_gain"))
+      .withColumn("gain_ratio",
+        when(col("h_x") <= 0.0d, lit(null).cast("double"))
+          .otherwise(round((col("h_y") - col("h_y_given_x")) / col("h_x"), 6)))
+  }
+
   /** Score-calibration (reliability) bins — "when the score says X,
     * how often is the outcome true": equi-width score bins, each with
     * its exact observed positive rate. The reliability-diagram input

@@ -668,6 +668,37 @@ object Dedup {
       .where(col("jw_sim") >= threshold)
   }
 
+  /** Blocked edit-distance (Levenshtein) linkage — the other classic
+    * record-linkage kernel next to [[linkageJoin]]'s Jaro-Winkler:
+    * within each block, every id-ordered pair within `maxDist` edits,
+    * summarized per block (n_pairs, min_dist, sum_dist) so the output
+    * stays |blocks|-bounded however dense a block's near-match
+    * neighborhood is.
+    *
+    * Scale shape: the self-join shuffles on the BLOCK key only —
+    * per-block work is |block|² distance evaluations, which is the
+    * standard linkage trade (choose blocks so |block| is hundreds,
+    * not millions); `levenshtein` is Spark's codegen'd builtin, and
+    * `maxDist` prunes before the aggregate. Exact integers
+    * throughout. Output: (block, n_pairs, min_dist, sum_dist).
+    */
+  def editDistanceLink(df: DataFrame, blockCol: Column, idCol: Column,
+      strCol: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"editDistanceLink: maxDist must be >= 0, got $maxDist")
+    val side = df.where(blockCol.isNotNull && idCol.isNotNull && strCol.isNotNull)
+      .select(blockCol.as("_blk"), idCol.as("_id"), strCol.as("_s"))
+    side.as("a")
+      .join(side.as("b"),
+        col("a._blk") === col("b._blk") && col("a._id") < col("b._id"))
+      .select(col("a._blk").as("block"),
+        levenshtein(col("a._s"), col("b._s")).as("_d"))
+      .where(col("_d") <= maxDist)
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("_d")).cast("long").as("min_dist"),
+        sum(col("_d")).as("sum_dist"))
+  }
+
   /** One-call near-duplicate removal: n-gram Jaccard pair generation →
     * connected components → keep each cluster's representative (the
     * smallest id). The composition every dedup user actually wants;

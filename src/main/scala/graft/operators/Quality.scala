@@ -271,4 +271,39 @@ object Quality {
       .select((groupCols.map(col) :+ col("n_bins") :+ col("chi2_scaled") :+
         (col("chi2_scaled").cast("double") / lit(scale).cast("double")).as("chi2")): _*)
   }
+
+  /** Population Stability Index — the model-monitoring companion to
+    * [[chiSquareDrift]] (χ² answers "is the shift statistically
+    * real"; PSI's Σ(p−q)·ln(p/q) is the magnitude score the industry
+    * thresholds at 0.1/0.25): reference-vs-current bin shares with
+    * Laplace +1 smoothing on the UNION bin spine, so a bin present on
+    * only one side contributes finitely instead of ln(0).
+    *
+    * Per-bin terms are rounded to 6dp DECIMAL before the sum (the
+    * [[Analytics.mutualInfo]] discipline — an unordered double sum
+    * would be shuffle-order-dependent); the smoothed shares make each
+    * term one fixed chain of IEEE ops over exact bigints. Two |bins|-
+    * sized hash-aggs, one full-outer on the bin key, 1-row broadcast
+    * totals. Output: (n_bins, n_ref, n_cur, psi).
+    */
+  def psi(ref: DataFrame, cur: DataFrame, binCol: Column): DataFrame = {
+    def binned(df: DataFrame, cnt: String) = df.where(binCol.isNotNull)
+      .groupBy(binCol.as("_bin")).agg(count(lit(1)).as(cnt))
+    val joined = binned(ref, "_r").join(binned(cur, "_c"), Seq("_bin"), "full_outer")
+      .select(col("_bin"),
+        (coalesce(col("_r"), lit(0L)) + 1).as("_r1"),
+        (coalesce(col("_c"), lit(0L)) + 1).as("_c1"),
+        coalesce(col("_r"), lit(0L)).as("_r0"),
+        coalesce(col("_c"), lit(0L)).as("_c0"))
+    val totals = joined.agg(sum(col("_r1")).as("_R"), sum(col("_c1")).as("_C"),
+      sum(col("_r0")).as("n_ref"), sum(col("_c0")).as("n_cur"),
+      count(lit(1)).as("n_bins"))
+    val p = col("_r1").cast("double") / col("_R").cast("double")
+    val q = col("_c1").cast("double") / col("_C").cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("n_bins"), col("n_ref"), col("n_cur"),
+        round((p - q) * log(p / q), 6).cast("decimal(18,6)").as("_t"))
+      .groupBy(col("n_bins"), col("n_ref"), col("n_cur"))
+      .agg(sum(col("_t")).cast("double").as("psi"))
+  }
 }

@@ -351,4 +351,55 @@ object Ranking {
       .orderBy(col("n_pair").desc, col("token_a"), col("token_b"))
       .limit(k)
   }
+
+  /** χ² feature selection over a labeled corpus — "which terms
+    * discriminate the positive class": for each term, the 2×2
+    * document-presence table (term ∈ doc × label) scored by
+    * χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — the standard
+    * vocabulary-pruning / domain-signature statistic.
+    *
+    * Presence is per-document DISTINCT (multiset counts would let one
+    * chatty doc dominate); `minDf` prunes the hapax tail before the
+    * stats join. Counts a,b are exact bigints from one (term, label)
+    * hash-agg; c,d derive from the 1-row broadcast class totals. The
+    * χ² itself is computed in DOUBLE on both engines (the N·(ad−bc)²
+    * numerator can exceed 2⁶³ on big corpora; identical IEEE op order
+    * keeps it cross-engine exact), rounded to 6dp. Top-k by (χ²,
+    * term) with the direction flag (is the term OVER-represented in
+    * the positive class). Output: (term, n_pos_docs, n_neg_docs,
+    * chi2, positive_assoc).
+    */
+  def chi2Terms(df: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, minDf: Long = 2L, k: Int = 100): DataFrame = {
+    require(k >= 1, s"chi2Terms: k must be >= 1, got $k")
+    val docs = df.select(col(idCol).as("_doc"), labelCol.cast("long").as("_y"),
+      col(textCol).as("_text")).where(col("_y").isNotNull)
+    val totals = docs.agg(sum(col("_y")).as("_np"),
+      (count(lit(1)) - sum(col("_y"))).as("_nn"))
+    val presence = docs
+      .select(col("_doc"), col("_y"), explode(words(col("_text"))).as("term"))
+      .distinct()
+    val counts = presence.groupBy(col("term"))
+      .agg(sum(col("_y")).as("n_pos_docs"),
+        (count(lit(1)) - sum(col("_y"))).as("n_neg_docs"))
+      .where(col("n_pos_docs") + col("n_neg_docs") >= minDf)
+    def d(c: Column) = c.cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("term"), col("n_pos_docs"), col("n_neg_docs"), {
+        val a = d(col("n_pos_docs")); val b = d(col("n_neg_docs"))
+        val c = d(col("_np")) - a;    val dd = d(col("_nn")) - b
+        val n = d(col("_np")) + d(col("_nn"))
+        val det = a * dd - b * c
+        // a zero margin (term in EVERY doc, or a one-class corpus) makes
+        // the table degenerate: no association is measurable -> chi2 0
+        when(c + dd === 0.0d || a + c === 0.0d || b + dd === 0.0d, lit(0.0d))
+          .otherwise(round((n * (det * det)) /
+            (((a + b) * (c + dd)) * ((a + c) * (b + dd))), 6)).as("chi2")
+      },
+        // over-represented in positives: a/Np > b/Nn as cross-products
+        (col("n_pos_docs") * col("_nn") > col("n_neg_docs") * col("_np"))
+          .as("positive_assoc"))
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(k)
+  }
 }

@@ -685,6 +685,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(c.isNullAt(c.fieldIndex("r")))
   }
 
+  test("informationGain: determined target gains H(Y); independent gains ~0") {
+    // y = x exactly: H(Y|X) = 0, IG = H(Y), gain_ratio = 1
+    val det = Seq.tabulate(40)(i => (s"x${i % 4}", (i % 4).toLong)).toDF("x", "y")
+    val d = Analytics.informationGain(det, col("x"), col("y")).head()
+    assert(d.getAs[Long]("n") == 40L)
+    assert(d.getAs[Double]("h_y_given_x") == 0.0)
+    assert(math.abs(d.getAs[Double]("info_gain") - math.log(4.0)) < 1e-4)
+    assert(math.abs(d.getAs[Double]("gain_ratio") - 1.0) < 1e-4)
+    // x independent of y in a balanced grid: IG = 0
+    val ind = (for { x <- 0 until 4; y <- 0 until 4 } yield (s"x$x", y.toLong))
+      .toDF("x", "y")
+    val i = Analytics.informationGain(ind, col("x"), col("y")).head()
+    assert(math.abs(i.getAs[Double]("info_gain")) < 1e-4)
+    // constant feature: H(X) = 0 -> null gain ratio
+    val const = Seq(("k", 1L), ("k", 2L)).toDF("x", "y")
+    val c = Analytics.informationGain(const, col("x"), col("y")).head()
+    assert(c.isNullAt(c.fieldIndex("gain_ratio")))
+  }
+
   test("calibrationBins: exact bin edges and ppm rates") {
     // scores 0..9 with width 5 -> bins 0 and 1; outcome = score >= 8
     val df = (0L until 10L).map(s => (s, if (s >= 8) 1L else 0L)).toDF("s", "y")

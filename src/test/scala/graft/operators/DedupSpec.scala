@@ -326,4 +326,22 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.lshPlan(1, 0.5))
     intercept[IllegalArgumentException](Dedup.lshPlan(128, 1.0))
   }
+
+  test("editDistanceLink: blocked pairs within maxDist, block summary exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "alpha"), (1L, 11L, "alphb"), (1L, 12L, "zzzzz"),
+      (2L, 20L, "beta"), (2L, 21L, "beta"),
+      (3L, 30L, "solo")
+    ).toDF("blk", "id", "s")
+    val out = Dedup.editDistanceLink(df, col("blk"), col("id"), col("s"), maxDist = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // block 1: only (alpha, alphb) at distance 1; zzzzz is out of range
+    // block 2: exact duplicates at distance 0; block 3: no pairs
+    assert(out == Map(1L -> ((1L, 1L, 1L)), 2L -> ((1L, 0L, 0L))))
+    // cross-block pairs are never compared even if identical
+    val cross = Seq((1L, 1L, "same"), (2L, 2L, "same")).toDF("blk", "id", "s")
+    assert(Dedup.editDistanceLink(cross, col("blk"), col("id"), col("s"), 2)
+      .count() == 0L)
+  }
 }

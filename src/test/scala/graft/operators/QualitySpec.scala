@@ -117,4 +117,22 @@ class QualitySpec extends SparkSpec {
       base, Seq(("g", 9L), ("g", 9L)).toDF("g", "bin"), Seq("g"), col("bin")).head()
     assert(shifted.getLong(1) == 3L && shifted.getLong(2) > 0L)
   }
+
+  test("psi: identical distributions score ~0; a full shift scores large") {
+    import spark.implicits._
+    val ref = Seq(1L, 1L, 2L, 2L, 3L, 3L).toDF("bin")
+    val same = Quality.psi(ref, ref, col("bin")).head()
+    assert(same.getAs[Long]("n_bins") == 3L)
+    assert(same.getAs[Long]("n_ref") == 6L && same.getAs[Long]("n_cur") == 6L)
+    assert(same.getAs[Double]("psi") == 0.0) // shares identical bin-by-bin
+    // disjoint supports: smoothing keeps it finite but large
+    val cur = Seq(8L, 8L, 9L, 9L, 9L, 9L).toDF("bin")
+    val far = Quality.psi(ref, cur, col("bin")).head()
+    assert(far.getAs[Long]("n_bins") == 5L)
+    assert(far.getAs[Double]("psi") > 1.0)
+    // null bins are excluded from both sides
+    val withNull = ref.unionAll(Seq[Option[Long]](None).toDF("bin"))
+    assert(Quality.psi(withNull, ref, col("bin")).head()
+      .getAs[Long]("n_ref") == 6L)
+  }
 }

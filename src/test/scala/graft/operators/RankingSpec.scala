@@ -173,4 +173,22 @@ class RankingSpec extends SparkSpec {
       .collect().head.getDouble(5)
     assert(math.abs(pmi - math.log(4.0)) < 1e-6)
   }
+
+  test("chi2Terms: class-exclusive terms top the list, shared terms score 0") {
+    // "hot" only in positives, "cold" only in negatives, "the" in all
+    val docs = Seq(
+      (1L, "the hot sun", 1L), (2L, "the hot fire", 1L),
+      (3L, "the cold ice", 0L), (4L, "the cold snow", 0L)
+    ).toDF("doc_id", "text", "y")
+    val out = Ranking.chi2Terms(docs, "doc_id", "text", col("y"),
+        minDf = 2L, k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // perfectly separating term in a balanced 2+2 corpus: chi2 = N = 4
+    assert(out("hot") == ((2L, 0L, 4.0, true)))
+    assert(out("cold") == ((0L, 2L, 4.0, false)))
+    assert(out("the") == ((2L, 2L, 0.0, false))) // df=4, no association
+    // hapax terms fall below minDf and never surface
+    assert(!out.contains("sun"))
+  }
 }
