@@ -2392,7 +2392,32 @@ object SparkEntry {
     // document-presence 2x2 tables, top-50 discriminators.
     "q_chi2_terms" -> ((s, d) =>
       Ranking.chi2Terms(t(s, d, "documents"), "doc_id", "text",
-        (col("lang") === "en").cast("long"), minDf = 2L, k = 50)))
+        (col("lang") === "en").cast("long"), minDf = 2L, k = 50)),
+
+    // Per-returnflag min-max (ppm) + z-score scaling of price cents:
+    // stats agg broadcast back, no window re-sort of the fact table.
+    "q_feature_scale" -> ((s, d) =>
+      TrainingData.featureScale(t(s, d, "lineitem"),
+        Seq(col("l_orderkey"), col("l_linenumber")), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("grp").as("l_returnflag"), col("minmax_ppm"), col("z"))),
+
+    // Lorenz deciles of revenue concentration: exact value mass of
+    // the smallest p*N line items, integer end-to-end.
+    "q_lorenz" -> ((s, d) =>
+      Analytics.lorenzCurve(t(s, d, "lineitem"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        (1 to 10).map(_ / 10.0))),
+
+    // 3-step hash-guided walks over the trade graph from the low-id
+    // customer nodes — reproducible DeepWalk-style corpus rows.
+    "q_walks" -> ((s, d) => {
+      val e = tradeEdges(s, d)
+      Graph.hashWalks(e, col("src"), col("dst"),
+        e.where(col("src") % 2L === 0L && col("src") < 200L), col("src"),
+        steps = 3, salt = "w")
+    }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -4831,5 +4856,77 @@ object SparkEntry {
          |  ELSE round((ntot * ((a * dd - b * cc) * (a * dd - b * cc))) /
          |    (((a + b) * (cc + dd)) * ((a + cc) * (b + dd))), 6) END AS chi2,
          |  positive_assoc
-         |FROM sel ORDER BY chi2 DESC, term LIMIT 50""".stripMargin)
+         |FROM sel ORDER BY chi2 DESC, term LIMIT 50""".stripMargin,
+
+    // same moments; sample std; '//' floor-div on non-negative offsets
+    "q_feature_scale" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber,
+        |  l_returnflag AS grp,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |st AS (SELECT grp, count(*) AS n, min(v) AS mn, max(v) AS mx,
+        |  CAST(sum(v) AS BIGINT) AS s,
+        |  CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS s2
+        |  FROM base GROUP BY grp)
+        |SELECT l_orderkey, l_linenumber, base.grp AS l_returnflag,
+        |  CASE WHEN mx = mn THEN NULL
+        |    ELSE (v - mn) * 1000000 // (mx - mn) END AS minmax_ppm,
+        |  CASE WHEN n < 2 OR n::DOUBLE * s2::DOUBLE - s::DOUBLE * s::DOUBLE <= 0
+        |  THEN NULL ELSE
+        |    round((v::DOUBLE - s::DOUBLE / n::DOUBLE) /
+        |      sqrt((n::DOUBLE * s2::DOUBLE - s::DOUBLE * s::DOUBLE) /
+        |        (n::DOUBLE * (n::DOUBLE - 1.0))), 6)
+        |  END AS z
+        |FROM base JOIN st ON base.grp = st.grp""".stripMargin,
+
+    // window cumsums give both running totals; tie-block overshoot
+    // subtracted exactly, share by HUGEINT floor-div
+    "q_lorenz" ->
+      """WITH c AS (SELECT
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |  count(*) AS cnt FROM lineitem GROUP BY 1),
+        |cum AS (SELECT v, cnt,
+        |  sum(cnt) OVER (ORDER BY v) AS cumc,
+        |  sum(v * cnt) OVER (ORDER BY v) AS cumv FROM c),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(v * cnt) AS BIGINT) AS total FROM c),
+        |ps AS (SELECT CAST(p AS DOUBLE) AS p
+        |  FROM (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),
+        |               (0.6),(0.7),(0.8),(0.9),(1.0)) x(p)),
+        |blk AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS rank, n, total,
+        |  min(struct_pack(v := v, cumc := cumc, cumv := cumv)
+        |    ORDER BY v) AS b
+        |  FROM cum, t, ps WHERE cumc >= ceil(p * n)
+        |  GROUP BY p, n, total)
+        |SELECT p, rank, n, total,
+        |  CAST(b.cumv - (b.cumc - rank) * b.v AS BIGINT) AS lorenz,
+        |  CAST(CAST(b.cumv - (b.cumc - rank) * b.v AS HUGEINT) * 1000000
+        |    // total AS BIGINT) AS share_ppm
+        |FROM blk""".stripMargin,
+
+    // chained per-step min_by CTEs; md5 over the same 'salt:i:cur:dst'
+    "q_walks" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |w0 AS (SELECT src AS start, src AS cur, CAST(src AS VARCHAR) AS path
+        |  FROM (SELECT DISTINCT src FROM edges WHERE src % 2 = 0 AND src < 200)),
+        |s1 AS (SELECT start, cur, path,
+        |  min_by(dst, md5('w' || ':' || 1 || ':' || cur || ':' || dst)) AS nxt
+        |  FROM w0 LEFT JOIN edges ON cur = src GROUP BY start, cur, path),
+        |w1 AS (SELECT start, COALESCE(nxt, cur) AS cur,
+        |  path || '>' || COALESCE(nxt, cur) AS path FROM s1),
+        |s2 AS (SELECT start, cur, path,
+        |  min_by(dst, md5('w' || ':' || 2 || ':' || cur || ':' || dst)) AS nxt
+        |  FROM w1 LEFT JOIN edges ON cur = src GROUP BY start, cur, path),
+        |w2 AS (SELECT start, COALESCE(nxt, cur) AS cur,
+        |  path || '>' || COALESCE(nxt, cur) AS path FROM s2),
+        |s3 AS (SELECT start, cur, path,
+        |  min_by(dst, md5('w' || ':' || 3 || ':' || cur || ':' || dst)) AS nxt
+        |  FROM w2 LEFT JOIN edges ON cur = src GROUP BY start, cur, path),
+        |w3 AS (SELECT start, COALESCE(nxt, cur) AS cur,
+        |  path || '>' || COALESCE(nxt, cur) AS path FROM s3)
+        |SELECT start, cur AS final, path FROM w3""".stripMargin)
 }

@@ -874,6 +874,50 @@ object Analytics {
       .agg(min(col("_t")).as("first_peak_t"))
   }
 
+  /** Lorenz curve points — the concentration curve behind [[gini]]
+    * (gini is its summary area; the curve says WHERE the inequality
+    * lives): at each p, the exact share of total value held by the
+    * smallest p·N rows. "The bottom 50% of orders carry 11% of
+    * revenue" reads straight off a row.
+    *
+    * Same scale shape as [[exactQuantiles]]: per-value counts, then
+    * BOTH running totals (count CDF and value mass) ride one
+    * [[Relational.prefixSums]] pass; each requested p picks its tie
+    * block with a min-struct aggregate and corrects the within-block
+    * overshoot exactly — integers end-to-end, the share by DECIMAL
+    * floor-div (long·10⁶ stays exact past 2⁶³). One row per p:
+    * (p, rank, n, total, lorenz, share_ppm).
+    */
+  def lorenzCurve(df: DataFrame, valueCol: Column,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"lorenzCurve: probs must be in (0,1], got $probs")
+    val counts = df.where(valueCol.isNotNull)
+      .groupBy(valueCol.cast("long").as("_v")).agg(count(lit(1)).as("_c"))
+    val cdf = graft.core.CacheRegistry.persist(
+      Relational.prefixSums(counts, Seq(col("_v")),
+        Seq(col("_c") -> "_cumc", (col("_v") * col("_c")) -> "_cumv")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(sum(col("_c")).as("_n"),
+      sum(col("_v") * col("_c")).as("_t"))
+    probs.map { p =>
+      cdf.crossJoin(broadcast(totals))
+        .where(col("_cumc") >= ceil(lit(p) * col("_n")))
+        .groupBy(col("_n"), col("_t"))
+        // distinct _v makes the struct-min pick exactly the boundary block
+        .agg(min(struct(col("_v"), col("_cumc"), col("_cumv"))).as("_blk"))
+        .select(lit(p).as("p"),
+          ceil(lit(p) * col("_n")).cast("long").as("rank"),
+          col("_n").as("n"), col("_t").as("total"),
+          (col("_blk._cumv") -
+            (col("_blk._cumc") - ceil(lit(p) * col("_n")).cast("long")) *
+              col("_blk._v")).as("lorenz"))
+        .select(col("p"), col("rank"), col("n"), col("total"), col("lorenz"),
+          expr("CAST(lorenz AS DECIMAL(38,0)) * 1000000 div total")
+            .as("share_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cramér's V association strength between two categorical columns
     * (0 = independent, 1 = determined) — the bounded companion of
     * [[mutualInfo]] (MI is unbounded, V is comparable across pairs).

@@ -558,6 +558,45 @@ object Graph {
     * for undirected total degree. Output: (degree, n_nodes,
     * degree_share_ppm) — exact integers only.
     */
+  /** Deterministic hash-guided walks — the DeepWalk/node2vec corpus
+    * generator with the RNG replaced by a hash argmin so the walks
+    * are reproducible and oracle-checkable: at step i from node cur,
+    * the walk moves to the neighbor minimizing md5(salt:i:cur:dst)
+    * (a different pseudo-random neighbor each step, the same one on
+    * every engine and every rerun). Dead-end nodes stay in place.
+    *
+    * Scale shape: one hash-join + min-struct aggregate per step —
+    * each step shuffles |walks|·avg-degree narrow rows keyed by the
+    * walk; the edge list is persisted once and reused across steps.
+    * `steps` is small by construction (walk corpora use 3–80);
+    * nothing here depends on |V|. Output: (start, final, path) with
+    * the '>'-joined node path.
+    */
+  def hashWalks(edges: DataFrame, srcCol: Column, dstCol: Column,
+      starts: DataFrame, startCol: Column, steps: Int,
+      salt: String = "w"): DataFrame = {
+    require(steps >= 1 && steps <= 128,
+      s"hashWalks: steps must be in [1,128], got $steps")
+    val e = graft.core.CacheRegistry.persist(
+      edges.select(srcCol.as("_src"), dstCol.as("_dst")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var walk = starts.select(startCol.as("start")).distinct()
+      .select(col("start"), col("start").as("cur"),
+        col("start").cast("string").as("path"))
+    for (i <- 1 to steps) {
+      val step = walk.join(e, col("cur") === col("_src"), "left")
+        .withColumn("_h",
+          md5(concat_ws(":", lit(salt), lit(i), col("cur"), col("_dst"))))
+        .groupBy(col("start"), col("cur"), col("path"))
+        .agg(min(struct(col("_h"), col("_dst"))).as("_pick"))
+      walk = step.select(col("start"),
+        coalesce(col("_pick._dst"), col("cur")).as("cur"),
+        concat(col("path"), lit(">"),
+          coalesce(col("_pick._dst"), col("cur")).cast("string")).as("path"))
+    }
+    walk.select(col("start"), col("cur").as("final"), col("path"))
+  }
+
   def degreeDistribution(edges: DataFrame, srcCol: Column): DataFrame = {
     val deg = edges.where(srcCol.isNotNull)
       .groupBy(srcCol.as("_n")).agg(count(lit(1)).as("degree"))

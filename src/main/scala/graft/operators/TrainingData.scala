@@ -763,6 +763,44 @@ object TrainingData {
       ((idCol.cast("long") % 1000003L) * 2654435761L % 2147483648L) % k)
   }
 
+  /** Per-group feature scaling — the two standard normalizations in
+    * one pass: min-max to ppm (exact integers, floor-div) and the
+    * z-score against the group's SAMPLE std (the only doubles, from
+    * exact decimal moments). Groups are typical feature-prep strata
+    * (domain, language, shard); constant groups yield null for both
+    * (no spread to scale against), singletons likewise (n−1 = 0).
+    *
+    * Shape: one hash-agg to |groups| stat rows, broadcast-joined back
+    * onto the stream — deliberately NOT a window (a window would
+    * re-sort each group; the stats join keeps the big side's
+    * partitioning untouched and the scaling itself is codegen'd
+    * projection). Output: input keys + (group, minmax_ppm, z).
+    */
+  def featureScale(df: DataFrame, keyCols: Seq[Column], groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val base = df.where(valueCol.isNotNull)
+      .select((keyCols :+ groupCol.as("_g") :+
+        valueCol.cast("long").as("_v")): _*)
+    val stats = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), min(col("_v")).as("_min"),
+        max(col("_v")).as("_max"),
+        sum(col("_v")).as("_s"),
+        sum(col("_v").cast("decimal(38,0)") * col("_v")).as("_s2"))
+    val nD = col("_n").cast("double")
+    val varNum = nD * col("_s2").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double")
+    val keyNames = base.columns.dropRight(2)
+    base.join(broadcast(stats), Seq("_g"))
+      .select((keyNames.map(col) :+ col("_g").as("grp") :+
+        when(col("_max") === col("_min"), lit(null).cast("long"))
+          .otherwise(expr("(_v - _min) * 1000000L div (_max - _min)"))
+          .as("minmax_ppm") :+
+        when(col("_n") < 2L || varNum <= 0.0d, lit(null).cast("double"))
+          .otherwise(round(
+            (col("_v").cast("double") - col("_s").cast("double") / nD) /
+              sqrt(varNum / (nD * (nD - 1.0d))), 6)).as("z")): _*)
+  }
+
   /** Fold-balance audit for [[kfoldAssign]]: per-(fold, stratum) row
     * counts plus each cell's share of its stratum (ppm) — the check
     * that every fold sees every stratum at ~1/k before anyone trains

@@ -685,6 +685,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(c.isNullAt(c.fieldIndex("r")))
   }
 
+  test("lorenzCurve: uniform values give linear curve; ties split exactly") {
+    // four rows of equal value: bottom half holds exactly half the mass
+    val eq = Seq(10L, 10L, 10L, 10L).toDF("v")
+    val half = Analytics.lorenzCurve(eq, col("v"), Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(half(0.5) == ((20L, 500000L)))
+    assert(half(1.0) == ((40L, 1000000L)))
+    // concentration: 1,1,1,97 -> bottom 75% holds 3%
+    val skew = Seq(1L, 1L, 1L, 97L).toDF("v")
+    val s = Analytics.lorenzCurve(skew, col("v"), Seq(0.75, 1.0))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(s(0.75) == ((3L, 30000L)))
+    assert(s(1.0) == ((100L, 1000000L)))
+  }
+
   test("informationGain: determined target gains H(Y); independent gains ~0") {
     // y = x exactly: H(Y|X) = 0, IG = H(Y), gain_ratio = 1
     val det = Seq.tabulate(40)(i => (s"x${i % 4}", (i % 4).toLong)).toDF("x", "y")

@@ -273,6 +273,24 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Double]("q_num") == 0.0 && r.getAs[Double]("modularity") == 0.0)
   }
 
+  test("hashWalks: deterministic, correct length, dead ends stay in place") {
+    // path graph 1 -> 2 -> 3 (directed): from 1 the only walk is 1>2>3>3
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val starts = Seq(1L).toDF("n")
+    val w = Graph.hashWalks(chain, col("src"), col("dst"),
+      starts, col("n"), steps = 3).collect().head
+    assert(w.getLong(0) == 1L && w.getLong(1) == 3L)
+    assert(w.getString(2) == "1>2>3>3")
+    // branching: the pick is a pure hash function — two runs agree
+    val fan = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val p1 = Graph.hashWalks(fan, col("src"), col("dst"), starts, col("n"), 4)
+      .collect().head.getString(2)
+    val p2 = Graph.hashWalks(fan, col("src"), col("dst"), starts, col("n"), 4)
+      .collect().head.getString(2)
+    assert(p1 == p2 && p1.split(">").length == 5)
+  }
+
   test("degreeDistribution: star graph — hub degree n, leaves degree 1") {
     // undirected star on 5 nodes: symmetrize 4 hub-leaf edges
     val e = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")

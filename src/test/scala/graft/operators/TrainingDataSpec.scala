@@ -356,6 +356,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(uni.getLong(1) == 2L)
   }
 
+  test("featureScale: exact minmax ppm, z-score, degenerate groups null") {
+    val df = Seq(
+      (1L, "g", 0L), (2L, "g", 50L), (3L, "g", 100L), // spread group
+      (4L, "c", 7L), (5L, "c", 7L),                    // constant group
+      (6L, "one", 3L)                                  // singleton
+    ).toDF("id", "grp", "v")
+    val out = TrainingData.featureScale(df, Seq(col("id")), col("grp"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L)._1 == Some(0L) && out(2L)._1 == Some(500000L) &&
+      out(3L)._1 == Some(1000000L))
+    // z for 0,50,100: mean 50, sample std 50 -> z = -1, 0, 1
+    assert(out(1L)._2 == Some(-1.0) && out(2L)._2 == Some(0.0) &&
+      out(3L)._2 == Some(1.0))
+    assert(out(4L) == ((None, None)) && out(5L) == ((None, None)))
+    assert(out(6L) == ((None, None)))
+  }
+
   test("kfoldAssign/kfoldAudit: total partition, stable, stratum shares sum to 1M") {
     val df = (1L to 500L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
     val folds = TrainingData.kfoldAssign(df, col("id"), k = 5)
