@@ -2417,7 +2417,15 @@ object SparkEntry {
       Graph.hashWalks(e, col("src"), col("dst"),
         e.where(col("src") % 2L === 0L && col("src") < 200L), col("src"),
         steps = 3, salt = "w")
-    }))
+    }),
+
+    // Burst compaction: rapid-fire events per user collapse to one
+    // row per <=1h-gap burst — retry-storm / double-fire cleanup.
+    "q_debounce" -> ((s, d) =>
+      Relational.debounce(t(s, d, "events"), col("user_id"), col("ts"),
+        Seq(col("event_id")), gapUs = 3600L * 1000000L)
+        .select(col("key").as("user_id"), col("burst_id"),
+          col("first_ts_us"), col("last_ts_us"), col("n_events"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -4928,5 +4936,21 @@ object SparkEntry {
         |  FROM w2 LEFT JOIN edges ON cur = src GROUP BY start, cur, path),
         |w3 AS (SELECT start, COALESCE(nxt, cur) AS cur,
         |  path || '>' || COALESCE(nxt, cur) AS path FROM s3)
-        |SELECT start, cur AS final, path FROM w3""".stripMargin)
+        |SELECT start, cur AS final, path FROM w3""".stripMargin,
+
+    // same gap-break + running-sum burst ids per user
+    "q_debounce" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id
+        |  FROM events),
+        |b AS (SELECT user_id, us, event_id,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |    OR us - lag(us) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS burst_id FROM b)
+        |SELECT user_id, CAST(burst_id AS BIGINT) AS burst_id,
+        |  min(us) AS first_ts_us, max(us) AS last_ts_us,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, burst_id""".stripMargin)
 }

@@ -603,4 +603,38 @@ object Relational {
       .select(dataCols.map(col): _*)
     untouched.unionByName(upserts)
   }
+
+  /** Burst compaction (debounce) — collapse rapid-fire repeats per key
+    * into one row per burst: a burst BREAKS where the gap to the
+    * previous event exceeds `gapUs` (the session-window rule applied
+    * to dedup: retry storms, double-clicks, sensor chatter → one
+    * logical event each). Returns one row per burst: (key, burst_id,
+    * first_ts_us, last_ts_us, n_events) — the compacted stream plus
+    * how much was collapsed.
+    *
+    * One lag window per key (hash exchange, no global sort): the
+    * gap-break flags prefix-sum into burst ids WITHIN the same
+    * window pass, then one hash-agg per (key, burst). Exact integer
+    * microseconds; `tieCols` must complete a per-key total order or
+    * equal-timestamp rows get shuffle-dependent burst boundaries.
+    */
+  def debounce(df: DataFrame, keyCol: Column, tsCol: Column,
+      tieCols: Seq[Column], gapUs: Long): DataFrame = {
+    require(gapUs >= 1, s"debounce: gapUs must be >= 1, got $gapUs")
+    val tieNames = tieCols.indices.map(i => s"_t$i")
+    val sel = Seq(keyCol.as("_k"), unix_micros(tsCol).as("_us")) ++
+      tieCols.zip(tieNames).map { case (c, n) => c.as(n) }
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_us").asc +: tieNames.map(col(_).asc): _*)
+    df.select(sel: _*)
+      .where(col("_us").isNotNull)
+      .withColumn("_brk",
+        when(lag(col("_us"), 1).over(w).isNull ||
+          col("_us") - lag(col("_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("burst_id", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_k").as("key"), col("burst_id"))
+      .agg(min(col("_us")).as("first_ts_us"), max(col("_us")).as("last_ts_us"),
+        count(lit(1)).as("n_events"))
+  }
 }

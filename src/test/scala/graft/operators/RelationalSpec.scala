@@ -310,4 +310,24 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(out == Set((1L, "a"), (2L, "b")))
   }
+
+  test("debounce: gap rule splits bursts, boundary gap stays merged") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // key 1: events at 0s, 5s, 6s, 100s with 10s gap -> bursts {0,5,6}, {100}
+    // an event exactly gapUs after the previous (5s -> 15s would break;
+    // 5s -> 15s is > 10s? no: strict > breaks; equal stays merged)
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(5), 2L), (1L, ts(6), 3L), (1L, ts(100), 4L),
+      (2L, ts(0), 5L), (2L, ts(10), 6L) // exactly the gap: same burst
+    ).toDF("k", "ts", "id")
+    val out = Relational.debounce(df, col("k"), col("ts"), Seq(col("id")),
+        gapUs = 10L * 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      (1L, 1L) -> ((0L, 6000000L, 3L)),
+      (1L, 2L) -> ((100000000L, 100000000L, 1L)),
+      (2L, 1L) -> ((0L, 10000000L, 2L))))
+  }
 }

@@ -761,6 +761,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Holt matches the batch operator bit-exactly on an in-order feed") {
+    import graft.streaming.StreamHolt
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    val data = (1 to 25).map(i => (1L, i.toLong, Some(rnd.nextDouble() * 40))) ++
+      (1 to 15).map(i => (2L, i.toLong, Some(rnd.nextDouble() * 7)))
+    val in = MemoryStream[(Long, Long, Option[Double])]
+    val q = StreamHolt(in.toDS(), alpha = 0.5, beta = 0.3)
+      .writeStream.format("memory").queryName("ho_out").outputMode("append").start()
+    val (b1, b2) = data.partition(_._2 <= 10) // split mid-history per key
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ho_out").as[StreamHolt.HRow].collect()
+      .map(r => (r.key, r.seq) -> ((r.level, r.trend, r.forecast))).toMap
+    val batch = graft.operators.Analytics.holt(
+        data.map(t => (t._1, t._2, t._3.get)).toDF("k", "seq", "v"),
+        col("k"), Seq(col("seq")), col("seq"), col("v"),
+        alpha = 0.5, beta = 0.3)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(streamed.size == data.size)
+    data.foreach { case (k, i, _) =>
+      assert(streamed((k, i)) == batch((k, i)), s"($k, $i)") // == on doubles
+    }
+  }
+
+  test("streaming Holt: late seqs flagged, nulls skip without touching state") {
+    import graft.streaming.StreamHolt
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Option[Double])]
+    val q = StreamHolt(in.toDS(), alpha = 0.5, beta = 0.3)
+      .writeStream.format("memory").queryName("ho_late").outputMode("append").start()
+    in.addData(Seq((9L, 1L, Some(10.0)), (9L, 2L, Some(20.0)), (9L, 3L, None)))
+    q.processAllAvailable()
+    in.addData(Seq((9L, 2L, Some(999.0)), (9L, 4L, Some(30.0)))) // 2 replays: late
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ho_late").as[StreamHolt.HRow].collect()
+    assert(rows.filter(_.late).map(_.seq).toSeq == Seq(2L))
+    val bySeq = rows.filterNot(_.late).map(r => r.seq -> r.level).toMap
+    // seed l=10 b=0; seq2: l = .5*20 + .5*10 = 15, b = .3*5 = 1.5
+    assert(bySeq(1L).contains(10.0) && bySeq(2L).contains(15.0))
+    assert(bySeq(3L).isEmpty)
+    // seq 4 folds onto (15, 1.5): l = .5*30 + .5*16.5 = 23.25
+    assert(bySeq(4L).contains(23.25))
+  }
+
   test("streaming EWMA: late seqs are flagged, nulls skip without resetting state") {
     import graft.streaming.StreamEwma
     implicit val sqlCtx = spark.sqlContext
