@@ -2425,7 +2425,41 @@ object SparkEntry {
       Relational.debounce(t(s, d, "events"), col("user_id"), col("ts"),
         Seq(col("event_id")), gapUs = 3600L * 1000000L)
         .select(col("key").as("user_id"), col("burst_id"),
-          col("first_ts_us"), col("last_ts_us"), col("n_events"))))
+          col("first_ts_us"), col("last_ts_us"), col("n_events"))),
+
+    // Gaps-and-islands: each user's activity days collapsed to maximal
+    // consecutive-day runs — streak/tenure readout, per-key window only.
+    "q_islands" -> ((s, d) =>
+      Relational.islands(t(s, d, "events"), col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")))
+        .select(col("key").as("user_id"), col("start_pos").as("start_day"),
+          col("end_pos").as("end_day"), col("n_steps").as("n_days"))),
+
+    // Deterministic per-user modal event_type (max count, lexicographic
+    // tiebreak) — two map-combinable aggregates, zero windows.
+    "q_mode" -> ((s, d) =>
+      Relational.modePerKey(t(s, d, "events"), col("user_id"),
+        col("event_type"))
+        .select(col("key").as("user_id"), col("mode"), col("n"))),
+
+    // Seasonal-naive (lag-7) vs one-step-naive MAE over per-type daily
+    // value cents: the MASE forecastability screen, integer until the
+    // one final division.
+    "q_mase" -> ((s, d) =>
+      Analytics.seasonalNaiveError(t(s, d, "events"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        expr("CAST(round(value * 100) AS BIGINT)"), season = 7)
+        .select(col("group").as("event_type"), col("n_seasonal"),
+          col("ae_seasonal_cents"), col("n_naive"), col("ae_naive_cents"),
+          col("mase"))),
+
+    // Flesch-style readability per document: exact sentence/word/vowel-
+    // group counts, one fixed-shape double expression — all codegen.
+    "q_readability" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        sentenceCount(col("text")).as("n_sentences"),
+        syllableCountApprox(col("text")).as("n_syllables"),
+        readability(col("text")).as("flesch"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -4952,5 +4986,63 @@ object SparkEntry {
         |SELECT user_id, CAST(burst_id AS BIGINT) AS burst_id,
         |  min(us) AS first_ts_us, max(us) AS last_ts_us,
         |  count(*) AS n_events
-        |FROM g GROUP BY user_id, burst_id""".stripMargin)
+        |FROM g GROUP BY user_id, burst_id""".stripMargin,
+
+    // same pos − row_number() anchor over distinct activity days
+    "q_islands" ->
+      """WITH pts AS (SELECT DISTINCT user_id,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d FROM events),
+        |i AS (SELECT user_id, d,
+        |  d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+        |  FROM pts)
+        |SELECT user_id, min(d) AS start_day, max(d) AS end_day,
+        |  count(*) AS n_days
+        |FROM i GROUP BY user_id, anchor""".stripMargin,
+
+    // rank over (count DESC, value ASC) — same deterministic tiebreak
+    "q_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c)
+        |SELECT user_id, event_type AS mode, n FROM r WHERE rn = 1""".stripMargin,
+
+    // calendar-joined lag-7 / lag-1 MAE legs over per-type daily cents
+    "q_mase" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT cur.event_type, count(*) AS n_seasonal,
+        |  sum(abs(cur.x - prev.x)) AS ae_seasonal_cents
+        |  FROM daily cur JOIN daily prev ON cur.event_type = prev.event_type
+        |    AND cur.d = prev.d + 7 GROUP BY 1),
+        |n AS (SELECT cur.event_type, count(*) AS n_naive,
+        |  sum(abs(cur.x - prev.x)) AS ae_naive_cents
+        |  FROM daily cur JOIN daily prev ON cur.event_type = prev.event_type
+        |    AND cur.d = prev.d + 1 GROUP BY 1)
+        |SELECT s.event_type, n_seasonal, ae_seasonal_cents, n_naive,
+        |  ae_naive_cents,
+        |  CASE WHEN ae_naive_cents > 0 AND n_seasonal > 0 THEN
+        |    round((CAST(ae_seasonal_cents AS DOUBLE) / n_seasonal) /
+        |          (CAST(ae_naive_cents AS DOUBLE) / n_naive), 6) END AS mase
+        |FROM s JOIN n ON s.event_type = n.event_type""".stripMargin,
+
+    // same sentence/vowel-group counts + fixed-shape Flesch expression
+    "q_readability" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+         |    x -> len(trim(x)) > 0)) AS INTEGER) AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |    AS INTEGER) AS n_syllables,
+         |  CASE WHEN w > 0 AND s > 0 THEN
+         |    round(206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 4)
+         |  END AS flesch
+         |FROM (SELECT doc_id, text,
+         |  CAST(len($W) AS DOUBLE) AS w,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+         |    x -> len(trim(x)) > 0)) AS DOUBLE) AS s,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |    AS DOUBLE) AS syl
+         |  FROM documents)""".stripMargin)
 }

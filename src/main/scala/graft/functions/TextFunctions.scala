@@ -153,6 +153,29 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
+  /** Flesch-style readability readout, engine-portable: sentences are
+    * non-empty `[.!?]+` segments, words come from [[words]], and the
+    * syllable stand-in is vowel-group count (`[aeiouy]+` runs) — the
+    * standard dictionary-free approximation. All three counts are
+    * exact integers; the score is a fixed-shape double expression
+    * (206.835 − 1.015·w/s − 84.6·syl/w, rounded to 4), so a second
+    * engine reproduces it bit-for-bit. NULL when the text has no
+    * sentence or no word. Pure codegen — regex counts, no UDF.
+    */
+  def sentenceCount(c: Column): Column =
+    size(filter(split(c, "[.!?]+"), s => length(trim(s)) > 0))
+
+  def syllableCountApprox(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0)))
+
+  def readability(c: Column): Column = {
+    val w = size(words(c)).cast("double")
+    val s = sentenceCount(c).cast("double")
+    val syl = syllableCountApprox(c).cast("double")
+    when(w > 0 && s > 0,
+      round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (syl / w), 4))
+  }
+
   /** Rolling (polynomial) document fingerprint of the normalized text:
     * h = (h * 31 + code(c_i)) mod 1_000_000_007 — order-sensitive,
     * cheap, computed via aggregate over the char codes (codegen path).

@@ -1451,4 +1451,45 @@ object Analytics {
         round(col("_wsum").cast("double") / col("dt_total_us").cast("double"), 6)
           .as("twap"))
   }
+
+  /** Seasonal-naive forecast error (the MASE readout): per group, the
+    * daily-total series is scored against two naive forecasts — the
+    * season-lag value (x_{t-season}) and the one-step naive (x_{t-1}).
+    * `mase` = (seasonal MAE) / (one-step MAE): < 1 means "yesterday's
+    * week-ago value beats yesterday's value", the standard scale-free
+    * forecastability screen.
+    *
+    * Exactness: totals and absolute errors stay integer cents until
+    * the single final division; the lags are CALENDAR joins (day =
+    * day - lag) on the aggregated per-day frame, so gaps in the series
+    * pair nothing instead of silently pairing non-adjacent days.
+    * Scale: one map-side-combinable aggregate over the fact table;
+    * both self-joins run on the (group × days) frame, bounded by the
+    * calendar span — never the raw rows.
+    */
+  def seasonalNaiveError(df: DataFrame, groupCol: Column, dayCol: Column,
+      centsCol: Column, season: Int = 7): DataFrame = {
+    require(season >= 2, s"seasonalNaiveError: season must be >= 2, got $season")
+    val daily = df.select(groupCol.as("_g"), dayCol.cast("long").as("_d"),
+        centsCol.as("_c"))
+      .where(col("_d").isNotNull && col("_c").isNotNull)
+      .groupBy(col("_g"), col("_d")).agg(sum(col("_c")).as("_x"))
+      .localCheckpoint(true)
+    def maeLeg(lag: Int, nAs: String, sumAs: String) =
+      daily.as("cur")
+        .join(daily.as("prev"),
+          col("cur._g") === col("prev._g") &&
+            col("cur._d") === col("prev._d") + lag)
+        .groupBy(col("cur._g").as("_g"))
+        .agg(count(lit(1)).as(nAs),
+          sum(abs(col("cur._x") - col("prev._x"))).as(sumAs))
+    maeLeg(season, "n_seasonal", "ae_seasonal_cents")
+      .join(maeLeg(1, "n_naive", "ae_naive_cents"), Seq("_g"))
+      .select(col("_g").as("group"), col("n_seasonal"),
+        col("ae_seasonal_cents"), col("n_naive"), col("ae_naive_cents"),
+        when(col("ae_naive_cents") > 0 && col("n_seasonal") > 0,
+          round((col("ae_seasonal_cents").cast("double") / col("n_seasonal")) /
+            (col("ae_naive_cents").cast("double") / col("n_naive")), 6))
+          .as("mase"))
+  }
 }

@@ -637,4 +637,42 @@ object Relational {
       .agg(min(col("_us")).as("first_ts_us"), max(col("_us")).as("last_ts_us"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Gaps-and-islands: collapse each key's distinct integer positions
+    * (epoch days, sequence numbers) into maximal consecutive runs.
+    * The classic `pos - row_number()` anchor trick — positions in one
+    * unbroken run share an anchor, so one per-key window plus one
+    * group-by yields every island with its bounds and length.
+    *
+    * Scale: the window partitions BY KEY (never global), and it runs
+    * over the DISTINCT (key, pos) frame — bounded by positions per key
+    * (for epoch days, ≤ the calendar span), not by raw row count. The
+    * 100 TB shape is: dedup shuffle → per-key sort → fold; no step
+    * sees unbounded state.
+    */
+  def islands(df: DataFrame, keyCol: Column, posCol: Column): DataFrame = {
+    val pts = df.select(keyCol.as("_k"), posCol.cast("long").as("_p"))
+      .where(col("_p").isNotNull).distinct()
+    val w = Window.partitionBy(col("_k")).orderBy(col("_p").asc)
+    pts.withColumn("_anchor", col("_p") - row_number().over(w))
+      .groupBy(col("_k").as("key"), col("_anchor"))
+      .agg(min(col("_p")).as("start_pos"), max(col("_p")).as("end_pos"),
+        count(lit(1)).as("n_steps"))
+      .drop("_anchor")
+  }
+
+  /** Deterministic per-key mode: the most frequent value, ties broken
+    * by the smallest value. One count aggregate, then a `min(struct)`
+    * argmin over (-count, value) — NO window, NO second shuffle of raw
+    * rows: both aggregations are map-side-combinable and the second
+    * runs over the (key, value) count frame, bounded by distinct pairs.
+    */
+  def modePerKey(df: DataFrame, keyCol: Column, valCol: Column): DataFrame =
+    df.select(keyCol.as("_k"), valCol.as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy(col("_k"), col("_v")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("_k").as("key"))
+      .agg(min(struct((-col("_n")).as("_neg"), col("_v"))).as("_top"))
+      .select(col("key"), col("_top._v").as("mode"),
+        (-col("_top._neg")).as("n"))
 }

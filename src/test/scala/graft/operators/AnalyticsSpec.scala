@@ -733,4 +733,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.calibrationBins(withNull, col("s"), col("y"), 5L)
       .agg(sum(col("n"))).collect().head.getLong(0) == 10L)
   }
+
+  test("seasonalNaiveError: calendar lags pair exact days; ratio is MAE7/MAE1") {
+    // one group, days 0..13, value = 100*day cents; perfectly trending:
+    // |x_t - x_{t-7}| = 700, |x_t - x_{t-1}| = 100 -> mase = 7.0
+    val df = (0L until 14L).map(d => ("a", d, d * 100L)).toDF("g", "d", "c")
+    val out = Analytics.seasonalNaiveError(df, col("g"), col("d"), col("c"), season = 7)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 7L && r.getLong(2) == 7 * 700L)  // n_seasonal, ae7
+    assert(r.getLong(3) == 13L && r.getLong(4) == 13 * 100L) // n_naive, ae1
+    assert(r.getDouble(5) == 7.0)
+    // a gap in the series pairs nothing across it: days {0,1,5,6} ->
+    // naive pairs (0,1),(5,6) only, no seasonal pairs at lag 7
+    val gap = Seq(0L, 1L, 5L, 6L).map(d => ("a", d, 100L)).toDF("g", "d", "c")
+    assert(Analytics.seasonalNaiveError(gap, col("g"), col("d"), col("c"), 7)
+      .collect().isEmpty) // seasonal leg empty -> inner join drops the group
+  }
 }

@@ -330,4 +330,25 @@ class RelationalSpec extends SparkSpec {
       (1L, 2L) -> ((100000000L, 100000000L, 1L)),
       (2L, 1L) -> ((0L, 10000000L, 2L))))
   }
+
+  test("islands: consecutive runs collapse, gaps split, duplicates ignored") {
+    val df = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 14L), (1L, 14L), (1L, 15L),
+      (2L, 7L)
+    ).toDF("k", "d")
+    val out = Relational.islands(df, col("k"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 10L, 12L, 3L), (1L, 14L, 15L, 2L), (2L, 7L, 7L, 1L)))
+  }
+
+  test("modePerKey: max count wins, ties break to the smallest value") {
+    val df = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"),           // b wins on count
+      (2L, "z"), (2L, "y"),                      // tie -> lexicographic min y
+      (3L, "x")
+    ).toDF("k", "v")
+    val out = Relational.modePerKey(df, col("k"), col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> (("b", 2L)), 2L -> (("y", 1L)), 3L -> (("x", 1L))))
+  }
 }
