@@ -2459,7 +2459,26 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         sentenceCount(col("text")).as("n_sentences"),
         syllableCountApprox(col("text")).as("n_syllables"),
-        readability(col("text")).as("flesch"))))
+        readability(col("text")).as("flesch"))),
+
+    // Common-neighbor link prediction on the high-quantity trade
+    // bipartite graph: customer pairs sharing suppliers, Jaccard ppm,
+    // df-capped postings, global top-100.
+    "q_common_neighbors" -> ((s, d) => {
+      val adj = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem")
+            .where(col("l_quantity") > 45)
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      Graph.commonNeighborPairs(adj, col("cust"), col("supp"),
+        maxDeg = 200, k = 100)
+    }),
+
+    // Degree assortativity of the bidirectional trade graph: do hub
+    // customers trade with hub suppliers? Exact decimal moment sums.
+    "q_assortativity" -> ((s, d) =>
+      Graph.degreeAssortativity(tradeEdges(s, d), col("src"), col("dst"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5044,5 +5063,43 @@ object SparkEntry {
          |    x -> len(trim(x)) > 0)) AS DOUBLE) AS s,
          |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
          |    AS DOUBLE) AS syl
-         |  FROM documents)""".stripMargin)
+         |  FROM documents)""".stripMargin,
+
+    // same df-capped postings self-join + floor-div Jaccard ppm
+    "q_common_neighbors" ->
+      """WITH adj AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity > 45),
+        |deg AS (SELECT cust, count(*) AS d FROM adj GROUP BY 1),
+        |keep AS (SELECT a.cust, a.supp FROM adj a
+        |  JOIN (SELECT supp, count(*) AS ind FROM adj GROUP BY 1) s
+        |  ON a.supp = s.supp AND s.ind <= 200),
+        |p AS (SELECT l.cust AS a, r.cust AS b, count(*) AS common
+        |  FROM keep l JOIN keep r ON l.supp = r.supp AND l.cust < r.cust
+        |  GROUP BY 1, 2)
+        |SELECT a, b, common, da.d AS deg_a, db.d AS deg_b,
+        |  common * 1000000 // (da.d + db.d - common) AS jaccard_ppm
+        |FROM p JOIN deg da ON p.a = da.cust JOIN deg db ON p.b = db.cust
+        |ORDER BY jaccard_ppm DESC, common DESC, a, b LIMIT 100""".stripMargin,
+
+    // same six exact sums over degree-decorated symmetric edges
+    "q_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY 1),
+        |dd AS (SELECT ds.d AS x, dt.d AS y FROM edges e
+        |  JOIN deg ds ON e.src = ds.n JOIN deg dt ON e.dst = dt.n),
+        |m AS (SELECT count(*) AS n_edges,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy FROM dd)
+        |SELECT n_edges, round(
+        |  CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+        |  (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) *
+        |   sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))), 6) AS r
+        |FROM m""".stripMargin)
 }

@@ -606,4 +606,78 @@ object Graph {
       .select(col("degree"), col("n_nodes"),
         expr("degree * n_nodes * 1000000L div _te").as("degree_share_ppm"))
   }
+
+  /** Common-neighbor link prediction over a directed adjacency list:
+    * pairs of SOURCE nodes sharing a destination, scored by shared-
+    * neighbor count and Jaccard overlap (ppm, floor-div — exact
+    * integers end-to-end). The classic "customers who buy from the
+    * same suppliers" candidate generator.
+    *
+    * Scale: candidate pairs explode quadratically in HUB destinations,
+    * so destinations with in-degree > `maxDeg` are dropped before the
+    * self-join (the standard df-cap; a node half the graph points at
+    * predicts nothing anyway). What shuffles is the capped (dst, src)
+    * postings list and then (pair, count) rows — never full neighbor
+    * sets. Output is the global top-`k` by (jaccard, pair) via
+    * TakeOrdered, so the driver sees k rows regardless of graph size.
+    * Returns (a, b, common, deg_a, deg_b, jaccard_ppm).
+    */
+  def commonNeighborPairs(edges: DataFrame, srcCol: Column, dstCol: Column,
+      maxDeg: Int = 1000, k: Int = 100): DataFrame = {
+    require(maxDeg >= 2, s"commonNeighborPairs: maxDeg must be >= 2, got $maxDeg")
+    require(k >= 1, s"commonNeighborPairs: k must be >= 1, got $k")
+    val adj = edges.select(srcCol.as("_s"), dstCol.as("_d"))
+      .where(col("_s").isNotNull && col("_d").isNotNull).distinct()
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    val keep = adj.join(
+      adj.groupBy(col("_d")).agg(count(lit(1)).as("_in"))
+        .where(col("_in") <= maxDeg).select(col("_d")),
+      Seq("_d"), "left_semi")
+    val pairs = keep.as("l").join(keep.as("r"), col("l._d") === col("r._d"))
+      .where(col("l._s") < col("r._s"))
+      .groupBy(col("l._s").as("a"), col("r._s").as("b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(deg.select(col("_s").as("a"), col("_deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("_s").as("b"), col("_deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        expr("common * 1000000L div (deg_a + deg_b - common)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("common").desc,
+        col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over a SYMMETRIC directed edge list — do high-degree nodes attach
+    * to high-degree nodes (r > 0, social) or to leaves (r < 0,
+    * hub-and-spoke/Internet)?
+    *
+    * One degree agg + two narrow joins decorate each edge with
+    * (deg_src, deg_dst); the correlation reduces to six DECIMAL(38,0)
+    * sums (deg² · |E| passes 2^63 long before the graph is large), one
+    * map-side-combinable aggregate, one final IEEE expression — the
+    * same shuffle-order-proof discipline as [[modularity]]. Returns
+    * one row (n_edges, r).
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    val e = edges.select(srcCol.as("_s"), dstCol.as("_d"))
+      .where(col("_s").isNotNull && col("_d").isNotNull)
+    val deg = e.groupBy(col("_s").as("_n")).agg(count(lit(1)).as("_deg"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    e.join(deg.select(col("_n").as("_s"), col("_deg").as("_x")), Seq("_s"))
+      .join(deg.select(col("_n").as("_d"), col("_deg").as("_y")), Seq("_d"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(dec(col("_x"))).as("_sx"), sum(dec(col("_y"))).as("_sy"),
+        sum(dec(col("_x")) * col("_y")).as("_sxy"),
+        sum(dec(col("_x")) * col("_x")).as("_sxx"),
+        sum(dec(col("_y")) * col("_y")).as("_syy"))
+      .select(col("n_edges"),
+        round(
+          (col("n_edges") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+            (sqrt((col("n_edges") * col("_sxx") - col("_sx") * col("_sx")).cast("double")) *
+             sqrt((col("n_edges") * col("_syy") - col("_sy") * col("_sy")).cast("double"))),
+          6).as("r"))
+  }
 }

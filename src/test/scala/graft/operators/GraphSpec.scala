@@ -300,4 +300,35 @@ class GraphSpec extends SparkSpec {
     // total degree 8: hub bucket 4/8 = 500000 ppm, leaf bucket 4·1/8
     assert(out == Map(4L -> ((1L, 500000L)), 1L -> ((4L, 500000L))))
   }
+
+  test("commonNeighborPairs: shared-destination counts, Jaccard ppm, hub cap") {
+    // sources 1,2 share dests {10,11}; 3 shares only 10 with them;
+    // dest 99 is a hub pointed at by everyone but capped out (maxDeg=2
+    // keeps 10[in=3]? no: in-degree of 10 is 3 -> dropped; use 11)
+    val e = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L)
+    ).toDF("s", "d")
+    val out = Graph.commonNeighborPairs(e, col("s"), col("d"), maxDeg = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (1,2): common 2, degs 2/2 -> jaccard 2/2 = 1000000 ppm
+    // (1,3),(2,3): common 1, degs 2/1 -> 1/2 = 500000 ppm
+    assert(out == Map(
+      (1L, 2L) -> ((2L, 2L, 2L, 1000000L)),
+      (1L, 3L) -> ((1L, 2L, 1L, 500000L)),
+      (2L, 3L) -> ((1L, 2L, 1L, 500000L))))
+    // with maxDeg=2 destination 10 (in-degree 3) is dropped: only (1,2) via 11
+    val capped = Graph.commonNeighborPairs(e, col("s"), col("d"), maxDeg = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((1L, 2L, 1L)))
+  }
+
+  test("degreeAssortativity: perfect star is exactly r = -1") {
+    val e = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val r = Graph.degreeAssortativity(sym, col("src"), col("dst"))
+      .collect().head
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(1) == -1.0)
+  }
 }
