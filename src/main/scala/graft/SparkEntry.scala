@@ -2478,7 +2478,23 @@ object SparkEntry {
     // Degree assortativity of the bidirectional trade graph: do hub
     // customers trade with hub suppliers? Exact decimal moment sums.
     "q_assortativity" -> ((s, d) =>
-      Graph.degreeAssortativity(tradeEdges(s, d), col("src"), col("dst"))))
+      Graph.degreeAssortativity(tradeEdges(s, d), col("src"), col("dst"))),
+
+    // Per-language classifier scorecard: stopword-profile langId vs the
+    // gold lang label — cell-frame confusion stats, exact ppm P/R/F1
+    // (gold 'zh' is outside the classifier inventory: n_pred = 0 row).
+    "q_confusion" -> ((s, d) =>
+      Ranking.confusionStats(t(s, d, "documents"),
+        col("lang"), langId(col("text")))),
+
+    // Average precision of "order value predicts urgency": one
+    // prefix-sums pass carries rank + cumulative positives, fixed-point
+    // precision@k summed exactly.
+    "q_avg_precision" -> ((s, d) =>
+      Analytics.averagePrecision(t(s, d, "orders"),
+        (col("o_orderpriority") === "1-URGENT").cast("long"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        Seq(col("o_orderkey")))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5101,5 +5117,52 @@ object SparkEntry {
         |  CAST(n_edges * sxy - sx * sy AS DOUBLE) /
         |  (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) *
         |   sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))), 6) AS r
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    // same (gold, pred) cell frame + full-outer class union, ppm floor
+    "q_confusion" ->
+      """WITH pred AS (SELECT lang AS g,
+        |  CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |       WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |       WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |       WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |       ELSE 'fr' END AS p
+        |  FROM (SELECT lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|de|en|es|una?)\b')) AS es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|est|une?|et|dans|que)\b')) AS fr
+        |    FROM documents)),
+        |cells AS (SELECT g, p, count(*) AS n FROM pred GROUP BY 1, 2),
+        |gt AS (SELECT g AS cls, sum(n) AS n_gold FROM cells GROUP BY 1),
+        |pt AS (SELECT p AS cls, sum(n) AS n_pred FROM cells GROUP BY 1),
+        |tp AS (SELECT g AS cls, n AS tp FROM cells WHERE g = p),
+        |j AS (SELECT COALESCE(gt.cls, pt.cls) AS cls,
+        |  COALESCE(n_gold, 0) AS n_gold, COALESCE(n_pred, 0) AS n_pred
+        |  FROM gt FULL OUTER JOIN pt ON gt.cls = pt.cls),
+        |f AS (SELECT j.cls, n_gold, n_pred, COALESCE(tp, 0) AS tp,
+        |  CASE WHEN n_pred > 0 THEN COALESCE(tp, 0) * 1000000 // n_pred END AS precision_ppm,
+        |  CASE WHEN n_gold > 0 THEN COALESCE(tp, 0) * 1000000 // n_gold END AS recall_ppm
+        |  FROM j LEFT JOIN tp ON j.cls = tp.cls)
+        |SELECT cls, n_gold, n_pred, tp, precision_ppm, recall_ppm,
+        |  CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
+        |    AND precision_ppm + recall_ppm > 0
+        |    THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+        |  END AS f1_ppm
+        |FROM f""".stripMargin,
+
+    // same fixed-point precision@k over a window-ranked total order
+    "q_avg_precision" ->
+      """WITH b AS (SELECT
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS s,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+        |  o_orderkey AS tie FROM orders),
+        |r AS (SELECT y,
+        |  sum(y) OVER (ORDER BY s DESC, tie ROWS UNBOUNDED PRECEDING) AS cum,
+        |  row_number() OVER (ORDER BY s DESC, tie) AS rk FROM b)
+        |SELECT count(*) AS n_rows, sum(y) AS n_pos,
+        |  CASE WHEN sum(y) > 0 THEN round(
+        |    CAST(sum(CASE WHEN y = 1 THEN cum * 1000000000000 // rk ELSE 0 END)
+        |      AS DOUBLE) / 1000000000000.0 / CAST(sum(y) AS DOUBLE), 6) END AS ap
+        |FROM r""".stripMargin)
 }

@@ -1247,6 +1247,42 @@ object Analytics {
             6)).as("auc"))
   }
 
+  /** Average precision (area under the precision-recall curve, the
+    * ranking-quality companion to [[aucRankSum]]): rows are ranked by
+    * `scoreCol` DESC with `tieCols` completing a total order, and
+    * AP = (1/P) Σ_{positives} precision@rank.
+    *
+    * Scale + exactness in one move: the rank AND the cumulative-
+    * positive count ride a single [[Relational.prefixSums]] pass
+    * (range partition + one narrow sweep — never a no-partition
+    * window), and each positive's precision@k is the exact fixed-point
+    * integer cum·10¹² div k, summed in DECIMAL(38,0). One IEEE
+    * division at the very end ⇒ bit-identical across engines and
+    * shuffle orders. Returns one row (n_rows, n_pos, ap).
+    */
+  def averagePrecision(df: DataFrame, labelCol: Column, scoreCol: Column,
+      tieCols: Seq[Column]): DataFrame = {
+    require(tieCols.nonEmpty,
+      "averagePrecision: tieCols must complete a deterministic total order")
+    val tieNames = tieCols.indices.map(i => s"_t$i")
+    val base = df.select(scoreCol.as("_score") +: labelCol.cast("long").as("_y") +:
+        tieCols.zip(tieNames).map { case (c, n) => c.as(n) }: _*)
+      .where(col("_score").isNotNull && col("_y").isNotNull)
+    val order = col("_score").desc +: tieNames.map(col(_).asc)
+    Relational.prefixSums(base, order,
+        Seq(col("_y") -> "_cumpos", lit(1L) -> "_rank"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("_y")).as("n_pos"),
+        sum(when(col("_y") === 1L,
+          expr("_cumpos * 1000000000000 div _rank")).otherwise(0L)
+          .cast("decimal(38,0)")).as("_apn"))
+      .select(col("n_rows"), col("n_pos"),
+        when(col("n_pos") > 0, round(
+          col("_apn").cast("double") / lit(1000000000000.0) /
+            col("n_pos").cast("double"), 6)).as("ap"))
+  }
+
   /** Smoothed mean target encoding (the Micci-Barreca / CatBoost-style
     * category → E[y|cat] feature): enc = (Σy_cat + m·ȳ_global) /
     * (n_cat + m) — rare categories shrink toward the global mean

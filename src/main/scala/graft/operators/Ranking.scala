@@ -402,4 +402,42 @@ object Ranking {
       .orderBy(col("chi2").desc, col("term"))
       .limit(k)
   }
+
+  /** Multi-class classifier scorecard: per class, gold/predicted
+    * support, true positives, and precision/recall/F1 in exact ppm
+    * (floor-div — no float in sight). Precision is NULL when the class
+    * is never predicted, recall NULL when it never occurs in gold, F1
+    * NULL unless both are defined and nonzero-summed — absent-side
+    * classes surface as rows instead of silently vanishing (a gold
+    * label the model can't emit, e.g. a language outside the
+    * classifier's inventory, shows up with n_pred = 0).
+    *
+    * Scale: ONE count aggregate over the corpus reduces everything to
+    * the (gold, pred) cell frame — bounded by |classes|², never row
+    * count; the three derived frames and their full-outer joins run on
+    * that. Same cell-frame discipline as [[bcubed]]/[[adjustedRand]].
+    */
+  def confusionStats(df: DataFrame, goldCol: Column, predCol: Column): DataFrame = {
+    val cells = df.where(goldCol.isNotNull && predCol.isNotNull)
+      .groupBy(goldCol.as("_g"), predCol.as("_p")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    val goldTot = cells.groupBy(col("_g").as("cls")).agg(sum(col("_n")).as("n_gold"))
+    val predTot = cells.groupBy(col("_p").as("cls")).agg(sum(col("_n")).as("n_pred"))
+    val tp = cells.where(col("_g") === col("_p"))
+      .select(col("_g").as("cls"), col("_n").as("tp"))
+    goldTot.join(predTot, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left_outer")
+      .select(col("cls"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_ppm",
+        when(col("n_pred") > 0, expr("tp * 1000000 div n_pred")))
+      .withColumn("recall_ppm",
+        when(col("n_gold") > 0, expr("tp * 1000000 div n_gold")))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm").isNotNull && col("recall_ppm").isNotNull &&
+          col("precision_ppm") + col("recall_ppm") > 0,
+          expr("2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)")))
+  }
 }

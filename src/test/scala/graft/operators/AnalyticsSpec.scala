@@ -751,4 +751,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.seasonalNaiveError(gap, col("g"), col("d"), col("c"), 7)
       .collect().isEmpty) // seasonal leg empty -> inner join drops the group
   }
+
+  test("averagePrecision: textbook ranked list, perfect and interleaved") {
+    // scores 4,3,2,1 with labels 1,0,1,0: precision@1 = 1, @3 = 2/3
+    // AP = (1 + 2/3) / 2 = 0.833333 (floor-div fixed point)
+    val df = Seq((4L, 1L, 1L), (3L, 0L, 2L), (2L, 1L, 3L), (1L, 0L, 4L))
+      .toDF("s", "y", "id")
+    val r = Analytics.averagePrecision(df, col("y"), col("s"), Seq(col("id")))
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.833333)
+    // all positives ranked first -> AP exactly 1.0
+    val perfect = Seq((9L, 1L, 1L), (8L, 1L, 2L), (1L, 0L, 3L)).toDF("s", "y", "id")
+    assert(Analytics.averagePrecision(perfect, col("y"), col("s"), Seq(col("id")))
+      .collect().head.getDouble(2) == 1.0)
+  }
 }

@@ -191,4 +191,17 @@ class RankingSpec extends SparkSpec {
     // hapax terms fall below minDf and never surface
     assert(!out.contains("sun"))
   }
+
+  test("confusionStats: per-class P/R/F1 ppm, absent-side classes surface") {
+    // gold a,a,b,c ; pred a,b,b,d — class c never predicted, d never gold
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("c", "d"))
+      .toDF("gold", "pred")
+    val out = Ranking.confusionStats(df, col("gold"), col("pred"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(out("a") == ((2L, 1L, 1L, Some(1000000L), Some(500000L), Some(666666L))))
+    assert(out("b") == ((1L, 2L, 1L, Some(500000L), Some(1000000L), Some(666666L))))
+    assert(out("c") == ((1L, 0L, 0L, None, Some(0L), None)))       // never predicted
+    assert(out("d") == ((0L, 1L, 0L, Some(0L), None, None)))       // never in gold
+  }
 }
