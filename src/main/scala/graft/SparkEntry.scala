@@ -1168,9 +1168,9 @@ object SparkEntry {
     // Distribution drift: chi-square of the odd-event value-histogram
     // against the even-event baseline per event type — denominators
     // cleared, so the statistic is an exact integer sum. Binning uses
-    // `div` on NON-NEGATIVE cents only (events.value >= 0 at every
-    // SF): Spark div truncates toward zero but DuckDB // floors, so
-    // negative ticks would need a floordiv expression on both sides.
+    // `div` (truncate toward zero — DuckDB's integer `//` matches
+    // exactly, verified −7//2 = −3, so negatives would bin fine too;
+    // events.value >= 0 at every SF regardless).
     "q_drift" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("event_type"), col("event_id"),
         expr("CAST(round(value * 100) AS BIGINT) div 500").as("bin"))
@@ -2494,7 +2494,34 @@ object SparkEntry {
       Analytics.averagePrecision(t(s, d, "orders"),
         (col("o_orderpriority") === "1-URGENT").cast("long"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
-        Seq(col("o_orderkey")))))
+        Seq(col("o_orderkey")))),
+
+    // Linear-interpolation gap fill of per-user daily value cents:
+    // exact floor of the straight line between present neighbors
+    // (floordiv spelled pmod-style so negative slopes match DuckDB //).
+    "q_interp" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(
+          col("user_id"), datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Relational.gapFillInterp(daily, Seq("user_id"), "day", step = 1L,
+        valueCol = "cents")
+    }),
+
+    // Mutual cosine k-NN graph over the vec_id < 300 block: edges kept
+    // only when BOTH endpoints rank the other top-5 — the hub filter.
+    "q_knn_graph" -> ((s, d) =>
+      Similarity.mutualKnnGraph(
+        t(s, d, "embeddings").where(col("vec_id") < 300),
+        "vec_id", "embedding", k = 5)),
+
+    // Signup → first purchase latency per converting user, exact
+    // integer seconds — the activation-funnel readout.
+    "q_ttc" -> ((s, d) =>
+      Analytics.timeToConvert(t(s, d, "events"), col("user_id"), col("ts"),
+        col("event_type") === "signup", col("event_type") === "purchase")
+        .select(col("key").as("user_id"), col("from_us"), col("to_us"),
+          col("delay_s"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5164,5 +5191,67 @@ object SparkEntry {
         |  CASE WHEN sum(y) > 0 THEN round(
         |    CAST(sum(CASE WHEN y = 1 THEN cum * 1000000000000 // rk ELSE 0 END)
         |      AS DOUBLE) / 1000000000000.0 / CAST(sum(y) AS DOUBLE), 6) END AS ap
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin,
+
+    // same spine + anchor windows; DuckDB // floors like the pmod form
+    "q_interp" ->
+      """WITH daily AS (SELECT user_id,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT user_id, unnest(generate_series(lo, hi, 1)) AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |        FROM daily GROUP BY 1)),
+        |j AS (SELECT s.user_id, s.day, d.cents,
+        |  d.cents IS NULL AS is_gap FROM spine s
+        |  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+        |a AS (SELECT user_id, day, cents, is_gap,
+        |  last_value(cents IGNORE NULLS) OVER wa AS pv,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER wa AS pt,
+        |  first_value(cents IGNORE NULLS) OVER wd AS nv,
+        |  first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER wd AS nt
+        |  FROM j WINDOW
+        |  wa AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wd AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |       THEN pv + ((nv - pv) * (day - pt)) // (nt - pt)
+        |  END AS value_interp, is_gap
+        |FROM a""".stripMargin,
+
+    // same brute cosine on the block, ranked both directions, mutual join
+    "q_knn_graph" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(q.embedding)),
+        |    i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (a, x) -> a + x) AS dot,
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(q.embedding)),
+        |    i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)), (a, x) -> a + x)) *
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(c.embedding)),
+        |    i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (a, x) -> a + x)) AS denom
+        |  FROM v q JOIN v c ON q.vec_id != c.vec_id),
+        |r AS (SELECT qid, nid,
+        |  CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END AS cos,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END) DESC, nid)
+        |    AS INTEGER) AS rank FROM s),
+        |k AS (SELECT qid, nid, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5)
+        |SELECT l.qid AS a, l.nid AS b, l.cosine, l.rank AS rank_a, h.rank AS rank_b
+        |FROM k l JOIN k h ON l.qid = h.nid AND l.nid = h.qid AND l.qid < l.nid""".stripMargin,
+
+    // same two filtered legs + at-or-after min join
+    "q_ttc" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS from_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, from_us, min(tus) AS to_us,
+        |  (min(tus) - from_us) // 1000000 AS delay_s
+        |FROM f JOIN t2 ON f.user_id = t2.user_id AND tus >= from_us
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -852,6 +852,33 @@ object Analytics {
     }.reduce(_ unionByName _)
   }
 
+  /** Funnel latency: per user, the time from the FIRST `fromFilter`
+    * event to the first `toFilter` event at-or-after it — the
+    * time-to-convert distribution behind every activation metric.
+    * Returns (key, from_us, to_us, delay_s) for converting users only;
+    * feed the frame to [[exactQuantiles]] for the p50/p90 readout.
+    *
+    * Shape: one filtered aggregate per leg (both map-side combined to
+    * |users| rows), one equi-join on user + a range predicate the
+    * optimizer evaluates post-join on the |users|-bounded frame — the
+    * raw event stream is scanned twice and never shuffled wider than
+    * user cardinality. Delays are exact integer seconds (non-negative
+    * by construction, so `div` truncation == floor).
+    */
+  def timeToConvert(df: DataFrame, userCol: Column, tsCol: Column,
+      fromFilter: Column, toFilter: Column): DataFrame = {
+    val us = unix_micros(tsCol.cast("timestamp"))
+    val from = df.where(fromFilter)
+      .groupBy(userCol.as("_k")).agg(min(us).as("from_us"))
+    val to = df.where(toFilter).select(userCol.as("_k"), us.as("_tus"))
+    from.join(to, Seq("_k"))
+      .where(col("_tus") >= col("from_us"))
+      .groupBy(col("_k").as("key"), col("from_us"))
+      .agg(min(col("_tus")).as("to_us"))
+      .select(col("key"), col("from_us"), col("to_us"),
+        expr("(to_us - from_us) div 1000000").as("delay_s"))
+  }
+
   /** Maximum interval overlap ("how many shipments/sessions/jobs were
     * open at once, and when did the peak first happen") — the
     * +1/−1 sweep-line: one delta per endpoint, per-instant delta

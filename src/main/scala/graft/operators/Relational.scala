@@ -467,6 +467,53 @@ object Relational {
     }.drop("_present")
   }
 
+  /** [[gapFill]]'s linear-interpolation sibling: missing ticks get the
+    * straight line between their nearest present neighbors instead of
+    * a carried-forward value — the right fill for continuously-varying
+    * series (sensor readings, prices) where LOCF draws staircases.
+    *
+    * `valueCol` must be integral (cents, ppm — the house fixed-point
+    * convention); the interpolated value is
+    * prev + (next−prev)·(t−t_prev) div (t_next−t_prev) with the
+    * division TRUNCATING toward zero — i.e. rounding the delta toward
+    * the previous anchor — which is exactly what both Spark `div` and
+    * DuckDB `//` do on integers (verified: −7//2 = −3 in DuckDB), so
+    * downward slopes agree bit-for-bit. Leading/trailing gaps have no
+    * second anchor and stay NULL. Windows partition per key — bounded
+    * by each key's tick span, never global.
+    */
+  def gapFillInterp(df: DataFrame, keyCols: Seq[String], tickCol: String,
+      step: Long, valueCol: String, outCol: String = "value_interp",
+      gapCol: String = "is_gap"): DataFrame = {
+    require(keyCols.nonEmpty, "gapFillInterp: keyCols must be non-empty")
+    require(step > 0, s"gapFillInterp: step must be > 0, got $step")
+    val spine = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(tickCol)).as("_lo"), max(col(tickCol)).as("_hi"))
+      .select(keyCols.map(col) :+
+        explode(sequence(col("_lo"), col("_hi"), lit(step))).as(tickCol): _*)
+    val joined = spine
+      .join(df.select((keyCols :+ tickCol).map(col) :+
+        col(valueCol).cast("long").as("_v"): _*), keyCols :+ tickCol, "left")
+      .withColumn(gapCol, col("_v").isNull)
+    val asc = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tickCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tickCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tickIfKnown = when(col("_v").isNotNull, col(tickCol))
+    joined
+      .withColumn("_pv", last(col("_v"), ignoreNulls = true).over(asc))
+      .withColumn("_pt", last(tickIfKnown, ignoreNulls = true).over(asc))
+      .withColumn("_nv", first(col("_v"), ignoreNulls = true).over(desc))
+      .withColumn("_nt", first(tickIfKnown, ignoreNulls = true).over(desc))
+      .withColumn("_num", (col("_nv") - col("_pv")) * (col(tickCol) - col("_pt")))
+      .withColumn("_den", col("_nt") - col("_pt"))
+      .withColumn(outCol,
+        when(col("_v").isNotNull, col("_v"))
+          .when(col("_pv").isNotNull && col("_nv").isNotNull,
+            col("_pv") + expr("_num div _den")))
+      .select((keyCols :+ tickCol).map(col) :+ col(outCol) :+ col(gapCol): _*)
+  }
+
   /** Equal-frequency (quantile) binning of a numeric column: compute
     * the exact interpolated percentile boundaries at `probs`, then
     * assign `bin = #{boundaries strictly below the value}` — the

@@ -37,6 +37,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Mutual k-NN graph over a (pre-blocked) vector set: an undirected
+    * edge (a, b) exists iff each endpoint ranks in the OTHER's cosine
+    * top-k — the mutual filter drops hub-attracted asymmetric links
+    * and is the standard graph for kNN clustering / UMAP-style
+    * manifold steps. Output one row per edge, a < b, with the cosine
+    * and both ranks.
+    *
+    * Scale contract: this runs the exact [[bruteForceTopK]] kernel
+    * with the SAME frame as queries and corpus, so the caller blocks
+    * first (an IVF cell, an LSH bucket, a label stratum — anything
+    * that bounds the broadcast side); at corpus scale swap in
+    * [[ivfTopK]] candidates per block, same mutual join after. The
+    * directed top-k is computed ONCE (checkpointed) and joined to
+    * itself on the reversed pair.
+    */
+  def mutualKnnGraph(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val topk = bruteForceTopK(vectors, vectors, idCol, vecCol, k)
+      .localCheckpoint(true)
+    val lo = topk.where(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+        col("cosine"), col("rank").as("rank_a"))
+    val hi = topk.where(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("a"), col("query_id").as("b"),
+        col("rank").as("rank_b"))
+    lo.join(hi, Seq("a", "b"))
+      .select(col("a"), col("b"), col("cosine"), col("rank_a"), col("rank_b"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: per query, the
     * `k` most-similar corpus vectors whose LABEL DIFFERS — the
     * near-miss examples a triplet/InfoNCE loss learns most from

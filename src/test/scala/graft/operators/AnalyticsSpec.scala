@@ -752,6 +752,21 @@ class AnalyticsSpec extends SparkSpec {
       .collect().isEmpty) // seasonal leg empty -> inner join drops the group
   }
 
+  test("timeToConvert: first from-event anchors, first to-event at-or-after") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val df = Seq(
+      (1L, ts(100), "signup"), (1L, ts(50), "purchase"),  // purchase BEFORE signup ignored
+      (1L, ts(400), "purchase"), (1L, ts(900), "purchase"),
+      (2L, ts(10), "signup"),                              // never converts
+      (3L, ts(5), "purchase")                              // never signs up
+    ).toDF("u", "ts", "et")
+    val out = Analytics.timeToConvert(df, col("u"), col("ts"),
+        col("et") === "signup", col("et") === "purchase")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
+  }
+
   test("averagePrecision: textbook ranked list, perfect and interleaved") {
     // scores 4,3,2,1 with labels 1,0,1,0: precision@1 = 1, @3 = 2/3
     // AP = (1 + 2/3) / 2 = 0.833333 (floor-div fixed point)

@@ -59,6 +59,19 @@ class MiscOpSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L)) // by cosine desc
   }
 
+  test("Similarity.mutualKnnGraph keeps only reciprocated top-k links") {
+    // 0 and 1 are near-parallel (mutual top-1); 2 is orthogonal-ish:
+    // with k=1 its best neighbor is 1, but 1's best is 0 -> no edge
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.05f)),
+      (2L, Array(0.1f, 1.0f))).toDF("id", "v")
+    val out = Similarity.mutualKnnGraph(vecs, "id", "v", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L)))
+    // k=2 makes every pair mutual on 3 nodes: all 3 edges appear
+    assert(Similarity.mutualKnnGraph(vecs, "id", "v", k = 2).count() == 3L)
+  }
+
   test("Similarity.ivfTopK finds exact duplicates through the probed cells") {
     val rnd = new scala.util.Random(7)
     val base = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))

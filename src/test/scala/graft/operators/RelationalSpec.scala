@@ -341,6 +341,28 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set((1L, 10L, 12L, 3L), (1L, 14L, 15L, 2L), (2L, 7L, 7L, 1L)))
   }
 
+  test("gapFillInterp: exact line between anchors, edges stay null") {
+    // key a: (0, 100), (4, 300) -> day 1..3 interpolate 150, 200, 250;
+    // key b: single point -> no gaps, value passes through
+    val df = Seq(("a", 0L, 100L), ("a", 4L, 300L), ("b", 7L, 9L))
+      .toDF("k", "tick", "v")
+    val out = Relational.gapFillInterp(df, Seq("k"), "tick", 1L, "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(out(("a", 0L)) == ((Some(100L), false)))
+    assert(out(("a", 1L)) == ((Some(150L), true)))
+    assert(out(("a", 2L)) == ((Some(200L), true)))
+    assert(out(("a", 3L)) == ((Some(250L), true)))
+    assert(out(("a", 4L)) == ((Some(300L), false)))
+    assert(out(("b", 7L)) == ((Some(9L), false)))
+    // downward slope truncates toward zero, matching DuckDB //:
+    // (10, 0) to (13, -2): num at day 11 = -2*1 -> -2 div 3 = 0
+    val down = Seq(("c", 10L, 0L), ("c", 13L, -2L)).toDF("k", "tick", "v")
+    val d2 = Relational.gapFillInterp(down, Seq("k"), "tick", 1L, "v")
+      .collect().map(r => r.getLong(1) -> r.get(2)).toMap
+    assert(d2(11L) == 0L && d2(12L) == -1L)
+  }
+
   test("modePerKey: max count wins, ties break to the smallest value") {
     val df = Seq(
       (1L, "b"), (1L, "b"), (1L, "a"),           // b wins on count
