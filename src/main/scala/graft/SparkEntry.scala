@@ -2521,7 +2521,40 @@ object SparkEntry {
       Analytics.timeToConvert(t(s, d, "events"), col("user_id"), col("ts"),
         col("event_type") === "signup", col("event_type") === "purchase")
         .select(col("key").as("user_id"), col("from_us"), col("to_us"),
-          col("delay_s"))))
+          col("delay_s"))),
+
+    // SAX symbolization: each user's daily-cents series → 8-segment
+    // 4-letter word — time-series tokenization for motif mining / LM
+    // training, exact moments under one IEEE z-score shape.
+    "q_sax" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Analytics.saxWords(daily, col("user_id"), Seq(col("day")),
+        col("cents"), segments = 8)
+        .select(col("key").as("user_id"), col("n"), col("sax"))
+    }),
+
+    // ViT patch plan over the stub-decoded image metadata: 64px tiles,
+    // edge-clipped — the coordinate frame a patch-embed stage consumes.
+    "q_patches" -> ((s, d) =>
+      Multimodal.patchGrid(
+        Multimodal.fakeDecodeMeta(
+          Multimodal.attachBinary(t(s, d, "documents"), "text")),
+        "doc_id", col("width"), col("height"), patch = 64)),
+
+    // Window-function surface sweep: lead / nth_value / cume_dist over
+    // the per-language (n_chars, doc_id) order — default frames on
+    // both engines (ties broken, so RANGE == ROWS).
+    "q_window_misc" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"),
+        lead(col("n_chars"), 1).over(w).as("next_chars"),
+        nth_value(col("n_chars"), 2).over(w).as("second_smallest"),
+        round(cume_dist().over(w), 6).as("cd"))
+    }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5253,5 +5286,59 @@ object SparkEntry {
         |SELECT f.user_id, from_us, min(tus) AS to_us,
         |  (min(tus) - from_us) // 1000000 AS delay_s
         |FROM f JOIN t2 ON f.user_id = t2.user_id AND tus >= from_us
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // same exact moments, PAA bucketing and breakpoint letters
+    "q_sax" ->
+      """WITH daily AS (SELECT user_id,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id AS k, day, cents,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS i
+        |  FROM daily),
+        |st AS (SELECT k, count(*) AS n, sum(cents) AS s,
+        |  sum(CAST(cents AS HUGEINT) * cents) AS q FROM b GROUP BY 1),
+        |sg AS (SELECT b.k, (i * 8) // n AS seg, count(*) AS sn,
+        |  sum(cents) AS ss, any_value(n) AS n, any_value(s) AS s,
+        |  any_value(q) AS q
+        |  FROM b JOIN st ON b.k = st.k GROUP BY 1, 2),
+        |zz AS (SELECT k, seg, n, sigma,
+        |  CASE WHEN sigma = 0 THEN 0.0
+        |       ELSE (CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE) - mu) / sigma
+        |  END AS zv
+        |  FROM (SELECT k, seg, sn, ss, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt((CAST(q AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      CAST(n AS DOUBLE)) AS sigma FROM sg)),
+        |sym AS (SELECT k, seg, n,
+        |  CASE WHEN sigma = 0 THEN 'b' WHEN zv < -0.6745 THEN 'a'
+        |       WHEN zv < 0 THEN 'b' WHEN zv < 0.6745 THEN 'c'
+        |       ELSE 'd' END AS sym FROM zz)
+        |SELECT k AS user_id, any_value(n) AS n,
+        |  string_agg(sym, '' ORDER BY seg) AS sax
+        |FROM sym GROUP BY 1""".stripMargin,
+
+    // same stub metadata + clipped 64px grid
+    "q_patches" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST((length(text) % 512) + 64 AS BIGINT) AS w,
+        |  CAST((length(text) % 384) + 64 AS BIGINT) AS h FROM documents),
+        |g AS (SELECT doc_id, w, h,
+        |  unnest(generate_series(0, (w - 1) // 64)) AS px FROM m),
+        |g2 AS (SELECT doc_id, w, h, px,
+        |  unnest(generate_series(0, (h - 1) // 64)) AS py FROM g)
+        |SELECT doc_id, px, py, px * 64 AS x0, py * 64 AS y0,
+        |  least(64, w - px * 64) AS pw, least(64, h - py * 64) AS ph
+        |FROM g2""".stripMargin,
+
+    // same default-frame window trio over a tie-broken order
+    "q_window_misc" ->
+      """SELECT doc_id, lang, n_chars,
+        |  lead(n_chars) OVER w AS next_chars,
+        |  nth_value(n_chars, 2) OVER w AS second_smallest,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin)
 }

@@ -852,6 +852,63 @@ object Analytics {
     }.reduce(_ unionByName _)
   }
 
+  /** SAX (Symbolic Aggregate approXimation) — time-series
+    * TOKENIZATION: each key's ordered integer series is z-normalized,
+    * averaged into `segments` equal-width PAA chunks, and each chunk
+    * mapped to a letter by the standard N(0,1) quartile breakpoints
+    * (−0.6745 / 0 / 0.6745, alphabet abcd) — the discretization that
+    * turns sensor/activity streams into words an LM (or a motif miner)
+    * can train on.
+    *
+    * Determinism: μ, σ and every segment mean come from EXACT integer
+    * sums (n, Σx, Σx²); the z-scores and comparisons are one fixed
+    * IEEE expression shape, so a second engine lands on the same
+    * letters bit-for-bit. Degenerate series (σ = 0) read 'b' (z = 0)
+    * everywhere. Segment assignment is i·segments div n over the
+    * per-key row_number — windows partition BY KEY, the letter
+    * assembly is an array_sort over ≤`segments` structs. Returns
+    * (key, n, sax).
+    */
+  def saxWords(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
+      valueCol: Column, segments: Int = 8): DataFrame = {
+    require(segments >= 1, s"saxWords: segments must be >= 1, got $segments")
+    val w = Window.partitionBy(col("_k")).orderBy(orderBy.map(_.asc): _*)
+    val base = df.select(keyCol.as("_k") +: valueCol.cast("long").as("_x") +:
+        orderBy: _*)
+      .where(col("_x").isNotNull)
+      .withColumn("_i", row_number().over(w).cast("long") - 1L)
+    val stats = base.groupBy(col("_k")).agg(
+      count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+      // widen BEFORE the square: x² on raw longs would wrap silently
+      // once |x| passes 2^31.5-ish at real scale
+      sum(col("_x").cast("decimal(38,0)") * col("_x")).as("_q"))
+    // _n is per-key — join stats in first, then bucket
+    val bucketed = base.join(stats, Seq("_k"))
+      .withColumn("_seg", expr(s"_i * ${segments}L div _n"))
+      .groupBy(col("_k"), col("_seg"))
+      .agg(count(lit(1)).as("_sn"), sum(col("_x")).as("_ss"),
+        first(col("_n")).as("_n"), first(col("_s")).as("_s"),
+        first(col("_q")).as("_q"))
+    val mu = col("_s").cast("double") / col("_n").cast("double")
+    val sigma = sqrt(
+      (col("_q").cast("double") -
+        col("_s").cast("double") * col("_s").cast("double") / col("_n").cast("double")) /
+        col("_n").cast("double"))
+    val z = (col("_ss").cast("double") / col("_sn").cast("double") - mu) / sigma
+    val sym = when(sigma === 0.0, lit("b"))
+      .when(z < -0.6745, lit("a"))
+      .when(z < 0.0, lit("b"))
+      .when(z < 0.6745, lit("c"))
+      .otherwise(lit("d"))
+    bucketed
+      .withColumn("_sym", sym)
+      .groupBy(col("_k").as("key"))
+      .agg(first(col("_n")).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_seg"), col("_sym")))),
+          s => s.getField("_sym")), "").as("sax"))
+  }
+
   /** Funnel latency: per user, the time from the FIRST `fromFilter`
     * event to the first `toFilter` event at-or-after it — the
     * time-to-convert distribution behind every activation metric.

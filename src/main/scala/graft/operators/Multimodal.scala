@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -110,5 +110,33 @@ object Multimodal {
         count_distinct(col("_sig")).as("n_distinct_frames"),
         max(col("_sig")).as("max_energy"),
         sum(col("_sig")).as("energy_sum"))
+  }
+
+  /** ViT-style patch grid: one row per `patch`×`patch` tile of each
+    * image, with edge tiles CLIPPED to the image bounds (the
+    * convention that keeps every pixel covered exactly once without
+    * padding) — the coordinate plan a patch-embedding `mapInPandas`
+    * stage consumes batch-for-batch. Pure `sequence`/`explode`
+    * integer arithmetic: the explode factor is ⌈w/p⌉·⌈h/p⌉ per image
+    * and rows stay narrow (id + 6 ints), so the stage scales with
+    * total patch count, never image bytes (the binary column is NOT
+    * carried — join it back per-batch at decode time).
+    * Output: (id, px, py, x0, y0, pw, ph).
+    */
+  def patchGrid(df: DataFrame, idCol: String, widthCol: Column,
+      heightCol: Column, patch: Int): DataFrame = {
+    require(patch >= 1, s"patchGrid: patch must be >= 1, got $patch")
+    val p = lit(patch.toLong)
+    df.select(col(idCol), widthCol.cast("long").as("_w"),
+        heightCol.cast("long").as("_h"))
+      .where(col("_w") > 0 && col("_h") > 0)
+      .withColumn("px",
+        explode(sequence(lit(0L), expr(s"(_w - 1) div ${patch}L"))))
+      .withColumn("py",
+        explode(sequence(lit(0L), expr(s"(_h - 1) div ${patch}L"))))
+      .select(col(idCol), col("px"), col("py"),
+        (col("px") * p).as("x0"), (col("py") * p).as("y0"),
+        least(p, col("_w") - col("px") * p).as("pw"),
+        least(p, col("_h") - col("py") * p).as("ph"))
   }
 }

@@ -767,6 +767,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("saxWords: symbols follow the z-score breakpoints; flat series reads b") {
+    // 8 points, segments=4 -> 2 points per segment. Values chosen so
+    // segment means step from well below to well above the mean.
+    val df = (0L until 8L).map(i => ("a", i, Seq(0L, 0L, 40L, 40L, 60L, 60L, 100L, 100L)(i.toInt)))
+      .toDF("k", "t", "v")
+    val out = Analytics.saxWords(df, col("k"), Seq(col("t")), col("v"), segments = 4)
+      .collect().head
+    assert(out.getLong(1) == 8L)
+    // mean 50, sigma ~34.6: seg means 0,40,60,100 -> z -1.44,-0.29,0.29,1.44
+    assert(out.getString(2) == "abcd")
+    // constant series: sigma = 0 -> every segment 'b'
+    val flat = (0L until 4L).map(i => ("c", i, 5L)).toDF("k", "t", "v")
+    assert(Analytics.saxWords(flat, col("k"), Seq(col("t")), col("v"), 2)
+      .collect().head.getString(2) == "bb")
+  }
+
   test("averagePrecision: textbook ranked list, perfect and interleaved") {
     // scores 4,3,2,1 with labels 1,0,1,0: precision@1 = 1, @3 = 2/3
     // AP = (1 + 2/3) / 2 = 0.833333 (floor-div fixed point)

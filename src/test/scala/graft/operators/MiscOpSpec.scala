@@ -59,6 +59,21 @@ class MiscOpSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L)) // by cosine desc
   }
 
+  test("Multimodal.patchGrid covers every pixel once, clipping edge tiles") {
+    // 100x70 image, 64px patches -> 2x2 grid; right/bottom tiles clipped
+    val df = Seq((1L, 100, 70)).toDF("id", "w", "h")
+    val out = Multimodal.patchGrid(df, "id", col("w"), col("h"), 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out == Map(
+      (0L, 0L) -> ((0L, 0L, 64L, 64L)), (1L, 0L) -> ((64L, 0L, 36L, 64L)),
+      (0L, 1L) -> ((0L, 64L, 64L, 6L)), (1L, 1L) -> ((64L, 64L, 36L, 6L))))
+    // total patch area == image area (every pixel exactly once)
+    val area = Multimodal.patchGrid(df, "id", col("w"), col("h"), 64)
+      .agg(sum(col("pw") * col("ph"))).collect().head.getLong(0)
+    assert(area == 100L * 70L)
+  }
+
   test("Similarity.mutualKnnGraph keeps only reciprocated top-k links") {
     // 0 and 1 are near-parallel (mutual top-1); 2 is orthogonal-ish:
     // with k=1 its best neighbor is 1, but 1's best is 0 -> no edge
