@@ -2554,7 +2554,35 @@ object SparkEntry {
         lead(col("n_chars"), 1).over(w).as("next_chars"),
         nth_value(col("n_chars"), 2).over(w).as("second_smallest"),
         round(cume_dist().over(w), 6).as("cd"))
-    }))
+    }),
+
+    // NEAREST as-of: each purchase takes the click closest in time on
+    // either side (ties to backward) — both fills ride one sorted pass.
+    "q_asof_near" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), usec(col("ts")).as("pt"),
+          col("event_id").as("pid"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("k"), usec(col("ts")).as("ct"))
+        .withColumn("click_us", col("ct"))
+      Relational.asOfJoinNearest(purchases, clicks, "k", "pt", "ct",
+        Seq("click_us"))
+        .select(col("pid"), col("click_us"), col("asof_dist"))
+    }),
+
+    // Length-bucket padding audit (256-char buckets over documents):
+    // the batch-shape waste readout behind LLM batching throughput.
+    "q_length_buckets" -> ((s, d) =>
+      TrainingData.lengthBuckets(t(s, d, "documents"), col("n_chars"),
+        width = 256L)),
+
+    // Per-language exact p50/p90 of document length — the grouped
+    // quantile readout a global percentile hides.
+    "q_group_quantiles" -> ((s, d) =>
+      Analytics.groupedExactQuantiles(t(s, d, "documents"), col("lang"),
+        col("n_chars"), Seq(0.5, 0.9))
+        .select(col("group").as("lang"), col("p"), col("value"), col("n"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5340,5 +5368,42 @@ object SparkEntry {
         |  nth_value(n_chars, 2) OVER w AS second_smallest,
         |  round(cume_dist() OVER w, 6) AS cd
         |FROM documents
-        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin)
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin,
+
+    // global argmin(dist, backward-first) == nearest of the two fills
+    "q_asof_near" ->
+      """WITH p AS (SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS pt,
+        |  event_id AS pid FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS ct
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT pid, pt, ct, abs(pt - ct) AS dist,
+        |  CASE WHEN ct <= pt THEN 0 ELSE 1 END AS fwd
+        |  FROM p LEFT JOIN c ON p.k = c.k),
+        |r AS (SELECT pid, ct, dist,
+        |  row_number() OVER (PARTITION BY pid ORDER BY dist, fwd) AS rn FROM j)
+        |SELECT pid, ct AS click_us, dist AS asof_dist FROM r WHERE rn = 1""".stripMargin,
+
+    // same one-aggregate padding audit per 256-wide bucket
+    "q_length_buckets" ->
+      """SELECT n_chars // 256 AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_len,
+        |  max(n_chars) AS pad_target,
+        |  CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT) AS waste,
+        |  CASE WHEN max(n_chars) > 0 THEN
+        |    CAST((max(n_chars) * count(*) - sum(n_chars)) * 1000000
+        |      // (max(n_chars) * count(*)) AS BIGINT) END AS waste_ppm
+        |FROM documents WHERE n_chars >= 0 GROUP BY 1""".stripMargin,
+
+    // same per-group CDF window + ceil(p*n) threshold
+    "q_group_quantiles" ->
+      """WITH counts AS (SELECT lang AS g, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+        |q AS (SELECT CAST(0.5 AS DOUBLE) AS p UNION ALL SELECT CAST(0.9 AS DOUBLE))
+        |SELECT cdf.g AS lang, p, min(v) AS value, nn.n
+        |FROM cdf JOIN nn ON cdf.g = nn.g CROSS JOIN q
+        |WHERE cum >= ceil(p * nn.n)
+        |GROUP BY 1, 2, 4""".stripMargin)
 }

@@ -936,6 +936,40 @@ object Analytics {
         expr("(to_us - from_us) div 1000000").as("delay_s"))
   }
 
+  /** Per-group exact quantiles — [[exactQuantiles]] partitioned: for
+    * each group, the smallest value whose group-CDF reaches ⌈p·n⌉.
+    * The per-segment latency / per-language length readout ("p99 BY
+    * endpoint") that a global quantile hides.
+    *
+    * Shape: one count aggregate to the (group, value) frame, then a
+    * PER-GROUP cumulative window — bounded by each group's DISTINCT
+    * values, never its row count (the global variant needs the
+    * prefix-sum primitive precisely because it has no partition key;
+    * here the partitioning is the point). One row per group × prob.
+    * Output: (group, p, value, n).
+    */
+  def groupedExactQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"groupedExactQuantiles: probs must be in (0,1], got $probs")
+    val counts = df.where(valueCol.isNotNull)
+      .groupBy(groupCol.as("_g"), valueCol.as("_v")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = graft.core.CacheRegistry.persist(
+      counts.withColumn("_cum", sum(col("_c")).over(w)),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = counts.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+    probs.map { p =>
+      cdf.join(n, Seq("_g"))
+        .where(col("_cum") >= ceil(lit(p) * col("_n")))
+        .groupBy(col("_g"), col("_n"))
+        .agg(min(col("_v")).as("value"))
+        .select(col("_g").as("group"), lit(p).as("p"), col("value"),
+          col("_n").as("n"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Maximum interval overlap ("how many shipments/sessions/jobs were
     * open at once, and when did the peak first happen") — the
     * +1/−1 sweep-line: one delta per endpoint, per-instant delta

@@ -138,6 +138,61 @@ object Relational {
     filled.where(col("_side") === 1).select((leftCols.toIndexedSeq ++ rightValueCols).map(col): _*)
   }
 
+  /** [[asOfJoin]]'s NEAREST direction: each left row takes whichever
+    * right match — last-at-or-before or first-after — sits closer in
+    * time, ties to backward (so an exact-timestamp match always wins
+    * with distance 0). The sensor-alignment join: "the reading closest
+    * to this event", not merely the most recent one.
+    *
+    * Same single union + per-key sort as [[asOfJoin]]; BOTH direction
+    * fills ride the one sorted pass as two frames of the same window
+    * (unbounded-preceding `last` / unbounded-following `first`), so
+    * nearest costs the same shuffle as backward — never a range join.
+    * Null left timestamps match nothing. The ts columns must be
+    * NUMERIC (epoch micros, the house convention) — distance is a
+    * subtraction, which a raw TimestampType would turn into an
+    * interval. Output: left columns + `rightValueCols` + `asof_dist`
+    * (same units as the ts columns, NULL when no match exists on
+    * either side).
+    */
+  def asOfJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
+    val rTagged = right
+      .select((Seq(col(key), col(rightTs).as("_ts")) ++ rightValueCols.map(col)): _*)
+      .where(col("_ts").isNotNull)
+      .withColumn("_side", lit(0))
+      .withColumn("_rts", col("_ts"))
+    val leftCols = left.columns
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
+    val wB = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def back(c: String) = last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(wB)
+    def fwd(c: String) = first(when(col("_side") === 0, col(c)), ignoreNulls = true).over(wF)
+    val filled = (rightValueCols :+ "_rts").foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"${c}_b", back(c)).withColumn(s"${c}_f", fwd(c))
+    }
+    val db = col("_ts") - col("_rts_b")
+    val df_ = col("_rts_f") - col("_ts")
+    // backward wins when it exists and is at least as close; a null
+    // left ts disables both sides entirely
+    val useBack = col("_rts_b").isNotNull && (col("_rts_f").isNull || db <= df_)
+    val picked = rightValueCols.foldLeft(filled) { (d, c) =>
+      d.withColumn(c, when(col("_ts").isNull, lit(null))
+        .when(useBack, col(s"${c}_b")).otherwise(col(s"${c}_f")))
+    }.withColumn("asof_dist",
+      when(col("_ts").isNull, lit(null))
+        .when(useBack, db).otherwise(df_))
+    picked.where(col("_side") === 1)
+      .select((leftCols.toIndexedSeq ++ rightValueCols :+ "asof_dist").map(col): _*)
+  }
+
   /** Gap-based sessionization: events within `gapSeconds` of the
     * previous event (per key) share a session. lag + conditional cumsum
     * — one shuffle on the key.

@@ -818,4 +818,31 @@ object TrainingData {
       .select(col("fold"), col("stratum"), col("n"),
         expr("n * 1000000L div _ns").as("stratum_share_ppm"))
   }
+
+  /** Length-bucket padding audit — the batch-efficiency readout of
+    * LLM batching: documents are bucketed by `width`-wide length
+    * ranges (bucket = len div width; same-bucket sequences batch
+    * together and pad to the bucket's max), and each bucket reports
+    * how many tokens that padding wastes. `waste_ppm` ≫ 0 in a hot
+    * bucket says "split this bucket" — the knob that decides real
+    * training-throughput dollars.
+    *
+    * One map-side-combinable aggregate over the corpus (count / sum /
+    * max per bucket), exact integers end-to-end, output bounded by
+    * max-length/width. Output: (bucket, n_docs, total_len, pad_target,
+    * waste, waste_ppm).
+    */
+  def lengthBuckets(df: DataFrame, lenCol: Column, width: Long): DataFrame = {
+    require(width >= 1, s"lengthBuckets: width must be >= 1, got $width")
+    df.select(lenCol.cast("long").as("_len"))
+      .where(col("_len").isNotNull && col("_len") >= 0)
+      .groupBy(expr(s"_len div ${width}L").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_len")).as("total_len"),
+        max(col("_len")).as("pad_target"))
+      .select(col("bucket"), col("n_docs"), col("total_len"), col("pad_target"),
+        (col("pad_target") * col("n_docs") - col("total_len")).as("waste"),
+        when(col("pad_target") > 0,
+          expr("(pad_target * n_docs - total_len) * 1000000 div (pad_target * n_docs)"))
+          .as("waste_ppm"))
+  }
 }

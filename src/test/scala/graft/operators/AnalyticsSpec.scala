@@ -767,6 +767,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("groupedExactQuantiles: per-group ceil(p*n) ranks, duplicates weighted") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 9L),
+      ("b", 5L)).toDF("g", "v")
+    val out = Analytics.groupedExactQuantiles(df, col("g"), col("v"), Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // a: n=4, p50 rank ceil(2)=2 -> value 2; p100 rank 4 -> 9
+    assert(out(("a", 0.5)) == ((2L, 4L)))
+    assert(out(("a", 1.0)) == ((9L, 4L)))
+    assert(out(("b", 0.5)) == ((5L, 1L)))
+  }
+
   test("saxWords: symbols follow the z-score breakpoints; flat series reads b") {
     // 8 points, segments=4 -> 2 points per segment. Values chosen so
     // segment means step from well below to well above the mean.

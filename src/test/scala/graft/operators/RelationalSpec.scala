@@ -341,6 +341,26 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set((1L, 10L, 12L, 3L), (1L, 14L, 15L, 2L), (2L, 7L, 7L, 1L)))
   }
 
+  test("asOfJoinNearest: closer side wins, ties go backward, no-match is null") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "id")
+    // k=1 clicks at 90 and 130: p1(100) -> 90 (dist 10) vs 130 (30) = back;
+    // p2(200) -> 130 (dist 70) forward side empty beyond -> back 130
+    // k=2 has no right rows -> nulls
+    val right = Seq((1L, 90L), (1L, 130L)).toDF("k", "rt")
+      .withColumn("rv", col("rt"))
+    val out = Relational.asOfJoinNearest(left, right, "k", "t", "rt", Seq("rv"))
+      .collect().map(r => r.getString(2) -> ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out("p1") == ((Some(90L), Some(10L))))
+    assert(out("p2") == ((Some(130L), Some(70L))))
+    assert(out("p3") == ((None, None)))
+    // exact tie: left at 110 sits 20 from both 90 and 130 -> backward 90
+    val tieL = Seq((1L, 110L, "pt")).toDF("k", "t", "id")
+    val tie = Relational.asOfJoinNearest(tieL, right, "k", "t", "rt", Seq("rv"))
+      .collect().head
+    assert(tie.getLong(3) == 90L && tie.getLong(4) == 20L)
+  }
+
   test("gapFillInterp: exact line between anchors, edges stay null") {
     // key a: (0, 100), (4, 300) -> day 1..3 interpolate 150, 200, 250;
     // key b: single point -> no gaps, value passes through

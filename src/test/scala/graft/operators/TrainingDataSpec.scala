@@ -398,4 +398,17 @@ class TrainingDataSpec extends SparkSpec {
       assert(ppm > 1000000L - 5 && ppm <= 1000000L)
     }
   }
+
+  test("lengthBuckets: exact padding waste per width bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // widths 10: bucket 0 = {3, 7}, bucket 1 = {10}
+    val df = Seq(3L, 7L, 10L).toDF("len")
+    val out = TrainingData.lengthBuckets(df, col("len"), width = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // bucket 0: pad to 7 -> waste 2·7−10 = 4, ppm = 4e6 div 14 = 285714
+    assert(out(0L) == ((2L, 10L, 7L, 4L, 285714L)))
+    assert(out(1L) == ((1L, 10L, 10L, 0L, 0L)))
+  }
 }
