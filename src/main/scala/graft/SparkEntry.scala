@@ -2582,7 +2582,24 @@ object SparkEntry {
     "q_group_quantiles" -> ((s, d) =>
       Analytics.groupedExactQuantiles(t(s, d, "documents"), col("lang"),
         col("n_chars"), Seq(0.5, 0.9))
-        .select(col("group").as("lang"), col("p"), col("value"), col("n"))))
+        .select(col("group").as("lang"), col("p"), col("value"), col("n"))),
+
+    // Cross-source trigram containment matrix — which feeds copy from
+    // which: df-capped postings, smaller-set-normalized ppm.
+    "q_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(t(s, d, "documents"), col("source"), col("text"),
+        n = 3, maxDf = 1000)),
+
+    // Lexical diversity per source: type-token ratio + hapax share in
+    // exact ppm — template/boilerplate feeds crater both.
+    "q_ttr" -> ((s, d) =>
+      Ranking.typeTokenRatio(t(s, d, "documents"), col("source"),
+        col("text"))),
+
+    // Zipf slope of the top-100 vocabulary: 6dp decimal log terms,
+    // closed-form OLS — natural text reads near -1.
+    "q_zipf" -> ((s, d) =>
+      Ranking.zipfFit(t(s, d, "documents"), col("text"), k = 100)))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5405,5 +5422,61 @@ object SparkEntry {
         |SELECT cdf.g AS lang, p, min(v) AS value, nn.n
         |FROM cdf JOIN nn ON cdf.g = nn.g CROSS JOIN q
         |WHERE cum >= ceil(p * nn.n)
-        |GROUP BY 1, 2, 4""".stripMargin)
+        |GROUP BY 1, 2, 4""".stripMargin,
+
+    // same distinct trigram postings, df cap, min-normalized pairs
+    "q_source_overlap" ->
+      s"""WITH docs AS (SELECT source AS g,
+         |  CASE WHEN len($W) < 3 THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 2),
+         |      i -> array_to_string(($W)[i:i+2], ' ')) END AS sh
+         |  FROM documents),
+         |postings AS (SELECT DISTINCT g, unnest(sh) AS s FROM docs),
+         |totals AS (SELECT g, count(*) AS tot FROM postings GROUP BY 1),
+         |capped AS (SELECT p.g, p.s FROM postings p JOIN (
+         |  SELECT s FROM postings GROUP BY s
+         |  HAVING count(*) >= 2 AND count(*) <= 1000) r USING (s)),
+         |pairs AS (SELECT l.g AS src_a, r.g AS src_b, count(*) AS shared
+         |  FROM capped l JOIN capped r ON l.s = r.s AND l.g < r.g
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared, ta.tot AS n_a, tb.tot AS n_b,
+         |  shared * 1000000 // least(ta.tot, tb.tot) AS containment_ppm
+         |FROM pairs JOIN totals ta ON src_a = ta.g
+         |JOIN totals tb ON src_b = tb.g""".stripMargin,
+
+    // same (group, word) counts folded to tokens/types/hapax
+    "q_ttr" ->
+      s"""WITH w AS (SELECT source AS g, unnest($W) AS word FROM documents),
+         |c AS (SELECT g, word, count(*) AS n FROM w GROUP BY 1, 2)
+         |SELECT g AS "group", CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types,
+         |  CAST(count(*) * 1000000 // sum(n) AS BIGINT) AS ttr_ppm,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+         |    AS BIGINT) AS hapax_ppm
+         |FROM c GROUP BY 1""".stripMargin,
+
+    // same top-k rank frame, 6dp decimal log terms, one OLS shape
+    "q_zipf" ->
+      s"""WITH counts AS (SELECT word, count(*) AS c FROM (
+         |  SELECT unnest($W) AS word FROM documents)
+         |  GROUP BY 1 ORDER BY c DESC, word LIMIT 100),
+         |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, word)
+         |  AS DOUBLE) AS rk FROM counts),
+         |terms AS (SELECT
+         |  CAST(round(ln(rk), 6) AS DECIMAL(18,6)) AS x,
+         |  CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y,
+         |  CAST(round(ln(rk) * ln(rk), 6) AS DECIMAL(18,6)) AS xx,
+         |  CAST(round(ln(rk) * ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS xy
+         |  FROM r),
+         |m AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+         |  sum(xx) AS sxx, sum(xy) AS sxy FROM terms)
+         |SELECT k,
+         |  round(CAST(k * sxy - sx * sy AS DOUBLE) /
+         |        CAST(k * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         |  round((CAST(sy AS DOUBLE) -
+         |    (CAST(k * sxy - sx * sy AS DOUBLE) /
+         |     CAST(k * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+         |    CAST(k AS DOUBLE), 6) AS intercept
+         |FROM m""".stripMargin)
 }

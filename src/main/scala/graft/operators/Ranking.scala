@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Corpus term-weighting (TF-IDF / BM25) — the retrieval-scoring side
   * of the text family (north-star extension; the reference has no
@@ -401,6 +402,62 @@ object Ranking {
           .as("positive_assoc"))
       .orderBy(col("chi2").desc, col("term"))
       .limit(k)
+  }
+
+  /** Lexical diversity per group: total tokens, distinct types, the
+    * type-token ratio in exact ppm, and the hapax share (types seen
+    * once — the productive-vocabulary signal; boilerplate-heavy or
+    * template-generated feeds crater both). One explode + two
+    * map-combinable aggregates over (group, word) counts — bounded by
+    * per-group vocabulary, never raw tokens, after the first combine.
+    * Output: (group, n_tokens, n_types, ttr_ppm, hapax, hapax_ppm).
+    */
+  def typeTokenRatio(df: DataFrame, groupCol: Column, textCol: Column): DataFrame =
+    df.select(groupCol.as("_g"), explode(graft.functions.TextFunctions.words(textCol)).as("_w"))
+      .groupBy(col("_g"), col("_w")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("_g").as("group"))
+      .agg(sum(col("_c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("group"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        col("hapax"), expr("hapax * 1000000 div n_types").as("hapax_ppm"))
+
+  /** Zipf slope of the corpus frequency spectrum: OLS fit of
+    * ln(freq) on ln(rank) over the top-`k` vocabulary — natural text
+    * sits near −1; template spam and synthetic word soup drift
+    * shallow. The rank frame is the top-k ONLY (orderBy+limit — k
+    * rows, driver-bounded), per-term log terms are rounded to 6dp
+    * DECIMAL before summing (the entropy/mutual-info order-proof
+    * discipline), and the closed-form slope/intercept is one fixed
+    * IEEE expression. Output: (k, slope, intercept).
+    */
+  def zipfFit(df: DataFrame, textCol: Column, k: Int = 100): DataFrame = {
+    require(k >= 2, s"zipfFit: k must be >= 2, got $k")
+    val counts = df
+      .select(explode(graft.functions.TextFunctions.words(textCol)).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_w").asc)
+      .limit(k)
+    val w = Window.orderBy(col("_c").desc, col("_w").asc) // k rows only
+    val d6 = (c: Column) => round(c, 6).cast("decimal(18,6)")
+    counts
+      .withColumn("_r", row_number().over(w).cast("double"))
+      .select(
+        d6(log(col("_r"))).as("_x"), d6(log(col("_c").cast("double"))).as("_y"),
+        d6(log(col("_r")) * log(col("_r"))).as("_xx"),
+        d6(log(col("_r")) * log(col("_c").cast("double"))).as("_xy"))
+      .agg(count(lit(1)).as("k"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"), sum(col("_xx")).as("_sxx"),
+        sum(col("_xy")).as("_sxy"))
+      .select(col("k"),
+        round((col("k") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+          (col("k") * col("_sxx") - col("_sx") * col("_sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("_sy").cast("double") -
+          ((col("k") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+            (col("k") * col("_sxx") - col("_sx") * col("_sx")).cast("double")) *
+            col("_sx").cast("double")) / col("k").cast("double"), 6)
+          .as("intercept"))
   }
 
   /** Multi-class classifier scorecard: per class, gold/predicted

@@ -344,4 +344,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editDistanceLink(cross, col("blk"), col("id"), col("s"), 2)
       .count() == 0L)
   }
+
+  test("sourceOverlap: containment by the smaller set; unshared sources absent") {
+    // A and B share the full 4-trigram set; C shares nothing -> one pair
+    val a = "one two three four five six"
+    val df = Seq(("A", a), ("B", a), ("C", "alpha beta gamma delta"))
+      .toDF("src", "text")
+    val rows = Dedup.sourceOverlap(df, col("src"), col("text"), n = 3, maxDf = 10)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((4L, 4L, 4L, 1000000L)))
+    // a shingle present in EVERY source above maxDf is dropped: with
+    // maxDf = 2 and three sources sharing one trigram, no pair forms
+    val univ = Seq(("A", "x y z"), ("B", "x y z"), ("C", "x y z")).toDF("src", "text")
+    assert(Dedup.sourceOverlap(univ, col("src"), col("text"), 3, maxDf = 2)
+      .count() == 0L)
+  }
 }

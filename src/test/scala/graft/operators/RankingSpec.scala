@@ -192,6 +192,33 @@ class RankingSpec extends SparkSpec {
     assert(!out.contains("sun"))
   }
 
+  test("typeTokenRatio: tokens/types/hapax exact ppm") {
+    val df = Seq(("g1", "a a b"), ("g1", "b c"), ("g2", "x x x x"))
+      .toDF("src", "text")
+    val out = Ranking.typeTokenRatio(df, col("src"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // g1: 5 tokens {a:2, b:2, c:1} -> 3 types, ttr 600000, hapax 1 (333333)
+    assert(out("g1") == ((5L, 3L, 600000L, 1L, 333333L)))
+    assert(out("g2") == ((4L, 1L, 250000L, 0L, 0L)))
+  }
+
+  test("zipfFit: exact power law recovers its slope") {
+    // frequencies c_r = 1000 / r for ranks 1..4 exactly representable:
+    // freqs 1000, 500, 250, 125 at distinct words -> slope ln-space of
+    // f = C * r^-1? ln f = ln 1000 - s ln r with s chosen by halving:
+    // ln(c_r) = ln 1000 - r? No: halving per rank is f ~ 2^-(r-1), not
+    // a power law in r. Use exact r^-1: 1200/r for r in 1,2,3,4:
+    // 1200, 600, 400, 300 -> perfect slope -1.
+    val words = Seq.fill(1200)("w1") ++ Seq.fill(600)("w2") ++
+      Seq.fill(400)("w3") ++ Seq.fill(300)("w4")
+    val df = words.grouped(100).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = Ranking.zipfFit(df, col("text"), k = 4).collect().head
+    assert(r.getLong(0) == 4L)
+    // 6dp-rounded log terms: slope lands within 1e-4 of exactly -1
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-4)
+  }
+
   test("confusionStats: per-class P/R/F1 ppm, absent-side classes surface") {
     // gold a,a,b,c ; pred a,b,b,d — class c never predicted, d never gold
     val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("c", "d"))
