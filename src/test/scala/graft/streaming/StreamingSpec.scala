@@ -998,4 +998,73 @@ class StreamingSpec extends SparkSpec {
     assert(buf.synchronized(buf.sorted.toSeq) == Seq(1, 2, 30))
     assert(handle.swapCount == 1L)
   }
+
+  test("streaming mode matches modePerKey after every batch; domain cap flags") {
+    import graft.streaming.StreamMode
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamMode(in.toDS(), maxDomain = 3)
+      .writeStream.format("memory").queryName("md_out").outputMode("append").start()
+    val b1 = Seq((1L, "b"), (1L, "a"), (1L, "b"), (2L, "z"))
+    val b2 = Seq((1L, "a"), (2L, "y"), (2L, "y"))
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val rows = spark.table("md_out").as[StreamMode.MRow].collect()
+    // batch parity on the FULL feed: latest row per key == modePerKey
+    val latest = rows.groupBy(_.key).map { case (k, rs) => k -> rs.last }
+    val batch = graft.operators.Relational.modePerKey(
+        (b1 ++ b2).toDF("k", "v"), col("k"), col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // ties: key 1 has a=2, b=2 -> 'a' lexicographic; key 2 y=2 beats z
+    batch.foreach { case (k, (m, n)) =>
+      assert(latest(k).mode.contains(m) && latest(k).n == n, s"key $k")
+    }
+    // overflow: 4th distinct value for key 1 trips the cap flag but
+    // never corrupts the counted domain
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamMode(in2.toDS(), maxDomain = 2)
+      .writeStream.format("memory").queryName("md_out2").outputMode("append").start()
+    in2.addData(Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "a")))
+    q2.processAllAvailable(); q2.stop()
+    val r2 = spark.table("md_out2").as[StreamMode.MRow].collect().head
+    assert(r2.overflowed && r2.distinct == 2 && r2.mode.contains("a") && r2.n == 2L)
+  }
+
+  test("streaming time-to-convert matches the batch operator; late rows flagged") {
+    import graft.streaming.StreamTtc
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Int)]
+    val q = StreamTtc(in.toDS())
+      .writeStream.format("memory").queryName("ttc_out").outputMode("append").start()
+    // user 1: to@50 (pre-anchor, ignored), from@100, to@400 -> convert
+    // user 2: from only; user 3: to only
+    in.addData(Seq((1L, 50000000L, 1), (1L, 100000000L, 0), (2L, 10L, 0)))
+    q.processAllAvailable()
+    in.addData(Seq((1L, 400000000L, 1), (3L, 5L, 1)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ttc_out").as[StreamTtc.TRow].collect()
+    val converted = rows.filter(r => !r.late)
+    assert(converted.map(r => (r.key, r.fromUs, r.toUs, r.delayS)).toSet ==
+      Set((1L, 100000000L, 400000000L, 300L)))
+    // batch parity on the same feed
+    import java.sql.Timestamp
+    val ev = Seq((1L, 50L, "purchase"), (1L, 100L, "signup"),
+      (1L, 400L, "purchase"), (2L, 0L, "signup"), (3L, 0L, "purchase"))
+      .map { case (u, s, t) => (u, new Timestamp(s * 1000L), t) }
+      .toDF("u", "ts", "et")
+    val batch = graft.operators.Analytics.timeToConvert(ev, col("u"), col("ts"),
+        col("et") === "signup", col("et") === "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch == converted.map(r => (r.key, r.fromUs, r.toUs, r.delayS)).toSet)
+    // a row below the high-water mark is flagged, not folded
+    val in2 = MemoryStream[(Long, Long, Int)]
+    val q2 = StreamTtc(in2.toDS())
+      .writeStream.format("memory").queryName("ttc_out2").outputMode("append").start()
+    in2.addData(Seq((1L, 100L, 0))); q2.processAllAvailable()
+    in2.addData(Seq((1L, 50L, 1))); q2.processAllAvailable(); q2.stop()
+    val late = spark.table("ttc_out2").as[StreamTtc.TRow].collect()
+    assert(late.exists(_.late) && !late.exists(r => !r.late))
+  }
 }
