@@ -2599,7 +2599,27 @@ object SparkEntry {
     // Zipf slope of the top-100 vocabulary: 6dp decimal log terms,
     // closed-form OLS — natural text reads near -1.
     "q_zipf" -> ((s, d) =>
-      Ranking.zipfFit(t(s, d, "documents"), col("text"), k = 100)))
+      Ranking.zipfFit(t(s, d, "documents"), col("text"), k = 100)),
+
+    // Kaplan-Meier signup→purchase survival with right-censoring at
+    // each user's last observed event: log-space exact cumprod over
+    // the prefix-sum primitive, micro-nat fixed point.
+    "q_survival" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val from = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(usec(col("ts"))).as("from_us"))
+      val conv = Analytics.timeToConvert(ev, col("user_id"), col("ts"),
+          col("event_type") === "signup", col("event_type") === "purchase")
+        .select(col("key").as("user_id"), col("delay_s"))
+      val last = ev.groupBy(col("user_id")).agg(max(usec(col("ts"))).as("last_us"))
+      val subjects = from.join(last, Seq("user_id"))
+        .join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("delay_s").isNotNull, col("delay_s"))
+            .otherwise(expr("(last_us - from_us) div 1000000")).as("dur"),
+          col("delay_s").isNotNull.cast("long").as("ev"))
+      Analytics.kaplanMeier(subjects, col("dur"), col("ev"))
+    }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5478,5 +5498,41 @@ object SparkEntry {
          |    (CAST(k * sxy - sx * sy AS DOUBLE) /
          |     CAST(k * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
          |    CAST(k AS DOUBLE), 6) AS intercept
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin,
+
+    // same micro-nat log-space cumprod over the per-duration frame
+    "q_survival" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS from_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (SELECT f.user_id, (min(tus) - from_us) // 1000000 AS delay_s
+        |  FROM f JOIN t2 ON f.user_id = t2.user_id AND tus >= from_us
+        |  GROUP BY 1, from_us),
+        |l AS (SELECT user_id, max(epoch_us(ts::TIMESTAMP)) AS last_us
+        |  FROM events GROUP BY 1),
+        |subj AS (SELECT CASE WHEN delay_s IS NOT NULL THEN delay_s
+        |    ELSE (last_us - from_us) // 1000000 END AS t,
+        |  CASE WHEN delay_s IS NOT NULL THEN 1 ELSE 0 END AS e
+        |  FROM f JOIN l USING (user_id) LEFT JOIN conv USING (user_id)),
+        |agg AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+        |  CAST(sum(1 - e) AS BIGINT) AS c FROM subj GROUP BY 1),
+        |w1 AS (SELECT t, d, c,
+        |  sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cumrem
+        |  FROM agg),
+        |nn AS (SELECT count(*) AS n FROM subj),
+        |r AS (SELECT t, d, c, CAST(n - cumrem + d + c AS BIGINT) AS n_risk
+        |  FROM w1 CROSS JOIN nn),
+        |tm AS (SELECT t, n_risk, d, c,
+        |  CASE WHEN d > 0 AND d < n_risk THEN
+        |    CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      * 1000000) AS BIGINT) ELSE 0 END AS term,
+        |  CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead FROM r)
+        |SELECT t, n_risk, d, c,
+        |  CASE WHEN sum(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+        |    THEN 0.0
+        |    ELSE round(exp(CAST(sum(term) OVER (ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0), 6)
+        |  END AS survival
+        |FROM tm""".stripMargin)
 }

@@ -909,6 +909,55 @@ object Analytics {
           s => s.getField("_sym")), "").as("sax"))
   }
 
+  /** Kaplan-Meier survival curve with right-censoring — "what share
+    * of users have NOT yet converted/churned by time t, given that
+    * many are still being observed" (the estimator that makes
+    * incomplete observation windows honest; a naive conversion rate
+    * over-counts early cohorts).
+    *
+    * Input: one row per subject, `durationCol` (integer time units)
+    * and `eventCol` (1 = event observed, 0 = censored at that time).
+    * At each distinct t: n_t (at risk), d_t (events), c_t (censored),
+    * S(t) = Π_{s≤t} (1 − d_s/n_s).
+    *
+    * Determinism + scale in one design: the cumulative PRODUCT is
+    * computed in log space as an exact integer sum — each factor's
+    * ln(1 − d/n) is rounded to micro-nats (×10⁶, the house
+    * fixed-point idiom), then both the at-risk depletion AND the
+    * log-sum ride [[Relational.prefixSum]] passes over the
+    * per-duration frame (bounded by DISTINCT durations, never
+    * subjects; no no-partition window anywhere). One exp at the very
+    * end. A time point where everyone remaining dies (d = n) would be
+    * ln 0 — flagged via a cumulated indicator instead, and survival
+    * reads exactly 0.0 from there on. Output: (t, n_risk, d, c,
+    * survival).
+    */
+  def kaplanMeier(df: DataFrame, durationCol: Column, eventCol: Column): DataFrame = {
+    val base = df.select(durationCol.cast("long").as("_t"),
+        eventCol.cast("long").as("_e"))
+      .where(col("_t").isNotNull && col("_e").isNotNull)
+    val agg = base.groupBy(col("_t"))
+      .agg(sum(col("_e")).as("_d"), sum(lit(1L) - col("_e")).as("_c"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    val withRisk = Relational.prefixSum(agg, Seq(col("_t")),
+        col("_d") + col("_c"), "_cumrem")
+      .crossJoin(broadcast(n))
+      .withColumn("_nr", col("_n") - col("_cumrem") + col("_d") + col("_c"))
+    val terms = withRisk
+      .withColumn("_term",
+        when(col("_d") > 0 && col("_d") < col("_nr"),
+          expr("CAST(round(ln(1.0 - CAST(_d AS DOUBLE) / CAST(_nr AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .otherwise(0L))
+      .withColumn("_dead", when(col("_d") >= col("_nr"), 1L).otherwise(0L))
+    Relational.prefixSums(terms, Seq(col("_t")),
+        Seq(col("_term") -> "_cumlog", col("_dead") -> "_cumdead"))
+      .select(col("_t").as("t"), col("_nr").as("n_risk"), col("_d").as("d"),
+        col("_c").as("c"),
+        when(col("_cumdead") > 0, lit(0.0))
+          .otherwise(round(exp(col("_cumlog").cast("double") / lit(1000000.0)), 6))
+          .as("survival"))
+  }
+
   /** Funnel latency: per user, the time from the FIRST `fromFilter`
     * event to the first `toFilter` event at-or-after it — the
     * time-to-convert distribution behind every activation metric.

@@ -767,6 +767,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("kaplanMeier: textbook curve with censoring; extinction reads exact 0") {
+    // durations: 1(event), 2(censored), 3(event), 4(event)
+    // S(1) = 3/4; S(2) = 3/4 (censor only); S(3) = 3/4 * 1/2 = 0.375;
+    // t=4: last subject dies (d = n) -> survival exactly 0.0
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("t", "e")
+    val out = Analytics.kaplanMeier(df, col("t"), col("e"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L)._1 == 4L && out(1L)._2 == 1L)
+    assert(math.abs(out(1L)._4 - 0.75) < 1e-5)
+    assert(out(2L)._3 == 1L && out(2L)._4 == out(1L)._4) // censor: no drop
+    assert(out(3L)._1 == 2L && math.abs(out(3L)._4 - 0.375) < 1e-5)
+    assert(out(4L)._1 == 1L && out(4L)._4 == 0.0)
+  }
+
   test("groupedExactQuantiles: per-group ceil(p*n) ranks, duplicates weighted") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 9L),
       ("b", 5L)).toDF("g", "v")
