@@ -2619,6 +2619,28 @@ object SparkEntry {
             .otherwise(expr("(last_us - from_us) div 1000000")).as("dur"),
           col("delay_s").isNotNull.cast("long").as("ev"))
       Analytics.kaplanMeier(subjects, col("dur"), col("ev"))
+    }),
+
+    // Per-user behavioral surprise under the corpus bigram model:
+    // 6dp decimal ln terms, exact sums, broadcast count frames.
+    "q_seq_nll" -> ((s, d) =>
+      Analytics.sequenceNll(t(s, d, "events"), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"))
+        .select(col("key").as("user_id"), col("n_steps"), col("nll"),
+          col("avg_nll"))),
+
+    // Rolling-origin backtest plan over event days: 30-day initial
+    // train, 15-day horizons, 3 folds — summarized per (fold, role).
+    "q_backtest" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        datediff(col("ts").cast("date"), lit("1970-01-01"))
+          .cast("long").as("day"),
+        col("event_id"))
+      TrainingData.rollingOrigin(ev, col("day"), trainWindow = 30L,
+          horizon = 15L, folds = 3)
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n"), min(col("day")).as("min_day"),
+          max(col("day")).as("max_day"))
     }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -5534,5 +5556,40 @@ object SparkEntry {
         |    ELSE round(exp(CAST(sum(term) OVER (ORDER BY t
         |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0), 6)
         |  END AS survival
-        |FROM tm""".stripMargin)
+        |FROM tm""".stripMargin,
+
+    // same corpus-fit bigram MLE + 6dp decimal ln-term sums
+    "q_seq_nll" ->
+      """WITH e AS (SELECT user_id AS k, event_type AS a,
+        |  epoch_us(ts::TIMESTAMP) AS us, event_id FROM events),
+        |p AS (SELECT k, a,
+        |  lead(a) OVER (PARTITION BY k ORDER BY us, event_id) AS b FROM e),
+        |pp AS (SELECT k, a, b FROM p WHERE b IS NOT NULL),
+        |bi AS (SELECT a, b, count(*) AS nab FROM pp GROUP BY 1, 2),
+        |un AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM bi GROUP BY 1)
+        |SELECT k AS user_id, count(*) AS n_steps,
+        |  round(CAST(sum(CAST(round(
+        |    ln(CAST(na AS DOUBLE) / CAST(nab AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS nll,
+        |  round(CAST(sum(CAST(round(
+        |    ln(CAST(na AS DOUBLE) / CAST(nab AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_nll
+        |FROM pp JOIN bi USING (a, b) JOIN un USING (a) GROUP BY 1""".stripMargin,
+
+    // same integer fold arithmetic summarized per (fold, role)
+    "q_backtest" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |  AS day FROM events),
+        |m AS (SELECT min(day) AS t0 FROM e),
+        |x AS (SELECT day, day - t0 AS rel, f.fold
+        |  FROM e CROSS JOIN m
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS fold) f),
+        |r AS (SELECT CAST(fold AS INTEGER) AS fold, day,
+        |  CASE WHEN rel < 30 + fold * 15 THEN 'train'
+        |       WHEN rel < 30 + (fold + 1) * 15 THEN 'test' END AS role
+        |  FROM x)
+        |SELECT fold, role, count(*) AS n, min(day) AS min_day,
+        |  max(day) AS max_day
+        |FROM r WHERE role IS NOT NULL GROUP BY 1, 2""".stripMargin)
 }

@@ -909,6 +909,45 @@ object Analytics {
           s => s.getField("_sym")), "").as("sax"))
   }
 
+  /** Sequence negative log-likelihood under the corpus's own bigram
+    * transition model — "how surprising is this user's event stream
+    * given how everyone behaves": NLL = Σ_steps ln(n_a / n_ab) where
+    * n_ab / n_a is the MLE P(b|a) over the whole corpus. High avg_nll
+    * = bots, broken instrumentation, or genuinely novel behavior —
+    * the sequence-level anomaly screen beside the value-level
+    * [[rollingZscore]].
+    *
+    * Exactness: every observed step has n_ab ≥ 1 (the model is fit on
+    * the same corpus — no zero-prob terms by construction); per-step
+    * ln terms are rounded to 6dp DECIMAL and summed exactly, one
+    * IEEE division for the average. Scale: the per-key `lead` window
+    * is the only row-scale shuffle; the bigram/unigram count frames
+    * are bounded by |vocabulary|² and broadcast back. Output:
+    * (key, n_steps, nll, avg_nll).
+    */
+  def sequenceNll(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
+      tokenCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("_k")).orderBy(orderBy.map(_.asc): _*)
+    val pairs = df.select(keyCol.as("_k") +: tokenCol.as("_a") +: orderBy: _*)
+      .where(col("_a").isNotNull)
+      .withColumn("_b", lead(col("_a"), 1).over(w))
+      .where(col("_b").isNotNull)
+      .select(col("_k"), col("_a"), col("_b"))
+    val bi = pairs.groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_nab"))
+    val uni = bi.groupBy(col("_a")).agg(sum(col("_nab")).as("_na"))
+    val term = round(log(col("_na").cast("double") / col("_nab").cast("double")), 6)
+      .cast("decimal(18,6)")
+    pairs
+      .join(broadcast(bi), Seq("_a", "_b"))
+      .join(broadcast(uni), Seq("_a"))
+      .groupBy(col("_k").as("key"))
+      .agg(count(lit(1)).as("n_steps"), sum(term).as("_s"))
+      .select(col("key"), col("n_steps"),
+        round(col("_s").cast("double"), 6).as("nll"),
+        round(col("_s").cast("double") / col("n_steps").cast("double"), 6)
+          .as("avg_nll"))
+  }
+
   /** Kaplan-Meier survival curve with right-censoring — "what share
     * of users have NOT yet converted/churned by time t, given that
     * many are still being observed" (the estimator that makes

@@ -819,6 +819,38 @@ object TrainingData {
         expr("n * 1000000L div _ns").as("stratum_share_ppm"))
   }
 
+  /** Rolling-origin backtest splits — time-series cross-validation
+    * that never leaks the future: fold i trains on ticks
+    * [minTick, trainWindow + i·horizon) and tests on the next
+    * `horizon` ticks. The leakage-safe sibling of [[kfoldAudit]] for
+    * anything ordered (demand series, user histories, market data) —
+    * a random k-fold over time data silently trains on tomorrow.
+    *
+    * Ticks are relative to the GLOBAL min tick (one 1-row broadcast);
+    * assignment is pure integer arithmetic exploded over the `folds`
+    * constant — |rows|·folds narrow rows, no shuffle beyond the
+    * output's own. Rows after fold i's test window carry no role and
+    * are dropped for that fold. Output: (fold, original columns...,
+    * role ∈ {train, test}).
+    */
+  def rollingOrigin(df: DataFrame, tickCol: Column, trainWindow: Long,
+      horizon: Long, folds: Int): DataFrame = {
+    require(trainWindow >= 1, s"rollingOrigin: trainWindow must be >= 1, got $trainWindow")
+    require(horizon >= 1, s"rollingOrigin: horizon must be >= 1, got $horizon")
+    require(folds >= 1 && folds <= 64, s"rollingOrigin: need 1 <= folds <= 64, got $folds")
+    val m = df.agg(min(tickCol.cast("long")).as("_t0"))
+    df.withColumn("_tick", tickCol.cast("long"))
+      .where(col("_tick").isNotNull)
+      .crossJoin(broadcast(m))
+      .withColumn("_rel", col("_tick") - col("_t0"))
+      .withColumn("fold", explode(sequence(lit(0), lit(folds - 1))))
+      .withColumn("role",
+        when(col("_rel") < lit(trainWindow) + col("fold") * horizon, "train")
+          .when(col("_rel") < lit(trainWindow) + (col("fold") + 1) * horizon, "test"))
+      .where(col("role").isNotNull)
+      .drop("_tick", "_t0", "_rel")
+  }
+
   /** Length-bucket padding audit — the batch-efficiency readout of
     * LLM batching: documents are bucketed by `width`-wide length
     * ranges (bucket = len div width; same-bucket sequences batch

@@ -767,6 +767,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("sequenceNll: deterministic path reads 0; rare transition is surprising") {
+    // corpus: users 1,2 both walk a->b; user 3 walks a->c (rare).
+    // P(b|a) = 2/3, P(c|a) = 1/3.
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "c")).toDF("u", "t", "et")
+    val out = Analytics.sequenceNll(df, col("u"), Seq(col("t")), col("et"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - math.log(3.0 / 2.0)) < 1e-5)
+    assert(math.abs(out(3L)._2 - math.log(3.0)) < 1e-5) // ln(1/P) = ln 3
+    // a fully deterministic corpus (single path) reads exactly 0
+    val det = Seq((1L, 1L, "x"), (1L, 2L, "y"), (2L, 1L, "x"), (2L, 2L, "y"))
+      .toDF("u", "t", "et")
+    assert(Analytics.sequenceNll(det, col("u"), Seq(col("t")), col("et"))
+      .collect().forall(_.getDouble(2) == 0.0))
+  }
+
   test("kaplanMeier: textbook curve with censoring; extinction reads exact 0") {
     // durations: 1(event), 2(censored), 3(event), 4(event)
     // S(1) = 3/4; S(2) = 3/4 (censor only); S(3) = 3/4 * 1/2 = 0.375;

@@ -399,6 +399,24 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("rollingOrigin: expanding train windows, leakage-free test slices") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ticks 0..9, window 4, horizon 2, 2 folds:
+    // fold 0: train [0,4), test [4,6); fold 1: train [0,6), test [6,8)
+    val df = (0L until 10L).toDF("tick")
+    val out = TrainingData.rollingOrigin(df, col("tick"), 4L, 2L, 2)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(0)))
+    val f0 = out.filter(_._1 == 0)
+    assert(f0.filter(_._2 == "train").map(_._3).sorted.toSeq == (0L to 3L))
+    assert(f0.filter(_._2 == "test").map(_._3).sorted.toSeq == Seq(4L, 5L))
+    val f1 = out.filter(_._1 == 1)
+    assert(f1.filter(_._2 == "train").map(_._3).sorted.toSeq == (0L to 5L))
+    assert(f1.filter(_._2 == "test").map(_._3).sorted.toSeq == Seq(6L, 7L))
+    // ticks past the last fold's test end never appear
+    assert(!out.exists(_._3 >= 8L))
+  }
+
   test("lengthBuckets: exact padding waste per width bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
