@@ -2641,7 +2641,25 @@ object SparkEntry {
         .groupBy(col("fold"), col("role"))
         .agg(count(lit(1)).as("n"), min(col("day")).as("min_day"),
           max(col("day")).as("max_day"))
-    }))
+    }),
+
+    // Weekday seasonality per event type: integer deviations from the
+    // centered 7-observation MA (scaled by 7 — no early division).
+    "q_seasonal" -> ((s, d) =>
+      Analytics.weekdayDeviation(t(s, d, "events"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        expr("CAST(round(value * 100) AS BIGINT)"), period = 7)
+        .select(col("group").as("event_type"), col("pos"), col("n"),
+          col("sum_dev"), col("avg_dev"))),
+
+    // Theil-Sen robust daily trend per event type: median of exact
+    // integer-ppm pairwise slopes via the grouped-quantile primitive.
+    "q_theilsen" -> ((s, d) =>
+      Analytics.theilSen(t(s, d, "events"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(col("group").as("event_type"), col("n_pairs"),
+          col("slope_ppm"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5591,5 +5609,39 @@ object SparkEntry {
         |  FROM x)
         |SELECT fold, role, count(*) AS n, min(day) AS min_day,
         |  max(day) AS max_day
-        |FROM r WHERE role IS NOT NULL GROUP BY 1, 2""".stripMargin)
+        |FROM r WHERE role IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // same 7-scaled integer deviations over the rows-frame MA
+    "q_seasonal" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS xs
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT g, d, xs,
+        |  CAST(sum(xs) OVER f AS BIGINT) AS w7, count(*) OVER f AS cnt
+        |  FROM daily WINDOW f AS (PARTITION BY g ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dev AS (SELECT g, d % 7 AS pos, xs * 7 - w7 AS dv
+        |  FROM w WHERE cnt = 7)
+        |SELECT g AS event_type, pos, count(*) AS n,
+        |  CAST(sum(dv) AS BIGINT) AS sum_dev,
+        |  CAST(sum(dv) // count(*) AS BIGINT) AS avg_dev
+        |FROM dev GROUP BY 1, 2""".stripMargin,
+
+    // same integer-ppm pairwise slopes + grouped exact median
+    "q_theilsen" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS xs
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (SELECT a.g, (b.xs - a.xs) * 1000000 // (b.d - a.d) AS s
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d),
+        |counts AS (SELECT g, s, count(*) AS c FROM sl GROUP BY 1, 2),
+        |cdf AS (SELECT g, s, c, sum(c) OVER (PARTITION BY g ORDER BY s
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1)
+        |SELECT cdf.g AS event_type, nn.n AS n_pairs, min(s) AS slope_ppm
+        |FROM cdf JOIN nn ON cdf.g = nn.g
+        |WHERE cum >= ceil(0.5 * nn.n)
+        |GROUP BY 1, 2""".stripMargin)
 }

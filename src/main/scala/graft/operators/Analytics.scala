@@ -909,6 +909,77 @@ object Analytics {
           s => s.getField("_sym")), "").as("sax"))
   }
 
+  /** Classical seasonal decomposition, integer-exact: per group, each
+    * day's deviation from its CENTERED 7-observation moving average,
+    * folded by weekday position. The standard additive
+    * ratio-to-moving-average recipe with one twist — deviations are
+    * kept as `period·x − Σwindow` (the MA scaled by `period`), so the
+    * whole statistic is exact integer arithmetic with ONE truncating
+    * division at the end; no float drifts, any shuffle order.
+    * A strongly positive avg_dev at position p says "this weekday
+    * runs hot" (the seasonality a forecaster must remove first).
+    *
+    * The MA is over the `period` nearest OBSERVATIONS (rows frame),
+    * which equals the calendar MA on gap-free series and degrades
+    * gracefully on sparse ones; incomplete edge windows are dropped.
+    * Windows partition per group over the per-day frame — bounded by
+    * the calendar span. Output: (group, pos, n, sum_dev, avg_dev),
+    * dev scaled by `period`.
+    */
+  def weekdayDeviation(df: DataFrame, groupCol: Column, dayCol: Column,
+      centsCol: Column, period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      s"weekdayDeviation: period must be odd >= 3, got $period")
+    val half = period / 2
+    val daily = df.select(groupCol.as("_g"), dayCol.cast("long").as("_d"),
+        centsCol.as("_x"))
+      .where(col("_d").isNotNull && col("_x").isNotNull)
+      .groupBy(col("_g"), col("_d")).agg(sum(col("_x")).as("_xs"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_d"))
+      .rowsBetween(-half, half)
+    daily
+      .withColumn("_w7", sum(col("_xs")).over(w))
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .where(col("_cnt") === period)
+      .select(col("_g"), pmod(col("_d"), lit(period.toLong)).as("pos"),
+        (col("_xs") * period - col("_w7")).as("_dev"))
+      .groupBy(col("_g").as("group"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("_dev")).as("sum_dev"))
+      .select(col("group"), col("pos"), col("n"), col("sum_dev"),
+        expr("sum_dev div n").as("avg_dev"))
+  }
+
+  /** Theil-Sen robust trend: per group, the MEDIAN of all pairwise
+    * slopes over the daily series — one wild outlier day can drag an
+    * OLS fit anywhere, but moves the slope median not at all (the
+    * estimator tolerates ~29% contamination). Slopes are exact
+    * integer ppm (`Δcents·10⁶ div Δday`); the median comes from
+    * [[groupedExactQuantiles]], so the whole path is
+    * integer-deterministic.
+    *
+    * Scale note: pairs are per-group day², bounded by the calendar
+    * span squared (≈ 10⁵ pairs per group for a year of days — flat
+    * work, not data-scale work); the raw stream only feeds the
+    * per-day aggregate. Output: (group, n_pairs, slope_ppm).
+    */
+  def theilSen(df: DataFrame, groupCol: Column, dayCol: Column,
+      centsCol: Column): DataFrame = {
+    val daily = df.select(groupCol.as("_g"), dayCol.cast("long").as("_d"),
+        centsCol.as("_x"))
+      .where(col("_d").isNotNull && col("_x").isNotNull)
+      .groupBy(col("_g"), col("_d")).agg(sum(col("_x")).as("_xs"))
+      .localCheckpoint(true)
+    val lo = daily.select(col("_g"), col("_d").as("_d1"), col("_xs").as("_x1"))
+    val hi = daily.select(col("_g"), col("_d").as("_d2"), col("_xs").as("_x2"))
+    val slopes = lo.join(hi, Seq("_g"))
+      .where(col("_d1") < col("_d2"))
+      .select(col("_g"),
+        expr("(_x2 - _x1) * 1000000 div (_d2 - _d1)").as("_slope"))
+    groupedExactQuantiles(slopes, col("_g"), col("_slope"), Seq(0.5))
+      .select(col("group"), col("n").as("n_pairs"),
+        col("value").as("slope_ppm"))
+  }
+
   /** Sequence negative log-likelihood under the corpus's own bigram
     * transition model — "how surprising is this user's event stream
     * given how everyone behaves": NLL = Σ_steps ln(n_a / n_ab) where

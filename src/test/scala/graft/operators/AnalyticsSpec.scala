@@ -767,6 +767,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("weekdayDeviation: scaled integer deviations, incomplete edges dropped") {
+    // one group, days 0..8, x = 7 everywhere except day 4 spikes to 70:
+    // complete windows center on days 3..5. dev = 7*x - sum7.
+    val df = (0L until 9L).map(d => ("a", d, if (d == 4) 70L else 7L))
+      .toDF("g", "d", "x")
+    val out = Analytics.weekdayDeviation(df, col("g"), col("d"), col("x"), 7)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // windows for centers 3,4,5 all contain the spike: sum7 = 6*7+70 = 112
+    // day 3: dev = 49-112 = -63 (pos 3); day 4: 490-112 = 378 (pos 4);
+    // day 5: dev = -63 (pos 5). Edge days 0..2, 6..8 dropped.
+    assert(out == Map(3L -> ((1L, -63L, -63L)), 4L -> ((1L, 378L, 378L)),
+      5L -> ((1L, -63L, -63L))))
+  }
+
+  test("theilSen: median pairwise slope shrugs off one outlier day") {
+    // days 0..4 perfectly linear x = 100*d, except day 2 spikes wildly.
+    // Most pairwise slopes remain 100 cents/day -> 100000000 ppm median.
+    val df = Seq(("a", 0L, 0L), ("a", 1L, 100L), ("a", 2L, 99999L),
+      ("a", 3L, 300L), ("a", 4L, 400L)).toDF("g", "d", "x")
+    val r = Analytics.theilSen(df, col("g"), col("d"), col("x")).collect().head
+    assert(r.getLong(1) == 10L) // C(5,2) pairs
+    assert(r.getLong(2) == 100L * 1000000L)
+  }
+
   test("sequenceNll: deterministic path reads 0; rare transition is surprising") {
     // corpus: users 1,2 both walk a->b; user 3 walks a->c (rare).
     // P(b|a) = 2/3, P(c|a) = 1/3.
