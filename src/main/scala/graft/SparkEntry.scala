@@ -2659,7 +2659,19 @@ object SparkEntry {
         datediff(col("ts").cast("date"), lit("1970-01-01")),
         expr("CAST(round(value * 100) AS BIGINT)"))
         .select(col("group").as("event_type"), col("n_pairs"),
-          col("slope_ppm"))))
+          col("slope_ppm"))),
+
+    // OOV rate per doc after a min-count-5 vocabulary cut — what a
+    // trained tokenizer would shred into bytes.
+    "q_oov" -> ((s, d) =>
+      TrainingData.oovRate(t(s, d, "documents"), col("doc_id"),
+        col("text"), minCount = 5L)),
+
+    // Content-defined chunk boundaries (8-char rolling window,
+    // divisor 64): edit-stable chunking stats per document.
+    "q_cdc_chunks" -> ((s, d) =>
+      TrainingData.cdcChunkStats(t(s, d, "documents"), col("doc_id"),
+        col("text"), window = 8, divisor = 64)))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5643,5 +5655,28 @@ object SparkEntry {
         |SELECT cdf.g AS event_type, nn.n AS n_pairs, min(s) AS slope_ppm
         |FROM cdf JOIN nn ON cdf.g = nn.g
         |WHERE cum >= ceil(0.5 * nn.n)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // same min-count vocab cut + membership join
+    "q_oov" ->
+      s"""WITH toks AS (SELECT doc_id AS id, unnest($W) AS w FROM documents),
+         |vocab AS (SELECT w FROM toks GROUP BY w HAVING count(*) >= 5)
+         |SELECT id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS oov_ppm
+         |FROM toks LEFT JOIN vocab ON toks.w = vocab.w GROUP BY 1""".stripMargin,
+
+    // same md5-window boundary rule over every position
+    "q_cdc_chunks" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(generate_series(8, length(text)),
+        |    p -> ('0x' || substr(md5(substr(text, p - 7, 8)), 1, 8))::UBIGINT
+        |      % 64 = 0)) AS BIGINT) AS n_boundaries
+        |  FROM documents WHERE length(text) >= 8)
+        |SELECT id, n_chars, n_boundaries, n_boundaries + 1 AS n_chunks,
+        |  n_chars // (n_boundaries + 1) AS avg_chunk_len
+        |FROM b""".stripMargin)
 }

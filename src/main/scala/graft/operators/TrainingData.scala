@@ -819,6 +819,68 @@ object TrainingData {
         expr("n * 1000000L div _ns").as("stratum_share_ppm"))
   }
 
+  /** OOV-rate audit after min-count vocabulary pruning — the
+    * tokenizer-training feedback loop: prune words below `minCount`
+    * corpus occurrences (the standard vocab cut), then measure what
+    * fraction of each document's tokens fell out. A doc with high
+    * oov_ppm is the one a trained tokenizer will shred into bytes —
+    * surfacing them BEFORE training is the point.
+    *
+    * Two passes over the exploded token frame (one corpus count, one
+    * membership join — the kept-vocab side broadcasts under AQE when
+    * it fits, and is a short-key semi-join shape regardless); exact
+    * integer ppm. Output: (id, n_tokens, n_oov, oov_ppm).
+    */
+  def oovRate(df: DataFrame, idCol: Column, textCol: Column,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"oovRate: minCount must be >= 1, got $minCount")
+    val toks = df.select(idCol.as("_id"),
+        explode(graft.functions.TextFunctions.words(textCol)).as("_w"))
+      .localCheckpoint(true)
+    val vocab = toks.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minCount).select(col("_w"), lit(1).as("_in"))
+    toks.join(vocab, Seq("_w"), "left")
+      .groupBy(col("_id").as("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+  }
+
+  /** Content-defined chunking stats (Rabin-style): a chunk boundary
+    * falls wherever the hash of the trailing `w`-char window is ≡ 0
+    * mod `divisor` — boundaries move WITH the content, so an edit
+    * shifts only its own chunk instead of re-chunking the whole
+    * document (why storage dedup and incremental corpus dedup use CDC
+    * instead of fixed windows — compare [[chunkWords]]). Expected
+    * chunk length ≈ `divisor` chars.
+    *
+    * Pure codegen per row: one `transform` over positions hashing the
+    * 8-char window with the house md5-prefix recipe (engine-exact),
+    * one filter/size — O(len) per document, zero shuffles beyond the
+    * scan. Output: (id, n_chars, n_boundaries, n_chunks,
+    * avg_chunk_len).
+    */
+  def cdcChunkStats(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 2, s"cdcChunkStats: window must be >= 2, got $window")
+    require(divisor >= 2, s"cdcChunkStats: divisor must be >= 2, got $divisor")
+    // guard BEFORE sequence(): start > stop would generate a
+    // descending range and hash nonsense windows on short docs
+    val nb = when(length(textCol) >= window, size(filter(
+      transform(
+        sequence(lit(window), length(textCol)),
+        p => conv(substring(md5(substring(textCol, p - (window - 1), lit(window))), 1, 8),
+          16, 10).cast("long") % divisor),
+      v => v === 0))).otherwise(0)
+    df.select(idCol.as("id"), length(textCol).cast("long").as("n_chars"),
+        nb.cast("long").as("n_boundaries"))
+      .where(col("n_chars") >= window)
+      .select(col("id"), col("n_chars"), col("n_boundaries"),
+        (col("n_boundaries") + 1L).as("n_chunks"),
+        expr("n_chars div (n_boundaries + 1)").as("avg_chunk_len"))
+  }
+
   /** Rolling-origin backtest splits — time-series cross-validation
     * that never leaks the future: fold i trains on ticks
     * [minTick, trainWindow + i·horizon) and tests on the next

@@ -399,6 +399,37 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("oovRate: pruned vocab flags exactly the rare tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 'common' appears 3x (kept at minCount=2), 'rare' once (cut)
+    val df = Seq((1L, "common common rare"), (2L, "common")).toDF("id", "text")
+    val out = TrainingData.oovRate(df, col("id"), col("text"), minCount = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 1L, 333333L)))
+    assert(out(2L) == ((1L, 0L, 0L)))
+  }
+
+  test("cdcChunkStats: boundaries are content-defined — an edit moves only its own") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val df = Seq((1L, base), (2L, "short")).toDF("id", "text")
+    val out = TrainingData.cdcChunkStats(df, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // short doc (< window) is dropped; long doc has n_chunks = nb + 1
+    assert(!out.contains(2L))
+    val (nc, nb, nch, avg) = out(1L)
+    assert(nc == base.length.toLong && nch == nb + 1 && avg == nc / nch)
+    // prefix edit: boundaries strictly after the edit window stay put
+    val edited = "X" + base.drop(1)
+    val out2 = TrainingData.cdcChunkStats(Seq((1L, edited)).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    // identical length, and boundary count differs by at most the
+    // window's worth of positions the edit could touch
+    assert(math.abs(out2.getLong(2) - nb) <= 8L)
+  }
+
   test("rollingOrigin: expanding train windows, leakage-free test slices") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
