@@ -2671,7 +2671,24 @@ object SparkEntry {
     // divisor 64): edit-stable chunking stats per document.
     "q_cdc_chunks" -> ((s, d) =>
       TrainingData.cdcChunkStats(t(s, d, "documents"), col("doc_id"),
-        col("text"), window = 8, divisor = 64)))
+        col("text"), window = 8, divisor = 64)),
+
+    // Vocabulary coverage curve over the documents corpus: smallest
+    // frequency-ranked vocab covering 50/90/99% of tokens.
+    "q_coverage" -> ((s, d) =>
+      Ranking.coverageCurve(t(s, d, "documents"), col("text"),
+        Seq(0.5, 0.9, 0.99))),
+
+    // Sample-ratio-mismatch gate on the q_abtest parity arms: exact
+    // ppm chi-square with pre-compared significance fences.
+    "q_srm" -> ((s, d) =>
+      Analytics.srmCheck(t(s, d, "events"), col("user_id") % 2L)),
+
+    // 30-day-period churn matrix over events: retained vs vanished
+    // users per period, exact ppm.
+    "q_churn" -> ((s, d) =>
+      Analytics.churnMatrix(t(s, d, "events"), col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) div 30"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5678,5 +5695,54 @@ object SparkEntry {
         |  FROM documents WHERE length(text) >= 8)
         |SELECT id, n_chars, n_boundaries, n_boundaries + 1 AS n_chunks,
         |  n_chars // (n_boundaries + 1) AS avg_chunk_len
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+
+    // same freq-DESC CDF + ceil(p*N) vocab thresholds
+    "q_coverage" ->
+      s"""WITH counts AS (SELECT word, count(*) AS c FROM (
+         |  SELECT unnest($W) AS word FROM documents) GROUP BY 1),
+         |cdf AS (SELECT c,
+         |  sum(c) OVER (ORDER BY c DESC, word ROWS UNBOUNDED PRECEDING) AS cum,
+         |  row_number() OVER (ORDER BY c DESC, word) AS rank FROM counts),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+         |q AS (SELECT CAST(0.5 AS DOUBLE) AS p UNION ALL
+         |      SELECT CAST(0.9 AS DOUBLE) UNION ALL
+         |      SELECT CAST(0.99 AS DOUBLE))
+         |SELECT p, CAST(min(rank) AS BIGINT) AS vocab_size,
+         |  CAST(min(cum) AS BIGINT) AS tokens_covered, nn.n AS n_tokens
+         |FROM cdf CROSS JOIN nn CROSS JOIN q
+         |WHERE cum >= ceil(p * nn.n)
+         |GROUP BY 1, 4""".stripMargin,
+
+    // same exact 1-df chi-square ppm + fences
+    "q_srm" ->
+      """WITH arms AS (SELECT user_id % 2 AS arm FROM events),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM arms)
+        |SELECT n_a, n_b,
+        |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS chi2_ppm,
+        |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) > 3841459
+        |    AS srm_95,
+        |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) > 6634897
+        |    AS srm_99
+        |FROM m""".stripMargin,
+
+    // same distinct-membership self-join per consecutive period
+    "q_churn" ->
+      """WITH act AS (SELECT DISTINCT user_id AS k,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 30 AS p
+        |  FROM events),
+        |nxt AS (SELECT k, p - 1 AS p, 1 AS r FROM act),
+        |m AS (SELECT max(p) AS maxp FROM act),
+        |j AS (SELECT act.p, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN nxt.r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retained
+        |  FROM act LEFT JOIN nxt ON act.k = nxt.k AND act.p = nxt.p
+        |  GROUP BY 1)
+        |SELECT p AS period, n_active, n_retained,
+        |  n_active - n_retained AS n_churned,
+        |  n_retained * 1000000 // n_active AS retention_ppm
+        |FROM j CROSS JOIN m WHERE p < maxp""".stripMargin)
 }

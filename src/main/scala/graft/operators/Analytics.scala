@@ -909,6 +909,54 @@ object Analytics {
           s => s.getField("_sym")), "").as("sax"))
   }
 
+  /** Sample-ratio-mismatch check — the experiment-validity gate that
+    * must run BEFORE any lift readout: a 50/50 assignment that arrives
+    * 52/48 means the bucketing is broken and every downstream metric
+    * is garbage. For two arms the 1-df chi-square against an equal
+    * split reduces to (a−b)²/(a+b) — emitted as exact integer ppm
+    * (×10⁶, truncating div), with the 3.84 / 6.63 significance fences
+    * pre-compared so the verdict is integer-exact too. One
+    * map-combinable aggregate; arms come from `armCol` ∈ {0, 1}.
+    * Output: (n_a, n_b, chi2_ppm, srm_95, srm_99).
+    */
+  def srmCheck(df: DataFrame, armCol: Column): DataFrame =
+    df.select(armCol.cast("long").as("_arm"))
+      .where(col("_arm").isin(0L, 1L))
+      .agg(sum(when(col("_arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
+          .as("chi2_ppm"))
+      .withColumn("srm_95", col("chi2_ppm") > 3841459L)
+      .withColumn("srm_99", col("chi2_ppm") > 6634897L)
+
+  /** Period-over-period churn matrix: per period p (except the last),
+    * how many keys were active, how many of them returned in p+1
+    * (retained) and how many vanished (churned) — the
+    * cohort-retention diagonal every growth dashboard starts with.
+    *
+    * One distinct on (key, period), one self-join on (key, period+1
+    * mapped back) — both bounded by active (key, period) pairs, never
+    * raw events; exact ppm. Output: (period, n_active, n_retained,
+    * n_churned, retention_ppm).
+    */
+  def churnMatrix(df: DataFrame, keyCol: Column, periodCol: Column): DataFrame = {
+    val act = df.select(keyCol.as("_k"), periodCol.cast("long").as("_p"))
+      .where(col("_k").isNotNull && col("_p").isNotNull).distinct()
+      .localCheckpoint(true)
+    val nxt = act.select(col("_k"), (col("_p") - 1L).as("_p"), lit(1).as("_r"))
+    val maxP = act.agg(max(col("_p")).as("_maxp"))
+    act.join(nxt, Seq("_k", "_p"), "left")
+      .groupBy(col("_p").as("period"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("_r").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+      .crossJoin(broadcast(maxP))
+      .where(col("period") < col("_maxp"))
+      .select(col("period"), col("n_active"), col("n_retained"),
+        (col("n_active") - col("n_retained")).as("n_churned"),
+        expr("n_retained * 1000000 div n_active").as("retention_ppm"))
+  }
+
   /** Classical seasonal decomposition, integer-exact: per group, each
     * day's deviation from its CENTERED 7-observation moving average,
     * folded by weekday position. The standard additive

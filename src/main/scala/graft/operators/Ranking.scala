@@ -460,6 +460,39 @@ object Ranking {
           .as("intercept"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-design readout: the
+    * smallest frequency-ranked vocabulary whose words cover p% of all
+    * corpus tokens. "32k words cover 97% of tokens" is the number
+    * that decides a vocab size before any BPE run.
+    *
+    * The frequency CDF rides [[graft.operators.Relational.prefixSums]]
+    * over the (count DESC, word) total order — vocabulary-scale, but
+    * range-partitioned, never a one-task window; each coverage target
+    * then reads min(rank | cum ≥ ⌈p·N⌉) exactly like the quantile
+    * operators. Output: (p, vocab_size, tokens_covered, n_tokens).
+    */
+  def coverageCurve(df: DataFrame, textCol: Column,
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"coverageCurve: probs must be in (0,1], got $probs")
+    val counts = df.select(explode(words(textCol)).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    val cdf = graft.core.CacheRegistry.persist(
+      Relational.prefixSums(counts, Seq(col("_c").desc, col("_w").asc),
+        Seq(col("_c") -> "_cum", lit(1L) -> "_rank")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = counts.agg(sum(col("_c")).as("_n"))
+    probs.map { p =>
+      cdf.crossJoin(broadcast(n))
+        .where(col("_cum") >= ceil(lit(p) * col("_n")))
+        .groupBy(col("_n"))
+        .agg(min(col("_rank")).as("vocab_size"),
+          min(col("_cum")).as("tokens_covered"))
+      .select(lit(p).as("p"), col("vocab_size"), col("tokens_covered"),
+        col("_n").as("n_tokens"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Multi-class classifier scorecard: per class, gold/predicted
     * support, true positives, and precision/recall/F1 in exact ppm
     * (floor-div — no float in sight). Precision is NULL when the class

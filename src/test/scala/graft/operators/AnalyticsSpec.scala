@@ -767,6 +767,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("srmCheck: balanced split is quiet, broken split trips the fences") {
+    val ok = (1L to 100L).map(i => i % 2).toDF("arm")
+    val r1 = Analytics.srmCheck(ok, col("arm")).collect().head
+    assert(r1.getLong(0) == 50L && r1.getLong(2) == 0L && !r1.getBoolean(3))
+    // 80/20: chi2 = 36 -> 36e6 ppm, way past both fences
+    val bad = (Seq.fill(80)(0L) ++ Seq.fill(20)(1L)).toDF("arm")
+    val r2 = Analytics.srmCheck(bad, col("arm")).collect().head
+    assert(r2.getLong(2) == 36000000L && r2.getBoolean(3) && r2.getBoolean(4))
+  }
+
+  test("churnMatrix: retained vs vanished per period, last period excluded") {
+    // periods: u1 in {0,1}, u2 in {0}, u3 in {1}
+    val df = Seq((1L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)).toDF("u", "p")
+    val out = Analytics.churnMatrix(df, col("u"), col("p"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // period 0: active {1,2}, retained {1} -> churn 1, retention 500000
+    assert(out == Map(0L -> ((2L, 1L, 1L, 500000L)))) // period 1 (last) excluded
+  }
+
   test("weekdayDeviation: scaled integer deviations, incomplete edges dropped") {
     // one group, days 0..8, x = 7 everywhere except day 4 spikes to 70:
     // complete windows center on days 3..5. dev = 7*x - sum7.

@@ -192,6 +192,18 @@ class RankingSpec extends SparkSpec {
     assert(!out.contains("sun"))
   }
 
+  test("coverageCurve: smallest frequency-ranked vocab hitting each target") {
+    // corpus tokens: a x6, b x3, c x1 -> N = 10.
+    // p=0.5 -> ceil 5 -> rank 1 (cum 6); p=0.9 -> ceil 9 -> rank 2 (cum 9);
+    // p=0.99 -> ceil 10 -> rank 3 (cum 10)
+    val df = Seq("a a a a a a", "b b b c").toDF("text")
+    val out = Ranking.coverageCurve(df, col("text"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0.5) == ((1L, 6L, 10L)))
+    assert(out(0.9) == ((2L, 9L, 10L)))
+    assert(out(0.99) == ((3L, 10L, 10L)))
+  }
+
   test("typeTokenRatio: tokens/types/hapax exact ppm") {
     val df = Seq(("g1", "a a b"), ("g1", "b c"), ("g2", "x x x x"))
       .toDF("src", "text")
