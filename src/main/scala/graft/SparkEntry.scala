@@ -2688,7 +2688,22 @@ object SparkEntry {
     // users per period, exact ppm.
     "q_churn" -> ((s, d) =>
       Analytics.churnMatrix(t(s, d, "events"), col("user_id"),
-        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) div 30"))))
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) div 30"))),
+
+    // Cross-document duplicate CHUNKS under content-defined cutting —
+    // the chunk-hash dedup payoff: pasted paragraphs share hashes at
+    // any offset. Shuffle carries (md5, doc) pairs only.
+    "q_chunk_dedup" -> ((s, d) =>
+      TrainingData.chunkDedupSummary(t(s, d, "documents"), col("doc_id"),
+        col("text"), window = 8, divisor = 64)),
+
+    // Per-returnflag exact median + MAD of price cents — the robust
+    // location/scale pair beside q_feature_scale's min-max/z.
+    "q_robust_scale" -> ((s, d) =>
+      Analytics.robustStats(t(s, d, "lineitem"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .select(col("group").as("l_returnflag"), col("n"), col("median"),
+          col("mad"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5744,5 +5759,51 @@ object SparkEntry {
         |SELECT p AS period, n_active, n_retained,
         |  n_active - n_retained AS n_churned,
         |  n_retained * 1000000 // n_active AS retention_ppm
-        |FROM j CROSS JOIN m WHERE p < maxp""".stripMargin)
+        |FROM j CROSS JOIN m WHERE p < maxp""".stripMargin,
+
+    // same boundary rule -> chunk slices -> md5 multiset summary
+    "q_chunk_dedup" ->
+      """WITH b AS (SELECT doc_id AS id, text,
+        |  list_concat(list_concat([CAST(0 AS BIGINT)],
+        |    list_filter(generate_series(8, length(text)),
+        |      p -> ('0x' || substr(md5(substr(text, p - 7, 8)), 1, 8))::UBIGINT
+        |        % 64 = 0)),
+        |    [CAST(length(text) AS BIGINT)]) AS bounds
+        |  FROM documents WHERE length(text) >= 8),
+        |ch AS (SELECT id, md5(substr(text, CAST(bounds[i] + 1 AS INTEGER),
+        |    CAST(bounds[i + 1] - bounds[i] AS INTEGER))) AS h
+        |  FROM b CROSS JOIN LATERAL (
+        |    SELECT unnest(generate_series(1, len(bounds) - 1)) AS i) g),
+        |per AS (SELECT h, count(*) AS n, count(DISTINCT id) AS nd
+        |  FROM ch GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  count(*) AS n_distinct FROM per),
+        |sh AS (SELECT count(*) AS n_shared_chunks FROM per WHERE nd >= 2),
+        |dw AS (SELECT count(DISTINCT id) AS docs_with_shared FROM ch
+        |  WHERE h IN (SELECT h FROM per WHERE nd >= 2))
+        |SELECT n_chunks, n_distinct, n_shared_chunks, docs_with_shared
+        |FROM tot CROSS JOIN sh CROSS JOIN dw""".stripMargin,
+
+    // same two grouped exact medians (values, then deviations)
+    "q_robust_scale" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |c1 AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |cdf1 AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM c1),
+        |n1 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c1 GROUP BY 1),
+        |med AS (SELECT cdf1.g, n1.n, min(v) AS median FROM cdf1
+        |  JOIN n1 ON cdf1.g = n1.g WHERE cum >= ceil(0.5 * n1.n)
+        |  GROUP BY 1, 2),
+        |dev AS (SELECT base.g, abs(v - median) AS d FROM base
+        |  JOIN med ON base.g = med.g),
+        |c2 AS (SELECT g, d, count(*) AS c FROM dev GROUP BY 1, 2),
+        |cdf2 AS (SELECT g, d, c, sum(c) OVER (PARTITION BY g ORDER BY d
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM c2),
+        |n2 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c2 GROUP BY 1),
+        |mad AS (SELECT cdf2.g, min(d) AS mad FROM cdf2
+        |  JOIN n2 ON cdf2.g = n2.g WHERE cum >= ceil(0.5 * n2.n) GROUP BY 1)
+        |SELECT med.g AS l_returnflag, med.n, med.median, mad.mad
+        |FROM med JOIN mad ON med.g = mad.g""".stripMargin)
 }

@@ -909,6 +909,30 @@ object Analytics {
           s => s.getField("_sym")), "").as("sax"))
   }
 
+  /** Per-group robust location/scale — exact median and MAD (median
+    * absolute deviation), the outlier-immune counterpart of
+    * [[graft.operators.TrainingData.featureScale]]'s min-max/z pair:
+    * one rogue value moves a mean and a sigma arbitrarily far but
+    * budges neither median. Two [[groupedExactQuantiles]] passes
+    * (values, then absolute deviations from the group median), both
+    * windowing the bounded (group, distinct-value) frames; exact
+    * integers end-to-end. Output: (group, n, median, mad).
+    */
+  def robustStats(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+      .localCheckpoint(true)
+    val med = groupedExactQuantiles(base, col("_g"), col("_v"), Seq(0.5))
+      .select(col("group").as("_g"), col("value").as("_med"), col("n").as("_n"))
+    val dev = base.join(med, Seq("_g"))
+      .select(col("_g"), abs(col("_v") - col("_med")).as("_d"))
+    groupedExactQuantiles(dev, col("_g"), col("_d"), Seq(0.5))
+      .select(col("group").as("_g"), col("value").as("mad"))
+      .join(med, Seq("_g"))
+      .select(col("_g").as("group"), col("_n").as("n"),
+        col("_med").as("median"), col("mad"))
+  }
+
   /** Sample-ratio-mismatch check — the experiment-validity gate that
     * must run BEFORE any lift readout: a 50/50 assignment that arrives
     * 52/48 means the bucketing is broken and every downstream metric

@@ -683,16 +683,32 @@ object Dedup {
     * throughout. Output: (block, n_pairs, min_dist, sum_dist).
     */
   def editDistanceLink(df: DataFrame, blockCol: Column, idCol: Column,
-      strCol: Column, maxDist: Int): DataFrame = {
+      strCol: Column, maxDist: Int, salts: Int = 8): DataFrame = {
     require(maxDist >= 0, s"editDistanceLink: maxDist must be >= 0, got $maxDist")
+    require(salts >= 1, s"editDistanceLink: salts must be >= 1, got $salts")
     val side = df.where(blockCol.isNotNull && idCol.isNotNull && strCol.isNotNull)
       .select(blockCol.as("_blk"), idCol.as("_id"), strCol.as("_s"))
-    side.as("a")
-      .join(side.as("b"),
-        col("a._blk") === col("b._blk") && col("a._id") < col("b._id"))
-      .select(col("a._blk").as("block"),
-        levenshtein(col("a._s"), col("b._s")).as("_d"))
-      .where(col("_d") <= maxDist)
+    // Two scale levers over the naive block self-join:
+    //  - SALT the join key: |blocks| can be far below the core count
+    //    (25 nations), so an unsalted equi-join runs ≤|blocks| tasks;
+    //    the left row keeps one hash-salt, the right side replicates
+    //    `salts` ways — every pair still forms exactly once, on
+    //    |blocks|·salts parallel keys.
+    //  - THRESHOLDED levenshtein: the 3-arg kernel abandons a pair the
+    //    moment its banded DP proves dist > maxDist — O(len·maxDist)
+    //    instead of O(len²) on the (overwhelmingly) non-matching pairs.
+    //    It returns -1 above the threshold, so the exact-distance
+    //    filter becomes BETWEEN 0 AND maxDist.
+    val a = side.select(col("_blk"), pmod(hash(col("_id")), lit(salts)).as("_salt"),
+      col("_id").as("_id1"), col("_s").as("_s1"))
+    val b = side.select(col("_blk"),
+        explode(sequence(lit(0), lit(salts - 1))).as("_salt"),
+        col("_id").as("_id2"), col("_s").as("_s2"))
+    a.join(b, Seq("_blk", "_salt"))
+      .where(col("_id1") < col("_id2"))
+      .select(col("_blk").as("block"),
+        levenshtein(col("_s1"), col("_s2"), maxDist).as("_d"))
+      .where(col("_d").between(0, maxDist))
       .groupBy(col("block"))
       .agg(count(lit(1)).as("n_pairs"),
         min(col("_d")).cast("long").as("min_dist"),

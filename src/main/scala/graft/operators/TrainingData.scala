@@ -881,6 +881,49 @@ object TrainingData {
         expr("n_chars div (n_boundaries + 1)").as("avg_chunk_len"))
   }
 
+  /** Content-defined chunk EXTRACTION + cross-document duplicate-chunk
+    * summary — the payoff of [[cdcChunkStats]]'s boundary rule: texts
+    * are cut at their content-defined boundaries, each chunk is
+    * fingerprinted, and chunks appearing in more than one document are
+    * counted. Because boundaries move with content, a paragraph pasted
+    * into ten documents lands on the SAME chunk hashes in all ten —
+    * fixed windows would only catch it at aligned offsets.
+    *
+    * Per row: one codegen HOF pass builds the boundary list and
+    * slices chunks (O(len)); the shuffle then carries (chunk-md5,
+    * doc) pairs — hashes, never chunk text. Output is one summary
+    * row: (n_chunks, n_distinct, n_shared_chunks, docs_with_shared),
+    * where shared = fingerprint seen in ≥ 2 distinct documents.
+    */
+  def chunkDedupSummary(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 2, s"chunkDedupSummary: window must be >= 2, got $window")
+    require(divisor >= 2, s"chunkDedupSummary: divisor must be >= 2, got $divisor")
+    val bpos = filter(
+      sequence(lit(window), length(textCol)),
+      p => conv(substring(md5(substring(textCol, p - (window - 1), lit(window))), 1, 8),
+        16, 10).cast("long") % divisor === 0)
+    val bounds = concat(array(lit(0)), bpos, array(length(textCol)))
+    val chunks = transform(
+      sequence(lit(0), size(bounds) - 2),
+      i => md5(substring(textCol,
+        element_at(bounds, i + 1) + 1,
+        element_at(bounds, i + 2) - element_at(bounds, i + 1))))
+    val pairs = df.where(length(textCol) >= window)
+      .select(idCol.as("_id"), explode(chunks).as("_h"))
+      .localCheckpoint(true)
+    val perHash = pairs.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n"), count_distinct(col("_id")).as("_nd"))
+    val shared = perHash.where(col("_nd") >= 2)
+    perHash.agg(sum(col("_n")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"))
+      .crossJoin(broadcast(
+        shared.agg(coalesce(count(lit(1)), lit(0L)).as("n_shared_chunks"))))
+      .crossJoin(broadcast(
+        pairs.join(shared.select(col("_h")), Seq("_h"), "left_semi")
+          .agg(count_distinct(col("_id")).as("docs_with_shared"))))
+  }
+
   /** Rolling-origin backtest splits — time-series cross-validation
     * that never leaks the future: fold i trains on ticks
     * [minTick, trainWindow + i·horizon) and tests on the next

@@ -767,6 +767,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("robustStats: median/MAD shrug off the outlier that wrecks mean/sigma") {
+    // group a: {10, 12, 14, 16, 1000000} -> median 14, deviations
+    // {4,2,0,2,999986} -> MAD 2
+    val df = Seq(10L, 12L, 14L, 16L, 1000000L).map(("a", _)).toDF("g", "v")
+    val r = Analytics.robustStats(df, col("g"), col("v")).collect().head
+    assert(r.getLong(1) == 5L && r.getLong(2) == 14L && r.getLong(3) == 2L)
+  }
+
   test("srmCheck: balanced split is quiet, broken split trips the fences") {
     val ok = (1L to 100L).map(i => i % 2).toDF("arm")
     val r1 = Analytics.srmCheck(ok, col("arm")).collect().head

@@ -430,6 +430,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(math.abs(out2.getLong(2) - nb) <= 8L)
   }
 
+  test("chunkDedupSummary: a pasted passage shares chunk hashes across docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val passage = "the quick brown fox jumps over the lazy dog " * 30
+    // two docs embed the same long passage at DIFFERENT offsets; the
+    // third is unrelated — content-defined cuts realign regardless
+    val df = Seq(
+      (1L, "PREFIX-A " + passage),
+      (2L, "a completely different and much longer prefix here " + passage),
+      (3L, "nothing in common with the others at all " * 25)
+    ).toDF("id", "text")
+    val r = TrainingData.chunkDedupSummary(df, col("id"), col("text"))
+      .collect().head
+    val (nChunks, nDistinct, nShared, docsShared) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nChunks >= nDistinct && nDistinct > 0)
+    assert(nShared > 0, "shared passage must produce shared chunk hashes")
+    assert(docsShared >= 2)
+  }
+
   test("rollingOrigin: expanding train windows, leakage-free test slices") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
