@@ -2703,7 +2703,24 @@ object SparkEntry {
       Analytics.robustStats(t(s, d, "lineitem"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
         .select(col("group").as("l_returnflag"), col("n"), col("median"),
-          col("mad"))))
+          col("mad"))),
+
+    // Multi-touch linear attribution over a 7-day lookback: exact ppm
+    // credit with the floor remainder reported, never smeared.
+    "q_attr_linear" -> ((s, d) =>
+      Analytics.linearAttribution(t(s, d, "events"), col("user_id"),
+        col("event_id"), col("ts"),
+        col("event_type") === "purchase", col("event_type") === "click",
+        windowUs = 7L * 24 * 3600 * 1000000L)),
+
+    // Per-returnflag winsorized mean of price cents at the group's own
+    // exact p05/p95 fences.
+    "q_winsor_group" -> ((s, d) =>
+      Analytics.groupedWinsorizedMean(t(s, d, "lineitem"),
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .select(col("group").as("l_returnflag"), col("n"), col("lo"),
+          col("hi"), col("winsorized_mean"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5805,5 +5822,45 @@ object SparkEntry {
         |mad AS (SELECT cdf2.g, min(d) AS mad FROM cdf2
         |  JOIN n2 ON cdf2.g = n2.g WHERE cum >= ceil(0.5 * n2.n) GROUP BY 1)
         |SELECT med.g AS l_returnflag, med.n, med.median, mad.mad
-        |FROM med JOIN mad ON med.g = mad.g""".stripMargin)
+        |FROM med JOIN mad ON med.g = mad.g""".stripMargin,
+
+    // same per-conversion touch counts + floor-credit accounting
+    "q_attr_linear" ->
+      """WITH conv AS (SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS ct,
+        |  event_id AS cid FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS tt
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT cid,
+        |  CASE WHEN tt IS NOT NULL AND tt <= ct
+        |    AND ct - tt <= 604800000000 THEN 1 ELSE 0 END AS hit
+        |  FROM conv LEFT JOIN touch ON conv.k = touch.k),
+        |pc AS (SELECT cid, CAST(sum(hit) AS BIGINT) AS kt FROM j GROUP BY 1)
+        |SELECT count(*) AS n_conversions,
+        |  CAST(sum(CASE WHEN kt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+        |  CAST(sum(kt) AS BIGINT) AS n_credited_touches,
+        |  CAST(sum(CASE WHEN kt > 0 THEN (1000000 // kt) * kt ELSE 0 END)
+        |    AS BIGINT) AS credit_ppm_total,
+        |  CAST(sum(CASE WHEN kt > 0 THEN 1000000 - (1000000 // kt) * kt
+        |    ELSE 0 END) AS BIGINT) AS remainder_ppm_total
+        |FROM pc""".stripMargin,
+
+    // same grouped p05/p95 fences + clamped exact mean
+    "q_winsor_group" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |c1 AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM c1),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c1 GROUP BY 1),
+        |lo AS (SELECT cdf.g, min(v) AS lo FROM cdf JOIN nn ON cdf.g = nn.g
+        |  WHERE cum >= ceil(CAST(0.05 AS DOUBLE) * nn.n) GROUP BY 1),
+        |hi AS (SELECT cdf.g, min(v) AS hi FROM cdf JOIN nn ON cdf.g = nn.g
+        |  WHERE cum >= ceil(CAST(0.95 AS DOUBLE) * nn.n) GROUP BY 1)
+        |SELECT base.g AS l_returnflag, count(*) AS n,
+        |  any_value(lo.lo) AS lo, any_value(hi.hi) AS hi,
+        |  CAST(sum(greatest(lo.lo, least(hi.hi, v))) // count(*) AS BIGINT)
+        |    AS winsorized_mean
+        |FROM base JOIN lo ON base.g = lo.g JOIN hi ON base.g = hi.g
+        |GROUP BY 1""".stripMargin)
 }

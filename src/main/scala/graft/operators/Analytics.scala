@@ -909,6 +909,78 @@ object Analytics {
           s => s.getField("_sym")), "").as("sax"))
   }
 
+  /** Multi-touch LINEAR attribution — the fairness counterpart of the
+    * as-of last-touch gate: every same-key touch inside the lookback
+    * window shares the conversion's credit equally, in exact ppm with
+    * the floor-remainder accounted (k touches get 10⁶ div k each;
+    * sum ≤ 10⁶, the remainder is reported, never smeared). Output is
+    * the summary an attribution dashboard reads: conversions,
+    * touched-conversion count, credited touches, and the exact ppm
+    * credit mass per touch bucket.
+    *
+    * Shape: one equi-join on the key with the window predicate
+    * filtered post-join — per-key candidate pairs, bounded by per-key
+    * activity (the same envelope every sessionization accepts), then
+    * two map-combinable aggregates. Returns one row: (n_conversions,
+    * n_touched, n_credited_touches, credit_ppm_total,
+    * remainder_ppm_total).
+    */
+  def linearAttribution(df: DataFrame, keyCol: Column, idCol: Column,
+      tsCol: Column, conversionFilter: Column, touchFilter: Column,
+      windowUs: Long): DataFrame = {
+    require(windowUs >= 1, s"linearAttribution: windowUs must be >= 1, got $windowUs")
+    val us = unix_micros(tsCol.cast("timestamp"))
+    val conv = df.where(conversionFilter)
+      .select(keyCol.as("_k"), us.as("_ct"), idCol.as("_cid"))
+    val touch = df.where(touchFilter).select(keyCol.as("_k"), us.as("_tt"))
+    val joined = conv.join(touch, Seq("_k"), "left")
+      .withColumn("_hit",
+        col("_tt").isNotNull && col("_tt") <= col("_ct") &&
+          col("_ct") - col("_tt") <= windowUs)
+    val perConv = joined.groupBy(col("_cid"))
+      .agg(sum(when(col("_hit"), 1L).otherwise(0L)).as("_k_touches"))
+    perConv.agg(
+      count(lit(1)).as("n_conversions"),
+      sum(when(col("_k_touches") > 0, 1L).otherwise(0L)).as("n_touched"),
+      sum(col("_k_touches")).as("n_credited_touches"),
+      sum(when(col("_k_touches") > 0,
+        expr("(1000000 div _k_touches) * _k_touches")).otherwise(0L))
+        .as("credit_ppm_total"),
+      sum(when(col("_k_touches") > 0,
+        expr("1000000 - (1000000 div _k_touches) * _k_touches")).otherwise(0L))
+        .as("remainder_ppm_total"))
+  }
+
+  /** Per-group winsorized mean — [[robustStats]]' actionable sibling:
+    * clamp each group's values at its own exact p-lo/p-hi quantiles
+    * (from [[groupedExactQuantiles]]), then take the exact integer
+    * mean of the clamped cents (truncating div). The per-feed outlier
+    * guard: one rogue feed's spikes stop distorting ITS mean without
+    * touching anyone else's distribution. Output: (group, n, lo, hi,
+    * winsorized_mean).
+    */
+  def groupedWinsorizedMean(df: DataFrame, groupCol: Column, valueCol: Column,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0.0 && pHi < 1.0 && pLo < pHi,
+      s"groupedWinsorizedMean: need 0 < pLo < pHi < 1, got $pLo/$pHi")
+    val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+      .localCheckpoint(true)
+    val qs = groupedExactQuantiles(base, col("_g"), col("_v"), Seq(pLo, pHi))
+    val lo = qs.where(col("p") === pLo)
+      .select(col("group").as("_g"), col("value").as("_lo"))
+    val hi = qs.where(col("p") === pHi)
+      .select(col("group").as("_g"), col("value").as("_hi"))
+    base.join(lo, Seq("_g")).join(hi, Seq("_g"))
+      .select(col("_g"), col("_lo"), col("_hi"),
+        greatest(col("_lo"), least(col("_hi"), col("_v"))).as("_w"))
+      .groupBy(col("_g").as("group"))
+      .agg(count(lit(1)).as("n"), first(col("_lo")).as("lo"),
+        first(col("_hi")).as("hi"), sum(col("_w")).as("_sum"))
+      .select(col("group"), col("n"), col("lo"), col("hi"),
+        expr("_sum div n").as("winsorized_mean"))
+  }
+
   /** Per-group robust location/scale — exact median and MAD (median
     * absolute deviation), the outlier-immune counterpart of
     * [[graft.operators.TrainingData.featureScale]]'s min-max/z pair:

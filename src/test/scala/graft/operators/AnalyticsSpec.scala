@@ -767,6 +767,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("linearAttribution: equal split with floor remainder, window enforced") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // conv c1 has 3 in-window clicks -> 333333 each, remainder 1;
+    // conv c2 has none (click after purchase); conv c3 out-of-window
+    val df = Seq(
+      (1L, 10L, ts(100), "purchase"), (1L, 11L, ts(90), "click"),
+      (1L, 12L, ts(80), "click"), (1L, 13L, ts(70), "click"),
+      (2L, 20L, ts(100), "purchase"), (2L, 21L, ts(101), "click"),
+      (3L, 30L, ts(1000), "purchase"), (3L, 31L, ts(1L), "click")
+    ).toDF("u", "id", "ts", "et")
+    val r = Analytics.linearAttribution(df, col("u"), col("id"), col("ts"),
+        col("et") === "purchase", col("et") === "click",
+        windowUs = 500L * 1000000L)
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 999999L && r.getLong(4) == 1L)
+  }
+
+  test("groupedWinsorizedMean: clamped at the group's own exact fences") {
+    // group a: 1..10 -> p05 rank ceil(0.5)=1 -> lo=1; p95 rank ceil(9.5)=10 -> hi=10
+    // (no clamping on uniform small n); spike group b clamps hard
+    val b = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 1000000L).map(("b", _))
+    val df = b.toDF("g", "v")
+    val r = Analytics.groupedWinsorizedMean(df, col("g"), col("v"), 0.05, 0.95)
+      .collect().head
+    // lo: ceil(0.5)=1 -> 1; hi: ceil(9.5)=10 -> the spike ITSELF is the
+    // p95 value here (rank 10) so hi = 1000000 -> mean unchanged
+    assert(r.getLong(1) == 10L && r.getLong(2) == 1L)
+    // with pHi = 0.9 -> rank 9 -> hi = 9, spike clamps to 9
+    val r2 = Analytics.groupedWinsorizedMean(df, col("g"), col("v"), 0.05, 0.9)
+      .collect().head
+    assert(r2.getLong(3) == 9L)
+    assert(r2.getLong(4) == 5L) // clamped sum 45+9 = 54, 54 div 10 = 5
+  }
+
   test("robustStats: median/MAD shrug off the outlier that wrecks mean/sigma") {
     // group a: {10, 12, 14, 16, 1000000} -> median 14, deviations
     // {4,2,0,2,999986} -> MAD 2

@@ -1031,6 +1031,25 @@ class StreamingSpec extends SparkSpec {
     assert(r2.overflowed && r2.distinct == 2 && r2.mode.contains("a") && r2.n == 2L)
   }
 
+  test("streaming SRM matches the batch statistic on every prefix") {
+    import graft.streaming.StreamSrm
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamSrm(in.toDS())
+      .writeStream.format("memory").queryName("srm_out").outputMode("append").start()
+    // experiment 7: wildly broken 8/2 split
+    val feed = Seq.fill(8)((7L, 0L)) ++ Seq.fill(2)((7L, 1L))
+    in.addData(feed.take(5)); q.processAllAvailable()
+    in.addData(feed.drop(5)); q.processAllAvailable(); q.stop()
+    val last = spark.table("srm_out").as[StreamSrm.SRow].collect().last
+    val batch = graft.operators.Analytics.srmCheck(
+        feed.map(_._2).toDF("arm"), col("arm")).collect().head
+    assert((last.nA, last.nB, last.chi2Ppm) ==
+      ((batch.getLong(0), batch.getLong(1), batch.getLong(2))))
+    assert(last.srm95 == batch.getBoolean(3) && last.srm99 == batch.getBoolean(4))
+  }
+
   test("streaming time-to-convert matches the batch operator; late rows flagged") {
     import graft.streaming.StreamTtc
     import org.apache.spark.sql.functions.col
