@@ -2720,7 +2720,21 @@ object SparkEntry {
         col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
         .select(col("group").as("l_returnflag"), col("n"), col("lo"),
-          col("hi"), col("winsorized_mean"))))
+          col("hi"), col("winsorized_mean"))),
+
+    // k-anonymity release gate on (nation, market segment): classes
+    // below k=5 and the exact rows-at-risk share.
+    "q_kanon" -> ((s, d) =>
+      Quality.kAnonymity(t(s, d, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")), k = 5L)),
+
+    // Quantile-normalize document lengths per source onto the global
+    // length distribution — cross-feed score calibration by rank.
+    "q_qnorm" -> ((s, d) =>
+      Analytics.quantileNormalize(t(s, d, "documents"), col("source"),
+        col("n_chars"))
+        .select(col("group").as("source"), col("value"), col("rank_ppm"),
+          col("normalized"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5862,5 +5876,37 @@ object SparkEntry {
         |  CAST(sum(greatest(lo.lo, least(hi.hi, v))) // count(*) AS BIGINT)
         |    AS winsorized_mean
         |FROM base JOIN lo ON base.g = lo.g JOIN hi ON base.g = hi.g
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    // same class-size count-of-counts summary
+    "q_kanon" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+        |    // sum(n) AS BIGINT) AS at_risk_ppm
+        |FROM cls""".stripMargin,
+
+    // same grouped/global rank-ppm CDFs + smallest-qualifying lookup
+    "q_qnorm" ->
+      """WITH gc AS (SELECT source AS g, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |gn AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM gc GROUP BY 1),
+        |gcdf AS (SELECT gc.g, v,
+        |  CAST(sum(c) OVER (PARTITION BY gc.g ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) * 1000000 // ng AS BIGINT) AS rank_ppm
+        |  FROM gc JOIN gn ON gc.g = gn.g),
+        |tc AS (SELECT n_chars AS gv, count(*) AS c FROM documents GROUP BY 1),
+        |tn AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM tc),
+        |tcdf AS (SELECT gv,
+        |  CAST(sum(c) OVER (ORDER BY gv ROWS UNBOUNDED PRECEDING)
+        |    * 1000000 // nt AS BIGINT) AS gppm
+        |  FROM tc CROSS JOIN tn)
+        |SELECT g AS source, v AS value, rank_ppm, min(gv) AS normalized
+        |FROM gcdf JOIN tcdf ON gppm >= rank_ppm
+        |GROUP BY 1, 2, 3""".stripMargin)
 }

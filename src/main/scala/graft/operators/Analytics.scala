@@ -909,6 +909,44 @@ object Analytics {
           s => s.getField("_sym")), "").as("sax"))
   }
 
+  /** Quantile normalization — map every group's values onto the
+    * GLOBAL distribution by rank (the cross-feed score calibrator:
+    * after it, "0.9 from feed A" and "0.9 from feed B" mean the same
+    * percentile, so one threshold works corpus-wide). For each
+    * (group, value): its group-CDF rank in ppm, then the smallest
+    * global value whose global rank-ppm reaches it.
+    *
+    * Both CDFs live on (group ×) DISTINCT-value count frames — the
+    * quantile-family boundedness — and the inverse lookup here is a
+    * rank-band join between those two bounded frames (document scale:
+    * swap for the as-of merge when distinct values grow past memory;
+    * the frames, not the corpus, bound the work). Output one row per
+    * distinct (group, value): (group, value, rank_ppm, normalized).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+      .localCheckpoint(true)
+    val gc = base.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val wg = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gn = gc.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+    val gcdf = gc.withColumn("_cum", sum(col("_c")).over(wg))
+      .join(gn, Seq("_g"))
+      .select(col("_g"), col("_v"), expr("_cum * 1000000 div _ng").as("rank_ppm"))
+    val tc = base.groupBy(col("_v").as("_gv")).agg(count(lit(1)).as("_c"))
+    val wt = Window.orderBy(col("_gv")) // distinct global values — bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tn = tc.agg(sum(col("_c")).as("_nt"))
+    val tcdf = tc.withColumn("_cumt", sum(col("_c")).over(wt))
+      .crossJoin(broadcast(tn))
+      .select(col("_gv"), expr("_cumt * 1000000 div _nt").as("_gppm"))
+      .localCheckpoint(true)
+    gcdf.join(tcdf, col("_gppm") >= col("rank_ppm"))
+      .groupBy(col("_g").as("group"), col("_v").as("value"), col("rank_ppm"))
+      .agg(min(col("_gv")).as("normalized"))
+  }
+
   /** Multi-touch LINEAR attribution — the fairness counterpart of the
     * as-of last-touch gate: every same-key touch inside the lookback
     * window shares the conversion's credit equally, in exact ppm with

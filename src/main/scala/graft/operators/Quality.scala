@@ -306,4 +306,26 @@ object Quality {
       .groupBy(col("n_bins"), col("n_ref"), col("n_cur"))
       .agg(sum(col("_t")).cast("double").as("psi"))
   }
+
+  /** k-anonymity audit — the release-gate for any dataset leaving the
+    * training enclave: group by the quasi-identifier columns and
+    * count equivalence classes smaller than `k`; every row in such a
+    * class is re-identifiable by an attacker who knows its QI tuple.
+    * One map-combinable aggregate to the class frame (bounded by
+    * distinct QI combinations) + a count-of-counts summary row:
+    * (n_rows, n_classes, n_violating_classes, rows_at_risk,
+    * at_risk_ppm). NULL QI values form their own class, as an
+    * attacker would treat them.
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[Column], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "kAnonymity: need at least one quasi-identifier")
+    require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
+    df.groupBy(quasiIds: _*).agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_n")).as("n_rows"), count(lit(1)).as("n_classes"),
+        sum(when(col("_n") < k, 1L).otherwise(0L)).as("n_violating_classes"),
+        sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("rows_at_risk"))
+      .select(col("n_rows"), col("n_classes"), col("n_violating_classes"),
+        col("rows_at_risk"),
+        expr("rows_at_risk * 1000000 div n_rows").as("at_risk_ppm"))
+  }
 }

@@ -767,6 +767,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("quantileNormalize: group ranks land on the global distribution") {
+    // global values {10 x2, 20, 30}: global ppm 10->500000, 20->750000, 30->1000000
+    // group a = {10, 20}: ranks 500000, 1000000 -> normalized 10, 30
+    // group b = {10, 30}: ranks 500000, 1000000 -> normalized 10, 30
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 10L), ("b", 30L)).toDF("g", "v")
+    val out = Analytics.quantileNormalize(df, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a", 10L)) == ((500000L, 10L)))
+    assert(out(("a", 20L)) == ((1000000L, 30L)))
+    assert(out(("b", 10L)) == ((500000L, 10L)))
+    assert(out(("b", 30L)) == ((1000000L, 30L)))
+  }
+
   test("linearAttribution: equal split with floor remainder, window enforced") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)

@@ -135,4 +135,16 @@ class QualitySpec extends SparkSpec {
     assert(Quality.psi(withNull, ref, col("bin")).head()
       .getAs[Long]("n_ref") == 6L)
   }
+
+  test("kAnonymity: small classes counted, nulls form their own class") {
+    // classes: (a,x):3 ok, (a,y):1 violating, (null,x):2 violating at k=3
+    val df = Seq(
+      (Some("a"), "x"), (Some("a"), "x"), (Some("a"), "x"),
+      (Some("a"), "y"), (None, "x"), (None, "x")
+    ).toDF("q1", "q2")
+    val r = Quality.kAnonymity(df, Seq(col("q1"), col("q2")), k = 3L)
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 3L && r.getLong(4) == 500000L)
+  }
 }
