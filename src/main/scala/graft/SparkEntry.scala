@@ -2734,7 +2734,36 @@ object SparkEntry {
       Analytics.quantileNormalize(t(s, d, "documents"), col("source"),
         col("n_chars"))
         .select(col("group").as("source"), col("value"), col("rank_ppm"),
-          col("normalized"))))
+          col("normalized"))),
+
+    // l-diversity on (nation, segment) with account balance sign as
+    // the sensitive value — large-but-uniform classes still leak.
+    "q_ldiv" -> ((s, d) =>
+      Quality.lDiversity(t(s, d, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        (col("c_acctbal") >= 0).cast("int"), l = 2L)),
+
+    // Near-dup cluster SIZE histogram over the q_dedup_cc components —
+    // the dedup-tuning readout (are we merging pairs or empires?).
+    "q_dup_sizes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
+      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("_sz"))
+        .groupBy(col("_sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // Embedding norm histogram (quarter-unit buckets of cents-rounded
+    // L2 norms) — collapsed or exploded vectors show as spikes.
+    "q_embed_norms" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(expr(
+          "CAST(round(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 100) " +
+            "AS BIGINT) div 25").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5908,5 +5937,56 @@ object SparkEntry {
         |  FROM tc CROSS JOIN tn)
         |SELECT g AS source, v AS value, rank_ppm, min(gv) AS normalized
         |FROM gcdf JOIN tcdf ON gppm >= rank_ppm
-        |GROUP BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // same class frame + distinct-sensitive counts
+    "q_ldiv" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT CAST(c_acctbal >= 0 AS INTEGER)) AS div
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_classes,
+        |  CAST(sum(CASE WHEN div < 2 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  min(div) AS min_diversity
+        |FROM cls""".stripMargin,
+
+    // the q_dedup_cc component oracle folded to a size histogram
+    "q_dup_sizes" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id AS id, list_distinct(CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS sh
+         |  FROM documents),
+         |postings AS (SELECT id, unnest(sh) AS g FROM docs),
+         |rare AS (SELECT g FROM postings GROUP BY g
+         |  HAVING count(*) <= 100 AND count(*) >= 2),
+         |filtered AS (SELECT p.id, p.g FROM postings p JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id),
+         |edges AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |  len(list_intersect(da.sh, db.sh))::DOUBLE /
+         |  len(list_distinct(list_concat(da.sh, db.sh))) AS j
+         |  FROM cand JOIN docs da ON cand.id_a = da.id
+         |  JOIN docs db ON cand.id_b = db.id) WHERE j >= 0.2),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS node FROM documents
+         |  UNION
+         |  SELECT r.src, CASE WHEN e.id_a = r.node THEN e.id_b ELSE e.id_a END
+         |  FROM reach r JOIN edges e ON r.node = e.id_a OR r.node = e.id_b),
+         |comp AS (SELECT src, min(node) AS component FROM reach GROUP BY src),
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY 1""".stripMargin,
+
+    // same in-order fold, cents-rounded norm, quarter-unit buckets
+    "q_embed_norms" ->
+      """SELECT CAST(round(sqrt(list_reduce(
+        |    list_prepend(0.0::DOUBLE,
+        |      list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+        |    (a, x) -> a + x)) * 100) AS BIGINT) // 25 AS bucket,
+        |  count(*) AS n
+        |FROM embeddings GROUP BY 1""".stripMargin)
 }

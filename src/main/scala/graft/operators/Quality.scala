@@ -317,6 +317,26 @@ object Quality {
     * at_risk_ppm). NULL QI values form their own class, as an
     * attacker would treat them.
     */
+  /** l-diversity audit — [[kAnonymity]]'s stronger sibling: a class
+    * can be large yet still leak if everyone in it shares the same
+    * SENSITIVE value (k-anonymous, zero-diverse). Per QI class, the
+    * distinct sensitive-value count; the summary counts classes below
+    * `l` and the rows they expose. Same bounded class-frame shape as
+    * kAnonymity plus one count_distinct. Output: (n_rows, n_classes,
+    * n_violating_classes, rows_at_risk, min_diversity).
+    */
+  def lDiversity(df: DataFrame, quasiIds: Seq[Column], sensitiveCol: Column,
+      l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "lDiversity: need at least one quasi-identifier")
+    require(l >= 2, s"lDiversity: l must be >= 2, got $l")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("_n"), count_distinct(sensitiveCol).as("_div"))
+      .agg(sum(col("_n")).as("n_rows"), count(lit(1)).as("n_classes"),
+        sum(when(col("_div") < l, 1L).otherwise(0L)).as("n_violating_classes"),
+        sum(when(col("_div") < l, col("_n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("_div")).as("min_diversity"))
+  }
+
   def kAnonymity(df: DataFrame, quasiIds: Seq[Column], k: Long): DataFrame = {
     require(quasiIds.nonEmpty, "kAnonymity: need at least one quasi-identifier")
     require(k >= 2, s"kAnonymity: k must be >= 2, got $k")

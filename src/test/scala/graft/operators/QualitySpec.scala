@@ -136,6 +136,19 @@ class QualitySpec extends SparkSpec {
       .getAs[Long]("n_ref") == 6L)
   }
 
+  test("lDiversity: a large uniform class violates what k-anonymity misses") {
+    // class (a): 4 rows but all sensitive 's1' -> k-anon fine at k=3,
+    // l-diversity violated at l=2; class (b): 2 rows, 2 values -> ok
+    val df = Seq(("a", "s1"), ("a", "s1"), ("a", "s1"), ("a", "s1"),
+      ("b", "s1"), ("b", "s2")).toDF("q", "s")
+    val kr = Quality.kAnonymity(df, Seq(col("q")), k = 3L).collect().head
+    assert(kr.getLong(2) == 1L) // only the small class violates k-anon
+    val lr = Quality.lDiversity(df, Seq(col("q")), col("s"), l = 2L)
+      .collect().head
+    assert(lr.getLong(1) == 2L && lr.getLong(2) == 1L)
+    assert(lr.getLong(3) == 4L && lr.getLong(4) == 1L) // the UNIFORM class
+  }
+
   test("kAnonymity: small classes counted, nulls form their own class") {
     // classes: (a,x):3 ok, (a,y):1 violating, (null,x):2 violating at k=3
     val df = Seq(
