@@ -48,4 +48,19 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS items_bkt")
     }
   }
+
+  test("partitionedParquet: a partition-column filter prunes at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = (1L to 300L).map(i => (i, s"d${i % 3}")).toDF("id", "day")
+    graft.sinks.Sink.partitionedParquet("t", dir, Seq("day"))(Map("t" -> df))
+    // three hive-style day=… directories on disk
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("day=")).sorted
+    assert(dirs.toSeq == Seq("day=d0", "day=d1", "day=d2"))
+    val back = spark.read.parquet(dir).where(col("day") === "d1")
+    assert(back.count() == 100L)
+    // pruning is visible in the scan: only one partition directory read
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"))
+  }
 }
