@@ -2763,7 +2763,24 @@ object SparkEntry {
           "CAST(round(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
             "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 100) " +
             "AS BIGINT) div 25").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
+
+    // Edge-weighted PageRank over the trade graph, weights = distinct
+    // orders per pair: scatter proportional to trade volume, 2
+    // bit-exact scaled-integer supersteps.
+    "q_pagerank_w" -> ((s, d) => {
+      val triple = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2L).as("c"),
+          (col("l_suppkey") * 2L + 1L).as("p"), col("o_orderkey").as("ok"))
+        .distinct()
+      val pw = triple.groupBy(col("c"), col("p")).agg(count(lit(1)).as("w"))
+      val ew = pw.select(col("c").as("src"), col("p").as("dst"), col("w"))
+        .unionAll(pw.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      Graph.pageRankWeighted(ew, "src", "dst", "w", iters = 2)
+        .select(decodeTradeNode(col("node")).as("node"), col("score"))
+    }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -5988,5 +6005,32 @@ object SparkEntry {
         |      list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
         |    (a, x) -> a + x)) * 100) AS BIGINT) // 25 AS bucket,
         |  count(*) AS n
-        |FROM embeddings GROUP BY 1""".stripMargin)
+        |FROM embeddings GROUP BY 1""".stripMargin,
+
+    // same weight-proportional scatter, 2 unrolled iterations
+    "q_pagerank_w" ->
+      """WITH triple AS (SELECT DISTINCT 'c:' || o_custkey AS c,
+        |  's:' || l_suppkey AS p, o_orderkey AS ok
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |pw AS (SELECT c, p, count(*) AS w FROM triple GROUP BY 1, 2),
+        |edges AS (SELECT c AS src, p AS dst, w FROM pw
+        |          UNION ALL SELECT p AS src, c AS dst, w FROM pw),
+        |verts AS (SELECT DISTINCT src AS node FROM edges
+        |          UNION SELECT DISTINCT dst AS node FROM edges),
+        |ows AS (SELECT src, CAST(sum(w) AS BIGINT) AS ws
+        |  FROM edges GROUP BY src),
+        |it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score FROM verts),
+        |inf1 AS (SELECT e.dst, CAST(SUM((sc.score * e.w) // od.ws) AS BIGINT) AS f
+        |  FROM edges e JOIN it0 sc ON e.src = sc.node
+        |  JOIN ows od ON e.src = od.src GROUP BY e.dst),
+        |it1 AS (SELECT v.node,
+        |  150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
+        |  FROM verts v LEFT JOIN inf1 i ON v.node = i.dst),
+        |inf2 AS (SELECT e.dst, CAST(SUM((sc.score * e.w) // od.ws) AS BIGINT) AS f
+        |  FROM edges e JOIN it1 sc ON e.src = sc.node
+        |  JOIN ows od ON e.src = od.src GROUP BY e.dst),
+        |it2 AS (SELECT v.node,
+        |  150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
+        |  FROM verts v LEFT JOIN inf2 i ON v.node = i.dst)
+        |SELECT node, CAST(score AS BIGINT) AS score FROM it2""".stripMargin)
 }

@@ -55,7 +55,32 @@ object Graph {
       dampNum: Long = 85L,
       dampDen: Long = 100L,
       checkpointIters: Int = 1): DataFrame =
-    prLoop(edges, srcCol, dstCol, None, iters, scale, dampNum, dampDen, checkpointIters)
+    prLoop(edges, srcCol, dstCol, None, None, iters, scale, dampNum, dampDen, checkpointIters)
+
+  /** Edge-weighted PageRank: each node scatters its score
+    * PROPORTIONALLY to edge weight — contrib(v→u) =
+    * (score·w_vu) div Σ_x w_vx — so a supplier trading 100 orders
+    * with a customer endorses it 100× harder than a one-off. Same
+    * scaled-integer superstep discipline as [[pageRank]] (one score
+    * join + one aggregate per iteration over the persisted
+    * weight-decorated edges), bit-exact under any shuffle order.
+    * Duplicate (src, dst) edges merge by SUMMING weights. Keep
+    * `scale·max(w)` comfortably under 2⁶³ (the per-edge product is
+    * the widest intermediate — at the 1e9 default scale that allows
+    * weights to ~1e9).
+    */
+  def pageRankWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int,
+      scale: Long = 1000000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      checkpointIters: Int = 1): DataFrame =
+    prLoop(edges, srcCol, dstCol, None, Some(weightCol), iters, scale,
+      dampNum, dampDen, checkpointIters)
 
   /** Personalized PageRank (TrustRank, Gyöngyi et al. VLDB'04): the
     * teleport term lands ONLY on a trusted seed set, so score measures
@@ -84,13 +109,14 @@ object Graph {
       dampDen: Long = 100L,
       checkpointIters: Int = 1): DataFrame =
     prLoop(edges, srcCol, dstCol, Some(seeds.select(col(seedCol).as("node"))),
-      iters, scale, dampNum, dampDen, checkpointIters)
+      None, iters, scale, dampNum, dampDen, checkpointIters)
 
   private def prLoop(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       seeds: Option[DataFrame],
+      weightCol: Option[String],
       iters: Int,
       scale: Long,
       dampNum: Long,
@@ -106,17 +132,35 @@ object Graph {
     // contrib self-join, both vertex legs) — persist it once or each
     // derived cache's materialization recomputes the upstream dedup.
     val e = graft.core.CacheRegistry.persist(
-      edges
-        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct(),
+      weightCol match {
+        case None =>
+          edges
+            .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+            .where(col("src").isNotNull && col("dst").isNotNull)
+            .distinct()
+        case Some(wc) =>
+          // duplicate edges merge by summing weight; non-positive
+          // weights carry no endorsement and are dropped
+          edges
+            .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+              col(wc).cast("long").as("w"))
+            .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+            .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      },
       MEMORY_AND_DISK)
-    // (src, dst, deg) is loop-invariant: compute the out-degrees once,
-    // persist partitioned on src so every iteration's score join lands
-    // on the cached layout without a fresh edge shuffle.
+    // (src, dst, deg|wsum) is loop-invariant: compute the out-degree /
+    // out-weight totals once, persist partitioned on src so every
+    // iteration's score join lands on the cached layout without a
+    // fresh edge shuffle.
     val contrib = graft.core.CacheRegistry.persist(
-      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-        .repartition(col("src")),
+      weightCol match {
+        case None =>
+          e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+            .repartition(col("src"))
+        case Some(_) =>
+          e.join(e.groupBy("src").agg(sum(col("w")).as("wsum")), "src")
+            .repartition(col("src"))
+      },
       MEMORY_AND_DISK)
     // verts carries the teleport mask: is_seed ∈ {0, 1}, all-1 for
     // plain PageRank — one loop body serves both variants exactly.
@@ -138,10 +182,12 @@ object Graph {
     e.unpersist()
     val base = scale * (dampDen - dampNum) / dampDen
     var scores = verts.select(col("node"), (lit(scale) * col("is_seed")).as("score"))
+    val contribExpr =
+      if (weightCol.isDefined) "(score * w) div wsum" else "score div deg"
     for (i <- 1 to iters) {
       val inflow = contrib
         .join(scores, col("src") === col("node"))
-        .select(col("dst"), expr("score div deg").as("c"))
+        .select(col("dst"), expr(contribExpr).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
       scores = verts
         .join(inflow, col("node") === col("dst"), "left")

@@ -323,6 +323,30 @@ class GraphSpec extends SparkSpec {
     assert(capped == Set((1L, 2L, 1L)))
   }
 
+  test("pageRankWeighted: scatter follows weight; uniform weights = plain PR") {
+    // 1 -> {2 (w=3), 3 (w=1)}: node 2 receives 3x node 3's inflow
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.pageRankWeighted(e, "src", "dst", "w", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // from 1: 1e9*3 div 4 = 75e7 to node 2, 25e7 to node 3
+    assert(out(2L) == 150000000L + 85L * 750000000L / 100L)
+    assert(out(3L) == 150000000L + 85L * 250000000L / 100L)
+    // all-equal weights reproduce plain pageRank exactly
+    val uni = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 1L, 5L)).toDF("src", "dst", "w")
+    val pw = Graph.pageRankWeighted(uni, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.pageRank(uni.select(col("src"), col("dst")), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pw == pr)
+    // duplicate edges merge by SUMMING weight
+    val dup = Seq((1L, 2L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val d = Graph.pageRankWeighted(dup, "src", "dst", "w", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(2L) == d(3L)) // merged 1->2 weight 3 equals 1->3 weight 3
+  }
+
   test("degreeAssortativity: perfect star is exactly r = -1") {
     val e = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
