@@ -419,6 +419,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning")) // only the 1-row agg exchanges
   }
 
+  test("asOfJoinNearest: still ONE keyed window pass — nearest adds no join") {
+    val l = (1 to 60).map(i => (i.toLong % 5, i.toLong * 10)).toDF("k", "ts")
+    val r = (1 to 30).map(i => (i.toLong % 5, i.toLong * 17, i.toDouble)).toDF("k", "rts", "v")
+    val p = finalPlan(graft.operators.Relational.asOfJoinNearest(
+      l, r, "k", "ts", "rts", Seq("v")))
+    assert(!p.contains("Join"))
+    assert(p.contains("windowspecdefinition(k#"))
+    // both direction fills share one keyed exchange
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+  }
+
+  test("islands windows per key over the DISTINCT frame, never globally") {
+    val df = (1 to 100).map(i => (i.toLong % 4, (i / 3).toLong)).toDF("k", "d")
+    val p = finalPlan(graft.operators.Relational.islands(df, col("k"), col("d")))
+    assert(p.contains("windowspecdefinition(_k#"))
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("averagePrecision: the ranked CDF has no Window node and no cartesian") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 3 == 0))).toDF("s", "y")
+    val p = finalPlan(graft.operators.Analytics.averagePrecision(
+      df, col("y").cast("long"), col("s"), Seq(col("s"))))
+    // rank + cum-positives ride prefixSums (range sort + narrow pass),
+    // NEVER a no-partition row_number window
+    assert(!p.contains("Window"))
+    assert(!p.contains("Cartesian"))
+  }
+
+  test("commonNeighborPairs: postings self-join hashes on the destination") {
+    val e = (1 to 120).map(i => (i.toLong % 20, i.toLong % 7)).toDF("s", "d")
+    val p = finalPlan(graft.operators.Graph.commonNeighborPairs(
+      e, col("s"), col("d"), maxDeg = 50, k = 10))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"))
+    // top-k is a TakeOrdered, not a global sort of all pairs
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("modularity: label joins plus two aggregates, no cartesian blowup") {
     val und = (1 to 60).map(i => (i.toLong, (i % 30 + 1).toLong))
     val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
