@@ -2780,7 +2780,24 @@ object SparkEntry {
         .unionAll(pw.select(col("p").as("src"), col("c").as("dst"), col("w")))
       Graph.pageRankWeighted(ew, "src", "dst", "w", iters = 2)
         .select(decodeTradeNode(col("node")).as("node"), col("score"))
-    }))
+    }),
+
+    // Next-word conditional entropy + perplexity of the corpus bigram
+    // stream — the one-number text-diversity readout.
+    "q_bigram_entropy" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(explode(wordShingles(col("text"), 2)).as("_sh"))
+        .where(col("_sh").contains(" "))
+      Analytics.conditionalEntropy(sh,
+        substring_index(col("_sh"), " ", 1),
+        substring_index(col("_sh"), " ", -1))
+    }),
+
+    // Experiment sizing per event type: exact-moment sigma and the
+    // 80%-power / alpha-.05 minimum detectable effect in value cents.
+    "q_mde" -> ((s, d) =>
+      Analytics.minDetectableEffect(t(s, d, "events"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -6032,5 +6049,48 @@ object SparkEntry {
         |it2 AS (SELECT v.node,
         |  150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
         |  FROM verts v LEFT JOIN inf2 i ON v.node = i.dst)
-        |SELECT node, CAST(score AS BIGINT) AS score FROM it2""".stripMargin)
+        |SELECT node, CAST(score AS BIGINT) AS score FROM it2""".stripMargin,
+
+    // same weighted 6dp cell terms over the bigram stream
+    "q_bigram_entropy" ->
+      s"""WITH sh AS (SELECT unnest(CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS s
+         |  FROM documents),
+         |p AS (SELECT split_part(s, ' ', 1) AS x, split_part(s, ' ', 2) AS y
+         |  FROM sh WHERE contains(s, ' ')),
+         |cells AS (SELECT x, y, count(*) AS nxy FROM p GROUP BY 1, 2),
+         |marg AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+         |  FROM cells GROUP BY 1),
+         |terms AS (SELECT nxy,
+         |  CAST(round(ln(CAST(nx AS DOUBLE) / CAST(nxy AS DOUBLE)), 6)
+         |    AS DECIMAL(18,6)) * nxy AS t
+         |  FROM cells JOIN marg USING (x)),
+         |m AS (SELECT CAST(sum(nxy) AS BIGINT) AS n_pairs, sum(t) AS ts
+         |  FROM terms)
+         |SELECT n_pairs,
+         |  round(CAST(ts AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS h_cond,
+         |  round(exp(CAST(ts AS DOUBLE) / CAST(n_pairs AS DOUBLE)), 4)
+         |    AS perplexity
+         |FROM m""".stripMargin,
+
+    // same exact-moment sigma + literal z-sum MDE shape
+    "q_mde" ->
+      """WITH m AS (SELECT event_type AS g, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+        |  sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+        |    * CAST(round(value * 100) AS BIGINT)) AS q
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT g AS "group", n,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  round(sqrt((CAST(q AS DOUBLE) -
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) - 1.0)), 6) AS sigma,
+        |  round(2.801585 *
+        |    sqrt((CAST(q AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) - 1.0)) *
+        |    sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)), 6) AS mde
+        |FROM m WHERE n >= 4""".stripMargin)
 }

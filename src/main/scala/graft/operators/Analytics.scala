@@ -909,6 +909,68 @@ object Analytics {
           s => s.getField("_sym")), "").as("sax"))
   }
 
+  /** Conditional entropy H(Y|X) over a pair stream — for word bigrams,
+    * the corpus's next-word predictability (low = templated/repetitive
+    * text, high = diverse prose; THE one-number complement to
+    * [[sequenceNll]]'s per-key scores): H(Y|X) = (1/N)·Σ_xy n_xy ·
+    * ln(n_x / n_xy), with per-cell 6dp DECIMAL terms (weighted by the
+    * exact integer n_xy BEFORE rounding loses nothing — the term is
+    * rounded, then multiplied exactly), one final division. Also
+    * reports perplexity = exp(H). Cell frame bounded by |X|·|Y|.
+    * Output one row: (n_pairs, h_cond, perplexity).
+    */
+  def conditionalEntropy(pairs: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = pairs.select(xCol.as("_x"), yCol.as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_nxy"))
+      .localCheckpoint(true)
+    val marg = cells.groupBy(col("_x")).agg(sum(col("_nxy")).as("_nx"))
+    cells.join(marg, Seq("_x"))
+      .select(col("_nxy"),
+        (round(log(col("_nx").cast("double") / col("_nxy").cast("double")), 6)
+          .cast("decimal(18,6)") * col("_nxy")).as("_t"))
+      .agg(sum(col("_nxy")).as("n_pairs"), sum(col("_t")).as("_ts"))
+      .select(col("n_pairs"),
+        round(col("_ts").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("h_cond"),
+        round(exp(col("_ts").cast("double") / col("n_pairs").cast("double")), 4)
+          .as("perplexity"))
+  }
+
+  /** Minimum detectable effect — experiment SIZING, the question asked
+    * before any A/B test ships: with this metric's variance and a
+    * 50/50 split of today's traffic, how small a lift could the test
+    * see at 80% power / α = 0.05 (two-sided)? MDE = (z_{α/2} + z_β) ·
+    * σ · √(2 / n_arm). σ comes from exact integer moment sums (n, Σx,
+    * Σx²; sample variance, n−1); the z constants are spelled as
+    * literals so the IEEE shape is engine-identical. Output per group:
+    * (n, mean, sigma, mde, mde_rel_ppm_of_mean as rounded double).
+    */
+  def minDetectableEffect(df: DataFrame, groupCol: Column,
+      centsCol: Column): DataFrame = {
+    // z_{0.025} + z_{0.20} pre-summed as ONE literal: a runtime
+    // double-add could differ by an ulp from another engine's
+    // decimal-exact constant fold
+    val zSum = lit(2.801585)
+    df.select(groupCol.as("_g"), centsCol.cast("long").as("_x"))
+      .where(col("_x").isNotNull)
+      .groupBy(col("_g").as("group"))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("_s"),
+        sum(col("_x").cast("decimal(38,0)") * col("_x")).as("_q"))
+      .where(col("n") >= 4)
+      .select(col("group"), col("n"),
+        round(col("_s").cast("double") / col("n").cast("double"), 6).as("mean"),
+        round(sqrt((col("_q").cast("double") -
+          col("_s").cast("double") * col("_s").cast("double") /
+            col("n").cast("double")) / (col("n").cast("double") - lit(1.0))), 6)
+          .as("sigma"),
+        round(zSum *
+          sqrt((col("_q").cast("double") -
+            col("_s").cast("double") * col("_s").cast("double") /
+              col("n").cast("double")) / (col("n").cast("double") - lit(1.0))) *
+          sqrt(lit(2.0) / (col("n").cast("double") / lit(2.0))), 6).as("mde"))
+  }
+
   /** Quantile normalization — map every group's values onto the
     * GLOBAL distribution by rank (the cross-feed score calibrator:
     * after it, "0.9 from feed A" and "0.9 from feed B" mean the same

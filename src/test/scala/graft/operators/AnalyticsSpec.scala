@@ -767,6 +767,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("conditionalEntropy: deterministic successor -> 0; fair coin -> ln 2") {
+    val det = Seq(("a", "b"), ("a", "b"), ("c", "d")).toDF("x", "y")
+    val r1 = Analytics.conditionalEntropy(det, col("x"), col("y")).collect().head
+    assert(r1.getLong(0) == 3L && r1.getDouble(1) == 0.0 && r1.getDouble(2) == 1.0)
+    val coin = Seq(("a", "h"), ("a", "t"), ("a", "h"), ("a", "t")).toDF("x", "y")
+    val r2 = Analytics.conditionalEntropy(coin, col("x"), col("y")).collect().head
+    assert(math.abs(r2.getDouble(1) - math.log(2.0)) < 1e-5)
+    assert(math.abs(r2.getDouble(2) - 2.0) < 1e-3)
+  }
+
+  test("minDetectableEffect: constant metric has zero MDE; sigma scales it") {
+    val df = (1L to 100L).map(i => ("a", 500L)).toDF("g", "c")
+    val r = Analytics.minDetectableEffect(df, col("g"), col("c")).collect().head
+    assert(r.getLong(1) == 100L && r.getDouble(2) == 500.0)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+    // known sigma: alternating 0/1000 -> sd ~502.5, mde = 2.801585*sd*sqrt(2/50)
+    val alt = (1L to 100L).map(i => ("b", (i % 2) * 1000L)).toDF("g", "c")
+    val r2 = Analytics.minDetectableEffect(alt, col("g"), col("c")).collect().head
+    val sd = r2.getDouble(3)
+    assert(math.abs(r2.getDouble(4) - 2.801585 * sd * math.sqrt(2.0 / 50.0)) < 1e-3)
+  }
+
   test("quantileNormalize: group ranks land on the global distribution") {
     // global values {10 x2, 20, 30}: global ppm 10->500000, 20->750000, 30->1000000
     // group a = {10, 20}: ranks 500000, 1000000 -> normalized 10, 30
