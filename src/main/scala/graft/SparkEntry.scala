@@ -2797,7 +2797,20 @@ object SparkEntry {
     // 80%-power / alpha-.05 minimum detectable effect in value cents.
     "q_mde" -> ((s, d) =>
       Analytics.minDetectableEffect(t(s, d, "events"), col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT)"))))
+        expr("CAST(round(value * 100) AS BIGINT)"))),
+
+    // Simpson lexical concentration per source: exact-rational ppm
+    // probability two random tokens coincide — templated feeds spike.
+    "q_simpson" -> ((s, d) =>
+      Ranking.simpsonIndex(t(s, d, "documents"), col("source"),
+        col("text"))),
+
+    // DAU/MAU stickiness per 30-day period over events — the habit
+    // metric, exact integer ppm.
+    "q_stickiness" -> ((s, d) =>
+      Analytics.stickiness(t(s, d, "events"), col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        ticksPerPeriod = 30L)))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -6092,5 +6105,33 @@ object SparkEntry {
         |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
         |      (CAST(n AS DOUBLE) - 1.0)) *
         |    sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)), 6) AS mde
-        |FROM m WHERE n >= 4""".stripMargin)
+        |FROM m WHERE n >= 4""".stripMargin,
+
+    // same all-integer Simpson rational, truncating division
+    "q_simpson" ->
+      s"""WITH w AS (SELECT source AS g, unnest($W) AS word FROM documents),
+         |c AS (SELECT g, word, count(*) AS n FROM w GROUP BY 1, 2),
+         |m AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  sum(CAST(n AS HUGEINT) * (n - 1)) AS num FROM c GROUP BY 1)
+         |SELECT g AS "group", n_tokens,
+         |  CAST(num * 1000000 // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+         |    AS BIGINT) AS simpson_ppm
+         |FROM m WHERE n_tokens >= 2""".stripMargin,
+
+    // same two distinct-pair aggregates + integer ppm ratio
+    "q_stickiness" ->
+      """WITH act AS (SELECT DISTINCT user_id AS k,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t
+        |  FROM events),
+        |a2 AS (SELECT k, t, t // 30 AS p FROM act),
+        |pt AS (SELECT p, count(*) AS n_ticks,
+        |  CAST(sum(dau) AS BIGINT) AS sum_tick_actives FROM (
+        |    SELECT p, t, count(*) AS dau FROM a2 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |pp AS (SELECT p, count(*) AS period_actives FROM (
+        |    SELECT DISTINCT p, k FROM a2) GROUP BY 1)
+        |SELECT pt.p AS period, n_ticks, sum_tick_actives, period_actives,
+        |  sum_tick_actives * 1000000 // (n_ticks * period_actives)
+        |    AS stickiness_ppm
+        |FROM pt JOIN pp ON pt.p = pp.p""".stripMargin)
 }

@@ -1126,6 +1126,35 @@ object Analytics {
       .withColumn("srm_95", col("chi2_ppm") > 3841459L)
       .withColumn("srm_99", col("chi2_ppm") > 6634897L)
 
+  /** DAU/MAU-style stickiness: per period, the average per-tick
+    * distinct actives as a ppm share of the period's distinct actives
+    * — "of the users seen this month, what fraction shows up on an
+    * average day". The growth dashboard's habit metric, exact:
+    * stickiness_ppm = (Σ_tick dau_tick) · 10⁶ div (n_ticks · period
+    * actives). Two distinct-pair aggregates, both bounded by active
+    * (key, tick) pairs. Output: (period, n_ticks, sum_tick_actives,
+    * period_actives, stickiness_ppm).
+    */
+  def stickiness(df: DataFrame, keyCol: Column, tickCol: Column,
+      ticksPerPeriod: Long): DataFrame = {
+    require(ticksPerPeriod >= 1,
+      s"stickiness: ticksPerPeriod must be >= 1, got $ticksPerPeriod")
+    val act = df.select(keyCol.as("_k"), tickCol.cast("long").as("_t"))
+      .where(col("_k").isNotNull && col("_t").isNotNull).distinct()
+      .withColumn("_p", expr(s"_t div ${ticksPerPeriod}L"))
+      .localCheckpoint(true)
+    val perTick = act.groupBy(col("_p"), col("_t")).agg(count(lit(1)).as("_dau"))
+      .groupBy(col("_p"))
+      .agg(count(lit(1)).as("n_ticks"), sum(col("_dau")).as("sum_tick_actives"))
+    val perPeriod = act.select(col("_p"), col("_k")).distinct()
+      .groupBy(col("_p")).agg(count(lit(1)).as("period_actives"))
+    perTick.join(perPeriod, Seq("_p"))
+      .select(col("_p").as("period"), col("n_ticks"), col("sum_tick_actives"),
+        col("period_actives"),
+        expr("sum_tick_actives * 1000000 div (n_ticks * period_actives)")
+          .as("stickiness_ppm"))
+  }
+
   /** Period-over-period churn matrix: per period p (except the last),
     * how many keys were active, how many of them returned in p+1
     * (retained) and how many vanished (churned) — the

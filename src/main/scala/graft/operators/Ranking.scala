@@ -493,6 +493,27 @@ object Ranking {
     }.reduce(_ unionByName _)
   }
 
+  /** Simpson concentration per group — the EXACT-rational companion of
+    * [[typeTokenRatio]]: D = Σ n_i(n_i−1) / (N(N−1)), the probability
+    * two random tokens are the same word. High D = repetitive/
+    * templated text (a handful of words dominate); reported in exact
+    * ppm (all-integer numerator and denominator, one truncating
+    * division — no float enters). Same (group, word) count frame as
+    * TTR. Output: (group, n_tokens, simpson_ppm).
+    */
+  def simpsonIndex(df: DataFrame, groupCol: Column, textCol: Column): DataFrame =
+    df.select(groupCol.as("_g"), explode(words(textCol)).as("_w"))
+      .groupBy(col("_g"), col("_w")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("_g").as("group"))
+      .agg(sum(col("_c")).as("n_tokens"),
+        sum(col("_c").cast("decimal(38,0)") * (col("_c") - 1L)).as("_num"))
+      .where(col("n_tokens") >= 2)
+      .select(col("group"), col("n_tokens"),
+        // `div` is INTEGRAL division even on decimals (returns BIGINT,
+        // truncating) — matches DuckDB // without decimal-scale rounding
+        expr("_num * 1000000 div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))")
+          .as("simpson_ppm"))
+
   /** Multi-class classifier scorecard: per class, gold/predicted
     * support, true positives, and precision/recall/F1 in exact ppm
     * (floor-div — no float in sight). Precision is NULL when the class

@@ -767,6 +767,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("stickiness: daily-actives share of period actives, exact ppm") {
+    // period 0 (ticks 0..2): users {1,2} — u1 on all 3 ticks, u2 on 1
+    // sum_tick_actives = 2+1+1 = 4, n_ticks 3, period actives 2
+    // stickiness = 4e6 div 6 = 666666
+    val df = Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (1L, 0L))
+      .toDF("u", "t")
+    val r = Analytics.stickiness(df, col("u"), col("t"), ticksPerPeriod = 3L)
+      .collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 2L && r.getLong(4) == 666666L)
+  }
+
   test("conditionalEntropy: deterministic successor -> 0; fair coin -> ln 2") {
     val det = Seq(("a", "b"), ("a", "b"), ("c", "d")).toDF("x", "y")
     val r1 = Analytics.conditionalEntropy(det, col("x"), col("y")).collect().head

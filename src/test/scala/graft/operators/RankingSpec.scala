@@ -204,6 +204,16 @@ class RankingSpec extends SparkSpec {
     assert(out(0.99) == ((3L, 10L, 10L)))
   }
 
+  test("simpsonIndex: uniform words -> 0, constant word -> 1000000") {
+    // g1: 4 distinct words once each -> num 0 -> 0 ppm
+    // g2: same word 5 times -> 5*4/(5*4) = 1000000 ppm
+    val df = Seq(("g1", "a b c d"), ("g2", "x x x x x")).toDF("src", "text")
+    val out = Ranking.simpsonIndex(df, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("g1") == ((4L, 0L)))
+    assert(out("g2") == ((5L, 1000000L)))
+  }
+
   test("typeTokenRatio: tokens/types/hapax exact ppm") {
     val df = Seq(("g1", "a a b"), ("g1", "b c"), ("g2", "x x x x"))
       .toDF("src", "text")
