@@ -2810,7 +2810,29 @@ object SparkEntry {
     "q_stickiness" -> ((s, d) =>
       Analytics.stickiness(t(s, d, "events"), col("user_id"),
         datediff(col("ts").cast("date"), lit("1970-01-01")),
-        ticksPerPeriod = 30L)))
+        ticksPerPeriod = 30L)),
+
+    // ACF profile at lags {1,2,3,7} of per-type daily cents — the
+    // memory/seasonality fingerprint in one frame.
+    "q_acf" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint(true)
+      Seq(1, 2, 3, 7).map { k =>
+        Analytics.lagAutocorrExact(daily, col("event_type"), Seq(col("day")),
+            col("cents"), k = k)
+          .select(lit(k).as("lag"), col("key").as("event_type"),
+            col("n_pairs"), col("r"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // Threshold sweep over exact candidate jaccard (ppm cut — no float
+    // boundary): the dedup-tuning curve from ONE verification pass.
+    "q_jaccard_sweep" -> ((s, d) =>
+      Dedup.jaccardSweep(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 2, maxDocFreq = 100)))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -6133,5 +6155,63 @@ object SparkEntry {
         |SELECT pt.p AS period, n_ticks, sum_tick_actives, period_actives,
         |  sum_tick_actives * 1000000 // (n_ticks * period_actives)
         |    AS stickiness_ppm
-        |FROM pt JOIN pp ON pt.p = pp.p""".stripMargin)
+        |FROM pt JOIN pp ON pt.p = pp.p""".stripMargin,
+
+    // same per-lag moment blocks over the daily series, unioned
+    "q_acf" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT g, day, cents AS x FROM daily),
+        |lagged AS (
+        |  SELECT 1 AS lag, g, x,
+        |    lag(x, 1) OVER (PARTITION BY g ORDER BY day) AS y FROM base
+        |  UNION ALL
+        |  SELECT 2, g, x, lag(x, 2) OVER (PARTITION BY g ORDER BY day) FROM base
+        |  UNION ALL
+        |  SELECT 3, g, x, lag(x, 3) OVER (PARTITION BY g ORDER BY day) FROM base
+        |  UNION ALL
+        |  SELECT 7, g, x, lag(x, 7) OVER (PARTITION BY g ORDER BY day) FROM base),
+        |a AS (SELECT lag, g, count(*) AS n_pairs,
+        |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2)
+        |SELECT lag, g AS event_type, n_pairs,
+        |  CASE WHEN n_pairs < 3
+        |    OR CAST(n_pairs * sxx - sx * sx AS DOUBLE) <= 0
+        |    OR CAST(n_pairs * syy - sy * sy AS DOUBLE) <= 0
+        |  THEN NULL ELSE
+        |    round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM a""".stripMargin,
+
+    // same df-capped candidates, ppm jaccard, threshold cross join
+    "q_jaccard_sweep" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, list_distinct(CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS sh
+         |  FROM documents),
+         |postings AS (SELECT id, unnest(sh) AS g FROM docs),
+         |rare AS (SELECT g FROM postings GROUP BY g
+         |  HAVING count(*) <= 100 AND count(*) >= 2),
+         |filtered AS (SELECT p.id, p.g FROM postings p JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id),
+         |jac AS (SELECT
+         |  CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) * 1000000
+         |    // len(list_distinct(list_concat(da.sh, db.sh))) AS jppm
+         |  FROM cand JOIN docs da ON cand.id_a = da.id
+         |  JOIN docs db ON cand.id_b = db.id),
+         |th AS (SELECT unnest([200000, 400000, 600000, 800000]) AS t)
+         |SELECT CAST(t AS BIGINT) AS threshold_ppm,
+         |  CAST(sum(CASE WHEN jppm >= t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pairs
+         |FROM th CROSS JOIN jac GROUP BY 1""".stripMargin)
 }

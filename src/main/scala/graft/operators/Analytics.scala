@@ -1126,6 +1126,41 @@ object Analytics {
       .withColumn("srm_95", col("chi2_ppm") > 3841459L)
       .withColumn("srm_99", col("chi2_ppm") > 6634897L)
 
+  /** [[lagAutocorr]] for INTEGER (cents) series with wide exact
+    * moments: six DECIMAL(38,0) sums over the lag pairs, one final
+    * IEEE correlation shape — the decimal(18,6) moment path overflows
+    * (in a second engine's fixed-width decimal multiply) once daily
+    * totals reach ~10⁶-cent scale, so aggregated series use this
+    * form. Output: (key, n_pairs, r).
+    */
+  def lagAutocorrExact(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
+      centsCol: Column, k: Int, minPairs: Long = 3L): DataFrame = {
+    require(k >= 1, s"lagAutocorrExact: lag must be >= 1, got $k")
+    val w = Window.partitionBy(col("_k")).orderBy(orderBy.map(_.asc): _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pairs = df.where(centsCol.isNotNull)
+      .select((keyCol.as("_k") +: orderBy) :+ centsCol.cast("long").as("_x"): _*)
+      .withColumn("_y", lag(col("_x"), k).over(w))
+      .where(col("_y").isNotNull)
+    pairs.groupBy(col("_k").as("key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(dec(col("_x")) * col("_y")).as("_sxy"),
+        sum(dec(col("_x")) * col("_x")).as("_sxx"),
+        sum(dec(col("_y")) * col("_y")).as("_syy"))
+      .select(col("key"), col("n_pairs"),
+        when(col("n_pairs") < minPairs ||
+          (col("n_pairs") * col("_sxx") - col("_sx") * col("_sx"))
+            .cast("double") <= 0 ||
+          (col("n_pairs") * col("_syy") - col("_sy") * col("_sy"))
+            .cast("double") <= 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+              (sqrt((col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")).cast("double")) *
+               sqrt((col("n_pairs") * col("_syy") - col("_sy") * col("_sy")).cast("double"))),
+            6)).as("r"))
+  }
+
   /** DAU/MAU-style stickiness: per period, the average per-tick
     * distinct actives as a ppm share of the period's distinct actives
     * — "of the users seen this month, what fraction shows up on an

@@ -242,6 +242,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Jaccard threshold SWEEP — the dedup-tuning curve: how many
+    * candidate pairs survive each threshold? One exact-jaccard pass
+    * over the df-capped candidates (the [[ngramJaccardPairs]] plan,
+    * computed ONCE), then a per-threshold count via an integer ppm
+    * bucket comparison — sweeping the knob costs nothing beyond the
+    * single verification it always needed. Output one row per
+    * threshold: (threshold_ppm, n_pairs) — pairs with
+    * jaccard·10⁶ ≥ threshold_ppm, where the ppm form is the exact
+    * integer |∩|·10⁶ div |∪| (no float boundary ambiguity at the
+    * cut).
+    */
+  def jaccardSweep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      thresholdsPpm: Seq[Long] = Seq(200000L, 400000L, 600000L, 800000L),
+      maxDocFreq: Int = 1000): DataFrame = {
+    require(thresholdsPpm.nonEmpty && thresholdsPpm.forall(t => t >= 0 && t <= 1000000L),
+      s"jaccardSweep: thresholds must be ppm in [0, 1e6], got $thresholdsPpm")
+    val docs = graft.core.CacheRegistry.persist(
+      shingleDocs(df, idCol, textCol, shingleSize),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = docs.select(col("id"), explode(col("sh")).as("g"))
+      .localCheckpoint(true)
+    val rare = postings
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq && col("df") >= 2)
+    val filtered = postings.join(rare, "g")
+    val cand = filtered.select(col("g"), col("id").as("id_a"))
+      .join(filtered.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val jac = cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select((size(array_intersect(col("sh_a"), col("sh_b"))).cast("long") * 1000000L /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long")).cast("long")
+        .as("_jppm"))
+      .localCheckpoint(true)
+    thresholdsPpm.map { t =>
+      jac.where(col("_jppm") >= t)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_pairs"))
+        .select(lit(t).as("threshold_ppm"), col("n_pairs"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Connected components over an undirected duplicate-pair graph:
     * every node ends up labeled with the smallest id in its component —
     * the survivor-selection step after near-dup pair generation (keep

@@ -767,6 +767,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("lagAutocorrExact: perfect alternation reads -1 at lag 1, +1 at lag 2") {
+    val df = (0L until 12L).map(i => ("a", i, if (i % 2 == 0) 100L else 900L))
+      .toDF("g", "t", "c")
+    def r(k: Int) = Analytics.lagAutocorrExact(df, col("g"), Seq(col("t")),
+      col("c"), k = k).collect().head.getDouble(2)
+    assert(r(1) == -1.0 && r(2) == 1.0)
+    // constant series: zero variance -> null
+    val const = (0L until 6L).map(i => ("b", i, 5L)).toDF("g", "t", "c")
+    assert(Analytics.lagAutocorrExact(const, col("g"), Seq(col("t")), col("c"), 1)
+      .collect().head.isNullAt(2))
+  }
+
   test("stickiness: daily-actives share of period actives, exact ppm") {
     // period 0 (ticks 0..2): users {1,2} — u1 on all 3 ticks, u2 on 1
     // sum_tick_actives = 2+1+1 = 4, n_ticks 3, period actives 2

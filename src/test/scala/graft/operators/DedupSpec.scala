@@ -345,6 +345,19 @@ class DedupSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("jaccardSweep: monotone non-increasing counts across thresholds") {
+    val a = "one two three four five six seven eight"
+    val near = "one two three four five six seven nine" // high jaccard
+    val far = "one two alpha beta gamma delta" // shares a little
+    val df = Seq((1L, a), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val out = Dedup.jaccardSweep(df, "doc_id", "text", shingleSize = 2,
+        thresholdsPpm = Seq(100000L, 500000L, 900000L), maxDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(100000L) >= out(500000L) && out(500000L) >= out(900000L))
+    assert(out(100000L) >= 1L) // the near pair survives a low bar
+    assert(out(900000L) == 0L) // nothing is 90% similar here
+  }
+
   test("sourceOverlap: containment by the smaller set; unshared sources absent") {
     // A and B share the full 4-trigram set; C shares nothing -> one pair
     val a = "one two three four five six"
