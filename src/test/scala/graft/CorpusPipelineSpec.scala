@@ -106,4 +106,42 @@ class CorpusPipelineSpec extends SparkSpec {
     val b = run()
     assert(a == b) // deterministic end-to-end
   }
+
+  test("behavioral-analytics pipeline: events -> activity, conversion, survival") {
+    // The product-analytics composition over the real testdata: one
+    // event stream feeds streaks (islands), habitual action (mode),
+    // activation latency (timeToConvert) and the honest conversion
+    // curve (kaplanMeier with censoring) — no schema friction, and
+    // the curve's population equals the signup cohort exactly.
+    import graft.operators.{Analytics, Relational}
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val days = datediff(col("ts").cast("date"), lit("1970-01-01"))
+
+    val streaks = Relational.islands(ev, col("user_id"), days)
+    assert(streaks.agg(min(col("n_steps"))).head.getLong(0) >= 1L)
+
+    val habits = Relational.modePerKey(ev, col("user_id"), col("event_type"))
+    assert(habits.count() == ev.select(col("user_id")).distinct().count())
+
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    val ttc = Analytics.timeToConvert(ev, col("user_id"), col("ts"),
+      col("event_type") === "signup", col("event_type") === "purchase")
+    assert(ttc.count() <= signups) // only signup-anchored users convert
+
+    val from = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("f"))
+    val last = ev.groupBy(col("user_id")).agg(max(unix_micros(col("ts"))).as("l"))
+    val subjects = from.join(last, Seq("user_id"))
+      .join(ttc.select(col("key").as("user_id"), col("delay_s")), Seq("user_id"), "left")
+      .select(coalesce(col("delay_s"), expr("(l - f) div 1000000")).as("dur"),
+        col("delay_s").isNotNull.cast("long").as("e"))
+    val km = Analytics.kaplanMeier(subjects, col("dur"), col("e"))
+    // the curve starts with the whole signup cohort at risk and is
+    // non-increasing in survival over time
+    val rows = km.orderBy(col("t")).collect()
+    assert(rows.head.getLong(1) == signups)
+    assert(rows.map(_.getDouble(4)).sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+  }
 }
