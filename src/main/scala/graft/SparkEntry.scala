@@ -2832,7 +2832,13 @@ object SparkEntry {
     // boundary): the dedup-tuning curve from ONE verification pass.
     "q_jaccard_sweep" -> ((s, d) =>
       Dedup.jaccardSweep(t(s, d, "documents"), "doc_id", "text",
-        shingleSize = 2, maxDocFreq = 100)))
+        shingleSize = 2, maxDocFreq = 100)),
+
+    // Exact Mann-Whitney U (doubled-integer form) + rank-biserial:
+    // the nonparametric "do returned items cost more" test.
+    "q_mannwhitney" -> ((s, d) =>
+      Analytics.mannWhitney(t(s, d, "lineitem"),
+        (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -6213,5 +6219,19 @@ object SparkEntry {
          |SELECT CAST(t AS BIGINT) AS threshold_ppm,
          |  CAST(sum(CASE WHEN jppm >= t THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_pairs
-         |FROM th CROSS JOIN jac GROUP BY 1""".stripMargin)
+         |FROM th CROSS JOIN jac GROUP BY 1""".stripMargin,
+
+    // same midrank CDF; doubled-U integer and 2*AUC - 1 effect size
+    "q_mannwhitney" ->
+      """WITH c AS (SELECT l_extendedprice AS s, count(*) AS c,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (SELECT s, c, p, sum(c) OVER (ORDER BY s) AS cu FROM c)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(c - p) AS BIGINT) AS n_neg,
+        |  CAST(sum(p * (2 * (cu - c) + c + 1)) - sum(p) * (sum(p) + 1)
+        |    AS BIGINT) AS u_x2,
+        |  round((sum(p * (2 * (cu - c) + c + 1)) - sum(p) * (sum(p) + 1))::DOUBLE /
+        |    (sum(p)::DOUBLE * sum(c - p)::DOUBLE) - 1.0, 6) AS rank_biserial
+        |FROM cum""".stripMargin)
 }

@@ -1868,6 +1868,35 @@ object Analytics {
             col("n_pos").cast("double"), 6)).as("ap"))
   }
 
+  /** Mann-Whitney U — the exact nonparametric two-sample test closing
+    * the family (Welch t = parametric, KS = distribution-shape, MW =
+    * rank-shift): from the SAME midrank CDF machinery as
+    * [[aucRankSum]], U₁ doubled into an exact integer (`u_x2` — with
+    * ties U can be half-integral, so the 2× form stays in longs), plus
+    * the rank-biserial effect size r = 2·AUC − 1. Same single
+    * prefix-sum pass, no raw-row sort. Output: (n_pos, n_neg, u_x2,
+    * rank_biserial).
+    */
+  def mannWhitney(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+    val counts = df.where(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(scoreCol.as("_s"))
+      .agg(count(lit(1)).as("_c"),
+        sum(labelCol.cast("long")).as("_p"))
+    Relational.prefixSum(counts, Seq(col("_s")), col("_c"), "_cum")
+      .agg(
+        sum(col("_p")).as("n_pos"),
+        sum(col("_c") - col("_p")).as("n_neg"),
+        sum(col("_p") * (lit(2L) * (col("_cum") - col("_c")) + col("_c") + lit(1L)))
+          .as("_r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("_r2") - col("n_pos") * (col("n_pos") + lit(1L))).as("u_x2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (col("_r2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+              (col("n_pos").cast("double") * col("n_neg").cast("double")) - lit(1.0),
+            6)).as("rank_biserial"))
+  }
+
   /** Smoothed mean target encoding (the Micci-Barreca / CatBoost-style
     * category → E[y|cat] feature): enc = (Σy_cat + m·ȳ_global) /
     * (n_cat + m) — rare categories shrink toward the global mean

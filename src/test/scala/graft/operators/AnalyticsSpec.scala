@@ -767,6 +767,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("mannWhitney: clean separation gives U = n1*n2, biserial = 1") {
+    // positives {10, 11} all above negatives {1, 2, 3}: U1 = 6, u_x2 = 12
+    val df = Seq((1L, 10L), (1L, 11L), (0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("y", "s")
+    val r = Analytics.mannWhitney(df, col("y"), col("s")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 12L && r.getDouble(3) == 1.0)
+    // perfectly interleaved equal values: U = n1*n2/2, biserial = 0
+    val tie = Seq((1L, 5L), (0L, 5L), (1L, 5L), (0L, 5L)).toDF("y", "s")
+    val r2 = Analytics.mannWhitney(tie, col("y"), col("s")).collect().head
+    assert(r2.getLong(2) == 4L && r2.getDouble(3) == 0.0) // 2*U = 2*(2*2/2)
+  }
+
   test("lagAutocorrExact: perfect alternation reads -1 at lag 1, +1 at lag 2") {
     val df = (0L until 12L).map(i => ("a", i, if (i % 2 == 0) 100L else 900L))
       .toDF("g", "t", "c")
