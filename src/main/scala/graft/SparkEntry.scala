@@ -102,6 +102,43 @@ object SparkEntry {
   // DuckDB oracle fragments (documents text is pure-ASCII word soup)  //
   // ---------------------------------------------------------------- //
 
+  /** Holt-Winters recursive-CTE oracle, 9 state columns (l, b,
+    * s0..s6), built programmatically so the repeated new-level
+    * expression is spelled ONCE — the IEEE shapes mirror
+    * [[Analytics.holtWinters]] term for term (α=0.5, β=0.25, γ=0.5).
+    */
+  private def holtWintersOracle: String = {
+    val sPos = "CASE e.p " +
+      (0 until 7).map(i => s"WHEN $i THEN r.s$i").mkString(" ") + " END"
+    val ln = s"0.5 * (e.x - $sPos) + 0.5 * (r.l + r.b)"
+    val sUpdates = (0 until 7).map(i =>
+      s"CASE WHEN e.p = $i THEN 0.5 * (e.x - ($ln)) + 0.5 * r.s$i ELSE r.s$i END").mkString(",\n    ")
+    val sOut = "CASE p " +
+      (0 until 7).map(i => s"WHEN $i THEN s$i").mkString(" ") + " END"
+    s"""WITH RECURSIVE daily AS (SELECT event_type,
+       |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+       |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |e AS (SELECT CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+       |    WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4
+       |    ELSE 5 END AS k, day, CAST(cents AS DOUBLE) AS x,
+       |  CAST(day % 7 AS INTEGER) AS p,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily),
+       |r AS (
+       |  SELECT k, day, rn, p, x AS l, CAST(0.0 AS DOUBLE) AS b,
+       |    ${(0 until 7).map(i => s"CAST(0.0 AS DOUBLE) AS s$i").mkString(", ")}
+       |  FROM e WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.k, e.day, e.rn, e.p,
+       |    $ln AS l,
+       |    0.25 * (($ln) - r.l) + 0.75 * r.b AS b,
+       |    $sUpdates
+       |  FROM e JOIN r ON e.k = r.k AND e.rn = r.rn + 1)
+       |SELECT k AS tcode, day, l AS level, b AS trend, $sOut AS seasonal
+       |FROM r""".stripMargin
+  }
+
   /** words(text): lowercase, split on non-word runs, drop empties. */
   private val W =
     """list_filter(regexp_split_to_array(lower(text), '\W+'), w -> len(w) > 0)"""
@@ -2838,7 +2875,26 @@ object SparkEntry {
     // the nonparametric "do returned items cost more" test.
     "q_mannwhitney" -> ((s, d) =>
       Analytics.mannWhitney(t(s, d, "lineitem"),
-        (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))))
+        (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))),
+
+    // Holt-Winters additive (weekly season) over per-type daily cents:
+    // the fold engine with O(7) state, bit-exact vs a 9-state-column
+    // recursive-CTE oracle.
+    "q_holt_winters" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .withColumn("tcode", expr(
+          "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
+            "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 " +
+            "WHEN 'view' THEN 4 ELSE 5 END"))
+      Analytics.holtWinters(daily, col("tcode"), Seq(col("day")),
+          col("day"), col("cents").cast("double"), pmod(col("day"), lit(7)),
+          period = 7, alpha = 0.5, beta = 0.25, gamma = 0.5)
+        .select(col("key").as("tcode"), col("id").as("day"), col("level"),
+          col("trend"), col("seasonal"))
+    }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -6233,5 +6289,8 @@ object SparkEntry {
         |    AS BIGINT) AS u_x2,
         |  round((sum(p * (2 * (cu - c) + c + 1)) - sum(p) * (sum(p) + 1))::DOUBLE /
         |    (sum(p)::DOUBLE * sum(c - p)::DOUBLE) - 1.0, 6) AS rank_biserial
-        |FROM cum""".stripMargin)
+        |FROM cum""".stripMargin,
+
+    // programmatic 9-state recursive CTE — see holtWintersOracle
+    "q_holt_winters" -> holtWintersOracle)
 }

@@ -1627,6 +1627,79 @@ object Analytics {
       .toDF("id", "key", "level", "trend", "forecast")
   }
 
+  /** Holt-Winters additive triple smoothing — level + trend +
+    * SEASONALITY, the member of the family ([[ewma]] → [[holt]] → this)
+    * that can track a weekly rhythm instead of lagging through it.
+    * Per key, in `orderBy` order with an EXPLICIT caller-supplied
+    * season position (`pos` ∈ [0, period)):
+    *
+    * {{{
+    * l' = α(x − s[pos]) + (1−α)(l + b)
+    * b' = β(l' − l) + (1−β)b
+    * s[pos]' = γ(x − l') + (1−γ)s[pos]
+    * }}}
+    *
+    * Seed convention (pinned, engine-reproducible): the first value
+    * seeds l = x, b = 0 and ALL seasonals at 0 — the model learns the
+    * profile online rather than assuming a warm-up window. Null values
+    * emit null rows and leave state untouched ([[holt]]'s contract).
+    * Same sorted-group fold engine: one key shuffle, O(period) state.
+    * Output: (id, key, level, trend, seasonal) — seasonal is s[pos]
+    * AFTER the update.
+    */
+  def holtWinters(
+      df: DataFrame,
+      key: Column,
+      orderBy: Seq[Column],
+      id: Column,
+      value: Column,
+      pos: Column,
+      period: Int,
+      alpha: Double,
+      beta: Double,
+      gamma: Double): DataFrame = {
+    require(period >= 2, s"holtWinters: period must be >= 2, got $period")
+    require(alpha > 0.0 && alpha <= 1.0, s"holtWinters: need 0 < alpha <= 1, got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"holtWinters: need 0 <= beta <= 1, got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"holtWinters: need 0 <= gamma <= 1, got $gamma")
+    val a2 = 1.0 - alpha
+    val b2 = 1.0 - beta
+    val g2 = 1.0 - gamma
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordCols = orderBy.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
+    val proj = df
+      .where(key.isNotNull && pos.isNotNull)
+      .select(key.cast("long").as("_k") +: id.cast("long").as("_id") +:
+        value.cast("double").as("_v") +: pos.cast("int").as("_p") +: ordCols: _*)
+    proj.groupByKey(_.getLong(0))
+      .flatMapSortedGroups(orderBy.indices.map(i => col(s"_o$i")): _*) {
+        (k: Long, rows: Iterator[org.apache.spark.sql.Row]) =>
+          var l = 0.0
+          var b = 0.0
+          val s = Array.fill(period)(0.0)
+          var seeded = false
+          rows.map { r =>
+            if (r.isNullAt(2))
+              (r.getLong(1), k, None: Option[Double], None: Option[Double],
+                None: Option[Double])
+            else {
+              val x = r.getDouble(2)
+              val p = r.getInt(3) % period
+              if (!seeded) { l = x; b = 0.0; seeded = true }
+              else {
+                val lNew = alpha * (x - s(p)) + a2 * (l + b)
+                b = beta * (lNew - l) + b2 * b
+                s(p) = gamma * (x - lNew) + g2 * s(p)
+                l = lNew
+              }
+              (r.getLong(1), k, Some(l), Some(b), Some(s(p)))
+            }
+          }
+      }
+      .toDF("id", "key", "level", "trend", "seasonal")
+  }
+
   /** Frequent pairwise co-occurrence (market-basket / Apriori level-2):
     * item pairs that appear together in at least `minSupport` baskets,
     * with per-item counts and lift. The level-2 pass is where

@@ -767,6 +767,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("holtWinters: hand fold with a learned weekly bump") {
+    // period 2 for hand math: x = 10, 20, 10, 20 at pos 0,1,0,1
+    // seed: l=10 b=0 s=[0,0]
+    // t2 (x=20,p=1): l' = .5*(20-0)+.5*(10+0)=15; b=.25*5+0=1.25; s1=.5*(20-15)=2.5
+    // t3 (x=10,p=0): l' = .5*(10-0)+.5*(15+1.25)=13.125;
+    //   b = .25*(13.125-15)+.75*1.25 = 0.46875; s0 = .5*(10-13.125) = -1.5625
+    val df = Seq((1L, 0L, 10.0, 0), (1L, 1L, 20.0, 1), (1L, 2L, 10.0, 0),
+      (1L, 3L, 20.0, 1)).toDF("k", "t", "x", "p")
+    val out = Analytics.holtWinters(df, col("k"), Seq(col("t")), col("t"),
+        col("x"), col("p"), period = 2, alpha = 0.5, beta = 0.25, gamma = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((10.0, 0.0, 0.0)))
+    assert(out(1L) == ((15.0, 1.25, 2.5)))
+    assert(out(2L) == ((13.125, 0.46875, -1.5625)))
+  }
+
   test("mannWhitney: clean separation gives U = n1*n2, biserial = 1") {
     // positives {10, 11} all above negatives {1, 2, 3}: U1 = 6, u_x2 = 12
     val df = Seq((1L, 10L), (1L, 11L), (0L, 1L), (0L, 2L), (0L, 3L))
