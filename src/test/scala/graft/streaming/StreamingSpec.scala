@@ -1031,6 +1031,36 @@ class StreamingSpec extends SparkSpec {
     assert(r2.overflowed && r2.distinct == 2 && r2.mode.contains("a") && r2.n == 2L)
   }
 
+  test("streaming Holt-Winters matches the batch fold bit-exactly in order") {
+    import graft.streaming.StreamHoltWinters
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(21)
+    val data = (0 until 20).map(i =>
+      (1L, i.toLong, Some(rnd.nextDouble() * 30), i % 7))
+    val in = MemoryStream[(Long, Long, Option[Double], Int)]
+    val q = StreamHoltWinters(in.toDS(), period = 7,
+        alpha = 0.5, beta = 0.25, gamma = 0.5)
+      .writeStream.format("memory").queryName("hw_out").outputMode("append").start()
+    val (b1, b2) = data.partition(_._2 <= 9) // split mid-history
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hw_out").as[StreamHoltWinters.WRow].collect()
+      .map(r => r.seq -> ((r.level, r.trend, r.seasonal))).toMap
+    val batch = graft.operators.Analytics.holtWinters(
+        data.map(t => (t._1, t._2, t._3.get, t._4)).toDF("k", "seq", "x", "p"),
+        col("k"), Seq(col("seq")), col("seq"), col("x"), col("p"),
+        period = 7, alpha = 0.5, beta = 0.25, gamma = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(streamed.size == data.size)
+    data.foreach { case (_, i, _, _) =>
+      val (sl, st_, ss) = streamed(i)
+      assert(sl.contains(batch(i)._1) && st_.contains(batch(i)._2) &&
+        ss.contains(batch(i)._3), s"seq $i") // == on doubles
+    }
+  }
+
   test("streaming SRM matches the batch statistic on every prefix") {
     import graft.streaming.StreamSrm
     import org.apache.spark.sql.functions.col
