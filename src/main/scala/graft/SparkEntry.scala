@@ -2894,7 +2894,16 @@ object SparkEntry {
           period = 7, alpha = 0.5, beta = 0.25, gamma = 0.5)
         .select(col("key").as("tcode"), col("id").as("day"), col("level"),
           col("trend"), col("seasonal"))
-    }))
+    }),
+
+    // Tukey IQR fences per returnflag at the exact integer 1.5x rule:
+    // the outlier-casualty count beside q_robust_scale.
+    "q_iqr" -> ((s, d) =>
+      Analytics.iqrOutliers(t(s, d, "lineitem"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .select(col("group").as("l_returnflag"), col("n"), col("q1"),
+          col("q3"), col("lo_fence"), col("hi_fence"), col("n_low"),
+          col("n_high"))))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -6292,5 +6301,32 @@ object SparkEntry {
         |FROM cum""".stripMargin,
 
     // programmatic 9-state recursive CTE — see holtWintersOracle
-    "q_holt_winters" -> holtWintersOracle)
+    "q_holt_winters" -> holtWintersOracle,
+
+    // same grouped p25/p75 + integer-percent fences + casualty counts
+    "q_iqr" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |c1 AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM c1),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c1 GROUP BY 1),
+        |q1 AS (SELECT cdf.g, nn.n, min(v) AS q1 FROM cdf
+        |  JOIN nn ON cdf.g = nn.g
+        |  WHERE cum >= ceil(CAST(0.25 AS DOUBLE) * nn.n) GROUP BY 1, 2),
+        |q3 AS (SELECT cdf.g, min(v) AS q3 FROM cdf JOIN nn ON cdf.g = nn.g
+        |  WHERE cum >= ceil(CAST(0.75 AS DOUBLE) * nn.n) GROUP BY 1),
+        |f AS (SELECT q1.g, q1.n, q1.q1, q3.q3,
+        |  q1.q1 - (q3.q3 - q1.q1) * 150 // 100 AS lo_fence,
+        |  q3.q3 + (q3.q3 - q1.q1) * 150 // 100 AS hi_fence
+        |  FROM q1 JOIN q3 ON q1.g = q3.g)
+        |SELECT base.g AS l_returnflag, any_value(f.n) AS n,
+        |  any_value(q1) AS q1, any_value(q3) AS q3,
+        |  any_value(lo_fence) AS lo_fence, any_value(hi_fence) AS hi_fence,
+        |  CAST(sum(CASE WHEN v < lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN v > hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high
+        |FROM base JOIN f ON base.g = f.g GROUP BY 1""".stripMargin)
 }

@@ -1081,6 +1081,38 @@ object Analytics {
         expr("_sum div n").as("winsorized_mean"))
   }
 
+  /** Per-group IQR fence audit — Tukey's boxplot rule as a data-quality
+    * readout: exact p25/p75 per group, fences at q1 − k·IQR and
+    * q3 + k·IQR with k as an exact PERCENT (150 = the classic 1.5×,
+    * integer arithmetic — no float fence), and the count of rows
+    * outside. The per-feed outlier dashboard beside [[robustStats]]
+    * (which summarizes location/scale; this one counts the casualties).
+    * Output: (group, n, q1, q3, lo_fence, hi_fence, n_low, n_high).
+    */
+  def iqrOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
+      fencePct: Long = 150L): DataFrame = {
+    require(fencePct >= 0, s"iqrOutliers: fencePct must be >= 0, got $fencePct")
+    val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+      .localCheckpoint(true)
+    val qs = groupedExactQuantiles(base, col("_g"), col("_v"), Seq(0.25, 0.75))
+    val q1 = qs.where(col("p") === 0.25)
+      .select(col("group").as("_g"), col("value").as("q1"), col("n").as("_n"))
+    val q3 = qs.where(col("p") === 0.75)
+      .select(col("group").as("_g"), col("value").as("q3"))
+    val fenced = q1.join(q3, Seq("_g"))
+      .select(col("_g"), col("_n"), col("q1"), col("q3"),
+        (col("q1") - expr(s"(q3 - q1) * ${fencePct}L div 100")).as("lo_fence"),
+        (col("q3") + expr(s"(q3 - q1) * ${fencePct}L div 100")).as("hi_fence"))
+    base.join(fenced, Seq("_g"))
+      .groupBy(col("_g").as("group"))
+      .agg(first(col("_n")).as("n"), first(col("q1")).as("q1"),
+        first(col("q3")).as("q3"), first(col("lo_fence")).as("lo_fence"),
+        first(col("hi_fence")).as("hi_fence"),
+        sum(when(col("_v") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("_v") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+  }
+
   /** Per-group robust location/scale — exact median and MAD (median
     * absolute deviation), the outlier-immune counterpart of
     * [[graft.operators.TrainingData.featureScale]]'s min-max/z pair:

@@ -767,6 +767,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("iqrOutliers: exact fences, only true casualties counted") {
+    // group a: 1..20 plus spikes -100 and 1000.
+    // n = 22: q1 rank ceil(5.5)=6 -> value 5; q3 rank ceil(16.5)=17 -> 16
+    // IQR 11 -> 1.5x = 16 (floor-div 150//100): fences [-11, 32]
+    val df = ((1L to 20L) ++ Seq(-100L, 1000L)).map(("a", _)).toDF("g", "v")
+    val r = Analytics.iqrOutliers(df, col("g"), col("v")).collect().head
+    assert(r.getLong(1) == 22L && r.getLong(2) == 5L && r.getLong(3) == 16L)
+    assert(r.getLong(4) == -11L && r.getLong(5) == 32L)
+    assert(r.getLong(6) == 1L && r.getLong(7) == 1L)
+  }
+
   test("holtWinters: hand fold with a learned weekly bump") {
     // period 2 for hand math: x = 10, 20, 10, 20 at pos 0,1,0,1
     // seed: l=10 b=0 s=[0,0]
