@@ -2903,7 +2903,22 @@ object SparkEntry {
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
         .select(col("group").as("l_returnflag"), col("n"), col("q1"),
           col("q3"), col("lo_fence"), col("hi_fence"), col("n_low"),
-          col("n_high"))))
+          col("n_high"))),
+
+    // Paired Wilcoxon: does click out-spend view on the same day?
+    // Day-matched daily-cents differences, exact doubled-W midranks.
+    "q_wilcoxon" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val a = daily.where(col("event_type") === "click")
+        .select(col("day"), col("cents").as("ca"))
+      val b = daily.where(col("event_type") === "view")
+        .select(col("day"), col("cents").as("cb"))
+      Analytics.wilcoxonSignedRank(a.join(b, Seq("day")),
+        col("ca") - col("cb"))
+    }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -6328,5 +6343,27 @@ object SparkEntry {
         |    AS n_low,
         |  CAST(sum(CASE WHEN v > hi_fence THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_high
-        |FROM base JOIN f ON base.g = f.g GROUP BY 1""".stripMargin)
+        |FROM base JOIN f ON base.g = f.g GROUP BY 1""".stripMargin,
+
+    // same |d| midrank CDF, doubled W+ and matched-pairs biserial
+    "q_wilcoxon" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |pair AS (SELECT a.cents - b.cents AS d
+        |  FROM (SELECT day, cents FROM daily WHERE event_type = 'click') a
+        |  JOIN (SELECT day, cents FROM daily WHERE event_type = 'view') b
+        |  USING (day)
+        |  WHERE a.cents - b.cents != 0),
+        |c AS (SELECT abs(d) AS a, count(*) AS c,
+        |  sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS p
+        |  FROM pair GROUP BY 1),
+        |cum AS (SELECT a, c, p, sum(c) OVER (ORDER BY a) AS cu FROM c)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_pairs,
+        |  CAST(sum(p * (2 * (cu - c) + c + 1)) AS BIGINT) AS w_plus_x2,
+        |  round((2 * sum(p * (2 * (cu - c) + c + 1)) -
+        |    sum(c) * (sum(c) + 1))::DOUBLE /
+        |    (sum(c) * (sum(c) + 1))::DOUBLE, 6) AS rank_biserial
+        |FROM cum""".stripMargin)
 }

@@ -2002,6 +2002,35 @@ object Analytics {
             6)).as("rank_biserial"))
   }
 
+  /** Wilcoxon signed-rank — the PAIRED nonparametric test closing the
+    * trio ([[abTest]] unpaired parametric, [[mannWhitney]] unpaired
+    * rank, this one paired rank): feed the per-pair DIFFERENCES, zeros
+    * drop (the standard convention), |d| midranks come from the same
+    * prefix-sum CDF machinery, and W⁺ doubles into an exact integer
+    * (`w_plus_x2` — ties make midranks half-integral). The matched-
+    * pairs rank-biserial r = (W⁺ − W⁻)/(W⁺ + W⁻) is one final IEEE
+    * division. Output: (n_pairs, w_plus_x2, rank_biserial).
+    */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: Column): DataFrame = {
+    val counts = df.select(diffCol.cast("long").as("_d"))
+      .where(col("_d").isNotNull && col("_d") =!= 0L)
+      .groupBy(abs(col("_d")).as("_a"))
+      .agg(count(lit(1)).as("_c"),
+        sum(when(col("_d") > 0L, 1L).otherwise(0L)).as("_p"))
+    Relational.prefixSum(counts, Seq(col("_a")), col("_c"), "_cum")
+      .agg(
+        sum(col("_c")).as("n_pairs"),
+        sum(col("_p") * (lit(2L) * (col("_cum") - col("_c")) + col("_c") + lit(1L)))
+          .as("_r2"))
+      .select(col("n_pairs"), col("_r2").as("w_plus_x2"),
+        when(col("n_pairs") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (lit(2L) * col("_r2") - col("n_pairs") * (col("n_pairs") + 1L))
+              .cast("double") /
+              (col("n_pairs") * (col("n_pairs") + 1L)).cast("double"), 6))
+          .as("rank_biserial"))
+  }
+
   /** Smoothed mean target encoding (the Micci-Barreca / CatBoost-style
     * category → E[y|cat] feature): enc = (Σy_cat + m·ȳ_global) /
     * (n_cat + m) — rare categories shrink toward the global mean

@@ -767,6 +767,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("wilcoxonSignedRank: textbook ranks, zeros dropped, ties midranked") {
+    // diffs {1, -2, 3, 0}: zero drops -> |d| ranks 1,2,3; positives
+    // {1, 3} hold ranks 1 and 3 -> W+ = 4, w_x2 = 8;
+    // biserial = (2*8 - 3*4)/(3*4) = 4/12 = 0.333333
+    val df = Seq(1L, -2L, 3L, 0L).toDF("d")
+    val r = Analytics.wilcoxonSignedRank(df, col("d")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 0.333333)
+    // tied magnitudes: {+5, -5} share midrank 1.5 -> W+ = 1.5, x2 = 3,
+    // biserial = (6 - 6)/6 = 0
+    val tie = Seq(5L, -5L).toDF("d")
+    val r2 = Analytics.wilcoxonSignedRank(tie, col("d")).collect().head
+    assert(r2.getLong(1) == 3L && r2.getDouble(2) == 0.0)
+  }
+
   test("iqrOutliers: exact fences, only true casualties counted") {
     // group a: 1..20 plus spikes -100 and 1000.
     // n = 22: q1 rank ceil(5.5)=6 -> value 5; q3 rank ceil(16.5)=17 -> 16
