@@ -2918,6 +2918,20 @@ object SparkEntry {
         .select(col("day"), col("cents").as("cb"))
       Analytics.wilcoxonSignedRank(a.join(b, Seq("day")),
         col("ca") - col("cb"))
+    }),
+
+    // Spearman rho between day-matched click and view daily cents —
+    // Pearson on exact doubled midranks.
+    "q_spearman" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val a = daily.where(col("event_type") === "click")
+        .select(col("day"), col("cents").as("ca"))
+      val b = daily.where(col("event_type") === "view")
+        .select(col("day"), col("cents").as("cb"))
+      Analytics.spearman(a.join(b, Seq("day")), col("ca"), col("cb"))
     }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -6365,5 +6379,35 @@ object SparkEntry {
         |  round((2 * sum(p * (2 * (cu - c) + c + 1)) -
         |    sum(c) * (sum(c) + 1))::DOUBLE /
         |    (sum(c) * (sum(c) + 1))::DOUBLE, 6) AS rank_biserial
-        |FROM cum""".stripMargin)
+        |FROM cum""".stripMargin,
+
+    // same doubled-midrank joins + six exact moment sums
+    "q_spearman" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |pair AS (SELECT a.cents AS x, b.cents AS y
+        |  FROM (SELECT day, cents FROM daily WHERE event_type = 'click') a
+        |  JOIN (SELECT day, cents FROM daily WHERE event_type = 'view') b
+        |  USING (day)),
+        |rx AS (SELECT v AS x, 2 * (cu - c) + c + 1 AS r FROM (
+        |  SELECT x AS v, count(*) AS c,
+        |    sum(count(*)) OVER (ORDER BY x) AS cu FROM pair GROUP BY x)),
+        |ry AS (SELECT v AS y, 2 * (cu - c) + c + 1 AS r FROM (
+        |  SELECT y AS v, count(*) AS c,
+        |    sum(count(*)) OVER (ORDER BY y) AS cu FROM pair GROUP BY y)),
+        |m AS (SELECT count(*) AS n,
+        |  CAST(sum(rx.r) AS HUGEINT) AS sx, CAST(sum(ry.r) AS HUGEINT) AS sy,
+        |  sum(CAST(rx.r AS HUGEINT) * ry.r) AS sxy,
+        |  sum(CAST(rx.r AS HUGEINT) * rx.r) AS sxx,
+        |  sum(CAST(ry.r AS HUGEINT) * ry.r) AS syy
+        |  FROM pair JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT n,
+        |  CASE WHEN n < 3 OR CAST(n * sxx - sx * sx AS DOUBLE) <= 0
+        |    OR CAST(n * syy - sy * sy AS DOUBLE) <= 0 THEN NULL
+        |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS rho
+        |FROM m""".stripMargin)
 }

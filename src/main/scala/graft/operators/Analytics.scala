@@ -2002,6 +2002,44 @@ object Analytics {
             6)).as("rank_biserial"))
   }
 
+  /** Spearman rank correlation — the monotone-association companion of
+    * the Pearson [[groupedCorrMatrix]]: Pearson computed on MIDRANKS,
+    * so one wild outlier bends it no further than its rank. Each
+    * variable's midranks come from its own prefix-sum CDF (doubled
+    * into exact integers — ties make midranks half-integral — and
+    * joined back by value: two bounded count frames, never a global
+    * row window), then six DECIMAL(38,0) moment sums and one IEEE
+    * shape produce ρ. Output: (n, rho).
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+      .localCheckpoint(true)
+    def ranks2(c: String): DataFrame = {
+      val counts = base.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_c"))
+      Relational.prefixSum(counts, Seq(col("_v")), col("_c"), "_cum")
+        .select(col("_v").as(c),
+          (lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1L).as(s"_r$c"))
+    }
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    base.join(ranks2("_x"), Seq("_x")).join(ranks2("_y"), Seq("_y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_r_x")).as("_sx"), sum(col("_r_y")).as("_sy"),
+        sum(dec(col("_r_x")) * col("_r_y")).as("_sxy"),
+        sum(dec(col("_r_x")) * col("_r_x")).as("_sxx"),
+        sum(dec(col("_r_y")) * col("_r_y")).as("_syy"))
+      .select(col("n"),
+        when(col("n") < 3 ||
+          (col("n") * col("_sxx") - col("_sx") * col("_sx")).cast("double") <= 0 ||
+          (col("n") * col("_syy") - col("_sy") * col("_sy")).cast("double") <= 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+              (sqrt((col("n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")) *
+               sqrt((col("n") * col("_syy") - col("_sy") * col("_sy")).cast("double"))),
+            6)).as("rho"))
+  }
+
   /** Wilcoxon signed-rank — the PAIRED nonparametric test closing the
     * trio ([[abTest]] unpaired parametric, [[mannWhitney]] unpaired
     * rank, this one paired rank): feed the per-pair DIFFERENCES, zeros

@@ -767,6 +767,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((100000000L, 400000000L, 300L))))
   }
 
+  test("spearman: monotone map reads exactly 1; outliers only bend ranks") {
+    // y = x^3 (monotone, nonlinear): Spearman 1.0 where Pearson < 1
+    val mono = Seq((1L, 1L), (2L, 8L), (3L, 27L), (4L, 64L)).toDF("x", "y")
+    assert(Analytics.spearman(mono, col("x"), col("y"))
+      .collect().head.getDouble(1) == 1.0)
+    // reversed: exactly -1
+    val rev = Seq((1L, 4L), (2L, 3L), (3L, 2L), (4L, 1L)).toDF("x", "y")
+    assert(Analytics.spearman(rev, col("x"), col("y"))
+      .collect().head.getDouble(1) == -1.0)
+    // constant y: zero rank variance -> null
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    assert(Analytics.spearman(const, col("x"), col("y"))
+      .collect().head.isNullAt(1))
+  }
+
   test("wilcoxonSignedRank: textbook ranks, zeros dropped, ties midranked") {
     // diffs {1, -2, 3, 0}: zero drops -> |d| ranks 1,2,3; positives
     // {1, 3} hold ranks 1 and 3 -> W+ = 4, w_x2 = 8;
