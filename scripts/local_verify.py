@@ -9,6 +9,16 @@ the same <sfDir> tables, and compares after sorting columns by name and
 rows by value. Exact equality on every cell (floats compared exactly —
 the engine is designed for bit-reproducible oracle queries; loosen only
 knowingly).
+
+BOTH result sets go through the pandas path (`.df()`), not `fetchall()`:
+that is how a driver-style harness materializes them, and it is stricter
+in exactly the way that has burned us — DuckDB renders HUGEINT (any
+`sum(BIGINT)`, any `//` chain descending from one) and DECIMAL results
+as float64 in pandas, so an oracle column that is "the same integer" via
+fetchall hash-mismatches against Spark's int64 parquet. Round 7 shipped
+7 such reds that this script, then on fetchall, called green. An oracle
+whose DESCRIBE shows HUGEINT/DECIMAL output columns is additionally
+flagged loudly even when the compare happens to pass.
 """
 import json
 import math
@@ -16,18 +26,30 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+FRAGILE_TYPES = ("HUGEINT", "INT128", "DECIMAL")
+
 
 def norm_cell(v):
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)  # full precision
     if isinstance(v, bytes):
         return v.hex()
-    return str(v) if v is not None else "\x00NULL"
+    if v is None or v is pd.NaT or (isinstance(v, type(pd.NA)) and v is pd.NA):
+        return "\x00NULL"
+    return str(v)
 
 
 def norm_rows(cols, rows):
@@ -49,17 +71,25 @@ def main():
     for q in qdirs:
         entry = {}
         try:
-            r = con.execute(f"SELECT * FROM '{out_dir}/{q}/*.parquet'")
-            scols = [d[0] for d in r.description]
-            srows = r.fetchall()
+            sdf = con.execute(f"SELECT * FROM '{out_dir}/{q}/*.parquet'").df()
+            scols = list(sdf.columns)
+            srows = list(sdf.itertuples(index=False, name=None))
             entry["rows"] = len(srows)
             if q not in oracle:
                 entry["status"] = "rows_only"
                 entry["ok"] = len(srows) > 0
             else:
-                r2 = con.execute(oracle[q])
-                ocols = [d[0] for d in r2.description]
-                orows = r2.fetchall()
+                # DESCRIBE returns (column_name, column_type, ...) rows
+                fragile = [
+                    f"{row[0]}:{row[1]}"
+                    for row in con.execute(f"DESCRIBE ({oracle[q]})").fetchall()
+                    if any(t in str(row[1]).upper() for t in FRAGILE_TYPES)
+                ]
+                if fragile:
+                    entry["fragile_oracle_types"] = fragile
+                odf = con.execute(oracle[q]).df()
+                ocols = list(odf.columns)
+                orows = list(odf.itertuples(index=False, name=None))
                 sc, sr = norm_rows(scols, srows)
                 oc, orr = norm_rows(ocols, orows)
                 schema_ok = sc == oc
@@ -95,9 +125,13 @@ def main():
 
     missing = [q for q in oracle if q not in qdirs and q not in results]
     n_ok = sum(1 for e in results.values() if e.get("ok"))
+    fragile = sorted(q for q, e in results.items() if e.get("fragile_oracle_types"))
     print(json.dumps(results, indent=1, default=str))
     print(f"\n== {n_ok}/{len(results)} ok; missing outputs for oracles: {missing}")
-    sys.exit(0 if n_ok == len(results) and not missing else 1)
+    if fragile:
+        print(f"== FRAGILE oracle output types (HUGEINT/DECIMAL render as "
+              f"float in the driver's pandas path — CAST them): {fragile}")
+    sys.exit(0 if n_ok == len(results) and not missing and not fragile else 1)
 
 
 if __name__ == "__main__":

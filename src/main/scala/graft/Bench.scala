@@ -96,6 +96,17 @@ object Bench {
         case None => results += (name -> times(runs / 2))
       }
       snapshot(results.toSeq, errors.toSeq, complete = false)
+      // Isolation barrier between queries (untimed): leaked cache
+      // entries + heap pressure from earlier queries inflate the tail
+      // of a back-to-back run 3-7x vs isolated medians (measured on
+      // q_jaro_link / q_join_size in round 7). clearCache sweeps
+      // anything CacheRegistry missed; the explicit GC drains the old
+      // query's garbage before the next timing starts. Opt out with
+      // SPARK_GRAFT_BENCH_NOGC=1.
+      if (!sys.env.get("SPARK_GRAFT_BENCH_NOGC").contains("1")) {
+        spark.catalog.clearCache()
+        System.gc()
+      }
     }
     snapshot(results.toSeq, errors.toSeq, complete = true)
     println(jsonLine(results.toSeq, errors.toSeq, complete = true, topN = 40))

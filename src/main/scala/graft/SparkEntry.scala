@@ -2488,7 +2488,8 @@ object SparkEntry {
         expr("CAST(round(value * 100) AS BIGINT)"), season = 7)
         .select(col("group").as("event_type"), col("n_seasonal"),
           col("ae_seasonal_cents"), col("n_naive"), col("ae_naive_cents"),
-          col("mase"))),
+          col("mase_ppm"))
+        .orderBy(col("event_type"))),
 
     // Flesch-style readability per document: exact sentence/word/vowel-
     // group counts, one fixed-shape double expression — all codegen.
@@ -2522,7 +2523,8 @@ object SparkEntry {
     // (gold 'zh' is outside the classifier inventory: n_pred = 0 row).
     "q_confusion" -> ((s, d) =>
       Ranking.confusionStats(t(s, d, "documents"),
-        col("lang"), langId(col("text")))),
+        col("lang"), langId(col("text")))
+        .orderBy(col("cls"))),
 
     // Average precision of "order value predicts urgency": one
     // prefix-sums pass carries rank + cumulative positives, fixed-point
@@ -2543,6 +2545,7 @@ object SparkEntry {
         .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
       Relational.gapFillInterp(daily, Seq("user_id"), "day", step = 1L,
         valueCol = "cents")
+        .orderBy(col("user_id"), col("day"))
     }),
 
     // Mutual cosine k-NN graph over the vec_id < 300 block: edges kept
@@ -2696,7 +2699,8 @@ object SparkEntry {
         datediff(col("ts").cast("date"), lit("1970-01-01")),
         expr("CAST(round(value * 100) AS BIGINT)"))
         .select(col("group").as("event_type"), col("n_pairs"),
-          col("slope_ppm"))),
+          col("slope_ppm"))
+        .orderBy(col("event_type"))),
 
     // OOV rate per doc after a min-count-5 vocabulary cut — what a
     // trained tokenizer would shred into bytes.
@@ -5193,28 +5197,35 @@ object SparkEntry {
         |FROM cum""".stripMargin,
 
     // floor-div integer contract: global mean first, then per-category
+    // (every // result cast to BIGINT — DuckDB sum() is HUGEINT, which
+    // the driver's pandas path renders as float; keep int64 end-to-end)
     "q_target_encode" ->
       """WITH per AS (SELECT o_orderpriority AS category, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS s
         |  FROM orders GROUP BY 1),
-        |g AS (SELECT sum(s) // sum(n) AS gmean FROM per)
-        |SELECT category, n, s // n AS mean_cents,
-        |  (s + 20 * gmean) // (n + 20) AS enc_cents
+        |g AS (SELECT CAST(sum(s) // sum(n) AS BIGINT) AS gmean FROM per)
+        |SELECT category, n, CAST(s // n AS BIGINT) AS mean_cents,
+        |  CAST((s + 20 * gmean) // (n + 20) AS BIGINT) AS enc_cents
         |FROM per, g ORDER BY category""".stripMargin,
 
-    // identical arithmetic inclusion rule, replicate means as bigints
+    // identical arithmetic inclusion rule, replicate means as bigints;
+    // spread as std_micros = floor(1e6 * sqrt(var)) off an exact int64
+    // variance numerator — no HUGEINT or raw double in the output
     "q_bootstrap" ->
       """WITH rep AS (SELECT b, o_orderkey AS id,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
         |  FROM orders, (SELECT unnest(generate_series(0, 31)) AS b)
         |  WHERE ((o_orderkey % 1000003) * (b + 17) + 31 * b * b) % 97 < 48),
-        |m AS (SELECT b, sum(v) // count(*) AS m FROM rep GROUP BY b)
-        |SELECT count(*) AS b, sum(m) // count(*) AS mean_of_means_cents,
+        |m AS (SELECT b, CAST(sum(v) // count(*) AS BIGINT) AS m FROM rep GROUP BY b),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS b,
+        |  CAST(sum(m) // count(*) AS BIGINT) AS mean_of_means_cents,
         |  min(m) AS lo_cents, max(m) AS hi_cents,
-        |  round(sqrt((count(*)::DOUBLE * sum(m * m)::DOUBLE -
-        |    sum(m)::DOUBLE * sum(m)::DOUBLE) /
-        |    (count(*)::DOUBLE * (count(*) - 1)::DOUBLE)), 6) AS std
-        |FROM m""".stripMargin,
+        |  CAST(count(*) * sum(m * m) - sum(m) * sum(m) AS BIGINT) AS var_num
+        |  FROM m)
+        |SELECT b, mean_of_means_cents, lo_cents, hi_cents,
+        |  CAST(floor(sqrt(var_num::DOUBLE / (b * (b - 1))::DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS std_micros
+        |FROM a""".stripMargin,
 
     // lag window per user; decimal moments, one double expression
     "q_autocorr" ->
@@ -5484,22 +5495,23 @@ object SparkEntry {
     "q_mase" ->
       """WITH daily AS (SELECT event_type,
         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
         |s AS (SELECT cur.event_type, count(*) AS n_seasonal,
-        |  sum(abs(cur.x - prev.x)) AS ae_seasonal_cents
+        |  CAST(sum(abs(cur.x - prev.x)) AS BIGINT) AS ae_seasonal_cents
         |  FROM daily cur JOIN daily prev ON cur.event_type = prev.event_type
         |    AND cur.d = prev.d + 7 GROUP BY 1),
         |n AS (SELECT cur.event_type, count(*) AS n_naive,
-        |  sum(abs(cur.x - prev.x)) AS ae_naive_cents
+        |  CAST(sum(abs(cur.x - prev.x)) AS BIGINT) AS ae_naive_cents
         |  FROM daily cur JOIN daily prev ON cur.event_type = prev.event_type
         |    AND cur.d = prev.d + 1 GROUP BY 1)
         |SELECT s.event_type, n_seasonal, ae_seasonal_cents, n_naive,
         |  ae_naive_cents,
         |  CASE WHEN ae_naive_cents > 0 AND n_seasonal > 0 THEN
-        |    round((CAST(ae_seasonal_cents AS DOUBLE) / n_seasonal) /
-        |          (CAST(ae_naive_cents AS DOUBLE) / n_naive), 6) END AS mase
-        |FROM s JOIN n ON s.event_type = n.event_type""".stripMargin,
+        |    CAST(CAST(ae_seasonal_cents AS HUGEINT) * n_naive * 1000000
+        |      // (n_seasonal * ae_naive_cents) AS BIGINT) END AS mase_ppm
+        |FROM s JOIN n ON s.event_type = n.event_type
+        |ORDER BY s.event_type""".stripMargin,
 
     // same sentence/vowel-group counts + fixed-shape Flesch expression
     "q_readability" ->
@@ -5572,24 +5584,26 @@ object SparkEntry {
         |    len(regexp_extract_all(lower(text), '\b(le|les|des|est|une?|et|dans|que)\b')) AS fr
         |    FROM documents)),
         |cells AS (SELECT g, p, count(*) AS n FROM pred GROUP BY 1, 2),
-        |gt AS (SELECT g AS cls, sum(n) AS n_gold FROM cells GROUP BY 1),
-        |pt AS (SELECT p AS cls, sum(n) AS n_pred FROM cells GROUP BY 1),
+        |gt AS (SELECT g AS cls, CAST(sum(n) AS BIGINT) AS n_gold FROM cells GROUP BY 1),
+        |pt AS (SELECT p AS cls, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
         |tp AS (SELECT g AS cls, n AS tp FROM cells WHERE g = p),
         |j AS (SELECT COALESCE(gt.cls, pt.cls) AS cls,
         |  COALESCE(n_gold, 0) AS n_gold, COALESCE(n_pred, 0) AS n_pred
         |  FROM gt FULL OUTER JOIN pt ON gt.cls = pt.cls),
         |f AS (SELECT j.cls, n_gold, n_pred, COALESCE(tp, 0) AS tp,
-        |  CASE WHEN n_pred > 0 THEN COALESCE(tp, 0) * 1000000 // n_pred END AS precision_ppm,
-        |  CASE WHEN n_gold > 0 THEN COALESCE(tp, 0) * 1000000 // n_gold END AS recall_ppm
+        |  CASE WHEN n_pred > 0 THEN CAST(COALESCE(tp, 0) * 1000000 // n_pred AS BIGINT) END AS precision_ppm,
+        |  CASE WHEN n_gold > 0 THEN CAST(COALESCE(tp, 0) * 1000000 // n_gold AS BIGINT) END AS recall_ppm
         |  FROM j LEFT JOIN tp ON j.cls = tp.cls)
         |SELECT cls, n_gold, n_pred, tp, precision_ppm, recall_ppm,
         |  CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
         |    AND precision_ppm + recall_ppm > 0
-        |    THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+        |    THEN CAST(2 * precision_ppm * recall_ppm
+        |      // (precision_ppm + recall_ppm) AS BIGINT)
         |  END AS f1_ppm
-        |FROM f""".stripMargin,
+        |FROM f ORDER BY cls""".stripMargin,
 
-    // same fixed-point precision@k over a window-ranked total order
+    // same fixed-point precision@k over a window-ranked total order;
+    // AP floored to ppm so the output stays integer end-to-end
     "q_avg_precision" ->
       """WITH b AS (SELECT
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS s,
@@ -5598,17 +5612,18 @@ object SparkEntry {
         |r AS (SELECT y,
         |  sum(y) OVER (ORDER BY s DESC, tie ROWS UNBOUNDED PRECEDING) AS cum,
         |  row_number() OVER (ORDER BY s DESC, tie) AS rk FROM b)
-        |SELECT count(*) AS n_rows, sum(y) AS n_pos,
-        |  CASE WHEN sum(y) > 0 THEN round(
-        |    CAST(sum(CASE WHEN y = 1 THEN cum * 1000000000000 // rk ELSE 0 END)
-        |      AS DOUBLE) / 1000000000000.0 / CAST(sum(y) AS DOUBLE), 6) END AS ap
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CASE WHEN sum(y) > 0 THEN
+        |    CAST(sum(CASE WHEN y = 1 THEN CAST(cum AS HUGEINT) * 1000000000000 // rk ELSE 0 END)
+        |      // (sum(y) * 1000000) AS BIGINT) END AS ap_ppm
         |FROM r""".stripMargin,
 
     // same spine + anchor windows; DuckDB // floors like the pmod form
     "q_interp" ->
       """WITH daily AS (SELECT user_id,
         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
         |spine AS (SELECT user_id, unnest(generate_series(lo, hi, 1)) AS day
         |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
@@ -5629,11 +5644,11 @@ object SparkEntry {
         |  wd AS (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT user_id, day,
-        |  CASE WHEN cents IS NOT NULL THEN cents
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL
         |       THEN pv + ((nv - pv) * (day - pt)) // (nt - pt)
-        |  END AS value_interp, is_gap
-        |FROM a""".stripMargin,
+        |  END AS BIGINT) AS value_interp, is_gap
+        |FROM a ORDER BY user_id, day""".stripMargin,
 
     // same brute cosine on the block, ranked both directions, mutual join
     "q_knn_graph" ->
@@ -5905,18 +5920,20 @@ object SparkEntry {
     "q_theilsen" ->
       """WITH daily AS (SELECT event_type AS g,
         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS xs
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xs
         |  FROM events GROUP BY 1, 2),
-        |sl AS (SELECT a.g, (b.xs - a.xs) * 1000000 // (b.d - a.d) AS s
+        |sl AS (SELECT a.g,
+        |  CAST((b.xs - a.xs) * 1000000 // (b.d - a.d) AS BIGINT) AS s
         |  FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d),
         |counts AS (SELECT g, s, count(*) AS c FROM sl GROUP BY 1, 2),
         |cdf AS (SELECT g, s, c, sum(c) OVER (PARTITION BY g ORDER BY s
         |  ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
         |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1)
-        |SELECT cdf.g AS event_type, nn.n AS n_pairs, min(s) AS slope_ppm
+        |SELECT cdf.g AS event_type, nn.n AS n_pairs,
+        |  CAST(min(s) AS BIGINT) AS slope_ppm
         |FROM cdf JOIN nn ON cdf.g = nn.g
         |WHERE cum >= ceil(0.5 * nn.n)
-        |GROUP BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // same min-count vocab cut + membership join
     "q_oov" ->

@@ -797,11 +797,14 @@ object Analytics {
     * the event count, and the exact money total, each quintiled, the
     * three digits concatenated into a segment code.
     *
-    * The gate form uses global `ntile` windows over the PER-KEY frame
-    * (|keys| rows — one partition, fine for a dimension-sized key
-    * set and exactly mirrorable in SQL); when keys are corpus-scale,
-    * swap the ntile for [[Relational.quantileBins]] (broadcast
-    * bounds, no global window) — same digits, documented trade.
+    * Keys are USERS — corpus-scale, not dimension-bounded — so the
+    * quintiling never runs a global `ntile` window: each digit's
+    * global rank rides the range-partitioned
+    * [[Relational.prefixSums]] (rank = running count of 1 over the
+    * (metric, key) total order), and the NTILE bucket is recovered
+    * from (rank, n) by its closed form — the first n mod b buckets
+    * take ⌈n/b⌉ rows, the rest ⌊n/b⌋ — bit-identical to the window
+    * ntile, three sorts + two keyed joins, no single-partition stage.
     * Returns one row per segment: (segment, n_keys).
     */
   def rfmSegments(df: DataFrame, keyCol: Column, dateCol: Column,
@@ -811,14 +814,31 @@ object Analytics {
       .agg(max(dateCol).as("_last"), count(lit(1)).as("_f"),
         sum(amountCents).as("_m"))
     val anchor = per.agg(max(col("_last")).as("_anchor"))
-    val based = per.crossJoin(broadcast(anchor))
-      .select(col("k"), datediff(col("_anchor"), col("_last")).as("_r"),
-        col("_f"), col("_m"))
-    def q(c: Column) = ntile(buckets).over(
-      Window.orderBy(c.asc, col("k").asc))
-    based
-      .select(col("k"),
-        (q(col("_r")) * 100 + q(col("_f")) * 10 + q(col("_m"))).as("segment"))
+    val based = graft.core.CacheRegistry.persist(
+      per.crossJoin(broadcast(anchor))
+        .select(col("k"), datediff(col("_anchor"), col("_last")).as("_r"),
+          col("_f"), col("_m")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDf = based.agg(count(lit(1)).as("_n"))
+    // ntile(b) from a 1-based global rank r over n rows, closed form:
+    // q = n div b, rem = n mod b; r <= rem*(q+1) -> (r+q) div (q+1),
+    // else rem + (r - rem*(q+1) + q - 1) div q
+    val b = buckets.toLong
+    def digit(metric: Column, out: String): DataFrame =
+      Relational.prefixSum(based.select(col("k"), metric.as("_v")),
+          Seq(col("_v"), col("k")), lit(1L), "_rank")
+        .crossJoin(broadcast(nDf))
+        .select(col("k"),
+          expr(s"""IF(_rank <= (_n % $b) * (_n div $b + 1),
+                  |  (_rank + _n div $b) div (_n div $b + 1),
+                  |  _n % $b + (_rank - (_n % $b) * (_n div $b + 1)
+                  |    + _n div $b - 1) div (_n div $b))""".stripMargin)
+            .as(out))
+    digit(col("_r"), "_qr")
+      .join(digit(col("_f"), "_qf"), Seq("k"))
+      .join(digit(col("_m"), "_qm"), Seq("k"))
+      .select((col("_qr") * 100 + col("_qf") * 10 + col("_qm"))
+        .cast("int").as("segment"))
       .groupBy(col("segment")).agg(count(lit(1)).as("n_keys"))
   }
 
@@ -979,11 +999,15 @@ object Analytics {
     * global value whose global rank-ppm reaches it.
     *
     * Both CDFs live on (group ×) DISTINCT-value count frames — the
-    * quantile-family boundedness — and the inverse lookup here is a
-    * rank-band join between those two bounded frames (document scale:
-    * swap for the as-of merge when distinct values grow past memory;
-    * the frames, not the corpus, bound the work). Output one row per
-    * distinct (group, value): (group, value, rank_ppm, normalized).
+    * quantile-family boundedness. The per-group CDF is a keyed window
+    * (hash-partitioned); the GLOBAL CDF rides the range-partitioned
+    * [[Relational.prefixSum]] — distinct values can be corpus-scale,
+    * so no single-partition window anywhere in the plan. The inverse
+    * lookup is a rank-band join between the two bounded frames
+    * (document scale: swap for the as-of merge when distinct values
+    * grow past memory; the frames, not the corpus, bound the work).
+    * Output one row per distinct (group, value):
+    * (group, value, rank_ppm, normalized).
     */
   def quantileNormalize(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
     val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
@@ -997,10 +1021,10 @@ object Analytics {
       .join(gn, Seq("_g"))
       .select(col("_g"), col("_v"), expr("_cum * 1000000 div _ng").as("rank_ppm"))
     val tc = base.groupBy(col("_v").as("_gv")).agg(count(lit(1)).as("_c"))
-    val wt = Window.orderBy(col("_gv")) // distinct global values — bounded
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tn = tc.agg(sum(col("_c")).as("_nt"))
-    val tcdf = tc.withColumn("_cumt", sum(col("_c")).over(wt))
+    // global CDF via the range-partitioned prefix sum — distinct values
+    // can be corpus-scale (every distinct score), so no global window
+    val tcdf = Relational.prefixSum(tc, Seq(col("_gv")), col("_c"), "_cumt")
       .crossJoin(broadcast(tn))
       .select(col("_gv"), expr("_cumt * 1000000 div _nt").as("_gppm"))
       .localCheckpoint(true)
@@ -1876,9 +1900,10 @@ object Analytics {
     * (x, y, n_xy, n_x, n_y, term, mi).
     *
     * Scale shape: one groupBy over (x,y) then two broadcast-able
-    * marginal joins; the final total is a window over the |X|·|Y|
-    * cell frame — bounded by construction (categorical columns), not
-    * by the row count.
+    * marginal joins; the corpus total is a 1-row AGGREGATE of the
+    * per-cell terms broadcast back onto the cell frame — "categorical"
+    * is a promise the data may break (ids, urls), so no empty-
+    * partition-spec window even on the cell frame.
     */
   def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     val cells = df.groupBy(xCol.as("x"), yCol.as("y"))
@@ -1886,19 +1911,23 @@ object Analytics {
     val mx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
     val my = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
     val n = cells.agg(sum(col("n_xy")).as("_n"))
-    val w = Window.partitionBy() // |X|.|Y| cells: bounded, documented
-    cells
-      .join(broadcast(mx), Seq("x"))
-      .join(broadcast(my), Seq("y"))
-      .crossJoin(broadcast(n))
-      .withColumn("term",
-        round(col("n_xy").cast("double") *
-          log((col("n_xy").cast("double") * col("_n").cast("double")) /
-            (col("n_x").cast("double") * col("n_y").cast("double"))), 6)
-          .cast("decimal(18,6)"))
+    val terms = graft.core.CacheRegistry.persist(
+      cells
+        .join(broadcast(mx), Seq("x"))
+        .join(broadcast(my), Seq("y"))
+        .crossJoin(broadcast(n))
+        .withColumn("term",
+          round(col("n_xy").cast("double") *
+            log((col("n_xy").cast("double") * col("_n").cast("double")) /
+              (col("n_x").cast("double") * col("n_y").cast("double"))), 6)
+            .cast("decimal(18,6)")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // order-proof DECIMAL sum of the terms, same as the old window
+    // total, but via a 1-row aggregate + broadcast — no one-task stage
+    val total = terms.agg(sum(col("term")).as("_tsum"))
+    terms.crossJoin(broadcast(total))
       .withColumn("mi",
-        round(sum(col("term")).over(w).cast("double") /
-          col("_n").cast("double"), 6))
+        round(col("_tsum").cast("double") / col("_n").cast("double"), 6))
       .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
         col("term").cast("double").as("term"), col("mi"))
   }
@@ -1946,9 +1975,10 @@ object Analytics {
     * positive count ride a single [[Relational.prefixSums]] pass
     * (range partition + one narrow sweep — never a no-partition
     * window), and each positive's precision@k is the exact fixed-point
-    * integer cum·10¹² div k, summed in DECIMAL(38,0). One IEEE
-    * division at the very end ⇒ bit-identical across engines and
-    * shuffle orders. Returns one row (n_rows, n_pos, ap).
+    * integer cum·10¹² div k, summed in DECIMAL(38,0), then floored to
+    * ppm — integer end-to-end, bit-identical across engines and
+    * shuffle orders. Returns one row (n_rows, n_pos, ap_ppm) where
+    * ap = ap_ppm / 10⁶.
     */
   def averagePrecision(df: DataFrame, labelCol: Column, scoreCol: Column,
       tieCols: Seq[Column]): DataFrame = {
@@ -1968,9 +1998,10 @@ object Analytics {
           expr("_cumpos * 1000000000000 div _rank")).otherwise(0L)
           .cast("decimal(38,0)")).as("_apn"))
       .select(col("n_rows"), col("n_pos"),
-        when(col("n_pos") > 0, round(
-          col("_apn").cast("double") / lit(1000000000000.0) /
-            col("n_pos").cast("double"), 6)).as("ap"))
+        // comparator-proof fixed point: AP in ppm, exact integer floor —
+        // no double ever leaves the operator (ap = ap_ppm / 1e6)
+        when(col("n_pos") > 0,
+          expr("_apn div (n_pos * 1000000)")).as("ap_ppm"))
   }
 
   /** Mann-Whitney U — the exact nonparametric two-sample test closing
@@ -2107,8 +2138,11 @@ object Analytics {
     * by replicate with map-side partials, so the shuffle carries B
     * rows regardless of input size; the replicate-spread summary is a
     * second B-row agg. Exact integer replicate means (floor-div
-    * cents); the spread (std of the B means) is the only double.
-    * Output: (b, mean_of_means_cents, lo_cents, hi_cents, std).
+    * cents); the spread is reported as `std_micros` =
+    * ⌊10⁶·√(sample variance of the B means)⌋ — the variance numerator
+    * b·Σm² − (Σm)² is an exact int64 on every engine, and the one
+    * sqrt runs on identical doubles, so the floor is comparator-proof.
+    * Output: (b, mean_of_means_cents, lo_cents, hi_cents, std_micros).
     */
   def bootstrapMean(df: DataFrame, idCol: Column, centsCol: Column,
       replicates: Int = 32): DataFrame = {
@@ -2130,10 +2164,12 @@ object Analytics {
       sum(col("_m")).as("_sm"),
       sum(col("_m") * col("_m")).as("_sm2"))
       .select(col("b"), col("mean_of_means_cents"), col("lo_cents"), col("hi_cents"),
-        // sample variance of the B means from exact integer sums
-        round(sqrt((col("b").cast("double") * col("_sm2").cast("double") -
-          col("_sm").cast("double") * col("_sm").cast("double")) /
-          (col("b").cast("double") * (col("b") - 1L).cast("double"))), 6).as("std"))
+        // sample variance numerator b·Σm²−(Σm)² exactly in int64, one
+        // correctly-rounded sqrt, floored to micros — engine-portable
+        floor(sqrt((col("b") * col("_sm2") - col("_sm") * col("_sm"))
+            .cast("double") /
+          (col("b") * (col("b") - 1L)).cast("double")) * lit(1000000.0d))
+          .cast("long").as("std_micros"))
   }
 
   /** Per-key lag-k autocorrelation — the "is this series momentum or
@@ -2277,12 +2313,14 @@ object Analytics {
   /** Seasonal-naive forecast error (the MASE readout): per group, the
     * daily-total series is scored against two naive forecasts — the
     * season-lag value (x_{t-season}) and the one-step naive (x_{t-1}).
-    * `mase` = (seasonal MAE) / (one-step MAE): < 1 means "yesterday's
-    * week-ago value beats yesterday's value", the standard scale-free
-    * forecastability screen.
+    * `mase_ppm` = ⌊10⁶ · (seasonal MAE) / (one-step MAE)⌋: < 10⁶
+    * means "yesterday's week-ago value beats yesterday's value", the
+    * standard scale-free forecastability screen in comparator-proof
+    * fixed point.
     *
-    * Exactness: totals and absolute errors stay integer cents until
-    * the single final division; the lags are CALENDAR joins (day =
+    * Exactness: totals, absolute errors AND the final ratio stay
+    * integer (the ratio is one DECIMAL(38,0) floor-div — no double
+    * ever leaves the operator); the lags are CALENDAR joins (day =
     * day - lag) on the aggregated per-day frame, so gaps in the series
     * pair nothing instead of silently pairing non-adjacent days.
     * Scale: one map-side-combinable aggregate over the fact table;
@@ -2310,8 +2348,8 @@ object Analytics {
       .select(col("_g").as("group"), col("n_seasonal"),
         col("ae_seasonal_cents"), col("n_naive"), col("ae_naive_cents"),
         when(col("ae_naive_cents") > 0 && col("n_seasonal") > 0,
-          round((col("ae_seasonal_cents").cast("double") / col("n_seasonal")) /
-            (col("ae_naive_cents").cast("double") / col("n_naive")), 6))
-          .as("mase"))
+          expr("""CAST(CAST(ae_seasonal_cents AS DECIMAL(38,0)) * n_naive
+                 | * 1000000 div (n_seasonal * ae_naive_cents) AS BIGINT)"""
+            .stripMargin)).as("mase_ppm"))
   }
 }

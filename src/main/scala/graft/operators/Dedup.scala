@@ -70,6 +70,20 @@ object Dedup {
     * Banding: `bands` bands of `numHashes/bands` rows; a pair collides if
     * any band matches — candidates are then verified with the exact
     * Jaccard over distinct shingles, so banding only affects recall.
+    *
+    * `maxBucket` caps the per-(band, bucket) population before the
+    * band self-join — the LSH twin of the ngram path's `maxDocFreq`
+    * guard: one boilerplate/near-empty-doc bucket of b ids costs b²
+    * candidate rows, so at corpus scale a single hot bucket can
+    * quadratic a stage. Buckets over the cap are EXCLUDED from
+    * candidate generation in that band (the pair can still surface
+    * through its other bands — the same recall trade the df-cap
+    * makes); the hot-bucket set is tiny by construction, so the
+    * exclusion is a broadcast anti-join, not a second shuffle. The
+    * cap is never silent: [[minhashBucketStats]] reports the same
+    * banding's per-bucket populations and which buckets the cap
+    * drops — run it beside any capped dedup (it shares `bandKeys`, so
+    * the two can never disagree). `maxBucket = 0` disables the cap.
     */
   def minhashPairs(
       df: DataFrame,
@@ -78,10 +92,13 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucket: Int = 10000): DataFrame = {
     require(
       numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    require(maxBucket >= 0,
+      s"minhashPairs: maxBucket must be >= 0 (0 disables), got $maxBucket")
     val rows = numHashes / bands
     // docs feeds banding plus BOTH verification join-backs (different
     // join keys, so ReuseExchange can't help) — persist so tokenization
@@ -94,10 +111,27 @@ object Dedup {
     // shingle arrays rejoin AFTER candidate pairs are deduped, so a
     // document's shingles cross the wire once per verified pair side,
     // never bands× through the LSH self-join.
-    val banded = docs
-      .withColumn("sig", graft.functions.HashFunctions.minhashSignatureFused(col("sh"), numHashes))
-      .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    // (id, band, bucket) persisted: with the cap on it feeds both the
+    // bucket-population agg and the anti-join — don't re-run the
+    // signature kernel for the second pass
+    val bandedAll = graft.core.CacheRegistry.persist(
+      docs
+        .withColumn("sig", graft.functions.HashFunctions.minhashSignatureFused(col("sh"), numHashes))
+        .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bb"))
+        .select(col("id"), col("bb.band"), col("bb.bucket")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // hot-bucket cap: the over-cap (band, bucket) keys are few by
+    // construction — broadcast anti-join, no extra row-scale shuffle
+    val banded =
+      if (maxBucket == 0) bandedAll
+      else {
+        val hot = bandedAll.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("_bs"))
+          .where(col("_bs") > maxBucket)
+          .select(col("band"), col("bucket"))
+        bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -114,6 +148,38 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Banding AUDIT for [[minhashPairs]]'s hot-bucket cap — the
+    * no-silent-caps companion: the same shingle→signature→band
+    * pipeline (shared [[bandKeys]], so it cannot drift from the pair
+    * generator), aggregated to one row per (band, bucket):
+    * (band, bucket, n_ids, dropped) where `dropped` marks buckets the
+    * given `maxBucket` excludes from candidate generation. Sum
+    * `n_ids` over `dropped` rows for the excluded-population count; a
+    * pipeline that caps should persist or assert over this frame
+    * beside the dedup output.
+    */
+  def minhashBucketStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 10000): DataFrame = {
+    require(
+      numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    val rows = numHashes / bands
+    shingleDocs(df, idCol, textCol, shingleSize)
+      .withColumn("sig",
+        graft.functions.HashFunctions.minhashSignatureFused(col("sh"), numHashes))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_ids"))
+      .withColumn("dropped",
+        lit(maxBucket > 0) && col("n_ids") > lit(maxBucket.toLong))
   }
 
   /** The LSH banding key array for a MinHash signature: one
@@ -463,9 +529,15 @@ object Dedup {
       .where(col("_owner") < col("id"))
       .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("_cp"))
       .distinct()
+    // both sides descend from the same cached `docs` lineage — alias
+    // them so the join predicate stays qualified (relying on Spark's
+    // automatic self-join disambiguation trips the "trivially true
+    // predicate" WARN and is version-fragile)
     val toks = docs.select(col("id"), posexplode(col("_ws")).as(Seq("_i", "_wd")))
-    val kept = toks.join(covered,
-        toks("id") === covered("id") && col("_i") === col("_cp"), "left_anti")
+      .alias("_t")
+    val kept = toks.join(covered.alias("_c"),
+        col("_t.id") === col("_c.id") && col("_t._i") === col("_c._cp"),
+        "left_anti")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("_nk"),
         sort_array(collect_list(struct(col("_i"), col("_wd")))).as("_a"))

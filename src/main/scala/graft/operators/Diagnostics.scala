@@ -168,11 +168,19 @@ object Diagnostics {
     *  - `cartesian-product`: an unconditioned cross join — output is
     *    |L|·|R|.
     *  - `global-window`: a window with ORDER BY but no PARTITION BY —
-    *    the whole input collapses into ONE task.
+    *    the whole input collapses into ONE task. Downgraded to the
+    *    info-level `global-window-bounded` when the window's input
+    *    subtree is LIMIT-bounded (a top-k frame being ranked).
     *  - `global-sort-no-limit`: a total sort that doesn't feed a
     *    take — usually a `prefixSums`/`globalIndex` job mis-spelled.
     *  - `nested-loop-join`: BroadcastNestedLoopJoin on a non-cross
     *    type — an equi-join that lost its keys.
+    *  - `trivial-join-predicate`: a join condition comparing an
+    *    attribute to ITSELF (`a.id = a.id` — both legs resolved to
+    *    the same column of the same lineage). Always true, so the
+    *    join silently degrades toward a cross product, and it means a
+    *    self-join leaned on Spark's automatic disambiguation instead
+    *    of explicit aliases — a cross-version correctness hazard.
     *
     * Inspection only — the frame is analyzed, not executed.
     */
@@ -193,7 +201,20 @@ object Diagnostics {
       case c: CartesianProductExec =>
         Some(("cartesian-product", "error", c.simpleStringWithNodeId().take(160)))
       case w: WindowExec if w.partitionSpec.isEmpty =>
-        Some(("global-window", "error", w.simpleStringWithNodeId().take(160)))
+        // a no-partition window whose input subtree is LIMIT-bounded
+        // (top-k then rank-the-k) holds <= k rows by construction —
+        // report it as info, not a cluster-killer
+        val limitBounded = w.child.find {
+          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+          case _: org.apache.spark.sql.execution.CollectLimitExec => true
+          case _: TakeOrderedAndProjectExec => true
+          case _ => false
+        }.isDefined
+        if (limitBounded)
+          Some(("global-window-bounded", "info",
+            w.simpleStringWithNodeId().take(160)))
+        else
+          Some(("global-window", "error", w.simpleStringWithNodeId().take(160)))
       case j: BroadcastNestedLoopJoinExec
           if j.joinType != org.apache.spark.sql.catalyst.plans.Cross =>
         Some(("nested-loop-join", "warn", j.simpleStringWithNodeId().take(160)))
@@ -201,7 +222,19 @@ object Diagnostics {
         Some(("global-sort-no-limit", "warn", s.simpleStringWithNodeId().take(160)))
       case _ => None
     }
-    findings.toSeq.toDF("rule", "severity", "detail")
+    // trivially-true equality must be caught BEFORE optimization: the
+    // optimizer folds `a = a` away and the degenerate join reaches the
+    // physical plan disguised as a plain (often nested-loop) join.
+    val trivial = df.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.toSeq.flatMap(_.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.EqualTo
+              if e.left.semanticEquals(e.right) => e.sql
+          case e: org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+              if e.left.semanticEquals(e.right) => e.sql
+        })
+    }.flatten.map(s => ("trivial-join-predicate", "error", s.take(160)))
+    (findings ++ trivial).toSeq.toDF("rule", "severity", "detail")
   }
 
   /** Per-partition row counts — imbalance at a glance (returns

@@ -52,6 +52,44 @@ object Source {
   /** An existing DataFrame as an origin (raw-stream form). */
   def of(name: String, df: DataFrame): Source = Source(name, _ => df)
 
+  /** Generic CUSTOM-ORIGIN source — direct parity with the reference's
+    * Source behaviour contract `call(origin) -> {events, origin} |
+    * {:halt, origin}` (lib/source.ex:31-33): a driver-side unfold over
+    * caller state. `step` returns `Some((events, nextState))` to emit a
+    * chunk and continue, `None` to halt; the chunks concatenate into
+    * one Dataset.
+    *
+    * Driver-side BY DESIGN, like every reference Source behaviour (the
+    * origin is a closure over driver state — a socket, a cursor, a
+    * generator); the materialized chunk list must fit the driver, and
+    * `maxChunks` backstops a non-halting `step`. For data already in
+    * distributed storage use the parquet/csv/json scans — this is the
+    * escape hatch for the long tail of custom origins, not the bulk
+    * path.
+    */
+  def unfold[S, T: org.apache.spark.sql.Encoder](
+      name: String,
+      initial: S,
+      step: S => Option[(Seq[T], S)],
+      maxChunks: Int = 1000000): Source =
+    Source(name, { spark =>
+      require(maxChunks > 0, s"Source.unfold: maxChunks must be > 0, got $maxChunks")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+      var state = initial
+      var halted = false
+      var chunks = 0
+      while (!halted && chunks < maxChunks) {
+        step(state) match {
+          case Some((events, next)) => buf ++= events; state = next; chunks += 1
+          case None => halted = true
+        }
+      }
+      if (!halted)
+        throw new IllegalStateException(
+          s"Source.unfold('$name'): step never halted within $maxChunks chunks")
+      spark.createDataset(buf.toSeq).toDF()
+    })
+
   /** Interactive line source (reference: lib/source/io_gets.ex:7-16):
     * prints `prompt`, reads lines until EOF, each trimmed line one
     * event. Driver-side and dev-only by design, like the reference

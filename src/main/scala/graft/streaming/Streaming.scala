@@ -25,25 +25,37 @@ object StreamSource {
   /** Monotonic tick stream — the reference's tick source
     * (test/examples/window_test.exs:66-108) without the wall-clock hack.
     */
-  def rate(name: String, rowsPerSecond: Int): StreamSource =
+  def rate(name: String, rowsPerSecond: Int,
+      options: Map[String, String] = Map.empty): StreamSource =
     StreamSource(name, _.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSecond).load())
+      .option("rowsPerSecond", rowsPerSecond).options(options).load())
 
   /** Directory-watching file sources (streaming ReadLines,
     * reference: lib/source/read_lines.ex).
+    *
+    * `options` is the per-source BACKPRESSURE surface — the mapping of
+    * Strom's per-component `chunk:`/`buffer:` knobs (lib/gen_mix.ex:7-8):
+    * pass `maxFilesPerTrigger`/`maxBytesPerTrigger` here to throttle how
+    * much a directory source admits per micro-batch (Kafka-shaped
+    * sources take `maxOffsetsPerTrigger` the same way); any other
+    * reader option passes through untouched.
     */
-  def text(name: String, dir: String): StreamSource =
-    StreamSource(name, _.readStream.text(dir))
+  def text(name: String, dir: String,
+      options: Map[String, String] = Map.empty): StreamSource =
+    StreamSource(name, _.readStream.options(options).text(dir))
 
-  def parquet(name: String, dir: String, schema: StructType): StreamSource =
-    StreamSource(name, _.readStream.schema(schema).parquet(dir))
+  def parquet(name: String, dir: String, schema: StructType,
+      options: Map[String, String] = Map.empty): StreamSource =
+    StreamSource(name, _.readStream.schema(schema).options(options).parquet(dir))
 
-  def csv(name: String, dir: String, schema: StructType, header: Boolean = true): StreamSource =
+  def csv(name: String, dir: String, schema: StructType, header: Boolean = true,
+      options: Map[String, String] = Map.empty): StreamSource =
     StreamSource(name, _.readStream.schema(schema)
-      .option("header", header.toString).csv(dir))
+      .option("header", header.toString).options(options).csv(dir))
 
-  def json(name: String, dir: String, schema: StructType): StreamSource =
-    StreamSource(name, _.readStream.schema(schema).json(dir))
+  def json(name: String, dir: String, schema: StructType,
+      options: Map[String, String] = Map.empty): StreamSource =
+    StreamSource(name, _.readStream.schema(schema).options(options).json(dir))
 
   /** An existing streaming DataFrame (e.g. a MemoryStream in tests). */
   def of(name: String, df: DataFrame): StreamSource = StreamSource(name, _ => df)

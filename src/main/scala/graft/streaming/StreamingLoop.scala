@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Live feedback cycle — the STREAMING half of [[graft.operators.Loop]]
+  * (reference: lib/loop.ex:4-67, where the Loop component is
+  * simultaneously a sink and a source of the same named queue and
+  * halts after an idle timeout).
+  *
+  * Spark's structured streams have no cyclic plans either, so the
+  * queue is realized as a watched parquet directory: the query reads
+  * `dir/queue`, and each micro-batch (a) appends its rows to the
+  * result store `dir/out` and (b) writes `body(batch)` BACK into
+  * `dir/queue`, where the file source discovers it as the next batch —
+  * the foreachBatch → own-source-dir feedback edge. The cycle halts
+  * exactly like the reference's Loop: when the queue goes idle (no new
+  * batch for the confirm window — an empty `body` output writes no
+  * files), detected by the same engine-idle observer the `no_wait` mix
+  * policy uses ([[StreamSink.awaitAnyInputDrained]]); a cycle still
+  * feeding itself at `idleTimeoutMs` throws rather than silently
+  * truncating — the streaming twin of the batch Loop's
+  * `maxIterations` contract.
+  *
+  * Equivalence contract: the accumulated result equals the batch
+  * Loop's fixpoint union when `body` is batch-decomposable
+  * (row-local — maps/filters/flatMaps; the reference Loop feeds
+  * events back one at a time, so its semantics are row-local by
+  * construction). Micro-batch BOUNDARIES are not deterministic
+  * (several queue files may coalesce into one trigger), only the
+  * accumulated set is.
+  *
+  * Scale: each iteration's rows cross the pipeline once, parquet
+  * staging truncates lineage per cycle exactly like the batch Loop's
+  * durable mode, and the per-trigger admission is throttleable via
+  * `options` (`maxFilesPerTrigger`/`maxBytesPerTrigger` — the same
+  * backpressure surface as [[StreamSource]], Strom's `buffer:`).
+  */
+object StreamingLoop {
+  def run(
+      spark: SparkSession,
+      seed: DataFrame,
+      body: DataFrame => DataFrame,
+      dir: String,
+      idleTimeoutMs: Long = 30000L,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val queue = s"$dir/queue"
+    val out = s"$dir/out"
+    val schema = seed.schema
+    seed.write.mode("append").parquet(queue)
+    val query = spark.readStream.schema(schema).options(options).parquet(queue)
+      .writeStream
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode("append").parquet(out)
+          val next = body(batch)
+          // an empty next writes NO file -> the queue goes idle -> halt
+          if (!next.isEmpty) next.write.mode("append").parquet(queue)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+    StreamSink.awaitAnyInputDrained(query, idleTimeoutMs)
+    spark.read.schema(schema).parquet(out)
+  }
+}

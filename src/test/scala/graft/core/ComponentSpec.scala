@@ -20,6 +20,29 @@ class ComponentSpec extends SparkSpec {
     assert(f2("s").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("unfold source: step-until-halt lifecycle, state threads, concat rule applies") {
+    // reference Source behaviour contract call(origin) ->
+    // {events, origin} | {:halt, origin} (lib/source.ex:31-33):
+    // counter origin emits [s, s+1] chunks and halts past 4
+    def step(s: Int): Option[(Seq[Int], Int)] =
+      if (s > 4) None else Some((Seq(s, s + 1), s + 2))
+    // step(1) -> [1,2] @3, step(3) -> [3,4] @5, step(5) halts
+    val f1 = Source.unfold("u", 1, step).apply(EmptyFlow)
+    assert(f1("u").as[Int].collect().toSeq == Seq(1, 2, 3, 4))
+    // landing on an existing name concatenates, like every source
+    val f2 = Source.unfold("u", 100, step).apply(f1)
+    assert(f2("u").as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3, 4)) // state 100 halts immediately: no new rows
+    val f3 = Source.unfold("u", 3, step).apply(f2)
+    assert(f3("u").as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3, 3, 4, 4))
+    // a never-halting step fails loudly at the chunk backstop
+    val e = intercept[IllegalStateException](
+      Source.unfold[Int, Int]("runaway", 0,
+        s => Some((Seq(s), s)), maxChunks = 10).apply(EmptyFlow))
+    assert(e.getMessage.contains("never halted"))
+  }
+
   test("ioGets prompts and reads trimmed lines until EOF (reference io_gets source)") {
     val in = new java.io.ByteArrayInputStream("hello \nworld\n".getBytes)
     val outBuf = new java.io.ByteArrayOutputStream()

@@ -653,14 +653,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("b") == 8L)
     assert(r.getAs[Long]("mean_of_means_cents") == 500L)
     assert(r.getAs[Long]("lo_cents") == 500L && r.getAs[Long]("hi_cents") == 500L)
-    assert(r.getAs[Double]("std") == 0.0)
-    // non-constant data: mean-of-means lands inside [lo, hi], std > 0
+    assert(r.getAs[Long]("std_micros") == 0L)
+    // non-constant data: mean-of-means lands inside [lo, hi], spread > 0
     val v = (1L to 400L).map(i => (i, i % 100L)).toDF("id", "cents")
     val s = Analytics.bootstrapMean(v, col("id"), col("cents"), replicates = 8)
       .collect().head
     assert(s.getAs[Long]("lo_cents") <= s.getAs[Long]("mean_of_means_cents") &&
       s.getAs[Long]("mean_of_means_cents") <= s.getAs[Long]("hi_cents"))
-    assert(s.getAs[Double]("std") > 0.0)
+    assert(s.getAs[Long]("std_micros") > 0L)
   }
 
   test("lagAutocorr: alternating series -> r = -1; monotone ramp -> r = 1") {
@@ -736,7 +736,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("seasonalNaiveError: calendar lags pair exact days; ratio is MAE7/MAE1") {
     // one group, days 0..13, value = 100*day cents; perfectly trending:
-    // |x_t - x_{t-7}| = 700, |x_t - x_{t-1}| = 100 -> mase = 7.0
+    // |x_t - x_{t-7}| = 700, |x_t - x_{t-1}| = 100 -> mase_ppm = 7e6
     val df = (0L until 14L).map(d => ("a", d, d * 100L)).toDF("g", "d", "c")
     val out = Analytics.seasonalNaiveError(df, col("g"), col("d"), col("c"), season = 7)
       .collect()
@@ -744,7 +744,7 @@ class AnalyticsSpec extends SparkSpec {
     val r = out.head
     assert(r.getLong(1) == 7L && r.getLong(2) == 7 * 700L)  // n_seasonal, ae7
     assert(r.getLong(3) == 13L && r.getLong(4) == 13 * 100L) // n_naive, ae1
-    assert(r.getDouble(5) == 7.0)
+    assert(r.getLong(5) == 7000000L)
     // a gap in the series pairs nothing across it: days {0,1,5,6} ->
     // naive pairs (0,1),(5,6) only, no seasonal pairs at lag 7
     val gap = Seq(0L, 1L, 5L, 6L).map(d => ("a", d, 100L)).toDF("g", "d", "c")
@@ -1047,16 +1047,16 @@ class AnalyticsSpec extends SparkSpec {
 
   test("averagePrecision: textbook ranked list, perfect and interleaved") {
     // scores 4,3,2,1 with labels 1,0,1,0: precision@1 = 1, @3 = 2/3
-    // AP = (1 + 2/3) / 2 = 0.833333 (floor-div fixed point)
+    // AP = (1 + 2/3) / 2 = 0.833333 -> 833333 ppm (floor-div fixed point)
     val df = Seq((4L, 1L, 1L), (3L, 0L, 2L), (2L, 1L, 3L), (1L, 0L, 4L))
       .toDF("s", "y", "id")
     val r = Analytics.averagePrecision(df, col("y"), col("s"), Seq(col("id")))
       .collect().head
     assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
-    assert(r.getDouble(2) == 0.833333)
-    // all positives ranked first -> AP exactly 1.0
+    assert(r.getLong(2) == 833333L)
+    // all positives ranked first -> AP exactly 1.0 = 1e6 ppm
     val perfect = Seq((9L, 1L, 1L), (8L, 1L, 2L), (1L, 0L, 3L)).toDF("s", "y", "id")
     assert(Analytics.averagePrecision(perfect, col("y"), col("s"), Seq(col("id")))
-      .collect().head.getDouble(2) == 1.0)
+      .collect().head.getLong(2) == 1000000L)
   }
 }

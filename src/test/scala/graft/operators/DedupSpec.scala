@@ -30,6 +30,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashPairs hot-bucket cap excludes the hot bucket; stats surface the drop") {
+    // 6 identical docs: every band's bucket holds all 6 ids
+    val clones = (1L to 6L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // cap below the clone-cluster size -> every bucket is hot -> no pairs
+    val capped = Dedup.minhashPairs(clones, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5,
+      maxBucket = 5)
+    assert(capped.count() == 0L)
+    // the cap is never silent: the audit frame marks those buckets dropped
+    val stats = Dedup.minhashBucketStats(clones, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, maxBucket = 5).collect()
+    assert(stats.nonEmpty && stats.forall(r =>
+      r.getAs[Long]("n_ids") == 6L && r.getAs[Boolean]("dropped")))
+    // maxBucket = 0 disables the cap entirely
+    val uncapped = Dedup.minhashPairs(clones, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5,
+      maxBucket = 0)
+    assert(uncapped.count() == 15L) // C(6,2) exact-dup pairs
+  }
+
   test("fuzzyJoin finds exactly the pairs within the edit-distance bound") {
     val a = Seq("kitten", "sitting", "flour", "completely-different").toDF("v")
     val b = Seq("mitten", "kitten", "flower", "flour").toDF("v")

@@ -204,6 +204,48 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 10), (2L, 20)))
   }
 
+  test("streaming Loop: feedback fixpoint over the queue dir matches the batch Loop") {
+    // the streaming twin of q_loop's fixpoint (reference semantics:
+    // lib/loop.ex:4-67, exercised as test/loop_test.exs:41-57): seed
+    // values cycle through v*2 while <= 100, accumulating every
+    // generation; the queue going idle is the halt
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_sloop_").toString
+    val seed = Seq(3L, 7L, 60L).toDF("v")
+    val out = StreamingLoop.run(spark, seed,
+      df => df.select((col("v") * 2).as("v")).where(col("v") <= 100),
+      dir)
+      .as[Long].collect().toSeq.sorted
+    // batch-Loop oracle: seeds plus their doubling chains while <= 100
+    val oracle = Seq(3L, 6L, 12L, 24L, 48L, 96L, 7L, 14L, 28L, 56L, 60L).sorted
+    assert(out == oracle)
+  }
+
+  test("backpressure passthrough: maxFilesPerTrigger throttles the directory source") {
+    // Strom's per-source buffer: knob (lib/gen_mix.ex:8) -> the
+    // maxFilesPerTrigger option: three file drops admitted one per
+    // micro-batch instead of all in one gulp
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("graft_bp_in_").toString
+    (1 to 3).foreach(i =>
+      Files.writeString(Path.of(dir, s"f$i.txt"), s"line$i\n"))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = StreamSource.text("bp", dir, Map("maxFilesPerTrigger" -> "1"))
+      .origin(spark)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_bp_ckpt_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet(); rows.addAndGet(b.count().toInt); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(rows.get() == 3)
+    assert(batches.get() >= 3, s"expected >= 3 throttled batches, got ${batches.get()}")
+  }
+
   test("stateless corpus operators apply to streams unchanged (sampling + redaction)") {
     // hashKeep/redactPii are pure projections, so the same Transformer
     // runs on a streaming flow with no code change — the Flow carrying
