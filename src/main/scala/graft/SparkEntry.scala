@@ -2881,6 +2881,39 @@ object SparkEntry {
       Analytics.mannWhitney(t(s, d, "lineitem"),
         (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))),
 
+    // One-way ANOVA F across the five order priorities: the k-arm
+    // mean screen; exact decimal moments, 6dp per-group terms.
+    "q_anova" -> ((s, d) =>
+      Analytics.anovaF(t(s, d, "orders"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
+
+    // Kruskal-Wallis H over the same arms: rank-based k-arm test on
+    // exact doubled midranks + tie correction, no global sort.
+    "q_kruskal" -> ((s, d) =>
+      Analytics.kruskalWallis(t(s, d, "orders"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
+
+    // Jensen-Shannon divergence between the en and es corpora's word
+    // distributions — the symmetric corpus-distance mixing readout.
+    "q_js_div" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def toks(lang: String) = docs.where(col("lang") === lang)
+        .select(explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+      graft.operators.Quality.jsDivergence(toks("en"), toks("es"), col("w"))
+    }),
+
+    // Benjamini-Hochberg FDR over a deterministic md5-derived p-value
+    // per customer: exact integer reject frontier, range-ranked.
+    "q_bh_fdr" -> ((s, d) =>
+      Analytics.bhFdr(
+        t(s, d, "customer").select(col("c_custkey"),
+          (expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+            % 1000000L).as("p_micros")),
+        col("c_custkey"), col("p_micros"), qPpm = 50000L)
+        .select(col("id").as("c_custkey"), col("p_micros"), col("rank"),
+          col("rejected"))
+        .orderBy(col("rank"))),
+
     // Holt-Winters additive (weekly season) over per-type daily cents:
     // the fold engine with O(7) state, bit-exact vs a 9-state-column
     // recursive-CTE oracle.
@@ -6345,6 +6378,98 @@ object SparkEntry {
         |  round((sum(p * (2 * (cu - c) + c + 1)) - sum(p) * (sum(p) + 1))::DOUBLE /
         |    (sum(p)::DOUBLE * sum(c - p)::DOUBLE) - 1.0, 6) AS rank_biserial
         |FROM cum""".stripMargin,
+
+    // same exact decimal moments; Σ S_g²/n_g as 6dp decimal terms
+    "q_anova" ->
+      """WITH per AS (SELECT o_orderpriority AS g, count(*) AS n,
+        |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s,
+        |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) *
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS q2
+        |  FROM orders GROUP BY 1),
+        |terms AS (SELECT n, s, q2,
+        |  CAST(round((s * s)::DOUBLE / n::DOUBLE, 6) AS DECIMAL(38,6)) AS a
+        |  FROM per),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |  sum(s) AS st, sum(q2) AS qt, sum(a) AS at FROM terms)
+        |SELECT k, n,
+        |  CASE WHEN k >= 2 AND n > k
+        |    AND qt::DOUBLE - at::DOUBLE > 0 THEN
+        |    round((at::DOUBLE - (st * st)::DOUBLE / n::DOUBLE) / (k::DOUBLE - 1.0) /
+        |      ((qt::DOUBLE - at::DOUBLE) / (n::DOUBLE - k::DOUBLE)), 6) END AS f,
+        |  CASE WHEN qt::DOUBLE - (st * st)::DOUBLE / n::DOUBLE > 0 THEN
+        |    round((at::DOUBLE - (st * st)::DOUBLE / n::DOUBLE) /
+        |      (qt::DOUBLE - (st * st)::DOUBLE / n::DOUBLE), 6) END AS eta_sq
+        |FROM agg""".stripMargin,
+
+    // same doubled-midrank CDF, Σ R2_g²/n_g as 6dp terms, tie-corrected
+    "q_kruskal" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |cells AS (SELECT g, v, count(*) AS cgv FROM base GROUP BY 1, 2),
+        |vc AS (SELECT v, CAST(sum(cgv) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |cdf AS (SELECT v, c, sum(c) OVER (ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM vc),
+        |mr AS (SELECT v, 2 * (cum - c) + c + 1 AS mr2,
+        |  CAST(c AS HUGEINT) * c * c - c AS tie FROM cdf),
+        |pg AS (SELECT g, CAST(sum(cgv) AS BIGINT) AS ng,
+        |  sum(CAST(cgv AS HUGEINT) * mr2) AS r2
+        |  FROM cells JOIN mr USING (v) GROUP BY 1),
+        |bt AS (SELECT ng,
+        |  CAST(round((r2 * r2)::DOUBLE / ng::DOUBLE, 6) AS DECIMAL(38,6)) AS b
+        |  FROM pg),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |  sum(b) AS bt FROM bt),
+        |tt AS (SELECT sum(tie) AS t FROM mr)
+        |SELECT k, n,
+        |  CASE WHEN k >= 2 AND n >= 2 THEN
+        |    round(3.0 * bt::DOUBLE / (n::DOUBLE * (n::DOUBLE + 1.0)) -
+        |      3.0 * (n::DOUBLE + 1.0), 6) END AS h,
+        |  CASE WHEN k >= 2 AND n >= 2
+        |    AND 1.0 - t::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) > 0 THEN
+        |    round((3.0 * bt::DOUBLE / (n::DOUBLE * (n::DOUBLE + 1.0)) -
+        |      3.0 * (n::DOUBLE + 1.0)) /
+        |      (1.0 - t::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)),
+        |      6) END AS h_corrected
+        |FROM agg, tt""".stripMargin,
+
+    // same union-vocab full outer + ½ p ln(2p/(p+q)) 6dp decimal terms
+    "q_js_div" ->
+      s"""WITH ta AS (SELECT unnest($W) AS tok FROM documents WHERE lang = 'en'),
+         |tb AS (SELECT unnest($W) AS tok FROM documents WHERE lang = 'es'),
+         |ca AS (SELECT tok, count(*) AS ca FROM ta GROUP BY 1),
+         |cb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY 1),
+         |j AS (SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+         |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |  CAST(sum(cb) AS BIGINT) AS n_b,
+         |  CAST(count(*) AS BIGINT) AS n_tokens FROM j),
+         |terms AS (SELECT n_tokens, n_a, n_b, CAST(round(
+         |  (CASE WHEN ca > 0 THEN (ca::DOUBLE / n_a::DOUBLE) *
+         |    ln(2.0 * (ca::DOUBLE / n_a::DOUBLE) /
+         |      ((ca::DOUBLE / n_a::DOUBLE) + (cb::DOUBLE / n_b::DOUBLE)))
+         |   ELSE 0.0 END) * 0.5 +
+         |  (CASE WHEN cb > 0 THEN (cb::DOUBLE / n_b::DOUBLE) *
+         |    ln(2.0 * (cb::DOUBLE / n_b::DOUBLE) /
+         |      ((ca::DOUBLE / n_a::DOUBLE) + (cb::DOUBLE / n_b::DOUBLE)))
+         |   ELSE 0.0 END) * 0.5, 6) AS DECIMAL(18,6)) AS t
+         |  FROM j, tot)
+         |SELECT n_tokens, n_a, n_b, CAST(sum(t) AS DOUBLE) AS js
+         |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+
+    // same md5-derived p, window rank, exact integer reject frontier
+    "q_bh_fdr" ->
+      """WITH p AS (SELECT c_custkey,
+        |  CAST(('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::UBIGINT
+        |    % 1000000 AS BIGINT) AS p_micros
+        |  FROM customer),
+        |r AS (SELECT c_custkey, p_micros,
+        |  CAST(row_number() OVER (ORDER BY p_micros, c_custkey) AS BIGINT) AS rank,
+        |  CAST(count(*) OVER () AS BIGINT) AS n FROM p),
+        |cut AS (SELECT COALESCE(max(rank), 0) AS c FROM r
+        |  WHERE p_micros * n <= rank * 50000)
+        |SELECT c_custkey, p_micros, rank, rank <= c AS rejected
+        |FROM r, cut ORDER BY rank""".stripMargin,
 
     // programmatic 9-state recursive CTE — see holtWintersOracle
     "q_holt_winters" -> holtWintersOracle,

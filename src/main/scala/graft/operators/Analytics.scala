@@ -2352,4 +2352,129 @@ object Analytics {
                  | * 1000000 div (n_seasonal * ae_naive_cents) AS BIGINT)"""
             .stripMargin)).as("mase_ppm"))
   }
+
+  /** One-way ANOVA F — the k-arm extension of the two-arm [[abTest]]
+    * family ("do ANY of these cohorts differ in mean", the screen you
+    * run before pairwise tests): F = (SSB/(k−1)) / (SSW/(N−k)), plus
+    * η² = SSB/SST (the share of variance the grouping explains).
+    *
+    * Exactness: per-group count/sum/sum-of-squares are exact
+    * DECIMAL(38,0) over integer inputs; the one order-sensitive
+    * reduction — Σ_g S_g²/n_g — is the [[mutualInfo]] discipline (each
+    * group's term rounded to 6dp DECIMAL, summed exactly), and the
+    * final F/η² are one fixed IEEE shape over those scalars. Shape:
+    * one map-combinable aggregate to the |groups| frame, one 1-row
+    * summary — no windows, no joins. Degenerate inputs (k < 2,
+    * N ≤ k, zero within-variance) return null F. Output one row:
+    * (k, n, f, eta_sq).
+    */
+  def anovaF(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val per = df.where(groupCol.isNotNull && valueCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_v").cast("decimal(38,0)")).as("_s"),
+        sum(col("_v").cast("decimal(38,0)") * col("_v")).as("_q"))
+      // Σ_g S_g²/n_g: per-group 6dp DECIMAL terms -> order-proof sum
+      .select(col("_n"), col("_s"), col("_q"),
+        round((col("_s") * col("_s")).cast("double") / col("_n").cast("double"), 6)
+          .cast("decimal(38,6)").as("_a"))
+    val agg = per.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
+      sum(col("_s")).as("_S"), sum(col("_q")).as("_Q"), sum(col("_a")).as("_A"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val grand = (col("_S") * col("_S")).cast("double") / nD
+    val ssb = col("_A").cast("double") - grand
+    val ssw = col("_Q").cast("double") - col("_A").cast("double")
+    val sst = col("_Q").cast("double") - grand
+    agg.select(col("k"), col("n"),
+      when(col("k") >= 2L && col("n") > col("k") && ssw > 0.0d,
+        round((ssb / (kD - 1.0d)) / (ssw / (nD - kD)), 6)).as("f"),
+      when(sst > 0.0d, round(ssb / sst, 6)).as("eta_sq"))
+  }
+
+  /** Kruskal-Wallis H — the rank-based (distribution-free) twin of
+    * [[anovaF]], closing the k-arm family the way [[mannWhitney]]
+    * closes the two-arm one: H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    * over MIDRANKS, with the standard tie correction
+    * C = 1 − Σ_v(t_v³−t_v)/(N³−N), h_corrected = H/C.
+    *
+    * Same no-global-sort shape as the whole rank family: one hash-agg
+    * to the (value) count frame, ONE [[Relational.prefixSum]] CDF,
+    * midranks DOUBLED into exact bigints (2·offset + c + 1), joined
+    * back to the (group, value) cell frame — so R2_g = Σ c_gv·mr2(v)
+    * is an exact integer and H = 3·Σ_g R2_g²/n_g /(N(N+1)) − 3(N+1)
+    * needs only the [[mutualInfo]] per-group 6dp-term discipline for
+    * its one unordered reduction. Output one row:
+    * (k, n, h, h_corrected); null when N < 2, k < 2, or all values
+    * tie (C = 0).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val base = graft.core.CacheRegistry.persist(
+      df.where(groupCol.isNotNull && valueCol.isNotNull)
+        .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_cgv")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vcounts = base.groupBy(col("_v")).agg(sum(col("_cgv")).as("_c"))
+    // doubled midrank per distinct value + the tie term t³−t
+    val ranked = Relational.prefixSum(vcounts, Seq(col("_v")), col("_c"), "_cum")
+      .select(col("_v"),
+        (lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1L).as("_mr2"),
+        (col("_c").cast("decimal(38,0)") * col("_c") * col("_c") - col("_c"))
+          .as("_tie"))
+    val perGroup = base.join(ranked, Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_cgv")).as("_n"),
+        sum(col("_cgv").cast("decimal(38,0)") * col("_mr2")).as("_r2"))
+      // Σ_g R2_g²/n_g as order-proof 6dp DECIMAL terms
+      .select(col("_n"),
+        round((col("_r2") * col("_r2")).cast("double") / col("_n").cast("double"), 6)
+          .cast("decimal(38,6)").as("_b"))
+    val ties = ranked.agg(sum(col("_tie")).as("_T"))
+    val agg = perGroup
+      .agg(count(lit(1)).as("k"), sum(col("_n")).as("n"), sum(col("_b")).as("_B"))
+      .crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val h = lit(3.0d) * col("_B").cast("double") / (nD * (nD + 1.0d)) -
+      lit(3.0d) * (nD + 1.0d)
+    val c = lit(1.0d) - col("_T").cast("double") / (nD * nD * nD - nD)
+    agg.select(col("k"), col("n"),
+      when(col("k") >= 2L && col("n") >= 2L, round(h, 6)).as("h"),
+      when(col("k") >= 2L && col("n") >= 2L && c > 0.0d,
+        round(h / c, 6)).as("h_corrected"))
+  }
+
+  /** Benjamini-Hochberg FDR control — the multiple-testing gate a
+    * metrics platform runs over THOUSANDS of simultaneous p-values
+    * (per-metric A/B tests, per-feature drift tests) before anyone
+    * reads "significant": rank p ascending, find the largest rank r
+    * with p ≤ r·q/N, reject everything at or below that rank.
+    *
+    * The global rank rides [[Relational.prefixSums]] over the
+    * (p, tie) total order — p-value collections are metric-catalog
+    * scale and beyond, so no single-partition window — and the
+    * cutoff rank is a 1-row aggregate broadcast back. The decision
+    * threshold compares exact micro-p integers: p_micros ≤
+    * (rank·q_ppm·N-scaled) floor form, so the reject frontier is
+    * engine-exact with no float boundary. Output one row per input:
+    * (id, p_micros, rank, rejected).
+    */
+  def bhFdr(df: DataFrame, idCol: Column, pMicrosCol: Column,
+      qPpm: Long = 50000L): DataFrame = {
+    require(qPpm > 0 && qPpm <= 1000000L,
+      s"bhFdr: qPpm must be in (0, 1e6], got $qPpm")
+    val base = df.where(idCol.isNotNull && pMicrosCol.isNotNull)
+      .select(idCol.as("id"), pMicrosCol.cast("long").as("p_micros"))
+    val ranked = graft.core.CacheRegistry.persist(
+      Relational.prefixSum(base, Seq(col("p_micros"), col("id")), lit(1L), "rank"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    // p/1e6 <= r·q/1e6/N  <=>  p·N <= r·q_ppm (exact integers)
+    val cutoff = ranked.crossJoin(broadcast(n))
+      .where(col("p_micros") * col("_n") <= col("rank") * lit(qPpm))
+      .agg(coalesce(max(col("rank")), lit(0L)).as("_cut"))
+    ranked.crossJoin(broadcast(cutoff))
+      .select(col("id"), col("p_micros"), col("rank"),
+        (col("rank") <= col("_cut")).as("rejected"))
+  }
 }

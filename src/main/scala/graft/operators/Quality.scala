@@ -307,6 +307,43 @@ object Quality {
       .agg(sum(col("_t")).cast("double").as("psi"))
   }
 
+  /** Jensen-Shannon divergence between two corpora's token
+    * distributions — the symmetric, bounded (≤ ln 2) corpus-similarity
+    * score a data-mixing pipeline reads before blending sources ([[psi]]
+    * answers "did MY distribution drift"; JS answers "how far apart are
+    * these two corpora"). JS = ½·KL(p‖m) + ½·KL(q‖m) with m = (p+q)/2
+    * over the UNION vocabulary; a token seen on only one side
+    * contributes its finite ½·p·ln 2 term — no smoothing needed, m > 0
+    * wherever either side observed the token.
+    *
+    * Same discipline as [[psi]]: per-token terms are one fixed IEEE
+    * chain over exact bigint counts, rounded to 6dp DECIMAL before the
+    * order-proof sum. Two |vocab|-sized hash-aggs, one full-outer on
+    * the token key, 1-row broadcast totals. Inputs are one-column
+    * token frames (explode upstream). Output:
+    * (n_tokens, n_a, n_b, js).
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, tokenCol: Column): DataFrame = {
+    def counted(df: DataFrame, cnt: String) = df.where(tokenCol.isNotNull)
+      .groupBy(tokenCol.as("_tok")).agg(count(lit(1)).as(cnt))
+    val joined = counted(a, "_ca").join(counted(b, "_cb"), Seq("_tok"), "full_outer")
+      .select(col("_tok"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val totals = joined.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+      count(lit(1)).as("n_tokens"))
+    val p = col("_ca").cast("double") / col("n_a").cast("double")
+    val q = col("_cb").cast("double") / col("n_b").cast("double")
+    val term =
+      when(col("_ca") > 0L, p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0d)) * 0.5 +
+      when(col("_cb") > 0L, q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0d)) * 0.5
+    joined.crossJoin(broadcast(totals))
+      .select(col("n_tokens"), col("n_a"), col("n_b"),
+        round(term, 6).cast("decimal(18,6)").as("_t"))
+      .groupBy(col("n_tokens"), col("n_a"), col("n_b"))
+      .agg(sum(col("_t")).cast("double").as("js"))
+  }
+
   /** k-anonymity audit — the release-gate for any dataset leaving the
     * training enclave: group by the quasi-identifier columns and
     * count equivalence classes smaller than `k`; every row in such a

@@ -1045,6 +1045,53 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head.getString(2) == "bb")
   }
 
+  test("anovaF: textbook two-group F and eta-squared, degenerate cases null") {
+    // g1 = {1,2,3}, g2 = {4,5,6}: SSB = 13.5, SSW = 4, F = 13.5,
+    // eta^2 = 13.5/17.5 = 0.771429
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L), ("b", 6L))
+      .toDF("g", "v")
+    val r = Analytics.anovaF(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("f") == 13.5)
+    assert(r.getAs[Double]("eta_sq") == 0.771429)
+    // one group only -> F null
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(Analytics.anovaF(one, col("g"), col("v")).head().isNullAt(2))
+    // zero within-variance (constant per group) -> F null, eta = 1
+    val const = Seq(("a", 1L), ("a", 1L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val c = Analytics.anovaF(const, col("g"), col("v")).head()
+    assert(c.isNullAt(2) && c.getAs[Double]("eta_sq") == 1.0)
+  }
+
+  test("kruskalWallis: textbook no-tie H, tie correction engages, all-tied null") {
+    // g1 = {1,2,3}, g2 = {4,5,6}: ranks 1..6, H = 12/42*(12+75) - 21
+    // = 3.857143; no ties -> corrected equals raw
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L), ("b", 6L))
+      .toDF("g", "v")
+    val r = Analytics.kruskalWallis(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("h") == 3.857143)
+    assert(r.getAs[Double]("h_corrected") == 3.857143)
+    // every value tied -> C = 0 -> corrected null
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    assert(Analytics.kruskalWallis(tied, col("g"), col("v")).head().isNullAt(3))
+  }
+
+  test("bhFdr: classic step-up cutoff — reject exactly the first three ranks") {
+    // p = .01,.02,.03,.5,.9 at q = .05, N = 5: thresholds r*.01;
+    // ranks 1..3 reject, the step-up never reaches 4 and 5
+    val df = Seq((1L, 10000L), (2L, 20000L), (3L, 30000L),
+      (4L, 500000L), (5L, 900000L)).toDF("id", "p")
+    val out = Analytics.bhFdr(df, col("id"), col("p"), qPpm = 50000L)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Boolean]("rejected"))
+      .toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false))
+    // nothing passes -> empty reject set, all rows still emitted
+    val none = Seq((1L, 900000L), (2L, 950000L)).toDF("id", "p")
+    val n = Analytics.bhFdr(none, col("id"), col("p"), qPpm = 50000L).collect()
+    assert(n.length == 2 && n.forall(!_.getAs[Boolean]("rejected")))
+  }
+
   test("averagePrecision: textbook ranked list, perfect and interleaved") {
     // scores 4,3,2,1 with labels 1,0,1,0: precision@1 = 1, @3 = 2/3
     // AP = (1 + 2/3) / 2 = 0.833333 -> 833333 ppm (floor-div fixed point)

@@ -136,6 +136,22 @@ class QualitySpec extends SparkSpec {
       .getAs[Long]("n_ref") == 6L)
   }
 
+  test("jsDivergence: identical corpora 0, disjoint corpora ln 2 (6dp terms)") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y").toDF("w")
+    val same = Quality.jsDivergence(a, a, col("w")).head()
+    assert(same.getAs[Long]("n_tokens") == 2L)
+    assert(same.getAs[Long]("n_a") == 3L && same.getAs[Long]("n_b") == 3L)
+    assert(same.getAs[Double]("js") == 0.0)
+    // disjoint vocabularies: js = ln 2, as two 6dp-rounded half-terms
+    val b = Seq("p", "p", "q").toDF("w")
+    val far = Quality.jsDivergence(a, b, col("w")).head()
+    assert(far.getAs[Long]("n_tokens") == 4L)
+    // each one-sided token contributes p·ln2/2; rounded terms sum to
+    // 0.693148 (vs ln2 = 0.6931472 — the 6dp discipline, not drift)
+    assert(math.abs(far.getAs[Double]("js") - math.log(2.0)) < 1e-5)
+  }
+
   test("lDiversity: a large uniform class violates what k-anonymity misses") {
     // class (a): 4 rows but all sensitive 's1' -> k-anon fine at k=3,
     // l-diversity violated at l=2; class (b): 2 rows, 2 values -> ok
