@@ -2641,6 +2641,18 @@ object SparkEntry {
     "q_zipf" -> ((s, d) =>
       Ranking.zipfFit(t(s, d, "documents"), col("text"), k = 100)),
 
+    // Heaps'-law vocabulary growth V = K·T^beta over the doc-id walk:
+    // first-occurrence vocab counts, ONE prefix-sums pass, 6dp OLS.
+    "q_heaps" -> ((s, d) =>
+      Ranking.heapsFit(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    // Murphy decomposition + ECE of a deterministic ppm forecast
+    // against returns: the calibration scorecard beside q_calibration.
+    "q_brier" -> ((s, d) =>
+      Analytics.brierDecomposition(t(s, d, "lineitem"),
+        (col("l_partkey") % 1000L) * 1000L,
+        (col("l_returnflag") === "R").cast("long"))),
+
     // Kaplan-Meier signup→purchase survival with right-censoring at
     // each user's last observed event: log-space exact cumprod over
     // the prefix-sum primitive, micro-nat fixed point.
@@ -5860,6 +5872,72 @@ object SparkEntry {
          |     CAST(k * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
          |    CAST(k AS DOUBLE), 6) AS intercept
          |FROM m""".stripMargin,
+
+    // same first-occurrence vocab walk + cumulative OLS, 6dp terms
+    "q_heaps" ->
+      s"""WITH d AS (SELECT doc_id AS id, $W AS ws FROM documents),
+         |dd AS (SELECT id, CAST(len(ws) AS BIGINT) AS nt FROM d
+         |  WHERE len(ws) > 0),
+         |fs AS (SELECT w, min(id) AS fd FROM (
+         |  SELECT id, unnest(ws) AS w FROM d) GROUP BY 1),
+         |nv AS (SELECT fd AS id, CAST(count(*) AS BIGINT) AS nv FROM fs GROUP BY 1),
+         |j AS (SELECT dd.id, nt, COALESCE(nv, 0) AS nv
+         |  FROM dd LEFT JOIN nv ON dd.id = nv.id),
+         |cum AS (SELECT nt, nv,
+         |  CAST(sum(nt) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS t,
+         |  CAST(sum(nv) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
+         |  FROM j),
+         |terms AS (SELECT nt, nv,
+         |  CAST(round(ln(t::DOUBLE), 6) AS DECIMAL(38,6)) AS x,
+         |  CAST(round(ln(v::DOUBLE), 6) AS DECIMAL(38,6)) AS y,
+         |  CAST(round(ln(t::DOUBLE) * ln(t::DOUBLE), 6) AS DECIMAL(38,6)) AS xx,
+         |  CAST(round(ln(t::DOUBLE) * ln(v::DOUBLE), 6) AS DECIMAL(38,6)) AS xy
+         |  FROM cum),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nv) AS BIGINT) AS vocab,
+         |  sum(x) AS sx, sum(y) AS sy, sum(xx) AS sxx, sum(xy) AS sxy FROM terms)
+         |SELECT n_docs, n_tokens, vocab,
+         |  CASE WHEN n_docs >= 2 THEN
+         |    round(CAST(n_docs * sxy - sx * sy AS DOUBLE) /
+         |      CAST(n_docs * sxx - sx * sx AS DOUBLE), 6) END AS beta,
+         |  CASE WHEN n_docs >= 2 THEN
+         |    round((CAST(sy AS DOUBLE) -
+         |      (CAST(n_docs * sxy - sx * sy AS DOUBLE) /
+         |       CAST(n_docs * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+         |      CAST(n_docs AS DOUBLE), 6) END AS ln_k
+         |FROM agg""".stripMargin,
+
+    // same per-bin 6dp REL/RES/ECE terms over exact counts
+    "q_brier" ->
+      """WITH b AS (SELECT (l_partkey % 1000) * 1000 AS p,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem),
+        |bins AS (SELECT p, count(*) AS nb, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS npos,
+        |  CAST(count(*) AS BIGINT) AS n_bins FROM bins),
+        |terms AS (SELECT n, n_bins, npos,
+        |  CAST(round(nb::DOUBLE * (p::DOUBLE / 1000000.0 - pos::DOUBLE / nb::DOUBLE)
+        |    * (p::DOUBLE / 1000000.0 - pos::DOUBLE / nb::DOUBLE), 6)
+        |    AS DECIMAL(38,6)) AS rel,
+        |  CAST(round(nb::DOUBLE * (pos::DOUBLE / nb::DOUBLE - npos::DOUBLE / n::DOUBLE)
+        |    * (pos::DOUBLE / nb::DOUBLE - npos::DOUBLE / n::DOUBLE), 6)
+        |    AS DECIMAL(38,6)) AS res,
+        |  CAST(round(nb::DOUBLE * abs(p::DOUBLE / 1000000.0 - pos::DOUBLE / nb::DOUBLE), 6)
+        |    AS DECIMAL(38,6)) AS ece
+        |  FROM bins, tot),
+        |agg AS (SELECT n, n_bins, npos, sum(rel) AS srel, sum(res) AS sres,
+        |  sum(ece) AS sece FROM terms GROUP BY 1, 2, 3)
+        |SELECT n, n_bins,
+        |  round(srel::DOUBLE / n::DOUBLE, 6) AS reliability,
+        |  round(sres::DOUBLE / n::DOUBLE, 6) AS resolution,
+        |  round((npos::DOUBLE / n::DOUBLE) * (1.0 - npos::DOUBLE / n::DOUBLE), 6)
+        |    AS uncertainty,
+        |  round(srel::DOUBLE / n::DOUBLE - sres::DOUBLE / n::DOUBLE +
+        |    (npos::DOUBLE / n::DOUBLE) * (1.0 - npos::DOUBLE / n::DOUBLE), 6)
+        |    AS brier,
+        |  round(sece::DOUBLE / n::DOUBLE, 6) AS ece
+        |FROM agg""".stripMargin,
 
     // same micro-nat log-space cumprod over the per-duration frame
     "q_survival" ->

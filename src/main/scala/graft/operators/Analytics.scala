@@ -2277,6 +2277,60 @@ object Analytics {
         expr("n_pos * 1000000L div n").as("rate_ppm"))
   }
 
+  /** Murphy decomposition of the Brier score + expected calibration
+    * error — the full scorecard behind [[calibrationBins]]' raw
+    * reliability table: for a ppm-valued probability forecast against
+    * binary outcomes, Brier = REL − RES + UNC with
+    * REL = Σ_b n_b(p̄_b−ō_b)²/N (calibration: is 0.7 really 0.7),
+    * RES = Σ_b n_b(ō_b−ō)²/N (sharpness: do the bins separate), and
+    * UNC = ō(1−ō) (the base-rate floor no forecaster beats without
+    * information); ECE = Σ_b n_b|p̄_b−ō_b|/N is the companion the
+    * model-card standard reports. Bins are distinct forecast values —
+    * callers quantize upstream (ppm forecasts usually arrive
+    * quantized).
+    *
+    * Exactness: per-bin counts/positives are exact integers; each
+    * bin's REL/RES/ECE term is one fixed IEEE chain rounded to 6dp
+    * DECIMAL before the order-proof sum ([[mutualInfo]] discipline).
+    * One hash-agg to the |bins| frame, a 1-row broadcast total, one
+    * summary row: (n, n_bins, reliability, resolution, uncertainty,
+    * brier, ece).
+    */
+  def brierDecomposition(df: DataFrame, pPpmCol: Column,
+      outcomeCol: Column): DataFrame = {
+    val bins = df.where(pPpmCol.isNotNull && outcomeCol.isNotNull)
+      .select(pPpmCol.cast("long").as("_p"), outcomeCol.cast("long").as("_y"))
+      .groupBy(col("_p"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_pos"))
+    val tot = bins.agg(sum(col("_n")).as("n"), sum(col("_pos")).as("_npos"),
+      count(lit(1)).as("n_bins"))
+    val p = col("_p").cast("double") / lit(1000000.0d)
+    val ob = col("_pos").cast("double") / col("_n").cast("double")
+    val obar = col("_npos").cast("double") / col("n").cast("double")
+    val terms = bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("n_bins"), col("_npos"),
+        round(col("_n").cast("double") * (p - ob) * (p - ob), 6)
+          .cast("decimal(38,6)").as("_rel"),
+        round(col("_n").cast("double") * (ob - obar) * (ob - obar), 6)
+          .cast("decimal(38,6)").as("_res"),
+        round(col("_n").cast("double") * abs(p - ob), 6)
+          .cast("decimal(38,6)").as("_ece"))
+      .groupBy(col("n"), col("n_bins"), col("_npos"))
+      .agg(sum(col("_rel")).as("_srel"), sum(col("_res")).as("_sres"),
+        sum(col("_ece")).as("_sece"))
+    val nD = col("n").cast("double")
+    val rel = col("_srel").cast("double") / nD
+    val res = col("_sres").cast("double") / nD
+    val unc = (col("_npos").cast("double") / nD) *
+      (lit(1.0d) - col("_npos").cast("double") / nD)
+    terms.select(col("n"), col("n_bins"),
+      round(rel, 6).as("reliability"),
+      round(res, 6).as("resolution"),
+      round(unc, 6).as("uncertainty"),
+      round(rel - res + unc, 6).as("brier"),
+      round(col("_sece").cast("double") / nD, 6).as("ece"))
+  }
+
   /** Per-key time-weighted average — the TWAP/uptime-mean shape:
     * each observation holds its value until the NEXT observation, so
     * the mean weights by holding duration, not sample count

@@ -96,16 +96,21 @@ object Diagnostics {
       .select(concat_ws("", parts: _*).as("key"))
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("_total")) // 1 row, broadcast
-    counts.crossJoin(broadcast(total))
-      .orderBy(col("cnt").desc, col("key").asc)
-      .limit(topK)
+    // rank the topK-row frame with the prefix-sum primitive instead of
+    // a no-partition window: bounded either way, but this keeps the
+    // gate free of WindowExec single-partition warnings
+    Relational.prefixSum(
+        counts.crossJoin(broadcast(total))
+          .orderBy(col("cnt").desc, col("key").asc)
+          .limit(topK),
+        Seq(col("cnt").desc, col("key").asc), lit(1L), "_rnk")
       .select(
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc, col("key").asc)).as("rnk"),
+        col("_rnk").cast("int").as("rnk"),
         col("key"), col("cnt"),
         expr("cnt * 1000000L div _total").as("share_ppm"),
         least(lit(p.toLong), greatest(lit(1L),
           expr(s"(cnt * ${p}L + _total - 1L) div _total"))).as("salt_factor"))
+      .orderBy(col("rnk"))
   }
 
   /** Functional-dependency check lhs → rhs: a data-contract assertion

@@ -438,10 +438,13 @@ object Ranking {
       .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
       .orderBy(col("_c").desc, col("_w").asc)
       .limit(k)
-    val w = Window.orderBy(col("_c").desc, col("_w").asc) // k rows only
     val d6 = (c: Column) => round(c, 6).cast("decimal(18,6)")
-    counts
-      .withColumn("_r", row_number().over(w).cast("double"))
+    // rank over the k-row frame via the prefix-sum primitive — the
+    // frame is limit-bounded so a window would be safe, but this keeps
+    // the whole gate WindowExec-warning-free
+    Relational.prefixSum(counts, Seq(col("_c").desc, col("_w").asc),
+        lit(1L), "_rnk")
+      .withColumn("_r", col("_rnk").cast("double"))
       .select(
         d6(log(col("_r"))).as("_x"), d6(log(col("_c").cast("double"))).as("_y"),
         d6(log(col("_r")) * log(col("_r"))).as("_xx"),
@@ -458,6 +461,62 @@ object Ranking {
             (col("k") * col("_sxx") - col("_sx") * col("_sx")).cast("double")) *
             col("_sx").cast("double")) / col("k").cast("double"), 6)
           .as("intercept"))
+  }
+
+  /** Heaps'-law fit V = K·T^β — the vocabulary-GROWTH companion of
+    * [[zipfFit]]'s frequency slope and the number that sizes a
+    * tokenizer's OOV budget before training: walk the corpus in doc-id
+    * order and OLS ln V against ln T over the per-doc checkpoints
+    * (T = cumulative tokens, V = cumulative distinct vocabulary).
+    * Natural text lands β ≈ 0.4–0.6; β near 1 means the vocabulary
+    * never saturates (ids, hashes — tokenize bytes instead).
+    *
+    * Scale: V needs no expanding-distinct — each word contributes at
+    * its FIRST document (one min-agg over the posting explode), so
+    * both running totals ride ONE [[Relational.prefixSums]] pass over
+    * the |docs| frame (range-partitioned, no global window). The OLS
+    * moments are per-doc 6dp DECIMAL terms ([[zipfFit]] discipline,
+    * here over corpus-scale rows — exactly why the terms must be
+    * order-proof). Docs with no tokens are excluded (T must strictly
+    * increase). Output one row:
+    * (n_docs, n_tokens, vocab, beta, ln_k).
+    */
+  def heapsFit(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val docs = graft.core.CacheRegistry.persist(
+      df.select(idCol.as("_id"), words(textCol).as("_ws"))
+        .where(size(col("_ws")) > 0)
+        .select(col("_id"), col("_ws"), size(col("_ws")).cast("long").as("_nt")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = docs
+      .select(col("_id"), explode(col("_ws")).as("_w"))
+      .groupBy(col("_w")).agg(min(col("_id")).as("_fd"))
+      .groupBy(col("_fd").as("_id")).agg(count(lit(1)).as("_nv"))
+    val joined = docs.select(col("_id"), col("_nt"))
+      .join(firstSeen, Seq("_id"), "left")
+      .select(col("_id"), col("_nt"), coalesce(col("_nv"), lit(0L)).as("_nv"))
+    val cum = Relational.prefixSums(joined, Seq(col("_id")),
+      Seq(col("_nt") -> "_T", col("_nv") -> "_V"))
+    val d6 = (c: Column) => round(c, 6).cast("decimal(38,6)")
+    val x = log(col("_T").cast("double"))
+    val y = log(col("_V").cast("double"))
+    cum
+      .select(d6(x).as("_x"), d6(y).as("_y"), d6(x * x).as("_xx"),
+        d6(x * y).as("_xy"), col("_nt"), col("_nv"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"),
+        sum(col("_nv")).as("vocab"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"), sum(col("_xx")).as("_sxx"),
+        sum(col("_xy")).as("_sxy"))
+      .select(col("n_docs"), col("n_tokens"), col("vocab"),
+        when(col("n_docs") >= 2L, round(
+          (col("n_docs") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+            (col("n_docs") * col("_sxx") - col("_sx") * col("_sx")).cast("double"),
+          6)).as("beta"),
+        when(col("n_docs") >= 2L, round(
+          (col("_sy").cast("double") -
+            ((col("n_docs") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+              (col("n_docs") * col("_sxx") - col("_sx") * col("_sx")).cast("double")) *
+              col("_sx").cast("double")) / col("n_docs").cast("double"),
+          6)).as("ln_k"))
   }
 
   /** Vocabulary coverage curve — the tokenizer-design readout: the

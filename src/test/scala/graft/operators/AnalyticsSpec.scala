@@ -1045,6 +1045,22 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head.getString(2) == "bb")
   }
 
+  test("brierDecomposition: calibrated bin scores zero reliability; ece exact") {
+    // bin 0.5 with rate 0.5 (calibrated) + bin 1.0 with rate 0 (worst):
+    // N=6, obar=1/3; REL = (4*0 + 2*1)/6 = 1/3; ECE = (0 + 2*1)/6 = 1/3
+    val df = Seq((500000L, 1L), (500000L, 0L), (500000L, 1L), (500000L, 0L),
+      (1000000L, 0L), (1000000L, 0L)).toDF("p", "y")
+    val r = Analytics.brierDecomposition(df, col("p"), col("y")).head()
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Double]("reliability") == 0.333333)
+    assert(r.getAs[Double]("ece") == 0.333333)
+    assert(r.getAs[Double]("uncertainty") == 0.222222) // (1/3)(2/3)
+    // Murphy identity holds on the rounded surface within 2 ulp-ish
+    assert(math.abs(r.getAs[Double]("brier") -
+      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+        r.getAs[Double]("uncertainty"))) < 1e-5)
+  }
+
   test("anovaF: textbook two-group F and eta-squared, degenerate cases null") {
     // g1 = {1,2,3}, g2 = {4,5,6}: SSB = 13.5, SSW = 4, F = 13.5,
     // eta^2 = 13.5/17.5 = 0.771429

@@ -241,6 +241,22 @@ class RankingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) + 1.0) < 1e-4)
   }
 
+  test("heapsFit: first-occurrence vocab walk — exact counts, sane exponent") {
+    // docs in id order: "a b" (+2 vocab), "a c" (+1), "a b c d" (+1)
+    // -> T = 2,4,8 ; V = 2,3,4 ; growth strictly sublinear (beta < 1)
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d")).toDF("id", "text")
+    val r = Ranking.heapsFit(df, col("id"), col("text")).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_tokens") == 8L)
+    assert(r.getAs[Long]("vocab") == 4L)
+    val beta = r.getAs[Double]("beta")
+    assert(beta > 0.0 && beta < 1.0)
+    // a wordless doc is excluded, counts unchanged
+    val withEmpty = df.unionAll(Seq((4L, "...")).toDF("id", "text"))
+    assert(Ranking.heapsFit(withEmpty, col("id"), col("text"))
+      .collect().head.getAs[Long]("n_docs") == 3L)
+  }
+
   test("confusionStats: per-class P/R/F1 ppm, absent-side classes surface") {
     // gold a,a,b,c ; pred a,b,b,d — class c never predicted, d never gold
     val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("c", "d"))
