@@ -2893,6 +2893,14 @@ object SparkEntry {
       Analytics.mannWhitney(t(s, d, "lineitem"),
         (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))),
 
+    // 2x2 difference-in-differences: odd users "treated", the back
+    // half of January "post" — exact cell sums, one IEEE shape.
+    "q_did" -> ((s, d) =>
+      Analytics.diffInDiff(t(s, d, "events").where(col("value").isNotNull),
+        (col("user_id") % 2L === 1L).cast("long"),
+        (col("ts") >= to_timestamp(lit("2024-01-16 00:00:00"))).cast("long"),
+        expr("CAST(round(value * 100) AS BIGINT)"))),
+
     // One-way ANOVA F across the five order priorities: the k-arm
     // mean screen; exact decimal moments, 6dp per-group terms.
     "q_anova" -> ((s, d) =>
@@ -6456,6 +6464,39 @@ object SparkEntry {
         |  round((sum(p * (2 * (cu - c) + c + 1)) - sum(p) * (sum(p) + 1))::DOUBLE /
         |    (sum(p)::DOUBLE * sum(c - p)::DOUBLE) - 1.0, 6) AS rank_biserial
         |FROM cum""".stripMargin,
+
+    // same 4-cell exact sums; means and DID one fixed double shape
+    "q_did" ->
+      """WITH b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+        |  CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS p,
+        |  CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT t, p, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT
+        |  CAST(COALESCE(sum(CASE WHEN t = 0 AND p = 0 THEN n END), 0) AS BIGINT) AS n00,
+        |  CAST(COALESCE(sum(CASE WHEN t = 0 AND p = 1 THEN n END), 0) AS BIGINT) AS n01,
+        |  CAST(COALESCE(sum(CASE WHEN t = 1 AND p = 0 THEN n END), 0) AS BIGINT) AS n10,
+        |  CAST(COALESCE(sum(CASE WHEN t = 1 AND p = 1 THEN n END), 0) AS BIGINT) AS n11,
+        |  CAST(sum(CASE WHEN t = 0 AND p = 0 THEN s END) AS BIGINT) AS s00,
+        |  CAST(sum(CASE WHEN t = 0 AND p = 1 THEN s END) AS BIGINT) AS s01,
+        |  CAST(sum(CASE WHEN t = 1 AND p = 0 THEN s END) AS BIGINT) AS s10,
+        |  CAST(sum(CASE WHEN t = 1 AND p = 1 THEN s END) AS BIGINT) AS s11
+        |  FROM c)
+        |SELECT n00, n01, n10, n11,
+        |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
+        |    round(s00::DOUBLE / n00::DOUBLE, 6) END AS mean00,
+        |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
+        |    round(s01::DOUBLE / n01::DOUBLE, 6) END AS mean01,
+        |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
+        |    round(s10::DOUBLE / n10::DOUBLE, 6) END AS mean10,
+        |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
+        |    round(s11::DOUBLE / n11::DOUBLE, 6) END AS mean11,
+        |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
+        |    round((s11::DOUBLE / n11::DOUBLE - s10::DOUBLE / n10::DOUBLE) -
+        |      (s01::DOUBLE / n01::DOUBLE - s00::DOUBLE / n00::DOUBLE), 6)
+        |  END AS did
+        |FROM w""".stripMargin,
 
     // same exact decimal moments; Σ S_g²/n_g as 6dp decimal terms
     "q_anova" ->

@@ -2331,6 +2331,49 @@ object Analytics {
       round(col("_sece").cast("double") / nD, 6).as("ece"))
   }
 
+  /** 2×2 difference-in-differences — the workhorse quasi-experimental
+    * estimator when treatment wasn't randomized (a feature shipped to
+    * one cohort, a policy hit one region): DID = (ȳ_treated,post −
+    * ȳ_treated,pre) − (ȳ_control,post − ȳ_control,pre), the change in
+    * the treated group net of the secular trend the control group
+    * measures.
+    *
+    * One map-combinable aggregate to the 4-cell frame (exact integer
+    * counts and cent sums), then DID and the per-cell means are one
+    * fixed IEEE shape over those 8 scalars. Output one row:
+    * (n00, n01, n10, n11, mean00, mean01, mean10, mean11, did) — cell
+    * code = <treated><post>, means and DID in the value's own units,
+    * 6dp. Null when any cell is empty (the design is undefined).
+    */
+  def diffInDiff(df: DataFrame, treatedCol: Column, postCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df
+      .where(treatedCol.isNotNull && postCol.isNotNull && valueCol.isNotNull)
+      .select(treatedCol.cast("long").as("_t"), postCol.cast("long").as("_p"),
+        valueCol.cast("long").as("_v"))
+      .groupBy(col("_t"), col("_p"))
+      .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"))
+    def cell(t: Int, p: Int, c: String) =
+      sum(when(col("_t") === t && col("_p") === p, col(c))).as(s"_$c$t$p")
+    val wide = cells.agg(
+      cell(0, 0, "_n"), cell(0, 1, "_n"), cell(1, 0, "_n"), cell(1, 1, "_n"),
+      cell(0, 0, "_s"), cell(0, 1, "_s"), cell(1, 0, "_s"), cell(1, 1, "_s"))
+    def m(t: Int, p: Int) =
+      col(s"__s$t$p").cast("double") / col(s"__n$t$p").cast("double")
+    val ok = (0 to 1).flatMap(t => (0 to 1).map(p =>
+      coalesce(col(s"__n$t$p"), lit(0L)) > 0L)).reduce(_ && _)
+    wide.select(
+      coalesce(col("__n00"), lit(0L)).as("n00"),
+      coalesce(col("__n01"), lit(0L)).as("n01"),
+      coalesce(col("__n10"), lit(0L)).as("n10"),
+      coalesce(col("__n11"), lit(0L)).as("n11"),
+      when(ok, round(m(0, 0), 6)).as("mean00"),
+      when(ok, round(m(0, 1), 6)).as("mean01"),
+      when(ok, round(m(1, 0), 6)).as("mean10"),
+      when(ok, round(m(1, 1), 6)).as("mean11"),
+      when(ok, round((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0)), 6)).as("did"))
+  }
+
   /** Per-key time-weighted average — the TWAP/uptime-mean shape:
     * each observation holds its value until the NEXT observation, so
     * the mean weights by holding duration, not sample count

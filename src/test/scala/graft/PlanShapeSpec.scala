@@ -368,13 +368,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.count(_.matches(""".*(\+-|:-) (\*\(\d+\) )?Window .*""")) == 2)
   }
 
-  test("skewReport: partial-agg shuffle + broadcast total, no sort-merge join") {
+  test("skewReport: no sort-merge join, no window — rank rides the prefix-sum RDD") {
     val rows = (1 to 500).map(i => s"k${i % 40}").toDF("k")
-    val p = finalPlan(graft.operators.Diagnostics.skewReport(
-      rows, Seq(col("k")), topK = 5, partitions = 8))
+    val df = graft.operators.Diagnostics.skewReport(
+      rows, Seq(col("k")), topK = 5, partitions = 8)
+    val p = finalPlan(df)
     assert(!p.contains("SortMergeJoin"))
-    // map-side partial + final aggregate pair for the key counts
-    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+    // the topK rank comes from Relational.prefixSum (an RDD boundary
+    // in the final plan), not a no-partition window
+    assert(!p.contains("Window"))
+    // ranks are the contiguous 1..topK order despite no window
+    assert(df.select("rnk").as[Int].collect().toSeq == (1 to 5))
   }
 
   test("prefixDups: windowless successor pairing, no cartesian, no re-sort") {

@@ -1045,6 +1045,21 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head.getString(2) == "bb")
   }
 
+  test("diffInDiff: treated lift net of the control trend; empty cell nulls") {
+    // control 10 -> 12 (trend +2), treated 20 -> 25 (+5): DID = 3
+    val df = Seq((0L, 0L, 10L), (0L, 0L, 10L), (0L, 1L, 12L), (0L, 1L, 12L),
+      (1L, 0L, 20L), (1L, 0L, 20L), (1L, 1L, 25L), (1L, 1L, 25L))
+      .toDF("t", "p", "v")
+    val r = Analytics.diffInDiff(df, col("t"), col("p"), col("v")).head()
+    assert(r.getAs[Long]("n00") == 2L && r.getAs[Long]("n11") == 2L)
+    assert(r.getAs[Double]("mean00") == 10.0 && r.getAs[Double]("mean11") == 25.0)
+    assert(r.getAs[Double]("did") == 3.0)
+    // a missing cell leaves the design undefined -> null DID
+    val missing = df.where(!(col("t") === 1L && col("p") === 0L))
+    val m = Analytics.diffInDiff(missing, col("t"), col("p"), col("v")).head()
+    assert(m.getAs[Long]("n10") == 0L && m.isNullAt(8))
+  }
+
   test("brierDecomposition: calibrated bin scores zero reliability; ece exact") {
     // bin 0.5 with rate 0.5 (calibrated) + bin 1.0 with rate 0 (worst):
     // N=6, obar=1/3; REL = (4*0 + 2*1)/6 = 1/3; ECE = (0 + 2*1)/6 = 1/3
