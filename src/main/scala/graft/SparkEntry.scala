@@ -2893,6 +2893,24 @@ object SparkEntry {
       Analytics.mannWhitney(t(s, d, "lineitem"),
         (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))),
 
+    // McNemar's paired flip test: did the SAME users click in the
+    // back half of January but not the front — exact ppm integers.
+    "q_mcnemar" -> ((s, d) =>
+      Analytics.mcnemar(t(s, d, "events"), col("user_id"),
+        col("event_type") === "click" &&
+          col("ts") < to_timestamp(lit("2024-01-16 00:00:00")),
+        col("event_type") === "click" &&
+          col("ts") >= to_timestamp(lit("2024-01-16 00:00:00")))),
+
+    // Monroe log-odds "fightin' words": which terms mark en against
+    // es, Dirichlet-shrunk, per-term IEEE z, top-100 TakeOrdered.
+    "q_logodds" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def toks(lang: String) = docs.where(col("lang") === lang)
+        .select(explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+      Ranking.logOddsTerms(toks("en"), toks("es"), col("w"), a0 = 100.0, k = 100)
+    }),
+
     // 2x2 difference-in-differences: odd users "treated", the back
     // half of January "post" — exact cell sums, one IEEE shape.
     "q_did" -> ((s, d) =>
@@ -6464,6 +6482,54 @@ object SparkEntry {
         |  round((sum(p * (2 * (cu - c) + c + 1)) - sum(p) * (sum(p) + 1))::DOUBLE /
         |    (sum(p)::DOUBLE * sum(c - p)::DOUBLE) - 1.0, 6) AS rank_biserial
         |FROM cum""".stripMargin,
+
+    // same per-unit max pair + discordant-cell ppm integers
+    "q_mcnemar" ->
+      """WITH per AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'click'
+        |    AND ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS a,
+        |  max(CASE WHEN event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |  CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10
+        |  FROM per)
+        |SELECT n_pairs, n01, n10,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    CAST((n01 - n10) * (n01 - n10) * 1000000 // (n01 + n10) AS BIGINT)
+        |  END AS chi2_ppm,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    CAST((abs(n01 - n10) - 1) * (abs(n01 - n10) - 1) * 1000000
+        |      // (n01 + n10) AS BIGINT)
+        |  END AS chi2_cc_ppm
+        |FROM c""".stripMargin,
+
+    // same Dirichlet-shrunk per-term log-odds, identical IEEE shape
+    "q_logodds" ->
+      s"""WITH ta AS (SELECT unnest($W) AS term FROM documents WHERE lang = 'en'),
+         |tb AS (SELECT unnest($W) AS term FROM documents WHERE lang = 'es'),
+         |ca AS (SELECT term, count(*) AS ya FROM ta GROUP BY 1),
+         |cb AS (SELECT term, count(*) AS yb FROM tb GROUP BY 1),
+         |j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+         |  CAST(COALESCE(ya, 0) AS BIGINT) AS n_a,
+         |  CAST(COALESCE(yb, 0) AS BIGINT) AS n_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS t1,
+         |  CAST(sum(n_b) AS BIGINT) AS t2 FROM j),
+         |j2 AS (SELECT term, n_a, n_b,
+         |  n_a::DOUBLE + (100.0 * (n_a + n_b)::DOUBLE) /
+         |    (t1::DOUBLE + t2::DOUBLE) AS y1,
+         |  n_b::DOUBLE + (100.0 * (n_a + n_b)::DOUBLE) /
+         |    (t1::DOUBLE + t2::DOUBLE) AS y2,
+         |  t1::DOUBLE AS d1, t2::DOUBLE AS d2 FROM j, tot),
+         |s2 AS (SELECT term, n_a, n_b,
+         |  ln(y1 / (d1 + 100.0 - y1)) - ln(y2 / (d2 + 100.0 - y2)) AS dr,
+         |  (ln(y1 / (d1 + 100.0 - y1)) - ln(y2 / (d2 + 100.0 - y2))) /
+         |    sqrt(1.0 / y1 + 1.0 / y2) AS zr
+         |  FROM j2)
+         |SELECT term, n_a, n_b, round(dr, 6) AS delta, round(zr, 6) AS z
+         |FROM s2 ORDER BY abs(round(zr, 6)) DESC, term LIMIT 100""".stripMargin,
 
     // same 4-cell exact sums; means and DID one fixed double shape
     "q_did" ->

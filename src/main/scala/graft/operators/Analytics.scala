@@ -2331,6 +2331,37 @@ object Analytics {
       round(col("_sece").cast("double") / nD, 6).as("ece"))
   }
 
+  /** McNemar's test for PAIRED binary outcomes — "did the same users
+    * flip" where an unpaired chi-square only sees the margins: for
+    * each unit the (before, after) pair; only the discordant cells
+    * matter, χ² = (n01−n10)²/(n01+n10), plus the Edwards
+    * continuity-corrected form (|n01−n10|−1)²/(n01+n10).
+    *
+    * Integer end-to-end: one per-unit max-aggregate collapses events
+    * to the unit's (a, b) pair, one 1-row count aggregate, and both
+    * statistics are exact ppm floor-divs — nothing for a comparator to
+    * drift on. Output one row:
+    * (n_pairs, n01, n10, chi2_ppm, chi2_cc_ppm); statistics null when
+    * no discordant pairs exist.
+    */
+  def mcnemar(df: DataFrame, unitCol: Column, aCol: Column,
+      bCol: Column): DataFrame = {
+    val per = df.where(unitCol.isNotNull)
+      .groupBy(unitCol.as("_u"))
+      .agg(max(aCol.cast("long")).as("_a"), max(bCol.cast("long")).as("_b"))
+    per.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("_a") === 0L && col("_b") === 1L, 1L).otherwise(0L)).as("n01"),
+      sum(when(col("_a") === 1L && col("_b") === 0L, 1L).otherwise(0L)).as("n10"))
+      .select(col("n_pairs"), col("n01"), col("n10"),
+        when(col("n01") + col("n10") > 0L,
+          expr("(n01 - n10) * (n01 - n10) * 1000000 div (n01 + n10)"))
+          .as("chi2_ppm"),
+        when(col("n01") + col("n10") > 0L,
+          expr("""(abs(n01 - n10) - 1) * (abs(n01 - n10) - 1) * 1000000
+                 | div (n01 + n10)""".stripMargin)).as("chi2_cc_ppm"))
+  }
+
   /** 2×2 difference-in-differences — the workhorse quasi-experimental
     * estimator when treatment wasn't randomized (a feature shipped to
     * one cohort, a policy hit one region): DID = (ȳ_treated,post −

@@ -463,6 +463,48 @@ object Ranking {
           .as("intercept"))
   }
 
+  /** Log-odds term comparison with an informative Dirichlet prior
+    * (Monroe/Colaresi/Quinn's "Fightin' Words") — WHICH terms mark
+    * corpus A against corpus B, the per-term companion of
+    * [[graft.operators.Quality.jsDivergence]]'s single distance
+    * number and the usage-rate alternative to [[chi2Terms]]' document
+    * presence: δ_w = ln((y1+α)/(n1+A−y1−α)) − ln((y2+α)/(n2+A−y2−α))
+    * with α_w = a0·pooled_w/pooled_total (the pooled corpus as prior,
+    * strength `a0` pseudo-tokens), z_w = δ_w/√(1/(y1+α)+1/(y2+α)) —
+    * the prior shrinks rare-word log-odds toward zero instead of
+    * letting hapaxes dominate.
+    *
+    * Every term's z is one fixed IEEE chain over its own exact counts
+    * (no cross-row float sums at all); the global top-k by |z| is a
+    * TakeOrdered, never a sort. Two vocab-sized hash-aggs + one
+    * full-outer + a 1-row broadcast total. Output k rows:
+    * (term, n_a, n_b, delta, z), |z| descending, term tiebreak.
+    */
+  def logOddsTerms(a: DataFrame, b: DataFrame, tokenCol: Column,
+      a0: Double = 100.0, k: Int = 100): DataFrame = {
+    require(a0 > 0.0, s"logOddsTerms: prior strength a0 must be > 0, got $a0")
+    require(k >= 1, s"logOddsTerms: k must be >= 1, got $k")
+    def counted(df: DataFrame, cnt: String) = df.where(tokenCol.isNotNull)
+      .groupBy(tokenCol.as("term")).agg(count(lit(1)).as(cnt))
+    val joined = counted(a, "_ya").join(counted(b, "_yb"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("_ya"), lit(0L)).as("n_a"),
+        coalesce(col("_yb"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum(col("n_a")).as("_n1"), sum(col("n_b")).as("_n2"))
+    val n1 = col("_n1").cast("double")
+    val n2 = col("_n2").cast("double")
+    val alpha = lit(a0) * (col("n_a") + col("n_b")).cast("double") / (n1 + n2)
+    val y1 = col("n_a").cast("double") + alpha
+    val y2 = col("n_b").cast("double") + alpha
+    val delta = log(y1 / (n1 + lit(a0) - y1)) - log(y2 / (n2 + lit(a0) - y2))
+    val z = delta / sqrt(lit(1.0d) / y1 + lit(1.0d) / y2)
+    joined.crossJoin(broadcast(tot))
+      .select(col("term"), col("n_a"), col("n_b"),
+        round(delta, 6).as("delta"), round(z, 6).as("z"))
+      .orderBy(abs(col("z")).desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Heaps'-law fit V = K·T^β — the vocabulary-GROWTH companion of
     * [[zipfFit]]'s frequency slope and the number that sizes a
     * tokenizer's OOV budget before training: walk the corpus in doc-id

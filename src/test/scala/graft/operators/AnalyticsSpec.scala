@@ -1045,6 +1045,23 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head.getString(2) == "bb")
   }
 
+  test("mcnemar: discordant cells only; exact ppm, continuity corrected") {
+    // pairs: 2 flips 0->1, 1 flip 1->0, concordant rest:
+    // chi2 = (2-1)^2/3 = 333333 ppm; cc = (|1|-1)^2/3 = 0
+    val df = Seq((1L, 0L, 1L), (2L, 0L, 1L), (3L, 1L, 0L),
+      (4L, 1L, 1L), (5L, 0L, 0L)).toDF("u", "a", "b")
+    val r = Analytics.mcnemar(df, col("u"), col("a") === 1L, col("b") === 1L)
+      .head()
+    assert(r.getAs[Long]("n_pairs") == 5L)
+    assert(r.getAs[Long]("n01") == 2L && r.getAs[Long]("n10") == 1L)
+    assert(r.getAs[Long]("chi2_ppm") == 333333L)
+    assert(r.getAs[Long]("chi2_cc_ppm") == 0L)
+    // all concordant -> stats null
+    val conc = Seq((1L, 1L, 1L), (2L, 0L, 0L)).toDF("u", "a", "b")
+    assert(Analytics.mcnemar(conc, col("u"), col("a") === 1L, col("b") === 1L)
+      .head().isNullAt(3))
+  }
+
   test("diffInDiff: treated lift net of the control trend; empty cell nulls") {
     // control 10 -> 12 (trend +2), treated 20 -> 25 (+5): DID = 3
     val df = Seq((0L, 0L, 10L), (0L, 0L, 10L), (0L, 1L, 12L), (0L, 1L, 12L),

@@ -241,6 +241,19 @@ class RankingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) + 1.0) < 1e-4)
   }
 
+  test("logOddsTerms: side-exclusive terms rank first with opposite signs") {
+    // a says "alpha" a lot, b says "beta"; "shared" is balanced
+    val a = (Seq.fill(20)("alpha") ++ Seq.fill(10)("shared")).toDF("w")
+    val b = (Seq.fill(20)("beta") ++ Seq.fill(10)("shared")).toDF("w")
+    val out = Ranking.logOddsTerms(a, b, col("w"), a0 = 10.0, k = 3).collect()
+    assert(out.map(_.getAs[String]("term")).take(2).toSet == Set("alpha", "beta"))
+    val byTerm = out.map(r => r.getAs[String]("term") -> r.getAs[Double]("z")).toMap
+    assert(byTerm("alpha") > 0.0 && byTerm("beta") < 0.0)
+    // the balanced term scores (near) zero and ranks last
+    assert(math.abs(byTerm("shared")) < 0.1)
+    assert(out.last.getAs[String]("term") == "shared")
+  }
+
   test("heapsFit: first-occurrence vocab walk — exact counts, sane exponent") {
     // docs in id order: "a b" (+2 vocab), "a c" (+1), "a b c d" (+1)
     // -> T = 2,4,8 ; V = 2,3,4 ; growth strictly sublinear (beta < 1)
