@@ -897,7 +897,11 @@ object SparkEntry {
       val key = Seq("query_id", "neighbor_id")
       val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
-      val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 6)
+      // nprobe 10/16: the 0.6 recall pin must hold at BOTH gate scales
+      // and under the gate's own input partitioning (the bounded
+      // takeSample quantizer is partitioning-sensitive; 6/16 sat at
+      // 0.68 on raw layout but under 0.6 on the gate layout at sf0.1)
+      val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 10)
         .select(col("query_id"), col("neighbor_id"))
       brute.agg(count(lit(1)).as("n_brute"))
         .crossJoin(brute.join(ivf, key, "left_semi").agg(count(lit(1)).as("_hit")))
