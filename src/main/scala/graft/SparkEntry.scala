@@ -2530,6 +2530,12 @@ object SparkEntry {
         col("lang"), langId(col("text")))
         .orderBy(col("cls"))),
 
+    // Cohen's kappa + multiclass MCC for the same langId-vs-gold frame:
+    // chance-corrected agreement, exact integer ppm + one 6dp double.
+    "q_kappa" -> ((s, d) =>
+      Ranking.agreementStats(t(s, d, "documents"),
+        col("lang"), langId(col("text")))),
+
     // Average precision of "order value predicts urgency": one
     // prefix-sums pass carries rank + cumulative positives, fixed-point
     // precision@k summed exactly.
@@ -5676,6 +5682,45 @@ object SparkEntry {
         |      // (precision_ppm + recall_ppm) AS BIGINT)
         |  END AS f1_ppm
         |FROM f ORDER BY cls""".stripMargin,
+
+    // same cell frame + class margins; exact kappa ppm, 6dp MCC
+    "q_kappa" ->
+      """WITH pred AS (SELECT lang AS g,
+        |  CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |       WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |       WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |       WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |       ELSE 'fr' END AS p
+        |  FROM (SELECT lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|de|en|es|una?)\b')) AS es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|est|une?|et|dans|que)\b')) AS fr
+        |    FROM documents)),
+        |cells AS (SELECT g, p, count(*) AS n FROM pred GROUP BY 1, 2),
+        |gt AS (SELECT g AS cls, CAST(sum(n) AS BIGINT) AS tg FROM cells GROUP BY 1),
+        |pt AS (SELECT p AS cls, CAST(sum(n) AS BIGINT) AS tp FROM cells GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  sum(CAST(COALESCE(tg, 0) AS HUGEINT) * COALESCE(tp, 0)) AS s,
+        |  sum(CAST(COALESCE(tg, 0) AS HUGEINT) * COALESCE(tg, 0)) AS st2,
+        |  sum(CAST(COALESCE(tp, 0) AS HUGEINT) * COALESCE(tp, 0)) AS sp2
+        |  FROM gt FULL OUTER JOIN pt USING (cls)),
+        |b AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN g = p THEN n ELSE 0 END) AS BIGINT) AS a
+        |  FROM cells)
+        |SELECT n, n_classes,
+        |  CAST(a * 1000000 // n AS BIGINT) AS po_ppm,
+        |  CAST(s * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+        |  CASE WHEN CAST(n AS HUGEINT) * n - s > 0 THEN
+        |    CAST((CAST(a AS HUGEINT) * n - s) * 1000000
+        |      // (CAST(n AS HUGEINT) * n - s) AS BIGINT) END AS kappa_ppm,
+        |  CASE WHEN CAST(n AS HUGEINT) * n - sp2 > 0
+        |    AND CAST(n AS HUGEINT) * n - st2 > 0 THEN
+        |    round(CAST(CAST(a AS HUGEINT) * n - s AS DOUBLE) /
+        |      (sqrt(CAST(CAST(n AS HUGEINT) * n - sp2 AS DOUBLE)) *
+        |       sqrt(CAST(CAST(n AS HUGEINT) * n - st2 AS DOUBLE))), 6)
+        |  END AS mcc
+        |FROM b, m""".stripMargin,
 
     // same fixed-point precision@k over a window-ranked total order;
     // AP floored to ppm so the output stays integer end-to-end

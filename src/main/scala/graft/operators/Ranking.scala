@@ -652,4 +652,54 @@ object Ranking {
           col("precision_ppm") + col("recall_ppm") > 0,
           expr("2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)")))
   }
+
+  /** Chance-corrected agreement between two labelings — Cohen's κ and
+    * the multiclass Matthews correlation (Gorodkin's R_K), the two
+    * scalars an LLM-eval pipeline reports beside [[confusionStats]]'
+    * per-class table (raw percent agreement flatters any skewed label
+    * distribution; κ and MCC discount what chance alone would match).
+    *
+    * From the same (gold, pred) cell frame: with N rows, A agreements,
+    * class margins t_c (gold) and p_c (pred), S = Σ_c t_c·p_c —
+    * κ = (A·N − S)/(N² − S) emitted as an EXACT integer ppm (both
+    * engines truncate integral division identically), and
+    * MCC = (A·N − S)/√(N²−Σp_c²)/√(N²−Σt_c²) as the one 6dp double
+    * (exact DECIMAL radicands, one fixed IEEE shape). Margins are
+    * |classes|-bounded: two tiny aggs over the cell frame. Output one
+    * row: (n, n_classes, po_ppm, pe_ppm, kappa_ppm, mcc); κ/MCC null
+    * when the denominators degenerate (single class / constant side).
+    */
+  def agreementStats(df: DataFrame, goldCol: Column, predCol: Column): DataFrame = {
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(goldCol.isNotNull && predCol.isNotNull)
+        .groupBy(goldCol.as("_g"), predCol.as("_p")).agg(count(lit(1)).as("_n")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gold = cells.groupBy(col("_g")).agg(sum(col("_n")).as("_tg"))
+    val pred = cells.groupBy(col("_p")).agg(sum(col("_n")).as("_tp"))
+    val margins = gold
+      .join(pred, col("_g") === col("_p"), "full_outer")
+      .select(coalesce(col("_tg"), lit(0L)).as("_tg"),
+        coalesce(col("_tp"), lit(0L)).as("_tp"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("_tg").cast("decimal(38,0)") * col("_tp")).as("_s"),
+        sum(col("_tg").cast("decimal(38,0)") * col("_tg")).as("_st2"),
+        sum(col("_tp").cast("decimal(38,0)") * col("_tp")).as("_sp2"))
+    val base = cells.agg(sum(col("_n")).as("n"),
+      sum(when(col("_g") === col("_p"), col("_n")).otherwise(0L)).as("_a"))
+      .crossJoin(broadcast(margins))
+    val n2 = col("n").cast("decimal(38,0)") * col("n")
+    val num = col("_a").cast("decimal(38,0)") * col("n") - col("_s")
+    base.select(col("n"), col("n_classes"),
+      expr("_a * 1000000 div n").as("po_ppm"),
+      expr("CAST(_s * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+        .as("pe_ppm"),
+      when(n2 - col("_s") > 0,
+        expr("""CAST((CAST(_a AS DECIMAL(38,0)) * n - _s) * 1000000
+               | div (CAST(n AS DECIMAL(38,0)) * n - _s) AS BIGINT)"""
+          .stripMargin)).as("kappa_ppm"),
+      when(n2 - col("_sp2") > 0 && n2 - col("_st2") > 0,
+        round(num.cast("double") /
+          (sqrt((n2 - col("_sp2")).cast("double")) *
+            sqrt((n2 - col("_st2")).cast("double"))), 6)).as("mcc"))
+  }
 }

@@ -241,6 +241,26 @@ class RankingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) + 1.0) < 1e-4)
   }
 
+  test("agreementStats: textbook kappa/MCC; perfect and constant-pred edges") {
+    // gold a,a,b,b vs pred a,b,b,b: po = 3/4, pe = (2*1 + 2*3)/16 = 1/2,
+    // kappa = (3*4-8)/(16-8) = 0.5; MCC = 4/(sqrt(6)*sqrt(8)) = 0.57735
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))
+      .toDF("gold", "pred")
+    val r = Ranking.agreementStats(df, col("gold"), col("pred")).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Long]("po_ppm") == 750000L)
+    assert(r.getAs[Long]("pe_ppm") == 500000L)
+    assert(r.getAs[Long]("kappa_ppm") == 500000L)
+    assert(r.getAs[Double]("mcc") == 0.57735)
+    // perfect agreement -> kappa 1e6; constant prediction -> MCC null
+    val perfect = Seq(("a", "a"), ("b", "b")).toDF("gold", "pred")
+    assert(Ranking.agreementStats(perfect, col("gold"), col("pred"))
+      .head().getAs[Long]("kappa_ppm") == 1000000L)
+    val const = Seq(("a", "a"), ("b", "a")).toDF("gold", "pred")
+    val c = Ranking.agreementStats(const, col("gold"), col("pred")).head()
+    assert(c.isNullAt(5)) // mcc
+  }
+
   test("logOddsTerms: side-exclusive terms rank first with opposite signs") {
     // a says "alpha" a lot, b says "beta"; "shared" is balanced
     val a = (Seq.fill(20)("alpha") ++ Seq.fill(10)("shared")).toDF("w")
