@@ -2029,6 +2029,12 @@ object SparkEntry {
           usec(min(when(col("cum_distinct") === 3, col("ts")))).as("ts3_us"))
     }),
 
+    // Calinski-Harabasz of the ground-truth embedding labels: the
+    // clustering variance-ratio, per-dim ANOVA identity, 10dp terms.
+    "q_ch" -> ((s, d) =>
+      Clustering.calinskiHarabasz(t(s, d, "embeddings"),
+        col("label"), col("embedding"))),
+
     // One Lloyd's assignment step from deterministic seeds (the 8
     // smallest-vec_id embeddings): the fused NearestCentroid codegen
     // kernel vs the oracle's explicit argmin — integer-only aggregate
@@ -4680,6 +4686,31 @@ object SparkEntry {
         |FROM c GROUP BY user_id""".stripMargin,
 
     // explicit argmin over the 8 smallest-id seed vectors; ties to the
+    // same per-dim ANOVA identity: 10dp element sums, 6dp S^2/n terms
+    "q_ch" ->
+      """WITH ex AS (SELECT label AS c, embedding,
+        |  unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |ev AS (SELECT c, i, embedding[i]::DOUBLE AS v FROM ex),
+        |sci AS (SELECT c, i,
+        |  sum(CAST(round(v, 10) AS DECIMAL(38,10))) AS s FROM ev GROUP BY 1, 2),
+        |q AS (SELECT sum(CAST(round(v * v, 10) AS DECIMAL(38,10))) AS q2 FROM ev),
+        |nc AS (SELECT label AS c, count(*) AS n FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY 1),
+        |a AS (SELECT sum(CAST(round((s * s)::DOUBLE / n::DOUBLE, 6)
+        |  AS DECIMAL(38,6))) AS a2 FROM sci JOIN nc USING (c)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS n FROM nc),
+        |g AS (SELECT sum(CAST(round((st * st)::DOUBLE / n::DOUBLE, 6)
+        |  AS DECIMAL(38,6))) AS g2
+        |  FROM (SELECT i, sum(s) AS st FROM sci GROUP BY 1), tot)
+        |SELECT k, n,
+        |  CASE WHEN k >= 2 AND n > k AND q2::DOUBLE - a2::DOUBLE > 0 THEN
+        |    round(((a2::DOUBLE - g2::DOUBLE) / (k::DOUBLE - 1.0)) /
+        |      ((q2::DOUBLE - a2::DOUBLE) / (n::DOUBLE - k::DOUBLE)), 6)
+        |  END AS ch
+        |FROM tot, q, a, g""".stripMargin,
+
     // lowest cell index = the kernel's strict-< keep-first
     "q_cluster" ->
       """WITH seeds AS (

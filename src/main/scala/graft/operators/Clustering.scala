@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed k-means (Lloyd's) over an embedding column.
@@ -82,4 +82,51 @@ object Clustering {
     */
   def assign(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame =
     df.withColumn("cell", VectorFunctions.nearestCentroid(col(vecCol), centroids))
+
+  /** Calinski-Harabasz index (variance-ratio criterion) — the
+    * clustering-quality scalar that picks k and audits a labeling:
+    * CH = (B/(k−1)) / (W/(n−k)), between- over within-cluster scatter.
+    * It is exactly multi-dimensional ANOVA, so it reuses
+    * [[Analytics.anovaF]]'s identity per dimension: with per-(cluster,
+    * dim) sums S, W = Q − Σ S²/n_c and B = Σ S²/n_c − ‖ΣS‖²/N — no
+    * centroid subtraction pass over the data at all.
+    *
+    * Exactness: vector elements (and their squares) are rounded to
+    * 10dp DECIMAL before summing ([[graft.operators.Linalg]]'s matvec
+    * convention), the two k·dim-bounded Σ S²/n reductions use 6dp
+    * DECIMAL terms, and CH is one fixed IEEE shape over five scalars.
+    * Shape: one explode + hash-agg to the (k × dim) frame, everything
+    * after is dimension-bounded. Output one row: (k, n, ch); null when
+    * k < 2, n ≤ k, or W = 0.
+    */
+  def calinskiHarabasz(df: DataFrame, labelCol: Column, vecCol: Column): DataFrame = {
+    val ev = df.where(labelCol.isNotNull && vecCol.isNotNull)
+      .select(labelCol.as("_c"), posexplode(vecCol).as(Seq("_i", "_e")))
+      .select(col("_c"), col("_i"), col("_e").cast("double").as("_v"))
+    val sci = ev.groupBy(col("_c"), col("_i"))
+      .agg(sum(round(col("_v"), 10).cast("decimal(38,10)")).as("_s"))
+      .localCheckpoint(true)
+    val q = ev.agg(sum(round(col("_v") * col("_v"), 10).cast("decimal(38,10)"))
+      .as("_q2"))
+    val nc = df.where(labelCol.isNotNull && vecCol.isNotNull)
+      .groupBy(labelCol.as("_c")).agg(count(lit(1)).as("_n"))
+    val a = sci.join(broadcast(nc), Seq("_c"))
+      .select(round((col("_s") * col("_s")).cast("double") /
+        col("_n").cast("double"), 6).cast("decimal(38,6)").as("_t"))
+      .agg(sum(col("_t")).as("_a2"))
+    val g = sci.groupBy(col("_i")).agg(sum(col("_s")).as("_st"))
+      .crossJoin(broadcast(nc.agg(sum(col("_n")).as("_nt"))))
+      .select(round((col("_st") * col("_st")).cast("double") /
+        col("_nt").cast("double"), 6).cast("decimal(38,6)").as("_t"))
+      .agg(sum(col("_t")).as("_g2"))
+    val tot = nc.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val b = col("_a2").cast("double") - col("_g2").cast("double")
+    val w = col("_q2").cast("double") - col("_a2").cast("double")
+    tot.crossJoin(broadcast(q)).crossJoin(broadcast(a)).crossJoin(broadcast(g))
+      .select(col("k"), col("n"),
+        when(col("k") >= 2L && col("n") > col("k") && w > 0.0d,
+          round((b / (kD - 1.0d)) / (w / (nD - kD)), 6)).as("ch"))
+  }
 }

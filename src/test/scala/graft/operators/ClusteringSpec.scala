@@ -40,6 +40,20 @@ class ClusteringSpec extends SparkSpec {
     assert(res.centroids.length == 3)
   }
 
+  test("calinskiHarabasz: textbook two well-separated clusters score CH = 50") {
+    // cluster 0: (0,0),(0,2); cluster 1: (10,0),(10,2):
+    // W = 4, B = 100, CH = (100/1)/(4/2) = 50
+    val df = Seq((0, Array(0.0f, 0.0f)), (0, Array(0.0f, 2.0f)),
+      (1, Array(10.0f, 0.0f)), (1, Array(10.0f, 2.0f))).toDF("label", "v")
+    val r = Clustering.calinskiHarabasz(df, col("label"), col("v")).head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("ch") == 50.0)
+    // one cluster -> undefined
+    val one = Seq((0, Array(0.0f, 0.0f)), (0, Array(1.0f, 1.0f))).toDF("label", "v")
+    assert(Clustering.calinskiHarabasz(one, col("label"), col("v"))
+      .head().isNullAt(2))
+  }
+
   test("assign gives null cells to dimension-mismatched vectors") {
     val mixed = Seq(
       (1L, Array(10.0f, 0.0f, 0.0f, 0.0f)),
