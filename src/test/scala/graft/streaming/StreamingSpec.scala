@@ -246,6 +246,37 @@ class StreamingSpec extends SparkSpec {
     assert(batches.get() >= 3, s"expected >= 3 throttled batches, got ${batches.get()}")
   }
 
+  test("streaming JS drift: per micro-batch divergence against a static baseline") {
+    // the corpus-drift monitor an ingestion pipeline runs: each
+    // micro-batch's token distribution scored against the frozen
+    // baseline via jsDivergence inside foreachBatch — batch operators
+    // compose onto streams with no new code
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq.fill(20)("alpha").toDF("w")
+    val in = MemoryStream[String]
+    val scores = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val q = in.toDF().toDF("w").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_jsd_ckpt_").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          scores.add(graft.operators.Quality
+            .jsDivergence(baseline, batch, col("w"))
+            .head().getAs[Double]("js"))
+        }
+        ()
+      }.start()
+    in.addData(Seq.fill(10)("alpha"): _*) // same distribution -> 0
+    q.processAllAvailable()
+    in.addData(Seq.fill(10)("omega"): _*) // disjoint -> ~ln 2
+    q.processAllAvailable()
+    q.stop()
+    val out = scores.toArray(Array.empty[java.lang.Double]).map(_.doubleValue)
+    assert(out.length == 2)
+    assert(out.head == 0.0)
+    assert(math.abs(out.last - math.log(2.0)) < 1e-5)
+  }
+
   test("stateless corpus operators apply to streams unchanged (sampling + redaction)") {
     // hashKeep/redactPii are pure projections, so the same Transformer
     // runs on a streaming flow with no code change — the Flow carrying
