@@ -326,10 +326,14 @@ object Quality {
   def jsDivergence(a: DataFrame, b: DataFrame, tokenCol: Column): DataFrame = {
     def counted(df: DataFrame, cnt: String) = df.where(tokenCol.isNotNull)
       .groupBy(tokenCol.as("_tok")).agg(count(lit(1)).as(cnt))
-    val joined = counted(a, "_ca").join(counted(b, "_cb"), Seq("_tok"), "full_outer")
-      .select(col("_tok"),
-        coalesce(col("_ca"), lit(0L)).as("_ca"),
-        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    // persisted: the vocab frame feeds both the totals row and the term
+    // sum — without it each corpus is scanned and tokenized twice
+    val joined = graft.core.CacheRegistry.persist(
+      counted(a, "_ca").join(counted(b, "_cb"), Seq("_tok"), "full_outer")
+        .select(col("_tok"),
+          coalesce(col("_ca"), lit(0L)).as("_ca"),
+          coalesce(col("_cb"), lit(0L)).as("_cb")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = joined.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
       count(lit(1)).as("n_tokens"))
     val p = col("_ca").cast("double") / col("n_a").cast("double")

@@ -486,10 +486,14 @@ object Ranking {
     require(k >= 1, s"logOddsTerms: k must be >= 1, got $k")
     def counted(df: DataFrame, cnt: String) = df.where(tokenCol.isNotNull)
       .groupBy(tokenCol.as("term")).agg(count(lit(1)).as(cnt))
-    val joined = counted(a, "_ya").join(counted(b, "_yb"), Seq("term"), "full_outer")
-      .select(col("term"),
-        coalesce(col("_ya"), lit(0L)).as("n_a"),
-        coalesce(col("_yb"), lit(0L)).as("n_b"))
+    // persisted: feeds both the totals row and the scored frame —
+    // without it each corpus is scanned and tokenized twice
+    val joined = graft.core.CacheRegistry.persist(
+      counted(a, "_ya").join(counted(b, "_yb"), Seq("term"), "full_outer")
+        .select(col("term"),
+          coalesce(col("_ya"), lit(0L)).as("n_a"),
+          coalesce(col("_yb"), lit(0L)).as("n_b")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = joined.agg(sum(col("n_a")).as("_n1"), sum(col("n_b")).as("_n2"))
     val n1 = col("_n1").cast("double")
     val n2 = col("_n2").cast("double")
