@@ -2298,10 +2298,14 @@ object Analytics {
     */
   def brierDecomposition(df: DataFrame, pPpmCol: Column,
       outcomeCol: Column): DataFrame = {
-    val bins = df.where(pPpmCol.isNotNull && outcomeCol.isNotNull)
-      .select(pPpmCol.cast("long").as("_p"), outcomeCol.cast("long").as("_y"))
-      .groupBy(col("_p"))
-      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_pos"))
+    // persisted: the bin frame feeds the totals row and the term pass —
+    // unpersisted each consumer would re-scan the fact table
+    val bins = graft.core.CacheRegistry.persist(
+      df.where(pPpmCol.isNotNull && outcomeCol.isNotNull)
+        .select(pPpmCol.cast("long").as("_p"), outcomeCol.cast("long").as("_y"))
+        .groupBy(col("_p"))
+        .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_pos")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = bins.agg(sum(col("_n")).as("n"), sum(col("_pos")).as("_npos"),
       count(lit(1)).as("n_bins"))
     val p = col("_p").cast("double") / lit(1000000.0d)
@@ -2544,12 +2548,16 @@ object Analytics {
         .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_cgv")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vcounts = base.groupBy(col("_v")).agg(sum(col("_cgv")).as("_c"))
-    // doubled midrank per distinct value + the tie term t³−t
-    val ranked = Relational.prefixSum(vcounts, Seq(col("_v")), col("_c"), "_cum")
-      .select(col("_v"),
-        (lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1L).as("_mr2"),
-        (col("_c").cast("decimal(38,0)") * col("_c") * col("_c") - col("_c"))
-          .as("_tie"))
+    // doubled midrank per distinct value + the tie term t³−t;
+    // persisted — the rank frame feeds both the per-group sum and the
+    // tie total, and the prefix-sum pass should run once
+    val ranked = graft.core.CacheRegistry.persist(
+      Relational.prefixSum(vcounts, Seq(col("_v")), col("_c"), "_cum")
+        .select(col("_v"),
+          (lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1L).as("_mr2"),
+          (col("_c").cast("decimal(38,0)") * col("_c") * col("_c") - col("_c"))
+            .as("_tie")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perGroup = base.join(ranked, Seq("_v"))
       .groupBy(col("_g"))
       .agg(sum(col("_cgv")).as("_n"),
