@@ -2029,6 +2029,25 @@ object SparkEntry {
           usec(min(when(col("cum_distinct") === 3, col("ts")))).as("ts3_us"))
     }),
 
+    // Corpus-scale ANN graph: every vector's IVF top-5 with NO
+    // broadcast query set (hash join on the cell key) — recall gated
+    // vs the brute top-5 on the vec_id<10 slice.
+    "q_ann_graph" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val key = Seq("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = Similarity.ivfKnnGraph(e, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 10)
+        .where(col("query_id") < 10)
+        .select(col("query_id"), col("neighbor_id"))
+      brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(brute.join(ann, key, "left_semi").agg(count(lit(1)).as("_hit")))
+        .select(col("n_brute"),
+          (col("_hit") >= col("n_brute").cast("double") * 0.6).as("recall_ok"))
+    }),
+
     // Calinski-Harabasz of the ground-truth embedding labels: the
     // clustering variance-ratio, per-dim ANOVA identity, 10dp terms.
     "q_ch" -> ((s, d) =>
@@ -3762,6 +3781,10 @@ object SparkEntry {
          |SELECT count(*) AS n_brute, TRUE AS recall_ok FROM brute""".stripMargin,
 
     "q_sim_ivfpq" ->
+      s"""$BruteTop5Sql
+         |SELECT count(*) AS n_brute, TRUE AS recall_ok FROM brute""".stripMargin,
+
+    "q_ann_graph" ->
       s"""$BruteTop5Sql
          |SELECT count(*) AS n_brute, TRUE AS recall_ok FROM brute""".stripMargin,
 

@@ -66,6 +66,76 @@ object Similarity {
       .select(col("a"), col("b"), col("cosine"), col("rank_a"), col("rank_b"))
   }
 
+  /** Corpus-scale approximate kNN GRAPH — every vector's IVF top-k
+    * with NO driver-side query set: the scale path [[mutualKnnGraph]]
+    * (broadcast queries, exact) cannot take. Cell probing happens
+    * without broadcasting the vectors either — each vector meets the
+    * tiny broadcast centroid table (nlist-way narrow blow-up), one
+    * map-combinable aggregate keeps its `nprobe` best cells, and the
+    * candidate join is a plain hash join on the cell key, so the
+    * shuffle carries each vector nprobe (probe side) + 1 (index side)
+    * times. Per-query top-k is a keyed window.
+    *
+    * Parallelism = nlist (one task per probed cell): at corpus scale
+    * set nlist ≥ cluster cores (the FAISS √N guidance lands there
+    * anyway); the gate uses small nlist on small data. Pair work is
+    * Σ_cell |queries probing it|·|members| — cells, never corpus².
+    * `mutual = true` keeps only edges where BOTH endpoints rank each
+    * other top-k (output (a, b, cosine, rank_a, rank_b), a < b — the
+    * [[mutualKnnGraph]] contract); otherwise
+    * (query_id, neighbor_id, cosine, rank).
+    */
+  def ivfKnnGraph(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      mutual: Boolean = false,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"ivfKnnGraph: k must be >= 1, got $k")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"ivfKnnGraph: nprobe must be in [1, nlist], got $nprobe")
+    val index = buildIvfIndex(vectors, idCol, vecCol, nlist, seed = seed)
+    // nprobe best cells per vector via hash-agg (sortable struct keeps
+    // the smallest negated-similarity first), never a window here —
+    // the aggregate combines map-side, the window would shuffle raw
+    // nlist-fold rows
+    val cells = vectors
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("_nd",
+        cosine(col("q_vec").cast("array<double>"), col("centroid")) * lit(-1.0d))
+      .groupBy(col("query_id"))
+      .agg(first(col("q_vec")).as("q_vec"),
+        slice(sort_array(collect_list(struct(col("_nd"), col("cell")))),
+          1, nprobe).as("_best"))
+      .select(col("query_id"), col("q_vec"),
+        explode(col("_best.cell")).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topk = index.assigned.join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+    if (!mutual) topk
+    else {
+      val cp = topk.localCheckpoint(true)
+      val lo = cp.where(col("query_id") < col("neighbor_id"))
+        .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+          col("cosine"), col("rank").as("rank_a"))
+      val hi = cp.where(col("query_id") > col("neighbor_id"))
+        .select(col("neighbor_id").as("a"), col("query_id").as("b"),
+          col("rank").as("rank_b"))
+      lo.join(hi, Seq("a", "b"))
+        .select(col("a"), col("b"), col("cosine"), col("rank_a"), col("rank_b"))
+    }
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: per query, the
     * `k` most-similar corpus vectors whose LABEL DIFFERS — the
     * near-miss examples a triplet/InfoNCE loss learns most from

@@ -87,6 +87,27 @@ class MiscOpSpec extends SparkSpec {
     assert(Similarity.mutualKnnGraph(vecs, "id", "v", k = 2).count() == 3L)
   }
 
+  test("Similarity.ivfKnnGraph with nprobe = nlist equals the brute graph exactly") {
+    // probing every cell makes the candidate set the whole corpus, so
+    // the ANN graph must coincide with brute force edge-for-edge —
+    // and the mutual variant with mutualKnnGraph
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+    val ann = Similarity.ivfKnnGraph(vecs, "id", "v", k = 3, nlist = 4, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "id", "v", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ann == brute)
+    val mu = Similarity.ivfKnnGraph(vecs, "id", "v", k = 3, nlist = 4, nprobe = 4,
+      mutual = true).select("a", "b").as[(Long, Long)].collect().toSet
+    val muBrute = Similarity.mutualKnnGraph(vecs, "id", "v", k = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(mu == muBrute)
+  }
+
   test("Similarity.ivfTopK finds exact duplicates through the probed cells") {
     val rnd = new scala.util.Random(7)
     val base = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
