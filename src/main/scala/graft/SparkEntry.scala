@@ -6603,8 +6603,8 @@ object SparkEntry {
         |    CAST((n01 - n10) * (n01 - n10) * 1000000 // (n01 + n10) AS BIGINT)
         |  END AS chi2_ppm,
         |  CASE WHEN n01 + n10 > 0 THEN
-        |    CAST((abs(n01 - n10) - 1) * (abs(n01 - n10) - 1) * 1000000
-        |      // (n01 + n10) AS BIGINT)
+        |    CAST(greatest(abs(n01 - n10) - 1, 0) * greatest(abs(n01 - n10) - 1, 0)
+        |      * 1000000 // (n01 + n10) AS BIGINT)
         |  END AS chi2_cc_ppm
         |FROM c""".stripMargin,
 

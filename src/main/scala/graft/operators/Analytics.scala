@@ -2140,7 +2140,8 @@ object Analytics {
     * second B-row agg. Exact integer replicate means (floor-div
     * cents); the spread is reported as `std_micros` =
     * ⌊10⁶·√(sample variance of the B means)⌋ — the variance numerator
-    * b·Σm² − (Σm)² is an exact int64 on every engine, and the one
+    * b·Σm² − (Σm)² is exact DECIMAL(38,0) (matching DuckDB's HUGEINT;
+    * plain int64 wraps once means exceed ~5e8 cents), and the one
     * sqrt runs on identical doubles, so the floor is comparator-proof.
     * Output: (b, mean_of_means_cents, lo_cents, hi_cents, std_micros).
     */
@@ -2161,12 +2162,16 @@ object Analytics {
       expr("sum(_m) div count(1)").as("mean_of_means_cents"),
       min(col("_m")).as("lo_cents"),
       max(col("_m")).as("hi_cents"),
-      sum(col("_m")).as("_sm"),
-      sum(col("_m") * col("_m")).as("_sm2"))
+      sum(col("_m").cast("decimal(38,0)")).as("_sm"),
+      sum(col("_m").cast("decimal(38,0)") * col("_m").cast("decimal(38,0)"))
+        .as("_sm2"))
       .select(col("b"), col("mean_of_means_cents"), col("lo_cents"), col("hi_cents"),
-        // sample variance numerator b·Σm²−(Σm)² exactly in int64, one
-        // correctly-rounded sqrt, floored to micros — engine-portable
-        floor(sqrt((col("b") * col("_sm2") - col("_sm") * col("_sm"))
+        // sample variance numerator b·Σm²−(Σm)² exactly in
+        // decimal(38,0) — int64 silently wraps once replicate means
+        // pass ~5e8 cents while the DuckDB oracle works in HUGEINT —
+        // then ONE correctly-rounded sqrt, floored to micros
+        floor(sqrt((col("b").cast("decimal(38,0)") * col("_sm2") -
+              col("_sm") * col("_sm"))
             .cast("double") /
           (col("b") * (col("b") - 1L)).cast("double")) * lit(1000000.0d))
           .cast("long").as("std_micros"))
@@ -2339,7 +2344,9 @@ object Analytics {
     * flip" where an unpaired chi-square only sees the margins: for
     * each unit the (before, after) pair; only the discordant cells
     * matter, χ² = (n01−n10)²/(n01+n10), plus the Edwards
-    * continuity-corrected form (|n01−n10|−1)²/(n01+n10).
+    * continuity-corrected form max(|n01−n10|−1, 0)²/(n01+n10) — the
+    * numerator is clamped at zero so balanced discordant cells give
+    * χ²_cc = 0 rather than overshooting past the uncorrected 0.
     *
     * Integer end-to-end: one per-unit max-aggregate collapses events
     * to the unit's (a, b) pair, one 1-row count aggregate, and both
@@ -2362,8 +2369,8 @@ object Analytics {
           expr("(n01 - n10) * (n01 - n10) * 1000000 div (n01 + n10)"))
           .as("chi2_ppm"),
         when(col("n01") + col("n10") > 0L,
-          expr("""(abs(n01 - n10) - 1) * (abs(n01 - n10) - 1) * 1000000
-                 | div (n01 + n10)""".stripMargin)).as("chi2_cc_ppm"))
+          expr("""greatest(abs(n01 - n10) - 1, 0) * greatest(abs(n01 - n10) - 1, 0)
+                 | * 1000000 div (n01 + n10)""".stripMargin)).as("chi2_cc_ppm"))
   }
 
   /** 2×2 difference-in-differences — the workhorse quasi-experimental

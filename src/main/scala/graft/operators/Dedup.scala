@@ -71,19 +71,26 @@ object Dedup {
     * any band matches — candidates are then verified with the exact
     * Jaccard over distinct shingles, so banding only affects recall.
     *
-    * `maxBucket` caps the per-(band, bucket) population before the
-    * band self-join — the LSH twin of the ngram path's `maxDocFreq`
-    * guard: one boilerplate/near-empty-doc bucket of b ids costs b²
-    * candidate rows, so at corpus scale a single hot bucket can
-    * quadratic a stage. Buckets over the cap are EXCLUDED from
-    * candidate generation in that band (the pair can still surface
-    * through its other bands — the same recall trade the df-cap
-    * makes); the hot-bucket set is tiny by construction, so the
-    * exclusion is a broadcast anti-join, not a second shuffle. The
-    * cap is never silent: [[minhashBucketStats]] reports the same
-    * banding's per-bucket populations and which buckets the cap
-    * drops — run it beside any capped dedup (it shares `bandKeys`, so
-    * the two can never disagree). `maxBucket = 0` disables the cap.
+    * `maxBucket` caps the per-(band, bucket) self-join population —
+    * the LSH twin of the ngram path's `maxDocFreq` guard: one
+    * boilerplate bucket of b ids costs b² candidate rows, so at
+    * corpus scale a single hot bucket can quadratic a stage. Buckets
+    * over the cap are NOT dropped (an exact-duplicate cluster has
+    * identical signatures, so the same over-cap bucket recurs in
+    * EVERY band and dropping it would silently lose the whole
+    * cluster — the primary dedup target). Instead each hot bucket is
+    * STAR-LINKED: its minimum id becomes the representative and only
+    * (rep, member) candidates are emitted — O(b) rows, and cluster
+    * connectivity survives for any downstream connected-components /
+    * survivor pass. The trade is pair *completeness* inside hot
+    * buckets (member–member pairs appear only if some other band's
+    * bucket is under the cap), never reachability. The hot-bucket
+    * set is tiny by construction, so routing is a broadcast
+    * semi/anti-join, not a second row-scale shuffle. The cap is
+    * never silent: [[minhashBucketStats]] reports the same banding's
+    * per-bucket populations and which buckets the cap star-links
+    * (it shares `bandKeys`, so the two can never disagree).
+    * `maxBucket = 0` disables the cap.
     */
   def minhashPairs(
       df: DataFrame,
@@ -122,23 +129,27 @@ object Dedup {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // hot-bucket cap: the over-cap (band, bucket) keys are few by
-    // construction — broadcast anti-join, no extra row-scale shuffle
-    val banded =
-      if (maxBucket == 0) bandedAll
+    // construction — broadcast semi/anti-joins route rows, no extra
+    // row-scale shuffle. Cold buckets get the full self-join; hot
+    // buckets are star-linked through their min id (linear, keeps
+    // cluster connectivity — see the scaladoc).
+    val cand0 =
+      if (maxBucket == 0) selfJoinPairs(bandedAll)
       else {
         val hot = bandedAll.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("_bs"))
           .where(col("_bs") > maxBucket)
           .select(col("band"), col("bucket"))
-        bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        val cold = bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        val hotRows = bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+        val reps = hotRows.groupBy(col("band"), col("bucket"))
+          .agg(min(col("id")).as("id_a"))
+        val star = hotRows.join(reps, Seq("band", "bucket"))
+          .where(col("id") =!= col("id_a"))
+          .select(col("id_a"), col("id").as("id_b"))
+        selfJoinPairs(cold).union(star)
       }
-
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = cand0.dropDuplicates("id_a", "id_b")
     cand
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -150,15 +161,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Ordered candidate pairs from a (id, band, bucket) frame: full
+    * per-bucket self-join, id_a < id_b. Shared by the cold-bucket
+    * path of [[minhashPairs]] and the uncapped path so the two can
+    * never diverge in join shape.
+    */
+  private def selfJoinPairs(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Banding AUDIT for [[minhashPairs]]'s hot-bucket cap — the
     * no-silent-caps companion: the same shingle→signature→band
     * pipeline (shared [[bandKeys]], so it cannot drift from the pair
     * generator), aggregated to one row per (band, bucket):
-    * (band, bucket, n_ids, dropped) where `dropped` marks buckets the
-    * given `maxBucket` excludes from candidate generation. Sum
-    * `n_ids` over `dropped` rows for the excluded-population count; a
-    * pipeline that caps should persist or assert over this frame
-    * beside the dedup output.
+    * (band, bucket, n_ids, capped) where `capped` marks buckets the
+    * given `maxBucket` star-links through a representative instead of
+    * fully self-joining (no ids are dropped — connectivity survives;
+    * member–member pair completeness inside those buckets is what the
+    * cap trades). Sum `n_ids` over `capped` rows for the affected
+    * population; a pipeline that caps should persist or assert over
+    * this frame beside the dedup output.
     */
   def minhashBucketStats(
       df: DataFrame,
@@ -178,7 +204,7 @@ object Dedup {
       .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .agg(count(lit(1)).as("n_ids"))
-      .withColumn("dropped",
+      .withColumn("capped",
         lit(maxBucket > 0) && col("n_ids") > lit(maxBucket.toLong))
   }
 

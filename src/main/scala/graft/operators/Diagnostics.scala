@@ -174,8 +174,10 @@ object Diagnostics {
     *    |L|·|R|.
     *  - `global-window`: a window with ORDER BY but no PARTITION BY —
     *    the whole input collapses into ONE task. Downgraded to the
-    *    info-level `global-window-bounded` when the window's input
-    *    subtree is LIMIT-bounded (a top-k frame being ranked).
+    *    info-level `global-window-bounded` only when the window's
+    *    DIRECT unary input chain is LIMIT-bounded (a top-k frame
+    *    being ranked) — a limit below a join/union doesn't bound the
+    *    window's input and keeps the error severity.
     *  - `global-sort-no-limit`: a total sort that doesn't feed a
     *    take — usually a `prefixSums`/`globalIndex` job mis-spelled.
     *  - `nested-loop-join`: BroadcastNestedLoopJoin on a non-cross
@@ -206,15 +208,27 @@ object Diagnostics {
       case c: CartesianProductExec =>
         Some(("cartesian-product", "error", c.simpleStringWithNodeId().take(160)))
       case w: WindowExec if w.partitionSpec.isEmpty =>
-        // a no-partition window whose input subtree is LIMIT-bounded
-        // (top-k then rank-the-k) holds <= k rows by construction —
-        // report it as info, not a cluster-killer
-        val limitBounded = w.child.find {
-          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-          case _: org.apache.spark.sql.execution.CollectLimitExec => true
-          case _: TakeOrderedAndProjectExec => true
-          case _ => false
-        }.isDefined
+        // a no-partition window whose DIRECT input chain is
+        // LIMIT-bounded (top-k then rank-the-k) holds <= k rows by
+        // construction — report it as info, not a cluster-killer.
+        // Walk only the unary chain feeding the window: a find() over
+        // the whole subtree would be fooled by a LIMIT anywhere below
+        // — e.g. on the small side of a join whose other side is
+        // corpus-scale — so stop at the first join/union/leaf.
+        val limitBounded = {
+          var n: SparkPlan = w.child
+          var found = false
+          var walking = true
+          while (walking) n match {
+            case _: org.apache.spark.sql.execution.GlobalLimitExec |
+                _: org.apache.spark.sql.execution.CollectLimitExec |
+                _: TakeOrderedAndProjectExec =>
+              found = true; walking = false
+            case u if u.children.length == 1 => n = u.children.head
+            case _ => walking = false
+          }
+          found
+        }
         if (limitBounded)
           Some(("global-window-bounded", "info",
             w.simpleStringWithNodeId().take(160)))

@@ -54,9 +54,15 @@ object StreamingLoop {
         batch.persist()
         try {
           batch.write.mode("append").parquet(out)
-          val next = body(batch)
-          // an empty next writes NO file -> the queue goes idle -> halt
-          if (!next.isEmpty) next.write.mode("append").parquet(queue)
+          // persist + count so body(batch) is evaluated exactly ONCE:
+          // a bare isEmpty-then-write would run the body twice per
+          // iteration, and a non-deterministic body could pass the
+          // emptiness check yet write a different (or empty) generation
+          val next = body(batch).persist()
+          try {
+            // an empty next writes NO file -> the queue goes idle -> halt
+            if (next.count() > 0L) next.write.mode("append").parquet(queue)
+          } finally { next.unpersist(); () }
         } finally { batch.unpersist(); () }
       }
       .start()

@@ -663,6 +663,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(s.getAs[Long]("std_micros") > 0L)
   }
 
+  test("bootstrapMean: variance numerator stays exact past int64 (decimal path)") {
+    // huge cent values -> replicate means ~5e10, so b·Σm²−(Σm)²
+    // blows through int64; the decimal(38,0) numerator must match a
+    // BigInt recomputation of the SAME deterministic inclusion rule
+    val b = 8
+    val vals = (1L to 40L).map(i => (i, if (i % 2 == 0) 0L else 100000000000L))
+    val means = (0 until b).map { rep =>
+      val inc = vals.filter { case (id, _) =>
+        ((id % 1000003L) * (rep + 17L) + 31L * rep.toLong * rep.toLong) % 97L < 48L
+      }
+      BigInt(inc.map(_._2).sum) / inc.size
+    }
+    val sm = means.sum
+    val sm2 = means.map(m => m * m).sum
+    val num = BigInt(means.size) * sm2 - sm * sm
+    assert(num > BigInt(Long.MaxValue)) // the scenario actually exceeds int64
+    val expect = math.floor(math.sqrt(
+      num.toDouble / (means.size * (means.size - 1)).toDouble) * 1e6).toLong
+    val r = Analytics
+      .bootstrapMean(vals.toDF("id", "cents"), col("id"), col("cents"), replicates = b)
+      .collect().head
+    assert(r.getAs[Long]("b") == means.size.toLong)
+    assert(r.getAs[Long]("std_micros") == expect)
+  }
+
   test("lagAutocorr: alternating series -> r = -1; monotone ramp -> r = 1") {
     // x alternates 0,1,0,1..: lag-1 pairs are perfectly anti-correlated
     val alt = (0 until 12).map(i => ("k", i.toLong, (i % 2).toDouble))
@@ -1060,6 +1085,13 @@ class AnalyticsSpec extends SparkSpec {
     val conc = Seq((1L, 1L, 1L), (2L, 0L, 0L)).toDF("u", "a", "b")
     assert(Analytics.mcnemar(conc, col("u"), col("a") === 1L, col("b") === 1L)
       .head().isNullAt(3))
+    // balanced discordant cells: the continuity correction clamps at
+    // zero instead of overshooting past the uncorrected statistic
+    val bal = Seq((1L, 0L, 1L), (2L, 1L, 0L)).toDF("u", "a", "b")
+    val rb = Analytics.mcnemar(bal, col("u"), col("a") === 1L, col("b") === 1L)
+      .head()
+    assert(rb.getAs[Long]("chi2_ppm") == 0L)
+    assert(rb.getAs[Long]("chi2_cc_ppm") == 0L)
   }
 
   test("diffInDiff: treated lift net of the control trend; empty cell nulls") {

@@ -30,26 +30,49 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
-  test("minhashPairs hot-bucket cap excludes the hot bucket; stats surface the drop") {
-    // 6 identical docs: every band's bucket holds all 6 ids
+  test("minhashPairs hot-bucket cap star-links the cluster instead of dropping it") {
+    // 6 identical docs: every band's bucket holds all 6 ids, so the
+    // SAME over-cap bucket recurs in every band — dropping it would
+    // silently lose the whole exact-dup cluster. Star-linking keeps
+    // connectivity: rep = min id, pairs (1,2)..(1,6).
     val clones = (1L to 6L)
       .map(i => (i, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
-    // cap below the clone-cluster size -> every bucket is hot -> no pairs
     val capped = Dedup.minhashPairs(clones, "doc_id", "text",
       shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5,
       maxBucket = 5)
-    assert(capped.count() == 0L)
-    // the cap is never silent: the audit frame marks those buckets dropped
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == (2L to 6L).map(i => (1L, i)).toSet)
+    // the cap is never silent: the audit frame marks those buckets capped
     val stats = Dedup.minhashBucketStats(clones, "doc_id", "text",
       shingleSize = 2, numHashes = 64, bands = 16, maxBucket = 5).collect()
     assert(stats.nonEmpty && stats.forall(r =>
-      r.getAs[Long]("n_ids") == 6L && r.getAs[Boolean]("dropped")))
+      r.getAs[Long]("n_ids") == 6L && r.getAs[Boolean]("capped")))
     // maxBucket = 0 disables the cap entirely
     val uncapped = Dedup.minhashPairs(clones, "doc_id", "text",
       shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5,
       maxBucket = 0)
     assert(uncapped.count() == 15L) // C(6,2) exact-dup pairs
+  }
+
+  test("hot-bucket star pairs still pass exact-Jaccard verification per-pair") {
+    // a hot bucket of near-dups below threshold vs the rep must NOT
+    // produce a pair: star candidates go through the same verify
+    val mixed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "totally different words entirely here now"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(mixed, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.9,
+      maxBucket = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // clones 1,2,3,5 remain mutually reachable through pairs
+    val ids = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(Set(1L, 2L, 3L, 5L).subsetOf(ids))
   }
 
   test("fuzzyJoin finds exactly the pairs within the edit-distance bound") {
