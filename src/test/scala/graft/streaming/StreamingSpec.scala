@@ -1072,6 +1072,74 @@ class StreamingSpec extends SparkSpec {
     assert(handle.swapCount == 1L)
   }
 
+  test("StatefulHotSwap: accumulator survives a plan-SHAPE swap mid-query") {
+    // reference: lib/gen_mix.ex:290-307 hands the running task/acc pair
+    // to the replacement definition. Here the acc is a versioned parquet
+    // state table; the swapped-in step has a DIFFERENT plan shape and a
+    // WIDER state schema, and still receives the carried totals.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("shs").toString
+    val in = MemoryStream[Int]
+    val outRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // gen-1 state: (k, total) running per-parity sums
+    val init = Seq.empty[(Long, Long)].toDF("k", "total")
+    val step1: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      (batch, state) => {
+        val upd = batch.select((col("value") % 2).cast("long").as("k"),
+            col("value").cast("long").as("v"))
+          .groupBy("k").agg(sum("v").as("inc"))
+        val next = state.join(upd, Seq("k"), "full")
+          .select(col("k"),
+            (coalesce(col("total"), lit(0L)) + coalesce(col("inc"), lit(0L)))
+              .as("total"))
+        (next, next)
+      }
+    val handle = StatefulHotSwap(step1)
+    val flow = graft.core.Composite(Seq(
+      StreamSource.of("shs", in.toDF().toDF("value")),
+      StatefulHotSwap.sink("shs", handle, init, s"$dir/state",
+        (df, _) => outRows.synchronized {
+          outRows ++= df.select("k", "total").as[(Long, Long)].collect()
+        })))(EmptyFlow)
+    assert(flow.isEmpty)
+    val q = StreamSink.active.last
+    val runId = q.runId
+    in.addData(1, 2, 3); q.processAllAvailable()
+    // gen-1 committed: odd 1+3=4, even 2
+    assert(outRows.synchronized(outRows.toSet) == Set((1L, 4L), (0L, 2L)))
+    // swap to a WIDER state (adds a batch counter) with a migration —
+    // different agg, extra join, new column: a genuine plan-shape change
+    handle.swap(
+      (batch, state) => {
+        val upd = batch.select((col("value") % 2).cast("long").as("k"),
+            col("value").cast("long").as("v"))
+          .groupBy("k").agg(sum("v").as("inc"), count(lit(1)).as("cnt"))
+        val next = state.join(upd, Seq("k"), "full")
+          .select(col("k"),
+            (coalesce(col("total"), lit(0L)) + coalesce(col("inc"), lit(0L)))
+              .as("total"),
+            (coalesce(col("batches"), lit(0L)) +
+              when(col("inc").isNotNull, 1L).otherwise(0L)).as("batches"))
+        (next, next)
+      },
+      migrate = st => st.withColumn("batches", lit(0L)))
+    outRows.synchronized(outRows.clear())
+    in.addData(4, 5); q.processAllAvailable()
+    // the carried totals flow through the NEW shape: odd 4+5=9, even 2+4=6
+    val after = outRows.synchronized(outRows.toSet)
+    assert(after == Set((1L, 9L), (0L, 6L)))
+    // the query NEVER stopped across the stateful swap
+    assert(q.isActive && q.runId == runId)
+    assert(handle.swapCount == 1L)
+    // the committed accumulator is plain parquet, readable mid-flight
+    val st = handle.currentState(spark, init)
+    assert(st.columns.toSet == Set("k", "total", "batches"))
+    assert(st.select("k", "total").as[(Long, Long)].collect().toSet ==
+      Set((1L, 9L), (0L, 6L)))
+    q.stop()
+  }
+
   test("streaming mode matches modePerKey after every batch; domain cap flags") {
     import graft.streaming.StreamMode
     import org.apache.spark.sql.functions.col
