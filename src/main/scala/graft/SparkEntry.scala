@@ -2741,6 +2741,17 @@ object SparkEntry {
 
     // Theil-Sen robust daily trend per event type: median of exact
     // integer-ppm pairwise slopes via the grouped-quantile primitive.
+    // Mann-Kendall monotone-trend test over the same daily per-type
+    // cents series theilSen fits: exact S and tie-corrected 18·Var
+    // integers, continuity-corrected z floored to micros.
+    "q_mann_kendall" -> ((s, d) =>
+      Analytics.mannKendall(t(s, d, "events"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(col("group").as("event_type"), col("n"), col("s"),
+          col("var18"), col("z_micros"))
+        .orderBy(col("event_type"))),
+
     "q_theilsen" -> ((s, d) =>
       Analytics.theilSen(t(s, d, "events"), col("event_type"),
         datediff(col("ts").cast("date"), lit("1970-01-01")),
@@ -2823,6 +2834,18 @@ object SparkEntry {
         col("n_chars"))
         .select(col("group").as("source"), col("value"), col("rank_ppm"),
           col("normalized"))),
+
+    // t-closeness on (nation, segment) with the $2000 balance bucket
+    // as the ordered sensitive attribute: exact integer EMD between
+    // each class's bucket distribution and the global one, threshold
+    // t = 0.2 (200000 ppm) — completes the k-anon / l-div / t-close
+    // release-gate ladder.
+    "q_tcloseness" -> ((s, d) =>
+      Quality.tCloseness(t(s, d, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " + 100000) div 200000"),
+        tPpm = 200000L)),
 
     // l-diversity on (nation, segment) with account balance sign as
     // the sensitive value — large-but-uniform classes still leak.
@@ -6157,6 +6180,30 @@ object SparkEntry {
         |FROM dev GROUP BY 1, 2""".stripMargin,
 
     // same integer-ppm pairwise slopes + grouped exact median
+    // same daily series, exact S / tie-corrected 18·Var, micro-floored z
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xs
+        |  FROM events GROUP BY 1, 2),
+        |sv AS (SELECT a.g, CAST(sum(sign(b.xs - a.xs)) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d GROUP BY 1),
+        |nv AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  count(*)::HUGEINT * (count(*) - 1) * (2 * count(*) + 5) AS nn
+        |  FROM daily GROUP BY 1),
+        |ties AS (SELECT g,
+        |  COALESCE(sum(t::HUGEINT * (t - 1) * (2 * t + 5)), 0) AS tt
+        |  FROM (SELECT g, xs, count(*) AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT nv.g AS event_type, nv.n AS n, sv.s AS s,
+        |  CAST(nn - tt AS BIGINT) AS var18,
+        |  CASE WHEN nn - tt > 0 THEN CAST(floor(
+        |    sign(sv.s) * greatest(abs(sv.s) - 1, 0) * 1000000.0 /
+        |      sqrt(CAST(nn - tt AS DOUBLE) / 18.0)) AS BIGINT)
+        |  END AS z_micros
+        |FROM nv JOIN ties ON nv.g = ties.g JOIN sv ON nv.g = sv.g
+        |ORDER BY 1""".stripMargin,
+
     "q_theilsen" ->
       """WITH daily AS (SELECT event_type AS g,
         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
@@ -6364,6 +6411,40 @@ object SparkEntry {
         |SELECT g AS source, v AS value, rank_ppm, min(gv) AS normalized
         |FROM gcdf JOIN tcdf ON gppm >= rank_ppm
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // same exact-integer EMD over the completed class×domain grid
+    "q_tcloseness" ->
+      """WITH base AS (SELECT c_nationkey, c_mktsegment,
+        |  (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
+        |    // 200000 AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |cv AS (SELECT c_nationkey, c_mktsegment, v, count(*) AS p
+        |  FROM base GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_nationkey, c_mktsegment, CAST(sum(p) AS BIGINT) AS nc
+        |  FROM cv GROUP BY 1, 2),
+        |gv AS (SELECT v, count(*) AS q FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(sum(q) AS BIGINT) AS N, count(*) AS m FROM gv),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, gv.v, cls.nc,
+        |  tot.N, tot.m,
+        |  COALESCE(cv.p, 0)::HUGEINT * tot.N - gv.q::HUGEINT * cls.nc AS num
+        |  FROM cls CROSS JOIN gv CROSS JOIN tot
+        |  LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+        |    AND cv.c_mktsegment = cls.c_mktsegment AND cv.v = gv.v),
+        |pc AS (SELECT c_nationkey, c_mktsegment, nc, m, N, sum(abs(cum)) AS sabs
+        |  FROM (SELECT c_nationkey, c_mktsegment, nc, m, N,
+        |    sum(num) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM grid) GROUP BY 1, 2, 3, 4, 5),
+        |sc AS (SELECT nc, m, CASE WHEN m > 1 THEN (sabs * 1000000)
+        |  // ((m - 1)::HUGEINT * nc * N) ELSE 0 END AS t_ppm FROM pc)
+        |SELECT CAST(sum(nc) AS BIGINT) AS n_rows, count(*) AS n_classes,
+        |  CAST(max(m) AS BIGINT) AS m,
+        |  CAST(sum(CASE WHEN t_ppm > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_classes,
+        |  CAST(sum(CASE WHEN t_ppm > 200000 THEN nc ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(max(t_ppm) AS BIGINT) AS max_t_ppm
+        |FROM sc""".stripMargin,
 
     // same class frame + distinct-sensitive counts
     "q_ldiv" ->

@@ -1010,9 +1010,10 @@ object Analytics {
     * (group, value, rank_ppm, normalized).
     */
   def quantileNormalize(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
-    val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
-      .where(col("_v").isNotNull)
-      .localCheckpoint(true)
+    val base = graft.core.CacheRegistry.persist(
+      df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .where(col("_v").isNotNull),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gc = base.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
     val wg = Window.partitionBy(col("_g")).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1087,9 +1088,10 @@ object Analytics {
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo > 0.0 && pHi < 1.0 && pLo < pHi,
       s"groupedWinsorizedMean: need 0 < pLo < pHi < 1, got $pLo/$pHi")
-    val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
-      .where(col("_v").isNotNull)
-      .localCheckpoint(true)
+    val base = graft.core.CacheRegistry.persist(
+      df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .where(col("_v").isNotNull),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = groupedExactQuantiles(base, col("_g"), col("_v"), Seq(pLo, pHi))
     val lo = qs.where(col("p") === pLo)
       .select(col("group").as("_g"), col("value").as("_lo"))
@@ -1116,9 +1118,10 @@ object Analytics {
   def iqrOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
       fencePct: Long = 150L): DataFrame = {
     require(fencePct >= 0, s"iqrOutliers: fencePct must be >= 0, got $fencePct")
-    val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
-      .where(col("_v").isNotNull)
-      .localCheckpoint(true)
+    val base = graft.core.CacheRegistry.persist(
+      df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .where(col("_v").isNotNull),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = groupedExactQuantiles(base, col("_g"), col("_v"), Seq(0.25, 0.75))
     val q1 = qs.where(col("p") === 0.25)
       .select(col("group").as("_g"), col("value").as("q1"), col("n").as("_n"))
@@ -1147,9 +1150,10 @@ object Analytics {
     * integers end-to-end. Output: (group, n, median, mad).
     */
   def robustStats(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
-    val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
-      .where(col("_v").isNotNull)
-      .localCheckpoint(true)
+    val base = graft.core.CacheRegistry.persist(
+      df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .where(col("_v").isNotNull),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = groupedExactQuantiles(base, col("_g"), col("_v"), Seq(0.5))
       .select(col("group").as("_g"), col("value").as("_med"), col("n").as("_n"))
     val dev = base.join(med, Seq("_g"))
@@ -1326,6 +1330,57 @@ object Analytics {
     * work, not data-scale work); the raw stream only feeds the
     * per-day aggregate. Output: (group, n_pairs, slope_ppm).
     */
+  /** Mann-Kendall trend test — the nonparametric "is this series
+    * actually drifting" companion to [[theilSen]]'s slope (same daily
+    * per-group series, same pairwise envelope): S = Σ_{i<j}
+    * sign(x_j − x_i) over day order, with the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (t = tied-value
+    * group sizes). S and 18·Var are exact integers (widened to
+    * decimal(38,0) so the n³ product can't wrap); the z statistic
+    * applies the usual continuity correction sign(S)·(|S|−1) and is
+    * floored to micros after the one double sqrt — the
+    * [[bootstrapMean]] discipline, comparator-proof.
+    *
+    * Scale shape: the pairwise join is per-GROUP over the daily
+    * aggregate (the same Σ m_k² envelope theilSen accepts — days per
+    * key, not rows); ties come from one bounded (group, value) count.
+    * Output: (group, n, s, var18, z_micros); z null when Var = 0
+    * (constant series or n < 2).
+    */
+  def mannKendall(df: DataFrame, groupCol: Column, dayCol: Column,
+      centsCol: Column): DataFrame = {
+    val daily = graft.core.CacheRegistry.persist(
+      df.select(groupCol.as("_g"), dayCol.cast("long").as("_d"),
+          centsCol.as("_x"))
+        .where(col("_d").isNotNull && col("_x").isNotNull)
+        .groupBy(col("_g"), col("_d")).agg(sum(col("_x")).as("_xs")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lo = daily.select(col("_g"), col("_d").as("_d1"), col("_xs").as("_x1"))
+    val hi = daily.select(col("_g"), col("_d").as("_d2"), col("_xs").as("_x2"))
+    val s = lo.join(hi, Seq("_g"))
+      .where(col("_d1") < col("_d2"))
+      .groupBy(col("_g"))
+      .agg(sum(signum(col("_x2") - col("_x1")).cast("long")).as("s"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val nv = daily.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+      .select(col("_g"), col("n"),
+        (dec(col("n")) * (col("n") - 1L) * (lit(2L) * col("n") + 5L)).as("_nn"))
+    val ties = daily.groupBy(col("_g"), col("_xs")).agg(count(lit(1)).as("_t"))
+      .groupBy(col("_g"))
+      .agg(sum(dec(col("_t")) * (col("_t") - 1L) * (lit(2L) * col("_t") + 5L))
+        .as("_tt"))
+    nv.join(ties, Seq("_g")).join(s, Seq("_g"))
+      .select(col("_g").as("group"), col("n"), col("s"),
+        // exact in decimal; the long landing is fine for any per-group
+        // series short of n ~ 2M days (n³ < 2⁶³)
+        (col("_nn") - col("_tt")).cast("long").as("var18"))
+      .withColumn("z_micros",
+        when(col("var18") > 0,
+          floor(signum(col("s")) * greatest(abs(col("s")) - 1L, lit(0L)) *
+            lit(1000000.0d) /
+            sqrt(col("var18").cast("double") / lit(18.0d))).cast("long")))
+  }
+
   def theilSen(df: DataFrame, groupCol: Column, dayCol: Column,
       centsCol: Column): DataFrame = {
     val daily = df.select(groupCol.as("_g"), dayCol.cast("long").as("_d"),
@@ -1468,8 +1523,10 @@ object Analytics {
     * PER-GROUP cumulative window — bounded by each group's DISTINCT
     * values, never its row count (the global variant needs the
     * prefix-sum primitive precisely because it has no partition key;
-    * here the partitioning is the point). One row per group × prob.
-    * Output: (group, p, value, n).
+    * here the partitioning is the point). The group total rides the
+    * same exchange as the running sum, and ALL probs resolve in one
+    * conditional-min aggregate — no per-prob join or union. One row
+    * per group × prob. Output: (group, p, value, n).
     */
   def groupedExactQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
       probs: Seq[Double]): DataFrame = {
@@ -1479,18 +1536,26 @@ object Analytics {
       .groupBy(groupCol.as("_g"), valueCol.as("_v")).agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cdf = graft.core.CacheRegistry.persist(
-      counts.withColumn("_cum", sum(col("_c")).over(w)),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = counts.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
-    probs.map { p =>
-      cdf.join(n, Seq("_g"))
-        .where(col("_cum") >= ceil(lit(p) * col("_n")))
-        .groupBy(col("_g"), col("_n"))
-        .agg(min(col("_v")).as("value"))
-        .select(col("_g").as("group"), lit(p).as("p"), col("value"),
-          col("_n").as("n"))
-    }.reduce(_ unionByName _)
+    // the group total rides the SAME exchange as the cumulative sum
+    // (an unordered full-partition frame), so no separate count
+    // aggregate, no join back, and every requested prob resolves in
+    // ONE conditional-min pass — probs× plans collapsed to one.
+    val wAll = Window.partitionBy(col("_g"))
+    val cdf = counts
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val qAggs = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col("_v"))).as(s"_q$i")
+    }
+    val one = cdf.groupBy(col("_g"), col("_n"))
+      .agg(qAggs.head, qAggs.tail: _*)
+    val pv = probs.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"), col(s"_q$i").as("value"))
+    }
+    one.select(col("_g").as("group"), explode(array(pv: _*)).as("_pv"),
+        col("_n").as("n"))
+      .select(col("group"), col("_pv.p").as("p"), col("_pv.value").as("value"),
+        col("n"))
   }
 
   /** Maximum interval overlap ("how many shipments/sessions/jobs were

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality expectations over a frame — the contract
@@ -376,6 +377,71 @@ object Quality {
         sum(when(col("_div") < l, 1L).otherwise(0L)).as("n_violating_classes"),
         sum(when(col("_div") < l, col("_n")).otherwise(0L)).as("rows_at_risk"),
         min(col("_div")).as("min_diversity"))
+  }
+
+  /** t-closeness audit — the third rung of the release-gate ladder
+    * ([[kAnonymity]] → [[lDiversity]] → this): a class can be large
+    * AND diverse yet still leak if its sensitive-value DISTRIBUTION
+    * diverges from the table's (e.g. a class that is 90% one diagnosis
+    * in a table that is 10%). Per QI class, the Earth Mover's Distance
+    * between the class and global distributions over the ORDERED
+    * sensitive domain v_1 < … < v_m:
+    *
+    * {{{ EMD(c) = (1/(m−1)) · Σ_i |Σ_{j≤i} (p_cj − q_j)| }}}
+    *
+    * computed EXACTLY over the common denominator n_c·N — the running
+    * numerator cum_i = Σ_{j≤i} (p_cj·N − q_j·n_c) is integer, widened
+    * to decimal(38,0) so class·table row products can't wrap, and the
+    * per-class t lands as one floor-div ppm. Classes missing a domain
+    * value still accumulate its −q_j·n_c term (the class×domain grid
+    * is completed by a join against the global value frame), which is
+    * what makes a one-sided class score high.
+    *
+    * Shape: two map-combinable count aggregates (class×value and
+    * global value frames, both bounded by domains, never rows), the
+    * grid completion as a join on the bounded frames, one per-class
+    * window over ≤ m rows, one summary row. Output:
+    * (n_rows, n_classes, m, n_violating_classes, rows_at_risk,
+    * max_t_ppm) with violation = t_ppm > tPpm.
+    */
+  def tCloseness(df: DataFrame, quasiIds: Seq[Column], sensitiveCol: Column,
+      tPpm: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "tCloseness: need at least one quasi-identifier")
+    require(tPpm >= 0, s"tCloseness: tPpm must be >= 0, got $tPpm")
+    val base = df.select(quasiIds :+ sensitiveCol.as("_v"): _*)
+      .where(col("_v").isNotNull)
+    val qiNames = base.columns.dropRight(1).toSeq
+    val qiCols = qiNames.map(col)
+    val cv = base.groupBy(qiCols :+ col("_v"): _*).agg(count(lit(1)).as("_p"))
+    val classes = cv.groupBy(qiCols: _*).agg(sum(col("_p")).as("_nc"))
+    val gv = base.groupBy(col("_v")).agg(count(lit(1)).as("_q"))
+    val tot = gv.agg(sum(col("_q")).as("_N"), count(lit(1)).as("_m"))
+    // complete class×domain grid: every class meets every global value
+    val grid = classes.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
+      .join(cv, qiNames :+ "_v", "left")
+      .select(qiCols ++ Seq(col("_v"), col("_nc"), col("_N"), col("_m"),
+        (coalesce(col("_p"), lit(0L)).cast("decimal(38,0)") * col("_N") -
+          col("_q").cast("decimal(38,0)") * col("_nc")).as("_num")): _*)
+    val w = Window.partitionBy(qiCols: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perClass = grid.withColumn("_cum", sum(col("_num")).over(w))
+      .groupBy(qiCols :+ col("_nc") :+ col("_N") :+ col("_m"): _*)
+      .agg(sum(abs(col("_cum"))).as("_sabs"))
+      .select(col("_nc"), col("_m"),
+        // t_ppm = 10⁶·Σ|cum| div ((m−1)·n_c·N); m = 1 ⇒ distance 0
+        when(col("_m") > 1L,
+          (col("_sabs") * lit(1000000L)).cast("decimal(38,0)") /
+            ((col("_m") - 1L).cast("decimal(38,0)") *
+              col("_nc").cast("decimal(38,0)") * col("_N").cast("decimal(38,0)")))
+          .otherwise(lit(0)).as("_tf"))
+    // decimal / decimal keeps a fractional scale — floor it exactly
+    val scored = perClass.select(col("_nc"), col("_m"),
+      floor(col("_tf")).cast("long").as("t_ppm"))
+    scored.agg(sum(col("_nc")).as("n_rows"), count(lit(1)).as("n_classes"),
+      max(col("_m")).as("m"),
+      sum(when(col("t_ppm") > tPpm, 1L).otherwise(0L)).as("n_violating_classes"),
+      sum(when(col("t_ppm") > tPpm, col("_nc")).otherwise(0L)).as("rows_at_risk"),
+      max(col("t_ppm")).as("max_t_ppm"))
   }
 
   def kAnonymity(df: DataFrame, quasiIds: Seq[Column], k: Long): DataFrame = {

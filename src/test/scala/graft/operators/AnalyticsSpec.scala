@@ -688,6 +688,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("std_micros") == expect)
   }
 
+  test("mannKendall: textbook S with tie correction; monotone-down is negative") {
+    // series 1,2,2,4 over days 1..4: S = 5 (one tied pair), n = 4
+    // 18·Var = 4·3·13 − 2·1·9 = 156 − 18 = 138
+    val up = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 2L), ("k", 4L, 4L))
+      .toDF("g", "d", "c")
+    val r = Analytics.mannKendall(up, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("s") == 5L)
+    assert(r.getAs[Long]("var18") == 138L)
+    val zExp = math.floor((5.0 - 1.0) * 1e6 / math.sqrt(138.0 / 18.0)).toLong
+    assert(r.getAs[Long]("z_micros") == zExp)
+    // strictly decreasing: S = -C(4,2) = -6, no ties, z negative
+    val down = Seq(("k", 1L, 9L), ("k", 2L, 7L), ("k", 3L, 5L), ("k", 4L, 1L))
+      .toDF("g", "d", "c")
+    val rd = Analytics.mannKendall(down, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(rd.getAs[Long]("s") == -6L && rd.getAs[Long]("var18") == 156L)
+    val zDown = math.floor(-(6.0 - 1.0) * 1e6 / math.sqrt(156.0 / 18.0)).toLong
+    assert(rd.getAs[Long]("z_micros") == zDown)
+    // constant series: every pairwise sign 0, full ties -> var18 = 0 -> z null
+    val flat = Seq(("k", 1L, 3L), ("k", 2L, 3L), ("k", 3L, 3L)).toDF("g", "d", "c")
+    val rf = Analytics.mannKendall(flat, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(rf.getAs[Long]("s") == 0L && rf.getAs[Long]("var18") == 0L)
+    assert(rf.isNullAt(rf.fieldIndex("z_micros")))
+  }
+
   test("lagAutocorr: alternating series -> r = -1; monotone ramp -> r = 1") {
     // x alternates 0,1,0,1..: lag-1 pairs are perfectly anti-correlated
     val alt = (0 until 12).map(i => ("k", i.toLong, (i % 2).toDouble))

@@ -165,6 +165,27 @@ class QualitySpec extends SparkSpec {
     assert(lr.getLong(3) == 4L && lr.getLong(4) == 1L) // the UNIFORM class
   }
 
+  test("tCloseness: one-sided classes score the exact integer EMD; matched class scores 0") {
+    // A: 4×v0, B: 4×v1, C: 2×v0 + 2×v1. Global v0=6, v1=6, N=12, m=2.
+    // EMD numerators: A |4·12−6·4| = 24 -> t = 24e6/(1·4·12) = 500000;
+    // B |0·12−6·4| = 24 -> 500000; C |2·12−6·4| = 0 -> 0.
+    val df = (Seq.fill(4)(("A", 0L)) ++ Seq.fill(4)(("B", 1L)) ++
+      Seq(("C", 0L), ("C", 0L), ("C", 1L), ("C", 1L))).toDF("q", "v")
+    val r = Quality.tCloseness(df, Seq(col("q")), col("v"), tPpm = 400000L)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 12L && r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("m") == 2L)
+    assert(r.getAs[Long]("n_violating_classes") == 2L)
+    assert(r.getAs[Long]("rows_at_risk") == 8L)
+    assert(r.getAs[Long]("max_t_ppm") == 500000L)
+    // a class missing a domain value still accumulates its -q·nc term:
+    // single class == global -> t = 0 everywhere
+    val uni = Seq(("A", 0L), ("A", 1L), ("A", 2L)).toDF("q", "v")
+    val u = Quality.tCloseness(uni, Seq(col("q")), col("v"), tPpm = 0L)
+      .collect().head
+    assert(u.getAs[Long]("max_t_ppm") == 0L && u.getAs[Long]("m") == 3L)
+  }
+
   test("kAnonymity: small classes counted, nulls form their own class") {
     // classes: (a,x):3 ok, (a,y):1 violating, (null,x):2 violating at k=3
     val df = Seq(
