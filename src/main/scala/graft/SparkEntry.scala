@@ -2741,6 +2741,17 @@ object SparkEntry {
 
     // Theil-Sen robust daily trend per event type: median of exact
     // integer-ppm pairwise slopes via the grouped-quantile primitive.
+    // Max-CUSUM change-point scan over the daily per-type cents
+    // series: exact integer D_t = n·S_t − t·S_n, split at max |D_t|
+    // (earliest day on ties), segment-mean shift as an exact rational.
+    "q_changepoint" -> ((s, d) =>
+      Analytics.changePoint(t(s, d, "events"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(col("key").as("event_type"), col("n"), col("max_abs_d"),
+          col("at_day"), col("shift_num"), col("shift_den"))
+        .orderBy(col("event_type"))),
+
     // Mann-Kendall monotone-trend test over the same daily per-type
     // cents series theilSen fits: exact S and tie-corrected 18·Var
     // integers, continuity-corrected z floored to micros.
@@ -6180,6 +6191,33 @@ object SparkEntry {
         |FROM dev GROUP BY 1, 2""".stripMargin,
 
     // same integer-ppm pairwise slopes + grouped exact median
+    // same daily series; window CDF + QUALIFY-style argmax via row_number
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xs
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (SELECT g, d,
+        |  count(*) OVER (PARTITION BY g ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS t,
+        |  sum(xs) OVER (PARTITION BY g ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS st,
+        |  count(*) OVER (PARTITION BY g) AS n,
+        |  sum(xs) OVER (PARTITION BY g) AS sn
+        |  FROM daily),
+        |dd AS (SELECT g, d, t, n,
+        |  n::HUGEINT * st - t::HUGEINT * sn AS dt,
+        |  (sn::HUGEINT - st) * t - st::HUGEINT * (n - t) AS num,
+        |  t::HUGEINT * (n - t) AS den
+        |  FROM sc WHERE t < n),
+        |best AS (SELECT g, n, abs(dt) AS a, d, num, den,
+        |  row_number() OVER (PARTITION BY g ORDER BY abs(dt) DESC, d ASC) AS rk
+        |  FROM dd)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(a AS BIGINT) AS max_abs_d, d AS at_day,
+        |  CAST(num AS BIGINT) AS shift_num, CAST(den AS BIGINT) AS shift_den
+        |FROM best WHERE rk = 1 ORDER BY 1""".stripMargin,
+
     // same daily series, exact S / tie-corrected 18·Var, micro-floored z
     "q_mann_kendall" ->
       """WITH daily AS (SELECT event_type AS g,

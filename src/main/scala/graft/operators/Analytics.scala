@@ -1330,6 +1330,60 @@ object Analytics {
     * work, not data-scale work); the raw stream only feeds the
     * per-day aggregate. Output: (group, n_pairs, slope_ppm).
     */
+  /** Single change-point scan (max-CUSUM) — "WHERE did this series
+    * break", the location the running [[cusum]] alarm doesn't give:
+    * for each key's day-ordered series the statistic
+    *
+    * {{{ D_t = n·S_t − t·S_n   (S_t = Σ_{i≤t} x_i) }}}
+    *
+    * is n·t·(mean_{≤t} − mean_all) — an EXACT integer for integer
+    * cents (widened to decimal(38,0) so n·S products can't wrap); the
+    * change point is the t maximizing |D_t| over 1 ≤ t < n, earliest
+    * day on ties (a max over (|D|, −day) structs — one aggregate, no
+    * self-join). The segment-mean shift at the split is reported as
+    * the exact RATIONAL (shift_num, shift_den) = ((S_n−S_t)·t −
+    * S_t·(n−t), t·(n−t)) — no truncating division whose toward-zero /
+    * toward-−∞ convention a comparator could trip on.
+    *
+    * Scale shape: one per-key window over the daily frame (days per
+    * key, not rows), one aggregate. Keys with n < 2 drop (no interior
+    * split exists). Output: (key, n, max_abs_d, at_day, shift_num,
+    * shift_den).
+    */
+  def changePoint(df: DataFrame, keyCol: Column, dayCol: Column,
+      centsCol: Column): DataFrame = {
+    val daily = df.select(keyCol.as("_k"), dayCol.cast("long").as("_d"),
+        centsCol.as("_x"))
+      .where(col("_d").isNotNull && col("_x").isNotNull)
+      .groupBy(col("_k"), col("_d")).agg(sum(col("_x")).as("_xs"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("_k"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val scored = daily
+      .withColumn("_t", count(lit(1)).over(w))
+      .withColumn("_st", sum(col("_xs")).over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_sn", sum(col("_xs")).over(wAll))
+      .where(col("_t") < col("_n"))
+      .select(col("_k"), col("_d"), col("_t"), col("_n"),
+        (dec(col("_n")) * col("_st") - dec(col("_t")) * col("_sn"))
+          .as("_dt"),
+        ((dec(col("_sn")) - dec(col("_st"))) * col("_t") -
+          dec(col("_st")) * (col("_n") - col("_t"))).as("_num"),
+        (dec(col("_t")) * (col("_n") - col("_t"))).as("_den"))
+    scored
+      .groupBy(col("_k").as("key"))
+      .agg(max(col("_n")).as("n"),
+        max(struct(abs(col("_dt")).as("a"), (-col("_d")).as("nd"),
+          col("_num").as("sn"), col("_den").as("sd"))).as("_best"))
+      .select(col("key"), col("n"),
+        col("_best.a").cast("long").as("max_abs_d"),
+        (-col("_best.nd")).as("at_day"),
+        col("_best.sn").cast("long").as("shift_num"),
+        col("_best.sd").cast("long").as("shift_den"))
+  }
+
   /** Mann-Kendall trend test — the nonparametric "is this series
     * actually drifting" companion to [[theilSen]]'s slope (same daily
     * per-group series, same pairwise envelope): S = Σ_{i<j}

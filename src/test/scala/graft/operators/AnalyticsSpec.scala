@@ -688,6 +688,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("std_micros") == expect)
   }
 
+  test("changePoint: step series splits at the step; exact rational shift") {
+    // 0,0,10,10 over days 1..4: D = (-20,-40,-20) -> |D| max 40 at day 2;
+    // shift = (20-0)/2 - 0/2 = 10 as the rational 40/4
+    val df = Seq(("k", 1L, 0L), ("k", 2L, 0L), ("k", 3L, 10L), ("k", 4L, 10L))
+      .toDF("g", "d", "c")
+    val r = Analytics.changePoint(df, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("max_abs_d") == 40L)
+    assert(r.getAs[Long]("at_day") == 2L)
+    assert(r.getAs[Long]("shift_num") == 40L && r.getAs[Long]("shift_den") == 4L)
+    // constant series: every D_t = 0 -> earliest interior day wins, shift 0
+    val flat = Seq(("k", 1L, 5L), ("k", 2L, 5L), ("k", 3L, 5L)).toDF("g", "d", "c")
+    val rf = Analytics.changePoint(flat, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(rf.getAs[Long]("max_abs_d") == 0L && rf.getAs[Long]("at_day") == 1L)
+    assert(rf.getAs[Long]("shift_num") == 0L)
+    // single-observation keys have no interior split and drop
+    val single = Seq(("a", 1L, 5L), ("b", 1L, 1L), ("b", 2L, 9L))
+      .toDF("g", "d", "c")
+    val keys = Analytics.changePoint(single, col("g"), col("d"), col("c"))
+      .select("key").as[String].collect().toSet
+    assert(keys == Set("b"))
+  }
+
   test("mannKendall: textbook S with tie correction; monotone-down is negative") {
     // series 1,2,2,4 over days 1..4: S = 5 (one tied pair), n = 4
     // 18·Var = 4·3·13 − 2·1·9 = 156 − 18 = 138
