@@ -44,13 +44,17 @@ object Similarity {
     * manifold steps. Output one row per edge, a < b, with the cosine
     * and both ranks.
     *
-    * Scale contract: this runs the exact [[bruteForceTopK]] kernel
-    * with the SAME frame as queries and corpus, so the caller blocks
-    * first (an IVF cell, an LSH bucket, a label stratum — anything
-    * that bounds the broadcast side); at corpus scale swap in
-    * [[ivfTopK]] candidates per block, same mutual join after. The
+    * DEFAULT ENTRY POINT for corpus-scale mutual graphs is
+    * [[ivfKnnGraph]]`(…, mutual = true)` — no broadcast query set, no
+    * caller pre-blocking, pair work Σ_cell probers·members. THIS form
+    * is the EXACT kernel for a frame the caller has already bounded
+    * (an IVF cell, an LSH bucket, a label stratum, an eval sample):
+    * it runs [[bruteForceTopK]] with the SAME frame as queries and
+    * corpus, so the whole set rides a broadcast — correct and fastest
+    * when the block fits, quadratic if pointed at a raw corpus. The
     * directed top-k is computed ONCE (checkpointed) and joined to
-    * itself on the reversed pair.
+    * itself on the reversed pair; `ivfKnnGraph(nprobe = nlist,
+    * mutual = true)` reproduces this output exactly (spec-pinned).
     */
   def mutualKnnGraph(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
