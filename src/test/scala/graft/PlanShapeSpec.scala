@@ -127,6 +127,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.count(l0 => l0.contains("HashJoin") || l0.contains("SortMergeJoin")) == 1)
   }
 
+  test("blocked linkage pins an explicit probe-side exchange before the join") {
+    // broadcast joins inherit the probe side's partitioning — without a
+    // pinned repartition on the block keys, a one-file scan serializes
+    // every |block|² kernel call onto ONE task (measured 8s single-task
+    // vs 1.2s spread at sf0.1). The plan must carry the explicit
+    // exchange whatever join strategy Catalyst picks.
+    val cust = (1 to 60).map(i => (i.toLong, i % 3, s"name $i")).toDF("id", "b", "s")
+    val pEdit = finalPlan(Dedup.editDistanceLink(cust, col("b"), col("id"),
+      col("s"), maxDist = 2))
+    assert(pEdit.contains("REPARTITION_BY_NUM"),
+      s"editDistanceLink lost its probe-side exchange:\n$pEdit")
+    val r = (1 to 60).map(i => (i.toLong, i % 3, s"name ${i + 1}")).toDF("rid", "rb", "rs")
+    val pJaro = finalPlan(Dedup.linkageJoin(cust, r, Seq(col("b") -> col("rb")),
+      col("s"), col("rs"), 0.5))
+    assert(pJaro.contains("REPARTITION_BY_NUM"),
+      s"linkageJoin lost its probe-side exchange:\n$pJaro")
+  }
+
+  test("groupedExactQuantiles is one window pass: no join, no per-prob union") {
+    val df = (1 to 100).map(i => (i % 3, i.toLong)).toDF("g", "v")
+    val out = graft.operators.Analytics.groupedExactQuantiles(
+      df, col("g"), col("v"), Seq(0.25, 0.5, 0.75))
+    val p = finalPlan(out)
+    assert(!p.contains("Join"), s"per-prob join crept back in:\n$p")
+    assert(!p.contains("Union"), s"per-prob union crept back in:\n$p")
+    // exactly two exchanges: the (group, value) count aggregate and ONE
+    // window exchange that BOTH the running sum and the group total ride
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"quantile CDF should need exactly two exchanges:\n$p")
+    // the two Window nodes are adjacent — no exchange between them
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.zipWithIndex.filter(_._1.contains("Window [")).map(_._2)
+    assert(winIdx.size == 2 && (winIdx(1) - winIdx(0)).abs == 1,
+      s"the group-total window must ride the CDF window's exchange:\n$p")
+  }
+
   test("paragraph dedup reassembly never plans a single-partition window") {
     val paras = (1 to 60).map(i => (i.toLong % 6, i.toLong, s"para $i"))
       .toDF("doc_id", "pos", "para")

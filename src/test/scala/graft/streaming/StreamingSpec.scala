@@ -1140,6 +1140,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("StatefulHotSwap: a retried batch replays from the predecessor state") {
+    // the engine may re-run a micro-batch after a sink failure; the
+    // replay must consume the state the batch ORIGINALLY read, not its
+    // own committed output (which would double-count)
+    val dir = java.nio.file.Files.createTempDirectory("shsr").toString
+    val init = Seq.empty[(Long, Long)].toDF("k", "total")
+    val step: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      (batch, state) => {
+        val upd = batch.groupBy(col("k")).agg(sum(col("v")).as("inc"))
+        val next = state.join(upd, Seq("k"), "full")
+          .select(col("k"),
+            (coalesce(col("total"), lit(0L)) + coalesce(col("inc"), lit(0L)))
+              .as("total"))
+        (next, next)
+      }
+    val handle = StatefulHotSwap(step)
+    val b0 = Seq((1L, 10L)).toDF("k", "v")
+    val b1 = Seq((1L, 5L)).toDF("k", "v")
+    def readTotals() = handle.currentState(spark, init)
+      .as[(Long, Long)].collect().toMap
+    handle.runBatch(b0, 0L, init, s"$dir/state", (_, _) => ())
+    handle.runBatch(b1, 1L, init, s"$dir/state", (_, _) => ())
+    assert(readTotals() == Map(1L -> 15L))
+    // retry of batch 1: must land on the same state, not 20
+    handle.runBatch(b1, 1L, init, s"$dir/state", (_, _) => ())
+    assert(readTotals() == Map(1L -> 15L))
+    // and the pipeline continues correctly after the replay
+    handle.runBatch(Seq((1L, 1L)).toDF("k", "v"), 2L, init, s"$dir/state",
+      (_, _) => ())
+    assert(readTotals() == Map(1L -> 16L))
+  }
+
   test("streaming mode matches modePerKey after every batch; domain cap flags") {
     import graft.streaming.StreamMode
     import org.apache.spark.sql.functions.col
