@@ -858,18 +858,25 @@ object Analytics {
       s"exactQuantiles: probs must be in (0,1], got $probs")
     val counts = df.where(valueCol.isNotNull)
       .groupBy(valueCol.as("_v")).agg(count(lit(1)).as("_c"))
-    val cdf = graft.core.CacheRegistry.persist(
-      Relational.prefixSum(counts, Seq(col("_v")), col("_c"), "_cum"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = counts.agg(sum(col("_c")).as("_n"))
-    probs.map { p =>
-      cdf.crossJoin(broadcast(n))
-        .where(col("_cum") >= ceil(lit(p) * col("_n")))
-        .groupBy(col("_n"))
-        .agg(min(col("_v")).as("value"))
-        .select(lit(p).as("p"), col("value"),
-          ceil(lit(p) * col("_n")).as("rank"), col("_n").as("n"))
-    }.reduce(_ unionByName _)
+    val cdf = Relational.prefixSum(counts, Seq(col("_v")), col("_c"), "_cum")
+    // total = the last cumulative (counts are >= 1, so _cum is strictly
+    // increasing) — read it off the CACHED sorted frame instead of
+    // recomputing the counts aggregate from scratch
+    val n = cdf.agg(max(col("_cum")).as("_n"))
+    // ALL probs resolve in one conditional-min pass over the CDF — no
+    // per-prob filter+aggregate plans (the groupedExactQuantiles move)
+    val qAggs = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col("_v"))).as(s"_q$i")
+    }
+    val one = cdf.crossJoin(broadcast(n))
+      .groupBy(col("_n")).agg(qAggs.head, qAggs.tail: _*)
+    val pv = probs.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"), col(s"_q$i").as("value"),
+        ceil(lit(p) * col("_n")).as("rank"))
+    }
+    one.select(explode(array(pv: _*)).as("_pv"), col("_n").as("n"))
+      .select(col("_pv.p").as("p"), col("_pv.value").as("value"),
+        col("_pv.rank").as("rank"), col("n"))
   }
 
   /** SAX (Symbolic Aggregate approXimation) — time-series
@@ -1654,28 +1661,35 @@ object Analytics {
       s"lorenzCurve: probs must be in (0,1], got $probs")
     val counts = df.where(valueCol.isNotNull)
       .groupBy(valueCol.cast("long").as("_v")).agg(count(lit(1)).as("_c"))
-    val cdf = graft.core.CacheRegistry.persist(
-      Relational.prefixSums(counts, Seq(col("_v")),
-        Seq(col("_c") -> "_cumc", (col("_v") * col("_c")) -> "_cumv")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = counts.agg(sum(col("_c")).as("_n"),
-      sum(col("_v") * col("_c")).as("_t"))
-    probs.map { p =>
-      cdf.crossJoin(broadcast(totals))
-        .where(col("_cumc") >= ceil(lit(p) * col("_n")))
-        .groupBy(col("_n"), col("_t"))
-        // distinct _v makes the struct-min pick exactly the boundary block
-        .agg(min(struct(col("_v"), col("_cumc"), col("_cumv"))).as("_blk"))
-        .select(lit(p).as("p"),
-          ceil(lit(p) * col("_n")).cast("long").as("rank"),
-          col("_n").as("n"), col("_t").as("total"),
-          (col("_blk._cumv") -
-            (col("_blk._cumc") - ceil(lit(p) * col("_n")).cast("long")) *
-              col("_blk._v")).as("lorenz"))
-        .select(col("p"), col("rank"), col("n"), col("total"), col("lorenz"),
-          expr("CAST(lorenz AS DECIMAL(38,0)) * 1000000 div total")
-            .as("share_ppm"))
-    }.reduce(_ unionByName _)
+    val cdf = Relational.prefixSums(counts, Seq(col("_v")),
+      Seq(col("_c") -> "_cumc", (col("_v") * col("_c")) -> "_cumv"))
+    // totals off the CACHED prefix frame: _cumc is strictly increasing
+    // (counts >= 1) so its max row is the last — whose _cumv is the value
+    // total whatever the sign of _v (a max over _cumv itself would not be)
+    val totals = cdf.agg(max(col("_cumc")).as("_n"),
+      expr("max_by(_cumv, _cumc)").as("_t"))
+    // every p picks its boundary block in ONE conditional struct-min
+    // pass (distinct _v makes the min land exactly on the block) — no
+    // per-prob filter+aggregate plans
+    val bAggs = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("_cumc") >= ceil(lit(p) * col("_n")),
+        struct(col("_v"), col("_cumc"), col("_cumv")))).as(s"_b$i")
+    }
+    val one = cdf.crossJoin(broadcast(totals))
+      .groupBy(col("_n"), col("_t")).agg(bAggs.head, bAggs.tail: _*)
+    val pv = probs.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"),
+        ceil(lit(p) * col("_n")).cast("long").as("rank"),
+        (col(s"_b$i._cumv") -
+          (col(s"_b$i._cumc") - ceil(lit(p) * col("_n")).cast("long")) *
+            col(s"_b$i._v")).as("lorenz"))
+    }
+    one.select(explode(array(pv: _*)).as("_pv"), col("_n").as("n"),
+        col("_t").as("total"))
+      .select(col("_pv.p").as("p"), col("_pv.rank").as("rank"), col("n"),
+        col("total"), col("_pv.lorenz").as("lorenz"))
+      .withColumn("share_ppm",
+        expr("CAST(lorenz AS DECIMAL(38,0)) * 1000000 div total"))
   }
 
   /** Cramér's V association strength between two categorical columns

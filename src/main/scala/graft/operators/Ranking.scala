@@ -582,20 +582,28 @@ object Ranking {
       s"coverageCurve: probs must be in (0,1], got $probs")
     val counts = df.select(explode(words(textCol)).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
-    val cdf = graft.core.CacheRegistry.persist(
-      Relational.prefixSums(counts, Seq(col("_c").desc, col("_w").asc),
-        Seq(col("_c") -> "_cum", lit(1L) -> "_rank")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = counts.agg(sum(col("_c")).as("_n"))
-    probs.map { p =>
-      cdf.crossJoin(broadcast(n))
-        .where(col("_cum") >= ceil(lit(p) * col("_n")))
-        .groupBy(col("_n"))
-        .agg(min(col("_rank")).as("vocab_size"),
-          min(col("_cum")).as("tokens_covered"))
-      .select(lit(p).as("p"), col("vocab_size"), col("tokens_covered"),
-        col("_n").as("n_tokens"))
-    }.reduce(_ unionByName _)
+    val cdf = Relational.prefixSums(counts, Seq(col("_c").desc, col("_w").asc),
+      Seq(col("_c") -> "_cum", lit(1L) -> "_rank"))
+    // total off the CACHED sorted frame (strictly increasing _cum)
+    val n = cdf.agg(max(col("_cum")).as("_n"))
+    // all coverage targets read off ONE conditional-min pass — no
+    // per-prob filter+aggregate plans (the quantile-family move)
+    val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        min(when(col("_cum") >= ceil(lit(p) * col("_n")), col("_rank")))
+          .as(s"_vs$i"),
+        min(when(col("_cum") >= ceil(lit(p) * col("_n")), col("_cum")))
+          .as(s"_tc$i"))
+    }
+    val one = cdf.crossJoin(broadcast(n))
+      .groupBy(col("_n")).agg(aggs.head, aggs.tail: _*)
+    val pv = probs.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"), col(s"_vs$i").as("vocab_size"),
+        col(s"_tc$i").as("tokens_covered"))
+    }
+    one.select(explode(array(pv: _*)).as("_pv"), col("_n").as("n_tokens"))
+      .select(col("_pv.p").as("p"), col("_pv.vocab_size").as("vocab_size"),
+        col("_pv.tokens_covered").as("tokens_covered"), col("n_tokens"))
   }
 
   /** Simpson concentration per group — the EXACT-rational companion of
