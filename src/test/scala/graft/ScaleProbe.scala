@@ -320,6 +320,47 @@ object ScaleProbe {
       graft.core.CacheRegistry.unpersistAll()
       n
     }
+
+    // Round-9 additions. Levenshtein linkage at 10×: Σ block² is the
+    // envelope, so the probe blocks compositely like the jaro probe —
+    // fixed ~30-row blocks keep candidate volume linear in corpus size.
+    time("editDistanceLink 150k composite-blocked maxDist=2")(
+      Dedup.editDistanceLink(
+        cust10.select(
+          (col("c_nationkey") * 1000 + col("c_custkey") % 200).as("blk"),
+          col("c_custkey"), col("c_name")),
+        col("blk"), col("c_custkey"), col("c_name"), maxDist = 2).count())
+    // hot-bucket star-link path actually firing: 20k exact clones in
+    // ONE bucket per band, cap 1000 -> O(b) star pairs, never b²
+    time("minhashPairs 20k-clone hot bucket, maxBucket=1000") {
+      val clones = spark.range(0, 20000, 1, 32)
+        .select(col("id").as("doc_id"),
+          lit("the quick brown fox jumps over the lazy dog again").as("text"))
+      val n = Dedup.minhashPairs(clones, "doc_id", "text", 2, 64, 16, 0.5,
+        maxBucket = 1000).count()
+      graft.core.CacheRegistry.unpersistAll()
+      n
+    }
+    // per-key series stats at 10× events: bounded by (keys × days),
+    // pairwise envelopes by days² per key
+    time("changePoint 1M events / 15k user-keys")(
+      graft.operators.Analytics.changePoint(
+        ev10.withColumn("v", (col("user_id") % 97).cast("long")),
+        col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")), col("v")).count())
+    time("mannKendall 1M events / 5 type-keys")(
+      graft.operators.Analytics.mannKendall(
+        ev10.withColumn("v", (col("user_id") % 97).cast("long")),
+        col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")), col("v")).count())
+    // t-closeness: two bounded-domain count aggregates + a class×domain
+    // grid join — 10× rows, same grid
+    time("tCloseness 150k rows, 250 classes x 6 buckets")(
+      graft.operators.Quality.tCloseness(
+        cust10.withColumn("bal", (col("c_custkey") % 12000L) - 2000L),
+        Seq(col("c_nationkey"), (col("c_custkey") % 10).as("seg")),
+        (col("bal") + lit(2000L)) / lit(2000L) cast "long",
+        tPpm = 200000L).count())
     spark.stop()
   }
 }
