@@ -2741,6 +2741,24 @@ object SparkEntry {
 
     // Theil-Sen robust daily trend per event type: median of exact
     // integer-ppm pairwise slopes via the grouped-quantile primitive.
+    // Cochran's Q over three paired binary conditions per user (did
+    // they click / view / purchase) — McNemar generalized to k=3,
+    // exact integer ppm.
+    "q_cochran_q" -> ((s, d) =>
+      Analytics.cochranQ(t(s, d, "events"), col("user_id"),
+        Seq("click" -> (col("event_type") === "click"),
+          "view" -> (col("event_type") === "view"),
+          "purchase" -> (col("event_type") === "purchase")))),
+
+    // Friedman test: per-user event-count ranks across the three
+    // event types (complete blocks only, incomplete counted) — the
+    // repeated-measures sibling of q_kruskal, exact doubled midranks.
+    "q_friedman" -> ((s, d) =>
+      Analytics.friedman(
+        t(s, d, "events").where(
+          col("event_type").isin("click", "view", "purchase")),
+        col("user_id"), col("event_type"), lit(1L))),
+
     // Max-CUSUM change-point scan over the daily per-type cents
     // series: exact integer D_t = n·S_t − t·S_n, split at max |D_t|
     // (earliest day on ties), segment-mean shift as an exact rational.
@@ -6191,6 +6209,56 @@ object SparkEntry {
         |FROM dev GROUP BY 1, 2""".stripMargin,
 
     // same integer-ppm pairwise slopes + grouped exact median
+    // same per-unit flags, exact integer Q
+    "q_cochran_q" ->
+      """WITH per AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x0,
+        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x1,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x2
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(sum(x0 + x1 + x2) AS BIGINT) AS N,
+        |  CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS R2,
+        |  CAST(sum(x0) AS BIGINT) AS c0, CAST(sum(x1) AS BIGINT) AS c1,
+        |  CAST(sum(x2) AS BIGINT) AS c2 FROM per)
+        |SELECT n_units, CAST(3 AS BIGINT) AS k, N AS n_success,
+        |  CASE WHEN 3 * N - R2 > 0 THEN
+        |    CAST(2::HUGEINT *
+        |      (3::HUGEINT * (c0::HUGEINT * c0 + c1::HUGEINT * c1
+        |        + c2::HUGEINT * c2) - N::HUGEINT * N) * 1000000
+        |      // (3 * N - R2) AS BIGINT) END AS q_ppm
+        |FROM t""".stripMargin,
+
+    // same complete-block doubled midranks + tie-corrected chi2
+    "q_friedman" ->
+      """WITH cells AS (SELECT user_id AS b, event_type AS t,
+        |  CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IN ('click', 'view', 'purchase') GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t) AS k FROM cells),
+        |sized AS (SELECT b, t, v, count(*) OVER (PARTITION BY b) AS bn
+        |  FROM cells),
+        |dr AS (SELECT CAST(count(DISTINCT CASE WHEN bn <> kk.k THEN b END)
+        |    AS BIGINT) AS n_dropped FROM sized, kk),
+        |ranked AS (SELECT b, t, v,
+        |  rank() OVER (PARTITION BY b ORDER BY v) AS rk,
+        |  count(*) OVER (PARTITION BY b, v) AS ties
+        |  FROM sized, kk WHERE bn = kk.k),
+        |mr AS (SELECT b, t, 2 * rk + ties - 1 AS mr2 FROM ranked),
+        |pt AS (SELECT t, count(*) AS n, CAST(sum(mr2) AS BIGINT) AS rj,
+        |  sum(mr2::HUGEINT * mr2) AS a FROM mr GROUP BY 1),
+        |agg AS (SELECT max(n) AS n_blocks, kk.k AS k,
+        |  sum((rj::HUGEINT - n::HUGEINT * (kk.k + 1)) *
+        |      (rj::HUGEINT - n::HUGEINT * (kk.k + 1))) AS num,
+        |  sum(a) AS aa, max(n::HUGEINT * kk.k * (kk.k + 1) * (kk.k + 1)) AS cc
+        |  FROM pt, kk GROUP BY kk.k)
+        |SELECT CAST(n_blocks AS BIGINT) AS n_blocks, dr.n_dropped,
+        |  CAST(k AS BIGINT) AS k,
+        |  CASE WHEN aa - cc > 0 THEN
+        |    CAST((k - 1)::HUGEINT * num * 1000000 // (aa - cc) AS BIGINT)
+        |  END AS chi2_ppm
+        |FROM agg, dr""".stripMargin,
+
     // same daily series; window CDF + QUALIFY-style argmax via row_number
     "q_changepoint" ->
       """WITH daily AS (SELECT event_type AS g,

@@ -2720,6 +2720,118 @@ object Analytics {
         round(h / c, 6)).as("h_corrected"))
   }
 
+  /** Cochran's Q — [[mcnemar]] generalized to k ≥ 2 paired binary
+    * conditions ("did the same users convert under each of the k
+    * variants"): per unit one flag per condition (presence-max over
+    * the raw events), then the exact integer statistic
+    *
+    * {{{ Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²) }}}
+    *
+    * (C_j condition totals, R_i per-unit totals, N = ΣR). The
+    * denominator is Σ R_i(k−R_i) — zero exactly when every unit is
+    * all-0 or all-1 (no within-unit variation), reported null. k = 2
+    * reduces to McNemar's uncorrected χ² (spec-pinned). Conditions
+    * are a FIXED literal set, so blocks are complete by construction
+    * — absence is a 0, exactly how the paired design reads events.
+    *
+    * One per-unit aggregate (map-combinable, |units| rows) + one
+    * 1-row total; ppm floor-div, comparator-proof.
+    * Output: (n_units, k, n_success, q_ppm).
+    */
+  def cochranQ(df: DataFrame, unitCol: Column,
+      conditions: Seq[(String, Column)]): DataFrame = {
+    require(conditions.size >= 2,
+      s"cochranQ: need >= 2 conditions, got ${conditions.size}")
+    val k = conditions.size
+    val flags = conditions.zipWithIndex.map { case ((_, f), i) =>
+      max(when(f, 1L).otherwise(0L)).as(s"_x$i")
+    }
+    val per = df.where(unitCol.isNotNull)
+      .groupBy(unitCol.as("_u")).agg(flags.head, flags.tail: _*)
+      .withColumn("_r", conditions.indices.map(i => col(s"_x$i")).reduce(_ + _))
+    val sums = conditions.indices.map(i => sum(col(s"_x$i")).as(s"_c$i"))
+    val tot = per.agg(
+      count(lit(1)).as("n_units"),
+      (Seq(sum(col("_r")).as("_N"),
+        sum(col("_r") * col("_r")).as("_R2")) ++ sums): _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sumC2 = conditions.indices
+      .map(i => dec(col(s"_c$i")) * col(s"_c$i")).reduce(_ + _)
+    tot.select(col("n_units"), lit(k.toLong).as("k"), col("_N").as("n_success"),
+      (lit((k - 1).toLong) *
+        (lit(k.toLong) * sumC2 - dec(col("_N")) * col("_N")) *
+        lit(1000000L)).as("_qn"),
+      dec(lit(k.toLong) * col("_N") - col("_R2")).as("_qd"))
+      .select(col("n_units"), col("k"), col("n_success"),
+        // numerator >= 0 (Cauchy-Schwarz: k·ΣC² >= N²), so the exact
+        // integral `div` IS the floor — no decimal-scale rounding
+        when(col("_qd") > 0, expr("_qn div _qd")).as("q_ppm"))
+  }
+
+  /** Friedman test — the repeated-measures sibling of
+    * [[kruskalWallis]] (same units measured under every treatment;
+    * KW assumes independent groups): values are midranked WITHIN each
+    * complete block, and the tie-corrected statistic rides DOUBLED
+    * integer midranks end-to-end:
+    *
+    * {{{ χ² = (k−1)·Σ_j (R'_j − n(k+1))² / (A' − C') }}}
+    *
+    * with R'_j = Σ_blocks mr2_ij, A' = Σ mr2², C' = n·k·(k+1)² — the
+    * doubling cancels between numerator and denominator, so this is
+    * EXACTLY the classic tie-corrected χ²_F, ppm floor-div at the
+    * end. A' = C' (every block fully tied) reports null. Only blocks
+    * observed under ALL k treatments enter (complete-block design);
+    * `n_dropped` reports the incomplete ones — never silent.
+    *
+    * Shape: one (block, treatment) sum aggregate, per-block windows
+    * over ≤ k rows, one k-row treatment aggregate, one 1-row summary.
+    * Output: (n_blocks, n_dropped, k, chi2_ppm).
+    */
+  def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df.where(blockCol.isNotNull && treatCol.isNotNull &&
+        valueCol.isNotNull)
+      .groupBy(blockCol.as("_b"), treatCol.as("_t"))
+      .agg(sum(valueCol.cast("long")).as("_v"))
+    val k = cells.select(col("_t")).distinct()
+    val withK = cells.crossJoin(broadcast(k.agg(count(lit(1)).as("_k"))))
+    val sized = graft.core.CacheRegistry.persist(
+      withK.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy(col("_b")))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // incomplete blocks reported, never silently dropped — lazily, no
+    // driver-side action inside the operator
+    val dropAgg = sized.agg(
+      count_distinct(when(col("_bn") =!= col("_k"), col("_b")))
+        .as("n_dropped"))
+    // doubled within-block midrank: 2·#smaller + #equal + 1
+    val ranked = sized.where(col("_bn") === col("_k"))
+      .withColumn("_rk",
+        rank().over(Window.partitionBy(col("_b")).orderBy(col("_v"))))
+      .withColumn("_ties",
+        count(lit(1)).over(Window.partitionBy(col("_b"), col("_v"))))
+      .withColumn("_mr2", lit(2L) * col("_rk") + col("_ties") - 1L)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perTreat = ranked.groupBy(col("_t"))
+      .agg(first(col("_k")).as("_k"), count(lit(1)).as("_n"),
+        sum(col("_mr2")).as("_rj"), sum(dec(col("_mr2")) * col("_mr2")).as("_a"))
+    perTreat
+      .agg(first(col("_k")).as("k"), first(col("_n")).as("n_blocks"),
+        sum((dec(col("_rj")) - dec(col("_n")) * (col("_k") + 1L)) *
+          (dec(col("_rj")) - dec(col("_n")) * (col("_k") + 1L))).as("_num"),
+        sum(col("_a")).as("_A"),
+        first(dec(col("_n")) * col("_k") * (col("_k") + 1L) * (col("_k") + 1L))
+          .as("_C"))
+      .crossJoin(broadcast(dropAgg))
+      .select(col("n_blocks"), col("n_dropped"), col("k"),
+        ((col("k") - 1L).cast("decimal(38,0)") * col("_num") * lit(1000000L))
+          .as("_fn"),
+        (col("_A") - col("_C")).as("_fd"))
+      // numerator >= 0 (sum of squares), so integral `div` is the floor
+      .select(col("n_blocks"), col("n_dropped"), col("k"),
+        when(col("_fd") > 0, expr("_fn div _fd")).as("chi2_ppm"))
+  }
+
   /** Benjamini-Hochberg FDR control — the multiple-testing gate a
     * metrics platform runs over THOUSANDS of simultaneous p-values
     * (per-metric A/B tests, per-feature drift tests) before anyone

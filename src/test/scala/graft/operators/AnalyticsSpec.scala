@@ -1145,6 +1145,66 @@ class AnalyticsSpec extends SparkSpec {
     assert(rb.getAs[Long]("chi2_cc_ppm") == 0L)
   }
 
+  test("cochranQ: textbook 3-condition Q; k=2 reduces to uncorrected McNemar") {
+    // units (1,1,1),(1,0,0),(1,0,1),(0,0,1): C=(3,1,3), N=7, R²=(9,1,4,1)
+    // Q = 2·(3·19−49)/(21−15) = 16/6 -> 2666666 ppm
+    val rows = Seq(
+      (1L, "a", 1L), (1L, "b", 1L), (1L, "c", 1L),
+      (2L, "a", 1L), (3L, "a", 1L), (3L, "c", 1L), (4L, "c", 1L))
+      .toDF("u", "cond", "hit")
+    val conds = Seq("a", "b", "c").map(c =>
+      c -> (col("cond") === c && col("hit") === 1L))
+    val r = Analytics.cochranQ(rows, col("u"), conds).collect().head
+    assert(r.getAs[Long]("n_units") == 4L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_success") == 7L)
+    assert(r.getAs[Long]("q_ppm") == 2666666L)
+    // k = 2 on the McNemar fixture: Q == McNemar's uncorrected chi2
+    val mc = Seq((1L, 0L, 1L), (2L, 0L, 1L), (3L, 1L, 0L),
+      (4L, 1L, 1L), (5L, 0L, 0L)).toDF("u", "a", "b")
+    val flat = mc.selectExpr("u", "'pre' AS cond", "a AS hit")
+      .unionAll(mc.selectExpr("u", "'post' AS cond", "b AS hit"))
+    val q2 = Analytics.cochranQ(flat, col("u"),
+      Seq("pre" -> (col("cond") === "pre" && col("hit") === 1L),
+        "post" -> (col("cond") === "post" && col("hit") === 1L)))
+      .collect().head
+    assert(q2.getAs[Long]("q_ppm") == 333333L) // == mcnemar chi2_ppm
+    // all-concordant units: denominator 0 -> null
+    val conc = Seq((1L, "x", 1L), (1L, "y", 1L), (2L, "x", 0L))
+      .toDF("u", "cond", "hit")
+    val rc = Analytics.cochranQ(conc, col("u"),
+      Seq("x" -> (col("cond") === "x" && col("hit") === 1L),
+        "y" -> (col("cond") === "y" && col("hit") === 1L)))
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("q_ppm")))
+  }
+
+  test("friedman: textbook chi2, tie-block invariance, incomplete blocks reported") {
+    // 3 blocks, monotone A<B<C everywhere: chi2_F = 6 exactly
+    val base = for (b <- 1 to 3; (t, v) <- Seq(("A", 1L), ("B", 2L), ("C", 3L)))
+      yield (b.toLong, t, v + b) // +b shifts values, ranks unchanged
+    val r = Analytics.friedman(base.toDF("b", "t", "v"),
+      col("b"), col("t"), col("v")).collect().head
+    assert(r.getAs[Long]("n_blocks") == 3L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_dropped") == 0L)
+    assert(r.getAs[Long]("chi2_ppm") == 6000000L)
+    // an all-tied extra block adds no signal: statistic unchanged
+    val withTied = base ++ Seq((4L, "A", 5L), (4L, "B", 5L), (4L, "C", 5L))
+    val rt = Analytics.friedman(withTied.toDF("b", "t", "v"),
+      col("b"), col("t"), col("v")).collect().head
+    assert(rt.getAs[Long]("n_blocks") == 4L)
+    assert(rt.getAs[Long]("chi2_ppm") == 6000000L)
+    // incomplete blocks drop and are counted, never silent
+    val withPartial = base ++ Seq((9L, "A", 1L), (9L, "B", 2L))
+    val rp = Analytics.friedman(withPartial.toDF("b", "t", "v"),
+      col("b"), col("t"), col("v")).collect().head
+    assert(rp.getAs[Long]("n_blocks") == 3L && rp.getAs[Long]("n_dropped") == 1L)
+    // every block fully tied: A' = C' -> null
+    val allTied = Seq((1L, "A", 2L), (1L, "B", 2L), (2L, "A", 7L), (2L, "B", 7L))
+    val ra = Analytics.friedman(allTied.toDF("b", "t", "v"),
+      col("b"), col("t"), col("v")).collect().head
+    assert(ra.isNullAt(ra.fieldIndex("chi2_ppm")))
+  }
+
   test("diffInDiff: treated lift net of the control trend; empty cell nulls") {
     // control 10 -> 12 (trend +2), treated 20 -> 25 (+5): DID = 3
     val df = Seq((0L, 0L, 10L), (0L, 0L, 10L), (0L, 1L, 12L), (0L, 1L, 12L),
