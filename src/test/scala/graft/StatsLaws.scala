@@ -126,4 +126,69 @@ object StatsLaws extends Properties("Stats") {
             .where(col("rejected")).select("id").as[Long].collect().toSet
         rejected(qLo).subsetOf(rejected(qHi))
     }
+
+  // DISTINCT days: a per-row shift only translates the DAILY series
+  // uniformly when each day holds one row (Σ(v+c) over a day adds
+  // m_d·c) — the laws below are about the daily series
+  private val genSeries: Gen[List[(String, Long, Long)]] = for {
+    n <- Gen.chooseNum(4, 20)
+    vs <- Gen.listOfN(n, Gen.chooseNum(-40L, 40L))
+  } yield vs.zipWithIndex.map { case (v, i) => ("k", (i + 1).toLong, v) }
+
+  property("changePoint D is invariant under value translation") =
+    forAll(genSeries, Gen.chooseNum(-100L, 100L)) { (rows, c) =>
+      // S_t -> S_t + t·c makes n·S_t − t·S_n cancel the shift exactly
+      val df = rows.toDF("g", "d", "v")
+      val a = Analytics.changePoint(df, col("g"), col("d"), col("v"))
+        .collect().toList
+      val b = Analytics.changePoint(df, col("g"), col("d"), col("v") + c)
+        .collect().toList
+      a.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) ==
+        b.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+
+  property("mannKendall sees only signs: invariant under monotone transforms") =
+    forAll(genSeries) { rows =>
+      val df = rows.toDF("g", "d", "v")
+      val a = Analytics.mannKendall(df, col("g"), col("d"), col("v")).head()
+      // pure scaling commutes with the daily sum (an additive shift
+      // would not: Σ(5v−3) = 5Σv − 3·count mixes in the day's row count)
+      val b = Analytics.mannKendall(df, col("g"), col("d"),
+        col("v") * 5L).head()
+      a.toSeq == b.toSeq
+    }
+
+  property("friedman is invariant under per-block value translation") =
+    forAll(Gen.chooseNum(2, 6), Gen.chooseNum(2, 4)) { (nBlocks, k) =>
+      // within-block ranks don't move when a block's values all shift
+      val treats = (0 until k).map(i => s"t$i")
+      val rows = for {
+        b <- 1 to nBlocks; (t, i) <- treats.zipWithIndex
+      } yield (b.toLong, t, ((b * 7 + i * i * 3) % 11).toLong)
+      val df = rows.toDF("b", "t", "v")
+      val shifted = rows.map { case (b, t, v) => (b, t, v + b * 100L) }
+        .toDF("b", "t", "v")
+      val a = Analytics.friedman(df, col("b"), col("t"), col("v")).head()
+      val c = Analytics.friedman(shifted, col("b"), col("t"), col("v")).head()
+      a.toSeq == c.toSeq
+    }
+
+  property("cochranQ is invariant under condition reordering") =
+    forAll(Gen.listOfN(12, Gen.chooseNum(0, 7))) { masks =>
+      // each unit's mask encodes its 3 condition flags
+      val rows = masks.zipWithIndex.flatMap { case (m, u) =>
+        Seq(("a", m & 1), ("b", (m >> 1) & 1), ("c", (m >> 2) & 1))
+          .collect { case (cnd, 1) => (u.toLong, cnd) }
+      }
+      if (rows.isEmpty) true
+      else {
+        val df = rows.toDF("u", "cond")
+        def q(order: Seq[String]) =
+          Analytics.cochranQ(df, col("u"),
+            order.map(c => c -> (col("cond") === c))).head()
+        val x = q(Seq("a", "b", "c"))
+        val y = q(Seq("c", "a", "b"))
+        x.toSeq == y.toSeq
+      }
+    }
 }
