@@ -2708,6 +2708,26 @@ object SparkEntry {
       Analytics.kaplanMeier(subjects, col("dur"), col("ev"))
     }),
 
+    // Nelson-Aalen cumulative hazard over the SAME signup→purchase
+    // subjects as q_survival — the additive estimator: exact ppm
+    // floor increments d·10⁶ div n_risk, no transcendental anywhere.
+    "q_survival_na" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val from = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(usec(col("ts"))).as("from_us"))
+      val conv = Analytics.timeToConvert(ev, col("user_id"), col("ts"),
+          col("event_type") === "signup", col("event_type") === "purchase")
+        .select(col("key").as("user_id"), col("delay_s"))
+      val last = ev.groupBy(col("user_id")).agg(max(usec(col("ts"))).as("last_us"))
+      val subjects = from.join(last, Seq("user_id"))
+        .join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("delay_s").isNotNull, col("delay_s"))
+            .otherwise(expr("(last_us - from_us) div 1000000")).as("dur"),
+          col("delay_s").isNotNull.cast("long").as("ev"))
+      Analytics.nelsonAalen(subjects, col("dur"), col("ev"))
+    }),
+
     // Per-user behavioral surprise under the corpus bigram model:
     // 6dp decimal ln terms, exact sums, broadcast count frames.
     "q_seq_nll" -> ((s, d) =>
@@ -6154,6 +6174,37 @@ object SparkEntry {
         |    ELSE round(exp(CAST(sum(term) OVER (ORDER BY t
         |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0), 6)
         |  END AS survival
+        |FROM tm""".stripMargin,
+
+    // same subjects frame; exact ppm floor hazard increments, cumulated
+    "q_survival_na" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS from_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (SELECT f.user_id, (min(tus) - from_us) // 1000000 AS delay_s
+        |  FROM f JOIN t2 ON f.user_id = t2.user_id AND tus >= from_us
+        |  GROUP BY 1, from_us),
+        |l AS (SELECT user_id, max(epoch_us(ts::TIMESTAMP)) AS last_us
+        |  FROM events GROUP BY 1),
+        |subj AS (SELECT CASE WHEN delay_s IS NOT NULL THEN delay_s
+        |    ELSE (last_us - from_us) // 1000000 END AS t,
+        |  CASE WHEN delay_s IS NOT NULL THEN 1 ELSE 0 END AS e
+        |  FROM f JOIN l USING (user_id) LEFT JOIN conv USING (user_id)),
+        |agg AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+        |  CAST(sum(1 - e) AS BIGINT) AS c FROM subj GROUP BY 1),
+        |w1 AS (SELECT t, d, c,
+        |  sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cumrem
+        |  FROM agg),
+        |nn AS (SELECT count(*) AS n FROM subj),
+        |r AS (SELECT t, d, c, CAST(n - cumrem + d + c AS BIGINT) AS n_risk
+        |  FROM w1 CROSS JOIN nn),
+        |tm AS (SELECT t, n_risk, d, c,
+        |  CASE WHEN n_risk > 0 THEN d * 1000000 // n_risk ELSE 0 END AS term
+        |  FROM r)
+        |SELECT t, n_risk, d, c,
+        |  CAST(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS hazard_ppm
         |FROM tm""".stripMargin,
 
     // same corpus-fit bigram MLE + 6dp decimal ln-term sums

@@ -1523,17 +1523,7 @@ object Analytics {
     * survival).
     */
   def kaplanMeier(df: DataFrame, durationCol: Column, eventCol: Column): DataFrame = {
-    val base = df.select(durationCol.cast("long").as("_t"),
-        eventCol.cast("long").as("_e"))
-      .where(col("_t").isNotNull && col("_e").isNotNull)
-    val agg = base.groupBy(col("_t"))
-      .agg(sum(col("_e")).as("_d"), sum(lit(1L) - col("_e")).as("_c"))
-    val n = base.agg(count(lit(1)).as("_n"))
-    val withRisk = Relational.prefixSum(agg, Seq(col("_t")),
-        col("_d") + col("_c"), "_cumrem")
-      .crossJoin(broadcast(n))
-      .withColumn("_nr", col("_n") - col("_cumrem") + col("_d") + col("_c"))
-    val terms = withRisk
+    val terms = riskFrame(df, durationCol, eventCol)
       .withColumn("_term",
         when(col("_d") > 0 && col("_d") < col("_nr"),
           expr("CAST(round(ln(1.0 - CAST(_d AS DOUBLE) / CAST(_nr AS DOUBLE)) * 1000000) AS BIGINT)"))
@@ -1546,6 +1536,49 @@ object Analytics {
         when(col("_cumdead") > 0, lit(0.0))
           .otherwise(round(exp(col("_cumlog").cast("double") / lit(1000000.0)), 6))
           .as("survival"))
+  }
+
+  /** The shared at-risk frame behind [[kaplanMeier]] and
+    * [[nelsonAalen]]: per distinct duration t, the event count d,
+    * censor count c, and the number still at risk just before t
+    * (n − those removed earlier), via one per-duration aggregate and
+    * one [[Relational.prefixSum]] pass — never a one-task window.
+    */
+  private def riskFrame(df: DataFrame, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val base = df.select(durationCol.cast("long").as("_t"),
+        eventCol.cast("long").as("_e"))
+      .where(col("_t").isNotNull && col("_e").isNotNull)
+    val agg = base.groupBy(col("_t"))
+      .agg(sum(col("_e")).as("_d"), sum(lit(1L) - col("_e")).as("_c"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    Relational.prefixSum(agg, Seq(col("_t")),
+        col("_d") + col("_c"), "_cumrem")
+      .crossJoin(broadcast(n))
+      .withColumn("_nr", col("_n") - col("_cumrem") + col("_d") + col("_c"))
+  }
+
+  /** Nelson-Aalen cumulative hazard — [[kaplanMeier]]'s additive
+    * sibling (KM multiplies survival factors; NA sums hazard
+    * increments d_i/n_i, the better-behaved estimator at small risk
+    * sets and the one additive over time intervals):
+    *
+    * {{{ H(t) = Σ_{t_i ≤ t} d_i / n_i }}}
+    *
+    * Each increment lands as the exact integer floor d·10⁶ div n_r
+    * (so `hazard_ppm` is the sum of per-term floors — deterministic
+    * on any engine, no transcendental anywhere), cumulated on the
+    * same [[Relational.prefixSum]] pass and at-risk frame KM rides.
+    * Output: (t, n_risk, d, c, hazard_ppm).
+    */
+  def nelsonAalen(df: DataFrame, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val terms = riskFrame(df, durationCol, eventCol)
+      .withColumn("_term",
+        when(col("_nr") > 0, expr("_d * 1000000 div _nr")).otherwise(0L))
+    Relational.prefixSum(terms, Seq(col("_t")), col("_term"), "_cumh")
+      .select(col("_t").as("t"), col("_nr").as("n_risk"), col("_d").as("d"),
+        col("_c").as("c"), col("_cumh").as("hazard_ppm"))
   }
 
   /** Funnel latency: per user, the time from the FIRST `fromFilter`

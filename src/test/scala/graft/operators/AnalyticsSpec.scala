@@ -1078,6 +1078,23 @@ class AnalyticsSpec extends SparkSpec {
       .collect().forall(_.getDouble(2) == 0.0))
   }
 
+  test("nelsonAalen: per-term floor increments cumulate exactly") {
+    // durations 1(event), 2(event), 3(censor): H = 1/3 then 1/3 + 1/2
+    // -> 333333, 833333 (sum of per-term ppm floors), flat at the censor
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 0L)).toDF("t", "e")
+    val out = Analytics.nelsonAalen(df, col("t"), col("e"))
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Long]("n_risk")).toSeq == Seq(3L, 2L, 1L))
+    assert(out.map(_.getAs[Long]("hazard_ppm")).toSeq ==
+      Seq(333333L, 833333L, 833333L))
+    // all events at one duration: H jumps to d/n exactly
+    val burst = Seq((5L, 1L), (5L, 1L), (5L, 1L), (9L, 0L)).toDF("t", "e")
+    val b = Analytics.nelsonAalen(burst, col("t"), col("e"))
+      .orderBy("t").collect()
+    assert(b.head.getAs[Long]("hazard_ppm") == 750000L) // 3/4
+    assert(b.last.getAs[Long]("hazard_ppm") == 750000L)
+  }
+
   test("kaplanMeier: textbook curve with censoring; extinction reads exact 0") {
     // durations: 1(event), 2(censored), 3(event), 4(event)
     // S(1) = 3/4; S(2) = 3/4 (censor only); S(3) = 3/4 * 1/2 = 0.375;
