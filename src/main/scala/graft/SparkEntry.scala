@@ -2728,6 +2728,27 @@ object SparkEntry {
       Analytics.nelsonAalen(subjects, col("dur"), col("ev"))
     }),
 
+    // Log-rank test between even/odd-user arms over the SAME
+    // signup→purchase subjects: exact ppm floor terms for E and V,
+    // one integral div for the chi-square.
+    "q_logrank" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val from = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(usec(col("ts"))).as("from_us"))
+      val conv = Analytics.timeToConvert(ev, col("user_id"), col("ts"),
+          col("event_type") === "signup", col("event_type") === "purchase")
+        .select(col("key").as("user_id"), col("delay_s"))
+      val last = ev.groupBy(col("user_id")).agg(max(usec(col("ts"))).as("last_us"))
+      val subjects = from.join(last, Seq("user_id"))
+        .join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("delay_s").isNotNull, col("delay_s"))
+            .otherwise(expr("(last_us - from_us) div 1000000")).as("dur"),
+          col("delay_s").isNotNull.cast("long").as("ev"),
+          (col("user_id") % 2 === 0).as("arm_a"))
+      Analytics.logRank(subjects, col("dur"), col("ev"), col("arm_a"))
+    }),
+
     // Per-user behavioral surprise under the corpus bigram model:
     // 6dp decimal ln terms, exact sums, broadcast count frames.
     "q_seq_nll" -> ((s, d) =>
@@ -6206,6 +6227,55 @@ object SparkEntry {
         |  CAST(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS hazard_ppm
         |FROM tm""".stripMargin,
+
+    // same subjects + arms; identical ppm floor terms and final div
+    "q_logrank" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS from_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (SELECT f.user_id, (min(tus) - from_us) // 1000000 AS delay_s
+        |  FROM f JOIN t2 ON f.user_id = t2.user_id AND tus >= from_us
+        |  GROUP BY 1, from_us),
+        |l AS (SELECT user_id, max(epoch_us(ts::TIMESTAMP)) AS last_us
+        |  FROM events GROUP BY 1),
+        |subj AS (SELECT CASE WHEN delay_s IS NOT NULL THEN delay_s
+        |    ELSE (last_us - from_us) // 1000000 END AS t,
+        |  CASE WHEN delay_s IS NOT NULL THEN 1 ELSE 0 END AS e,
+        |  user_id % 2 = 0 AS a
+        |  FROM f JOIN l USING (user_id) LEFT JOIN conv USING (user_id)),
+        |agg AS (SELECT t,
+        |  CAST(sum(CASE WHEN a THEN e ELSE 0 END) AS BIGINT) AS da,
+        |  CAST(sum(CASE WHEN a THEN 1 - e ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN NOT a THEN e ELSE 0 END) AS BIGINT) AS db,
+        |  CAST(sum(CASE WHEN NOT a THEN 1 - e ELSE 0 END) AS BIGINT) AS cb
+        |  FROM subj GROUP BY 1),
+        |nn AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+        |  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb0
+        |  FROM subj),
+        |r AS (SELECT t, da, db,
+        |  na0 - sum(da + ca) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |    + da + ca AS nat,
+        |  nb0 - sum(db + cb) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |    + db + cb AS nbt,
+        |  na0, nb0 FROM agg CROSS JOIN nn),
+        |tm AS (SELECT na0, nb0, da,
+        |  CASE WHEN nat + nbt > 1 AND da + db > 0 THEN
+        |    (da + db)::HUGEINT * nat * 1000000 // (nat + nbt) ELSE 0 END AS et,
+        |  CASE WHEN nat + nbt > 1 AND da + db > 0 THEN
+        |    (da + db)::HUGEINT * nat * nbt * (nat + nbt - da - db) * 1000000
+        |      // ((nat + nbt)::HUGEINT * (nat + nbt) * (nat + nbt - 1))
+        |    ELSE 0 END AS vt
+        |  FROM r),
+        |s AS (SELECT max(na0) AS n_a, max(nb0) AS n_b,
+        |  CAST(sum(da) AS BIGINT) AS o_a, CAST(sum(et) AS BIGINT) AS e_a_ppm,
+        |  CAST(sum(vt) AS BIGINT) AS v_ppm FROM tm)
+        |SELECT n_a, n_b, o_a, e_a_ppm, v_ppm,
+        |  CASE WHEN v_ppm > 0 THEN
+        |    CAST((o_a::HUGEINT * 1000000 - e_a_ppm) *
+        |      (o_a::HUGEINT * 1000000 - e_a_ppm) // v_ppm AS BIGINT)
+        |  END AS chi2_ppm
+        |FROM s""".stripMargin,
 
     // same corpus-fit bigram MLE + 6dp decimal ln-term sums
     "q_seq_nll" ->

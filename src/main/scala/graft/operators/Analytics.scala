@@ -1581,6 +1581,73 @@ object Analytics {
         col("_c").as("c"), col("_cumh").as("hazard_ppm"))
   }
 
+  /** Log-rank test — "do these two arms have the same survival
+    * curve", the hypothesis test beside [[kaplanMeier]]'s estimate:
+    * at each distinct event time, the observed arm-A deaths are
+    * compared to the expectation under equal hazards,
+    *
+    * {{{ E_A = Σ_t d_t·n_At/n_t,   V = Σ_t d_t·n_At·n_Bt·(n_t−d_t) / (n_t²·(n_t−1)) }}}
+    *
+    * and χ² = (O_A − E_A)²/V. Every per-time term lands as an exact
+    * integer ppm floor (decimal(38,0) products — d·n_A·n_B·(n−d)·10⁶
+    * overflows int64 at ~40k subjects), the sums are exact, and the
+    * final χ²_ppm is one integral div of the summed floors — the same
+    * convention as [[nelsonAalen]], deterministic on any engine.
+    * Times with n ≤ 1 or d = 0 contribute nothing (their true terms
+    * are 0). `inA` must be non-null; censoring rides `eventCol` = 0.
+    *
+    * Shape: one per-(time) aggregate carrying both arms' d/c counts,
+    * ONE [[Relational.prefixSums]] pass for both at-risk curves, one
+    * 1-row summary. Output:
+    * (n_a, n_b, o_a, e_a_ppm, v_ppm, chi2_ppm) — χ² null when V = 0.
+    */
+  def logRank(df: DataFrame, durationCol: Column, eventCol: Column,
+      inA: Column): DataFrame = {
+    val base = df.select(durationCol.cast("long").as("_t"),
+        eventCol.cast("long").as("_e"), inA.cast("boolean").as("_a"))
+      .where(col("_t").isNotNull && col("_e").isNotNull && col("_a").isNotNull)
+    val agg = base.groupBy(col("_t")).agg(
+      sum(when(col("_a"), col("_e")).otherwise(0L)).as("_da"),
+      sum(when(col("_a"), lit(1L) - col("_e")).otherwise(0L)).as("_ca"),
+      sum(when(!col("_a"), col("_e")).otherwise(0L)).as("_db"),
+      sum(when(!col("_a"), lit(1L) - col("_e")).otherwise(0L)).as("_cb"))
+    val n = base.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("_na0"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("_nb0"))
+    val risk = Relational.prefixSums(agg, Seq(col("_t")),
+        Seq((col("_da") + col("_ca")) -> "_cra", (col("_db") + col("_cb")) -> "_crb"))
+      .crossJoin(broadcast(n))
+      .withColumn("_nat", col("_na0") - col("_cra") + col("_da") + col("_ca"))
+      .withColumn("_nbt", col("_nb0") - col("_crb") + col("_db") + col("_cb"))
+      .withColumn("_nt", col("_nat") + col("_nbt"))
+      .withColumn("_dt", col("_da") + col("_db"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val terms = risk.select(col("_na0"), col("_nb0"), col("_da"),
+      when(col("_nt") > 1L && col("_dt") > 0L,
+        (dec(col("_dt")) * col("_nat") * 1000000L).as("en"))
+        .otherwise(lit(0)).as("_en"),
+      when(col("_nt") > 1L && col("_dt") > 0L, dec(col("_nt")))
+        .otherwise(lit(1)).as("_ed"),
+      when(col("_nt") > 1L && col("_dt") > 0L,
+        dec(col("_dt")) * col("_nat") * col("_nbt") *
+          (col("_nt") - col("_dt")) * 1000000L)
+        .otherwise(lit(0)).as("_vn"),
+      when(col("_nt") > 1L && col("_dt") > 0L,
+        dec(col("_nt")) * col("_nt") * (col("_nt") - 1L))
+        .otherwise(lit(1)).as("_vd"))
+    terms
+      .select(col("_na0"), col("_nb0"), col("_da"),
+        expr("_en div _ed").as("_et"), expr("_vn div _vd").as("_vt"))
+      .agg(first(col("_na0")).as("n_a"), first(col("_nb0")).as("n_b"),
+        sum(col("_da")).as("o_a"), sum(col("_et")).as("e_a_ppm"),
+        sum(col("_vt")).as("v_ppm"))
+      .select(col("n_a"), col("n_b"), col("o_a"), col("e_a_ppm"), col("v_ppm"),
+        ((dec(col("o_a")) * 1000000L - col("e_a_ppm")) *
+          (dec(col("o_a")) * 1000000L - col("e_a_ppm"))).as("_cn"))
+      .select(col("n_a"), col("n_b"), col("o_a"), col("e_a_ppm"), col("v_ppm"),
+        when(col("v_ppm") > 0L, expr("_cn div v_ppm")).as("chi2_ppm"))
+  }
+
   /** Funnel latency: per user, the time from the FIRST `fromFilter`
     * event to the first `toFilter` event at-or-after it — the
     * time-to-convert distribution behind every activation metric.

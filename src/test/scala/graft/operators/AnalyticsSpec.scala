@@ -1078,6 +1078,35 @@ class AnalyticsSpec extends SparkSpec {
       .collect().forall(_.getDouble(2) == 0.0))
   }
 
+  test("logRank: hand-computed floors; arm flip leaves chi2 unchanged") {
+    // A: events at 1 and 3; B: event at 2, censor at 3
+    // t=1: e=1·2e6 div 4=500000, v=1·2·2·3·1e6 div 48=250000
+    // t=2: e=333333, v=222222 ; t=3: e=500000, v=250000
+    val df = Seq((1L, 1L, true), (3L, 1L, true), (2L, 1L, false),
+      (3L, 0L, false)).toDF("t", "e", "a")
+    val r = Analytics.logRank(df, col("t"), col("e"), col("a"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("o_a") == 2L)
+    assert(r.getAs[Long]("e_a_ppm") == 1333333L)
+    assert(r.getAs[Long]("v_ppm") == 722222L)
+    val chiExp = ((BigInt(2000000) - 1333333).pow(2) / 722222).toLong
+    assert(r.getAs[Long]("chi2_ppm") == chiExp)
+    // flipping the arms mirrors O−E and keeps V: the chi-square agrees
+    // up to the per-term ppm floors (E_A + E_B floors to Σd·10⁶ − #terms
+    // at worst, so the mirrored statistic can drift a few ppm)
+    val f = Analytics.logRank(df, col("t"), col("e"), !col("a"))
+      .collect().head
+    assert(f.getAs[Long]("v_ppm") == 722222L)
+    assert(math.abs(f.getAs[Long]("chi2_ppm") - chiExp) <= 5L)
+    // identical arms: O == E exactly -> chi2 == 0
+    val same = Seq((1L, 1L, true), (1L, 1L, false), (2L, 1L, true),
+      (2L, 1L, false)).toDF("t", "e", "a")
+    val s = Analytics.logRank(same, col("t"), col("e"), col("a"))
+      .collect().head
+    assert(s.getAs[Long]("chi2_ppm") == 0L)
+  }
+
   test("nelsonAalen: per-term floor increments cumulate exactly") {
     // durations 1(event), 2(event), 3(censor): H = 1/3 then 1/3 + 1/2
     // -> 333333, 833333 (sum of per-term ppm floors), flat at the censor
