@@ -2822,6 +2822,16 @@ object SparkEntry {
           col("var18"), col("z_micros"))
         .orderBy(col("event_type"))),
 
+    // Hodges-Lehmann pseudo-median of the daily per-type cents —
+    // median of Walsh averages over the theilSen pairwise envelope,
+    // exact via DOUBLED sums (hl_x2 = 2·HL).
+    "q_hodges" -> ((s, d) =>
+      Analytics.hodgesLehmann(t(s, d, "events"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(col("group").as("event_type"), col("n_pairs"), col("hl_x2"))
+        .orderBy(col("event_type"))),
+
     "q_theilsen" -> ((s, d) =>
       Analytics.theilSen(t(s, d, "events"), col("event_type"),
         datediff(col("ts").cast("date"), lit("1970-01-01")),
@@ -6430,6 +6440,24 @@ object SparkEntry {
         |  END AS z_micros
         |FROM nv JOIN ties ON nv.g = ties.g JOIN sv ON nv.g = sv.g
         |ORDER BY 1""".stripMargin,
+
+    // same doubled Walsh averages + grouped CDF median
+    "q_hodges" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xs
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT a.g, CAST(a.xs + b.xs AS BIGINT) AS v
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.d <= b.d),
+        |counts AS (SELECT g, v, count(*) AS c FROM w GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1)
+        |SELECT cdf.g AS event_type, nn.n AS n_pairs,
+        |  CAST(min(v) AS BIGINT) AS hl_x2
+        |FROM cdf JOIN nn ON cdf.g = nn.g
+        |WHERE cum >= ceil(0.5 * nn.n)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_theilsen" ->
       """WITH daily AS (SELECT event_type AS g,

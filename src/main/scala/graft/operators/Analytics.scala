@@ -1391,6 +1391,35 @@ object Analytics {
         col("_best.sd").cast("long").as("shift_den"))
   }
 
+  /** Hodges-Lehmann location estimator — the robust "center" the
+    * median itself can't give (the median of a skewed sample ignores
+    * magnitude; HL is the median of all pairwise Walsh averages
+    * (x_i + x_j)/2 over i ≤ j, the estimator behind the Wilcoxon
+    * signed-rank confidence interval, ~96% efficient at the normal
+    * yet 29%-breakdown robust). Per group over the daily frame, the
+    * SAME Σ m² pairwise envelope as [[theilSen]]; to stay integer the
+    * DOUBLED averages x_i + x_j ride [[groupedExactQuantiles]] and
+    * the result is reported as `hl_x2` = 2·HL (exact; halve at the
+    * edge if a display value is wanted). Output: (group, n_pairs,
+    * hl_x2).
+    */
+  def hodgesLehmann(df: DataFrame, groupCol: Column, dayCol: Column,
+      centsCol: Column): DataFrame = {
+    val daily = graft.core.CacheRegistry.persist(
+      df.select(groupCol.as("_g"), dayCol.cast("long").as("_d"),
+          centsCol.as("_x"))
+        .where(col("_d").isNotNull && col("_x").isNotNull)
+        .groupBy(col("_g"), col("_d")).agg(sum(col("_x")).as("_xs")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lo = daily.select(col("_g"), col("_d").as("_d1"), col("_xs").as("_x1"))
+    val hi = daily.select(col("_g"), col("_d").as("_d2"), col("_xs").as("_x2"))
+    val walsh = lo.join(hi, Seq("_g"))
+      .where(col("_d1") <= col("_d2"))
+      .select(col("_g"), (col("_x1") + col("_x2")).as("_w"))
+    groupedExactQuantiles(walsh, col("_g"), col("_w"), Seq(0.5))
+      .select(col("group"), col("n").as("n_pairs"), col("value").as("hl_x2"))
+  }
+
   /** Mann-Kendall trend test — the nonparametric "is this series
     * actually drifting" companion to [[theilSen]]'s slope (same daily
     * per-group series, same pairwise envelope): S = Σ_{i<j}

@@ -712,6 +712,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(keys == Set("b"))
   }
 
+  test("hodgesLehmann: Walsh-average median; outlier-resistant vs the mean") {
+    // values 1,2,3 over days 1..3: walsh sums {2,3,4,4,5,6} -> median
+    // (rank ceil(0.5·6)=3) = 4 -> HL = 2 (= the median here)
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L)).toDF("g", "d", "c")
+    val r = Analytics.hodgesLehmann(df, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 6L && r.getAs[Long]("hl_x2") == 4L)
+    // one wild outlier barely moves HL (mean would jump by ~250)
+    val out = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L), ("k", 4L, 1000L))
+      .toDF("g", "d", "c")
+    val ro = Analytics.hodgesLehmann(out, col("g"), col("d"), col("c"))
+      .collect().head
+    // walsh sums: {2,3,4,1001,4,5,1002,6,1003,2000} sorted ->
+    // {2,3,4,4,5,6,1001,1002,1003,2000}; rank 5 -> 5 -> HL = 2.5
+    assert(ro.getAs[Long]("hl_x2") == 5L)
+  }
+
   test("mannKendall: textbook S with tie correction; monotone-down is negative") {
     // series 1,2,2,4 over days 1..4: S = 5 (one tied pair), n = 4
     // 18·Var = 4·3·13 − 2·1·9 = 156 − 18 = 138
