@@ -2054,6 +2054,14 @@ object SparkEntry {
       Clustering.calinskiHarabasz(t(s, d, "embeddings"),
         col("label"), col("embedding"))),
 
+    // Davies-Bouldin over the same labeled embeddings: q=2 scatter is
+    // moment-algebraic, so the whole index rides the CH decimal
+    // discipline — lower is better, each cluster charged its worst
+    // neighbor.
+    "q_db_index" -> ((s, d) =>
+      Clustering.daviesBouldin(t(s, d, "embeddings"),
+        col("label"), col("embedding"))),
+
     // One Lloyd's assignment step from deterministic seeds (the 8
     // smallest-vec_id embeddings): the fused NearestCentroid codegen
     // kernel vs the oracle's explicit argmin — integer-only aggregate
@@ -4836,6 +4844,47 @@ object SparkEntry {
         |      ((q2::DOUBLE - a2::DOUBLE) / (n::DOUBLE - k::DOUBLE)), 6)
         |  END AS ch
         |FROM tot, q, a, g""".stripMargin,
+
+    // same moment surface: q=2 scatters + pairwise centroid gaps
+    "q_db_index" ->
+      """WITH ex AS (SELECT label AS c, embedding,
+        |  unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |ev AS (SELECT c, i, embedding[i]::DOUBLE AS v FROM ex),
+        |nc AS (SELECT label AS c, count(*) AS n FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY 1),
+        |sci AS (SELECT ev.c, i,
+        |  sum(CAST(round(v, 10) AS DECIMAL(38,10))) AS s, max(n) AS n
+        |  FROM ev JOIN nc ON ev.c = nc.c GROUP BY 1, 2),
+        |q2c AS (SELECT c,
+        |  sum(CAST(round(v * v, 10) AS DECIMAL(38,10))) AS q2
+        |  FROM ev GROUP BY 1),
+        |cc2 AS (SELECT c, sum(CAST(round((s * s)::DOUBLE /
+        |    (n * n)::DOUBLE, 8) AS DECIMAL(38,8))) AS cc2
+        |  FROM sci GROUP BY 1),
+        |sc AS (SELECT q2c.c,
+        |  sqrt(greatest(q2::DOUBLE / n::DOUBLE - cc2::DOUBLE, 0.0)) AS s
+        |  FROM q2c JOIN cc2 ON q2c.c = cc2.c JOIN nc ON q2c.c = nc.c),
+        |d2 AS (SELECT a.c AS ca, b.c AS cb,
+        |  sum(CAST(round((a.s::DOUBLE / a.n::DOUBLE -
+        |    b.s::DOUBLE / b.n::DOUBLE) *
+        |    (a.s::DOUBLE / a.n::DOUBLE - b.s::DOUBLE / b.n::DOUBLE), 8)
+        |    AS DECIMAL(38,8))) AS d2
+        |  FROM sci a JOIN sci b ON a.i = b.i AND a.c <> b.c GROUP BY 1, 2),
+        |r AS (SELECT ca,
+        |  CASE WHEN d2::DOUBLE > 0 THEN (sa.s + sb.s) / sqrt(d2::DOUBLE)
+        |  END AS r
+        |  FROM d2 JOIN sc sa ON d2.ca = sa.c JOIN sc sb ON d2.cb = sb.c),
+        |w AS (SELECT ca, max(r) AS w, count(r) AS nr, count(*) AS np
+        |  FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS n FROM nc),
+        |ws AS (SELECT sum(CAST(round(w, 6) AS DECIMAL(18,6))) AS sw,
+        |  sum(nr) AS ok, sum(np) AS al FROM w)
+        |SELECT k, n,
+        |  CASE WHEN k >= 2 AND ok = al THEN
+        |    round(sw::DOUBLE / k::DOUBLE, 6) END AS db
+        |FROM tot, ws""".stripMargin,
 
     // lowest cell index = the kernel's strict-< keep-first
     "q_cluster" ->

@@ -99,6 +99,80 @@ object Clustering {
     * after is dimension-bounded. Output one row: (k, n, ch); null when
     * k < 2, n ≤ k, or W = 0.
     */
+  /** Davies-Bouldin index — the lower-is-better partner of
+    * [[calinskiHarabasz]] (CH rewards separation globally; DB charges
+    * each cluster its WORST neighbor): with the original paper's
+    * q = 2 scatter S_c = √(Σ‖x−A_c‖²/n_c) the whole index is
+    * moment-computable — Σ‖x−c‖² = Σ‖x‖² − n‖c‖², centroid distances
+    * from the per-(cluster, dim) sum frame — so no per-point sqrt
+    * ever happens and every sum rides order-proof fixed-scale
+    * DECIMALs (the CH discipline); doubles appear only in per-row
+    * fixed expression shapes. DB = (1/k)·Σ_c max_{c'≠c}
+    * (S_c + S_c')/‖A_c − A_c'‖. Output: (k, n, db); null when k < 2
+    * or any two centroids coincide (division by zero separation).
+    *
+    * Scale shape: one explode aggregate to the (cluster, dim) frame
+    * (k·dim rows), a k²·dim broadcast self-join for the pairwise
+    * distances, two tiny aggregates — nothing row-scale after the
+    * first pass.
+    */
+  def daviesBouldin(df: DataFrame, labelCol: Column, vecCol: Column): DataFrame = {
+    val ev = df.where(labelCol.isNotNull && vecCol.isNotNull)
+      .select(labelCol.as("_c"), posexplode(vecCol).as(Seq("_i", "_e")))
+      .select(col("_c"), col("_i"), col("_e").cast("double").as("_v"))
+    val nc = df.where(labelCol.isNotNull && vecCol.isNotNull)
+      .groupBy(labelCol.as("_c")).agg(count(lit(1)).as("_n"))
+    val sci = ev.groupBy(col("_c"), col("_i"))
+      .agg(sum(round(col("_v"), 10).cast("decimal(38,10)")).as("_s"))
+      .join(broadcast(nc), Seq("_c"))
+      .localCheckpoint(true)
+    val q2c = ev.groupBy(col("_c"))
+      .agg(sum(round(col("_v") * col("_v"), 10).cast("decimal(38,10)"))
+        .as("_q2"))
+    // per-cluster ‖centroid‖² as an order-proof 8dp decimal sum
+    val cc2 = sci.select(col("_c"),
+        round((col("_s") * col("_s")).cast("double") /
+          (col("_n") * col("_n")).cast("double"), 8)
+          .cast("decimal(38,8)").as("_t"))
+      .groupBy(col("_c")).agg(sum(col("_t")).as("_cc2"))
+    val scatter = q2c.join(cc2, Seq("_c")).join(broadcast(nc), Seq("_c"))
+      .select(col("_c"),
+        sqrt(greatest(
+          col("_q2").cast("double") / col("_n").cast("double") -
+            col("_cc2").cast("double"), lit(0.0d))).as("_sc"))
+    // pairwise centroid distances: per-dim squared gaps as 8dp decimals
+    val a = sci.select(col("_c").as("_ca"), col("_i"),
+      (col("_s").cast("double") / col("_n").cast("double")).as("_va"))
+    val b = sci.select(col("_c").as("_cb"), col("_i"),
+      (col("_s").cast("double") / col("_n").cast("double")).as("_vb"))
+    val d2 = a.join(b, Seq("_i"))
+      .where(col("_ca") =!= col("_cb"))
+      .select(col("_ca"), col("_cb"),
+        round((col("_va") - col("_vb")) * (col("_va") - col("_vb")), 8)
+          .cast("decimal(38,8)").as("_g"))
+      .groupBy(col("_ca"), col("_cb")).agg(sum(col("_g")).as("_d2"))
+    val r = d2
+      .join(broadcast(scatter.select(col("_c").as("_ca"), col("_sc").as("_sa"))),
+        Seq("_ca"))
+      .join(broadcast(scatter.select(col("_c").as("_cb"), col("_sc").as("_sb"))),
+        Seq("_cb"))
+      .select(col("_ca"),
+        when(col("_d2").cast("double") > 0.0d,
+          (col("_sa") + col("_sb")) / sqrt(col("_d2").cast("double")))
+          .as("_r"))
+    val worst = r.groupBy(col("_ca"))
+      .agg(max(col("_r")).as("_w"), count(col("_r")).as("_nr"),
+        count(lit(1)).as("_np"))
+    val tot = nc.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"))
+    tot.crossJoin(broadcast(worst.agg(
+        sum(round(col("_w"), 6).cast("decimal(18,6)")).as("_sw"),
+        sum(col("_nr")).as("_ok"), sum(col("_np")).as("_all"))))
+      .select(col("k"), col("n"),
+        when(col("k") >= 2L && col("_ok") === col("_all"),
+          round(col("_sw").cast("double") / col("k").cast("double"), 6))
+          .as("db"))
+  }
+
   def calinskiHarabasz(df: DataFrame, labelCol: Column, vecCol: Column): DataFrame = {
     val ev = df.where(labelCol.isNotNull && vecCol.isNotNull)
       .select(labelCol.as("_c"), posexplode(vecCol).as(Seq("_i", "_e")))

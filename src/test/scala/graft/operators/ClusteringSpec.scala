@@ -54,6 +54,25 @@ class ClusteringSpec extends SparkSpec {
       .head().isNullAt(2))
   }
 
+  test("daviesBouldin: symmetric separated clusters score exactly 0.2") {
+    // clusters {(0,0),(0,2)} and {(10,0),(10,2)}: S = 1 each,
+    // centroid gap 10 -> R = (1+1)/10 = 0.2 both ways -> DB = 0.2
+    val df = Seq((0, Array(0.0f, 0.0f)), (0, Array(0.0f, 2.0f)),
+      (1, Array(10.0f, 0.0f)), (1, Array(10.0f, 2.0f))).toDF("label", "v")
+    val r = Clustering.daviesBouldin(df, col("label"), col("v")).head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("db") == 0.2)
+    // coincident centroids -> zero separation -> undefined
+    val co = Seq((0, Array(0.0f, 1.0f)), (0, Array(0.0f, -1.0f)),
+      (1, Array(1.0f, 0.0f)), (1, Array(-1.0f, 0.0f))).toDF("label", "v")
+    assert(Clustering.daviesBouldin(co, col("label"), col("v"))
+      .head().isNullAt(2))
+    // one cluster -> undefined
+    val one = Seq((0, Array(0.0f, 0.0f)), (0, Array(1.0f, 1.0f))).toDF("label", "v")
+    assert(Clustering.daviesBouldin(one, col("label"), col("v"))
+      .head().isNullAt(2))
+  }
+
   test("assign gives null cells to dimension-mismatched vectors") {
     val mixed = Seq(
       (1L, Array(10.0f, 0.0f, 0.0f, 0.0f)),
