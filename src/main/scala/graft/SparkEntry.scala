@@ -2840,6 +2840,17 @@ object SparkEntry {
         .select(col("group").as("event_type"), col("n_pairs"), col("hl_x2"))
         .orderBy(col("event_type"))),
 
+    // Siegel repeated-median slope over the same daily series — the
+    // 50%-breakdown big sibling of q_theilsen; same exact ppm slopes,
+    // two stacked grouped-CDF medians.
+    "q_siegel" -> ((s, d) =>
+      Analytics.siegelSlope(t(s, d, "events"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(col("group").as("event_type"), col("n_days"),
+          col("slope_ppm"))
+        .orderBy(col("event_type"))),
+
     "q_theilsen" -> ((s, d) =>
       Analytics.theilSen(t(s, d, "events"), col("event_type"),
         datediff(col("ts").cast("date"), lit("1970-01-01")),
@@ -6506,6 +6517,32 @@ object SparkEntry {
         |  CAST(min(v) AS BIGINT) AS hl_x2
         |FROM cdf JOIN nn ON cdf.g = nn.g
         |WHERE cum >= ceil(0.5 * nn.n)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // same ppm slopes; two stacked per-partition CDF medians
+    "q_siegel" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xs
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (SELECT a.g, a.d AS d1,
+        |  CAST((b.xs - a.xs) * 1000000 // (b.d - a.d) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.d <> b.d),
+        |c1 AS (SELECT g, d1, s, count(*) AS c FROM sl GROUP BY 1, 2, 3),
+        |cdf1 AS (SELECT g, d1, s,
+        |  sum(c) OVER (PARTITION BY g, d1 ORDER BY s
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY g, d1) AS n FROM c1),
+        |med1 AS (SELECT g, d1, min(s) AS m FROM cdf1
+        |  WHERE cum >= ceil(0.5 * n) GROUP BY 1, 2),
+        |c2 AS (SELECT g, m, count(*) AS c FROM med1 GROUP BY 1, 2),
+        |cdf2 AS (SELECT g, m,
+        |  sum(c) OVER (PARTITION BY g ORDER BY m
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY g) AS n FROM c2)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(min(m) AS BIGINT) AS slope_ppm
+        |FROM cdf2 WHERE cum >= ceil(0.5 * n)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_theilsen" ->

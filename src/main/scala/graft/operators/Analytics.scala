@@ -1489,6 +1489,40 @@ object Analytics {
         col("value").as("slope_ppm"))
   }
 
+  /** Siegel repeated-median slope — [[theilSen]] hardened to the 50%
+    * breakdown point (Theil-Sen breaks at ~29%): for each anchor day
+    * the median slope to every OTHER day, then the median of those
+    * per-anchor medians. A minority of wild days can poison at most
+    * their own anchors' inner medians, never the outer one. Slopes
+    * are the same exact integer ppm as theilSen ((x₂−x₁)·10⁶ div
+    * (d₂−d₁) — the (i,j)/(j,i) spellings truncate identically, so
+    * each unordered pair votes once per anchor); both median layers
+    * ride [[groupedExactQuantiles]] (inner keyed by (group, anchor)
+    * struct). Pairwise envelope: days² per group, twice the theilSen
+    * frame. Output: (group, n_days, slope_ppm).
+    */
+  def siegelSlope(df: DataFrame, groupCol: Column, dayCol: Column,
+      centsCol: Column): DataFrame = {
+    val daily = graft.core.CacheRegistry.persist(
+      df.select(groupCol.as("_g"), dayCol.cast("long").as("_d"),
+          centsCol.as("_x"))
+        .where(col("_d").isNotNull && col("_x").isNotNull)
+        .groupBy(col("_g"), col("_d")).agg(sum(col("_x")).as("_xs")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lo = daily.select(col("_g"), col("_d").as("_d1"), col("_xs").as("_x1"))
+    val hi = daily.select(col("_g"), col("_d").as("_d2"), col("_xs").as("_x2"))
+    val slopes = lo.join(hi, Seq("_g"))
+      .where(col("_d1") =!= col("_d2"))
+      .select(col("_g"), col("_d1"),
+        expr("(_x2 - _x1) * 1000000 div (_d2 - _d1)").as("_s"))
+    val inner = groupedExactQuantiles(slopes,
+        struct(col("_g").as("g"), col("_d1").as("d")), col("_s"), Seq(0.5))
+      .select(col("group.g").as("_g"), col("value").as("_m"))
+    groupedExactQuantiles(inner, col("_g"), col("_m"), Seq(0.5))
+      .select(col("group"), col("n").as("n_days"),
+        col("value").as("slope_ppm"))
+  }
+
   /** Sequence negative log-likelihood under the corpus's own bigram
     * transition model — "how surprising is this user's event stream
     * given how everyone behaves": NLL = Σ_steps ln(n_a / n_ab) where

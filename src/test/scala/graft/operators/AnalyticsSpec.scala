@@ -712,6 +712,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(keys == Set("b"))
   }
 
+  test("siegelSlope: exact ppm slope; the outlier anchor's median is outvoted") {
+    // days 1,2,3 cents 0,10,20: every pairwise slope 10e6 ppm
+    val clean = Seq(("k", 1L, 0L), ("k", 2L, 10L), ("k", 3L, 20L))
+      .toDF("g", "d", "c")
+    val r = Analytics.siegelSlope(clean, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("slope_ppm") == 10000000L)
+    // one wild final day: every GOOD anchor's inner median stays 10e6,
+    // so the outer median ignores the outlier anchor entirely
+    val dirty = Seq(("k", 1L, 0L), ("k", 2L, 10L), ("k", 3L, 20L),
+      ("k", 4L, 1000000L)).toDF("g", "d", "c")
+    val rd = Analytics.siegelSlope(dirty, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(rd.getAs[Long]("slope_ppm") == 10000000L)
+  }
+
   test("hodgesLehmann: Walsh-average median; outlier-resistant vs the mean") {
     // values 1,2,3 over days 1..3: walsh sums {2,3,4,4,5,6} -> median
     // (rank ceil(0.5·6)=3) = 4 -> HL = 2 (= the median here)
