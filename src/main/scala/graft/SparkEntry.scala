@@ -2840,6 +2840,20 @@ object SparkEntry {
         .select(col("group").as("event_type"), col("n_pairs"), col("hl_x2"))
         .orderBy(col("event_type"))),
 
+    // Isotonic (PAV) fit of daily event counts per type — the
+    // monotone calibration primitive; fitted values as exact ppm
+    // floors of block means, hash-matched against the minimax-form
+    // oracle (floor commutes with max/min).
+    "q_isotonic" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.isotonicFit(daily, col("event_type"), col("day"), col("cnt"))
+        .select(col("group").as("event_type"), col("x").as("day"),
+          col("y").as("cnt"), col("n"), col("fitted_ppm"))
+    }),
+
     // Siegel repeated-median slope over the same daily series — the
     // 50%-breakdown big sibling of q_theilsen; same exact ppm slopes,
     // two stacked grouped-CDF medians.
@@ -6518,6 +6532,29 @@ object SparkEntry {
         |FROM cdf JOIN nn ON cdf.g = nn.g
         |WHERE cum >= ceil(0.5 * nn.n)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // minimax form: fit_i = max_{j<=i} min_{k>=i} mean(y_j..y_k);
+    // floor is monotone, so max-min over ppm-floored interval means
+    // equals the ppm floor of the PAV block means bit-for-bit
+    "q_isotonic" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |idx AS (SELECT g, d, y,
+        |  row_number() OVER (PARTITION BY g ORDER BY d) AS i,
+        |  sum(y) OVER (PARTITION BY g ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM daily),
+        |m AS (SELECT a.g, a.i AS j, b.i AS k,
+        |  (b.s - a.s + a.y) * 1000000 // (b.i - a.i + 1) AS mm
+        |  FROM idx a JOIN idx b ON a.g = b.g AND a.i <= b.i),
+        |inn AS (SELECT m.g, m.j, c.i AS i, min(m.mm) AS mn
+        |  FROM m JOIN idx c ON m.g = c.g AND m.j <= c.i AND c.i <= m.k
+        |  GROUP BY 1, 2, 3),
+        |fit AS (SELECT g, i, max(mn) AS fitted_ppm FROM inn GROUP BY 1, 2)
+        |SELECT idx.g AS event_type, idx.d AS day, idx.y AS cnt,
+        |  CAST(1 AS BIGINT) AS n, CAST(fitted_ppm AS BIGINT) AS fitted_ppm
+        |FROM idx JOIN fit ON idx.g = fit.g AND idx.i = fit.i""".stripMargin,
 
     // same ppm slopes; two stacked per-partition CDF medians
     "q_siegel" ->

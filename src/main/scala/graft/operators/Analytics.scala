@@ -1391,6 +1391,73 @@ object Analytics {
         col("_best.sd").cast("long").as("shift_den"))
   }
 
+  /** Per-group isotonic regression — pool-adjacent-violators over the
+    * x-sorted (group, x) frame: the best monotone-non-decreasing fit
+    * in least squares, THE probability-calibration primitive (map raw
+    * scores to calibrated rates without assuming a parametric shape).
+    * Ties on x pre-aggregate to (Σy, n); the PAV stack merges blocks
+    * on EXACT violation tests (cross-multiplied BigInt sums — no
+    * float compare can mis-merge), and each point's fitted value
+    * lands as the exact ppm floor of its block mean.
+    *
+    * Cross-engine exactness rides the minimax identity
+    * fit_i = max_{j≤i} min_{k≥i} mean(y_j..y_k) and the monotonicity
+    * of floor under max/min: floor∘minimax == minimax∘floor, so a
+    * SQL oracle can brute-force max-min over ppm-floored interval
+    * means and hash-match PAV bit-for-bit.
+    *
+    * Shape: one (group, x) aggregate, then a sorted-group fold
+    * (`flatMapSortedGroups`) with O(blocks) state — one shuffle on
+    * the group key, linear work per group. Output:
+    * (group, x, y, n, fitted_ppm).
+    */
+  def isotonicFit(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.where(groupCol.isNotNull && xCol.isNotNull && yCol.isNotNull)
+      .groupBy(groupCol.cast("string").as("_g"), xCol.cast("long").as("_x"))
+      .agg(sum(yCol.cast("long")).as("_y"), count(lit(1)).as("_n"))
+      .select(col("_g"), col("_x"), col("_y"), col("_n"))
+    cells.groupByKey(_.getString(0))
+      .flatMapSortedGroups(col("_x")) {
+        (g: String, rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pts = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toArray
+          // PAV stack: (blockSum, blockWeight, firstPointIdx)
+          val sumS = Array.ofDim[Long](pts.length)
+          val wS = Array.ofDim[Long](pts.length)
+          val startS = Array.ofDim[Int](pts.length)
+          var top = -1
+          var i = 0
+          while (i < pts.length) {
+            top += 1
+            sumS(top) = pts(i)._2; wS(top) = 1L * pts(i)._3; startS(top) = i
+            // merge while the previous block's mean EXCEEDS this one's
+            // (exact: cross-multiplied BigInt — sums can pass 2^63)
+            while (top > 0 &&
+              BigInt(sumS(top - 1)) * wS(top) > BigInt(sumS(top)) * wS(top - 1)) {
+              sumS(top - 1) += sumS(top)
+              wS(top - 1) += wS(top)
+              top -= 1
+            }
+            i += 1
+          }
+          val fitted = Array.ofDim[Long](pts.length)
+          var b = 0
+          while (b <= top) {
+            val end = if (b == top) pts.length else startS(b + 1)
+            val f = (BigInt(sumS(b)) * 1000000 / wS(b)).toLong
+            var j = startS(b)
+            while (j < end) { fitted(j) = f; j += 1 }
+            b += 1
+          }
+          pts.indices.iterator.map(j =>
+            (g, pts(j)._1, pts(j)._2, pts(j)._3, fitted(j)))
+      }
+      .toDF("group", "x", "y", "n", "fitted_ppm")
+  }
+
   /** Hodges-Lehmann location estimator — the robust "center" the
     * median itself can't give (the median of a skewed sample ignores
     * magnitude; HL is the median of all pairwise Walsh averages

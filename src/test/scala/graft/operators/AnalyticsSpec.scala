@@ -712,6 +712,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(keys == Set("b"))
   }
 
+  test("isotonicFit: textbook PAV pooling; decreasing input pools to the mean") {
+    // y = 1,3,2,4 over x = 1..4: the 3>2 violation pools to 2.5, ends
+    // monotone -> 1, 2.5, 2.5, 4 (ppm floors)
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 3L), ("k", 3L, 2L), ("k", 4L, 4L))
+      .toDF("g", "x", "y")
+    val r = Analytics.isotonicFit(df, col("g"), col("x"), col("y"))
+      .orderBy("x").collect()
+    assert(r.map(_.getAs[Long]("fitted_ppm")).toSeq ==
+      Seq(1000000L, 2500000L, 2500000L, 4000000L))
+    // fitted is monotone and mass-preserving: Σ fitted == Σ y (exactly,
+    // since every pool mean here is ppm-exact)
+    assert(r.map(_.getAs[Long]("fitted_ppm")).sum == 10000000L)
+    // strictly decreasing input pools everything to the global mean
+    val dec = Seq(("k", 1L, 3L), ("k", 2L, 2L), ("k", 3L, 1L)).toDF("g", "x", "y")
+    val rd = Analytics.isotonicFit(dec, col("g"), col("x"), col("y"))
+      .orderBy("x").collect()
+    assert(rd.map(_.getAs[Long]("fitted_ppm")).toSeq ==
+      Seq(2000000L, 2000000L, 2000000L))
+    // ties on x pre-aggregate: (x=1, y=1) + (x=1, y=3) is one point
+    // with mean 2, weight 2 — pulling the following 1 up into one pool
+    val ties = Seq(("k", 1L, 1L), ("k", 1L, 3L), ("k", 2L, 1L)).toDF("g", "x", "y")
+    val rt = Analytics.isotonicFit(ties, col("g"), col("x"), col("y"))
+      .orderBy("x").collect()
+    // pooled: (4+1)/(2+1) = 5/3 -> 1666666 ppm everywhere
+    assert(rt.map(_.getAs[Long]("fitted_ppm")).toSeq ==
+      Seq(1666666L, 1666666L))
+    assert(rt.head.getAs[Long]("n") == 2L)
+  }
+
   test("siegelSlope: exact ppm slope; the outlier anchor's median is outvoted") {
     // days 1,2,3 cents 0,10,20: every pairwise slope 10e6 ppm
     val clean = Seq(("k", 1L, 0L), ("k", 2L, 10L), ("k", 3L, 20L))
