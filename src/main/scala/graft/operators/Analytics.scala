@@ -1120,31 +1120,44 @@ object Analytics {
     * integer arithmetic — no float fence), and the count of rows
     * outside. The per-feed outlier dashboard beside [[robustStats]]
     * (which summarizes location/scale; this one counts the casualties).
+    *
+    * Shape: ONE row-scale scan builds the (group, value, count) cell
+    * frame; the quantile CDF, the fences, AND the fence-violation
+    * counts (Σ cell counts below/above the fence) all ride that
+    * bounded frame — the counting pass never re-touches the input.
     * Output: (group, n, q1, q3, lo_fence, hi_fence, n_low, n_high).
     */
   def iqrOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
       fencePct: Long = 150L): DataFrame = {
     require(fencePct >= 0, s"iqrOutliers: fencePct must be >= 0, got $fencePct")
-    val base = graft.core.CacheRegistry.persist(
+    // bounded by groups × distinct values — the only row-scale scan
+    val cells = graft.core.CacheRegistry.persist(
       df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
-        .where(col("_v").isNotNull),
+        .where(col("_v").isNotNull)
+        .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qs = groupedExactQuantiles(base, col("_g"), col("_v"), Seq(0.25, 0.75))
-    val q1 = qs.where(col("p") === 0.25)
-      .select(col("group").as("_g"), col("value").as("q1"), col("n").as("_n"))
-    val q3 = qs.where(col("p") === 0.75)
-      .select(col("group").as("_g"), col("value").as("q3"))
-    val fenced = q1.join(q3, Seq("_g"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("_g"))
+    // same tie-breaking as groupedExactQuantiles: min value whose
+    // cumulative count reaches ceil(p·n)
+    val cdf = cells
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val fenced = cdf.groupBy(col("_g"), col("_n"))
+      .agg(
+        min(when(col("_cum") >= ceil(lit(0.25) * col("_n")), col("_v"))).as("q1"),
+        min(when(col("_cum") >= ceil(lit(0.75) * col("_n")), col("_v"))).as("q3"))
       .select(col("_g"), col("_n"), col("q1"), col("q3"),
         (col("q1") - expr(s"(q3 - q1) * ${fencePct}L div 100")).as("lo_fence"),
         (col("q3") + expr(s"(q3 - q1) * ${fencePct}L div 100")).as("hi_fence"))
-    base.join(fenced, Seq("_g"))
+    cells.join(fenced, Seq("_g"))
       .groupBy(col("_g").as("group"))
       .agg(first(col("_n")).as("n"), first(col("q1")).as("q1"),
         first(col("q3")).as("q3"), first(col("lo_fence")).as("lo_fence"),
         first(col("hi_fence")).as("hi_fence"),
-        sum(when(col("_v") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
-        sum(when(col("_v") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+        sum(when(col("_v") < col("lo_fence"), col("_c")).otherwise(0L)).as("n_low"),
+        sum(when(col("_v") > col("hi_fence"), col("_c")).otherwise(0L)).as("n_high"))
   }
 
   /** Per-group robust location/scale — exact median and MAD (median

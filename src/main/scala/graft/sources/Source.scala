@@ -61,8 +61,11 @@ object Source {
     *
     * Driver-side BY DESIGN, like every reference Source behaviour (the
     * origin is a closure over driver state — a socket, a cursor, a
-    * generator); the materialized chunk list must fit the driver, and
-    * `maxChunks` backstops a non-halting `step`. For data already in
+    * generator); the materialized chunk list must fit DRIVER MEMORY —
+    * the real bound is ROWS, not iterations, so both backstops exist:
+    * `maxChunks` catches a non-halting `step`, `maxRows` catches a
+    * halting one whose chunks are huge (10M rows default ≈ driver-safe
+    * for slim events; raise knowingly). For data already in
     * distributed storage use the parquet/csv/json scans — this is the
     * escape hatch for the long tail of custom origins, not the bulk
     * path.
@@ -71,16 +74,23 @@ object Source {
       name: String,
       initial: S,
       step: S => Option[(Seq[T], S)],
-      maxChunks: Int = 1000000): Source =
+      maxChunks: Int = 1000000,
+      maxRows: Long = 10000000L): Source =
     Source(name, { spark =>
       require(maxChunks > 0, s"Source.unfold: maxChunks must be > 0, got $maxChunks")
+      require(maxRows > 0, s"Source.unfold: maxRows must be > 0, got $maxRows")
       val buf = scala.collection.mutable.ArrayBuffer.empty[T]
       var state = initial
       var halted = false
       var chunks = 0
       while (!halted && chunks < maxChunks) {
         step(state) match {
-          case Some((events, next)) => buf ++= events; state = next; chunks += 1
+          case Some((events, next)) =>
+            buf ++= events; state = next; chunks += 1
+            if (buf.length > maxRows)
+              throw new IllegalStateException(
+                s"Source.unfold('$name'): materialized rows exceed maxRows=$maxRows " +
+                  "— driver-side origins must fit driver memory; use a distributed scan")
           case None => halted = true
         }
       }

@@ -34,6 +34,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * durable mode, and the per-trigger admission is throttleable via
   * `options` (`maxFilesPerTrigger`/`maxBytesPerTrigger` — the same
   * backpressure surface as [[StreamSource]], Strom's `buffer:`).
+  *
+  * Failure semantics: the (append-to-out, re-enqueue) pair is guarded
+  * by [[StreamSink.idempotentForeachBatch]]'s batchId commit-marker
+  * protocol (`dir/_commits`) — a replayed micro-batch (crash between
+  * side effect and offset commit, or restart from the checkpoint)
+  * whose marker exists is SKIPPED, so out gains no duplicate rows and
+  * the queue is not re-fed (without this a replay would amplify
+  * around the cycle: duplicated queue files breed duplicated
+  * generations). A crash strictly between the pair and its marker
+  * replays that one unmarked batch (at-least-once for the unmarked
+  * tail — the protocol's documented contract); everything marked is
+  * exactly-once end-to-end.
   */
 object StreamingLoop {
   def run(
@@ -47,10 +59,10 @@ object StreamingLoop {
     val out = s"$dir/out"
     val schema = seed.schema
     seed.write.mode("append").parquet(queue)
-    val query = spark.readStream.schema(schema).options(options).parquet(queue)
-      .writeStream
-      .option("checkpointLocation", s"$dir/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    // the commit-marker guard lives in the shared StreamSink factory —
+    // same protocol, same replay-skip spec coverage
+    val guarded = StreamSink.idempotentForeachBatch("loop", s"$dir/_commits") {
+      (batch: DataFrame, _: Long) =>
         batch.persist()
         try {
           batch.write.mode("append").parquet(out)
@@ -64,7 +76,10 @@ object StreamingLoop {
             if (next.count() > 0L) next.write.mode("append").parquet(queue)
           } finally { next.unpersist(); () }
         } finally { batch.unpersist(); () }
-      }
+    }
+    val query = guarded
+      .build(spark.readStream.schema(schema).options(options).parquet(queue))
+      .option("checkpointLocation", s"$dir/_checkpoint")
       .start()
     StreamSink.awaitAnyInputDrained(query, idleTimeoutMs)
     spark.read.schema(schema).parquet(out)

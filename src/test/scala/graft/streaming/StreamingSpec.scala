@@ -219,6 +219,11 @@ class StreamingSpec extends SparkSpec {
     // batch-Loop oracle: seeds plus their doubling chains while <= 100
     val oracle = Seq(3L, 6L, 12L, 24L, 48L, 96L, 7L, 14L, 28L, 56L, 60L).sorted
     assert(out == oracle)
+    // the (out-append, re-enqueue) pair rides the commit-marker
+    // protocol: every processed batchId left a marker, so a replay
+    // after crash/restart skips instead of amplifying around the cycle
+    val markers = new java.io.File(s"$dir/_commits").list()
+    assert(markers != null && markers.exists(_.matches("loop-batch-\\d+\\.committed")))
   }
 
   test("backpressure passthrough: maxFilesPerTrigger throttles the directory source") {
