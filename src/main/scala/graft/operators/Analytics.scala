@@ -1095,21 +1095,21 @@ object Analytics {
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo > 0.0 && pHi < 1.0 && pLo < pHi,
       s"groupedWinsorizedMean: need 0 < pLo < pHi < 1, got $pLo/$pHi")
-    val base = graft.core.CacheRegistry.persist(
+    // one row-scale scan; clamp sums ride the bounded cell frame
+    // (Σ clamp(v)·c), weighted — see [[cellQuantiles]]
+    val cells = graft.core.CacheRegistry.persist(
       df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
-        .where(col("_v").isNotNull),
+        .where(col("_v").isNotNull)
+        .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qs = groupedExactQuantiles(base, col("_g"), col("_v"), Seq(pLo, pHi))
-    val lo = qs.where(col("p") === pLo)
-      .select(col("group").as("_g"), col("value").as("_lo"))
-    val hi = qs.where(col("p") === pHi)
-      .select(col("group").as("_g"), col("value").as("_hi"))
-    base.join(lo, Seq("_g")).join(hi, Seq("_g"))
-      .select(col("_g"), col("_lo"), col("_hi"),
-        greatest(col("_lo"), least(col("_hi"), col("_v"))).as("_w"))
+    val fences = cellQuantiles(cells, Seq(pLo, pHi))
+      .select(col("_g"), col("_n"), col("_q0").as("_lo"), col("_q1").as("_hi"))
+    cells.join(fences, Seq("_g"))
       .groupBy(col("_g").as("group"))
-      .agg(count(lit(1)).as("n"), first(col("_lo")).as("lo"),
-        first(col("_hi")).as("hi"), sum(col("_w")).as("_sum"))
+      .agg(first(col("_n")).as("n"), first(col("_lo")).as("lo"),
+        first(col("_hi")).as("hi"),
+        sum(greatest(col("_lo"), least(col("_hi"), col("_v"))) * col("_c"))
+          .as("_sum"))
       .select(col("group"), col("n"), col("lo"), col("hi"),
         expr("_sum div n").as("winsorized_mean"))
   }
@@ -1136,18 +1136,8 @@ object Analytics {
         .where(col("_v").isNotNull)
         .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("_g"))
-    // same tie-breaking as groupedExactQuantiles: min value whose
-    // cumulative count reaches ceil(p·n)
-    val cdf = cells
-      .withColumn("_cum", sum(col("_c")).over(w))
-      .withColumn("_n", sum(col("_c")).over(wAll))
-    val fenced = cdf.groupBy(col("_g"), col("_n"))
-      .agg(
-        min(when(col("_cum") >= ceil(lit(0.25) * col("_n")), col("_v"))).as("q1"),
-        min(when(col("_cum") >= ceil(lit(0.75) * col("_n")), col("_v"))).as("q3"))
+    val fenced = cellQuantiles(cells, Seq(0.25, 0.75))
+      .select(col("_g"), col("_n"), col("_q0").as("q1"), col("_q1").as("q3"))
       .select(col("_g"), col("_n"), col("q1"), col("q3"),
         (col("q1") - expr(s"(q3 - q1) * ${fencePct}L div 100")).as("lo_fence"),
         (col("q3") + expr(s"(q3 - q1) * ${fencePct}L div 100")).as("hi_fence"))
@@ -1164,22 +1154,28 @@ object Analytics {
     * absolute deviation), the outlier-immune counterpart of
     * [[graft.operators.TrainingData.featureScale]]'s min-max/z pair:
     * one rogue value moves a mean and a sigma arbitrarily far but
-    * budges neither median. Two [[groupedExactQuantiles]] passes
-    * (values, then absolute deviations from the group median), both
-    * windowing the bounded (group, distinct-value) frames; exact
-    * integers end-to-end. Output: (group, n, median, mad).
+    * budges neither median. ONE row-scale scan builds the (group,
+    * value, count) cell frame; both medians ([[cellQuantiles]] on the
+    * values, then on |v − median| with the SAME counts re-aggregated)
+    * ride that bounded frame — the deviation pass folds distinct
+    * values, never raw rows. Exact integers end-to-end.
+    * Output: (group, n, median, mad).
     */
   def robustStats(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
-    val base = graft.core.CacheRegistry.persist(
+    val cells = graft.core.CacheRegistry.persist(
       df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
-        .where(col("_v").isNotNull),
+        .where(col("_v").isNotNull)
+        .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val med = groupedExactQuantiles(base, col("_g"), col("_v"), Seq(0.5))
-      .select(col("group").as("_g"), col("value").as("_med"), col("n").as("_n"))
-    val dev = base.join(med, Seq("_g"))
-      .select(col("_g"), abs(col("_v") - col("_med")).as("_d"))
-    groupedExactQuantiles(dev, col("_g"), col("_d"), Seq(0.5))
-      .select(col("group").as("_g"), col("value").as("mad"))
+    val med = cellQuantiles(cells, Seq(0.5))
+      .select(col("_g"), col("_n"), col("_q0").as("_med"))
+    // deviation CELLS: |v − med| can collide (v = med ± d), so
+    // re-aggregate the counts before the second CDF
+    val devCells = cells.join(med, Seq("_g"))
+      .groupBy(col("_g"), abs(col("_v") - col("_med")).as("_v"))
+      .agg(sum(col("_c")).as("_c"))
+    cellQuantiles(devCells, Seq(0.5))
+      .select(col("_g"), col("_q0").as("mad"))
       .join(med, Seq("_g"))
       .select(col("_g").as("group"), col("_n").as("n"),
         col("_med").as("median"), col("mad"))
@@ -1838,21 +1834,7 @@ object Analytics {
       s"groupedExactQuantiles: probs must be in (0,1], got $probs")
     val counts = df.where(valueCol.isNotNull)
       .groupBy(groupCol.as("_g"), valueCol.as("_v")).agg(count(lit(1)).as("_c"))
-    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the group total rides the SAME exchange as the cumulative sum
-    // (an unordered full-partition frame), so no separate count
-    // aggregate, no join back, and every requested prob resolves in
-    // ONE conditional-min pass — probs× plans collapsed to one.
-    val wAll = Window.partitionBy(col("_g"))
-    val cdf = counts
-      .withColumn("_cum", sum(col("_c")).over(w))
-      .withColumn("_n", sum(col("_c")).over(wAll))
-    val qAggs = probs.zipWithIndex.map { case (p, i) =>
-      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col("_v"))).as(s"_q$i")
-    }
-    val one = cdf.groupBy(col("_g"), col("_n"))
-      .agg(qAggs.head, qAggs.tail: _*)
+    val one = cellQuantiles(counts, probs)
     val pv = probs.zipWithIndex.map { case (p, i) =>
       struct(lit(p).as("p"), col(s"_q$i").as("value"))
     }
@@ -1860,6 +1842,32 @@ object Analytics {
         col("_n").as("n"))
       .select(col("group"), col("_pv.p").as("p"), col("_pv.value").as("value"),
         col("n"))
+  }
+
+  /** CDF quantiles over a PRE-AGGREGATED (_g, _v, _c) cell frame — the
+    * shared core of [[groupedExactQuantiles]], [[iqrOutliers]],
+    * [[groupedWinsorizedMean]] and [[robustStats]]: callers that also
+    * need a per-value pass (clamp sums, fence counts, deviations)
+    * build the cell frame ONCE, reuse it here, and never rescan the
+    * row-scale input. The group total rides the SAME exchange as the
+    * cumulative sum (an unordered full-partition frame), so no
+    * separate count aggregate, no join back, and every requested prob
+    * resolves in ONE conditional-min pass — probs× plans collapsed to
+    * one. Window input is bounded by the per-group value DOMAIN, not
+    * row count. Returns one row per group: (_g, _n, _q0, _q1, …).
+    */
+  private[operators] def cellQuantiles(
+      cells: DataFrame, probs: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("_g"))
+    val cdf = cells
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val qAggs = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col("_v"))).as(s"_q$i")
+    }
+    cdf.groupBy(col("_g"), col("_n")).agg(qAggs.head, qAggs.tail: _*)
   }
 
   /** Maximum interval overlap ("how many shipments/sessions/jobs were
