@@ -48,17 +48,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exactly-once end-to-end.
   */
 object StreamingLoop {
+  /** @param resume restart an interrupted loop on an existing `dir`
+    *   WITHOUT re-seeding: the checkpoint replays any in-flight batch
+    *   (skipped if its commit marker exists), the queue's unconsumed
+    *   tail drives the remaining iterations, and the accumulated
+    *   result still converges to the same fixpoint. A fresh run with
+    *   `resume = true` on an empty dir halts immediately (no seed).
+    */
   def run(
       spark: SparkSession,
       seed: DataFrame,
       body: DataFrame => DataFrame,
       dir: String,
       idleTimeoutMs: Long = 30000L,
-      options: Map[String, String] = Map.empty): DataFrame = {
+      options: Map[String, String] = Map.empty,
+      resume: Boolean = false): DataFrame = {
     val queue = s"$dir/queue"
     val out = s"$dir/out"
     val schema = seed.schema
-    seed.write.mode("append").parquet(queue)
+    if (!resume) seed.write.mode("append").parquet(queue)
     // the commit-marker guard lives in the shared StreamSink factory —
     // same protocol, same replay-skip spec coverage
     val guarded = StreamSink.idempotentForeachBatch("loop", s"$dir/_commits") {

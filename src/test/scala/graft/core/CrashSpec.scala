@@ -115,4 +115,28 @@ class CrashSpec extends SparkSpec {
     val code = p.waitFor()
     assert(code == 0, s"RetryProbe exited $code:\n${out.takeRight(2000)}")
   }
+
+  test("poisoned Source.unfold step surfaces at origin time; runaway steps hit the backstops") {
+    import graft.sources.Source
+    // a step that throws mid-unfold: driver-side by design, so the
+    // poison surfaces when the origin materializes (fail-stop — no
+    // partial Dataset escapes)
+    val poison = Source.unfold[Int, Int]("p", 0,
+      s => if (s == 2) throw new RuntimeException("poisoned-step")
+           else Some((Seq(s), s + 1)))
+    val e = intercept[Exception](poison.origin(spark))
+    assert(poisoned(e, "poisoned-step"))
+    // a never-halting step trips maxChunks...
+    val runaway = Source.unfold[Int, Int]("r", 0,
+      s => Some((Seq(s), s + 1)), maxChunks = 16)
+    val e2 = intercept[IllegalStateException](runaway.origin(spark))
+    assert(e2.getMessage.contains("never halted"))
+    // ...and a halting step whose chunks are huge trips maxRows before
+    // the driver buffers them all (the rows bound is the real guard)
+    val fat = Source.unfold[Int, Int]("f", 0,
+      s => if (s < 4) Some((Seq.fill(100)(s), s + 1)) else None,
+      maxRows = 150L)
+    val e3 = intercept[IllegalStateException](fat.origin(spark))
+    assert(e3.getMessage.contains("maxRows"))
+  }
 }

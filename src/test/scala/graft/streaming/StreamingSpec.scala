@@ -226,6 +226,39 @@ class StreamingSpec extends SparkSpec {
     assert(markers != null && markers.exists(_.matches("loop-batch-\\d+\\.committed")))
   }
 
+  test("streaming Loop: kill-and-restart replay deduplicated by the commit markers") {
+    // the exactly-once contract under failure (reference: a Loop
+    // restart must not re-emit already-delivered events): crash
+    // between the foreachBatch side effect and the engine's offset
+    // commit -> the batchId is REPLAYED on restart. Without the
+    // marker guard the replay re-appends to out AND re-feeds the
+    // queue, amplifying around the cycle; with it the accumulated set
+    // still equals the batch Loop fixpoint.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_sloop_replay_").toString
+    val seed = Seq(3L, 7L, 60L).toDF("v")
+    val body = (df: org.apache.spark.sql.DataFrame) =>
+      df.select((col("v") * 2).as("v")).where(col("v") <= 100)
+    val oracle = Seq(3L, 6L, 12L, 24L, 48L, 96L, 7L, 14L, 28L, 56L, 60L).sorted
+    val first = StreamingLoop.run(spark, seed, body, dir)
+      .as[Long].collect().toSeq.sorted
+    assert(first == oracle)
+    // simulate the crash: drop the NEWEST engine commit so the restart
+    // replays that batchId against our already-written side effects
+    val commits = new java.io.File(s"$dir/_checkpoint/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    val latest = commits.maxBy(_.getName.toLong)
+    // delete the ChecksumFs .crc sibling too, or the restarted query's
+    // commit rewrite fails on the stale checksum rename target
+    val crc = new java.io.File(latest.getParentFile, s".${latest.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(latest.delete())
+    val second = StreamingLoop.run(spark, seed, body, dir, resume = true)
+      .as[Long].collect().toSeq.sorted
+    assert(second == oracle)
+  }
+
   test("backpressure passthrough: maxFilesPerTrigger throttles the directory source") {
     // Strom's per-source buffer: knob (lib/gen_mix.ex:8) -> the
     // maxFilesPerTrigger option: three file drops admitted one per
