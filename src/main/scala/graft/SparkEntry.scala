@@ -866,6 +866,34 @@ object SparkEntry {
           (col("_hit") >= col("n_dropped_exact").cast("double") * 0.5).as("recall_ok"))
     }),
 
+    // SemDeDup COMPOSED over the corpus-scale ANN kNN graph — the
+    // 100-TB default path (ivfKnnGraph candidates -> exact-cosine
+    // verify -> min-id survivor), recall-gated against the same
+    // exact pair-drop set as q_semdedup: dropped is a subset of the
+    // exact drops by construction, and the kNN candidates must
+    // recover >= 50% of them (measured ~0.9 at both SFs).
+    "q_semdedup_knn" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      import graft.functions.VectorFunctions.cosine
+      val exact = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("v_b")),
+          col("id_a") < col("id_b"))
+        .where(cosine(col("v_a"), col("v_b")) >= 0.35)
+        .select(col("id_b")).distinct()
+      val kept = Dedup.semanticDedupViaKnnGraph(
+        e, "vec_id", "embedding", 0.35, k = 8, nlist = 16, nprobe = 4)
+      val found = e.select(col("vec_id").as("id_b"))
+        .join(kept.select(col("vec_id").as("id_b")), Seq("id_b"), "left_anti")
+      e.agg(count(lit(1)).as("n_total"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_dropped_exact")))
+        .crossJoin(found.join(exact, Seq("id_b"), "left_anti").agg(count(lit(1)).as("_extra")))
+        .crossJoin(found.join(exact, Seq("id_b"), "left_semi").agg(count(lit(1)).as("_hit")))
+        .select(
+          col("n_total"), col("n_dropped_exact"),
+          (col("_extra") === 0L).as("subset_ok"),
+          (col("_hit") >= col("n_dropped_exact").cast("double") * 0.5).as("recall_ok"))
+    }),
+
     // -- similarity search ------------------------------------------ //
     "q_sim_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -3892,6 +3920,21 @@ object SparkEntry {
         |SELECT count(*) AS n_exact, TRUE AS subset_ok, TRUE AS recall_ok FROM exact""".stripMargin,
 
     "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |exact AS (SELECT DISTINCT b.vec_id AS id_b FROM e a JOIN e b
+        |  ON a.vec_id < b.vec_id
+        |  WHERE (list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)) /
+        |    (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)), (x, y) -> x + y)) *
+        |     sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(b.embedding)),
+        |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y))) >= 0.35)
+        |SELECT (SELECT count(*) FROM e) AS n_total,
+        |  count(*) AS n_dropped_exact, TRUE AS subset_ok, TRUE AS recall_ok FROM exact""".stripMargin,
+
+    // same exact drop-set pin; the Spark side composes the ANN kNN
+    // graph path and must land subset_ok AND recall_ok TRUE
+    "q_semdedup_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |exact AS (SELECT DISTINCT b.vec_id AS id_b FROM e a JOIN e b
         |  ON a.vec_id < b.vec_id

@@ -1060,6 +1060,68 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Exact-cosine verification of an EXTERNAL candidate pair frame —
+    * the composition point between the ANN graph builders and the
+    * SemDeDup survivor rule: feed [[Similarity.ivfKnnGraph]] output
+    * (default column names) or any (a, b) id frame, and get back the
+    * ordered verified pair set (id_a < id_b, cosine ≥ threshold).
+    * Candidates are normalized (ordered, deduped) BEFORE the vector
+    * join-backs, so each surviving pair ships its two vectors once
+    * regardless of how many times the generator proposed it.
+    */
+  def semanticPairsFromCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      candidates: DataFrame,
+      threshold: Double = 0.95,
+      aCol: String = "query_id",
+      bCol: String = "neighbor_id"): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val cand = candidates
+      .select(least(col(aCol), col(bCol)).as("id_a"),
+        greatest(col(aCol), col(bCol)).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("_va")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("_vb")), Seq("id_b"))
+      .withColumn("cosine", cosine(col("_va"), col("_vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** SemDeDup over the corpus-scale ANN kNN graph — the DEFAULT
+    * composition at 100 TB: candidates from
+    * [[Similarity.ivfKnnGraph]] (no broadcast query set, pair work
+    * Σ_cell probers·members), verification and the min-id survivor
+    * rule from the SemDeDup path. Versus [[semanticDedup]]'s
+    * within-cell all-pairs (Σ|cell|² — right when cells are sized to
+    * stay small), the kNN route bounds per-vector candidate fan-out
+    * at k·nprobe regardless of cell population, so a dense duplicate
+    * cluster costs k·|cluster| rather than |cluster|² — recall is
+    * bounded by the graph's k (a row is kept only if NONE of its k
+    * nearest candidates is an above-threshold smaller id, which is
+    * exactly the SemDeDup representative test in practice since the
+    * top-k are the highest-cosine neighbors).
+    */
+  def semanticDedupViaKnnGraph(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      k: Int = 8,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cands = Similarity.ivfKnnGraph(df, idCol, vecCol, k, nlist, nprobe,
+      mutual = false, seed = seed)
+    val dropped =
+      semanticPairsFromCandidates(df, idCol, vecCol, cands, threshold)
+        .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: sign-random-projection buckets
     * (multi-table for recall), verify with exact cosine. The join key is
     * (table, bucket) — shuffle carries ids + vectors once per table.

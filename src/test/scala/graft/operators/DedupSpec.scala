@@ -289,6 +289,30 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("semanticDedupViaKnnGraph: kNN-candidate path matches the cell path; candidate verify dedups") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(1.0f, 0.02f, 0.0f)),   // near-dup of 1 -> dropped
+      (3L, Array(0.0f, 1.0f, 0.01f)),
+      (4L, Array(0.0f, 1.0f, 0.02f)),   // near-dup of 3 -> dropped
+      (5L, Array(0.0f, 0.0f, -1.0f))
+    ).toDF("id", "v")
+    // nprobe = nlist probes every cell, k >= n-1 keeps every neighbor:
+    // the ANN-composed path must reproduce the exact survivor set
+    val kept = Dedup.semanticDedupViaKnnGraph(
+      vecs, "id", "v", threshold = 0.99, k = 4, nlist = 2, nprobe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // verification normalizes candidates: both directions and repeats
+    // of the same pair collapse to ONE ordered verified row
+    val cands = Seq((2L, 1L), (1L, 2L), (1L, 2L), (3L, 4L), (5L, 5L))
+      .toDF("query_id", "neighbor_id")
+    val verified = Dedup.semanticPairsFromCandidates(vecs, "id", "v", cands, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(verified.sorted == Seq((1L, 2L), (3L, 4L)))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("dropDuplicateParagraphs keeps first owners and reassembles in order") {
     val paras = Seq(
       (1L, 0L, "alpha"), (1L, 1L, "beta"), (1L, 2L, "alpha"),   // in-doc repeat drops
