@@ -2962,6 +2962,23 @@ object SparkEntry {
         .select(col("group").as("l_returnflag"), col("n"), col("lo"),
           col("hi"), col("winsorized_mean"))),
 
+    // 5%-a-side TRIMMED mean of the same cents — tails deleted, not
+    // clamped; exact interval-overlap sums on the per-group CDF.
+    "q_trimmed_mean" -> ((s, d) =>
+      Analytics.groupedTrimmedMean(t(s, d, "lineitem"),
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .select(col("group").as("l_returnflag"), col("n"), col("n_trimmed"),
+          col("trimmed_mean"))),
+
+    // Decile gains: does event value rank-predict the purchase flag —
+    // pro-rata tie sharing, exact ppm lift, no global window.
+    "q_lift" -> ((s, d) =>
+      Analytics.liftTable(t(s, d, "events"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"),
+        (col("event_type") === "purchase").cast("int"))
+        .orderBy(col("bucket"))),
+
     // k-anonymity release gate on (nation, market segment): classes
     // below k=5 and the exact rows-at-risk share.
     "q_kanon" -> ((s, d) =>
@@ -6782,6 +6799,50 @@ object SparkEntry {
         |FROM pc""".stripMargin,
 
     // same grouped p05/p95 fences + clamped exact mean
+    // same cell-frame interval-overlap arithmetic, descending CDF
+    "q_lift" ->
+      """WITH base AS (SELECT
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT v, count(*) AS c, sum(r) AS p FROM base GROUP BY 1),
+        |cdf AS (SELECT v, c, p, sum(c) OVER (ORDER BY v DESC) AS cum FROM cells),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS tp
+        |  FROM cells),
+        |b AS (SELECT g.d AS bucket, n, tp, (g.d - 1) * n // 10 AS lo,
+        |  g.d * n // 10 AS hi FROM generate_series(1, 10) AS g(d), tot),
+        |sl AS (SELECT bucket, n, tp, c, p,
+        |  greatest(0, least(cum, hi) - greatest(cum - c, lo)) AS o
+        |  FROM cdf, b),
+        |agg AS (SELECT bucket, max(n) AS n, max(tp) AS tp, sum(o) AS n_rows,
+        |  sum(p * o * 1000000 // c) AS resp_ppm FROM sl WHERE o > 0 GROUP BY 1),
+        |cum2 AS (SELECT a.bucket, max(a.n) AS n, max(a.tp) AS tp,
+        |  max(a.n_rows) AS n_rows, max(a.resp_ppm) AS resp_ppm,
+        |  sum(b2.n_rows) AS cn, sum(b2.resp_ppm) AS cr
+        |  FROM agg a JOIN agg b2 ON b2.bucket <= a.bucket GROUP BY 1)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(resp_ppm AS BIGINT) AS resp_ppm,
+        |  CAST(resp_ppm // n_rows AS BIGINT) AS rate_ppm,
+        |  CAST((cr * n) // (cn * tp) AS BIGINT) AS cum_lift_ppm
+        |FROM cum2 ORDER BY bucket""".stripMargin,
+
+    // row_number replay of the tail deletion: ties share v, so the
+    // rank-range sum is order-invariant; integer div matches `div`
+    "q_trimmed_mean" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (SELECT g, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS n FROM base),
+        |tt AS (SELECT g, v, rn, n, n * 50000 // 1000000 AS t FROM r)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(n) - 2 * max(t) AS BIGINT) AS n_trimmed,
+        |  CAST(sum(CASE WHEN rn > t AND rn <= n - t THEN v ELSE 0 END)
+        |    // (max(n) - 2 * max(t)) AS BIGINT) AS trimmed_mean
+        |FROM tt GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_winsor_group" ->
       """WITH base AS (SELECT l_returnflag AS g,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v

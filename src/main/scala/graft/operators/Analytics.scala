@@ -1114,6 +1114,115 @@ object Analytics {
         expr("_sum div n").as("winsorized_mean"))
   }
 
+  /** Per-group TRIMMED mean — the harder-edged sibling of
+    * [[groupedWinsorizedMean]]: the winsorized mean CLAMPS the tails
+    * to the fences (outliers still vote, at capped weight); the
+    * trimmed mean DELETES them — drop the lowest and highest
+    * ⌊α·n⌋ observations, exact integer mean of the survivors. α
+    * arrives as ppm (50000 = classic 5% a side) so the trim count
+    * t = n·α div 10⁶ is exact.
+    *
+    * Shape: ONE row-scale scan to the (group, value, count) cell
+    * frame; the tail sums are interval-overlap sums on the per-group
+    * CDF (each cell contributes max(0, min(cum, t) − (cum − c))
+    * low-tail rows and the mirrored high-tail overlap) — no row-level
+    * sort, no second scan, bounded by the value domain like the rest
+    * of the quantile family. Output: (group, n, n_trimmed,
+    * trimmed_mean); n_trimmed = n − 2t (null mean when it hits 0).
+    */
+  def groupedTrimmedMean(df: DataFrame, groupCol: Column, valueCol: Column,
+      alphaPpm: Long = 50000L): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm < 500000L,
+      s"groupedTrimmedMean: alphaPpm must be in [0, 500000), got $alphaPpm")
+    val cells = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("_g"))
+    cells
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("_t", expr(s"_n * ${alphaPpm}L div 1000000"))
+      // low tail: rows of this cell inside the first t; high tail:
+      // rows inside the last t (cum > n − t)
+      .withColumn("_lowc",
+        greatest(lit(0L), least(col("_cum"), col("_t")) - (col("_cum") - col("_c"))))
+      .withColumn("_highc",
+        greatest(lit(0L),
+          col("_cum") - greatest(col("_cum") - col("_c"), col("_n") - col("_t"))))
+      .groupBy(col("_g").as("group"))
+      .agg(first(col("_n")).as("n"), first(col("_n") - lit(2L) * col("_t")).as("n_trimmed"),
+        sum((col("_c") - col("_lowc") - col("_highc")) * col("_v")).as("_sum"))
+      .select(col("group"), col("n"), col("n_trimmed"),
+        when(col("n_trimmed") > 0L, expr("_sum div n_trimmed")).as("trimmed_mean"))
+  }
+
+  /** Decile lift / gains table — THE model-triage readout for a scored
+    * population ("the top 10% of scores captures 3.1× its share of
+    * responders"): bucket rows by score DESCENDING into `buckets`
+    * equal rank slices, and report each slice's size, captured
+    * responders, response rate, and cumulative lift vs the base rate.
+    *
+    * Ties share: a score cell straddling a bucket boundary allocates
+    * its responders PRO-RATA to the overlap (per-cell exact floor
+    * p·o·10⁶ div c, so equal scores get equal treatment and the
+    * readout is deterministic — no arbitrary ntile tie placement to
+    * diverge between engines). Responder masses are therefore ppm.
+    *
+    * Shape: one scan to the (score, count, responders) cell frame
+    * (bounded by the score domain), a DESCENDING [[Relational.prefixSum]]
+    * for the rank CDF, a broadcast of the `buckets` boundary rows for
+    * the interval-overlap split, and a `buckets`²-sized self-join for
+    * the cumulative column — nothing row-scale after the first
+    * aggregate, no global window. Lift products ride decimal(38,0)
+    * (ppm · corpus-scale counts overflow int64). Output: (bucket,
+    * n_rows, resp_ppm, rate_ppm, cum_lift_ppm), bucket 1 = top scores.
+    */
+  def liftTable(df: DataFrame, scoreCol: Column, respCol: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"liftTable: buckets must be >= 2, got $buckets")
+    val cells = df.select(scoreCol.cast("long").as("_v"),
+        respCol.cast("long").as("_r"))
+      .where(col("_v").isNotNull && col("_r").isNotNull)
+      .groupBy(col("_v"))
+      .agg(count(lit(1)).as("_c"), sum(col("_r")).as("_p"))
+    // rank CDF descending: top score first
+    val cdf = Relational.prefixSum(
+      cells.withColumn("_nv", -col("_v")), Seq(col("_nv")), col("_c"), "_cum")
+    val totals = cells.agg(sum(col("_c")).as("_n"), sum(col("_p")).as("_tp"))
+    val bounds = totals.select(col("_n"), col("_tp"),
+        explode(sequence(lit(1), lit(buckets))).as("bucket"))
+      .select(col("bucket"), col("_n"), col("_tp"),
+        expr(s"(bucket - 1) * _n div $buckets").as("_lo"),
+        expr(s"bucket * _n div $buckets").as("_hi"))
+    val sliced = cdf.crossJoin(broadcast(bounds))
+      .withColumn("_o",
+        greatest(lit(0L), least(col("_cum"), col("_hi")) -
+          greatest(col("_cum") - col("_c"), col("_lo"))))
+      .where(col("_o") > 0L)
+      .groupBy(col("bucket"))
+      .agg(first(col("_n")).as("_n"), first(col("_tp")).as("_tp"),
+        sum(col("_o")).as("n_rows"),
+        // p·o·10⁶ rides decimal before the floor div — a hot cell at
+        // corpus scale would wrap the int64 product
+        sum(expr("CAST(_p AS DECIMAL(38,0)) * _o * 1000000 div _c")
+          .cast("long")).as("resp_ppm"))
+    // cumulative via the buckets²-bounded self-join (no window)
+    val cum = sliced.select(col("bucket").as("_b2"), col("n_rows").as("_n2"),
+        col("resp_ppm").as("_r2"))
+    sliced.join(cum, col("_b2") <= col("bucket"))
+      .groupBy(col("bucket"))
+      .agg(first(col("_n")).as("_n"), first(col("_tp")).as("_tp"),
+        first(col("n_rows")).as("n_rows"), first(col("resp_ppm")).as("resp_ppm"),
+        sum(col("_n2")).as("_cn"), sum(col("_r2")).as("_cr"))
+      .withColumn("_ln", col("_cr").cast("decimal(38,0)") * col("_n"))
+      .withColumn("_ld", col("_cn").cast("decimal(38,0)") * col("_tp"))
+      .select(col("bucket"), col("n_rows"), col("resp_ppm"),
+        expr("resp_ppm div n_rows").as("rate_ppm"),
+        when(col("_tp") > 0L, expr("_ln div _ld").cast("long")).as("cum_lift_ppm"))
+  }
+
   /** Per-group IQR fence audit — Tukey's boxplot rule as a data-quality
     * readout: exact p25/p75 per group, fences at q1 − k·IQR and
     * q3 + k·IQR with k as an exact PERCENT (150 = the classic 1.5×,

@@ -947,6 +947,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(6) == 1L && r.getLong(7) == 1L)
   }
 
+  test("groupedTrimmedMean: exact tail deletion, ties split across the cut") {
+    // group a: 1..10, alpha 20% -> t = 2: drop {1,2} and {9,10},
+    // survivors 3..8 sum 33, n_trimmed 6 -> mean 5 (33 div 6)
+    val df = (1L to 10L).map(("a", _)).toDF("g", "v")
+    val r = Analytics.groupedTrimmedMean(df, col("g"), col("v"), 200000L)
+      .collect().head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 6L && r.getLong(3) == 5L)
+    // a tied cell straddling the cut contributes only its surviving
+    // copies: values {1,1,1,5,9}, t = 1 -> drop one 1 and the 9:
+    // survivors {1,1,5} -> mean 7 div 3 = 2
+    val tie = Seq(1L, 1L, 1L, 5L, 9L).map(("b", _)).toDF("g", "v")
+    val rt = Analytics.groupedTrimmedMean(tie, col("g"), col("v"), 200000L)
+      .collect().head
+    assert(rt.getLong(2) == 3L && rt.getLong(3) == 2L)
+    // alpha 0 trims nothing: plain exact mean
+    val r0 = Analytics.groupedTrimmedMean(df, col("g"), col("v"), 0L)
+      .collect().head
+    assert(r0.getLong(2) == 10L && r0.getLong(3) == 5L)
+    // boundary: alpha just under 1/2 leaves the median pair — 1..10 at
+    // 49.9999% trims 4 a side, survivors {5, 6} -> 11 div 2 = 5
+    // (alpha < 0.5 guarantees n_trimmed >= 1, so the mean never nulls)
+    val rb = Analytics.groupedTrimmedMean(df, col("g"), col("v"), 499999L)
+      .collect().head
+    assert(rb.getLong(2) == 2L && rb.getLong(3) == 5L)
+  }
+
+  test("liftTable: hand gains, pro-rata tie sharing, lift 1.0 at full depth") {
+    // scores 10..1, responders at 10, 9, 2; 5 buckets of 2 rows
+    val df = (1L to 10L).map(v => (v, if (v >= 9 || v == 2) 1 else 0))
+      .toDF("score", "resp")
+    val r = Analytics.liftTable(df, col("score"), col("resp"), buckets = 5)
+      .orderBy("bucket").collect()
+    assert(r.map(_.getAs[Long]("n_rows")).toSeq == Seq.fill(5)(2L))
+    assert(r.map(_.getAs[Long]("resp_ppm")).toSeq ==
+      Seq(2000000L, 0L, 0L, 0L, 1000000L))
+    assert(r.head.getAs[Long]("rate_ppm") == 1000000L)
+    // top bucket captures 2 of 3 responders in 1/5 the rows: lift
+    // (2e6*10) div (2*3) = 3333333; full depth is exactly 1.0
+    assert(r.head.getAs[Long]("cum_lift_ppm") == 3333333L)
+    assert(r.last.getAs[Long]("cum_lift_ppm") == 1000000L)
+    // a fully tied cell splits pro-rata: 4 rows of one score, 2
+    // responders, 2 buckets -> each bucket gets 1e6 ppm and lift 1.0
+    val tie = Seq((5L, 1), (5L, 0), (5L, 1), (5L, 0)).toDF("score", "resp")
+    val rt = Analytics.liftTable(tie, col("score"), col("resp"), buckets = 2)
+      .orderBy("bucket").collect()
+    assert(rt.map(_.getAs[Long]("resp_ppm")).toSeq == Seq(1000000L, 1000000L))
+    assert(rt.map(_.getAs[Long]("cum_lift_ppm")).toSeq == Seq(1000000L, 1000000L))
+  }
+
   test("holtWinters: hand fold with a learned weekly bump") {
     // period 2 for hand math: x = 10, 20, 10, 20 at pos 0,1,0,1
     // seed: l=10 b=0 s=[0,0]
