@@ -2249,6 +2249,19 @@ object SparkEntry {
       Analytics.ksTest(t(s, d, "events"), col("event_type"), col("value"),
         "click", "purchase")),
 
+    // Cramér–von Mises on the same two samples: the INTEGRATED CDF
+    // gap beside KS's max gap, exact ppm on decimal-widened products.
+    "q_cvm" -> ((s, d) =>
+      Analytics.cramerVonMises(t(s, d, "events"), col("event_type"),
+        col("value"), "click", "purchase")),
+
+    // Cochran-Armitage: does fulfillment trend with the order-priority
+    // tier (1-URGENT..5-LOW) — exact ppm z² with df=1 fences.
+    "q_trend_test" -> ((s, d) =>
+      Analytics.cochranArmitage(t(s, d, "orders"),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        (col("o_orderstatus") === "F").cast("int"))),
+
     // Shannon entropy + normalized diversity of the event-type mix.
     "q_entropy" -> ((s, d) =>
       Analytics.entropy(t(s, d, "events"), col("event_type"))),
@@ -5240,6 +5253,42 @@ object SparkEntry {
         |  na * nb AS ks_denom,
         |  round(CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE) /
         |    CAST(na * nb AS DOUBLE), 6) AS ks
+        |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // k-bounded score table, HUGEINT products, one ppm floor
+    "q_trend_test" ->
+      """WITH g AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(r) AS BIGINT) AS r, CAST(sum(w * n) AS BIGINT) AS swn,
+        |  CAST(sum(w * r) AS BIGINT) AS swr, CAST(sum(w * w * n) AS BIGINT) AS sw2n
+        |  FROM g),
+        |s AS (SELECT k, n, r,
+        |  CAST(n * swr - r * swn AS HUGEINT) AS tn,
+        |  CAST(r AS HUGEINT) * (n - r) * (n * sw2n - swn * swn) AS vd FROM a)
+        |SELECT k, n, r, CAST(tn AS BIGINT) AS trend_num,
+        |  CAST(CASE WHEN vd > 0 THEN tn * tn * n * 1000000 // vd END AS BIGINT)
+        |    AS z2_ppm,
+        |  CASE WHEN vd > 0 THEN tn * tn * n * 1000000 // vd > 3841459 END AS trend_95,
+        |  CASE WHEN vd > 0 THEN tn * tn * n * 1000000 // vd > 6634897 END AS trend_99
+        |FROM s""".stripMargin,
+
+    // same per-value CDF frame, squared-gap sum in HUGEINT, one floor
+    "q_cvm" ->
+      """WITH pv AS (SELECT value AS v,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL GROUP BY value),
+        |c AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) AS cuma,
+        |  sum(cb) OVER (ORDER BY v) AS cumb FROM pv),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM pv)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(sum((ca + cb) * (nb * cuma - na * cumb) * (nb * cuma - na * cumb))
+        |    * 1000000 // (na * nb * (na + nb) * (na + nb)) AS BIGINT) AS t_ppm
         |FROM c, t GROUP BY na, nb""".stripMargin,
 
     // H = ln N − (Σ n·ln n)/N with 6dp DECIMAL term sums

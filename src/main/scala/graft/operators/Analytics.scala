@@ -698,6 +698,94 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
+  /** Cochran-Armitage trend test — "does the success rate TREND with
+    * an ordered exposure" (dose, priority tier, bucket index): the
+    * 2×k chi-square ([[Quality]]-style drift tables) only says the
+    * rates differ somewhere; CA weights each column by its ordinal
+    * score and tests the LINEAR trend with 1 df, which is the test
+    * with power against exactly the monotone alternative.
+    *
+    * Exact integer form: with per-score (n_i, r_i) and weights w_i,
+    * T·N = N·Σwᵢrᵢ − R·Σwᵢnᵢ and
+    * z² = (T·N)²·N / (R(N−R)·[N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²]), emitted as the
+    * ppm floor on decimal(38,0) products (the (TN)²·N product bounds
+    * exactness to N ≲ 10⁹ rows per call at |w| ≤ 10³ — aggregate
+    * upstream or rescale weights beyond that). The 3.84/6.63 (df=1)
+    * fences are pre-compared like [[srmCheck]]. One k-bounded
+    * aggregate after one row-scale groupBy on the score. Output:
+    * (k, n, r, trend_num, z2_ppm, trend_95, trend_99); z2 null when
+    * the variance degenerates (R = 0 or R = N or single score).
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+      successCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = df.where(scoreCol.isNotNull && successCol.isNotNull)
+      .groupBy(scoreCol.cast("long").as("_w"))
+      .agg(count(lit(1)).as("_n"), sum(successCol.cast("long")).as("_r"))
+    g.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"), sum(col("_r")).as("r"),
+        sum(col("_w") * col("_n")).as("_swn"),
+        sum(col("_w") * col("_r")).as("_swr"),
+        sum(col("_w") * col("_w") * col("_n")).as("_sw2n"))
+      .withColumn("trend_num",
+        (dec(col("n")) * col("_swr") - dec(col("r")) * col("_swn")).cast("long"))
+      .withColumn("_vd",
+        dec(col("r")) * (col("n") - col("r")) *
+          (dec(col("n")) * col("_sw2n") - dec(col("_swn")) * col("_swn")))
+      .withColumn("z2_ppm",
+        when(col("_vd") > 0,
+          expr("""CAST(trend_num AS DECIMAL(38,0)) * trend_num * n * 1000000
+                  div _vd""").cast("long")))
+      .select(col("k"), col("n"), col("r"), col("trend_num"), col("z2_ppm"),
+        (col("z2_ppm") > 3841459L).as("trend_95"),
+        (col("z2_ppm") > 6634897L).as("trend_99"))
+  }
+
+  /** EXACT two-sample Cramér–von Mises statistic — [[ksTest]]'s
+    * integrated sibling: KS reads the single WORST CDF gap (sensitive
+    * to one sharp divergence, blind to a broad shallow one); CvM sums
+    * the SQUARED gap over every combined sample point, catching
+    * distributed drift a max misses. Tie-robust CDF form:
+    * T = Σ_x c(x)·(F_a(x) − F_b(x))² · nm/(n+m)², emitted as the
+    * exact integer ppm floor
+    * t_ppm = 10⁶·Σ c·(m·cumA − n·cumB)² div (n·m·(n+m)²) — every
+    * product decimal(38,0)-widened ((nm)² passes int64 well below
+    * corpus scale).
+    *
+    * Same shape as KS: per-value side counts, ONE
+    * [[Relational.prefixSums]] pass for both cumulative counts, a
+    * broadcast totals row, one aggregate. Output:
+    * (n_a, n_b, t_ppm).
+    */
+  def cramerVonMises(df: DataFrame, groupCol: Column, valueCol: Column,
+      a: String, b: String): DataFrame = {
+    val perValue = df
+      .where(groupCol.isin(a, b) && valueCol.isNotNull)
+      .select(valueCol.as("_v"), groupCol.as("_g"))
+      .groupBy(col("_v"))
+      .agg(
+        sum(when(col("_g") === a, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === b, 1L).otherwise(0L)).as("_cb"))
+    val cums = Relational.prefixSums(perValue, Seq(col("_v")),
+      Seq(col("_ca") -> "_cumA", col("_cb") -> "_cumB"))
+    val totals = perValue.agg(
+      sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    cums.crossJoin(broadcast(totals))
+      .select(col("_na"), col("_nb"),
+        (dec(col("_ca") + col("_cb")) *
+          (dec(col("_nb")) * col("_cumA") - dec(col("_na")) * col("_cumB")) *
+          (dec(col("_nb")) * col("_cumA") - dec(col("_na")) * col("_cumB")))
+          .as("_term"))
+      .groupBy(col("_na").as("n_a"), col("_nb").as("n_b"))
+      .agg(sum(col("_term")).as("_num"))
+      .withColumn("_den",
+        dec(col("n_a")) * col("n_b") *
+          (col("n_a") + col("n_b")) * (col("n_a") + col("n_b")))
+      .select(col("n_a"), col("n_b"),
+        when(col("_den") > 0,
+          expr("_num * 1000000 div _den").cast("long")).as("t_ppm"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13) — the standard
     * experiment-sensitivity trick: regress each user's post-period
     * metric on their PRE-period covariate and compare arms on the

@@ -996,6 +996,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(rt.map(_.getAs[Long]("cum_lift_ppm")).toSeq == Seq(1000000L, 1000000L))
   }
 
+  test("cochranArmitage: hand trend z2; flat rates 0; degenerate null") {
+    // scores 1,2,3 with rates 1/10, 5/10, 9/10: TN = 30·38−15·60 = 240,
+    // vd = 15·15·(30·140−3600) = 135000 -> z2 = 240²·30e6/135000 = 12.8
+    def mk(spec: Seq[(Long, Int, Int)]) = spec.flatMap { case (w, n, r) =>
+      (1 to n).map(i => (w, if (i <= r) 1 else 0))
+    }.toDF("w", "s")
+    val r = Analytics.cochranArmitage(
+      mk(Seq((1L, 10, 1), (2L, 10, 5), (3L, 10, 9))), col("w"), col("s"))
+      .collect().head
+    assert(r.getAs[Long]("trend_num") == 240L)
+    assert(r.getAs[Long]("z2_ppm") == 12800000L)
+    assert(r.getAs[Boolean]("trend_99"))
+    // identical rates: zero trend, not significant
+    val rf = Analytics.cochranArmitage(
+      mk(Seq((1L, 10, 5), (2L, 10, 5), (3L, 10, 5))), col("w"), col("s"))
+      .collect().head
+    assert(rf.getAs[Long]("z2_ppm") == 0L && !rf.getAs[Boolean]("trend_95"))
+    // all failures: variance degenerates -> null z2
+    val rd = Analytics.cochranArmitage(
+      mk(Seq((1L, 5, 0), (2L, 5, 0))), col("w"), col("s")).collect().head
+    assert(rd.isNullAt(rd.fieldIndex("z2_ppm")))
+  }
+
+  test("cramerVonMises: hand CDF-gap squares; identical samples give 0") {
+    // a = {1,2}, b = {2,3}: gaps d = m·cumA − n·cumB at v=1,2,3 are
+    // 2,2,0 with multiplicities 1,2,1 -> num = 4 + 8 + 0 = 12,
+    // den = 2·2·(4)² = 64 -> t_ppm = 12e6 div 64 = 187500
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val r = Analytics.cramerVonMises(df, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 187500L)
+    // identical distributions: every gap 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val r0 = Analytics.cramerVonMises(same, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(r0.getLong(2) == 0L)
+    // disjoint supports maximize the integrated gap: a={1,2}, b={3,4}
+    // gaps at 1,2: m·cumA = 2,4; at 3,4: 4−2=2, 4−4=0 -> terms
+    // 4+16+4+0 = 24... wait: v=1 d=2 c=1 -> 4; v=2 d=4 c=1 -> 16;
+    // v=3 d=4−2·1=2 c=1 -> 4; v=4 d=0 -> num 24, t_ppm = 24e6 div 64
+    val dis = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val rd = Analytics.cramerVonMises(dis, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(rd.getLong(2) == 375000L)
+  }
+
   test("holtWinters: hand fold with a learned weekly bump") {
     // period 2 for hand math: x = 10, 20, 10, 20 at pos 0,1,0,1
     // seed: l=10 b=0 s=[0,0]
