@@ -2262,6 +2262,13 @@ object SparkEntry {
         substring(col("o_orderpriority"), 1, 1).cast("long"),
         (col("o_orderstatus") === "F").cast("int"))),
 
+    // Brown-Forsythe: do the return-flag cohorts differ in price
+    // SPREAD — ANOVA F over |cents − group median| on one cell-frame
+    // scan (the variance sibling of q_anova's mean test).
+    "q_brown_forsythe" -> ((s, d) =>
+      Analytics.brownForsythe(t(s, d, "lineitem"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))),
+
     // Shannon entropy + normalized diversity of the event-type mix.
     "q_entropy" -> ((s, d) =>
       Analytics.entropy(t(s, d, "events"), col("event_type"))),
@@ -5254,6 +5261,37 @@ object SparkEntry {
         |  round(CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE) /
         |    CAST(na * nb AS DOUBLE), 6) AS ks
         |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // grouped-median CDF (same ceil rule), weighted deviation moments,
+    // q_anova's 6dp-term scalar block
+    "q_brown_forsythe" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |c1 AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM c1),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c1 GROUP BY 1),
+        |med AS (SELECT cdf.g, min(v) AS med FROM cdf JOIN nn ON cdf.g = nn.g
+        |  WHERE cum >= ceil(CAST(0.5 AS DOUBLE) * nn.n) GROUP BY 1),
+        |per AS (SELECT c1.g, CAST(sum(c) AS BIGINT) AS n,
+        |  sum(CAST(c AS HUGEINT) * abs(v - med)) AS s,
+        |  sum(CAST(c AS HUGEINT) * abs(v - med) * abs(v - med)) AS q2
+        |  FROM c1 JOIN med ON c1.g = med.g GROUP BY 1),
+        |terms AS (SELECT n, s, q2,
+        |  CAST(round((s * s)::DOUBLE / n::DOUBLE, 6) AS DECIMAL(38,6)) AS a
+        |  FROM per),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |  sum(s) AS st, sum(q2) AS qt, sum(a) AS at FROM terms)
+        |SELECT k, n,
+        |  CASE WHEN k >= 2 AND n > k
+        |    AND qt::DOUBLE - at::DOUBLE > 0 THEN
+        |    round((at::DOUBLE - (st * st)::DOUBLE / n::DOUBLE) / (k::DOUBLE - 1.0) /
+        |      ((qt::DOUBLE - at::DOUBLE) / (n::DOUBLE - k::DOUBLE)), 6) END AS f,
+        |  CASE WHEN qt::DOUBLE - (st * st)::DOUBLE / n::DOUBLE > 0 THEN
+        |    round((at::DOUBLE - (st * st)::DOUBLE / n::DOUBLE) /
+        |      (qt::DOUBLE - (st * st)::DOUBLE / n::DOUBLE), 6) END AS eta_sq
+        |FROM agg""".stripMargin,
 
     // k-bounded score table, HUGEINT products, one ppm floor
     "q_trend_test" ->

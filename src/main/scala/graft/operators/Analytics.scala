@@ -3095,10 +3095,18 @@ object Analytics {
       .agg(count(lit(1)).as("_n"),
         sum(col("_v").cast("decimal(38,0)")).as("_s"),
         sum(col("_v").cast("decimal(38,0)") * col("_v")).as("_q"))
-      // Σ_g S_g²/n_g: per-group 6dp DECIMAL terms -> order-proof sum
-      .select(col("_n"), col("_s"), col("_q"),
-        round((col("_s") * col("_s")).cast("double") / col("_n").cast("double"), 6)
-          .cast("decimal(38,6)").as("_a"))
+    anovaFromPerGroup(per)
+  }
+
+  /** The F/η² scalar block over a per-group (_n, _s, _q) moment frame
+    * — shared by [[anovaF]] (raw rows) and [[brownForsythe]] (weighted
+    * deviation cells). Σ_g S_g²/n_g rides the per-group 6dp DECIMAL
+    * term discipline so the one unordered reduction is order-proof.
+    */
+  private def anovaFromPerGroup(per0: DataFrame): DataFrame = {
+    val per = per0.select(col("_n"), col("_s"), col("_q"),
+      round((col("_s") * col("_s")).cast("double") / col("_n").cast("double"), 6)
+        .cast("decimal(38,6)").as("_a"))
     val agg = per.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
       sum(col("_s")).as("_S"), sum(col("_q")).as("_Q"), sum(col("_a")).as("_A"))
     val nD = col("n").cast("double")
@@ -3111,6 +3119,38 @@ object Analytics {
       when(col("k") >= 2L && col("n") > col("k") && ssw > 0.0d,
         round((ssb / (kD - 1.0d)) / (ssw / (nD - kD)), 6)).as("f"),
       when(sst > 0.0d, round(ssb / sst, 6)).as("eta_sq"))
+  }
+
+  /** Brown-Forsythe variance-homogeneity test — "do the groups differ
+    * in SPREAD" (the precondition every equal-variance mean test
+    * quietly assumes, and a drift readout in its own right: a feed
+    * whose variance doubles at constant mean sails through
+    * [[anovaF]]): one-way ANOVA F over the absolute deviations from
+    * each group's MEDIAN (the robust Levene variant — means-based
+    * Levene is fragile under exactly the heavy tails variance tests
+    * screen for).
+    *
+    * Shape: the (group, value, count) cell frame ONCE, group medians
+    * via [[cellQuantiles]], then the deviation moments as WEIGHTED
+    * cell sums (Σc·z, Σc·z² with z = |v − median_g|) feeding the
+    * shared [[anovaFromPerGroup]] scalar block — one row-scale scan
+    * total, everything downstream bounded by the value domain.
+    * Output one row: (k, n, f, eta_sq), F null on degenerate input.
+    */
+  def brownForsythe(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(groupCol.isNotNull && valueCol.isNotNull)
+        .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = cellQuantiles(cells, Seq(0.5)).select(col("_g"), col("_q0").as("_med"))
+    val per = cells.join(med, Seq("_g"))
+      .withColumn("_z", abs(col("_v") - col("_med")))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_n"),
+        sum(col("_c").cast("decimal(38,0)") * col("_z")).as("_s"),
+        sum(col("_c").cast("decimal(38,0)") * col("_z") * col("_z")).as("_q"))
+    anovaFromPerGroup(per)
   }
 
   /** Kruskal-Wallis H — the rank-based (distribution-free) twin of

@@ -996,6 +996,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(rt.map(_.getAs[Long]("cum_lift_ppm")).toSeq == Seq(1000000L, 1000000L))
   }
 
+  test("brownForsythe: hand F on median deviations; equal-spread groups null F") {
+    // a = {0,4} (median rule picks 0 -> z = {0,4}), b = {0,0} (z = 0):
+    // S=4 Q=16 A=8, grand=4 -> SSB=4 SSW=8 SST=12 -> F=(4/1)/(8/2)=1.0
+    val df = Seq(("a", 0L), ("a", 4L), ("b", 0L), ("b", 0L)).toDF("g", "v")
+    val r = Analytics.brownForsythe(df, col("g"), col("v")).collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("f") == 1.0 && r.getAs[Double]("eta_sq") == 0.333333)
+    // both groups constant: every deviation 0 -> SSW = 0 -> F null
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L)).toDF("g", "v")
+    val rc = Analytics.brownForsythe(const, col("g"), col("v")).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("f")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("cochranArmitage: hand trend z2; flat rates 0; degenerate null") {
     // scores 1,2,3 with rates 1/10, 5/10, 9/10: TN = 30·38−15·60 = 240,
     // vd = 15·15·(30·140−3600) = 135000 -> z2 = 240²·30e6/135000 = 12.8
