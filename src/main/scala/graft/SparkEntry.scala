@@ -2269,6 +2269,13 @@ object SparkEntry {
       Analytics.brownForsythe(t(s, d, "lineitem"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))),
 
+    // Mantel-Haenszel: even-vs-odd users' purchase odds pooled across
+    // DAY strata — the Simpson's-paradox-proof stratified A/B table.
+    "q_mantel_haenszel" -> ((s, d) =>
+      Analytics.mantelHaenszel(t(s, d, "events"),
+        col("ts").cast("date"), col("user_id") % 2 === 0,
+        col("event_type") === "purchase")),
+
     // Shannon entropy + normalized diversity of the event-type mix.
     "q_entropy" -> ((s, d) =>
       Analytics.entropy(t(s, d, "events"), col("event_type"))),
@@ -5261,6 +5268,41 @@ object SparkEntry {
         |  round(CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE) /
         |    CAST(na * nb AS DOUBLE), 6) AS ks
         |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // per-stratum 6dp DECIMAL terms, exact sums, one IEEE OR/chi2
+    "q_mantel_haenszel" ->
+      """WITH per AS (SELECT CAST(ts AS DATE) AS s,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type <> 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 AND event_type <> 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT a, a + b + c + d AS n,
+        |  CAST(round((CAST(a AS HUGEINT) * d)::DOUBLE / (a+b+c+d)::DOUBLE, 6)
+        |    AS DECIMAL(38,6)) AS tad,
+        |  CAST(round((CAST(b AS HUGEINT) * c)::DOUBLE / (a+b+c+d)::DOUBLE, 6)
+        |    AS DECIMAL(38,6)) AS tbc,
+        |  CAST(round((CAST(a + b AS HUGEINT) * (a + c))::DOUBLE /
+        |    (a+b+c+d)::DOUBLE, 6) AS DECIMAL(38,6)) AS te,
+        |  CAST(round((CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))::DOUBLE /
+        |    (CAST(a+b+c+d AS HUGEINT) * (a+b+c+d) * (a+b+c+d-1))::DOUBLE, 6)
+        |    AS DECIMAL(38,6)) AS tv
+        |  FROM per WHERE a + b + c + d > 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS strata,
+        |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS aa,
+        |  sum(tad) AS sad, sum(tbc) AS sbc, sum(te) AS e, sum(tv) AS v
+        |  FROM f)
+        |SELECT strata, n,
+        |  CASE WHEN sbc::DOUBLE > 0 THEN round(sad::DOUBLE / sbc::DOUBLE, 6) END
+        |    AS or_mh,
+        |  CASE WHEN v::DOUBLE > 0 THEN
+        |    round((aa::DOUBLE - e::DOUBLE) * (aa::DOUBLE - e::DOUBLE) /
+        |      v::DOUBLE, 6) END AS chi2_cmh
+        |FROM agg""".stripMargin,
 
     // grouped-median CDF (same ceil rule), weighted deviation moments,
     // q_anova's 6dp-term scalar block

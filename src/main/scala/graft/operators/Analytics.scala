@@ -740,6 +740,66 @@ object Analytics {
         (col("z2_ppm") > 6634897L).as("trend_99"))
   }
 
+  /** Mantel-Haenszel pooled odds ratio + Cochran-Mantel-Haenszel
+    * chi-square — the STRATIFIED 2×2 readout: a raw pooled A/B table
+    * is Simpson's-paradox bait (a confounder that shifts both arm mix
+    * and base rate flips the sign); MH pools the per-stratum tables
+    * into one confounder-adjusted odds ratio and one 1-df common-
+    * association test. The companion to [[diffInDiff]] when the
+    * confounder is categorical rather than temporal.
+    *
+    * Determinism discipline ([[mutualInfo]]-style): each stratum's
+    * a·d/n, b·c/n, E = (a+b)(a+c)/n and
+    * V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1)) rounds once to 6dp DECIMAL
+    * (cross-count products decimal(38,0)-widened — n⁴ wraps int64
+    * past ~10⁵-row strata), the sums are exact, and OR/χ² are one
+    * fixed IEEE shape over those scalars. Degenerate strata
+    * self-cancel (single-arm strata contribute 0 to both a−E and V;
+    * n ≤ 1 strata are guarded out). Shape: one map-combinable
+    * groupBy to the |strata| frame, one 1-row summary. Output:
+    * (strata, n, or_mh, chi2_cmh), nulls when a pooled denominator
+    * degenerates.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: Column, armCol: Column,
+      successCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val arm = armCol.cast("boolean")
+    val suc = successCol.cast("boolean")
+    val per = df.where(stratumCol.isNotNull && arm.isNotNull && suc.isNotNull)
+      .groupBy(stratumCol.as("_s"))
+      .agg(
+        sum(when(arm && suc, 1L).otherwise(0L)).as("_a"),
+        sum(when(arm && !suc, 1L).otherwise(0L)).as("_b"),
+        sum(when(!arm && suc, 1L).otherwise(0L)).as("_c"),
+        sum(when(!arm && !suc, 1L).otherwise(0L)).as("_d"))
+      .withColumn("_n", col("_a") + col("_b") + col("_c") + col("_d"))
+      .where(col("_n") > 1L)
+      .select(col("_a"), col("_n"),
+        round((dec(col("_a")) * col("_d")).cast("double") /
+          col("_n").cast("double"), 6).cast("decimal(38,6)").as("_tad"),
+        round((dec(col("_b")) * col("_c")).cast("double") /
+          col("_n").cast("double"), 6).cast("decimal(38,6)").as("_tbc"),
+        round((dec(col("_a") + col("_b")) * (col("_a") + col("_c")))
+          .cast("double") / col("_n").cast("double"), 6)
+          .cast("decimal(38,6)").as("_te"),
+        round((dec(col("_a") + col("_b")) * (col("_c") + col("_d")) *
+          (col("_a") + col("_c")) * (col("_b") + col("_d"))).cast("double") /
+          (dec(col("_n")) * col("_n") * (col("_n") - 1L)).cast("double"), 6)
+          .cast("decimal(38,6)").as("_tv"))
+    per.agg(count(lit(1)).as("strata"), sum(col("_n")).as("n"),
+        sum(col("_a")).as("_A"), sum(col("_tad")).as("_SAD"),
+        sum(col("_tbc")).as("_SBC"), sum(col("_te")).as("_E"),
+        sum(col("_tv")).as("_V"))
+      .select(col("strata"), col("n"),
+        when(col("_SBC").cast("double") > 0.0d,
+          round(col("_SAD").cast("double") / col("_SBC").cast("double"), 6))
+          .as("or_mh"),
+        when(col("_V").cast("double") > 0.0d,
+          round((col("_A").cast("double") - col("_E").cast("double")) *
+            (col("_A").cast("double") - col("_E").cast("double")) /
+            col("_V").cast("double"), 6)).as("chi2_cmh"))
+  }
+
   /** EXACT two-sample Cramér–von Mises statistic — [[ksTest]]'s
     * integrated sibling: KS reads the single WORST CDF gap (sensitive
     * to one sharp divergence, blind to a broad shallow one); CvM sums

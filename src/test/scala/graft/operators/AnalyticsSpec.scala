@@ -1033,6 +1033,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.isNullAt(rd.fieldIndex("z2_ppm")))
   }
 
+  test("mantelHaenszel: pooled OR exact; balanced table OR 1 chi2 0") {
+    def mk(spec: Seq[(String, Int, Int, Int, Int)]) = spec.flatMap {
+      case (s, a, b, c, d) =>
+        Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+          Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    }.toDF("s", "arm", "succ")
+    // perfectly balanced: OR 1, A == E -> chi2 0
+    val bal = Analytics.mantelHaenszel(
+      mk(Seq(("x", 2, 2, 2, 2))), col("s"), col("arm"), col("succ"))
+      .collect().head
+    assert(bal.getAs[Double]("or_mh") == 1.0)
+    assert(bal.getAs[Double]("chi2_cmh") == 0.0)
+    // two strata, both OR 9 (3:1 vs 1:3 at n=8, doubled at n=16):
+    // SAD = 1.125 + 2.25, SBC = 0.125 + 0.25 -> pooled OR exactly 9;
+    // A=9 E=6, V = round(256/448) + round(4096/3840) = 1.638096
+    val r = Analytics.mantelHaenszel(
+      mk(Seq(("s1", 3, 1, 1, 3), ("s2", 6, 2, 2, 6))),
+      col("s"), col("arm"), col("succ")).collect().head
+    assert(r.getAs[Long]("strata") == 2L && r.getAs[Long]("n") == 24L)
+    assert(r.getAs[Double]("or_mh") == 9.0)
+    val expChi = BigDecimal(9.0 / 1.638096)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("chi2_cmh") == expChi)
+  }
+
   test("cramerVonMises: hand CDF-gap squares; identical samples give 0") {
     // a = {1,2}, b = {2,3}: gaps d = m·cumA − n·cumB at v=1,2,3 are
     // 2,2,0 with multiplicities 1,2,1 -> num = 4 + 8 + 0 = 12,
