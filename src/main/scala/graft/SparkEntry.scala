@@ -2276,6 +2276,12 @@ object SparkEntry {
         col("ts").cast("date"), col("user_id") % 2 === 0,
         col("event_type") === "purchase")),
 
+    // Kendall tau-b on the bounded (quantity × line-number) grid —
+    // exact S and tie terms, one IEEE sqrt at the end.
+    "q_kendall" -> ((s, d) =>
+      Analytics.kendallTauB(t(s, d, "lineitem"),
+        col("l_quantity"), col("l_linenumber"))),
+
     // Shannon entropy + normalized diversity of the event-type mix.
     "q_entropy" -> ((s, d) =>
       Analytics.entropy(t(s, d, "events"), col("event_type"))),
@@ -5268,6 +5274,27 @@ object SparkEntry {
         |  round(CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE) /
         |    CAST(na * nb AS DOUBLE), 6) AS ks
         |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // cells² sign-product sum in HUGEINT; marginal tie terms
+    "q_kendall" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(l_linenumber AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |sv AS (SELECT CAST(sum(CAST(a.c AS HUGEINT) * b.c *
+        |  sign(a.x - b.x) * sign(a.y - b.y)) // 2 AS BIGINT) AS s
+        |  FROM cells a CROSS JOIN cells b),
+        |nx AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |  CAST(sum(CAST(t AS HUGEINT) * (t - 1)) // 2 AS BIGINT) AS n1
+        |  FROM (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1)),
+        |ny AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1)) // 2 AS BIGINT) AS n2
+        |  FROM (SELECT y, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1)),
+        |n0v AS (SELECT n, CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT) AS n0
+        |  FROM nx)
+        |SELECT n0v.n AS n, sv.s AS s, n0v.n0 AS n0, nx.n1 AS n1, ny.n2 AS n2,
+        |  CASE WHEN n0 > n1 AND n0 > n2 THEN
+        |    round(s::DOUBLE / (sqrt((n0 - n1)::DOUBLE) * sqrt((n0 - n2)::DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM n0v, nx, ny, sv""".stripMargin,
 
     // per-stratum 6dp DECIMAL terms, exact sums, one IEEE OR/chi2
     "q_mantel_haenszel" ->

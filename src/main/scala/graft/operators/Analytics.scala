@@ -740,6 +740,58 @@ object Analytics {
         (col("z2_ppm") > 6634897L).as("trend_99"))
   }
 
+  /** Kendall tau-b rank correlation — the concordance coefficient
+    * beside [[spearman]] (Spearman squares rank GAPS and is touchier
+    * about outlying ranks; tau counts pair ORDER agreements and has
+    * the cleaner interpretation "P(concordant) − P(discordant)"),
+    * with the tau-b tie correction both the discrete columns here
+    * need. [[mannKendall]] is this statistic against time; this is
+    * the general two-variable form.
+    *
+    * Exact integer core on the JOINT (x, y, count) cell frame:
+    * S = Σ_{ordered cell pairs} c_i·c_j·sgn(Δx)·sgn(Δy) / 2 (self and
+    * tied pairs contribute 0), tie terms n₁/n₂ from the marginal
+    * count frames, n₀ = n(n−1)/2 — all decimal(38,0)-exact; tau_b is
+    * ONE IEEE sqrt/divide over those scalars, rounded 6dp.
+    *
+    * Scale contract: pair work is |cells|² — the [[tCloseness]]-style
+    * bounded-grid shape. Use on BOUNDED domains (ordinal codes,
+    * bucketed measures, counts); bucket continuous columns first.
+    * Output one row: (n, s, n0, n1, n2, tau_b); tau null when either
+    * column is constant.
+    */
+  def kendallTauB(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(xCol.isNotNull && yCol.isNotNull)
+        .groupBy(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+        .agg(count(lit(1)).as("_c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cells.select(col("_x").as("_xa"), col("_y").as("_ya"), col("_c").as("_ca"))
+    val b = cells.select(col("_x").as("_xb"), col("_y").as("_yb"), col("_c").as("_cb"))
+    val s2 = a.crossJoin(b)
+      .agg(sum(dec(col("_ca")) * col("_cb") *
+        signum(col("_xa") - col("_xb")).cast("long") *
+        signum(col("_ya") - col("_yb")).cast("long")).as("_s2"))
+      .select(expr("_s2 div 2").cast("long").as("s"))
+    val tx = cells.groupBy(col("_x")).agg(sum(col("_c")).as("_t"))
+      .agg(sum(dec(col("_t")) * (col("_t") - 1L)).as("_n1x2"),
+        sum(col("_t")).as("_n"))
+      .select(col("_n"), expr("_n1x2 div 2").cast("long").as("n1"),
+        (dec(col("_n")) * (col("_n") - 1L)).as("_n0x2"))
+      .select(col("_n").as("n"), col("n1"),
+        expr("_n0x2 div 2").cast("long").as("n0"))
+    val ty = cells.groupBy(col("_y")).agg(sum(col("_c")).as("_t"))
+      .agg(sum(dec(col("_t")) * (col("_t") - 1L)).as("_n2x2"))
+      .select(expr("_n2x2 div 2").cast("long").as("n2"))
+    tx.crossJoin(broadcast(ty)).crossJoin(broadcast(s2))
+      .select(col("n"), col("s"), col("n0"), col("n1"), col("n2"),
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          round(col("s").cast("double") /
+            (sqrt((col("n0") - col("n1")).cast("double")) *
+              sqrt((col("n0") - col("n2")).cast("double"))), 6)).as("tau_b"))
+  }
+
   /** Mantel-Haenszel pooled odds ratio + Cochran-Mantel-Haenszel
     * chi-square — the STRATIFIED 2×2 readout: a raw pooled A/B table
     * is Simpson's-paradox bait (a confounder that shifts both arm mix

@@ -1033,6 +1033,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.isNullAt(rd.fieldIndex("z2_ppm")))
   }
 
+  test("kendallTauB: +-1 at perfect (dis)concordance, tie-corrected 0, constant null") {
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val r = Analytics.kendallTauB(up, col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("s") == 3L && r.getAs[Long]("n0") == 3L)
+    assert(r.getAs[Double]("tau_b") == 1.0)
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    assert(Analytics.kendallTauB(down, col("x"), col("y"))
+      .collect().head.getAs[Double]("tau_b") == -1.0)
+    // 2x2 independent grid: S = 0 with n1 = n2 = 2 tie pairs
+    val grid = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val rg = Analytics.kendallTauB(grid, col("x"), col("y")).collect().head
+    assert(rg.getAs[Long]("s") == 0L && rg.getAs[Long]("n1") == 2L &&
+      rg.getAs[Long]("n2") == 2L && rg.getAs[Double]("tau_b") == 0.0)
+    // constant x: every pair x-tied -> n0 == n1 -> null
+    val const = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    assert(Analytics.kendallTauB(const, col("x"), col("y"))
+      .collect().head.isNullAt(5))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("mantelHaenszel: pooled OR exact; balanced table OR 1 chi2 0") {
     def mk(spec: Seq[(String, Int, Int, Int, Int)]) = spec.flatMap {
       case (s, a, b, c, d) =>
