@@ -2282,6 +2282,21 @@ object SparkEntry {
       Analytics.kendallTauB(t(s, d, "lineitem"),
         col("l_quantity"), col("l_linenumber"))),
 
+    // Revenue-WEIGHTED quantiles of quantity per return flag — the
+    // cents-weighted CDF on the same bounded cell frame.
+    "q_wquantile" -> ((s, d) =>
+      Analytics.groupedWeightedQuantiles(t(s, d, "lineitem"),
+        col("l_returnflag"), col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        Seq(0.5, 0.9))
+        .select(col("group").as("l_returnflag"), col("p"), col("value"),
+          col("w")).orderBy(col("l_returnflag"), col("p"))),
+
+    // Source concentration of the document corpus: exact HHI ppm,
+    // top share, effective source count.
+    "q_hhi" -> ((s, d) =>
+      TrainingData.concentration(t(s, d, "documents"), col("source"))),
+
     // Shannon entropy + normalized diversity of the event-type mix.
     "q_entropy" -> ((s, d) =>
       Analytics.entropy(t(s, d, "events"), col("event_type"))),
@@ -5275,13 +5290,45 @@ object SparkEntry {
         |    CAST(na * nb AS DOUBLE), 6) AS ks
         |FROM c, t GROUP BY na, nb""".stripMargin,
 
+    // weight-CDF: first value whose cumulative cents reach ceil(p·W)
+    "q_wquantile" ->
+      """WITH c1 AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM c1),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS w FROM c1 GROUP BY 1),
+        |pp AS (SELECT CAST(0.5 AS DOUBLE) AS p
+        |  UNION ALL SELECT CAST(0.9 AS DOUBLE))
+        |SELECT cdf.g AS l_returnflag, pp.p AS p, min(v) AS value, nn.w AS w
+        |FROM cdf JOIN nn ON cdf.g = nn.g CROSS JOIN pp
+        |WHERE cum >= ceil(pp.p * nn.w)
+        |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin,
+
+    // exact share-squared sums over the |sources| frame
+    "q_hhi" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS n,
+        |  sum(CAST(c AS HUGEINT) * c) AS sq, CAST(max(c) AS BIGINT) AS top
+        |  FROM c)
+        |SELECT k, n,
+        |  CAST(sq * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS hhi_ppm,
+        |  CAST(CAST(top AS HUGEINT) * 1000000 // n AS BIGINT) AS top_share_ppm,
+        |  CAST(1000000000 // (sq * 1000000 // (CAST(n AS HUGEINT) * n)) AS BIGINT)
+        |    AS effective_k_milli
+        |FROM a""".stripMargin,
+
     // cells² sign-product sum in HUGEINT; marginal tie terms
     "q_kendall" ->
       """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x,
         |  CAST(l_linenumber AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS c
         |  FROM lineitem GROUP BY 1, 2),
         |sv AS (SELECT CAST(sum(CAST(a.c AS HUGEINT) * b.c *
-        |  sign(a.x - b.x) * sign(a.y - b.y)) // 2 AS BIGINT) AS s
+        |  sign(a.x - b.x) * sign(a.y - b.y)) // 2 AS BIGINT) AS s,
+        |  CAST(sum(CAST(a.c AS HUGEINT) * b.c *
+        |    abs(sign(a.x - b.x) * sign(a.y - b.y))) // 2 AS BIGINT) AS cd
         |  FROM cells a CROSS JOIN cells b),
         |nx AS (SELECT CAST(sum(t) AS BIGINT) AS n,
         |  CAST(sum(CAST(t AS HUGEINT) * (t - 1)) // 2 AS BIGINT) AS n1
@@ -5293,7 +5340,10 @@ object SparkEntry {
         |SELECT n0v.n AS n, sv.s AS s, n0v.n0 AS n0, nx.n1 AS n1, ny.n2 AS n2,
         |  CASE WHEN n0 > n1 AND n0 > n2 THEN
         |    round(s::DOUBLE / (sqrt((n0 - n1)::DOUBLE) * sqrt((n0 - n2)::DOUBLE)), 6)
-        |  END AS tau_b
+        |  END AS tau_b,
+        |  CASE WHEN cd > 0 THEN round(s::DOUBLE / cd::DOUBLE, 6) END AS gamma,
+        |  CASE WHEN n0 > n1 THEN round(s::DOUBLE / (n0 - n1)::DOUBLE, 6) END
+        |    AS somers_d
         |FROM n0v, nx, ny, sv""".stripMargin,
 
     // per-stratum 6dp DECIMAL terms, exact sums, one IEEE OR/chi2

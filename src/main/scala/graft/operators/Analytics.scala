@@ -757,8 +757,15 @@ object Analytics {
     * Scale contract: pair work is |cells|² — the [[tCloseness]]-style
     * bounded-grid shape. Use on BOUNDED domains (ordinal codes,
     * bucketed measures, counts); bucket continuous columns first.
-    * Output one row: (n, s, n0, n1, n2, tau_b); tau null when either
-    * column is constant.
+    *
+    * The whole CONCORDANCE FAMILY falls out of the same scalars, so
+    * it ships as one row: Goodman-Kruskal γ = S/(C+D) (ties ignored
+    * entirely — the ordinal-table classic) and Somers' D_yx =
+    * S/(n₀−n₁) (ties penalized on the PREDICTOR side only — the
+    * asymmetric "does x predict y" form, the statistic under the
+    * rank-biserial/AUC family). Output one row: (n, s, n0, n1, n2,
+    * tau_b, gamma, somers_d); each null when its denominator
+    * degenerates.
     */
   def kendallTauB(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -770,10 +777,16 @@ object Analytics {
     val a = cells.select(col("_x").as("_xa"), col("_y").as("_ya"), col("_c").as("_ca"))
     val b = cells.select(col("_x").as("_xb"), col("_y").as("_yb"), col("_c").as("_cb"))
     val s2 = a.crossJoin(b)
-      .agg(sum(dec(col("_ca")) * col("_cb") *
-        signum(col("_xa") - col("_xb")).cast("long") *
-        signum(col("_ya") - col("_yb")).cast("long")).as("_s2"))
-      .select(expr("_s2 div 2").cast("long").as("s"))
+      .agg(
+        sum(dec(col("_ca")) * col("_cb") *
+          signum(col("_xa") - col("_xb")).cast("long") *
+          signum(col("_ya") - col("_yb")).cast("long")).as("_s2"),
+        // C + D (doubled): pairs where BOTH coordinates differ
+        sum(dec(col("_ca")) * col("_cb") *
+          abs(signum(col("_xa") - col("_xb")).cast("long") *
+            signum(col("_ya") - col("_yb")).cast("long"))).as("_cd2"))
+      .select(expr("_s2 div 2").cast("long").as("s"),
+        expr("_cd2 div 2").cast("long").as("_cd"))
     val tx = cells.groupBy(col("_x")).agg(sum(col("_c")).as("_t"))
       .agg(sum(dec(col("_t")) * (col("_t") - 1L)).as("_n1x2"),
         sum(col("_t")).as("_n"))
@@ -789,7 +802,13 @@ object Analytics {
         when(col("n0") > col("n1") && col("n0") > col("n2"),
           round(col("s").cast("double") /
             (sqrt((col("n0") - col("n1")).cast("double")) *
-              sqrt((col("n0") - col("n2")).cast("double"))), 6)).as("tau_b"))
+              sqrt((col("n0") - col("n2")).cast("double"))), 6)).as("tau_b"),
+        when(col("_cd") > 0L,
+          round(col("s").cast("double") / col("_cd").cast("double"), 6))
+          .as("gamma"),
+        when(col("n0") > col("n1"),
+          round(col("s").cast("double") /
+            (col("n0") - col("n1")).cast("double"), 6)).as("somers_d"))
   }
 
   /** Mantel-Haenszel pooled odds ratio + Cochran-Mantel-Haenszel
@@ -2151,6 +2170,33 @@ object Analytics {
         col("_n").as("n"))
       .select(col("group"), col("_pv.p").as("p"), col("_pv.value").as("value"),
         col("n"))
+  }
+
+  /** Per-group WEIGHTED exact quantiles — the exposure-weighted form
+    * of [[groupedExactQuantiles]]: the smallest value whose cumulative
+    * WEIGHT reaches ⌈p·W⌉ (integer weights — cents, counts, bytes).
+    * "The revenue-weighted median order size" is this with weight =
+    * price; the unweighted call is the special case weight ≡ 1.
+    * Same bounded cell-frame shape: weights pre-aggregate per (group,
+    * value), so the CDF window still sees the value domain, not rows.
+    * Output: (group, p, value, w) with w the group's total weight.
+    */
+  def groupedWeightedQuantiles(df: DataFrame, groupCol: Column,
+      valueCol: Column, weightCol: Column, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"groupedWeightedQuantiles: probs must be in (0,1], got $probs")
+    val cells = df
+      .where(valueCol.isNotNull && weightCol.isNotNull && weightCol > 0)
+      .groupBy(groupCol.as("_g"), valueCol.as("_v"))
+      .agg(sum(weightCol.cast("long")).as("_c"))
+    val one = cellQuantiles(cells, probs)
+    val pv = probs.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"), col(s"_q$i").as("value"))
+    }
+    one.select(col("_g").as("group"), explode(array(pv: _*)).as("_pv"),
+        col("_n").as("w"))
+      .select(col("group"), col("_pv.p").as("p"), col("_pv.value").as("value"),
+        col("w"))
   }
 
   /** CDF quantiles over a PRE-AGGREGATED (_g, _v, _c) cell frame — the

@@ -201,6 +201,33 @@ object TrainingData {
     * rescales MAD to σ under normality. Constant-valued groups
     * (mad = 0) flag any deviation from the median.
     */
+  /** Source-concentration readout — Herfindahl-Hirschman index over a
+    * key's share of the corpus: the one-number answer to "is this
+    * training mix dominated by a handful of sources" that a top-N
+    * listing understates (HHI weights by share², so two 40% sources
+    * read very differently from forty 2% ones). Exact integer ppm:
+    * hhi_ppm = Σcᵢ²·10⁶ div n² (decimal-widened — Σc² wraps int64 at
+    * corpus scale), top share the same way; effective_k_milli =
+    * 10⁹ div hhi_ppm is the equivalent count of equal-share sources
+    * (the diversity form mixture planners actually budget with).
+    * One map-combinable aggregate over the |keys| frame. Output one
+    * row: (k, n, hhi_ppm, top_share_ppm, effective_k_milli).
+    */
+  def concentration(df: DataFrame, keyCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.where(keyCol.isNotNull)
+      .groupBy(keyCol.as("_k")).agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("k"), sum(col("_c")).as("n"),
+        sum(dec(col("_c")) * col("_c")).as("_sq"), max(col("_c")).as("_top"))
+      .withColumn("_n2", dec(col("n")) * col("n"))
+      .select(col("k"), col("n"),
+        expr("_sq * 1000000 div _n2").cast("long").as("hhi_ppm"),
+        expr("CAST(_top AS DECIMAL(38,0)) * 1000000 div n").cast("long")
+          .as("top_share_ppm"))
+      .withColumn("effective_k_milli",
+        when(col("hhi_ppm") > 0L, expr("1000000000L div hhi_ppm")))
+  }
+
   def madOutliers(
       df: DataFrame,
       groupBy: Seq[Column],

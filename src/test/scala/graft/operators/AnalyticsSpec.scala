@@ -1033,6 +1033,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.isNullAt(rd.fieldIndex("z2_ppm")))
   }
 
+  test("groupedWeightedQuantiles: weight-CDF rule; unit weights reduce to exact quantiles") {
+    // values 1,2,3 with weights 1,1,8: W=10, median rank ceil(5)=5 ->
+    // first value whose cum weight >= 5 is 3; p10 -> 1
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 8L)).toDF("g", "v", "w")
+    val r = Analytics.groupedWeightedQuantiles(df, col("g"), col("v"), col("w"),
+      Seq(0.1, 0.5)).orderBy("p").collect()
+    assert(r.map(x => (x.getDouble(1), x.getLong(2))).toSeq ==
+      Seq((0.1, 1L), (0.5, 3L)))
+    assert(r.head.getAs[Long]("w") == 10L)
+    // weight 1 == groupedExactQuantiles
+    val u = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L)).toDF("g", "v")
+    val wq = Analytics.groupedWeightedQuantiles(u, col("g"), col("v"), lit(1L),
+      Seq(0.5)).collect().head.getLong(2)
+    val eq = Analytics.groupedExactQuantiles(u, col("g"), col("v"), Seq(0.5))
+      .collect().head.getAs[Long]("value")
+    assert(wq == eq)
+  }
+
   test("kendallTauB: +-1 at perfect (dis)concordance, tie-corrected 0, constant null") {
     val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
     val r = Analytics.kendallTauB(up, col("x"), col("y")).collect().head
@@ -1046,10 +1064,21 @@ class AnalyticsSpec extends SparkSpec {
     val rg = Analytics.kendallTauB(grid, col("x"), col("y")).collect().head
     assert(rg.getAs[Long]("s") == 0L && rg.getAs[Long]("n1") == 2L &&
       rg.getAs[Long]("n2") == 2L && rg.getAs[Double]("tau_b") == 0.0)
-    // constant x: every pair x-tied -> n0 == n1 -> null
+    // concordance family: x = {1,1,2}, y = {1,2,2} — pairs (1,1)-(2,2)
+    // concordant, (1,2)-(2,2) x differs y tied, (1,1)-(1,2) x tied:
+    // S = 1, C+D = 1 -> gamma 1.0; n0 = 3, n1 = 1 -> somers_d = 0.5
+    val fam = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("x", "y")
+    val rf = Analytics.kendallTauB(fam, col("x"), col("y")).collect().head
+    assert(rf.getAs[Long]("s") == 1L)
+    assert(rf.getAs[Double]("gamma") == 1.0)
+    assert(rf.getAs[Double]("somers_d") == 0.5)
+    // constant x: every pair x-tied -> n0 == n1 -> tau, somers null;
+    // gamma null too (C+D = 0)
     val const = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
-    assert(Analytics.kendallTauB(const, col("x"), col("y"))
-      .collect().head.isNullAt(5))
+    val rc = Analytics.kendallTauB(const, col("x"), col("y")).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("tau_b")) &&
+      rc.isNullAt(rc.fieldIndex("gamma")) &&
+      rc.isNullAt(rc.fieldIndex("somers_d")))
     graft.core.CacheRegistry.unpersistAll()
   }
 

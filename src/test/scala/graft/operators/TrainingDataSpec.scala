@@ -480,4 +480,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(0L) == ((2L, 10L, 7L, 4L, 285714L)))
     assert(out(1L) == ((1L, 10L, 10L, 0L, 0L)))
   }
+
+  test("concentration: HHI exact ppm; monopoly 1e6, k equal sources 1e6/k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // monopoly: one source holds everything
+    val mono = Seq("a", "a", "a").toDF("s")
+    val rm = TrainingData.concentration(mono, col("s")).collect().head
+    assert(rm.getAs[Long]("hhi_ppm") == 1000000L)
+    assert(rm.getAs[Long]("top_share_ppm") == 1000000L)
+    assert(rm.getAs[Long]("effective_k_milli") == 1000L)
+    // four equal sources: HHI = 1/4, effective k = 4.000
+    val eq = (1 to 4).flatMap(i => Seq.fill(5)(s"s$i")).toDF("s")
+    val re = TrainingData.concentration(eq, col("s")).collect().head
+    assert(re.getAs[Long]("k") == 4L && re.getAs[Long]("n") == 20L)
+    assert(re.getAs[Long]("hhi_ppm") == 250000L)
+    assert(re.getAs[Long]("effective_k_milli") == 4000L)
+    // 80/20 split: (16+1)/25 = 680000 ppm, top 800000
+    val skew = (Seq.fill(4)("big") ++ Seq("small")).toDF("s")
+    val rs = TrainingData.concentration(skew, col("s")).collect().head
+    assert(rs.getAs[Long]("hhi_ppm") == 680000L)
+    assert(rs.getAs[Long]("top_share_ppm") == 800000L)
+  }
 }
