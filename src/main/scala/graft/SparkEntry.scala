@@ -2297,6 +2297,20 @@ object SparkEntry {
     "q_hhi" -> ((s, d) =>
       TrainingData.concentration(t(s, d, "documents"), col("source"))),
 
+    // Cohen's d / Hedges' g on click-vs-purchase value cents — the
+    // effect-size readout beside q_abtest's significance.
+    "q_cohens_d" -> ((s, d) =>
+      Analytics.cohensD(t(s, d, "events"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"),
+        "click", "purchase")),
+
+    // Coarsened-exact-matching ATT: even-vs-odd users matched within
+    // DAY strata, exact micros terms, unmatched strata surfaced.
+    "q_matched_att" -> ((s, d) =>
+      Analytics.matchedAtt(t(s, d, "events"),
+        col("ts").cast("date"), col("user_id") % 2 === 0,
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))),
+
     // Shannon entropy + normalized diversity of the event-type mix.
     "q_entropy" -> ((s, d) =>
       Analytics.entropy(t(s, d, "events"), col("event_type"))),
@@ -5289,6 +5303,65 @@ object SparkEntry {
         |  round(CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE) /
         |    CAST(na * nb AS DOUBLE), 6) AS ks
         |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // exact decimal moments per arm, one IEEE pooled-SD shape
+    "q_cohens_d" ->
+      """WITH b AS (SELECT event_type AS arm,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL),
+        |per AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS q
+        |  FROM b GROUP BY 1),
+        |w AS (SELECT
+        |  max(CASE WHEN arm = 'click' THEN n END) AS n_a,
+        |  max(CASE WHEN arm = 'purchase' THEN n END) AS n_b,
+        |  max(CASE WHEN arm = 'click' THEN s END) AS sa,
+        |  max(CASE WHEN arm = 'purchase' THEN s END) AS sb,
+        |  max(CASE WHEN arm = 'click' THEN q END) AS qa,
+        |  max(CASE WHEN arm = 'purchase' THEN q END) AS qb
+        |  FROM per),
+        |f AS (SELECT n_a, n_b,
+        |  qa::DOUBLE - (sa * sa)::DOUBLE / n_a::DOUBLE AS ssa,
+        |  qb::DOUBLE - (sb * sb)::DOUBLE / n_b::DOUBLE AS ssb,
+        |  sa::DOUBLE / n_a::DOUBLE - sb::DOUBLE / n_b::DOUBLE AS gap
+        |  FROM w)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND ssa + ssb > 0 THEN
+        |    round(gap / sqrt((ssa + ssb) / (n_a::DOUBLE + n_b::DOUBLE - 2.0)), 6)
+        |  END AS d,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND ssa + ssb > 0 THEN
+        |    round(gap / sqrt((ssa + ssb) / (n_a::DOUBLE + n_b::DOUBLE - 2.0)) *
+        |      (1.0 - 3.0 / (4.0 * (n_a::DOUBLE + n_b::DOUBLE - 2.0) - 1.0)), 6)
+        |  END AS g
+        |FROM f""".stripMargin,
+
+    // per-stratum floor terms in HUGEINT, match-weighted average
+    "q_matched_att" ->
+      """WITH per AS (SELECT CAST(ts AS DATE) AS s,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0
+        |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS st,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0
+        |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sc
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |f AS (SELECT s, nt, nc, least(nt, nc) AS m,
+        |  CASE WHEN least(nt, nc) > 0 THEN
+        |    (CAST(st AS HUGEINT) * nc - CAST(sc AS HUGEINT) * nt) *
+        |      least(nt, nc) * 1000000 // (CAST(nt AS HUGEINT) * nc)
+        |  ELSE 0 END AS term
+        |  FROM per),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS strata_total,
+        |  CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS strata_used,
+        |  CAST(sum(CASE WHEN m > 0 THEN m ELSE 0 END) AS BIGINT) AS n_matched,
+        |  sum(term) AS num FROM f)
+        |SELECT strata_total, strata_used, n_matched,
+        |  CAST(CASE WHEN n_matched > 0 THEN num // n_matched END AS BIGINT)
+        |    AS att_micros
+        |FROM a""".stripMargin,
 
     // weight-CDF: first value whose cumulative cents reach ceil(p·W)
     "q_wquantile" ->

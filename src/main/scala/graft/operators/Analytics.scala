@@ -811,6 +811,89 @@ object Analytics {
             (col("n0") - col("n1")).cast("double"), 6)).as("somers_d"))
   }
 
+  /** Cohen's d / Hedges' g — the STANDARDIZED two-arm mean gap the
+    * [[abTest]] significance readout deliberately omits: a t-test
+    * says "unlikely under the null", d says "how big in
+    * noise units" (0.2/0.5/0.8 small/medium/large), and g applies the
+    * small-sample bias correction J = 1 − 3/(4(n−2)−1). Exact decimal
+    * moments per arm (count/sum/sum-of-squares, map-combinable), one
+    * fixed IEEE shape for the pooled SD and the two ratios, rounded
+    * 6dp. Output one row: (n_a, n_b, d, g); null when either arm has
+    * < 2 rows or the pooled variance is 0.
+    */
+  def cohensD(df: DataFrame, armCol: Column, valueCol: Column,
+      armA: String, armB: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = valueCol.cast("long")
+    val agg = df.where(armCol.cast("string").isin(armA, armB) && x.isNotNull)
+      .groupBy((armCol.cast("string") === armA).as("_isA"))
+      .agg(count(lit(1)).as("_n"), sum(dec(x)).as("_s"),
+        sum(dec(x) * x).as("_q"))
+    val a = agg.where(col("_isA"))
+      .select(col("_n").as("n_a"), col("_s").as("_sa"), col("_q").as("_qa"))
+    val b = agg.where(!col("_isA"))
+      .select(col("_n").as("n_b"), col("_s").as("_sb"), col("_q").as("_qb"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    // (n−1)·s² = Σx² − (Σx)²/n, exact numerators over IEEE division
+    val ssA = col("_qa").cast("double") -
+      (col("_sa") * col("_sa")).cast("double") / naD
+    val ssB = col("_qb").cast("double") -
+      (col("_sb") * col("_sb")).cast("double") / nbD
+    val sp = sqrt((ssA + ssB) / (naD + nbD - 2.0d))
+    val dEff = (col("_sa").cast("double") / naD -
+      col("_sb").cast("double") / nbD) / sp
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") >= 2L && col("n_b") >= 2L && ssA + ssB > 0.0d,
+          round(dEff, 6)).as("d"),
+        when(col("n_a") >= 2L && col("n_b") >= 2L && ssA + ssB > 0.0d,
+          round(dEff * (lit(1.0d) -
+            lit(3.0d) / (lit(4.0d) * (naD + nbD - 2.0d) - 1.0d)), 6)).as("g"))
+  }
+
+  /** Stratified exact-matching ATT — the estimator behind "match each
+    * treated row to a control in the same stratum and average the
+    * gaps", computed WITHOUT row-level matching: within a stratum
+    * every treated-control pairing has the same expected gap
+    * (ȳ_t − ȳ_c), so matching m = min(n_t, n_c) pairs contributes
+    * m·(ȳ_t − ȳ_c) — the per-stratum term lands as the exact micros
+    * floor m·(S_t·n_c − S_c·n_t)·10⁶ div (n_t·n_c) and the ATT is the
+    * match-weighted average Σterm div Σm. The coarsened-exact-matching
+    * workhorse (bucket a propensity/covariate into the stratum key
+    * first); strata missing an arm drop out — reported via
+    * strata_used vs strata_total so imbalance is never silent.
+    * One map-combinable groupBy + a 1-row summary. Output:
+    * (strata_total, strata_used, n_matched, att_micros).
+    */
+  def matchedAtt(df: DataFrame, stratumCol: Column, armCol: Column,
+      yCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val arm = armCol.cast("boolean")
+    val y = yCol.cast("long")
+    val per = df.where(stratumCol.isNotNull && arm.isNotNull && y.isNotNull)
+      .groupBy(stratumCol.as("_s"))
+      .agg(
+        sum(when(arm, 1L).otherwise(0L)).as("_nt"),
+        sum(when(!arm, 1L).otherwise(0L)).as("_nc"),
+        sum(when(arm, y).otherwise(0L)).as("_st"),
+        sum(when(!arm, y).otherwise(0L)).as("_sc"))
+      .withColumn("_m", least(col("_nt"), col("_nc")))
+      .withColumn("_term",
+        when(col("_m") > 0L,
+          ((dec(col("_st")) * col("_nc") - dec(col("_sc")) * col("_nt")) *
+            col("_m") * 1000000L)).otherwise(lit(0)))
+      .withColumn("_den",
+        when(col("_m") > 0L, dec(col("_nt")) * col("_nc")).otherwise(lit(1)))
+    per.agg(count(lit(1)).as("strata_total"),
+        sum(when(col("_m") > 0L, 1L).otherwise(0L)).as("strata_used"),
+        sum(when(col("_m") > 0L, col("_m")).otherwise(0L)).as("n_matched"),
+        sum(expr("_term div _den").cast("decimal(38,0)")).as("_num"))
+      .select(col("strata_total"), col("strata_used"), col("n_matched"),
+        when(col("n_matched") > 0L,
+          expr("_num div n_matched").cast("long")).as("att_micros"))
+  }
+
   /** Mantel-Haenszel pooled odds ratio + Cochran-Mantel-Haenszel
     * chi-square — the STRATIFIED 2×2 readout: a raw pooled A/B table
     * is Simpson's-paradox bait (a confounder that shifts both arm mix

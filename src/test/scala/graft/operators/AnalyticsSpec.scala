@@ -1082,6 +1082,37 @@ class AnalyticsSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("cohensD: hand pooled-SD effect; constant arms null") {
+    // a = {0,2}, b = {4,6}: pooled sp = sqrt2 -> d = -4/sqrt2 =
+    // -2.828427; g = d·(1 − 3/7) = -1.616244
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 4L), ("b", 6L)).toDF("arm", "v")
+    val r = Analytics.cohensD(df, col("arm"), col("v"), "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("d") == -2.828427)
+    assert(r.getAs[Double]("g") == -1.616244)
+    // zero variance in both arms: null effect
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 3L), ("b", 3L)).toDF("arm", "v")
+    val rc = Analytics.cohensD(const, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("d")))
+  }
+
+  test("matchedAtt: per-stratum exact micros terms; single-arm strata drop") {
+    val df = Seq(
+      ("s1", true, 10L), ("s1", false, 2L), ("s1", false, 4L),
+      ("s2", true, 5L), ("s2", true, 7L), ("s2", false, 1L),
+      ("s3", true, 9L) // no control -> unmatched
+    ).toDF("s", "arm", "y")
+    val r = Analytics.matchedAtt(df, col("s"), col("arm"), col("y"))
+      .collect().head
+    // s1: m=1, (10·2 − 6·1)/2 = 7 -> 7e6; s2: m=1, (12−2)/2 = 5 -> 5e6
+    // att = (7e6 + 5e6) div 2 = 6e6
+    assert(r.getAs[Long]("strata_total") == 3L)
+    assert(r.getAs[Long]("strata_used") == 2L)
+    assert(r.getAs[Long]("n_matched") == 2L)
+    assert(r.getAs[Long]("att_micros") == 6000000L)
+  }
+
   test("mantelHaenszel: pooled OR exact; balanced table OR 1 chi2 0") {
     def mk(spec: Seq[(String, Int, Int, Int, Int)]) = spec.flatMap {
       case (s, a, b, c, d) =>
