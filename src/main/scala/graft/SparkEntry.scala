@@ -3159,6 +3159,38 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // Ljung-Box portmanteau over the same daily series: one window
+    // pass carries all four lags; exact decimal moment sums, doubles
+    // only in the fixed-shape Q expression.
+    "q_ljung_box" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Analytics.ljungBox(daily, col("event_type"), Seq(col("day")),
+          col("cents"), Seq(1, 2, 3, 7))
+        .withColumnRenamed("key", "event_type")
+    }),
+
+    // Durbin-Watson lag-1 serial correlation of the daily series —
+    // the multiplied-out demeaning clears the mean exactly.
+    "q_durbin_watson" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Analytics.durbinWatson(daily, col("event_type"), Seq(col("day")),
+          col("cents"))
+        .withColumnRenamed("key", "event_type")
+    }),
+
+    // Likelihood-ratio G-test on the status x priority grid: observed
+    // cells only, margins broadcast, one ln per cell over exact int64
+    // ratios.
+    "q_gtest" -> ((s, d) =>
+      Analytics.gTest(t(s, d, "orders"),
+        col("o_orderstatus"), col("o_orderpriority"))),
+
     // Threshold sweep over exact candidate jaccard (ppm cut — no float
     // boundary): the dedup-tuning curve from ONE verification pass.
     "q_jaccard_sweep" -> ((s, d) =>
@@ -7388,6 +7420,89 @@ object SparkEntry {
         |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
         |  END AS r
         |FROM a""".stripMargin,
+
+    // same demeaned frame, all four lags in one window pass, Q in
+    // the same fixed (t1+t2+t3+t7)*n*(n+2) shape
+    "q_ljung_box" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s FROM daily GROUP BY 1),
+        |y AS (SELECT daily.k AS k, n, day, CAST(n AS HUGEINT) * x - s AS y
+        |  FROM daily JOIN st USING (k)),
+        |l AS (SELECT k, n, y,
+        |  lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+        |  lag(y, 3) OVER w AS y3, lag(y, 7) OVER w AS y7
+        |  FROM y WINDOW w AS (PARTITION BY k ORDER BY day)),
+        |a AS (SELECT k, any_value(n) AS n, sum(y * y) AS den,
+        |  sum(y * y1) AS n1, sum(y * y2) AS n2,
+        |  sum(y * y3) AS n3, sum(y * y7) AS n7
+        |  FROM l GROUP BY k),
+        |r AS (SELECT k, n,
+        |  CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+        |  CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+        |  CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3,
+        |  CAST(n7 AS DOUBLE) / CAST(den AS DOUBLE) AS r7,
+        |  (n <= 7 OR CAST(den AS DOUBLE) <= 0) AS bad FROM a)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN bad THEN NULL ELSE
+        |    CAST(round(r1 * 1000000) AS BIGINT) END AS rho1_ppm,
+        |  CASE WHEN bad THEN NULL ELSE
+        |    CAST(round(r2 * 1000000) AS BIGINT) END AS rho2_ppm,
+        |  CASE WHEN bad THEN NULL ELSE
+        |    CAST(round(r3 * 1000000) AS BIGINT) END AS rho3_ppm,
+        |  CASE WHEN bad THEN NULL ELSE
+        |    CAST(round(r7 * 1000000) AS BIGINT) END AS rho7_ppm,
+        |  CASE WHEN bad THEN NULL ELSE CAST(round(
+        |    (((r1 * r1 / (CAST(n AS DOUBLE) - 1.0)
+        |       + r2 * r2 / (CAST(n AS DOUBLE) - 2.0)
+        |       + r3 * r3 / (CAST(n AS DOUBLE) - 3.0)
+        |       + r7 * r7 / (CAST(n AS DOUBLE) - 7.0))
+        |      * CAST(n AS DOUBLE)) * (CAST(n AS DOUBLE) + 2.0))
+        |    * 1000000) AS BIGINT) END AS q_ppm
+        |FROM r""".stripMargin,
+
+    // same frame, lag-1 squared-difference ratio with the matching
+    // n-scale on both legs
+    "q_durbin_watson" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s FROM daily GROUP BY 1),
+        |l AS (SELECT daily.k AS k, n,
+        |  CAST(n AS HUGEINT) * x - s AS y,
+        |  CAST(n AS HUGEINT) *
+        |    (x - lag(x) OVER (PARTITION BY daily.k ORDER BY day)) AS dx
+        |  FROM daily JOIN st USING (k)),
+        |a AS (SELECT k, any_value(n) AS n, sum(y * y) AS den,
+        |  sum(dx * dx) AS num FROM l GROUP BY k)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN n < 2 OR CAST(den AS DOUBLE) <= 0 THEN NULL
+        |  ELSE CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |    * 1000000) AS BIGINT) END AS dw_ppm
+        |FROM a""".stripMargin,
+
+    // observed-cells-only G: zero cells contribute 0, margins joined
+    // back, per-cell bigint ppm terms summed
+    "q_gtest" ->
+      """WITH cells AS (SELECT o_orderstatus AS x, o_orderpriority AS y,
+        |  CAST(count(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(o) AS BIGINT) AS rx FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(o) AS BIGINT) AS cy FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT x) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT y) AS BIGINT) AS c FROM cells)
+        |SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+        |  CAST(sum(CAST(round(2.0 * o *
+        |    ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) /
+        |       (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)))
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS g_ppm
+        |FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+        |GROUP BY n, r, c""".stripMargin,
 
     // same df-capped candidates, ppm jaccard, threshold cross join
     "q_jaccard_sweep" ->

@@ -3594,4 +3594,136 @@ object Analytics {
       .select(col("id"), col("p_micros"), col("rank"),
         (col("rank") <= col("_cut")).as("rejected"))
   }
+
+  /** Shared per-key demeaned frame behind [[ljungBox]] and
+    * [[durbinWatson]]: joins each series row with its key's (n, Σx)
+    * so the multiplied-out deviation y_t = n·x_t − Σx is an EXACT
+    * decimal(38,0) — the [[kendallTauB]] trick of clearing the mean's
+    * division before any product. One hash-agg + one join, both on
+    * the key the downstream window re-uses, so the exchange is paid
+    * once. Columns: key cols + `_x` (long), `_n`, `_s`, `_y`.
+    */
+  private def demeanedSeries(df: DataFrame, keyCol: Column,
+      orderBy: Seq[Column], centsCol: Column): DataFrame = {
+    val base = df.where(centsCol.isNotNull)
+      .select((keyCol.as("_k") +: orderBy) :+ centsCol.cast("long").as("_x"): _*)
+    val stats = base.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"))
+    base.join(stats, Seq("_k"))
+      .withColumn("_y",
+        col("_n").cast("decimal(38,0)") * col("_x") - col("_s"))
+  }
+
+  /** Ljung-Box portmanteau Q over a fixed lag set — the "is this
+    * series white noise" test a forecasting pipeline runs on its
+    * residuals (Box/Jenkins; the statsmodels `acorr_ljungbox`
+    * contract):
+    *
+    * {{{ Q = n(n+2) Σ_k ρ_k² / (n−k),   ρ_k = Σ y_t·y_{t−k} / Σ y_t² }}}
+    *
+    * with y the demeaned series. The mean's division is cleared by
+    * the multiplied-out y = n·x − Σx (exact decimal(38,0), see
+    * [[demeanedSeries]]), so every Σ is an exact integer and doubles
+    * appear only in the one fixed-shape final expression — the per-lag
+    * terms are literal columns combined in lag order, never a
+    * shuffle-ordered float sum. ALL lags ride ONE window pass
+    * (per-key hash exchange, m lag columns) and one hash-agg.
+    * Keys with n ≤ max(lags) or zero variance return null q_ppm.
+    * Output: (key, n, rho ppm per lag as rho{k}_ppm, q_ppm).
+    */
+  def ljungBox(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
+      centsCol: Column, lags: Seq[Int] = Seq(1, 2, 3, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1) && lags == lags.sorted &&
+      lags.distinct == lags, s"ljungBox: lags must be distinct ascending >= 1, got $lags")
+    val w = Window.partitionBy(col("_k")).orderBy(orderBy.map(_.asc): _*)
+    val lagged = demeanedSeries(df, keyCol, orderBy, centsCol)
+      .select(Seq(col("_k"), col("_n"), col("_y")) ++
+        lags.map(k => lag(col("_y"), k).over(w).as(s"_y$k")): _*)
+    val agg = lagged.groupBy(col("_k").as("key"))
+      .agg(first(col("_n")).as("n"),
+        (sum(col("_y") * col("_y")).as("_den") +:
+          lags.map(k => sum(col("_y") * col(s"_y$k")).as(s"_num$k"))): _*)
+    val nD = col("n").cast("double")
+    def rho(k: Int) = col(s"_num$k").cast("double") / col("_den").cast("double")
+    // fixed lag-order fold — the term sum's shape is in the PLAN, so
+    // it is bit-stable and mirrors the oracle's literal (t1+t2+...)
+    val q = lags.map(k => rho(k) * rho(k) / (nD - lit(k.toDouble)))
+      .reduce(_ + _) * nD * (nD + lit(2.0d))
+    val guard = col("n") <= lit(lags.max.toLong) ||
+      col("_den").cast("double") <= 0.0d
+    agg.select(Seq(col("key"), col("n")) ++
+      lags.map(k => when(guard, lit(null).cast("long"))
+        .otherwise(expr(s"CAST(round(CAST(_num$k AS DOUBLE) / CAST(_den AS DOUBLE) * 1000000) AS BIGINT)"))
+        .as(s"rho${k}_ppm")) :+
+      when(guard, lit(null).cast("long"))
+        .otherwise(round(q * lit(1000000.0d)).cast("long")).as("q_ppm"): _*)
+  }
+
+  /** Durbin-Watson first-order autocorrelation statistic per key —
+    * the regression-residual serial-correlation check (≈2 means no
+    * lag-1 structure; <2 positive, >2 negative):
+    *
+    * {{{ DW = Σ_{t≥2} (x_t − x_{t−1})² / Σ_t (x_t − x̄)² }}}
+    *
+    * The mean clears via the same multiplied-out deviation as
+    * [[ljungBox]] (numerator terms get the matching n² factor as
+    * (n·Δx)², so the scale cancels exactly): both sums are exact
+    * decimal(38,0), one per-key window for the lag, one hash-agg,
+    * one double division at the end. Keys with n < 2 or zero
+    * variance return null. Output: (key, n, dw_ppm).
+    */
+  def durbinWatson(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
+      centsCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("_k")).orderBy(orderBy.map(_.asc): _*)
+    val lagged = demeanedSeries(df, keyCol, orderBy, centsCol)
+      .withColumn("_dx",
+        col("_n").cast("decimal(38,0)") * (col("_x") - lag(col("_x"), 1).over(w)))
+    lagged.groupBy(col("_k").as("key"))
+      .agg(first(col("_n")).as("n"),
+        sum(col("_y") * col("_y")).as("_den"),
+        sum(col("_dx") * col("_dx")).as("_num"))
+      .select(col("key"), col("n"),
+        when(col("n") < 2L || col("_den").cast("double") <= 0.0d,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(round(CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE) * 1000000) AS BIGINT)"))
+          .as("dw_ppm"))
+  }
+
+  /** Likelihood-ratio G-test of independence on a contingency grid —
+    * [[cramersV]]'s χ² sibling (G is additive across table collapses
+    * and the form information theory prefers: G = 2N·MI in nats):
+    *
+    * {{{ G = 2 Σ_cells O·ln(O·N / (R·C)) }}}
+    *
+    * Zero cells contribute 0 (lim x·ln x), so the sum stays over the
+    * OBSERVED cell frame (|X|·|Y|-bounded, margins broadcast back)
+    * with no dense-grid materialization. Each cell's term is the
+    * integer round of 2·O·ln(O·N/(R·C))·10⁶ — ln over an exact
+    * int64 product ratio is the only transcendental, and the bigint
+    * term sum is shuffle-order-proof. One row:
+    * (n, r, c, dof, g_ppm).
+    */
+  def gTest(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.where(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val n = cells.agg(sum(col("n_xy")).as("_n"),
+      count_distinct(col("x")).as("r"), count_distinct(col("y")).as("c"))
+    cells
+      .join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(n))
+      .select(col("_n"), col("r"), col("c"),
+        expr("""CAST(round(2.0 * n_xy *
+          ln(CAST(n_xy AS DOUBLE) * CAST(_n AS DOUBLE) /
+             (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1000000)
+          AS BIGINT)""").as("_t"))
+      .groupBy(col("_n").as("n"), col("r"), col("c"))
+      .agg(sum(col("_t")).as("g_ppm"))
+      .select(col("n"), col("r"), col("c"),
+        ((col("r") - 1L) * (col("c") - 1L)).as("dof"), col("g_ppm"))
+  }
 }

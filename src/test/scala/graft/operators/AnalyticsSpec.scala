@@ -1620,4 +1620,90 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.averagePrecision(perfect, col("y"), col("s"), Seq(col("id")))
       .collect().head.getLong(2) == 1000000L)
   }
+
+  test("ljungBox: matches a naive double reimplementation; degenerate keys null") {
+    // xs small enough that the naive double path is exact, so the
+    // decimal engine must agree to the ppm
+    def expected(xs: Seq[Long], lags: Seq[Int]): (Seq[Long], Long) = {
+      val n = xs.length
+      val s = xs.sum.toDouble
+      val ys = xs.map(x => n.toDouble * x - s)
+      val den = ys.map(y => y * y).sum
+      val rhos = lags.map(k => (k until n).map(t => ys(t) * ys(t - k)).sum / den)
+      val q = lags.zip(rhos).map { case (k, r) => r * r / (n - k) }
+        .reduce(_ + _) * n * (n + 2.0)
+      (rhos.map(r => math.round(r * 1e6)), math.round(q * 1e6))
+    }
+    val trend = Seq(100L, 220L, 290L, 410L, 480L, 640L, 690L, 830L, 870L, 1010L)
+    val lags = Seq(1, 2, 3)
+    val rows =
+      trend.zipWithIndex.map { case (x, i) => ("t", i.toLong, x) } ++
+        Seq(("short", 0L, 5L), ("short", 1L, 9L)) ++ // n <= max lag -> null
+        (0 until 8).map(i => ("flat", i.toLong, 7L)) // zero variance -> null
+    val df = rows.toDF("k", "i", "x")
+    val out = Analytics.ljungBox(df, col("k"), Seq(col("i")), col("x"), lags)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (expRhos, expQ) = expected(trend, lags)
+    val t = out("t")
+    assert(t.getAs[Long]("n") == 10L)
+    assert(lags.indices.forall(i =>
+      t.getAs[Long](s"rho${lags(i)}_ppm") == expRhos(i)))
+    assert(t.getAs[Long]("q_ppm") == expQ)
+    assert(t.getAs[Long]("q_ppm") > 0L) // a trend is loudly non-white
+    Seq("short", "flat").foreach { k =>
+      assert(out(k).isNullAt(out(k).fieldIndex("q_ppm")))
+      assert(out(k).isNullAt(out(k).fieldIndex("rho1_ppm")))
+    }
+  }
+
+  test("durbinWatson: alternating ~4, trend ~0-ish, degenerate null") {
+    def expected(xs: Seq[Long]): Long = {
+      val n = xs.length
+      val s = xs.sum.toDouble
+      val den = xs.map(x => { val y = n * x - s; y * y }).sum
+      val num = xs.sliding(2).map { case Seq(a, b) =>
+        val d = n.toDouble * (b - a); d * d }.sum
+      math.round(num / den * 1e6)
+    }
+    val alt = Seq(10L, -10L, 10L, -10L, 10L, -10L)
+    val trend = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val rows = alt.zipWithIndex.map { case (x, i) => ("alt", i.toLong, x) } ++
+      trend.zipWithIndex.map { case (x, i) => ("tr", i.toLong, x) } ++
+      Seq(("one", 0L, 42L)) ++
+      (0 until 4).map(i => ("flat", i.toLong, 3L))
+    val out = Analytics.durbinWatson(rows.toDF("k", "i", "x"),
+        col("k"), Seq(col("i")), col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("alt").getAs[Long]("dw_ppm") == expected(alt))
+    assert(out("alt").getAs[Long]("dw_ppm") > 3000000L) // negative autocorr >> 2
+    assert(out("tr").getAs[Long]("dw_ppm") == expected(trend))
+    assert(out("tr").getAs[Long]("dw_ppm") < 1000000L)  // positive autocorr < 1
+    Seq("one", "flat").foreach(k =>
+      assert(out(k).isNullAt(out(k).fieldIndex("dw_ppm"))))
+  }
+
+  test("gTest: exact independence is 0; known 2x2 matches the ln formula") {
+    // perfectly independent 2x2 (margins 30/30 x 20/40): every cell
+    // term ln(O*N/(R*C)) = ln 1 = 0
+    val indep = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(20)(("b", "y"))
+    val r0 = Analytics.gTest(indep.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(r0.getAs[Long]("n") == 60L && r0.getAs[Long]("dof") == 1L)
+    assert(r0.getAs[Long]("g_ppm") == 0L)
+    // skewed 2x2: per-cell integer-rounded ppm terms, summed
+    val counts = Map(("a", "x") -> 30L, ("a", "y") -> 10L,
+      ("b", "x") -> 5L, ("b", "y") -> 25L)
+    val rows = counts.toSeq.flatMap { case ((u, v), c) =>
+      Seq.fill(c.toInt)((u, v)) }
+    val n = counts.values.sum.toDouble
+    val rx = counts.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val cy = counts.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val exp = counts.map { case ((u, v), o) =>
+      math.round(2.0 * o * math.log(o * n / (rx(u).toDouble * cy(v))) * 1e6)
+    }.sum
+    val r1 = Analytics.gTest(rows.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(r1.getAs[Long]("g_ppm") == exp && r1.getAs[Long]("g_ppm") > 0L)
+  }
 }
