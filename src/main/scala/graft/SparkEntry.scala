@@ -2255,6 +2255,13 @@ object SparkEntry {
       Analytics.cramerVonMises(t(s, d, "events"), col("event_type"),
         col("value"), "click", "purchase")),
 
+    // Anderson–Darling completes the CDF-gap triple: the same squared
+    // gaps re-weighted by 1/(F(1−F)) so TAIL drift dominates — exact
+    // per-value ppm floors summed, one prefix pass.
+    "q_ad" -> ((s, d) =>
+      Analytics.andersonDarling(t(s, d, "events"), col("event_type"),
+        col("value"), "click", "purchase")),
+
     // Cochran-Armitage: does fulfillment trend with the order-priority
     // tier (1-URGENT..5-LOW) — exact ppm z² with df=1 fences.
     "q_trend_test" -> ((s, d) =>
@@ -3239,6 +3246,13 @@ object SparkEntry {
     // exact doubled midranks + tie correction, no global sort.
     "q_kruskal" -> ((s, d) =>
       Analytics.kruskalWallis(t(s, d, "orders"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
+
+    // Mood's median test over the same arms: split every order at the
+    // pooled median price and chi-square the 2×k straddle table —
+    // the monotone-transform-immune sibling of q_kruskal.
+    "q_mood" -> ((s, d) =>
+      Analytics.moodMedian(t(s, d, "orders"), col("o_orderpriority"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
 
     // Jensen-Shannon divergence between the en and es corpora's word
@@ -5553,6 +5567,26 @@ object SparkEntry {
         |    * 1000000 // (na * nb * (na + nb) * (na + nb)) AS BIGINT) AS t_ppm
         |FROM c, t GROUP BY na, nb""".stripMargin,
 
+    // same per-value CDF frame, per-term 1/(B(N−B))-weighted ppm
+    // floors in HUGEINT, the B = N row excluded
+    "q_ad" ->
+      """WITH pv AS (SELECT value AS v,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL GROUP BY value),
+        |c AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) AS cuma,
+        |  sum(ca + cb) OVER (ORDER BY v) AS b FROM pv),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM pv)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(sum(CASE WHEN b < na + nb THEN
+        |    (CAST(ca + cb AS HUGEINT) *
+        |     ((na + nb) * cuma - na * b) * ((na + nb) * cuma - na * b) * 1000000)
+        |    // (CAST(b AS HUGEINT) * (na + nb - b) * na * nb) ELSE 0 END)
+        |    AS BIGINT) AS a2_ppm
+        |FROM c, t GROUP BY na, nb""".stripMargin,
+
     // H = ln N − (Σ n·ln n)/N with 6dp DECIMAL term sums
     "q_entropy" ->
       """WITH c AS (SELECT event_type AS x, CAST(count(*) AS BIGINT) AS n
@@ -7677,6 +7711,38 @@ object SparkEntry {
         |      (1.0 - t::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)),
         |      6) END AS h_corrected
         |FROM agg, tt""".stripMargin,
+
+    // pooled-median straddle table, per-cell exact ppm floors in HUGEINT
+    "q_mood" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |vc AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1),
+        |cdf AS (SELECT v, sum(cv) OVER (ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS b FROM vc),
+        |nt AS (SELECT CAST(sum(cv) AS BIGINT) AS n FROM vc),
+        |med AS (SELECT min(v) AS m FROM cdf, nt WHERE b >= (n + 1) // 2),
+        |pg AS (SELECT g,
+        |  CAST(sum(CASE WHEN v <= m THEN c ELSE 0 END) AS BIGINT) AS lo,
+        |  CAST(sum(CASE WHEN v > m THEN c ELSE 0 END) AS BIGINT) AS hi
+        |  FROM cells, med GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(lo + hi) AS BIGINT) AS n, CAST(sum(lo) AS BIGINT) AS cl,
+        |  CAST(sum(hi) AS BIGINT) AS ch FROM pg)
+        |SELECT k, n, m AS median,
+        |  CAST(sum(
+        |    (CASE WHEN (lo + hi) * cl > 0 THEN
+        |      (CAST(lo AS HUGEINT) * n - CAST(lo + hi AS HUGEINT) * cl) *
+        |      (CAST(lo AS HUGEINT) * n - CAST(lo + hi AS HUGEINT) * cl) * 1000000
+        |      // (CAST(n AS HUGEINT) * (lo + hi) * cl) ELSE 0 END) +
+        |    (CASE WHEN (lo + hi) * ch > 0 THEN
+        |      (CAST(hi AS HUGEINT) * n - CAST(lo + hi AS HUGEINT) * ch) *
+        |      (CAST(hi AS HUGEINT) * n - CAST(lo + hi AS HUGEINT) * ch) * 1000000
+        |      // (CAST(n AS HUGEINT) * (lo + hi) * ch) ELSE 0 END)) AS BIGINT)
+        |    AS chi2_ppm
+        |FROM pg, tt, med GROUP BY k, n, m""".stripMargin,
 
     // same union-vocab full outer + ½ p ln(2p/(p+q)) 6dp decimal terms
     "q_js_div" ->

@@ -1000,6 +1000,134 @@ object Analytics {
           expr("_num * 1000000 div _den").cast("long")).as("t_ppm"))
   }
 
+  /** EXACT two-sample Anderson–Darling statistic — the tail-weighted
+    * member of the CDF-gap family: KS reads the worst gap,
+    * [[cramerVonMises]] integrates the squared gap uniformly, AD
+    * re-weights each squared gap by 1/(F(1−F)) so divergence in the
+    * DISTRIBUTION TAILS (where F(1−F) → 0) counts hardest — the test
+    * of choice when the drift you fear is tail drift (latency p99s,
+    * outlier-heavy value columns). Tie-robust discrete form over the
+    * pooled per-value CDF (Pettitt 1976's A²_nm with multiplicities):
+    *
+    * {{{ A² = (1/(n·m)) Σ_{B<N} c·(N·cumA − n·B)² / (B·(N−B)) }}}
+    *
+    * where per distinct value: c = combined count, cumA = running
+    * count of sample a, B = running combined count, N = n+m (the
+    * B = N term is excluded — its weight is 0/0 and the untied form
+    * stops at N−1). Every per-value term is floored to ppm as an
+    * exact integer — (10⁶·c·(N·cumA − n·B)²) div (B·(N−B)·n·m) on
+    * decimal(38,0)-widened products (the square passes int64 at
+    * corpus scale) — and the sum of those floors is the emitted
+    * statistic, bit-identical on any engine with exact integer
+    * division (DuckDB runs the same floors in HUGEINT).
+    *
+    * Same distributed shape as KS/CvM: ONE (value) hash-aggregate,
+    * ONE [[Relational.prefixSums]] pass, a broadcast totals row, one
+    * final aggregate — no global window at any width. Output:
+    * (n_a, n_b, a2_ppm).
+    */
+  def andersonDarling(df: DataFrame, groupCol: Column, valueCol: Column,
+      a: String, b: String): DataFrame = {
+    val perValue = df
+      .where(groupCol.isin(a, b) && valueCol.isNotNull)
+      .select(valueCol.as("_v"), groupCol.as("_g"))
+      .groupBy(col("_v"))
+      .agg(
+        sum(when(col("_g") === a, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === b, 1L).otherwise(0L)).as("_cb"))
+    val cums = Relational.prefixSums(perValue, Seq(col("_v")),
+      Seq(col("_ca") -> "_cumA", col("_cb") -> "_cumB"))
+    val totals = perValue.agg(
+      sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    cums.crossJoin(broadcast(totals))
+      .withColumn("_B", col("_cumA") + col("_cumB"))
+      .withColumn("_N", col("_na") + col("_nb"))
+      // per-term ppm floor (numerator is a square, so `div` IS floor);
+      // the last pooled value (B = N) carries zero AD weight
+      .withColumn("_term",
+        when(col("_B") < col("_N"),
+          (dec(col("_ca") + col("_cb")) *
+            (dec(col("_N")) * col("_cumA") - dec(col("_na")) * col("_B")) *
+            (dec(col("_N")) * col("_cumA") - dec(col("_na")) * col("_B")) *
+            lit(1000000L)))
+          .otherwise(lit(null)))
+      .withColumn("_den",
+        dec(col("_B")) * (col("_N") - col("_B")) * col("_na") * col("_nb"))
+      .groupBy(col("_na").as("n_a"), col("_nb").as("n_b"))
+      .agg(sum(when(col("_term").isNotNull && col("_den") > 0,
+        expr("_term div _den")).otherwise(lit(0L)).cast("decimal(38,0)"))
+        .as("_sum"))
+      .select(col("n_a"), col("n_b"),
+        col("_sum").cast("long").as("a2_ppm"))
+  }
+
+  /** Mood's median test — the coarse-but-assumption-light k-sample
+    * location test: split EVERY value at the pooled (lower) median
+    * and chi-square the resulting 2×k (≤median / >median) table. It
+    * asks only "do the groups straddle the common middle differently"
+    * — immune to any monotone transform of the values, the robust
+    * sibling of [[kruskalWallis]] when even ranks feel too parametric
+    * (heavy censoring at a detection limit, say).
+    *
+    * Exactness: the pooled lower median is the smallest value whose
+    * running combined count reaches ⌈N/2⌉ = (N+1) div 2 (exact
+    * integer frontier off ONE [[Relational.prefixSums]] pass — never
+    * a global window); the statistic is the per-cell exact ppm floor
+    * sum χ² = Σ_cells (O·N − R·C)² div (N·R·C) over
+    * decimal(38,0)-widened products, where R is the group total and
+    * C the ≤/> column total. Cells with a zero marginal contribute
+    * nothing (their expectation is 0 = observed). Output:
+    * (k, n, median, chi2_ppm).
+    *
+    * Shape: one (group, value) hash-aggregate (the only corpus-scale
+    * shuffle), a |values|-row prefix pass, then k-row frames with
+    * broadcast 1-row totals.
+    */
+  def moodMedian(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(groupCol.isNotNull && valueCol.isNotNull)
+        .groupBy(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .agg(count(lit(1)).as("_c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perValue = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val cums = Relational.prefixSums(perValue, Seq(col("_v")),
+      Seq(col("_cv") -> "_B"))
+    val n = perValue.agg(sum(col("_cv")).as("_n"))
+    val median = cums.crossJoin(broadcast(n))
+      .where(col("_B") >= expr("(_n + 1) div 2"))
+      .agg(min(col("_v")).as("_med"))
+    val perGroup = cells.crossJoin(broadcast(median))
+      .groupBy(col("_g"))
+      .agg(
+        sum(when(col("_v") <= col("_med"), col("_c")).otherwise(0L)).as("_lo"),
+        sum(when(col("_v") > col("_med"), col("_c")).otherwise(0L)).as("_hi"))
+    val tots = perGroup.agg(
+      count(lit(1)).as("_k"), sum(col("_lo") + col("_hi")).as("_nn"),
+      sum(col("_lo")).as("_CL"), sum(col("_hi")).as("_CH"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def cell(o: Column, colTot: Column): Column = {
+      val num = (dec(o) * col("_nn") - dec(col("_lo") + col("_hi")) * colTot) *
+        (dec(o) * col("_nn") - dec(col("_lo") + col("_hi")) * colTot) *
+        lit(1000000L)
+      val den = dec(col("_nn")) * (col("_lo") + col("_hi")) * colTot
+      when(den > 0, num.cast("decimal(38,0)")).otherwise(lit(null))
+    }
+    perGroup.crossJoin(broadcast(tots)).crossJoin(broadcast(median))
+      .withColumn("_nl", cell(col("_lo"), col("_CL")))
+      .withColumn("_dl", dec(col("_nn")) * (col("_lo") + col("_hi")) * col("_CL"))
+      .withColumn("_nh", cell(col("_hi"), col("_CH")))
+      .withColumn("_dh", dec(col("_nn")) * (col("_lo") + col("_hi")) * col("_CH"))
+      .groupBy(col("_k").as("k"), col("_nn").as("n"), col("_med").as("median"))
+      .agg(sum(
+        coalesce(expr("_nl div _dl"), lit(0L).cast("decimal(38,0)")) +
+          coalesce(expr("_nh div _dh"), lit(0L).cast("decimal(38,0)")))
+        .as("_chi"))
+      .select(col("k"), col("n"), col("median"),
+        col("_chi").cast("long").as("chi2_ppm"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13) — the standard
     * experiment-sensitivity trick: regress each user's post-period
     * metric on their PRE-period covariate and compare arms on the

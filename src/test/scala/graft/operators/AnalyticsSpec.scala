@@ -1161,6 +1161,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.getLong(2) == 375000L)
   }
 
+  test("andersonDarling: hand tail-weighted terms; identical samples give 0") {
+    // a = {1,2}, b = {2,3}: at v=1 gap² = (4·1−2·1)² = 4, w-den
+    // = 1·3·4 = 12 -> 333333; at v=2 c=2, gap² = (4·2−2·3)² = 4,
+    // num 8e6 / den 3·1·4 -> 666666; v=3 has B=N (skipped).
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val r = Analytics.andersonDarling(df, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 999999L)
+    // identical distributions: every gap 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    assert(Analytics.andersonDarling(same, col("g"), col("v"), "a", "b")
+      .collect().head.getLong(2) == 0L)
+    // disjoint supports: terms 333333 + 1000000 + 333333 — note the
+    // MIDDLE value (B = N/2, both tails balanced) carries the max
+    // CvM-style weight but AD's 1/(B(N−B)) boosts the edges relative
+    // to CvM's uniform c weighting
+    val dis = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    assert(Analytics.andersonDarling(dis, col("g"), col("v"), "a", "b")
+      .collect().head.getLong(2) == 1666666L)
+  }
+
+  test("moodMedian: pooled-median split chi-square; degenerate ties give 0") {
+    // a = {1,2,3}, b = {4,5,6}: pooled lower median 3, complete
+    // separation -> each cell (O·N−R·C)² = 81, den 54 -> 4 × 1.5e6
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val r = Analytics.moodMedian(df, col("g"), col("v")).collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("median") == 3L)
+    assert(r.getAs[Long]("chi2_ppm") == 6000000L)
+    // all-tied input: everything <= median, the > column is empty ->
+    // zero-marginal cells contribute nothing, statistic 0
+    val tied = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("g", "v")
+    val rt = Analytics.moodMedian(tied, col("g"), col("v")).collect().head
+    assert(rt.getAs[Long]("median") == 7L && rt.getAs[Long]("chi2_ppm") == 0L)
+    // identical group distributions: O == E exactly in every cell
+    val bal = Seq(("a", 1L), ("a", 9L), ("b", 1L), ("b", 9L)).toDF("g", "v")
+    assert(Analytics.moodMedian(bal, col("g"), col("v"))
+      .collect().head.getAs[Long]("chi2_ppm") == 0L)
+  }
+
   test("holtWinters: hand fold with a learned weekly bump") {
     // period 2 for hand math: x = 10, 20, 10, 20 at pos 0,1,0,1
     // seed: l=10 b=0 s=[0,0]
