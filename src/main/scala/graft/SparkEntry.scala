@@ -3255,6 +3255,27 @@ object SparkEntry {
       Analytics.moodMedian(t(s, d, "orders"), col("o_orderpriority"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
 
+    // Jonckheere-Terpstra: does order VALUE rise monotonically with
+    // the priority tier (1-URGENT..5-LOW)? Bounded cell grid: 5 tiers
+    // × ~$10k price buckets, exact doubled pair counts.
+    "q_jt" -> ((s, d) =>
+      Analytics.jonckheereTerpstra(t(s, d, "orders"),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " div 1000000"))),
+
+    // Page's L over the q_friedman blocks with the funnel order
+    // view < click < purchase hypothesized: do per-user event counts
+    // rise along the funnel? Doubled midranks, complete blocks only.
+    "q_page" -> ((s, d) =>
+      Analytics.pageTrend(
+        t(s, d, "events").where(
+          col("event_type").isin("click", "view", "purchase")),
+        col("user_id"),
+        when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "click", 2L).otherwise(3L),
+        lit(1L))),
+
     // Jensen-Shannon divergence between the en and es corpora's word
     // distributions — the symmetric corpus-distance mixing readout.
     "q_js_div" -> ((s, d) => {
@@ -6869,6 +6890,48 @@ object SparkEntry {
         |  END AS chi2_ppm
         |FROM agg, dr""".stripMargin,
 
+    // same complete-block midranks, position-weighted rank sums, one
+    // ppm floor against the no-tie variance
+    "q_page" ->
+      """WITH cells AS (SELECT user_id AS b,
+        |  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 3 END
+        |    AS t,
+        |  CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IN ('click', 'view', 'purchase') GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t) AS k FROM cells),
+        |sized AS (SELECT b, t, v, count(*) OVER (PARTITION BY b) AS bn
+        |  FROM cells),
+        |dr AS (SELECT CAST(count(DISTINCT CASE WHEN bn <> kk.k THEN b END)
+        |    AS BIGINT) AS n_dropped FROM sized, kk),
+        |ranked AS (SELECT b, t, v,
+        |  rank() OVER (PARTITION BY b ORDER BY v) AS rk,
+        |  count(*) OVER (PARTITION BY b, v) AS ties
+        |  FROM sized, kk WHERE bn = kk.k),
+        |mr AS (SELECT t, 2 * rk + ties - 1 AS mr2 FROM ranked),
+        |pt AS (SELECT t, CAST(count(*) AS BIGINT) AS nb,
+        |  CAST(sum(mr2) AS HUGEINT) AS rj FROM mr GROUP BY 1),
+        |wt AS (SELECT max(nb) AS n_blocks,
+        |  sum(CAST(j AS HUGEINT) * rj) AS l2 FROM
+        |  (SELECT nb, rj, rank() OVER (ORDER BY t) AS j FROM pt)),
+        |z AS (SELECT CAST(n_blocks AS BIGINT) AS n_blocks, dr.n_dropped,
+        |  CAST(kk.k AS BIGINT) AS k, CAST(l2 AS BIGINT) AS l2,
+        |  CAST(CAST(n_blocks AS HUGEINT) * kk.k * (kk.k + 1) * (kk.k + 1)
+        |    // 2 AS BIGINT) AS e2,
+        |  CASE WHEN CAST(n_blocks AS HUGEINT) * kk.k * kk.k * (kk.k + 1) *
+        |      (kk.k * kk.k - 1) > 0 THEN
+        |    CAST((l2 - CAST(n_blocks AS HUGEINT) * kk.k * (kk.k + 1) *
+        |        (kk.k + 1) // 2) *
+        |      (l2 - CAST(n_blocks AS HUGEINT) * kk.k * (kk.k + 1) *
+        |        (kk.k + 1) // 2) * 36 * 1000000
+        |      // (CAST(n_blocks AS HUGEINT) * kk.k * kk.k * (kk.k + 1) *
+        |        (kk.k * kk.k - 1)) AS BIGINT)
+        |  END AS z2_ppm
+        |  FROM wt, dr, kk)
+        |SELECT n_blocks, n_dropped, k, l2, e2, z2_ppm,
+        |  z2_ppm > 3841459 AS trend_95, z2_ppm > 6634897 AS trend_99
+        |FROM z""".stripMargin,
+
     // same daily series; window CDF + QUALIFY-style argmax via row_number
     "q_changepoint" ->
       """WITH daily AS (SELECT event_type AS g,
@@ -7743,6 +7806,37 @@ object SparkEntry {
         |      // (CAST(n AS HUGEINT) * (lo + hi) * ch) ELSE 0 END)) AS BIGINT)
         |    AS chi2_ppm
         |FROM pg, tt, med GROUP BY k, n, m""".stripMargin,
+
+    // doubled pair counts over the bounded (tier, bucket) cell grid,
+    // no-tie variance, one ppm floor in HUGEINT
+    "q_jt" ->
+      """WITH base AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000000
+        |    AS v
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |jt AS (SELECT CAST(coalesce(sum(CAST(a.c AS HUGEINT) * b.c *
+        |    (CASE WHEN a.v < b.v THEN 2 WHEN a.v = b.v THEN 1 ELSE 0 END)),
+        |    0) AS HUGEINT) AS jt2
+        |  FROM cells a, cells b WHERE a.g < b.g),
+        |pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(ng) AS BIGINT) AS n,
+        |  sum(CAST(ng AS HUGEINT) * ng) AS sn2,
+        |  sum(CAST(ng AS HUGEINT) * ng * (2 * ng + 3)) AS sn23 FROM pg),
+        |z AS (SELECT k, n, CAST(jt2 AS BIGINT) AS jt2,
+        |  CAST((CAST(n AS HUGEINT) * n - sn2) // 2 AS BIGINT) AS e2,
+        |  CASE WHEN CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23 > 0 THEN
+        |    CAST((jt2 - (CAST(n AS HUGEINT) * n - sn2) // 2) *
+        |      (jt2 - (CAST(n AS HUGEINT) * n - sn2) // 2) * 18 * 1000000
+        |      // (CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23) AS BIGINT)
+        |  END AS z2_ppm
+        |  FROM agg, jt)
+        |SELECT k, n, jt2, e2, z2_ppm,
+        |  z2_ppm > 3841459 AS trend_95, z2_ppm > 6634897 AS trend_99
+        |FROM z""".stripMargin,
 
     // same union-vocab full outer + ½ p ln(2p/(p+q)) 6dp decimal terms
     "q_js_div" ->

@@ -811,6 +811,67 @@ object Analytics {
             (col("n0") - col("n1")).cast("double"), 6)).as("somers_d"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative trend test — what
+    * [[kruskalWallis]] deliberately ignores: KW asks "do the k groups
+    * differ AT ALL", JT asks "do they INCREASE in the stated group
+    * order" (dose tiers, priority bands, cohort ages), summing the
+    * pairwise Mann-Whitney counts over every ordered group pair.
+    * Far more powerful than KW when the alternative really is
+    * monotone.
+    *
+    * Exact integer core on the (group, value, count) cell frame —
+    * the [[kendallTauB]] bounded-grid shape: the DOUBLED statistic
+    * jt2 = Σ_{g<h} c_g·c_h·(2·[v_g<v_h] + [v_g=v_h]) (ties count
+    * half, doubling keeps integers), null mean e2 = 2E =
+    * (N² − Σn_g²)/2, and the classic no-tie variance D/72 with
+    * D = N²(2N+3) − Σn_g²(2n_g+3) — ties only SHRINK the true
+    * variance, so the reported z² is conservative. z2_ppm =
+    * (jt2−e2)²·18·10⁶ div D, everything decimal(38,0)-exact until
+    * that one floor.
+    *
+    * Scale contract: pair work is |cells|² — bucket continuous
+    * values first (the gate buckets price to ~$10k cells). Output
+    * one row: (k, n, jt2, e2, z2_ppm, trend_95, trend_99) with the
+    * χ²₁ fences on z².
+    */
+  def jonckheereTerpstra(df: DataFrame, groupOrdCol: Column,
+      valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(groupOrdCol.isNotNull && valueCol.isNotNull)
+        .groupBy(groupOrdCol.cast("long").as("_g"),
+          valueCol.cast("long").as("_v"))
+        .agg(count(lit(1)).as("_c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cells.select(col("_g").as("_ga"), col("_v").as("_va"),
+      col("_c").as("_ca"))
+    val b = cells.select(col("_g").as("_gb"), col("_v").as("_vb"),
+      col("_c").as("_cb"))
+    val jt = a.crossJoin(b).where(col("_ga") < col("_gb"))
+      .agg(coalesce(sum(dec(col("_ca")) * col("_cb") *
+        (when(col("_va") < col("_vb"), 2L)
+          .when(col("_va") === col("_vb"), 1L).otherwise(0L))),
+        lit(0L).cast("decimal(38,0)")).as("_jt2"))
+    val per = cells.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+      .agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
+        sum(dec(col("_n")) * col("_n")).as("_sn2"),
+        sum(dec(col("_n")) * col("_n") * (lit(2L) * col("_n") + 3L))
+          .as("_sn23"))
+    per.crossJoin(broadcast(jt))
+      .withColumn("_e2",
+        (dec(col("n")) * col("n") - col("_sn2")).cast("decimal(38,0)"))
+      .withColumn("_D",
+        dec(col("n")) * col("n") * (lit(2L) * col("n") + 3L) - col("_sn23"))
+      .select(col("k"), col("n"), col("_jt2").cast("long").as("jt2"),
+        expr("_e2 div 2").cast("long").as("e2"),
+        when(col("_D") > 0,
+          expr("""(_jt2 - _e2 div 2) * (_jt2 - _e2 div 2) *
+                  18 * 1000000 div _D""").cast("long")).as("z2_ppm"))
+      .select(col("k"), col("n"), col("jt2"), col("e2"), col("z2_ppm"),
+        (col("z2_ppm") > 3841459L).as("trend_95"),
+        (col("z2_ppm") > 6634897L).as("trend_99"))
+  }
+
   /** Cohen's d / Hedges' g — the STANDARDIZED two-arm mean gap the
     * [[abTest]] significance readout deliberately omits: a t-test
     * says "unlikely under the null", d says "how big in
@@ -3687,6 +3748,82 @@ object Analytics {
       // numerator >= 0 (sum of squares), so integral `div` is the floor
       .select(col("n_blocks"), col("n_dropped"), col("k"),
         when(col("_fd") > 0, expr("_fn div _fd")).as("chi2_ppm"))
+  }
+
+  /** Page's L trend test — [[friedman]]'s ordered-alternative
+    * sibling, exactly as [[jonckheereTerpstra]] is [[kruskalWallis]]'s:
+    * Friedman asks "do the k repeated treatments differ at all",
+    * Page asks "do they increase in the STATED treatment order"
+    * (learning curves over sessions, dose steps per subject),
+    * weighting each treatment's within-block rank sum by its
+    * hypothesized position: L = Σ_j j·R_j.
+    *
+    * Doubled-midrank integer core (the [[friedman]] discipline):
+    * l2 = Σ_j j·R2_j with R2_j the doubled-midrank sum over complete
+    * blocks, null mean e2 = 2E(L) = b·k(k+1)²/2 (always integral),
+    * and the classic no-tie variance D/144 with
+    * D = b·k²(k+1)(k²−1) — ties shrink the true variance, so z² is
+    * conservative. z2_ppm = (l2−e2)²·36·10⁶ div D, exact to the one
+    * floor. Incomplete blocks are dropped AND counted (`n_dropped`) —
+    * never silent. Output one row:
+    * (n_blocks, n_dropped, k, l2, e2, z2_ppm, trend_95, trend_99).
+    *
+    * Shape: identical to [[friedman]] — one (block, treatment)
+    * aggregate, per-block windows over ≤ k rows, a k-row treatment
+    * aggregate, one summary row.
+    */
+  def pageTrend(df: DataFrame, blockCol: Column, treatOrdCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df.where(blockCol.isNotNull && treatOrdCol.isNotNull &&
+        valueCol.isNotNull)
+      .groupBy(blockCol.as("_b"), treatOrdCol.cast("long").as("_t"))
+      .agg(sum(valueCol.cast("long")).as("_v"))
+    val k = cells.select(col("_t")).distinct()
+    val withK = cells.crossJoin(broadcast(k.agg(count(lit(1)).as("_k"))))
+    val sized = graft.core.CacheRegistry.persist(
+      withK.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy(col("_b")))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropAgg = sized.agg(
+      count_distinct(when(col("_bn") =!= col("_k"), col("_b")))
+        .as("n_dropped"))
+    // doubled within-block midrank, then rank-of-ORDINAL weighting:
+    // the hypothesized position j is the treatment's 1-based rank in
+    // the ordinal's sort order, so arbitrary ordinal gaps (10,20,30)
+    // weight identically to (1,2,3)
+    val ranked = sized.where(col("_bn") === col("_k"))
+      .withColumn("_rk",
+        rank().over(Window.partitionBy(col("_b")).orderBy(col("_v"))))
+      .withColumn("_ties",
+        count(lit(1)).over(Window.partitionBy(col("_b"), col("_v"))))
+      .withColumn("_mr2", lit(2L) * col("_rk") + col("_ties") - 1L)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perTreat = ranked.groupBy(col("_t"))
+      .agg(first(col("_k")).as("_k"), count(lit(1)).as("_n"),
+        sum(col("_mr2")).as("_rj"))
+    // hypothesized position j = 1-based rank of the ordinal across
+    // the k treatments — the distributed prefix-sum primitive, never
+    // a global window (GateLint would rightly flag one even at k rows)
+    val weighted = Relational
+      .prefixSum(perTreat, Seq(col("_t")), lit(1L), "_j")
+      .agg(first(col("_k")).as("k"), first(col("_n")).as("n_blocks"),
+        sum(dec(col("_j")) * col("_rj")).as("_l2"))
+    weighted.crossJoin(broadcast(dropAgg))
+      .withColumn("_e2",
+        expr("""CAST(n_blocks AS DECIMAL(38,0)) * k * (k + 1) * (k + 1)
+                div 2"""))
+      .withColumn("_D",
+        dec(col("n_blocks")) * col("k") * col("k") * (col("k") + 1L) *
+          (col("k") * col("k") - 1L))
+      .select(col("n_blocks"), col("n_dropped"), col("k"),
+        col("_l2").cast("long").as("l2"), col("_e2").cast("long").as("e2"),
+        when(col("_D") > 0,
+          expr("""(_l2 - _e2) * (_l2 - _e2) * 36 * 1000000 div _D""")
+            .cast("long")).as("z2_ppm"))
+      .select(col("n_blocks"), col("n_dropped"), col("k"), col("l2"),
+        col("e2"), col("z2_ppm"),
+        (col("z2_ppm") > 3841459L).as("trend_95"),
+        (col("z2_ppm") > 6634897L).as("trend_99"))
   }
 
   /** Benjamini-Hochberg FDR control — the multiple-testing gate a

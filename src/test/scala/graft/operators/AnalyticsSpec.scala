@@ -1161,6 +1161,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.getLong(2) == 375000L)
   }
 
+  test("jonckheereTerpstra: perfect monotone separation; ties count half") {
+    // groups 1:{1,2}, 2:{3,4}: every cross pair concordant -> jt2 = 8
+    // (JT = 4 = n1·n2 max), e2 = (16−8)/2 = 4, D = 176−56 = 120,
+    // z² = 16·18/120 = 2.4
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L)).toDF("g", "v")
+    val r = Analytics.jonckheereTerpstra(df, col("g"), col("v"))
+      .collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("jt2") == 8L && r.getAs[Long]("e2") == 4L)
+    assert(r.getAs[Long]("z2_ppm") == 2400000L)
+    assert(!r.getAs[Boolean]("trend_95"))
+    // a cross-group tie contributes exactly HALF a concordance:
+    // 1:{1}, 2:{1} -> jt2 = 1 = e2 -> z² = 0
+    val tied = Seq((1L, 1L), (2L, 1L)).toDF("g", "v")
+    val rt = Analytics.jonckheereTerpstra(tied, col("g"), col("v"))
+      .collect().head
+    assert(rt.getAs[Long]("jt2") == 1L && rt.getAs[Long]("e2") == 1L)
+    assert(rt.getAs[Long]("z2_ppm") == 0L)
+    // anti-monotone: jt2 = 0, same |gap| as perfect -> same z²
+    val anti = Seq((2L, 1L), (2L, 2L), (1L, 3L), (1L, 4L)).toDF("g", "v")
+    assert(Analytics.jonckheereTerpstra(anti, col("g"), col("v"))
+      .collect().head.getAs[Long]("z2_ppm") == 2400000L)
+  }
+
+  test("pageTrend: perfect per-block trend; ordinal gaps don't matter") {
+    // 2 blocks, k = 3, values follow the ordinal in every block:
+    // mr2 per block = 2,4,6 -> R2 = (4,8,12), L2 = 4+16+36 = 56,
+    // e2 = 2·3·16/2 = 48, D = 2·9·4·8 = 576 -> z² = 64·36/576 = 4
+    val df = Seq(("b1", 1L, 10L), ("b1", 2L, 20L), ("b1", 3L, 30L),
+      ("b2", 1L, 5L), ("b2", 2L, 6L), ("b2", 3L, 7L))
+      .toDF("b", "t", "v")
+    val r = Analytics.pageTrend(df, col("b"), col("t"), col("v"))
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") == 2L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("l2") == 56L && r.getAs[Long]("e2") == 48L)
+    assert(r.getAs[Long]("z2_ppm") == 4000000L)
+    assert(r.getAs[Boolean]("trend_95") && !r.getAs[Boolean]("trend_99"))
+    // gappy ordinals (10,20,30) weight identically to (1,2,3)
+    val gappy = Seq(("b1", 10L, 10L), ("b1", 20L, 20L), ("b1", 30L, 30L),
+      ("b2", 10L, 5L), ("b2", 20L, 6L), ("b2", 30L, 7L))
+      .toDF("b", "t", "v")
+    assert(Analytics.pageTrend(gappy, col("b"), col("t"), col("v"))
+      .collect().head.getAs[Long]("z2_ppm") == 4000000L)
+    // an incomplete block is dropped and counted, never silent
+    val withPartial = df.union(Seq(("b3", 1L, 9L)).toDF("b", "t", "v"))
+    val rp = Analytics.pageTrend(withPartial, col("b"), col("t"), col("v"))
+      .collect().head
+    assert(rp.getAs[Long]("n_blocks") == 2L && rp.getAs[Long]("n_dropped") == 1L)
+  }
+
   test("andersonDarling: hand tail-weighted terms; identical samples give 0") {
     // a = {1,2}, b = {2,3}: at v=1 gap² = (4·1−2·1)² = 4, w-den
     // = 1·3·4 = 12 -> 333333; at v=2 c=2, gap² = (4·2−2·3)² = 4,
