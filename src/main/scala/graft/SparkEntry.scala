@@ -2647,6 +2647,20 @@ object SparkEntry {
         maxDeg = 200, k = 100)
     }),
 
+    // Adamic-Adar / resource-allocation on the same capped postings:
+    // shared RARE suppliers outvote shared hubs — exact integer RA
+    // ppm terms, 6dp decimal AA terms, global top-k.
+    "q_adamic" -> ((s, d) => {
+      val adj = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem")
+            .where(col("l_quantity") > 45)
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      Graph.adamicAdarPairs(adj, col("cust"), col("supp"),
+        maxDeg = 200, k = 100)
+    }),
+
     // Degree assortativity of the bidirectional trade graph: do hub
     // customers trade with hub suppliers? Exact decimal moment sums.
     "q_assortativity" -> ((s, d) =>
@@ -6285,6 +6299,28 @@ object SparkEntry {
         |  common * 1000000 // (da.d + db.d - common) AS jaccard_ppm
         |FROM p JOIN deg da ON p.a = da.cust JOIN deg db ON p.b = db.cust
         |ORDER BY jaccard_ppm DESC, common DESC, a, b LIMIT 100""".stripMargin,
+
+    // same capped postings; per-destination 10^6//in RA terms and 6dp
+    // 1/ln(in) AA terms, summed exactly
+    "q_adamic" ->
+      """WITH adj AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity > 45),
+        |ind AS (SELECT supp, count(*) AS ind FROM adj GROUP BY 1),
+        |w AS (SELECT supp, 1000000 // ind AS wra,
+        |  CAST(round(1.0 / ln(CAST(ind AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    AS waa
+        |  FROM ind WHERE ind BETWEEN 2 AND 200),
+        |keep AS (SELECT a.cust, a.supp, w.wra, w.waa FROM adj a
+        |  JOIN w ON a.supp = w.supp),
+        |p AS (SELECT l.cust AS a, r.cust AS b,
+        |  CAST(count(*) AS BIGINT) AS common,
+        |  CAST(sum(l.waa) AS DOUBLE) AS aa_score,
+        |  CAST(sum(l.wra) AS BIGINT) AS ra_ppm
+        |  FROM keep l JOIN keep r ON l.supp = r.supp AND l.cust < r.cust
+        |  GROUP BY 1, 2)
+        |SELECT a, b, common, aa_score, ra_ppm FROM p
+        |ORDER BY ra_ppm DESC, common DESC, a, b LIMIT 100""".stripMargin,
 
     // same six exact sums over degree-decorated symmetric edges
     "q_assortativity" ->

@@ -694,6 +694,54 @@ object Graph {
       .limit(k)
   }
 
+  /** Adamic–Adar / resource-allocation link prediction — the
+    * degree-weighted upgrade of [[commonNeighborPairs]]: a shared
+    * neighbor that EVERYONE shares (a hub destination) is weak
+    * evidence two sources are related; one that only they share is
+    * strong. Each shared destination z contributes 1/ln(in(z))
+    * (Adamic–Adar) and 1/in(z) (resource allocation) instead of 1.
+    *
+    * Determinism discipline: the RA leg is exact integers end-to-end —
+    * per-destination weight 10⁶ div in(z), summed as longs; the AA leg
+    * rounds each 1/ln(in(z)) term to 6dp DECIMAL once and sums exactly
+    * (the [[Analytics]] entropy discipline), so neither leg depends on
+    * float summation order. Destinations with in-degree 1 cannot be
+    * shared and are excluded before the weight (also keeping ln ≥
+    * ln 2 > 0).
+    *
+    * Scale: identical to [[commonNeighborPairs]] — hub destinations
+    * above `maxDeg` are dropped before the postings self-join (the
+    * standard df-cap), pair work is Σ_dst in(z)², and the output is
+    * the global top-`k` via TakeOrdered, so the driver sees k rows at
+    * any graph size. Output:
+    * (a, b, common, aa_score, ra_ppm).
+    */
+  def adamicAdarPairs(edges: DataFrame, srcCol: Column, dstCol: Column,
+      maxDeg: Int = 1000, k: Int = 100): DataFrame = {
+    require(maxDeg >= 2, s"adamicAdarPairs: maxDeg must be >= 2, got $maxDeg")
+    require(k >= 1, s"adamicAdarPairs: k must be >= 1, got $k")
+    val adj = edges.select(srcCol.as("_s"), dstCol.as("_d"))
+      .where(col("_s").isNotNull && col("_d").isNotNull).distinct()
+      .localCheckpoint(true)
+    val inDeg = adj.groupBy(col("_d")).agg(count(lit(1)).as("_in"))
+      .where(col("_in") >= 2 && col("_in") <= maxDeg)
+      .select(col("_d"),
+        expr("1000000L div _in").as("_wra"),
+        round(lit(1.0d) / log(col("_in").cast("double")), 6)
+          .cast("decimal(18,6)").as("_waa"))
+    val keep = adj.join(inDeg, Seq("_d"))
+    keep.as("l").join(keep.as("r"), col("l._d") === col("r._d"))
+      .where(col("l._s") < col("r._s"))
+      .groupBy(col("l._s").as("a"), col("r._s").as("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(col("l._waa")).as("_aa"), sum(col("l._wra")).as("ra_ppm"))
+      .select(col("a"), col("b"), col("common"),
+        col("_aa").cast("double").as("aa_score"), col("ra_ppm"))
+      .orderBy(col("ra_ppm").desc, col("common").desc,
+        col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   /** Degree assortativity: the Pearson correlation of endpoint degrees
     * over a SYMMETRIC directed edge list — do high-degree nodes attach
     * to high-degree nodes (r > 0, social) or to leaves (r < 0,

@@ -323,6 +323,30 @@ class GraphSpec extends SparkSpec {
     assert(capped == Set((1L, 2L, 1L)))
   }
 
+  test("adamicAdarPairs: rare shared neighbors outweigh hubs; exact terms") {
+    // sources {1,2,3} all share dest 10 (in=3); {1,2} also share the
+    // RARER dest 11 (in=2). RA terms: 10 -> 10^6 div 3 = 333333,
+    // 11 -> 500000. AA terms: 1/ln3 = 0.910239, 1/ln2 = 1.442695 (6dp)
+    val e = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L)
+    ).toDF("s", "d")
+    val out = Graph.adamicAdarPairs(e, col("s"), col("d"), maxDeg = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      (1L, 2L) -> ((2L, 2.352934d, 833333L)),
+      (1L, 3L) -> ((1L, 0.910239d, 333333L)),
+      (2L, 3L) -> ((1L, 0.910239d, 333333L))))
+    // a destination with in-degree 1 cannot be shared: unaffected
+    val e1 = e.union(Seq((1L, 12L)).toDF("s", "d"))
+    assert(Graph.adamicAdarPairs(e1, col("s"), col("d"), maxDeg = 3, k = 10)
+      .collect().length == 3)
+    // ordering: the pair sharing the rare dest ranks first by ra_ppm
+    val first = Graph.adamicAdarPairs(e, col("s"), col("d"), maxDeg = 3, k = 1)
+      .collect().head
+    assert(first.getLong(0) == 1L && first.getLong(1) == 2L)
+  }
+
   test("pageRankWeighted: scatter follows weight; uniform weights = plain PR") {
     // 1 -> {2 (w=3), 3 (w=1)}: node 2 receives 3x node 3's inflow
     val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
