@@ -1281,6 +1281,24 @@ object SparkEntry {
         col("user_id") % 2, round(col("value") * 100).cast("long"),
         armA = "0", armB = "1")),
 
+    // Delta-method SE for the ratio metric purchase-cents-per-event
+    // on the same hash arms — exact per-user sums and decimal
+    // moments, one fixed IEEE shape per arm.
+    "q_delta_ratio" -> ((s, d) =>
+      graft.operators.Analytics.deltaRatio(
+        t(s, d, "events"), col("user_id") % 2, col("user_id"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L),
+        lit(1L))),
+
+    // AMS F2 sketch over the lang:source keyspace — the self-join-
+    // size/skew readout in R=9 signed counters (the sketch side
+    // shuffles 9 rows at any corpus size), pinned against exact F2.
+    "q_ams" -> ((s, d) =>
+      graft.operators.Sketches.amsF2(
+        t(s, d, "documents"),
+        concat(col("lang"), lit(":"), col("source")), replicates = 9)),
+
     // First-order Markov transition matrix of per-user event-type
     // sequences: exact pair counts, IEEE row-normalized probabilities.
     "q_transitions" -> ((s, d) =>
@@ -4191,6 +4209,27 @@ object SparkEntry {
         |FROM kh JOIN cells c ON kh.i = c.i AND kh.b = c.b
         |GROUP BY kh.key""".stripMargin,
 
+    // same md5 parity signs, one counter per replicate, exact-rank
+    // median of the squared counters against exact F2
+    "q_ams" ->
+      """WITH docs AS (SELECT lang || ':' || source AS k FROM documents
+        |              WHERE lang || ':' || source IS NOT NULL),
+        |sgn AS (SELECT i, CAST(CAST(('0x' || substr(md5('ams' || i || ':' || k),
+        |    1, 8)) AS UBIGINT) % 2 AS BIGINT) * 2 - 1 AS s
+        |  FROM docs, (SELECT unnest(range(9)) AS i)),
+        |ctr AS (SELECT i, sum(CAST(s AS HUGEINT)) AS c FROM sgn GROUP BY i),
+        |est AS (SELECT c * c AS e,
+        |  row_number() OVER (ORDER BY c * c, i) AS rk FROM ctr),
+        |med AS (SELECT CAST(e AS BIGINT) AS f2_est FROM est WHERE rk = 5),
+        |ex AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS f2_exact FROM
+        |  (SELECT count(*) AS cnt FROM docs GROUP BY k))
+        |SELECT n_rows, f2_exact, f2_est,
+        |  CASE WHEN f2_exact > 0 THEN
+        |    CAST(abs(CAST(f2_est AS HUGEINT) - f2_exact) * 1000000 // f2_exact
+        |      AS BIGINT) END AS err_ppm
+        |FROM ex, med""".stripMargin,
+
     // Chained-CTE PageRank, one CTE per iteration; '//' is DuckDB's
     // integer floor-divide == Spark's `div` on the all-positive scores.
     // Sums are CAST back to BIGINT (DuckDB widens SUM to HUGEINT).
@@ -4386,6 +4425,42 @@ object SparkEntry {
         |            / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE))
         |  END AS t
         |FROM j""".stripMargin,
+
+    // per-user exact sums, HUGEINT moments, the delta-method SE as
+    // the operation-for-operation identical IEEE shape
+    "q_delta_ratio" ->
+      """WITH pu AS (SELECT CAST(user_id % 2 AS VARCHAR) AS arm, user_id AS u,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS x,
+        |  CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy FROM pu GROUP BY 1)
+        |SELECT arm, n_users, CAST(sx AS BIGINT) AS num_sum,
+        |  CAST(sy AS BIGINT) AS den_sum,
+        |  CASE WHEN sy > 0 THEN
+        |    round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 6) END AS ratio,
+        |  CASE WHEN n_users >= 2 AND sy > 0 THEN
+        |    CAST(floor(sqrt((
+        |      CAST(n_users * sxx - sx * sx AS DOUBLE) /
+        |        (CAST(n_users AS DOUBLE) * (CAST(n_users AS DOUBLE) - 1.0)) -
+        |      2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+        |        (CAST(n_users * sxy - sx * sy AS DOUBLE) /
+        |        (CAST(n_users AS DOUBLE) * (CAST(n_users AS DOUBLE) - 1.0))) +
+        |      (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+        |        (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+        |        (CAST(n_users * syy - sy * sy AS DOUBLE) /
+        |        (CAST(n_users AS DOUBLE) * (CAST(n_users AS DOUBLE) - 1.0)))
+        |    ) / (CAST(n_users AS DOUBLE) *
+        |      (CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)) *
+        |      (CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)))) * 1000000.0)
+        |    AS BIGINT)
+        |  END AS se_micros
+        |FROM m""".stripMargin,
 
     // Mirrors transitionMatrix: lead pairs, exact counts, one IEEE
     // division for the row-normalized probability.

@@ -3188,6 +3188,60 @@ object Analytics {
           .cast("long").as("std_micros"))
   }
 
+  /** Delta-method standard error for a RATIO metric — the readout
+    * [[abTest]] can't give you: revenue-per-session, clicks-per-view,
+    * tokens-per-document are ratios of two per-user sums, and the
+    * naive "treat the ratio as a mean" SE is simply wrong (users
+    * contribute correlated numerator and denominator). The standard
+    * fix (Deng et al., KDD'18 practice): per-user pairs (x_i, y_i),
+    * R̂ = Σx/Σy, and
+    *
+    * {{{ Var(R̂) ≈ (S_xx − 2R̂·S_xy + R̂²·S_yy) / (n·ȳ²) }}}
+    *
+    * with S the per-user sample (co)variances. Determinism
+    * discipline: per-user sums are exact longs, all cross-user
+    * moments (n, Σx, Σy, Σx², Σy², Σxy) exact decimal(38,0) sums
+    * (map-combinable — ONE shuffle on the user key, then a k-arm
+    * aggregate), and R̂/SE are one fixed-shape IEEE expression per
+    * arm, emitted as 6dp ratio and floored se_micros (the
+    * [[bootstrapMean]] discipline). Arms with < 2 users or Σy ≤ 0
+    * report null. Output per arm:
+    * (arm, n_users, num_sum, den_sum, ratio, se_micros).
+    */
+  def deltaRatio(df: DataFrame, armCol: Column, userCol: Column,
+      numCol: Column, denCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perUser = df.where(armCol.isNotNull && userCol.isNotNull)
+      .groupBy(armCol.cast("string").as("arm"), userCol.as("_u"))
+      .agg(sum(coalesce(numCol.cast("long"), lit(0L))).as("_x"),
+        sum(coalesce(denCol.cast("long"), lit(0L))).as("_y"))
+    val m = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(dec(col("_x"))).as("_sx"), sum(dec(col("_y"))).as("_sy"),
+        sum(dec(col("_x")) * col("_x")).as("_sxx"),
+        sum(dec(col("_y")) * col("_y")).as("_syy"),
+        sum(dec(col("_x")) * col("_y")).as("_sxy"))
+    val nD = col("n_users").cast("double")
+    val r = col("_sx").cast("double") / col("_sy").cast("double")
+    // sample (co)variances: (n·Σab − Σa·Σb) / (n(n−1)), each numerator
+    // exact decimal before the one double conversion
+    def sv(sab: Column, sa: Column, sb: Column): Column =
+      (dec(col("n_users")) * sab - sa * sb).cast("double") /
+        (nD * (nD - 1.0d))
+    m.select(col("arm"), col("n_users"),
+      col("_sx").cast("long").as("num_sum"),
+      col("_sy").cast("long").as("den_sum"),
+      when(col("_sy") > 0, round(r, 6)).as("ratio"),
+      when(col("n_users") >= 2L && col("_sy") > 0,
+        floor(sqrt(
+          (sv(col("_sxx"), col("_sx"), col("_sx")) -
+            lit(2.0d) * r * sv(col("_sxy"), col("_sx"), col("_sy")) +
+            r * r * sv(col("_syy"), col("_sy"), col("_sy"))) /
+            (nD * (col("_sy").cast("double") / nD) *
+              (col("_sy").cast("double") / nD))) * lit(1000000.0d))
+          .cast("long")).as("se_micros"))
+  }
+
   /** Per-key lag-k autocorrelation — the "is this series momentum or
     * noise" diagnostic: Pearson r between x_t and x_{t−k} within each
     * key, over the n−k aligned pairs. One `lag` window per key (hash

@@ -169,4 +169,60 @@ object Sketches {
         ceil(col("n_a").cast("double") * col("n_b").cast("double") *
           (math.E / w)).cast("long").as("bound_slack"))
   }
+
+  /** AMS (Alon–Matias–Szegedy) F₂ sketch — the second frequency
+    * moment Σ count(key)² in O(R) state: F₂ is the self-join size /
+    * repeat-rate / skew readout ("how hot is this keyspace"), and
+    * computing it exactly means shuffling the full keyspace. The AMS
+    * trick: give every key a ±1 sign from a hash, keep one running
+    * signed counter per replicate; E[counter²] = F₂ exactly, and the
+    * median over R independent replicates concentrates. The sketch
+    * side of this plan shuffles R rows TOTAL (map-side partials) no
+    * matter how many input rows — that is the 100 TB path.
+    *
+    * Determinism: sign_r(key) = 2·(md5("ams<r>:"+key) mod 2) − 1 —
+    * the [[graft.functions.TypedAggregators]] CMS hash discipline,
+    * reproducible in any engine with md5. The median of the R
+    * (integer) squared counters is picked by exact rank
+    * ((R+1)/2-th by (value, replicate) order via
+    * [[Relational.prefixSum]] — R is odd and tiny), never a float
+    * quantile. For the gate the EXACT F₂ is computed beside it (one
+    * keyed aggregate — the thing the sketch avoids at scale) so the
+    * output pins the estimate against truth:
+    * (n_rows, f2_exact, f2_est, err_ppm).
+    */
+  def amsF2(df: DataFrame, keyCol: Column, replicates: Int = 9): DataFrame = {
+    require(replicates >= 1 && replicates % 2 == 1 && replicates <= 99,
+      s"amsF2: replicates must be odd in [1,99], got $replicates")
+    val keys = graft.core.CacheRegistry.persist(
+      df.select(keyCol.cast("string").as("_k")).where(col("_k").isNotNull),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // R signed counters: explode×R then ONE hash-agg keyed by the
+    // replicate id — the shuffle carries R rows regardless of input
+    val counters = keys
+      .select(col("_k"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("_r"))
+      .select(col("_r"),
+        (conv(substring(md5(concat(lit("ams"), col("_r").cast("string"),
+          lit(":"), col("_k"))), 1, 8), 16, 10).cast("long")
+          % 2L * 2L - 1L).as("_s"))
+      .groupBy(col("_r")).agg(sum(col("_s")).as("_c"))
+      .select(col("_r"), (dec(col("_c")) * col("_c")).as("_est"))
+    // exact rank-(R+1)/2 median of the R squared counters
+    val est = Relational
+      .prefixSum(counters, Seq(col("_est"), col("_r")), lit(1L), "_rank")
+      .where(col("_rank") === lit((replicates + 1) / 2))
+      .select(col("_est").as("_f2est"))
+    val exact = keys.groupBy(col("_k")).agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_c")).as("n_rows"),
+        sum(dec(col("_c")) * col("_c")).as("_f2"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_rows"),
+        col("_f2").cast("long").as("f2_exact"),
+        col("_f2est").cast("long").as("f2_est"),
+        when(col("_f2") > 0,
+          expr("abs(_f2est - _f2) * 1000000 div _f2").cast("long"))
+          .as("err_ppm"))
+  }
 }

@@ -1161,6 +1161,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.getLong(2) == 375000L)
   }
 
+  test("deltaRatio: hand covariance; degenerate arms report null") {
+    // arm 0: users (x,y) = (2,1), (4,3): R = 6/4 = 1.5,
+    // S_xx = S_yy = S_xy = 2, Var = (2 − 2·1.5·2 + 2.25·2)/(2·2²)
+    // = 0.5/8 = 0.0625 -> se = 0.25
+    val df = Seq(
+      ("0", 1L, 2L, 1L), ("0", 2L, 4L, 3L),
+      ("1", 3L, 5L, 0L), // arm 1: one user, zero denominator
+      ("2", 4L, 7L, 2L)) // arm 2: one user -> no variance
+      .toDF("arm", "u", "x", "y")
+    val out = Analytics.deltaRatio(df, col("arm"), col("u"),
+      col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a0 = out("0")
+    assert(a0.getAs[Long]("n_users") == 2L)
+    assert(a0.getAs[Long]("num_sum") == 6L && a0.getAs[Long]("den_sum") == 4L)
+    assert(a0.getAs[Double]("ratio") == 1.5d)
+    assert(a0.getAs[Long]("se_micros") == 250000L)
+    assert(out("1").isNullAt(out("1").fieldIndex("ratio")))
+    assert(out("1").isNullAt(out("1").fieldIndex("se_micros")))
+    assert(out("2").getAs[Double]("ratio") == 3.5d)
+    assert(out("2").isNullAt(out("2").fieldIndex("se_micros")))
+    // multiple events per user collapse to per-user sums first
+    val dup = Seq(("0", 1L, 1L, 1L), ("0", 1L, 1L, 0L), ("0", 2L, 4L, 3L))
+      .toDF("arm", "u", "x", "y")
+    val d0 = Analytics.deltaRatio(dup, col("arm"), col("u"),
+      col("x"), col("y")).collect().head
+    assert(d0.getAs[Long]("num_sum") == 6L && d0.getAs[Long]("den_sum") == 4L)
+    assert(d0.getAs[Long]("se_micros") == 250000L)
+  }
+
   test("jonckheereTerpstra: perfect monotone separation; ties count half") {
     // groups 1:{1,2}, 2:{3,4}: every cross pair concordant -> jt2 = 8
     // (JT = 4 = n1·n2 max), e2 = (16−8)/2 = 4, D = 176−56 = 120,

@@ -112,4 +112,25 @@ class SketchesSpec extends SparkSpec {
     // exact = sum over 25 shared keys of 4*4 = 400; CMS never undercounts
     assert(one >= 400L)
   }
+
+  test("amsF2: single-key input is estimated exactly; |est−F2| is hash-bound") {
+    // all rows one key: every replicate's counter is ±n, est = n² = F2
+    val same = Seq.fill(4)("a").toDF("k")
+    val rs = Sketches.amsF2(same, col("k"), replicates = 3).collect().head
+    assert(rs.getAs[Long]("n_rows") == 4L && rs.getAs[Long]("f2_exact") == 16L)
+    assert(rs.getAs[Long]("f2_est") == 16L && rs.getAs[Long]("err_ppm") == 0L)
+    // {a,a,b}: F2 = 5; one replicate's est = (±2±1)² ∈ {1, 9} — either
+    // way |est−5| = 4 -> err_ppm = 800000 independent of the hash draw
+    val df = Seq("a", "a", "b").toDF("k")
+    val r = Sketches.amsF2(df, col("k"), replicates = 1).collect().head
+    assert(r.getAs[Long]("f2_exact") == 5L)
+    assert(Set(1L, 9L).contains(r.getAs[Long]("f2_est")))
+    assert(r.getAs[Long]("err_ppm") == 800000L)
+    // layout-proof: the signed counters are map-combinable sums
+    val big = (1 to 300).map(i => s"k${i % 7}").toDF("k")
+    val one = Sketches.amsF2(big.coalesce(1), col("k")).collect().head
+    val many = Sketches.amsF2(big.repartition(11), col("k")).collect().head
+    assert(one.getAs[Long]("f2_est") == many.getAs[Long]("f2_est"))
+    assert(one.getAs[Long]("f2_exact") == many.getAs[Long]("f2_exact"))
+  }
 }
