@@ -2287,6 +2287,19 @@ object SparkEntry {
         substring(col("o_orderpriority"), 1, 1).cast("long"),
         (col("o_orderstatus") === "F").cast("int"))),
 
+    // Bartlett: the parametric log-variance homogeneity gate over the
+    // same cohorts — exact rational group variances, 6dp ln terms.
+    "q_bartlett" -> ((s, d) =>
+      Analytics.bartlett(t(s, d, "lineitem"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long"))),
+
+    // Grubbs: is the single most extreme event value an outlier —
+    // exact integer G² ppm off one (value, count) cell frame.
+    "q_grubbs" -> ((s, d) =>
+      Analytics.grubbs(t(s, d, "events"),
+        round(col("value") * 100).cast("long"))),
+
     // Brown-Forsythe: do the return-flag cohorts differ in price
     // SPREAD — ANOVA F over |cents − group median| on one cell-frame
     // scan (the variance sibling of q_anova's mean test).
@@ -5612,6 +5625,63 @@ object SparkEntry {
 
     // grouped-median CDF (same ceil rule), weighted deviation moments,
     // q_anova's 6dp-term scalar block
+    // exact rational group variances into 6dp ln/pooled/reciprocal
+    // decimal terms, one IEEE chi2 shape
+    "q_bartlett" ->
+      """WITH per AS (SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS HUGEINT)) AS s,
+        |  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS HUGEINT) *
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS q
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |pm AS (SELECT g, n, n * q - s * s AS num FROM per),
+        |kept AS (SELECT n,
+        |  CAST(round(CAST(n - 1 AS DOUBLE) *
+        |    ln(CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)), 6)
+        |    AS DECIMAL(28,6)) AS lnterm,
+        |  CAST(round(CAST(num AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS DECIMAL(28,6)) AS ss,
+        |  CAST(round(1.0 / CAST(n - 1 AS DOUBLE), 6) AS DECIMAL(18,6)) AS rcp
+        |  FROM pm WHERE n >= 2 AND num > 0),
+        |dr AS (SELECT CAST(sum(CASE WHEN n < 2 OR num <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS k_dropped FROM pm),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS n,
+        |  sum(lnterm) AS sl, sum(ss) AS sss, sum(rcp) AS src FROM kept)
+        |SELECT k, dr.k_dropped, n,
+        |  CASE WHEN k >= 2 AND n > k AND sss > 0 THEN
+        |    round((CAST(n - k AS DOUBLE) *
+        |        ln(CAST(sss AS DOUBLE) / CAST(n - k AS DOUBLE)) -
+        |        CAST(sl AS DOUBLE)) /
+        |      (1.0 + (CAST(src AS DOUBLE) - 1.0 / CAST(n - k AS DOUBLE)) /
+        |        (3.0 * CAST(k - 1 AS DOUBLE))), 6)
+        |  END AS chi2
+        |FROM agg, dr""".stripMargin,
+
+    // one (value,count) cell frame; M = max|n·v−Σx| in HUGEINT, exact
+    // integer G² ppm, smallest achieving value on ties
+    "q_grubbs" ->
+      """WITH cells AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c FROM events
+        |  WHERE value IS NOT NULL GROUP BY 1),
+        |mom AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  sum(CAST(v AS HUGEINT) * c) AS sx,
+        |  sum(CAST(v AS HUGEINT) * v * c) AS qx FROM cells),
+        |dev AS (SELECT v, abs(CAST(v AS HUGEINT) * n - sx) AS d
+        |  FROM cells, mom),
+        |m AS (SELECT max(d) AS mm FROM dev)
+        |SELECT mom.n AS n,
+        |  (SELECT min(v) FROM dev, m WHERE d = mm) AS at_value,
+        |  CASE WHEN mom.n * qx - sx * sx > 0 THEN
+        |    CAST(mm * mm * (mom.n - 1) * 1000000
+        |      // (mom.n * (mom.n * qx - sx * sx)) AS BIGINT)
+        |  END AS g2_ppm
+        |FROM mom, m""".stripMargin,
+
     "q_brown_forsythe" ->
       """WITH base AS (SELECT l_returnflag AS g,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v

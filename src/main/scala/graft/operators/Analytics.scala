@@ -3188,6 +3188,109 @@ object Analytics {
           .cast("long").as("std_micros"))
   }
 
+  /** Grubbs' max-studentized-deviate statistic — "is the single most
+    * extreme value an outlier": G = max|x − x̄|/s. The SQUARED
+    * statistic is exact integer arithmetic end-to-end:
+    *
+    * {{{ G² = M²·(n−1) / (n·(n·Σx² − (Σx)²)),  M = max|n·x − Σx| }}}
+    *
+    * (multiplying the deviation through by n clears the rational
+    * mean), emitted as the ppm floor g2_ppm plus the value achieving
+    * the max (smallest such value on ties — a deterministic frontier,
+    * never a row pick).
+    *
+    * Shape: ONE row-scale hash-aggregate to the (value, count) cell
+    * frame; the moments, the max-deviation row, and the argmax are
+    * all aggregates over that bounded frame against a broadcast
+    * 1-row moments frame. Output:
+    * (n, at_value, g2_ppm).
+    */
+  def grubbs(df: DataFrame, valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(valueCol.isNotNull)
+        .groupBy(valueCol.cast("long").as("_v"))
+        .agg(count(lit(1)).as("_c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mom = cells.agg(sum(col("_c")).as("_n"),
+      sum(dec(col("_v")) * col("_c")).as("_sx"),
+      sum(dec(col("_v")) * col("_v") * col("_c")).as("_qx"))
+    val withDev = cells.crossJoin(broadcast(mom))
+      .withColumn("_dev", abs(dec(col("_v")) * col("_n") - col("_sx")))
+    val m = withDev.agg(max(col("_dev")).as("_m"))
+    withDev.crossJoin(broadcast(m))
+      .where(col("_dev") === col("_m"))
+      .agg(first(col("_n")).as("n"), min(col("_v")).as("at_value"),
+        first(col("_m")).as("_mm"), first(col("_sx")).as("_sx2"),
+        first(col("_qx")).as("_qx2"))
+      .select(col("n"), col("at_value"),
+        when(dec(col("n")) * col("_qx2") - col("_sx2") * col("_sx2") > 0,
+          expr("""_mm * _mm * (n - 1) * 1000000 div
+                  (n * (n * _qx2 - _sx2 * _sx2))""").cast("long"))
+          .as("g2_ppm"))
+  }
+
+  /** Bartlett's variance-homogeneity test — the PARAMETRIC sibling of
+    * [[brownForsythe]]: BF compares mean absolute spreads (robust),
+    * Bartlett compares log variances directly (sharper when the data
+    * really are near-normal, the classic pre-ANOVA gate):
+    *
+    * {{{ χ² = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C }}}
+    * {{{ C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)) }}}
+    *
+    * Determinism discipline: each group's variance is the EXACT
+    * rational (n_i·Σx² − (Σx)²)/(n_i(n_i−1)) from decimal(38,0)
+    * sums; the per-group ln terms and the pooled-variance and
+    * reciprocal terms are rounded ONCE to 6dp DECIMAL and summed
+    * exactly (the [[Ranking]] entropy discipline), so no float
+    * accumulates in any engine-order-dependent way; the final χ² is
+    * one fixed IEEE expression rounded 6dp. Groups with n_i < 2 or
+    * zero variance are excluded and counted (`k_dropped` — never
+    * silent; ln 0 is the alternative). Output one row:
+    * (k, k_dropped, n, chi2).
+    */
+  def bartlett(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = valueCol.cast("long")
+    val per = df.where(groupCol.isNotNull && x.isNotNull)
+      .groupBy(groupCol.as("_g"))
+      .agg(count(lit(1)).as("_n"), sum(dec(x)).as("_s"),
+        sum(dec(x) * x).as("_q"))
+      .withColumn("_num", dec(col("_n")) * col("_q") - col("_s") * col("_s"))
+    val kept = per.where(col("_n") >= 2L && col("_num") > 0)
+      .select(col("_n"),
+        // exact rational s_i² enters ln as one double division
+        round((col("_n") - 1L).cast("double") *
+          log(col("_num").cast("double") /
+            (dec(col("_n")) * (col("_n") - 1L)).cast("double")), 6)
+          .cast("decimal(28,6)").as("_lnterm"),
+        // (n_i−1)·s_i² = _num/n_i — one 6dp rounding per group
+        round(col("_num").cast("double") / col("_n").cast("double"), 6)
+          .cast("decimal(28,6)").as("_ss"),
+        round(lit(1.0d) / (col("_n") - 1L).cast("double"), 6)
+          .cast("decimal(18,6)").as("_rcp"))
+    val dropped = per.agg(
+      sum(when(col("_n") < 2L || col("_num") <= 0, 1L).otherwise(0L))
+        .as("k_dropped"))
+    kept.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
+        sum(col("_lnterm")).as("_sl"), sum(col("_ss")).as("_sss"),
+        sum(col("_rcp")).as("_src"))
+      .crossJoin(broadcast(dropped))
+      .select(col("k"), col("k_dropped"), col("n"),
+        when(col("k") >= 2L && col("n") > col("k") && col("_sss") > 0,
+          round(
+            ((col("n") - col("k")).cast("double") *
+              log(col("_sss").cast("double") /
+                (col("n") - col("k")).cast("double")) -
+              col("_sl").cast("double")) /
+              (lit(1.0d) +
+                (col("_src").cast("double") -
+                  lit(1.0d) / (col("n") - col("k")).cast("double")) /
+                  (lit(3.0d) * (col("k") - 1L).cast("double"))),
+            6)).as("chi2"))
+  }
+
   /** Delta-method standard error for a RATIO metric — the readout
     * [[abTest]] can't give you: revenue-per-session, clicks-per-view,
     * tokens-per-document are ratios of two per-user sums, and the

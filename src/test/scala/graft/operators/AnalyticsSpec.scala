@@ -1161,6 +1161,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.getLong(2) == 375000L)
   }
 
+  test("grubbs: exact integer G² on the cell frame; min value on ties") {
+    // {1,2,3,14}: M = max|4v−20| = 36 at v=14;
+    // G² = 36²·3 / (4·(4·210−400)) = 3888/1760 -> 2209090 ppm
+    val df = Seq(1L, 2L, 3L, 14L).toDF("v")
+    val r = Analytics.grubbs(df, col("v")).collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("at_value") == 14L)
+    assert(r.getAs[Long]("g2_ppm") == 2209090L)
+    // symmetric pair: both values tie at M = 10 -> smallest reported;
+    // n = 2 pins G² = 1/2 exactly
+    val two = Seq(0L, 10L).toDF("v")
+    val r2 = Analytics.grubbs(two, col("v")).collect().head
+    assert(r2.getAs[Long]("at_value") == 0L)
+    assert(r2.getAs[Long]("g2_ppm") == 500000L)
+    // constant column: zero variance -> null statistic, not a crash
+    val const = Seq(7L, 7L, 7L).toDF("v")
+    assert(Analytics.grubbs(const, col("v")).collect().head
+      .isNullAt(2))
+  }
+
+  test("bartlett: equal variances give 0; hand ln terms; zero-var group dropped") {
+    val eq = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val re = Analytics.bartlett(eq, col("g"), col("v")).collect().head
+    assert(re.getAs[Long]("k") == 2L && re.getAs[Long]("n") == 6L)
+    assert(re.getAs[Double]("chi2") == 0.0d)
+    // g1 = {0,4} (s²=8), g2 = {0,2} (s²=2): terms ln8 -> 2.079442,
+    // ln2 -> 0.693147 (6dp); s_p² = (8+2)/2 = 5; C = 1 + (2−0.5)/3
+    // -> chi2 = (2·ln5 − 2.772589)/1.5
+    val un = Seq(("a", 0L), ("a", 4L), ("b", 0L), ("b", 2L)).toDF("g", "v")
+    val ru = Analytics.bartlett(un, col("g"), col("v")).collect().head
+    val expected = BigDecimal(
+      (2.0d * math.log(5.0d) - 2.772589d) / 1.5d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ru.getAs[Double]("chi2") == expected)
+    // a zero-variance group is excluded and counted
+    val wz = un.union(Seq(("c", 9L), ("c", 9L)).toDF("g", "v"))
+    val rz = Analytics.bartlett(wz, col("g"), col("v")).collect().head
+    assert(rz.getAs[Long]("k") == 2L && rz.getAs[Long]("k_dropped") == 1L)
+    assert(rz.getAs[Double]("chi2") == expected)
+  }
+
   test("deltaRatio: hand covariance; degenerate arms report null") {
     // arm 0: users (x,y) = (2,1), (4,3): R = 6/4 = 1.5,
     // S_xx = S_yy = S_xy = 2, Var = (2 − 2·1.5·2 + 2.25·2)/(2·2²)
