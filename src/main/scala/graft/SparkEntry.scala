@@ -3195,6 +3195,22 @@ object SparkEntry {
         datediff(col("ts").cast("date"), lit("1970-01-01")),
         ticksPerPeriod = 30L)),
 
+    // CCF: does daily click volume LEAD purchase volume? x_t vs
+    // y_{t−lag} on a tick-arithmetic hash join — no window, no sort;
+    // exact decimal moments per lag.
+    "q_ccf" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(
+          sum(when(col("event_type") === "click",
+            expr("CAST(round(value * 100) AS BIGINT)"))).as("x"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value * 100) AS BIGINT)"))).as("y"))
+      Analytics.crossCorr(daily, col("day"), col("x"), col("y"),
+        Seq(-7, -1, 0, 1, 7))
+    }),
+
     // ACF profile at lags {1,2,3,7} of per-type daily cents — the
     // memory/seasonality fingerprint in one frame.
     "q_acf" -> ((s, d) => {
@@ -7741,6 +7757,36 @@ object SparkEntry {
         |      * CAST(n AS DOUBLE)) * (CAST(n AS DOUBLE) + 2.0))
         |    * 1000000) AS BIGINT) END AS q_ppm
         |FROM r""".stripMargin,
+
+    // tick-arithmetic lag join, six HUGEINT moments per lag, one IEEE r
+    "q_ccf" ->
+      """WITH daily AS (SELECT
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |  sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS x,
+        |  sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) END) AS y
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT t AS ta, CAST(x AS BIGINT) AS x FROM daily
+        |  WHERE x IS NOT NULL),
+        |b AS (SELECT l.k AS lag, t + l.k AS tb, CAST(y AS BIGINT) AS y
+        |  FROM daily, (SELECT unnest([-7, -1, 0, 1, 7]) AS k) l
+        |  WHERE y IS NOT NULL),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM a JOIN b ON ta = tb GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN n_pairs >= 3
+        |      AND CAST(n_pairs * sxx - sx * sx AS DOUBLE) > 0
+        |      AND CAST(n_pairs * syy - sy * sy AS DOUBLE) > 0 THEN
+        |    round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM m""".stripMargin,
 
     // same frame, lag-1 squared-difference ratio with the matching
     // n-scale on both legs

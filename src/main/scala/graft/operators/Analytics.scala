@@ -1837,6 +1837,57 @@ object Analytics {
             6)).as("r"))
   }
 
+  /** Cross-correlation function — [[lagAutocorrExact]] between TWO
+    * series: r(ℓ) = corr(x_t, y_{t−ℓ}) over the aligned ticks, the
+    * "does x LEAD y" diagnostic (positive ℓ: x now vs y ℓ ticks ago;
+    * negative ℓ: x now vs y ℓ ticks ahead). The lag alignment is a
+    * HASH JOIN on tick arithmetic (a.tick = b.tick + ℓ, every
+    * requested ℓ in one exploded join) — no window, no sort, no
+    * per-key ordering assumption, so the series can be corpus-wide
+    * without a single-partition stage.
+    *
+    * Exactness: the [[degreeAssortativity]] moment discipline — six
+    * decimal(38,0) sums per lag, one fixed IEEE expression, 6dp.
+    * Lags with < `minPairs` aligned ticks or zero variance on either
+    * leg report null r. Output one row per requested lag:
+    * (lag, n_pairs, r).
+    */
+  def crossCorr(df: DataFrame, tickCol: Column, xCol: Column,
+      yCol: Column, lags: Seq[Int], minPairs: Long = 3L): DataFrame = {
+    require(lags.nonEmpty, "crossCorr: need at least one lag")
+    require(lags.distinct.size == lags.size,
+      s"crossCorr: duplicate lags in $lags")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = graft.core.CacheRegistry.persist(
+      df.select(tickCol.cast("long").as("_t"),
+        xCol.cast("long").as("_x"), yCol.cast("long").as("_y")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = base.where(col("_x").isNotNull && col("_t").isNotNull)
+      .select(col("_t").as("_ta"), col("_x"))
+    val b = base.where(col("_y").isNotNull && col("_t").isNotNull)
+      .select(explode(typedLit(lags.map(_.toLong))).as("lag"),
+        col("_t"), col("_y"))
+      .select(col("lag"), (col("_t") + col("lag")).as("_tb"), col("_y"))
+    a.join(b, col("_ta") === col("_tb"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(dec(col("_x")) * col("_y")).as("_sxy"),
+        sum(dec(col("_x")) * col("_x")).as("_sxx"),
+        sum(dec(col("_y")) * col("_y")).as("_syy"))
+      .select(col("lag"), col("n_pairs"),
+        when(col("n_pairs") < minPairs ||
+          (col("n_pairs") * col("_sxx") - col("_sx") * col("_sx"))
+            .cast("double") <= 0 ||
+          (col("n_pairs") * col("_syy") - col("_sy") * col("_sy"))
+            .cast("double") <= 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+              (sqrt((col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")).cast("double")) *
+               sqrt((col("n_pairs") * col("_syy") - col("_sy") * col("_sy")).cast("double"))),
+            6)).as("r"))
+  }
+
   /** DAU/MAU-style stickiness: per period, the average per-tick
     * distinct actives as a ppm share of the period's distinct actives
     * — "of the users seen this month, what fraction shows up on an

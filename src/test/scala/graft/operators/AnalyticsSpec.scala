@@ -1161,6 +1161,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.getLong(2) == 375000L)
   }
 
+  test("crossCorr: hand moments at lead/zero/lag; sparse lags go null") {
+    // ticks 1..4: x = (1,2,3,4), y = (5,1,2,3)
+    val df = Seq((1L, 1L, 5L), (2L, 2L, 1L), (3L, 3L, 2L), (4L, 4L, 3L))
+      .toDF("t", "x", "y")
+    val out = Analytics.crossCorr(df, col("t"), col("x"), col("y"),
+      Seq(-1, 0, 1, 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // lag −1: x_t vs y_{t+1} -> (1,1),(2,2),(3,3): perfectly linear
+    assert(out(-1L) == ((3L, Some(1.0d))))
+    // lag 0: r = −10/√(20·35) -> −0.377964
+    assert(out(0L) == ((4L, Some(-0.377964d))))
+    // lag +1: x_t vs y_{t−1} -> (2,5),(3,1),(4,2): r = −9/√(6·26)
+    assert(out(1L) == ((3L, Some(-0.720577d))))
+    // lag 3 has a single aligned pair -> below minPairs, null
+    assert(out(3L) == ((1L, None)))
+  }
+
   test("grubbs: exact integer G² on the cell frame; min value on ties") {
     // {1,2,3,14}: M = max|4v−20| = 36 at v=14;
     // G² = 36²·3 / (4·(4·210−400)) = 3888/1760 -> 2209090 ppm
