@@ -1266,6 +1266,24 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // RBO: how much do the by-revenue and by-volume supplier top-20s
+    // agree, top-weighted — rankings via the distributed prefix-sum
+    // rank (never a global window), exact dyadic ppm floors.
+    "q_rbo" -> ((s, d) => {
+      val per = graft.core.CacheRegistry.persist(
+        t(s, d, "lineitem").groupBy(col("l_suppkey"))
+          .agg(sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("_rev"), count(lit(1)).as("_cnt")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def top(metric: Column) = Relational
+        .prefixSum(per, Seq(-metric, col("l_suppkey")), lit(1L), "rank")
+        .where(col("rank") <= 20L)
+        .select(col("l_suppkey").as("id"), col("rank"))
+      Ranking.rankBiasedOverlap(top(col("_rev")), top(col("_cnt")),
+        "id", "rank", depth = 20)
+    }),
+
     // Per-language percentile rank of document length — scale-free
     // cross-domain score calibration; null order pinned explicitly.
     "q_prank" -> ((s, d) =>
@@ -4406,6 +4424,30 @@ object SparkEntry {
     // Mirrors rrfFuse: full-outer join of the two rank lists, fixed
     // left-to-right coalesce(1/(60+r), 0) chain, one IEEE division
     // per term over exact integer ranks.
+    // row_number rankings on the same (metric DESC, key) total order,
+    // triangular step-function overlap, dyadic ppm floors summed
+    "q_rbo" ->
+      """WITH per AS (SELECT l_suppkey AS id,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+        |ra AS (SELECT id, r FROM (SELECT id,
+        |  row_number() OVER (ORDER BY rev DESC, id) AS r FROM per)
+        |  WHERE r <= 20),
+        |rb AS (SELECT id, r FROM (SELECT id,
+        |  row_number() OVER (ORDER BY cnt DESC, id) AS r FROM per)
+        |  WHERE r <= 20),
+        |sh AS (SELECT greatest(ra.r, rb.r) AS m FROM ra JOIN rb USING (id)),
+        |depths AS (SELECT unnest(range(1, 21)) AS i),
+        |ov AS (SELECT i, CAST(count(m) AS BIGINT) AS ov
+        |  FROM depths LEFT JOIN sh ON sh.m <= depths.i GROUP BY i)
+        |SELECT CAST(20 AS BIGINT) AS depth,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ra) AS n_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM rb) AS n_b,
+        |  (SELECT ov FROM ov WHERE i = 20) AS overlap_full,
+        |  CAST(sum(ov * 1000000 // ((1 << i) * i)) AS BIGINT) AS rbo_ppm
+        |FROM ov""".stripMargin,
+
     "q_rrf" ->
       """WITH r1 AS (SELECT doc_id, row_number() OVER
         |    (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r FROM documents),

@@ -116,6 +116,59 @@ object Ranking {
       terms.reduce(_ + _).as("rrf"))
   }
 
+  /** Rank-biased overlap (Webber et al., TOIS'10) — "how similar are
+    * two RANKINGS" with no gold labels: [[rankEval]] scores one
+    * ranking against relevance judgments; RBO compares two systems
+    * head-to-head (old ranker vs new ranker, yesterday's top-k vs
+    * today's), weighting agreement at the TOP far above agreement in
+    * the tail. Truncated form at persistence p = 1/2 (top-heavy, and
+    * the weights become exact dyadic rationals):
+    *
+    * {{{ RBO = Σ_{i≤d} (1/2)^i · |A_{1..i} ∩ B_{1..i}| / i }}}
+    *
+    * Exactness: each depth's term is the integer ppm floor
+    * (10⁶·ov(i)) div (2^i·i) and the statistic is the SUM of those
+    * floors — bit-identical on any engine with integer division, no
+    * pow() call anywhere (2^i is a literal power table). The overlap
+    * ov(i) counts shared items whose ranks in BOTH lists are ≤ i —
+    * a step function off one equi-join on the item id.
+    *
+    * Shape: one hash join of the two (≤ d)-row rankings, a d-row
+    * depth frame, one broadcast d×d triangular sum — everything after
+    * the caller's own ranking construction is bounded by d. Output
+    * one row: (depth, n_a, n_b, overlap_full, rbo_ppm).
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String, depth: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 60,
+      s"rankBiasedOverlap: depth must be in [1,60], got $depth")
+    val spark = a.sparkSession
+    def trunc(df: DataFrame, rn: String) =
+      df.select(col(idCol).as("_id"), col(rankCol).cast("long").as(rn))
+        .where(col(rn).between(1L, depth.toLong))
+    val ta = trunc(a, "_ra")
+    val tb = trunc(b, "_rb")
+    val shared = ta.join(tb, Seq("_id"))
+      .select(greatest(col("_ra"), col("_rb")).as("_m"))
+      .groupBy(col("_m")).agg(count(lit(1)).as("_c"))
+    val na = ta.agg(count(lit(1)).as("n_a"))
+    val nb = tb.agg(count(lit(1)).as("n_b"))
+    import spark.implicits._
+    val depths = (1 to depth).map(_.toLong).toDF("_i")
+    // d×d triangular broadcast sum: ov(i) = Σ_{m ≤ i} c(m)
+    val ov = depths.join(broadcast(shared), col("_m") <= col("_i"), "left")
+      .groupBy(col("_i"))
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("_ov"))
+    ov.select(
+        // 2^i as a shift — no pow(), exact at any depth ≤ 60
+        sum(expr("_ov * 1000000 div (shiftleft(1L, CAST(_i AS INT)) * _i)"))
+          .as("rbo_ppm"),
+        max(when(col("_i") === depth.toLong, col("_ov"))).as("overlap_full"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(lit(depth.toLong).as("depth"), col("n_a"), col("n_b"),
+        col("overlap_full"), col("rbo_ppm"))
+  }
+
   /** Ranking-quality evaluation — per-query nDCG@k, MRR@k and
     * precision@k, the offline-eval loop every retrieval stack runs
     * after re-ranking changes (north-star extension; the reference has

@@ -302,4 +302,33 @@ class RankingSpec extends SparkSpec {
     assert(out("c") == ((1L, 0L, 0L, None, Some(0L), None)))       // never predicted
     assert(out("d") == ((0L, 1L, 0L, Some(0L), None, None)))       // never in gold
   }
+
+  test("rankBiasedOverlap: identical, swapped-top and disjoint rankings") {
+    def rk(items: (String, Long)*) = items.toSeq.toDF("id", "rank")
+    val abc = rk("x" -> 1L, "y" -> 2L, "z" -> 3L)
+    // identical 3-item lists at depth 4: ov = 1,2,3,3 ->
+    // 500000 + 250000 + 125000 + 3e6 div 64 = 921875
+    val same = Ranking.rankBiasedOverlap(abc, abc, "id", "rank", depth = 4)
+      .collect().head
+    assert(same.getAs[Long]("n_a") == 3L && same.getAs[Long]("n_b") == 3L)
+    assert(same.getAs[Long]("overlap_full") == 3L)
+    assert(same.getAs[Long]("rbo_ppm") == 921875L)
+    // swapped top-2 at depth 2: both items only align at depth 2 ->
+    // 0 + 2e6 div 8 = 250000
+    val sw = Ranking.rankBiasedOverlap(
+      rk("x" -> 1L, "y" -> 2L), rk("y" -> 1L, "x" -> 2L),
+      "id", "rank", depth = 2).collect().head
+    assert(sw.getAs[Long]("overlap_full") == 2L)
+    assert(sw.getAs[Long]("rbo_ppm") == 250000L)
+    // disjoint lists: zero everywhere
+    val dj = Ranking.rankBiasedOverlap(
+      rk("x" -> 1L), rk("q" -> 1L), "id", "rank", depth = 3)
+      .collect().head
+    assert(dj.getAs[Long]("overlap_full") == 0L && dj.getAs[Long]("rbo_ppm") == 0L)
+    // ranks beyond depth are ignored on BOTH sides
+    val deep = Ranking.rankBiasedOverlap(
+      rk("x" -> 1L, "far" -> 9L), rk("x" -> 1L, "far" -> 9L),
+      "id", "rank", depth = 2).collect().head
+    assert(deep.getAs[Long]("n_a") == 1L && deep.getAs[Long]("overlap_full") == 1L)
+  }
 }
