@@ -3245,6 +3245,19 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // PACF at lags 1..3 over the same daily series: Durbin-Levinson
+    // unrolled on exact integer autocovariances — the AR-order
+    // readout beside q_ljung_box's raw rho profile.
+    "q_pacf" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Analytics.pacf(daily, col("event_type"), Seq(col("day")),
+          col("cents"))
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // Ljung-Box portmanteau over the same daily series: one window
     // pass carries all four lags; exact decimal moment sums, doubles
     // only in the fixed-shape Q expression.
@@ -7756,6 +7769,46 @@ object SparkEntry {
         |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
         |  END AS r
         |FROM a""".stripMargin,
+
+    // same demeaned frame and lag window; the Durbin-Levinson chain
+    // as the operation-for-operation identical double shape
+    "q_pacf" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s FROM daily GROUP BY 1),
+        |y AS (SELECT daily.k AS k, n, day, CAST(n AS HUGEINT) * x - s AS y
+        |  FROM daily JOIN st USING (k)),
+        |l AS (SELECT k, n, y,
+        |  lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+        |  lag(y, 3) OVER w AS y3
+        |  FROM y WINDOW w AS (PARTITION BY k ORDER BY day)),
+        |a AS (SELECT k, any_value(n) AS n, sum(y * y) AS den,
+        |  sum(y * y1) AS n1, sum(y * y2) AS n2, sum(y * y3) AS n3
+        |  FROM l GROUP BY k),
+        |r AS (SELECT k, n,
+        |  CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+        |  CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+        |  CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3,
+        |  (n <= 3 OR CAST(den AS DOUBLE) <= 0) AS bad FROM a),
+        |s2 AS (SELECT k, n, r1, r2, r3, bad,
+        |  1.0 - r1 * r1 AS d2,
+        |  (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM r),
+        |s3 AS (SELECT k, n, r1, r2, r3, bad, d2, p22,
+        |  r1 - p22 * r1 AS p21 FROM s2),
+        |s4 AS (SELECT k, n, r1, r2, r3, bad, d2, p22, p21,
+        |  1.0 - p21 * r1 - p22 * r2 AS d3 FROM s3)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN bad THEN NULL ELSE
+        |    CAST(round(r1 * 1000000) AS BIGINT) END AS pacf1_ppm,
+        |  CASE WHEN bad OR d2 = 0 THEN NULL ELSE
+        |    CAST(round(p22 * 1000000) AS BIGINT) END AS pacf2_ppm,
+        |  CASE WHEN bad OR d2 = 0 OR d3 = 0 THEN NULL ELSE
+        |    CAST(round((r3 - p21 * r2 - p22 * r1) / d3 * 1000000)
+        |      AS BIGINT) END AS pacf3_ppm
+        |FROM s4""".stripMargin,
 
     // same demeaned frame, all four lags in one window pass, Q in
     // the same fixed (t1+t2+t3+t7)*n*(n+2) shape

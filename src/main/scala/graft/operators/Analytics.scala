@@ -4132,6 +4132,61 @@ object Analytics {
         .otherwise(round(q * lit(1000000.0d)).cast("long")).as("q_ppm"): _*)
   }
 
+  /** Partial autocorrelation at lags 1..3 — what [[ljungBox]]'s raw
+    * ρ_k can't tell you: ρ₂ is inflated by ρ₁'s echo (an AR(1)
+    * series shows ρ_k = ρ₁^k at EVERY lag); the PACF φ_kk is lag k's
+    * correlation with the shorter lags REGRESSED OUT, the classic
+    * AR-order readout (φ_kk ≈ 0 beyond the true order p). Computed
+    * by the Durbin–Levinson recursion unrolled to depth 3:
+    *
+    * {{{ φ11 = ρ1;  φ22 = (ρ2 − ρ1²)/(1 − ρ1²);  φ21 = ρ1 − φ22·ρ1 }}}
+    * {{{ φ33 = (ρ3 − φ21·ρ2 − φ22·ρ1)/(1 − φ21·ρ1 − φ22·ρ2) }}}
+    *
+    * Exactness: the ρ_k numerators/denominator are EXACT
+    * decimal(38,0) sums over the multiplied-out demeaned series
+    * ([[demeanedSeries]] — same frame, same ONE window pass as
+    * ljungBox), and the recursion is a fixed-shape chain of IEEE
+    * ops on those two-integer ratios — no float ever accumulates in
+    * shuffle order. Keys with n ≤ 3, zero variance, or a degenerate
+    * level-2/3 denominator report null at that level. Output:
+    * (key, n, pacf1_ppm, pacf2_ppm, pacf3_ppm).
+    */
+  def pacf(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
+      centsCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("_k")).orderBy(orderBy.map(_.asc): _*)
+    val lagged = demeanedSeries(df, keyCol, orderBy, centsCol)
+      .select(Seq(col("_k"), col("_n"), col("_y")) ++
+        (1 to 3).map(k => lag(col("_y"), k).over(w).as(s"_y$k")): _*)
+    val agg = lagged.groupBy(col("_k").as("key"))
+      .agg(first(col("_n")).as("n"),
+        (sum(col("_y") * col("_y")).as("_den") +:
+          (1 to 3).map(k => sum(col("_y") * col(s"_y$k")).as(s"_num$k"))): _*)
+    val guard0 = col("n") <= 3L || col("_den").cast("double") <= 0.0d
+    val staged = agg
+      .withColumn("_r1", col("_num1").cast("double") / col("_den").cast("double"))
+      .withColumn("_r2", col("_num2").cast("double") / col("_den").cast("double"))
+      .withColumn("_r3", col("_num3").cast("double") / col("_den").cast("double"))
+      .withColumn("_d2", lit(1.0d) - col("_r1") * col("_r1"))
+      .withColumn("_p22",
+        (col("_r2") - col("_r1") * col("_r1")) / col("_d2"))
+      .withColumn("_p21", col("_r1") - col("_p22") * col("_r1"))
+      .withColumn("_d3",
+        lit(1.0d) - col("_p21") * col("_r1") - col("_p22") * col("_r2"))
+    staged.select(col("key"), col("n"),
+      when(guard0, lit(null).cast("long"))
+        .otherwise(round(col("_r1") * lit(1000000.0d)).cast("long"))
+        .as("pacf1_ppm"),
+      when(guard0 || col("_d2") === 0.0d, lit(null).cast("long"))
+        .otherwise(round(col("_p22") * lit(1000000.0d)).cast("long"))
+        .as("pacf2_ppm"),
+      when(guard0 || col("_d2") === 0.0d || col("_d3") === 0.0d,
+        lit(null).cast("long"))
+        .otherwise(round(
+          (col("_r3") - col("_p21") * col("_r2") - col("_p22") * col("_r1"))
+            / col("_d3") * lit(1000000.0d)).cast("long"))
+        .as("pacf3_ppm"))
+  }
+
   /** Durbin-Watson first-order autocorrelation statistic per key —
     * the regression-residual serial-correlation check (≈2 means no
     * lag-1 structure; <2 positive, >2 negative):

@@ -1161,6 +1161,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.getLong(2) == 375000L)
   }
 
+  test("pacf: alternating series hand values; level-3 matches the recursion") {
+    // x = ±1 over 8 days (mean 0): rho1 = −7/8, rho2 = 6/8, rho3 = −5/8
+    // (all exact dyadics) -> pacf1 = −875000 ppm;
+    // pacf2 = (0.75 − 0.765625)/0.234375 = −1/15 -> −66667 ppm
+    val df = (1 to 8).map(i => ("s", i.toLong, if (i % 2 == 0) -1L else 1L))
+      .toDF("k", "day", "cents")
+    val r = Analytics.pacf(df, col("k"), Seq(col("day")), col("cents"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("pacf1_ppm") == -875000L)
+    assert(r.getAs[Long]("pacf2_ppm") == -66667L)
+    // level 3: replicate the recursion in the same IEEE order
+    val r1 = -7.0 / 8.0; val r2 = 6.0 / 8.0; val r3 = -5.0 / 8.0
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 - p22 * r1
+    val exp3 = math.round(
+      (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2) * 1000000.0)
+    assert(r.getAs[Long]("pacf3_ppm") == exp3)
+    // short series (n <= 3) reports null at every level
+    val short3 = Seq(("s", 1L, 5L), ("s", 2L, 9L), ("s", 3L, 2L))
+      .toDF("k", "day", "cents")
+    val rs = Analytics.pacf(short3, col("k"), Seq(col("day")), col("cents"))
+      .collect().head
+    assert(rs.isNullAt(2) && rs.isNullAt(3) && rs.isNullAt(4))
+  }
+
   test("crossCorr: hand moments at lead/zero/lag; sparse lags go null") {
     // ticks 1..4: x = (1,2,3,4), y = (5,1,2,3)
     val df = Seq((1L, 1L, 5L), (2L, 2L, 1L), (3L, 3L, 2L), (4L, 4L, 3L))
