@@ -1722,6 +1722,12 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, d) =>
       Ranking.topNgrams(t(s, d, "documents"), "text", n = 2, k = 50)),
 
+    // Church-Gale burstiness of the top-50 terms: CF/DF repeat rate
+    // and per-doc-count VMR, exact integer floors end-to-end.
+    "q_burstiness" -> ((s, d) =>
+      Ranking.termBurstiness(t(s, d, "documents"), col("doc_id"),
+        col("text"), k = 50)),
+
     // Incremental (day-2) dedup gate: a new batch — the %5==0 docs
     // plus verbatim copies of some standing docs under shifted ids —
     // dedupes against the standing corpus's fingerprint+band index.
@@ -4041,6 +4047,22 @@ object SparkEntry {
          |  FROM documents WHERE len($W) >= 2)
          |SELECT gram, count(*) AS freq FROM g GROUP BY 1
          |ORDER BY freq DESC, gram LIMIT 50""".stripMargin,
+
+    // per-(term,doc) counts, HUGEINT moments, the same integer floors
+    "q_burstiness" ->
+      s"""WITH pd AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest($W) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |pt AS (SELECT word AS term, CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum(c) AS BIGINT) AS cf,
+         |  sum(CAST(c AS HUGEINT) * c) AS q FROM pd GROUP BY 1)
+         |SELECT term, df, cf,
+         |  CAST(CAST(cf AS HUGEINT) * 1000000 // df AS BIGINT) AS burst_ppm,
+         |  CASE WHEN df >= 2 AND cf > 0 THEN
+         |    CAST((df * q - CAST(cf AS HUGEINT) * cf) * 1000000
+         |      // (CAST(df - 1 AS HUGEINT) * cf) AS BIGINT)
+         |  END AS vmr_ppm
+         |FROM pt ORDER BY cf DESC, term LIMIT 50""".stripMargin,
 
     // n_new/n_exact_dup/n_near recomputed from first principles; the
     // booleans are pinned true (gate style, like the recall oracles)

@@ -116,6 +116,52 @@ object Ranking {
       terms.reduce(_ + _).as("rrf"))
   }
 
+  /** Term burstiness (Church & Gale) — the "once it appears, does it
+    * KEEP appearing" statistic a term-weighting or topic pipeline
+    * reads beside raw frequency: content words are bursty (high
+    * within-document repeat rate), function words are Poisson-flat,
+    * and CF/DF separates them where CF alone can't. Two exact
+    * integer readouts per term over its CONTAINING documents:
+    *
+    *  - `burst_ppm` = CF·10⁶ div DF — mean occurrences per
+    *    containing doc (the Church-Gale burstiness);
+    *  - `vmr_ppm` = (DF·Σc² − CF²)·10⁶ div ((DF−1)·CF) — the
+    *    variance-to-mean ratio of the per-doc counts (Poisson ⇒ 1;
+    *    ≫1 ⇒ clumpy), exact by Cauchy-Schwarz-nonnegative integer
+    *    floors; null when DF < 2.
+    *
+    * Shape: one (term, doc) hash-aggregate (the only corpus-scale
+    * shuffle), one per-term aggregate, global top-`k` by
+    * (CF, term) via TakeOrdered — the driver sees k rows at any
+    * corpus size. Output: (term, df, cf, burst_ppm, vmr_ppm).
+    */
+  def termBurstiness(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 50): DataFrame = {
+    require(k >= 1, s"termBurstiness: k must be >= 1, got $k")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perDoc = df
+      .select(idCol.as("_doc"),
+        explode(graft.functions.TextFunctions.words(textCol)).as("_w"))
+      .groupBy(col("_w"), col("_doc"))
+      .agg(count(lit(1)).as("_c"))
+    perDoc.groupBy(col("_w").as("term"))
+      .agg(count(lit(1)).as("df"), sum(col("_c")).as("cf"),
+        sum(dec(col("_c")) * col("_c")).as("_q"))
+      .select(col("term"), col("df"), col("cf"),
+        expr("CAST(CAST(cf AS DECIMAL(38,0)) * 1000000 div df AS BIGINT)")
+          .as("burst_ppm"),
+        when(col("df") >= 2L && col("cf") > 0L,
+          ((dec(col("df")) * col("_q") - dec(col("cf")) * col("cf")) *
+            lit(1000000L)).cast("decimal(38,0)"))
+          .as("_vn"))
+      .withColumn("vmr_ppm",
+        when(col("_vn").isNotNull,
+          expr("CAST(_vn div (CAST(df - 1 AS DECIMAL(38,0)) * cf) AS BIGINT)")))
+      .drop("_vn")
+      .orderBy(col("cf").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Rank-biased overlap (Webber et al., TOIS'10) — "how similar are
     * two RANKINGS" with no gold labels: [[rankEval]] scores one
     * ranking against relevance judgments; RBO compares two systems

@@ -303,6 +303,23 @@ class RankingSpec extends SparkSpec {
     assert(out("d") == ((0L, 1L, 0L, Some(0L), None, None)))       // never in gold
   }
 
+  test("termBurstiness: CF/DF and VMR exact; single-doc terms null VMR") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"), (2L, "cat dog dog"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val out = Ranking.termBurstiness(docs, col("doc_id"), col("text"), k = 10)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("cat", "dog", "bird"))
+    val m = out.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+      r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // cat: counts (3,1) -> burst 2.0, variance 2 / mean 2 -> VMR 1
+    assert(m("cat") == ((2L, 4L, 2000000L, Some(1000000L))))
+    // dog: counts (1,2) -> burst 1.5, VMR (10−9)/3
+    assert(m("dog") == ((2L, 3L, 1500000L, Some(333333L))))
+    // bird appears in one doc: VMR undefined
+    assert(m("bird") == ((1L, 1L, 1000000L, None)))
+  }
+
   test("rankBiasedOverlap: identical, swapped-top and disjoint rankings") {
     def rk(items: (String, Long)*) = items.toSeq.toDF("id", "rank")
     val abc = rk("x" -> 1L, "y" -> 2L, "z" -> 3L)
