@@ -2163,6 +2163,13 @@ object SparkEntry {
             .as("cents")),
         col("l_suppkey"), col("cents"))),
 
+    // Theil T of document length across sources, decomposed: is
+    // volume concentration BETWEEN sources or within them — 12dp
+    // decimal term sums off one cell frame.
+    "q_theil" -> ((s, d) =>
+      Analytics.theilIndex(t(s, d, "documents"), col("source"),
+        col("n_chars"))),
+
     // Mutual information event_type × user-bucket: exact integer
     // counts, 6dp-rounded DECIMAL term sums (order-proof), ln only.
     "q_mutual_info" -> ((s, d) =>
@@ -5328,6 +5335,33 @@ object SparkEntry {
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) -
         |    CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini
         |FROM r""".stripMargin,
+
+    // same cell frame; 12dp decimal term sums for all three readouts
+    "q_theil" ->
+      """WITH cells AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND CAST(n_chars AS BIGINT) > 0 GROUP BY 1, 2),
+        |pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+        |  sum(CAST(v AS HUGEINT) * c) AS xg FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(xg) AS x,
+        |  CAST(count(*) AS BIGINT) AS k FROM pg),
+        |ct AS (SELECT
+        |  sum(CAST(round(CAST(c AS DOUBLE) * CAST(v AS DOUBLE) /
+        |    CAST(x AS DOUBLE) * ln(CAST(n AS DOUBLE) * CAST(v AS DOUBLE) /
+        |    CAST(x AS DOUBLE)), 12) AS DECIMAL(38,12))) AS st,
+        |  sum(CAST(round(CAST(c AS DOUBLE) * CAST(v AS DOUBLE) /
+        |    CAST(x AS DOUBLE) * ln(CAST(ng AS DOUBLE) * CAST(v AS DOUBLE) /
+        |    CAST(xg AS DOUBLE)), 12) AS DECIMAL(38,12))) AS sw
+        |  FROM cells JOIN pg USING (g), tot),
+        |bt AS (SELECT sum(CAST(round(CAST(xg AS DOUBLE) / CAST(x AS DOUBLE) *
+        |    ln(CAST(xg AS DOUBLE) * CAST(n AS DOUBLE) /
+        |    (CAST(x AS DOUBLE) * CAST(ng AS DOUBLE))), 12)
+        |    AS DECIMAL(38,12))) AS sb FROM pg, tot)
+        |SELECT n, k, round(CAST(st AS DOUBLE), 6) AS theil_total,
+        |  round(CAST(sb AS DOUBLE), 6) AS theil_between,
+        |  round(CAST(sw AS DOUBLE), 6) AS theil_within
+        |FROM tot, ct, bt""".stripMargin,
 
     // integer cell/marginal counts; 6dp DECIMAL term sums; ln only
     "q_mutual_info" ->

@@ -2914,6 +2914,67 @@ object Analytics {
       .drop("_is_first")
   }
 
+  /** Theil T inequality index with its within/between decomposition —
+    * what [[gini]] and the HHI can't say: WHERE the concentration
+    * lives. Theil is the only standard inequality index that splits
+    * EXACTLY into a between-groups term plus a weighted within-group
+    * term (T = T_b + T_w), so one frame answers "is token volume
+    * concentrated because a few SOURCES dominate, or because volume
+    * is skewed inside every source":
+    *
+    * {{{ T      = Σ_i (x_i/X)·ln(n·x_i/X) }}}
+    * {{{ T_b    = Σ_g (X_g/X)·ln((X_g·n)/(X·n_g)) }}}
+    * {{{ T_w    = Σ_g (X_g/X)·T_g = Σ_i (x_i/X)·ln(n_g·x_i/X_g) }}}
+    *
+    * Determinism discipline: the corpus collapses to a
+    * (group, value, count) cell frame (ONE row-scale shuffle); every
+    * cell/group term is one fixed IEEE expression over exact
+    * decimal(38,0) totals, rounded ONCE to 12dp DECIMAL (terms are
+    * O(1/cells) — 6dp would truncate them; 12dp keeps 6 significant
+    * digits at billion-cell scale) and summed exactly; the three
+    * readouts round to 6dp. Zero values are excluded (x·ln x → 0).
+    * Output one row: (n, k, theil_total, theil_between, theil_within)
+    * — total = between + within up to the per-term rounding.
+    */
+  def theilIndex(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(groupCol.isNotNull && valueCol.isNotNull &&
+          valueCol.cast("long") > 0L)
+        .groupBy(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .agg(count(lit(1)).as("_c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perGroup = cells.groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"), sum(dec(col("_v")) * col("_c")).as("_xg"))
+    val tot = perGroup.agg(sum(col("_ng")).as("_n"),
+      sum(col("_xg")).as("_x"), count(lit(1)).as("_k"))
+    val d12 = (c: Column) => round(c, 12).cast("decimal(38,12)")
+    val cellTerms = cells.join(perGroup, Seq("_g")).crossJoin(broadcast(tot))
+      .select(
+        d12(col("_c").cast("double") * col("_v").cast("double") /
+          col("_x").cast("double") *
+          log(col("_n").cast("double") * col("_v").cast("double") /
+            col("_x").cast("double"))).as("_tt"),
+        d12(col("_c").cast("double") * col("_v").cast("double") /
+          col("_x").cast("double") *
+          log(col("_ng").cast("double") * col("_v").cast("double") /
+            col("_xg").cast("double"))).as("_tw"))
+      .agg(sum(col("_tt")).as("_st"), sum(col("_tw")).as("_sw"))
+    val betweenTerms = perGroup.crossJoin(broadcast(tot))
+      .select(
+        d12(col("_xg").cast("double") / col("_x").cast("double") *
+          log(col("_xg").cast("double") * col("_n").cast("double") /
+            (col("_x").cast("double") * col("_ng").cast("double"))))
+          .as("_tb"))
+      .agg(sum(col("_tb")).as("_sb"))
+    tot.crossJoin(broadcast(cellTerms)).crossJoin(broadcast(betweenTerms))
+      .select(col("_n").as("n"), col("_k").as("k"),
+        round(col("_st").cast("double"), 6).as("theil_total"),
+        round(col("_sb").cast("double"), 6).as("theil_between"),
+        round(col("_sw").cast("double"), 6).as("theil_within"))
+  }
+
   /** Gini concentration index of an integer measure over keys — "how
     * concentrated is revenue/traffic/token volume across suppliers/
     * domains/sources", the inequality summary next to a skew report.

@@ -1161,6 +1161,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.getLong(2) == 375000L)
   }
 
+  test("theilIndex: decomposition collapses to between when groups are flat") {
+    // a = {1,1}, b = {2}: within-group values are flat -> T_w = 0 and
+    // T = T_b = 0.5·ln(0.75) + 0.5·ln(1.5) -> 0.058892
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("g", "v")
+    val r = Analytics.theilIndex(df, col("g"), col("v")).collect().head
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("theil_total") == 0.058892d)
+    assert(r.getAs[Double]("theil_between") == 0.058892d)
+    assert(r.getAs[Double]("theil_within") == 0.0d)
+    // perfectly equal corpus: all three readouts are 0
+    val eq = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val re = Analytics.theilIndex(eq, col("g"), col("v")).collect().head
+    assert(re.getAs[Double]("theil_total") == 0.0d)
+    assert(re.getAs[Double]("theil_between") == 0.0d)
+    assert(re.getAs[Double]("theil_within") == 0.0d)
+    // one-group skew: all inequality is within
+    val sk = Seq(("a", 1L), ("a", 3L)).toDF("g", "v")
+    val rs = Analytics.theilIndex(sk, col("g"), col("v")).collect().head
+    assert(rs.getAs[Double]("theil_between") == 0.0d)
+    assert(rs.getAs[Double]("theil_within") == rs.getAs[Double]("theil_total"))
+    // zero values are excluded, not ln(0)
+    val wz = Seq(("a", 0L), ("a", 1L), ("b", 1L)).toDF("g", "v")
+    assert(Analytics.theilIndex(wz, col("g"), col("v"))
+      .collect().head.getAs[Long]("n") == 2L)
+  }
+
   test("pacf: alternating series hand values; level-3 matches the recursion") {
     // x = ±1 over 8 days (mean 0): rho1 = −7/8, rho2 = 6/8, rho3 = −5/8
     // (all exact dyadics) -> pacf1 = −875000 ppm;
