@@ -139,6 +139,14 @@ object SparkEntry {
        |FROM r""".stripMargin
   }
 
+  /** The q_hurst ln-ln slope constants, embedded in BOTH engines so
+    * the abscissas are literal identical doubles (no cross-libm ln).
+    * Must mirror Analytics.hurstExponent's slope arithmetic exactly.
+    */
+  private val hurstUs = Seq(8, 16, 32, 64).map(m => math.log(m.toDouble))
+  private val huSum = hurstUs.sum
+  private val huDen = 4.0 * hurstUs.map(u => u * u).sum - huSum * huSum
+
   /** words(text): lowercase, split on non-word runs, drop empties. */
   private val W =
     """list_filter(regexp_split_to_array(lower(text), '\W+'), w -> len(w) > 0)"""
@@ -3256,6 +3264,19 @@ object SparkEntry {
           .select(lit(k).as("lag"), col("key").as("event_type"),
             col("n_pairs"), col("r"))
       }.reduce(_ unionByName _)
+    }),
+
+    // Hurst exponent of the per-type daily series: R/S scaling over
+    // block sizes 8..64 — exact integer block ranges, 6dp decimal
+    // block ratios, fixed-constant ln-ln slope.
+    "q_hurst" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Analytics.hurstExponent(daily, col("event_type"), Seq(col("day")),
+          col("cents"))
+        .withColumnRenamed("key", "event_type")
     }),
 
     // PACF at lags 1..3 over the same daily series: Durbin-Levinson
@@ -7825,6 +7846,53 @@ object SparkEntry {
         |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
         |  END AS r
         |FROM a""".stripMargin,
+
+    // same daily frame; block windows mirror the m-cleared integer W,
+    // the slope constants are the SAME JVM doubles embedded literally
+    "q_hurst" ->
+      s"""WITH daily AS (SELECT event_type AS k,
+         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS x
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (SELECT k, x, CAST(row_number() OVER
+         |  (PARTITION BY k ORDER BY day) AS BIGINT) - 1 AS i FROM daily),
+         |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM idx GROUP BY 1),
+         |ex AS (SELECT k, i, x, CAST(m AS BIGINT) AS m,
+         |  i // CAST(m AS BIGINT) AS blk, i % CAST(m AS BIGINT) AS p
+         |  FROM idx, (SELECT unnest([8, 16, 32, 64]) AS m)),
+         |ww AS (SELECT k, m, blk, p,
+         |  sum(x) OVER (PARTITION BY k, m, blk ORDER BY p
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(x) OVER (PARTITION BY k, m, blk) AS s,
+         |  sum(CAST(x AS HUGEINT) * x) OVER (PARTITION BY k, m, blk) AS q,
+         |  count(*) OVER (PARTITION BY k, m, blk) AS cnt
+         |  FROM ex),
+         |wf AS (SELECT k, m, blk,
+         |  CAST(m AS HUGEINT) * cum - CAST(p + 1 AS HUGEINT) * s AS w, s, q
+         |  FROM ww WHERE cnt = m),
+         |pb AS (SELECT k, m, blk, max(w) AS maxw, min(w) AS minw,
+         |  any_value(s) AS s, any_value(q) AS q FROM wf GROUP BY 1, 2, 3),
+         |rs AS (SELECT k, m,
+         |  CAST(round(CAST(maxw - minw AS DOUBLE) /
+         |    sqrt(CAST(CAST(m AS HUGEINT) * q - s * s AS DOUBLE)), 6)
+         |    AS DECIMAL(28,6)) AS rs
+         |  FROM pb WHERE CAST(CAST(m AS HUGEINT) * q - s * s AS DOUBLE) > 0),
+         |ps AS (SELECT k, m,
+         |  CAST(sum(rs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg
+         |  FROM rs GROUP BY 1, 2),
+         |pv AS (SELECT k, CAST(count(*) AS BIGINT) AS have,
+         |  max(CASE WHEN m = 8 THEN ln(avg) END) AS v0,
+         |  max(CASE WHEN m = 16 THEN ln(avg) END) AS v1,
+         |  max(CASE WHEN m = 32 THEN ln(avg) END) AS v2,
+         |  max(CASE WHEN m = 64 THEN ln(avg) END) AS v3
+         |  FROM ps WHERE avg > 0 GROUP BY 1)
+         |SELECT pv.k AS event_type, nn.n,
+         |  CASE WHEN have = 4 THEN
+         |    round((4.0 * (${hurstUs(0)} * v0 + ${hurstUs(1)} * v1 +
+         |      ${hurstUs(2)} * v2 + ${hurstUs(3)} * v3) -
+         |      $huSum * (v0 + v1 + v2 + v3)) / $huDen, 6)
+         |  END AS hurst
+         |FROM pv JOIN nn ON pv.k = nn.k""".stripMargin,
 
     // same demeaned frame and lag window; the Durbin-Levinson chain
     // as the operation-for-operation identical double shape

@@ -4248,6 +4248,92 @@ object Analytics {
         .as("pacf3_ppm"))
   }
 
+  /** Hurst exponent via rescaled-range (R/S) analysis — the
+    * long-memory readout none of the lag statistics give: [[pacf]]
+    * sees a few lags, H sees the SCALING LAW. Split the series into
+    * blocks of m ∈ `sizes`, compute each block's rescaled range
+    * R/S(m), and read the slope of ln(avg R/S) against ln m: H ≈ ½
+    * is a random walk's increments, H → 1 trending/persistent,
+    * H → 0 mean-reverting. The feature-engineering classic for
+    * "is this metric momentum or noise at EVERY horizon".
+    *
+    * Exactness: within a block of size m the cumulative deviation is
+    * the multiplied-out integer W_t = m·(Σ_{j≤t}x_j) − (t+1)·S
+    * (= m·Z_t, the [[demeanedSeries]] mean-clearing trick), so
+    * R·m = max W − min W and S·m = √(m·Σx² − S²) are exact until ONE
+    * IEEE division per block: R/S = (maxW−minW)/√(m·Q−S²). Block
+    * ratios round once to 6dp DECIMAL and average exactly per size;
+    * the ln-ln slope is a FIXED four-term closed form whose ln m
+    * abscissas are embedded constants — nothing float ever sums in
+    * shuffle order. Keys missing a full block at any size (or with a
+    * zero-variance block average) report null. Output:
+    * (key, n, hurst).
+    *
+    * Shape: one per-key index window, a ×|sizes| explode, per-(key,
+    * size, block) windows each bounded by m rows, then k-row frames.
+    */
+  def hurstExponent(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
+      centsCol: Column, sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.size >= 2 && sizes == sizes.sorted &&
+      sizes.distinct == sizes && sizes.forall(_ >= 4),
+      s"hurstExponent: sizes must be distinct ascending >= 4, got $sizes")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wIdx = Window.partitionBy(col("_k")).orderBy(orderBy.map(_.asc): _*)
+    val indexed = df.where(centsCol.isNotNull)
+      .select((keyCol.as("_k") +: orderBy) :+ centsCol.cast("long").as("_x"): _*)
+      .withColumn("_i", row_number().over(wIdx).cast("long") - 1L)
+    val n = indexed.groupBy(col("_k")).agg(count(lit(1)).as("n"))
+    val exploded = indexed
+      .select(col("_k"), col("_i"), col("_x"),
+        explode(typedLit(sizes.map(_.toLong))).as("_m"))
+      .withColumn("_blk", expr("_i div _m"))
+      .withColumn("_p", col("_i") % col("_m"))
+    val wBlk = Window.partitionBy(col("_k"), col("_m"), col("_blk"))
+    val wRun = wBlk.orderBy(col("_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withW = exploded
+      .withColumn("_cum", sum(col("_x")).over(wRun))
+      .withColumn("_S", sum(col("_x")).over(wBlk))
+      .withColumn("_Q", sum(dec(col("_x")) * col("_x")).over(wBlk))
+      .withColumn("_cnt", count(lit(1)).over(wBlk))
+      .where(col("_cnt") === col("_m"))
+      .withColumn("_W", dec(col("_m")) * col("_cum") -
+        dec(col("_p") + 1L) * col("_S"))
+    val perBlock = withW.groupBy(col("_k"), col("_m"), col("_blk"))
+      .agg(max(col("_W")).as("_maxW"), min(col("_W")).as("_minW"),
+        first(col("_S")).as("_bs"), first(col("_Q")).as("_bq"))
+      .where((dec(col("_m")) * col("_bq") - col("_bs") * col("_bs"))
+        .cast("double") > 0.0d)
+      .select(col("_k"), col("_m"),
+        round((col("_maxW") - col("_minW")).cast("double") /
+          sqrt((dec(col("_m")) * col("_bq") - col("_bs") * col("_bs"))
+            .cast("double")), 6).cast("decimal(28,6)").as("_rs"))
+    val perSize = perBlock.groupBy(col("_k"), col("_m"))
+      .agg((sum(col("_rs")).cast("double") /
+        count(lit(1)).cast("double")).as("_avg"))
+      .where(col("_avg") > 0.0d)
+      .withColumn("_v", log(col("_avg")))
+    // fixed-order ln-ln slope: abscissas are compile-time constants,
+    // the v-terms fold in literal size order — no shuffle-order sum
+    val us = sizes.map(m => math.log(m.toDouble))
+    val p = sizes.size.toDouble
+    val sumU = us.sum
+    val denom = p * us.map(u => u * u).sum - sumU * sumU
+    val pivoted = perSize.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_have"),
+        sizes.zipWithIndex.map { case (m, i) =>
+          max(when(col("_m") === m.toLong, col("_v"))).as(s"_v$i")
+        }: _*)
+    val sumV = sizes.indices.map(i => col(s"_v$i")).reduce(_ + _)
+    val sumUV = sizes.indices
+      .map(i => lit(us(i)) * col(s"_v$i")).reduce(_ + _)
+    pivoted.join(n, pivoted("_k") === n("_k"))
+      .select(pivoted("_k").as("key"), col("n"),
+        when(col("_have") === sizes.size.toLong,
+          round((lit(p) * sumUV - lit(sumU) * sumV) / lit(denom), 6))
+          .as("hurst"))
+  }
+
   /** Durbin-Watson first-order autocorrelation statistic per key —
     * the regression-residual serial-correlation check (≈2 means no
     * lag-1 structure; <2 positive, >2 negative):

@@ -1161,6 +1161,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.getLong(2) == 375000L)
   }
 
+  test("hurstExponent: ramp scales like H=1, alternator pins H=0 exactly") {
+    // alternating ±1: every block has R = m·1 and √(mQ−S²) = m, so
+    // R/S = 1 at EVERY size -> all ln-terms 0 -> slope exactly 0
+    val alt = (0 until 256).map(i => ("s", i.toLong,
+      if (i % 2 == 0) 1L else -1L)).toDF("k", "t", "x")
+    val ra = Analytics.hurstExponent(alt, col("k"), Seq(col("t")), col("x"))
+      .collect().head
+    assert(ra.getAs[Long]("n") == 256L)
+    assert(ra.getAs[Double]("hurst") == 0.0d)
+    // linear ramp: R/S grows ∝ m (R = m²/8 vs S ≈ m/√12) -> H -> 1
+    val ramp = (0 until 256).map(i => ("s", i.toLong, i.toLong))
+      .toDF("k", "t", "x")
+    val rr = Analytics.hurstExponent(ramp, col("k"), Seq(col("t")), col("x"))
+      .collect().head.getAs[Double]("hurst")
+    assert(rr > 0.95d && rr < 1.05d, s"ramp hurst = $rr")
+    // partition-layout-proof: decimal block terms, fixed-shape slope
+    val many = Analytics.hurstExponent(alt.repartition(7), col("k"),
+      Seq(col("t")), col("x")).collect().head.getAs[Double]("hurst")
+    assert(many == 0.0d)
+    // a series too short for a full 64-block reports null, not junk
+    val short = (0 until 50).map(i => ("s", i.toLong, i.toLong))
+      .toDF("k", "t", "x")
+    assert(Analytics.hurstExponent(short, col("k"), Seq(col("t")), col("x"))
+      .collect().head.isNullAt(2))
+  }
+
   test("theilIndex: decomposition collapses to between when groups are flat") {
     // a = {1,1}, b = {2}: within-group values are flat -> T_w = 0 and
     // T = T_b = 0.5·ln(0.75) + 0.5·ln(1.5) -> 0.058892
