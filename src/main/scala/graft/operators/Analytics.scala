@@ -1132,18 +1132,18 @@ object Analytics {
     * (heavy censoring at a detection limit, say).
     *
     * Exactness: the pooled lower median is the smallest value whose
-    * running combined count reaches ⌈N/2⌉ = (N+1) div 2 (exact
-    * integer frontier off ONE [[Relational.prefixSums]] pass — never
-    * a global window); the statistic is the per-cell exact ppm floor
-    * sum χ² = Σ_cells (O·N − R·C)² div (N·R·C) over
+    * running combined count reaches ⌈N/2⌉ (the [[cellQuantiles]]
+    * frontier over the pooled per-value cell frame — the CDF window
+    * sees the value DOMAIN, not rows); the statistic is the per-cell
+    * exact ppm floor sum χ² = Σ_cells (O·N − R·C)² div (N·R·C) over
     * decimal(38,0)-widened products, where R is the group total and
     * C the ≤/> column total. Cells with a zero marginal contribute
     * nothing (their expectation is 0 = observed). Output:
     * (k, n, median, chi2_ppm).
     *
     * Shape: one (group, value) hash-aggregate (the only corpus-scale
-    * shuffle), a |values|-row prefix pass, then k-row frames with
-    * broadcast 1-row totals.
+    * shuffle), ONE domain-bounded CDF window for the median, then
+    * k-row frames with broadcast 1-row totals.
     */
   def moodMedian(df: DataFrame, groupCol: Column,
       valueCol: Column): DataFrame = {
@@ -1152,13 +1152,10 @@ object Analytics {
         .groupBy(groupCol.as("_g"), valueCol.cast("long").as("_v"))
         .agg(count(lit(1)).as("_c")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perValue = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
-    val cums = Relational.prefixSums(perValue, Seq(col("_v")),
-      Seq(col("_cv") -> "_B"))
-    val n = perValue.agg(sum(col("_cv")).as("_n"))
-    val median = cums.crossJoin(broadcast(n))
-      .where(col("_B") >= expr("(_n + 1) div 2"))
-      .agg(min(col("_v")).as("_med"))
+    val pooled = cells.groupBy(col("_v"))
+      .agg(sum(col("_c")).as("_c")).withColumn("_g", lit("_all"))
+    val median = cellQuantiles(pooled, Seq(0.5))
+      .select(col("_q0").as("_med"))
     val perGroup = cells.crossJoin(broadcast(median))
       .groupBy(col("_g"))
       .agg(
