@@ -1499,6 +1499,15 @@ object SparkEntry {
         nation7Seeds(s, dd), "seed", maxHops = 3)
         .select(decodeTradeNode(col("node")).as("node"), col("dist"))),
 
+    // Sampled harmonic centrality on the trade graph: 8 md5-drawn
+    // seeds advance in ONE tagged BFS; exact 10^6 div d floors,
+    // global top-50.
+    "q_harmonic" -> ((s, dd) =>
+      Graph.harmonicCentrality(tradeEdges(s, dd), col("src"), col("dst"),
+        nSeeds = 8, maxHops = 3, k = 50)
+        .select(decodeTradeNode(col("node")).as("node"), col("n_reached"),
+          col("harmonic_ppm"))),
+
     // Approximate-quantile gate (same pattern as the HLL gate): the
     // sketch median must land between the exact 49th and 51st
     // percentiles. The bound is only structural once a group has
@@ -4845,6 +4854,35 @@ object SparkEntry {
         |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.node
         |  WHERE b.dist < 3)
         |SELECT node, CAST(MIN(dist) AS INT) AS dist FROM bfs GROUP BY node""".stripMargin,
+
+    // same tagged-long graph; one recursive tagged BFS, md5-ordered
+    // seed draw, integer floors; top-k taken on the LONG node before
+    // decoding (the Spark tie-break order)
+    "q_harmonic" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |verts AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges
+        |   UNION ALL SELECT dst AS node FROM edges)),
+        |seeds AS (SELECT node FROM verts
+        |  ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 8),
+        |bfs(seed, node, dist) AS (
+        |  SELECT node, node, 0 FROM seeds
+        |  UNION
+        |  SELECT b.seed, e.dst, b.dist + 1 FROM bfs b
+        |  JOIN edges e ON e.src = b.node WHERE b.dist < 3),
+        |md AS (SELECT seed, node, MIN(dist) AS dist FROM bfs GROUP BY 1, 2),
+        |h AS (SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
+        |  FROM md WHERE dist > 0 GROUP BY node),
+        |topk AS (SELECT * FROM h
+        |  ORDER BY harmonic_ppm DESC, node LIMIT 50)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c:' || (node // 2)
+        |  ELSE 's:' || (node // 2) END AS node, n_reached, harmonic_ppm
+        |FROM topk""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH c AS (SELECT lang, count(*) AS n_exact FROM documents GROUP BY lang),

@@ -256,6 +256,64 @@ object Graph {
     visited
   }
 
+  /** Sampled harmonic centrality — the "which nodes are CLOSE to
+    * everything" readout ([[pageRank]] rewards being pointed at;
+    * harmonic rewards being reachable fast, the metric of choice for
+    * disconnected graphs since unreachable pairs contribute 0, not
+    * ∞): H(v) = Σ_u 1/d(u,v), estimated over a deterministic seed
+    * sample. Seeds are the `nSeeds` smallest nodes in (md5(node),
+    * node) order — a reproducible uniform draw with no RNG, the
+    * [[graft.operators.TrainingData]] hash discipline.
+    *
+    * One TAGGED multi-source BFS: the frontier is (seed, node) keyed,
+    * so all seeds advance in the SAME superstep joins — s seeds cost
+    * s× edge traffic per round, not s sequential BFS loops. Per
+    * round: one hash join frontier⋈edges, one distinct, one anti-join
+    * against visited, one materializing localCheckpoint (the
+    * [[hopDistance]] discipline — lineage stays O(rounds) and
+    * shallow). The score is the exact integer floor sum
+    * Σ 10⁶ div d over reached (seed ≠ node) pairs; output is the
+    * global top-`k` by (score, node) via TakeOrdered. Output:
+    * (node, n_reached, harmonic_ppm).
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: Column, dstCol: Column,
+      nSeeds: Int = 8, maxHops: Int = 3, k: Int = 50): DataFrame = {
+    require(nSeeds >= 1 && maxHops >= 1 && k >= 1,
+      s"harmonicCentrality: nSeeds/maxHops/k must be >= 1")
+    val e = graft.core.CacheRegistry.persist(
+      edges.select(srcCol.as("src"), dstCol.as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+        .repartition(col("src")),
+      MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seeds = verts
+      .orderBy(md5(col("node").cast("string")), col("node"))
+      .limit(nSeeds)
+    var dist = seeds
+      .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = e.join(frontier, col("src") === col("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(dist.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(hop).as("dist"))
+        .localCheckpoint(true) // the round's one materializing action
+      dist = dist.union(next)
+      frontier = next
+    }
+    dist.where(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_ppm"))
+      .orderBy(col("harmonic_ppm").desc, col("node").asc)
+      .limit(k)
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * undirected edge list (duplicates, reversed duplicates, and
     * self-loops tolerated — edges canonicalize to distinct u<v pairs).

@@ -323,6 +323,30 @@ class GraphSpec extends SparkSpec {
     assert(capped == Set((1L, 2L, 1L)))
   }
 
+  test("harmonicCentrality: path-graph closed form with full seed coverage") {
+    // a—b—c—d (symmetric): with every node a seed, H(a) = 1 + 1/2 +
+    // 1/3 -> 1833333 ppm floors; H(b) = H(c) = 1 + 1 + 1/2 -> 2500000
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c")).toDF("s", "d")
+    val out = Graph.harmonicCentrality(e, col("s"), col("d"),
+      nSeeds = 4, maxHops = 3, k = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    // ordering: the two centre nodes first (tie broken by node asc)
+    assert(out.take(2).map(_._1).toSeq == Seq("b", "c"))
+    val m = out.toMap
+    assert(m("a") == ((3L, 1833333L)) && m("d") == ((3L, 1833333L)))
+    assert(m("b") == ((3L, 2500000L)) && m("c") == ((3L, 2500000L)))
+    // one seed: every other node reached by exactly that seed
+    val one = Graph.harmonicCentrality(e, col("s"), col("d"),
+      nSeeds = 1, maxHops = 3, k = 10).collect()
+    assert(one.length == 3 && one.forall(_.getLong(1) == 1L))
+    // hop cap: with maxHops = 1 only direct neighbours score
+    val capped = Graph.harmonicCentrality(e, col("s"), col("d"),
+      nSeeds = 4, maxHops = 1, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(capped("b") == 2000000L && capped("a") == 1000000L)
+  }
+
   test("adamicAdarPairs: rare shared neighbors outweigh hubs; exact terms") {
     // sources {1,2,3} all share dest 10 (in=3); {1,2} also share the
     // RARER dest 11 (in=2). RA terms: 10 -> 10^6 div 3 = 333333,
