@@ -2348,6 +2348,15 @@ object SparkEntry {
       Analytics.grubbs(t(s, d, "events"),
         round(col("value") * 100).cast("long"))),
 
+    // Mahalanobis top-10: line items OFF the price~quantity ridge —
+    // exact decimal moments, closed-form 2×2 inverse, one fixed
+    // per-row IEEE quadratic.
+    "q_mahalanobis" -> ((s, d) =>
+      Analytics.mahalanobisOutliers(t(s, d, "lineitem"),
+        col("l_orderkey") * 10L + col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("l_quantity").cast("long"), k = 10)),
+
     // Brown-Forsythe: do the return-flag cohorts differ in price
     // SPREAD — ANOVA F over |cents − group median| on one cell-frame
     // scan (the variance sibling of q_anova's mean test).
@@ -5847,6 +5856,38 @@ object SparkEntry {
         |        (3.0 * CAST(k - 1 AS DOUBLE))), 6)
         |  END AS chi2
         |FROM agg, dr""".stripMargin,
+
+    // HUGEINT moments, the same closed-form quadratic per row, top-10
+    // on (d2 DESC, id)
+    "q_mahalanobis" ->
+      """WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |  CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x) -
+        |    sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)) AS sxx,
+        |  CAST(count(*) AS HUGEINT) * sum(CAST(y AS HUGEINT) * y) -
+        |    sum(CAST(y AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS syy,
+        |  CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y) -
+        |    sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS sxy
+        |  FROM base),
+        |d AS (SELECT id, x, y,
+        |  round(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE) *
+        |    (CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE) *
+        |       CAST(syy AS DOUBLE) -
+        |     2.0 * CAST(n * x - sx AS DOUBLE) * CAST(n * y - sy AS DOUBLE) *
+        |       CAST(sxy AS DOUBLE) +
+        |     CAST(n * y - sy AS DOUBLE) * CAST(n * y - sy AS DOUBLE) *
+        |       CAST(sxx AS DOUBLE)) /
+        |    (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |     CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)), 6) AS d2
+        |  FROM base, m
+        |  WHERE CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |    CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE) > 0 AND n >= 2)
+        |SELECT id, x, y, d2 FROM d ORDER BY d2 DESC, id LIMIT 10""".stripMargin,
 
     // one (value,count) cell frame; M = max|n·v−Σx| in HUGEINT, exact
     // integer G² ppm, smallest achieving value on ties

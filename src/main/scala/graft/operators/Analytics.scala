@@ -3339,6 +3339,59 @@ object Analytics {
           .as("g2_ppm"))
   }
 
+  /** Bivariate Mahalanobis outlier scoring — what a per-column
+    * z-score ([[grubbs]], robust scaling) cannot see: a row that is
+    * unremarkable on each axis but lies OFF THE CORRELATION RIDGE
+    * (high price with low quantity when the two move together). For
+    * two columns the inverse covariance is closed-form, so the score
+    * is one fixed expression per row:
+    *
+    * {{{ d² = (n−1)/n · (u²·S_yy − 2uv·S_xy + v²·S_xx) / det }}}
+    *
+    * with u = n·x − Σx, v = n·y − Σy (the mean-clearing
+    * multiply-out), S_ab = n·Σab − Σa·Σb, det = S_xx·S_yy − S_xy².
+    * The six moments are EXACT decimal(38,0) sums (one map-combinable
+    * aggregate, broadcast back); the per-row quadratic form runs in
+    * doubles (its cross-products pass decimal(38) range) in one
+    * fixed IEEE shape, rounded 6dp — deterministic because every
+    * input double is exact-integer-valued. Output: the global top-`k`
+    * rows by (d², id) via TakeOrdered —
+    * (id, x, y, d2). Degenerate covariance (det ≤ 0) yields an empty
+    * frame rather than junk distances.
+    */
+  def mahalanobisOutliers(df: DataFrame, idCol: Column, xCol: Column,
+      yCol: Column, k: Int = 10): DataFrame = {
+    require(k >= 1, s"mahalanobisOutliers: k must be >= 1, got $k")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = graft.core.CacheRegistry.persist(
+      df.where(idCol.isNotNull && xCol.isNotNull && yCol.isNotNull)
+        .select(idCol.as("id"), xCol.cast("long").as("x"),
+          yCol.cast("long").as("y")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = base.agg(count(lit(1)).as("_n"),
+      sum(dec(col("x"))).as("_sx"), sum(dec(col("y"))).as("_sy"),
+      sum(dec(col("x")) * col("x")).as("_sxx"),
+      sum(dec(col("y")) * col("y")).as("_syy"),
+      sum(dec(col("x")) * col("y")).as("_sxy"))
+      .select(col("_n"), col("_sx"), col("_sy"),
+        (dec(col("_n")) * col("_sxx") - col("_sx") * col("_sx")).as("_Sxx"),
+        (dec(col("_n")) * col("_syy") - col("_sy") * col("_sy")).as("_Syy"),
+        (dec(col("_n")) * col("_sxy") - col("_sx") * col("_sy")).as("_Sxy"))
+    val u = (dec(col("_n")) * col("x") - col("_sx")).cast("double")
+    val v = (dec(col("_n")) * col("y") - col("_sy")).cast("double")
+    val det = col("_Sxx").cast("double") * col("_Syy").cast("double") -
+      col("_Sxy").cast("double") * col("_Sxy").cast("double")
+    base.crossJoin(broadcast(m))
+      .where(det > 0.0d && col("_n") >= 2L)
+      .select(col("id"), col("x"), col("y"),
+        round((col("_n") - 1L).cast("double") / col("_n").cast("double") *
+          (u * u * col("_Syy").cast("double") -
+            lit(2.0d) * u * v * col("_Sxy").cast("double") +
+            v * v * col("_Sxx").cast("double")) / det, 6).as("d2"))
+      .orderBy(col("d2").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Bartlett's variance-homogeneity test — the PARAMETRIC sibling of
     * [[brownForsythe]]: BF compares mean absolute spreads (robust),
     * Bartlett compares log variances directly (sharper when the data

@@ -1257,6 +1257,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(3L) == ((1L, None)))
   }
 
+  test("mahalanobisOutliers: ridge-breaking point tops; degenerate det empties") {
+    // square corners + one far point on the x-axis: the far point is
+    // n=5, moments -> S = (344, 24, −36), det 6960, u=36, v=−4:
+    // d² = 0.8·26240/6960 = 3.016092
+    val df = Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 0L, 2L), (4L, 2L, 2L),
+      (5L, 10L, 0L)).toDF("id", "x", "y")
+    val out = Analytics.mahalanobisOutliers(df, col("id"), col("x"),
+      col("y"), k = 2).collect()
+    assert(out.head.getLong(0) == 5L)
+    assert(out.head.getAs[Double]("d2") == 3.016092d)
+    // symmetric square alone: all four points equidistant, ties break
+    // by id ascending
+    val sq = df.where(col("id") <= 4L)
+    val rs = Analytics.mahalanobisOutliers(sq, col("id"), col("x"),
+      col("y"), k = 3).collect()
+    assert(rs.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rs.forall(_.getAs[Double]("d2") == 1.5d))
+    // a constant column degenerates the covariance: empty, not junk
+    val flat = Seq((1L, 5L, 1L), (2L, 5L, 2L)).toDF("id", "x", "y")
+    assert(Analytics.mahalanobisOutliers(flat, col("id"), col("x"),
+      col("y")).collect().isEmpty)
+  }
+
   test("grubbs: exact integer G² on the cell frame; min value on ties") {
     // {1,2,3,14}: M = max|4v−20| = 36 at v=14;
     // G² = 36²·3 / (4·(4·210−400)) = 3888/1760 -> 2209090 ppm
