@@ -3484,6 +3484,34 @@ object SparkEntry {
         col("ca") - col("cb"))
     }),
 
+    // Lin's CCC over the same day-matched pair: does click volume
+    // REPRODUCE view volume (y = x), not merely track it — exact
+    // integer S-moments, one division, Pearson r beside.
+    "q_ccc" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val a = daily.where(col("event_type") === "click")
+        .select(col("day"), col("cents").as("ca"))
+      val b = daily.where(col("event_type") === "view")
+        .select(col("day"), col("cents").as("cb"))
+      Analytics.concordanceCcc(a.join(b, Seq("day")), col("ca"), col("cb"))
+    }),
+
+    // Record census of the per-type daily series: how often does a
+    // day still set the all-time high — strict records, one bounded
+    // per-key window.
+    "q_records" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Analytics.runningRecords(daily, col("event_type"), col("day"),
+          col("cents"))
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // Spearman rho between day-matched click and view daily cents —
     // Pearson on exact doubled midranks.
     "q_spearman" -> ((s, d) => {
@@ -8452,6 +8480,58 @@ object SparkEntry {
         |    sum(c) * (sum(c) + 1))::DOUBLE /
         |    (sum(c) * (sum(c) + 1))::DOUBLE, 6) AS rank_biserial
         |FROM cum""".stripMargin,
+
+    // same day-matched join; exact S-moments in HUGEINT, mean-gap
+    // penalty, the identical three IEEE readouts
+    "q_ccc" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.cents AS x, b.cents AS y
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy FROM j),
+        |s AS (SELECT n, n * sxx - sx * sx AS vxx, n * syy - sy * sy AS vyy,
+        |  n * sxy - sx * sy AS vxy, (sx - sy) * (sx - sy) AS d2 FROM m)
+        |SELECT n,
+        |  CASE WHEN vxx > 0 AND vyy > 0 THEN
+        |    round(2.0 * CAST(vxy AS DOUBLE) /
+        |      CAST(vxx + vyy + d2 AS DOUBLE), 6) END AS ccc,
+        |  CASE WHEN vxx > 0 AND vyy > 0 THEN
+        |    round(CAST(vxy AS DOUBLE) /
+        |      (sqrt(CAST(vxx AS DOUBLE)) * sqrt(CAST(vyy AS DOUBLE))), 6)
+        |  END AS r,
+        |  CASE WHEN vxx > 0 AND vyy > 0 AND vxy <> 0 THEN
+        |    round((2.0 * CAST(vxy AS DOUBLE) /
+        |      CAST(vxx + vyy + d2 AS DOUBLE)) /
+        |      (CAST(vxy AS DOUBLE) /
+        |       (sqrt(CAST(vxx AS DOUBLE)) * sqrt(CAST(vyy AS DOUBLE)))), 6)
+        |  END AS c_b
+        |FROM s""".stripMargin,
+
+    // strictly-preceding running max per key, strict-record flags
+    "q_records" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT k, day, cents,
+        |  max(cents) OVER (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM daily),
+        |r AS (SELECT k, day, cents,
+        |  CASE WHEN pm IS NULL OR cents > pm THEN 1 ELSE 0 END AS rec FROM w)
+        |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rec) AS BIGINT) AS n_records,
+        |  CAST(max(CASE WHEN rec = 1 THEN day END) AS BIGINT)
+        |    AS last_record_tick,
+        |  CAST(max(cents) AS BIGINT) AS max_value
+        |FROM r GROUP BY 1""".stripMargin,
 
     // same doubled-midrank joins + six exact moment sums
     "q_spearman" ->

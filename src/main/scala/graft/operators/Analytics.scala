@@ -3339,6 +3339,77 @@ object Analytics {
           .as("g2_ppm"))
   }
 
+  /** Running-record census — "how often does this series still set a
+    * new all-time high": record counts separate growth curves that
+    * keep breaking out from ones that plateaued long ago (a
+    * stationary random series sets ~ln n records; a trending one
+    * sets Θ(n) — a scale-free trend signal beside [[mannKendall]]).
+    * A record is a value STRICTLY above every earlier value (first
+    * row counts; ties don't). One per-key ordered window (the series
+    * family's bounded-per-key exchange) computing the
+    * strictly-preceding running max, then one aggregate. Output:
+    * (key, n, n_records, last_record_tick, max_value).
+    */
+  def runningRecords(df: DataFrame, keyCol: Column, tickCol: Column,
+      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.where(valueCol.isNotNull && tickCol.isNotNull)
+      .select(keyCol.as("_k"), tickCol.cast("long").as("_t"),
+        valueCol.cast("long").as("_x"))
+      .withColumn("_pm", max(col("_x")).over(w))
+      .withColumn("_rec",
+        (col("_pm").isNull || col("_x") > col("_pm")).cast("long"))
+      .groupBy(col("_k").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_rec")).as("n_records"),
+        max(when(col("_rec") === 1L, col("_t"))).as("last_record_tick"),
+        max(col("_x")).as("max_value"))
+  }
+
+  /** Lin's concordance correlation coefficient — the AGREEMENT
+    * metric Pearson r deliberately isn't: r rewards any linear
+    * relation (y = 2x + 5 scores r = 1), CCC rewards y = x only,
+    * penalizing scale and location bias — the statistic for "does
+    * the cheap model reproduce the expensive gold NUMBER", paired
+    * day-by-day. Multiplying Lin's population form through by n²
+    * clears every mean:
+    *
+    * {{{ CCC = 2·S_xy / (S_xx + S_yy + (Σx − Σy)²) }}}
+    *
+    * with S_ab = n·Σab − Σa·Σb — EXACT decimal(38,0) integers into
+    * ONE IEEE division, rounded 6dp (no sqrt at all — tighter than
+    * the Pearson family). Also emitted: Pearson r and the bias
+    * correction factor c_b = CCC/r (the location/scale-shift
+    * penalty alone). Null when either variance is 0. Output one row:
+    * (n, ccc, r, c_b).
+    */
+  def concordanceCcc(df: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = xCol.cast("long"); val y = yCol.cast("long")
+    val m = df.where(x.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(x)).as("_sx"), sum(dec(y)).as("_sy"),
+        sum(dec(x) * x).as("_sxx"), sum(dec(y) * y).as("_syy"),
+        sum(dec(x) * y).as("_sxy"))
+      .select(col("n"),
+        (dec(col("n")) * col("_sxx") - col("_sx") * col("_sx")).as("_Sxx"),
+        (dec(col("n")) * col("_syy") - col("_sy") * col("_sy")).as("_Syy"),
+        (dec(col("n")) * col("_sxy") - col("_sx") * col("_sy")).as("_Sxy"),
+        ((col("_sx") - col("_sy")) * (col("_sx") - col("_sy")))
+          .cast("decimal(38,0)").as("_D2"))
+    val ccc = lit(2.0d) * col("_Sxy").cast("double") /
+      (col("_Sxx") + col("_Syy") + col("_D2")).cast("double")
+    val r = col("_Sxy").cast("double") /
+      (sqrt(col("_Sxx").cast("double")) * sqrt(col("_Syy").cast("double")))
+    m.select(col("n"),
+      when(col("_Sxx") > 0 && col("_Syy") > 0, round(ccc, 6)).as("ccc"),
+      when(col("_Sxx") > 0 && col("_Syy") > 0, round(r, 6)).as("r"),
+      when(col("_Sxx") > 0 && col("_Syy") > 0 && col("_Sxy") =!= 0,
+        round(ccc / r, 6)).as("c_b"))
+  }
+
   /** Bivariate Mahalanobis outlier scoring — what a per-column
     * z-score ([[grubbs]], robust scaling) cannot see: a row that is
     * unremarkable on each axis but lies OFF THE CORRELATION RIDGE

@@ -1257,6 +1257,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(3L) == ((1L, None)))
   }
 
+  test("concordanceCcc: identity agrees, scaled line doesn't; Pearson beside") {
+    // y = x exactly: CCC = r = c_b = 1
+    val same = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val rs = Analytics.concordanceCcc(same, col("x"), col("y")).collect().head
+    assert(rs.getAs[Double]("ccc") == 1.0d && rs.getAs[Double]("r") == 1.0d)
+    assert(rs.getAs[Double]("c_b") == 1.0d)
+    // y = 2x: perfectly linear (r = 1) but NOT concordant:
+    // Sxx = 6, Syy = 24, Sxy = 12, D² = (6−12)² = 36 ->
+    // ccc = 24/66 = 0.363636
+    val scaled = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    val rc = Analytics.concordanceCcc(scaled, col("x"), col("y"))
+      .collect().head
+    assert(rc.getAs[Double]("r") == 1.0d)
+    assert(rc.getAs[Double]("ccc") == 0.363636d)
+    assert(rc.getAs[Double]("c_b") == 0.363636d)
+    // constant y: degenerate variance -> nulls
+    val flat = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    val rf = Analytics.concordanceCcc(flat, col("x"), col("y")).collect().head
+    assert(rf.isNullAt(1) && rf.isNullAt(2) && rf.isNullAt(3))
+  }
+
+  test("runningRecords: strict records counted; ties and dips don't") {
+    // 3,1,4,4,5 -> records at t=1 (3), t=3 (4), t=5 (5); the tie at
+    // t=4 is NOT a record
+    val df = Seq(("s", 1L, 3L), ("s", 2L, 1L), ("s", 3L, 4L),
+      ("s", 4L, 4L), ("s", 5L, 5L)).toDF("k", "t", "x")
+    val r = Analytics.runningRecords(df, col("k"), col("t"), col("x"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("n_records") == 3L)
+    assert(r.getAs[Long]("last_record_tick") == 5L)
+    assert(r.getAs[Long]("max_value") == 5L)
+    // strictly decreasing: only the first row records
+    val dec = Seq(("s", 1L, 9L), ("s", 2L, 8L), ("s", 3L, 7L))
+      .toDF("k", "t", "x")
+    val rd = Analytics.runningRecords(dec, col("k"), col("t"), col("x"))
+      .collect().head
+    assert(rd.getAs[Long]("n_records") == 1L &&
+      rd.getAs[Long]("last_record_tick") == 1L)
+  }
+
   test("mahalanobisOutliers: ridge-breaking point tops; degenerate det empties") {
     // square corners + one far point on the x-axis: the far point is
     // n=5, moments -> S = (344, 24, −36), det 6960, u=36, v=−4:
