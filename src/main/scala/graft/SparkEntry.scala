@@ -2335,6 +2335,14 @@ object SparkEntry {
         substring(col("o_orderpriority"), 1, 1).cast("long"),
         (col("o_orderstatus") === "F").cast("int"))),
 
+    // Shape moments per cohort: skewness + excess kurtosis via the
+    // integer-mean shift (no cancellation, no overflow) on one cell
+    // frame.
+    "q_moments" -> ((s, d) =>
+      Analytics.groupedMoments(t(s, d, "lineitem"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long"))),
+
     // Bartlett: the parametric log-variance homogeneity gate over the
     // same cohorts — exact rational group variances, 6dp ln terms.
     "q_bartlett" -> ((s, d) =>
@@ -5848,6 +5856,45 @@ object SparkEntry {
 
     // grouped-median CDF (same ceil rule), weighted deviation moments,
     // q_anova's 6dp-term scalar block
+    // same cell frame; integer-mean shift, shifted-power HUGEINT
+    // sums, identical IEEE moment shapes
+    "q_moments" ->
+      """WITH cells AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mu AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |  sum(CAST(v AS HUGEINT) * c) AS sx FROM cells GROUP BY 1),
+        |sh AS (SELECT g, n, CAST(sx // n AS BIGINT) AS mu,
+        |  sx - CAST(n AS HUGEINT) * (sx // n) AS r FROM mu),
+        |pw AS (SELECT c.g, n, mu, r,
+        |  sum(CAST(v - mu AS HUGEINT) * c.c) AS s1,
+        |  sum(CAST(v - mu AS HUGEINT) * (v - mu) * c.c) AS s2,
+        |  sum(CAST(v - mu AS HUGEINT) * (v - mu) * (v - mu) * c.c) AS s3,
+        |  sum(CAST(v - mu AS HUGEINT) * (v - mu) * (v - mu) * (v - mu)
+        |    * c.c) AS s4
+        |  FROM cells c JOIN sh USING (g) GROUP BY 1, 2, 3, 4),
+        |dl AS (SELECT g, n, mu, r, s2, s3, s4,
+        |  CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS del FROM pw),
+        |mm AS (SELECT g, n, mu, del,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - del * del AS m2,
+        |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    3.0 * del * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+        |    2.0 * del * del * del AS m3,
+        |  CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    4.0 * del * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) +
+        |    6.0 * del * del * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) -
+        |    3.0 * del * del * del * del AS m4
+        |  FROM dl)
+        |SELECT g AS "group", n,
+        |  round(CAST(mu AS DOUBLE) + del, 6) AS mean,
+        |  CASE WHEN m2 > 0 THEN round(m3 / (sqrt(m2) * m2), 6) END
+        |    AS skewness,
+        |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END
+        |    AS kurtosis_excess
+        |FROM mm""".stripMargin,
+
     // exact rational group variances into 6dp ln/pooled/reciprocal
     // decimal terms, one IEEE chi2 shape
     "q_bartlett" ->

@@ -3367,6 +3367,67 @@ object Analytics {
         max(col("_x")).as("max_value"))
   }
 
+  /** Per-group skewness and excess kurtosis — the two shape moments a
+    * mean/variance profile is blind to (heavy right tail? peaked or
+    * flat?), computed WITHOUT the classic catastrophic cancellation:
+    * the naive multiplied-out n³Σx⁴ form overflows any fixed decimal
+    * AND cancels ~equal 10²⁴-scale doubles. Instead, a two-phase
+    * shift: phase 1 takes each group's integer mean floor μ = Σx div
+    * n (exact); phase 2 sums the SHIFTED powers Σd, Σd², Σd³, Σd⁴
+    * with d = x − μ (exact decimal(38,0) — d is deviation-scaled, so
+    * d⁴ sums fit where x⁴ forms cannot), and the true central
+    * moments follow by the shift identity with δ = (Σx mod n)/n ∈
+    * [0,1):
+    *
+    * {{{ m2 = Σd²/n − δ²,  m3 = Σd³/n − 3δ·Σd²/n + 2δ³ }}}
+    * {{{ m4 = Σd⁴/n − 4δ·Σd³/n + 6δ²·Σd²/n − 3δ⁴ }}}
+    * {{{ g1 = m3/m2^{3/2},  g2 = m4/m2² − 3 }}}
+    *
+    * — every input to the fixed IEEE shapes is an exact integer
+    * ratio, all terms deviation-scale (no cancellation of large
+    * opposing magnitudes). Both phases run over the persisted
+    * (group, value, count) cell frame: one row-scale shuffle total.
+    * Zero-variance groups report null shape moments. Output:
+    * (group, n, mean, skewness, kurtosis_excess), 6dp.
+    */
+  def groupedMoments(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(groupCol.isNotNull && valueCol.isNotNull)
+        .groupBy(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .agg(count(lit(1)).as("_c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu = cells.groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_n"), sum(dec(col("_v")) * col("_c")).as("_sx"))
+      .select(col("_g"), col("_n"), expr("_sx div _n").cast("long").as("_mu"),
+        (col("_sx") - dec(col("_n")) * expr("_sx div _n"))
+          .cast("decimal(38,0)").as("_r"))
+    val d = col("_v") - col("_mu")
+    val pow = cells.join(mu, Seq("_g"))
+      .groupBy(col("_g"), col("_n"), col("_mu"), col("_r"))
+      .agg(
+        sum(dec(d) * col("_c")).as("_s1"),
+        sum(dec(d) * d * col("_c")).as("_s2"),
+        sum(dec(d) * d * d * col("_c")).as("_s3"),
+        sum(dec(d) * d * d * d * col("_c")).as("_s4"))
+    val nD = col("_n").cast("double")
+    val del = col("_r").cast("double") / nD
+    val m2 = col("_s2").cast("double") / nD - del * del
+    val m3 = col("_s3").cast("double") / nD -
+      lit(3.0d) * del * (col("_s2").cast("double") / nD) +
+      lit(2.0d) * del * del * del
+    val m4 = col("_s4").cast("double") / nD -
+      lit(4.0d) * del * (col("_s3").cast("double") / nD) +
+      lit(6.0d) * del * del * (col("_s2").cast("double") / nD) -
+      lit(3.0d) * del * del * del * del
+    pow.select(col("_g").as("group"), col("_n").as("n"),
+      round(col("_mu").cast("double") + del, 6).as("mean"),
+      when(m2 > 0.0d, round(m3 / (sqrt(m2) * m2), 6)).as("skewness"),
+      when(m2 > 0.0d, round(m4 / (m2 * m2) - lit(3.0d), 6))
+        .as("kurtosis_excess"))
+  }
+
   /** Lin's concordance correlation coefficient — the AGREEMENT
     * metric Pearson r deliberately isn't: r rewards any linear
     * relation (y = 2x + 5 scores r = 1), CCC rewards y = x only,

@@ -1257,6 +1257,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(3L) == ((1L, None)))
   }
 
+  test("groupedMoments: textbook shapes incl. a fractional-mean shift") {
+    // {1,2,3}: symmetric -> skew 0, kurt −1.5 (flat three-point)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      // {0,0,0,4}: Bernoulli-shaped -> skew 1.154701, kurt −0.666667
+      ("b", 0L), ("b", 0L), ("b", 0L), ("b", 4L),
+      // {0,1}: δ = 0.5 exercises the shift identity -> kurt −2
+      ("c", 0L), ("c", 1L)).toDF("g", "v")
+    val out = Analytics.groupedMoments(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Double]("mean") == 2.0d)
+    assert(a.getAs[Double]("skewness") == 0.0d)
+    assert(a.getAs[Double]("kurtosis_excess") == -1.5d)
+    val b = out("b")
+    assert(b.getAs[Double]("mean") == 1.0d)
+    assert(b.getAs[Double]("skewness") == 1.154701d)
+    assert(b.getAs[Double]("kurtosis_excess") == -0.666667d)
+    val c = out("c")
+    assert(c.getAs[Double]("mean") == 0.5d)
+    assert(c.getAs[Double]("skewness") == 0.0d)
+    assert(c.getAs[Double]("kurtosis_excess") == -2.0d)
+    // constant group: zero variance -> null shape moments, mean kept
+    val const = Seq(("z", 7L), ("z", 7L)).toDF("g", "v")
+    val rz = Analytics.groupedMoments(const, col("g"), col("v"))
+      .collect().head
+    assert(rz.getAs[Double]("mean") == 7.0d && rz.isNullAt(3) && rz.isNullAt(4))
+  }
+
   test("concordanceCcc: identity agrees, scaled line doesn't; Pearson beside") {
     // y = x exactly: CCC = r = c_b = 1
     val same = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
