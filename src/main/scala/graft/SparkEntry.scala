@@ -3305,6 +3305,19 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // Allan variance profile of the same daily series: the noise
+    // floor per averaging horizon — exact integer block-sum deltas,
+    // one division per (key, m).
+    "q_allan" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Analytics.allanVariance(daily, col("event_type"), Seq(col("day")),
+          col("cents"))
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // PACF at lags 1..3 over the same daily series: Durbin-Levinson
     // unrolled on exact integer autocovariances — the AR-order
     // readout beside q_ljung_box's raw rho profile.
@@ -8000,6 +8013,32 @@ object SparkEntry {
         |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
         |  END AS r
         |FROM a""".stripMargin,
+
+    // same daily frame; full-block integer sums, lagged deltas in
+    // HUGEINT, one identical IEEE division per (key, m)
+    "q_allan" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT k, x, CAST(row_number() OVER
+        |  (PARTITION BY k ORDER BY day) AS BIGINT) - 1 AS i FROM daily),
+        |ex AS (SELECT k, i, x, CAST(m AS BIGINT) AS m
+        |  FROM idx, (SELECT unnest([1, 4, 16, 64]) AS m)),
+        |b AS (SELECT k, m, i // m AS blk, CAST(sum(x) AS BIGINT) AS s,
+        |  count(*) AS cnt FROM ex GROUP BY 1, 2, 3),
+        |fb AS (SELECT k, m, blk, s FROM b WHERE cnt = m),
+        |lg AS (SELECT k, m,
+        |  s - lag(s) OVER (PARTITION BY k, m ORDER BY blk) AS ds FROM fb),
+        |ag AS (SELECT k, m, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  sum(CAST(ds AS HUGEINT) * ds) AS num,
+        |  CAST(count(ds) AS BIGINT) AS pairs FROM lg GROUP BY 1, 2)
+        |SELECT k AS event_type, m, n_blocks,
+        |  CASE WHEN pairs >= 1 THEN
+        |    round(CAST(num AS DOUBLE) /
+        |      (2.0 * CAST(pairs AS DOUBLE) * CAST(m AS DOUBLE) *
+        |       CAST(m AS DOUBLE)), 6) END AS avar
+        |FROM ag""".stripMargin,
 
     // same daily frame; block windows mirror the m-cleared integer W,
     // the slope constants are the SAME JVM doubles embedded literally

@@ -4516,6 +4516,54 @@ object Analytics {
           .as("hurst"))
   }
 
+  /** Allan variance profile — [[hurstExponent]]'s metrology sibling:
+    * where R/S reads one scaling SLOPE, AVAR(m) reads the noise
+    * FLOOR at each averaging horizon m (σ²(m) = ½⟨(ȳ_{i+1}−ȳ_i)²⟩
+    * over consecutive block means) — flat in m ⇒ white noise
+    * averages away; rising ⇒ drift/random-walk where longer
+    * averaging HURTS. The standard "how long should I average this
+    * gauge" readout for metric pipelines.
+    *
+    * Exactness: block SUMS S_i are exact integers, the mean division
+    * is cleared — AVAR(m) = Σ(S_{i+1}−S_i)² / (2·(B−1)·m²) — so one
+    * decimal(38,0) sum of squared integer deltas enters ONE IEEE
+    * division, 6dp. Only full blocks pair; keys with < 2 full blocks
+    * at a size report null for it. Shape: one per-key index window,
+    * ×|sizes| explode, per-(key,size) block aggregate + lag window
+    * over the BLOCK frame (n/m rows), one aggregate. Output one row
+    * per (key, m): (key, m, n_blocks, avar).
+    */
+  def allanVariance(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
+      centsCol: Column, sizes: Seq[Int] = Seq(1, 4, 16, 64)): DataFrame = {
+    require(sizes.nonEmpty && sizes == sizes.sorted &&
+      sizes.distinct == sizes && sizes.forall(_ >= 1),
+      s"allanVariance: sizes must be distinct ascending >= 1, got $sizes")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wIdx = Window.partitionBy(col("_k")).orderBy(orderBy.map(_.asc): _*)
+    val indexed = df.where(centsCol.isNotNull)
+      .select((keyCol.as("_k") +: orderBy) :+ centsCol.cast("long").as("_x"): _*)
+      .withColumn("_i", row_number().over(wIdx).cast("long") - 1L)
+    val blocks = indexed
+      .select(col("_k"), col("_i"), col("_x"),
+        explode(typedLit(sizes.map(_.toLong))).as("_m"))
+      .groupBy(col("_k"), col("_m"), expr("_i div _m").as("_blk"))
+      .agg(sum(col("_x")).as("_S"), count(lit(1)).as("_cnt"))
+      .where(col("_cnt") === col("_m"))
+    val wLag = Window.partitionBy(col("_k"), col("_m")).orderBy(col("_blk"))
+    blocks
+      .withColumn("_dS", col("_S") - lag(col("_S"), 1).over(wLag))
+      .groupBy(col("_k").as("key"), col("_m").as("m"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(dec(col("_dS")) * col("_dS")).as("_num"),
+        count(col("_dS")).as("_pairs"))
+      .select(col("key"), col("m"), col("n_blocks"),
+        when(col("_pairs") >= 1L,
+          round(col("_num").cast("double") /
+            (lit(2.0d) * col("_pairs").cast("double") *
+              col("m").cast("double") * col("m").cast("double")), 6))
+          .as("avar"))
+  }
+
   /** Durbin-Watson first-order autocorrelation statistic per key —
     * the regression-residual serial-correlation check (≈2 means no
     * lag-1 structure; <2 positive, >2 negative):

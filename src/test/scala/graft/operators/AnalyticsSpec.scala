@@ -1161,6 +1161,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.getLong(2) == 375000L)
   }
 
+  test("allanVariance: white alternator averages away, drift grows with m") {
+    // alternating ±1 over 8 ticks: m=1 -> 7 deltas of ±2 -> avar 2.0;
+    // any even block size sums to 0 -> avar 0 (noise averages away)
+    val alt = (0 until 8).map(i => ("s", i.toLong,
+      if (i % 2 == 0) 1L else -1L)).toDF("k", "t", "x")
+    val ra = Analytics.allanVariance(alt, col("k"), Seq(col("t")), col("x"),
+      sizes = Seq(1, 2, 4))
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("avar")).toMap
+    assert(ra(1L) == 2.0d && ra(2L) == 0.0d && ra(4L) == 0.0d)
+    // linear ramp 0..7: drift -> avar RISES with m (0.5, 2.0, 8.0)
+    val ramp = (0 until 8).map(i => ("s", i.toLong, i.toLong))
+      .toDF("k", "t", "x")
+    val rr = Analytics.allanVariance(ramp, col("k"), Seq(col("t")), col("x"),
+      sizes = Seq(1, 2, 4))
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("avar")).toMap
+    assert(rr(1L) == 0.5d && rr(2L) == 2.0d && rr(4L) == 8.0d)
+    // a size with fewer than 2 full blocks reports null
+    val short = (0 until 5).map(i => ("s", i.toLong, i.toLong))
+      .toDF("k", "t", "x")
+    val rs = Analytics.allanVariance(short, col("k"), Seq(col("t")), col("x"),
+      sizes = Seq(4)).collect()
+    assert(rs.length == 1 && rs.head.isNullAt(3))
+  }
+
   test("hurstExponent: ramp scales like H=1, alternator pins H=0 exactly") {
     // alternating ±1: every block has R = m·1 and √(mQ−S²) = m, so
     // R/S = 1 at EVERY size -> all ln-terms 0 -> slope exactly 0
