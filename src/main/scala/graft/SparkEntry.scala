@@ -3305,6 +3305,19 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // Gumbel fit on weekly maxima of the same daily series: the
+    // worst-day-in-a-typical-year return level — exact integer
+    // block maxima/moments, embedded-constant fit.
+    "q_gumbel" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Analytics.gumbelFit(daily, col("event_type"), col("day"),
+          col("cents"), period = 7L, returnPeriod = 52L)
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // Allan variance profile of the same daily series: the noise
     // floor per averaging horizon — exact integer block-sum deltas,
     // one division per (key, m).
@@ -8013,6 +8026,33 @@ object SparkEntry {
         |       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
         |  END AS r
         |FROM a""".stripMargin,
+
+    // same daily frame; weekly maxima, HUGEINT moments, the SAME
+    // embedded JVM constants (√6/π, γ, double-log return factor)
+    "q_gumbel" ->
+      s"""WITH daily AS (SELECT event_type AS k,
+         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS x
+         |  FROM events GROUP BY 1, 2),
+         |mx AS (SELECT k, day // 7 AS blk, CAST(max(x) AS BIGINT) AS mx
+         |  FROM daily GROUP BY 1, 2),
+         |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+         |  sum(CAST(mx AS HUGEINT)) AS s,
+         |  sum(CAST(mx AS HUGEINT) * mx) AS q FROM mx GROUP BY 1),
+         |f AS (SELECT k, n, n * q - s * s AS vn,
+         |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |  sqrt(CAST(n * q - s * s AS DOUBLE) /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) *
+         |    ${Analytics.GumbelC1} AS beta
+         |  FROM m)
+         |SELECT k AS event_type, n AS n_blocks, round(mean, 6) AS mean_max,
+         |  CASE WHEN n >= 2 AND vn > 0 THEN round(beta, 6) END AS beta,
+         |  CASE WHEN n >= 2 AND vn > 0 THEN
+         |    round(mean - ${Analytics.GumbelGamma} * beta, 6) END AS mu,
+         |  CASE WHEN n >= 2 AND vn > 0 THEN
+         |    round(mean - ${Analytics.GumbelGamma} * beta -
+         |      beta * ${math.log(-math.log(1.0 - 1.0 / 52.0))}, 6) END AS rl
+         |FROM f""".stripMargin,
 
     // same daily frame; full-block integer sums, lagged deltas in
     // HUGEINT, one identical IEEE division per (key, m)

@@ -4516,6 +4516,62 @@ object Analytics {
           .as("hurst"))
   }
 
+  /** Gumbel block-maxima fit — the extreme-value readout a quantile
+    * can't give: p99 describes the past sample, the fitted Gumbel
+    * EXTRAPOLATES ("the worst day in a typical YEAR" from weekly
+    * maxima) — capacity planning's return-level question.
+    * Method-of-moments fit on per-block maxima:
+    *
+    * {{{ β = s·√6/π,   μ = x̄ − γ·β,   x_T = μ − β·ln(−ln(1−1/T)) }}}
+    *
+    * (γ the Euler–Mascheroni constant). Determinism discipline:
+    * block maxima and their (n, Σ, Σ²) moments are exact integers;
+    * √6/π, γ and the double-log return factor ln(−ln(1−1/T)) are
+    * JVM-computed constants embedded literally in BOTH engines
+    * (the [[hurstExponent]] constant discipline — no cross-libm
+    * call); x̄, s and the two linear forms are one fixed IEEE shape,
+    * 6dp. Keys with < 2 blocks or zero spread report null fit.
+    * Output: (key, n_blocks, mean_max, beta, mu, rl).
+    *
+    * Shape: one (key, block) max aggregate (the only row-scale
+    * shuffle), one per-key moment aggregate.
+    */
+  def gumbelFit(df: DataFrame, keyCol: Column, tickCol: Column,
+      valueCol: Column, period: Long = 7L,
+      returnPeriod: Long = 52L): DataFrame = {
+    require(period >= 1 && returnPeriod >= 2,
+      s"gumbelFit: period >= 1 and returnPeriod >= 2 required")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val maxima = df.where(valueCol.isNotNull && tickCol.isNotNull)
+      .select(keyCol.as("_k"), tickCol.cast("long").as("_t"),
+        valueCol.cast("long").as("_x"))
+      .groupBy(col("_k"), expr(s"_t div ${period}L").as("_blk"))
+      .agg(max(col("_x")).as("_mx"))
+    val m = maxima.groupBy(col("_k").as("key"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(dec(col("_mx"))).as("_s"),
+        sum(dec(col("_mx")) * col("_mx")).as("_q"))
+    val nD = col("n_blocks").cast("double")
+    val mean = col("_s").cast("double") / nD
+    val varNum = (dec(col("n_blocks")) * col("_q") - col("_s") * col("_s"))
+    val s = sqrt(varNum.cast("double") / (nD * (nD - 1.0d)))
+    val beta = s * lit(GumbelC1)
+    val mu = mean - lit(GumbelGamma) * beta
+    val rl = mu - beta *
+      lit(math.log(-math.log(1.0 - 1.0 / returnPeriod.toDouble)))
+    m.select(col("key"), col("n_blocks"),
+      round(mean, 6).as("mean_max"),
+      when(col("n_blocks") >= 2L && varNum > 0, round(beta, 6)).as("beta"),
+      when(col("n_blocks") >= 2L && varNum > 0, round(mu, 6)).as("mu"),
+      when(col("n_blocks") >= 2L && varNum > 0, round(rl, 6)).as("rl"))
+  }
+
+  /** √6/π and Euler–Mascheroni — the Gumbel moment constants, public
+    * so the oracle embeds the IDENTICAL doubles.
+    */
+  val GumbelC1: Double = math.sqrt(6.0) / math.Pi
+  val GumbelGamma: Double = 0.5772156649015329d
+
   /** Allan variance profile — [[hurstExponent]]'s metrology sibling:
     * where R/S reads one scaling SLOPE, AVAR(m) reads the noise
     * FLOOR at each averaging horizon m (σ²(m) = ½⟨(ȳ_{i+1}−ȳ_i)²⟩

@@ -1161,6 +1161,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(rd.getLong(2) == 375000L)
   }
 
+  test("gumbelFit: hand moment fit; translation shifts location only") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // period 1: maxima are the values {1,2,3}: mean 2, s = 1
+    val df = Seq(("s", 0L, 1L), ("s", 1L, 2L), ("s", 2L, 3L))
+      .toDF("k", "t", "x")
+    val r = Analytics.gumbelFit(df, col("k"), col("t"), col("x"),
+      period = 1L, returnPeriod = 52L).collect().head
+    val beta = 1.0 * Analytics.GumbelC1
+    val mu = 2.0 - Analytics.GumbelGamma * beta
+    val rl = mu - beta * math.log(-math.log(1.0 - 1.0 / 52.0))
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Double]("mean_max") == 2.0d)
+    assert(r.getAs[Double]("beta") == r6(beta))
+    assert(r.getAs[Double]("mu") == r6(mu))
+    assert(r.getAs[Double]("rl") == r6(rl))
+    // blocking: period 2 takes per-block maxima first
+    val blocked = Seq(("s", 0L, 5L), ("s", 1L, 9L), ("s", 2L, 1L),
+      ("s", 3L, 7L)).toDF("k", "t", "x")
+    val rb = Analytics.gumbelFit(blocked, col("k"), col("t"), col("x"),
+      period = 2L, returnPeriod = 52L).collect().head
+    assert(rb.getAs[Long]("n_blocks") == 2L)
+    assert(rb.getAs[Double]("mean_max") == 8.0d) // maxima {9, 7}
+    // translation invariance: +1000 shifts mu/rl, leaves beta
+    val shifted = Analytics.gumbelFit(
+      df.withColumn("x", col("x") + 1000L), col("k"), col("t"), col("x"),
+      period = 1L, returnPeriod = 52L).collect().head
+    assert(shifted.getAs[Double]("beta") == r.getAs[Double]("beta"))
+    assert(shifted.getAs[Double]("mu") ==
+      r6(1002.0 - Analytics.GumbelGamma * beta))
+    // single block: no spread to fit -> null beta/mu/rl
+    val one = Seq(("s", 0L, 5L)).toDF("k", "t", "x")
+    val ro = Analytics.gumbelFit(one, col("k"), col("t"), col("x"),
+      period = 1L).collect().head
+    assert(ro.isNullAt(3) && ro.isNullAt(4) && ro.isNullAt(5))
+  }
+
   test("allanVariance: white alternator averages away, drift grows with m") {
     // alternating ±1 over 8 ticks: m=1 -> 7 deltas of ±2 -> avar 2.0;
     // any even block size sums to 0 -> avar 0 (noise averages away)
