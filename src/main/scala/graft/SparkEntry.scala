@@ -2335,6 +2335,12 @@ object SparkEntry {
         substring(col("o_orderpriority"), 1, 1).cast("long"),
         (col("o_orderstatus") === "F").cast("int"))),
 
+    // Pareto frontier of parts: the biggest-AND-priciest staircase —
+    // exact integer dominance on the bounded (size, price) grid.
+    "q_pareto" -> ((s, d) =>
+      Relational.paretoFrontier2d(t(s, d, "part"), col("p_size"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"))),
+
     // Shape moments per cohort: skewness + excess kurtosis via the
     // integer-mean shift (no cancellation, no overflow) on one cell
     // frame.
@@ -5882,6 +5888,19 @@ object SparkEntry {
 
     // grouped-median CDF (same ceil rule), weighted deviation moments,
     // q_anova's 6dp-term scalar block
+    // same per-x maxima staircase via NOT EXISTS dominance
+    "q_pareto" ->
+      """WITH xy AS (SELECT CAST(p_size AS BIGINT) AS x,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |  CAST(count(*) AS BIGINT) AS n FROM part
+        |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ym AS (SELECT x, CAST(max(y) AS BIGINT) AS ym FROM xy GROUP BY 1),
+        |fr AS (SELECT a.x, a.ym FROM ym a WHERE NOT EXISTS
+        |  (SELECT 1 FROM ym b WHERE b.x > a.x AND b.ym >= a.ym))
+        |SELECT fr.x, fr.ym AS y, xy.n AS n_rows
+        |FROM fr JOIN xy ON fr.x = xy.x AND fr.ym = xy.y""".stripMargin,
+
     // same cell frame; integer-mean shift, shifted-power HUGEINT
     // sums, identical IEEE moment shapes
     "q_moments" ->

@@ -777,4 +777,39 @@ object Relational {
       .agg(min(struct((-col("_n")).as("_neg"), col("_v"))).as("_top"))
       .select(col("key"), col("_top._v").as("mode"),
         (-col("_top._neg")).as("n"))
+
+  /** 2-D Pareto frontier (skyline), both dimensions MAXIMIZED — the
+    * multi-objective "best trade-offs" operator ("biggest AND most
+    * expensive part", "highest quality AND longest doc"): a row is on
+    * the frontier iff no other row is ≥ on both axes and > on at
+    * least one. For two dimensions the skyline collapses onto the
+    * per-x maxima staircase: keep (x, ymax(x)) cells whose ymax
+    * strictly exceeds every ymax at larger x.
+    *
+    * Scale contract: the row-scale input reduces by ONE (x, y)
+    * hash-aggregate; the staircase test is a self-join on the per-x
+    * frame — |distinct x|² pair work, the [[graft.operators
+    * .Analytics.kendallTauB]] bounded-domain contract (bucket a
+    * continuous x first). Everything is exact integer comparison —
+    * no window, no sort, no floats. Output one row per frontier
+    * step: (x, y, n_rows) with n_rows the count of input rows
+    * SITTING ON the step cell.
+    */
+  def paretoFrontier2d(df: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    val xy = graft.core.CacheRegistry.persist(
+      df.where(xCol.isNotNull && yCol.isNotNull)
+        .groupBy(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+        .agg(count(lit(1)).as("_n")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ym = xy.groupBy(col("_x")).agg(max(col("_y")).as("_ym"))
+    val dominated = ym.as("a").join(ym.as("b"),
+      col("b._x") > col("a._x") && col("b._ym") >= col("a._ym"),
+      "left_semi")
+    val frontier = ym.join(dominated, Seq("_x"), "left_anti")
+    frontier.join(xy,
+        frontier("_x") === xy("_x") && frontier("_ym") === xy("_y"))
+      .select(frontier("_x").as("x"), col("_ym").as("y"),
+        col("_n").as("n_rows"))
+  }
 }

@@ -393,4 +393,22 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(out == Map(1L -> (("b", 2L)), 2L -> (("y", 1L)), 3L -> (("x", 1L))))
   }
+
+  test("paretoFrontier2d: staircase survives, equal-y larger-x dominates") {
+    // per-x maxima: 1→9, 2→7, 3→7, 4→3, 5→3; staircase keeps (1,9),
+    // (3,7), (5,3): x=2 is dominated by x=3 at EQUAL y, x=4 by x=5
+    val df = Seq((1L, 9L), (1L, 2L), (2L, 7L), (3L, 7L), (3L, 7L),
+      (3L, 1L), (4L, 3L), (5L, 3L)).toDF("x", "y")
+    val out = Relational.paretoFrontier2d(df, col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 9L, 1L), (3L, 7L, 2L), (5L, 3L, 1L)))
+    // a single point is trivially the whole frontier
+    assert(Relational.paretoFrontier2d(
+      Seq((4L, 4L)).toDF("x", "y"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 4L)))
+    // a strictly increasing diagonal keeps ONLY the max corner
+    val diag = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    assert(Relational.paretoFrontier2d(diag, col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 3L)))
+  }
 }
