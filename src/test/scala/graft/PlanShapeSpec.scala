@@ -506,4 +506,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l =>
       l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross")))
   }
+
+  test("crossCorr lag alignment is a hash join: no window, no sort, no loop") {
+    val series = (1 to 60).map(i => (i.toLong, i.toLong * 3, i.toLong % 7))
+      .toDF("t", "x", "y")
+    val p = finalPlan(graft.operators.Analytics.crossCorr(
+      series, col("t"), col("x"), col("y"), Seq(-1, 0, 1)))
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // every lag rides ONE exploded equi-join on tick arithmetic
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("paretoFrontier2d dominance is equi/semi joins over the per-x frame") {
+    val pts = (1 to 80).map(i => (i.toLong % 9, i.toLong % 13)).toDF("x", "y")
+    val p = finalPlan(graft.operators.Relational.paretoFrontier2d(
+      pts, col("x"), col("y")))
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("termBurstiness top-k is a TakeOrdered over the per-term frame") {
+    val p = finalPlan(Ranking.termBurstiness(docs, col("doc_id"),
+      col("text"), k = 5))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Window"))
+  }
 }
