@@ -1292,6 +1292,35 @@ class StreamingSpec extends SparkSpec {
     assert(last.srm95 == batch.getBoolean(3) && last.srm99 == batch.getBoolean(4))
   }
 
+  test("streaming record detector matches the batch census; late rows flagged") {
+    import graft.streaming.StreamRecords
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamRecords(in.toDS())
+      .writeStream.format("memory").queryName("rec_out").outputMode("append").start()
+    in.addData(Seq(("s", 1L, 3L), ("s", 2L, 1L)))
+    q.processAllAvailable()
+    // batch 2: two records, one tie, one LATE duplicate tick
+    in.addData(Seq(("s", 3L, 4L), ("s", 4L, 4L), ("s", 5L, 5L), ("s", 2L, 9L)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("rec_out").as[StreamRecords.RRow].collect()
+    val late = rows.filter(_.late)
+    assert(late.map(r => (r.tick, r.value)).toSeq == Seq((2L, 9L)))
+    val live = rows.filter(!_.late)
+    assert(live.count(_.record) == 3L) // ticks 1, 3, 5
+    val last = live.maxBy(_.tick)
+    assert(last.nRecords == 3L && last.maxValue == 5L)
+    // batch parity over the admitted rows
+    val batch = graft.operators.Analytics.runningRecords(
+      Seq(("s", 1L, 3L), ("s", 2L, 1L), ("s", 3L, 4L), ("s", 4L, 4L),
+        ("s", 5L, 5L)).toDF("k", "t", "x"),
+      col("k"), col("t"), col("x")).collect().head
+    assert(batch.getAs[Long]("n_records") == 3L &&
+      batch.getAs[Long]("max_value") == last.maxValue &&
+      batch.getAs[Long]("last_record_tick") == 5L)
+  }
+
   test("streaming AMS F2 counters are bit-equal to the batch sketch per prefix") {
     import graft.streaming.StreamAmsF2
     import org.apache.spark.sql.functions.col
