@@ -2328,6 +2328,13 @@ object SparkEntry {
       Analytics.andersonDarling(t(s, d, "events"), col("event_type"),
         col("value"), "click", "purchase")),
 
+    // Yuen's trimmed t on the same two samples: 20%-trimmed means,
+    // winsorized variances, Welch df — the outlier-proof mean test
+    // beside the rank family.
+    "q_yuen" -> ((s, d) =>
+      Analytics.yuenTest(t(s, d, "events"), col("event_type"),
+        round(col("value") * 100).cast("long"), "click", "purchase")),
+
     // Cochran-Armitage: does fulfillment trend with the order-priority
     // tier (1-URGENT..5-LOW) — exact ppm z² with df=1 fences.
     "q_trend_test" -> ((s, d) =>
@@ -6093,6 +6100,68 @@ object SparkEntry {
         |  CAST(sum((ca + cb) * (nb * cuma - na * cumb) * (nb * cuma - na * cumb))
         |    * 1000000 // (na * nb * (na + nb) * (na + nb)) AS BIGINT) AS t_ppm
         |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // same per-arm CDF cells; tail overlaps, fence order-stats,
+    // exact winsorized moments, identical IEEE t/df shapes
+    "q_yuen" ->
+      """WITH cells AS (SELECT event_type AS g,
+        |  CAST(round(value * 100) AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c,
+        |  sum(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY g) AS n FROM cells),
+        |tt AS (SELECT g, v, c, cum, n, n * 200000 // 1000000 AS t FROM cdf),
+        |lc AS (SELECT g, v, c, cum, n, t,
+        |  greatest(0, least(cum, t) - (cum - c)) AS lowc,
+        |  greatest(0, cum - greatest(cum - c, n - t)) AS highc FROM tt),
+        |per AS (SELECT g, any_value(n) AS n, any_value(t) AS t,
+        |  min(CASE WHEN cum >= t + 1 THEN v END) AS vlo,
+        |  min(CASE WHEN cum >= n - t THEN v END) AS vhi,
+        |  sum(CAST((c - lowc - highc) * v AS HUGEINT)) AS ts,
+        |  sum(CAST(c - lowc - highc AS HUGEINT) * v * v) AS tq
+        |  FROM lc GROUP BY g),
+        |ww AS (SELECT g, n, n - 2 * t AS h, ts,
+        |  ts + CAST(t AS HUGEINT) * vlo + CAST(t AS HUGEINT) * vhi AS sw,
+        |  tq + CAST(t AS HUGEINT) * vlo * vlo +
+        |    CAST(t AS HUGEINT) * vhi * vhi AS sw2 FROM per),
+        |nn AS (SELECT g, n, h, ts,
+        |  CAST(n AS HUGEINT) * sw2 - sw * sw AS nv FROM ww),
+        |ab AS (SELECT
+        |  (SELECT n FROM nn WHERE g = 'click') AS n_a,
+        |  (SELECT h FROM nn WHERE g = 'click') AS h_a,
+        |  (SELECT ts FROM nn WHERE g = 'click') AS ts_a,
+        |  (SELECT nv FROM nn WHERE g = 'click') AS nv_a,
+        |  (SELECT n FROM nn WHERE g = 'purchase') AS n_b,
+        |  (SELECT h FROM nn WHERE g = 'purchase') AS h_b,
+        |  (SELECT ts FROM nn WHERE g = 'purchase') AS ts_b,
+        |  (SELECT nv FROM nn WHERE g = 'purchase') AS nv_b),
+        |dv AS (SELECT n_a, n_b, h_a, h_b, ts_a, ts_b,
+        |  CAST(nv_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(h_a AS DOUBLE) *
+        |    CAST(h_a - 1 AS DOUBLE)) AS da,
+        |  CAST(nv_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * CAST(h_b AS DOUBLE) *
+        |    CAST(h_b - 1 AS DOUBLE)) AS db
+        |  FROM ab)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(h_a AS BIGINT) AS h_a, CAST(h_b AS BIGINT) AS h_b,
+        |  CASE WHEN h_a >= 1 THEN
+        |    round(CAST(ts_a AS DOUBLE) / CAST(h_a AS DOUBLE), 6) END AS tm_a,
+        |  CASE WHEN h_b >= 1 THEN
+        |    round(CAST(ts_b AS DOUBLE) / CAST(h_b AS DOUBLE), 6) END AS tm_b,
+        |  CASE WHEN h_a >= 2 AND h_b >= 2 AND da + db > 0 THEN
+        |    round((CAST(ts_a AS DOUBLE) / CAST(h_a AS DOUBLE) -
+        |      CAST(ts_b AS DOUBLE) / CAST(h_b AS DOUBLE)) / sqrt(da + db), 6)
+        |  END AS t,
+        |  CASE WHEN h_a >= 2 AND h_b >= 2 AND da + db > 0
+        |      AND da * da / CAST(h_a - 1 AS DOUBLE) +
+        |          db * db / CAST(h_b - 1 AS DOUBLE) > 0 THEN
+        |    round((da + db) * (da + db) /
+        |      (da * da / CAST(h_a - 1 AS DOUBLE) +
+        |       db * db / CAST(h_b - 1 AS DOUBLE)), 6)
+        |  END AS df
+        |FROM dv""".stripMargin,
 
     // same per-value CDF frame, per-term 1/(B(N−B))-weighted ppm
     // floors in HUGEINT, the B = N row excluded

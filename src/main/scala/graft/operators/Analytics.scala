@@ -3373,6 +3373,88 @@ object Analytics {
         max(col("_x")).as("max_value"))
   }
 
+  /** Yuen's trimmed-mean two-sample t — what [[cohensD]]/abTest lose
+    * the moment tails are heavy: the classic t compares means an
+    * outlier owns; Yuen compares α-TRIMMED means with WINSORIZED
+    * variances and the Welch correction — the robust two-arm test of
+    * record. Exact core over each arm's (value, count) CDF cell
+    * frame (the [[groupedTrimmedMean]] tail-overlap discipline):
+    * t = ⌊n·α⌋ rows trim per tail, h = n − 2t survive; the fences
+    * are the (t+1)-th / (n−t)-th order statistics (conditional-min
+    * frontiers, no sort); trimmed sums and winsorized Σw/Σw² are
+    * exact integers — winsorized tail rows contribute t·fence and
+    * t·fence² exactly. Then one fixed IEEE shape:
+    *
+    * {{{ d_i = (n_i·Σw² − (Σw)²) / (n_i·h_i·(h_i−1)) }}}
+    * {{{ t = (x̄t₁−x̄t₂)/√(d₁+d₂),  df Welch on (d_i, h_i−1) }}}
+    *
+    * Arms with h < 2 or zero winsorized spread report null t/df.
+    * Output one row: (n_a, n_b, h_a, h_b, tm_a, tm_b, t, df), 6dp.
+    */
+  def yuenTest(df: DataFrame, armCol: Column, valueCol: Column,
+      armA: String, armB: String, alphaPpm: Long = 200000L): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm < 500000L,
+      s"yuenTest: alphaPpm must be in [0, 500000), got $alphaPpm")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df
+      .where(armCol.cast("string").isin(armA, armB) && valueCol.isNotNull)
+      .groupBy(armCol.cast("string").as("_g"),
+        valueCol.cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("_g"))
+    val cdf = cells
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("_t", expr(s"_n * ${alphaPpm}L div 1000000"))
+      .withColumn("_lowc",
+        greatest(lit(0L), least(col("_cum"), col("_t")) - (col("_cum") - col("_c"))))
+      .withColumn("_highc",
+        greatest(lit(0L),
+          col("_cum") - greatest(col("_cum") - col("_c"), col("_n") - col("_t"))))
+    val per = cdf.groupBy(col("_g"))
+      .agg(first(col("_n")).as("_n"), first(col("_t")).as("_tt"),
+        min(when(col("_cum") >= col("_t") + 1L, col("_v"))).as("_vlo"),
+        min(when(col("_cum") >= col("_n") - col("_t"), col("_v"))).as("_vhi"),
+        sum(dec((col("_c") - col("_lowc") - col("_highc")) * col("_v")))
+          .as("_ts"),
+        sum(dec(col("_c") - col("_lowc") - col("_highc")) * col("_v") * col("_v"))
+          .as("_tq"))
+      .withColumn("_h", col("_n") - lit(2L) * col("_tt"))
+      // winsorized moments: the t tail rows sit ON the fences exactly
+      .withColumn("_sw",
+        col("_ts") + dec(col("_tt")) * col("_vlo") +
+          dec(col("_tt")) * col("_vhi"))
+      .withColumn("_sw2",
+        col("_tq") + dec(col("_tt")) * col("_vlo") * col("_vlo") +
+          dec(col("_tt")) * col("_vhi") * col("_vhi"))
+      .withColumn("_wnum", dec(col("_n")) * col("_sw2") - col("_sw") * col("_sw"))
+    def arm(g: String, sfx: String) = per.where(col("_g") === g)
+      .select(col("_n").as(s"n_$sfx"), col("_h").as(s"h_$sfx"),
+        col("_ts").as(s"_ts_$sfx"), col("_wnum").as(s"_wnum_$sfx"))
+    val j = arm(armA, "a").crossJoin(broadcast(arm(armB, "b")))
+    def tm(sfx: String) =
+      col(s"_ts_$sfx").cast("double") / col(s"h_$sfx").cast("double")
+    def dd(sfx: String) =
+      col(s"_wnum_$sfx").cast("double") /
+        (col(s"n_$sfx").cast("double") * col(s"h_$sfx").cast("double") *
+          (col(s"h_$sfx") - 1L).cast("double"))
+    val ok = col("h_a") >= 2L && col("h_b") >= 2L &&
+      (dd("a") + dd("b")) > 0.0d
+    j.select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+      when(col("h_a") >= 1L, round(tm("a"), 6)).as("tm_a"),
+      when(col("h_b") >= 1L, round(tm("b"), 6)).as("tm_b"),
+      when(ok, round((tm("a") - tm("b")) / sqrt(dd("a") + dd("b")), 6))
+        .as("t"),
+      when(ok && dd("a") * dd("a") / (col("h_a") - 1L).cast("double") +
+          dd("b") * dd("b") / (col("h_b") - 1L).cast("double") > 0.0d,
+        round((dd("a") + dd("b")) * (dd("a") + dd("b")) /
+          (dd("a") * dd("a") / (col("h_a") - 1L).cast("double") +
+            dd("b") * dd("b") / (col("h_b") - 1L).cast("double")), 6))
+        .as("df"))
+  }
+
   /** Per-group skewness and excess kurtosis — the two shape moments a
     * mean/variance profile is blind to (heavy right tail? peaked or
     * flat?), computed WITHOUT the classic catastrophic cancellation:

@@ -1318,6 +1318,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(3L) == ((1L, None)))
   }
 
+  test("yuenTest: hand trimmed/winsorized arms; outlier can't move it") {
+    // a = {0,1,2,3,100} (one huge outlier), b = {10..14}, α = 0.2:
+    // t=1, h=3 each; fences a: (1,3), b: (11,13); trimmed means 2 / 12;
+    // winsorized N = 20 both -> d = 2/3 each;
+    // t = −10/√(4/3) = −8.660254, Welch df = 4
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 2L), ("a", 3L), ("a", 100L),
+      ("b", 10L), ("b", 11L), ("b", 12L), ("b", 13L), ("b", 14L))
+      .toDF("arm", "v")
+    val r = Analytics.yuenTest(df, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("h_a") == 3L)
+    assert(r.getAs[Double]("tm_a") == 2.0d && r.getAs[Double]("tm_b") == 12.0d)
+    assert(r.getAs[Double]("t") == -8.660254d)
+    assert(r.getAs[Double]("df") == 4.0d)
+    // making the outlier 100× bigger changes NOTHING (robustness)
+    val worse = df.withColumn("v",
+      when(col("v") === 100L, 10000L).otherwise(col("v")))
+    val rw = Analytics.yuenTest(worse, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(rw.getAs[Double]("t") == -8.660254d && rw.getAs[Double]("df") == 4.0d)
+    // degenerate: all-constant winsorized arms -> null t
+    val flat = Seq(("a", 5L), ("a", 5L), ("a", 5L),
+      ("b", 9L), ("b", 9L), ("b", 9L)).toDF("arm", "v")
+    val rf = Analytics.yuenTest(flat, col("arm"), col("v"), "a", "b",
+      alphaPpm = 0L).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("t")))
+  }
+
   test("groupedMoments: textbook shapes incl. a fractional-mean shift") {
     // {1,2,3}: symmetric -> skew 0, kurt −1.5 (flat three-point)
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
