@@ -3531,6 +3531,21 @@ object SparkEntry {
         col("ca") - col("cb"))
     }),
 
+    // Partial correlation: click↔purchase with view (overall
+    // traffic) held fixed — nine exact moments, closed form.
+    "q_partial_corr" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      def leg(et: String, n: String) = daily.where(col("event_type") === et)
+        .select(col("day"), col("cents").as(n))
+      Analytics.partialCorr(
+        leg("click", "cx").join(leg("purchase", "cy"), Seq("day"))
+          .join(leg("view", "cz"), Seq("day")),
+        col("cx"), col("cy"), col("cz"))
+    }),
+
     // Lin's CCC over the same day-matched pair: does click volume
     // REPRODUCE view volume (y = x), not merely track it — exact
     // integer S-moments, one division, Pearson r beside.
@@ -8694,6 +8709,54 @@ object SparkEntry {
         |    sum(c) * (sum(c) + 1))::DOUBLE /
         |    (sum(c) * (sum(c) + 1))::DOUBLE, 6) AS rank_biserial
         |FROM cum""".stripMargin,
+
+    // day-joined triple; nine HUGEINT moments, identical r shapes
+    "q_partial_corr" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.cents AS x, b.cents AS y, c.cents AS z
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  JOIN daily c ON a.day = c.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |    AND c.event_type = 'view'),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(z AS HUGEINT)) AS sz,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy,
+        |  sum(CAST(z AS HUGEINT) * z) AS szz,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |  sum(CAST(y AS HUGEINT) * z) AS syz FROM j),
+        |r AS (SELECT n,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS vxx,
+        |  CAST(n * syy - sy * sy AS DOUBLE) AS vyy,
+        |  CAST(n * szz - sz * sz AS DOUBLE) AS vzz,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy,
+        |  CAST(n * sxz - sx * sz AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz,
+        |  CAST(n * syz - sy * sz AS DOUBLE) /
+        |    (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) *
+        |     sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz
+        |  FROM m)
+        |SELECT n,
+        |  CASE WHEN vxx > 0 AND vyy > 0 AND vzz > 0 THEN round(rxy, 6) END
+        |    AS r_xy,
+        |  CASE WHEN vxx > 0 AND vyy > 0 AND vzz > 0 THEN round(rxz, 6) END
+        |    AS r_xz,
+        |  CASE WHEN vxx > 0 AND vyy > 0 AND vzz > 0 THEN round(ryz, 6) END
+        |    AS r_yz,
+        |  CASE WHEN vxx > 0 AND vyy > 0 AND vzz > 0
+        |      AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0 THEN
+        |    round((rxy - rxz * ryz) /
+        |      sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        |  END AS r_xy_z
+        |FROM r""".stripMargin,
 
     // same day-matched join; exact S-moments in HUGEINT, mean-gap
     // penalty, the identical three IEEE readouts

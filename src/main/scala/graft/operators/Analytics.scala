@@ -3373,6 +3373,60 @@ object Analytics {
         max(col("_x")).as("max_value"))
   }
 
+  /** First-order partial correlation — the confounder control a raw
+    * Pearson can't do: r_xy·z answers "do x and y still move together
+    * once z is held fixed" (click↔purchase controlling for overall
+    * traffic; quality↔length controlling for source). Closed form
+    * over the three pairwise correlations:
+    *
+    * {{{ r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) }}}
+    *
+    * Determinism discipline: the NINE moments (three sums, three
+    * squares, three cross-products) are exact decimal(38,0) sums in
+    * ONE map-combinable aggregate; each pairwise r and the partial
+    * form are a fixed IEEE shape, 6dp. Null when any variance
+    * degenerates or either (1−r²) factor is ≤ 0 (collinear
+    * control). Output one row:
+    * (n, r_xy, r_xz, r_yz, r_xy_z).
+    */
+  def partialCorr(df: DataFrame, xCol: Column, yCol: Column,
+      zCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = xCol.cast("long"); val y = yCol.cast("long")
+    val z = zCol.cast("long")
+    val m = df.where(x.isNotNull && y.isNotNull && z.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(x)).as("_sx"), sum(dec(y)).as("_sy"), sum(dec(z)).as("_sz"),
+        sum(dec(x) * x).as("_sxx"), sum(dec(y) * y).as("_syy"),
+        sum(dec(z) * z).as("_szz"),
+        sum(dec(x) * y).as("_sxy"), sum(dec(x) * z).as("_sxz"),
+        sum(dec(y) * z).as("_syz"))
+    def s(ab: String, a: String, b: String) =
+      (dec(col("n")) * col(s"_s$ab") - col(s"_s$a") * col(s"_s$b"))
+        .cast("double")
+    // ANSI + codegen subexpression sharing evaluates a division used
+    // by several outputs EAGERLY despite the when() guards, and under
+    // ANSI even a double /0 raises — so degenerate denominators go
+    // NULL before the divide (nulls then propagate through the same
+    // guards)
+    def nz(c: Column): Column = when(c > 0.0d, c)
+    val rxy = s("xy", "x", "y") /
+      nz(sqrt(s("xx", "x", "x")) * sqrt(s("yy", "y", "y")))
+    val rxz = s("xz", "x", "z") /
+      nz(sqrt(s("xx", "x", "x")) * sqrt(s("zz", "z", "z")))
+    val ryz = s("yz", "y", "z") /
+      nz(sqrt(s("yy", "y", "y")) * sqrt(s("zz", "z", "z")))
+    val ok = s("xx", "x", "x") > 0.0d && s("yy", "y", "y") > 0.0d &&
+      s("zz", "z", "z") > 0.0d
+    val den = (lit(1.0d) - rxz * rxz) * (lit(1.0d) - ryz * ryz)
+    m.select(col("n"),
+      when(ok, round(rxy, 6)).as("r_xy"),
+      when(ok, round(rxz, 6)).as("r_xz"),
+      when(ok, round(ryz, 6)).as("r_yz"),
+      when(ok && den > 0.0d,
+        round((rxy - rxz * ryz) / nz(sqrt(den)), 6)).as("r_xy_z"))
+  }
+
   /** Yuen's trimmed-mean two-sample t — what [[cohensD]]/abTest lose
     * the moment tails are heavy: the classic t compares means an
     * outlier owns; Yuen compares α-TRIMMED means with WINSORIZED

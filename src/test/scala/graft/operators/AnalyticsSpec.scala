@@ -1318,6 +1318,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(3L) == ((1L, None)))
   }
 
+  test("partialCorr: controlling the confounder recovers the clean relation") {
+    // y = x + z with x ⊥ z: raw r_xy = 0.707107, but holding z fixed
+    // y IS x -> partial exactly 1
+    val df = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 2L), (2L, 4L, 2L))
+      .toDF("x", "y", "z")
+    val r = Analytics.partialCorr(df, col("x"), col("y"), col("z"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("r_xy") == 0.707107d)
+    assert(r.getAs[Double]("r_xz") == 0.0d)
+    assert(r.getAs[Double]("r_yz") == 0.707107d)
+    assert(r.getAs[Double]("r_xy_z") == 1.0d)
+    // collinear control (z = x): the (1−r²) factor degenerates -> null
+    val coll = Seq((1L, 5L, 1L), (2L, 6L, 2L), (3L, 9L, 3L))
+      .toDF("x", "y", "z")
+    val rc = Analytics.partialCorr(coll, col("x"), col("y"), col("z"))
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("r_xy_z")))
+    // constant column -> everything null
+    val flat = Seq((1L, 2L, 7L), (2L, 3L, 7L)).toDF("x", "y", "z")
+    val rf = Analytics.partialCorr(flat, col("x"), col("y"), col("z"))
+      .collect().head
+    assert(rf.isNullAt(1) && rf.isNullAt(4))
+  }
+
   test("yuenTest: hand trimmed/winsorized arms; outlier can't move it") {
     // a = {0,1,2,3,100} (one huge outlier), b = {10..14}, α = 0.2:
     // t=1, h=3 each; fences a: (1,3), b: (11,13); trimmed means 2 / 12;
