@@ -2789,6 +2789,16 @@ object SparkEntry {
       Ranking.agreementStats(t(s, d, "documents"),
         col("lang"), langId(col("text")))),
 
+    // Quadratic-weighted kappa: priority tier vs a fixed price band —
+    // near-misses on the ordinal scale cost (i−j)², exact one-floor
+    // integer form on the 5×5 grid.
+    "q_kappa_w" -> ((s, d) =>
+      Ranking.weightedKappa(t(s, d, "orders"),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        least(greatest(
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 5000000 + 1"), lit(1L)), lit(5L)))),
+
     // Average precision of "order value predicts urgency": one
     // prefix-sums pass carries rank + cumulative positives, fixed-point
     // precision@k summed exactly.
@@ -6953,6 +6963,31 @@ object SparkEntry {
         |FROM f ORDER BY cls""".stripMargin,
 
     // same cell frame + class margins; exact kappa ppm, 6dp MCC
+    // same 5×5 grid; margins crossed for Σw·R·C, one HUGEINT floor
+    "q_kappa_w" ->
+      """WITH base AS (SELECT
+        |  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+        |  least(greatest(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 5000000 + 1, 1), 5) AS p
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |cells AS (SELECT g, p, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |gold AS (SELECT g, CAST(sum(c) AS BIGINT) AS rg FROM cells GROUP BY 1),
+        |pred AS (SELECT p, CAST(sum(c) AS BIGINT) AS cp FROM cells GROUP BY 1),
+        |obs AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  sum(CAST((g - p) * (g - p) AS HUGEINT) * c) AS wo FROM cells),
+        |ex AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k_gold,
+        |  CAST(count(DISTINCT p) AS BIGINT) AS k_pred,
+        |  sum(CAST((g - p) * (g - p) AS HUGEINT) * rg * cp) AS we
+        |  FROM gold, pred)
+        |SELECT n, k_gold, k_pred,
+        |  CASE WHEN we > 0 THEN
+        |    1000000 - CAST(CAST(n AS HUGEINT) * wo * 1000000 // we AS BIGINT)
+        |  END AS kappa_w_ppm
+        |FROM obs, ex""".stripMargin,
+
     "q_kappa" ->
       """WITH pred AS (SELECT lang AS g,
         |  CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'

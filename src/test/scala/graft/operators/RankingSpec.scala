@@ -303,6 +303,24 @@ class RankingSpec extends SparkSpec {
     assert(out("d") == ((0L, 1L, 0L, Some(0L), None, None)))       // never in gold
   }
 
+  test("weightedKappa: perfect 1e6, balanced swap -1e6, near-miss mild") {
+    def kw(pairs: (Long, Long)*) = Ranking.weightedKappa(
+      pairs.toSeq.toDF("g", "p"), col("g"), col("p"))
+      .collect().head
+    // perfect ordinal agreement: Σw·O = 0 -> exactly 1e6
+    val perf = kw(1L -> 1L, 2L -> 2L, 3L -> 3L)
+    assert(perf.getAs[Long]("kappa_w_ppm") == 1000000L)
+    // balanced 2-class swap: κ_w = −1 exactly
+    assert(kw(1L -> 2L, 2L -> 1L).getAs[Long]("kappa_w_ppm") == -1000000L)
+    // near-miss vs far-miss on a 3-point scale: (1→2) is punished
+    // FAR less than (1→3) against the same margins
+    val near = kw(1L -> 2L, 2L -> 2L, 3L -> 3L).getAs[Long]("kappa_w_ppm")
+    val far = kw(1L -> 3L, 2L -> 2L, 3L -> 3L).getAs[Long]("kappa_w_ppm")
+    assert(near > far)
+    // degenerate: single class on both sides -> null
+    assert(kw(2L -> 2L, 2L -> 2L).isNullAt(3))
+  }
+
   test("termBurstiness: CF/DF and VMR exact; single-doc terms null VMR") {
     val docs = Seq(
       (1L, "cat cat cat dog"), (2L, "cat dog dog"), (3L, "bird"))
