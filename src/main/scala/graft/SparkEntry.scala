@@ -2420,6 +2420,12 @@ object SparkEntry {
         (col("value").cast("decimal(18,2)") * 100).cast("long"),
         "click", "purchase")),
 
+    // Cliff's delta + Vargha-Delaney A on the bounded quantity
+    // domain: returned vs regular lineitems, exact pair-order counts.
+    "q_cliffs" -> ((s, d) =>
+      Analytics.cliffsDelta(t(s, d, "lineitem"), col("l_returnflag"),
+        col("l_quantity"), "R", "N")),
+
     // Coarsened-exact-matching ATT: even-vs-odd users matched within
     // DAY strata, exact micros terms, unmatched strata surfaced.
     "q_matched_att" -> ((s, d) =>
@@ -5799,6 +5805,46 @@ object SparkEntry {
         |      (1.0 - 3.0 / (4.0 * (n_a::DOUBLE + n_b::DOUBLE - 2.0) - 1.0)), 6)
         |  END AS g
         |FROM f""".stripMargin,
+
+    // exact HUGEINT pair-order counts on the cell grid, sign-split
+    // ppm floor for delta, doubled form for Vargha-Delaney A
+    "q_cliffs" ->
+      """WITH cells AS (SELECT l_returnflag = 'R' AS isa,
+        |  CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1, 2),
+        |p AS (SELECT
+        |  coalesce(sum(CASE WHEN a.v > b.v THEN CAST(a.c AS HUGEINT) * b.c END),
+        |    0) AS gt,
+        |  coalesce(sum(CASE WHEN a.v < b.v THEN CAST(a.c AS HUGEINT) * b.c END),
+        |    0) AS lt,
+        |  coalesce(sum(CASE WHEN a.v = b.v THEN CAST(a.c AS HUGEINT) * b.c END),
+        |    0) AS eq
+        |  FROM (SELECT v, c FROM cells WHERE isa) a
+        |  CROSS JOIN (SELECT v, c FROM cells WHERE NOT isa) b),
+        |ns AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN isa THEN c END), 0) AS BIGINT) AS n_a,
+        |  CAST(coalesce(sum(CASE WHEN NOT isa THEN c END), 0) AS BIGINT) AS n_b
+        |  FROM cells),
+        |f AS (SELECT n_a, n_b, gt, lt, eq,
+        |  CAST(n_a AS HUGEINT) * n_b AS den FROM ns, p),
+        |g AS (SELECT n_a, n_b, gt, lt, eq,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(CASE WHEN gt >= lt THEN (gt - lt) * 1000000 // den
+        |      ELSE -((lt - gt) * 1000000 // den) END AS BIGINT)
+        |  END AS delta_ppm,
+        |  CASE WHEN den > 0 THEN
+        |    CAST((2 * gt + eq) * 1000000 // (2 * den) AS BIGINT)
+        |  END AS vda_ppm
+        |  FROM f)
+        |SELECT n_a, n_b, CAST(gt AS BIGINT) AS gt, CAST(lt AS BIGINT) AS lt,
+        |  CAST(eq AS BIGINT) AS eq, delta_ppm, vda_ppm,
+        |  CASE WHEN delta_ppm IS NOT NULL THEN
+        |    CASE WHEN abs(delta_ppm) < 147000 THEN 'negligible'
+        |      WHEN abs(delta_ppm) < 330000 THEN 'small'
+        |      WHEN abs(delta_ppm) < 474000 THEN 'medium'
+        |      ELSE 'large' END
+        |  END AS magnitude
+        |FROM g""".stripMargin,
 
     // per-stratum floor terms in HUGEINT, match-weighted average
     "q_matched_att" ->

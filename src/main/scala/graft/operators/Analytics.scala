@@ -913,6 +913,75 @@ object Analytics {
             lit(3.0d) / (lit(4.0d) * (naD + nbD - 2.0d) - 1.0d)), 6)).as("g"))
   }
 
+  /** Cliff's delta ordinal effect size — [[cohensD]]'s
+    * distribution-free sibling: instead of standardizing a mean gap
+    * by a pooled SD (meaningless under skew or heavy tails), it
+    * counts pair ORDER over all n_a·n_b cross pairs:
+    * δ = P(a > b) − P(a < b). Vargha-Delaney A =
+    * P(a > b) + P(a = b)/2 — the "probability of superiority" the
+    * same counts buy — ships in the same row, plus the standard
+    * magnitude label on |δ| (negligible < 0.147 ≤ small < 0.33 ≤
+    * medium < 0.474 ≤ large, Romano et al.'s fences).
+    *
+    * Exact integer core on the per-arm (value, count) cell frames
+    * (the [[kendallTauB]] bounded-grid discipline): gt/lt/eq are
+    * decimal(38,0) cell-product sums; δ lands as a sign-split ppm
+    * floor on |gt − lt| (keeping the `div` numerator non-negative —
+    * the Spark-`div`/DuckDB-`//` parity rule) and A in DOUBLED form
+    * (2·gt + eq)·10⁶ div 2·n_a·n_b.
+    *
+    * Scale contract: pair work is |cells_a|·|cells_b| — use on
+    * bounded value domains (ordinal codes, bucketed measures);
+    * bucket continuous columns first. One row-scale groupBy, then a
+    * broadcast cell cross. Output one row: (n_a, n_b, gt, lt, eq,
+    * delta_ppm, vda_ppm, magnitude); effect columns null when either
+    * arm is empty.
+    */
+  def cliffsDelta(df: DataFrame, armCol: Column, valueCol: Column,
+      armA: String, armB: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = valueCol.cast("long")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(armCol.cast("string").isin(armA, armB) && x.isNotNull)
+        .groupBy((armCol.cast("string") === armA).as("_isA"), x.as("_v"))
+        .agg(count(lit(1)).as("_c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cells.where(col("_isA"))
+      .select(col("_v").as("_va"), col("_c").as("_ca"))
+    val b = cells.where(!col("_isA"))
+      .select(col("_v").as("_vb"), col("_c").as("_cb"))
+    val pairs = a.crossJoin(broadcast(b)).agg(
+      coalesce(sum(when(col("_va") > col("_vb"), dec(col("_ca")) * col("_cb"))),
+        dec(lit(0L))).as("_gt"),
+      coalesce(sum(when(col("_va") < col("_vb"), dec(col("_ca")) * col("_cb"))),
+        dec(lit(0L))).as("_lt"),
+      coalesce(sum(when(col("_va") === col("_vb"), dec(col("_ca")) * col("_cb"))),
+        dec(lit(0L))).as("_eq"))
+    val ns = cells.agg(
+      coalesce(sum(when(col("_isA"), col("_c"))), lit(0L)).as("n_a"),
+      coalesce(sum(when(!col("_isA"), col("_c"))), lit(0L)).as("n_b"))
+    ns.crossJoin(broadcast(pairs))
+      .withColumn("_den", dec(col("n_a")) * col("n_b"))
+      .withColumn("delta_ppm",
+        when(col("_den") > 0,
+          expr("""CAST(CASE WHEN _gt >= _lt
+                 |  THEN (_gt - _lt) * 1000000 div _den
+                 |  ELSE -((_lt - _gt) * 1000000 div _den)
+                 |END AS BIGINT)""".stripMargin)))
+      .withColumn("vda_ppm",
+        when(col("_den") > 0,
+          expr("CAST((2 * _gt + _eq) * 1000000 div (2 * _den) AS BIGINT)")))
+      .select(col("n_a"), col("n_b"),
+        col("_gt").cast("long").as("gt"), col("_lt").cast("long").as("lt"),
+        col("_eq").cast("long").as("eq"),
+        col("delta_ppm"), col("vda_ppm"),
+        when(col("delta_ppm").isNotNull,
+          expr("""CASE WHEN abs(delta_ppm) < 147000 THEN 'negligible'
+                 |  WHEN abs(delta_ppm) < 330000 THEN 'small'
+                 |  WHEN abs(delta_ppm) < 474000 THEN 'medium'
+                 |  ELSE 'large' END""".stripMargin)).as("magnitude"))
+  }
+
   /** Stratified exact-matching ATT — the estimator behind "match each
     * treated row to a control in the same stratum and average the
     * gaps", computed WITHOUT row-level matching: within a stratum

@@ -1097,6 +1097,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("d")))
   }
 
+  test("cliffsDelta: hand pair counts, antisymmetry, empty arm null") {
+    // a = {1,2,3}, b = {0,2}: gt = 4, lt = 1, eq = 1 over 6 pairs ->
+    // delta = 3/6 = 0.5 (large), A = (2*4+1)/12 = 0.75
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 0L), ("b", 2L))
+      .toDF("arm", "v")
+    val r = Analytics.cliffsDelta(df, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("gt") == 4L && r.getAs[Long]("lt") == 1L &&
+      r.getAs[Long]("eq") == 1L)
+    assert(r.getAs[Long]("delta_ppm") == 500000L)
+    assert(r.getAs[Long]("vda_ppm") == 750000L)
+    assert(r.getAs[String]("magnitude") == "large")
+    // swapped arms: delta negates exactly, A complements exactly
+    val s = Analytics.cliffsDelta(df, col("arm"), col("v"), "b", "a")
+      .collect().head
+    assert(s.getAs[Long]("delta_ppm") == -500000L)
+    assert(s.getAs[Long]("vda_ppm") == 250000L)
+    // identical arms: pure ties -> delta 0 (negligible), A = 1/2
+    val same = Seq(("a", 7L), ("b", 7L)).toDF("arm", "v")
+    val t = Analytics.cliffsDelta(same, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(t.getAs[Long]("delta_ppm") == 0L &&
+      t.getAs[Long]("vda_ppm") == 500000L &&
+      t.getAs[String]("magnitude") == "negligible")
+    // an empty arm: counts land, effect columns null
+    val solo = Seq(("a", 1L)).toDF("arm", "v")
+    val e = Analytics.cliffsDelta(solo, col("arm"), col("v"), "a", "b")
+      .collect().head
+    assert(e.getAs[Long]("n_a") == 1L && e.getAs[Long]("n_b") == 0L)
+    assert(e.isNullAt(e.fieldIndex("delta_ppm")) &&
+      e.isNullAt(e.fieldIndex("vda_ppm")) &&
+      e.isNullAt(e.fieldIndex("magnitude")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("matchedAtt: per-stratum exact micros terms; single-arm strata drop") {
     val df = Seq(
       ("s1", true, 10L), ("s1", false, 2L), ("s1", false, 4L),
