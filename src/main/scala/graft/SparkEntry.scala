@@ -2321,6 +2321,14 @@ object SparkEntry {
       Analytics.cramerVonMises(t(s, d, "events"), col("event_type"),
         col("value"), "click", "purchase")),
 
+    // Earth-mover W1 between returned and regular price
+    // distributions in cents: CDF gaps × support gaps, one prefix
+    // pass + a rank+1 hash join, exact integer numerator.
+    "q_wasserstein" -> ((s, d) =>
+      Analytics.wasserstein1(t(s, d, "lineitem"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        "R", "N")),
+
     // Anderson–Darling completes the CDF-gap triple: the same squared
     // gaps re-weighted by 1/(F(1−F)) so TAIL drift dominates — exact
     // per-value ppm floors summed, one prefix pass.
@@ -5773,6 +5781,30 @@ object SparkEntry {
         |  round(CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE) /
         |    CAST(na * nb AS DOUBLE), 6) AS ks
         |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // CDF-gap integral with lead() gaps; HUGEINT terms, one // floor
+    "q_wasserstein" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |pv AS (SELECT v,
+        |  CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |  lead(v) OVER w AS vn FROM pv WINDOW w AS (ORDER BY v)),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS support FROM pv),
+        |s AS (SELECT coalesce(sum(
+        |    abs(CAST(t.n_b AS HUGEINT) * cuma - CAST(t.n_a AS HUGEINT) * cumb)
+        |      * (vn - v)), 0) AS w1n
+        |  FROM c, t WHERE vn IS NOT NULL)
+        |SELECT t.n_a, t.n_b, t.support, CAST(s.w1n AS BIGINT) AS w1_num,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+        |    CAST(s.w1n * 1000000 // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT)
+        |  END AS w1_ppm
+        |FROM t, s""".stripMargin,
 
     // exact decimal moments per arm, one IEEE pooled-SD shape
     "q_cohens_d" ->

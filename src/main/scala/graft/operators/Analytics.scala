@@ -698,6 +698,62 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
+  /** Two-sample 1-D Wasserstein distance (earth-mover / Kantorovich
+    * W₁) — [[ksTest]] reports the WORST CDF gap; W₁ integrates ALL
+    * of it: ∫|F_a − F_b| dv, the minimum mass·distance to morph one
+    * empirical distribution into the other, in the VALUE's own units
+    * (the drift magnitude [[Quality]]-style PSI buckets away).
+    *
+    * Exact integer core on the pooled (value, count_a, count_b)
+    * frame: both cumulative counts ride ONE [[Relational.prefixSums]]
+    * pass (with a distinct-value rank as a third running sum), the
+    * piecewise-constant integrand |n_b·C_a(v) − n_a·C_b(v)| is
+    * weighted by the gap to the NEXT support point via a hash
+    * self-join on rank+1 (never a window), and w1_ppm is the single
+    * 10⁶ div n_a·n_b floor on the decimal(38,0) term sum — the
+    * numerator is non-negative, so Spark `div` IS the floor.
+    *
+    * Scale contract: row-scale groupBy + one range-sort prefix pass +
+    * one hash join on a long key — no |support|² term, safe on
+    * unbounded continuous domains (unlike the bounded-grid
+    * [[cliffsDelta]]). w1_num is emitted as BIGINT: exact while
+    * n_a·n_b·range < 2⁶³ per call — pre-bucket beyond that. Output
+    * one row: (n_a, n_b, support, w1_num, w1_ppm); w1_ppm null when
+    * either sample is empty.
+    */
+  def wasserstein1(df: DataFrame, groupCol: Column, valueCol: Column,
+      a: String, b: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perValue = df
+      .where(groupCol.isin(a, b) && valueCol.isNotNull)
+      .select(valueCol.cast("long").as("_v"), groupCol.as("_g"))
+      .groupBy(col("_v"))
+      .agg(
+        sum(when(col("_g") === a, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === b, 1L).otherwise(0L)).as("_cb"))
+    val cums = graft.core.CacheRegistry.persist(
+      Relational.prefixSums(perValue, Seq(col("_v")),
+        Seq(col("_ca") -> "_cumA", col("_cb") -> "_cumB", lit(1L) -> "_r")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perValue.agg(
+      sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+      count(lit(1)).as("support"))
+    val nxt = cums.select((col("_r") - 1L).as("_rp"), col("_v").as("_vn"))
+    // inner join: the last support point has no interval to its right
+    val w1 = cums.join(nxt, col("_r") === col("_rp"))
+      .crossJoin(broadcast(totals))
+      .agg(coalesce(sum(
+        abs(dec(col("n_b")) * col("_cumA") - dec(col("n_a")) * col("_cumB")) *
+          (col("_vn") - col("_v"))), dec(lit(0L))).as("_w1n"))
+    totals.crossJoin(broadcast(w1))
+      .select(col("n_a"), col("n_b"), col("support"),
+        col("_w1n").cast("long").as("w1_num"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("""CAST(_w1n * 1000000
+                 |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+            .stripMargin)).as("w1_ppm"))
+  }
+
   /** Cochran-Armitage trend test — "does the success rate TREND with
     * an ordered exposure" (dose, priority tier, bucket index): the
     * 2×k chi-square ([[Quality]]-style drift tables) only says the

@@ -1097,6 +1097,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("d")))
   }
 
+  test("wasserstein1: hand CDF-gap integrals, pure shift, empty-arm null") {
+    // a = {0,2}, b = {1,3}: |F-gaps| 2,0,2 over unit intervals ->
+    // num 4 / den 4 -> W1 = 1 (the optimal 0->1, 2->3 matching)
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 1L), ("b", 3L)).toDF("g", "v")
+    val r = Analytics.wasserstein1(df, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L &&
+      r.getAs[Long]("support") == 4L)
+    assert(r.getAs[Long]("w1_num") == 4L)
+    assert(r.getAs[Long]("w1_ppm") == 1000000L)
+    // a pure shift by 5 moves every unit of mass 5: W1 = 5
+    val shift = Seq(("a", 0L), ("a", 0L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val rs = Analytics.wasserstein1(shift, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(rs.getAs[Long]("support") == 2L &&
+      rs.getAs[Long]("w1_ppm") == 5000000L)
+    // identical samples: zero distance
+    val same = Seq(("a", 3L), ("a", 9L), ("b", 3L), ("b", 9L)).toDF("g", "v")
+    assert(Analytics.wasserstein1(same, col("g"), col("v"), "a", "b")
+      .collect().head.getAs[Long]("w1_ppm") == 0L)
+    // one arm empty: counts land, distance null
+    val solo = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val re = Analytics.wasserstein1(solo, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(re.getAs[Long]("n_a") == 2L && re.getAs[Long]("n_b") == 0L &&
+      re.getAs[Long]("w1_num") == 0L &&
+      re.isNullAt(re.fieldIndex("w1_ppm")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("cliffsDelta: hand pair counts, antisymmetry, empty arm null") {
     // a = {1,2,3}, b = {0,2}: gt = 4, lt = 1, eq = 1 over 6 pairs ->
     // delta = 3/6 = 0.5 (large), A = (2*4+1)/12 = 0.75
