@@ -3052,6 +3052,14 @@ object SparkEntry {
           col("event_type").isin("click", "view", "purchase")),
         col("user_id"), col("event_type"), lit(1L))),
 
+    // Kendall's W: do DAYS agree on the event-type volume ranking —
+    // the χ²_F = m(k−1)·W identity emitted from one midrank plan.
+    "q_kendall_w" -> ((s, d) =>
+      Analytics.kendallW(
+        t(s, d, "events").where(
+          col("event_type").isin("click", "view", "purchase")),
+        to_date(col("ts")), col("event_type"), lit(1L))),
+
     // Max-CUSUM change-point scan over the daily per-type cents
     // series: exact integer D_t = n·S_t − t·S_n, split at max |D_t|
     // (earliest day on ties), segment-mean shift as an exact rational.
@@ -7613,6 +7621,39 @@ object SparkEntry {
         |  CASE WHEN aa - cc > 0 THEN
         |    CAST((k - 1)::HUGEINT * num * 1000000 // (aa - cc) AS BIGINT)
         |  END AS chi2_ppm
+        |FROM agg, dr""".stripMargin,
+
+    // friedman's midrank core keyed by DAY, chi2 and W ppm floors
+    "q_kendall_w" ->
+      """WITH cells AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
+        |  CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND event_type IN ('click', 'view', 'purchase') GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t) AS k FROM cells),
+        |sized AS (SELECT b, t, v, count(*) OVER (PARTITION BY b) AS bn
+        |  FROM cells),
+        |dr AS (SELECT CAST(count(DISTINCT CASE WHEN bn <> kk.k THEN b END)
+        |    AS BIGINT) AS n_dropped FROM sized, kk),
+        |ranked AS (SELECT b, t, v,
+        |  rank() OVER (PARTITION BY b ORDER BY v) AS rk,
+        |  count(*) OVER (PARTITION BY b, v) AS ties
+        |  FROM sized, kk WHERE bn = kk.k),
+        |mr AS (SELECT b, t, 2 * rk + ties - 1 AS mr2 FROM ranked),
+        |pt AS (SELECT t, count(*) AS n, CAST(sum(mr2) AS BIGINT) AS rj,
+        |  sum(mr2::HUGEINT * mr2) AS a FROM mr GROUP BY 1),
+        |agg AS (SELECT max(n) AS n_blocks, kk.k AS k,
+        |  sum((rj::HUGEINT - n::HUGEINT * (kk.k + 1)) *
+        |      (rj::HUGEINT - n::HUGEINT * (kk.k + 1))) AS num,
+        |  sum(a) AS aa, max(n::HUGEINT * kk.k * (kk.k + 1) * (kk.k + 1)) AS cc
+        |  FROM pt, kk GROUP BY kk.k)
+        |SELECT CAST(n_blocks AS BIGINT) AS n_blocks, dr.n_dropped,
+        |  CAST(k AS BIGINT) AS k,
+        |  CASE WHEN aa - cc > 0 THEN
+        |    CAST((k - 1)::HUGEINT * num * 1000000 // (aa - cc) AS BIGINT)
+        |  END AS chi2_ppm,
+        |  CASE WHEN aa - cc > 0 THEN
+        |    CAST(num * 1000000 // (n_blocks::HUGEINT * (aa - cc)) AS BIGINT)
+        |  END AS w_ppm
         |FROM agg, dr""".stripMargin,
 
     // same complete-block midranks, position-weighted rank sums, one

@@ -4474,6 +4474,71 @@ object Analytics {
         when(col("_fd") > 0, expr("_fn div _fd")).as("chi2_ppm"))
   }
 
+  /** Kendall's W coefficient of concordance — [[friedman]] answers
+    * "do the k treatments differ"; W answers "how strongly do the m
+    * blocks AGREE on the treatment ranking", normalized to [0, 1]
+    * (1 = every block ranks identically, 0 = rankings cancel). The
+    * m-rater/k-item agreement statistic (inter-annotator ranking
+    * consistency, judge panels, replicate orderings) — related by
+    * the exact identity χ²_F = m(k−1)·W, which this emits BOTH sides
+    * of, from one plan.
+    *
+    * Identical doubled-midrank integer core ([[friedman]]'s, tie
+    * correction included): w_ppm = Σ(R'_j − m(k+1))²·10⁶ div
+    * (m·(A' − C')) — the doubling cancels, so this is exactly the
+    * tie-corrected W, one ppm floor (numerator a sum of squares, so
+    * `div` IS the floor). Incomplete blocks drop and are counted.
+    * All-tied blocks everywhere (A' = C') report null. Output one
+    * row: (n_blocks, n_dropped, k, chi2_ppm, w_ppm).
+    *
+    * Shape: one (block, treatment) aggregate, per-block windows over
+    * ≤ k rows, a k-row treatment aggregate, one summary row.
+    */
+  def kendallW(df: DataFrame, blockCol: Column, treatCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df.where(blockCol.isNotNull && treatCol.isNotNull &&
+        valueCol.isNotNull)
+      .groupBy(blockCol.as("_b"), treatCol.as("_t"))
+      .agg(sum(valueCol.cast("long")).as("_v"))
+    val k = cells.select(col("_t")).distinct()
+    val withK = cells.crossJoin(broadcast(k.agg(count(lit(1)).as("_k"))))
+    val sized = graft.core.CacheRegistry.persist(
+      withK.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy(col("_b")))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropAgg = sized.agg(
+      count_distinct(when(col("_bn") =!= col("_k"), col("_b")))
+        .as("n_dropped"))
+    val ranked = sized.where(col("_bn") === col("_k"))
+      .withColumn("_rk",
+        rank().over(Window.partitionBy(col("_b")).orderBy(col("_v"))))
+      .withColumn("_ties",
+        count(lit(1)).over(Window.partitionBy(col("_b"), col("_v"))))
+      .withColumn("_mr2", lit(2L) * col("_rk") + col("_ties") - 1L)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perTreat = ranked.groupBy(col("_t"))
+      .agg(first(col("_k")).as("_k"), count(lit(1)).as("_n"),
+        sum(col("_mr2")).as("_rj"), sum(dec(col("_mr2")) * col("_mr2")).as("_a"))
+    perTreat
+      .agg(first(col("_k")).as("k"), first(col("_n")).as("n_blocks"),
+        sum((dec(col("_rj")) - dec(col("_n")) * (col("_k") + 1L)) *
+          (dec(col("_rj")) - dec(col("_n")) * (col("_k") + 1L))).as("_num"),
+        sum(col("_a")).as("_A"),
+        first(dec(col("_n")) * col("_k") * (col("_k") + 1L) * (col("_k") + 1L))
+          .as("_C"))
+      .crossJoin(broadcast(dropAgg))
+      .select(col("n_blocks"), col("n_dropped"), col("k"),
+        ((col("k") - 1L).cast("decimal(38,0)") * col("_num") * lit(1000000L))
+          .as("_fn"),
+        (col("_num") * lit(1000000L)).as("_wn"),
+        (col("_A") - col("_C")).as("_fd"),
+        (dec(col("n_blocks")) * (col("_A") - col("_C"))).as("_wd"))
+      // both numerators are sums of squares, so `div` IS the floor
+      .select(col("n_blocks"), col("n_dropped"), col("k"),
+        when(col("_fd") > 0, expr("_fn div _fd")).as("chi2_ppm"),
+        when(col("_fd") > 0, expr("_wn div _wd")).as("w_ppm"))
+  }
+
   /** Page's L trend test — [[friedman]]'s ordered-alternative
     * sibling, exactly as [[jonckheereTerpstra]] is [[kruskalWallis]]'s:
     * Friedman asks "do the k repeated treatments differ at all",

@@ -2030,6 +2030,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("q_ppm")))
   }
 
+  test("kendallW: perfect agreement 1, cancelling rankings 0, chi2 identity") {
+    // two raters rank three items identically: W = 1, chi2 = m(k-1)
+    val perfect = Seq(
+      ("r1", "A", 1L), ("r1", "B", 2L), ("r1", "C", 3L),
+      ("r2", "A", 1L), ("r2", "B", 2L), ("r2", "C", 3L)).toDF("b", "t", "v")
+    val p = Analytics.kendallW(perfect, col("b"), col("t"), col("v"))
+      .collect().head
+    assert(p.getAs[Long]("n_blocks") == 2L && p.getAs[Long]("k") == 3L)
+    assert(p.getAs[Long]("w_ppm") == 1000000L)
+    assert(p.getAs[Long]("chi2_ppm") == 4000000L) // m(k-1) = 4
+    // reversed rankings cancel: every rank sum equal -> W = 0
+    val cancel = Seq(
+      ("r1", "A", 1L), ("r1", "B", 2L), ("r1", "C", 3L),
+      ("r2", "A", 3L), ("r2", "B", 2L), ("r2", "C", 1L)).toDF("b", "t", "v")
+    val c = Analytics.kendallW(cancel, col("b"), col("t"), col("v"))
+      .collect().head
+    assert(c.getAs[Long]("w_ppm") == 0L && c.getAs[Long]("chi2_ppm") == 0L)
+    // mixed 3x3 hand case: num 56, A'-C' = 24 ->
+    // chi2 = 112e6 div 24 = 4666666, W = 56e6 div 72 = 777777
+    val mixed = Seq(
+      ("b1", "A", 1L), ("b1", "B", 2L), ("b1", "C", 3L),
+      ("b2", "A", 1L), ("b2", "B", 2L), ("b2", "C", 3L),
+      ("b3", "A", 2L), ("b3", "B", 1L), ("b3", "C", 3L)).toDF("b", "t", "v")
+    val m = Analytics.kendallW(mixed, col("b"), col("t"), col("v"))
+      .collect().head
+    assert(m.getAs[Long]("chi2_ppm") == 4666666L)
+    assert(m.getAs[Long]("w_ppm") == 777777L)
+    // fully tied blocks: A' = C' -> null; incomplete block counted
+    val tied = Seq(
+      ("r1", "A", 5L), ("r1", "B", 5L),
+      ("r2", "A", 7L), ("r2", "B", 7L),
+      ("r3", "A", 1L)).toDF("b", "t", "v")
+    val tR = Analytics.kendallW(tied, col("b"), col("t"), col("v"))
+      .collect().head
+    assert(tR.getAs[Long]("n_dropped") == 1L)
+    assert(tR.isNullAt(tR.fieldIndex("w_ppm")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("friedman: textbook chi2, tie-block invariance, incomplete blocks reported") {
     // 3 blocks, monotone A<B<C everywhere: chi2_F = 6 exactly
     val base = for (b <- 1 to 3; (t, v) <- Seq(("A", 1L), ("B", 2L), ("C", 3L)))
