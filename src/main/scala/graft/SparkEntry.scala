@@ -2813,6 +2813,13 @@ object SparkEntry {
           expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
             " div 5000000 + 1"), lit(1L)), lit(5L)))),
 
+    // Fleiss' kappa: the 4 line-slots of each 4-line order as an
+    // interchangeable rater panel over return status — exact rational
+    // reduced form, off-size orders dropped and counted.
+    "q_fleiss" -> ((s, d) =>
+      Ranking.fleissKappa(t(s, d, "lineitem"), col("l_orderkey"),
+        col("l_returnflag"), raters = 4)),
+
     // Average precision of "order value predicts urgency": one
     // prefix-sums pass carries rank + cumulative positives, fixed-point
     // precision@k summed exactly.
@@ -7047,6 +7054,36 @@ object SparkEntry {
         |      // (precision_ppm + recall_ppm) AS BIGINT)
         |  END AS f1_ppm
         |FROM f ORDER BY cls""".stripMargin,
+
+    // complete-panel counts; reduced exact rational, sign-split floor
+    "q_fleiss" ->
+      """WITH cells AS (SELECT l_orderkey AS i, l_returnflag AS c,
+        |  CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2),
+        |sized AS (SELECT i, c, o, sum(o) OVER (PARTITION BY i) AS m
+        |  FROM cells),
+        |dr AS (SELECT CAST(count(DISTINCT CASE WHEN m <> 4 THEN i END)
+        |    AS BIGINT) AS n_dropped FROM sized),
+        |kept AS (SELECT i, c, o FROM sized WHERE m = 4),
+        |pc AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  coalesce(sum(CAST(cj AS HUGEINT) * cj), 0) AS b
+        |  FROM (SELECT c, CAST(sum(o) AS BIGINT) AS cj FROM kept GROUP BY 1)),
+        |ba AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+        |  coalesce(sum(CAST(o AS HUGEINT) * (o - 1)), 0) AS a FROM kept),
+        |f AS (SELECT n_items, n_dropped, CAST(4 AS BIGINT) AS n_raters, k,
+        |  a, b, CAST(n_items AS HUGEINT) * 4 * 3 AS d1,
+        |  CAST(n_items AS HUGEINT) * 4 * n_items * 4 AS d2 FROM ba, pc, dr)
+        |SELECT n_items, n_dropped, n_raters, k,
+        |  CASE WHEN d1 > 0 THEN CAST(a * 1000000 // d1 AS BIGINT) END
+        |    AS po_ppm,
+        |  CASE WHEN d2 > 0 THEN CAST(b * 1000000 // d2 AS BIGINT) END
+        |    AS pe_ppm,
+        |  CASE WHEN d1 > 0 AND d2 - b > 0 THEN
+        |    CAST(CASE WHEN a * n_items * 4 >= b * 3
+        |      THEN (a * n_items * 4 - b * 3) * 1000000 // (3 * (d2 - b))
+        |      ELSE -((b * 3 - a * n_items * 4) * 1000000 // (3 * (d2 - b)))
+        |    END AS BIGINT)
+        |  END AS kappa_ppm
+        |FROM f""".stripMargin,
 
     // same cell frame + class margins; exact kappa ppm, 6dp MCC
     // same 5×5 grid; margins crossed for Σw·R·C, one HUGEINT floor

@@ -857,4 +857,73 @@ object Ranking {
           (sqrt((n2 - col("_sp2")).cast("double")) *
             sqrt((n2 - col("_st2")).cast("double"))), 6)).as("mcc"))
   }
+
+  /** Fleiss' kappa — [[agreementStats]] handles exactly TWO raters in
+    * fixed roles (gold vs pred); Fleiss generalizes to n
+    * interchangeable raters per item (annotation panels, n-way model
+    * ensembles, replicate labelers): do the n raters agree beyond
+    * the chance their pooled category mix implies?
+    *
+    * Exact rational core: with o_ij the per-(item, category) rating
+    * counts over the N items rated by exactly `raters` = n raters,
+    * P̄_o = Σ o_ij(o_ij−1) / (N·n(n−1)) and P̄_e = Σ_j C_j² / (N·n)²
+    * — κ reduces (the common N·n factor cancelled, keeping products
+    * inside decimal(38,0) to N ≈ 10¹² items) to
+    * (A·N·n − B·(n−1)) / ((n−1)·(N²n² − B)) with A = Σo(o−1) and
+    * B = ΣC_j², all exact; the single ppm floor is sign-split (κ < 0
+    * is real — agreement below chance), keeping the `div` numerator
+    * non-negative (the Spark-`div`/DuckDB-`//` parity rule). κ null
+    * when every rating is one category (P̄_e = 1). Items not rated
+    * exactly n times drop and are COUNTED (`n_dropped`) — panel
+    * incompleteness is never silent.
+    *
+    * Shape: one (item, category) aggregate, a per-item window over
+    * ≤ k rows, a k-row category aggregate, one summary row — the
+    * [[Analytics.friedman]] complete-block discipline. Output one
+    * row: (n_items, n_dropped, n_raters, k, po_ppm, pe_ppm,
+    * kappa_ppm).
+    */
+  def fleissKappa(df: DataFrame, itemCol: Column, categoryCol: Column,
+      raters: Int): DataFrame = {
+    require(raters >= 2, s"fleissKappa: raters must be >= 2, got $raters")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.where(itemCol.isNotNull && categoryCol.isNotNull)
+      .groupBy(itemCol.as("_i"), categoryCol.as("_c"))
+      .agg(count(lit(1)).as("_o"))
+    val sized = graft.core.CacheRegistry.persist(
+      cells.withColumn("_m",
+        sum(col("_o")).over(Window.partitionBy(col("_i")))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropAgg = sized.agg(
+      count_distinct(when(col("_m") =!= raters.toLong, col("_i")))
+        .as("n_dropped"))
+    val kept = sized.where(col("_m") === raters.toLong)
+    val perCat = kept.groupBy(col("_c")).agg(sum(col("_o")).as("_cj"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(dec(col("_cj")) * col("_cj")), dec(lit(0L))).as("_B"))
+    val base = kept.agg(
+      count_distinct(col("_i")).as("n_items"),
+      coalesce(sum(dec(col("_o")) * (col("_o") - 1L)), dec(lit(0L))).as("_A"))
+    base.crossJoin(broadcast(perCat)).crossJoin(broadcast(dropAgg))
+      .withColumn("_d1",
+        dec(col("n_items")) * lit(raters.toLong) * lit(raters.toLong - 1L))
+      .withColumn("_d2",
+        dec(col("n_items")) * raters.toLong * col("n_items") *
+          raters.toLong)
+      .withColumn("po_ppm",
+        when(col("_d1") > 0, expr("CAST(_A * 1000000 div _d1 AS BIGINT)")))
+      .withColumn("pe_ppm",
+        when(col("_d2") > 0, expr("CAST(_B * 1000000 div _d2 AS BIGINT)")))
+      .select(col("n_items"), col("n_dropped"),
+        lit(raters.toLong).as("n_raters"), col("k"),
+        col("po_ppm"), col("pe_ppm"),
+        when(col("_d1") > 0 && col("_d2") - col("_B") > 0,
+          expr(s"""CAST(CASE
+                 |  WHEN _A * n_items * ${raters}L >= _B * ${raters - 1}L
+                 |  THEN (_A * n_items * ${raters}L - _B * ${raters - 1}L)
+                 |    * 1000000 div (${raters - 1}L * (_d2 - _B))
+                 |  ELSE -((_B * ${raters - 1}L - _A * n_items * ${raters}L)
+                 |    * 1000000 div (${raters - 1}L * (_d2 - _B)))
+                 |END AS BIGINT)""".stripMargin)).as("kappa_ppm"))
+  }
 }

@@ -261,6 +261,39 @@ class RankingSpec extends SparkSpec {
     assert(c.isNullAt(5)) // mcc
   }
 
+  test("fleissKappa: perfect panels 1, below-chance negative, off-size items drop") {
+    // two items, three raters each, unanimous but on different
+    // categories: Po = 1, Pe = 1/2 -> kappa = 1
+    val perfect = Seq(
+      (1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "y"), (2L, "y"), (2L, "y")).toDF("item", "cat")
+    val p = Ranking.fleissKappa(perfect, col("item"), col("cat"), raters = 3)
+      .collect().head
+    assert(p.getAs[Long]("n_items") == 2L && p.getAs[Long]("k") == 2L)
+    assert(p.getAs[Long]("po_ppm") == 1000000L &&
+      p.getAs[Long]("pe_ppm") == 500000L &&
+      p.getAs[Long]("kappa_ppm") == 1000000L)
+    // item1 {x,x}, item2 {x,y}: A=2, B=10 -> Po=1/2, Pe=5/8,
+    // kappa = -1/3 -> sign-split floor -333333
+    val mixed = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "y"))
+      .toDF("item", "cat")
+    val m = Ranking.fleissKappa(mixed, col("item"), col("cat"), raters = 2)
+      .collect().head
+    assert(m.getAs[Long]("po_ppm") == 500000L &&
+      m.getAs[Long]("pe_ppm") == 625000L &&
+      m.getAs[Long]("kappa_ppm") == -333333L)
+    // one category everywhere: Pe = 1 -> kappa null; the 1-rating
+    // item drops and is counted
+    val const = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"), (3L, "x"))
+      .toDF("item", "cat")
+    val c = Ranking.fleissKappa(const, col("item"), col("cat"), raters = 2)
+      .collect().head
+    assert(c.getAs[Long]("n_items") == 2L && c.getAs[Long]("n_dropped") == 1L)
+    assert(c.getAs[Long]("po_ppm") == 1000000L &&
+      c.isNullAt(c.fieldIndex("kappa_ppm")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("logOddsTerms: side-exclusive terms rank first with opposite signs") {
     // a says "alpha" a lot, b says "beta"; "shared" is balanced
     val a = (Seq.fill(20)("alpha") ++ Seq.fill(10)("shared")).toDF("w")
