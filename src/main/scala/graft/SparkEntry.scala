@@ -2935,6 +2935,11 @@ object SparkEntry {
     "q_zipf" -> ((s, d) =>
       Ranking.zipfFit(t(s, d, "documents"), col("text"), k = 100)),
 
+    // Chao1 unseen-vocabulary estimate + Good-Turing coverage off the
+    // singleton/doubleton spectrum — the crawl stopping-rule pair.
+    "q_chao1" -> ((s, d) =>
+      Ranking.vocabRichness(t(s, d, "documents"), col("text"))),
+
     // Heaps'-law vocabulary growth V = K·T^beta over the doc-id walk:
     // first-occurrence vocab counts, ONE prefix-sums pass, 6dp OLS.
     "q_heaps" -> ((s, d) =>
@@ -7350,6 +7355,25 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
          |    AS BIGINT) AS hapax_ppm
          |FROM c GROUP BY 1""".stripMargin,
+
+    // token-count spectrum sums; both floors on HUGEINT numerators
+    "q_chao1" ->
+      s"""WITH tc AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($W) AS word FROM documents) GROUP BY 1),
+         |a AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS f1,
+         |  CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS f2 FROM tc)
+         |SELECT n_tokens, vocab, f1, f2,
+         |  vocab + CAST(CAST(f1 AS HUGEINT) * (f1 - 1) // (2 * (f2 + 1))
+         |    AS BIGINT) AS chao1_est,
+         |  CASE WHEN n_tokens > 0 THEN
+         |    CAST((CAST(n_tokens AS HUGEINT) - f1) * 1000000 // n_tokens
+         |      AS BIGINT)
+         |  END AS coverage_ppm
+         |FROM a""".stripMargin,
 
     // same top-k rank frame, 6dp decimal log terms, one OLS shape
     "q_zipf" ->

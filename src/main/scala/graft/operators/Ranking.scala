@@ -530,6 +530,46 @@ object Ranking {
     * discipline), and the closed-form slope/intercept is one fixed
     * IEEE expression. Output: (k, slope, intercept).
     */
+  /** Chao1 vocabulary-richness estimate + Good-Turing coverage — the
+    * "how much vocabulary HAVEN'T we crawled yet" pair [[heapsFit]]'s
+    * growth curve extrapolates toward: Chao1 estimates the true
+    * vocabulary size from the singleton/doubleton spectrum
+    * (V + f₁(f₁−1)/(2(f₂+1)), the bias-corrected form — defined even
+    * at f₂ = 0), and the Good-Turing estimate says the NEXT token is
+    * unseen with probability f₁/N, i.e. sample coverage 1 − f₁/N.
+    * Both drive corpus-acquisition stopping rules: coverage ≈ 1 and
+    * chao1 ≈ V mean more of the same crawl buys little new text.
+    *
+    * Exact integers throughout: one explode → (token, count)
+    * aggregate, then ONE map-combinable summary (N, V, f₁, f₂ are
+    * conditional sums over it); chao1's correction and the coverage
+    * ppm are single non-negative floor divs. Output one row:
+    * (n_tokens, vocab, f1, f2, chao1_est, coverage_ppm).
+    *
+    * Scale contract: the only shuffle is the token aggregate (the
+    * [[zipfFit]] shape); the spectrum never materializes row-wise.
+    */
+  def vocabRichness(df: DataFrame, textCol: Column): DataFrame = {
+    val counts = df
+      .select(explode(graft.functions.TextFunctions.words(textCol)).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    counts.agg(
+        coalesce(sum(col("_c")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        coalesce(sum(when(col("_c") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("f1"),
+        coalesce(sum(when(col("_c") === 2L, 1L).otherwise(0L)), lit(0L))
+          .as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        (col("vocab") +
+          expr("""CAST(CAST(f1 AS DECIMAL(38,0)) * (f1 - 1)
+                 |  div (2 * (f2 + 1)) AS BIGINT)""".stripMargin))
+          .as("chao1_est"),
+        when(col("n_tokens") > 0L,
+          expr("""CAST((CAST(n_tokens AS DECIMAL(38,0)) - f1) * 1000000
+                 |  div n_tokens AS BIGINT)""".stripMargin)).as("coverage_ppm"))
+  }
+
   def zipfFit(df: DataFrame, textCol: Column, k: Int = 100): DataFrame = {
     require(k >= 2, s"zipfFit: k must be >= 2, got $k")
     val counts = df

@@ -261,6 +261,27 @@ class RankingSpec extends SparkSpec {
     assert(c.isNullAt(5)) // mcc
   }
 
+  test("vocabRichness: hand spectrum, all-singleton doubling, saturated coverage") {
+    // "a b a" + "c b": counts a:2 b:2 c:1 -> N=5 V=3 f1=1 f2=2;
+    // chao1 correction 1*0 div 6 = 0; coverage (5-1)/5 = 0.8
+    val df = Seq("a b a", "c b").toDF("text")
+    val r = Ranking.vocabRichness(df, col("text")).collect().head
+    assert(r.getAs[Long]("n_tokens") == 5L && r.getAs[Long]("vocab") == 3L)
+    assert(r.getAs[Long]("f1") == 1L && r.getAs[Long]("f2") == 2L)
+    assert(r.getAs[Long]("chao1_est") == 3L)
+    assert(r.getAs[Long]("coverage_ppm") == 800000L)
+    // all singletons: chao1 = V + V(V-1)/2 = 6, coverage 0
+    val single = Seq("a b c").toDF("text")
+    val s = Ranking.vocabRichness(single, col("text")).collect().head
+    assert(s.getAs[Long]("chao1_est") == 6L &&
+      s.getAs[Long]("coverage_ppm") == 0L)
+    // no singletons at all: chao1 = V exactly, coverage 1e6
+    val sat = Seq("x x y y").toDF("text")
+    val t = Ranking.vocabRichness(sat, col("text")).collect().head
+    assert(t.getAs[Long]("chao1_est") == 2L &&
+      t.getAs[Long]("coverage_ppm") == 1000000L)
+  }
+
   test("fleissKappa: perfect panels 1, below-chance negative, off-size items drop") {
     // two items, three raters each, unanimous but on different
     // categories: Po = 1, Pe = 1/2 -> kappa = 1
