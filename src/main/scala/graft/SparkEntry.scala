@@ -3483,6 +3483,12 @@ object SparkEntry {
       Analytics.kruskalWallis(t(s, d, "orders"), col("o_orderpriority"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
 
+    // Dunn's post-hoc on the same arms: WHICH priority pairs differ,
+    // pooled tie-corrected mean-rank z per pair, rounded-fence flags.
+    "q_dunn" -> ((s, d) =>
+      Analytics.dunnTest(t(s, d, "orders"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
+
     // Mood's median test over the same arms: split every order at the
     // pooled median price and chi-square the 2×k straddle table —
     // the monotone-transform-immune sibling of q_kruskal.
@@ -8741,6 +8747,37 @@ object SparkEntry {
         |FROM agg""".stripMargin,
 
     // same doubled-midrank CDF, Σ R2_g²/n_g as 6dp terms, tie-corrected
+    "q_dunn" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cgv
+        |  FROM base GROUP BY 1, 2),
+        |vc AS (SELECT v, CAST(sum(cgv) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |cdf AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM vc),
+        |mr AS (SELECT v, 2 * (cum - c) + c + 1 AS mr2,
+        |  CAST(c AS HUGEINT) * c * c - c AS tie FROM cdf),
+        |pg AS (SELECT g, CAST(sum(cgv) AS BIGINT) AS n,
+        |  sum(CAST(cgv AS HUGEINT) * mr2) AS r2
+        |  FROM cells JOIN mr USING (v) GROUP BY 1),
+        |gl AS (SELECT sum(tie) AS t FROM mr),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pg),
+        |p AS (SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+        |  a.r2 AS r2a, b.r2 AS r2b FROM pg a CROSS JOIN pg b WHERE a.g < b.g),
+        |f AS (SELECT g1, g2, n1, n2, nn, r2a, r2b,
+        |  (CAST(nn AS HUGEINT) * (nn + 1) * (nn - 1) - t)::DOUBLE AS bigd
+        |  FROM p, gl, tot),
+        |zc AS (SELECT g1, g2, n1, n2,
+        |  CASE WHEN nn >= 2 AND bigd > 0 THEN
+        |    round(((r2a::DOUBLE / n1::DOUBLE - r2b::DOUBLE / n2::DOUBLE) / 2.0)
+        |      / sqrt((bigd / (12.0 * (nn::DOUBLE - 1.0))) *
+        |          (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)), 6)
+        |  END AS z FROM f)
+        |SELECT g1, g2, n1, n2, z,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) > 1.959964 END AS sig_95,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) > 2.575829 END AS sig_99
+        |FROM zc ORDER BY g1, g2""".stripMargin,
+
     "q_kruskal" ->
       """WITH base AS (SELECT o_orderpriority AS g,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v

@@ -4362,6 +4362,69 @@ object Analytics {
         round(h / c, 6)).as("h_corrected"))
   }
 
+  /** Dunn's post-hoc test — [[kruskalWallis]] only says "SOME group
+    * differs"; Dunn says WHICH pairs do, comparing pooled mean ranks
+    * with the tie-corrected pooled variance (the standard follow-up
+    * once KW rejects; pairwise Mann-Whitneys re-rank per pair and
+    * don't control against the pooled null).
+    *
+    * Rides the exact KW core unchanged — the (group, value, count)
+    * cell frame, doubled midranks off ONE [[Relational.prefixSum]]
+    * CDF pass, integer tie totals — then for each of the k(k−1)/2
+    * group pairs one fixed IEEE shape (the [[kruskalWallis]]-`h`
+    * discipline): z = (R̄_i − R̄_j) / √(σ²(1/n_i + 1/n_j)) with
+    * σ² = (N(N+1)(N−1) − Σ(t³−t)) / (12(N−1)), mean ranks from the
+    * exact doubled sums, rounded 6dp. The ±1.959964/±2.575829 normal
+    * fences are pre-compared on the ROUNDED z (comparator-proof).
+    * Pairs are emitted once, ordered by group name (g1 < g2).
+    *
+    * Shape: one row-scale groupBy + one prefix pass + a k-row
+    * broadcast self-pair — no new shuffle beyond KW itself. Output
+    * k(k−1)/2 rows: (g1, g2, n1, n2, z, sig_95, sig_99); z null when
+    * the variance degenerates (all values tied).
+    */
+  def dunnTest(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = graft.core.CacheRegistry.persist(
+      df.where(groupCol.isNotNull && valueCol.isNotNull)
+        .select(groupCol.cast("string").as("_g"), valueCol.cast("long").as("_v"))
+        .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_cgv")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vcounts = base.groupBy(col("_v")).agg(sum(col("_cgv")).as("_c"))
+    val ranked = graft.core.CacheRegistry.persist(
+      Relational.prefixSum(vcounts, Seq(col("_v")), col("_c"), "_cum")
+        .select(col("_v"),
+          (lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1L).as("_mr2"),
+          (dec(col("_c")) * col("_c") * col("_c") - col("_c")).as("_tie")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perGroup = base.join(ranked, Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_cgv")).as("_n"),
+        sum(dec(col("_cgv")) * col("_mr2")).as("_r2"))
+    val globals = ranked.agg(sum(col("_tie")).as("_T"))
+      .crossJoin(broadcast(perGroup.agg(sum(col("_n")).as("_N"))))
+    val a = perGroup.select(col("_g").as("g1"), col("_n").as("n1"),
+      col("_r2").as("_r2a"))
+    val b = perGroup.select(col("_g").as("g2"), col("_n").as("n2"),
+      col("_r2").as("_r2b"))
+    val paired = a.crossJoin(broadcast(b)).where(col("g1") < col("g2"))
+      .crossJoin(broadcast(globals))
+    val nD = col("_N").cast("double")
+    val bigD = (dec(col("_N")) * (col("_N") + 1L) * (col("_N") - 1L) -
+      col("_T")).cast("double")
+    val s2 = bigD / (lit(12.0d) * (nD - 1.0d))
+    val gap = (col("_r2a").cast("double") / col("n1").cast("double") -
+      col("_r2b").cast("double") / col("n2").cast("double")) / lit(2.0d)
+    val z = round(gap / sqrt(s2 * (lit(1.0d) / col("n1").cast("double") +
+      lit(1.0d) / col("n2").cast("double"))), 6)
+    paired
+      .withColumn("z", when(col("_N") >= 2L && bigD > 0.0d, z))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"), col("z"),
+        when(col("z").isNotNull, abs(col("z")) > 1.959964d).as("sig_95"),
+        when(col("z").isNotNull, abs(col("z")) > 2.575829d).as("sig_99"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
   /** Cochran's Q — [[mcnemar]] generalized to k ≥ 2 paired binary
     * conditions ("did the same users convert under each of the k
     * variants"): per unit one flag per condition (presence-max over

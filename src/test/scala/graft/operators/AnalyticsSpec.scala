@@ -1097,6 +1097,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("d")))
   }
 
+  test("dunnTest: hand z per pair, tie correction, degenerate null, pair order") {
+    // a = {1,2}, b = {3,4}: mean ranks 1.5 vs 3.5, sigma2 = 5/3 ->
+    // z = -2/sqrt(5/3) = -1.549193
+    val two = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = Analytics.dunnTest(two, col("g"), col("v")).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("g1") == "a" && r.head.getAs[String]("g2") == "b")
+    assert(r.head.getAs[Double]("z") == -1.549193)
+    assert(!r.head.getAs[Boolean]("sig_95"))
+    // fully separated 3+3: z = -3/sqrt(3.5*2/3) = -1.963961 — just
+    // past the 1.959964 fence but not the 99% one
+    val sep = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 20L), ("b", 30L)).toDF("g", "v")
+    val rs = Analytics.dunnTest(sep, col("g"), col("v")).collect().head
+    assert(rs.getAs[Double]("z") == -1.963961)
+    assert(rs.getAs[Boolean]("sig_95") && !rs.getAs[Boolean]("sig_99"))
+    // ties shrink sigma2: a = {1,1}, b = {2,2} -> z = -sqrt(3)
+    val tied = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L)).toDF("g", "v")
+    assert(Analytics.dunnTest(tied, col("g"), col("v"))
+      .collect().head.getAs[Double]("z") == -1.732051)
+    // every value identical: variance degenerates -> z null
+    val const = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("g", "v")
+    val rc = Analytics.dunnTest(const, col("g"), col("v")).collect()
+    assert(rc.length == 3 && rc.forall(_.isNullAt(4)))
+    // three groups emit each unordered pair once, name-ordered
+    assert(rc.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("wasserstein1: hand CDF-gap integrals, pure shift, empty-arm null") {
     // a = {0,2}, b = {1,3}: |F-gaps| 2,0,2 over unit intervals ->
     // num 4 / den 4 -> W1 = 1 (the optimal 0->1, 2->3 matching)
