@@ -2940,6 +2940,11 @@ object SparkEntry {
     "q_chao1" -> ((s, d) =>
       Ranking.vocabRichness(t(s, d, "documents"), col("text"))),
 
+    // Yule's K: length-stable corpus repetitiveness off the same
+    // spectrum — exact (Σc²−N)·10⁷ div N² floor.
+    "q_yule" -> ((s, d) =>
+      Ranking.yuleK(t(s, d, "documents"), col("text"))),
+
     // Heaps'-law vocabulary growth V = K·T^beta over the doc-id walk:
     // first-occurrence vocab counts, ONE prefix-sums pass, 6dp OLS.
     "q_heaps" -> ((s, d) =>
@@ -7380,6 +7385,19 @@ object SparkEntry {
          |      AS BIGINT)
          |  END AS coverage_ppm
          |FROM a""".stripMargin,
+
+    // same token aggregate; one HUGEINT floor in milli-K units
+    "q_yule" ->
+      s"""WITH tc AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($W) AS word FROM documents) GROUP BY 1)
+         |SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(coalesce(sum(CAST(c AS HUGEINT) * c), 0) AS BIGINT) AS s2,
+         |  CASE WHEN sum(c) > 0 THEN
+         |    CAST((coalesce(sum(CAST(c AS HUGEINT) * c), 0) - sum(c)) * 10000000
+         |      // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
+         |  END AS yule_k_milli
+         |FROM tc""".stripMargin,
 
     // same top-k rank frame, 6dp decimal log terms, one OLS shape
     "q_zipf" ->

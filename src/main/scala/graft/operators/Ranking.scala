@@ -570,6 +570,37 @@ object Ranking {
                  |  div n_tokens AS BIGINT)""".stripMargin)).as("coverage_ppm"))
   }
 
+  /** Yule's characteristic K — the length-stable repetitiveness
+    * constant ([[vocabRichness]] asks "how much vocabulary is
+    * missing"; K asks "how repetitive is what we HAVE"): K =
+    * 10⁴·(Σc² − N)/N² over the token-frequency spectrum, the
+    * probability two random tokens are the same type, debiased and
+    * scaled. Near-invariant to corpus length (unlike raw TTR —
+    * `q_ttr`'s known flaw), so it's the comparable-across-crawls
+    * repetition score; boilerplate-heavy sources push it up.
+    *
+    * Exact integers: the same one-shuffle (token, count) aggregate,
+    * one summary row, one non-negative floor div (Σc² ≥ N always).
+    * Emitted in milli-K units: yule_k_milli = (Σc² − N)·10⁷ div N².
+    * Output one row: (n_tokens, vocab, s2, yule_k_milli).
+    */
+  def yuleK(df: DataFrame, textCol: Column): DataFrame = {
+    val counts = df
+      .select(explode(graft.functions.TextFunctions.words(textCol)).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    counts.agg(
+        coalesce(sum(col("_c")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        coalesce(sum(col("_c").cast("decimal(38,0)") * col("_c")),
+          lit(0L).cast("decimal(38,0)")).as("_s2"))
+      .select(col("n_tokens"), col("vocab"),
+        col("_s2").cast("long").as("s2"),
+        when(col("n_tokens") > 0L,
+          expr("""CAST((_s2 - n_tokens) * 10000000
+                 |  div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)
+                 |  AS BIGINT)""".stripMargin)).as("yule_k_milli"))
+  }
+
   def zipfFit(df: DataFrame, textCol: Column, k: Int = 100): DataFrame = {
     require(k >= 2, s"zipfFit: k must be >= 2, got $k")
     val counts = df

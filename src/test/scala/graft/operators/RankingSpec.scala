@@ -261,6 +261,23 @@ class RankingSpec extends SparkSpec {
     assert(c.isNullAt(5)) // mcc
   }
 
+  test("yuleK: hand spectrum K, zero for all-singletons") {
+    // "x x y y": S2 = 8, N = 4 -> K = 1e4*(8-4)/16 = 2500 -> 2500000 milli
+    val rep = Seq("x x y y").toDF("text")
+    val r = Ranking.yuleK(rep, col("text")).collect().head
+    assert(r.getAs[Long]("n_tokens") == 4L && r.getAs[Long]("vocab") == 2L &&
+      r.getAs[Long]("s2") == 8L)
+    assert(r.getAs[Long]("yule_k_milli") == 2500000L)
+    // all singletons: S2 = N -> K = 0
+    val single = Seq("a b c").toDF("text")
+    assert(Ranking.yuleK(single, col("text")).collect()
+      .head.getAs[Long]("yule_k_milli") == 0L)
+    // one type repeated n times: K = 1e4*(n^2-n)/n^2; n=5 -> 8000000 milli
+    val mono = Seq("z z z z z").toDF("text")
+    assert(Ranking.yuleK(mono, col("text")).collect()
+      .head.getAs[Long]("yule_k_milli") == 8000000L)
+  }
+
   test("vocabRichness: hand spectrum, all-singleton doubling, saturated coverage") {
     // "a b a" + "c b": counts a:2 b:2 c:1 -> N=5 V=3 f1=1 f2=2;
     // chao1 correction 1*0 div 6 = 0; coverage (5-1)/5 = 0.8
