@@ -2820,6 +2820,13 @@ object SparkEntry {
       Ranking.fleissKappa(t(s, d, "lineitem"), col("l_orderkey"),
         col("l_returnflag"), raters = 4)),
 
+    // Krippendorff's alpha on the SAME panels but with every
+    // 2..7-line order pairable — the missing-data-tolerant agreement
+    // coefficient, 6dp per-unit terms, one closing floor.
+    "q_kripp" -> ((s, d) =>
+      Ranking.krippendorffAlpha(t(s, d, "lineitem"), col("l_orderkey"),
+        col("l_returnflag"))),
+
     // Average precision of "order value predicts urgency": one
     // prefix-sums pass carries rank + cumulative positives, fixed-point
     // precision@k summed exactly.
@@ -7070,6 +7077,35 @@ object SparkEntry {
         |      // (precision_ppm + recall_ppm) AS BIGINT)
         |  END AS f1_ppm
         |FROM f ORDER BY cls""".stripMargin,
+
+    // variable-panel counts; 6dp per-unit terms, one // closing floor
+    "q_kripp" ->
+      """WITH cells AS (SELECT l_orderkey AS u, l_returnflag AS c,
+        |  CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2),
+        |sized AS (SELECT u, c, o, sum(o) OVER (PARTITION BY u) AS m
+        |  FROM cells),
+        |dr AS (SELECT CAST(count(DISTINCT CASE WHEN m < 2 THEN u END)
+        |    AS BIGINT) AS n_dropped FROM sized),
+        |kept AS (SELECT u, c, o, m FROM sized WHERE m >= 2),
+        |pu AS (SELECT u, max(m) AS mu,
+        |  CAST(round(sum(o * (m - o))::DOUBLE / (max(m) - 1)::DOUBLE, 6)
+        |    AS DECIMAL(38,6)) AS du
+        |  FROM kept GROUP BY 1),
+        |ba AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(coalesce(sum(mu), 0) AS BIGINT) AS n_pairable,
+        |  coalesce(sum(du), 0) AS sdo FROM pu),
+        |pc AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  coalesce(sum(CAST(nc AS HUGEINT) * nc), 0) AS b
+        |  FROM (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM kept GROUP BY 1)),
+        |f AS (SELECT n_units, dr.n_dropped, n_pairable, k,
+        |  CAST(sdo * 1000000 AS HUGEINT) AS sdom,
+        |  CAST(n_pairable AS HUGEINT) * n_pairable - b AS de
+        |  FROM ba, pc, dr)
+        |SELECT n_units, n_dropped, n_pairable, k,
+        |  CASE WHEN de > 0 THEN
+        |    1000000 - CAST(sdom * (n_pairable - 1) // de AS BIGINT)
+        |  END AS alpha_ppm
+        |FROM f""".stripMargin,
 
     // complete-panel counts; reduced exact rational, sign-split floor
     "q_fleiss" ->

@@ -954,6 +954,69 @@ object Ranking {
     * row: (n_items, n_dropped, n_raters, k, po_ppm, pe_ppm,
     * kappa_ppm).
     */
+  /** Krippendorff's alpha (nominal) — [[fleissKappa]] requires every
+    * item rated by EXACTLY n raters; α is the missing-data-tolerant
+    * agreement coefficient real annotation projects need (raters come
+    * and go; any unit with ≥ 2 ratings is evidence). α = 1 − D_o/D_e
+    * with observed disagreement averaged over pairable values and
+    * expected disagreement from the pooled category totals.
+    *
+    * Arithmetic: the per-unit term Σ_c o_uc(m_u − o_uc)/(m_u − 1) is
+    * a genuine per-unit rational, so it lands as the house 6dp
+    * DECIMAL term (one fixed IEEE division + round per unit — the
+    * Mantel-Haenszel discipline; order-proof under decimal
+    * summation), shifted to exact integer micros for the single
+    * closing floor: with n_p = Σm_u and B = Σn_c²,
+    * D_o/D_e = ΣD_u·(n_p−1)/(n_p²−B), emitted as ratio ppm and
+    * α = 10⁶ − ratio (negative α — worse than chance — falls out
+    * without a sign split since the floored ratio is non-negative).
+    * α null when every rating is one category (D_e = 0). Units with
+    * m_u < 2 have no pairable values: dropped and COUNTED.
+    *
+    * Shape: one (unit, category) aggregate, a per-unit window over
+    * ≤ k rows, a per-unit k-bounded aggregate, category totals, one
+    * summary row. Output: (n_units, n_dropped, n_pairable, k,
+    * alpha_ppm).
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: Column,
+      categoryCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.where(unitCol.isNotNull && categoryCol.isNotNull)
+      .groupBy(unitCol.as("_u"), categoryCol.as("_c"))
+      .agg(count(lit(1)).as("_o"))
+    val sized = graft.core.CacheRegistry.persist(
+      cells.withColumn("_m",
+        sum(col("_o")).over(Window.partitionBy(col("_u")))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropAgg = sized.agg(
+      count_distinct(when(col("_m") < 2L, col("_u"))).as("n_dropped"))
+    val kept = sized.where(col("_m") >= 2L)
+    val perUnit = kept.groupBy(col("_u"))
+      .agg(first(col("_m")).as("_mu"),
+        sum(col("_o") * (col("_m") - col("_o"))).as("_dnum"))
+      .select(col("_mu"),
+        round(col("_dnum").cast("double") /
+          (col("_mu") - 1L).cast("double"), 6)
+          .cast("decimal(38,6)").as("_du"))
+    val base = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      coalesce(sum(col("_mu")), lit(0L)).as("n_pairable"),
+      coalesce(sum(col("_du")), lit(0L).cast("decimal(38,6)")).as("_sdo"))
+    val perCat = kept.groupBy(col("_c")).agg(sum(col("_o")).as("_nc"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(dec(col("_nc")) * col("_nc")), dec(lit(0L))).as("_B"))
+    base.crossJoin(broadcast(perCat)).crossJoin(broadcast(dropAgg))
+      .withColumn("_sdoM",
+        (col("_sdo") * lit(1000000L)).cast("decimal(38,0)"))
+      .withColumn("_de",
+        dec(col("n_pairable")) * col("n_pairable") - col("_B"))
+      .select(col("n_units"), col("n_dropped"), col("n_pairable"), col("k"),
+        when(col("_de") > 0,
+          lit(1000000L) -
+            expr("CAST(_sdoM * (n_pairable - 1) div _de AS BIGINT)"))
+          .as("alpha_ppm"))
+  }
+
   def fleissKappa(df: DataFrame, itemCol: Column, categoryCol: Column,
       raters: Int): DataFrame = {
     require(raters >= 2, s"fleissKappa: raters must be >= 2, got $raters")

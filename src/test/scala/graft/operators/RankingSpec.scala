@@ -299,6 +299,37 @@ class RankingSpec extends SparkSpec {
       t.getAs[Long]("coverage_ppm") == 1000000L)
   }
 
+  test("krippendorffAlpha: hand cases across agreement levels, singletons drop") {
+    // u1 {x,x}, u2 {x,y}: Do = 1/2 = De -> alpha = 0
+    val zero = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "y")).toDF("u", "c")
+    val z = Ranking.krippendorffAlpha(zero, col("u"), col("c")).collect().head
+    assert(z.getAs[Long]("n_units") == 2L && z.getAs[Long]("n_pairable") == 4L)
+    assert(z.getAs[Long]("alpha_ppm") == 0L)
+    // unanimous units on different categories: Do = 0 -> alpha = 1
+    val perfect = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"))
+      .toDF("u", "c")
+    assert(Ranking.krippendorffAlpha(perfect, col("u"), col("c"))
+      .collect().head.getAs[Long]("alpha_ppm") == 1000000L)
+    // systematic within-unit disagreement: alpha = -0.5
+    val anti = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y")).toDF("u", "c")
+    assert(Ranking.krippendorffAlpha(anti, col("u"), col("c"))
+      .collect().head.getAs[Long]("alpha_ppm") == -500000L)
+    // a 1-rating unit is unpairable: dropped + counted; one category
+    // everywhere -> De = 0 -> alpha null
+    val const = Seq((1L, "x"), (1L, "x"), (2L, "x")).toDF("u", "c")
+    val c = Ranking.krippendorffAlpha(const, col("u"), col("c"))
+      .collect().head
+    assert(c.getAs[Long]("n_units") == 1L && c.getAs[Long]("n_dropped") == 1L)
+    assert(c.isNullAt(c.fieldIndex("alpha_ppm")))
+    // variable panel sizes mix exactly: u1 {x,x,x} (du 0), u2 {x,y}
+    // (du 2): np 5, B = 16+1 -> ratio = 2e6*4 div 8 = 1e6 -> alpha 0
+    val varSize = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "x"), (2L, "y"))
+      .toDF("u", "c")
+    assert(Ranking.krippendorffAlpha(varSize, col("u"), col("c"))
+      .collect().head.getAs[Long]("alpha_ppm") == 0L)
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("fleissKappa: perfect panels 1, below-chance negative, off-size items drop") {
     // two items, three raters each, unanimous but on different
     // categories: Po = 1, Pe = 1/2 -> kappa = 1
