@@ -2329,6 +2329,14 @@ object SparkEntry {
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
         "R", "N")),
 
+    // Székely-Rizzo energy distance on the same two price samples:
+    // all three pairwise |·| sums off ONE prefix pass, zero iff the
+    // distributions coincide.
+    "q_energy" -> ((s, d) =>
+      Analytics.energyDistance(t(s, d, "lineitem"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        "R", "N")),
+
     // Anderson–Darling completes the CDF-gap triple: the same squared
     // gaps re-weighted by 1/(F(1−F)) so TAIL drift dominates — exact
     // per-value ppm floors summed, one prefix pass.
@@ -5819,6 +5827,36 @@ object SparkEntry {
         |  round(CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE) /
         |    CAST(na * nb AS DOUBLE), 6) AS ks
         |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // three interval-term sums off the same windowed CDF; one floor
+    "q_energy" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |pv AS (SELECT v,
+        |  CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |  lead(v) OVER w AS vn FROM pv WINDOW w AS (ORDER BY v)),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS support FROM pv),
+        |s AS (SELECT
+        |  coalesce(sum((vn - v) * (CAST(cuma AS HUGEINT) * (t.n_b - cumb)
+        |    + CAST(cumb AS HUGEINT) * (t.n_a - cuma))), 0) AS ab,
+        |  coalesce(sum((vn - v) * 2 * CAST(cuma AS HUGEINT)
+        |    * (t.n_a - cuma)), 0) AS aa,
+        |  coalesce(sum((vn - v) * 2 * CAST(cumb AS HUGEINT)
+        |    * (t.n_b - cumb)), 0) AS bb
+        |  FROM c, t WHERE vn IS NOT NULL)
+        |SELECT t.n_a, t.n_b, t.support,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+        |    CAST((2 * s.ab * t.n_a * t.n_b - s.aa * t.n_b * t.n_b
+        |        - s.bb * t.n_a * t.n_a) * 1000000
+        |      // (CAST(t.n_a AS HUGEINT) * t.n_a * t.n_b * t.n_b) AS BIGINT)
+        |  END AS e_ppm
+        |FROM t, s""".stripMargin,
 
     // CDF-gap integral with lead() gaps; HUGEINT terms, one // floor
     "q_wasserstein" ->

@@ -1097,6 +1097,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("d")))
   }
 
+  test("energyDistance: hand interval terms, pure shift doubling, zero at equality") {
+    // a = {0,2}, b = {1,3}: AB=6, AA=4, BB=4 ->
+    // E = 2*6/4 - 4/4 - 4/4 = 1
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 1L), ("b", 3L)).toDF("g", "v")
+    val r = Analytics.energyDistance(df, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("support") == 4L)
+    assert(r.getAs[Long]("e_ppm") == 1000000L)
+    // point masses distance 5 apart: E = 2*5 = 10
+    val shift = Seq(("a", 0L), ("a", 0L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    assert(Analytics.energyDistance(shift, col("g"), col("v"), "a", "b")
+      .collect().head.getAs[Long]("e_ppm") == 10000000L)
+    // identical samples: E = 0
+    val same = Seq(("a", 3L), ("a", 9L), ("b", 3L), ("b", 9L)).toDF("g", "v")
+    assert(Analytics.energyDistance(same, col("g"), col("v"), "a", "b")
+      .collect().head.getAs[Long]("e_ppm") == 0L)
+    // same mean, different spread: a = {2,2}, b = {1,3} ->
+    // AB = 4, AA = 0, BB = 4 -> E = 2*4/4 - 0 - 4/4 = 1
+    val spread = Seq(("a", 2L), ("a", 2L), ("b", 1L), ("b", 3L)).toDF("g", "v")
+    assert(Analytics.energyDistance(spread, col("g"), col("v"), "a", "b")
+      .collect().head.getAs[Long]("e_ppm") == 1000000L)
+    // empty arm -> null
+    val solo = Seq(("a", 1L)).toDF("g", "v")
+    assert(Analytics.energyDistance(solo, col("g"), col("v"), "a", "b")
+      .collect().head.isNullAt(3))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("dunnTest: hand z per pair, tie correction, degenerate null, pair order") {
     // a = {1,2}, b = {3,4}: mean ranks 1.5 vs 3.5, sigma2 = 5/3 ->
     // z = -2/sqrt(5/3) = -1.549193
