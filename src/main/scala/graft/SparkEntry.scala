@@ -1332,6 +1332,18 @@ object SparkEntry {
         t(s, d, "events"), col("user_id"),
         Seq(col("ts"), col("event_id")), col("event_type"))),
 
+    // Reciprocity of the event-type transition graph: dyadic and
+    // min-flow weighted shares, exact ppm floors.
+    "q_reciprocity" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = t(s, d, "events")
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+      graft.operators.Graph.reciprocity(edges, col("src"), col("dst"))
+    }),
+
     // Trailing-window z-score anomaly flags on the event stream: each
     // value vs its user's 20 preceding events (cents-exact sums,
     // closed-form IEEE z, integer-decided degenerate windows).
@@ -4773,6 +4785,31 @@ object SparkEntry {
         |    AS BIGINT)
         |  END AS se_micros
         |FROM m""".stripMargin,
+
+    // same lead-pair edges; reversal self-join, two // floors
+    "q_reciprocity" ->
+      """WITH e AS (SELECT src, dst FROM (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS dst
+        |  FROM events)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        |w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM e GROUP BY 1, 2),
+        |j AS (SELECT a.w, b.w AS wr FROM w a
+        |  LEFT JOIN w b ON a.src = b.dst AND a.dst = b.src)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(coalesce(sum(w), 0) AS BIGINT) AS w_total,
+        |  CAST(coalesce(sum(CASE WHEN wr IS NOT NULL THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS recip_edges,
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(CASE WHEN wr IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |      // count(*) AS BIGINT)
+        |  END AS recip_ppm,
+        |  CASE WHEN sum(w) > 0 THEN
+        |    CAST(sum(least(w, coalesce(wr, 0))) * 1000000 // sum(w) AS BIGINT)
+        |  END AS recip_w_ppm
+        |FROM j""".stripMargin,
 
     // Mirrors transitionMatrix: lead pairs, exact counts, one IEEE
     // division for the row-normalized probability.

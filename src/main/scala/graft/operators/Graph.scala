@@ -568,6 +568,46 @@ object Graph {
     dist
   }
 
+  /** Directed-graph reciprocity — how mutual are the edges: the
+    * dyadic form (share of distinct directed edges whose REVERSE also
+    * exists) and the Garlaschelli-Loffredo weighted form
+    * (Σ min(w_ij, w_ji) / Σ w_ij — what fraction of flow is
+    * returned), both in one row. The interaction-symmetry probe for
+    * transition graphs, reply networks, link exchanges — 1 on a
+    * symmetric graph, 0 on a DAG.
+    *
+    * Exact integers: one (src, dst) weight aggregate, one hash
+    * self-join against its own reversal, two non-negative ppm floors.
+    * Self-loops are excluded (they are trivially reciprocal and
+    * poison both denominators). Output one row: (n_edges, w_total,
+    * recip_edges, recip_ppm, recip_w_ppm).
+    *
+    * Scale contract: both shuffles are on the (src, dst) pair key at
+    * distinct-edge cardinality — no per-node fan-out, no windows.
+    */
+  def reciprocity(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    val w = edges
+      .select(srcCol.as("_s"), dstCol.as("_d"))
+      .where(col("_s").isNotNull && col("_d").isNotNull &&
+        col("_s") =!= col("_d"))
+      .groupBy(col("_s"), col("_d")).agg(count(lit(1)).as("_w"))
+    val rev = w.select(col("_d").as("_s"), col("_s").as("_d"),
+      col("_w").as("_wr"))
+    w.join(rev, Seq("_s", "_d"), "left")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        coalesce(sum(col("_w")), lit(0L)).as("w_total"),
+        coalesce(sum(when(col("_wr").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("recip_edges"),
+        coalesce(sum(least(col("_w"), coalesce(col("_wr"), lit(0L)))), lit(0L))
+          .as("_wmin"))
+      .select(col("n_edges"), col("w_total"), col("recip_edges"),
+        when(col("n_edges") > 0L,
+          expr("recip_edges * 1000000 div n_edges")).as("recip_ppm"),
+        when(col("w_total") > 0L,
+          expr("_wmin * 1000000 div w_total")).as("recip_w_ppm"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
     // least/greatest skip nulls: a null endpoint collapses to u==v and
     // the strict < drops it, like a self-loop

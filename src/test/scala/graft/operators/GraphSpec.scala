@@ -189,6 +189,27 @@ class GraphSpec extends SparkSpec {
     assert(out(1L) == 0L)
   }
 
+  test("reciprocity: hand dyad/weight shares, DAG zero, symmetric one") {
+    // a->b x2, b->a x1, a->c x1: 3 distinct edges, 2 reciprocal;
+    // weighted: min-flow 2 of 4 total
+    val e = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "c")).toDF("s", "d")
+    val r = Graph.reciprocity(e, col("s"), col("d")).collect().head
+    assert(r.getAs[Long]("n_edges") == 3L && r.getAs[Long]("w_total") == 4L)
+    assert(r.getAs[Long]("recip_edges") == 2L)
+    assert(r.getAs[Long]("recip_ppm") == 666666L)
+    assert(r.getAs[Long]("recip_w_ppm") == 500000L)
+    // DAG: zero both ways; self-loops excluded from all counts
+    val dag = Seq(("a", "b"), ("b", "c"), ("x", "x")).toDF("s", "d")
+    val rd = Graph.reciprocity(dag, col("s"), col("d")).collect().head
+    assert(rd.getAs[Long]("n_edges") == 2L &&
+      rd.getAs[Long]("recip_ppm") == 0L && rd.getAs[Long]("recip_w_ppm") == 0L)
+    // fully symmetric: 1e6 exactly
+    val sym = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("s", "d")
+    val rs = Graph.reciprocity(sym, col("s"), col("d")).collect().head
+    assert(rs.getAs[Long]("recip_ppm") == 1000000L &&
+      rs.getAs[Long]("recip_w_ppm") == 1000000L)
+  }
+
   test("triangleCounts: hand-checked census, dirty edge list tolerated") {
     // triangle {1,2,3}, pendant 3-4, square 4-5-6-7 (no closure),
     // plus a self-loop, a duplicate, and a reversed duplicate
