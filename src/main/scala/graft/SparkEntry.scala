@@ -2454,6 +2454,14 @@ object SparkEntry {
       Analytics.cliffsDelta(t(s, d, "lineitem"), col("l_returnflag"),
         col("l_quantity"), "R", "N")),
 
+    // Brunner-Munzel: heteroscedasticity-robust relative effect of
+    // click vs purchase values — exact placements off one prefix
+    // pass, one IEEE shape each for w and the Welch-type df.
+    "q_brunner" -> ((s, d) =>
+      Analytics.brunnerMunzel(t(s, d, "events"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"),
+        "click", "purchase")),
+
     // Coarsened-exact-matching ATT: even-vs-odd users matched within
     // DAY strata, exact micros terms, unmatched strata surfaced.
     "q_matched_att" -> ((s, d) =>
@@ -5950,6 +5958,61 @@ object SparkEntry {
         |      (1.0 - 3.0 / (4.0 * (n_a::DOUBLE + n_b::DOUBLE - 2.0) - 1.0)), 6)
         |  END AS g
         |FROM f""".stripMargin,
+
+    // counting placements off the windowed CDF; mirrored IEEE shapes
+    "q_brunner" ->
+      """WITH b AS (SELECT event_type AS g,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL),
+        |pv AS (SELECT v,
+        |  CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT v, ca, cb, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+        |  FROM pv WINDOW w AS (ORDER BY v)),
+        |t AS (SELECT
+        |  CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a,
+        |  CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b,
+        |  coalesce(sum(CAST(ca AS HUGEINT) * (2 * (cumb - cb) + cb)), 0) AS bx,
+        |  coalesce(sum(CAST(ca AS HUGEINT) * (2 * (cumb - cb) + cb)
+        |    * (2 * (cumb - cb) + cb)), 0) AS ax,
+        |  coalesce(sum(CAST(cb AS HUGEINT) * (2 * (cuma - ca) + ca)), 0) AS by,
+        |  coalesce(sum(CAST(cb AS HUGEINT) * (2 * (cuma - ca) + ca)
+        |    * (2 * (cuma - ca) + ca)), 0) AS ay,
+        |  coalesce(sum(CAST(ca AS HUGEINT)
+        |    * (2 * (cuma + cumb - ca - cb) + ca + cb + 1)), 0) AS r2a,
+        |  coalesce(sum(CAST(cb AS HUGEINT)
+        |    * (2 * (cuma + cumb - ca - cb) + ca + cb + 1)), 0) AS r2b
+        |  FROM c),
+        |f AS (SELECT n_a, n_b, r2a, r2b,
+        |  (CAST(n_a AS HUGEINT) * ax - bx * bx)::DOUBLE /
+        |    (CASE WHEN n_a >= 2 THEN 4.0 * n_a::DOUBLE * (n_a::DOUBLE - 1.0)
+        |     END) AS sx2,
+        |  (CAST(n_b AS HUGEINT) * ay - by * by)::DOUBLE /
+        |    (CASE WHEN n_b >= 2 THEN 4.0 * n_b::DOUBLE * (n_b::DOUBLE - 1.0)
+        |     END) AS sy2
+        |  FROM t),
+        |g AS (SELECT n_a, n_b, r2b, sx2, sy2,
+        |  n_a::DOUBLE AS nd, n_b::DOUBLE AS md,
+        |  n_a::DOUBLE * sx2 + n_b::DOUBLE * sy2 AS v,
+        |  r2b::DOUBLE / (CASE WHEN n_b > 0 THEN 2.0 * n_b::DOUBLE END)
+        |    - r2a::DOUBLE / (CASE WHEN n_a > 0 THEN 2.0 * n_a::DOUBLE END)
+        |    AS gap
+        |  FROM f)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST((r2b - CAST(n_b AS HUGEINT) * (n_b + 1)) * 1000000
+        |      // (2 * CAST(n_b AS HUGEINT) * n_a) AS BIGINT)
+        |  END AS phat_ppm,
+        |  CASE WHEN v > 0 THEN
+        |    round(nd * md * gap / ((nd + md) * sqrt(v)), 6)
+        |  END AS w,
+        |  CASE WHEN v > 0 THEN
+        |    round(v * v / ((nd * sx2) * (nd * sx2) / (nd - 1.0)
+        |      + (md * sy2) * (md * sy2) / (md - 1.0)), 6)
+        |  END AS df
+        |FROM g""".stripMargin,
 
     // exact HUGEINT pair-order counts on the cell grid, sign-split
     // ppm floor for delta, doubled form for Vargha-Delaney A

@@ -813,6 +813,83 @@ object Analytics {
                  |  AS BIGINT)""".stripMargin)).as("e_ppm"))
   }
 
+  /** Brunner-Munzel test — the modern replacement for Mann-Whitney
+    * when the two samples may differ in SHAPE/variance (MW assumes
+    * exchangeable-under-null; BM studentizes the relative effect
+    * p = P(X<Y) + ½P(X=Y) with per-sample placement variances and a
+    * Welch-type df, staying valid under heteroscedasticity and ties).
+    *
+    * Exact integer core on the SAME one-pass frame as [[ksTest]]:
+    * both per-group cumulative counts ride one
+    * [[Relational.prefixSums]] pass, and each value's DOUBLED
+    * placement is pure counting — q2_a(v) = 2·#{b < v} + #{b = v} —
+    * so the placement sums/squares, pooled doubled-rank sums, and
+    * the exact relative effect p̂ = (R2_b − m(m+1))·10⁶ div (2mn)
+    * (numerator non-negative: m(m+1) is the doubled-rank-sum floor)
+    * are all decimal(38,0)-exact. The statistic and df are ONE fixed
+    * IEEE shape each over those integers (the [[kruskalWallis]]-`h`
+    * discipline), rounded 6dp:
+    * w = n·m·(R̄_b − R̄_a) / (N·√(n·S_a² + m·S_b²)),
+    * df = (n·S_a² + m·S_b²)² / ((n·S_a²)²/(n−1) + (m·S_b²)²/(m−1)).
+    *
+    * w/df null when either sample has < 2 values or the placement
+    * variances BOTH vanish (complete separation or identical
+    * constants — BM is genuinely undefined there; MW still works).
+    * Output one row: (n_a, n_b, phat_ppm, w, df).
+    *
+    * Shape: row-scale groupBy + one range-sort prefix pass + one
+    * summary aggregate — no windows, no pair term.
+    */
+  def brunnerMunzel(df: DataFrame, groupCol: Column, valueCol: Column,
+      a: String, b: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perValue = df
+      .where(groupCol.isin(a, b) && valueCol.isNotNull)
+      .select(valueCol.cast("long").as("_v"), groupCol.as("_g"))
+      .groupBy(col("_v"))
+      .agg(
+        sum(when(col("_g") === a, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === b, 1L).otherwise(0L)).as("_cb"))
+    val cums = Relational.prefixSums(perValue, Seq(col("_v")),
+      Seq(col("_ca") -> "_cumA", col("_cb") -> "_cumB"))
+    val q2a = lit(2L) * (col("_cumB") - col("_cb")) + col("_cb")
+    val q2b = lit(2L) * (col("_cumA") - col("_ca")) + col("_ca")
+    val mr2 = lit(2L) * (col("_cumA") + col("_cumB") - col("_ca") - col("_cb")) +
+      col("_ca") + col("_cb") + 1L
+    val agg = cums.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"),
+      coalesce(sum(dec(col("_ca")) * q2a), dec(lit(0L))).as("_bx"),
+      coalesce(sum(dec(col("_ca")) * q2a * q2a), dec(lit(0L))).as("_ax"),
+      coalesce(sum(dec(col("_cb")) * q2b), dec(lit(0L))).as("_by"),
+      coalesce(sum(dec(col("_cb")) * q2b * q2b), dec(lit(0L))).as("_ay"),
+      coalesce(sum(dec(col("_ca")) * mr2), dec(lit(0L))).as("_r2a"),
+      coalesce(sum(dec(col("_cb")) * mr2), dec(lit(0L))).as("_r2b"))
+    val nD = col("n_a").cast("double")
+    val mD = col("n_b").cast("double")
+    // ANSI + CSE evaluate shared divisions eagerly: null-guard the
+    // DENOMINATORS (degenerate -> null propagates through every
+    // dependent column) instead of relying on the when() branches
+    val denX = when(col("n_a") >= 2L, lit(4.0d) * nD * (nD - 1.0d))
+    val denY = when(col("n_b") >= 2L, lit(4.0d) * mD * (mD - 1.0d))
+    val sx2 = (dec(col("n_a")) * col("_ax") - col("_bx") * col("_bx"))
+      .cast("double") / denX
+    val sy2 = (dec(col("n_b")) * col("_ay") - col("_by") * col("_by"))
+      .cast("double") / denY
+    val v = nD * sx2 + mD * sy2
+    val gap = col("_r2b").cast("double") / when(mD > 0.0d, lit(2.0d) * mD) -
+      col("_r2a").cast("double") / when(nD > 0.0d, lit(2.0d) * nD)
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        expr("""CAST((_r2b - CAST(n_b AS DECIMAL(38,0)) * (n_b + 1)) * 1000000
+               |  div (2 * CAST(n_b AS DECIMAL(38,0)) * n_a) AS BIGINT)"""
+          .stripMargin)).as("phat_ppm"),
+      when(v > 0.0d, round(nD * mD * gap / ((nD + mD) * sqrt(v)), 6)).as("w"),
+      when(v > 0.0d, round(v * v /
+        ((nD * sx2) * (nD * sx2) / (nD - 1.0d) +
+          (mD * sy2) * (mD * sy2) / (mD - 1.0d)), 6)).as("df"))
+  }
+
   /** Cochran-Armitage trend test — "does the success rate TREND with
     * an ordered exposure" (dose, priority tier, bucket index): the
     * 2×k chi-square ([[Quality]]-style drift tables) only says the

@@ -1097,6 +1097,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("d")))
   }
 
+  test("brunnerMunzel: hand placements, tie handling, separation degenerates") {
+    // x = {1,3}, y = {2,4}: Sx2 = Sy2 = 0.5, gap 1 ->
+    // w = 4/(4*sqrt2) = 0.707107, df = 2, phat = 3/4
+    val df1 = Seq(("x", 1L), ("x", 3L), ("y", 2L), ("y", 4L)).toDF("g", "v")
+    val r = Analytics.brunnerMunzel(df1, col("g"), col("v"), "x", "y")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("phat_ppm") == 750000L)
+    assert(r.getAs[Double]("w") == 0.707107)
+    assert(r.getAs[Double]("df") == 2.0)
+    // ties: x = {1,1}, y = {1,2}: Sx2 = 0, Sy2 = 0.5 -> w = 1, df = 1
+    val tied = Seq(("x", 1L), ("x", 1L), ("y", 1L), ("y", 2L)).toDF("g", "v")
+    val rt = Analytics.brunnerMunzel(tied, col("g"), col("v"), "x", "y")
+      .collect().head
+    assert(rt.getAs[Long]("phat_ppm") == 750000L)
+    assert(rt.getAs[Double]("w") == 1.0 && rt.getAs[Double]("df") == 1.0)
+    // complete separation: both placement variances vanish -> w/df
+    // null (BM undefined), the exact relative effect still lands at 1
+    val sep = Seq(("x", 1L), ("x", 2L), ("y", 3L), ("y", 4L)).toDF("g", "v")
+    val rs = Analytics.brunnerMunzel(sep, col("g"), col("v"), "x", "y")
+      .collect().head
+    assert(rs.getAs[Long]("phat_ppm") == 1000000L)
+    assert(rs.isNullAt(rs.fieldIndex("w")) && rs.isNullAt(rs.fieldIndex("df")))
+    // empty arm: everything but counts null
+    val solo = Seq(("x", 1L)).toDF("g", "v")
+    val re = Analytics.brunnerMunzel(solo, col("g"), col("v"), "x", "y")
+      .collect().head
+    assert(re.getAs[Long]("n_b") == 0L &&
+      re.isNullAt(re.fieldIndex("phat_ppm")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("energyDistance: hand interval terms, pure shift doubling, zero at equality") {
     // a = {0,2}, b = {1,3}: AB=6, AA=4, BB=4 ->
     // E = 2*6/4 - 4/4 - 4/4 = 1
