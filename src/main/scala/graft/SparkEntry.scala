@@ -2855,6 +2855,12 @@ object SparkEntry {
       Ranking.krippendorffAlpha(t(s, d, "lineitem"), col("l_orderkey"),
         col("l_returnflag"))),
 
+    // Gwet's AC1 on the same 4-line panels: the kappa-paradox-stable
+    // chance correction — report beside q_fleiss under skew.
+    "q_gwet" -> ((s, d) =>
+      Ranking.gwetAc1(t(s, d, "lineitem"), col("l_orderkey"),
+        col("l_returnflag"), raters = 4)),
+
     // Average precision of "order value predicts urgency": one
     // prefix-sums pass carries rank + cumulative positives, fixed-point
     // precision@k summed exactly.
@@ -7215,6 +7221,39 @@ object SparkEntry {
         |      // (precision_ppm + recall_ppm) AS BIGINT)
         |  END AS f1_ppm
         |FROM f ORDER BY cls""".stripMargin,
+
+    // complete panels; reduced rational, sign-split closing floor
+    "q_gwet" ->
+      """WITH cells AS (SELECT l_orderkey AS i, l_returnflag AS c,
+        |  CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2),
+        |sized AS (SELECT i, c, o, sum(o) OVER (PARTITION BY i) AS m
+        |  FROM cells),
+        |dr AS (SELECT CAST(count(DISTINCT CASE WHEN m <> 4 THEN i END)
+        |    AS BIGINT) AS n_dropped FROM sized),
+        |kept AS (SELECT i, c, o FROM sized WHERE m = 4),
+        |ba AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+        |  coalesce(sum(CAST(o AS HUGEINT) * (o - 1)), 0) AS a FROM kept),
+        |pc AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  coalesce(sum(CAST(cj AS HUGEINT) *
+        |    ((SELECT n_items FROM ba) * 4 - cj)), 0) AS s
+        |  FROM (SELECT c, CAST(sum(o) AS BIGINT) AS cj FROM kept GROUP BY 1)),
+        |f AS (SELECT n_items, n_dropped, CAST(4 AS BIGINT) AS n_raters, k,
+        |  a, s, CAST(n_items AS HUGEINT) * 4 AS nn,
+        |  CAST(n_items AS HUGEINT) * 4 * 3 AS d1,
+        |  (k - 1) * CAST(n_items AS HUGEINT) * 4 * n_items * 4 AS d3
+        |  FROM ba, pc, dr)
+        |SELECT n_items, n_dropped, n_raters, k,
+        |  CASE WHEN d1 > 0 THEN CAST(a * 1000000 // d1 AS BIGINT) END
+        |    AS po_ppm,
+        |  CASE WHEN d3 > 0 THEN CAST(s * 1000000 // d3 AS BIGINT) END
+        |    AS pe_ppm,
+        |  CASE WHEN d1 > 0 AND d3 - s > 0 THEN
+        |    CAST(CASE WHEN a * (k - 1) * nn >= s * 3
+        |      THEN (a * (k - 1) * nn - s * 3) * 1000000 // (3 * (d3 - s))
+        |      ELSE -((s * 3 - a * (k - 1) * nn) * 1000000 // (3 * (d3 - s)))
+        |    END AS BIGINT)
+        |  END AS ac1_ppm
+        |FROM f""".stripMargin,
 
     // variable-panel counts; 6dp per-unit terms, one // closing floor
     "q_kripp" ->

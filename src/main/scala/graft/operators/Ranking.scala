@@ -1017,6 +1017,71 @@ object Ranking {
           .as("alpha_ppm"))
   }
 
+  /** Gwet's AC1 — the kappa-paradox fix in the agreement family:
+    * [[fleissKappa]] collapses toward 0 on skewed category
+    * prevalences even when raters almost always agree (the classic
+    * paradox), because its chance term squares the marginals. AC1's
+    * chance term Σπ_c(1−π_c)/(k−1) instead models "chance" as
+    * rating the UNCERTAIN items, staying stable under skew — report
+    * it beside κ whenever one category dominates (spam flags, safety
+    * labels, dedup verdicts).
+    *
+    * Same complete-panel scaffolding as [[fleissKappa]] (items rated
+    * by exactly n raters enter; off-size items dropped AND counted),
+    * same P̄_o = A/(N·n(n−1)). With S = ΣC_j(Nn − C_j) and
+    * D3 = (k−1)(Nn)², AC1 reduces (common N·n cancelled) to
+    * (A·(k−1)·N·n − S·(n−1)) / ((n−1)·(D3 − S)) — exact
+    * decimal(38,0), one sign-split ppm floor. Null when D3 = S
+    * (k = 1 — a single observed category has no disagreement model).
+    * Output one row: (n_items, n_dropped, n_raters, k, po_ppm,
+    * pe_ppm, ac1_ppm).
+    */
+  def gwetAc1(df: DataFrame, itemCol: Column, categoryCol: Column,
+      raters: Int): DataFrame = {
+    require(raters >= 2, s"gwetAc1: raters must be >= 2, got $raters")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.where(itemCol.isNotNull && categoryCol.isNotNull)
+      .groupBy(itemCol.as("_i"), categoryCol.as("_c"))
+      .agg(count(lit(1)).as("_o"))
+    val sized = graft.core.CacheRegistry.persist(
+      cells.withColumn("_m",
+        sum(col("_o")).over(Window.partitionBy(col("_i")))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropAgg = sized.agg(
+      count_distinct(when(col("_m") =!= raters.toLong, col("_i")))
+        .as("n_dropped"))
+    val kept = sized.where(col("_m") === raters.toLong)
+    val perCat = kept.groupBy(col("_c")).agg(sum(col("_o")).as("_cj"))
+    val base = kept.agg(
+      count_distinct(col("_i")).as("n_items"),
+      coalesce(sum(dec(col("_o")) * (col("_o") - 1L)), dec(lit(0L))).as("_A"))
+    val catAgg = base.crossJoin(broadcast(perCat))
+      .groupBy(col("n_items"), col("_A"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(dec(col("_cj")) *
+          (dec(col("n_items")) * raters.toLong - col("_cj"))), dec(lit(0L)))
+          .as("_S"))
+    catAgg.crossJoin(broadcast(dropAgg))
+      .withColumn("_nn", dec(col("n_items")) * raters.toLong)
+      .withColumn("_d1", col("_nn") * lit(raters.toLong - 1L))
+      .withColumn("_d3", (col("k") - 1L) * col("_nn") * col("_nn"))
+      .withColumn("po_ppm",
+        when(col("_d1") > 0, expr("CAST(_A * 1000000 div _d1 AS BIGINT)")))
+      .withColumn("pe_ppm",
+        when(col("_d3") > 0, expr("CAST(_S * 1000000 div _d3 AS BIGINT)")))
+      .select(col("n_items"), col("n_dropped"),
+        lit(raters.toLong).as("n_raters"), col("k"),
+        col("po_ppm"), col("pe_ppm"),
+        when(col("_d1") > 0 && col("_d3") - col("_S") > 0,
+          expr(s"""CAST(CASE
+                 |  WHEN _A * (k - 1) * _nn >= _S * ${raters - 1}L
+                 |  THEN (_A * (k - 1) * _nn - _S * ${raters - 1}L)
+                 |    * 1000000 div (${raters - 1}L * (_d3 - _S))
+                 |  ELSE -((_S * ${raters - 1}L - _A * (k - 1) * _nn)
+                 |    * 1000000 div (${raters - 1}L * (_d3 - _S)))
+                 |END AS BIGINT)""".stripMargin)).as("ac1_ppm"))
+  }
+
   def fleissKappa(df: DataFrame, itemCol: Column, categoryCol: Column,
       raters: Int): DataFrame = {
     require(raters >= 2, s"fleissKappa: raters must be >= 2, got $raters")

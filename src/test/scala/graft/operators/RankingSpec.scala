@@ -299,6 +299,39 @@ class RankingSpec extends SparkSpec {
       t.getAs[Long]("coverage_ppm") == 1000000L)
   }
 
+  test("gwetAc1: perfect 1, paradox-resistant under skew, single-category null") {
+    // the fleiss perfect-panels case: Po = 1, Pe = 1/2 -> AC1 = 1
+    val perfect = Seq(
+      (1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "y"), (2L, "y"), (2L, "y")).toDF("item", "cat")
+    val p = Ranking.gwetAc1(perfect, col("item"), col("cat"), raters = 3)
+      .collect().head
+    assert(p.getAs[Long]("po_ppm") == 1000000L &&
+      p.getAs[Long]("pe_ppm") == 500000L &&
+      p.getAs[Long]("ac1_ppm") == 1000000L)
+    // the kappa paradox: {x,x},{x,x},{x,y} has 2/3 raw agreement but
+    // Fleiss kappa = -0.2; AC1 stays positive at 14/26
+    val skew = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"),
+      (3L, "x"), (3L, "y")).toDF("item", "cat")
+    val s = Ranking.gwetAc1(skew, col("item"), col("cat"), raters = 2)
+      .collect().head
+    assert(s.getAs[Long]("ac1_ppm") == 538461L)
+    assert(Ranking.fleissKappa(skew, col("item"), col("cat"), raters = 2)
+      .collect().head.getAs[Long]("kappa_ppm") == -200000L)
+    // mixed hand case: Po = 1/2, Pe = 3/8 -> AC1 = 1/5
+    val mixed = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "y"))
+      .toDF("item", "cat")
+    assert(Ranking.gwetAc1(mixed, col("item"), col("cat"), raters = 2)
+      .collect().head.getAs[Long]("ac1_ppm") == 200000L)
+    // one observed category: no disagreement model -> null
+    val const = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("item", "cat")
+    val c = Ranking.gwetAc1(const, col("item"), col("cat"), raters = 2)
+      .collect().head
+    assert(c.isNullAt(c.fieldIndex("ac1_ppm")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("krippendorffAlpha: hand cases across agreement levels, singletons drop") {
     // u1 {x,x}, u2 {x,y}: Do = 1/2 = De -> alpha = 0
     val zero = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "y")).toDF("u", "c")
