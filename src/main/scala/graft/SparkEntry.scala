@@ -1411,6 +1411,15 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(pairs, col("item_a"), col("item_b"))
     }),
 
+    // Density + Freeman centralization of the same co-purchase graph:
+    // saturated-vs-hub-dominated in one exact-integer row.
+    "q_centralization" -> ((s, dd) => {
+      val pairs = graft.operators.Analytics.cooccurrence(
+        t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.degreeCentralization(pairs,
+        col("item_a"), col("item_b"))
+    }),
+
     // SCD-2 snapshot merge on a synthetic day-2 customer snapshot
     // exercising all five branches: unchanged, changed (%7 balance
     // bump), deleted (%3), inserted (+1e6 keys), and pre-closed
@@ -4883,6 +4892,30 @@ object SparkEntry {
 
     // Mirrors triangleCounts over the q_cooccur edge set: (deg, id)
     // orientation, wedge join + closure semi-check, per-node explode.
+    "q_centralization" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |sz AS (SELECT b FROM items GROUP BY b
+        |  HAVING count(*) BETWEEN 2 AND 1024),
+        |kept AS (SELECT items.b, items.i FROM items JOIN sz USING (b)),
+        |e AS (SELECT a.i AS u, b.i AS v FROM kept a JOIN kept b
+        |      ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(coalesce(sum(d), 0) AS BIGINT) AS sumd,
+        |  CAST(coalesce(max(d), 0) AS BIGINT) AS dmax FROM deg)
+        |SELECT n_nodes, CAST(sumd // 2 AS BIGINT) AS n_edges, dmax,
+        |  CASE WHEN n_nodes >= 2 THEN
+        |    CAST(CAST(sumd AS HUGEINT) * 1000000
+        |      // (CAST(n_nodes AS HUGEINT) * (n_nodes - 1)) AS BIGINT)
+        |  END AS density_ppm,
+        |  CASE WHEN n_nodes >= 3 THEN
+        |    CAST((CAST(n_nodes AS HUGEINT) * dmax - sumd) * 1000000
+        |      // (CAST(n_nodes - 1 AS HUGEINT) * (n_nodes - 2)) AS BIGINT)
+        |  END AS centralization_ppm
+        |FROM a""".stripMargin,
+
     "q_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |sz AS (SELECT b FROM items GROUP BY b HAVING count(*) BETWEEN 2 AND 1024),

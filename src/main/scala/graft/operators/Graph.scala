@@ -568,6 +568,48 @@ object Graph {
     dist
   }
 
+  /** Graph density + Freeman degree centralization — the two
+    * one-number shape summaries read FIRST on any graph snapshot:
+    * density (2E/n(n−1), how saturated) and Freeman's centralization
+    * (Σ(d_max − d_i)/((n−1)(n−2)), how star-like: 1 on a star, 0 on
+    * any regular graph). Together they separate "dense because
+    * everything connects" from "dense because one hub dominates" —
+    * the spam/botnet-shape screen before the per-node centralities.
+    *
+    * Exact integers end-to-end: canonical undirected distinct edges
+    * (the [[triangleCounts]] normalization), a degree aggregate, and
+    * the identity Σ(d_max − d_i) = n·d_max − 2E — so no second pass
+    * over the degree frame; two non-negative ppm floors close it.
+    * Output one row: (n_nodes, n_edges, dmax, density_ppm,
+    * centralization_ppm); density null below 2 nodes,
+    * centralization null below 3 (undefined denominators).
+    *
+    * Shape: one distinct + one degree aggregate + a 1-row summary.
+    */
+  def degreeCentralization(edges: DataFrame, srcCol: Column,
+      dstCol: Column): DataFrame = {
+    val e = edges
+      .select(least(srcCol, dstCol).as("_u"), greatest(srcCol, dstCol).as("_v"))
+      .where(col("_u") < col("_v"))
+      .distinct()
+    val deg = e.select(col("_u").as("_n")).unionAll(e.select(col("_v").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    deg.agg(
+        count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("_d")), lit(0L)).as("_sumd"),
+        coalesce(max(col("_d")), lit(0L)).as("dmax"))
+      .select(col("n_nodes"), expr("_sumd div 2").as("n_edges"), col("dmax"),
+        when(col("n_nodes") >= 2L,
+          expr("""CAST(CAST(_sumd AS DECIMAL(38,0)) * 1000000
+                 |  div (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1))
+                 |  AS BIGINT)""".stripMargin)).as("density_ppm"),
+        when(col("n_nodes") >= 3L,
+          expr("""CAST((CAST(n_nodes AS DECIMAL(38,0)) * dmax - _sumd)
+                 |  * 1000000
+                 |  div (CAST(n_nodes - 1 AS DECIMAL(38,0)) * (n_nodes - 2))
+                 |  AS BIGINT)""".stripMargin)).as("centralization_ppm"))
+  }
+
   /** Directed-graph reciprocity — how mutual are the edges: the
     * dyadic form (share of distinct directed edges whose REVERSE also
     * exists) and the Garlaschelli-Loffredo weighted form

@@ -189,6 +189,32 @@ class GraphSpec extends SparkSpec {
     assert(out(1L) == 0L)
   }
 
+  test("degreeCentralization: star 1, cycle 0, hand density") {
+    // star K1,3: centralization exactly 1, density 3/6
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("s", "d")
+    val r = Graph.degreeCentralization(star, col("s"), col("d"))
+      .collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L && r.getAs[Long]("n_edges") == 3L &&
+      r.getAs[Long]("dmax") == 3L)
+    assert(r.getAs[Long]("density_ppm") == 500000L)
+    assert(r.getAs[Long]("centralization_ppm") == 1000000L)
+    // 4-cycle: regular -> centralization 0; density 4/6; duplicate
+    // and reversed edges collapse
+    val cyc = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "d")).toDF("s", "d")
+    val rc = Graph.degreeCentralization(cyc, col("s"), col("d"))
+      .collect().head
+    assert(rc.getAs[Long]("n_edges") == 4L)
+    assert(rc.getAs[Long]("density_ppm") == 666666L)
+    assert(rc.getAs[Long]("centralization_ppm") == 0L)
+    // a single edge: density defined, centralization not (n < 3)
+    val pair = Seq(("a", "b")).toDF("s", "d")
+    val rp = Graph.degreeCentralization(pair, col("s"), col("d"))
+      .collect().head
+    assert(rp.getAs[Long]("density_ppm") == 1000000L &&
+      rp.isNullAt(rp.fieldIndex("centralization_ppm")))
+  }
+
   test("reciprocity: hand dyad/weight shares, DAG zero, symmetric one") {
     // a->b x2, b->a x1, a->c x1: 3 distinct edges, 2 reciprocal;
     // weighted: min-flow 2 of 4 total
