@@ -2358,6 +2358,12 @@ object SparkEntry {
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
         "R", "N")),
 
+    // Gini mean difference of price cents: E|X−X'| robust spread +
+    // the population Gini as a q_gini cross-check, one CDF pass.
+    "q_gmd" -> ((s, d) =>
+      Analytics.giniMeanDifference(t(s, d, "lineitem"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))),
+
     // Anderson–Darling completes the CDF-gap triple: the same squared
     // gaps re-weighted by 1/(F(1−F)) so TAIL drift dominates — exact
     // per-value ppm floors summed, one prefix pass.
@@ -5911,6 +5917,30 @@ object SparkEntry {
         |  round(CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE) /
         |    CAST(na * nb AS DOUBLE), 6) AS ks
         |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // single-sample interval terms; nested exact floors
+    "q_gmd" ->
+      """WITH pv AS (SELECT
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        |c AS (SELECT v, sum(c) OVER w AS cum, lead(v) OVER w AS vn
+        |  FROM pv WINDOW w AS (ORDER BY v)),
+        |t AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+        |  coalesce(sum(CAST(v AS HUGEINT) * c), 0) AS sx,
+        |  CAST(count(*) AS BIGINT) AS support FROM pv),
+        |s AS (SELECT coalesce(sum((vn - v) * 2 * CAST(cum AS HUGEINT)
+        |    * (t.n - cum)), 0) AS aa
+        |  FROM c, t WHERE vn IS NOT NULL)
+        |SELECT t.n, t.support,
+        |  CASE WHEN t.n >= 2 THEN
+        |    CAST(s.aa * 1000000 // (CAST(t.n AS HUGEINT) * (t.n - 1))
+        |      AS BIGINT)
+        |  END AS gmd_ppm,
+        |  CASE WHEN t.n >= 2 AND t.sx > 0 THEN
+        |    CAST(s.aa * 1000000 // (2 * CAST(t.n AS HUGEINT)) // t.sx
+        |      AS BIGINT)
+        |  END AS gini_ppm
+        |FROM t, s""".stripMargin,
 
     // three interval-term sums off the same windowed CDF; one floor
     "q_energy" ->

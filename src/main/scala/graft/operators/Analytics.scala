@@ -813,6 +813,59 @@ object Analytics {
                  |  AS BIGINT)""".stripMargin)).as("e_ppm"))
   }
 
+  /** Gini mean difference — the robust dispersion number E|X−X'|:
+    * how far apart two randomly drawn values sit, in the value's own
+    * units. Finite-sample breakdown is poorer than MAD's but its
+    * efficiency under near-normal data is far higher (98% vs 37%),
+    * and unlike the SD it doesn't square outliers into dominance —
+    * the spread summary of choice for heavy-tailed amounts. The
+    * relative form GMD/(2·mean) is exactly the Gini coefficient,
+    * emitted alongside as a cross-check against the Lorenz-based
+    * `q_gini`.
+    *
+    * Exact integers on the [[wasserstein1]] machinery with ONE
+    * sample: ΣΣ|x−x'| = Σ_v gap(v)·2·C(v)·(n−C(v)) off one
+    * [[Relational.prefixSums]] pass + the rank+1 hash join;
+    * gmd_ppm = Σ·10⁶ div n(n−1) (the unbiased U-statistic) and
+    * gini_ppm = Σ·10⁶ div 2n div Σx (the POPULATION Gini — the
+    * [[gini]] convention, so the two queries cross-check; the nested
+    * floors are exact by the floor-division identity). Gini needs
+    * non-negative values; the GMD itself is sign-agnostic. Output
+    * one row: (n, support, gmd_ppm, gini_ppm); null under 2 rows;
+    * gini null when Σx ≤ 0.
+    */
+  def giniMeanDifference(df: DataFrame, valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perValue = df
+      .where(valueCol.isNotNull)
+      .select(valueCol.cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val cums = graft.core.CacheRegistry.persist(
+      Relational.prefixSums(perValue, Seq(col("_v")),
+        Seq(col("_c") -> "_cum", lit(1L) -> "_r")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perValue.agg(
+      coalesce(sum(col("_c")), lit(0L)).as("n"),
+      coalesce(sum(dec(col("_v")) * col("_c")), dec(lit(0L))).as("_sx"),
+      count(lit(1)).as("support"))
+    val nxt = cums.select((col("_r") - 1L).as("_rp"), col("_v").as("_vn"))
+    val aa = cums.join(nxt, col("_r") === col("_rp"))
+      .crossJoin(broadcast(totals))
+      .agg(coalesce(sum((col("_vn") - col("_v")).cast("decimal(38,0)") *
+        lit(2L) * col("_cum") * (col("n") - col("_cum"))), dec(lit(0L)))
+        .as("_aa"))
+    totals.crossJoin(broadcast(aa))
+      .select(col("n"), col("support"),
+        when(col("n") >= 2L,
+          expr("""CAST(_aa * 1000000
+                 |  div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"""
+            .stripMargin)).as("gmd_ppm"),
+        when(col("n") >= 2L && col("_sx") > 0,
+          expr("""CAST(_aa * 1000000
+                 |  div (2 * CAST(n AS DECIMAL(38,0))) div _sx
+                 |  AS BIGINT)""".stripMargin)).as("gini_ppm"))
+  }
+
   /** Brunner-Munzel test — the modern replacement for Mann-Whitney
     * when the two samples may differ in SHAPE/variance (MW assumes
     * exchangeable-under-null; BM studentizes the relative effect

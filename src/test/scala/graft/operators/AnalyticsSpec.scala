@@ -1097,6 +1097,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("d")))
   }
 
+  test("giniMeanDifference: hand pair gaps, population gini parity, degenerate null") {
+    // {0,2}: sum|gaps| = 4 -> GMD = 4/2 = 2; pop gini = 4/(2*4*1) = 0.5
+    val df1 = Seq(0L, 2L).toDF("v")
+    val r = Analytics.giniMeanDifference(df1, col("v")).collect().head
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("support") == 2L)
+    assert(r.getAs[Long]("gmd_ppm") == 2000000L)
+    assert(r.getAs[Long]("gini_ppm") == 500000L)
+    // one holder of everything: {0,0,0,4} -> GMD 2, gini 0.75
+    val conc = Seq(0L, 0L, 0L, 4L).toDF("v")
+    val rc = Analytics.giniMeanDifference(conc, col("v")).collect().head
+    assert(rc.getAs[Long]("gmd_ppm") == 2000000L &&
+      rc.getAs[Long]("gini_ppm") == 750000L)
+    // constant values: zero spread, zero inequality
+    val const = Seq(3L, 3L, 3L).toDF("v")
+    val rk = Analytics.giniMeanDifference(const, col("v")).collect().head
+    assert(rk.getAs[Long]("gmd_ppm") == 0L && rk.getAs[Long]("gini_ppm") == 0L)
+    // single row: both undefined
+    val one = Seq(7L).toDF("v")
+    val ro = Analytics.giniMeanDifference(one, col("v")).collect().head
+    assert(ro.isNullAt(ro.fieldIndex("gmd_ppm")) &&
+      ro.isNullAt(ro.fieldIndex("gini_ppm")))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("brunnerMunzel: hand placements, tie handling, separation degenerates") {
     // x = {1,3}, y = {2,4}: Sx2 = Sy2 = 0.5, gap 1 ->
     // w = 4/(4*sqrt2) = 0.707107, df = 2, phat = 3/4
