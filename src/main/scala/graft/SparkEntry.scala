@@ -1332,6 +1332,12 @@ object SparkEntry {
         t(s, d, "events"), col("user_id"),
         Seq(col("ts"), col("event_id")), col("event_type"))),
 
+    // p-chart: daily purchase rate vs the pooled ±3σ binomial
+    // limits — comparator-proof rounded fences, LCL clamped at 0.
+    "q_pchart" -> ((s, d) =>
+      Analytics.pChart(t(s, d, "events"), to_date(col("ts")),
+        (col("event_type") === "purchase").cast("long"))),
+
     // Reciprocity of the event-type transition graph: dyadic and
     // min-flow weighted shares, exact ppm floors.
     "q_reciprocity" -> ((s, d) => {
@@ -4814,6 +4820,29 @@ object SparkEntry {
         |    AS BIGINT)
         |  END AS se_micros
         |FROM m""".stripMargin,
+
+    // pooled-rate IEEE shape mirrored, rounded fences compared
+    "q_pchart" ->
+      """WITH pd AS (SELECT CAST(ts AS DATE) AS period,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS r
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |p AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn,
+        |  CAST(coalesce(sum(r), 0) AS BIGINT) AS rr FROM pd),
+        |f AS (SELECT period, n, r,
+        |  rr::DOUBLE / (CASE WHEN nn > 0 THEN nn::DOUBLE END) AS pbar,
+        |  CASE WHEN n > 0 THEN n::DOUBLE END AS ntd
+        |  FROM pd, p),
+        |g AS (SELECT period, n, r,
+        |  round(r::DOUBLE / ntd, 6) AS phat,
+        |  round(greatest(pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / ntd), 0.0),
+        |    6) AS lcl,
+        |  round(pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / ntd), 6) AS ucl
+        |  FROM f)
+        |SELECT period, n, r, phat, lcl, ucl,
+        |  phat < lcl AS out_low, phat > ucl AS out_high
+        |FROM g ORDER BY period""".stripMargin,
 
     // same lead-pair edges; reversal self-join, two // floors
     "q_reciprocity" ->

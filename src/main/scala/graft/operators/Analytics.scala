@@ -813,6 +813,43 @@ object Analytics {
                  |  AS BIGINT)""".stripMargin)).as("e_ppm"))
   }
 
+  /** p-chart — the Shewhart control chart for PROPORTIONS: each
+    * period's success rate against the pooled rate's ±3σ binomial
+    * limits UCL/LCL = p̄ ± 3·√(p̄(1−p̄)/n_t) (per-period n, so sparse
+    * days get honestly wider limits). The SPC screen for conversion/
+    * defect/acceptance-rate drift — [[cusum]] finds slow creep,
+    * the p-chart flags the single broken day.
+    *
+    * Per-period counts are exact integers; p̄ and each limit are ONE
+    * fixed IEEE shape over them (null-guarded denominators — the
+    * ANSI+CSE discipline), rounded 6dp BEFORE the out-of-control
+    * comparisons so the flags are comparator-proof. LCL clamps at 0.
+    * Output one row per period, period-ordered: (period, n, r,
+    * phat, lcl, ucl, out_low, out_high).
+    *
+    * Shape: one row-scale groupBy + a broadcast 1-row pooled frame.
+    */
+  def pChart(df: DataFrame, periodCol: Column, successCol: Column): DataFrame = {
+    val perDay = df.where(periodCol.isNotNull && successCol.isNotNull)
+      .groupBy(periodCol.as("period"))
+      .agg(count(lit(1)).as("n"), sum(successCol.cast("long")).as("r"))
+    val pooled = perDay.agg(
+      coalesce(sum(col("n")), lit(0L)).as("_N"),
+      coalesce(sum(col("r")), lit(0L)).as("_R"))
+    val nD = when(col("_N") > 0L, col("_N").cast("double"))
+    val ntD = when(col("n") > 0L, col("n").cast("double"))
+    val pbar = col("_R").cast("double") / nD
+    val se = sqrt(pbar * (lit(1.0d) - pbar) / ntD)
+    val phat = round(col("r").cast("double") / ntD, 6)
+    val ucl = round(pbar + lit(3.0d) * se, 6)
+    val lcl = round(greatest(pbar - lit(3.0d) * se, lit(0.0d)), 6)
+    perDay.crossJoin(broadcast(pooled))
+      .select(col("period"), col("n"), col("r"),
+        phat.as("phat"), lcl.as("lcl"), ucl.as("ucl"),
+        (phat < lcl).as("out_low"), (phat > ucl).as("out_high"))
+      .orderBy(col("period"))
+  }
+
   /** Gini mean difference — the robust dispersion number E|X−X'|:
     * how far apart two randomly drawn values sit, in the value's own
     * units. Finite-sample breakdown is poorer than MAD's but its

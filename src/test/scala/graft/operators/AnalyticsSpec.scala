@@ -1097,6 +1097,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("d")))
   }
 
+  test("pChart: hand 3-sigma limits, LCL clamp, degenerate pooled rate") {
+    // pooled pbar = 0.45 over two 20-trial days: limits are
+    // 0.45 ± 3*sqrt(0.45*0.55/20) ~ [0.116, 0.784] — the 0/20 day
+    // breaches low, the 18/20 day breaches high
+    val df1 = (Seq.fill(20)(("d1", 0L)) ++ Seq.fill(18)(("d2", 1L)) ++
+      Seq.fill(2)(("d2", 0L))).toDF("day", "ok")
+    val out = Analytics.pChart(df1, col("day"), col("ok")).collect()
+    val d1 = out.find(_.getString(0) == "d1").get
+    val d2 = out.find(_.getString(0) == "d2").get
+    assert(d1.getAs[Double]("phat") == 0.0 && d2.getAs[Double]("phat") == 0.9)
+    assert(d1.getAs[Double]("lcl") > 0.11 && d1.getAs[Double]("ucl") < 0.79)
+    assert(d1.getAs[Boolean]("out_low") && !d1.getAs[Boolean]("out_high"))
+    assert(!d2.getAs[Boolean]("out_low") && d2.getAs[Boolean]("out_high"))
+    // rare successes: LCL clamps to exactly 0, a zero day is IN control
+    val rare = (Seq.fill(10)(("d1", 0L)) ++ Seq.fill(9)(("d2", 0L)) ++
+      Seq(("d2", 1L))).toDF("day", "ok")
+    val r0 = Analytics.pChart(rare, col("day"), col("ok")).collect()
+      .find(_.getString(0) == "d1").get
+    assert(r0.getAs[Double]("lcl") == 0.0 && !r0.getAs[Boolean]("out_low"))
+    // all-success pool: se = 0, limits collapse to 1, nothing flags
+    val full = Seq(("d1", 1L), ("d2", 1L)).toDF("day", "ok")
+    assert(Analytics.pChart(full, col("day"), col("ok")).collect()
+      .forall(r => !r.getAs[Boolean]("out_low") && !r.getAs[Boolean]("out_high")))
+  }
+
   test("giniMeanDifference: hand pair gaps, population gini parity, degenerate null") {
     // {0,2}: sum|gaps| = 4 -> GMD = 4/2 = 2; pop gini = 4/(2*4*1) = 0.5
     val df1 = Seq(0L, 2L).toDF("v")
