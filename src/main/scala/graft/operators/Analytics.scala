@@ -4938,6 +4938,40 @@ object Analytics {
         (col("rank") <= col("_cut")).as("rejected"))
   }
 
+  /** Holm-Bonferroni step-down — the FAMILY-WISE sibling of [[bhFdr]]
+    * on the same integer-p frame: where BH bounds the expected
+    * false-discovery FRACTION (screening), Holm bounds the chance of
+    * even ONE false rejection (confirmatory calls), uniformly more
+    * powerful than plain Bonferroni and valid under any dependence.
+    * Ascending by p, rank k rejects iff EVERY j ≤ k passes
+    * p_j ≤ α/(N−j+1) — the step-down stops at the first failure.
+    *
+    * Exact integers: p·(N−k+1) ≤ α_micros per rank (no division),
+    * the prefix-AND collapsing to one `min(failing rank)` aggregate —
+    * rank rides the same [[Relational.prefixSum]] range sort as BH
+    * (ties broken by id; no global window). Output one row per
+    * input: (id, p_micros, rank, rejected).
+    */
+  def holmBonferroni(df: DataFrame, idCol: Column, pMicrosCol: Column,
+      alphaMicros: Long = 50000L): DataFrame = {
+    require(alphaMicros > 0 && alphaMicros <= 1000000L,
+      s"holmBonferroni: alphaMicros must be in (0, 1e6], got $alphaMicros")
+    val base = df.where(idCol.isNotNull && pMicrosCol.isNotNull)
+      .select(idCol.as("id"), pMicrosCol.cast("long").as("p_micros"))
+    val ranked = graft.core.CacheRegistry.persist(
+      Relational.prefixSum(base, Seq(col("p_micros"), col("id")), lit(1L),
+        "rank"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    val firstFail = ranked.crossJoin(broadcast(n))
+      .where(col("p_micros") * (col("_n") - col("rank") + 1L) >
+        lit(alphaMicros))
+      .agg(coalesce(min(col("rank")), lit(Long.MaxValue)).as("_ff"))
+    ranked.crossJoin(broadcast(firstFail))
+      .select(col("id"), col("p_micros"), col("rank"),
+        (col("rank") < col("_ff")).as("rejected"))
+  }
+
   /** Shared per-key demeaned frame behind [[ljungBox]] and
     * [[durbinWatson]]: joins each series row with its key's (n, Σx)
     * so the multiplied-out deviation y_t = n·x_t − Σx is an EXACT
@@ -5313,5 +5347,225 @@ object Analytics {
       .agg(sum(col("_t")).as("g_ppm"))
       .select(col("n"), col("r"), col("c"),
         ((col("r") - 1L) * (col("c") - 1L)).as("dof"), col("g_ppm"))
+  }
+
+  /** Pettitt change-point test — the RANK-based single-break detector
+    * beside the mean-shift CUSUM scan ([[changePoint]]): where CUSUM
+    * reacts to any big value, Pettitt asks whether the values BEFORE
+    * a split systematically rank above/below those after it (a
+    * Mann-Whitney at every split), so one wild outlier day cannot
+    * fake a break the way it drags a mean. The standard
+    * "did the level of this metric shift, and when" test for
+    * homogeneity of a monitoring series.
+    *
+    * Exact integer core: with per-group doubled midranks R2ᵢ = 2rᵢ
+    * (ties exact), the split statistic collapses to
+    *
+    * {{{ U_t = Σ_{i≤t} Σ_{j>t} sgn(xᵢ−xⱼ) = Σ_{i≤t} R2ᵢ − t·(n+1) }}}
+    *
+    * (the Σ over j≠i of sgn(xᵢ−xⱼ) equals 2rᵢ−(n+1) with midranks,
+    * and the within-prefix terms cancel by antisymmetry) — so the
+    * whole scan is ONE per-group cumulative sum over days, never the
+    * t×(n−t) pair sweep. K = max_t |U_t| over t ∈ [1, n−1], earliest
+    * day on ties. The approximate tail 2·exp(−6K²/(n³+n²)) is
+    * surfaced as its exact-integer exponent `x_micros =
+    * 6K²·10⁶ div (n³+n²)` with `sig_95 = x_micros ≥ 3688880`
+    * (ln 40 = 3.6888794…; the micros floor makes the fence
+    * conservative by < 1e-6 — comparator-proof on every engine).
+    *
+    * Shape: one groupBy to the daily frame, midranks over the
+    * per-group value DOMAIN (the [[cellQuantiles]] bound), one
+    * per-group day-ordered cumulative window (bounded by days per
+    * key, calendar-bounded at any corpus size), one closing
+    * aggregate. Output per group: (group, n, k_abs, at_day,
+    * x_micros, sig_95).
+    */
+  def pettitt(df: DataFrame, groupCol: Column, dayCol: Column,
+      centsCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = graft.core.CacheRegistry.persist(
+      df.select(groupCol.cast("string").as("_g"), dayCol.cast("long").as("_d"),
+          centsCol.as("_x"))
+        .where(col("_g").isNotNull && col("_d").isNotNull &&
+          col("_x").isNotNull)
+        .groupBy(col("_g"), col("_d")).agg(sum(col("_x")).as("_xs")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // doubled midranks over the per-group value domain
+    val cells = daily.groupBy(col("_g"), col("_xs")).agg(count(lit(1)).as("_c"))
+    val wv = Window.partitionBy(col("_g")).orderBy(col("_xs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells.withColumn("_cum", sum(col("_c")).over(wv))
+      .select(col("_g"), col("_xs"),
+        (lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1L).as("_mr2"))
+    val nPer = daily.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    val wd = Window.partitionBy(col("_g")).orderBy(col("_d"))
+    val u = daily.join(ranked, Seq("_g", "_xs"))
+      .withColumn("_cum2", sum(col("_mr2"))
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_t", row_number().over(wd))
+      .join(nPer, Seq("_g"))
+      .where(col("_t") < col("_n"))
+      .select(col("_g"), col("_n"), col("_d"),
+        (col("_cum2") - col("_t") * (col("_n") + 1L)).as("_u"))
+    u.groupBy(col("_g"), col("_n"))
+      // max |U|, earliest day on ties: struct max on (|U|, −day)
+      .agg(max(struct(abs(col("_u")).as("a"), (-col("_d")).as("nd")))
+        .as("_m"))
+      .select(col("_g").as("group"), col("_n").as("n"),
+        col("_m.a").as("k_abs"), (-col("_m.nd")).as("at_day"))
+      .withColumn("x_micros",
+        expr("""CAST((6 * CAST(k_abs AS DECIMAL(38,0)) * k_abs * 1000000)
+          div (CAST(n AS DECIMAL(38,0)) * n * n +
+               CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""))
+      .withColumn("sig_95", col("x_micros") >= 3688880L)
+  }
+
+  /** Tukey HSD studentized-range statistics — the parametric post-hoc
+    * beside [[dunnTest]]'s rank one: after [[anovaF]] rejects, WHICH
+    * cohort-mean pairs differ, every pair measured against the SAME
+    * pooled within-group variance (pairwise t-tests re-estimate noise
+    * per pair and inflate the family error; Tukey's q is the standard
+    * correction input). Emitted as the exact q statistic per pair —
+    * critical fences depend on (k, N−k) studentized-range tables, so
+    * the statistic is the stable, engine-checkable surface.
+    *
+    * Exactness: per-group within terms (n_g·Σx² − (Σx)²)/n_g are 6dp
+    * decimal summands (the [[bartlett]] discipline — order-proof),
+    * MSW = SSW/(N−k), and each pair's
+    * q = |x̄ᵢ − x̄ⱼ| / √(MSW/2 · (1/nᵢ + 1/nⱼ)) is ONE fixed IEEE
+    * shape off exact sums, rounded 6dp, null when MSW degenerates.
+    *
+    * Shape: one row-scale groupBy to k rows, k² broadcast self-pair,
+    * one 1-row total broadcast back — the [[dunnTest]] frame with
+    * means instead of midranks. Output k(k−1)/2 rows:
+    * (g1, g2, n1, n2, q).
+    */
+  def tukeyHsd(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val v = valueCol.cast("long")
+    val per = df.where(groupCol.isNotNull && valueCol.isNotNull)
+      .groupBy(groupCol.cast("string").as("_g"))
+      .agg(count(lit(1)).as("_n"), sum(dec(v)).as("_sx"),
+        sum(dec(v) * v).as("_sxx"))
+      .select(col("_g"), col("_n"), col("_sx"),
+        round((dec(col("_n")) * col("_sxx") - col("_sx") * col("_sx"))
+            .cast("double") / col("_n").cast("double"), 6)
+          .cast("decimal(38,6)").as("_w"))
+    val persisted = graft.core.CacheRegistry.persist(per,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = persisted.agg(sum(col("_w")).as("_ssw"),
+      sum(col("_n")).as("_N"), count(lit(1)).as("_k"))
+    val a = persisted.select(col("_g").as("g1"), col("_n").as("n1"),
+      col("_sx").as("_sx1"))
+    val b = persisted.select(col("_g").as("g2"), col("_n").as("n2"),
+      col("_sx").as("_sx2"))
+    val dfree = (col("_N") - col("_k")).cast("double")
+    val msw = col("_ssw").cast("double") / dfree
+    val gap = abs(col("_sx1").cast("double") / col("n1").cast("double") -
+      col("_sx2").cast("double") / col("n2").cast("double"))
+    a.crossJoin(broadcast(b)).where(col("g1") < col("g2"))
+      .crossJoin(broadcast(tot))
+      // guard the variance itself: ANSI + CSE can hoist the division
+      .withColumn("_msw",
+        when(col("_N") > col("_k") && col("_ssw") > 0, msw))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        round(gap / sqrt(col("_msw") / lit(2.0d) *
+          (lit(1.0d) / col("n1").cast("double") +
+           lit(1.0d) / col("n2").cast("double"))), 6).as("q"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
+  /** Wald-Wolfowitz runs test (median form) — randomness of a daily
+    * series' SEQUENCE, which [[mannKendall]] (monotone trend) and
+    * [[pettitt]] (single level break) both miss: slow oscillation
+    * clusters same-side days into few runs, day-to-day mean reversion
+    * alternates into many; either rejects "independent around the
+    * median". The classic residual-independence sanity check before
+    * trusting any i.i.d.-assuming test on the same series.
+    *
+    * Exact core: per-group median via the [[groupedExactQuantiles]]
+    * cell CDF, days equal to it dropped (the standard median form),
+    * runs counted by one per-group lag over day order (calendar-
+    * bounded input per key). With n1 above / n2 below, m = n1+n2:
+    * z = (R − μ)/σ, μ = 2n1n2/m + 1, σ² = 2n1n2(2n1n2−m)/(m²(m−1)) —
+    * both moments kept as exact integer ratios (fits int64 through
+    * ~10⁴ distinct days — any calendar), ONE fixed IEEE shape
+    * `A/m / √(vnum/vden)` with A = R·m − 2n1n2 − m, the variance
+    * numerator null-guarded (the ANSI+CSE eager-division trap),
+    * rounded 6dp. Output per group: (group, n1, n2, runs, z).
+    */
+  def runsTest(df: DataFrame, groupCol: Column, dayCol: Column,
+      centsCol: Column): DataFrame = {
+    val daily = graft.core.CacheRegistry.persist(
+      df.select(groupCol.cast("string").as("_g"), dayCol.cast("long").as("_d"),
+          centsCol.as("_x"))
+        .where(col("_g").isNotNull && col("_d").isNotNull &&
+          col("_x").isNotNull)
+        .groupBy(col("_g"), col("_d")).agg(sum(col("_x")).as("_xs")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = groupedExactQuantiles(daily, col("_g"), col("_xs"), Seq(0.5))
+      .select(col("group").as("_g"), col("value").as("_med"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_d"))
+    val signed = daily.join(broadcast(med), Seq("_g"))
+      .where(col("_xs") =!= col("_med"))
+      .select(col("_g"), col("_d"),
+        when(col("_xs") > col("_med"), 1).otherwise(-1).as("_s"))
+      .withColumn("_prev", lag(col("_s"), 1).over(w))
+      .groupBy(col("_g"))
+      .agg(sum(when(col("_s") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("_s") === -1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("_prev").isNull || col("_prev") =!= col("_s"), 1L)
+          .otherwise(0L)).as("runs"))
+    // a group whose every day sits ON the median loses all rows above
+    // — zero-fill from the group universe so it still reports
+    val counts = med.select(col("_g")).join(signed, Seq("_g"), "left")
+      .select(col("_g"), coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("runs"), lit(0L)).as("runs"))
+    val m = col("n1") + col("n2")
+    val tw = lit(2L) * col("n1") * col("n2")
+    val a = col("runs") * m - tw - m
+    val vnum = tw * (tw - m)
+    val vden = m * m * (m - 1L)
+    counts
+      .withColumn("_a", a)
+      // null-guard every denominator itself: ANSI + codegen CSE can
+      // evaluate a shared division before any branch guard
+      .withColumn("_m", when(m > 0L, m))
+      .withColumn("_vnum", when(vnum > 0L, vnum)) // null ⇒ z null
+      .withColumn("_vden", when(vden > 0L, vden))
+      .select(col("_g").as("group"), col("n1"), col("n2"), col("runs"),
+        round(col("_a").cast("double") / col("_m").cast("double") /
+          sqrt(col("_vnum").cast("double") / col("_vden").cast("double")), 6)
+          .as("z"))
+  }
+
+  /** Jarque-Bera normality test — the closing readout on the
+    * [[groupedMoments]] shape pass: JB = n/6·(S² + K²/4) against
+    * χ²(2), the standard "is this metric's distribution still
+    * normal-ish" gate on residuals and per-cohort KPIs (the moments
+    * operator reports HOW a shape deviates; JB says WHETHER the
+    * deviation is more than sampling noise).
+    *
+    * Rides [[groupedMoments]] unchanged (integer-mean-shifted exact
+    * power sums) and computes JB from the ROUNDED 6dp skewness /
+    * excess-kurtosis doubles — both engines see bit-identical inputs
+    * into one fixed IEEE shape, and the 95% fence compares the
+    * rounded statistic to the rounded χ²₂ critical value 5.991465
+    * (comparator-proof). Output per group:
+    * (group, n, skewness, kurtosis_excess, jb, sig_95); null on
+    * degenerate (zero-variance) groups.
+    */
+  def jarqueBera(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val m = groupedMoments(df, groupCol, valueCol)
+    val sk = col("skewness"); val ku = col("kurtosis_excess")
+    val jb = col("n").cast("double") / lit(6.0d) *
+      (sk * sk + ku * ku / lit(4.0d))
+    m.select(col("group"), col("n"), sk, ku,
+        when(sk.isNotNull && ku.isNotNull, round(jb, 6)).as("jb"))
+      .withColumn("sig_95",
+        when(col("jb").isNotNull, col("jb") >= lit(5.991465d)))
   }
 }

@@ -2413,4 +2413,106 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head
     assert(r1.getAs[Long]("g_ppm") == exp && r1.getAs[Long]("g_ppm") > 0L)
   }
+
+  test("tukeyHsd: hand q on equal-variance trios; flat groups null") {
+    // a=[1,2,3], b=[4,5,6], c=[7,8,9]: every within term 6/3 = 2.0,
+    // SSW = 6, MSW = 6/(9−3) = 1, q_ab = 3/sqrt(1/2·(2/3)) = 3√3
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L)).toDF("g", "v")
+    val out = Analytics.tukeyHsd(df, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3)
+    val qAb = BigDecimal(3.0 / math.sqrt(1.0 / 2.0 * (1.0 / 3.0 + 1.0 / 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("a", "b")).getAs[Double]("q") == qAb)
+    val qAc = BigDecimal(6.0 / math.sqrt(1.0 / 2.0 * (1.0 / 3.0 + 1.0 / 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("a", "c")).getAs[Double]("q") == qAc)
+    assert(out(("b", "c")).getAs[Double]("q") == qAb)
+    // all groups constant: SSW = 0 -> q null everywhere
+    val flat = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L)).toDF("g", "v")
+    val rf = Analytics.tukeyHsd(flat, col("g"), col("v")).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("q")))
+  }
+
+  test("runsTest: hand-counted runs around the median; degenerates null") {
+    // days 1..7, values 4,9,3,8,2,7,5: median 5 (day 7 dropped),
+    // signs -,+,-,+,-,+ -> R = 6 perfect alternation, n1 = n2 = 3
+    val df = Seq(("k", 1L, 4L), ("k", 2L, 9L), ("k", 3L, 3L), ("k", 4L, 8L),
+      ("k", 5L, 2L), ("k", 6L, 7L), ("k", 7L, 5L)).toDF("g", "d", "c")
+    val r = Analytics.runsTest(df, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Long]("runs") == 6L)
+    // A = R·m − 2n1n2 − m = 12, σ² = 216/180
+    val zExp = BigDecimal(12.0 / 6.0 / math.sqrt(216.0 / 180.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == zExp)
+    // clustered: 1,2,3 below then 7,8,9 above the median 7? median of
+    // 1,2,3,7,8,9 is the ceil(3)rd = 3 -> signs -,-,+,+,+ (day 3 drop)
+    val cl = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L), ("k", 4L, 7L),
+      ("k", 5L, 8L), ("k", 6L, 9L)).toDF("g", "d", "c")
+    val rc = Analytics.runsTest(cl, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(rc.getAs[Long]("runs") == 2L && rc.getAs[Double]("z") < 0.0d)
+    // constant series: everything equals the median -> all dropped
+    val flat = Seq(("f", 1L, 3L), ("f", 2L, 3L)).toDF("g", "d", "c")
+    val rfl = Analytics.runsTest(flat, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(rfl.getAs[Long]("runs") == 0L && rfl.isNullAt(rfl.fieldIndex("z")))
+  }
+
+  test("jarqueBera: two-point symmetric law JB = n/6; fence at chi2(2)") {
+    // {-1,+1} equally: skew 0, excess kurtosis -2, JB = n/6·(0 + 4/4)
+    def twoPoint(g: String, nHalf: Int) =
+      (1 to nHalf).flatMap(_ => Seq((g, -1L), (g, 1L)))
+    val df = (twoPoint("big", 18) ++ twoPoint("small", 6)).toDF("g", "v")
+    val out = Analytics.jarqueBera(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val big = out("big")
+    assert(big.getAs[Long]("n") == 36L)
+    assert(big.getAs[Double]("skewness") == 0.0d)
+    assert(big.getAs[Double]("kurtosis_excess") == -2.0d)
+    assert(big.getAs[Double]("jb") == 6.0d) // 36/6 · (0 + 1)
+    assert(big.getAs[Boolean]("sig_95")) // 6.0 >= 5.991465
+    val small = out("small")
+    assert(small.getAs[Double]("jb") == 2.0d && !small.getAs[Boolean]("sig_95"))
+    // constant group: zero variance -> every shape stat null
+    val c = Analytics.jarqueBera(Seq(("c", 5L), ("c", 5L)).toDF("g", "v"),
+      col("g"), col("v")).collect().head
+    assert(c.isNullAt(c.fieldIndex("jb")) && c.isNullAt(c.fieldIndex("sig_95")))
+  }
+
+  test("pettitt: level shift found at the break; midrank ties exact") {
+    // 1,2,3 | 10,11,12 — all distinct, U_t = 2·Σr − t·7:
+    // U = (−5,−8,−9,−8,−5) → K = 9 at day 3
+    val a = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("a", 4L, 10L), ("a", 5L, 11L), ("a", 6L, 12L)).toDF("g", "d", "c")
+    val ra = Analytics.pettitt(a, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(ra.getAs[Long]("n") == 6L && ra.getAs[Long]("k_abs") == 9L)
+    assert(ra.getAs[Long]("at_day") == 3L)
+    // x = 6·81·1e6 div (216 + 36) = 1928571, below the ln40 fence
+    assert(ra.getAs[Long]("x_micros") == 1928571L)
+    assert(!ra.getAs[Boolean]("sig_95"))
+    // ties: 5,5 | 9,9 — doubled midranks 3,3,7,7; U = (−2,−4,−2),
+    // and the direct pair count at t=2 is 4·sgn(5−9) = −4: exact
+    val b = Seq(("b", 1L, 5L), ("b", 2L, 5L), ("b", 3L, 9L), ("b", 4L, 9L))
+      .toDF("g", "d", "c")
+    val rb = Analytics.pettitt(b, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(rb.getAs[Long]("k_abs") == 4L && rb.getAs[Long]("at_day") == 2L)
+    // constant series: every U_t = 0, earliest day wins the tie
+    val f = Seq(("f", 1L, 3L), ("f", 2L, 3L), ("f", 3L, 3L)).toDF("g", "d", "c")
+    val rf = Analytics.pettitt(f, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(rf.getAs[Long]("k_abs") == 0L && rf.getAs[Long]("at_day") == 1L)
+    // a long clean shift goes significant: 30 low days then 30 high
+    val s = ((1 to 30).map(i => ("s", i.toLong, 100L + i)) ++
+      (31 to 60).map(i => ("s", i.toLong, 900L + i))).toDF("g", "d", "c")
+    val rs = Analytics.pettitt(s, col("g"), col("d"), col("c"))
+      .collect().head
+    assert(rs.getAs[Long]("k_abs") == 900L && rs.getAs[Long]("at_day") == 30L)
+    assert(rs.getAs[Boolean]("sig_95"))
+  }
 }
