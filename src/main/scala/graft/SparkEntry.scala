@@ -1417,6 +1417,25 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(pairs, col("item_a"), col("item_b"))
     }),
 
+    // Rich-club density ladder of the same co-purchase graph: exact
+    // conditional counts per literal threshold, one ppm floor each.
+    "q_rich_club" -> ((s, dd) => {
+      val pairs = graft.operators.Analytics.cooccurrence(
+        t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.richClub(pairs, col("item_a"), col("item_b"),
+        Seq(1L, 2L, 4L, 8L))
+    }),
+
+    // Whole-graph clustering summary of the same co-purchase graph:
+    // exact 3T/wedges transitivity + floored-mean local cc, zero-
+    // filled for triangle-less nodes.
+    "q_clustering_coef" -> ((s, dd) => {
+      val pairs = graft.operators.Analytics.cooccurrence(
+        t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.clusteringSummary(pairs, col("item_a"),
+        col("item_b"))
+    }),
+
     // Density + Freeman centralization of the same co-purchase graph:
     // saturated-vs-hub-dominated in one exact-integer row.
     "q_centralization" -> ((s, dd) => {
@@ -2176,6 +2195,13 @@ object SparkEntry {
       Clustering.daviesBouldin(t(s, d, "embeddings"),
         col("label"), col("embedding"))),
 
+    // Simplified silhouette on the same labeled embeddings: per-point
+    // (b−a)/max(a,b) against own/nearest-other centroids, 8dp decimal
+    // distance terms, 6dp mean — the O(n·k·d) scale form.
+    "q_silhouette" -> ((s, d) =>
+      Clustering.silhouetteSimplified(t(s, d, "embeddings"),
+        col("vec_id"), col("label"), col("embedding"))),
+
     // One Lloyd's assignment step from deterministic seeds (the 8
     // smallest-vec_id embeddings): the fused NearestCentroid codegen
     // kernel vs the oracle's explicit argmin — integer-only aggregate
@@ -2402,6 +2428,24 @@ object SparkEntry {
     // frame.
     "q_moments" -> ((s, d) =>
       Analytics.groupedMoments(t(s, d, "lineitem"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long"))),
+
+    // Jarque-Bera normality gate off the same moment pass: JB from
+    // the rounded 6dp shape moments, rounded chi2(2) 95% fence.
+    "q_jarque_bera" -> ((s, d) =>
+      Analytics.jarqueBera(t(s, d, "lineitem"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long"))
+        .select(col("group").as("l_returnflag"), col("n"),
+          col("skewness"), col("kurtosis_excess"), col("jb"),
+          col("sig_95"))
+        .orderBy(col("l_returnflag"))),
+
+    // Tukey HSD q per cohort pair off the same cents: 6dp decimal
+    // within terms, pooled MSW, one IEEE studentized-range shape.
+    "q_tukey_hsd" -> ((s, d) =>
+      Analytics.tukeyHsd(t(s, d, "lineitem"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("long"))),
 
@@ -3148,6 +3192,40 @@ object SparkEntry {
         expr("CAST(round(value * 100) AS BIGINT)"))
         .select(col("key").as("event_type"), col("n"), col("max_abs_d"),
           col("at_day"), col("shift_num"), col("shift_den"))
+        .orderBy(col("event_type"))),
+
+    // Cronbach's alpha over per-user event-type counts: is the
+    // k-item engagement composite internally consistent — exact
+    // n-cleared variances, one IEEE division, sparse zeros implicit.
+    "q_cronbach" -> ((s, d) =>
+      Ranking.cronbachAlpha(t(s, d, "events"), col("user_id"),
+        col("event_type"), lit(1L))),
+
+    // ICC(1,1) on complete 4-line order panels rating l_quantity:
+    // one-way random-effects agreement, exact cleared ANOVA ratio.
+    "q_icc" -> ((s, d) =>
+      Ranking.iccOneWay(t(s, d, "lineitem"), col("l_orderkey"),
+        col("l_quantity").cast("long"), raters = 4)),
+
+    // Wald-Wolfowitz runs test around the per-type daily median:
+    // lag-counted runs, exact integer moments, one IEEE z shape.
+    "q_runs" -> ((s, d) =>
+      Analytics.runsTest(t(s, d, "events"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(col("group").as("event_type"), col("n1"), col("n2"),
+          col("runs"), col("z"))
+        .orderBy(col("event_type"))),
+
+    // Pettitt rank-based change point over the same daily per-type
+    // cents series: doubled-midrank prefix U_t, max |U| split
+    // (earliest day on ties), exact-integer tail exponent in micros.
+    "q_pettitt" -> ((s, d) =>
+      Analytics.pettitt(t(s, d, "events"), col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(col("group").as("event_type"), col("n"), col("k_abs"),
+          col("at_day"), col("x_micros"), col("sig_95"))
         .orderBy(col("event_type"))),
 
     // Mann-Kendall monotone-trend test over the same daily per-type
@@ -4972,6 +5050,65 @@ object SparkEntry {
         |  CAST(n_tri * 2 AS DOUBLE) / CAST(d * (d - 1) AS DOUBLE) AS clustering
         |FROM pernode JOIN deg ON pernode.node = deg.n""".stripMargin,
 
+    // same undirected edge/degree frames; per-threshold conditional
+    // counts off one pass each, ppm floors
+    "q_rich_club" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT b FROM items GROUP BY b HAVING count(*) BETWEEN 2 AND 1024),
+        |kept AS (SELECT items.b, items.i FROM items JOIN sz USING (b)),
+        |e AS (SELECT a.i AS u, b.i AS v FROM kept a JOIN kept b
+        |      ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |ed AS (SELECT least(du.d, dv.d) AS dmin
+        |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |rr AS (SELECT CAST(r AS BIGINT) AS r FROM
+        |  (VALUES (1), (2), (4), (8)) AS tv(r)),
+        |nn AS (SELECT r, CAST(count(CASE WHEN d > r THEN 1 END) AS BIGINT)
+        |  AS club_nodes FROM rr CROSS JOIN deg GROUP BY 1),
+        |ee AS (SELECT r, CAST(count(CASE WHEN dmin > r THEN 1 END)
+        |  AS BIGINT) AS club_edges FROM rr CROSS JOIN ed GROUP BY 1)
+        |SELECT nn.r, club_nodes, club_edges,
+        |  CAST(CASE WHEN club_nodes >= 2 THEN
+        |    club_edges * 2 * 1000000 // (club_nodes * (club_nodes - 1))
+        |  END AS BIGINT) AS phi_ppm
+        |FROM nn JOIN ee ON nn.r = ee.r ORDER BY 1""".stripMargin,
+
+    // same oriented-join triangle core closed to one summary row
+    "q_clustering_coef" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT b FROM items GROUP BY b HAVING count(*) BETWEEN 2 AND 1024),
+        |kept AS (SELECT items.b, items.i FROM items JOIN sz USING (b)),
+        |e AS (SELECT a.i AS u, b.i AS v FROM kept a JOIN kept b
+        |      ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |ori AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+        |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM ori e1 JOIN ori e2 ON e1.t = e2.s
+        |  WHERE EXISTS (SELECT 1 FROM ori e3 WHERE e3.s = e1.s AND e3.t = e2.t)),
+        |pernode AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+        |  (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY node),
+        |fil AS (SELECT deg.d, COALESCE(pernode.n_tri, 0) AS t
+        |  FROM deg LEFT JOIN pernode ON deg.n = pernode.node),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nodes_d2,
+        |  CAST(sum(t) AS BIGINT) AS t3,
+        |  CAST(sum(d * (d - 1)) AS BIGINT) AS w2,
+        |  CAST(sum(CASE WHEN d >= 2 THEN t * 2 * 1000000 // (d * (d - 1))
+        |    END) AS BIGINT) AS ccsum
+        |  FROM fil)
+        |SELECT n_nodes, n_nodes_d2, CAST(t3 // 3 AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN w2 > 0 THEN t3 * 2 * 1000000 // w2 END AS BIGINT)
+        |    AS transitivity_ppm,
+        |  CAST(CASE WHEN n_nodes_d2 > 0 THEN ccsum // n_nodes_d2 END
+        |    AS BIGINT) AS avg_cc_ppm
+        |FROM ag""".stripMargin,
+
     // Mirrors scd2Merge branch-for-branch: closed versions pass
     // through outside the join; the full-outer join of the current
     // slice vs the snapshot classifies keep/close/open with null-safe
@@ -5607,6 +5744,41 @@ object SparkEntry {
         |      ((q2::DOUBLE - a2::DOUBLE) / (n::DOUBLE - k::DOUBLE)), 6)
         |  END AS ch
         |FROM tot, q, a, g""".stripMargin,
+
+    // same exploded-dim surface: centroid means off 10dp decimal
+    // sums, 8dp gap terms, one IEEE s shape per point, 6dp mean
+    "q_silhouette" ->
+      """WITH ex AS (SELECT vec_id AS p, label AS c, embedding,
+        |  unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
+        |    AND embedding IS NOT NULL),
+        |ev AS (SELECT p, c, i, embedding[i]::DOUBLE AS v FROM ex),
+        |nc AS (SELECT label AS c, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
+        |    AND embedding IS NOT NULL GROUP BY 1),
+        |cent AS (SELECT ev.c AS cc, i,
+        |  CAST(sum(CAST(round(v, 10) AS DECIMAL(38,10))) AS DOUBLE) /
+        |    CAST(max(n) AS DOUBLE) AS m
+        |  FROM ev JOIN nc ON ev.c = nc.c GROUP BY 1, 2),
+        |d2 AS (SELECT p, ev.c, cc,
+        |  sum(CAST(round((v - m) * (v - m), 8) AS DECIMAL(38,8))) AS d2
+        |  FROM ev JOIN cent ON ev.i = cent.i GROUP BY 1, 2, 3),
+        |per AS (SELECT p, c,
+        |  min(CASE WHEN c = cc THEN d2 END) AS a2,
+        |  min(CASE WHEN c <> cc THEN d2 END) AS b2
+        |  FROM d2 GROUP BY 1, 2),
+        |ss AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(round(CASE
+        |    WHEN CAST(greatest(a2, b2) AS DOUBLE) > 0 THEN
+        |      (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) /
+        |      sqrt(CAST(greatest(a2, b2) AS DOUBLE))
+        |    ELSE 0.0 END, 6) AS DECIMAL(18,6))) AS sss FROM per),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM nc)
+        |SELECT k, n,
+        |  CASE WHEN k >= 2 AND n > 0 THEN
+        |    round(CAST(sss AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |  END AS silhouette
+        |FROM kk CROSS JOIN ss""".stripMargin,
 
     // same moment surface: q=2 scatters + pairwise centroid gaps
     "q_db_index" ->
@@ -6323,6 +6495,77 @@ object SparkEntry {
         |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END
         |    AS kurtosis_excess
         |FROM mm""".stripMargin,
+
+    // the q_moments chain wrapped once more: JB off the ROUNDED 6dp
+    // shape moments, rounded-constant fence
+    "q_jarque_bera" ->
+      """WITH cells AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mu AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |  sum(CAST(v AS HUGEINT) * c) AS sx FROM cells GROUP BY 1),
+        |sh AS (SELECT g, n, CAST(sx // n AS BIGINT) AS mu,
+        |  sx - CAST(n AS HUGEINT) * (sx // n) AS r FROM mu),
+        |pw AS (SELECT c.g, n, mu, r,
+        |  sum(CAST(v - mu AS HUGEINT) * c.c) AS s1,
+        |  sum(CAST(v - mu AS HUGEINT) * (v - mu) * c.c) AS s2,
+        |  sum(CAST(v - mu AS HUGEINT) * (v - mu) * (v - mu) * c.c) AS s3,
+        |  sum(CAST(v - mu AS HUGEINT) * (v - mu) * (v - mu) * (v - mu)
+        |    * c.c) AS s4
+        |  FROM cells c JOIN sh USING (g) GROUP BY 1, 2, 3, 4),
+        |dl AS (SELECT g, n, mu, r, s2, s3, s4,
+        |  CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS del FROM pw),
+        |mm AS (SELECT g, n,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - del * del AS m2,
+        |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    3.0 * del * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+        |    2.0 * del * del * del AS m3,
+        |  CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    4.0 * del * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) +
+        |    6.0 * del * del * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) -
+        |    3.0 * del * del * del * del AS m4
+        |  FROM dl),
+        |sku AS (SELECT g, n,
+        |  CASE WHEN m2 > 0 THEN round(m3 / (sqrt(m2) * m2), 6) END AS sk,
+        |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END AS ku
+        |  FROM mm),
+        |jbt AS (SELECT g, n, sk, ku,
+        |  CASE WHEN sk IS NOT NULL AND ku IS NOT NULL THEN
+        |    round(CAST(n AS DOUBLE) / 6.0 * (sk * sk + ku * ku / 4.0), 6)
+        |  END AS jb FROM sku)
+        |SELECT g AS l_returnflag, n, sk AS skewness, ku AS kurtosis_excess,
+        |  jb, CASE WHEN jb IS NOT NULL THEN jb >= 5.991465 END AS sig_95
+        |FROM jbt ORDER BY 1""".stripMargin,
+
+    // 6dp decimal within terms, pooled MSW, same IEEE q shape
+    "q_tukey_hsd" ->
+      """WITH per AS (SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS HUGEINT)) AS sx,
+        |  sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS HUGEINT) *
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS sxx
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |tw AS (SELECT g, n, sx,
+        |  CAST(round(CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE) /
+        |    CAST(n AS DOUBLE), 6) AS DECIMAL(38,6)) AS w FROM per),
+        |tot AS (SELECT sum(w) AS ssw, CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(count(*) AS BIGINT) AS k FROM tw)
+        |SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+        |  CASE WHEN nn > k AND ssw > 0 THEN
+        |    round(abs(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) -
+        |        CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE)) /
+        |      sqrt(CAST(ssw AS DOUBLE) / CAST(nn - k AS DOUBLE) / 2.0 *
+        |        (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))),
+        |      6)
+        |  END AS q
+        |FROM tw a JOIN tw b ON a.g < b.g CROSS JOIN tot
+        |ORDER BY 1, 2""".stripMargin,
 
     // exact rational group variances into 6dp ln/pooled/reciprocal
     // decimal terms, one IEEE chi2 shape
@@ -8113,6 +8356,134 @@ object SparkEntry {
         |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
         |  CAST(a AS BIGINT) AS max_abs_d, d AS at_day,
         |  CAST(num AS BIGINT) AS shift_num, CAST(den AS BIGINT) AS shift_den
+        |FROM best WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // per-(user, type) count cells; HUGEINT n-cleared variances into
+    // one IEEE division
+    "q_cronbach" ->
+      """WITH cells AS (SELECT user_id AS u, event_type AS i,
+        |  CAST(count(*) AS BIGINT) AS x FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nk AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT i) AS BIGINT) AS k FROM cells),
+        |si AS (SELECT COALESCE(sum(nk.n::HUGEINT * sxx - sx * sx), 0)
+        |    AS s_items
+        |  FROM (SELECT i, sum(x::HUGEINT) AS sx,
+        |    sum(x::HUGEINT * x) AS sxx FROM cells GROUP BY 1)
+        |  CROSS JOIN nk),
+        |tt AS (SELECT COALESCE(sum(t::HUGEINT), 0) AS st,
+        |  COALESCE(sum(t::HUGEINT * t), 0) AS stt
+        |  FROM (SELECT u, sum(x) AS t FROM cells GROUP BY 1)),
+        |fin AS (SELECT n, k, s_items,
+        |  nk.n::HUGEINT * stt - st * st AS s_tot
+        |  FROM nk CROSS JOIN si CROSS JOIN tt)
+        |SELECT n AS n_units, k AS k_items,
+        |  CASE WHEN k >= 2 AND s_tot > 0 THEN
+        |    round(CAST(k::HUGEINT * (s_tot - s_items) AS DOUBLE) /
+        |      CAST((k::HUGEINT - 1) * s_tot AS DOUBLE), 6)
+        |  END AS alpha
+        |FROM fin""".stripMargin,
+
+    // complete 4-line panels; cleared one-way ANOVA ratio in HUGEINT
+    "q_icc" ->
+      """WITH per AS (SELECT l_orderkey AS u, CAST(count(*) AS BIGINT) AS m,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS t,
+        |  sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) *
+        |    CAST(l_quantity AS BIGINT)) AS q
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |dr AS (SELECT CAST(count(DISTINCT CASE WHEN m <> 4 THEN u END)
+        |  AS BIGINT) AS n_dropped FROM per),
+        |kp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  COALESCE(sum(t::HUGEINT), 0) AS g,
+        |  COALESCE(sum(t::HUGEINT * t), 0) AS stt,
+        |  COALESCE(sum(q), 0) AS sxx
+        |  FROM per WHERE m = 4),
+        |fin AS (SELECT n, n_dropped,
+        |  n::HUGEINT * stt - g * g AS p,
+        |  n::HUGEINT * 4 * sxx - n::HUGEINT * stt AS q2
+        |  FROM kp CROSS JOIN dr)
+        |SELECT n AS n_units, n_dropped, CAST(4 AS BIGINT) AS k_raters,
+        |  CASE WHEN n >= 2 AND 3 * (p * n + q2 * (n - 1)) > 0 THEN
+        |    round(CAST(p * n * 3 - q2 * (n - 1) AS DOUBLE) /
+        |      CAST(3 * (p * n + q2 * (n - 1)) AS DOUBLE), 6)
+        |  END AS icc
+        |FROM fin""".stripMargin,
+
+    // same daily series; grouped exact median, lag-counted runs,
+    // integer moment ratios into one IEEE z shape
+    "q_runs" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xs
+        |  FROM events GROUP BY 1, 2),
+        |counts AS (SELECT g, xs AS v, count(*) AS c FROM daily
+        |  GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+        |med AS (SELECT cdf.g, min(v) AS med FROM cdf JOIN nn
+        |  ON cdf.g = nn.g WHERE cum >= ceil(0.5 * nn.n) GROUP BY 1),
+        |sg AS (SELECT daily.g, d,
+        |  CASE WHEN xs > med THEN 1 ELSE -1 END AS s
+        |  FROM daily JOIN med ON daily.g = med.g WHERE xs <> med),
+        |lg AS (SELECT g, s, lag(s) OVER (PARTITION BY g ORDER BY d)
+        |  AS prev FROM sg),
+        |ag AS (SELECT g,
+        |  CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS runs
+        |  FROM lg GROUP BY 1),
+        |al AS (SELECT g, CAST(0 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
+        |  CAST(0 AS BIGINT) AS runs FROM med
+        |  WHERE g NOT IN (SELECT g FROM ag)),
+        |un AS (SELECT * FROM ag UNION ALL SELECT * FROM al),
+        |zz AS (SELECT g, n1, n2, runs, n1 + n2 AS m,
+        |  runs * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) AS a,
+        |  2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS vnum,
+        |  (n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS vden FROM un)
+        |SELECT g AS event_type, n1, n2, runs,
+        |  CASE WHEN m > 0 AND vnum > 0 THEN
+        |    round(CAST(a AS DOUBLE) / CAST(m AS DOUBLE) /
+        |      sqrt(CAST(vnum AS DOUBLE) / CAST(vden AS DOUBLE)), 6)
+        |  END AS z
+        |FROM zz ORDER BY 1""".stripMargin,
+
+    // same daily series; per-group doubled midranks, prefix U_t,
+    // earliest-day argmax, exact-integer tail exponent
+    "q_pettitt" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xs
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (SELECT g, xs, CAST(count(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1, 2),
+        |ranked AS (SELECT g, xs,
+        |  2 * (sum(c) OVER (PARTITION BY g ORDER BY xs
+        |    ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS mr2
+        |  FROM cells),
+        |uu AS (SELECT dl.g, dl.d,
+        |  sum(r.mr2) OVER (PARTITION BY dl.g ORDER BY dl.d
+        |    ROWS UNBOUNDED PRECEDING) -
+        |  (row_number() OVER (PARTITION BY dl.g ORDER BY dl.d)) *
+        |  (count(*) OVER (PARTITION BY dl.g) + 1) AS u,
+        |  row_number() OVER (PARTITION BY dl.g ORDER BY dl.d) AS t,
+        |  count(*) OVER (PARTITION BY dl.g) AS n
+        |  FROM daily dl JOIN ranked r ON dl.g = r.g AND dl.xs = r.xs),
+        |best AS (SELECT g, n, abs(u) AS a, d,
+        |  row_number() OVER (PARTITION BY g ORDER BY abs(u) DESC, d ASC)
+        |    AS rk
+        |  FROM uu WHERE t < n)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(a AS BIGINT) AS k_abs, d AS at_day,
+        |  CAST((6 * a::HUGEINT * a * 1000000) //
+        |    (n::HUGEINT * n * n + n::HUGEINT * n) AS BIGINT) AS x_micros,
+        |  CAST((6 * a::HUGEINT * a * 1000000) //
+        |    (n::HUGEINT * n * n + n::HUGEINT * n) >= 3688880
+        |    AS BOOLEAN) AS sig_95
         |FROM best WHERE rk = 1 ORDER BY 1""".stripMargin,
 
     // same daily series, exact S / tie-corrected 18·Var, micro-floored z

@@ -203,4 +203,66 @@ object Clustering {
         when(col("k") >= 2L && col("n") > col("k") && w > 0.0d,
           round((b / (kD - 1.0d)) / (w / (nD - kD)), 6)).as("ch"))
   }
+
+  /** Simplified silhouette — the per-POINT clustering quality readout
+    * beside [[daviesBouldin]] (per-cluster worst neighbor) and
+    * [[calinskiHarabasz]] (global variance ratio): for each point,
+    * a = distance to its OWN centroid, b = distance to the nearest
+    * OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1]; the mean s says how
+    * cleanly points sit inside their clusters. The "simplified" form
+    * (centroid distances, not all-pairs) is the standard scale
+    * substitute for full silhouette: O(n·k·d) instead of O(n²·d).
+    *
+    * Determinism: centroids are per-dim means off 10dp-rounded decimal
+    * sums, per-(point, cluster) squared distances are sums of
+    * 8dp-rounded per-dim gap terms (both the [[daviesBouldin]]
+    * discipline — shuffle-order-proof), each point's s is ONE fixed
+    * IEEE shape on those exact decimals, and the mean is a 6dp decimal
+    * term sum closed by one division. A point sitting exactly on the
+    * max(a,b) = 0 degenerate (all data identical) scores 0.
+    *
+    * Shape: explode points × dims once (n·d), one broadcast join with
+    * the k·d centroid frame (n·d·k flops — the algorithm's inherent
+    * bound), aggregate to (point, cluster), one conditional-min pass
+    * to (point), one closing mean. No window, no n² pair frame.
+    * Output one row: (k, n, silhouette).
+    */
+  def silhouetteSimplified(df: DataFrame, idCol: Column, labelCol: Column,
+      vecCol: Column): DataFrame = {
+    val base = df.where(idCol.isNotNull && labelCol.isNotNull &&
+      vecCol.isNotNull)
+    val ev = base
+      .select(idCol.as("_p"), labelCol.as("_c"),
+        posexplode(vecCol).as(Seq("_i", "_e")))
+      .select(col("_p"), col("_c"), col("_i"),
+        col("_e").cast("double").as("_v"))
+    val nc = base.groupBy(labelCol.as("_c")).agg(count(lit(1)).as("_n"))
+    // k·d centroid frame: per-dim means off order-proof decimal sums
+    val cent = ev.groupBy(col("_c"), col("_i"))
+      .agg(sum(round(col("_v"), 10).cast("decimal(38,10)")).as("_s"))
+      .join(broadcast(nc), Seq("_c"))
+      .select(col("_c").as("_cc"), col("_i"),
+        (col("_s").cast("double") / col("_n").cast("double")).as("_m"))
+    val d2 = ev.join(broadcast(cent), Seq("_i"))
+      .select(col("_p"), col("_c"), col("_cc"),
+        round((col("_v") - col("_m")) * (col("_v") - col("_m")), 8)
+          .cast("decimal(38,8)").as("_g"))
+      .groupBy(col("_p"), col("_c"), col("_cc"))
+      .agg(sum(col("_g")).as("_d2"))
+    val per = d2.groupBy(col("_p"), col("_c"))
+      .agg(min(when(col("_c") === col("_cc"), col("_d2"))).as("_a2"),
+        min(when(col("_c") =!= col("_cc"), col("_d2"))).as("_b2"))
+    val s = per.select(
+      when(greatest(col("_a2"), col("_b2")).cast("double") > 0.0d,
+        (sqrt(col("_b2").cast("double")) - sqrt(col("_a2").cast("double"))) /
+          sqrt(greatest(col("_a2"), col("_b2")).cast("double")))
+        .otherwise(lit(0.0d)).as("_s"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("_s"), 6).cast("decimal(18,6)")).as("_ss"))
+    nc.agg(count(lit(1)).as("k")).crossJoin(broadcast(s))
+      .select(col("k"), col("n"),
+        when(col("k") >= 2L && col("n") > 0L,
+          round(col("_ss").cast("double") / col("n").cast("double"), 6))
+          .as("silhouette"))
+  }
 }

@@ -682,6 +682,137 @@ object Graph {
           (col("degree") * (col("degree") - 1)).cast("double")).as("clustering"))
   }
 
+  /** Whole-graph clustering summary — the one-row readout over
+    * [[triangleCounts]]'s per-node frame: global transitivity
+    * 3T/wedges (closed-wedge fraction — one hub cannot inflate it)
+    * and the average LOCAL clustering coefficient over nodes with
+    * degree ≥ 2 (Watts-Strogatz — where hubby graphs and clumpy
+    * graphs diverge from each other). Reported together because the
+    * two disagree exactly when the graph has degree-correlated
+    * clumping, which is the interesting case.
+    *
+    * Exact integers end to end: Σn_tri = 3T, doubled wedges
+    * Σd(d−1), transitivity_ppm = 2·Σn_tri·10⁶ div Σd(d−1); per-node
+    * cc_ppm = 2t·10⁶ div d(d−1) floors, avg_cc_ppm their floored
+    * mean (floor-of-mean-of-floors — deterministic on every engine,
+    * bias < 1 ppm + 1). Nodes the triangle pass never emits (t = 0)
+    * are zero-filled from the degree frame, not dropped.
+    *
+    * Shape: the [[triangleCounts]] oriented join (pair work bounded
+    * by Σ out-wedges of the degree orientation — the standard bound)
+    * plus one left join back to the |V|-row degree frame and one
+    * closing aggregate. Output one row: (n_nodes, n_nodes_d2,
+    * n_triangles, transitivity_ppm, avg_cc_ppm).
+    */
+  def clusteringSummary(edges: DataFrame, srcCol: Column,
+      dstCol: Column): DataFrame = {
+    // the triangleCounts core inlined so the edge/degree frames are
+    // built ONCE and shared between the triangle pass and the
+    // zero-fill (calling triangleCounts would rescan the pair input)
+    val e = edges
+      .select(least(srcCol, dstCol).as("_u"), greatest(srcCol, dstCol).as("_v"))
+      .where(col("_u") < col("_v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = graft.core.CacheRegistry.persist(
+      e.select(col("_u").as("node")).unionAll(
+          e.select(col("_v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("_d")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e
+      .join(deg.select(col("node").as("_u"), col("_d").as("_du")), Seq("_u"))
+      .join(deg.select(col("node").as("_v"), col("_d").as("_dv")), Seq("_v"))
+    val uFirst = col("_du") < col("_dv") ||
+      (col("_du") === col("_dv") && col("_u") < col("_v"))
+    val ori = withDeg.select(
+        when(uFirst, col("_u")).otherwise(col("_v")).as("_s"),
+        when(uFirst, col("_v")).otherwise(col("_u")).as("_t"))
+      .localCheckpoint(true)
+    val tri = ori.as("e1")
+      .join(ori.as("e2"), col("e1._t") === col("e2._s"))
+      .join(ori.as("e3"),
+        col("e3._s") === col("e1._s") && col("e3._t") === col("e2._t"),
+        "left_semi")
+      .select(col("e1._s").as("_a"), col("e1._t").as("_b"),
+        col("e2._t").as("_c"))
+    val perNode = tri
+      .select(explode(array(col("_a"), col("_b"), col("_c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("_d"), coalesce(col("n_tri"), lit(0L)).as("_t"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("_d") >= 2L, 1L).otherwise(0L)).as("n_nodes_d2"),
+        sum(col("_t")).as("_t3"),
+        sum(col("_d") * (col("_d") - 1L)).as("_w2"),
+        sum(when(col("_d") >= 2L,
+          expr("_t * 2 * 1000000 div (_d * (_d - 1))"))).as("_ccsum"))
+      .select(col("n_nodes"), col("n_nodes_d2"),
+        expr("_t3 div 3").as("n_triangles"),
+        when(col("_w2") > 0L,
+          expr("_t3 * 2 * 1000000 div _w2")).as("transitivity_ppm"),
+        when(col("n_nodes_d2") > 0L,
+          expr("_ccsum div n_nodes_d2")).as("avg_cc_ppm"))
+  }
+
+  /** Rich-club coefficient ladder — do the high-degree nodes form
+    * their own densely-wired club? For each degree threshold r:
+    * φ(r) = 2·E_r / (N_r(N_r−1)) with N_r = nodes of degree > r and
+    * E_r = edges with BOTH endpoints above — the interconnection
+    * density of the club relative to a complete graph. Rising φ
+    * along the ladder is the "rich club" signature (core routers,
+    * citation elites, hub domains); flat/falling means hubs reach
+    * out, not across.
+    *
+    * Exact integers: one degree frame, one degree-joined edge pass
+    * computing min(dᵤ,dᵥ) per edge, then EVERY threshold resolves as
+    * conditional counts in ONE aggregate over each frame (the ladder
+    * is a literal list — no per-threshold rescan), closed by a ppm
+    * floor. Null where the club has < 2 members. Output one row per
+    * threshold: (r, club_nodes, club_edges, phi_ppm).
+    */
+  def richClub(edges: DataFrame, srcCol: Column, dstCol: Column,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "richClub: thresholds must be non-empty")
+    val e = edges
+      .select(least(srcCol, dstCol).as("_u"), greatest(srcCol, dstCol).as("_v"))
+      .where(col("_u") < col("_v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("_u").as("_n")).unionAll(e.select(col("_v").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    val nAgg = deg.agg(
+      thresholds.zipWithIndex.map { case (r, i) =>
+        sum(when(col("_d") > r, 1L).otherwise(0L)).as(s"_n$i")
+      }.head,
+      thresholds.zipWithIndex.map { case (r, i) =>
+        sum(when(col("_d") > r, 1L).otherwise(0L)).as(s"_n$i")
+      }.tail: _*)
+    val dmin = least(col("_du"), col("_dv"))
+    val eAgg = e
+      .join(deg.select(col("_n").as("_u"), col("_d").as("_du")), Seq("_u"))
+      .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), Seq("_v"))
+      .agg(
+        thresholds.zipWithIndex.map { case (r, i) =>
+          sum(when(dmin > r, 1L).otherwise(0L)).as(s"_e$i")
+        }.head,
+        thresholds.zipWithIndex.map { case (r, i) =>
+          sum(when(dmin > r, 1L).otherwise(0L)).as(s"_e$i")
+        }.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (r, i) =>
+      struct(lit(r).as("r"), col(s"_n$i").as("club_nodes"),
+        col(s"_e$i").as("club_edges"))
+    }
+    nAgg.crossJoin(broadcast(eAgg))
+      .select(explode(array(rows: _*)).as("_t"))
+      .select(col("_t.r").as("r"), col("_t.club_nodes").as("club_nodes"),
+        col("_t.club_edges").as("club_edges"))
+      .withColumn("phi_ppm",
+        when(col("club_nodes") >= 2L,
+          expr("""club_edges * 2 * 1000000 div
+            (club_nodes * (club_nodes - 1))""")))
+      .orderBy(col("r"))
+  }
+
   /** Newman modularity Q of a community assignment over an undirected
     * graph given as a SYMMETRIC directed edge list (both directions
     * present, the [[pageRank]]/[[labelPropagation]] convention).

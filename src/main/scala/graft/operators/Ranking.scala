@@ -1125,4 +1125,117 @@ object Ranking {
                  |    * 1000000 div (${raters - 1}L * (_d2 - _B)))
                  |END AS BIGINT)""".stripMargin)).as("kappa_ppm"))
   }
+
+  /** Cronbach's alpha — internal consistency of k ITEMS scored over n
+    * units: do the per-item signals move together enough that their
+    * sum is a reliable composite? The reliability gate on any
+    * multi-signal quality score (k heuristic columns summed into one
+    * "document quality") before trusting the composite: α near 1
+    * means the items agree, near 0 means the sum is noise.
+    *
+    * {{{ α = k/(k−1) · (1 − Σᵢ Var(xᵢ) / Var(Σᵢ xᵢ)) }}}
+    *
+    * with every variance in the n-cleared exact form n·Σx² − (Σx)²
+    * (decimal(38,0)) so α = k·(S_tot − ΣSᵢ) / ((k−1)·S_tot) is ONE
+    * IEEE division of exact integers, rounded 6dp. A (unit, item)
+    * pair absent from the input scores 0 — the sparse-matrix
+    * convention (an event count that didn't happen IS zero), which is
+    * what lets the whole computation ride per-item and per-unit
+    * aggregates with no dense pivot: item sums ignore zeros, and n is
+    * the distinct-unit count. Null when S_tot = 0 (all unit totals
+    * equal) or k < 2.
+    *
+    * Shape: one groupBy to the (unit, item, score) cell frame, one
+    * per-item and one per-unit aggregate, three broadcast-sized
+    * closings — no window, no pivot, unit cardinality never
+    * materialized wider than the cell frame. Output one row:
+    * (n_units, k_items, alpha).
+    */
+  def cronbachAlpha(df: DataFrame, unitCol: Column, itemCol: Column,
+      scoreCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(unitCol.isNotNull && itemCol.isNotNull &&
+          scoreCol.isNotNull)
+        .groupBy(unitCol.as("_u"), itemCol.as("_i"))
+        .agg(sum(scoreCol.cast("long")).as("_x")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nk = cells.agg(count_distinct(col("_u")).as("_n"),
+      count_distinct(col("_i")).as("_k"))
+    val items = cells.groupBy(col("_i"))
+      .agg(sum(dec(col("_x"))).as("_sx"),
+        sum(dec(col("_x")) * col("_x")).as("_sxx"))
+      .crossJoin(broadcast(nk))
+      .agg(coalesce(sum(dec(col("_n")) * col("_sxx") -
+        col("_sx") * col("_sx")), dec(lit(0L))).as("_si"))
+    val tot = cells.groupBy(col("_u")).agg(sum(col("_x")).as("_t"))
+      .agg(coalesce(sum(dec(col("_t"))), dec(lit(0L))).as("_st"),
+        coalesce(sum(dec(col("_t")) * col("_t")), dec(lit(0L))).as("_stt"))
+    nk.crossJoin(broadcast(items)).crossJoin(broadcast(tot))
+      .withColumn("_stot",
+        (dec(col("_n")) * col("_stt") - col("_st") * col("_st"))
+          .cast("decimal(38,0)"))
+      .select(col("_n").as("n_units"), col("_k").as("k_items"),
+        when(col("_k") >= 2L && col("_stot") > 0,
+          round((dec(col("_k")) * (col("_stot") - col("_si")))
+              .cast("double") /
+            ((dec(col("_k")) - 1L) * col("_stot")).cast("double"), 6))
+          .as("alpha"))
+  }
+
+  /** Intraclass correlation ICC(1,1) — absolute agreement of k
+    * interchangeable raters per unit under the one-way random-effects
+    * model: how much of the total rating variance is BETWEEN units
+    * (signal) rather than within a unit's panel (rater noise)? The
+    * continuous-rating counterpart of [[fleissKappa]]'s categorical
+    * panels — the gate on "are k LLM-judge scores per document
+    * consistent enough to average".
+    *
+    * Complete panels only (exactly k ratings per unit — incomplete
+    * units counted and dropped, the fleiss discipline). With exact
+    * decimal(38,0) P = n·ΣT² − G² (nk·SSB) and Q = nk·Σx² − n·ΣT²
+    * (nk·SSW), the ANOVA ratio clears every denominator to
+    *
+    * {{{ ICC = (P·n(k−1) − Q·(n−1)) / ((k−1)·(P·n + Q·(n−1))) }}}
+    *
+    * — ONE IEEE division of exact integers, rounded 6dp, null when
+    * the denominator degenerates (all ratings identical) or n < 2.
+    * Output one row: (n_units, n_dropped, k_raters, icc).
+    */
+  def iccOneWay(df: DataFrame, unitCol: Column, ratingCol: Column,
+      raters: Int): DataFrame = {
+    require(raters >= 2, s"iccOneWay: raters must be >= 2, got $raters")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val k = raters.toLong
+    val per = graft.core.CacheRegistry.persist(
+      df.where(unitCol.isNotNull && ratingCol.isNotNull)
+        .groupBy(unitCol.as("_u"))
+        .agg(count(lit(1)).as("_m"), sum(ratingCol.cast("long")).as("_t"),
+          sum(dec(ratingCol.cast("long")) * ratingCol.cast("long"))
+            .as("_q")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropAgg = per.agg(
+      count_distinct(when(col("_m") =!= k, col("_u"))).as("n_dropped"))
+    val kept = per.where(col("_m") === k)
+      .agg(count(lit(1)).as("_n"),
+        coalesce(sum(dec(col("_t"))), dec(lit(0L))).as("_g"),
+        coalesce(sum(dec(col("_t")) * col("_t")), dec(lit(0L))).as("_stt"),
+        coalesce(sum(col("_q")), dec(lit(0L))).as("_sxx"))
+    kept.crossJoin(broadcast(dropAgg))
+      .withColumn("_p",
+        (dec(col("_n")) * col("_stt") - col("_g") * col("_g"))
+          .cast("decimal(38,0)"))
+      .withColumn("_q2",
+        (dec(col("_n")) * k * col("_sxx") - dec(col("_n")) * col("_stt"))
+          .cast("decimal(38,0)"))
+      .withColumn("_den",
+        (lit(k - 1L) * (col("_p") * col("_n") +
+          col("_q2") * (col("_n") - 1L))).cast("decimal(38,0)"))
+      .select(col("_n").as("n_units"), col("n_dropped"),
+        lit(k).as("k_raters"),
+        when(col("_n") >= 2L && col("_den") > 0,
+          round((col("_p") * col("_n") * lit(k - 1L) -
+              col("_q2") * (col("_n") - 1L)).cast("double") /
+            col("_den").cast("double"), 6)).as("icc"))
+  }
 }

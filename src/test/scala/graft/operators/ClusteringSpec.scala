@@ -82,4 +82,29 @@ class ClusteringSpec extends SparkSpec {
       .select("id", "cell").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(out(1L).isDefined && out(2L).isEmpty)
   }
+
+  test("silhouetteSimplified: hand means; perfect split 1.0; k=1 null") {
+    // 1-D: A = {0, 2} (centroid 1), B = {10, 12} (centroid 11)
+    // s = (0.909091 + 0.888889 + 0.888889 + 0.909091) / 4 = 0.898990
+    val df = Seq((1L, "A", Array(0.0f)), (2L, "A", Array(2.0f)),
+      (3L, "B", Array(10.0f)), (4L, "B", Array(12.0f)))
+      .toDF("id", "c", "v")
+    val r = Clustering.silhouetteSimplified(df, col("id"), col("c"), col("v"))
+      .collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("silhouette") == 0.89899d)
+    // every point ON its centroid, clusters apart: s = 1 each
+    val tight = Seq((1L, "A", Array(0.0f)), (2L, "A", Array(0.0f)),
+      (3L, "B", Array(10.0f)), (4L, "B", Array(10.0f)))
+      .toDF("id", "c", "v")
+    val rt = Clustering.silhouetteSimplified(tight, col("id"), col("c"),
+      col("v")).collect().head
+    assert(rt.getAs[Double]("silhouette") == 1.0d)
+    // one cluster: b undefined -> summary null
+    val one = Seq((1L, "A", Array(0.0f)), (2L, "A", Array(2.0f)))
+      .toDF("id", "c", "v")
+    val ro = Clustering.silhouetteSimplified(one, col("id"), col("c"),
+      col("v")).collect().head
+    assert(ro.isNullAt(ro.fieldIndex("silhouette")))
+  }
 }

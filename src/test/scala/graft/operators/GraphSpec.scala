@@ -450,4 +450,44 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(0) == 8L)
     assert(r.getDouble(1) == -1.0)
   }
+
+  test("richClub: star has no club; clique is a perfect one") {
+    // star 0-{1..4}: above r=0 everyone, density 2·4/(5·4) = 400000 ppm;
+    // above r=1 only the hub -> club of 1, null
+    val star = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val rs = Graph.richClub(star, col("src"), col("dst"), Seq(0L, 1L))
+      .collect().map(r => r.getAs[Long]("r") -> r).toMap
+    assert(rs(0L).getAs[Long]("club_nodes") == 5L &&
+      rs(0L).getAs[Long]("club_edges") == 4L &&
+      rs(0L).getAs[Long]("phi_ppm") == 400000L)
+    assert(rs(1L).getAs[Long]("club_nodes") == 1L &&
+      rs(1L).isNullAt(rs(1L).fieldIndex("phi_ppm")))
+    // K4: every degree 3, the r=2 club is the whole clique at 1.0
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val rk = Graph.richClub(k4, col("src"), col("dst"), Seq(2L))
+      .collect().head
+    assert(rk.getAs[Long]("club_nodes") == 4L &&
+      rk.getAs[Long]("club_edges") == 6L &&
+      rk.getAs[Long]("phi_ppm") == 1000000L)
+  }
+
+  test("clusteringSummary: triangle+pendant hand values; cycle is 0/0") {
+    // triangle 1-2-3 plus pendant 3-4: T = 1, doubled wedges = 10,
+    // local cc ppm = 1e6, 1e6, 333333 over the three d>=2 nodes
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.clusteringSummary(e, col("src"), col("dst"))
+      .collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L && r.getAs[Long]("n_nodes_d2") == 3L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Long]("transitivity_ppm") == 600000L) // 3T/W = 3/5
+    assert(r.getAs[Long]("avg_cc_ppm") == 777777L) // (1e6+1e6+333333) div 3
+    // 4-cycle: wedges but no triangles -> both zero, nothing null
+    val c = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rc = Graph.clusteringSummary(c, col("src"), col("dst"))
+      .collect().head
+    assert(rc.getAs[Long]("n_triangles") == 0L)
+    assert(rc.getAs[Long]("transitivity_ppm") == 0L)
+    assert(rc.getAs[Long]("avg_cc_ppm") == 0L)
+  }
 }

@@ -501,4 +501,58 @@ class RankingSpec extends SparkSpec {
       "id", "rank", depth = 2).collect().head
     assert(deep.getAs[Long]("n_a") == 1L && deep.getAs[Long]("overlap_full") == 1L)
   }
+
+  test("cronbachAlpha: duplicate items 1.0; cancelling pair 0; sparse zeros") {
+    import spark.implicits._
+    def alpha(rows: Seq[(Long, String, Long)]): Option[Double] = {
+      val r = Ranking.cronbachAlpha(rows.toDF("u", "i", "x"),
+        col("u"), col("i"), col("x")).collect().head
+      if (r.isNullAt(r.fieldIndex("alpha"))) None
+      else Some(r.getAs[Double]("alpha"))
+    }
+    // item b duplicates item a exactly -> perfectly consistent
+    val dup = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (1L, "b", 1L), (2L, "b", 2L), (3L, "b", 3L))
+    assert(alpha(dup).contains(1.0d))
+    // S_items == S_tot -> alpha 0: x_a=[0,1,0,1], x_b=[0,1,1,0]
+    val zero = Seq((1L, "a", 0L), (2L, "a", 1L), (3L, "a", 0L), (4L, "a", 1L),
+      (1L, "b", 0L), (2L, "b", 1L), (3L, "b", 1L), (4L, "b", 0L))
+    assert(alpha(zero).contains(0.0d))
+    // anti-items: every unit total identical -> S_tot = 0 -> null
+    val anti = Seq((1L, "a", 0L), (2L, "a", 1L), (1L, "b", 1L), (2L, "b", 0L))
+    assert(alpha(anti).isEmpty)
+    // sparse convention: unit 3 has no item-b cell -> scores 0 there
+    // S_a = S_b = 6, S_tot = 6 -> alpha = 2·(6−12)/6 = −2
+    val sparse = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (1L, "b", 1L), (2L, "b", 2L))
+    assert(alpha(sparse).contains(-2.0d))
+  }
+
+  test("iccOneWay: perfect panels 1.0; pure rater noise hits -1/(k-1)") {
+    import spark.implicits._
+    // two units, two raters in perfect agreement
+    val perfect = Seq((10L, 1L), (10L, 1L), (20L, 5L), (20L, 5L))
+      .toDF("u", "x")
+    val rp = Ranking.iccOneWay(perfect, col("u"), col("x"), raters = 2)
+      .collect().head
+    assert(rp.getAs[Long]("n_units") == 2L && rp.getAs[Long]("n_dropped") == 0L)
+    assert(rp.getAs[Double]("icc") == 1.0d)
+    // identical unit totals, all variance within -> ICC = −1/(k−1) = −1
+    val noise = Seq((10L, 1L), (10L, 5L), (20L, 5L), (20L, 1L))
+      .toDF("u", "x")
+    val rn = Ranking.iccOneWay(noise, col("u"), col("x"), raters = 2)
+      .collect().head
+    assert(rn.getAs[Double]("icc") == -1.0d)
+    // an incomplete panel is dropped, not silently kept
+    val mixed = Seq((10L, 1L), (10L, 1L), (20L, 5L), (20L, 5L), (30L, 9L))
+      .toDF("u", "x")
+    val rm = Ranking.iccOneWay(mixed, col("u"), col("x"), raters = 2)
+      .collect().head
+    assert(rm.getAs[Long]("n_units") == 2L && rm.getAs[Long]("n_dropped") == 1L)
+    // all ratings identical everywhere: denominator 0 -> null
+    val flat = Seq((10L, 3L), (10L, 3L), (20L, 3L), (20L, 3L)).toDF("u", "x")
+    val rf = Ranking.iccOneWay(flat, col("u"), col("x"), raters = 2)
+      .collect().head
+    assert(rf.isNullAt(rf.fieldIndex("icc")))
+  }
 }
