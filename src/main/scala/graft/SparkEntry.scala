@@ -3683,6 +3683,18 @@ object SparkEntry {
           col("rejected"))
         .orderBy(col("rank"))),
 
+    // Holm-Bonferroni FWER step-down over the same md5-derived
+    // p-values: exact integer per-rank fences, min-failing-rank stop.
+    "q_holm" -> ((s, d) =>
+      Analytics.holmBonferroni(
+        t(s, d, "customer").select(col("c_custkey"),
+          (expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+            % 1000000L).as("p_micros")),
+        col("c_custkey"), col("p_micros"), alphaMicros = 50000L)
+        .select(col("id").as("c_custkey"), col("p_micros"), col("rank"),
+          col("rejected"))
+        .orderBy(col("rank"))),
+
     // Holt-Winters additive (weekly season) over per-type daily cents:
     // the fold engine with O(7) state, bit-exact vs a 9-state-column
     // recursive-CTE oracle.
@@ -9589,6 +9601,22 @@ object SparkEntry {
          |  FROM j, tot)
          |SELECT n_tokens, n_a, n_b, CAST(sum(t) AS DOUBLE) AS js
          |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+
+    // same md5-derived p; step-down = reject strictly below the
+    // first failing rank
+    "q_holm" ->
+      """WITH p AS (SELECT c_custkey,
+        |  CAST(('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::UBIGINT
+        |    % 1000000 AS BIGINT) AS p_micros
+        |  FROM customer),
+        |r AS (SELECT c_custkey, p_micros,
+        |  CAST(row_number() OVER (ORDER BY p_micros, c_custkey) AS BIGINT)
+        |    AS rank,
+        |  CAST(count(*) OVER () AS BIGINT) AS n FROM p),
+        |ff AS (SELECT COALESCE(min(rank), 9223372036854775807) AS f
+        |  FROM r WHERE p_micros * (n - rank + 1) > 50000)
+        |SELECT c_custkey, p_micros, rank, rank < f AS rejected
+        |FROM r CROSS JOIN ff ORDER BY rank""".stripMargin,
 
     // same md5-derived p, window rank, exact integer reject frontier
     "q_bh_fdr" ->

@@ -2414,6 +2414,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1.getAs[Long]("g_ppm") == exp && r1.getAs[Long]("g_ppm") > 0L)
   }
 
+  test("holmBonferroni: step-down stops at the first failure") {
+    // alpha = 0.05: ranks 1,2 pass (5·1000, 4·10000), rank 3 fails
+    // (3·20000 = 60000) -> reject exactly {1, 2}
+    val df = Seq(("a", 1000L), ("b", 10000L), ("c", 20000L),
+      ("d", 400000L), ("e", 900000L)).toDF("id", "p")
+    val out = Analytics.holmBonferroni(df, col("id"), col("p"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("rejected"))
+      .toMap
+    assert(out == Map("a" -> true, "b" -> true, "c" -> false,
+      "d" -> false, "e" -> false))
+    // BLOCKED case: rank 2 would pass alone (49000·1 <= 50000) but
+    // rank 1 fails (26000·2 = 52000) -> nothing rejected
+    val blocked = Seq(("x", 49000L), ("y", 26000L)).toDF("id", "p")
+    val ob = Analytics.holmBonferroni(blocked, col("id"), col("p"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("rejected"))
+      .toMap
+    assert(ob == Map("x" -> false, "y" -> false))
+    // everything passing rejects everything
+    val all = Seq(("x", 1000L), ("y", 2000L)).toDF("id", "p")
+    val oa = Analytics.holmBonferroni(all, col("id"), col("p"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("rejected"))
+      .toMap
+    assert(oa == Map("x" -> true, "y" -> true))
+  }
+
   test("tukeyHsd: hand q on equal-variance trios; flat groups null") {
     // a=[1,2,3], b=[4,5,6], c=[7,8,9]: every within term 6/3 = 2.0,
     // SSW = 6, MSW = 6/(9−3) = 1, q_ab = 3/sqrt(1/2·(2/3)) = 3√3
