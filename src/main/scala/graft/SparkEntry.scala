@@ -3239,6 +3239,18 @@ object SparkEntry {
           col("var18"), col("z_micros"))
         .orderBy(col("event_type"))),
 
+    // Seasonal Mann-Kendall: the same daily per-type trend test with
+    // month-of-year seasons — within-season S/Var summed, cycles
+    // cancel instead of reading as trend.
+    "q_seasonal_mk" -> ((s, d) =>
+      Analytics.seasonalMannKendall(t(s, d, "events"), col("event_type"),
+        month(col("ts")),
+        datediff(col("ts").cast("date"), lit("1970-01-01")),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(col("group").as("event_type"), col("n_seasons"), col("n"),
+          col("s"), col("var18"), col("z_micros"))
+        .orderBy(col("event_type"))),
+
     // Hodges-Lehmann pseudo-median of the daily per-type cents —
     // median of Walsh averages over the theilSen pairwise envelope,
     // exact via DOUBLED sums (hl_x2 = 2·HL).
@@ -3682,6 +3694,12 @@ object SparkEntry {
         .select(col("id").as("c_custkey"), col("p_micros"), col("rank"),
           col("rejected"))
         .orderBy(col("rank"))),
+
+    // Bowker symmetry over each user's first-vs-last event type:
+    // directional drift of the k-category margins, exact ppm terms.
+    "q_bowker" -> ((s, d) =>
+      Analytics.bowker(t(s, d, "events"), col("user_id"),
+        col("event_type"), Seq(col("ts"), col("event_id")))),
 
     // Holm-Bonferroni FWER step-down over the same md5-derived
     // p-values: exact integer per-rank fences, min-failing-rank stop.
@@ -8498,6 +8516,37 @@ object SparkEntry {
         |    AS BOOLEAN) AS sig_95
         |FROM best WHERE rk = 1 ORDER BY 1""".stripMargin,
 
+    // same daily series split by month; per-season S/Var summed
+    "q_seasonal_mk" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |  CAST(month(ts) AS BIGINT) AS q,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xs
+        |  FROM events GROUP BY 1, 2, 3),
+        |sv AS (SELECT a.g, a.q, CAST(sum(sign(b.xs - a.xs)) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.q = b.q
+        |    AND a.d < b.d GROUP BY 1, 2),
+        |nv AS (SELECT g, q, CAST(count(*) AS BIGINT) AS n,
+        |  count(*)::HUGEINT * (count(*) - 1) * (2 * count(*) + 5) AS nn
+        |  FROM daily GROUP BY 1, 2),
+        |ties AS (SELECT g, q,
+        |  COALESCE(sum(t::HUGEINT * (t - 1) * (2 * t + 5)), 0) AS tt
+        |  FROM (SELECT g, q, xs, count(*) AS t FROM daily GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |per AS (SELECT nv.g, nv.q, nv.n,
+        |  COALESCE(sv.s, 0) AS s, CAST(nn - tt AS BIGINT) AS var18
+        |  FROM nv JOIN ties ON nv.g = ties.g AND nv.q = ties.q
+        |  LEFT JOIN sv ON nv.g = sv.g AND nv.q = sv.q),
+        |ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n_seasons,
+        |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+        |  CAST(sum(var18) AS BIGINT) AS var18 FROM per GROUP BY 1)
+        |SELECT g AS event_type, n_seasons, n, s, var18,
+        |  CASE WHEN var18 > 0 THEN
+        |    CAST(floor(sign(s) * greatest(abs(s) - 1, 0) * 1000000.0 /
+        |      sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+        |  END AS z_micros
+        |FROM ag ORDER BY 1""".stripMargin,
+
     // same daily series, exact S / tie-corrected 18·Var, micro-floored z
     "q_mann_kendall" ->
       """WITH daily AS (SELECT event_type AS g,
@@ -9601,6 +9650,33 @@ object SparkEntry {
          |  FROM j, tot)
          |SELECT n_tokens, n_a, n_b, CAST(sum(t) AS DOUBLE) AS js
          |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+
+    // first/last via one ordered window pass; same unordered-pair
+    // ppm floors
+    "q_bowker" ->
+      """WITH fl AS (SELECT user_id AS u,
+        |  first_value(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS a,
+        |  last_value(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS b,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS rn
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |per AS (SELECT u, a, b FROM fl WHERE rn = 1),
+        |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM per),
+        |cells AS (SELECT least(a, b) AS x, greatest(a, b) AS y,
+        |  CAST(sum(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+        |  CAST(sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT) AS nr
+        |  FROM per WHERE a <> b GROUP BY 1, 2),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS df,
+        |  CAST(COALESCE(sum((nf - nr) * (nf - nr) * 1000000 //
+        |    (nf + nr)), 0) AS BIGINT) AS chi2_ppm FROM cells)
+        |SELECT n_units, df, chi2_ppm FROM nu CROSS JOIN ag""".stripMargin,
 
     // same md5-derived p; step-down = reject strictly below the
     // first failing rank

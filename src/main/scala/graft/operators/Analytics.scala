@@ -2552,6 +2552,69 @@ object Analytics {
             sqrt(col("var18").cast("double") / lit(18.0d))).cast("long")))
   }
 
+  /** Seasonal Mann-Kendall — [[mannKendall]] hardened against
+    * periodicity: a clean seasonal cycle reads as "trend" to plain MK
+    * (every summer day beats every winter day), so the seasonal form
+    * computes S and its variance WITHIN each season (month, weekday)
+    * and sums them — only a drift that persists across same-season
+    * comparisons survives. The hydrology-standard trend test, and the
+    * right default for any daily business metric with a weekly or
+    * yearly cycle.
+    *
+    * Exact integers: per-(group, season) S from sign counts over
+    * same-season day pairs and the tie-corrected 18·Var (the
+    * [[mannKendall]] core with a composite key), then ΣS and ΣVar
+    * over seasons — additivity is the textbook construction (seasons
+    * are disjoint comparison sets). One continuity-corrected z in
+    * micros, same shape as the plain test. Pair work Σ_seasons
+    * days_s², always ≤ the plain test's days². Output per group:
+    * (group, n_seasons, n, s, var18, z_micros).
+    */
+  def seasonalMannKendall(df: DataFrame, groupCol: Column,
+      seasonCol: Column, dayCol: Column, centsCol: Column): DataFrame = {
+    val daily = graft.core.CacheRegistry.persist(
+      df.select(groupCol.as("_g"), seasonCol.cast("long").as("_q"),
+          dayCol.cast("long").as("_d"), centsCol.as("_x"))
+        .where(col("_q").isNotNull && col("_d").isNotNull &&
+          col("_x").isNotNull)
+        .groupBy(col("_g"), col("_q"), col("_d"))
+        .agg(sum(col("_x")).as("_xs")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lo = daily.select(col("_g"), col("_q"), col("_d").as("_d1"),
+      col("_xs").as("_x1"))
+    val hi = daily.select(col("_g"), col("_q"), col("_d").as("_d2"),
+      col("_xs").as("_x2"))
+    val s = lo.join(hi, Seq("_g", "_q"))
+      .where(col("_d1") < col("_d2"))
+      .groupBy(col("_g"), col("_q"))
+      .agg(sum(signum(col("_x2") - col("_x1")).cast("long")).as("_s"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val nv = daily.groupBy(col("_g"), col("_q"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("_g"), col("_q"), col("_n"),
+        (dec(col("_n")) * (col("_n") - 1L) * (lit(2L) * col("_n") + 5L))
+          .as("_nn"))
+    val ties = daily.groupBy(col("_g"), col("_q"), col("_xs"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col("_g"), col("_q"))
+      .agg(sum(dec(col("_t")) * (col("_t") - 1L) *
+        (lit(2L) * col("_t") + 5L)).as("_tt"))
+    // left join: a single-day season has no pairs (S contributes 0)
+    // but still counts toward n and n_seasons
+    nv.join(ties, Seq("_g", "_q")).join(s, Seq("_g", "_q"), "left")
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_seasons"), sum(col("_n")).as("n"),
+        sum(coalesce(col("_s"), lit(0L))).as("s"),
+        sum((col("_nn") - col("_tt")).cast("long")).as("var18"))
+      .select(col("_g").as("group"), col("n_seasons"), col("n"),
+        col("s"), col("var18"))
+      .withColumn("z_micros",
+        when(col("var18") > 0,
+          floor(signum(col("s")) * greatest(abs(col("s")) - 1L, lit(0L)) *
+            lit(1000000.0d) /
+            sqrt(col("var18").cast("double") / lit(18.0d))).cast("long")))
+  }
+
   def theilSen(df: DataFrame, groupCol: Column, dayCol: Column,
       centsCol: Column): DataFrame = {
     val daily = df.select(groupCol.as("_g"), dayCol.cast("long").as("_d"),
@@ -5418,6 +5481,47 @@ object Analytics {
           div (CAST(n AS DECIMAL(38,0)) * n * n +
                CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""))
       .withColumn("sig_95", col("x_micros") >= 3688880L)
+  }
+
+  /** Bowker symmetry test — [[mcnemar]] generalized to k categories:
+    * for PAIRED categorical observations per unit (first vs last
+    * event type, label before vs after a model swap), is the flow
+    * i→j balanced by j→i for every pair? Marginal drift with
+    * direction — what a pair of independent histograms cannot see.
+    *
+    * {{{ χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji) }}}
+    *
+    * summed over unordered pairs with any traffic; df = that pair
+    * count. Exact integer ppm floors per pair term (squares ⇒
+    * non-negative, div == floor), order-proof sum. The paired
+    * readings are min_by/max_by over a caller-supplied UNIQUE order
+    * key (ties would be engine-dependent — the key must totally
+    * order each unit's rows). Diagonal units (first == last) carry
+    * no information and drop. Shape: one per-unit aggregate, one
+    * bounded (k²) cell aggregate, one closing row. Output:
+    * (n_units, df, chi2_ppm).
+    */
+  def bowker(df: DataFrame, unitCol: Column, catCol: Column,
+      orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "bowker: orderCols must be non-empty")
+    val key = struct(orderCols: _*)
+    val per = graft.core.CacheRegistry.persist(
+      df.where(unitCol.isNotNull && catCol.isNotNull)
+        .groupBy(unitCol.as("_u"))
+        .agg(min_by(catCol, key).as("_a"), max_by(catCol, key).as("_b")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUnits = per.agg(count(lit(1)).as("n_units"))
+    val cells = per.where(col("_a") =!= col("_b"))
+      .groupBy(least(col("_a"), col("_b")).as("_x"),
+        greatest(col("_a"), col("_b")).as("_y"))
+      .agg(sum(when(col("_a") < col("_b"), 1L).otherwise(0L)).as("_nf"),
+        sum(when(col("_a") > col("_b"), 1L).otherwise(0L)).as("_nr"))
+    cells.agg(count(lit(1)).as("df"),
+        coalesce(sum(expr(
+          "(_nf - _nr) * (_nf - _nr) * 1000000 div (_nf + _nr)")),
+          lit(0L)).as("chi2_ppm"))
+      .crossJoin(broadcast(nUnits))
+      .select(col("n_units"), col("df"), col("chi2_ppm"))
   }
 
   /** Tukey HSD studentized-range statistics — the parametric post-hoc

@@ -2414,6 +2414,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1.getAs[Long]("g_ppm") == exp && r1.getAs[Long]("g_ppm") > 0L)
   }
 
+  test("bowker: directional flows summed per unordered pair; diagonal drops") {
+    // units: A->B ×3, B->A ×1, A->C ×2, plus a B->B diagonal unit
+    // terms: (3−1)²/4 = 1e6 ppm, (2−0)²/2 = 2e6 ppm; df = 2
+    def unit(u: Long, first: String, last: String) =
+      Seq((u, 1L, first), (u, 2L, last))
+    val rows = unit(1, "A", "B") ++ unit(2, "A", "B") ++ unit(3, "A", "B") ++
+      unit(4, "B", "A") ++ unit(5, "A", "C") ++ unit(6, "A", "C") ++
+      unit(7, "B", "B")
+    val df = rows.toDF("u", "t", "c")
+    val r = Analytics.bowker(df, col("u"), col("c"), Seq(col("t")))
+      .collect().head
+    assert(r.getAs[Long]("n_units") == 7L)
+    assert(r.getAs[Long]("df") == 2L)
+    assert(r.getAs[Long]("chi2_ppm") == 3000000L)
+    // perfectly balanced flows: chi2 = 0, df counts the active pair
+    val bal = (unit(1, "A", "B") ++ unit(2, "B", "A")).toDF("u", "t", "c")
+    val rb = Analytics.bowker(bal, col("u"), col("c"), Seq(col("t")))
+      .collect().head
+    assert(rb.getAs[Long]("df") == 1L && rb.getAs[Long]("chi2_ppm") == 0L)
+  }
+
+  test("seasonalMannKendall: within-season S and Var add; cycles cancel") {
+    // two seasons, each a clean 1,2,3 ramp: S = 3 + 3, var18 = 66 + 66
+    val up = Seq(("k", 1L, 1L, 1L), ("k", 1L, 2L, 2L), ("k", 1L, 3L, 3L),
+      ("k", 2L, 4L, 1L), ("k", 2L, 5L, 2L), ("k", 2L, 6L, 3L))
+      .toDF("g", "q", "d", "c")
+    val r = Analytics.seasonalMannKendall(up, col("g"), col("q"),
+      col("d"), col("c")).collect().head
+    assert(r.getAs[Long]("n_seasons") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("s") == 6L && r.getAs[Long]("var18") == 132L)
+    val zExp = math.floor((6.0 - 1.0) * 1e6 / math.sqrt(132.0 / 18.0)).toLong
+    assert(r.getAs[Long]("z_micros") == zExp)
+    // a pure cycle: season 1 rises, season 2 falls -> S = 0, z = 0
+    val cyc = Seq(("k", 1L, 1L, 1L), ("k", 1L, 2L, 2L), ("k", 1L, 3L, 3L),
+      ("k", 2L, 4L, 3L), ("k", 2L, 5L, 2L), ("k", 2L, 6L, 1L))
+      .toDF("g", "q", "d", "c")
+    val rc = Analytics.seasonalMannKendall(cyc, col("g"), col("q"),
+      col("d"), col("c")).collect().head
+    assert(rc.getAs[Long]("s") == 0L && rc.getAs[Long]("z_micros") == 0L)
+    // plain MK on the cycle data WOULD see cross-season pairs: the
+    // seasonal pair count is only the within-season 2·C(3,2)
+    assert(rc.getAs[Long]("var18") == 132L)
+  }
+
   test("holmBonferroni: step-down stops at the first failure") {
     // alpha = 0.05: ranks 1,2 pass (5·1000, 4·10000), rank 3 fails
     // (3·20000 = 60000) -> reject exactly {1, 2}
