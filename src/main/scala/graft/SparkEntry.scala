@@ -2619,6 +2619,15 @@ object SparkEntry {
 
     // Leave-one-out kNN label probe: do neighbors share labels?
     // Majority of the 5 nearest, ties to the smallest label.
+    // Matryoshka prefix-dim eval: top-10 overlap of truncated-vs-full
+    // embeddings at 8/16/32 of 64 dims — exact ppm off shared ranks.
+    "q_matryoshka" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.matryoshkaEval(e.where(col("vec_id") < 50), e,
+          "vec_id", "embedding", k = 10, prefixDims = Seq(8, 16, 32))
+        .orderBy(col("prefix_dim"))
+    }),
+
     "q_knn_eval" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.knnClassify(e.where(col("vec_id") < 50), e,
@@ -7041,6 +7050,55 @@ object SparkEntry {
         |FROM s GROUP BY segment""".stripMargin,
 
     // the sim kernel + majority vote (count desc, label asc)
+    // same in-order cosine folds on sliced prefixes; shared full rank
+    "q_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+        |  FROM embeddings),
+        |fs AS (SELECT query_id, neighbor_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, len(qv)),
+        |    i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a, x) -> a + x) AS dot,
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, len(qv)),
+        |    i -> qv[i]::DOUBLE * qv[i]::DOUBLE)), (a, x) -> a + x)) *
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, len(cv)),
+        |    i -> cv[i]::DOUBLE * cv[i]::DOUBLE)), (a, x) -> a + x)) AS denom
+        |  FROM c CROSS JOIN q WHERE query_id != neighbor_id),
+        |fr AS (SELECT query_id, neighbor_id FROM (SELECT query_id,
+        |    neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END)
+        |      DESC, neighbor_id) AS rank FROM fs) WHERE rank <= 10),
+        |base AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
+        |    AS n_queries, CAST(count(*) AS BIGINT) AS slots FROM fr),
+        |pd AS (SELECT CAST(p AS BIGINT) AS p
+        |  FROM (VALUES (8), (16), (32)) t(p)),
+        |ps AS (SELECT p, query_id, neighbor_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, CAST(p AS INTEGER)),
+        |    i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (a, x) -> a + x) AS dot,
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, CAST(p AS INTEGER)),
+        |    i -> qv[i]::DOUBLE * qv[i]::DOUBLE)), (a, x) -> a + x)) *
+        |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, CAST(p AS INTEGER)),
+        |    i -> cv[i]::DOUBLE * cv[i]::DOUBLE)), (a, x) -> a + x)) AS denom
+        |  FROM c CROSS JOIN q CROSS JOIN pd WHERE query_id != neighbor_id),
+        |pr AS (SELECT p, query_id, neighbor_id FROM (SELECT p, query_id,
+        |    neighbor_id, row_number() OVER (PARTITION BY p, query_id
+        |    ORDER BY (CASE WHEN denom = 0 THEN 0.0 ELSE dot / denom END)
+        |      DESC, neighbor_id) AS rank FROM ps) WHERE rank <= 10),
+        |mm AS (SELECT pr.p, CAST(count(*) AS BIGINT) AS matches
+        |  FROM pr JOIN fr ON pr.query_id = fr.query_id
+        |    AND pr.neighbor_id = fr.neighbor_id GROUP BY 1)
+        |SELECT pd.p AS prefix_dim, n_queries, CAST(10 AS BIGINT) AS k,
+        |  CAST(COALESCE(matches, 0) * 1000000 // slots AS BIGINT)
+        |    AS overlap_ppm
+        |FROM pd LEFT JOIN mm ON pd.p = mm.p CROSS JOIN base
+        |ORDER BY 1""".stripMargin,
+
     "q_knn_eval" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
         |  FROM embeddings WHERE vec_id < 50 AND label IS NOT NULL),

@@ -37,6 +37,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Matryoshka prefix-dimension retrieval eval — how much of the
+    * top-k neighborhood survives truncating embeddings to their first
+    * p dimensions? Matryoshka-trained models pack information
+    * front-loaded so p ≪ d retains most retrieval quality; this
+    * measures that claim ON YOUR CORPUS before committing to the
+    * 4–8× index shrink (and for non-MRL embeddings it documents how
+    * much truncation costs). For each prefix p: overlap@k =
+    * |topk_full ∩ topk_prefix| / (total full slots), in exact ppm.
+    *
+    * Shape: one [[bruteForceTopK]] for the full rank (checkpointed —
+    * every prefix reuses it), one per prefix over SLICED vectors (the
+    * slice happens before the broadcast, so each pass ships only p
+    * floats per row), overlap as a left-semi join on the (query,
+    * neighbor) key. Query set must be bounded (the broadcast
+    * contract). Ranks tie-break on neighbor_id, so both engines rank
+    * identically off bit-identical in-order cosine folds. Output one
+    * row per prefix: (prefix_dim, n_queries, k, overlap_ppm).
+    */
+  def matryoshkaEval(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, prefixDims: Seq[Int]): DataFrame = {
+    require(k >= 1, s"matryoshkaEval: k must be >= 1, got $k")
+    require(prefixDims.nonEmpty && prefixDims.forall(_ >= 1),
+      s"matryoshkaEval: prefixDims must be non-empty positive, got $prefixDims")
+    val full = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val base = full.agg(count_distinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("_slots"))
+    prefixDims.map { p =>
+      val qp = queries.select(col(idCol),
+        slice(col(vecCol), 1, p).as(vecCol))
+      val cp = corpus.select(col(idCol),
+        slice(col(vecCol), 1, p).as(vecCol))
+      val pref = bruteForceTopK(qp, cp, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val m = full.join(pref, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("_matches"))
+      base.crossJoin(broadcast(m))
+        .select(lit(p.toLong).as("prefix_dim"), col("n_queries"),
+          lit(k.toLong).as("k"),
+          expr("_matches * 1000000 div _slots").as("overlap_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Mutual k-NN graph over a (pre-blocked) vector set: an undirected
     * edge (a, b) exists iff each endpoint ranks in the OTHER's cosine
     * top-k — the mutual filter drops hub-attracted asymmetric links

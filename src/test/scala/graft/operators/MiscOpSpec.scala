@@ -59,6 +59,20 @@ class MiscOpSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L)) // by cosine desc
   }
 
+  test("Similarity.matryoshkaEval: truncation flips the winner; full dims 1.0") {
+    // q = (1,0); a = (2,0) wins full-dim, but at prefix 1 both a and b
+    // tie at cosine 1 and the lower neighbor_id (b = 1) wins -> 0 overlap
+    val q = Seq((10L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val c = Seq((1L, Array(1.0f, 3.0f)), (2L, Array(2.0f, 0.0f)))
+      .toDF("id", "v")
+    val out = Similarity.matryoshkaEval(q, c, "id", "v", k = 1, Seq(1, 2))
+      .collect().map(r => r.getAs[Long]("prefix_dim") -> r).toMap
+    assert(out(1L).getAs[Long]("overlap_ppm") == 0L)
+    assert(out(2L).getAs[Long]("overlap_ppm") == 1000000L)
+    assert(out(2L).getAs[Long]("n_queries") == 1L &&
+      out(2L).getAs[Long]("k") == 1L)
+  }
+
   test("Multimodal.patchGrid covers every pixel once, clipping edge tiles") {
     // 100x70 image, 64px patches -> 2x2 grid; right/bottom tiles clipped
     val df = Seq((1L, 100, 70)).toDF("id", "w", "h")
