@@ -1977,6 +1977,13 @@ object SparkEntry {
         Multimodal.attachBinary(t(s, d, "documents"), "text"),
         "doc_id", "payload", 4)),
 
+    // Scene-cut segmentation over the same sampled frames: lag-gap
+    // cuts, run-length scenes, per-asset bounded windows.
+    "q_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(
+        Multimodal.attachBinary(t(s, d, "documents"), "text"),
+        "doc_id", "payload", 8)),
+
     // The real-decoder slot: same metadata as q_multimodal but routed
     // through the mapPartitions decode path (deterministic stub), so
     // the partition-batched plumbing itself is oracle-gated.
@@ -5561,6 +5568,32 @@ object SparkEntry {
         |  CAST(max(sig) AS BIGINT) AS max_energy,
         |  CAST(sum(sig) AS BIGINT) AS energy_sum
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // same md5 frame signatures; lag gaps, cumulative-cut run ids
+    "q_scene_cuts" ->
+      """WITH f AS (SELECT doc_id, fi,
+        |  substr(text, CAST(fi * greatest(length(text) // 8, 1) + 1
+        |    AS BIGINT), 16) AS fb
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS fi)),
+        |s AS (SELECT doc_id, fi,
+        |  CAST(('0x' || substr(md5(fb), 1, 8))::UBIGINT AS BIGINT) AS sig
+        |  FROM f),
+        |lg AS (SELECT doc_id, fi, sig,
+        |  lag(sig) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        |  FROM s),
+        |ct AS (SELECT doc_id, fi,
+        |  CASE WHEN prev IS NOT NULL AND abs(sig - prev) > 2147483648
+        |    THEN 1 ELSE 0 END AS cut FROM lg),
+        |sg AS (SELECT doc_id, sum(cut) OVER (PARTITION BY doc_id
+        |  ORDER BY fi ROWS UNBOUNDED PRECEDING) AS seg FROM ct),
+        |rl AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS len
+        |  FROM sg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_cuts,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(max(len) AS BIGINT) AS max_segment_len
+        |FROM rl GROUP BY 1""".stripMargin,
 
     "q_decode" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

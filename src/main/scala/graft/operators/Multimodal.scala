@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -110,6 +111,47 @@ object Multimodal {
         count_distinct(col("_sig")).as("n_distinct_frames"),
         max(col("_sig")).as("max_energy"),
         sum(col("_sig")).as("energy_sum"))
+  }
+
+  /** Scene-cut segmentation — the temporal half of the media shape
+    * that [[frameFeatures]]'s pooled counts can't express: WHERE does
+    * the content change? A cut fires between consecutive sampled
+    * frames whose feature gap exceeds the threshold; runs between
+    * cuts are scenes. Per payload: cut count, scene count, longest
+    * scene — the shot-boundary summary a video-curation pipeline
+    * filters on (static clips → 1 scene; slideshows → many). The
+    * md5-derived frame signature is the detector stub slot (swap for
+    * a real frame-difference/embedding gap per frame); the Spark-side
+    * plumbing — frame explode, per-asset lag, run-length via
+    * cumulative cut ids — is the real, tested part.
+    *
+    * Shape: the [[sampleFrames]] explode (nFrames× narrow rows), one
+    * per-asset window bounded by nFrames, one bounded groupBy for run
+    * lengths. Output: (id, n_frames, n_cuts, n_segments,
+    * max_segment_len).
+    */
+  def sceneCuts(df: DataFrame, idCol: String, binCol: String,
+      nFrames: Int, gapThreshold: Long = 1L << 31): DataFrame = {
+    require(nFrames >= 1, s"sceneCuts: nFrames must be >= 1, got $nFrames")
+    val framed = sampleFrames(df, binCol, nFrames)
+      .withColumn("_sig",
+        conv(substring(md5(col("frame_bytes")), 1, 8), 16, 10).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    val segmented = framed
+      .withColumn("_prev", lag(col("_sig"), 1).over(w))
+      .withColumn("_cut",
+        when(col("_prev").isNotNull &&
+          abs(col("_sig") - col("_prev")) > gapThreshold, 1L)
+          .otherwise(0L))
+      .withColumn("_seg", sum(col("_cut"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    segmented.groupBy(col(idCol), col("_seg"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_len")).as("n_frames"),
+        (count(lit(1)) - 1L).as("n_cuts"),
+        count(lit(1)).as("n_segments"),
+        max(col("_len")).as("max_segment_len"))
   }
 
   /** ViT-style patch grid: one row per `patch`×`patch` tile of each

@@ -73,6 +73,36 @@ class MiscOpSpec extends SparkSpec {
       out(2L).getAs[Long]("k") == 1L)
   }
 
+  test("Multimodal.sceneCuts: threshold poles and run-length invariants") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "x")).toDF("doc_id", "text")
+    val bin = Multimodal.attachBinary(docs, "text")
+    // MaxValue threshold: no gap can fire -> one segment of nFrames
+    val none = Multimodal.sceneCuts(bin, "doc_id", "payload", 4,
+      gapThreshold = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(none(1L).getAs[Long]("n_frames") == 4L)
+    assert(none(1L).getAs[Long]("n_cuts") == 0L &&
+      none(1L).getAs[Long]("n_segments") == 1L &&
+      none(1L).getAs[Long]("max_segment_len") == 4L)
+    // threshold -1: every consecutive pair fires (gap >= 0 > -1)
+    val all = Multimodal.sceneCuts(bin, "doc_id", "payload", 4,
+      gapThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(all(1L).getAs[Long]("n_cuts") == 3L &&
+      all(1L).getAs[Long]("n_segments") == 4L &&
+      all(1L).getAs[Long]("max_segment_len") == 1L)
+    // a 1-byte payload: frame 0 reads "x", frames 1..3 read the empty
+    // tail -> exactly one signature change at threshold 0, and the
+    // three identical empty frames form the longest run
+    val same = Multimodal.sceneCuts(bin, "doc_id", "payload", 4,
+      gapThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(same(2L).getAs[Long]("n_cuts") == 1L &&
+      same(2L).getAs[Long]("n_segments") == 2L &&
+      same(2L).getAs[Long]("max_segment_len") == 3L)
+  }
+
   test("Multimodal.patchGrid covers every pixel once, clipping edge tiles") {
     // 100x70 image, 64px patches -> 2x2 grid; right/bottom tiles clipped
     val df = Seq((1L, 100, 70)).toDF("id", "w", "h")
