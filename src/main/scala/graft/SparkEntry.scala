@@ -1059,6 +1059,12 @@ object SparkEntry {
     // in (stopword-quality DESC, doc_id) order — range-partitioned
     // prefix sums, never a single-partition running-sum window. The
     // oracle recomputes the running total with a plain window.
+    // Hamilton apportionment of a 1M-token budget across sources by
+    // total chars: exact floors + largest remainders, sum == budget.
+    "q_apportion" -> ((s, d) =>
+      TrainingData.apportion(t(s, d, "documents"), col("source"),
+        col("n_chars"), 1000000L)),
+
     "q_budget_select" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val scored = docs.select(col("doc_id"),
@@ -4637,6 +4643,28 @@ object SparkEntry {
          |  (nw BETWEEN 40 AND 1000) AND (mwl BETWEEN 3.0 AND 10.0) AND sym <= 0.1
          |    AND alr >= 0.5 AND (str BETWEEN 0.0 AND 0.6) AS keep
          |FROM v""".stripMargin,
+
+    // HUGEINT floors and remainders; leftover seats by remainder rank
+    "q_apportion" ->
+      """WITH per AS (SELECT source AS key,
+        |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS weight
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1 HAVING sum(CAST(n_chars AS BIGINT)) > 0),
+        |w AS (SELECT sum(weight::HUGEINT) AS tw FROM per),
+        |b AS (SELECT key, weight,
+        |  CAST((weight::HUGEINT * 1000000) // tw AS BIGINT) AS base,
+        |  weight::HUGEINT * 1000000 -
+        |    ((weight::HUGEINT * 1000000) // tw) * tw AS rem
+        |  FROM per CROSS JOIN w),
+        |lo AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS r FROM b),
+        |rk AS (SELECT key, weight, base, rem,
+        |  CAST(row_number() OVER (ORDER BY rem DESC, key) AS BIGINT)
+        |    AS rnk FROM b)
+        |SELECT key, weight, base,
+        |  CAST(CASE WHEN rnk <= r THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  base + CAST(CASE WHEN rnk <= r THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM rk CROSS JOIN lo ORDER BY key""".stripMargin,
 
     // running word-total recomputed with a plain window over the same
     // (rounded stopword quality DESC, doc_id) total order

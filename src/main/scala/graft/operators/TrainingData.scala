@@ -996,6 +996,53 @@ object TrainingData {
     * max-length/width. Output: (bucket, n_docs, total_len, pad_target,
     * waste, waste_ppm).
     */
+  /** Largest-remainder (Hamilton) apportionment — split an integer
+    * budget across strata EXACTLY proportionally to their weights:
+    * token quotas per source in a training-data recipe, sample
+    * allocations per stratum, shard counts per tenant. Rounding each
+    * share independently drifts from the total; Hamilton gives every
+    * stratum its floor ⌊total·w/W⌋ and hands the leftover seats to
+    * the largest fractional remainders, so Σalloc == total by
+    * construction — the property a budgeted pipeline actually needs.
+    *
+    * Exact integers throughout: base = total·w div W, remainder =
+    * total·w − base·W (both decimal(38,0)); the leftover seat count
+    * R = total − Σbase lands on the R largest remainders, ties to the
+    * smaller key (fully deterministic). The remainder ranking rides
+    * [[Relational.prefixSum]] over (remainder desc, key) — no global
+    * window at any stratum cardinality. Output one row per stratum:
+    * (key, weight, base, extra, alloc).
+    */
+  def apportion(df: DataFrame, keyCol: Column, weightCol: Column,
+      total: Long): DataFrame = {
+    require(total >= 0, s"apportion: total must be >= 0, got $total")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = graft.core.CacheRegistry.persist(
+      df.where(keyCol.isNotNull && weightCol.isNotNull)
+        .groupBy(keyCol.cast("string").as("key"))
+        .agg(sum(weightCol.cast("long")).as("weight"))
+        .where(col("weight") > 0),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = per.agg(sum(dec(col("weight"))).as("_W"))
+    val based = graft.core.CacheRegistry.persist(
+      per.crossJoin(broadcast(w))
+        .withColumn("_tw", (dec(col("weight")) * total).cast("decimal(38,0)"))
+        .withColumn("base", expr("CAST(_tw div _W AS BIGINT)"))
+        .withColumn("_rem", (col("_tw") - dec(col("base")) * col("_W"))
+          .cast("decimal(38,0)")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val leftover = based.agg((lit(total) - sum(col("base"))).as("_R"))
+    val ranked = Relational.prefixSum(
+      based.select(col("key"), col("weight"), col("base"),
+        (-col("_rem")).as("_negrem")),
+      Seq(col("_negrem"), col("key")), lit(1L), "_rank")
+    ranked.crossJoin(broadcast(leftover))
+      .select(col("key"), col("weight"), col("base"),
+        when(col("_rank") <= col("_R"), 1L).otherwise(0L).as("extra"))
+      .withColumn("alloc", col("base") + col("extra"))
+      .orderBy(col("key"))
+  }
+
   def lengthBuckets(df: DataFrame, lenCol: Column, width: Long): DataFrame = {
     require(width >= 1, s"lengthBuckets: width must be >= 1, got $width")
     df.select(lenCol.cast("long").as("_len"))

@@ -502,4 +502,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(rs.getAs[Long]("hhi_ppm") == 680000L)
     assert(rs.getAs[Long]("top_share_ppm") == 800000L)
   }
+
+  test("apportion: floors + largest remainders always hit the total") {
+    import org.apache.spark.sql.functions.col
+    def run(ws: Seq[(String, Long)], total: Long) =
+      TrainingData.apportion(ws.toDF("k", "w"), col("k"), col("w"), total)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("base"), r.getAs[Long]("extra"),
+            r.getAs[Long]("alloc"))).toMap
+    // W = 11, total 10: bases 4,2,2; the two leftover seats go to the
+    // larger remainders (b, c at 8 beat a at 6)
+    val m = run(Seq("a" -> 5L, "b" -> 3L, "c" -> 3L), 10L)
+    assert(m("a") == ((4L, 0L, 4L)))
+    assert(m("b") == ((2L, 1L, 3L)) && m("c") == ((2L, 1L, 3L)))
+    assert(m.values.map(_._3).sum == 10L)
+    // three-way remainder tie, one seat: smallest key wins
+    val t = run(Seq("a" -> 1L, "b" -> 1L, "c" -> 1L), 10L)
+    assert(t("a") == ((3L, 1L, 4L)) && t("b")._3 == 3L && t("c")._3 == 3L)
+    // exact divisibility: no extras anywhere
+    val e = run(Seq("x" -> 2L, "y" -> 3L, "z" -> 5L), 100L)
+    assert(e("x") == ((20L, 0L, 20L)) && e("y")._3 == 30L && e("z")._3 == 50L)
+  }
 }
