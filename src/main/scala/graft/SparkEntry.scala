@@ -3197,6 +3197,14 @@ object SparkEntry {
           col("event_type").isin("click", "view", "purchase")),
         col("user_id"), col("event_type"), lit(1L))),
 
+    // Quade: the same complete user blocks, range-weighted — blocks
+    // where the counts actually differ carry the decision.
+    "q_quade" -> ((s, d) =>
+      Analytics.quade(
+        t(s, d, "events").where(
+          col("event_type").isin("click", "view", "purchase")),
+        col("user_id"), col("event_type"), lit(1L))),
+
     // Kendall's W: do DAYS agree on the event-type volume ranking —
     // the χ²_F = m(k−1)·W identity emitted from one midrank plan.
     "q_kendall_w" -> ((s, d) =>
@@ -8403,6 +8411,44 @@ object SparkEntry {
         |  CASE WHEN aa - cc > 0 THEN
         |    CAST((k - 1)::HUGEINT * num * 1000000 // (aa - cc) AS BIGINT)
         |  END AS chi2_ppm
+        |FROM agg, dr""".stripMargin,
+
+    // friedman's blocks + a range-midrank CDF; ×16 doublings cancel
+    "q_quade" ->
+      """WITH cells AS (SELECT user_id AS b, event_type AS t,
+        |  CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IN ('click', 'view', 'purchase') GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t) AS k FROM cells),
+        |sized AS (SELECT b, t, v, count(*) OVER (PARTITION BY b) AS bn
+        |  FROM cells),
+        |dr AS (SELECT CAST(count(DISTINCT CASE WHEN bn <> kk.k THEN b END)
+        |    AS BIGINT) AS n_dropped FROM sized, kk),
+        |kept AS (SELECT b, t, v FROM sized, kk WHERE bn = kk.k),
+        |ranked AS (SELECT b, t, v,
+        |  rank() OVER (PARTITION BY b ORDER BY v) AS rk,
+        |  count(*) OVER (PARTITION BY b, v) AS ties
+        |  FROM kept),
+        |mr AS (SELECT b, t, 2 * rk + ties - 1 AS mr2 FROM ranked),
+        |rg AS (SELECT b, max(v) - min(v) AS r FROM kept GROUP BY 1),
+        |rc AS (SELECT r, count(*) AS c FROM rg GROUP BY 1),
+        |rr AS (SELECT r, 2 * (sum(c) OVER (ORDER BY r
+        |  ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS q2 FROM rc),
+        |bq AS (SELECT b, q2 FROM rg JOIN rr ON rg.r = rr.r),
+        |uu AS (SELECT mr.t, q2 * (mr2 - (kk.k + 1)) AS u
+        |  FROM mr JOIN bq ON mr.b = bq.b CROSS JOIN kk),
+        |pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |  sum(u::HUGEINT) AS sj, sum(u::HUGEINT * u) AS a
+        |  FROM uu GROUP BY 1),
+        |agg AS (SELECT max(n) AS n_blocks,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  sum(sj * sj) AS b2, sum(a) AS aa FROM pt)
+        |SELECT CAST(n_blocks AS BIGINT) AS n_blocks, dr.n_dropped,
+        |  k,
+        |  CASE WHEN n_blocks >= 2 AND n_blocks::HUGEINT * aa - b2 > 0 THEN
+        |    CAST((n_blocks - 1)::HUGEINT * b2 * 1000000 //
+        |      (n_blocks::HUGEINT * aa - b2) AS BIGINT)
+        |  END AS f_ppm
         |FROM agg, dr""".stripMargin,
 
     // friedman's midrank core keyed by DAY, chi2 and W ppm floors

@@ -2435,6 +2435,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(rb.getAs[Long]("df") == 1L && rb.getAs[Long]("chi2_ppm") == 0L)
   }
 
+  test("quade: range-weighted blocks, hand F; perfect agreement null") {
+    // block 1: (1,2) range 1 -> Q2 = 2; block 2: (3,10) range 7 -> Q2 = 4
+    // U = ±2, ±4; S = (−6, +6); F = 1·72/(2·40−72) = 9 -> 9e6 ppm
+    val df = Seq((1L, "A", 1L), (1L, "B", 2L), (2L, "A", 3L), (2L, "B", 10L))
+      .toDF("b", "t", "v")
+    val r = Analytics.quade(df, col("b"), col("t"), col("v"))
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") == 2L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("n_dropped") == 0L)
+    assert(r.getAs[Long]("f_ppm") == 9000000L)
+    // flat blocks: every within-rank tied -> U = 0 everywhere -> null
+    val flat = Seq((1L, "A", 5L), (1L, "B", 5L), (2L, "A", 7L), (2L, "B", 7L))
+      .toDF("b", "t", "v")
+    val rf = Analytics.quade(flat, col("b"), col("t"), col("v"))
+      .collect().head
+    assert(rf.isNullAt(rf.fieldIndex("f_ppm")))
+    // an incomplete block is counted and excluded
+    val mix = Seq((1L, "A", 1L), (1L, "B", 2L), (2L, "A", 3L), (2L, "B", 10L),
+      (3L, "A", 9L)).toDF("b", "t", "v")
+    val rm = Analytics.quade(mix, col("b"), col("t"), col("v"))
+      .collect().head
+    assert(rm.getAs[Long]("n_blocks") == 2L && rm.getAs[Long]("n_dropped") == 1L)
+    assert(rm.getAs[Long]("f_ppm") == 9000000L)
+  }
+
   test("seasonalMannKendall: within-season S and Var add; cycles cancel") {
     // two seasons, each a clean 1,2,3 ramp: S = 3 + 3, var18 = 66 + 66
     val up = Seq(("k", 1L, 1L, 1L), ("k", 1L, 2L, 2L), ("k", 1L, 3L, 3L),
