@@ -3197,6 +3197,16 @@ object SparkEntry {
           col("event_type").isin("click", "view", "purchase")),
         col("user_id"), col("event_type"), lit(1L))),
 
+    // Split-conformal 90% radius per event type over cents scores:
+    // the (n+1)-corrected calibration quantile, null when n is too
+    // small to certify the coverage.
+    "q_conformal" -> ((s, d) =>
+      Analytics.conformalQuantile(t(s, d, "events"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"), alphaPpm = 100000L)
+        .select(col("group").as("event_type"), col("n"), col("m"),
+          col("qhat"))
+        .orderBy(col("event_type"))),
+
     // Quade: the same complete user blocks, range-weighted — blocks
     // where the counts actually differ carry the decision.
     "q_quade" -> ((s, d) =>
@@ -8412,6 +8422,23 @@ object SparkEntry {
         |    CAST((k - 1)::HUGEINT * num * 1000000 // (aa - cc) AS BIGINT)
         |  END AS chi2_ppm
         |FROM agg, dr""".stripMargin,
+
+    // same per-group CDF; ceil-div (n+1) rank, conditional min
+    "q_conformal" ->
+      """WITH cells AS (SELECT event_type AS g,
+        |  CAST(round(value * 100) AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c,
+        |  sum(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY g) AS n FROM cells),
+        |mm AS (SELECT g, v, cum, CAST(n AS BIGINT) AS n,
+        |  ((n + 1) * 900000 + 999999) // 1000000 AS m FROM cdf)
+        |SELECT g AS event_type, n, CAST(m AS BIGINT) AS m,
+        |  CAST(min(CASE WHEN cum >= m THEN v END) AS BIGINT) AS qhat
+        |FROM mm GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     // friedman's blocks + a range-midrank CDF; ×16 doublings cancel
     "q_quade" ->

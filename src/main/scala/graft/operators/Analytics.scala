@@ -2939,6 +2939,43 @@ object Analytics {
         col("w"))
   }
 
+  /** Split-conformal calibration quantile — the distribution-free
+    * prediction-interval radius: given held-out nonconformity scores
+    * (|y − ŷ|, 1 − p_true, an anomaly score), q̂ is the
+    * ⌈(n+1)(1−α)⌉-th smallest score, and "predict ± q̂" then covers
+    * ≥ 1−α of future points with NO distributional assumption — the
+    * finite-sample (n+1) correction is exactly what separates this
+    * from a naive [[groupedExactQuantiles]] readout (and why small
+    * groups honestly report null = "cannot certify this coverage"
+    * when the rank exceeds n, instead of a too-tight radius).
+    *
+    * Exact integers: m = ⌈(n+1)(10⁶−α_ppm)/10⁶⌉ by ceil-div, q̂ the
+    * conditional min over the per-group value-domain CDF (the
+    * [[cellQuantiles]] shape — group total rides the same exchange).
+    * Output per group: (group, n, m, qhat).
+    */
+  def conformalQuantile(df: DataFrame, groupCol: Column, scoreCol: Column,
+      alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L,
+      s"conformalQuantile: alphaPpm must be in (0, 1e6), got $alphaPpm")
+    val cells = df.where(groupCol.isNotNull && scoreCol.isNotNull)
+      .groupBy(groupCol.as("_g"), scoreCol.cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wc = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.partitionBy(col("_g"))
+    val keepPpm = 1000000L - alphaPpm
+    cells
+      .withColumn("_cum", sum(col("_c")).over(wc))
+      .withColumn("_n", sum(col("_c")).over(wa))
+      .withColumn("_m",
+        expr(s"((_n + 1) * ${keepPpm}L + 999999) div 1000000"))
+      .groupBy(col("_g"))
+      .agg(first(col("_n")).as("n"), first(col("_m")).as("m"),
+        min(when(col("_cum") >= col("_m"), col("_v"))).as("qhat"))
+      .select(col("_g").as("group"), col("n"), col("m"), col("qhat"))
+  }
+
   /** CDF quantiles over a PRE-AGGREGATED (_g, _v, _c) cell frame — the
     * shared core of [[groupedExactQuantiles]], [[iqrOutliers]],
     * [[groupedWinsorizedMean]] and [[robustStats]]: callers that also

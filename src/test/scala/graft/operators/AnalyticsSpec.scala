@@ -2435,6 +2435,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(rb.getAs[Long]("df") == 1L && rb.getAs[Long]("chi2_ppm") == 0L)
   }
 
+  test("conformalQuantile: (n+1) rank correction; small groups refuse") {
+    // n = 9 scores 1..9, alpha = 0.1: m = ceil(10·0.9) = 9 -> qhat = 9
+    val nine = (1L to 9L).map(v => ("g", v)).toDF("g", "v")
+    val r = Analytics.conformalQuantile(nine, col("g"), col("v"),
+      alphaPpm = 100000L).collect().head
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("m") == 9L)
+    assert(r.getAs[Long]("qhat") == 9L)
+    // alpha = 0.5: m = 5 -> the median-ish radius
+    val r5 = Analytics.conformalQuantile(nine, col("g"), col("v"),
+      alphaPpm = 500000L).collect().head
+    assert(r5.getAs[Long]("m") == 5L && r5.getAs[Long]("qhat") == 5L)
+    // n = 4 at alpha = 0.1: m = ceil(4.5) = 5 > n -> cannot certify
+    val four = (1L to 4L).map(v => ("g", v)).toDF("g", "v")
+    val rf = Analytics.conformalQuantile(four, col("g"), col("v"),
+      alphaPpm = 100000L).collect().head
+    assert(rf.getAs[Long]("m") == 5L && rf.isNullAt(rf.fieldIndex("qhat")))
+  }
+
   test("quade: range-weighted blocks, hand F; perfect agreement null") {
     // block 1: (1,2) range 1 -> Q2 = 2; block 2: (3,10) range 7 -> Q2 = 4
     // U = ±2, ±4; S = (−6, +6); F = 1·72/(2·40−72) = 9 -> 9e6 ppm
