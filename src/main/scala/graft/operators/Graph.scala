@@ -778,8 +778,11 @@ object Graph {
       .where(col("_u") < col("_v"))
       .distinct()
       .localCheckpoint(true)
-    val deg = e.select(col("_u").as("_n")).unionAll(e.select(col("_v").as("_n")))
-      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    // consumed three times (node ladder + both endpoint joins)
+    val deg = graft.core.CacheRegistry.persist(
+      e.select(col("_u").as("_n")).unionAll(e.select(col("_v").as("_n")))
+        .groupBy(col("_n")).agg(count(lit(1)).as("_d")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAgg = deg.agg(
       thresholds.zipWithIndex.map { case (r, i) =>
         sum(when(col("_d") > r, 1L).otherwise(0L)).as(s"_n$i")
