@@ -3197,6 +3197,13 @@ object SparkEntry {
           col("event_type").isin("click", "view", "purchase")),
         col("user_id"), col("event_type"), lit(1L))),
 
+    // Weekly top-10 spender turnover: consecutive-week Jaccard of the
+    // leaderboard set, exact ppm — the heavy-hitter churn monitor.
+    "q_topk_turnover" -> ((s, d) =>
+      Analytics.topkTurnover(t(s, d, "events"),
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"),
+        col("user_id"), expr("CAST(round(value * 100) AS BIGINT)"), 10)),
+
     // Split-conformal 90% radius per event type over cents scores:
     // the (n+1)-corrected calibration quantile, null when n is too
     // small to certify the coverage.
@@ -8422,6 +8429,31 @@ object SparkEntry {
         |    CAST((k - 1)::HUGEINT * num * 1000000 // (aa - cc) AS BIGINT)
         |  END AS chi2_ppm
         |FROM agg, dr""".stripMargin,
+
+    // row_number top-k per week; +1-shifted self-join, ppm Jaccard
+    "q_topk_turnover" ->
+      """WITH weekly AS (SELECT
+        |  (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS t,
+        |  user_id AS k,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS w
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL GROUP BY 1, 2),
+        |top AS (SELECT t, k FROM (SELECT t, k,
+        |  row_number() OVER (PARTITION BY t ORDER BY w DESC, k) AS rn
+        |  FROM weekly) WHERE rn <= 10),
+        |sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM top
+        |  GROUP BY 1),
+        |iv AS (SELECT a.t, CAST(count(*) AS BIGINT) AS i
+        |  FROM top a JOIN top b ON a.k = b.k AND a.t = b.t + 1
+        |  GROUP BY 1)
+        |SELECT CAST(cur.t AS BIGINT) AS tick, prev.n AS k_prev,
+        |  cur.n AS k_cur, COALESCE(iv.i, 0) AS inter,
+        |  CAST(COALESCE(iv.i, 0) * 1000000 //
+        |    (prev.n + cur.n - COALESCE(iv.i, 0)) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM sz cur JOIN sz prev ON cur.t = prev.t + 1
+        |LEFT JOIN iv ON iv.t = cur.t
+        |ORDER BY 1""".stripMargin,
 
     // same per-group CDF; ceil-div (n+1) rank, conditional min
     "q_conformal" ->

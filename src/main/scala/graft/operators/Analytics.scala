@@ -2939,6 +2939,49 @@ object Analytics {
         col("w"))
   }
 
+  /** Top-k turnover — stability of the leaderboard over time: the
+    * Jaccard overlap of each tick's top-k KEY SET against the
+    * previous tick's. A ranking whose top-10 churns half its members
+    * weekly is noise (or a fast-moving market); one that never moves
+    * is stale. The set-level complement of [[rankBiasedOverlap]]'s
+    * depth-weighted view, keyed by time — the standard "did the
+    * heavy-hitter list actually change" monitor.
+    *
+    * Exact integers: per-tick top-k via [[Relational.topKPerGroup]]
+    * (WindowGroupLimit pushes partial TopK below the shuffle;
+    * deterministic (weight desc, key) order), consecutive ticks meet
+    * by a +1-shifted self-join on the top frame (k·|ticks| rows —
+    * tiny), Jaccard as one ppm floor. Ticks with no predecessor are
+    * omitted (nothing to compare). Output per tick:
+    * (tick, k_prev, k_cur, inter, jaccard_ppm).
+    */
+  def topkTurnover(df: DataFrame, tickCol: Column, keyCol: Column,
+      weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"topkTurnover: k must be >= 1, got $k")
+    val weekly = df.where(tickCol.isNotNull && keyCol.isNotNull &&
+        weightCol.isNotNull)
+      .groupBy(tickCol.cast("long").as("_t"), keyCol.as("_k"))
+      .agg(sum(weightCol.cast("long")).as("_w"))
+    val top = graft.core.CacheRegistry.persist(
+      Relational.topKPerGroup(weekly, Seq(col("_t")),
+        Seq(col("_w").desc, col("_k")), k).select(col("_t"), col("_k")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = top.groupBy(col("_t")).agg(count(lit(1)).as("_n"))
+    val prevSizes = sizes.select((col("_t") + 1L).as("_t"),
+      col("_n").as("k_prev"))
+    val inter = top
+      .join(top.select((col("_t") + 1L).as("_t"), col("_k")),
+        Seq("_t", "_k"), "left_semi")
+      .groupBy(col("_t")).agg(count(lit(1)).as("_i"))
+    sizes.join(prevSizes, Seq("_t"))
+      .join(inter, Seq("_t"), "left")
+      .select(col("_t").as("tick"), col("k_prev"), col("_n").as("k_cur"),
+        coalesce(col("_i"), lit(0L)).as("inter"))
+      .withColumn("jaccard_ppm",
+        expr("inter * 1000000 div (k_prev + k_cur - inter)"))
+      .orderBy(col("tick"))
+  }
+
   /** Split-conformal calibration quantile — the distribution-free
     * prediction-interval radius: given held-out nonconformity scores
     * (|y − ŷ|, 1 − p_true, an anomaly score), q̂ is the

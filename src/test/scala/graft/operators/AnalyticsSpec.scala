@@ -2435,6 +2435,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(rb.getAs[Long]("df") == 1L && rb.getAs[Long]("chi2_ppm") == 0L)
   }
 
+  test("topkTurnover: consecutive-tick Jaccard of the top set") {
+    // tick 1 top2 {a,b}; tick 2 top2 {b,c}; tick 3 top2 {b,c}
+    val df = Seq((1L, "a", 10L), (1L, "b", 9L), (1L, "c", 1L),
+      (2L, "b", 10L), (2L, "c", 9L), (2L, "a", 1L),
+      (3L, "b", 10L), (3L, "c", 9L)).toDF("t", "k", "w")
+    val out = Analytics.topkTurnover(df, col("t"), col("k"), col("w"), 2)
+      .collect().map(r => r.getAs[Long]("tick") -> r).toMap
+    assert(out.size == 2) // tick 1 has no predecessor
+    assert(out(2L).getAs[Long]("inter") == 1L &&
+      out(2L).getAs[Long]("jaccard_ppm") == 333333L) // 1 / 3
+    assert(out(3L).getAs[Long]("inter") == 2L &&
+      out(3L).getAs[Long]("jaccard_ppm") == 1000000L)
+    // k larger than the tick population: sets are whole populations
+    val small = Seq((1L, "a", 1L), (2L, "a", 1L), (2L, "b", 1L))
+      .toDF("t", "k", "w")
+    val rs = Analytics.topkTurnover(small, col("t"), col("k"), col("w"), 5)
+      .collect().head
+    assert(rs.getAs[Long]("k_prev") == 1L && rs.getAs[Long]("k_cur") == 2L)
+    assert(rs.getAs[Long]("jaccard_ppm") == 500000L)
+  }
+
   test("conformalQuantile: (n+1) rank correction; small groups refuse") {
     // n = 9 scores 1..9, alpha = 0.1: m = ceil(10·0.9) = 9 -> qhat = 9
     val nine = (1L to 9L).map(v => ("g", v)).toDF("g", "v")
