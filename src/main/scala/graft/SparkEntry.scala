@@ -2727,6 +2727,14 @@ object SparkEntry {
       Analytics.aucRankSum(t(s, d, "lineitem"),
         (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))),
 
+    // Exact F1 sweep over the same price->returns signal: the
+    // deployable threshold AUC doesn't give, argmax via struct-max.
+    "q_f1_sweep" -> ((s, d) =>
+      Analytics.f1Sweep(t(s, d, "lineitem"),
+        (col("l_returnflag") === "R").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long"))),
+
     // Smoothed mean target encoding of order priority -> E[totalprice]:
     // integer cents, floor-div contract, m=20 shrink to global mean.
     "q_target_encode" -> ((s, d) =>
@@ -7290,6 +7298,39 @@ object SparkEntry {
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // suffix TP/FP off one window cumsum; max-by (f1, -threshold)
+    "q_f1_sweep" ->
+      """WITH cells AS (SELECT
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS s,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS pos,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS neg
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+        |  CAST(sum(neg) AS BIGINT) AS nn FROM cells),
+        |cum AS (SELECT s, pos, neg,
+        |  sum(pos) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cp,
+        |  sum(neg) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cn
+        |  FROM cells),
+        |sw AS (SELECT s, p, nn,
+        |  p - (cp - pos) AS tp, nn - (cn - neg) AS fp,
+        |  (p - (cp - pos)) * 2 * 1000000 //
+        |    ((p - (cp - pos)) + (nn - (cn - neg)) + p) AS f1
+        |  FROM cum CROSS JOIN tot),
+        |best AS (SELECT s, p, nn, tp, fp, f1,
+        |  row_number() OVER (ORDER BY f1 DESC, s ASC) AS rk FROM sw)
+        |SELECT p + nn AS n, p, s AS best_threshold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(f1 AS BIGINT) AS f1_ppm,
+        |  CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+        |  CASE WHEN p > 0 THEN CAST(tp * 1000000 // p AS BIGINT) END
+        |    AS recall_ppm
+        |FROM best WHERE rk = 1""".stripMargin,
 
     // same midrank-over-CDF identity, spelled with a window cumsum
     "q_auc" ->

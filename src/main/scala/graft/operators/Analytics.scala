@@ -2939,6 +2939,47 @@ object Analytics {
         col("w"))
   }
 
+  /** Exact F1 threshold sweep — the operating-point picker [[aucRankSum]]
+    * deliberately isn't: AUC scores the RANKING; a deployed filter
+    * needs ONE threshold, and the F1-optimal cut is the standard
+    * pick for imbalanced accept/reject gates (quality filters, dup
+    * classifiers). Every distinct score is a candidate threshold
+    * (predict positive at score ≥ t).
+    *
+    * Exact integers: per-score (pos, neg) cells, suffix TP/FP off ONE
+    * [[Relational.prefixSums]] pass (TP = P − prefix_exclusive), each
+    * candidate's F1 = 2TP/(TP+FP+P) as a ppm floor (denominator ≥ 1
+    * by construction — the threshold's own cell is non-empty), argmax
+    * by (f1, smaller threshold) via one struct-max aggregate — no
+    * sort of the sweep, no window. Output one row:
+    * (n, p, best_threshold, tp, fp, f1_ppm, precision_ppm,
+    * recall_ppm).
+    */
+  def f1Sweep(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+    val y = labelCol.cast("long")
+    val cells = df.where(labelCol.isNotNull && scoreCol.isNotNull)
+      .groupBy(scoreCol.cast("long").as("_s"))
+      .agg(sum(y).as("_pos"), sum(lit(1L) - y).as("_neg"))
+    val cum = Relational.prefixSums(cells, Seq(col("_s")),
+      Seq(col("_pos") -> "_cp", col("_neg") -> "_cn"))
+    val tot = cells.agg(coalesce(sum(col("_pos")), lit(0L)).as("_P"),
+      coalesce(sum(col("_neg")), lit(0L)).as("_N"))
+    val best = cum.crossJoin(broadcast(tot))
+      .withColumn("_tp", col("_P") - (col("_cp") - col("_pos")))
+      .withColumn("_fp", col("_N") - (col("_cn") - col("_neg")))
+      .withColumn("_f1", expr("_tp * 2 * 1000000 div (_tp + _fp + _P)"))
+      .agg(max(struct(col("_f1").as("f"), (-col("_s")).as("nt"),
+        col("_tp").as("tp"), col("_fp").as("fp"))).as("_m"),
+        first(col("_P")).as("p"), first(col("_N")).as("_n0"))
+    best.select((col("p") + col("_n0")).as("n"), col("p"),
+        (-col("_m.nt")).as("best_threshold"), col("_m.tp").as("tp"),
+        col("_m.fp").as("fp"), col("_m.f").as("f1_ppm"))
+      .withColumn("precision_ppm",
+        expr("tp * 1000000 div (tp + fp)"))
+      .withColumn("recall_ppm",
+        when(col("p") > 0, expr("tp * 1000000 div p")))
+  }
+
   /** Top-k turnover — stability of the leaderboard over time: the
     * Jaccard overlap of each tick's top-k KEY SET against the
     * previous tick's. A ranking whose top-10 churns half its members

@@ -2435,6 +2435,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(rb.getAs[Long]("df") == 1L && rb.getAs[Long]("chi2_ppm") == 0L)
   }
 
+  test("f1Sweep: perfect separation finds the clean cut") {
+    // neg at scores 1,2; pos at 3,4 -> t = 3 is a perfect filter
+    val df = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("y", "s")
+    val r = Analytics.f1Sweep(df, col("y"), col("s")).collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("p") == 2L)
+    assert(r.getAs[Long]("best_threshold") == 3L)
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 0L)
+    assert(r.getAs[Long]("f1_ppm") == 1000000L)
+    assert(r.getAs[Long]("precision_ppm") == 1000000L)
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    // interleaved: pos at 2,4, neg at 1,3 — t=2: TP=2 FP=1 F1=4/5;
+    // t=4: TP=1 FP=0 F1=2/3; t=2 wins
+    val mix = Seq((0L, 1L), (1L, 2L), (0L, 3L), (1L, 4L)).toDF("y", "s")
+    val rm = Analytics.f1Sweep(mix, col("y"), col("s")).collect().head
+    assert(rm.getAs[Long]("best_threshold") == 2L)
+    assert(rm.getAs[Long]("f1_ppm") == 800000L)
+    // no positives: recall refuses, f1 floor 0 at the smallest score
+    val nop = Seq((0L, 5L), (0L, 7L)).toDF("y", "s")
+    val rn = Analytics.f1Sweep(nop, col("y"), col("s")).collect().head
+    assert(rn.getAs[Long]("f1_ppm") == 0L &&
+      rn.getAs[Long]("best_threshold") == 5L &&
+      rn.isNullAt(rn.fieldIndex("recall_ppm")))
+  }
+
   test("topkTurnover: consecutive-tick Jaccard of the top set") {
     // tick 1 top2 {a,b}; tick 2 top2 {b,c}; tick 3 top2 {b,c}
     val df = Seq((1L, "a", 10L), (1L, "b", 9L), (1L, "c", 1L),
