@@ -2727,6 +2727,16 @@ object SparkEntry {
       Analytics.aucRankSum(t(s, d, "lineitem"),
         (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))),
 
+    // Rayleigh circular concentration of event hours per type: is
+    // activity circadian-clumped — JVM-embedded trig literals, 6dp
+    // decimal term sums, one IEEE shape.
+    "q_rayleigh" -> ((s, d) =>
+      Analytics.circularStats(t(s, d, "events"), col("event_type"),
+        hour(col("ts")))
+        .select(col("group").as("event_type"), col("n"), col("rbar"),
+          col("z"), col("sig_95"))
+        .orderBy(col("event_type"))),
+
     // Exact F1 sweep over the same price->returns signal: the
     // deployable threshold AUC doesn't give, argmax via struct-max.
     "q_f1_sweep" -> ((s, d) =>
@@ -7298,6 +7308,40 @@ object SparkEntry {
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // identical JVM-embedded trig CASE arms; 6dp decimal term sums
+    "q_rayleigh" -> {
+      val cosCase = (0 until 24).map(h =>
+        s"WHEN $h THEN CAST(${math.cos(2.0 * math.Pi * h / 24.0)} AS DOUBLE)")
+        .mkString("CASE h ", " ", " END")
+      val sinCase = (0 until 24).map(h =>
+        s"WHEN $h THEN CAST(${math.sin(2.0 * math.Pi * h / 24.0)} AS DOUBLE)")
+        .mkString("CASE h ", " ", " END")
+      s"""WITH cells AS (SELECT event_type AS g,
+         |  CAST(hour(ts) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS c
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1, 2),
+         |terms AS (SELECT g, c,
+         |  CAST(round(CAST(c AS DOUBLE) * ($cosCase), 6)
+         |    AS DECIMAL(28,6)) AS tc,
+         |  CAST(round(CAST(c AS DOUBLE) * ($sinCase), 6)
+         |    AS DECIMAL(28,6)) AS tss
+         |  FROM cells),
+         |ag AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+         |  COALESCE(sum(tc), 0) AS sc, COALESCE(sum(tss), 0) AS ss
+         |  FROM terms GROUP BY 1)
+         |SELECT g AS event_type, n,
+         |  round(sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) +
+         |    CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
+         |    CAST(n AS DOUBLE), 6) AS rbar,
+         |  round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) +
+         |    CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
+         |    CAST(n AS DOUBLE), 6) AS z,
+         |  round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) +
+         |    CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
+         |    CAST(n AS DOUBLE), 6) > 2.995732 AS sig_95
+         |FROM ag ORDER BY 1""".stripMargin
+    },
 
     // suffix TP/FP off one window cumsum; max-by (f1, -threshold)
     "q_f1_sweep" ->

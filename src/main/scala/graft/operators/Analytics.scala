@@ -2939,6 +2939,54 @@ object Analytics {
         col("w"))
   }
 
+  /** Circular concentration of event times (Rayleigh test) — is
+    * activity CLUMPED at a time of day or spread around the clock?
+    * A linear histogram can't answer this (23:00 and 01:00 look far
+    * apart); mapping hours to unit-circle angles makes "2 hours
+    * apart" mean the same thing everywhere. R̄ = |Σe^(iθ)|/n is the
+    * concentration (1 = single spike, 0 = uniform), z = n·R̄² the
+    * Rayleigh statistic with the z > ln20 ≈ 2.995732 fence for 5%
+    * (p ≈ e^(−z)) — the circadian-pattern detector for "is this
+    * bot-regular or human-spread".
+    *
+    * Cross-engine determinism: the 24 hour angles' cos/sin are
+    * computed ONCE in the JVM and embedded as literal CASE arms in
+    * BOTH engines' expressions (the libm-constant discipline —
+    * engine trig never runs on data); per-hour terms are
+    * 6dp-rounded decimal summands (order-proof; the uniform clock
+    * cancels to EXACT zero at 6dp), and R̄/z are one IEEE shape each
+    * off the exact sums. Shape: one (group, hour) aggregate (≤ 24
+    * cells per group), one closing row per group. Output:
+    * (group, n, rbar, z, sig_95).
+    */
+  def circularStats(df: DataFrame, groupCol: Column,
+      hourCol: Column): DataFrame = {
+    val cosCase = (0 until 24).map(h =>
+      s"WHEN $h THEN CAST(${math.cos(2.0 * math.Pi * h / 24.0)} AS DOUBLE)")
+      .mkString("CASE _h ", " ", " END")
+    val sinCase = (0 until 24).map(h =>
+      s"WHEN $h THEN CAST(${math.sin(2.0 * math.Pi * h / 24.0)} AS DOUBLE)")
+      .mkString("CASE _h ", " ", " END")
+    val cells = df.where(groupCol.isNotNull && hourCol.isNotNull)
+      .groupBy(groupCol.as("_g"), hourCol.cast("long").as("_h"))
+      .agg(count(lit(1)).as("_c"))
+    val terms = cells.select(col("_g"), col("_c"),
+      round(col("_c").cast("double") * expr(cosCase), 6)
+        .cast("decimal(28,6)").as("_tc"),
+      round(col("_c").cast("double") * expr(sinCase), 6)
+        .cast("decimal(28,6)").as("_ts"))
+    val sc = col("_sc").cast("double"); val ss = col("_ss").cast("double")
+    val nD = col("n").cast("double")
+    terms.groupBy(col("_g"))
+      .agg(sum(col("_c")).as("n"),
+        coalesce(sum(col("_tc")), lit(0L).cast("decimal(28,6)")).as("_sc"),
+        coalesce(sum(col("_ts")), lit(0L).cast("decimal(28,6)")).as("_ss"))
+      .select(col("_g").as("group"), col("n"),
+        round(sqrt(sc * sc + ss * ss) / nD, 6).as("rbar"),
+        round((sc * sc + ss * ss) / nD, 6).as("z"))
+      .withColumn("sig_95", col("z") > lit(2.995732d))
+  }
+
   /** Exact F1 threshold sweep — the operating-point picker [[aucRankSum]]
     * deliberately isn't: AUC scores the RANKING; a deployed filter
     * needs ONE threshold, and the F1-optimal cut is the standard

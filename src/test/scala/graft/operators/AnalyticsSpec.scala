@@ -2435,6 +2435,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(rb.getAs[Long]("df") == 1L && rb.getAs[Long]("chi2_ppm") == 0L)
   }
 
+  test("circularStats: spike concentrates, uniform clock cancels exactly") {
+    // five events at hour 0: rbar = 1, z = n = 5
+    val spike = (1 to 5).map(_ => ("g", 0L)).toDF("g", "h")
+    val r = Analytics.circularStats(spike, col("g"), col("h"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("rbar") == 1.0d && r.getAs[Double]("z") == 5.0d)
+    assert(r.getAs[Boolean]("sig_95"))
+    // one event per hour: the 6dp-rounded clock cancels to exact zero
+    val unif = (0 until 24).map(h => ("g", h.toLong)).toDF("g", "h")
+    val ru = Analytics.circularStats(unif, col("g"), col("h"))
+      .collect().head
+    assert(ru.getAs[Double]("rbar") == 0.0d && ru.getAs[Double]("z") == 0.0d)
+    assert(!ru.getAs[Boolean]("sig_95"))
+    // antipodal spikes cancel too
+    val anti = Seq(("g", 0L), ("g", 12L)).toDF("g", "h")
+    val ra = Analytics.circularStats(anti, col("g"), col("h"))
+      .collect().head
+    assert(ra.getAs[Double]("z") == 0.0d)
+  }
+
   test("f1Sweep: perfect separation finds the clean cut") {
     // neg at scores 1,2; pos at 3,4 -> t = 3 is a perfect filter
     val df = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("y", "s")
