@@ -1423,6 +1423,16 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(pairs, col("item_a"), col("item_b"))
     }),
 
+    // Moran's I: do co-purchased parts share a price tier — cleared-
+    // mean exact integers over the co-purchase edges, one division.
+    "q_moran" -> ((s, dd) => {
+      val pairs = graft.operators.Analytics.cooccurrence(
+        t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.moranI(pairs, col("item_a"), col("item_b"),
+        t(s, dd, "part"), col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"))
+    }),
+
     // Rich-club density ladder of the same co-purchase graph: exact
     // conditional counts per literal threshold, one ppm floor each.
     "q_rich_club" -> ((s, dd) => {
@@ -3069,6 +3079,13 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(t(s, d, "documents"), col("source"), col("text"),
         n = 3, maxDf = 1000)),
+
+    // Burrows' Delta between sources: mean |z-gap| of top-50 word
+    // rates on the dense grid — the stylometric "same generator?"
+    // distance, exact ppm rates and n-cleared variances.
+    "q_burrows" -> ((s, d) =>
+      Ranking.burrowsDelta(t(s, d, "documents"), col("source"),
+        col("text"), k = 50)),
 
     // Lexical diversity per source: type-token ratio + hapax share in
     // exact ppm — template/boilerplate feeds crater both.
@@ -5166,6 +5183,41 @@ object SparkEntry {
         |SELECT node, d AS degree, n_tri,
         |  CAST(n_tri * 2 AS DOUBLE) / CAST(d * (d - 1) AS DOUBLE) AS clustering
         |FROM pernode JOIN deg ON pernode.node = deg.n""".stripMargin,
+
+    // same co-purchase edges; HUGEINT cleared-mean z products
+    "q_moran" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT b FROM items GROUP BY b HAVING count(*) BETWEEN 2 AND 1024),
+        |kept AS (SELECT items.b, items.i FROM items JOIN sz USING (b)),
+        |e AS (SELECT a.i AS u, b.i AS v FROM kept a JOIN kept b
+        |      ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2),
+        |vals AS (SELECT p_partkey AS nd,
+        |  max(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS x
+        |  FROM part WHERE p_partkey IS NOT NULL
+        |    AND p_retailprice IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(x::HUGEINT) AS s FROM vals),
+        |z AS (SELECT nd, tot.n, x, tot.n::HUGEINT * x - s AS zz
+        |  FROM vals CROSS JOIN tot),
+        |den AS (SELECT max(n) AS n, COALESCE(sum(zz * zz), 0) AS q
+        |  FROM z),
+        |num AS (SELECT CAST(count(*) AS BIGINT) AS e,
+        |  COALESCE(sum(zu.zz * zv.zz), 0) AS p,
+        |  COALESCE(sum((zu.x::HUGEINT - zv.x) * (zu.x - zv.x)), 0) AS g
+        |  FROM e JOIN z zu ON e.u = zu.nd JOIN z zv ON e.v = zv.nd)
+        |SELECT CAST(n AS BIGINT) AS n, e,
+        |  CAST(CASE WHEN n >= 2 THEN -(1000000 // (n - 1)) END AS BIGINT)
+        |    AS ei_micros,
+        |  CASE WHEN e > 0 AND q > 0 THEN
+        |    round(CAST(n::HUGEINT * p AS DOUBLE) /
+        |      CAST(e::HUGEINT * q AS DOUBLE), 6)
+        |  END AS moran_i,
+        |  CASE WHEN e > 0 AND q > 0 THEN
+        |    round(CAST((n::HUGEINT - 1) * n * n * g AS DOUBLE) /
+        |      CAST(2 * e::HUGEINT * q AS DOUBLE), 6)
+        |  END AS geary_c
+        |FROM den CROSS JOIN num""".stripMargin,
 
     // same undirected edge/degree frames; per-threshold conditional
     // counts off one pass each, ppm floors
@@ -8161,6 +8213,39 @@ object SparkEntry {
          |  shared * 1000000 // least(ta.tot, tb.tot) AS containment_ppm
          |FROM pairs JOIN totals ta ON src_a = ta.g
          |JOIN totals tb ON src_b = tb.g""".stripMargin,
+
+    // same tokenizer; dense grid rates, n-cleared HUGEINT variances,
+    // the n·|Δr|/√S_w collapsed z-gap
+    "q_burrows" ->
+      s"""WITH toks AS (SELECT source AS s, unnest($W) AS w FROM documents
+         |  WHERE source IS NOT NULL AND text IS NOT NULL),
+         |counts AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY 1, 2),
+         |st AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM counts
+         |  GROUP BY 1),
+         |wt AS (SELECT w, CAST(sum(c) AS BIGINT) AS t FROM counts
+         |  GROUP BY 1),
+         |top AS (SELECT w FROM (SELECT w,
+         |  row_number() OVER (ORDER BY t DESC, w) AS rk FROM wt)
+         |  WHERE rk <= 50),
+         |dense AS (SELECT st.s, top.w,
+         |  CAST(COALESCE(c, 0) * 1000000 // st.n AS BIGINT) AS r
+         |  FROM st CROSS JOIN top LEFT JOIN counts
+         |    ON counts.s = st.s AND counts.w = top.w),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM st),
+         |stats AS (SELECT w, ns,
+         |  ns::HUGEINT * sum(r::HUGEINT * r) -
+         |    sum(r::HUGEINT) * sum(r::HUGEINT) AS sw
+         |  FROM dense CROSS JOIN ns GROUP BY 1, 2),
+         |pairs AS (SELECT a.s AS s1, b.s AS s2,
+         |  CAST(CASE WHEN sw > 0 THEN
+         |    round(CAST(ns AS DOUBLE) * CAST(abs(a.r - b.r) AS DOUBLE) /
+         |      sqrt(CAST(sw AS DOUBLE)), 6)
+         |  ELSE 0.0 END AS DECIMAL(18,6)) AS term
+         |  FROM dense a JOIN dense b ON a.w = b.w AND a.s < b.s
+         |  JOIN stats ON stats.w = a.w)
+         |SELECT s1, s2, round(CAST(sum(term) AS DOUBLE) / 50, 6) AS delta
+         |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same (group, word) counts folded to tokens/types/hapax
     "q_ttr" ->

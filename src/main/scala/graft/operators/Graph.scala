@@ -754,6 +754,72 @@ object Graph {
           expr("_ccsum div n_nodes_d2")).as("avg_cc_ppm"))
   }
 
+  /** Moran's I — autocorrelation of a NUMERIC node attribute over the
+    * graph: do connected nodes carry similar values (homophily: price
+    * tiers cluster in the co-purchase graph, spam scores cluster in
+    * the link graph) or dissimilar ones (bipartite-ish repulsion)?
+    * I > E[I] = −1/(n−1) says neighbors co-vary; the graph-native
+    * sibling of [[degreeAssortativity]] (which correlates DEGREES,
+    * not an external attribute).
+    *
+    * Exact integers via the cleared mean Z = n·x − Σx (never a
+    * rounded x̄): with 0/1 weights over the undirected edge set,
+    *
+    * {{{ I = n · Σ_edges Z_u·Z_v / (E · Σ Z²) }}}
+    *
+    * — decimal(38,0) sums into ONE IEEE division, rounded 6dp, null
+    * when the attribute is constant or the edge set empty. The node
+    * universe is the VALUES frame (one value per node — duplicate
+    * readings collapse by max); isolated nodes count in n and the
+    * denominator (the standard convention), edges to unvalued nodes
+    * drop. Shape: two |E|-row hash joins against the |V| z-frame and
+    * two closing aggregates — no pair structure beyond the edges
+    * themselves. Geary's C rides the SAME joins off the raw value
+    * gaps — the local-difference complement (Moran is global
+    * covariance; C < 1 similar neighbors, C > 1 dissimilar):
+    * C = (n−1)·n²·Σ_e(Δx)² / (2E·ΣZ²), also one exact division.
+    * Output one row: (n, e, ei_micros, moran_i, geary_c).
+    */
+  def moranI(edges: DataFrame, srcCol: Column, dstCol: Column,
+      values: DataFrame, nodeCol: Column, valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val e = edges
+      .select(least(srcCol, dstCol).as("_u"), greatest(srcCol, dstCol).as("_v"))
+      .where(col("_u") < col("_v"))
+      .distinct()
+    val vals = values.where(nodeCol.isNotNull && valueCol.isNotNull)
+      .groupBy(nodeCol.as("_n")).agg(max(valueCol.cast("long")).as("_x"))
+    val tot = vals.agg(count(lit(1)).as("n"), sum(dec(col("_x"))).as("_s"))
+    val z = graft.core.CacheRegistry.persist(
+      vals.crossJoin(broadcast(tot))
+        .select(col("_n"), col("n"), col("_x"),
+          (dec(col("n")) * col("_x") - col("_s")).cast("decimal(38,0)")
+            .as("_z")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val den = z.agg(first(col("n")).as("n"),
+      coalesce(sum(col("_z") * col("_z")), dec(lit(0L))).as("_q"))
+    val num = e
+      .join(z.select(col("_n").as("_u"), col("_z").as("_zu"),
+        col("_x").as("_xu")), Seq("_u"))
+      .join(z.select(col("_n").as("_v"), col("_z").as("_zv"),
+        col("_x").as("_xv")), Seq("_v"))
+      .agg(count(lit(1)).as("e"),
+        coalesce(sum(col("_zu") * col("_zv")), dec(lit(0L))).as("_p"),
+        coalesce(sum(dec(col("_xu") - col("_xv")) *
+          (col("_xu") - col("_xv"))), dec(lit(0L))).as("_g"))
+    den.crossJoin(broadcast(num))
+      .select(col("n"), col("e"),
+        when(col("n") >= 2L, expr("-(1000000 div (n - 1))")).as("ei_micros"),
+        when(col("e") > 0L && col("_q") > 0,
+          round((dec(col("n")) * col("_p")).cast("double") /
+            (dec(col("e")) * col("_q")).cast("double"), 6)).as("moran_i"),
+        when(col("e") > 0L && col("_q") > 0,
+          round(((dec(col("n")) - 1L) * dec(col("n")) * col("n") * col("_g"))
+              .cast("double") /
+            (lit(2L) * dec(col("e")) * col("_q")).cast("double"), 6))
+          .as("geary_c"))
+  }
+
   /** Rich-club coefficient ladder — do the high-degree nodes form
     * their own densely-wired club? For each degree threshold r:
     * φ(r) = 2·E_r / (N_r(N_r−1)) with N_r = nodes of degree > r and

@@ -1126,6 +1126,71 @@ object Ranking {
                  |END AS BIGINT)""".stripMargin)).as("kappa_ppm"))
   }
 
+  /** Burrows' Delta — the stylometric distance between SOURCES: mean
+    * |z-score gap| of the top-k corpus words' relative frequencies.
+    * Content words wash out (both sources use "model" a lot); what
+    * remains is function-word STYLE — the standard authorship /
+    * machine-vs-human / template-family signal, and a corpus-curation
+    * lens ("these two crawls are the same generator").
+    *
+    * Exactness: rates are integer ppm floors (c·10⁶ div tokens) on a
+    * DENSE source × top-word grid (absent words rate 0 — Burrows'
+    * convention), per-word n-cleared variance S_w = n·Σr² − (Σr)² is
+    * decimal-exact, and the z-gap collapses to n·|r₁−r₂|/√S_w (the
+    * means cancel in the difference) — one IEEE shape per (pair,
+    * word), 6dp decimal term sums, one closing division by k.
+    * Zero-variance words contribute 0. Top-k selection rides
+    * [[Relational.prefixSum]] over (−total, word) — no global window.
+    * Pair frame is sources²·k (sources are few; words capped at k).
+    * Output per pair (s1 < s2): (s1, s2, delta).
+    */
+  def burrowsDelta(df: DataFrame, sourceCol: Column, textCol: Column,
+      k: Int = 50): DataFrame = {
+    require(k >= 1, s"burrowsDelta: k must be >= 1, got $k")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val toks = df.where(sourceCol.isNotNull && textCol.isNotNull)
+      .select(sourceCol.cast("string").as("_s"),
+        explode(graft.functions.TextFunctions.words(textCol)).as("_w"))
+    val counts = graft.core.CacheRegistry.persist(
+      toks.groupBy(col("_s"), col("_w")).agg(count(lit(1)).as("_c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcTot = graft.core.CacheRegistry.persist(
+      counts.groupBy(col("_s")).agg(sum(col("_c")).as("_n")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = Relational.prefixSum(
+      counts.groupBy(col("_w")).agg(sum(col("_c")).as("_t"))
+        .select(col("_w"), (-col("_t")).as("_nt")),
+      Seq(col("_nt"), col("_w")), lit(1L), "_rank")
+      .where(col("_rank") <= k).select(col("_w"))
+    val dense = graft.core.CacheRegistry.persist(
+      srcTot.crossJoin(broadcast(top))
+        .join(counts, Seq("_s", "_w"), "left")
+        .select(col("_s"), col("_w"),
+          expr("coalesce(_c, 0) * 1000000 div _n").as("_r")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSrc = srcTot.agg(count(lit(1)).as("_ns"))
+    val stats = dense.groupBy(col("_w"))
+      .agg(sum(dec(col("_r"))).as("_sr"),
+        sum(dec(col("_r")) * col("_r")).as("_srr"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("_w"), col("_ns"),
+        (dec(col("_ns")) * col("_srr") - col("_sr") * col("_sr"))
+          .cast("decimal(38,0)").as("_sw"))
+    val a = dense.select(col("_w"), col("_s").as("s1"), col("_r").as("_r1"))
+    val b = dense.select(col("_w"), col("_s").as("s2"), col("_r").as("_r2"))
+    a.join(b, Seq("_w")).where(col("s1") < col("s2"))
+      .join(broadcast(stats), Seq("_w"))
+      .select(col("s1"), col("s2"),
+        when(col("_sw") > 0,
+          round(col("_ns").cast("double") *
+            abs(col("_r1") - col("_r2")).cast("double") /
+            sqrt(col("_sw").cast("double")), 6))
+          .otherwise(lit(0.0d)).cast("decimal(18,6)").as("_term"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(round(sum(col("_term")).cast("double") / k, 6).as("delta"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Cronbach's alpha — internal consistency of k ITEMS scored over n
     * units: do the per-item signals move together enough that their
     * sum is a reliable composite? The reliability gate on any

@@ -451,6 +451,32 @@ class GraphSpec extends SparkSpec {
     assert(r.getDouble(1) == -1.0)
   }
 
+  test("moranI: homophilous components hit 1; hand path value") {
+    // two equal-value pairs, edges within pairs only: perfect homophily
+    val e1 = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val v1 = Seq((1L, 4L), (2L, 4L), (3L, 0L), (4L, 0L)).toDF("n", "x")
+    val r1 = Graph.moranI(e1, col("src"), col("dst"), v1, col("n"), col("x"))
+      .collect().head
+    assert(r1.getAs[Long]("n") == 4L && r1.getAs[Long]("e") == 2L)
+    assert(r1.getAs[Double]("moran_i") == 1.0d)
+    assert(r1.getAs[Double]("geary_c") == 0.0d) // zero neighbor gaps
+    assert(r1.getAs[Long]("ei_micros") == -333333L)
+    // path 1-2-3 with values 1,1,5: Z = (−4,−4,8), ΣZuZv = 16 − 32,
+    // I = 3·(−16)/(2·96) = −0.25
+    val e2 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val v2 = Seq((1L, 1L), (2L, 1L), (3L, 5L)).toDF("n", "x")
+    val r2 = Graph.moranI(e2, col("src"), col("dst"), v2, col("n"), col("x"))
+      .collect().head
+    assert(r2.getAs[Double]("moran_i") == -0.25d)
+    // C = 2·9·16/(2·2·96) = 0.75
+    assert(r2.getAs[Double]("geary_c") == 0.75d)
+    // constant attribute: denominator 0 -> null
+    val v3 = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("n", "x")
+    val r3 = Graph.moranI(e2, col("src"), col("dst"), v3, col("n"), col("x"))
+      .collect().head
+    assert(r3.isNullAt(r3.fieldIndex("moran_i")))
+  }
+
   test("richClub: star has no club; clique is a perfect one") {
     // star 0-{1..4}: above r=0 everyone, density 2·4/(5·4) = 400000 ppm;
     // above r=1 only the hub -> club of 1, null

@@ -502,6 +502,28 @@ class RankingSpec extends SparkSpec {
     assert(deep.getAs[Long]("n_a") == 1L && deep.getAs[Long]("overlap_full") == 1L)
   }
 
+  test("burrowsDelta: z-gap distances on a 3-source toy corpus") {
+    import spark.implicits._
+    // A: "x x", B: "x y", C: "y y" — rates 1e6/0, 5e5/5e5, 0/1e6;
+    // S_w = 1.5e12 for both words; term = 3·|Δr|/√S_w
+    val df = Seq(("A", "x x"), ("B", "x y"), ("C", "y y"))
+      .toDF("src", "text")
+    val out = Ranking.burrowsDelta(df, col("src"), col("text"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("delta")).toMap
+    val near = BigDecimal(3.0 * 500000 / math.sqrt(1.5e12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val far = BigDecimal(3.0 * 1000000 / math.sqrt(1.5e12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("A", "B")) == near && out(("B", "C")) == near)
+    assert(out(("A", "C")) == far && far > near)
+    // identical sources: every gap zero
+    val same = Seq(("A", "x y z"), ("B", "x y z")).toDF("src", "text")
+    val rs = Ranking.burrowsDelta(same, col("src"), col("text"), k = 3)
+      .collect().head
+    assert(rs.getAs[Double]("delta") == 0.0d)
+  }
+
   test("cronbachAlpha: duplicate items 1.0; cancelling pair 0; sparse zeros") {
     import spark.implicits._
     def alpha(rows: Seq[(Long, String, Long)]): Option[Double] = {
