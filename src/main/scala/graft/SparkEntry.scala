@@ -1338,6 +1338,12 @@ object SparkEntry {
         t(s, d, "events"), col("user_id"),
         Seq(col("ts"), col("event_id")), col("event_type"))),
 
+    // Markov conditional entropy of the per-user event chain: how
+    // predictable is the next event type — gtest-discipline ln terms.
+    "q_markov_entropy" -> ((s, d) =>
+      Analytics.markovEntropy(t(s, d, "events"), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"))),
+
     // p-chart: daily purchase rate vs the pooled ±3σ binomial
     // limits — comparator-proof rounded fences, LCL clamped at 0.
     "q_pchart" -> ((s, d) =>
@@ -5093,6 +5099,28 @@ object SparkEntry {
         |SELECT c.from_state, c.to_state, c.n,
         |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
         |FROM c JOIN t USING (from_state)""".stripMargin,
+
+    // same lead pairs; integer-rounded n·ln(nf/n) micro terms
+    "q_markov_entropy" ->
+      """WITH p AS (SELECT event_type AS f,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t
+        |  FROM events),
+        |c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM p
+        |  WHERE f IS NOT NULL AND t IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT f, CAST(sum(n) AS BIGINT) AS nf FROM c GROUP BY 1),
+        |terms AS (SELECT n,
+        |  CAST(round(n * ln(CAST(nf AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS t
+        |  FROM c JOIN ft USING (f)),
+        |ag AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT)
+        |    AS n_transitions,
+        |  CAST(COALESCE(sum(t), 0) AS BIGINT) AS h FROM terms),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k_states FROM ft)
+        |SELECT n_transitions, k_states,
+        |  CASE WHEN n_transitions > 0 THEN h // n_transitions END
+        |    AS h_micros
+        |FROM ag CROSS JOIN kk""".stripMargin,
 
     // Mirrors ewma: the same recurrence as a per-key linear recursion
     // (each CTE iteration advances every key by one row_number), with

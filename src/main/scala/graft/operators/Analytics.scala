@@ -494,6 +494,40 @@ object Analytics {
         (col("n").cast("double") / col("_tot").cast("double")).as("p"))
   }
 
+  /** Markov conditional entropy — how PREDICTABLE is the next state
+    * given the current one? H(next|cur) = Σ (n_ft/N)·ln(n_f/n_ft)
+    * over the [[transitionMatrix]] cells: 0 nats = deterministic
+    * chain (bot-regular navigation, templated sessions), ln(k) =
+    * uniform chaos. The sequence-level complement of plain state
+    * entropy — two corpora with identical state HISTOGRAMS can sit at
+    * opposite ends of this.
+    *
+    * Determinism: each cell's term is the integer round of
+    * n_ft·ln(n_f/n_ft)·10⁶ — ln over an exact int64 ratio is the
+    * only transcendental (the [[gTest]] discipline), the bigint term
+    * sum is shuffle-order-proof, and the close is one floor-div by N.
+    * Shape: the transition aggregate (states² cells), one broadcast
+    * totals join, one closing row. Output:
+    * (n_transitions, k_states, h_micros).
+    */
+  def markovEntropy(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
+      stateCol: Column): DataFrame = {
+    val cells = transitionMatrix(df, keyCol, orderBy, stateCol)
+      .select(col("from_state"), col("n"))
+    val totals = cells.groupBy(col("from_state")).agg(sum(col("n")).as("_nf"))
+    cells.join(broadcast(totals), Seq("from_state"))
+      .select(col("n"),
+        expr("""CAST(round(n * ln(CAST(_nf AS DOUBLE) / CAST(n AS DOUBLE))
+          * 1000000) AS BIGINT)""").as("_t"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_transitions"),
+        coalesce(sum(col("_t")), lit(0L)).as("_h"))
+      .crossJoin(broadcast(
+        totals.agg(count(lit(1)).as("k_states"))))
+      .select(col("n_transitions"), col("k_states"),
+        when(col("n_transitions") > 0L,
+          expr("_h div n_transitions")).as("h_micros"))
+  }
+
   /** Trailing-window z-score anomaly detection: for each row, how many
     * sample standard deviations its value sits from the mean of the
     * PRECEDING `window` rows of its key (the current row is excluded —

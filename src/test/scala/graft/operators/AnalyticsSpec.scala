@@ -2435,6 +2435,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rb.getAs[Long]("df") == 1L && rb.getAs[Long]("chi2_ppm") == 0L)
   }
 
+  test("markovEntropy: deterministic chain 0; uniform branch ln 2") {
+    // A,B,A,B per user: every transition is forced -> H = 0
+    val det = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"))
+      .toDF("u", "t", "s")
+    val r = Analytics.markovEntropy(det, col("u"), Seq(col("t")), col("s"))
+      .collect().head
+    assert(r.getAs[Long]("n_transitions") == 3L)
+    assert(r.getAs[Long]("h_micros") == 0L)
+    // from A: half to B, half to C -> H = ln 2 nats = 693147 micros
+    val unif = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 1L, "A"), (2L, 2L, "C"),
+      (3L, 1L, "A"), (3L, 2L, "B"), (4L, 1L, "A"), (4L, 2L, "C"))
+      .toDF("u", "t", "s")
+    val ru = Analytics.markovEntropy(unif, col("u"), Seq(col("t")), col("s"))
+      .collect().head
+    assert(ru.getAs[Long]("n_transitions") == 4L &&
+      ru.getAs[Long]("k_states") == 1L)
+    assert(ru.getAs[Long]("h_micros") == 693147L)
+  }
+
   test("circularStats: spike concentrates, uniform clock cancels exactly") {
     // five events at hour 0: rbar = 1, z = n = 5
     val spike = (1 to 5).map(_ => ("g", 0L)).toDF("g", "h")
