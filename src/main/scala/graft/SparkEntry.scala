@@ -2753,6 +2753,15 @@ object SparkEntry {
           col("z"), col("sig_95"))
         .orderBy(col("event_type"))),
 
+    // Decile gains/lift of the same signal: equal-population deciles
+    // by rank, cumulative capture, exact lift — the targeting table.
+    "q_gains" -> ((s, d) =>
+      Analytics.gainsTable(t(s, d, "lineitem"),
+        col("l_orderkey") * 10 + col("l_linenumber"),
+        (col("l_returnflag") === "R").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long"))),
+
     // Exact F1 sweep over the same price->returns signal: the
     // deployable threshold AUC doesn't give, argmax via struct-max.
     "q_f1_sweep" -> ((s, d) =>
@@ -7422,6 +7431,33 @@ object SparkEntry {
          |    CAST(n AS DOUBLE), 6) > 2.995732 AS sig_95
          |FROM ag ORDER BY 1""".stripMargin
     },
+
+    // row_number rank desc, decile floor split, window cum capture
+    "q_gains" ->
+      """WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS s
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT y, CAST(row_number() OVER (ORDER BY -s, id)
+        |    AS BIGINT) AS rank,
+        |  CAST(count(*) OVER () AS BIGINT) AS n,
+        |  CAST(sum(y) OVER () AS BIGINT) AS p FROM base),
+        |d AS (SELECT (rank - 1) * 10 // n AS decile,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
+        |  max(r.n) AS nn, max(p) AS pp
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT decile, n, pos, nn, pp,
+        |  CAST(sum(pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_pos FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, n, pos, cum_pos,
+        |  CAST(CASE WHEN pp > 0 THEN cum_pos * 1000000 // pp END
+        |    AS BIGINT) AS cum_capture_ppm,
+        |  CAST(CASE WHEN pp > 0 THEN
+        |    pos::HUGEINT * nn * 1000000 // (n::HUGEINT * pp) END
+        |    AS BIGINT) AS lift_ppm
+        |FROM c ORDER BY 1""".stripMargin,
 
     // suffix TP/FP off one window cumsum; max-by (f1, -threshold)
     "q_f1_sweep" ->

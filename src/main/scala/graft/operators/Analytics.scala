@@ -3021,6 +3021,49 @@ object Analytics {
       .withColumn("sig_95", col("z") > lit(2.995732d))
   }
 
+  /** Decile gains/lift table — the CAMPAIGN view of a score that
+    * [[aucRankSum]] (ranking quality) and [[f1Sweep]] (one operating
+    * point) don't give: sort by score descending, split into 10
+    * equal-population deciles, and report each decile's positive
+    * capture and lift. "The top decile holds 4× its share of
+    * positives, the top three hold 80%" is the sentence a targeting /
+    * data-selection budget decision actually runs on.
+    *
+    * Exact integers: rank by (−score, id) off ONE
+    * [[Relational.prefixSums]] pass (no global window), decile =
+    * (rank−1)·10 div N (exactly equal populations ±1), per-decile
+    * counts, cumulative capture off a second prefix pass over the
+    * 10-row frame, lift = pos·N·10⁶ div (n·P). Output 10 rows:
+    * (decile, n, pos, cum_pos, cum_capture_ppm, lift_ppm); capture
+    * null when P = 0.
+    */
+  def gainsTable(df: DataFrame, idCol: Column, labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val y = labelCol.cast("long")
+    val base = df.where(idCol.isNotNull && labelCol.isNotNull &&
+        scoreCol.isNotNull)
+      .select(idCol.as("_id"), y.as("_y"),
+        (-scoreCol.cast("long")).as("_ns"))
+    val ranked = Relational.prefixSum(base, Seq(col("_ns"), col("_id")),
+      lit(1L), "_rank")
+    val tot = ranked.agg(count(lit(1)).as("_N"),
+      coalesce(sum(col("_y")), lit(0L)).as("_P"))
+    val perDec = ranked.crossJoin(broadcast(tot))
+      .groupBy(expr("(_rank - 1) * 10 div _N").as("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"),
+        first(col("_N")).as("_N"), first(col("_P")).as("_P"))
+    Relational.prefixSum(perDec, Seq(col("decile")), col("pos"), "cum_pos")
+      .select(col("decile"), col("n"), col("pos"), col("cum_pos"),
+        when(col("_P") > 0L,
+          expr("cum_pos * 1000000 div _P")).as("cum_capture_ppm"),
+        when(col("_P") > 0L,
+          // pos·N·10⁶ passes int64 at row scale — decimal numerator
+          expr("""CAST(CAST(pos AS DECIMAL(38,0)) * _N * 1000000
+            div (CAST(n AS DECIMAL(38,0)) * _P) AS BIGINT)"""))
+          .as("lift_ppm"))
+      .orderBy(col("decile"))
+  }
+
   /** Exact F1 threshold sweep — the operating-point picker [[aucRankSum]]
     * deliberately isn't: AUC scores the RANKING; a deployed filter
     * needs ONE threshold, and the F1-optimal cut is the standard

@@ -2475,6 +2475,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(ra.getAs[Double]("z") == 0.0d)
   }
 
+  test("gainsTable: top deciles capture the planted positives") {
+    // 20 rows, scores 20..1, positives on the top 5 scores
+    val df = (1 to 20).map(i => (i.toLong, if (i > 15) 1L else 0L, i.toLong))
+      .toDF("id", "y", "s")
+    val out = Analytics.gainsTable(df, col("id"), col("y"), col("s"))
+      .collect().map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(out.size == 10)
+    assert(out(0L).getAs[Long]("n") == 2L && out(0L).getAs[Long]("pos") == 2L)
+    assert(out(0L).getAs[Long]("cum_capture_ppm") == 400000L) // 2/5
+    assert(out(0L).getAs[Long]("lift_ppm") == 4000000L) // (2/2)/(5/20)
+    assert(out(1L).getAs[Long]("cum_capture_ppm") == 800000L)
+    assert(out(2L).getAs[Long]("pos") == 1L &&
+      out(2L).getAs[Long]("cum_capture_ppm") == 1000000L)
+    assert(out(9L).getAs[Long]("pos") == 0L &&
+      out(9L).getAs[Long]("cum_capture_ppm") == 1000000L &&
+      out(9L).getAs[Long]("lift_ppm") == 0L)
+  }
+
   test("f1Sweep: perfect separation finds the clean cut") {
     // neg at scores 1,2; pos at 3,4 -> t = 3 is a perfect filter
     val df = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("y", "s")
