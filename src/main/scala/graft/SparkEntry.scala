@@ -3868,6 +3868,20 @@ object SparkEntry {
         col("cx"), col("cy"), col("cz"))
     }),
 
+    // Bland-Altman over the same day-matched pair: systematic bias +
+    // 95% limits of agreement + how many days actually fall outside.
+    "q_bland_altman" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val a = daily.where(col("event_type") === "click")
+        .select(col("day"), col("cents").as("ca"))
+      val b = daily.where(col("event_type") === "view")
+        .select(col("day"), col("cents").as("cb"))
+      Analytics.blandAltman(a.join(b, Seq("day")), col("ca"), col("cb"))
+    }),
+
     // Lin's CCC over the same day-matched pair: does click volume
     // REPRODUCE view volume (y = x), not merely track it — exact
     // integer S-moments, one division, Pearson r beside.
@@ -10268,6 +10282,35 @@ object SparkEntry {
 
     // same day-matched join; exact S-moments in HUGEINT, mean-gap
     // penalty, the identical three IEEE readouts
+    // same day-matched pair; rounded bias/sd fences, integer d compare
+    "q_bland_altman" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.cents - b.cents AS d
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  COALESCE(sum(CAST(d AS HUGEINT)), 0) AS s1,
+        |  COALESCE(sum(CAST(d AS HUGEINT) * d), 0) AS s2 FROM j),
+        |st AS (SELECT n,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS bias,
+        |  CASE WHEN n >= 2 THEN
+        |    round(sqrt(CAST(n::HUGEINT * s2 - s1 * s1 AS DOUBLE) /
+        |      CAST(n::HUGEINT * (n - 1) AS DOUBLE)), 6)
+        |  END AS sd FROM m),
+        |lo AS (SELECT n, bias, sd,
+        |  CASE WHEN sd IS NOT NULL THEN round(bias - 1.96 * sd, 6) END
+        |    AS loa_lo,
+        |  CASE WHEN sd IS NOT NULL THEN round(bias + 1.96 * sd, 6) END
+        |    AS loa_hi FROM st)
+        |SELECT lo.n, bias, sd, loa_lo, loa_hi,
+        |  CAST(COALESCE(sum(CASE WHEN loa_lo IS NOT NULL AND
+        |    (CAST(d AS DOUBLE) < loa_lo OR CAST(d AS DOUBLE) > loa_hi)
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outside
+        |FROM lo CROSS JOIN j GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
     "q_ccc" ->
       """WITH daily AS (SELECT event_type,
         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,

@@ -4279,6 +4279,52 @@ object Analytics {
         round(ccc / r, 6)).as("c_b"))
   }
 
+  /** Bland-Altman agreement — the method-comparison readout beside
+    * [[concordanceCcc]]: CCC scores agreement as ONE number; Bland-
+    * Altman says HOW the methods disagree — systematic bias (mean
+    * difference) and the 95% limits of agreement (bias ± 1.96·sd),
+    * plus how many pairs actually fall outside them. The clinical /
+    * metrology standard for "can the cheap measurement replace the
+    * expensive one", which is exactly the cheap-model-vs-gold-labels
+    * question.
+    *
+    * Exactness: integer differences d = x − y, exact n·Σd² − (Σd)²
+    * in decimal(38,0), bias and sd each ONE fixed IEEE shape rounded
+    * 6dp, and the outside-count compares the integer d against the
+    * ROUNDED fences (comparator-proof on every engine). Two passes
+    * over the |pairs| frame (moments, then fence counts) — the frame
+    * is persisted. Output one row:
+    * (n, bias, sd, loa_lo, loa_hi, n_outside).
+    */
+  def blandAltman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = graft.core.CacheRegistry.persist(
+      df.where(xCol.isNotNull && yCol.isNotNull)
+        .select((xCol.cast("long") - yCol.cast("long")).as("_d")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = d.agg(count(lit(1)).as("n"), coalesce(sum(dec(col("_d"))),
+        dec(lit(0L))).as("_sd1"),
+      coalesce(sum(dec(col("_d")) * col("_d")), dec(lit(0L))).as("_sd2"))
+    val nD = col("n").cast("double")
+    val bias = col("_sd1").cast("double") / nD
+    val sd = sqrt((dec(col("n")) * col("_sd2") - col("_sd1") * col("_sd1"))
+      .cast("double") / (dec(col("n")) * (col("n") - 1L)).cast("double"))
+    val stats = m.select(col("n"), round(bias, 6).as("bias"),
+      when(col("n") >= 2L, round(sd, 6)).as("sd"))
+      .withColumn("loa_lo",
+        when(col("sd").isNotNull, round(col("bias") - lit(1.96d) * col("sd"), 6)))
+      .withColumn("loa_hi",
+        when(col("sd").isNotNull, round(col("bias") + lit(1.96d) * col("sd"), 6)))
+    d.crossJoin(broadcast(stats))
+      .agg(first(col("n")).as("n"), first(col("bias")).as("bias"),
+        first(col("sd")).as("sd"), first(col("loa_lo")).as("loa_lo"),
+        first(col("loa_hi")).as("loa_hi"),
+        sum(when(col("loa_lo").isNotNull &&
+          (col("_d").cast("double") < col("loa_lo") ||
+           col("_d").cast("double") > col("loa_hi")), 1L).otherwise(0L))
+          .as("n_outside"))
+  }
+
   /** Bivariate Mahalanobis outlier scoring — what a per-column
     * z-score ([[grubbs]], robust scaling) cannot see: a row that is
     * unremarkable on each axis but lies OFF THE CORRELATION RIDGE

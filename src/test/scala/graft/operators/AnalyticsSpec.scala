@@ -2475,6 +2475,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(ra.getAs[Double]("z") == 0.0d)
   }
 
+  test("blandAltman: bias/LoA hand values; heavy tail lands outside") {
+    // alternating ±1: zero bias, sd = sqrt(4/3), nothing outside
+    val alt = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 1L)).toDF("x", "y")
+    val r = Analytics.blandAltman(alt, col("x"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Double]("bias") == 0.0d)
+    val sdExp = BigDecimal(math.sqrt(16.0 / 12.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("sd") == sdExp)
+    assert(r.getAs[Long]("n_outside") == 0L)
+    // twenty zero-diff pairs plus one +100: the spike exits the LoA
+    val rows = Seq.fill(20)((5L, 5L)) :+ ((105L, 5L))
+    val rt = Analytics.blandAltman(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    val bias = BigDecimal(100.0 / 21)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rt.getAs[Double]("bias") == bias)
+    assert(rt.getAs[Long]("n_outside") == 1L)
+    // single pair: sd undefined -> LoA null, nothing counted outside
+    val one = Seq((3L, 1L)).toDF("x", "y")
+    val ro = Analytics.blandAltman(one, col("x"), col("y"))
+      .collect().head
+    assert(ro.isNullAt(ro.fieldIndex("sd")) &&
+      ro.getAs[Long]("n_outside") == 0L)
+  }
+
   test("gainsTable: top deciles capture the planted positives") {
     // 20 rows, scores 20..1, positives on the top 5 scores
     val df = (1 to 20).map(i => (i.toLong, if (i > 15) 1L else 0L, i.toLong))
