@@ -1338,6 +1338,12 @@ object SparkEntry {
         t(s, d, "events"), col("user_id"),
         Seq(col("ts"), col("event_id")), col("event_type"))),
 
+    // Eventually-follows graph: detour-proof ordered-pair support per
+    // user — the process-discovery relation direct transitions miss.
+    "q_follows" -> ((s, d) =>
+      Analytics.eventuallyFollows(t(s, d, "events"), col("user_id"),
+        col("event_type"), col("ts"), col("event_id"))),
+
     // Markov conditional entropy of the per-user event chain: how
     // predictable is the next event type — gtest-discipline ln terms.
     "q_markov_entropy" -> ((s, d) =>
@@ -5122,6 +5128,28 @@ object SparkEntry {
         |SELECT c.from_state, c.to_state, c.n,
         |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
         |FROM c JOIN t USING (from_state)""".stripMargin,
+
+    // first/last picks via ordered row_number; explicit lexicographic
+    // (t, id) compare mirrors the struct ordering
+    "q_follows" ->
+      """WITH base AS (SELECT user_id AS u, event_type AS a,
+        |  epoch_us(ts) AS t, event_id AS i FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |f AS (SELECT u, a, t, i FROM (SELECT u, a, t, i,
+        |  row_number() OVER (PARTITION BY u, a ORDER BY t, i) AS rn
+        |  FROM base) WHERE rn = 1),
+        |l AS (SELECT u, a, t, i FROM (SELECT u, a, t, i,
+        |  row_number() OVER (PARTITION BY u, a ORDER BY t DESC, i DESC)
+        |    AS rn FROM base) WHERE rn = 1),
+        |p AS (SELECT f.a AS a, l.a AS b,
+        |  CASE WHEN f.t < l.t OR (f.t = l.t AND f.i < l.i)
+        |    THEN 1 ELSE 0 END AS fl
+        |  FROM f JOIN l ON f.u = l.u AND f.a <> l.a)
+        |SELECT a, b, CAST(count(*) AS BIGINT) AS n_both,
+        |  CAST(sum(fl) AS BIGINT) AS n_follows,
+        |  CAST(sum(fl) * 1000000 // count(*) AS BIGINT) AS support_ppm
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same lead pairs; integer-rounded n·ln(nf/n) micro terms
     "q_markov_entropy" ->

@@ -494,6 +494,47 @@ object Analytics {
         (col("n").cast("double") / col("_tot").cast("double")).as("p"))
   }
 
+  /** Eventually-follows graph — the process-mining relation
+    * [[transitionMatrix]] (DIRECT successions only) cannot see: for
+    * each ordered state pair (a, b), among users who did both, how
+    * often did SOME a precede SOME b? Detours hide direct a→b edges;
+    * the eventually-follows support survives them — the standard
+    * first artifact of process discovery ("checkout eventually
+    * follows search 94% of the time, the reverse 3%").
+    *
+    * Exact and deterministic: per (user, state) FIRST and LAST
+    * occurrence as lexicographic (timestamp, id) struct min/max (the
+    * id breaks timestamp ties identically on every engine), a
+    * follows b per user iff first(a) < last(b), support as one ppm
+    * floor over users holding both states. Shape: one per-(user,
+    * state) aggregate (≤ k rows per user), a per-user k² pair join,
+    * one bounded (k²) closing aggregate. Output per ordered pair:
+    * (a, b, n_both, n_follows, support_ppm).
+    */
+  def eventuallyFollows(df: DataFrame, userCol: Column, stateCol: Column,
+      tsCol: Column, idCol: Column): DataFrame = {
+    val us = unix_micros(tsCol.cast("timestamp"))
+    val per = graft.core.CacheRegistry.persist(
+      df.where(userCol.isNotNull && stateCol.isNotNull &&
+          tsCol.isNotNull && idCol.isNotNull)
+        .groupBy(userCol.as("_u"), stateCol.as("_a"))
+        .agg(min(struct(us.as("t"), idCol.as("i"))).as("_first"),
+          max(struct(us.as("t"), idCol.as("i"))).as("_last")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = per.select(col("_u"), col("_a"), col("_first"))
+    val r = per.select(col("_u"), col("_a").as("_b"),
+      col("_last").as("_lastb"))
+    l.join(r, Seq("_u"))
+      .where(col("_a") =!= col("_b"))
+      .groupBy(col("_a").as("a"), col("_b").as("b"))
+      .agg(count(lit(1)).as("n_both"),
+        sum(when(col("_first") < col("_lastb"), 1L).otherwise(0L))
+          .as("n_follows"))
+      .withColumn("support_ppm",
+        expr("n_follows * 1000000 div n_both"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Markov conditional entropy — how PREDICTABLE is the next state
     * given the current one? H(next|cur) = Σ (n_ft/N)·ln(n_f/n_ft)
     * over the [[transitionMatrix]] cells: 0 nats = deterministic

@@ -2435,6 +2435,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(rb.getAs[Long]("df") == 1L && rb.getAs[Long]("chi2_ppm") == 0L)
   }
 
+  test("eventuallyFollows: detour-proof ordering support") {
+    // u1: A@1, B@2; u2: B@1, A@2, B@3 — A..B holds for both users,
+    // B..A only for u2
+    val df = Seq((1L, "A", 1L, 10L), (1L, "B", 2L, 11L),
+      (2L, "B", 1L, 20L), (2L, "A", 2L, 21L), (2L, "B", 3L, 22L))
+      .toDF("u", "s", "t", "id")
+      .select(col("u"), col("s"), col("t").cast("timestamp").as("ts"),
+        col("id"))
+    val out = Analytics.eventuallyFollows(df, col("u"), col("s"),
+      col("ts"), col("id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("A", "B")).getAs[Long]("n_both") == 2L &&
+      out(("A", "B")).getAs[Long]("n_follows") == 2L &&
+      out(("A", "B")).getAs[Long]("support_ppm") == 1000000L)
+    assert(out(("B", "A")).getAs[Long]("n_follows") == 1L &&
+      out(("B", "A")).getAs[Long]("support_ppm") == 500000L)
+    // timestamp tie broken by id: A and B at the same instant, A id
+    // smaller -> A precedes B, not the reverse
+    val tie = Seq((1L, "A", 5L, 1L), (1L, "B", 5L, 2L))
+      .toDF("u", "s", "t", "id")
+      .select(col("u"), col("s"), col("t").cast("timestamp").as("ts"),
+        col("id"))
+    val ot = Analytics.eventuallyFollows(tie, col("u"), col("s"),
+      col("ts"), col("id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_follows")).toMap
+    assert(ot(("A", "B")) == 1L && ot(("B", "A")) == 0L)
+  }
+
   test("markovEntropy: deterministic chain 0; uniform branch ln 2") {
     // A,B,A,B per user: every transition is forced -> H = 0
     val det = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"))
