@@ -1059,6 +1059,12 @@ object SparkEntry {
     // in (stopword-quality DESC, doc_id) order — range-partitioned
     // prefix sums, never a single-partition running-sum window. The
     // oracle recomputes the running total with a plain window.
+    // ABC tiers of customers by lifetime order value: interval-start
+    // class assignment, exact decimal boundary cross-products.
+    "q_abc" -> ((s, d) =>
+      TrainingData.abcClasses(t(s, d, "orders"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
+
     // Hamilton apportionment of a 1M-token budget across sources by
     // total chars: exact floors + largest remainders, sum == budget.
     "q_apportion" -> ((s, d) =>
@@ -3874,6 +3880,20 @@ object SparkEntry {
         col("cx"), col("cy"), col("cz"))
     }),
 
+    // Deming orthogonal fit over the same day-matched pair: the
+    // dilution-free symmetric line completing the comparison trio.
+    "q_deming" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val a = daily.where(col("event_type") === "click")
+        .select(col("day"), col("cents").as("ca"))
+      val b = daily.where(col("event_type") === "view")
+        .select(col("day"), col("cents").as("cb"))
+      Analytics.demingFit(a.join(b, Seq("day")), col("ca"), col("cb"))
+    }),
+
     // Bland-Altman over the same day-matched pair: systematic bias +
     // 95% limits of agreement + how many days actually fall outside.
     "q_bland_altman" -> ((s, d) => {
@@ -4738,6 +4758,30 @@ object SparkEntry {
          |  (nw BETWEEN 40 AND 1000) AND (mwl BETWEEN 3.0 AND 10.0) AND sym <= 0.1
          |    AND alr >= 0.5 AND (str BETWEEN 0.0 AND 0.6) AS keep
          |FROM v""".stripMargin,
+
+    // rank-desc cumsum; interval-start HUGEINT boundary compares
+    "q_abc" ->
+      """WITH per AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS w
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1 HAVING sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    * 100 AS BIGINT)) > 0),
+        |tot AS (SELECT sum(w::HUGEINT) AS tw FROM per),
+        |r AS (SELECT k, w,
+        |  sum(w) OVER (ORDER BY -w, k ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM per),
+        |cl AS (SELECT k, w,
+        |  CASE WHEN (cum - w)::HUGEINT * 1000000 < 700000 * tw THEN 'A'
+        |       WHEN (cum - w)::HUGEINT * 1000000 < 900000 * tw THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |  FROM r CROSS JOIN tot)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(w) AS BIGINT) AS weight,
+        |  CAST(sum(w::HUGEINT) * 1000000 // tw AS BIGINT)
+        |    AS weight_share_ppm
+        |FROM cl CROSS JOIN tot GROUP BY 1, tw ORDER BY 1""".stripMargin,
 
     // HUGEINT floors and remainders; leftover seats by remainder rank
     "q_apportion" ->
@@ -10310,6 +10354,38 @@ object SparkEntry {
 
     // same day-matched join; exact S-moments in HUGEINT, mean-gap
     // penalty, the identical three IEEE readouts
+    // same S-moments; one IEEE slope shape, intercept off rounded slope
+    "q_deming" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.cents AS x, b.cents AS y
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy FROM j),
+        |s AS (SELECT n, sx, sy,
+        |  n::HUGEINT * sxx - sx * sx AS vxx,
+        |  n::HUGEINT * syy - sy * sy AS vyy,
+        |  n::HUGEINT * sxy - sx * sy AS vxy FROM m),
+        |sl AS (SELECT n, sx, sy,
+        |  CASE WHEN vxy <> 0 THEN
+        |    round((CAST(vyy - vxx AS DOUBLE) +
+        |      sqrt(CAST(vyy - vxx AS DOUBLE) * CAST(vyy - vxx AS DOUBLE) +
+        |        4.0 * (CAST(vxy AS DOUBLE) * CAST(vxy AS DOUBLE)))) /
+        |      (2.0 * CAST(vxy AS DOUBLE)), 6)
+        |  END AS slope FROM s)
+        |SELECT n, slope,
+        |  CASE WHEN slope IS NOT NULL THEN
+        |    round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+        |      CAST(n AS DOUBLE), 6)
+        |  END AS intercept
+        |FROM sl""".stripMargin,
+
     // same day-matched pair; rounded bias/sd fences, integer d compare
     "q_bland_altman" ->
       """WITH daily AS (SELECT event_type,

@@ -4320,6 +4320,48 @@ object Analytics {
         round(ccc / r, 6)).as("c_b"))
   }
 
+  /** Deming (orthogonal, λ=1) regression — the method-comparison
+    * LINE: ordinary least squares assumes x is error-free and biases
+    * the slope toward 0 when both measurements are noisy (regression
+    * dilution); Deming splits the error evenly and recovers the
+    * symmetric relationship — with [[blandAltman]] (bias bands) and
+    * [[concordanceCcc]] (one-number agreement) this completes the
+    * standard method-comparison trio.
+    *
+    * {{{ slope = (S_yy − S_xx + √((S_yy − S_xx)² + 4·S_xy²)) / (2·S_xy) }}}
+    *
+    * with every S in the n-cleared exact form n·Σab − Σa·Σb
+    * (decimal(38,0)), ONE fixed IEEE shape for the slope and one for
+    * the intercept (ȳ − slope·x̄ off the exact sums), rounded 6dp;
+    * null when S_xy = 0 (no linear co-movement — the orthogonal line
+    * is vertical or undefined). One aggregate over the pair frame.
+    * Output one row: (n, slope, intercept).
+    */
+  def demingFit(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = xCol.cast("long"); val y = yCol.cast("long")
+    val m = df.where(xCol.isNotNull && yCol.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(x)).as("_sx"), sum(dec(y)).as("_sy"),
+        sum(dec(x) * x).as("_sxx"), sum(dec(y) * y).as("_syy"),
+        sum(dec(x) * y).as("_sxy"))
+      .select(col("n"), col("_sx"), col("_sy"),
+        (dec(col("n")) * col("_sxx") - col("_sx") * col("_sx")).as("_Sxx"),
+        (dec(col("n")) * col("_syy") - col("_sy") * col("_sy")).as("_Syy"),
+        (dec(col("n")) * col("_sxy") - col("_sx") * col("_sy")).as("_Sxy"))
+    val dD = (col("_Syy") - col("_Sxx")).cast("double")
+    // null-guard the denominator itself (ANSI + CSE eager division)
+    val sxyD = when(col("_Sxy") =!= 0, col("_Sxy")).cast("double")
+    val slope = (dD + sqrt(dD * dD + lit(4.0d) * (sxyD * sxyD))) /
+      (lit(2.0d) * sxyD)
+    m.withColumn("slope", round(slope, 6))
+      .select(col("n"), col("slope"),
+        when(col("slope").isNotNull,
+          round((col("_sy").cast("double") -
+            col("slope") * col("_sx").cast("double")) /
+            col("n").cast("double"), 6)).as("intercept"))
+  }
+
   /** Bland-Altman agreement — the method-comparison readout beside
     * [[concordanceCcc]]: CCC scores agreement as ONE number; Bland-
     * Altman says HOW the methods disagree — systematic bias (mean

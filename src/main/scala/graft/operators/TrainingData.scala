@@ -996,6 +996,52 @@ object TrainingData {
     * max-length/width. Output: (bucket, n_docs, total_len, pad_target,
     * waste, waste_ppm).
     */
+  /** ABC (Pareto-class) analysis — split keys into the classic
+    * A/B/C tiers by cumulative weight share: A carries the head of
+    * the distribution (default to 70%), B the middle (to 90%), C the
+    * tail. The inventory/corpus triage readout: "2% of sources are
+    * class A — audit them by hand; the C tail is 80% of keys and 10%
+    * of tokens — sample it". Classes are assigned by where each
+    * key's interval STARTS on the cumulative axis (start < boundary),
+    * so the single-dominant-key corpus still has a class A.
+    *
+    * Exact integers: weights ranked by (weight desc, key) through
+    * [[Relational.prefixSum]] (no global window), boundaries compared
+    * as decimal cross-products (start·10⁶ < ppm·W — no division),
+    * one bounded closing aggregate. Output ≤ 3 rows:
+    * (abc_class, n_keys, weight, weight_share_ppm).
+    */
+  def abcClasses(df: DataFrame, keyCol: Column, weightCol: Column,
+      aPpm: Long = 700000L, bPpm: Long = 900000L): DataFrame = {
+    require(0 < aPpm && aPpm < bPpm && bPpm <= 1000000L,
+      s"abcClasses: need 0 < aPpm < bPpm <= 1e6, got $aPpm, $bPpm")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = graft.core.CacheRegistry.persist(
+      df.where(keyCol.isNotNull && weightCol.isNotNull)
+        .groupBy(keyCol.cast("string").as("_k"))
+        .agg(sum(weightCol.cast("long")).as("_w"))
+        .where(col("_w") > 0),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = per.agg(sum(dec(col("_w"))).as("_tw"))
+    val ranked = Relational.prefixSum(
+      per.select(col("_k"), col("_w"), (-col("_w")).as("_nw")),
+      Seq(col("_nw"), col("_k")), col("_w"), "_cum")
+      .select(col("_k"), col("_w"),
+        (dec(col("_cum") - col("_w")) * 1000000L).as("_start"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("_start") < dec(lit(aPpm)) * col("_tw"), "A")
+          .when(col("_start") < dec(lit(bPpm)) * col("_tw"), "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("_w")).as("weight"),
+        first(col("_tw")).as("_tw"))
+      .select(col("abc_class"), col("n_keys"), col("weight"),
+        expr("CAST(CAST(weight AS DECIMAL(38,0)) * 1000000 div _tw AS BIGINT)")
+          .as("weight_share_ppm"))
+      .orderBy(col("abc_class"))
+  }
+
   /** Largest-remainder (Hamilton) apportionment — split an integer
     * budget across strata EXACTLY proportionally to their weights:
     * token quotas per source in a training-data recipe, sample

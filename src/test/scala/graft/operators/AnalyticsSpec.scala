@@ -2504,6 +2504,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(ra.getAs[Double]("z") == 0.0d)
   }
 
+  test("demingFit: exact symmetric lines; no co-movement refuses") {
+    // y = 2x + 3 exactly: S_xx = 6, S_yy = 24, S_xy = 12 -> slope 2
+    val df = Seq((0L, 3L), (1L, 5L), (2L, 7L)).toDF("x", "y")
+    val r = Analytics.demingFit(df, col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("slope") == 2.0d)
+    assert(r.getAs[Double]("intercept") == 3.0d)
+    // symmetry: swapping axes inverts the slope exactly (OLS wouldn't)
+    val rs = Analytics.demingFit(df, col("y"), col("x")).collect().head
+    assert(rs.getAs[Double]("slope") == 0.5d)
+    // zero covariance: vertical/undefined orthogonal line -> null
+    val z = Seq((0L, 0L), (0L, 2L), (2L, 1L), (-2L, 1L)).toDF("x", "y")
+    val rz = Analytics.demingFit(z, col("x"), col("y")).collect().head
+    assert(rz.isNullAt(rz.fieldIndex("slope")))
+  }
+
   test("blandAltman: bias/LoA hand values; heavy tail lands outside") {
     // alternating ±1: zero bias, sd = sqrt(4/3), nothing outside
     val alt = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 1L)).toDF("x", "y")

@@ -503,6 +503,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(rs.getAs[Long]("top_share_ppm") == 800000L)
   }
 
+  test("abcClasses: interval-start tiering; dominant key stays in A") {
+    import org.apache.spark.sql.functions.col
+    // 70/20/10: textbook one key per class
+    val df = Seq(("big", 70L), ("mid", 20L), ("tail", 10L)).toDF("k", "w")
+    val out = TrainingData.abcClasses(df, col("k"), col("w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("weight"),
+          r.getAs[Long]("weight_share_ppm"))).toMap
+    assert(out("A") == ((1L, 70L, 700000L)))
+    assert(out("B") == ((1L, 20L, 200000L)))
+    assert(out("C") == ((1L, 10L, 100000L)))
+    // a 95% single key starts at 0 -> class A, the 5% key starts at
+    // 95% -> straight to C, no empty-A artifact
+    val dom = Seq(("whale", 95L), ("shrimp", 5L)).toDF("k", "w")
+    val od = TrainingData.abcClasses(dom, col("k"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_keys")).toMap
+    assert(od == Map("A" -> 1L, "C" -> 1L))
+  }
+
   test("apportion: floors + largest remainders always hit the total") {
     import org.apache.spark.sql.functions.col
     def run(ws: Seq[(String, Long)], total: Long) =
