@@ -3266,6 +3266,15 @@ object SparkEntry {
         expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"),
         col("user_id"), expr("CAST(round(value * 100) AS BIGINT)"), 10)),
 
+    // CVaR / expected shortfall of event cents per type: the closed
+    // p95 tail mean — what the worst 5% costs, not where it starts.
+    "q_cvar" -> ((s, d) =>
+      Analytics.cvar(t(s, d, "events"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"), p = 0.95)
+        .select(col("group").as("event_type"), col("n"), col("var_value"),
+          col("tail_n"), col("cvar_micros"))
+        .orderBy(col("event_type"))),
+
     // Split-conformal 90% radius per event type over cents scores:
     // the (n+1)-corrected calibration quantile, null when n is too
     // small to certify the coverage.
@@ -8774,6 +8783,30 @@ object SparkEntry {
         |FROM sz cur JOIN sz prev ON cur.t = prev.t + 1
         |LEFT JOIN iv ON iv.t = cur.t
         |ORDER BY 1""".stripMargin,
+
+    // same per-group CDF; closed-tail conditional sums, micros floor
+    "q_cvar" ->
+      """WITH cells AS (SELECT event_type AS g,
+        |  CAST(round(value * 100) AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c,
+        |  sum(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY g) AS n FROM cells),
+        |qv AS (SELECT g, CAST(max(n) AS BIGINT) AS n, min(v) AS q
+        |  FROM cdf WHERE cum >= ceil(0.95 * n) GROUP BY 1),
+        |tl AS (SELECT cells.g,
+        |  CAST(sum(CASE WHEN v >= q THEN c ELSE 0 END) AS BIGINT)
+        |    AS tail_n,
+        |  COALESCE(sum(CASE WHEN v >= q THEN v::HUGEINT * c END), 0)
+        |    AS ts
+        |  FROM cells JOIN qv ON cells.g = qv.g GROUP BY 1)
+        |SELECT qv.g AS event_type, n, q AS var_value, tail_n,
+        |  CAST(CASE WHEN tail_n > 0 THEN ts * 1000000 // tail_n END
+        |    AS BIGINT) AS cvar_micros
+        |FROM qv JOIN tl ON qv.g = tl.g ORDER BY 1""".stripMargin,
 
     // same per-group CDF; ceil-div (n+1) rank, conditional min
     "q_conformal" ->

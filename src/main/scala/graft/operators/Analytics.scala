@@ -3189,6 +3189,48 @@ object Analytics {
       .orderBy(col("tick"))
   }
 
+  /** CVaR / expected shortfall — the tail MEAN beyond the
+    * p-quantile: the quantile says where the tail starts; CVaR says
+    * how bad it is once you're in it ("p95 latency is 2s, but the
+    * mean of the worst 5% is 9s" — the number an SLA budget or a
+    * risk charge actually depends on). Quantile-only monitoring is
+    * blind to exactly this.
+    *
+    * Exact integers: the per-group p-quantile off the
+    * [[cellQuantiles]] CDF (smallest v with cum ≥ ⌈p·n⌉), the tail
+    * as conditional sums over the SAME cell frame (v ≥ q — ties
+    * included, the standard closed tail), one micros floor for the
+    * mean. One row-scale groupBy + one broadcast quantile join — the
+    * [[iqrOutliers]] fused single-scan discipline. Output per group:
+    * (group, n, var_value, tail_n, cvar_micros) where cvar_micros =
+    * tail_sum·10⁶ div tail_n (non-negative inputs assumed — values
+    * are cents/ticks).
+    */
+  def cvar(df: DataFrame, groupCol: Column, valueCol: Column,
+      p: Double = 0.95): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"cvar: p must be in (0,1), got $p")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(groupCol.isNotNull && valueCol.isNotNull)
+        .groupBy(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .agg(count(lit(1)).as("_c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = cellQuantiles(cells, Seq(p))
+      .select(col("_g"), col("_n"), col("_q0"))
+    cells.join(broadcast(q), Seq("_g"))
+      .groupBy(col("_g"))
+      .agg(first(col("_n")).as("n"), first(col("_q0")).as("var_value"),
+        sum(when(col("_v") >= col("_q0"), col("_c")).otherwise(0L))
+          .as("tail_n"),
+        coalesce(sum(when(col("_v") >= col("_q0"),
+          dec(col("_v")) * col("_c"))), dec(lit(0L))).as("_ts"))
+      .select(col("_g").as("group"), col("n"), col("var_value"),
+        col("tail_n"),
+        when(col("tail_n") > 0L,
+          expr("CAST(_ts * 1000000 div tail_n AS BIGINT)"))
+          .as("cvar_micros"))
+  }
+
   /** Split-conformal calibration quantile — the distribution-free
     * prediction-interval radius: given held-out nonconformity scores
     * (|y − ŷ|, 1 − p_true, an anomaly score), q̂ is the

@@ -2609,6 +2609,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(rs.getAs[Long]("jaccard_ppm") == 500000L)
   }
 
+  test("cvar: closed-tail mean beyond the exact quantile") {
+    val df = (1L to 100L).map(v => ("g", v)).toDF("g", "v")
+    // p95: VaR = 95, tail {95..100}, mean 97.5
+    val r = Analytics.cvar(df, col("g"), col("v"), p = 0.95)
+      .collect().head
+    assert(r.getAs[Long]("var_value") == 95L && r.getAs[Long]("tail_n") == 6L)
+    assert(r.getAs[Long]("cvar_micros") == 97500000L)
+    // p50: VaR = 50, tail {50..100}, mean 75
+    val r5 = Analytics.cvar(df, col("g"), col("v"), p = 0.5)
+      .collect().head
+    assert(r5.getAs[Long]("var_value") == 50L &&
+      r5.getAs[Long]("cvar_micros") == 75000000L)
+    // ties at the quantile are all inside the tail
+    val t = Seq(("g", 1L), ("g", 9L), ("g", 9L), ("g", 9L)).toDF("g", "v")
+    val rt = Analytics.cvar(t, col("g"), col("v"), p = 0.5)
+      .collect().head
+    assert(rt.getAs[Long]("var_value") == 9L && rt.getAs[Long]("tail_n") == 3L)
+    assert(rt.getAs[Long]("cvar_micros") == 9000000L)
+  }
+
   test("conformalQuantile: (n+1) rank correction; small groups refuse") {
     // n = 9 scores 1..9, alpha = 0.1: m = ceil(10·0.9) = 9 -> qhat = 9
     val nine = (1L to 9L).map(v => ("g", v)).toDF("g", "v")
