@@ -3167,6 +3167,25 @@ object SparkEntry {
       Analytics.kaplanMeier(subjects, col("dur"), col("ev"))
     }),
 
+    // Restricted mean survival over the same subjects: area under KM
+    // to a 30-day horizon — defined even where median survival isn't.
+    "q_rmst" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val from = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(usec(col("ts"))).as("from_us"))
+      val conv = Analytics.timeToConvert(ev, col("user_id"), col("ts"),
+          col("event_type") === "signup", col("event_type") === "purchase")
+        .select(col("key").as("user_id"), col("delay_s"))
+      val last = ev.groupBy(col("user_id")).agg(max(usec(col("ts"))).as("last_us"))
+      val subjects = from.join(last, Seq("user_id"))
+        .join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("delay_s").isNotNull, col("delay_s"))
+            .otherwise(expr("(last_us - from_us) div 1000000")).as("dur"),
+          col("delay_s").isNotNull.cast("long").as("ev"))
+      Analytics.rmst(subjects, col("dur"), col("ev"), tau = 2592000L)
+    }),
+
     // Nelson-Aalen cumulative hazard over the SAME signup→purchase
     // subjects as q_survival — the additive estimator: exact ppm
     // floor increments d·10⁶ div n_risk, no transcendental anywhere.
@@ -8541,6 +8560,55 @@ object SparkEntry {
         |FROM agg""".stripMargin,
 
     // same micro-nat log-space cumprod over the per-duration frame
+    // the q_survival KM chain + a lead window, rounded-S step areas
+    // clipped at tau, exact decimal term sums
+    "q_rmst" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS from_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (SELECT f.user_id, (min(tus) - from_us) // 1000000 AS delay_s
+        |  FROM f JOIN t2 ON f.user_id = t2.user_id AND tus >= from_us
+        |  GROUP BY 1, from_us),
+        |l AS (SELECT user_id, max(epoch_us(ts::TIMESTAMP)) AS last_us
+        |  FROM events GROUP BY 1),
+        |subj AS (SELECT CASE WHEN delay_s IS NOT NULL THEN delay_s
+        |    ELSE (last_us - from_us) // 1000000 END AS t,
+        |  CASE WHEN delay_s IS NOT NULL THEN 1 ELSE 0 END AS e
+        |  FROM f JOIN l USING (user_id) LEFT JOIN conv USING (user_id)),
+        |agg AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+        |  CAST(sum(1 - e) AS BIGINT) AS c FROM subj GROUP BY 1),
+        |w1 AS (SELECT t, d, c,
+        |  sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cumrem
+        |  FROM agg),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM subj),
+        |r AS (SELECT t, d, c, CAST(n - cumrem + d + c AS BIGINT) AS n_risk
+        |  FROM w1 CROSS JOIN nn),
+        |tm AS (SELECT t, n_risk, d,
+        |  CASE WHEN d > 0 AND d < n_risk THEN
+        |    CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      * 1000000) AS BIGINT) ELSE 0 END AS term,
+        |  CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead FROM r),
+        |km AS (SELECT t,
+        |  CASE WHEN sum(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      > 0 THEN 0.0
+        |    ELSE round(exp(CAST(sum(term) OVER (ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0), 6)
+        |  END AS s FROM tm),
+        |t0 AS (SELECT min(t) AS t0 FROM km),
+        |st AS (SELECT s,
+        |  least(COALESCE(lead(t) OVER (ORDER BY t), 2592000), 2592000)
+        |    - t AS dt
+        |  FROM km WHERE t < 2592000),
+        |area AS (SELECT COALESCE(sum(CAST(s AS DECIMAL(18,6)) * dt), 0)
+        |  AS a FROM st WHERE dt > 0)
+        |SELECT CAST(2592000 AS BIGINT) AS tau, n,
+        |  CASE WHEN n > 0 THEN
+        |    round(CAST(CAST(least(COALESCE(t0, 2592000), 2592000)
+        |      AS DECIMAL(38,6)) + a AS DOUBLE), 6)
+        |  END AS rmst
+        |FROM nn CROSS JOIN t0 CROSS JOIN area""".stripMargin,
+
     "q_survival" ->
       """WITH f AS (SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS from_us
         |  FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -2840,6 +2840,50 @@ object Analytics {
       .withColumn("_nr", col("_n") - col("_cumrem") + col("_d") + col("_c"))
   }
 
+  /** Restricted mean survival time — the AREA under [[kaplanMeier]]
+    * up to a horizon τ: "average seconds survived in the first τ",
+    * the one-number summary that stays defined under heavy censoring
+    * (the median survival time may never be reached; RMST always is)
+    * and differences cleanly between arms. The retention readout a
+    * "mean time to churn" claim actually needs.
+    *
+    * Deterministic construction: the KM step function's ROUNDED 6dp
+    * survival values (bit-identical on both engines) × exact integer
+    * interval lengths clipped at τ, as decimal term sums — next step
+    * time via the rank+1 hash join (no lead window), plus the [0,
+    * first-step) interval at S = 1. Output one row:
+    * (tau, n, rmst) — rmst null when there are no subjects.
+    */
+  def rmst(df: DataFrame, durationCol: Column, eventCol: Column,
+      tau: Long): DataFrame = {
+    require(tau > 0, s"rmst: tau must be > 0, got $tau")
+    val km = graft.core.CacheRegistry.persist(
+      kaplanMeier(df, durationCol, eventCol)
+        .select(col("t"), col("survival")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val meta = km.agg(min(col("t")).as("_t0"))
+    val n = df.where(durationCol.isNotNull && eventCol.isNotNull)
+      .agg(count(lit(1)).as("n"))
+    val ranked = graft.core.CacheRegistry.persist(
+      Relational.prefixSum(km.where(col("t") < tau), Seq(col("t")),
+        lit(1L), "_rk"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nxt = ranked.select((col("_rk") - 1L).as("_rk"), col("t").as("_tn"))
+    val steps = ranked.join(nxt, Seq("_rk"), "left")
+      .select(col("survival"),
+        (least(coalesce(col("_tn"), lit(tau)), lit(tau)) - col("t"))
+          .as("_dt"))
+      .where(col("_dt") > 0)
+      .agg(coalesce(sum(col("survival").cast("decimal(18,6)") * col("_dt")),
+        lit(0L).cast("decimal(38,6)")).as("_area"))
+    n.crossJoin(broadcast(meta)).crossJoin(broadcast(steps))
+      .select(lit(tau).as("tau"), col("n"),
+        when(col("n") > 0L,
+          round((least(coalesce(col("_t0"), lit(tau)), lit(tau))
+              .cast("decimal(38,6)") + col("_area")).cast("double"), 6))
+          .as("rmst"))
+  }
+
   /** Nelson-Aalen cumulative hazard — [[kaplanMeier]]'s additive
     * sibling (KM multiplies survival factors; NA sums hazard
     * increments d_i/n_i, the better-behaved estimator at small risk

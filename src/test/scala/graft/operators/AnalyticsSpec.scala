@@ -2609,6 +2609,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rs.getAs[Long]("jaccard_ppm") == 500000L)
   }
 
+  test("rmst: step-area under KM with tau clipping and censoring") {
+    // events at t = 2, 4 (no censoring): S = 1 on [0,2), 0.5 on [2,4)
+    // RMST(5) = 2 + 1 + 0 = 3
+    val ev = Seq((2L, 1L), (4L, 1L)).toDF("dur", "e")
+    val r = Analytics.rmst(ev, col("dur"), col("e"), tau = 5L)
+      .collect().head
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Double]("rmst") == 3.0d)
+    // tau inside the curve clips the last interval: RMST(3) = 2 + 0.5
+    val r3 = Analytics.rmst(ev, col("dur"), col("e"), tau = 3L)
+      .collect().head
+    assert(r3.getAs[Double]("rmst") == 2.5d)
+    // a censored subject holds S at 1 through its interval:
+    // censor@1, event@3 -> S = 1 on [0,3), 0 after; RMST(4) = 3
+    val cen = Seq((1L, 0L), (3L, 1L)).toDF("dur", "e")
+    val rc = Analytics.rmst(cen, col("dur"), col("e"), tau = 4L)
+      .collect().head
+    assert(rc.getAs[Double]("rmst") == 3.0d)
+  }
+
   test("cvar: closed-tail mean beyond the exact quantile") {
     val df = (1L to 100L).map(v => ("g", v)).toDF("g", "v")
     // p95: VaR = 95, tail {95..100}, mean 97.5
