@@ -1344,6 +1344,13 @@ object SparkEntry {
         t(s, d, "events"), col("user_id"),
         Seq(col("ts"), col("event_id")), col("event_type"))),
 
+    // Goh-Barabási inter-arrival burstiness per event type: −1
+    // metronome, 0 Poisson, →1 human bursts — exact moment core.
+    "q_interarrival" -> ((s, d) =>
+      Analytics.interarrivalBurstiness(t(s, d, "events"), col("user_id"),
+        col("event_type"), col("ts"), col("event_id"))
+        .orderBy(col("event_type"))),
+
     // Eventually-follows graph: detour-proof ordered-pair support per
     // user — the process-discovery relation direct transitions miss.
     "q_follows" -> ((s, d) =>
@@ -5200,6 +5207,27 @@ object SparkEntry {
         |SELECT c.from_state, c.to_state, c.n,
         |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
         |FROM c JOIN t USING (from_state)""".stripMargin,
+
+    // same lag gaps; the n cancels in (σ−μ)/(σ+μ)
+    "q_interarrival" ->
+      """WITH g AS (SELECT event_type AS t,
+        |  (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts), event_id)) // 1000000 AS g
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |m AS (SELECT t, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  sum(g::HUGEINT) AS sg, sum(g::HUGEINT * g) AS sg2
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1),
+        |d AS (SELECT t, n_gaps, sg,
+        |  sqrt(CAST(n_gaps::HUGEINT * sg2 - sg * sg AS DOUBLE)) AS root
+        |  FROM m)
+        |SELECT t AS event_type, n_gaps,
+        |  CASE WHEN root + CAST(sg AS DOUBLE) > 0 THEN
+        |    round((root - CAST(sg AS DOUBLE)) /
+        |      (root + CAST(sg AS DOUBLE)), 6)
+        |  END AS b
+        |FROM d ORDER BY 1""".stripMargin,
 
     // first/last picks via ordered row_number; explicit lexicographic
     // (t, id) compare mirrors the struct ordering

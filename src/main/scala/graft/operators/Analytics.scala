@@ -494,6 +494,47 @@ object Analytics {
         (col("n").cast("double") / col("_tot").cast("double")).as("p"))
   }
 
+  /** Inter-arrival burstiness — Goh-Barabási B = (σ−μ)/(σ+μ) of the
+    * gaps between a user's consecutive same-type events: −1 is
+    * metronome-periodic (bot heartbeat), 0 memoryless Poisson, → 1
+    * heavy-tailed human bursts. The event-TIMING complement of
+    * [[circularStats]] (time-of-day shape) and the term-burstiness
+    * family (which measures token clumping, not arrival clumping).
+    *
+    * Exactness: integer-second gaps off per-(user, type) lag windows
+    * (bounded by a user's own events), pooled per type with exact
+    * decimal Σg/Σg², and the n in σ = √(nΣg²−(Σg)²)/n cancels:
+    *
+    * {{{ B = (√(n·Σg² − (Σg)²) − Σg) / (√(n·Σg² − (Σg)²) + Σg) }}}
+    *
+    * — ONE IEEE shape off exact integers, rounded 6dp, null when no
+    * gaps or all gaps zero (σ = μ = 0). Output per type:
+    * (event_type, n_gaps, b).
+    */
+  def interarrivalBurstiness(df: DataFrame, userCol: Column,
+      typeCol: Column, tsCol: Column, idCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val us = unix_micros(tsCol.cast("timestamp"))
+    val w = Window.partitionBy(userCol, typeCol)
+      .orderBy(us, idCol)
+    val gaps = df.where(userCol.isNotNull && typeCol.isNotNull &&
+        tsCol.isNotNull && idCol.isNotNull)
+      .select(typeCol.as("_t"),
+        (us - lag(us, 1).over(w)).as("_dus"))
+      .where(col("_dus").isNotNull)
+      .select(col("_t"), expr("_dus div 1000000").as("_g"))
+    val m = gaps.groupBy(col("_t"))
+      .agg(count(lit(1)).as("n_gaps"), sum(dec(col("_g"))).as("_sg"),
+        sum(dec(col("_g")) * col("_g")).as("_sg2"))
+    val disc = (dec(col("n_gaps")) * col("_sg2") - col("_sg") * col("_sg"))
+      .cast("decimal(38,0)")
+    m.withColumn("_root", sqrt(disc.cast("double")))
+      .select(col("_t").as("event_type"), col("n_gaps"),
+        when(col("_root") + col("_sg").cast("double") > 0.0d,
+          round((col("_root") - col("_sg").cast("double")) /
+            (col("_root") + col("_sg").cast("double")), 6)).as("b"))
+  }
+
   /** Eventually-follows graph — the process-mining relation
     * [[transitionMatrix]] (DIRECT successions only) cannot see: for
     * each ordered state pair (a, b), among users who did both, how

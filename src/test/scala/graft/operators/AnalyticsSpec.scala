@@ -2435,6 +2435,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(rb.getAs[Long]("df") == 1L && rb.getAs[Long]("chi2_ppm") == 0L)
   }
 
+  test("interarrivalBurstiness: metronome -1; bursty positive") {
+    def ev(u: Long, tp: String, ts: Seq[Long]) =
+      ts.zipWithIndex.map { case (t, i) => (u, tp, t, u * 100 + i) }
+    // perfectly periodic gaps (10s): sigma 0 -> B = -1
+    val per = ev(1L, "tick", Seq(0L, 10L, 20L, 30L))
+      .toDF("u", "tp", "t", "id")
+      .select(col("u"), col("tp"), col("t").cast("timestamp").as("ts"),
+        col("id"))
+    val r = Analytics.interarrivalBurstiness(per, col("u"), col("tp"),
+      col("ts"), col("id")).collect().head
+    assert(r.getAs[Long]("n_gaps") == 3L && r.getAs[Double]("b") == -1.0d)
+    // bursty: gaps 0,0,0,10 -> B = (sqrt(300)-10)/(sqrt(300)+10)
+    val bur = ev(2L, "click", Seq(0L, 0L, 0L, 0L, 10L))
+      .toDF("u", "tp", "t", "id")
+      .select(col("u"), col("tp"), col("t").cast("timestamp").as("ts"),
+        col("id"))
+    val rb = Analytics.interarrivalBurstiness(bur, col("u"), col("tp"),
+      col("ts"), col("id")).collect().head
+    val bExp = BigDecimal((math.sqrt(300.0) - 10.0) / (math.sqrt(300.0) + 10.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rb.getAs[Double]("b") == bExp)
+    // a single event has no gap; all-zero gaps give null
+    val z = ev(3L, "z", Seq(5L, 5L)).toDF("u", "tp", "t", "id")
+      .select(col("u"), col("tp"), col("t").cast("timestamp").as("ts"),
+        col("id"))
+    val rz = Analytics.interarrivalBurstiness(z, col("u"), col("tp"),
+      col("ts"), col("id")).collect().head
+    assert(rz.getAs[Long]("n_gaps") == 1L && rz.isNullAt(rz.fieldIndex("b")))
+  }
+
   test("eventuallyFollows: detour-proof ordering support") {
     // u1: A@1, B@2; u2: B@1, A@2, B@3 — A..B holds for both users,
     // B..A only for u2
