@@ -3114,6 +3114,12 @@ object SparkEntry {
       Dedup.sourceOverlap(t(s, d, "documents"), col("source"), col("text"),
         n = 3, maxDf = 1000)),
 
+    // Tokenizer fertility per language: chars/subword and
+    // subwords/word — the sequence-length cost a vocab change moves.
+    "q_fertility" -> ((s, d) =>
+      Ranking.tokenizerFertility(t(s, d, "documents"), col("lang"),
+        col("text"))),
+
     // Burrows' Delta between sources: mean |z-gap| of top-50 word
     // rates on the dense grid — the stylometric "same generator?"
     // distance, exact ppm rates and n-cleared variances.
@@ -8419,6 +8425,26 @@ object SparkEntry {
          |  shared * 1000000 // least(ta.tot, tb.tot) AS containment_ppm
          |FROM pairs JOIN totals ta ON src_a = ta.g
          |JOIN totals tb ON src_b = tb.g""".stripMargin,
+
+    // same tokenizer + subword fold; integer sums, two ppm floors
+    "q_fertility" ->
+      s"""WITH per AS (SELECT lang AS "group",
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(len($W)) AS BIGINT) AS n_words,
+         |  CAST(sum(list_reduce(list_prepend(0::BIGINT,
+         |    list_transform($W, w -> CAST(ceil(len(w) / 4.0) AS BIGINT))),
+         |    (a, x) -> a + x)) AS BIGINT) AS n_subwords
+         |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT "group", n_docs, n_chars, n_words, n_subwords,
+         |  CAST(CASE WHEN n_subwords > 0 THEN
+         |    n_chars * 1000000 // n_subwords END AS BIGINT)
+         |    AS chars_per_subword_ppm,
+         |  CAST(CASE WHEN n_words > 0 THEN
+         |    n_subwords * 1000000 // n_words END AS BIGINT)
+         |    AS fertility_ppm
+         |FROM per ORDER BY 1""".stripMargin,
 
     // same tokenizer; dense grid rates, n-cleared HUGEINT variances,
     // the n·|Δr|/√S_w collapsed z-gap

@@ -1126,6 +1126,37 @@ object Ranking {
                  |END AS BIGINT)""".stripMargin)).as("kappa_ppm"))
   }
 
+  /** Tokenizer fertility per group — chars-per-subword and
+    * subwords-per-word for each language/source: the tokenizer-
+    * efficiency readout that decides real training cost (a language
+    * at 2× fertility pays 2× the sequence length for the same text,
+    * and a vocab change shows up here first). Uses the deterministic
+    * BPE-ish subword approximation ([[graft.functions.TextFunctions.subwordCountApprox]])
+    * so the ratio is comparable across rounds and engines.
+    *
+    * One map-combinable aggregate over the corpus; exact integer
+    * sums and two ppm floors. Output per group: (group, n_docs,
+    * n_chars, n_words, n_subwords, chars_per_subword_ppm,
+    * fertility_ppm).
+    */
+  def tokenizerFertility(df: DataFrame, groupCol: Column,
+      textCol: Column): DataFrame = {
+    import graft.functions.TextFunctions._
+    df.where(groupCol.isNotNull && textCol.isNotNull)
+      .groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(textCol).cast("long")).as("n_chars"),
+        sum(size(words(textCol)).cast("long")).as("n_words"),
+        sum(subwordCountApprox(textCol)).as("n_subwords"))
+      .withColumn("chars_per_subword_ppm",
+        when(col("n_subwords") > 0L,
+          expr("n_chars * 1000000 div n_subwords")))
+      .withColumn("fertility_ppm",
+        when(col("n_words") > 0L,
+          expr("n_subwords * 1000000 div n_words")))
+      .orderBy(col("group"))
+  }
+
   /** Burrows' Delta — the stylometric distance between SOURCES: mean
     * |z-score gap| of the top-k corpus words' relative frequencies.
     * Content words wash out (both sources use "model" a lot); what

@@ -502,6 +502,24 @@ class RankingSpec extends SparkSpec {
     assert(deep.getAs[Long]("n_a") == 1L && deep.getAs[Long]("overlap_full") == 1L)
   }
 
+  test("tokenizerFertility: hand counts and ppm floors") {
+    import spark.implicits._
+    // "aa bb": 2 words, 2 subwords, 5 chars; "abcdefgh": 1 word,
+    // ceil(8/4)=2 subwords, 8 chars
+    val df = Seq(("x", "aa bb"), ("x", "abcdefgh"), ("y", "zz"))
+      .toDF("lang", "text")
+    val out = Ranking.tokenizerFertility(df, col("lang"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getAs[Long]("n_docs") == 2L && x.getAs[Long]("n_chars") == 13L)
+    assert(x.getAs[Long]("n_words") == 3L && x.getAs[Long]("n_subwords") == 4L)
+    assert(x.getAs[Long]("chars_per_subword_ppm") == 3250000L)
+    assert(x.getAs[Long]("fertility_ppm") == 1333333L)
+    val y = out("y")
+    assert(y.getAs[Long]("n_subwords") == 1L &&
+      y.getAs[Long]("fertility_ppm") == 1000000L)
+  }
+
   test("burrowsDelta: z-gap distances on a 3-source toy corpus") {
     import spark.implicits._
     // A: "x x", B: "x y", C: "y y" — rates 1e6/0, 5e5/5e5, 0/1e6;
