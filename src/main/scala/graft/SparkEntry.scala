@@ -2772,6 +2772,15 @@ object SparkEntry {
           col("z"), col("sig_95"))
         .orderBy(col("event_type"))),
 
+    // Chatterjee's xi: does price functionally depend on quantity —
+    // the any-shape dependence screen Pearson/Spearman can't be.
+    "q_chatterjee" -> ((s, d) =>
+      Analytics.chatterjeeXi(t(s, d, "lineitem"),
+        col("l_orderkey") * 10 + col("l_linenumber"),
+        col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long"))),
+
     // Decile gains/lift of the same signal: equal-population deciles
     // by rank, cumulative capture, exact lift — the targeting table.
     "q_gains" -> ((s, d) =>
@@ -7580,6 +7589,35 @@ object SparkEntry {
          |FROM ag ORDER BY 1""".stripMargin
     },
 
+    // y-CDF ranks, x-ordered lead gaps, exact HUGEINT xi
+    "q_chatterjee" ->
+      """WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+        |  CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS y
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |yc AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1),
+        |ycdf AS (SELECT y, c,
+        |  CAST(sum(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS r FROM yc),
+        |yl AS (SELECT y, c, r, n - r + c AS l FROM ycdf CROSS JOIN nn),
+        |dd AS (SELECT CAST(COALESCE(sum(c::HUGEINT * l * (n - l)), 0) * 2
+        |  AS HUGEINT) AS denom2 FROM yl CROSS JOIN nn),
+        |rws AS (SELECT b.id, b.x, b.y, yl.r FROM base b JOIN yl
+        |  ON b.y = yl.y),
+        |sd AS (SELECT COALESCE(sum(CAST(abs(nr - r) AS HUGEINT)), 0)
+        |  AS sdr FROM (SELECT r, lead(r) OVER (ORDER BY x, id, y) AS nr
+        |  FROM rws) WHERE nr IS NOT NULL)
+        |SELECT n, CAST(sdr AS BIGINT) AS sum_dr,
+        |  CAST(denom2 AS BIGINT) AS denom2,
+        |  CAST(CASE WHEN denom2 > 0 THEN
+        |    1000000 - (n::HUGEINT * sdr * 1000000) // denom2
+        |  END AS BIGINT) AS xi_ppm
+        |FROM nn CROSS JOIN dd CROSS JOIN sd""".stripMargin,
+
     // row_number rank desc, decile floor split, window cum capture
     "q_gains" ->
       """WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS id,
@@ -7588,7 +7626,7 @@ object SparkEntry {
         |    AS s
         |  FROM lineitem WHERE l_orderkey IS NOT NULL
         |    AND l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
-        |r AS (SELECT y, CAST(row_number() OVER (ORDER BY -s, id)
+        |r AS (SELECT y, CAST(row_number() OVER (ORDER BY -s, id, y)
         |    AS BIGINT) AS rank,
         |  CAST(count(*) OVER () AS BIGINT) AS n,
         |  CAST(sum(y) OVER () AS BIGINT) AS p FROM base),

@@ -3147,6 +3147,70 @@ object Analytics {
       .withColumn("sig_95", col("z") > lit(2.995732d))
   }
 
+  /** Chatterjee's ξ correlation — detects ANY functional dependence,
+    * not just monotone: Pearson and Spearman read y = x² on a
+    * symmetric domain as ≈ 0; ξ converges to 1 whenever y is a
+    * (noisy) function of x and to 0 under independence. The modern
+    * screening statistic for "does this feature carry signal at all"
+    * before committing to a model shape.
+    *
+    * The tie-general form, all exact integers:
+    *
+    * {{{ ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ ℓ_i(n − ℓ_i)) }}}
+    *
+    * with rows in (x, id) order (the id breaks x-ties
+    * deterministically — ξ is defined under random tie-breaking; a
+    * fixed break keeps both engines identical), r_i = #{y_j ≤ y_i}
+    * off the y-CDF, ℓ_i = #{y_j ≥ y_i}. Consecutive rows meet by the
+    * rank+1 hash join on a [[Relational.prefixSum]] rank — no lead
+    * window. Emitted as signed xi_ppm (small negatives are normal at
+    * independence); null when y is constant. Output one row:
+    * (n, sum_dr, denom2, xi_ppm).
+    */
+  def chatterjeeXi(df: DataFrame, idCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = graft.core.CacheRegistry.persist(
+      df.where(idCol.isNotNull && xCol.isNotNull && yCol.isNotNull)
+        .select(idCol.as("_id"), xCol.cast("long").as("_x"),
+          yCol.cast("long").as("_y")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ycells = base.groupBy(col("_y")).agg(count(lit(1)).as("_c"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    val ycdf = Relational.prefixSum(ycells, Seq(col("_y")), col("_c"),
+        "_cum")
+      .crossJoin(broadcast(n))
+      .select(col("_y"), col("_c"), col("_n"), col("_cum").as("_r"),
+        (col("_n") - col("_cum") + col("_c")).as("_l"))
+    // Σ_rows ℓ(n−ℓ) = Σ_cells c·ℓ·(n−ℓ) — exact decimal
+    val denom = ycdf.agg(first(col("_n")).as("n"),
+      coalesce(sum(dec(col("_c")) * col("_l") * (col("_n") - col("_l"))),
+        dec(lit(0L))).as("_d"))
+    // order by (x, id, y): the caller's id may not be unique, and a
+    // residual tie that still differs in y would make the rank walk
+    // engine-dependent — adding y leaves only FULL ties, whose order
+    // cannot move Σ|Δr| (equal r on both sides of the swap)
+    val ranked = graft.core.CacheRegistry.persist(
+      Relational.prefixSum(
+        base.join(ycdf.select(col("_y"), col("_r")), Seq("_y")),
+        Seq(col("_x"), col("_id"), col("_y")), lit(1L), "_rk"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nxt = ranked.select((col("_rk") - 1L).as("_rk"),
+      col("_r").as("_rn"))
+    val sdr = ranked.join(nxt, Seq("_rk"))
+      .agg(coalesce(sum(dec(abs(col("_rn") - col("_r")))), dec(lit(0L)))
+        .as("_sdr"))
+    denom.crossJoin(broadcast(sdr))
+      .select(col("n"), col("_sdr").cast("long").as("sum_dr"),
+        (lit(2L) * col("_d")).cast("decimal(38,0)").as("denom2"))
+      .withColumn("xi_ppm",
+        when(col("denom2") > 0,
+          lit(1000000L) - expr("""CAST((CAST(n AS DECIMAL(38,0)) * sum_dr
+            * 1000000) div denom2 AS BIGINT)""")))
+      .select(col("n"), col("sum_dr"),
+        col("denom2").cast("long").as("denom2"), col("xi_ppm"))
+  }
+
   /** Decile gains/lift table — the CAMPAIGN view of a score that
     * [[aucRankSum]] (ranking quality) and [[f1Sweep]] (one operating
     * point) don't give: sort by score descending, split into 10
@@ -3170,8 +3234,11 @@ object Analytics {
         scoreCol.isNotNull)
       .select(idCol.as("_id"), y.as("_y"),
         (-scoreCol.cast("long")).as("_ns"))
-    val ranked = Relational.prefixSum(base, Seq(col("_ns"), col("_id")),
-      lit(1L), "_rank")
+    // (score, id, label) order: a non-unique id that still ties after
+    // the label would otherwise split a decile boundary differently
+    // per engine; full ties are decile-invariant
+    val ranked = Relational.prefixSum(base,
+      Seq(col("_ns"), col("_id"), col("_y")), lit(1L), "_rank")
     val tot = ranked.agg(count(lit(1)).as("_N"),
       coalesce(sum(col("_y")), lit(0L)).as("_P"))
     val perDec = ranked.crossJoin(broadcast(tot))

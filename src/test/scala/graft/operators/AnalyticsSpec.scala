@@ -2576,6 +2576,26 @@ class AnalyticsSpec extends SparkSpec {
       ro.getAs[Long]("n_outside") == 0L)
   }
 
+  test("chatterjeeXi: (n-2)/(n+1) at perfect monotone, reversal-symmetric") {
+    // y = x, n = 4: xi = (4−2)/(4+1) = 0.4
+    val up = (1L to 4L).map(i => (i, i, i)).toDF("id", "x", "y")
+    val r = Analytics.chatterjeeXi(up, col("id"), col("x"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("sum_dr") == 3L)
+    assert(r.getAs[Long]("denom2") == 20L)
+    assert(r.getAs[Long]("xi_ppm") == 400000L)
+    // y = −x scores identically (xi sees dependence, not direction)
+    val down = (1L to 4L).map(i => (i, i, -i)).toDF("id", "x", "y")
+    val rd = Analytics.chatterjeeXi(down, col("id"), col("x"), col("y"))
+      .collect().head
+    assert(rd.getAs[Long]("xi_ppm") == 400000L)
+    // constant y: no variation to explain -> null
+    val flat = (1L to 4L).map(i => (i, i, 7L)).toDF("id", "x", "y")
+    val rf = Analytics.chatterjeeXi(flat, col("id"), col("x"), col("y"))
+      .collect().head
+    assert(rf.isNullAt(rf.fieldIndex("xi_ppm")))
+  }
+
   test("gainsTable: top deciles capture the planted positives") {
     // 20 rows, scores 20..1, positives on the top 5 scores
     val df = (1 to 20).map(i => (i.toLong, if (i > 15) 1L else 0L, i.toLong))
