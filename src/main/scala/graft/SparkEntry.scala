@@ -1055,6 +1055,24 @@ object SparkEntry {
       TrainingData.qualityFilter(t(s, d, "documents"), "doc_id", "text",
         minWords = 40, maxWords = 1000)),
 
+    // End-to-end curation pipeline in ONE plan: quality filter →
+    // fingerprint dedup (smallest-id winner) → Hamilton apportionment
+    // of a 100k-word budget across the surviving sources. The
+    // composition showcase: every stage is the already-gated operator.
+    "q_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = TrainingData.qualityFilter(docs, "doc_id", "text",
+          minWords = 40, maxWords = 1000)
+        .where(col("keep"))
+        .select(col("id").as("doc_id"), col("n_words"))
+      val kept = docs.join(q, Seq("doc_id"))
+      val winners = Dedup.byFingerprint(kept, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = kept.join(winners, Seq("doc_id"), "left_semi")
+      TrainingData.apportion(survivors, col("source"), col("n_words"),
+        100000L)
+    }),
+
     // Token-budget corpus selection: the best 150k words of the corpus
     // in (stopword-quality DESC, doc_id) order — range-partitioned
     // prefix sums, never a single-partition running-sum window. The
@@ -4808,6 +4826,49 @@ object SparkEntry {
          |  (nw BETWEEN 40 AND 1000) AND (mwl BETWEEN 3.0 AND 10.0) AND sym <= 0.1
          |    AND alr >= 0.5 AND (str BETWEEN 0.0 AND 0.6) AS keep
          |FROM v""".stripMargin,
+
+    // the three stage oracles chained: keep condition, min-id per
+    // fingerprint, Hamilton floors + largest remainders
+    "q_pipeline" ->
+      s"""WITH s AS (SELECT doc_id, source, text,
+         |  len($W) AS nw,
+         |  length(regexp_replace(text, '\\s', '', 'g')) AS nsp,
+         |  length(text) AS lt,
+         |  length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS nonsym,
+         |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         |  len(list_filter($W, w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS stops
+         |  FROM documents),
+         |v AS (SELECT doc_id, source, text, nw,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE nsp::DOUBLE / nw END AS mwl,
+         |  CASE WHEN lt = 0 THEN 0.0 ELSE (lt - nonsym)::DOUBLE / lt END AS sym,
+         |  CASE WHEN nsp = 0 THEN 0.0 ELSE alpha::DOUBLE / nsp END AS alr,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE stops::DOUBLE / nw END AS str
+         |  FROM s),
+         |kept AS (SELECT doc_id, source, text, nw FROM v
+         |  WHERE (nw BETWEEN 40 AND 1000) AND (mwl BETWEEN 3.0 AND 10.0)
+         |    AND sym <= 0.1 AND alr >= 0.5 AND (str BETWEEN 0.0 AND 0.6)),
+         |winners AS (SELECT min(doc_id) AS doc_id FROM kept
+         |  GROUP BY md5($NormalizedText)),
+         |surv AS (SELECT kept.source, kept.nw FROM kept
+         |  JOIN winners USING (doc_id)),
+         |per AS (SELECT source AS key, CAST(sum(nw) AS BIGINT) AS weight
+         |  FROM surv WHERE source IS NOT NULL GROUP BY 1
+         |  HAVING sum(nw) > 0),
+         |w AS (SELECT sum(weight::HUGEINT) AS tw FROM per),
+         |b AS (SELECT key, weight,
+         |  CAST((weight::HUGEINT * 100000) // tw AS BIGINT) AS base,
+         |  weight::HUGEINT * 100000 -
+         |    ((weight::HUGEINT * 100000) // tw) * tw AS rem
+         |  FROM per CROSS JOIN w),
+         |lo AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS r FROM b),
+         |rk AS (SELECT key, weight, base, rem,
+         |  CAST(row_number() OVER (ORDER BY rem DESC, key) AS BIGINT)
+         |    AS rnk FROM b)
+         |SELECT key, weight, base,
+         |  CAST(CASE WHEN rnk <= r THEN 1 ELSE 0 END AS BIGINT) AS extra,
+         |  base + CAST(CASE WHEN rnk <= r THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc
+         |FROM rk CROSS JOIN lo ORDER BY key""".stripMargin,
 
     // rank-desc cumsum; interval-start HUGEINT boundary compares
     "q_abc" ->
