@@ -9951,10 +9951,9 @@ object SparkEntry {
         |  sum(CAST(ds AS HUGEINT) * ds) AS num,
         |  CAST(count(ds) AS BIGINT) AS pairs FROM lg GROUP BY 1, 2)
         |SELECT k AS event_type, m, n_blocks,
-        |  CASE WHEN pairs >= 1 THEN
-        |    round(CAST(num AS DOUBLE) /
-        |      (2.0 * CAST(pairs AS DOUBLE) * CAST(m AS DOUBLE) *
-        |       CAST(m AS DOUBLE)), 6) END AS avar
+        |  CAST(CASE WHEN pairs >= 1 THEN
+        |    (num * 1000000) // (2 * pairs::HUGEINT * m * m)
+        |  END AS BIGINT) AS avar_micros
         |FROM ag""".stripMargin,
 
     // same daily frame; block windows mirror the m-cleared integer W,

@@ -5975,11 +5975,14 @@ object Analytics {
         sum(dec(col("_dS")) * col("_dS")).as("_num"),
         count(col("_dS")).as("_pairs"))
       .select(col("key"), col("m"), col("n_blocks"),
+        // exact integer micros floor: a 6dp double round here is NOT
+        // engine-portable once avar·10⁶ passes 2⁵³ (hit at sf0.1 —
+        // cents² magnitudes reach 10¹⁰), so the division never goes
+        // through IEEE at all (numerator ≥ 0 ⇒ div == floor)
         when(col("_pairs") >= 1L,
-          round(col("_num").cast("double") /
-            (lit(2.0d) * col("_pairs").cast("double") *
-              col("m").cast("double") * col("m").cast("double")), 6))
-          .as("avar"))
+          expr("""CAST((_num * 1000000)
+            div (2 * _pairs * m * m) AS BIGINT)"""))
+          .as("avar_micros"))
   }
 
   /** Durbin-Watson first-order autocorrelation statistic per key —

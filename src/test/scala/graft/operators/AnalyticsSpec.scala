@@ -1410,15 +1410,15 @@ class AnalyticsSpec extends SparkSpec {
       if (i % 2 == 0) 1L else -1L)).toDF("k", "t", "x")
     val ra = Analytics.allanVariance(alt, col("k"), Seq(col("t")), col("x"),
       sizes = Seq(1, 2, 4))
-      .collect().map(r => r.getLong(1) -> r.getAs[Double]("avar")).toMap
-    assert(ra(1L) == 2.0d && ra(2L) == 0.0d && ra(4L) == 0.0d)
+      .collect().map(r => r.getLong(1) -> r.getAs[Long]("avar_micros")).toMap
+    assert(ra(1L) == 2000000L && ra(2L) == 0L && ra(4L) == 0L)
     // linear ramp 0..7: drift -> avar RISES with m (0.5, 2.0, 8.0)
     val ramp = (0 until 8).map(i => ("s", i.toLong, i.toLong))
       .toDF("k", "t", "x")
     val rr = Analytics.allanVariance(ramp, col("k"), Seq(col("t")), col("x"),
       sizes = Seq(1, 2, 4))
-      .collect().map(r => r.getLong(1) -> r.getAs[Double]("avar")).toMap
-    assert(rr(1L) == 0.5d && rr(2L) == 2.0d && rr(4L) == 8.0d)
+      .collect().map(r => r.getLong(1) -> r.getAs[Long]("avar_micros")).toMap
+    assert(rr(1L) == 500000L && rr(2L) == 2000000L && rr(4L) == 8000000L)
     // a size with fewer than 2 full blocks reports null
     val short = (0 until 5).map(i => ("s", i.toLong, i.toLong))
       .toDF("k", "t", "x")
