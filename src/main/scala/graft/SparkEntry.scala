@@ -1077,6 +1077,19 @@ object SparkEntry {
     // in (stopword-quality DESC, doc_id) order — range-partitioned
     // prefix sums, never a single-partition running-sum window. The
     // oracle recomputes the running total with a plain window.
+    // Kish effective sample size of per-user spend weights per type:
+    // what sampling-by-spend actually buys — exact milli/ppm floors.
+    "q_kish" -> ((s, d) =>
+      TrainingData.kishEffectiveSize(
+        t(s, d, "events")
+          .where(col("event_type").isNotNull && col("user_id").isNotNull &&
+            col("value").isNotNull)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("w")),
+        col("event_type"), col("w"))
+        .select(col("group").as("event_type"), col("n"),
+          col("n_eff_milli"), col("deff_ppm"))),
+
     // ABC tiers of customers by lifetime order value: interval-start
     // class assignment, exact decimal boundary cross-products.
     "q_abc" -> ((s, d) =>
@@ -4826,6 +4839,21 @@ object SparkEntry {
          |  (nw BETWEEN 40 AND 1000) AND (mwl BETWEEN 3.0 AND 10.0) AND sym <= 0.1
          |    AND alr >= 0.5 AND (str BETWEEN 0.0 AND 0.6) AS keep
          |FROM v""".stripMargin,
+
+    // same per-user weights; HUGEINT Kish floors
+    "q_kish" ->
+      """WITH w AS (SELECT event_type AS g, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS w
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  sum(w::HUGEINT) AS sw, sum(w::HUGEINT * w) AS sw2
+        |  FROM w WHERE w > 0 GROUP BY 1)
+        |SELECT g AS event_type, n,
+        |  CAST((sw * sw * 1000) // sw2 AS BIGINT) AS n_eff_milli,
+        |  CAST((n::HUGEINT * sw2 * 1000000) // (sw * sw) AS BIGINT)
+        |    AS deff_ppm
+        |FROM m ORDER BY 1""".stripMargin,
 
     // the three stage oracles chained: keep condition, min-id per
     // fingerprint, Hamilton floors + largest remainders

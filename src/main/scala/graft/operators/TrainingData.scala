@@ -996,6 +996,37 @@ object TrainingData {
     * max-length/width. Output: (bucket, n_docs, total_len, pad_target,
     * waste, waste_ppm).
     */
+  /** Kish effective sample size — what a set of importance weights
+    * actually buys: n_eff = (Σw)²/Σw². DSIR-style reweighting that
+    * concentrates on a few documents quietly shrinks the corpus —
+    * 10M docs at n_eff = 80k behave like an 80k corpus for variance
+    * purposes, and this is the number that says so BEFORE training.
+    * deff = n/n_eff is the classic design effect (1 = uniform,
+    * larger = weight collapse).
+    *
+    * Exact integers at any scale: n_eff_milli = (Σw)²·10³ div Σw²
+    * and deff_ppm = n·Σw²·10⁶ div (Σw)², both decimal(38,0) floors —
+    * no rounded double anywhere (the q_allan rule: n_eff can reach
+    * corpus cardinality, past round(·,6)'s portable range). One
+    * map-combinable aggregate per group. Output:
+    * (group, n, n_eff_milli, deff_ppm); null weights ≤ 0 drop.
+    */
+  def kishEffectiveSize(df: DataFrame, groupCol: Column,
+      weightCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = weightCol.cast("long")
+    df.where(groupCol.isNotNull && weightCol.isNotNull && w > 0)
+      .groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n"), sum(dec(w)).as("_sw"),
+        sum(dec(w) * w).as("_sw2"))
+      .select(col("group"), col("n"),
+        expr("CAST((_sw * _sw * 1000) div _sw2 AS BIGINT)")
+          .as("n_eff_milli"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * _sw2 * 1000000)
+          div (_sw * _sw) AS BIGINT)""").as("deff_ppm"))
+      .orderBy(col("group"))
+  }
+
   /** ABC (Pareto-class) analysis — split keys into the classic
     * A/B/C tiers by cumulative weight share: A carries the head of
     * the distribution (default to 70%), B the middle (to 90%), C the

@@ -503,6 +503,22 @@ class TrainingDataSpec extends SparkSpec {
     assert(rs.getAs[Long]("top_share_ppm") == 800000L)
   }
 
+  test("kishEffectiveSize: uniform weights keep n; a whale collapses it") {
+    import org.apache.spark.sql.functions.col
+    val eq = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 5L)).toDF("g", "w")
+    val r = TrainingData.kishEffectiveSize(eq, col("g"), col("w"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("n_eff_milli") == 4000L)
+    assert(r.getAs[Long]("deff_ppm") == 1000000L)
+    // (100, 1, 1, 1): n_eff = 103²/10003 ≈ 1.06
+    val wh = Seq(("g", 100L), ("g", 1L), ("g", 1L), ("g", 1L)).toDF("g", "w")
+    val rw = TrainingData.kishEffectiveSize(wh, col("g"), col("w"))
+      .collect().head
+    assert(rw.getAs[Long]("n_eff_milli") == 10609L * 1000L / 10003L)
+    assert(rw.getAs[Long]("deff_ppm") == 4L * 10003L * 1000000L / 10609L)
+  }
+
   test("abcClasses: interval-start tiering; dominant key stays in A") {
     import org.apache.spark.sql.functions.col
     // 70/20/10: textbook one key per class
