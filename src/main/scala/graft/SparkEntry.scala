@@ -1077,6 +1077,13 @@ object SparkEntry {
     // in (stopword-quality DESC, doc_id) order — range-partitioned
     // prefix sums, never a single-partition running-sum window. The
     // oracle recomputes the running total with a plain window.
+    // Bhattacharyya overlap of click-vs-view spend histograms on
+    // shared 10-cent bins — the bounded symmetric drift complement.
+    "q_bhattacharyya" -> ((s, d) =>
+      Analytics.bhattacharyya(t(s, d, "events"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT) div 10"),
+        "click", "view")),
+
     // Kish effective sample size of per-user spend weights per type:
     // what sampling-by-spend actually buys — exact milli/ppm floors.
     "q_kish" -> ((s, d) =>
@@ -4839,6 +4846,30 @@ object SparkEntry {
          |  (nw BETWEEN 40 AND 1000) AND (mwl BETWEEN 3.0 AND 10.0) AND sym <= 0.1
          |    AND alr >= 0.5 AND (str BETWEEN 0.0 AND 0.6) AS keep
          |FROM v""".stripMargin,
+
+    // same shared bins; per-bin rounded sqrt terms, one closing
+    // division by sqrt(A*B)
+    "q_bhattacharyya" ->
+      """WITH cells AS (SELECT CAST(round(value * 100) AS BIGINT) // 10
+        |    AS b,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND value IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(COALESCE(sum(a), 0) AS BIGINT) AS n_a,
+        |  CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN a > 0 OR c > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bins,
+        |  COALESCE(sum(CAST(round(sqrt(CAST(a * c AS DOUBLE)), 6)
+        |    AS DECIMAL(28,6))), 0) AS s FROM cells)
+        |SELECT n_a, n_b, n_bins,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round(CAST(s AS DOUBLE) / sqrt(CAST(n_a * n_b AS DOUBLE)), 6)
+        |  END AS bc
+        |FROM m""".stripMargin,
 
     // same per-user weights; HUGEINT Kish floors
     "q_kish" ->

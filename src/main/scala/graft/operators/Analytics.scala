@@ -3147,6 +3147,41 @@ object Analytics {
       .withColumn("sig_95", col("z") > lit(2.995732d))
   }
 
+  /** Bhattacharyya coefficient — the OVERLAP of two distributions on
+    * a shared binning: BC = Σ√(pᵢqᵢ) ∈ [0,1], 1 identical, 0
+    * disjoint. PSI and JS divergence measure how FAR apart two
+    * histograms drifted; BC answers the dual question ("how much
+    * probability mass do the arms share") and is the kernel under
+    * Bhattacharyya distance and the Hellinger metric — the standard
+    * drift/overlap readout when a bounded symmetric score is wanted.
+    *
+    * Determinism: per-bin counts are exact; each term is
+    * round(√(aᵢ·bᵢ), 6) — the product is exact in int64 through
+    * ~10²⁶ pairs·rows (cast to double < 2⁵³ for row-scale bins), the
+    * sqrt is IEEE-deterministic, terms sum as decimals — closed by
+    * ONE division by √(A·B), rounded 6dp. Missing bins contribute 0
+    * (full outer join). Output one row: (n_a, n_b, n_bins, bc).
+    */
+  def bhattacharyya(df: DataFrame, armCol: Column, binCol: Column,
+      armA: String, armB: String): DataFrame = {
+    val cells = df.where(armCol.isNotNull && binCol.isNotNull &&
+        (armCol === armA || armCol === armB))
+      .groupBy(binCol.as("_b"))
+      .agg(sum(when(armCol === armA, 1L).otherwise(0L)).as("_a"),
+        sum(when(armCol === armB, 1L).otherwise(0L)).as("_c"))
+    val terms = cells.agg(
+      coalesce(sum(col("_a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_c")), lit(0L)).as("n_b"),
+      sum(when(col("_a") > 0L || col("_c") > 0L, 1L).otherwise(0L))
+        .as("n_bins"),
+      coalesce(sum(round(sqrt((col("_a") * col("_c")).cast("double")), 6)
+        .cast("decimal(28,6)")), lit(0L).cast("decimal(28,6)")).as("_s"))
+    terms.select(col("n_a"), col("n_b"), col("n_bins"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round(col("_s").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")), 6)).as("bc"))
+  }
+
   /** Chatterjee's ξ correlation — detects ANY functional dependence,
     * not just monotone: Pearson and Spearman read y = x² on a
     * symmetric domain as ≈ 0; ξ converges to 1 whenever y is a

@@ -2576,6 +2576,31 @@ class AnalyticsSpec extends SparkSpec {
       ro.getAs[Long]("n_outside") == 0L)
   }
 
+  test("bhattacharyya: identical 1, disjoint 0, hand partial overlap") {
+    def rows(arm: String, bins: Seq[Long]) = bins.map(b => (arm, b))
+    val same = (rows("a", Seq(1L, 1L, 2L, 2L)) ++ rows("b", Seq(1L, 1L, 2L, 2L)))
+      .toDF("arm", "bin")
+    val r = Analytics.bhattacharyya(same, col("arm"), col("bin"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Double]("bc") == 1.0d)
+    val disj = (rows("a", Seq(1L, 1L)) ++ rows("b", Seq(2L, 2L)))
+      .toDF("arm", "bin")
+    val rd = Analytics.bhattacharyya(disj, col("arm"), col("bin"), "a", "b")
+      .collect().head
+    assert(rd.getAs[Double]("bc") == 0.0d)
+    // a = (2,2), b = (4,0): BC = round(√8,6)/4
+    val part = (rows("a", Seq(1L, 1L, 2L, 2L)) ++ rows("b", Seq(1L, 1L, 1L, 1L)))
+      .toDF("arm", "bin")
+    val rp = Analytics.bhattacharyya(part, col("arm"), col("bin"), "a", "b")
+      .collect().head
+    val exp = BigDecimal(
+      BigDecimal(math.sqrt(8.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rp.getAs[Double]("bc") == exp)
+  }
+
   test("chatterjeeXi: (n-2)/(n+1) at perfect monotone, reversal-symmetric") {
     // y = x, n = 4: xi = (4−2)/(4+1) = 0.4
     val up = (1L to 4L).map(i => (i, i, i)).toDF("id", "x", "y")
