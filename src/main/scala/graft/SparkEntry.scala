@@ -4865,11 +4865,14 @@ object SparkEntry {
         |    AS BIGINT) AS n_bins,
         |  COALESCE(sum(CAST(round(sqrt(CAST(a * c AS DOUBLE)), 6)
         |    AS DECIMAL(28,6))), 0) AS s FROM cells)
-        |SELECT n_a, n_b, n_bins,
+        |b2 AS (SELECT n_a, n_b, n_bins,
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
         |    round(CAST(s AS DOUBLE) / sqrt(CAST(n_a * n_b AS DOUBLE)), 6)
-        |  END AS bc
-        |FROM m""".stripMargin,
+        |  END AS bc FROM m)
+        |SELECT n_a, n_b, n_bins, bc,
+        |  CASE WHEN bc IS NOT NULL THEN
+        |    round(sqrt(greatest(1.0 - bc, 0.0)), 6) END AS hellinger
+        |FROM b2""".stripMargin,
 
     // same per-user weights; HUGEINT Kish floors
     "q_kish" ->

@@ -3177,9 +3177,14 @@ object Analytics {
       coalesce(sum(round(sqrt((col("_a") * col("_c")).cast("double")), 6)
         .cast("decimal(28,6)")), lit(0L).cast("decimal(28,6)")).as("_s"))
     terms.select(col("n_a"), col("n_b"), col("n_bins"),
-      when(col("n_a") > 0L && col("n_b") > 0L,
-        round(col("_s").cast("double") /
-          sqrt((col("n_a") * col("n_b")).cast("double")), 6)).as("bc"))
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round(col("_s").cast("double") /
+            sqrt((col("n_a") * col("n_b")).cast("double")), 6)).as("bc"))
+      // Hellinger metric off the ROUNDED bc (bit-identical input both
+      // engines); clamp guards the bc ≈ 1 + rounding-up edge
+      .withColumn("hellinger",
+        when(col("bc").isNotNull,
+          round(sqrt(greatest(lit(1.0d) - col("bc"), lit(0.0d))), 6)))
   }
 
   /** Chatterjee's ξ correlation — detects ANY functional dependence,

@@ -2584,11 +2584,13 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head
     assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_bins") == 2L)
     assert(r.getAs[Double]("bc") == 1.0d)
+    assert(r.getAs[Double]("hellinger") == 0.0d)
     val disj = (rows("a", Seq(1L, 1L)) ++ rows("b", Seq(2L, 2L)))
       .toDF("arm", "bin")
     val rd = Analytics.bhattacharyya(disj, col("arm"), col("bin"), "a", "b")
       .collect().head
     assert(rd.getAs[Double]("bc") == 0.0d)
+    assert(rd.getAs[Double]("hellinger") == 1.0d)
     // a = (2,2), b = (4,0): BC = round(√8,6)/4
     val part = (rows("a", Seq(1L, 1L, 2L, 2L)) ++ rows("b", Seq(1L, 1L, 1L, 1L)))
       .toDF("arm", "bin")
