@@ -4864,7 +4864,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN a > 0 OR c > 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_bins,
         |  COALESCE(sum(CAST(round(sqrt(CAST(a * c AS DOUBLE)), 6)
-        |    AS DECIMAL(28,6))), 0) AS s FROM cells)
+        |    AS DECIMAL(28,6))), 0) AS s FROM cells),
         |b2 AS (SELECT n_a, n_b, n_bins,
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
         |    round(CAST(s AS DOUBLE) / sqrt(CAST(n_a * n_b AS DOUBLE)), 6)
