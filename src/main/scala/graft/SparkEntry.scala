@@ -2454,6 +2454,12 @@ object SparkEntry {
       Analytics.ksTest(t(s, d, "events"), col("event_type"), col("value"),
         "click", "purchase")),
 
+    // Kuiper on the same two samples: both directed CDF gaps summed —
+    // tail-sensitive and cyclic-shift-invariant, exact integers.
+    "q_kuiper" -> ((s, d) =>
+      Analytics.kuiperTest(t(s, d, "events"), col("event_type"),
+        col("value"), "click", "purchase")),
+
     // Cramér–von Mises on the same two samples: the INTEGRATED CDF
     // gap beside KS's max gap, exact ppm on decimal-widened products.
     "q_cvm" -> ((s, d) =>
@@ -6630,6 +6636,27 @@ object SparkEntry {
         |  round(CAST(max(abs(nb * cuma - na * cumb)) AS DOUBLE) /
         |    CAST(na * nb AS DOUBLE), 6) AS ks
         |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // same pooled CDF; both directed max gaps, clamped at 0
+    "q_kuiper" ->
+      """WITH pv AS (SELECT value AS v,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL GROUP BY value),
+        |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+        |  sum(cb) OVER (ORDER BY v) AS cumb FROM pv),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+        |g AS (SELECT na, nb,
+        |  greatest(CAST(max(nb * cuma - na * cumb) AS BIGINT), 0) AS dp,
+        |  greatest(CAST(max(na * cumb - nb * cuma) AS BIGINT), 0) AS dm
+        |  FROM c, t GROUP BY na, nb)
+        |SELECT na AS n_a, nb AS n_b, dp + dm AS v_num,
+        |  na * nb AS v_denom,
+        |  round(CAST(dp + dm AS DOUBLE) / CAST(na * nb AS DOUBLE), 6)
+        |    AS v
+        |FROM g""".stripMargin,
 
     // single-sample interval terms; nested exact floors
     "q_gmd" ->

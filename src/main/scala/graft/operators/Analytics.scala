@@ -814,6 +814,47 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
+  /** Kuiper two-sample test — [[ksTest]]'s rotation-invariant sibling:
+    * V = D⁺ + D⁻ sums the largest gap in EACH direction instead of
+    * the single worst |gap|, which restores power at the
+    * DISTRIBUTION TAILS and makes the statistic invariant to cyclic
+    * shifts of the support — the right two-sample comparison for
+    * anything that wraps (time-of-day, day-of-week, phase), pairing
+    * with [[circularStats]]'s one-sample Rayleigh.
+    *
+    * Exact integers off the SAME pooled-CDF pass as KS: D⁺ =
+    * max(n_b·C_a − n_a·C_b), D⁻ = max of the negation (each clamped
+    * at 0 — one side can be empty of signed gaps), V_num = D⁺ + D⁻
+    * over the common denominator n_a·n_b, plus one 6dp division.
+    * Output one row: (n_a, n_b, v_num, v_denom, v).
+    */
+  def kuiperTest(df: DataFrame, groupCol: Column, valueCol: Column,
+      a: String, b: String): DataFrame = {
+    val perValue = df
+      .where(groupCol.isin(a, b) && valueCol.isNotNull)
+      .select(valueCol.as("_v"), groupCol.as("_g"))
+      .groupBy(col("_v"))
+      .agg(
+        sum(when(col("_g") === a, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === b, 1L).otherwise(0L)).as("_cb"))
+    val cums = Relational.prefixSums(perValue, Seq(col("_v")),
+      Seq(col("_ca") -> "_cumA", col("_cb") -> "_cumB"))
+    val totals = perValue.agg(
+      sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    cums.crossJoin(broadcast(totals))
+      .select(
+        (col("_nb") * col("_cumA") - col("_na") * col("_cumB")).as("_s"),
+        col("_na"), col("_nb"))
+      .groupBy(col("_na").as("n_a"), col("_nb").as("n_b"))
+      .agg(greatest(max(col("_s")), lit(0L)).as("_dp"),
+        greatest(max(-col("_s")), lit(0L)).as("_dm"))
+      .select(col("n_a"), col("n_b"),
+        (col("_dp") + col("_dm")).as("v_num"),
+        (col("n_a") * col("n_b")).as("v_denom"),
+        round((col("_dp") + col("_dm")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("v"))
+  }
+
   /** Two-sample 1-D Wasserstein distance (earth-mover / Kantorovich
     * W₁) — [[ksTest]] reports the WORST CDF gap; W₁ integrates ALL
     * of it: ∫|F_a − F_b| dv, the minimum mass·distance to morph one

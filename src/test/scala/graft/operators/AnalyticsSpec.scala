@@ -2576,6 +2576,29 @@ class AnalyticsSpec extends SparkSpec {
       ro.getAs[Long]("n_outside") == 0L)
   }
 
+  test("kuiperTest: sums both directed gaps where KS sees only one") {
+    // a = {1,4} straddles b = {2,3}: D+ = D− = 2 -> V = 1 while the
+    // one-sided KS max is only 0.5 — the tail sensitivity in action
+    val str = Seq(("a", 1L), ("a", 4L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val r = Analytics.kuiperTest(str, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("v_num") == 4L && r.getAs[Long]("v_denom") == 4L)
+    assert(r.getAs[Double]("v") == 1.0d)
+    val ks = Analytics.ksTest(str, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(ks.getAs[Double]("ks") == 0.5d)
+    // fully separated: V = 1 too (D− clamps at 0)
+    val sep = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val rs = Analytics.kuiperTest(sep, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(rs.getAs[Double]("v") == 1.0d)
+    // identical samples: V = 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val ri = Analytics.kuiperTest(same, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(ri.getAs[Long]("v_num") == 0L && ri.getAs[Double]("v") == 0.0d)
+  }
+
   test("bhattacharyya: identical 1, disjoint 0, hand partial overlap") {
     def rows(arm: String, bins: Seq[Long]) = bins.map(b => (arm, b))
     val same = (rows("a", Seq(1L, 1L, 2L, 2L)) ++ rows("b", Seq(1L, 1L, 2L, 2L)))
