@@ -2806,6 +2806,16 @@ object SparkEntry {
       Analytics.aucRankSum(t(s, d, "lineitem"),
         (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))),
 
+    // One-sample Kuiper uniformity of event hours per type: catches
+    // the bimodal/cron patterns Rayleigh is blind to — exact 24n
+    // rationals on the dense hour grid.
+    "q_kuiper_uniform" -> ((s, d) =>
+      Analytics.kuiperUniformHours(t(s, d, "events"), col("event_type"),
+        hour(col("ts")))
+        .select(col("group").as("event_type"), col("n"), col("v_num"),
+          col("v_denom"), col("v"))
+        .orderBy(col("event_type"))),
+
     // Rayleigh circular concentration of event hours per type: is
     // activity circadian-clumped — JVM-embedded trig literals, 6dp
     // decimal term sums, one IEEE shape.
@@ -7704,6 +7714,33 @@ object SparkEntry {
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // dense 0..23 grid; step-vs-line sups at interval ends, 24n exact
+    "q_kuiper_uniform" ->
+      """WITH counts AS (SELECT event_type AS g,
+        |  CAST(hour(ts) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |gs AS (SELECT DISTINCT g FROM counts),
+        |hh AS (SELECT CAST(unnest(generate_series(0, 23)) AS BIGINT)
+        |  AS h),
+        |dense AS (SELECT gs.g, hh.h, COALESCE(c, 0) AS c
+        |  FROM gs CROSS JOIN hh LEFT JOIN counts
+        |    ON counts.g = gs.g AND counts.h = hh.h),
+        |cdf AS (SELECT g, h, c,
+        |  sum(c) OVER (PARTITION BY g ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY g) AS n FROM dense),
+        |ag AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |  greatest(CAST(max(24 * cum - n * h) AS BIGINT), 0) AS dp,
+        |  greatest(CAST(max(n * (h + 1) - 24 * cum) AS BIGINT), 0) AS dm
+        |  FROM cdf GROUP BY 1)
+        |SELECT g AS event_type, n, dp + dm AS v_num,
+        |  24 * n AS v_denom,
+        |  CASE WHEN n > 0 THEN
+        |    round(CAST(dp + dm AS DOUBLE) / CAST(24 * n AS DOUBLE), 6)
+        |  END AS v
+        |FROM ag ORDER BY 1""".stripMargin,
 
     // identical JVM-embedded trig CASE arms; 6dp decimal term sums
     "q_rayleigh" -> {

@@ -814,6 +814,52 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
+  /** One-sample Kuiper uniformity over the 24-hour clock — the
+    * distribution-shape complement of [[circularStats]]: Rayleigh
+    * detects a UNIMODAL clump (its test statistic is literally the
+    * resultant length), so a clean 12-hours-apart bimodal pattern
+    * (cron running twice a day) sails through it with R̄ ≈ 0; Kuiper's
+    * V = D⁺ + D⁻ against the uniform clock catches ANY departure and
+    * is invariant to rotating the dial (no midnight artifact).
+    *
+    * Exact integers: hourly counts on the dense 0..23 grid, the step
+    * CDF vs the uniform line compared at the interval ends where each
+    * sup lives — D⁺ = max_h(24·cum_h − n·h), D⁻ = max_h(n·(h+1) −
+    * 24·cum_h), both clamped at 0, over the common denominator 24n.
+    * One (group, hour) aggregate, per-group windows over ≤ 24 rows.
+    * Output per group: (group, n, v_num, v_denom, v).
+    */
+  def kuiperUniformHours(df: DataFrame, groupCol: Column,
+      hourCol: Column): DataFrame = {
+    val counts = df.where(groupCol.isNotNull && hourCol.isNotNull)
+      .groupBy(groupCol.as("_g"), hourCol.cast("long").as("_h"))
+      .agg(count(lit(1)).as("_c"))
+    val groups = counts.select(col("_g")).distinct()
+    val dense = groups
+      .crossJoin(broadcast(
+        counts.sparkSession.range(0, 24).select(col("id").as("_h"))))
+      .join(counts, Seq("_g", "_h"), "left")
+      .select(col("_g"), col("_h"), coalesce(col("_c"), lit(0L)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n",
+        sum(col("_c")).over(Window.partitionBy(col("_g"))))
+      .groupBy(col("_g"))
+      .agg(first(col("_n")).as("n"),
+        greatest(max(lit(24L) * col("_cum") - col("_n") * col("_h")),
+          lit(0L)).as("_dp"),
+        greatest(max(col("_n") * (col("_h") + 1L) - lit(24L) * col("_cum")),
+          lit(0L)).as("_dm"))
+      .select(col("_g").as("group"), col("n"),
+        (col("_dp") + col("_dm")).as("v_num"),
+        (lit(24L) * col("n")).as("v_denom"),
+        when(col("n") > 0L,
+          round((col("_dp") + col("_dm")).cast("double") /
+            (lit(24L) * col("n")).cast("double"), 6)).as("v"))
+  }
+
   /** Kuiper two-sample test — [[ksTest]]'s rotation-invariant sibling:
     * V = D⁺ + D⁻ sums the largest gap in EACH direction instead of
     * the single worst |gap|, which restores power at the

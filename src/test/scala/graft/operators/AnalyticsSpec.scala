@@ -2576,6 +2576,33 @@ class AnalyticsSpec extends SparkSpec {
       ro.getAs[Long]("n_outside") == 0L)
   }
 
+  test("kuiperUniformHours: point mass 1; uniform hits the 1/24 floor") {
+    // all mass at hour 0: V = 1 (the whole CDF sits above the line)
+    val spike = (1 to 4).map(_ => ("g", 0L)).toDF("g", "h")
+    val r = Analytics.kuiperUniformHours(spike, col("g"), col("h"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("v_num") == 96L && r.getAs[Long]("v_denom") == 96L)
+    assert(r.getAs[Double]("v") == 1.0d)
+    // one event per hour: only the discretization floor 24/576 remains
+    val unif = (0 until 24).map(h => ("g", h.toLong)).toDF("g", "h")
+    val ru = Analytics.kuiperUniformHours(unif, col("g"), col("h"))
+      .collect().head
+    assert(ru.getAs[Long]("v_num") == 24L && ru.getAs[Long]("v_denom") == 576L)
+    // a 12-hours-apart bimodal clock that Rayleigh scores ~0 still
+    // lights Kuiper up: hours {0, 12} x 2 each
+    val bim = Seq(("g", 0L), ("g", 0L), ("g", 12L), ("g", 12L)).toDF("g", "h")
+    val rb = Analytics.kuiperUniformHours(bim, col("g"), col("h"))
+      .collect().head
+    // D+ = max(24*cum - 4h): h=0 -> 48; D- = max(4(h+1) - 24cum):
+    // h=11 -> 48 - 48 = 0 ... exact: cum(0..11) = 2 -> h=11: 48-48=0,
+    // all later cum = 4 -> negative; so V = 48/96 = 0.5
+    assert(rb.getAs[Double]("v") == 0.5d)
+    val ray = Analytics.circularStats(bim, col("g"), col("h"))
+      .collect().head
+    assert(ray.getAs[Double]("rbar") == 0.0d) // Rayleigh is blind here
+  }
+
   test("kuiperTest: sums both directed gaps where KS sees only one") {
     // a = {1,4} straddles b = {2,3}: D+ = D− = 2 -> V = 1 while the
     // one-sided KS max is only 0.5 — the tail sensitivity in action
