@@ -8701,7 +8701,8 @@ object SparkEntry {
          |  ELSE 0.0 END AS DECIMAL(18,6)) AS term
          |  FROM dense a JOIN dense b ON a.w = b.w AND a.s < b.s
          |  JOIN stats ON stats.w = a.w)
-         |SELECT s1, s2, round(CAST(sum(term) AS DOUBLE) / 50, 6) AS delta
+         |SELECT s1, s2, round(CAST(sum(term) AS DOUBLE) /
+         |  CAST(count(*) AS DOUBLE), 6) AS delta
          |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same (group, word) counts folded to tokens/types/hapax

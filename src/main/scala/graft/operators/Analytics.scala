@@ -6070,13 +6070,16 @@ object Analytics {
     * gauge" readout for metric pipelines.
     *
     * Exactness: block SUMS S_i are exact integers, the mean division
-    * is cleared — AVAR(m) = Σ(S_{i+1}−S_i)² / (2·(B−1)·m²) — so one
-    * decimal(38,0) sum of squared integer deltas enters ONE IEEE
-    * division, 6dp. Only full blocks pair; keys with < 2 full blocks
+    * is cleared — AVAR(m) = Σ(S_{i+1}−S_i)² / (2·(B−1)·m²) — and the
+    * readout is an exact integer-micros floor,
+    * avar_micros = (ΣΔ²·10⁶) div (2·(B−1)·m²), entirely in
+    * decimal(38,0): cents² magnitudes pass 2⁵³ at scale, where a
+    * rounded IEEE division diverges across engines by one ulp in the
+    * 6th decimal. Only full blocks pair; keys with < 2 full blocks
     * at a size report null for it. Shape: one per-key index window,
     * ×|sizes| explode, per-(key,size) block aggregate + lag window
     * over the BLOCK frame (n/m rows), one aggregate. Output one row
-    * per (key, m): (key, m, n_blocks, avar).
+    * per (key, m): (key, m, n_blocks, avar_micros).
     */
   def allanVariance(df: DataFrame, keyCol: Column, orderBy: Seq[Column],
       centsCol: Column, sizes: Seq[Int] = Seq(1, 4, 16, 64)): DataFrame = {

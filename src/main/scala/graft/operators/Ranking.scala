@@ -1169,7 +1169,10 @@ object Ranking {
     * convention), per-word n-cleared variance S_w = n·Σr² − (Σr)² is
     * decimal-exact, and the z-gap collapses to n·|r₁−r₂|/√S_w (the
     * means cancel in the difference) — one IEEE shape per (pair,
-    * word), 6dp decimal term sums, one closing division by k.
+    * word), 6dp decimal term sums, one closing division by the
+    * REALIZED top-word count (= min(k, distinct words) — when the
+    * corpus has fewer than k distinct words the grid shrinks and the
+    * mean is taken over the words that exist, not deflated by /k).
     * Zero-variance words contribute 0. Top-k selection rides
     * [[Relational.prefixSum]] over (−total, word) — no global window.
     * Pair frame is sources²·k (sources are few; words capped at k).
@@ -1218,7 +1221,8 @@ object Ranking {
             sqrt(col("_sw").cast("double")), 6))
           .otherwise(lit(0.0d)).cast("decimal(18,6)").as("_term"))
       .groupBy(col("s1"), col("s2"))
-      .agg(round(sum(col("_term")).cast("double") / k, 6).as("delta"))
+      .agg(round(sum(col("_term")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("delta"))
       .orderBy(col("s1"), col("s2"))
   }
 

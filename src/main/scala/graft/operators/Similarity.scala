@@ -60,6 +60,16 @@ object Similarity {
     require(k >= 1, s"matryoshkaEval: k must be >= 1, got $k")
     require(prefixDims.nonEmpty && prefixDims.forall(_ >= 1),
       s"matryoshkaEval: prefixDims must be non-empty positive, got $prefixDims")
+    // A prefix BEYOND the embedding dim silently slices to the full
+    // vector and reports a trivially-perfect overlap_ppm=1000000 that
+    // misreads as "truncation is free" — reject it against the
+    // (first-row) realized dim. p == dim is allowed: it is the
+    // explicit full-dim baseline and SHOULD read 1.0.
+    val realizedDim = corpus.select(size(col(vecCol)).as("_d")).head().getInt(0)
+    require(prefixDims.forall(_ <= realizedDim),
+      s"matryoshkaEval: prefix dims must be <= embedding dim $realizedDim " +
+        s"(a prefix past the dim slices to the full vector and reports a " +
+        s"vacuous perfect overlap); got $prefixDims")
     val full = bruteForceTopK(queries, corpus, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true)

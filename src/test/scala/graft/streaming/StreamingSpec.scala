@@ -1360,8 +1360,27 @@ class StreamingSpec extends SparkSpec {
       assert(last(r).counter == batch(r), s"replicate $r")
       assert(last(r).est == batch(r) * batch(r))
     }
-    // JVM sign() parity with the SQL md5 path on a known key
-    assert(Set(-1L, 1L).contains(StreamAmsF2.sign(0L, "a")))
+    // JVM sign() parity with the SQL md5 path: evaluate the SAME
+    // conv(substring(md5("ams<r>:<k>"),1,8),16,10)%2*2-1 expression
+    // through Spark for concrete (r, k) pairs and require equality —
+    // pins the JVM hash path bit-for-bit, not just its ±1 range.
+    val signPairs = Seq((0L, "a"), (1L, "a"), (2L, "b"), (0L, "zz"))
+    val sqlSigns = signPairs.toDF("r", "k")
+      .select(col("r"), col("k"),
+        (org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit("ams"),
+                col("r").cast("string"),
+                org.apache.spark.sql.functions.lit(":"), col("k"))),
+            1, 8), 16, 10).cast("long") % 2L * 2L - 1L).as("s"))
+      .collect().map(row =>
+        (row.getLong(0), row.getString(1)) -> row.getLong(2)).toMap
+    signPairs.foreach { case (r, k) =>
+      assert(StreamAmsF2.sign(r, k) == sqlSigns((r, k)),
+        s"sign($r, $k) diverges from the SQL md5 path")
+    }
   }
 
   test("streaming time-to-convert matches the batch operator; late rows flagged") {
