@@ -1870,22 +1870,34 @@ object SparkEntry {
       Ranking.termBurstiness(t(s, d, "documents"), col("doc_id"),
         col("text"), k = 50)),
 
-    // Incremental (day-2) dedup gate: a new batch — the %5==0 docs
-    // plus verbatim copies of some standing docs under shifted ids —
-    // dedupes against the standing corpus's fingerprint+band index.
-    // Pins: every exact copy is dropped (fingerprint path, guaranteed)
-    // and >= 90% of the new-side members of HIGH-jaccard (>= 0.8)
-    // cross-boundary near-dup pairs are dropped: at j=0.8 the any-band
-    // miss probability is (1-j⁴)¹⁶ ≈ 2e-4 per pair, so the pin is
-    // robust to organic pairs a testdata refresh might introduce
-    // (at j=0.5 it would be ~0.36 and the gate would flap).
+    // Incremental (day-2) dedup gate: a new batch — the %5==0 docs,
+    // verbatim copies of some standing docs under shifted ids, and
+    // PLANTED near-dup clones (two sentinel tokens prepended to
+    // standing %50==3 docs of >= 20 words) — dedupes against the
+    // standing corpus's fingerprint+band index. Pins: every exact
+    // copy is dropped (fingerprint path, guaranteed) and >= 90% of
+    // the planted clones whose MEASURED bigram jaccard vs their
+    // original is >= 0.8 are dropped. Prepending 2 tokens adds at
+    // most 2 bigram shingles, so a >= 20-word doc sits at
+    // j = s/(s+2) >= ~0.9, where the any-band miss probability is
+    // (1-j⁴)¹⁶ ≈ 4e-8 per pair — the pin cannot flap. The jaccard is
+    // measured per planted PAIR directly (shingle the ~2% planted
+    // docs, one equi-join) — NOT via a full-corpus pair sweep: the
+    // ngram-pair machinery already has its own gates (q_dedup_ngram,
+    // q_jaccard_sweep), and a 348-query bench cannot afford re-proving
+    // it inside this one.
     "q_dedup_incremental" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val old = docs.where(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
       val copies = old.where(col("doc_id") % 50 === 1)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val plantedSrc = old.where(col("doc_id") % 50 === 3)
+        .where(size(graft.functions.TextFunctions.words(col("text"))) >= 20)
+      val clones = plantedSrc.select(
+        (col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("zq zq "), col("text")).as("text"))
       val newBatch = docs.where(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), col("text")).unionAll(copies)
+        .select(col("doc_id"), col("text")).unionAll(copies).unionAll(clones)
       // index and kept each feed multiple gate legs — persist so the
       // 64-hash/16-band index build and the anti-join pipeline run
       // once, not once per leg (the edgeIncidentLabels lesson).
@@ -1900,11 +1912,16 @@ object SparkEntry {
       val newFp = newBatch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
       val oldFp = old.select(fingerprint(col("text")).as("fp")).distinct()
       val exactDupIds = newFp.join(oldFp, Seq("fp"), "left_semi").select(col("doc_id"))
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.8, 100)
-      val nearNewIds = pairs
-        .where((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
-        .select(when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b")).as("doc_id"))
-        .distinct()
+      // measured planted-pair jaccard: shingle originals and clones
+      // only, join each clone to its origin on the shifted id
+      val shOrig = Dedup.shingleDocs(plantedSrc, "doc_id", "text", 2)
+        .select((col("id") + 200000L).as("doc_id"), col("sh").as("_sha"))
+      val shClone = Dedup.shingleDocs(clones, "doc_id", "text", 2)
+        .select(col("id").as("doc_id"), col("sh").as("_shb"))
+      val nearNewIds = shOrig.join(shClone, Seq("doc_id"))
+        .where(size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
+          size(array_union(col("_sha"), col("_shb"))) >= 0.8d)
+        .select(col("doc_id"))
       newBatch.agg(count(lit(1)).as("n_new"))
         .crossJoin(exactDupIds.agg(count(lit(1)).as("n_exact_dup")))
         .crossJoin(exactDupIds.join(keptIds, Seq("doc_id"), "left_semi")
@@ -4669,20 +4686,37 @@ object SparkEntry {
     // n_new/n_exact_dup/n_near recomputed from first principles; the
     // booleans are pinned true (gate style, like the recall oracles)
     "q_dedup_incremental" ->
-      s"""${ngramPairsSql(0.8)},
-         |old AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      s"""WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
          |copies AS (SELECT doc_id + 100000 AS doc_id, text FROM documents
          |  WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1),
+         |planted_src AS (SELECT doc_id, text FROM old
+         |  WHERE doc_id % 50 = 3 AND len($W) >= 20),
+         |clones AS (SELECT doc_id + 200000 AS doc_id, 'zq zq ' || text AS text
+         |  FROM planted_src),
          |new_batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
-         |  UNION ALL SELECT doc_id, text FROM copies),
-         |near_new AS (SELECT DISTINCT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS doc_id
-         |  FROM exact_pairs WHERE (id_a % 5 = 0) <> (id_b % 5 = 0))
+         |  UNION ALL SELECT doc_id, text FROM copies
+         |  UNION ALL SELECT doc_id, text FROM clones),
+         |sha AS (SELECT doc_id + 200000 AS doc_id,
+         |  list_distinct(CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS sh
+         |  FROM planted_src),
+         |shb AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len($W) < 2
+         |    THEN [array_to_string($W, ' ')]
+         |    ELSE list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(($W)[i:i+1], ' ')) END) AS sh
+         |  FROM clones),
+         |near AS (SELECT sha.doc_id FROM sha JOIN shb USING (doc_id)
+         |  WHERE len(list_intersect(sha.sh, shb.sh))::DOUBLE /
+         |    len(list_distinct(list_concat(sha.sh, shb.sh))) >= 0.8)
          |SELECT
          |  (SELECT count(*) FROM new_batch) AS n_new,
          |  (SELECT count(*) FROM new_batch n WHERE EXISTS (SELECT 1 FROM old o
          |     WHERE md5(trim(regexp_replace(lower(n.text), '\\s+', ' ', 'g'))) =
          |           md5(trim(regexp_replace(lower(o.text), '\\s+', ' ', 'g'))))) AS n_exact_dup,
-         |  (SELECT count(*) FROM near_new) AS n_near,
+         |  (SELECT count(*) FROM near) AS n_near,
          |  true AS exact_dropped_ok,
          |  true AS near_recall_ok""".stripMargin,
 

@@ -39,7 +39,7 @@ object Dedup {
     * the tokenizer runs once per document, not once per shingle (see
     * TextFunctions.wordShinglesFromWords).
     */
-  private def shingleDocs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  private[graft] def shingleDocs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), words(col(textCol)).as("_ws"))
       .select(col("id"), array_distinct(wordShinglesFromWords(col("_ws"), n)).as("sh"))
 
