@@ -29,7 +29,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Durability/idempotence: state versions are `dir/v=<batchId>`; a
   * retried batch overwrites its own version and re-commits — the
   * previous version is kept until the next successful commit, so a
-  * mid-write crash replays from intact state. At scale the state store
+  * mid-write crash replays from intact state. The commit POINTER is
+  * durable too: `dir/_latest` records (batchId, version, predecessor)
+  * after every commit, and a reconstructed handle (driver restart)
+  * re-adopts it before its first batch — see [[recover]]. At scale the state store
   * is a parquet table like any other: partitioned by key hash if the
   * caller's `step` writes it that way, readable by concurrent
   * reporting jobs, and never resident on the driver.
@@ -76,6 +79,61 @@ final class StatefulHotSwap(
       case None    => init
     }
 
+  private def markerPaths(stateDir: String) =
+    (new org.apache.hadoop.fs.Path(s"$stateDir/_latest"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/_latest.tmp"))
+
+  /** Durable commit pointer: `<stateDir>/_latest` records (batchId,
+    * committed path, predecessor path) after every commit. The
+    * in-memory `committed` reference alone would lose the pointer on a
+    * driver restart even though the parquet versions survive; the
+    * marker makes a RECONSTRUCTED handle resume from the accumulated
+    * state — the reference's supervision-restart story. Written
+    * tmp-then-rename; recovery falls back to the tmp if a crash lands
+    * between delete and rename (both point at a fully-written commit:
+    * the marker is only ever written AFTER its version committed).
+    */
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, path: String, batchId: Long,
+      prev: Option[String]): Unit = {
+    val (m, tmp) = markerPaths(stateDir)
+    val out = fs.create(tmp, true)
+    try out.write(s"$batchId\n$path\n${prev.getOrElse("-")}\n".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(m)) fs.delete(m, false)
+    fs.rename(tmp, m)
+    ()
+  }
+
+  /** Recover the committed pointer from the durable `_latest` marker.
+    * No-op when this handle already committed in-memory or no marker
+    * exists; called automatically before the first batch, and callable
+    * explicitly (e.g. to read `currentState` before any batch runs on
+    * a rebuilt driver).
+    */
+  def recover(spark: SparkSession, stateDir: String): Unit =
+    if (committed.get().isEmpty) {
+      val dir = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (m, tmp) = markerPaths(stateDir)
+      val src =
+        if (fs.exists(m)) Some(m) else if (fs.exists(tmp)) Some(tmp) else None
+      src.foreach { p =>
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split("\n").toList match {
+          case bid :: path :: prev :: _
+            if fs.exists(new org.apache.hadoop.fs.Path(path)) =>
+            committed.compareAndSet(None,
+              Some(Committed(path, bid.toLong, Some(prev).filter(_ != "-"))))
+            ()
+          case _ => ()
+        }
+      }
+    }
+
   /** One micro-batch: load committed state, pop any pending migration
     * (exactly once), run the current step, commit the new state under
     * this batch id, emit the output. Called by [[StatefulHotSwap.sink]].
@@ -87,6 +145,7 @@ final class StatefulHotSwap(
       stateDir: String,
       write: (DataFrame, Long) => Unit): Unit = {
     val spark = batch.sparkSession
+    recover(spark, stateDir) // rebuilt-driver resume: adopt _latest
     val g = gen.getAndUpdate(cur => cur.copy(pendingMigrate = None))
     // a RETRIED batch (engine replay after a sink failure) must not
     // consume its own committed output as input — fall back to the
@@ -109,13 +168,14 @@ final class StatefulHotSwap(
       case None                            => None
     }
     committed.set(Some(Committed(versionPath, batchId, prevPath)))
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeMarker(fs, stateDir, versionPath, batchId, prevPath)
     write(out, batchId)
     // GC: keep only the committed version and its predecessor (the
     // predecessor backs a possible retry of THIS batch)
     val keep = (Seq(versionPath) ++ prevPath.toSeq)
       .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
-    val dir = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith("v=") &&
         !keep.contains(st.getPath.getName)) { fs.delete(st.getPath, true); () }

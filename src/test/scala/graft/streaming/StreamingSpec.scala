@@ -1211,6 +1211,48 @@ class StreamingSpec extends SparkSpec {
     assert(readTotals() == Map(1L -> 16L))
   }
 
+  test("StatefulHotSwap: a RECONSTRUCTED handle resumes from the durable commit pointer") {
+    // the in-memory committed pointer dies with the driver; the
+    // _latest marker beside the parquet versions must carry the resume
+    // — kill the handle, rebuild it cold, and the totals continue
+    val dir = java.nio.file.Files.createTempDirectory("shsd").toString
+    val init = Seq.empty[(Long, Long)].toDF("k", "total")
+    val step: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      (batch, state) => {
+        val upd = batch.groupBy(col("k")).agg(sum(col("v")).as("inc"))
+        val next = state.join(upd, Seq("k"), "full")
+          .select(col("k"),
+            (coalesce(col("total"), lit(0L)) + coalesce(col("inc"), lit(0L)))
+              .as("total"))
+        (next, next)
+      }
+    val handleA = StatefulHotSwap(step)
+    handleA.runBatch(Seq((1L, 10L)).toDF("k", "v"), 0L, init, s"$dir/state",
+      (_, _) => ())
+    handleA.runBatch(Seq((1L, 5L)).toDF("k", "v"), 1L, init, s"$dir/state",
+      (_, _) => ())
+    // "driver restart": a brand-new handle, no in-memory state at all
+    val handleB = StatefulHotSwap(step)
+    // explicit recover surfaces the committed state BEFORE any batch
+    handleB.recover(spark, s"$dir/state")
+    assert(handleB.currentState(spark, init)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 15L))
+    // a replay of the last pre-crash batch on the rebuilt handle must
+    // consume the predecessor state (recovered from the marker), not
+    // double-count its own committed output
+    val handleC = StatefulHotSwap(step)
+    handleC.runBatch(Seq((1L, 5L)).toDF("k", "v"), 1L, init, s"$dir/state",
+      (_, _) => ())
+    assert(handleC.currentState(spark, init)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 15L))
+    // and fresh progress continues from the carried totals
+    handleC.runBatch(Seq((1L, 2L), (2L, 7L)).toDF("k", "v"), 2L, init,
+      s"$dir/state", (_, _) => ())
+    assert(handleC.currentState(spark, init)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 17L, 2L -> 7L))
+  }
+
   test("streaming mode matches modePerKey after every batch; domain cap flags") {
     import graft.streaming.StreamMode
     import org.apache.spark.sql.functions.col
