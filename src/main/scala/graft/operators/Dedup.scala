@@ -1012,6 +1012,17 @@ object Dedup {
     * assignment (each vector participates in its `probes` nearest
     * cells, pairs dedup'd) recovers boundary-straddling pairs at the
     * cost of `probes`× shuffle volume.
+    *
+    * DEFAULT ENTRY POINT once cells can no longer be kept small —
+    * corpora past ~10M vectors, or any skewed embedding space where a
+    * hot cell would go quadratic — is the kNN-graph composition:
+    * [[Similarity.ivfKnnGraph]] candidates through
+    * [[semanticPairsFromCandidates]] (one call:
+    * [[semanticDedupViaKnnGraph]]), which bounds per-vector candidate
+    * fan-out at k·nprobe regardless of cell population. THIS form's
+    * within-cell all-pairs (Σ|cell|²) is the exact-recall-per-cell
+    * kernel for corpora where nlist ≈ n / targetCellSize keeps every
+    * cell bounded.
     */
   def semanticPairs(
       df: DataFrame,

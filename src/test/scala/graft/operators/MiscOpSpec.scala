@@ -152,6 +152,32 @@ class MiscOpSpec extends SparkSpec {
     assert(mu == muBrute)
   }
 
+  test("mutual-kNN routed through ivfKnnGraph candidates — the documented scale composition") {
+    // the composition a corpus-scale caller writes instead of
+    // mutualKnnGraph's broadcast kernel: directed IVF top-k once, then
+    // the reversed-pair mutual filter over the CANDIDATE frame — same
+    // edges as ivfKnnGraph(mutual = true) at the same nprobe, with no
+    // broadcast of the vector set anywhere
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 60L)
+      .map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    val directed = Similarity
+      .ivfKnnGraph(vecs, "id", "v", k = 3, nlist = 4, nprobe = 2)
+      .localCheckpoint(true)
+    val lo = directed.where(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+        col("rank").as("rank_a"))
+    val hi = directed.where(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("a"), col("query_id").as("b"),
+        col("rank").as("rank_b"))
+    val routed = lo.join(hi, Seq("a", "b"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val direct = Similarity.ivfKnnGraph(vecs, "id", "v", k = 3, nlist = 4,
+      nprobe = 2, mutual = true)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(routed == direct && routed.nonEmpty)
+  }
+
   test("Similarity.ivfTopK finds exact duplicates through the probed cells") {
     val rnd = new scala.util.Random(7)
     val base = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
