@@ -188,7 +188,9 @@ object Bench {
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n')}")
         }
         val elapsed = (System.nanoTime() - t0) / 1e9 // cache release untimed
-        graft.core.CacheRegistry.unpersistAll()
+        // blocking: an async drain would race the next run's re-persist
+        // of the same frames (storage-memory churn, inflated timings)
+        graft.core.CacheRegistry.unpersistAll(blocking = true)
         elapsed
       }.sorted
       err match {

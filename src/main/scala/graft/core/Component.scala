@@ -77,10 +77,19 @@ object CacheRegistry {
     p
   }
 
-  def unpersistAll(): Unit = {
+  /** Release every frame the active scope persisted. `blocking = true`
+    * waits for the executor-side block drops to finish — the bench's
+    * isolation barrier needs that (an async drain races the NEXT timed
+    * run's re-persist of the same frames: re-put vs in-flight removal
+    * churns storage memory and shows up as "Block rdd_* already
+    * exists" warnings and inflated back-to-back timings); pipeline
+    * sinks keep the non-blocking default, where drain latency matters
+    * and a lingering block merely drops later.
+    */
+  def unpersistAll(blocking: Boolean = false): Unit = {
     val q = RunScope.active.persisted
     var df = q.poll()
-    while (df != null) { df.unpersist(); df = q.poll() }
+    while (df != null) { df.unpersist(blocking); df = q.poll() }
   }
 }
 
