@@ -31,3 +31,30 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Parallel test groups: suites are partitioned into forked JVMs that
+// run CONCURRENTLY (suite wall-clock ~716s single-JVM -> a few min).
+// JVM-per-group isolation is what makes this safe with Spark: several
+// suites mutate their session conf (codegen factory mode, broadcast
+// thresholds) and a shared concurrent session would leak those into
+// other suites' plan assertions. StreamingSpec gets a dedicated group
+// so its stateful named memory sinks stay serialized with each other;
+// every other suite lands in a stable hash bucket. Opt out (one JVM,
+// fully serial) with SPARK_GRAFT_SERIAL_TESTS=1 — e.g. on a small box
+// where N concurrent local[4] sessions would thrash.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  if (sys.env.get("SPARK_GRAFT_SERIAL_TESTS").contains("1"))
+    Seq(Tests.Group("all", tests, Tests.SubProcess(opts)))
+  else {
+    val nHash = 5
+    tests.groupBy { t =>
+      if (t.name.endsWith("StreamingSpec")) "streaming"
+      else "g" + (math.abs(t.name.hashCode) % nHash)
+    }.toSeq.sortBy(_._1).map { case (name, ts) =>
+      Tests.Group(name, ts, Tests.SubProcess(opts))
+    }
+  }
+}
+Global / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 6))
