@@ -285,6 +285,64 @@ object SparkEntry {
     base + steps + s"\nSELECT node, dist FROM d$rounds"
   }
 
+  /** q_betweenness oracle: the q_harmonic trade graph, `maxHops`
+    * unrolled BFS levels carrying exact shortest-path counts (SUM of
+    * the FRONTIER's counts into unvisited neighbours = Brandes forward
+    * counting; the LEFT-JOIN-IS-NULL leg is the visited anti-join),
+    * then the pair-sampled accumulation: each s<t seed pair pays
+    * (10⁶·σ_sv·σ_tv) // σ_st into every middle node with
+    * d(s,v)+d(v,t) = d(s,t). Counts ride HUGEINT (Spark mirrors in
+    * decimal(38,0)); numerators are non-negative so // and div agree.
+    */
+  private def betweennessOracle(maxHops: Int): String = {
+    val base =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM pairs
+        |  UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |verts AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        |seeds AS MATERIALIZED (SELECT node FROM verts
+        |  ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 8),
+        |b0 AS MATERIALIZED (SELECT node AS seed, node, 0 AS dist,
+        |  CAST(1 AS HUGEINT) AS cnt FROM seeds),
+        |v0 AS MATERIALIZED (SELECT seed, node FROM b0)""".stripMargin
+    val steps = (1 to maxHops).map { r =>
+      s""",
+         |c$r AS (SELECT f.seed, e.dst AS node, SUM(f.cnt) AS cnt
+         |  FROM e JOIN b${r - 1} f ON e.src = f.node GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT c.seed, c.node, $r AS dist, c.cnt
+         |  FROM c$r c LEFT JOIN v${r - 1} v
+         |    ON v.seed = c.seed AND v.node = c.node
+         |  WHERE v.node IS NULL),
+         |v$r AS MATERIALIZED (SELECT seed, node FROM v${r - 1}
+         |  UNION ALL SELECT seed, node FROM b$r)""".stripMargin
+    }.mkString
+    val bfsUnion = (0 to maxHops).map(r => s"SELECT * FROM b$r")
+      .mkString(" UNION ALL ")
+    base + steps +
+      s""",
+         |bfs AS MATERIALIZED ($bfsUnion),
+         |st AS (SELECT b.seed AS s, b.node AS t, b.dist AS d_st,
+         |    b.cnt AS c_st
+         |  FROM bfs b JOIN seeds sd ON b.node = sd.node
+         |  WHERE b.seed < b.node),
+         |ct AS (SELECT a.node AS v,
+         |    (CAST(1000000 AS HUGEINT) * a.cnt * b.cnt) // st.c_st AS term
+         |  FROM st JOIN bfs a ON a.seed = st.s
+         |  JOIN bfs b ON b.seed = st.t AND b.node = a.node
+         |  WHERE a.dist + b.dist = st.d_st
+         |    AND a.node != st.s AND a.node != st.t),
+         |h AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(term) AS BIGINT) AS between_ppm
+         |  FROM ct GROUP BY v),
+         |topk AS (SELECT * FROM h ORDER BY between_ppm DESC, node LIMIT 50)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c:' || (node // 2)
+         |  ELSE 's:' || (node // 2) END AS node, n_pairs, between_ppm
+         |FROM topk""".stripMargin
+  }
+
   /** q_corr_matrix oracle, generated so the 6 pair blocks carry
     * EXACTLY the Spark-side arithmetic shapes (bit-exact parity needs
     * identical IEEE op order, not just the same formula). Metrics are
@@ -1632,6 +1690,17 @@ object SparkEntry {
         nSeeds = 8, maxHops = 3, k = 50)
         .select(decodeTradeNode(col("node")).as("node"), col("n_reached"),
           col("harmonic_ppm"))),
+
+    // Pair-sampled betweenness on the trade graph: ONE 8-seed tagged
+    // BFS carries exact decimal path counts; each s<t seed pair pays
+    // (10^6·σ_sv·σ_tv) div σ_st into every middle node on a shortest
+    // path; global top-50. The broker/bridge readout beside
+    // q_harmonic's closeness and q_pagerank's prestige.
+    "q_betweenness" -> ((s, dd) =>
+      Graph.betweennessSampled(tradeEdges(s, dd), col("src"), col("dst"),
+        nSeeds = 8, maxHops = 3, k = 50)
+        .select(decodeTradeNode(col("node")).as("node"), col("n_pairs"),
+          col("between_ppm"))),
 
     // Approximate-quantile gate (same pattern as the HLL gate): the
     // sketch median must land between the exact 49th and 51st
@@ -5819,6 +5888,8 @@ object SparkEntry {
     // same tagged-long graph; one recursive tagged BFS, md5-ordered
     // seed draw, integer floors; top-k taken on the LONG node before
     // decoding (the Spark tie-break order)
+    "q_betweenness" -> betweennessOracle(3),
+
     "q_harmonic" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p

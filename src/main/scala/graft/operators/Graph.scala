@@ -1116,4 +1116,105 @@ object Graph {
              sqrt((col("n_edges") * col("_syy") - col("_sy") * col("_sy")).cast("double"))),
           6).as("r"))
   }
+
+  /** Pair-sampled betweenness centrality — the "which nodes sit ON the
+    * traffic" readout completing the centrality family ([[pageRank]]
+    * rewards being pointed at, [[harmonicCentrality]] being close;
+    * betweenness rewards being UNAVOIDABLE — the broker/bridge metric
+    * that flags single points of failure and gateway hubs). Exact
+    * Brandes is O(V·E) and needs every source; the standard scalable
+    * estimator restricts both endpoints to a sampled seed set S and
+    * scores each middle node v by the shortest-path-through fraction,
+    * summed over seed pairs s<t reachable within `maxHops`:
+    *
+    * {{{ B(v) = Σ_{s<t ∈ S, v∉{s,t}, d(s,v)+d(v,t)=d(s,t)} σ_sv·σ_tv / σ_st }}}
+    *
+    * (σ = number of shortest paths; on an undirected graph σ_vt = σ_tv,
+    * so ONE |S|-source forward BFS with path counts serves both legs —
+    * no backward Brandes accumulation pass needed for the pair-sampled
+    * form.) Seeds are the `nSeeds` smallest nodes in (md5(node), node)
+    * order — the reproducible no-RNG uniform draw every sampled graph
+    * operator here uses.
+    *
+    * Arithmetic is exact end-to-end: path counts are decimal(38,0)
+    * sums (the DuckDB oracle mirrors in HUGEINT), and each pair
+    * contribution is the integer floor `(10⁶·σ_sv·σ_tv) div σ_st` —
+    * numerators are non-negative so Spark's truncating `div` and the
+    * oracle's `//` agree, and σ_sv·σ_tv ≤ σ_st bounds every term at
+    * 10⁶ (long-safe sums). No float touches the statistic.
+    *
+    * Scale shape: the [[harmonicCentrality]] tagged multi-source BFS —
+    * all seeds advance in the same superstep joins against the
+    * persisted src-partitioned edge frame, one materializing
+    * `localCheckpoint` per hop (O(hops) shallow lineage, AQE sees real
+    * frontier sizes), fixed `maxHops` with no per-round isEmpty probe.
+    * The accumulation stage never touches edges again: it joins the
+    * |S|·|V|-row BFS table to its |S|²-pair slice — both tiny next to
+    * |E| — and aggregates by node. Horizon note: only seed pairs with
+    * d(s,t) ≤ maxHops contribute, and middle nodes must satisfy
+    * d(s,v)+d(v,t) = d(s,t) ≤ maxHops, so the hop cap pins the pair
+    * universe deterministically (same pinning as [[shortestPaths]]'
+    * Bellman-Ford horizon). Output: (node, n_pairs, between_ppm) for
+    * the global top-`k` by (between_ppm desc, node).
+    */
+  def betweennessSampled(edges: DataFrame, srcCol: Column, dstCol: Column,
+      nSeeds: Int = 8, maxHops: Int = 4, k: Int = 50): DataFrame = {
+    require(nSeeds >= 2 && maxHops >= 1 && k >= 1,
+      s"betweennessSampled: need nSeeds >= 2, maxHops >= 1, k >= 1; " +
+        s"got $nSeeds/$maxHops/$k")
+    val e = graft.core.CacheRegistry.persist(
+      edges.select(srcCol.as("src"), dstCol.as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+        .repartition(col("src")),
+      MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seeds = verts
+      .orderBy(md5(col("node").cast("string")), col("node"))
+      .limit(nSeeds)
+    var bfs = seeds
+      .select(col("node").as("seed"), col("node"), lit(0).as("dist"),
+        lit(1L).cast("decimal(38,0)").as("cnt"))
+      .localCheckpoint(true)
+    var frontier = bfs
+    for (hop <- 1 to maxHops) {
+      // σ recurrence: every shortest path to a dist-`hop` node extends
+      // a shortest path to a dist-(hop−1) predecessor, so summing the
+      // FRONTIER's counts into not-yet-visited neighbours is exact
+      // Brandes forward counting (the anti-join keeps later, longer
+      // arrivals from polluting σ).
+      val next = e.join(frontier, col("src") === col("node"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(col("seed"), col("dst").as("node"), lit(hop).as("dist"),
+          col("cnt"))
+        .join(bfs.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true) // the round's one materializing action
+      bfs = bfs.union(next)
+      frontier = next
+    }
+    // the checkpointed dist-0 rows ARE the seed set — reusing them
+    // avoids re-deriving seeds (a second |E| scan + global sort)
+    val st = bfs
+      .join(bfs.where(col("dist") === 0)
+        .select(col("node").as("_t")), col("node") === col("_t"))
+      .where(col("seed") < col("node"))
+      .select(col("seed").as("s"), col("node").as("t"),
+        col("dist").as("d_st"), col("cnt").as("c_st"))
+    val a = bfs.select(col("seed").as("s"), col("node").as("v"),
+      col("dist").as("d_sv"), col("cnt").as("c_sv"))
+    val b = bfs.select(col("seed").as("t"), col("node").as("v"),
+      col("dist").as("d_tv"), col("cnt").as("c_tv"))
+    st.join(a, Seq("s")).join(b, Seq("t", "v"))
+      .where(col("d_sv") + col("d_tv") === col("d_st") &&
+        col("v") =!= col("s") && col("v") =!= col("t"))
+      .select(col("v").as("node"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * c_sv * c_tv) div c_st")
+          .as("term"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("term")).as("between_ppm"))
+      .orderBy(col("between_ppm").desc, col("node").asc)
+      .limit(k)
+  }
 }

@@ -394,6 +394,30 @@ class GraphSpec extends SparkSpec {
     assert(capped("b") == 2000000L && capped("a") == 1000000L)
   }
 
+  test("betweennessSampled: path closed form; diamond splits σ; hop cap pins pairs") {
+    // path a—b—c—d, all 4 nodes seeded: middles are b {(a,c),(a,d)} and
+    // c {(a,d),(b,d)} — 2 pairs × 10⁶ each; endpoints never middle.
+    val path = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c")).toDF("s", "d")
+    val out = Graph.betweennessSampled(path, col("s"), col("d"),
+      nSeeds = 4, maxHops = 3, k = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(out.toSeq == Seq("b" -> ((2L, 2000000L)), "c" -> ((2L, 2000000L))))
+    // diamond a—b—d—c—a: every opposite pair has σ = 2 through two
+    // 1-path middles -> each node scores (10⁶·1·1) div 2 from exactly
+    // one pair; ties broken by node asc
+    val diamond = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "d"), ("d", "b"), ("c", "d"), ("d", "c")).toDF("s", "d")
+    val dm = Graph.betweennessSampled(diamond, col("s"), col("d"),
+      nSeeds = 4, maxHops = 2, k = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(dm.toSeq == Seq("a" -> ((1L, 500000L)), "b" -> ((1L, 500000L)),
+      "c" -> ((1L, 500000L)), "d" -> ((1L, 500000L))))
+    // maxHops = 1 on the path: no pair at distance 1 has a middle
+    assert(Graph.betweennessSampled(path, col("s"), col("d"),
+      nSeeds = 4, maxHops = 1, k = 10).isEmpty)
+  }
+
   test("adamicAdarPairs: rare shared neighbors outweigh hubs; exact terms") {
     // sources {1,2,3} all share dest 10 (in=3); {1,2} also share the
     // RARER dest 11 (in=2). RA terms: 10 -> 10^6 div 3 = 333333,
