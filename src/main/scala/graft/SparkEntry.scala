@@ -2806,6 +2806,15 @@ object SparkEntry {
         .orderBy(col("prefix_dim"))
     }),
 
+    // Linear CKA between the full 64-dim embedding and its 16-dim
+    // Matryoshka prefix — the representation-level twin of
+    // q_matryoshka's behavioral overlap@k: exact milli-unit
+    // fixed-point scatter (decimal(38,0) / HUGEINT), centering via
+    // the n-scaled identity, ONE 3-op IEEE readout at 6dp.
+    "q_cka" -> ((s, d) =>
+      Linalg.linearCka(t(s, d, "embeddings"), "embedding",
+        prefixDims = 16)),
+
     "q_knn_eval" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.knnClassify(e.where(col("vec_id") < 50), e,
@@ -7666,6 +7675,38 @@ object SparkEntry {
 
     // the sim kernel + majority vote (count desc, label asc)
     // same in-order cosine folds on sliced prefixes; shared full rank
+    // q_cka: milli-unit fixed-point scatter in HUGEINT (Spark mirrors
+    // in decimal(38,0)); centering via C_ij = n·P_ij − S_i·S_j; the
+    // only float ops are the final num/(√dx·√dy) readout at 6dp —
+    // identical IEEE shape on both engines.
+    "q_cka" ->
+      """WITH clean AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE len(embedding) = 64),
+        |nn AS (SELECT COUNT(*) AS n FROM clean),
+        |x AS MATERIALIZED (SELECT vec_id, g.i,
+        |    CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT)
+        |      AS xl
+        |  FROM clean CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |s AS MATERIALIZED (SELECT i, SUM(xl) AS sv FROM x GROUP BY i),
+        |p AS (SELECT a.i AS ia, b.i AS ib, SUM(a.xl * b.xl) AS pp
+        |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+        |c AS (SELECT p.ia, p.ib,
+        |    CAST(n.n AS HUGEINT) * p.pp -
+        |      CAST(sa.sv AS HUGEINT) * CAST(sb.sv AS HUGEINT) AS cc
+        |  FROM p JOIN s sa ON sa.i = p.ia JOIN s sb ON sb.i = p.ib
+        |  CROSS JOIN nn n),
+        |agg AS (SELECT SUM(cc * cc) AS dx,
+        |    SUM(CASE WHEN ib <= 16 THEN cc * cc END) AS nm,
+        |    SUM(CASE WHEN ia <= 16 AND ib <= 16 THEN cc * cc END) AS dy
+        |  FROM c)
+        |SELECT CAST(n.n AS BIGINT) AS n, 64 AS dim, 16 AS prefix_dims,
+        |  ROUND(CAST(nm AS DOUBLE) /
+        |    (sqrt(CAST(CASE WHEN dx > 0 THEN dx END AS DOUBLE)) *
+        |     sqrt(CAST(CASE WHEN dy > 0 THEN dy END AS DOUBLE))), 6)
+        |    AS cka
+        |FROM agg CROSS JOIN nn n""".stripMargin,
+
     "q_matryoshka" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |  FROM embeddings WHERE vec_id < 50),

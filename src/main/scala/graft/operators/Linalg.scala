@@ -151,4 +151,82 @@ object Linalg {
         StructField("coord", DoubleType, nullable = false),
         StructField("lambda", DoubleType, nullable = false))))
   }
+
+  /** Linear Centered Kernel Alignment between a representation and its
+    * own Matryoshka prefix — THE standard "how similar are two
+    * representations" statistic (Kornblith et al., ICML 2019), here
+    * answering the training-data question q_matryoshka's overlap@k
+    * approximates behaviorally: how much of the full embedding's
+    * structure survives truncation to `prefixDims`?
+    *
+    * {{{ CKA(X, Y) = ‖Yᵀ Xc‖²_F / (‖Xcᵀ Xc‖_F · ‖Ycᵀ Yc‖_F) }}}
+    *
+    * with column-centered X (n×d, the full vectors) and Y = the first
+    * `prefixDims` columns. 1.0 = the prefix spans the same similarity
+    * structure; → 0 = truncation destroyed it.
+    *
+    * Exactness discipline: components are fixed-pointed to integer
+    * milli-units (`floor(x·10³)` — float→double is exact, ·10³ and
+    * floor are correctly rounded identically on both engines), so
+    * every sum is an exact integer (decimal(38,0) here, HUGEINT in
+    * the DuckDB oracle) and centering uses the n-scaled identity
+    * C_ij = n·ΣXᵢXⱼ − ΣXᵢ·ΣXⱼ — no mean division, no float
+    * accumulation; the scale factors cancel between numerator and
+    * denominator (both are degree-4 in the same scaling). The ONLY
+    * float arithmetic is the final 3-operation readout
+    * num / (√dx · √dy), one IEEE shape mirrored operation-for-
+    * operation, 6dp.
+    *
+    * Scale shape: the d×d scatter grid is built with a DOUBLE
+    * posexplode of the same row-local array — n·d² generated rows,
+    * ZERO joins, no shuffle until the (i,j)-grid hash aggregate
+    * (map-side partials into d² groups; one exchange of
+    * partitions×d² partial rows). Linear in n, one pass over the
+    * cached fixed-point frame (+1 for the column sums, +1 for the
+    * count). At corpus scale d² cells per partition must fit in the
+    * hash map — at d = 1024 that is 1M partial cells, still
+    * executor-trivial.
+    */
+  def linearCka(df: DataFrame, vecCol: String, prefixDims: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
+      .head().getInt(0)
+    require(prefixDims >= 1 && prefixDims < dim,
+      s"linearCka: prefixDims must be in [1, dim=$dim), got $prefixDims")
+    val fx = graft.core.CacheRegistry.persist(
+      df.where(size(col(vecCol)) === dim)
+        .select(transform(col(vecCol).cast("array<double>"),
+          v => floor(v * lit(1000.0))).as("_v")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = fx.count()
+    val s = fx.select(posexplode(col("_v")))
+      .select((col("pos") + 1).as("_i"), col("col").as("_xl"))
+      .groupBy(col("_i")).agg(sum(col("_xl")).as("_sv"))
+    val p = fx.select(col("_v"), posexplode(col("_v")))
+      .select(col("_v"), (col("pos") + 1).as("_ia"), col("col").as("_xa"))
+      .select(col("_ia"), col("_xa"), posexplode(col("_v")))
+      .select(col("_ia"), (col("pos") + 1).as("_ib"), col("_xa"),
+        col("col").as("_xb"))
+      .groupBy(col("_ia"), col("_ib"))
+      .agg(sum((col("_xa") * col("_xb")).cast("decimal(38,0)")).as("_pp"))
+    val c = p
+      .join(s.select(col("_i").as("_ia"), col("_sv").as("_sa")), Seq("_ia"))
+      .join(s.select(col("_i").as("_ib"), col("_sv").as("_sb")), Seq("_ib"))
+      .select(col("_ia"), col("_ib"),
+        (lit(n).cast("decimal(38,0)") * col("_pp") -
+          (col("_sa") * col("_sb")).cast("decimal(38,0)")).as("_c"))
+    // ANSI+CSE: null-guard the DENOMINATOR sums themselves (a when()
+    // around the division can be hoisted past its guard)
+    c.agg(
+      sum(col("_c") * col("_c")).as("_dx"),
+      sum(when(col("_ib") <= prefixDims, col("_c") * col("_c"))).as("_nm"),
+      sum(when(col("_ia") <= prefixDims && col("_ib") <= prefixDims,
+        col("_c") * col("_c"))).as("_dy"))
+      .select(
+        lit(n).as("n"), lit(dim).as("dim"), lit(prefixDims).as("prefix_dims"),
+        round(
+          col("_nm").cast("double") /
+            (sqrt(when(col("_dx") > 0, col("_dx")).cast("double")) *
+             sqrt(when(col("_dy") > 0, col("_dy")).cast("double"))),
+          6).as("cka"))
+  }
 }

@@ -59,4 +59,29 @@ class LinalgSpec extends SparkSpec {
       Linalg.powerIteration(rows, "embedding", iters = 1))
     graft.core.CacheRegistry.unpersistAll()
   }
+
+  test("linearCka: proportional prefix scores 1; orthogonal axes score 1/√2") {
+    // y = 2x exactly: every centered-scatter cell is proportional, so
+    // the prefix spans the full structure -> CKA = 1 (exact integers
+    // end-to-end; the readout divides equal products)
+    val prop = Seq(1.0f, 2.0f, 3.0f)
+      .map(c => Tuple1(Array(c, 2 * c))).toDF("embedding")
+    val one = Linalg.linearCka(prop, "embedding", prefixDims = 1)
+      .collect().head
+    assert((one.getLong(0), one.getInt(1), one.getInt(2)) == ((3L, 2, 1)))
+    assert(one.getDouble(3) == 1.0)
+    // ±e1/±e2: C is diagonal with equal cells -> num = C11², dx = 2·C11²,
+    // dy = C11² -> CKA = 1/√2 (0.707107 at 6dp)
+    val ortho = Seq(
+      Array(1.0f, 0.0f), Array(-1.0f, 0.0f),
+      Array(0.0f, 1.0f), Array(0.0f, -1.0f)).map(Tuple1(_)).toDF("embedding")
+    val r = Linalg.linearCka(ortho, "embedding", prefixDims = 1)
+      .collect().head
+    assert(r.getDouble(3) == 0.707107, s"cka ${r.getDouble(3)}")
+    // a prefix >= dim would trivially report 1.0 — rejected, same
+    // contract as matryoshkaEval's guard
+    intercept[IllegalArgumentException](
+      Linalg.linearCka(prop, "embedding", prefixDims = 2))
+    graft.core.CacheRegistry.unpersistAll()
+  }
 }
