@@ -343,6 +343,40 @@ object SparkEntry {
          |FROM topk""".stripMargin
   }
 
+  /** q_kcenter oracle: `k` unrolled Gonzalez rounds. Exact integer
+    * milli-unit squared distances (BIGINT list_reduce), LEAST-folded
+    * running min-distance, argmax by (md DESC, id) — float-free, so
+    * every pick is the same total-order readout the Spark operator
+    * makes; the first center is the md5-smallest id.
+    */
+  private def kcenterOracle(k: Int): String = {
+    def dist2(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, 64),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)""".stripMargin
+    val base =
+      s"""WITH fx AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id,
+         |    list_transform(embedding,
+         |      e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings WHERE len(embedding) = 64 AND vec_id IS NOT NULL),
+         |c1 AS MATERIALIZED (SELECT id, v FROM fx
+         |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1),
+         |d1 AS MATERIALIZED (SELECT f.id, f.v,
+         |    ${dist2("f.v", "c.v")} AS md
+         |  FROM fx f CROSS JOIN c1 c)""".stripMargin
+    val steps = (2 to k).map { r =>
+      s""",
+         |c$r AS MATERIALIZED (SELECT id, v, md FROM d${r - 1}
+         |  ORDER BY md DESC, id LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT d.id, d.v,
+         |    LEAST(d.md, ${dist2("d.v", "c.v")}) AS md
+         |  FROM d${r - 1} d CROSS JOIN c$r c)""".stripMargin
+    }.mkString
+    val out = (Seq("SELECT 1 AS step, id AS vec_id, CAST(0 AS BIGINT) AS d2_pick FROM c1") ++
+      (2 to k).map(r => s"SELECT $r, id, md FROM c$r")).mkString("\nUNION ALL ")
+    base + steps + "\n" + out
+  }
+
   /** q_corr_matrix oracle, generated so the 6 pair blocks carry
     * EXACTLY the Spark-side arithmetic shapes (bit-exact parity needs
     * identical IEEE op order, not just the same formula). Metrics are
@@ -2805,6 +2839,14 @@ object SparkEntry {
           "vec_id", "embedding", k = 10, prefixDims = Seq(8, 16, 32))
         .orderBy(col("prefix_dim"))
     }),
+
+    // Greedy k-center (Gonzalez) coreset draw over the embedding
+    // corpus: 6 farthest-point picks with exact milli-unit integer
+    // distances, md5-smallest start, ties to the smaller id. The
+    // d2_pick column is the non-increasing coverage-radius curve.
+    "q_kcenter" -> ((s, d) =>
+      TrainingData.kcenterSelect(t(s, d, "embeddings"), "vec_id",
+        "embedding", k = 6)),
 
     // Linear CKA between the full 64-dim embedding and its 16-dim
     // Matryoshka prefix — the representation-level twin of
@@ -7675,6 +7717,8 @@ object SparkEntry {
 
     // the sim kernel + majority vote (count desc, label asc)
     // same in-order cosine folds on sliced prefixes; shared full rank
+    "q_kcenter" -> kcenterOracle(6),
+
     // q_cka: milli-unit fixed-point scatter in HUGEINT (Spark mirrors
     // in decimal(38,0)); centering via C_ij = n·P_ij − S_i·S_j; the
     // only float ops are the final num/(√dx·√dy) readout at 6dp —

@@ -1133,4 +1133,75 @@ object TrainingData {
           expr("(pad_target * n_docs - total_len) * 1000000 div (pad_target * n_docs)"))
           .as("waste_ppm"))
   }
+
+  /** Greedy k-center (Gonzalez farthest-point) selection over an
+    * embedding column — the diversity-first coreset draw: each round
+    * picks the point FARTHEST from everything already chosen, so k
+    * picks cover the corpus within twice the optimal k-center radius
+    * (the classic 2-approximation). The complement of quality-ranked
+    * selection ([[budgetSelect]] keeps the best-scoring mass;
+    * k-center keeps the SPREAD — the standard seed set for
+    * diversity-aware curation and embedding-space audits).
+    *
+    * Determinism discipline: components are fixed-pointed to integer
+    * milli-units and distances are EXACT integer squared-euclidean
+    * sums (long — 64 dims of milli-unit gaps peak ~2.6·10⁸ per pair),
+    * so the per-round argmax is a total order on (dist DESC, id ASC)
+    * with no float anywhere; the first center is the md5-smallest id
+    * (the [[hashSample]] no-RNG draw). Identical picks on any engine,
+    * any partitioning.
+    *
+    * Scale shape: the fixed-point frame is persisted once; each of
+    * the k rounds is (a) one map-only zip_with distance projection
+    * folded with `least` into the running min-distance column, (b)
+    * one eager localCheckpoint (the superstep discipline — O(1)
+    * expression depth per round instead of an O(k)-deep recompute
+    * chain), and (c) one TakeOrdered(1) argmax reduce (the round's
+    * bounded driver readout: a single row, whose vector becomes the
+    * next round's broadcast literal, exactly [[Linalg.topComponents]]'
+    * deflation pattern). Total: k map-passes over n rows — the
+    * algorithm's inherent cost; no shuffle of vectors ever.
+    * Output: (step ∈ 1..k, picked id, d2_pick = the pick's exact
+    * squared distance to the prior centers; 0 for step 1) — the
+    * non-increasing d2_pick sequence IS the coverage-radius curve.
+    */
+  def kcenterSelect(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"kcenterSelect: k must be in [1,64], got $k")
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
+      .head().getInt(0)
+    val fx = graft.core.CacheRegistry.persist(
+      df.where(size(col(vecCol)) === dim && col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as("_id"),
+          transform(col(vecCol).cast("array<double>"),
+            v => floor(v * lit(1000.0))).as("_v")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = fx
+      .orderBy(md5(col("_id").cast("string")), col("_id"))
+      .limit(1).head()
+    val picks = Vector.newBuilder[(Int, Long, Long)]
+    picks += ((1, first.getLong(0), 0L))
+    var center: Seq[Long] = first.getSeq[Long](1)
+    var cur = fx.select(col("_id"), col("_v"), lit(Long.MaxValue).as("_md"))
+    for (step <- 2 to k) {
+      val cLit = array(center.map(lit): _*)
+      cur = cur.select(col("_id"), col("_v"),
+        least(col("_md"),
+          aggregate(zip_with(col("_v"), cLit, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, y) => acc + y)).as("_md"))
+        .localCheckpoint(true) // the round's one materializing action
+      val pick = cur.orderBy(col("_md").desc, col("_id").asc).limit(1).head()
+      picks += ((step, pick.getLong(0), pick.getLong(2)))
+      center = pick.getSeq[Long](1)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        picks.result().map(p => org.apache.spark.sql.Row(p._1, p._2, p._3)), 1),
+      StructType(Seq(
+        StructField("step", IntegerType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("d2_pick", LongType, nullable = false))))
+  }
 }

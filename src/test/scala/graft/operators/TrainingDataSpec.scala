@@ -558,4 +558,25 @@ class TrainingDataSpec extends SparkSpec {
     val e = run(Seq("x" -> 2L, "y" -> 3L, "z" -> 5L), 100L)
     assert(e("x") == ((20L, 0L, 20L)) && e("y")._3 == 30L && e("z")._3 == 50L)
   }
+
+  test("kcenterSelect: farthest-point picks in closed form; ties to smaller id") {
+    // line points x = 0, 1, .4, .6, .9 (ids 1..5); md5 draw starts at
+    // id 4 (x=.6), then farthest-point walks 1 -> 2 -> 3 with exact
+    // milli-unit squared distances
+    val pts = Seq(1L -> 0.0f, 2L -> 1.0f, 3L -> 0.4f, 4L -> 0.6f, 5L -> 0.9f)
+      .map { case (id, x) => (id, Array(x, 0.0f)) }.toDF("vec_id", "embedding")
+    val out = TrainingData.kcenterSelect(pts, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, 4L, 0L), (2, 1L, 360000L),
+      (3, 2L, 160000L), (4, 3L, 40000L)))
+    graft.core.CacheRegistry.unpersistAll()
+    // equidistant candidates: md5 starts at id 11 (x=1); ids 10 and 12
+    // both sit at d² = 10⁶ — the tie goes to the smaller id
+    val tie = Seq(10L -> 0.0f, 11L -> 1.0f, 12L -> 2.0f)
+      .map { case (id, x) => (id, Array(x)) }.toDF("vec_id", "embedding")
+    val t2 = TrainingData.kcenterSelect(tie, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(t2 == Seq((1, 11L, 0L), (2, 10L, 1000000L), (3, 12L, 1000000L)))
+    graft.core.CacheRegistry.unpersistAll()
+  }
 }
