@@ -2840,6 +2840,19 @@ object SparkEntry {
         .orderBy(col("prefix_dim"))
     }),
 
+    // Exact KNN-Shapley data valuation (Jia et al. VLDB'19) of the
+    // training corpus against a held-out test slice: which vectors
+    // HELP a 5-NN classifier (near + right-labeled) and which HURT
+    // (near + wrong-labeled, negative value). Closed-form suffix-sum
+    // windows, exact integer distances, sign-out-of-division ppm
+    // floors; top-50 most valuable points.
+    "q_shapley" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.knnShapley(e.where(col("vec_id") >= 20),
+        e.where(col("vec_id") < 20), "vec_id", "embedding", "label",
+        k = 5, topN = 50)
+    }),
+
     // Greedy k-center (Gonzalez) coreset draw over the embedding
     // corpus: 6 farthest-point picks with exact milli-unit integer
     // distances, md5-smallest start, ties to the smaller id. The
@@ -7718,6 +7731,49 @@ object SparkEntry {
     // the sim kernel + majority vote (count desc, label asc)
     // same in-order cosine folds on sliced prefixes; shared full rank
     "q_kcenter" -> kcenterOracle(6),
+
+    // q_shapley: the same closed-form recursion as window SQL — rank
+    // by exact integer d² (ties to tid), base term at j = N, the
+    // (m_j − m_{j+1}) delta elsewhere with the sign OUTSIDE the //
+    // floor, suffix-summed per test point.
+    "q_shapley" ->
+      """WITH tr AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS tid,
+        |    list_transform(embedding,
+        |      e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS tv,
+        |    label AS ty
+        |  FROM embeddings WHERE len(embedding) = 64
+        |    AND vec_id IS NOT NULL AND label IS NOT NULL AND vec_id >= 20),
+        |te AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS qid,
+        |    list_transform(embedding,
+        |      e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv,
+        |    label AS qy
+        |  FROM embeddings WHERE len(embedding) = 64
+        |    AND vec_id IS NOT NULL AND label IS NOT NULL AND vec_id < 20),
+        |pairs AS (SELECT te.qid, tr.tid,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 64),
+        |        i -> (tr.tv[i] - te.qv[i]) * (tr.tv[i] - te.qv[i]))),
+        |      (a, x) -> a + x) AS d2,
+        |    CASE WHEN tr.ty = te.qy THEN 1 ELSE 0 END AS m
+        |  FROM tr CROSS JOIN te),
+        |ranked AS (SELECT qid, tid, m,
+        |    row_number() OVER w AS j,
+        |    count(*) OVER (PARTITION BY qid) AS n,
+        |    lead(m, 1) OVER w AS mn
+        |  FROM pairs WINDOW w AS (PARTITION BY qid ORDER BY d2, tid)),
+        |contrib AS (SELECT qid, tid, j,
+        |    CASE WHEN j = n THEN m * (1000000 // n)
+        |      ELSE (m - mn) * ((1000000 * LEAST(5, j)) // (5 * j)) END AS c
+        |  FROM ranked),
+        |sfx AS (SELECT qid, tid, SUM(c) OVER (PARTITION BY qid
+        |    ORDER BY j DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM contrib),
+        |agg AS (SELECT tid AS vec_id, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(SUM(s) AS BIGINT) AS value_ppm
+        |  FROM sfx GROUP BY tid)
+        |SELECT vec_id, n_test, value_ppm FROM agg
+        |ORDER BY value_ppm DESC, vec_id LIMIT 50""".stripMargin,
 
     // q_cka: milli-unit fixed-point scatter in HUGEINT (Spark mirrors
     // in decimal(38,0)); centering via C_ij = n·P_ij − S_i·S_j; the

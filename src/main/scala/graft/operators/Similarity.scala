@@ -270,6 +270,94 @@ object Similarity {
         (col("_nl") === col("true_label")).as("correct"))
   }
 
+  /** Exact KNN-Shapley data valuation (Jia, Dao et al., "Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms",
+    * VLDB 2019): the Shapley value of every training point for a KNN
+    * classifier admits a closed form — sort training points by
+    * distance to a test point (α₁ nearest, N total) and recurse from
+    * the farthest:
+    *
+    * {{{ s_N = 𝟙[y_N = y]/N;   s_j = s_{j+1} + (𝟙_j − 𝟙_{j+1})·min(K,j)/(K·j) }}}
+    *
+    * so s_j is a SUFFIX SUM — a window aggregate, not a loop. High-
+    * value points are near-and-right-labeled; near-and-WRONG points
+    * score negative — the principled "which documents help / hurt"
+    * readout for pruning, sample weighting, and data markets, sitting
+    * beside [[graft.operators.TrainingData.budgetSelect]]'s
+    * heuristic quality ranks.
+    *
+    * Determinism discipline: milli-unit fixed-point vectors, EXACT
+    * integer squared distances, rank ties broken by id, and each
+    * rational term floored at ppm with the sign factored OUT of the
+    * division — `(𝟙_j − 𝟙_{j+1}) · (10⁶·min(K,j) div (K·j))` — so
+    * Spark's truncating `div` and the oracle's floor `//` only ever
+    * see non-negative numerators. All sums are exact longs.
+    *
+    * Scale shape: test × train pairs with the test side broadcast
+    * (the [[bruteForceTopK]] discipline — the caller bounds the test
+    * sample; corpus partitions stream once). Per-test ranking is one
+    * window over the pair frame partitioned by test id (shuffle
+    * carries (ids, d², two labels) — never vectors); the suffix sum
+    * rides the SAME sort order, so both windows share one exchange.
+    * At corpus scale, feed ANN candidates ([[ivfKnnGraph]]) instead
+    * of the exact cross product — distant points' terms vanish like
+    * 1/j, so a candidate horizon changes values negligibly while
+    * cutting the pair frame to k·nprobe per test point.
+    * Output: (vec_id, n_test, value_ppm) — Σ over test points of the
+    * point's s_j in ppm — top `topN` by (value_ppm DESC, id).
+    */
+  def knnShapley(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      topN: Int = 50): DataFrame = {
+    require(k >= 1, s"knnShapley: k must be >= 1, got $k")
+    val dim = train.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
+      .head().getInt(0)
+    def fixed(df: DataFrame, id: String, v: String, y: String) =
+      df.where(size(col(vecCol)) === dim &&
+          col(idCol).isNotNull && col(labelCol).isNotNull)
+        .select(col(idCol).cast("long").as(id),
+          transform(col(vecCol).cast("array<double>"),
+            e => floor(e * lit(1000.0))).as(v),
+          col(labelCol).as(y))
+    val tr = fixed(train, "_tid", "_tv", "_ty")
+    val te = broadcast(fixed(test, "_qid", "_qv", "_qy"))
+    val pairs = tr.crossJoin(te)
+      .select(col("_qid"), col("_tid"),
+        aggregate(zip_with(col("_tv"), col("_qv"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("_d2"),
+        when(col("_ty") === col("_qy"), 1L).otherwise(0L).as("_m"))
+    val byDist = Window.partitionBy(col("_qid"))
+      .orderBy(col("_d2").asc, col("_tid").asc)
+    val ranked = pairs
+      .withColumn("_j", row_number().over(byDist))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_qid"))))
+      .withColumn("_mNext", lead(col("_m"), 1).over(byDist))
+    // c_j: the suffix-summable per-rank contribution — the base term
+    // at j = N, the recursion delta everywhere else (sign outside the
+    // floored division, see scaladoc)
+    val contrib = ranked.withColumn("_c",
+      when(col("_j") === col("_n"), col("_m") * expr("1000000L div _n"))
+        .otherwise((col("_m") - col("_mNext")) *
+          expr(s"(1000000L * least(CAST($k AS BIGINT), CAST(_j AS BIGINT)))" +
+            s" div (CAST($k AS BIGINT) * CAST(_j AS BIGINT))")))
+    val suffix = Window.partitionBy(col("_qid"))
+      .orderBy(col("_j").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    contrib
+      .withColumn("_s", sum(col("_c")).over(suffix))
+      .groupBy(col("_tid"))
+      .agg(count(lit(1)).as("n_test"), sum(col("_s")).as("value_ppm"))
+      .select(col("_tid").as("vec_id"), col("n_test"), col("value_ppm"))
+      .orderBy(col("value_ppm").desc, col("vec_id").asc)
+      .limit(topN)
+  }
+
   /** LSH-bucketed ANN: both sides keyed by sign-random-projection
     * buckets over `tables` independent hash tables; candidates scored
     * exactly, top-k per query. Recall < 1 by construction; raise

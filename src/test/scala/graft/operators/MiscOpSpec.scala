@@ -494,4 +494,28 @@ class MiscOpSpec extends SparkSpec {
       .collect().head
     assert(t4.getAs[String]("predicted_label") == "A") // tie -> "A" < "B"
   }
+
+  test("knnShapley: closed-form suffix recursion; wrong-label neighbor scores negative") {
+    import org.apache.spark.sql.functions.col
+    // test point at 0 (label A); train a(0.1, A), b(0.2, B), c(0.3, A).
+    // K=2, N=3: s_3 = 10⁶ div 3 = 333333; s_2 = s_3 + (0−1)·(2·10⁶ div 4)
+    // = −166667; s_1 = s_2 + (1−0)·(10⁶ div 2) = 333333.
+    val train = Seq(
+      (1L, Array(0.1f, 0.0f), "A"),
+      (2L, Array(0.2f, 0.0f), "B"),
+      (3L, Array(0.3f, 0.0f), "A")).toDF("id", "vec", "lab")
+    val test = Seq((100L, Array(0.0f, 0.0f), "A")).toDF("id", "vec", "lab")
+    val out = Similarity.knnShapley(train, test, "id", "vec", "lab", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 333333L), (3L, 1L, 333333L),
+      (2L, 1L, -166667L)))
+    // two test points double every value (both identical): exact sums
+    val test2 = Seq(
+      (100L, Array(0.0f, 0.0f), "A"),
+      (101L, Array(0.0f, 0.0f), "A")).toDF("id", "vec", "lab")
+    val o2 = Similarity.knnShapley(train, test2, "id", "vec", "lab", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(o2 == Seq((1L, 2L, 666666L), (3L, 2L, 666666L),
+      (2L, 2L, -333334L)))
+  }
 }
