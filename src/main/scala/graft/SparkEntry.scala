@@ -363,17 +363,59 @@ object SparkEntry {
          |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1),
          |d1 AS MATERIALIZED (SELECT f.id, f.v,
          |    ${dist2("f.v", "c.v")} AS md
-         |  FROM fx f CROSS JOIN c1 c)""".stripMargin
+         |  FROM fx f CROSS JOIN c1 c WHERE f.id != c.id)""".stripMargin
     val steps = (2 to k).map { r =>
       s""",
          |c$r AS MATERIALIZED (SELECT id, v, md FROM d${r - 1}
          |  ORDER BY md DESC, id LIMIT 1),
          |d$r AS MATERIALIZED (SELECT d.id, d.v,
          |    LEAST(d.md, ${dist2("d.v", "c.v")}) AS md
-         |  FROM d${r - 1} d CROSS JOIN c$r c)""".stripMargin
+         |  FROM d${r - 1} d CROSS JOIN c$r c WHERE d.id != c.id)""".stripMargin
     }.mkString
     val out = (Seq("SELECT 1 AS step, id AS vec_id, CAST(0 AS BIGINT) AS d2_pick FROM c1") ++
       (2 to k).map(r => s"SELECT $r, id, md FROM c$r")).mkString("\nUNION ALL ")
+    base + steps + "\n" + out
+  }
+
+  /** q_mmr oracle: `m` unrolled MMR rounds. Query = md5-smallest
+    * vector; relevance = −(exact milli-unit d² to it); round 1 argmax
+    * rel, later rounds argmax lamPpm·rel + (10⁶−lamPpm)·min-d², picked
+    * ids excluded — float-free total orders throughout, mirroring
+    * [[graft.operators.TrainingData.mmrRerank]] readout-for-readout.
+    */
+  private def mmrOracle(m: Int, lamPpm: Long): String = {
+    def dist2(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, 64),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)""".stripMargin
+    val base =
+      s"""WITH fx0 AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id,
+         |    list_transform(embedding,
+         |      e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings WHERE len(embedding) = 64 AND vec_id IS NOT NULL),
+         |qv AS MATERIALIZED (SELECT id, v FROM fx0
+         |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1),
+         |cand AS MATERIALIZED (SELECT f.id, f.v,
+         |    -${dist2("f.v", "q.v")} AS rel
+         |  FROM fx0 f CROSS JOIN qv q WHERE f.id != q.id),
+         |c1 AS MATERIALIZED (SELECT id, v, rel FROM cand
+         |  ORDER BY rel DESC, id LIMIT 1),
+         |d1 AS MATERIALIZED (SELECT f.id, f.v, f.rel,
+         |    ${dist2("f.v", "c.v")} AS md
+         |  FROM cand f CROSS JOIN c1 c WHERE f.id != c.id)""".stripMargin
+    val steps = (2 to m).map { r =>
+      s""",
+         |c$r AS MATERIALIZED (SELECT id, v, rel, md FROM d${r - 1}
+         |  ORDER BY ($lamPpm * rel + ${1000000L - lamPpm} * md) DESC, id
+         |  LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT d.id, d.v, d.rel,
+         |    LEAST(d.md, ${dist2("d.v", "c.v")}) AS md
+         |  FROM d${r - 1} d CROSS JOIN c$r c WHERE d.id != c.id)""".stripMargin
+    }.mkString
+    val out = (Seq("SELECT 1 AS step, id AS vec_id, rel, " +
+      "CAST(0 AS BIGINT) AS min_d2 FROM c1") ++
+      (2 to m).map(r => s"SELECT $r, id, rel, md FROM c$r"))
+      .mkString("\nUNION ALL ")
     base + steps + "\n" + out
   }
 
@@ -2838,6 +2880,26 @@ object SparkEntry {
       Similarity.matryoshkaEval(e.where(col("vec_id") < 50), e,
           "vec_id", "embedding", k = 10, prefixDims = Seq(8, 16, 32))
         .orderBy(col("prefix_dim"))
+    }),
+
+    // MMR diversified re-ranking: query = the md5-smallest vector,
+    // relevance = −d² to it (exact milli-unit ints), λ = 0.5; 8 picks
+    // trading closeness-to-query against spread — the RAG-window
+    // near-duplicate-context answer beside q_kcenter's pure spread.
+    "q_mmr" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .select(col("vec_id").cast("long"), col("embedding")).limit(1).head()
+      val qLit = array(q.getSeq[Float](1).map(f =>
+        lit(math.floor(f.toDouble * 1000.0).toLong)): _*)
+      val cand = e.where(col("vec_id") =!= q.getLong(0)).withColumn("rel",
+        -aggregate(
+          zip_with(
+            transform(col("embedding").cast("array<double>"),
+              v => floor(v * lit(1000.0))),
+            qLit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      TrainingData.mmrRerank(cand, "vec_id", "embedding", "rel", m = 8)
     }),
 
     // Exact KNN-Shapley data valuation (Jia et al. VLDB'19) of the
@@ -7731,6 +7793,8 @@ object SparkEntry {
     // the sim kernel + majority vote (count desc, label asc)
     // same in-order cosine folds on sliced prefixes; shared full rank
     "q_kcenter" -> kcenterOracle(6),
+
+    "q_mmr" -> mmrOracle(8, 500000L),
 
     // q_shapley: the same closed-form recursion as window SQL — rank
     // by exact integer d² (ties to tid), base term at j = N, the

@@ -1165,6 +1165,84 @@ object TrainingData {
     * squared distance to the prior centers; 0 for step 1) — the
     * non-increasing d2_pick sequence IS the coverage-radius curve.
     */
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the retrieval-diversity classic: greedily pick the
+    * item maximizing λ·relevance − (1−λ)·similarity-to-already-picked,
+    * the standard answer to near-duplicate contexts crowding a RAG
+    * window or a few clusters dominating a curated sample. Where
+    * [[kcenterSelect]] is pure spread, MMR trades spread against a
+    * caller-supplied relevance.
+    *
+    * Integer-exact formulation: `relCol` is a caller-computed integer
+    * relevance (negative squared distance to a query, a ppm-scaled
+    * BM25 — any total order on the SAME magnitude scale as the
+    * milli-unit squared distances used for similarity), λ is given in
+    * ppm, and similarity-to-picked is the (negated) running min
+    * squared distance, so each round's argmax is
+    *
+    * {{{ score_i = lamPpm·rel_i + (10⁶ − lamPpm)·minD2_i }}}
+    *
+    * — exact longs, ties to the smaller id, no float anywhere. Round
+    * 1 is pure relevance (MMR's S = ∅ convention).
+    *
+    * Scale shape: identical to [[kcenterSelect]] — k map-only
+    * zip_with passes over the persisted fixed-point frame, one eager
+    * localCheckpoint + one TakeOrdered(1) per round, the pick's
+    * vector broadcast as the next round's literal; vectors never ride
+    * a shuffle. Output: (step ∈ 1..m, picked id, rel, min_d2 at pick).
+    */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+      relCol: String, m: Int, lamPpm: Long = 500000L): DataFrame = {
+    require(m >= 1 && m <= 64, s"mmrRerank: m must be in [1,64], got $m")
+    require(lamPpm >= 0L && lamPpm <= 1000000L,
+      s"mmrRerank: lamPpm must be in [0, 1000000], got $lamPpm")
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
+      .head().getInt(0)
+    val fx = graft.core.CacheRegistry.persist(
+      df.where(size(col(vecCol)) === dim && col(idCol).isNotNull &&
+          col(relCol).isNotNull)
+        .select(col(idCol).cast("long").as("_id"),
+          transform(col(vecCol).cast("array<double>"),
+            v => floor(v * lit(1000.0))).as("_v"),
+          col(relCol).cast("long").as("_rel")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = fx.orderBy(col("_rel").desc, col("_id").asc).limit(1).head()
+    val picks = Vector.newBuilder[(Int, Long, Long, Long)]
+    picks += ((1, first.getLong(0), first.getLong(2), 0L))
+    var center: Seq[Long] = first.getSeq[Long](1)
+    // picked items leave the candidate frame — with rel dominating, a
+    // picked item's 0-distance score could otherwise win again
+    var cur = fx.where(col("_id") =!= first.getLong(0))
+      .select(col("_id"), col("_v"), col("_rel"),
+        lit(Long.MaxValue).as("_md"))
+    for (step <- 2 to m) {
+      val cLit = array(center.map(lit): _*)
+      cur = cur.select(col("_id"), col("_v"), col("_rel"),
+        least(col("_md"),
+          aggregate(zip_with(col("_v"), cLit, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, y) => acc + y)).as("_md"))
+        .localCheckpoint(true) // the round's one materializing action
+      val pick = cur
+        .orderBy((lit(lamPpm) * col("_rel") +
+          lit(1000000L - lamPpm) * col("_md")).desc, col("_id").asc)
+        .limit(1).head()
+      picks += ((step, pick.getLong(0), pick.getLong(2), pick.getLong(3)))
+      center = pick.getSeq[Long](1)
+      cur = cur.where(col("_id") =!= pick.getLong(0))
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        picks.result().map(p =>
+          org.apache.spark.sql.Row(p._1, p._2, p._3, p._4)), 1),
+      StructType(Seq(
+        StructField("step", IntegerType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("rel", LongType, nullable = false),
+        StructField("min_d2", LongType, nullable = false))))
+  }
+
   def kcenterSelect(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1 && k <= 64, s"kcenterSelect: k must be in [1,64], got $k")
@@ -1183,7 +1261,11 @@ object TrainingData {
     val picks = Vector.newBuilder[(Int, Long, Long)]
     picks += ((1, first.getLong(0), 0L))
     var center: Seq[Long] = first.getSeq[Long](1)
-    var cur = fx.select(col("_id"), col("_v"), lit(Long.MaxValue).as("_md"))
+    // picked ids leave the candidate frame: on a corpus with exact
+    // duplicate vectors every min-distance can reach 0, and the
+    // (md DESC, id) argmax could otherwise re-pick a chosen id
+    var cur = fx.where(col("_id") =!= first.getLong(0))
+      .select(col("_id"), col("_v"), lit(Long.MaxValue).as("_md"))
     for (step <- 2 to k) {
       val cLit = array(center.map(lit): _*)
       cur = cur.select(col("_id"), col("_v"),
@@ -1194,6 +1276,7 @@ object TrainingData {
       val pick = cur.orderBy(col("_md").desc, col("_id").asc).limit(1).head()
       picks += ((step, pick.getLong(0), pick.getLong(2)))
       center = pick.getSeq[Long](1)
+      cur = cur.where(col("_id") =!= pick.getLong(0))
     }
     import org.apache.spark.sql.types._
     spark.createDataFrame(

@@ -559,6 +559,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(e("x") == ((20L, 0L, 20L)) && e("y")._3 == 30L && e("z")._3 == 50L)
   }
 
+  test("mmrRerank: relevance first, then diversity; pure-relevance at lambda=1") {
+    // ids 1..3 on a line (x = 0, .1, 1) with rel 100/90/10. Pick 1 is
+    // pure relevance (id 1). At λ=.5 the d² scale dominates this toy
+    // rel scale, so pick 2 is the far point (id 3, min_d2 = 10⁶),
+    // pick 3 the remainder (id 2, min_d2 = 100² = 10⁴).
+    val pts = Seq((1L, 0.0f, 100L), (2L, 0.1f, 90L), (3L, 1.0f, 10L))
+      .map { case (id, x, r) => (id, Array(x), r) }
+      .toDF("vec_id", "embedding", "rel")
+    val out = TrainingData.mmrRerank(pts, "vec_id", "embedding", "rel", m = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1, 1L, 100L, 0L), (2, 3L, 10L, 1000000L),
+      (3, 2L, 90L, 10000L)))
+    graft.core.CacheRegistry.unpersistAll()
+    // λ = 1: pure relevance order regardless of geometry
+    val pure = TrainingData.mmrRerank(pts, "vec_id", "embedding", "rel",
+        m = 3, lamPpm = 1000000L)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(pure == Seq(1L, 2L, 3L))
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("kcenterSelect: farthest-point picks in closed form; ties to smaller id") {
     // line points x = 0, 1, .4, .6, .9 (ids 1..5); md5 draw starts at
     // id 4 (x=.6), then farthest-point walks 1 -> 2 -> 3 with exact
