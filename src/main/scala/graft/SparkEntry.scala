@@ -1767,6 +1767,13 @@ object SparkEntry {
         .select(decodeTradeNode(col("node")).as("node"), col("n_reached"),
           col("harmonic_ppm"))),
 
+    // Sampled distance profile of the trade graph: 8-seed BFS →
+    // reached-pair histogram → diameter lower bound, 50%/90%
+    // effective diameters (integer CDF compares), exact mean ppm.
+    "q_graph_dist" -> ((s, dd) =>
+      Graph.distanceSummary(tradeEdges(s, dd), col("src"), col("dst"),
+        nSeeds = 8, maxHops = 3)),
+
     // Pair-sampled betweenness on the trade graph: ONE 8-seed tagged
     // BFS carries exact decimal path counts; each s<t seed pair pays
     // (10^6·σ_sv·σ_tv) div σ_st into every middle node on a shortest
@@ -6015,6 +6022,38 @@ object SparkEntry {
     // seed draw, integer floors; top-k taken on the LONG node before
     // decoding (the Spark tie-break order)
     "q_betweenness" -> betweennessOracle(3),
+
+    "q_graph_dist" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |verts AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges
+        |   UNION ALL SELECT dst AS node FROM edges)),
+        |seeds AS (SELECT node FROM verts
+        |  ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 8),
+        |bfs(seed, node, dist) AS (
+        |  SELECT node, node, 0 FROM seeds
+        |  UNION
+        |  SELECT b.seed, e.dst, b.dist + 1 FROM bfs b
+        |  JOIN edges e ON e.src = b.node WHERE b.dist < 3),
+        |md AS (SELECT seed, node, MIN(dist) AS dist FROM bfs GROUP BY 1, 2),
+        |m AS (SELECT dist FROM md WHERE dist > 0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(MAX(dist) AS BIGINT) AS diameter_lb,
+        |    SUM(dist) AS sumd FROM m),
+        |byd AS (SELECT dist, count(*) AS c FROM m GROUP BY dist),
+        |cdf AS (SELECT a.dist AS da, SUM(b.c) AS cum
+        |  FROM byd a JOIN byd b ON b.dist <= a.dist GROUP BY 1),
+        |e50 AS (SELECT CAST(MIN(da) AS BIGINT) AS eff_d50
+        |  FROM cdf CROSS JOIN tot WHERE cum * 2 >= n_pairs),
+        |e90 AS (SELECT CAST(MIN(da) AS BIGINT) AS eff_d90
+        |  FROM cdf CROSS JOIN tot WHERE cum * 10 >= n_pairs * 9)
+        |SELECT 8 AS n_seeds, n_pairs, diameter_lb, eff_d50, eff_d90,
+        |  CAST(sumd * 1000000 // n_pairs AS BIGINT) AS mean_dist_ppm
+        |FROM tot CROSS JOIN e50 CROSS JOIN e90""".stripMargin,
 
     "q_harmonic" ->
       """WITH RECURSIVE pairs AS (

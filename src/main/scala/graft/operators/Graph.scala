@@ -1117,6 +1117,80 @@ object Graph {
           6).as("r"))
   }
 
+  /** Sampled distance profile of a graph — the small-world audit
+    * beside the per-node centralities: how far apart IS this corpus
+    * graph? From the same `nSeeds`-source tagged BFS as
+    * [[harmonicCentrality]], one summary row:
+    *
+    *  - `n_pairs` — (seed, node) pairs reached within `maxHops`
+    *  - `diameter_lb` — max observed distance (a LOWER bound: sampled
+    *    sources + hop horizon; the standard estimator's caveat)
+    *  - `eff_d50` / `eff_d90` — effective diameter readouts: the
+    *    smallest d with ≥ 50% / 90% of reached pairs within d (the
+    *    "six degrees" statistic; integer CDF compare `10·cum ≥
+    *    9·total`, no percentile float)
+    *  - `mean_dist_ppm` — exact `10⁶·Σd div pairs`
+    *
+    * Scale shape: the BFS is the [[harmonicCentrality]] superstep
+    * loop verbatim; the readout aggregates a ≤`maxHops`-row
+    * distance histogram with a tiny self-join CDF (NO global-order
+    * window — the histogram is the shuffle, hops rows total).
+    */
+  def distanceSummary(edges: DataFrame, srcCol: Column, dstCol: Column,
+      nSeeds: Int = 8, maxHops: Int = 3): DataFrame = {
+    require(nSeeds >= 1 && maxHops >= 1,
+      s"distanceSummary: nSeeds/maxHops must be >= 1, got $nSeeds/$maxHops")
+    val e = graft.core.CacheRegistry.persist(
+      edges.select(srcCol.as("src"), dstCol.as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+        .repartition(col("src")),
+      MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seeds = verts
+      .orderBy(md5(col("node").cast("string")), col("node"))
+      .limit(nSeeds)
+    var dist = seeds
+      .select(col("node").as("seed"), col("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (hop <- 1 to maxHops) {
+      val next = e.join(frontier, col("src") === col("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(dist.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(hop).as("dist"))
+        .localCheckpoint(true) // the round's one materializing action
+      dist = dist.union(next)
+      frontier = next
+    }
+    // ONE scan of the BFS output: the ≤maxHops-row distance histogram
+    // is checkpointed and every readout (totals, CDF, quantile
+    // compares) derives from it — totals as Σc / max / Σ dist·c, not
+    // as separate full-frame aggregates
+    val byd = dist.where(col("dist") > 0)
+      .groupBy(col("dist")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val tot = byd.agg(
+      sum(col("_c")).as("n_pairs"),
+      max(col("dist")).cast("long").as("diameter_lb"),
+      sum(col("dist") * col("_c")).as("_sumd"))
+    val cdf = byd.select(col("dist").as("_da"))
+      .join(byd.select(col("dist").as("_db"), col("_c")),
+        col("_db") <= col("_da"))
+      .groupBy(col("_da")).agg(sum(col("_c")).as("_cum"))
+    val e50 = cdf.crossJoin(tot.select(col("n_pairs").as("_t1")))
+      .where(col("_cum") * 2 >= col("_t1"))
+      .agg(min(col("_da")).cast("long").as("eff_d50"))
+    val e90 = cdf.crossJoin(tot.select(col("n_pairs").as("_t2")))
+      .where(col("_cum") * 10 >= col("_t2") * 9)
+      .agg(min(col("_da")).cast("long").as("eff_d90"))
+    tot.crossJoin(e50).crossJoin(e90)
+      .select(lit(nSeeds).as("n_seeds"), col("n_pairs"),
+        col("diameter_lb"), col("eff_d50"), col("eff_d90"),
+        expr("_sumd * 1000000 div n_pairs").as("mean_dist_ppm"))
+  }
+
   /** Pair-sampled betweenness centrality — the "which nodes sit ON the
     * traffic" readout completing the centrality family ([[pageRank]]
     * rewards being pointed at, [[harmonicCentrality]] being close;

@@ -394,6 +394,22 @@ class GraphSpec extends SparkSpec {
     assert(capped("b") == 2000000L && capped("a") == 1000000L)
   }
 
+  test("distanceSummary: path-graph closed form") {
+    // a—b—c—d, all 4 seeded, hops 3: 12 reached pairs, dist histogram
+    // {1: 6, 2: 4, 3: 2} -> diameter 3, d50 = 1 (6/12), d90 = 3
+    // (10/12 < 90% at d=2), mean = 20·10⁶ div 12
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c")).toDF("s", "d")
+    val r = Graph.distanceSummary(e, col("s"), col("d"),
+      nSeeds = 4, maxHops = 3).collect().head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((4, 12L, 3L, 1L, 3L, 1666666L)))
+    // hop cap: maxHops = 1 sees only the 6 adjacent pairs
+    val capped = Graph.distanceSummary(e, col("s"), col("d"),
+      nSeeds = 4, maxHops = 1).collect().head
+    assert(capped.getLong(1) == 6L && capped.getLong(2) == 1L)
+  }
+
   test("betweennessSampled: path closed form; diamond splits σ; hop cap pins pairs") {
     // path a—b—c—d, all 4 nodes seeded: middles are b {(a,c),(a,d)} and
     // c {(a,d),(b,d)} — 2 pairs × 10⁶ each; endpoints never middle.
