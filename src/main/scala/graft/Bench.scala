@@ -271,14 +271,16 @@ object BenchFamilies {
     "q_hits", "q_modularity", "q_assortativity", "q_reciprocity",
     "q_clustering_coef", "q_common_neighbors", "q_degree_dist",
     "q_centralization", "q_rich_club", "q_walks", "q_paths", "q_islands",
-    "q_prank", "q_follows", "q_transitions", "q_concurrency")
+    "q_prank", "q_follows", "q_transitions", "q_concurrency",
+    "q_betweenness", "q_graph_dist")
   private val simQs: Set[String] = Set(
     "q_sim_brute", "q_sim_lsh", "q_sim_ivf", "q_sim_pq", "q_sim_ivfpq",
     "q_knn_graph", "q_knn_eval", "q_ann_graph", "q_matryoshka",
     "q_jlproj", "q_hard_negatives", "q_doc_embed", "q_embed_pairs",
     "q_embed_norms", "q_pca2", "q_whiten", "q_mahalanobis",
     "q_power_iter", "q_semdedup", "q_semdedup_knn", "q_cluster",
-    "q_silhouette", "q_db_index", "q_ch", "q_dunn", "q_mixture")
+    "q_silhouette", "q_db_index", "q_ch", "q_dunn", "q_mixture",
+    "q_cka", "q_kcenter", "q_shapley", "q_mmr")
   def family(name: String): String =
     if (name.startsWith("q_dedup") || name.startsWith("q_dup") ||
       Set("q_chunk_dedup", "q_para_dedup", "q_span_dup", "q_span_removal",
@@ -291,8 +293,11 @@ object BenchFamilies {
     else "other"
   /** sf0.1 full-run budgets; "other" is ~230 sub-second-median
     * statistics/text/relational queries and gets the widest envelope.
+    * Round-10 additions raised graph by the two new BFS queries
+    * (q_betweenness, q_graph_dist, ~5 s each in-run) and similarity
+    * by the four new embedding ops (~5 s combined).
     */
   val budgetSec: Map[String, Double] = Map(
-    "dedup" -> 60.0, "graph" -> 55.0, "similarity" -> 40.0,
+    "dedup" -> 60.0, "graph" -> 68.0, "similarity" -> 46.0,
     "other" -> 220.0)
 }
