@@ -1161,6 +1161,13 @@ object SparkEntry {
     // on the ROUNDED score (identical across engines — q_tfidf pins
     // the rounded values bit-exact) with the term as tiebreak; the
     // rank filter compiles to WindowGroupLimit partial+final top-k.
+    // TextRank keywords: window-2 co-occurrence graph over the corpus
+    // vocabulary (≥3-char words, canonical distinct pairs), ranked by
+    // the SAME scaled-integer pagerank supersteps as q_pagerank —
+    // graph-based salience beside q_keywords' TF-IDF. Top-30.
+    "q_textrank" -> ((s, d) =>
+      Ranking.textRank(t(s, d, "documents"), "text", iters = 3, k = 30)),
+
     "q_keywords" -> ((s, d) => {
       val scores = Ranking.termScores(t(s, d, "documents"), "doc_id", "text")
       TrainingData.capPerGroup(
@@ -4660,6 +4667,47 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // rank on the same rounded tf-idf, term tiebreak
+    // q_textrank: same bigram window, length/self filters, canonical
+    // pair dedup, and 10⁹-scale integer pagerank unroll as the Spark
+    // composition (the q_pagerank oracle pattern on the word graph).
+    "q_textrank" ->
+      s"""WITH dw AS (SELECT $W AS ws FROM documents),
+         |bg AS (SELECT unnest(list_transform(
+         |    generate_series(1, len(ws) - 1),
+         |    i -> [ws[i], ws[i + 1]])) AS pr
+         |  FROM dw WHERE len(ws) >= 2),
+         |flt AS (SELECT pr[1] AS a, pr[2] AS b FROM bg
+         |  WHERE len(pr[1]) >= 3 AND len(pr[2]) >= 3 AND pr[1] != pr[2]),
+         |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+         |  FROM flt),
+         |edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+         |  UNION ALL SELECT v AS src, u AS dst FROM und),
+         |verts AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM edges UNION ALL
+         |   SELECT dst AS node FROM edges)),
+         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score FROM verts),
+         |inf1 AS (SELECT e.dst, CAST(SUM(sc.score // od.deg) AS BIGINT) AS f
+         |  FROM edges e JOIN it0 sc ON e.src = sc.node
+         |  JOIN outdeg od ON e.src = od.src GROUP BY e.dst),
+         |it1 AS (SELECT v.node,
+         |    150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
+         |  FROM verts v LEFT JOIN inf1 i ON v.node = i.dst),
+         |inf2 AS (SELECT e.dst, CAST(SUM(sc.score // od.deg) AS BIGINT) AS f
+         |  FROM edges e JOIN it1 sc ON e.src = sc.node
+         |  JOIN outdeg od ON e.src = od.src GROUP BY e.dst),
+         |it2 AS (SELECT v.node,
+         |    150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
+         |  FROM verts v LEFT JOIN inf2 i ON v.node = i.dst),
+         |inf3 AS (SELECT e.dst, CAST(SUM(sc.score // od.deg) AS BIGINT) AS f
+         |  FROM edges e JOIN it2 sc ON e.src = sc.node
+         |  JOIN outdeg od ON e.src = od.src GROUP BY e.dst),
+         |it3 AS (SELECT v.node,
+         |    150000000 + (85 * COALESCE(i.f, 0)) // 100 AS score
+         |  FROM verts v LEFT JOIN inf3 i ON v.node = i.dst)
+         |SELECT node AS word, CAST(score AS BIGINT) AS score FROM it3
+         |ORDER BY score DESC, word LIMIT 30""".stripMargin,
+
     "q_keywords" ->
       s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
          |  FROM (SELECT doc_id, unnest($W) AS term FROM documents) GROUP BY 1, 2),

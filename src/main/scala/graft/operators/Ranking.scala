@@ -1338,4 +1338,45 @@ object Ranking {
               col("_q2") * (col("_n") - 1L)).cast("double") /
             col("_den").cast("double"), 6)).as("icc"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+    * graph-based complement of [[termScores]]' frequency weighting: a
+    * word matters because it co-occurs with words that matter, which
+    * surfaces connective vocabulary TF-IDF's rarity bias buries. Built
+    * ENTIRELY by composition: adjacent-word pairs (window 2, the
+    * original paper's default) over the [[words]] kernel become an
+    * undirected co-occurrence graph, and
+    * [[graft.operators.Graph.pageRank]]'s scaled-integer supersteps
+    * rank it — bit-exact on any engine/partitioning, same oracle
+    * unroll as q_pagerank.
+    *
+    * Graph construction: bigrams → (a ≠ b, both ≥ `minLen` chars;
+    * the cheap stopword cut the paper applies via POS filtering) →
+    * canonical (least, greatest) DISTINCT pairs → both directions.
+    * Scale shape: one explode over attribute-materialized words, one
+    * distinct on the pair key, then pageRank's one-join-one-aggregate
+    * iterations over the persisted edge frame; the only shuffles
+    * carry (word, word) pairs and |V|-row score frames. Output: top
+    * `k` (word, score), score on [[Graph.pageRank]]'s 10⁹ scale.
+    */
+  def textRank(df: DataFrame, textCol: String, iters: Int = 3,
+      k: Int = 30, minLen: Int = 3): DataFrame = {
+    require(iters >= 1 && k >= 1 && minLen >= 1,
+      s"textRank: iters/k/minLen must be >= 1, got $iters/$k/$minLen")
+    val adj = df.select(words(col(textCol)).as("_ws"))
+      .where(size(col("_ws")) >= 2)
+      .select(explode(wordShinglesFromWords(col("_ws"), 2)).as("_g"))
+      .select(substring_index(col("_g"), " ", 1).as("_a"),
+        substring_index(col("_g"), " ", -1).as("_b"))
+      .where(length(col("_a")) >= minLen && length(col("_b")) >= minLen &&
+        col("_a") =!= col("_b"))
+    val und = adj.select(least(col("_a"), col("_b")).as("_u"),
+      greatest(col("_a"), col("_b")).as("_v")).distinct()
+    val edges = und.select(col("_u").as("src"), col("_v").as("dst"))
+      .unionAll(und.select(col("_v").as("src"), col("_u").as("dst")))
+    Graph.pageRank(edges, "src", "dst", iters, checkpointIters = 2)
+      .orderBy(col("score").desc, col("node").asc)
+      .limit(k)
+      .select(col("node").as("word"), col("score"))
+  }
 }

@@ -595,4 +595,17 @@ class RankingSpec extends SparkSpec {
       .collect().head
     assert(rf.isNullAt(rf.fieldIndex("icc")))
   }
+
+  test("textRank: path-graph integer pagerank closed form; short words cut") {
+    // "alpha beta beta gamma xy beta": self-pair and <3-char bigrams
+    // drop, leaving the path alpha—beta—gamma. 3 scaled-integer
+    // pagerank iterations on the path give exactly
+    // beta = 1741625000, alpha = gamma = 629187500 (hand-unrolled).
+    val docs = Seq("alpha beta beta gamma xy beta").toDF("text")
+    val out = Ranking.textRank(docs, "text", iters = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq("beta" -> 1741625000L, "alpha" -> 629187500L,
+      "gamma" -> 629187500L))
+    graft.core.CacheRegistry.unpersistAll()
+  }
 }
