@@ -361,6 +361,24 @@ object ScaleProbe {
         Seq(col("c_nationkey"), (col("c_custkey") % 10).as("seg")),
         (col("bal") + lit(2000L)) / lit(2000L) cast "long",
         tPpm = 200000L).count())
+
+    // round-10: the sampled-BFS centrality scales with |S|·|E|·hops —
+    // probed on the SAME 2.4M-edge 10× trade graph as pageRank above
+    graft.core.CacheRegistry.unpersistAll()
+    time("betweennessSampled 8 seeds / 3 hops on 2.4M edges")(
+      graft.operators.Graph.betweennessSampled(
+        graph10, col("src"), col("dst"), 8, 3, 50).count())
+    graft.core.CacheRegistry.unpersistAll()
+    // knnShapley: the test side is the broadcast contract (fixed 20),
+    // so the pair frame grows LINEARLY with the train corpus
+    val semb0 = spark.read.parquet(s"$d/embeddings.parquet")
+    val semb10 = (0 until 10).map(k =>
+      semb0.select((col("vec_id") + k * 100000L).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_ unionAll _)
+    time("knnShapley 20k train / 20 test")(
+      Similarity.knnShapley(semb10.where(col("vec_id") >= 20),
+        semb10.where(col("vec_id") < 20), "vec_id", "embedding", "label",
+        5).count())
     spark.stop()
   }
 }

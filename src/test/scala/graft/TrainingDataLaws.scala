@@ -159,4 +159,42 @@ object TrainingDataLaws extends Properties("TrainingData") {
       out(1L) == 0.0 && copies.forall { case (id, _) => out(id) == 1.0 } &&
         out.values.forall(f => f >= 0.0 && f <= 1.0)
     }
+
+  private val genVecPts: Gen[List[(Long, Float, Long)]] = for {
+    n <- Gen.chooseNum(3, 10)
+    xs <- Gen.listOfN(n, Gen.chooseNum(-50, 50))
+    rs <- Gen.listOfN(n, Gen.chooseNum(-100L, 100L))
+  } yield xs.zip(rs).zipWithIndex.map { case ((x, r), i) =>
+    (i.toLong + 1, x / 10.0f, r)
+  }
+
+  property("kcenterSelect: distinct picks, non-increasing radius curve") =
+    forAll(genVecPts, Gen.chooseNum(2, 5)) { (pts, k) =>
+      val df = pts.map { case (id, x, _) => (id, Array(x)) }
+        .toDF("vec_id", "embedding")
+      val out = TrainingData.kcenterSelect(df, "vec_id", "embedding",
+          k.min(pts.size))
+        .select("step", "vec_id", "d2_pick")
+        .as[(Int, Long, Long)].collect().sortBy(_._1)
+      graft.core.CacheRegistry.unpersistAll()
+      val radii = out.drop(1).map(_._3) // step 1 has no distance
+      out.length == k.min(pts.size) &&
+        out.map(_._2).distinct.length == out.length &&
+        radii.zip(radii.drop(1)).forall { case (a, b) => a >= b }
+    }
+
+  property("mmrRerank at lambda=1 is exactly the (rel DESC, id) prefix") =
+    forAll(genVecPts, Gen.chooseNum(2, 5)) { (pts, m) =>
+      val df = pts.map { case (id, x, r) => (id, Array(x), r) }
+        .toDF("vec_id", "embedding", "rel")
+      val mm = m.min(pts.size)
+      val out = TrainingData.mmrRerank(df, "vec_id", "embedding", "rel",
+          mm, lamPpm = 1000000L)
+        .select("step", "vec_id").as[(Int, Long)].collect()
+        .sortBy(_._1).map(_._2).toSeq
+      graft.core.CacheRegistry.unpersistAll()
+      val expect = pts.sortBy { case (id, _, r) => (-r, id) }
+        .take(mm).map(_._1)
+      out == expect
+    }
 }
