@@ -1216,20 +1216,27 @@ object TrainingData {
     var cur = fx.where(col("_id") =!= first.getLong(0))
       .select(col("_id"), col("_v"), col("_rel"),
         lit(Long.MaxValue).as("_md"))
-    for (step <- 2 to m) {
+    var step = 2
+    var exhausted = false
+    while (step <= m && !exhausted) {
       val cLit = array(center.map(lit): _*)
       cur = cur.select(col("_id"), col("_v"), col("_rel"),
         least(col("_md"),
           aggregate(zip_with(col("_v"), cLit, (a, b) => (a - b) * (a - b)),
             lit(0L), (acc, y) => acc + y)).as("_md"))
         .localCheckpoint(true) // the round's one materializing action
-      val pick = cur
-        .orderBy((lit(lamPpm) * col("_rel") +
+      // m beyond the candidate count stops cleanly with the realized
+      // prefix instead of a head() crash
+      cur.orderBy((lit(lamPpm) * col("_rel") +
           lit(1000000L - lamPpm) * col("_md")).desc, col("_id").asc)
-        .limit(1).head()
-      picks += ((step, pick.getLong(0), pick.getLong(2), pick.getLong(3)))
-      center = pick.getSeq[Long](1)
-      cur = cur.where(col("_id") =!= pick.getLong(0))
+        .limit(1).collect().headOption match {
+        case Some(pick) =>
+          picks += ((step, pick.getLong(0), pick.getLong(2), pick.getLong(3)))
+          center = pick.getSeq[Long](1)
+          cur = cur.where(col("_id") =!= pick.getLong(0))
+          step += 1
+        case None => exhausted = true
+      }
     }
     import org.apache.spark.sql.types._
     spark.createDataFrame(
@@ -1266,17 +1273,26 @@ object TrainingData {
     // (md DESC, id) argmax could otherwise re-pick a chosen id
     var cur = fx.where(col("_id") =!= first.getLong(0))
       .select(col("_id"), col("_v"), lit(Long.MaxValue).as("_md"))
-    for (step <- 2 to k) {
+    var step = 2
+    var exhausted = false
+    while (step <= k && !exhausted) {
       val cLit = array(center.map(lit): _*)
       cur = cur.select(col("_id"), col("_v"),
         least(col("_md"),
           aggregate(zip_with(col("_v"), cLit, (a, b) => (a - b) * (a - b)),
             lit(0L), (acc, y) => acc + y)).as("_md"))
         .localCheckpoint(true) // the round's one materializing action
-      val pick = cur.orderBy(col("_md").desc, col("_id").asc).limit(1).head()
-      picks += ((step, pick.getLong(0), pick.getLong(2)))
-      center = pick.getSeq[Long](1)
-      cur = cur.where(col("_id") =!= pick.getLong(0))
+      // k beyond the candidate count stops cleanly with the realized
+      // prefix (every point is a center) instead of a head() crash
+      cur.orderBy(col("_md").desc, col("_id").asc).limit(1)
+        .collect().headOption match {
+        case Some(pick) =>
+          picks += ((step, pick.getLong(0), pick.getLong(2)))
+          center = pick.getSeq[Long](1)
+          cur = cur.where(col("_id") =!= pick.getLong(0))
+          step += 1
+        case None => exhausted = true
+      }
     }
     import org.apache.spark.sql.types._
     spark.createDataFrame(

@@ -172,8 +172,7 @@ object TrainingDataLaws extends Properties("TrainingData") {
     forAll(genVecPts, Gen.chooseNum(2, 5)) { (pts, k) =>
       val df = pts.map { case (id, x, _) => (id, Array(x)) }
         .toDF("vec_id", "embedding")
-      val out = TrainingData.kcenterSelect(df, "vec_id", "embedding",
-          k.min(pts.size))
+      val out = TrainingData.kcenterSelect(df, "vec_id", "embedding", k)
         .select("step", "vec_id", "d2_pick")
         .as[(Int, Long, Long)].collect().sortBy(_._1)
       graft.core.CacheRegistry.unpersistAll()
@@ -189,7 +188,7 @@ object TrainingDataLaws extends Properties("TrainingData") {
         .toDF("vec_id", "embedding", "rel")
       val mm = m.min(pts.size)
       val out = TrainingData.mmrRerank(df, "vec_id", "embedding", "rel",
-          mm, lamPpm = 1000000L)
+          m, lamPpm = 1000000L)
         .select("step", "vec_id").as[(Int, Long)].collect()
         .sortBy(_._1).map(_._2).toSeq
       graft.core.CacheRegistry.unpersistAll()

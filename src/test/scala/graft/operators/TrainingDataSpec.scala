@@ -599,5 +599,10 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(t2 == Seq((1, 11L, 0L), (2, 10L, 1000000L), (3, 12L, 1000000L)))
     graft.core.CacheRegistry.unpersistAll()
+    // k beyond the candidate count: the realized prefix, not a crash
+    val ex = TrainingData.kcenterSelect(tie, "vec_id", "embedding", k = 10)
+      .collect()
+    assert(ex.length == 3)
+    graft.core.CacheRegistry.unpersistAll()
   }
 }
