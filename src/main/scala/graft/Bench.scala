@@ -93,6 +93,11 @@ object Bench {
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // Drain warmup events and reset the peak high-water so warmup-phase
+    // peaks don't leak into the FIRST timed query's peak_exec_mem_b.
+    org.apache.spark.GraftListenerBridge.waitUntilEmpty(
+      spark.sparkContext, 10000L)
+    telemetry.resetPeak()
     // Per-query MEDIAN of `runs` measurements: single-shot totals vary
     // ±25% run-to-run on a shared box, so builder- and driver-side
     // numbers only converge on medians (BASELINE.md methodology).
@@ -210,10 +215,12 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
       }
-      // Post-barrier resource snapshot. The listener bus drains async;
-      // the clearCache+GC barrier above takes long enough in practice,
-      // plus a short bounded wait for straggler task-end events.
-      Thread.sleep(50)
+      // Post-barrier resource snapshot. Deterministic drain: wait for
+      // the listener bus to deliver every queued task-end event (bounded
+      // — telemetry must not hang the bench) so stragglers can't be
+      // attributed to the FOLLOWING query's row.
+      org.apache.spark.GraftListenerBridge.waitUntilEmpty(
+        spark.sparkContext, 10000L)
       val telAfter = telemetry.snapshot()
       telemetry.resetPeak()  // per-query high-water, not run-global
       val (ldB, ldF) = localDirStats(localDir)

@@ -2901,7 +2901,12 @@ object SparkEntry {
     // trading closeness-to-query against spread — the RAG-window
     // near-duplicate-context answer beside q_kcenter's pure spread.
     "q_mmr" -> ((s, d) => {
+      // mirror the oracle's fx0 filters BEFORE the md5 query draw: a
+      // null vec_id md5-sorts first on the raw frame but is dropped by
+      // the oracle's pre-filter — filter first so both engines draw
+      // the same query vector on any future testdata.
       val e = t(s, d, "embeddings")
+        .where(col("vec_id").isNotNull && size(col("embedding")) === 64)
       val q = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .select(col("vec_id").cast("long"), col("embedding")).limit(1).head()
       val qLit = array(q.getSeq[Float](1).map(f =>
@@ -2943,8 +2948,13 @@ object SparkEntry {
     // fixed-point scatter (decimal(38,0) / HUGEINT), centering via
     // the n-scaled identity, ONE 3-op IEEE readout at 6dp.
     "q_cka" -> ((s, d) =>
-      Linalg.linearCka(t(s, d, "embeddings"), "embedding",
-        prefixDims = 16)),
+      // vec_id IS NOT NULL on both sides: the oracle's scatter
+      // self-joins USING (vec_id) (null rows would drop from the join
+      // but count in n / column sums); Spark computes row-locally, so
+      // filter here to keep the populations identical.
+      Linalg.linearCka(
+        t(s, d, "embeddings").where(col("vec_id").isNotNull),
+        "embedding", prefixDims = 16)),
 
     "q_knn_eval" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -7932,7 +7942,7 @@ object SparkEntry {
     // identical IEEE shape on both engines.
     "q_cka" ->
       """WITH clean AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE len(embedding) = 64),
+        |  WHERE len(embedding) = 64 AND vec_id IS NOT NULL),
         |nn AS (SELECT COUNT(*) AS n FROM clean),
         |x AS MATERIALIZED (SELECT vec_id, g.i,
         |    CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT)

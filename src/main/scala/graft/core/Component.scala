@@ -93,6 +93,25 @@ object CacheRegistry {
   }
 }
 
+/** Dimension probe shared by the embedding-family operators
+  * (linearCka, matryoshkaEval, knnShapley, kcenterSelect, mmrRerank,
+  * PCA prep): realized vector width from the first non-empty row.
+  * `headOption` (not `head()`) so an EMPTY input fails with a clear
+  * operator-named requirement instead of a bare
+  * NoSuchElementException from deep inside the probe job.
+  */
+object VecDim {
+  def probe(df: DataFrame, vecCol: String, opName: String): Int = {
+    import org.apache.spark.sql.functions.{col, size}
+    val d = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0))
+    require(d.isDefined,
+      s"$opName: input has no non-empty '$vecCol' vectors to infer the " +
+        s"embedding dim from (empty frame, or every vector is empty/null)")
+    d.get
+  }
+}
+
 /** Marks streams whose mix was declared `no_wait` (reference:
   * lib/gen_mix.ex:377-387 — output halts as soon as one input halts).
   * Batch unions are all-finite so the flag is a no-op there; for

@@ -82,8 +82,7 @@ object Linalg {
       .doubleValue
 
   private def prepared(df: DataFrame, vecCol: String): (DataFrame, Int) = {
-    val dim = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
-      .head().getInt(0)
+    val dim = graft.core.VecDim.probe(df, vecCol, "Linalg.prepared")
     val x = graft.core.CacheRegistry.persist(
       df.select(col(vecCol).cast("array<double>").as("_x"))
         .where(size(col("_x")) === dim),
@@ -188,8 +187,7 @@ object Linalg {
     * executor-trivial.
     */
   def linearCka(df: DataFrame, vecCol: String, prefixDims: Int): DataFrame = {
-    val dim = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
-      .head().getInt(0)
+    val dim = graft.core.VecDim.probe(df, vecCol, "linearCka")
     require(prefixDims >= 1 && prefixDims < dim,
       s"linearCka: prefixDims must be in [1, dim=$dim), got $prefixDims")
     val fx = graft.core.CacheRegistry.persist(
@@ -213,7 +211,8 @@ object Linalg {
       .join(s.select(col("_i").as("_ib"), col("_sv").as("_sb")), Seq("_ib"))
       .select(col("_ia"), col("_ib"),
         (lit(n).cast("decimal(38,0)") * col("_pp") -
-          (col("_sa") * col("_sb")).cast("decimal(38,0)")).as("_c"))
+          col("_sa").cast("decimal(38,0)") *
+            col("_sb").cast("decimal(38,0)")).as("_c"))
     // ANSI+CSE: null-guard the DENOMINATOR sums themselves (a when()
     // around the division can be hoisted past its guard)
     c.agg(

@@ -65,7 +65,7 @@ object Similarity {
     // misreads as "truncation is free" — reject it against the
     // (first-row) realized dim. p == dim is allowed: it is the
     // explicit full-dim baseline and SHOULD read 1.0.
-    val realizedDim = corpus.select(size(col(vecCol)).as("_d")).head().getInt(0)
+    val realizedDim = graft.core.VecDim.probe(corpus, vecCol, "matryoshkaEval")
     require(prefixDims.forall(_ <= realizedDim),
       s"matryoshkaEval: prefix dims must be <= embedding dim $realizedDim " +
         s"(a prefix past the dim slices to the full vector and reports a " +
@@ -315,8 +315,7 @@ object Similarity {
       k: Int,
       topN: Int = 50): DataFrame = {
     require(k >= 1, s"knnShapley: k must be >= 1, got $k")
-    val dim = train.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
-      .head().getInt(0)
+    val dim = graft.core.VecDim.probe(train, vecCol, "knnShapley")
     def fixed(df: DataFrame, id: String, v: String, y: String) =
       df.where(size(col(vecCol)) === dim &&
           col(idCol).isNotNull && col(labelCol).isNotNull)

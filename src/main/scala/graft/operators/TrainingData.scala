@@ -1197,8 +1197,7 @@ object TrainingData {
     require(lamPpm >= 0L && lamPpm <= 1000000L,
       s"mmrRerank: lamPpm must be in [0, 1000000], got $lamPpm")
     val spark = df.sparkSession
-    val dim = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
-      .head().getInt(0)
+    val dim = graft.core.VecDim.probe(df, vecCol, "mmrRerank")
     val fx = graft.core.CacheRegistry.persist(
       df.where(size(col(vecCol)) === dim && col(idCol).isNotNull &&
           col(relCol).isNotNull)
@@ -1254,8 +1253,7 @@ object TrainingData {
       k: Int): DataFrame = {
     require(k >= 1 && k <= 64, s"kcenterSelect: k must be in [1,64], got $k")
     val spark = df.sparkSession
-    val dim = df.select(size(col(vecCol)).as("_d")).where(col("_d") > 0)
-      .head().getInt(0)
+    val dim = graft.core.VecDim.probe(df, vecCol, "kcenterSelect")
     val fx = graft.core.CacheRegistry.persist(
       df.where(size(col(vecCol)) === dim && col(idCol).isNotNull)
         .select(col(idCol).cast("long").as("_id"),

@@ -123,9 +123,13 @@ final class StatefulHotSwap(
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
+        // A crash mid-write of the tmp can leave a garbled first line;
+        // an unparseable marker must behave like a MISSING one (fall
+        // back to init / on-disk versions), not wedge every runBatch.
         txt.split("\n").toList match {
           case bid :: path :: prev :: _
-            if fs.exists(new org.apache.hadoop.fs.Path(path)) =>
+            if scala.util.Try(bid.toLong).isSuccess &&
+              fs.exists(new org.apache.hadoop.fs.Path(path)) =>
             committed.compareAndSet(None,
               Some(Committed(path, bid.toLong, Some(prev).filter(_ != "-"))))
             ()
