@@ -2934,6 +2934,37 @@ object SparkEntry {
         k = 5, topN = 50)
     }),
 
+    // The corpus-scale Shapley composition, gated like q_semdedup_knn:
+    // knnShapleyAnn over IVF candidates must (a) reproduce the exact
+    // knnShapley EXACTLY at nprobe = nlist (every train vector sits in
+    // exactly one probed cell, so the pair frame and per-test horizon
+    // coincide), and (b) agree with the exact top-50 id set on >= 60%
+    // at the working probe (measured 0.74 sf0.01 / 0.82 sf0.1 at
+    // nprobe=8, values decay like 1/j so the candidate horizon moves
+    // the tail, not the head).
+    "q_shapley_ann" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val tr = e.where(col("vec_id") >= 20)
+      val te = e.where(col("vec_id") < 20)
+      val exact = Similarity.knnShapley(tr, te, "vec_id", "embedding",
+        "label", k = 5, topN = 50).localCheckpoint(true)
+      val full = Similarity.knnShapleyAnn(tr, te, "vec_id", "embedding",
+        "label", k = 5, topN = 50, nlist = 16, nprobe = 16)
+      val work = Similarity.knnShapleyAnn(tr, te, "vec_id", "embedding",
+        "label", k = 5, topN = 50, nlist = 16, nprobe = 8)
+      val nDiff = exact.exceptAll(full)
+        .unionAll(full.exceptAll(exact))
+        .agg(count(lit(1)).as("_nd"))
+      val nAgree = exact.select("vec_id")
+        .join(work.select("vec_id"), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("_na"))
+      exact.agg(count(lit(1)).as("n_top"))
+        .crossJoin(nDiff).crossJoin(nAgree)
+        .select(col("n_top"),
+          (col("_nd") === 0L).as("full_probe_exact"),
+          (col("_na") >= col("n_top").cast("double") * 0.6).as("agreement_ok"))
+    }),
+
     // Greedy k-center (Gonzalez) coreset draw over the embedding
     // corpus: 6 farthest-point picks with exact milli-unit integer
     // distances, md5-smallest start, ties to the smaller id. The
@@ -7892,6 +7923,16 @@ object SparkEntry {
     "q_kcenter" -> kcenterOracle(6),
 
     "q_mmr" -> mmrOracle(8, 500000L),
+
+    // q_shapley_ann: the recall-gate pattern (q_semdedup_knn) — the
+    // oracle recomputes the exact top-N row count and pins the
+    // full-probe-equivalence + working-probe-agreement booleans TRUE.
+    "q_shapley_ann" ->
+      """WITH tr AS (SELECT vec_id FROM embeddings
+        |  WHERE len(embedding) = 64 AND vec_id IS NOT NULL
+        |    AND label IS NOT NULL AND vec_id >= 20)
+        |SELECT LEAST(50, (SELECT count(*) FROM tr)) AS n_top,
+        |  TRUE AS full_probe_exact, TRUE AS agreement_ok""".stripMargin,
 
     // q_shapley: the same closed-form recursion as window SQL — rank
     // by exact integer d² (ties to tid), base term at j = N, the

@@ -331,6 +331,17 @@ object Similarity {
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
           .as("_d2"),
         when(col("_ty") === col("_qy"), 1L).otherwise(0L).as("_m"))
+    shapleyKernel(pairs, k, topN)
+  }
+
+  /** The closed-form KNN-Shapley readout over a (test, train, d²,
+    * label-match) pair frame — shared by the exact [[knnShapley]]
+    * (full cross product) and the ANN-candidate [[knnShapleyAnn]]
+    * (cell-restricted pairs). Per-test ranking, the per-rank
+    * contribution c_j, and the suffix sum ride ONE exchange
+    * (identical partition + order), all arithmetic exact longs.
+    */
+  private def shapleyKernel(pairs: DataFrame, k: Int, topN: Int): DataFrame = {
     val byDist = Window.partitionBy(col("_qid"))
       .orderBy(col("_d2").asc, col("_tid").asc)
     val ranked = pairs
@@ -355,6 +366,77 @@ object Similarity {
       .select(col("_tid").as("vec_id"), col("n_test"), col("value_ppm"))
       .orderBy(col("value_ppm").desc, col("vec_id").asc)
       .limit(topN)
+  }
+
+  /** [[knnShapley]] over IVF-candidate pairs — the corpus-scale
+    * composition the exact form's scaladoc promises: each test point
+    * ranks only the train vectors in its `nprobe` best IVF cells
+    * (built over the train side, [[buildIvfIndex]]), so the pair
+    * frame shrinks from |test|·|train| to Σ probed-cell sizes while
+    * the 1/j-decaying Shapley terms keep the values close. The
+    * per-test horizon N becomes the candidate count, so `nprobe =
+    * nlist` reproduces the exact [[knnShapley]] output EXACTLY
+    * (every valid train vector sits in exactly one cell) — the
+    * equivalence pin `q_shapley_ann` gates, beside its working-probe
+    * agreement gate.
+    *
+    * Scale shape: centroids broadcast (nlist × dim), the probe is a
+    * map-combinable aggregate per test point, candidates come off a
+    * plain hash join on the cell key, and the kernel's two windows
+    * share one exchange — no all-pairs stage anywhere.
+    */
+  def knnShapleyAnn(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      topN: Int = 50,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"knnShapleyAnn: k must be >= 1, got $k")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"knnShapleyAnn: nprobe must be in [1, nlist], got $nprobe")
+    val dim = graft.core.VecDim.probe(train, vecCol, "knnShapleyAnn")
+    def fixed(df: DataFrame, id: String, v: String, y: String) =
+      df.where(size(col(vecCol)) === dim &&
+          col(idCol).isNotNull && col(labelCol).isNotNull)
+        .select(col(idCol).cast("long").as(id),
+          transform(col(vecCol).cast("array<double>"),
+            e => floor(e * lit(1000.0))).as(v),
+          col(labelCol).as(y))
+    val trainValid = train.where(size(col(vecCol)) === dim &&
+      col(idCol).isNotNull && col(labelCol).isNotNull)
+    val index = buildIvfIndex(trainValid, idCol, vecCol, nlist, seed = seed)
+    // nprobe best cells per TEST point — the ivfKnnGraph probe shape
+    // (hash-agg with a sortable struct, never a window)
+    val cells = test
+      .where(size(col(vecCol)) === dim &&
+        col(idCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("_qid"), col(vecCol).as("_qraw"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("_nd",
+        cosine(col("_qraw").cast("array<double>"), col("centroid")) * lit(-1.0d))
+      .groupBy(col("_qid"))
+      .agg(slice(sort_array(collect_list(struct(col("_nd"), col("cell")))),
+        1, nprobe).as("_best"))
+      .select(col("_qid"), explode(col("_best.cell")).as("cell"))
+    val cand = index.assigned
+      .join(broadcast(cells), Seq("cell"))
+      .select(col("_qid"), col("neighbor_id").cast("long").as("_tid"))
+    val tr = fixed(trainValid, "_tid", "_tv", "_ty")
+    val te = broadcast(fixed(test, "_qid", "_qv", "_qy"))
+    val pairs = cand
+      .join(tr, Seq("_tid"))
+      .join(te, Seq("_qid"))
+      .select(col("_qid"), col("_tid"),
+        aggregate(zip_with(col("_tv"), col("_qv"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("_d2"),
+        when(col("_ty") === col("_qy"), 1L).otherwise(0L).as("_m"))
+    shapleyKernel(pairs, k, topN)
   }
 
   /** LSH-bucketed ANN: both sides keyed by sign-random-projection
