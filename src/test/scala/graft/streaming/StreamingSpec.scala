@@ -1461,4 +1461,174 @@ class StreamingSpec extends SparkSpec {
     val late = spark.table("ttc_out2").as[StreamTtc.TRow].collect()
     assert(late.exists(_.late) && !late.exists(r => !r.late))
   }
+
+  // ---- randomized micro-batch replay parity (round-11 verdict #4) -- //
+  //
+  // The hand-written twin pins above each use ONE fixed 2-batch split;
+  // the state-carry bugs they exist to catch (a fold re-seeding at a
+  // batch boundary, a sketch merged in the wrong order, an IEEE chain
+  // recomputed from scratch) are exactly the bugs a DIFFERENT split
+  // would expose. This harness generates a seeded random in-order feed,
+  // replays it through RANDOM micro-batch cut points, and asserts
+  // bit-equality (== on doubles) against the batch operator — or, for
+  // the snapshot twins with no order-free batch mirror, against the
+  // same twin replayed as a single batch (split invariance).
+
+  private val fuzzSeed =
+    sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong
+
+  /** Replay `data` through random cuts: each batch is a contiguous
+    * slice of the seq-ordered feed, so per-key seq order is preserved
+    * (in-order contract) while every key can be split mid-history at
+    * any boundary the RNG picks.
+    */
+  private def randomBatches[T](rnd: scala.util.Random, data: Seq[T]): Seq[Seq[T]] = {
+    val nCuts = 1 + rnd.nextInt(5) // 2..6 micro-batches
+    val cuts = Seq.fill(nCuts)(rnd.nextInt(data.size + 1)).sorted
+    (0 +: cuts :+ data.size).sliding(2).collect {
+      case Seq(a, b) if b > a => data.slice(a, b)
+    }.toSeq
+  }
+
+  private def replayTwin[I, O](name: String, batches: Seq[Seq[I]])(
+      mk: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.Dataset[O])(
+      implicit enc: org.apache.spark.sql.Encoder[I]): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[I]
+    val q = mk(in.toDS()).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test(s"random micro-batch splits: stateful twins match batch/single-batch bit-exactly (seed $fuzzSeed)") {
+    val rnd = new scala.util.Random(fuzzSeed)
+    def seqFeed[T](keys: Seq[T], minLen: Int, maxLen: Int): Seq[(T, Long)] =
+      keys.flatMap { k =>
+        (1 to (minLen + rnd.nextInt(maxLen - minLen + 1))).map(i => (k, i.toLong))
+      }.sortBy(_._2) // global seq order interleaves keys, preserves per-key order
+
+    // -- StreamZscore vs Analytics.rollingZscore ------------------- //
+    locally {
+      val window = 3 + rnd.nextInt(8)
+      val minPeriods = 2 + rnd.nextInt(window - 1)
+      val data = seqFeed(Seq("a", "b", "c"), 15, 45)
+        .map { case (k, i) => (k, i, (rnd.nextInt(50) + 1).toLong) }
+      val streamed = replayTwin(s"rz_fuzz_$fuzzSeed", randomBatches(rnd, data)) {
+        ds: org.apache.spark.sql.Dataset[(String, Long, Long)] =>
+          StreamZscore(ds, window, minPeriods, threshold = 1.5)
+      }.select("key", "seq", "z", "isAnomaly").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getBoolean(3))).toMap
+      val batch = graft.operators.Analytics.rollingZscore(
+          data.toDF("key", "seq", "v"), Seq(col("key")), Seq(col("seq")),
+          col("v"), window, minPeriods, threshold = 1.5)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((if (r.isNullAt(3)) None else Some(r.getDouble(3))), r.getBoolean(4))).toMap
+      assert(streamed.size == data.size && batch.size == data.size)
+      data.foreach { case (k, i, _) =>
+        assert(streamed((k, i)) == batch((k, i)), s"zscore ($k, $i)")
+      }
+    }
+
+    // -- StreamCusum vs Analytics.cusum ---------------------------- //
+    locally {
+      val drift = rnd.nextInt(20).toDouble
+      val thr = (20 + rnd.nextInt(200)).toDouble
+      val data = seqFeed(Seq(1L, 2L, 3L), 15, 40).map { case (k, i) =>
+        (k, i, if (rnd.nextInt(10) == 0) None
+               else Some((rnd.nextInt(120) - 30).toDouble))
+      }
+      val streamed = replayTwin(s"rc_fuzz_$fuzzSeed", randomBatches(rnd, data)) {
+        ds: org.apache.spark.sql.Dataset[(Long, Long, Option[Double])] =>
+          StreamCusum(ds, drift, thr)
+      }.as[StreamCusum.CRow].collect()
+        .map(r => (r.key, r.seq) -> ((r.cusum, r.alarm))).toMap
+      val batch = graft.operators.Analytics.cusum(
+          data.toDF("k", "seq", "v"), col("k"), Seq(col("seq")), col("seq"),
+          col("v"), drift, thr)
+        .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getBoolean(3))).toMap
+      assert(streamed.size == data.size && batch.size == data.size)
+      data.foreach { case (k, i, _) =>
+        assert(streamed((k, i)) == batch((k, i)), s"cusum ($k, $i)")
+      }
+    }
+
+    // -- StreamHoltWinters vs Analytics.holtWinters ---------------- //
+    locally {
+      val period = 3 + rnd.nextInt(4)
+      // arbitrary random doubles are fine here: both engines are JVM
+      // folds fed the SAME Double parameter, no SQL literal round-trip
+      val alpha = 0.1 + 0.8 * rnd.nextDouble()
+      val beta = 0.8 * rnd.nextDouble()
+      val gamma = 0.8 * rnd.nextDouble()
+      val data = seqFeed(Seq(1L, 2L), 20, 50).map { case (k, i) =>
+        (k, i,
+          if (rnd.nextInt(12) == 0) None
+          else Some(rnd.nextDouble() * 40.0),
+          ((i - 1) % period).toInt)
+      }
+      val streamed = replayTwin(s"rw_fuzz_$fuzzSeed", randomBatches(rnd, data)) {
+        ds: org.apache.spark.sql.Dataset[(Long, Long, Option[Double], Int)] =>
+          StreamHoltWinters(ds, period, alpha, beta, gamma)
+      }.as[StreamHoltWinters.WRow].collect()
+        .map(r => (r.key, r.seq) -> ((r.level, r.trend, r.seasonal))).toMap
+      val batch = graft.operators.Analytics.holtWinters(
+          data.map(t => (t._1, t._2, t._3, t._4)).toDF("k", "seq", "v", "pos"),
+          col("k"), Seq(col("seq")), col("seq"), col("v"), col("pos"),
+          period, alpha, beta, gamma)
+        .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+          ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Double]),
+            Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+      assert(streamed.size == data.size && batch.size == data.size)
+      data.foreach { case (k, i, _, _) =>
+        assert(streamed((k, i)) == batch((k, i)), s"holtwinters ($k, $i)")
+      }
+    }
+
+    // -- StreamDistinct: split invariance of the per-event KMV walk - //
+    locally {
+      val pool = Array.fill(40 + rnd.nextInt(200))(rnd.nextLong())
+      val data = seqFeed(Seq(1L, 2L), 30, 80).map { case (k, i) =>
+        (k, i, pool(rnd.nextInt(pool.length)))
+      }
+      def run(nm: String, bs: Seq[Seq[(Long, Long, Long)]]) =
+        replayTwin(nm, bs) {
+          ds: org.apache.spark.sql.Dataset[(Long, Long, Long)] =>
+            StreamDistinct(ds, k = 32)
+        }.as[StreamDistinct.DRow].collect()
+          .map(r => (r.key, r.seq) -> ((r.distinct_count, r.exact, r.late))).toMap
+      val split = run(s"rd_fuzz_a_$fuzzSeed", randomBatches(rnd, data))
+      val single = run(s"rd_fuzz_b_$fuzzSeed", Seq(data))
+      assert(split.size == data.size && single.size == data.size)
+      data.foreach { case (k, i, _) =>
+        assert(split((k, i)) == single((k, i)), s"distinct ($k, $i)")
+      }
+    }
+
+    // -- StreamMode: final per-key snapshot is split-invariant ------ //
+    locally {
+      val alphabet = ('a' to ('a' + 3 + rnd.nextInt(8)).toChar).map(_.toString)
+      val data = seqFeed(Seq(1L, 2L, 3L), 25, 60)
+        .map { case (k, _) => (k, alphabet(rnd.nextInt(alphabet.size))) }
+      def finals(nm: String, bs: Seq[Seq[(Long, String)]]) =
+        replayTwin(nm, bs) {
+          ds: org.apache.spark.sql.Dataset[(Long, String)] =>
+            StreamMode(ds, maxDomain = 5) // small cap: exercise overflow
+        }.as[StreamMode.MRow].collect()
+          .groupBy(_.key)
+          .map { case (k, rows) => k -> rows.maxBy(_.n) } // n grows monotonically
+      val split = finals(s"rm_fuzz_a_$fuzzSeed", randomBatches(rnd, data))
+      val single = finals(s"rm_fuzz_b_$fuzzSeed", Seq(data))
+      assert(split.keySet == single.keySet && split.nonEmpty)
+      split.keySet.foreach { k =>
+        val (a, b) = (split(k), single(k))
+        assert((a.mode, a.n, a.distinct, a.overflowed) ==
+          ((b.mode, b.n, b.distinct, b.overflowed)), s"mode key $k")
+      }
+    }
+  }
 }
