@@ -2247,6 +2247,22 @@ object SparkEntry {
         Multimodal.attachBinary(t(s, d, "documents"), "text"), "payload")
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("format"))),
 
+    // REAL decoder in the pluggable slot: synthesize a solid-color BMP
+    // per document (dims + intensity derived from table columns), decode
+    // it with javax.imageio — actual raster access, not header math —
+    // and the oracle recomputes the expected width/height/byte-size/mean
+    // from the same column formulas. Round-trip equality proves the
+    // decode is real; the stub stays the slot's default.
+    "q_decode_real" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val withBmp = Multimodal.attachSyntheticBmp(docs,
+        col("n_chars") % 13 + 1L, col("n_chars") % 7 + 1L,
+        col("doc_id") % 256L)
+      Multimodal.decodeBmpStats(withBmp, "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("format"),
+          col("n_bytes"), col("px_mean"))
+    }),
+
     // -- json / semistructured -------------------------------------- //
     "q_json" -> ((s, d) =>
       t(s, d, "events")
@@ -6416,6 +6432,20 @@ object SparkEntry {
         |CAST((length(text) % 384) + 64 AS INTEGER) AS height,
         |CASE WHEN length(text) % 3 = 0 THEN 'png'
         |     WHEN length(text) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
+
+    // q_decode_real: the REAL-decoder round-trip — the oracle knows the
+    // construction formulas (dims/intensity from columns, the exact
+    // 24bpp BMP size 54 + stride*h with 4-byte row padding), so any
+    // deviation in imageio's decoded raster breaks the compare.
+    "q_decode_real" ->
+      """SELECT doc_id,
+        |  CAST((n_chars % 13) + 1 AS INTEGER) AS width,
+        |  CAST((n_chars % 7) + 1 AS INTEGER) AS height,
+        |  'bmp' AS format,
+        |  CAST(54 + ((((n_chars % 13) + 1) * 3 + 3) // 4) * 4 *
+        |    ((n_chars % 7) + 1) AS BIGINT) AS n_bytes,
+        |  CAST(doc_id % 256 AS BIGINT) AS px_mean
         |FROM documents""".stripMargin,
 
     // The ordered stateful fold: replayed in DuckDB as a word-at-a-time

@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns beside typed metadata, exactly like large
   * training-data pipelines ship them in parquet. The Spark-side shape —
   * schema, partition-preserving batch transforms, metadata extraction —
-  * is real; the actual media *decode* is STUBBED (the container has no
-  * image/audio libraries) behind [[fakeDecode]], a deterministic
-  * byte-derived stand-in with the same signature a real decoder would
-  * have. Swap `fakeDecode` for an opencv/ffmpeg call per partition and
-  * nothing else changes.
+  * is real; the general media *decode* defaults to a STUB (the
+  * container has no opencv/ffmpeg) — a deterministic byte-derived
+  * stand-in with the same signature a real decoder would have. The
+  * slot is proven with a REAL pure-JVM decoder for one format:
+  * [[bmpDecode]]/[[decodeBmpStats]] run `javax.imageio` over synthetic
+  * bitmaps ([[bmpEncode]]) and are gated by `q_decode_real`'s
+  * round-trip oracle. Swap in an opencv/ffmpeg call per partition the
+  * same way and nothing else changes.
   */
 object Multimodal {
 
@@ -72,6 +75,97 @@ object Multimodal {
     val n = bytes.length.toLong
     val fmt = (n % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
     (((n % 512) + 64).toInt, ((n % 384) + 64).toInt, fmt)
+  }
+
+  /** REAL pure-JVM decoder for the pluggable slot — BMP via
+    * `javax.imageio` (the BMP reader ships with the JDK, no external
+    * library): decodes the actual bitmap, returns (width, height,
+    * "bmp") for [[decodePartitioned]]. The stub stays the DEFAULT —
+    * this is the proof that the slot takes a genuine decoder
+    * unchanged. Throws on an undecodable payload (a real pipeline
+    * wraps this in [[graft.operators.Transformer]]'s skip-poisoned
+    * handling; the gate feeds only valid synthetic bitmaps).
+    */
+  def bmpDecode(bytes: Array[Byte]): (Int, Int, String) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "bmpDecode: payload is not a decodable image")
+    (img.getWidth, img.getHeight, "bmp")
+  }
+
+  /** Deterministic synthetic 24-bit BMP: solid color (v, v, v), rows
+    * padded to 4 bytes per the format — the test-data generator for
+    * the real-decoder gate. Exact layout: 14-byte file header +
+    * 40-byte BITMAPINFOHEADER + stride·h pixel bytes, so
+    * `n_bytes = 54 + (((w·3 + 3) div 4)·4)·h` is oracle-recomputable.
+    */
+  def bmpEncode(w: Int, h: Int, v: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && v >= 0 && v <= 255,
+      s"bmpEncode: need w,h >= 1 and v in [0,255], got ($w, $h, $v)")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putInt(0).putInt(54)                       // reserved, pixel offset
+    b.putInt(40).putInt(w).putInt(h)              // BITMAPINFOHEADER
+      .putShort(1).putShort(24)                   // planes, 24bpp
+      .putInt(0).putInt(stride * h)               // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val row = Array.fill(stride)(0.toByte)
+    java.util.Arrays.fill(row, 0, w * 3, v.toByte)
+    (0 until h).foreach(_ => b.put(row))
+    b.array()
+  }
+
+  /** Attach a synthetic BMP payload built row-locally from integer
+    * columns (narrow map, no shuffle) — pairs with [[decodeBmpStats]]
+    * so the gate proves the REAL decoder round-trips dimensions AND
+    * pixel data the table's columns determined.
+    */
+  def attachSyntheticBmp(df: DataFrame, wCol: Column, hCol: Column,
+      vCol: Column, binCol: String = "payload"): DataFrame = {
+    val staged = df.withColumn("_bw", wCol.cast("int"))
+      .withColumn("_bh", hCol.cast("int")).withColumn("_bv", vCol.cast("int"))
+    val schema = StructType(staged.schema.fields :+
+      StructField(binCol, BinaryType, nullable = false))
+    val (wi, hi, vi) = (staged.schema.fieldIndex("_bw"),
+      staged.schema.fieldIndex("_bh"), staged.schema.fieldIndex("_bv"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    staged.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+
+        bmpEncode(r.getInt(wi), r.getInt(hi), r.getInt(vi))))
+    }(enc).drop("_bw", "_bh", "_bv")
+  }
+
+  /** REAL image decode + pixel statistics per partition: width, height,
+    * format, byte size, and the mean blue-channel intensity off the
+    * decoded raster (`getRGB` — actual pixel access, not header
+    * sniffing). Same narrow partition-batched shape as
+    * [[decodePartitioned]]; this is what the gate runs with
+    * [[bmpDecode]]-produced images.
+    */
+  def decodeBmpStats(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ mediaMetaSchema.fields :+
+      StructField("px_mean", LongType, nullable = false))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "decodeBmpStats: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq ++
+          Seq(w, h, "bmp", bytes.length.toLong, sum / (w.toLong * h)))
+      }
+    }(enc)
   }
 
   /** Frame-sampling shape for video-like payloads: explode `nFrames`

@@ -73,6 +73,33 @@ class MiscOpSpec extends SparkSpec {
       out(2L).getAs[Long]("k") == 1L)
   }
 
+  test("Multimodal.bmpDecode: a real decoder drops into the pluggable slot") {
+    // encode -> imageio decode round-trip, both via decodePartitioned
+    // (the slot the stub defaults) and decodeBmpStats (raster access)
+    val rows = Seq((1L, 5, 3, 17), (2L, 1, 1, 255), (3L, 13, 7, 0))
+      .toDF("id", "w", "h", "v")
+    val bmp = Multimodal.attachSyntheticBmp(rows, col("w"), col("h"), col("v"))
+    val viaSlot = Multimodal.decodePartitioned(bmp, "payload",
+        Multimodal.bmpDecode)
+      .select("id", "width", "height", "format", "n_bytes")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4)))).toMap
+    def expBytes(w: Int, h: Int) = (54 + ((w * 3 + 3) / 4) * 4 * h).toLong
+    assert(viaSlot(1L) == ((5, 3, "bmp", expBytes(5, 3))))
+    assert(viaSlot(2L) == ((1, 1, "bmp", expBytes(1, 1))))
+    assert(viaSlot(3L) == ((13, 7, "bmp", expBytes(13, 7))))
+    val stats = Multimodal.decodeBmpStats(bmp, "payload")
+      .select("id", "px_mean").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == Map(1L -> 17L, 2L -> 255L, 3L -> 0L))
+    // undecodable payload fails loudly, not silently
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeBmpStats(junk, "payload").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("Multimodal.sceneCuts: threshold poles and run-length invariants") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog repeatedly"),
       (2L, "x")).toDF("doc_id", "text")
