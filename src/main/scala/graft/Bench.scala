@@ -149,7 +149,7 @@ object Bench {
       val ft = famTotals.map { case (f, v) => jq(f) + ":" + r3(v) }
         .mkString("{", ",", "}")
       val viol = famTotals.flatMap { case (f, v) =>
-        BenchFamilies.budgetSec.get(f).filter(b => v > b * 1.5)
+        BenchFamilies.budgetSec.get(f).filter(b => v > b)
           .map(b => jq(f) + ":" + s"""{"spent":${r3(v)},"budget":${r3(b)}}""")
       }.mkString("{", ",", "}")
       val telJson =
@@ -248,13 +248,14 @@ object Bench {
     }
     rmrf(localDir)
     // Budget enforcement (opt-in, round-close runs): exit nonzero if
-    // any family overran its budget by >50%.
+    // any family overran its budget (the budget IS the cap — it
+    // already carries the +25% headroom over the measured floor).
     if (sys.env.get("SPARK_GRAFT_BENCH_ENFORCE").contains("1")) {
       val famTotals = results.groupBy(p => BenchFamilies.family(p._1))
         .map { case (f, ps) => f -> ps.map(_._2).sum }
       val bad = famTotals.flatMap { case (f, v) =>
-        BenchFamilies.budgetSec.get(f).filter(b => v > b * 1.5)
-          .map(b => f"$f: ${v}%.1fs > 1.5x budget ${b}%.1fs")
+        BenchFamilies.budgetSec.get(f).filter(b => v > b)
+          .map(b => f"$f: ${v}%.1fs > budget ${b}%.1fs")
       }
       if (bad.nonEmpty) {
         bad.foreach(m => System.err.println(s"[bench] BUDGET VIOLATION $m"))
@@ -265,9 +266,9 @@ object Bench {
 }
 
 /** Query-family classification + per-family time budgets (seconds,
-  * sf0.1, median-of-3, full 348-query run). Budgets are set ~25% above
-  * the healthy post-round-10 levels; the bench records any family at
-  * >1.5x budget in `budget_violations` and fails the run under
+  * sf0.1, median-of-3, full-gate run). Budgets are set ~25% above the
+  * measured post-round-10 family floors; the bench records any family
+  * OVER its budget in `budget_violations` and fails the run under
   * SPARK_GRAFT_BENCH_ENFORCE=1 — so gate growth or a perf regression
   * shows up as a named family, not as silent total creep.
   */
@@ -287,7 +288,7 @@ object BenchFamilies {
     "q_embed_norms", "q_pca2", "q_whiten", "q_mahalanobis",
     "q_power_iter", "q_semdedup", "q_semdedup_knn", "q_cluster",
     "q_silhouette", "q_db_index", "q_ch", "q_dunn", "q_mixture",
-    "q_cka", "q_kcenter", "q_shapley", "q_mmr")
+    "q_cka", "q_kcenter", "q_shapley", "q_shapley_ann", "q_mmr")
   def family(name: String): String =
     if (name.startsWith("q_dedup") || name.startsWith("q_dup") ||
       Set("q_chunk_dedup", "q_para_dedup", "q_span_dup", "q_span_removal",
@@ -300,11 +301,14 @@ object BenchFamilies {
     else "other"
   /** sf0.1 full-run budgets; "other" is ~230 sub-second-median
     * statistics/text/relational queries and gets the widest envelope.
-    * Round-10 additions raised graph by the two new BFS queries
-    * (q_betweenness, q_graph_dist, ~5 s each in-run) and similarity
-    * by the four new embedding ops (~5 s combined).
+    * RATCHETED round 11 (r10 verdict #6): each budget is the r10
+    * driver-measured family total +25% headroom (dedup 56.6, graph
+    * 70.3, similarity 35.2 + ~5 s for the new q_shapley_ann, other
+    * 187.6 + q_decode_real), and the budget IS the cap — the old
+    * >1.5x-budget trigger left graph an effective 102 s ceiling on a
+    * 70 s family, too loose to bite once the family stops growing.
     */
   val budgetSec: Map[String, Double] = Map(
-    "dedup" -> 60.0, "graph" -> 68.0, "similarity" -> 46.0,
-    "other" -> 220.0)
+    "dedup" -> 71.0, "graph" -> 88.0, "similarity" -> 50.0,
+    "other" -> 237.0)
 }

@@ -1786,6 +1786,17 @@ object SparkEntry {
     // (10^6·σ_sv·σ_tv) div σ_st into every middle node on a shortest
     // path; global top-50. The broker/bridge readout beside
     // q_harmonic's closeness and q_pagerank's prestige.
+    //
+    // DECISION (r10 verdict #7, recorded round 11): q_harmonic,
+    // q_graph_dist and q_betweenness each rebuild the trade graph and
+    // run a near-identical 8-seed BFS (~14 s combined in-run). ACCEPT
+    // the duplication: gate queries are independent (spark, dir) =>
+    // DataFrame by driver contract, so sharing the BFS would need
+    // cross-query session caching that no other query relies on —
+    // standing mutable state the bench's isolation barrier would then
+    // have to special-case — and the three standalone timings are the
+    // per-readout regression signal the per-family graph budget
+    // tracks. Cost stays bounded by that ratcheted budget.
     "q_betweenness" -> ((s, dd) =>
       Graph.betweennessSampled(tradeEdges(s, dd), col("src"), col("dst"),
         nSeeds = 8, maxHops = 3, k = 50)
