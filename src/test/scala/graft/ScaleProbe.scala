@@ -379,6 +379,24 @@ object ScaleProbe {
       Similarity.knnShapley(semb10.where(col("vec_id") >= 20),
         semb10.where(col("vec_id") < 20), "vec_id", "embedding", "label",
         5).count())
+
+    // round-11: the ANN composition cuts the pair frame from
+    // |test|·|train| to Σ probed-cell sizes — at nprobe=4/16 that is
+    // ~1/4 the exact pair work on the same 10× corpus
+    graft.core.CacheRegistry.unpersistAll()
+    time("knnShapleyAnn 20k train / 20 test, nprobe 4/16")(
+      Similarity.knnShapleyAnn(semb10.where(col("vec_id") >= 20),
+        semb10.where(col("vec_id") < 20), "vec_id", "embedding", "label",
+        5, 50, nlist = 16, nprobe = 4).count())
+    graft.core.CacheRegistry.unpersistAll()
+    // round-11: real imageio decode is a narrow per-partition map —
+    // 10× rows ≈ 10× decode work, zero shuffle
+    time("decodeBmpStats 50k synthetic bitmaps")(
+      graft.operators.Multimodal.decodeBmpStats(
+        graft.operators.Multimodal.attachSyntheticBmp(
+          docs10.select(col("doc_id"), length(col("text")).as("nc")),
+          col("nc") % 13 + 1L, col("nc") % 7 + 1L, col("doc_id") % 256L),
+        "payload").count())
     spark.stop()
   }
 }

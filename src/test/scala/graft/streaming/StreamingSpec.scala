@@ -1609,20 +1609,175 @@ class StreamingSpec extends SparkSpec {
       }
     }
 
+    // -- StreamEwma vs Analytics.ewma ------------------------------- //
+    locally {
+      val alpha = 0.05 + 0.9 * rnd.nextDouble() // JVM-to-JVM: any double
+      val data = seqFeed(Seq(1L, 2L, 3L), 15, 40).map { case (k, i) =>
+        (k, i, if (rnd.nextInt(10) == 0) None
+               else Some(rnd.nextDouble() * 60.0 - 10.0))
+      }
+      val streamed = replayTwin(s"re_fuzz_$fuzzSeed", randomBatches(rnd, data)) {
+        ds: org.apache.spark.sql.Dataset[(Long, Long, Option[Double])] =>
+          StreamEwma(ds, alpha)
+      }.as[StreamEwma.ERow].collect().map(r => (r.key, r.seq) -> r.ewma).toMap
+      val batch = graft.operators.Analytics.ewma(
+          data.toDF("k", "seq", "v"), col("k"), Seq(col("seq")), col("seq"),
+          col("v"), alpha)
+        .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(streamed.size == data.size && batch.size == data.size)
+      data.foreach { case (k, i, _) =>
+        assert(streamed((k, i)) == batch((k, i)), s"ewma ($k, $i)")
+      }
+    }
+
+    // -- StreamHolt vs Analytics.holt ------------------------------- //
+    locally {
+      val alpha = 0.1 + 0.8 * rnd.nextDouble()
+      val beta = 0.9 * rnd.nextDouble()
+      val data = seqFeed(Seq(1L, 2L), 15, 40).map { case (k, i) =>
+        (k, i, if (rnd.nextInt(12) == 0) None
+               else Some(rnd.nextDouble() * 30.0))
+      }
+      val streamed = replayTwin(s"rh_fuzz_$fuzzSeed", randomBatches(rnd, data)) {
+        ds: org.apache.spark.sql.Dataset[(Long, Long, Option[Double])] =>
+          StreamHolt(ds, alpha, beta)
+      }.as[StreamHolt.HRow].collect()
+        .map(r => (r.key, r.seq) -> ((r.level, r.trend, r.forecast))).toMap
+      val batch = graft.operators.Analytics.holt(
+          data.toDF("k", "seq", "v"), col("k"), Seq(col("seq")), col("seq"),
+          col("v"), alpha, beta)
+        .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+          ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Double]),
+            Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+      assert(streamed.size == data.size && batch.size == data.size)
+      data.foreach { case (k, i, _) =>
+        assert(streamed((k, i)) == batch((k, i)), s"holt ($k, $i)")
+      }
+    }
+
+    // -- StreamQuantile: per-event KMV-sample walk is split-invariant //
+    locally {
+      val p = 0.1 + 0.85 * rnd.nextDouble()
+      val data = seqFeed(Seq(1L, 2L), 20, 60).map { case (k, i) =>
+        (k, i, if (rnd.nextInt(12) == 0) None
+               else Some((rnd.nextInt(500) - 100).toDouble))
+      }
+      def run(nm: String, bs: Seq[Seq[(Long, Long, Option[Double])]]) =
+        replayTwin(nm, bs) {
+          ds: org.apache.spark.sql.Dataset[(Long, Long, Option[Double])] =>
+            StreamQuantile(ds, p, k = 16) // small k: exercise both regimes
+        }.as[StreamQuantile.QRow].collect()
+          .map(r => (r.key, r.seq) -> ((r.n, r.quantile, r.exact, r.late))).toMap
+      val split = run(s"rq_fuzz_a_$fuzzSeed", randomBatches(rnd, data))
+      val single = run(s"rq_fuzz_b_$fuzzSeed", Seq(data))
+      assert(split.size == data.size && single.size == data.size)
+      data.foreach { case (k, i, _) =>
+        assert(split((k, i)) == single((k, i)), s"quantile ($k, $i)")
+      }
+    }
+
+    // -- StreamRecords: running-record walk is split-invariant ------- //
+    locally {
+      val data = seqFeed(Seq("x", "y", "z"), 15, 50).map { case (k, i) =>
+        (k, i, rnd.nextInt(40).toLong) // small domain: repeated maxima
+      }
+      def run(nm: String, bs: Seq[Seq[(String, Long, Long)]]) =
+        replayTwin(nm, bs) {
+          ds: org.apache.spark.sql.Dataset[(String, Long, Long)] =>
+            StreamRecords(ds)
+        }.as[StreamRecords.RRow].collect()
+          .map(r => (r.key, r.tick) ->
+            ((r.record, r.nRecords, r.maxValue, r.late))).toMap
+      val split = run(s"rr_fuzz_a_$fuzzSeed", randomBatches(rnd, data))
+      val single = run(s"rr_fuzz_b_$fuzzSeed", Seq(data))
+      assert(split.size == data.size && single.size == data.size)
+      data.foreach { case (k, i, _) =>
+        assert(split((k, i)) == single((k, i)), s"records ($k, $i)")
+      }
+    }
+
+    // -- StreamTtc: conversion emissions are split-invariant --------- //
+    locally {
+      var us = 0L
+      val data = seqFeed((1L to 8L), 4, 12).map { case (k, _) =>
+        us += 1000000L + rnd.nextInt(1000000)
+        (k, us, rnd.nextInt(2)) // kind 0 = anchor, 1 = conversion
+      }
+      def run(nm: String, bs: Seq[Seq[(Long, Long, Int)]]) =
+        replayTwin(nm, bs) {
+          ds: org.apache.spark.sql.Dataset[(Long, Long, Int)] =>
+            StreamTtc(ds)
+        }.as[StreamTtc.TRow].collect()
+          .map(r => (r.key, r.fromUs, r.toUs, r.delayS, r.late)).sorted.toSeq
+      val split = run(s"rt_fuzz_a_$fuzzSeed", randomBatches(rnd, data))
+      val single = run(s"rt_fuzz_b_$fuzzSeed", Seq(data))
+      assert(split == single, "ttc emission sets diverge across splits")
+    }
+
+    // -- StreamSrm / StreamAmsF2: final counter snapshots invariant -- //
+    locally {
+      val srmData = (1 to (150 + rnd.nextInt(150))).map { _ =>
+        ((1L + rnd.nextInt(5)).toLong, rnd.nextInt(3).toLong) // arm 2 ignored
+      }
+      def srmFinals(nm: String, bs: Seq[Seq[(Long, Long)]]) =
+        replayTwin(nm, bs) {
+          ds: org.apache.spark.sql.Dataset[(Long, Long)] => StreamSrm(ds)
+        }.as[StreamSrm.SRow].collect()
+          .groupBy(_.experiment)
+          .map { case (k, rows) => k -> rows.maxBy(r => r.nA + r.nB) }
+      val sA = srmFinals(s"rs_fuzz_a_$fuzzSeed", randomBatches(rnd, srmData))
+      val sB = srmFinals(s"rs_fuzz_b_$fuzzSeed", Seq(srmData))
+      assert(sA.keySet == sB.keySet && sA.nonEmpty)
+      sA.keySet.foreach { k =>
+        assert((sA(k).nA, sA(k).nB, sA(k).chi2Ppm, sA(k).srm95) ==
+          ((sB(k).nA, sB(k).nB, sB(k).chi2Ppm, sB(k).srm95)), s"srm $k")
+      }
+
+      val keys = (1 to (100 + rnd.nextInt(200)))
+        .map(_ => s"k${rnd.nextInt(40)}")
+      val amsData = keys.flatMap(k => (0L until 4L).map(r => (r, k)))
+      def amsFinals(nm: String, bs: Seq[Seq[(Long, String)]]) =
+        replayTwin(nm, bs) {
+          ds: org.apache.spark.sql.Dataset[(Long, String)] => StreamAmsF2(ds)
+        }.as[StreamAmsF2.ARow].collect()
+          .groupBy(_.replicate)
+          .map { case (r, rows) => r -> rows.maxBy(_.nRows) }
+      val aA = amsFinals(s"ra_fuzz_a_$fuzzSeed", randomBatches(rnd, amsData))
+      val aB = amsFinals(s"ra_fuzz_b_$fuzzSeed", Seq(amsData))
+      assert(aA.keySet == aB.keySet && aA.size == 4)
+      aA.keySet.foreach { r =>
+        assert((aA(r).nRows, aA(r).counter, aA(r).est) ==
+          ((aB(r).nRows, aB(r).counter, aB(r).est)), s"ams $r")
+      }
+    }
+
     // -- StreamMode: final per-key snapshot is split-invariant ------ //
     locally {
       val alphabet = ('a' to ('a' + 3 + rnd.nextInt(8)).toChar).map(_.toString)
       val data = seqFeed(Seq(1L, 2L, 3L), 25, 60)
         .map { case (k, _) => (k, alphabet(rnd.nextInt(alphabet.size))) }
-      def finals(nm: String, bs: Seq[Seq[(Long, String)]]) =
-        replayTwin(nm, bs) {
-          ds: org.apache.spark.sql.Dataset[(Long, String)] =>
-            StreamMode(ds, maxDomain = 5) // small cap: exercise overflow
-        }.as[StreamMode.MRow].collect()
-          .groupBy(_.key)
-          .map { case (k, rows) => k -> rows.maxBy(_.n) } // n grows monotonically
-      val split = finals(s"rm_fuzz_a_$fuzzSeed", randomBatches(rnd, data))
-      val single = finals(s"rm_fuzz_b_$fuzzSeed", Seq(data))
+      // final snapshot = the key's row from its LAST micro-batch, keyed
+      // by the real batch id via foreachBatch — the mode-count n is only
+      // NON-strictly increasing, so a count-based max can tie and pick
+      // an earlier interim snapshot whose mode legitimately differs
+      // (seed 9 caught exactly that)
+      def finals(bs: Seq[Seq[(Long, String)]]) = {
+        implicit val sqlCtx = spark.sqlContext
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, StreamMode.MRow)]
+        val in = MemoryStream[(Long, String)]
+        val handler: (org.apache.spark.sql.Dataset[StreamMode.MRow], Long) => Unit =
+          (b, id) => acc.synchronized { acc ++= b.collect().map(id -> _) }
+        val q = StreamMode(in.toDS(), maxDomain = 5) // small cap: overflow
+          .writeStream.foreachBatch(handler).start()
+        bs.foreach { b => in.addData(b); q.processAllAvailable() }
+        q.stop()
+        acc.groupBy(_._2.key).map { case (k, rows) => k -> rows.maxBy(_._1)._2 }
+      }
+      val split = finals(randomBatches(rnd, data))
+      val single = finals(Seq(data))
       assert(split.keySet == single.keySet && split.nonEmpty)
       split.keySet.foreach { k =>
         val (a, b) = (split(k), single(k))
