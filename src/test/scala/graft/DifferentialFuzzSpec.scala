@@ -708,4 +708,169 @@ class DifferentialFuzzSpec extends SparkSpec {
 
     compareCases(tablesDir, outDir, cases.toSeq)
   }
+
+  /** Wave 3: the trap families still un-fuzzed after the stats/graph
+    * wave — concentration readouts (gini / Lorenz blocks / winsorized
+    * and trimmed means, all CDF-boundary arithmetic where an
+    * off-by-one in the ceil-rank pick silently shifts a block),
+    * digit-string kernels (Benford), and the nine-moment
+    * partial-correlation shape whose eager-division CSE bit round 9.
+    */
+  test(s"randomized concentration/digit/moment parity vs DuckDB (seed $seed)") {
+    assume(pythonAvailable, "python3 with duckdb/pandas not available on this box")
+    import graft.operators.{Analytics, Diagnostics}
+
+    val rnd = new scala.util.Random(seed + 2)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+    val n1 = 250 + rnd.nextInt(200)
+    val letters = Seq("a", "b", "c", "d", "e")
+    val t1 = (0L until n1).map { i =>
+      (i,
+        (i % (20 + rnd.nextInt(30))).toLong,     // k: 20-50 mid-card keys
+        pick(letters),
+        if (rnd.nextInt(10) == 0) None
+        else Some((rnd.nextInt(2001) - 1000).toLong),
+        (rnd.nextInt(99999) + 1).toLong,         // c: POSITIVE cents
+        rnd.nextInt(400).toLong)
+    }.toDF("id", "k", "g", "v", "c", "ts")
+    val base = java.nio.file.Files.createTempDirectory("fuzzconc").toString
+    val tablesDir = s"$base/tables"; val outDir = s"$base/out"
+    t1.write.mode("overwrite").parquet(s"$tablesDir/fc1.parquet")
+    val fc1 = spark.read.parquet(s"$tablesDir/fc1.parquet")
+
+    val cases = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame, String)]
+
+    // 1. gini over per-key totals (rank-weighted decimal sum)
+    cases += (("gini",
+      Analytics.gini(fc1, col("k"), col("c")),
+      """WITH tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS x FROM fc1
+        |  GROUP BY 1),
+        |r AS (SELECT k, x, row_number() OVER (ORDER BY x, k) AS i FROM tot)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(x) AS BIGINT) AS sum_val,
+        |  CAST(sum(CAST(i AS DECIMAL(38,0)) * x) AS DOUBLE) AS weighted_sum,
+        |  round(CAST(sum(CAST(i AS DECIMAL(38,0)) * x) AS DOUBLE) * 2.0 /
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) -
+        |    CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini
+        |FROM r""".stripMargin))
+
+    // 2. trimmed mean on heavy ties, random trim fraction
+    locally {
+      val alpha = pick(Seq(25000L, 50000L, 100000L))
+      cases += (("trimmed_mean",
+        Analytics.groupedTrimmedMean(fc1, col("g"), col("ts"), alpha),
+        s"""WITH r AS (SELECT g, ts AS v,
+           |  row_number() OVER (PARTITION BY g ORDER BY ts) AS rn,
+           |  count(*) OVER (PARTITION BY g) AS n FROM fc1),
+           |tt AS (SELECT g, v, rn, n, n * $alpha // 1000000 AS t FROM r)
+           |SELECT g AS "group", CAST(max(n) AS BIGINT) AS n,
+           |  CAST(max(n) - 2 * max(t) AS BIGINT) AS n_trimmed,
+           |  CAST(sum(CASE WHEN rn > t AND rn <= n - t THEN v ELSE 0 END)
+           |    // (max(n) - 2 * max(t)) AS BIGINT) AS trimmed_mean
+           |FROM tt GROUP BY 1""".stripMargin))
+    }
+
+    // 3. winsorized mean (5/95 CDF-boundary clamp) on the same ties
+    cases += (("winsor_group",
+      Analytics.groupedWinsorizedMean(fc1, col("g"), col("ts")),
+      """WITH c1 AS (SELECT g, ts AS v, count(*) AS c FROM fc1 GROUP BY 1, 2),
+        |cdf AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM c1),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c1 GROUP BY 1),
+        |lo AS (SELECT cdf.g, min(v) AS lo FROM cdf JOIN nn ON cdf.g = nn.g
+        |  WHERE cum >= ceil(CAST(0.05 AS DOUBLE) * nn.n) GROUP BY 1),
+        |hi AS (SELECT cdf.g, min(v) AS hi FROM cdf JOIN nn ON cdf.g = nn.g
+        |  WHERE cum >= ceil(CAST(0.95 AS DOUBLE) * nn.n) GROUP BY 1)
+        |SELECT fc1.g AS "group", count(*) AS n,
+        |  any_value(lo.lo) AS lo, any_value(hi.hi) AS hi,
+        |  CAST(sum(greatest(lo.lo, least(hi.hi, ts))) // count(*) AS BIGINT)
+        |    AS winsorized_mean
+        |FROM fc1 JOIN lo ON fc1.g = lo.g JOIN hi ON fc1.g = hi.g
+        |GROUP BY 1""".stripMargin))
+
+    // 4. Benford first digit off the exact integer STRING
+    cases += (("benford",
+      Diagnostics.benfordDigits(fc1.select(col("c").as("cents")), col("cents")),
+      """WITH c AS (SELECT substr(CAST(c AS VARCHAR), 1, 1) AS digit,
+        |  CAST(count(*) AS BIGINT) AS n
+        |  FROM fc1 WHERE c IS NOT NULL AND c > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+        |SELECT digit, n, CAST(n * 1000000 // tt AS BIGINT) AS obs_ppm,
+        |  CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0)
+        |    AS BIGINT) AS benford_ppm,
+        |  CAST(n * 1000000 // tt AS BIGINT) -
+        |  CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1000000.0)
+        |    AS BIGINT) AS dev_ppm
+        |FROM c, t""".stripMargin))
+
+    // 5. Lorenz curve blocks at random probs (ceil-rank boundary picks)
+    locally {
+      val probs = rnd.shuffle(Seq(0.25, 0.5, 0.75, 0.9, 1.0)).take(3).sorted
+      val vals = probs.map(p => s"($p)").mkString(",")
+      cases += (("lorenz",
+        Analytics.lorenzCurve(fc1, col("c"), probs),
+        s"""WITH c AS (SELECT c AS v, count(*) AS cnt FROM fc1 GROUP BY 1),
+           |cum AS (SELECT v, cnt,
+           |  sum(cnt) OVER (ORDER BY v) AS cumc,
+           |  sum(v * cnt) OVER (ORDER BY v) AS cumv FROM c),
+           |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           |  CAST(sum(v * cnt) AS BIGINT) AS total FROM c),
+           |ps AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES $vals) x(p)),
+           |blk AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS rank, n, total,
+           |  min(struct_pack(v := v, cumc := cumc, cumv := cumv)
+           |    ORDER BY v) AS b
+           |  FROM cum, t, ps WHERE cumc >= ceil(p * n)
+           |  GROUP BY p, n, total)
+           |SELECT p, rank, n, total,
+           |  CAST(b.cumv - (b.cumc - rank) * b.v AS BIGINT) AS lorenz,
+           |  CAST(CAST(b.cumv - (b.cumc - rank) * b.v AS HUGEINT) * 1000000
+           |    // total AS BIGINT) AS share_ppm
+           |FROM blk""".stripMargin))
+    }
+
+    // 6. partial correlation: nine HUGEINT moments, the CSE-trap shape
+    cases += (("partial_corr",
+      Analytics.partialCorr(fc1, col("v"), col("ts"), col("c")),
+      """WITH j AS (SELECT v AS x, ts AS y, c AS z FROM fc1
+        |  WHERE v IS NOT NULL AND ts IS NOT NULL AND c IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(z AS HUGEINT)) AS sz,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(y AS HUGEINT) * y) AS syy,
+        |  sum(CAST(z AS HUGEINT) * z) AS szz,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |  sum(CAST(y AS HUGEINT) * z) AS syz FROM j),
+        |r AS (SELECT n,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS vxx,
+        |  CAST(n * syy - sy * sy AS DOUBLE) AS vyy,
+        |  CAST(n * szz - sz * sz AS DOUBLE) AS vzz,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy,
+        |  CAST(n * sxz - sx * sz AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz,
+        |  CAST(n * syz - sy * sz AS DOUBLE) /
+        |    (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) *
+        |     sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz
+        |  FROM m)
+        |SELECT n,
+        |  CASE WHEN vxx > 0 AND vyy > 0 AND vzz > 0 THEN round(rxy, 6) END
+        |    AS r_xy,
+        |  CASE WHEN vxx > 0 AND vyy > 0 AND vzz > 0 THEN round(rxz, 6) END
+        |    AS r_xz,
+        |  CASE WHEN vxx > 0 AND vyy > 0 AND vzz > 0 THEN round(ryz, 6) END
+        |    AS r_yz,
+        |  CASE WHEN vxx > 0 AND vyy > 0 AND vzz > 0
+        |      AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0 THEN
+        |    round((rxy - rxz * ryz) /
+        |      sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        |  END AS r_xy_z
+        |FROM r""".stripMargin))
+
+    compareCases(tablesDir, outDir, cases.toSeq)
+  }
 }
