@@ -1716,6 +1716,45 @@ class StreamingSpec extends SparkSpec {
       assert(split == single, "ttc emission sets diverge across splits")
     }
 
+    // -- StreamFunnel: final per-user state matches the batch funnel - //
+    // (per-user ts unique: equal-ts tie order inside the greedy match
+    // is the operator's documented ambiguity, not a split artifact.
+    // StreamHeavyHitters is deliberately NOT replay-fuzzed: SpaceSaving
+    // eviction is arrival-order-dependent and the group iterator's
+    // intra-batch order is not deterministic — no order-free final
+    // state exists to compare.)
+    locally {
+      val steps = Seq("a", "b", "c", "d").take(2 + rnd.nextInt(3))
+      val ets = Seq("a", "b", "c", "d", "x")
+      var us = 0L
+      val data = seqFeed((1L to 10L), 5, 15).map { case (u, _) =>
+        us += 1L + rnd.nextInt(1000)
+        StreamFunnel.FunnelEvent(u, us, ets(rnd.nextInt(ets.size)))
+      }
+      val streamed = replayTwin(s"rf_fuzz_$fuzzSeed", randomBatches(rnd, data)) {
+        ds: org.apache.spark.sql.Dataset[StreamFunnel.FunnelEvent] =>
+          StreamFunnel(ds, steps)
+      }.as[StreamFunnel.FunnelProgress].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_.steps_done) } // strictly grows
+      val batch = graft.operators.Analytics.funnel(
+          data.toDF("u", "tsUs", "et"),
+          col("u"), timestamp_micros(col("tsUs")), col("et"), steps)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+      // streaming emits only on advancement; batch emits done=0 rows too
+      batch.foreach { case (u, (done, t0, tEnd)) =>
+        if (done == 0) assert(!streamed.contains(u), s"funnel user $u phantom")
+        else {
+          val s = streamed(u)
+          assert((s.steps_done, Some(s.t0_us), Some(s.t_end_us)) ==
+            ((done, t0, tEnd)), s"funnel user $u")
+        }
+      }
+      assert(streamed.keySet.subsetOf(batch.keySet))
+    }
+
     // -- StreamSrm / StreamAmsF2: final counter snapshots invariant -- //
     locally {
       val srmData = (1 to (150 + rnd.nextInt(150))).map { _ =>
