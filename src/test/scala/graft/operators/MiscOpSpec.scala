@@ -522,6 +522,34 @@ class MiscOpSpec extends SparkSpec {
     assert(t4.getAs[String]("predicted_label") == "A") // tie -> "A" < "B"
   }
 
+  test("knnShapleyAnn law: nprobe = nlist reproduces exact knnShapley on random frames") {
+    import org.apache.spark.sql.functions.col
+    // the q_shapley_ann gate pins this on the testdata tables; this law
+    // pins it on ARBITRARY seeded frames (every valid train vector sits
+    // in exactly one probed cell, so the pair frame and per-test
+    // horizon coincide) — including null ids/labels and a ragged vector
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong + 3)
+    val dim = 4 + rnd.nextInt(5)
+    val rows = (1L to (40L + rnd.nextInt(40))).map { i =>
+      (if (i % 17 == 0) None else Some(i),
+        if (i % 23 == 0) Array.fill(dim - 1)(rnd.nextFloat())
+        else Array.fill(dim)(rnd.nextFloat() * 2f - 1f),
+        if (i % 19 == 0) None else Some(if (rnd.nextBoolean()) "A" else "B"))
+    }.toDF("id", "vec", "lab")
+    val (tr, te) = (rows.where(col("id") > 8 || col("id").isNull),
+      rows.where(col("id") <= 8))
+    for (nlist <- Seq(2, 4, 8)) {
+      val kk = 1 + rnd.nextInt(4)
+      val exact = Similarity.knnShapley(tr, te, "id", "vec", "lab", kk, 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val ann = Similarity.knnShapleyAnn(tr, te, "id", "vec", "lab", kk, 25,
+          nlist = nlist, nprobe = nlist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(exact.toSeq == ann.toSeq, s"nlist=$nlist")
+    }
+  }
+
   test("knnShapley: closed-form suffix recursion; wrong-label neighbor scores negative") {
     import org.apache.spark.sql.functions.col
     // test point at 0 (label A); train a(0.1, A), b(0.2, B), c(0.3, A).
