@@ -1253,6 +1253,42 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap == Map(1L -> 17L, 2L -> 7L))
   }
 
+  test("StatefulHotSwap: a garbled _latest marker degrades to init, never wedges") {
+    // a crash mid-write of _latest.tmp can leave a non-numeric first
+    // line; an unparseable marker must behave like a MISSING one (fall
+    // back to init) instead of throwing NumberFormatException inside
+    // every subsequent runBatch
+    val dir = java.nio.file.Files.createTempDirectory("shsg").toString
+    val init = Seq.empty[(Long, Long)].toDF("k", "total")
+    val step: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      (batch, state) => {
+        val upd = batch.groupBy(col("k")).agg(sum(col("v")).as("inc"))
+        val next = state.join(upd, Seq("k"), "full")
+          .select(col("k"),
+            (coalesce(col("total"), lit(0L)) + coalesce(col("inc"), lit(0L)))
+              .as("total"))
+        (next, next)
+      }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/state"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/state/_latest"),
+      "garbled junk\nnot-a-path\n-\n".getBytes("UTF-8"))
+    val handle = StatefulHotSwap(step)
+    handle.recover(spark, s"$dir/state") // must not throw
+    assert(handle.currentState(spark, init)
+      .as[(Long, Long)].collect().isEmpty) // fell back to init
+    // and the stream proceeds + commits a VALID marker over the junk
+    handle.runBatch(Seq((1L, 3L)).toDF("k", "v"), 0L, init, s"$dir/state",
+      (_, _) => ())
+    assert(handle.currentState(spark, init)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 3L))
+    val rebuilt = StatefulHotSwap(step)
+    rebuilt.recover(spark, s"$dir/state")
+    assert(rebuilt.currentState(spark, init)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 3L))
+  }
+
   test("streaming mode matches modePerKey after every batch; domain cap flags") {
     import graft.streaming.StreamMode
     import org.apache.spark.sql.functions.col
