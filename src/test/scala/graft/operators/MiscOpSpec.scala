@@ -522,6 +522,25 @@ class MiscOpSpec extends SparkSpec {
     assert(t4.getAs[String]("predicted_label") == "A") // tie -> "A" < "B"
   }
 
+  test("VecDim.probe: empty/all-empty-vector input fails with an operator-named message") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.matryoshkaEval(empty, empty, "id", "vec",
+        k = 1, Seq(1))
+    }
+    assert(e1.getMessage.contains("matryoshkaEval"))
+    val allEmpty = Seq((1L, Array.empty[Float])).toDF("id", "vec")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.TrainingData.kcenterSelect(allEmpty, "id", "vec", k = 1)
+    }
+    assert(e2.getMessage.contains("kcenterSelect"))
+    // and the probe skips empty vectors to find the realized dim
+    val mixed = Seq((1L, Array.empty[Float]), (2L, Array(1f, 2f, 3f)))
+      .toDF("id", "vec")
+    assert(graft.core.VecDim.probe(mixed, "vec", "spec") == 3)
+  }
+
   test("knnShapleyAnn law: nprobe = nlist reproduces exact knnShapley on random frames") {
     import org.apache.spark.sql.functions.col
     // the q_shapley_ann gate pins this on the testdata tables; this law
