@@ -1206,7 +1206,13 @@ object TrainingData {
             v => floor(v * lit(1000.0))).as("_v"),
           col(relCol).cast("long").as("_rel")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val first = fx.orderBy(col("_rel").desc, col("_id").asc).limit(1).head()
+    // headOption: the dim probe guarantees a non-empty vector EXISTS,
+    // but the id/rel null filters can still empty the candidate frame —
+    // fail with the operator's name, not a bare NoSuchElementException
+    val first = fx.orderBy(col("_rel").desc, col("_id").asc)
+      .limit(1).collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "mmrRerank: no candidates after the id/rel null filters"))
     val picks = Vector.newBuilder[(Int, Long, Long, Long)]
     picks += ((1, first.getLong(0), first.getLong(2), 0L))
     var center: Seq[Long] = first.getSeq[Long](1)
@@ -1260,9 +1266,13 @@ object TrainingData {
           transform(col(vecCol).cast("array<double>"),
             v => floor(v * lit(1000.0))).as("_v")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // headOption, mirroring mmrRerank: the id null filter can empty the
+    // frame even when the dim probe found a non-empty vector
     val first = fx
       .orderBy(md5(col("_id").cast("string")), col("_id"))
-      .limit(1).head()
+      .limit(1).collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "kcenterSelect: no candidates after the id null filter"))
     val picks = Vector.newBuilder[(Int, Long, Long)]
     picks += ((1, first.getLong(0), 0L))
     var center: Seq[Long] = first.getSeq[Long](1)

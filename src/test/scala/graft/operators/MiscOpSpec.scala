@@ -539,6 +539,15 @@ class MiscOpSpec extends SparkSpec {
     val mixed = Seq((1L, Array.empty[Float]), (2L, Array(1f, 2f, 3f)))
       .toDF("id", "vec")
     assert(graft.core.VecDim.probe(mixed, "vec", "spec") == 3)
+    // a frame whose only non-empty vectors carry NULL ids passes the
+    // probe but empties the candidate frame — still an operator-named
+    // failure, not a bare head() NoSuchElementException
+    val nullIds = Seq((Option.empty[Long], Array(1f, 2f)))
+      .toDF("id", "vec")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.TrainingData.kcenterSelect(nullIds, "id", "vec", k = 1)
+    }
+    assert(e3.getMessage.contains("kcenterSelect"))
   }
 
   test("knnShapleyAnn law: nprobe = nlist reproduces exact knnShapley on random frames") {
