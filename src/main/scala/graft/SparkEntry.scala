@@ -2265,7 +2265,12 @@ object SparkEntry {
     // from the same column formulas. Round-trip equality proves the
     // decode is real; the stub stays the slot's default.
     "q_decode_real" -> ((s, d) => {
+      // population mirror: null/negative doc_id or n_chars would make
+      // the builder fail (Spark % preserves sign) while the oracle
+      // emitted a null/garbage row — filter identically on both sides
       val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .where(col("doc_id").isNotNull && col("doc_id") >= 0 &&
+          col("n_chars").isNotNull && col("n_chars") >= 0)
       val withBmp = Multimodal.attachSyntheticBmp(docs,
         col("n_chars") % 13 + 1L, col("n_chars") % 7 + 1L,
         col("doc_id") % 256L)
@@ -6457,7 +6462,9 @@ object SparkEntry {
         |  CAST(54 + ((((n_chars % 13) + 1) * 3 + 3) // 4) * 4 *
         |    ((n_chars % 7) + 1) AS BIGINT) AS n_bytes,
         |  CAST(doc_id % 256 AS BIGINT) AS px_mean
-        |FROM documents""".stripMargin,
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |  AND n_chars IS NOT NULL AND n_chars >= 0""".stripMargin,
 
     // The ordered stateful fold: replayed in DuckDB as a word-at-a-time
     // recursive CTE over the same global (doc_id, pos) order — emits a

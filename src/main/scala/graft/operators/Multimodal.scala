@@ -132,8 +132,15 @@ object Multimodal {
       staged.schema.fieldIndex("_bh"), staged.schema.fieldIndex("_bv"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     staged.mapPartitions { rows =>
-      rows.map(r => Row.fromSeq(r.toSeq :+
-        bmpEncode(r.getInt(wi), r.getInt(hi), r.getInt(vi))))
+      rows.map { r =>
+        // getInt silently unboxes a null to 0 — fail with the operator's
+        // name instead of a confusing bmpEncode requirement deep in a task
+        require(!r.isNullAt(wi) && !r.isNullAt(hi) && !r.isNullAt(vi),
+          "attachSyntheticBmp: null width/height/intensity — filter " +
+            "null inputs upstream (the gate mirrors the filter in its oracle)")
+        Row.fromSeq(r.toSeq :+
+          bmpEncode(r.getInt(wi), r.getInt(hi), r.getInt(vi)))
+      }
     }(enc).drop("_bw", "_bh", "_bv")
   }
 

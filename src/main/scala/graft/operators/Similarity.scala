@@ -63,8 +63,9 @@ object Similarity {
     // A prefix BEYOND the embedding dim silently slices to the full
     // vector and reports a trivially-perfect overlap_ppm=1000000 that
     // misreads as "truncation is free" — reject it against the
-    // (first-row) realized dim. p == dim is allowed: it is the
-    // explicit full-dim baseline and SHOULD read 1.0.
+    // realized dim (the first NON-EMPTY row's width — VecDim.probe
+    // skips empty vectors). p == dim is allowed: it is the explicit
+    // full-dim baseline and SHOULD read 1.0.
     val realizedDim = graft.core.VecDim.probe(corpus, vecCol, "matryoshkaEval")
     require(prefixDims.forall(_ <= realizedDim),
       s"matryoshkaEval: prefix dims must be <= embedding dim $realizedDim " +
@@ -423,9 +424,17 @@ object Similarity {
       .agg(slice(sort_array(collect_list(struct(col("_nd"), col("cell")))),
         1, nprobe).as("_best"))
       .select(col("_qid"), explode(col("_best.cell")).as("cell"))
+    // distinct (_qid, _tid): duplicate train ids (rows sharing an id,
+    // or ids colliding after the long cast) appear once per assigned
+    // row AND once per matching tr row — without the dedup the join
+    // would square them, inflating the per-test horizon and breaking
+    // the nprobe=nlist exact-equivalence contract. With the dedup the
+    // tr join restores exactly one pair per duplicate row, matching
+    // the exact kernel's cross product.
     val cand = index.assigned
       .join(broadcast(cells), Seq("cell"))
       .select(col("_qid"), col("neighbor_id").cast("long").as("_tid"))
+      .distinct()
     val tr = fixed(trainValid, "_tid", "_tv", "_ty")
     val te = broadcast(fixed(test, "_qid", "_qv", "_qy"))
     val pairs = cand

@@ -123,13 +123,17 @@ final class StatefulHotSwap(
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        // A crash mid-write of the tmp can leave a garbled first line;
-        // an unparseable marker must behave like a MISSING one (fall
-        // back to init / on-disk versions), not wedge every runBatch.
+        // A crash mid-write of the tmp can leave ANY line garbled (a
+        // non-numeric batch id, an empty or invalid path — new Path("")
+        // itself throws); an unparseable marker must behave like a
+        // MISSING one (fall back to init / on-disk versions), not wedge
+        // every runBatch — so the WHOLE parse+exists rides one Try.
         txt.split("\n").toList match {
           case bid :: path :: prev :: _
             if scala.util.Try(bid.toLong).isSuccess &&
-              fs.exists(new org.apache.hadoop.fs.Path(path)) =>
+              scala.util.Try(
+                fs.exists(new org.apache.hadoop.fs.Path(path)))
+                .getOrElse(false) =>
             committed.compareAndSet(None,
               Some(Committed(path, bid.toLong, Some(prev).filter(_ != "-"))))
             ()

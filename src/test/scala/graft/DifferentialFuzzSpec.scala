@@ -38,12 +38,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong
 
   test(s"randomized Spark-vs-DuckDB parity over operator entry points (seed $seed)") {
-    val pyOk =
-      try {
-        new ProcessBuilder("python3", "-c", "import duckdb, pandas, numpy")
-          .start().waitFor() == 0
-      } catch { case _: Exception => false }
-    assume(pyOk, "python3 with duckdb/pandas not available on this box")
+    assume(pythonAvailable, "python3 with duckdb/pandas not available on this box")
 
     val rnd = new scala.util.Random(seed)
     def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
@@ -282,25 +277,7 @@ class DifferentialFuzzSpec extends SparkSpec {
         |FROM ft1 JOIN (SELECT k, label FROM ft2) USING (k)
         |GROUP BY 1""".stripMargin))
 
-    // ---- run Spark sides, dump oracles, compare in DuckDB --------- //
-    cases.foreach { case (name, df, _) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
-    }
-    val oracleJson = cases.map { case (name, _, sql) =>
-      val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ")
-      s""""$name": "$esc""""
-    }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      oracleJson.getBytes("UTF-8"))
-
-    val proc = new ProcessBuilder("python3", "scripts/fuzz_verify.py",
-      tablesDir, outDir).redirectErrorStream(true).start()
-    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
-    val code = proc.waitFor()
-    assert(code == 0,
-      s"differential fuzz (seed $seed) found divergence:\n${out.takeRight(4000)}")
+    compareCases(tablesDir, outDir, cases.toSeq)
   }
 
   private def pythonAvailable: Boolean =

@@ -559,12 +559,17 @@ class MiscOpSpec extends SparkSpec {
     val rnd = new scala.util.Random(
       sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong + 3)
     val dim = 4 + rnd.nextInt(5)
-    val rows = (1L to (40L + rnd.nextInt(40))).map { i =>
+    val rows = ((1L to (40L + rnd.nextInt(40))).map { i =>
       (if (i % 17 == 0) None else Some(i),
         if (i % 23 == 0) Array.fill(dim - 1)(rnd.nextFloat())
         else Array.fill(dim)(rnd.nextFloat() * 2f - 1f),
         if (i % 19 == 0) None else Some(if (rnd.nextBoolean()) "A" else "B"))
-    }.toDF("id", "vec", "lab")
+    } ++ Seq( // DUPLICATE train ids (one exact dup, one same-id new vec):
+      // the candidate join must not square them (one pair per row)
+      (Some(11L), Array.fill(dim)(0.5f), Some("A")),
+      (Some(11L), Array.fill(dim)(0.5f), Some("A")),
+      (Some(13L), Array.fill(dim)(-0.25f), Some("B"))))
+      .toDF("id", "vec", "lab")
     val (tr, te) = (rows.where(col("id") > 8 || col("id").isNull),
       rows.where(col("id") <= 8))
     for (nlist <- Seq(2, 4, 8)) {

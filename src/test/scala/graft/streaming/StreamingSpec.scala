@@ -1278,6 +1278,19 @@ class StreamingSpec extends SparkSpec {
     handle.recover(spark, s"$dir/state") // must not throw
     assert(handle.currentState(spark, init)
       .as[(Long, Long)].collect().isEmpty) // fell back to init
+    // a VALID batch id with a garbled/empty PATH line (crash mid-write
+    // after the first line): new Path("") itself throws — must degrade too
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/state/_latest"),
+      "123\n\n-\n".getBytes("UTF-8"))
+    val handleP = StatefulHotSwap(step)
+    handleP.recover(spark, s"$dir/state") // must not throw either
+    assert(handleP.currentState(spark, init)
+      .as[(Long, Long)].collect().isEmpty)
+    // restore the all-garbled marker for the proceed-and-overwrite leg
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/state/_latest"),
+      "garbled junk\nnot-a-path\n-\n".getBytes("UTF-8"))
     // and the stream proceeds + commits a VALID marker over the junk
     handle.runBatch(Seq((1L, 3L)).toDF("k", "v"), 0L, init, s"$dir/state",
       (_, _) => ())
