@@ -250,12 +250,17 @@ object Bench {
     // Budget enforcement (opt-in, round-close runs): exit nonzero if
     // any family overran its budget (the budget IS the cap — it
     // already carries the +25% headroom over the measured floor).
+    // A 1.1x slack absorbs shared-box run-to-run variance (documented
+    // ~±25% on single queries; family SUMS drift far less) so a noisy
+    // ENFORCE=1 run doesn't fail spuriously; an enforce violation that
+    // survives the slack still requires a confirming re-run before
+    // being treated as a regression (close-discipline rule).
     if (sys.env.get("SPARK_GRAFT_BENCH_ENFORCE").contains("1")) {
       val famTotals = results.groupBy(p => BenchFamilies.family(p._1))
         .map { case (f, ps) => f -> ps.map(_._2).sum }
       val bad = famTotals.flatMap { case (f, v) =>
-        BenchFamilies.budgetSec.get(f).filter(b => v > b)
-          .map(b => f"$f: ${v}%.1fs > budget ${b}%.1fs")
+        BenchFamilies.budgetSec.get(f).filter(b => v > b * 1.1)
+          .map(b => f"$f: ${v}%.1fs > 1.1x budget ${b}%.1fs")
       }
       if (bad.nonEmpty) {
         bad.foreach(m => System.err.println(s"[bench] BUDGET VIOLATION $m"))

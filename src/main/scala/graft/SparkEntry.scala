@@ -2279,6 +2279,50 @@ object SparkEntry {
           col("n_bytes"), col("px_mean"))
     }),
 
+    // REAL audio decoder in the pluggable slot: synthesize a PCM WAV
+    // per document (on/off square wave, samples/amp/period from table
+    // columns), decode it with javax.sound.sampled — actual PCM sample
+    // access — and the oracle recomputes peak/nonzero-count/energy from
+    // the closed-form wave arithmetic. The audio twin of q_decode_real.
+    "q_decode_audio" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .where(col("doc_id").isNotNull && col("doc_id") >= 0 &&
+          col("n_chars").isNotNull && col("n_chars") >= 0)
+      val withWav = Multimodal.attachSyntheticWav(docs,
+        col("n_chars") % 50 + 1L, col("doc_id") % 1000 + 1L,
+        col("n_chars") % 5 + 1L)
+      Multimodal.decodeWavStats(withWav, "payload")
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("n_bytes"), col("format"), col("peak"), col("nz_samples"),
+          col("energy"))
+    }),
+
+    // Per-frame REAL audio features (exact frame energies off decoded
+    // samples, pooled per payload) — the md5 energy stub's audio slot
+    // proven with genuine DSP; fused zero-shuffle map.
+    "q_audio_frames" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .where(col("doc_id").isNotNull && col("doc_id") >= 0 &&
+          col("n_chars").isNotNull && col("n_chars") >= 0)
+      val withWav = Multimodal.attachSyntheticWav(docs,
+        col("n_chars") % 50 + 1L, col("doc_id") % 1000 + 1L,
+        col("n_chars") % 5 + 1L)
+      Multimodal.audioFrameFeatures(withWav, "doc_id", "payload", 8)
+    }),
+
+    // Scene cuts over REAL frame energies: a cut wherever consecutive
+    // decoded frames differ in exact energy (threshold 0), run-length
+    // segments — the audio twin of q_scene_cuts.
+    "q_audio_scenes" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .where(col("doc_id").isNotNull && col("doc_id") >= 0 &&
+          col("n_chars").isNotNull && col("n_chars") >= 0)
+      val withWav = Multimodal.attachSyntheticWav(docs,
+        col("n_chars") % 50 + 1L, col("doc_id") % 1000 + 1L,
+        col("n_chars") % 5 + 1L)
+      Multimodal.audioSceneCuts(withWav, "doc_id", "payload", 8)
+    }),
+
     // -- json / semistructured -------------------------------------- //
     "q_json" -> ((s, d) =>
       t(s, d, "events")
@@ -6465,6 +6509,82 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND doc_id >= 0
         |  AND n_chars IS NOT NULL AND n_chars >= 0""".stripMargin,
+
+    // q_decode_audio: the REAL-audio-decoder round-trip — the oracle
+    // knows the wave construction (on/off square wave: sample i = amp
+    // when (i div period) even, else 0; 44-byte WAV header + 2 bytes
+    // per sample), so with g(x) = (x div 2p)·p + min(x mod 2p, p) it
+    // recomputes nonzero count g(n), peak = amp, energy = g(n)·amp²
+    // in closed form; any deviation in the decoded PCM breaks the
+    // compare.
+    "q_decode_audio" ->
+      """WITH base AS (SELECT doc_id,
+        |  (n_chars % 50) + 1 AS n, (doc_id % 1000) + 1 AS a,
+        |  (n_chars % 5) + 1 AS p
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |    AND n_chars IS NOT NULL AND n_chars >= 0),
+        |z AS (SELECT doc_id, n, a, p,
+        |  (n // (2*p)) * p + least(n % (2*p), p) AS nz FROM base)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(44 + 2*n AS BIGINT) AS n_bytes, 'wav' AS format,
+        |  CAST(a AS BIGINT) AS peak, CAST(nz AS BIGINT) AS nz_samples,
+        |  CAST(nz * a * a AS BIGINT) AS energy
+        |FROM z""".stripMargin,
+
+    // q_audio_frames: per-frame energies in closed form — frame f of
+    // length L=8 covers [fL, min((f+1)L, n)), whose nonzero count is
+    // g(hi) - g(lo), so frame energy = (g(hi) - g(lo))·amp².
+    "q_audio_frames" ->
+      """WITH base AS (SELECT doc_id,
+        |  (n_chars % 50) + 1 AS n, (doc_id % 1000) + 1 AS a,
+        |  (n_chars % 5) + 1 AS p
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |    AND n_chars IS NOT NULL AND n_chars >= 0),
+        |fr AS (SELECT doc_id, n, a, p,
+        |  unnest(generate_series(0, ((n + 7) // 8) - 1)) AS f FROM base),
+        |e AS (SELECT doc_id, a,
+        |  ((least((f+1)*8, n) // (2*p)) * p + least(least((f+1)*8, n) % (2*p), p)
+        |   - ((f*8 // (2*p)) * p + least((f*8) % (2*p), p))) * a * a AS fe
+        |  FROM fr)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(max(a) AS BIGINT) AS peak,
+        |  CAST(max(fe) AS BIGINT) AS max_frame_energy,
+        |  CAST(sum(fe) AS BIGINT) AS total_energy
+        |FROM e GROUP BY doc_id""".stripMargin,
+
+    // q_audio_scenes: same closed-form frame energies; lag gaps at
+    // threshold 0 (any energy change = a cut), cumulative-cut run ids
+    // — the q_scene_cuts SQL shape over REAL energies.
+    "q_audio_scenes" ->
+      """WITH base AS (SELECT doc_id,
+        |  (n_chars % 50) + 1 AS n, (doc_id % 1000) + 1 AS a,
+        |  (n_chars % 5) + 1 AS p
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |    AND n_chars IS NOT NULL AND n_chars >= 0),
+        |fr AS (SELECT doc_id, n, a, p,
+        |  unnest(generate_series(0, ((n + 7) // 8) - 1)) AS f FROM base),
+        |e AS (SELECT doc_id, f,
+        |  ((least((f+1)*8, n) // (2*p)) * p + least(least((f+1)*8, n) % (2*p), p)
+        |   - ((f*8 // (2*p)) * p + least((f*8) % (2*p), p))) * a * a AS fe
+        |  FROM fr),
+        |lg AS (SELECT doc_id, f, fe,
+        |  lag(fe) OVER (PARTITION BY doc_id ORDER BY f) AS prev FROM e),
+        |ct AS (SELECT doc_id, f,
+        |  CASE WHEN prev IS NOT NULL AND abs(fe - prev) > 0
+        |    THEN 1 ELSE 0 END AS cut FROM lg),
+        |sg AS (SELECT doc_id, sum(cut) OVER (PARTITION BY doc_id
+        |  ORDER BY f ROWS UNBOUNDED PRECEDING) AS seg FROM ct),
+        |rl AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS len
+        |  FROM sg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_cuts,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(max(len) AS BIGINT) AS max_segment_len
+        |FROM rl GROUP BY 1""".stripMargin,
 
     // The ordered stateful fold: replayed in DuckDB as a word-at-a-time
     // recursive CTE over the same global (doc_id, pos) order — emits a

@@ -175,6 +175,241 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic synthetic 16-bit PCM mono WAV — the audio twin of
+    * [[bmpEncode]]: an on/off square wave (sample i = `amp` when
+    * `(i div period)` is even, else 0), so every whole-payload and
+    * per-frame statistic is oracle-recomputable in closed form from
+    * (nSamples, amp, period): with g(x) = (x div 2p)·p + min(x mod 2p,
+    * p), the count of nonzero samples in [0, x) is g(x), peak = amp
+    * (sample 0 is always amp), Σ s² = g(n)·amp². Exact layout: 44-byte
+    * RIFF/fmt/data header + 2·n sample bytes, little-endian — so
+    * `n_bytes = 44 + 2·n` is oracle-recomputable too.
+    */
+  def wavEncode(nSamples: Int, amp: Int, period: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    require(nSamples >= 1 && amp >= 0 && amp <= 32767 && period >= 1 &&
+      sampleRate >= 1,
+      s"wavEncode: need n >= 1, amp in [0,32767], period >= 1, rate >= 1," +
+        s" got ($nSamples, $amp, $period, $sampleRate)")
+    val dataSize = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                     // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)   // rate, byte rate
+      .putShort(2).putShort(16)                    // block align, bits
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      b.putShort(if ((i / period) % 2 == 0) amp.toShort else 0.toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Attach a synthetic WAV payload built row-locally from integer
+    * columns (narrow map, no shuffle) — the audio twin of
+    * [[attachSyntheticBmp]], pairing with [[decodeWavStats]] /
+    * [[audioFrameFeatures]] so the gates prove the REAL audio decoder
+    * round-trips the sample data the table's columns determined.
+    */
+  def attachSyntheticWav(df: DataFrame, nCol: Column, ampCol: Column,
+      periodCol: Column, binCol: String = "payload"): DataFrame = {
+    val staged = df.withColumn("_wn", nCol.cast("int"))
+      .withColumn("_wa", ampCol.cast("int"))
+      .withColumn("_wp", periodCol.cast("int"))
+    val schema = StructType(staged.schema.fields :+
+      StructField(binCol, BinaryType, nullable = false))
+    val (ni, ai, pi) = (staged.schema.fieldIndex("_wn"),
+      staged.schema.fieldIndex("_wa"), staged.schema.fieldIndex("_wp"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    staged.mapPartitions { rows =>
+      rows.map { r =>
+        require(!r.isNullAt(ni) && !r.isNullAt(ai) && !r.isNullAt(pi),
+          "attachSyntheticWav: null samples/amp/period — filter null " +
+            "inputs upstream (the gate mirrors the filter in its oracle)")
+        Row.fromSeq(r.toSeq :+
+          wavEncode(r.getInt(ni), r.getInt(ai), r.getInt(pi)))
+      }
+    }(enc).drop("_wn", "_wa", "_wp")
+  }
+
+  /** REAL pure-JVM audio decoder for the pluggable slot — PCM WAV via
+    * `javax.sound.sampled` (ships with the JDK, works headless):
+    * parses the actual RIFF stream and PCM frames, returns
+    * (sampleRate, samples) with 16-bit samples decoded at the format's
+    * declared endianness. Throws on an undecodable payload, like
+    * [[bmpDecode]].
+    */
+  private[operators] def wavSamples(bytes: Array[Byte]): (Int, Array[Int]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"wavSamples: expected 16-bit mono PCM, got $fmt")
+      val raw = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Int](raw.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(2 * i).toInt; i += 1 }
+      (fmt.getSampleRate.toInt, out)
+    } finally in.close()
+  }
+
+  /** `(sampleRate, nSamples, "wav")` header-level decode for the
+    * [[decodePartitioned]]-style slot. */
+  def wavDecode(bytes: Array[Byte]): (Int, Int, String) = {
+    val (rate, samples) = wavSamples(bytes)
+    (rate, samples.length, "wav")
+  }
+
+  /** REAL audio decode + sample statistics per partition: sample rate,
+    * sample count, byte size, peak (max |s|), nonzero-sample count,
+    * and exact total energy Σ s² off the DECODED samples (actual PCM
+    * access, not header math) — the audio twin of [[decodeBmpStats]].
+    * Narrow per-partition map, zero shuffle.
+    */
+  def decodeWavStats(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("nz_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val (rate, s) = wavSamples(bytes)
+        var (peak, nz, energy) = (0L, 0L, 0L)
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          if (v != 0L) nz += 1
+          energy += v * v
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ Seq(rate, s.length.toLong,
+          bytes.length.toLong, "wav", peak, nz, energy))
+      }
+    }(enc)
+  }
+
+  /** Per-frame REAL audio features → per-payload pool — the audio
+    * counterpart of [[frameFeatures]] with the md5 "energy" stub
+    * replaced by actual DSP over decoded samples: the payload's PCM is
+    * chunked into `frameLen`-sample frames (last frame partial) and
+    * each frame's exact energy Σ s² and peak are computed from the
+    * decoded values, then pooled per payload (frame count, payload
+    * peak, max and total frame energy).
+    *
+    * Scale shape: unlike the video stub (whose frames are byte SLICES
+    * that must explode to rows for the signature hash), every audio
+    * frame of one payload lives in that payload's blob — so featurize
+    * + pool fuse into ONE narrow per-partition map, zero shuffle, and
+    * the stage scales with total payload bytes exactly like
+    * [[decodeBmpStats]]. The md5 stub stays [[frameFeatures]]'s
+    * default; this is the proof the slot takes a genuine extractor.
+    */
+  def audioFrameFeatures(df: DataFrame, idCol: String, binCol: String,
+      frameLen: Int): DataFrame = {
+    require(frameLen >= 1,
+      s"audioFrameFeatures: frameLen must be >= 1, got $frameLen")
+    val schema = StructType(Array(df.schema(idCol)) ++ Seq(
+      StructField("n_frames", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("max_frame_energy", LongType, nullable = false),
+      StructField("total_energy", LongType, nullable = false)))
+    val (idIdx, binIdx) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(binCol))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, s) = wavSamples(r.getAs[Array[Byte]](binIdx))
+        var (peak, maxE, totE) = (0L, 0L, 0L)
+        var nFrames = 0L
+        var f = 0
+        while (f < s.length) {
+          val hi = math.min(f + frameLen, s.length)
+          var e = 0L
+          var i = f
+          while (i < hi) {
+            val v = s(i).toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            e += v * v
+            i += 1
+          }
+          if (e > maxE) maxE = e
+          totE += e
+          nFrames += 1
+          f = hi
+        }
+        Row(r.get(idIdx), nFrames, peak, maxE, totE)
+      }
+    }(enc)
+  }
+
+  /** Scene-cut segmentation over REAL audio frame energies — the audio
+    * twin of [[sceneCuts]] with the md5 signature stub replaced by the
+    * decoded frames' exact Σ s²: a cut fires between consecutive
+    * frames whose energy gap exceeds `gapThreshold`; runs between cuts
+    * are segments. Output matches [[sceneCuts]]: (id, n_frames,
+    * n_cuts, n_segments, max_segment_len). Same fused zero-shuffle
+    * shape as [[audioFrameFeatures]] (frames are blob-local, so the
+    * lag + run-length ride the in-task scan instead of a window).
+    */
+  def audioSceneCuts(df: DataFrame, idCol: String, binCol: String,
+      frameLen: Int, gapThreshold: Long = 0L): DataFrame = {
+    require(frameLen >= 1,
+      s"audioSceneCuts: frameLen must be >= 1, got $frameLen")
+    val schema = StructType(Array(df.schema(idCol)) ++ Seq(
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_cuts", LongType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("max_segment_len", LongType, nullable = false)))
+    val (idIdx, binIdx) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(binCol))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, s) = wavSamples(r.getAs[Array[Byte]](binIdx))
+        var (nFrames, nCuts, runLen, maxRun) = (0L, 0L, 0L, 0L)
+        var prevE = 0L
+        var f = 0
+        while (f < s.length) {
+          val hi = math.min(f + frameLen, s.length)
+          var e = 0L
+          var i = f
+          while (i < hi) { val v = s(i).toLong; e += v * v; i += 1 }
+          if (nFrames > 0L && math.abs(e - prevE) > gapThreshold) {
+            nCuts += 1
+            if (runLen > maxRun) maxRun = runLen
+            runLen = 0L
+          }
+          runLen += 1
+          if (runLen > maxRun) maxRun = runLen
+          prevE = e
+          nFrames += 1
+          f = hi
+        }
+        // a zero-sample payload has zero segments, not one
+        Row(r.get(idIdx), nFrames, nCuts,
+          if (nFrames == 0L) 0L else nCuts + 1L, maxRun)
+      }
+    }(enc)
+  }
+
   /** Frame-sampling shape for video-like payloads: explode `nFrames`
     * offsets per row, slicing the payload — the Spark-side plumbing of
     * a frame sampler (real pipelines replace `slice` with a seek+decode).

@@ -410,6 +410,19 @@ object Similarity {
           col(labelCol).as(y))
     val trainValid = train.where(size(col(vecCol)) === dim &&
       col(idCol).isNotNull && col(labelCol).isNotNull)
+    // Empty-after-filters train: the exact twin returns an empty frame
+    // (its cross product is empty) — match it rather than failing
+    // inside buildIvfIndex with a generic centroid-training error; the
+    // twins are documented exactly equivalent at nprobe = nlist,
+    // including this edge. (bounded: isEmpty is a limit(1) probe)
+    if (trainValid.isEmpty) {
+      val te0 = broadcast(fixed(test, "_qid", "_qv", "_qy"))
+      return shapleyKernel(
+        fixed(trainValid, "_tid", "_tv", "_ty").crossJoin(te0)
+          .select(col("_qid"), col("_tid"),
+            lit(0L).as("_d2"), lit(0L).as("_m")),
+        k, topN)
+    }
     val index = buildIvfIndex(trainValid, idCol, vecCol, nlist, seed = seed)
     // nprobe best cells per TEST point — the ivfKnnGraph probe shape
     // (hash-agg with a sortable struct, never a window)

@@ -127,16 +127,26 @@ final class StatefulHotSwap(
         // non-numeric batch id, an empty or invalid path — new Path("")
         // itself throws); an unparseable marker must behave like a
         // MISSING one (fall back to init / on-disk versions), not wedge
-        // every runBatch — so the WHOLE parse+exists rides one Try.
+        // every runBatch. But ONLY the parse rides the Try: an
+        // IOException from fs.exists is a retryable infra error, not a
+        // garbled marker — it must propagate (like the sibling
+        // fs.exists(m)/fs.exists(tmp) calls above) so the batch fails
+        // retryably instead of silently discarding committed state.
         txt.split("\n").toList match {
-          case bid :: path :: prev :: _
-            if scala.util.Try(bid.toLong).isSuccess &&
-              scala.util.Try(
-                fs.exists(new org.apache.hadoop.fs.Path(path)))
-                .getOrElse(false) =>
-            committed.compareAndSet(None,
-              Some(Committed(path, bid.toLong, Some(prev).filter(_ != "-"))))
-            ()
+          case bid :: path :: prev :: _ =>
+            scala.util.Try(
+              (bid.toLong, new org.apache.hadoop.fs.Path(path))
+            ).toOption.foreach { case (b, p) =>
+              // IllegalArgumentException = garbled path (e.g. a
+              // wrong-scheme URI → "Wrong FS") → degrade like missing;
+              // IOException = retryable infra error → propagate.
+              val present =
+                try fs.exists(p)
+                catch { case _: IllegalArgumentException => false }
+              if (present)
+                committed.compareAndSet(None,
+                  Some(Committed(path, b, Some(prev).filter(_ != "-"))))
+            }
           case _ => ()
         }
       }

@@ -100,6 +100,78 @@ class MiscOpSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("Multimodal.wavDecode: a real audio decoder drops into the pluggable slot") {
+    // on/off square wave, hand-computed: n=10, amp=100, period=3 ->
+    // samples 0-2,6-8 on (nz=6), frames of 4 -> energies 3a²,2a²,1a²
+    val rows = Seq((1L, 10, 100, 3), (2L, 1, 5, 1), (3L, 8, 2, 4))
+      .toDF("id", "n", "a", "p")
+    val wav = Multimodal.attachSyntheticWav(rows, col("n"), col("a"), col("p"))
+    // the decodePartitioned slot takes the audio decoder unchanged
+    val viaSlot = Multimodal.decodePartitioned(wav, "payload",
+        Multimodal.wavDecode)
+      .select("id", "width", "height", "format")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(viaSlot == Map(1L -> ((8000, 10, "wav")),
+      2L -> ((8000, 1, "wav")), 3L -> ((8000, 8, "wav"))))
+    val stats = Multimodal.decodeWavStats(wav, "payload")
+      .select("id", "sample_rate", "n_samples", "n_bytes", "peak",
+        "nz_samples", "energy")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(stats(1L) == ((8000, 10L, 64L, 100L, 6L, 60000L)))
+    assert(stats(2L) == ((8000, 1L, 46L, 5L, 1L, 25L)))
+    assert(stats(3L) == ((8000, 8L, 60L, 2L, 4L, 16L)))
+    // per-frame REAL energies pooled per payload
+    val ff = Multimodal.audioFrameFeatures(wav, "id", "payload", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(ff(1L) == ((3L, 100L, 30000L, 60000L)))
+    assert(ff(2L) == ((1L, 5L, 25L, 25L)))
+    assert(ff(3L) == ((2L, 2L, 16L, 16L)))
+    // undecodable payload fails loudly, not silently
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWavStats(junk, "payload").collect()
+    }
+    assert(e.getMessage != null)
+    // null construction inputs fail with the operator's name
+    val nulls = Seq((1L, Option.empty[Int], Option(3), Option(4)))
+      .toDF("id", "n", "a", "p")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.attachSyntheticWav(nulls, col("n"), col("a"), col("p"))
+        .collect()
+    }
+    assert(e2.getMessage.contains("attachSyntheticWav"))
+  }
+
+  test("Multimodal.audioSceneCuts: real-energy cuts, threshold poles") {
+    val rows = Seq(
+      (1L, 10, 100, 3), // frame energies 30000, 20000, 10000 -> 2 cuts
+      (3L, 8, 2, 4),    // energies 16, 0 -> 1 cut
+      (4L, 16, 3, 2))   // on2/off2: every frame of 4 has 2 on -> equal
+      .toDF("id", "n", "a", "p")
+    val wav = Multimodal.attachSyntheticWav(rows, col("n"), col("a"), col("p"))
+    val cuts = Multimodal.audioSceneCuts(wav, "id", "payload", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(cuts(1L) == ((3L, 2L, 3L, 1L)))
+    assert(cuts(3L) == ((2L, 1L, 2L, 1L)))
+    assert(cuts(4L) == ((4L, 0L, 1L, 4L)))
+    // MaxValue threshold: no gap can fire -> one segment of n_frames
+    val none = Multimodal.audioSceneCuts(wav, "id", "payload", 4,
+      gapThreshold = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(none(1L) == ((0L, 1L, 3L)))
+    // threshold -1: every consecutive pair fires, even equal energies
+    val all = Multimodal.audioSceneCuts(wav, "id", "payload", 4,
+      gapThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(all(4L) == ((3L, 4L, 1L)))
+  }
+
   test("Multimodal.sceneCuts: threshold poles and run-length invariants") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog repeatedly"),
       (2L, "x")).toDF("doc_id", "text")
@@ -581,6 +653,16 @@ class MiscOpSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
       assert(exact.toSeq == ann.toSeq, s"nlist=$nlist")
     }
+    // empty-after-filters train (only null ids survive the probe): the
+    // exact twin returns an empty frame (empty cross product) — the ANN
+    // twin must match that edge, not fail inside centroid training
+    val trEmpty = rows.where(col("id").isNull)
+    val teSome = rows.where(col("id") <= 8)
+    val exactE = Similarity.knnShapley(trEmpty, teSome, "id", "vec", "lab", 2, 25)
+    val annE = Similarity.knnShapleyAnn(trEmpty, teSome, "id", "vec", "lab", 2, 25,
+      nlist = 4, nprobe = 4)
+    assert(exactE.collect().isEmpty && annE.collect().isEmpty)
+    assert(exactE.schema == annE.schema)
   }
 
   test("knnShapley: closed-form suffix recursion; wrong-label neighbor scores negative") {

@@ -1287,6 +1287,17 @@ class StreamingSpec extends SparkSpec {
     handleP.recover(spark, s"$dir/state") // must not throw either
     assert(handleP.currentState(spark, init)
       .as[(Long, Long)].collect().isEmpty)
+    // a VALID batch id with a wrong-scheme URI path: fs.exists throws
+    // IllegalArgumentException ("Wrong FS") — a garbled-marker case
+    // that must degrade to init too (only IOException — a retryable
+    // infra error — propagates from recover)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/state/_latest"),
+      "123\nhdfs://nowhere:9000/x\n-\n".getBytes("UTF-8"))
+    val handleW = StatefulHotSwap(step)
+    handleW.recover(spark, s"$dir/state") // must not throw either
+    assert(handleW.currentState(spark, init)
+      .as[(Long, Long)].collect().isEmpty)
     // restore the all-garbled marker for the proceed-and-overwrite leg
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/state/_latest"),
