@@ -50,6 +50,7 @@ object Clustering {
         .select(col("cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        // bounded: nlist x dim aggregate rows per iteration
         .collect()
       val next = cents.map(_.clone())
       val counts = new Array[Long](cents.length)

@@ -63,6 +63,7 @@ object Linalg {
         .select(col("_j"),
           round(col("_w") * col("_xj"), 10).cast("decimal(38,10)").as("_t"))
         .groupBy(col("_j")).agg(sum(col("_t")).as("_u"))
+        // bounded: dim rows (one per vector dimension)
         .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue).toMap
       val uArr = (0 until dim).map(j => u.getOrElse(j, 0.0)).toArray
       var n2 = 0.0

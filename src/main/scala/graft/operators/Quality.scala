@@ -94,6 +94,7 @@ object Quality {
     */
   def requireAll(df: DataFrame, checks: Seq[Check], unique: Seq[Seq[String]] = Nil): Unit = {
     val failed = expect(df, checks, unique)
+      // bounded: at most |checks| + |unique| one-row verdicts
       .where(!col("pass")).collect()
       .map(r => s"${r.getString(0)}: ${r.getLong(1)} violations")
     if (failed.nonEmpty)

@@ -644,6 +644,7 @@ object Relational {
         tmp.tail.zipWithIndex.map { case (t, i) =>
           coalesce(sum(col(t)), lit(0L)).as(s"_t${i + 1}")
         }: _*)
+      // bounded: |partitions| x |sums| longs
       .collect().map(r => r.getInt(0) -> tmp.indices.map(i => r.getLong(i + 1)).toArray)
       .toMap
     val nPart = sorted.rdd.getNumPartitions

@@ -554,6 +554,7 @@ object Similarity {
       vecCol: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("centroid"))
+      // bounded: nlist centroid rows
       .collect().sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
     // Pin the appended files to the STANDING vector schema: an
@@ -621,6 +622,7 @@ object Similarity {
       .select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
       .rdd.map(_.getSeq[Double](0).toArray)
+      // bounded: trainSample vectors, regardless of corpus size
       .takeSample(withReplacement = false, trainSample, seed)
     require(sampleRaw.nonEmpty, "trainCentroids: corpus is empty")
     // Mixed-dimension corpora: train on the MAJORITY dimension of the
@@ -837,6 +839,7 @@ object Similarity {
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
     val cbRows = spark.read.parquet(s"$path/codebooks")
       .select(col("subspace"), col("codeword"), col("vec"))
+      // bounded: m x kSub codebook rows
       .collect()
     val m = cbRows.map(_.getInt(0)).max + 1
     val kSub = cbRows.map(_.getInt(1)).max + 1
@@ -873,6 +876,7 @@ object Similarity {
       .select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
       .rdd.map(_.getSeq[Double](0).toArray)
+      // bounded: trainSample vectors, regardless of corpus size
       .takeSample(withReplacement = false, trainSample, seed)
     require(sampleRaw.nonEmpty, "trainPqCodebooks: corpus is empty")
     val majorityDim = sampleRaw.groupBy(_.length).view.mapValues(_.length)
@@ -1191,6 +1195,7 @@ object Similarity {
       .agg(avg(col("x").cast("double")).as("m"),
         stddev_pop(col("x").cast("double")).as("sd"))
       .orderBy(col("d"))
+      // bounded: dim rows (one per vector dimension)
       .collect()
     require(stats.length == dim && stats.head.getInt(0) == 0,
       s"standardize: expected dims 0..${dim - 1}, got ${stats.length} groups " +

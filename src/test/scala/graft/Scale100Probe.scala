@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, Graph, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100× scale probe (round-11 verdict #1): the 10× [[ScaleProbe]]
+  * replicates sf0.1 tenfold (50k docs); this replicates it
+  * HUNDREDfold — 500k documents, 200k embeddings, 60M lineitem rows,
+  * 24M trade edges — and times the heavy dedup/similarity/graph tail
+  * the verdict names (the OPERATORS behind q_dedup_minhash,
+  * q_dedup_incr_op, q_semdedup_knn, q_sim_ivf, q_pagerank,
+  * q_betweenness, q_chatterjee; the gates' exact self-verification
+  * scaffolding is quadratic BY DESIGN and stays at gate scale).
+  *
+  * Beside the timing, every probed frame is PLAN-PINNED at this scale:
+  * [[graft.operators.Diagnostics.planLint]]'s two error classes
+  * (global window, trivially-true join) must stay absent, and no
+  * CartesianProduct may appear — a broadcast flip or planner fallback
+  * at 100× fails the probe rather than silently degrading.
+  * Index-style parameters scale with the corpus the way the operator
+  * scaladocs prescribe (nlist grows toward √N; band/bucket caps and df
+  * caps unchanged — they bound work per KEY, not per corpus).
+  *
+  * Run: SPARK_DRIVER_MEM=48g sbt "Test/runMain graft.Scale100Probe"
+  */
+object Scale100Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir", "/tmp/graft_scale100_local")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+
+    def pinPlan(label: String, df: DataFrame): Unit = {
+      val errs = graft.operators.Diagnostics.planLint(df).collect()
+        .filter { r =>
+          val rule = r.getString(0)
+          rule == "global-window" || rule == "trivial-join-predicate"
+        }
+      require(errs.isEmpty, s"$label: plan lint errors at 100x: " +
+        errs.map(r => s"${r.getString(0)} -> ${r.getString(2)}").mkString("; "))
+      val phys = df.queryExecution.executedPlan.toString
+      require(!phys.contains("CartesianProduct"),
+        s"$label: planner fell back to CartesianProduct at 100x")
+    }
+    def time(label: String)(f: => DataFrame): Unit = {
+      val df = f
+      pinPlan(label, df)
+      val t0 = System.nanoTime(); val n = df.count()
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
+      graft.core.CacheRegistry.unpersistAll()
+    }
+
+    // -- corpora ----------------------------------------------------- //
+    val docs0 = spark.read.parquet(s"$d/documents.parquet")
+    val docs100 = (0 until 100).map(k =>
+      docs0.select((col("doc_id") + k * 100000L).as("doc_id"),
+        col("text"), col("lang")))
+      .reduce(_ unionAll _).repartition(64)
+    println(s"docs100 count=${docs100.count()}")
+
+    // q_dedup_minhash's operator: banding carries (id, band, bucket),
+    // never documents; hot buckets star-link
+    time("minhashPairs 500k docs")(
+      Dedup.minhashPairs(docs100, "doc_id", "text", 2, 64, 16, 0.5))
+
+    // q_dedup_incr_op's operator pair: index build + anti-join drop —
+    // the standing corpus (400k docs) is indexed once, the new batch
+    // (100k + planted copies) never joins documents
+    locally {
+      val old = docs100.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val copies = old.where(col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      val newBatch = docs100.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")).unionAll(copies)
+      val t0 = System.nanoTime()
+      val index = graft.core.CacheRegistry.persist(
+        Dedup.buildDedupIndex(old, "doc_id", "text", 2, 64, 16),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nIdx = index.count()
+      val tIdx = (System.nanoTime() - t0) / 1e9
+      val kept = Dedup.dropAgainstIndex(newBatch, index, "doc_id", "text", 2, 64, 16)
+      pinPlan("dropAgainstIndex 100k-batch vs 400k-index", kept)
+      val t1 = System.nanoTime(); val nKept = kept.count()
+      println(f"buildDedupIndex 400k docs: $tIdx%.1fs rows=$nIdx")
+      println(f"dropAgainstIndex 100k-batch vs 400k-index: " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1fs rows=$nKept")
+      graft.core.CacheRegistry.unpersistAll()
+    }
+
+    val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
+    val emb100 = (0 until 100).map(k =>
+      emb0.select((col("vec_id") + k * 100000L).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _).repartition(64)
+    println(s"emb100 count=${emb100.count()}")
+
+    // q_semdedup_knn's operator: ANN kNN-graph candidates, exact
+    // verification, min-id survivor — nlist scaled toward √N (FAISS
+    // guidance): 200k vectors → nlist 128, fan-out bounded at k·nprobe
+    time("semanticDedupViaKnnGraph 200k embeddings nlist=128")(
+      Dedup.semanticDedupViaKnnGraph(emb100, "vec_id", "embedding",
+        0.35, k = 8, nlist = 128, nprobe = 8))
+
+    // q_sim_ivf's operator: 100 broadcast queries against the 200k
+    // corpus through the cell-partitioned index
+    time("ivfTopK 100 queries vs 200k corpus nlist=128")(
+      Similarity.ivfTopK(
+        emb0.where(col("vec_id") < 100).select(col("vec_id"), col("embedding")),
+        emb100, "vec_id", "embedding", k = 10, nlist = 128, nprobe = 8))
+
+    // -- 100x trade graph: 24M directed edges ------------------------ //
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val ord = spark.read.parquet(s"$d/orders.parquet")
+    val pairs0 = ord.select(col("o_orderkey"), col("o_custkey"))
+      .join(li.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp")).distinct()
+    val half100 = (0 until 100).map(k =>
+      pairs0.select(
+        ((col("cust") + k * 1000000L) * 2).as("src"),
+        ((col("supp") + k * 1000000L) * 2 + 1).as("dst")))
+      .reduce(_ unionAll _)
+    val graph100 = half100
+      .unionAll(half100.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(64)
+    println(s"graph100 edges=${graph100.count()}")
+
+    time("pageRank 3 iters on 24M edges")(
+      Graph.pageRank(graph100, "src", "dst", iters = 3))
+    time("betweennessSampled 8 seeds maxHops=3 on 24M edges")(
+      Graph.betweennessSampled(graph100, col("src"), col("dst"),
+        nSeeds = 8, maxHops = 3, k = 50))
+
+    // q_chatterjee's operator: exact rank statistic over 60M rows —
+    // range-partitioned prefix sums + a rank equi-join, no global window
+    val li100 = (0 until 100).map(k =>
+      li.select((col("l_orderkey") + k * 10000000L).as("ok"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))
+      .reduce(_ unionAll _).repartition(64)
+    time("chatterjeeXi 60M rows")(
+      Analytics.chatterjeeXi(li100,
+        col("ok") * 10 + col("l_linenumber"),
+        col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")))
+
+    spark.stop()
+    def rmrf(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File("/tmp/graft_scale100_local"))
+  }
+}

@@ -1885,4 +1885,159 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  // ------------------------------------------------------------------ //
+  // Bounded-state evidence under LONG feeds (round-11 verdict #4): the
+  // replay harness proves bit-parity; these drive the stateful twins
+  // with ~10^5-event feeds across hundreds of micro-batches and assert
+  // the state STORE metrics (StreamingQueryProgress.stateOperators)
+  // stay at the documented bounds — state rows pinned to the keyed
+  // cardinality (keys / shards / users, NEVER event volume), and state
+  // bytes PLATEAUING once the per-key caps fill (late-feed high-water
+  // ≤ 1.5x the mid-feed high-water + a 4 KiB version-churn allowance).
+  // ------------------------------------------------------------------ //
+
+  /** Drive `batches` through `q`, sampling (numRowsTotal, memBytes)
+    * from the last progress of every micro-batch round. */
+  private def driveWithStateMetrics[T](
+      in: MemoryStream[T], q: org.apache.spark.sql.streaming.StreamingQuery,
+      batches: Seq[Seq[T]]): Vector[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    batches.foreach { b =>
+      in.addData(b)
+      q.processAllAvailable()
+      q.recentProgress.lastOption
+        .filter(_.stateOperators.nonEmpty)
+        .foreach { p =>
+          out += ((p.stateOperators.map(_.numRowsTotal).sum,
+            p.stateOperators.map(_.memoryUsedBytes).sum))
+        }
+    }
+    q.stop()
+    out.result()
+  }
+
+  private def assertPlateau(traj: Vector[(Long, Long)], label: String): Unit = {
+    assert(traj.size >= 8, s"$label: too few sampled progresses")
+    val third = traj.size / 3
+    val midMax = traj.slice(third, 2 * third).map(_._2).max
+    val lateMax = traj.drop(2 * third).map(_._2).max
+    assert(lateMax <= midMax * 3 / 2 + 4096,
+      s"$label: state bytes still growing late in the feed " +
+        s"(mid high-water $midMax, late high-water $lateMax)")
+  }
+
+  test("bounded state: KMV/sample/MG/funnel twins hold their documented bounds over 10^5 events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(4242)
+
+    // StreamDistinct: 8 keys, k=64 -> state rows == 8 forever, bytes
+    // bounded by 8 sketches of <= 64 longs (150 batches x 670 ~ 100k)
+    locally {
+      import graft.streaming.StreamDistinct
+      val in = MemoryStream[(Long, Long, Long)]
+      val q = StreamDistinct(in.toDS(), k = 64)
+        .writeStream.format("noop").outputMode("append").start()
+      val seqs = Array.fill(8)(0L)
+      val batches = Vector.tabulate(150) { _ =>
+        Vector.tabulate(670) { j =>
+          val key = j % 8
+          seqs(key) += 1
+          (key.toLong, seqs(key), rnd.nextLong())
+        }
+      }
+      val traj = driveWithStateMetrics(in, q, batches)
+      assert(traj.drop(2).forall(_._1 == 8L),
+        s"StreamDistinct state rows grew past the key count: $traj")
+      assertPlateau(traj, "StreamDistinct")
+    }
+
+    // StreamQuantile: 6 keys, k=64 -> rows == 6, <= k sampled pairs each
+    locally {
+      import graft.streaming.StreamQuantile
+      val in = MemoryStream[(Long, Long, Option[Double])]
+      val q = StreamQuantile(in.toDS(), p = 0.5, k = 64)
+        .writeStream.format("noop").outputMode("append").start()
+      val seqs = Array.fill(6)(0L)
+      val batches = Vector.tabulate(80) { _ =>
+        Vector.tabulate(300) { j =>
+          val key = j % 6
+          seqs(key) += 1
+          (key.toLong, seqs(key), Some(rnd.nextGaussian()))
+        }
+      }
+      val traj = driveWithStateMetrics(in, q, batches)
+      assert(traj.drop(2).forall(_._1 == 6L),
+        s"StreamQuantile state rows grew past the key count")
+      assertPlateau(traj, "StreamQuantile")
+    }
+
+    // StreamHeavyHitters on an OPEN WORLD (every event a brand-new
+    // string — the case that unbounds a naive groupBy.count to 24k
+    // state rows): rows <= shards, bytes bounded by shards x capacity
+    locally {
+      import graft.streaming.StreamHeavyHitters
+      val in = MemoryStream[String]
+      val q = StreamHeavyHitters(in.toDS(), capacity = 32, shards = 8)
+        .writeStream.format("noop").outputMode("append").start()
+      var n = 0L
+      val batches = Vector.tabulate(80) { _ =>
+        Vector.tabulate(300) { _ => n += 1; s"k$n" }
+      }
+      val traj = driveWithStateMetrics(in, q, batches)
+      assert(traj.forall(_._1 <= 8L),
+        s"StreamHeavyHitters state rows exceeded the shard count")
+      assertPlateau(traj, "StreamHeavyHitters")
+    }
+
+    // StreamFunnel: 50 users cycling through the steps forever ->
+    // rows == 50, three numbers each, regardless of event volume
+    locally {
+      import graft.streaming.StreamFunnel
+      val in = MemoryStream[StreamFunnel.FunnelEvent]
+      val q = StreamFunnel(in.toDS(), Seq("a", "b", "c"))
+        .writeStream.format("noop").outputMode("append").start()
+      var ts = 0L
+      val batches = Vector.tabulate(80) { _ =>
+        Vector.tabulate(300) { j =>
+          ts += 1000L
+          StreamFunnel.FunnelEvent(j % 50L, ts, Seq("a", "b", "c")(j % 3))
+        }
+      }
+      val traj = driveWithStateMetrics(in, q, batches)
+      assert(traj.drop(2).forall(_._1 == 50L),
+        s"StreamFunnel state rows grew past the user count")
+      assertPlateau(traj, "StreamFunnel")
+    }
+  }
+
+  test("bounded state: watermark dedup evicts expired keys instead of accreting history") {
+    implicit val sqlCtx = spark.sqlContext
+    // StreamDedup's transform body (dropDuplicatesWithinWatermark on
+    // the dedup columns) driven raw so the query handle exposes the
+    // state metrics: 100 batches, each one event-minute later, 300
+    // brand-new keys per batch (plus an in-batch duplicate) -> without
+    // eviction state reaches 30k rows; the 5-minute watermark must
+    // hold it near the in-horizon key count instead
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark(Seq("k"))
+    val q = deduped.writeStream.format("noop").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val batches = Vector.tabulate(100) { b =>
+      val keys = Vector.tabulate(300)(j => b * 1000L + j)
+      (keys :+ keys.head).map(k =>
+        (new java.sql.Timestamp(t0 + b * 60000L), k))
+    }
+    val traj = driveWithStateMetrics(in, q, batches)
+    val finalRows = traj.last._1
+    val totalKeys = 100L * 300L
+    // the watermark horizon holds ~6-7 batches of keys (+ engine slack)
+    assert(finalRows <= 300L * 12L,
+      s"watermark dedup state did not evict: $finalRows rows held")
+    assert(finalRows < totalKeys / 5L,
+      s"watermark dedup state tracks total history ($finalRows of $totalKeys)")
+    assertPlateau(traj, "StreamDedup(watermark)")
+  }
 }
