@@ -34,6 +34,18 @@ object Scale100Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
+    val tmp = "/tmp/graft_scale100_tmp"
+
+    // The 100-way unionAll replication is a BUILD step, not the probed
+    // operator: left inline it dominates the probe with driver-side
+    // Catalyst transforms (every downstream query re-optimizes a
+    // 100-scan union tree). Materialize each replicated corpus to temp
+    // parquet once so the probed plans start from a plain file scan —
+    // exactly the shape the gates read their inputs in.
+    def mat(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
 
     def pinPlan(label: String, df: DataFrame): Unit = {
       val errs = graft.operators.Diagnostics.planLint(df).collect()
@@ -47,20 +59,26 @@ object Scale100Probe {
       require(!phys.contains("CartesianProduct"),
         s"$label: planner fell back to CartesianProduct at 100x")
     }
+    // CONSTRUCTION is inside the timed window: the iterative operators
+    // (pageRank, betweennessSampled, the greedy selectors) run their
+    // materializing localCheckpoint actions while BUILDING the frame,
+    // so timing only the final count would read near-zero for exactly
+    // the operators this probe exists to measure.
     def time(label: String)(f: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
       val df = f
-      pinPlan(label, df)
-      val t0 = System.nanoTime(); val n = df.count()
+      val n = df.count()
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
+      pinPlan(label, df)
       graft.core.CacheRegistry.unpersistAll()
     }
 
     // -- corpora ----------------------------------------------------- //
     val docs0 = spark.read.parquet(s"$d/documents.parquet")
-    val docs100 = (0 until 100).map(k =>
+    val docs100 = mat((0 until 100).map(k =>
       docs0.select((col("doc_id") + k * 100000L).as("doc_id"),
         col("text"), col("lang")))
-      .reduce(_ unionAll _).repartition(64)
+      .reduce(_ unionAll _).repartition(64), "docs100")
     println(s"docs100 count=${docs100.count()}")
 
     // q_dedup_minhash's operator: banding carries (id, band, bucket),
@@ -94,17 +112,21 @@ object Scale100Probe {
     }
 
     val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
-    val emb100 = (0 until 100).map(k =>
+    val emb100 = mat((0 until 100).map(k =>
       emb0.select((col("vec_id") + k * 100000L).as("vec_id"), col("embedding")))
-      .reduce(_ unionAll _).repartition(64)
+      .reduce(_ unionAll _).repartition(64), "emb100")
     println(s"emb100 count=${emb100.count()}")
 
     // q_semdedup_knn's operator: ANN kNN-graph candidates, exact
     // verification, min-id survivor — nlist scaled toward √N (FAISS
-    // guidance): 200k vectors → nlist 128, fan-out bounded at k·nprobe
-    time("semanticDedupViaKnnGraph 200k embeddings nlist=128")(
+    // guidance): 200k vectors → nlist 448, fan-out bounded at k·nprobe
+    // (candidate work is Σ_cell probers·members — the replicated
+    // corpus stacks 100 exact copies per cell, so under-scaling nlist
+    // multiplies every cell's member count; measured 128 → 448 cuts
+    // the pair frame ~3.5×)
+    time("semanticDedupViaKnnGraph 200k embeddings nlist=448")(
       Dedup.semanticDedupViaKnnGraph(emb100, "vec_id", "embedding",
-        0.35, k = 8, nlist = 128, nprobe = 8))
+        0.35, k = 8, nlist = 448, nprobe = 8))
 
     // q_sim_ivf's operator: 100 broadcast queries against the 200k
     // corpus through the cell-partitioned index
@@ -125,23 +147,36 @@ object Scale100Probe {
         ((col("cust") + k * 1000000L) * 2).as("src"),
         ((col("supp") + k * 1000000L) * 2 + 1).as("dst")))
       .reduce(_ unionAll _)
-    val graph100 = half100
+    val graph100 = mat(half100
       .unionAll(half100.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(64)
+      .repartition(64), "graph100")
     println(s"graph100 edges=${graph100.count()}")
 
-    time("pageRank 3 iters on 24M edges")(
+    time("pageRank 3 iters on 117M directed edges")(
       Graph.pageRank(graph100, "src", "dst", iters = 3))
-    time("betweennessSampled 8 seeds maxHops=3 on 24M edges")(
-      Graph.betweennessSampled(graph100, col("src"), col("dst"),
+    // Seed-pair betweenness on 100 DISJOINT copies is semantically
+    // empty (8 random seeds land in 8 different components, so no
+    // seed pair is co-reachable — verified: rows=0); the CONNECTED
+    // 100× graph replicates the supplier side only (customers shared)
+    // so volume scales 100× inside one component.
+    val halfConn = (0 until 100).map(k =>
+      pairs0.select((col("cust") * 2).as("src"),
+        ((col("supp") + k * 1000000L) * 2 + 1).as("dst")))
+      .reduce(_ unionAll _)
+    val graphConn = mat(halfConn
+      .unionAll(halfConn.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(64), "graphConn")
+    println(s"graphConn edges=${graphConn.count()}")
+    time("betweennessSampled 8 seeds maxHops=3 on 117M connected edges")(
+      Graph.betweennessSampled(graphConn, col("src"), col("dst"),
         nSeeds = 8, maxHops = 3, k = 50))
 
     // q_chatterjee's operator: exact rank statistic over 60M rows —
     // range-partitioned prefix sums + a rank equi-join, no global window
-    val li100 = (0 until 100).map(k =>
+    val li100 = mat((0 until 100).map(k =>
       li.select((col("l_orderkey") + k * 10000000L).as("ok"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))
-      .reduce(_ unionAll _).repartition(64)
+      .reduce(_ unionAll _).repartition(64), "li100")
     time("chatterjeeXi 60M rows")(
       Analytics.chatterjeeXi(li100,
         col("ok") * 10 + col("l_linenumber"),
@@ -154,5 +189,6 @@ object Scale100Probe {
       f.delete(); ()
     }
     rmrf(new java.io.File("/tmp/graft_scale100_local"))
+    rmrf(new java.io.File(tmp))
   }
 }
