@@ -42,6 +42,21 @@ object Source {
   def orc(name: String, path: String): Source =
     Source(name, _.read.orc(path))
 
+  /** Raw media files as binary rows — Spark's `binaryFile` format: one
+    * row per file with (path, modificationTime, length, content). The
+    * ingestion mouth of the [[graft.operators.Multimodal]] family: the
+    * `content` column is exactly the opaque payload its decode /
+    * frame-feature stages consume ([[graft.operators.Multimodal
+    * .decodeBmpStats]], `decodeWavStats`, `decodePartitioned`).
+    * `pathGlob` prunes at the LISTING level (e.g. `*.bmp`) — files
+    * outside the glob are never opened — and
+    * `spark.sql.files.maxPartitionBytes` governs how many blobs pack
+    * into one task, so scan parallelism holds at any corpus size.
+    */
+  def binaryFiles(name: String, path: String, pathGlob: String = "*"): Source =
+    Source(name, _.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob).load(path))
+
   /** File → stream of trimmed lines (reference: lib/source/read_lines.ex:7-24).
     * Column name: `value` (Spark text convention); trailing whitespace trimmed
     * to match the reference's `String.trim_trailing`.

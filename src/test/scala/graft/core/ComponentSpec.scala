@@ -337,4 +337,38 @@ class ComponentSpec extends SparkSpec {
       "flow A's drain released flow B's cache")
     bCache.unpersist()
   }
+
+  test("Source.binaryFiles: on-disk media -> binary rows -> real decode round-trip") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.{col, element_at, reverse, split}
+    spark.sparkContext // materialize the shared session so Source.apply
+    // can resolve SparkSession.active when this test runs first/alone
+    // real files on disk: two BMPs, one WAV, one stray text file that
+    // the listing-level glob must prune before any task opens it
+    val dir = java.nio.file.Files.createTempDirectory("binsrc")
+    def put(n: String, bytes: Array[Byte]) =
+      java.nio.file.Files.write(dir.resolve(n), bytes)
+    put("a.bmp", Multimodal.bmpEncode(5, 3, 17))
+    put("b.bmp", Multimodal.bmpEncode(2, 2, 200))
+    put("c.wav", Multimodal.wavEncode(10, 100, 3))
+    put("junk.txt", "not media".getBytes("UTF-8"))
+    val bmps = Source.binaryFiles("imgs", dir.toString, "*.bmp")(EmptyFlow)("imgs")
+      .select(element_at(reverse(split(col("path"), "/")), 1).as("f"),
+        col("length"), col("content").as("payload"))
+    val stats = Multimodal.decodeBmpStats(bmps, "payload")
+      .select(col("f"), col("width"), col("height"), col("px_mean"), col("n_bytes"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(stats == Map(
+      "a.bmp" -> ((5, 3, 17L, (54 + 16 * 3).toLong)),
+      "b.bmp" -> ((2, 2, 200L, (54 + 8 * 2).toLong))))
+    val wavs = Source.binaryFiles("auds", dir.toString, "*.wav")(EmptyFlow)("auds")
+      .select(col("content").as("payload"))
+    val w = Multimodal.decodeWavStats(wavs, "payload")
+      .select(col("n_samples"), col("peak"), col("nz_samples"), col("energy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(w.toSeq == Seq((10L, 100L, 6L, 60000L)))
+    // binaryFile's length column matches the payload the decoders read
+    assert(Source.binaryFiles("all", dir.toString)(EmptyFlow)("all").count() == 4)
+  }
 }
