@@ -187,9 +187,12 @@ object Multimodal {
     */
   def wavEncode(nSamples: Int, amp: Int, period: Int,
       sampleRate: Int = 8000): Array[Byte] = {
-    require(nSamples >= 1 && amp >= 0 && amp <= 32767 && period >= 1 &&
+    // amp >= 1, not >= 0: the documented closed form (nonzero count in
+    // [0,x) is g(x), peak = amp) is FALSE for an all-zero signal, and
+    // the gates' oracles are built on that contract.
+    require(nSamples >= 1 && amp >= 1 && amp <= 32767 && period >= 1 &&
       sampleRate >= 1,
-      s"wavEncode: need n >= 1, amp in [0,32767], period >= 1, rate >= 1," +
+      s"wavEncode: need n >= 1, amp in [1,32767], period >= 1, rate >= 1," +
         s" got ($nSamples, $amp, $period, $sampleRate)")
     val dataSize = nSamples * 2
     val b = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -321,6 +324,28 @@ object Multimodal {
     * [[decodeBmpStats]]. The md5 stub stays [[frameFeatures]]'s
     * default; this is the proof the slot takes a genuine extractor.
     */
+  /** Exact per-frame energies Σ s² of a decoded PCM signal chunked
+    * into `frameLen`-sample frames (last frame partial) — the one
+    * shared inner scan of [[audioFrameFeatures]] / [[audioSceneCuts]],
+    * so a change to the chunking (overlap, windowing, sample width)
+    * lands in both twins at once.
+    */
+  private def frameEnergies(s: Array[Int], frameLen: Int): Array[Long] = {
+    val out = Array.ofDim[Long]((s.length + frameLen - 1) / frameLen)
+    var f = 0
+    var k = 0
+    while (f < s.length) {
+      val hi = math.min(f + frameLen, s.length)
+      var e = 0L
+      var i = f
+      while (i < hi) { val v = s(i).toLong; e += v * v; i += 1 }
+      out(k) = e
+      k += 1
+      f = hi
+    }
+    out
+  }
+
   def audioFrameFeatures(df: DataFrame, idCol: String, binCol: String,
       frameLen: Int): DataFrame = {
     require(frameLen >= 1,
@@ -336,26 +361,22 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val (_, s) = wavSamples(r.getAs[Array[Byte]](binIdx))
-        var (peak, maxE, totE) = (0L, 0L, 0L)
-        var nFrames = 0L
-        var f = 0
-        while (f < s.length) {
-          val hi = math.min(f + frameLen, s.length)
-          var e = 0L
-          var i = f
-          while (i < hi) {
-            val v = s(i).toLong
-            val a = math.abs(v)
-            if (a > peak) peak = a
-            e += v * v
-            i += 1
-          }
-          if (e > maxE) maxE = e
-          totE += e
-          nFrames += 1
-          f = hi
+        var peak = 0L
+        var i = 0
+        while (i < s.length) {
+          val a = math.abs(s(i).toLong)
+          if (a > peak) peak = a
+          i += 1
         }
-        Row(r.get(idIdx), nFrames, peak, maxE, totE)
+        val energies = frameEnergies(s, frameLen)
+        var (maxE, totE) = (0L, 0L)
+        var k = 0
+        while (k < energies.length) {
+          if (energies(k) > maxE) maxE = energies(k)
+          totE += energies(k)
+          k += 1
+        }
+        Row(r.get(idIdx), energies.length.toLong, peak, maxE, totE)
       }
     }(enc)
   }
@@ -384,26 +405,21 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val (_, s) = wavSamples(r.getAs[Array[Byte]](binIdx))
-        var (nFrames, nCuts, runLen, maxRun) = (0L, 0L, 0L, 0L)
-        var prevE = 0L
-        var f = 0
-        while (f < s.length) {
-          val hi = math.min(f + frameLen, s.length)
-          var e = 0L
-          var i = f
-          while (i < hi) { val v = s(i).toLong; e += v * v; i += 1 }
-          if (nFrames > 0L && math.abs(e - prevE) > gapThreshold) {
+        val energies = frameEnergies(s, frameLen)
+        var (nCuts, runLen, maxRun) = (0L, 0L, 0L)
+        var k = 0
+        while (k < energies.length) {
+          if (k > 0 && math.abs(energies(k) - energies(k - 1)) > gapThreshold) {
             nCuts += 1
             if (runLen > maxRun) maxRun = runLen
             runLen = 0L
           }
           runLen += 1
           if (runLen > maxRun) maxRun = runLen
-          prevE = e
-          nFrames += 1
-          f = hi
+          k += 1
         }
         // a zero-sample payload has zero segments, not one
+        val nFrames = energies.length.toLong
         Row(r.get(idIdx), nFrames, nCuts,
           if (nFrames == 0L) 0L else nCuts + 1L, maxRun)
       }

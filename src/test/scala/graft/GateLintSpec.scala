@@ -58,7 +58,12 @@ class GateLintSpec extends SparkSpec {
     // design) and are excluded.
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = java.nio.file.Files.walk(root).iterator()
+    // word-start match so "UNBOUNDED" (the exact word this lint exists
+    // to catch) cannot satisfy the annotation check via its substring
+    val boundedWord = "(?i)(?<![a-z])bounded".r
+    val walk = java.nio.file.Files.walk(root)
+    try {
+    val it = walk.iterator()
     while (it.hasNext) {
       val p = it.next()
       val name = p.getFileName.toString
@@ -76,7 +81,7 @@ class GateLintSpec extends SparkSpec {
             val annWindow = lines.slice(math.max(0, i - 6), i + 1)
             val capWindow = lines.slice(math.max(0, i - 2), i + 1)
             val annotated = annWindow.exists(l =>
-              l.toLowerCase.contains("bounded") ||
+              boundedWord.findFirstIn(l).isDefined ||
                 l.toLowerCase.contains("driver-safe"))
             val capped = capWindow.exists(_.contains("limit("))
             if (!annotated && !capped)
@@ -85,6 +90,7 @@ class GateLintSpec extends SparkSpec {
         }
       }
     }
+    } finally walk.close() // Files.walk holds directory handles open
     assert(bad.isEmpty,
       s"un-annotated driver-side materialization (add a '// bounded: …' " +
         s"note stating the cap, or a limit()):\n${bad.mkString("\n")}")

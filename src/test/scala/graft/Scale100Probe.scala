@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** 100× scale probe (round-11 verdict #1): the 10× [[ScaleProbe]]
   * replicates sf0.1 tenfold (50k docs); this replicates it
   * HUNDREDfold — 500k documents, 200k embeddings, 60M lineitem rows,
-  * 24M trade edges — and times the heavy dedup/similarity/graph tail
+  * 117.4M directed trade edges (586,871 distinct cust↔supp pairs ×
+  * 100 copies × both directions) — and times the heavy
+  * dedup/similarity/graph tail
   * the verdict names (the OPERATORS behind q_dedup_minhash,
   * q_dedup_incr_op, q_semdedup_knn, q_sim_ivf, q_pagerank,
   * q_betweenness, q_chatterjee; the gates' exact self-verification
@@ -23,9 +25,14 @@ import org.apache.spark.sql.functions._
   * caps unchanged — they bound work per KEY, not per corpus).
   *
   * Run: SPARK_DRIVER_MEM=48g sbt "Test/runMain graft.Scale100Probe"
+  * Optional args select families so one leg can be re-measured without
+  * repeating the rest: any of `dedup embed graph rows text` (no args =
+  * all).
   */
 object Scale100Probe {
   def main(args: Array[String]): Unit = {
+    val enabled: String => Boolean =
+      fam => args.isEmpty || args.contains(fam)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
       .config("spark.sql.session.timeZone", "UTC")
@@ -74,11 +81,13 @@ object Scale100Probe {
     }
 
     // -- corpora ----------------------------------------------------- //
-    val docs0 = spark.read.parquet(s"$d/documents.parquet")
-    val docs100 = mat((0 until 100).map(k =>
+    lazy val docs0 = spark.read.parquet(s"$d/documents.parquet")
+    lazy val docs100 = mat((0 until 100).map(k =>
       docs0.select((col("doc_id") + k * 100000L).as("doc_id"),
         col("text"), col("lang")))
       .reduce(_ unionAll _).repartition(64), "docs100")
+
+    if (enabled("dedup")) {
     println(s"docs100 count=${docs100.count()}")
 
     // q_dedup_minhash's operator: banding carries (id, band, bucket),
@@ -110,7 +119,9 @@ object Scale100Probe {
         f"${(System.nanoTime() - t1) / 1e9}%.1fs rows=$nKept")
       graft.core.CacheRegistry.unpersistAll()
     }
+    } // enabled("dedup")
 
+    if (enabled("embed")) {
     val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
     val emb100 = mat((0 until 100).map(k =>
       emb0.select((col("vec_id") + k * 100000L).as("vec_id"), col("embedding")))
@@ -134,9 +145,11 @@ object Scale100Probe {
       Similarity.ivfTopK(
         emb0.where(col("vec_id") < 100).select(col("vec_id"), col("embedding")),
         emb100, "vec_id", "embedding", k = 10, nlist = 128, nprobe = 8))
+    } // enabled("embed")
 
-    // -- 100x trade graph: 24M directed edges ------------------------ //
-    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    // -- 100x trade graph: 117M directed edges ------------------------ //
+    lazy val li = spark.read.parquet(s"$d/lineitem.parquet")
+    if (enabled("graph")) {
     val ord = spark.read.parquet(s"$d/orders.parquet")
     val pairs0 = ord.select(col("o_orderkey"), col("o_custkey"))
       .join(li.select(col("l_orderkey"), col("l_suppkey")),
@@ -170,7 +183,9 @@ object Scale100Probe {
     time("betweennessSampled 8 seeds maxHops=3 on 117M connected edges")(
       Graph.betweennessSampled(graphConn, col("src"), col("dst"),
         nSeeds = 8, maxHops = 3, k = 50))
+    } // enabled("graph")
 
+    if (enabled("rows")) {
     // q_chatterjee's operator: exact rank statistic over 60M rows —
     // range-partitioned prefix sums + a rank equi-join, no global window
     val li100 = mat((0 until 100).map(k =>
@@ -182,6 +197,30 @@ object Scale100Probe {
         col("ok") * 10 + col("l_linenumber"),
         col("l_quantity").cast("long"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")))
+    } // enabled("rows")
+
+    if (enabled("text")) {
+    // -- 100x text family: the operators behind q_tfidf / q_bm25_search
+    // and q_bpe — the heavy text tail the 100× evidence didn't yet
+    // cover. termScores is the scan-shuffle shape (tokenize+explode →
+    // one persisted tf aggregate read by three consumers → broadcast
+    // 1-row stats); BPE training is corpus-scan bound: the distributed
+    // part is one word-count groupBy capped at maxVocab=65536 rows to
+    // the driver, so the Sennrich merge loop's cost is INVARIANT to
+    // corpus size — the 100× number proves the claim.
+    println(s"docs100 count=${docs100.count()}")
+    time("termScores (tfidf+bm25) 500k docs")(
+      graft.operators.Ranking.termScores(docs100, "doc_id", "text"))
+    locally {
+      val t0 = System.nanoTime()
+      val merges = graft.functions.Bpe.learnMerges(
+        docs100.select(explode(
+          graft.functions.TextFunctions.words(col("text"))).as("w")),
+        "w", numMerges = 200)
+      println(f"bpe learnMerges 500k docs (200 merges, 64k vocab cap): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs merges=${merges.size}")
+    }
+    } // enabled("text")
 
     spark.stop()
     def rmrf(f: java.io.File): Unit = {
