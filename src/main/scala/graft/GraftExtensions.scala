@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharShingles, CosineSimilarity, DotProduct, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RollingHash, Simhash64, StopwordCount, SubwordCount, WordShingles}
+import graft.functions.{CharShingles, CosineSimilarity, DotProduct, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RollingHash, Simhash64, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -114,7 +114,16 @@ object GraftFunctions {
       (es: Seq[Expression]) => { val a = arity("subword_count", 1)(es); SubwordCount(a(0)) }),
     ("rolling_hash",
       "rolling_hash(str) - polynomial rolling hash (document fingerprinting)",
-      (es: Seq[Expression]) => { val a = arity("rolling_hash", 1)(es); RollingHash(a(0)) })
+      (es: Seq[Expression]) => { val a = arity("rolling_hash", 1)(es); RollingHash(a(0)) }),
+    ("url_normalize",
+      "url_normalize(url) - canonical url (lowercase scheme/host, www./userinfo/fragment/default-port stripped, tracking params dropped, query sorted); NULL when unparseable",
+      (es: Seq[Expression]) => { val a = arity("url_normalize", 1)(es); UrlNormalize(a(0)) }),
+    ("url_host",
+      "url_host(url) - lowercased host (port/userinfo stripped); NULL when unparseable",
+      (es: Seq[Expression]) => { val a = arity("url_host", 1)(es); UrlHost(a(0)) }),
+    ("url_domain",
+      "url_domain(url) - registrable domain (last 2 labels, 3 over known second-level suffixes); NULL when unparseable",
+      (es: Seq[Expression]) => { val a = arity("url_domain", 1)(es); UrlRegistrableDomain(a(0)) })
   )
 
   /** Register every function into a live session's registry. */

@@ -98,6 +98,27 @@ object SparkEntry {
     */
   private def usec(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+  /** Deterministic MESSY synthetic url from (doc_id, source) — the web
+    * twin of attachSyntheticWav's closed-form construction: scheme and
+    * host casing, a www. prefix, the http default port, tracking
+    * params, unsorted query and a fragment all toggle on doc_id
+    * residues, and every variant canonicalizes to
+    * `http://<source>.example.com/d/<doc_id mod 97>?a=1&b=2` — which is
+    * exactly what the q_url_norm / q_url_dedup oracles emit in SQL
+    * without ever parsing anything.
+    */
+  private def messyUrl: Column = concat(
+    when(col("doc_id") % 5 === 0, lit("HTTP")).otherwise(lit("http")),
+    lit("://"),
+    when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
+    lit(".example.com"),
+    when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit("")),
+    lit("/d/"), (col("doc_id") % 97).cast("string"),
+    when(col("doc_id") % 3 === 0, lit("?utm_source=feed&b=2&a=1"))
+      .otherwise(lit("?b=2&a=1")),
+    when(col("doc_id") % 3 === 0, lit("#sec")).otherwise(lit("")))
+
   // ---------------------------------------------------------------- //
   // DuckDB oracle fragments (documents text is pure-ASCII word soup)  //
   // ---------------------------------------------------------------- //
@@ -1135,6 +1156,48 @@ object SparkEntry {
       t(s, d, "documents")
         .groupBy(langId(col("text")).as("lang_id"))
         .agg(count(lit(1)).as("n"))),
+
+    // -- web / url canonicalization ---------------------------------- //
+    // The q_decode_* pattern applied to urls: messy synthetic urls are
+    // built row-locally from (doc_id, source) with deterministic noise
+    // (scheme/host case, www., default port, tracking params, unsorted
+    // query, fragment), the REAL codegen parser canonicalizes them,
+    // and the oracle recomputes the EXPECTED canonical form in closed
+    // form from the same columns — it never runs a parser, so a
+    // normalization bug can't cancel out on both sides.
+    "q_url_norm" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull)
+      docs.select(col("doc_id"),
+        graft.functions.UrlFunctions.urlNormalize(messyUrl).as("url_norm"))
+    }),
+
+    // Host + registrable domain off one url, incl. the second-level
+    // public-suffix branch (foo.co.uk keeps three labels).
+    "q_url_domain" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull)
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 4 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit(":443/x"))
+      docs.select(col("doc_id"),
+        graft.functions.UrlFunctions.urlHost(url).as("host"),
+        graft.functions.UrlFunctions.urlDomain(url).as("domain"))
+    }),
+
+    // Url-level exact dedup (the CCNet/RefinedWeb leading pass): docs
+    // sharing a canonical url collapse to the min doc_id; the messy
+    // construction guarantees collisions (path is doc_id mod 97).
+    "q_url_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull)
+      docs.select(col("doc_id"),
+        graft.functions.UrlFunctions.urlNormalize(messyUrl).as("url_norm"))
+        .groupBy(col("url_norm"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
 
     // TF-IDF + BM25 term weights over the document corpus.
     "q_tfidf" -> ((s, d) =>
@@ -6315,6 +6378,33 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de,
         |  len(regexp_extract_all(lower(text), '\b(le|les|des|est|une?|et|dans|que)\b')) AS fr
         |  FROM documents) GROUP BY 1""".stripMargin,
+
+    // Closed-form url oracles: the canonical form is recomputed from
+    // the generating columns, never parsed — see messyUrl's scaladoc.
+    "q_url_norm" ->
+      """SELECT doc_id,
+        |  'http://' || source || '.example.com/d/' ||
+        |  CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2' AS url_norm
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL""".stripMargin,
+
+    "q_url_domain" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || source ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS host,
+        |  source ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS domain
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL""".stripMargin,
+
+    "q_url_dedup" ->
+      """SELECT
+        |  'http://' || source || '.example.com/d/' ||
+        |  CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2' AS url_norm,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q_para_dedup" ->
       s"""WITH docs AS (SELECT doc_id, $W AS ws FROM documents),

@@ -1,0 +1,228 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL canonicalization kernels — the web-corpus ingestion primitives
+  * every CommonCrawl-style training-data pipeline leads with (CCNet,
+  * RefinedWeb and Dolma all deduplicate on a NORMALIZED url and cap /
+  * mix on the registrable domain; the reference engine has no web
+  * notion at all — this is part of the LLM-pipeline surface the port
+  * adds, like `Dedup`/`TrainingData`).
+  *
+  * Normalization semantics (documented here because the oracle gates
+  * recompute the EXPECTED canonical form in closed form from the
+  * columns that generated the messy input — the SQL side never runs a
+  * parser, so the contract below is what the hash-compare pins):
+  *
+  *  1. ASCII-trim; `scheme://` required (letters/digits/`+-.` scheme)
+  *     — anything else → NULL (a filterable reject, mirroring
+  *     [[graft.operators.Multimodal]]'s fail-visible rule but at the
+  *     row level: web corpora carry junk urls in bulk and a throwing
+  *     canonicalizer would poison whole partitions).
+  *  2. scheme and host lowercase; userinfo (`user:pw@`) dropped; one
+  *     trailing host dot stripped; ONE leading `www.` label stripped.
+  *  3. default ports dropped (`http:80`, `https:443`); other ports
+  *     kept.
+  *  4. fragment dropped; empty path → `/`; path bytes otherwise kept
+  *     verbatim (dot-segment resolution and percent-decoding are
+  *     deliberately NOT applied — they change retrieval semantics on
+  *     real servers and dedup pipelines leave them alone).
+  *  5. query split on `&`; empty segments and tracking params dropped
+  *     (key prefix `utm_` case-insensitive, or key in gclid / fbclid /
+  *     msclkid / mc_eid / igshid); survivors sorted by code unit
+  *     (byte order for the ASCII url charset) and re-joined; an empty
+  *     survivor set drops the `?`.
+  *
+  * Scale shape: pure per-row string kernels, codegen'd like the other
+  * fused expressions here — no HOF lambdas, no UDF boundary, so url
+  * work stays inside whole-stage codegen next to the filters that
+  * consume it.
+  */
+object UrlKernel {
+
+  private val trackingKeys =
+    Set("gclid", "fbclid", "msclkid", "mc_eid", "igshid")
+
+  /** Second-level public suffixes recognized by [[registrableDomain]] —
+    * a small built-in approximation of the PSL's most common entries
+    * (the full list is a data file; pipelines that need it exact pass
+    * their own suffix table at the operator level).
+    */
+  private val secondLevelSuffixes = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "co.in", "co.za",
+    "co.kr", "co.nz", "com.au", "com.br", "com.cn", "com.mx", "com.ar",
+    "com.tr", "com.sg")
+
+  /** (scheme, host, port, path, query) of a parseable url, else null.
+    * host is lowercased, userinfo-stripped, trailing-dot-stripped; port
+    * is -1 when absent or non-numeric-empty; fragment already cut.
+    */
+  private def parse(raw: String): (String, String, Int, String, String) = {
+    val u = raw.trim
+    val sep = u.indexOf("://")
+    if (sep <= 0) return null
+    val scheme = u.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < scheme.length) {
+      val c = scheme.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '+' || c == '-' || c == '.'
+      if (!ok) return null
+      i += 1
+    }
+    var rest = u.substring(sep + 3)
+    val hash = rest.indexOf('#')
+    if (hash >= 0) rest = rest.substring(0, hash)
+    val q = rest.indexOf('?')
+    val query = if (q >= 0) rest.substring(q + 1) else ""
+    if (q >= 0) rest = rest.substring(0, q)
+    val slash = rest.indexOf('/')
+    var auth = if (slash >= 0) rest.substring(0, slash) else rest
+    val path = if (slash >= 0) rest.substring(slash) else "/"
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    // ipv6 literals ([::1]:8080) keep the brackets as part of the host
+    val colon =
+      if (auth.startsWith("[")) auth.indexOf(':', math.max(auth.indexOf(']'), 0))
+      else auth.lastIndexOf(':')
+    var host = if (colon >= 0) auth.substring(0, colon) else auth
+    var port = -1
+    if (colon >= 0) {
+      val p = auth.substring(colon + 1)
+      if (p.nonEmpty) {
+        var j = 0
+        while (j < p.length) {
+          if (p.charAt(j) < '0' || p.charAt(j) > '9') return null
+          j += 1
+        }
+        if (p.length > 5) return null
+        port = p.toInt
+      }
+    }
+    host = host.toLowerCase(java.util.Locale.ROOT)
+    if (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    if (host.isEmpty) return null
+    (scheme, host, port, path, query)
+  }
+
+  private def isTracking(seg: String): Boolean = {
+    val eq = seg.indexOf('=')
+    val key = (if (eq >= 0) seg.substring(0, eq) else seg)
+      .toLowerCase(java.util.Locale.ROOT)
+    key.startsWith("utm_") || trackingKeys.contains(key)
+  }
+
+  def normalize(u: UTF8String): UTF8String = {
+    val p = parse(u.toString)
+    if (p == null) return null
+    val (scheme, host0, port, path, query) = p
+    val host = if (host0.startsWith("www.") && host0.length > 4)
+      host0.substring(4) else host0
+    val keepPort = port >= 0 &&
+      !((scheme == "http" && port == 80) || (scheme == "https" && port == 443))
+    val segs = query.split("&", -1).filter(s => s.nonEmpty && !isTracking(s))
+    java.util.Arrays.sort(segs.asInstanceOf[Array[AnyRef]])
+    val sb = new java.lang.StringBuilder(scheme).append("://").append(host)
+    if (keepPort) sb.append(':').append(port)
+    sb.append(path)
+    if (segs.nonEmpty) sb.append('?').append(String.join("&", segs: _*))
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Lowercased host (userinfo/port stripped, trailing dot stripped,
+    * `www.` KEPT — the registrable-domain step decides what to drop).
+    */
+  def host(u: UTF8String): UTF8String = {
+    val p = parse(u.toString)
+    if (p == null) null else UTF8String.fromString(p._2)
+  }
+
+  /** Registrable domain of the url's host: the last two labels, or the
+    * last three when the final two form a known second-level public
+    * suffix (`foo.co.uk` → `foo.co.uk`, `www.foo.com` → `foo.com`).
+    * Hosts with fewer labels (or ip literals) return as-is.
+    */
+  def registrableDomain(u: UTF8String): UTF8String = {
+    val p = parse(u.toString)
+    if (p == null) return null
+    val h = p._2
+    if (h.startsWith("[")) return UTF8String.fromString(h) // ipv6 literal
+    val labels = h.split("\\.", -1)
+    if (labels.length < 2) return UTF8String.fromString(h)
+    val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)
+    val n = if (labels.length >= 3 && secondLevelSuffixes.contains(lastTwo)) 3 else 2
+    UTF8String.fromString(labels.takeRight(n).mkString("."))
+  }
+}
+
+private[functions] abstract class UrlUnary extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // malformed input → null
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.catalogString}")
+
+  protected def kernelMethod: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UrlKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val code = nullSafeCodeGen(ctx, ev,
+      c => s"""
+        ${ev.value} = $cls.$kernelMethod($c);
+        ${ev.isNull} = ${ev.value} == null;""")
+    code
+  }
+}
+
+/** url_normalize(url) → canonical url string, NULL when unparseable. */
+case class UrlNormalize(child: Expression) extends UrlUnary {
+  override def prettyName: String = "url_normalize"
+  override protected def kernelMethod: String = "normalize"
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.normalize(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** url_host(url) → lowercased host, NULL when unparseable. */
+case class UrlHost(child: Expression) extends UrlUnary {
+  override def prettyName: String = "url_host"
+  override protected def kernelMethod: String = "host"
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.host(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** url_domain(url) → registrable domain, NULL when unparseable. */
+case class UrlRegistrableDomain(child: Expression) extends UrlUnary {
+  override def prettyName: String = "url_domain"
+  override protected def kernelMethod: String = "registrableDomain"
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.registrableDomain(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object UrlFunctions {
+  /** Column form of [[UrlNormalize]]. */
+  def urlNormalize(c: Column): Column =
+    GraftBridge.column(UrlNormalize(GraftBridge.expression(c)))
+
+  /** Column form of [[UrlHost]]. */
+  def urlHost(c: Column): Column =
+    GraftBridge.column(UrlHost(GraftBridge.expression(c)))
+
+  /** Column form of [[UrlRegistrableDomain]]. */
+  def urlDomain(c: Column): Column =
+    GraftBridge.column(UrlRegistrableDomain(GraftBridge.expression(c)))
+}

@@ -283,6 +283,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.trim.matches("""\*\(\d+\) Project .*simhash64.*""")))
   }
 
+  test("url kernels run inside whole-stage codegen") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(real.select(
+      graft.functions.UrlFunctions.urlNormalize(
+        concat(lit("http://"), col("source"), lit(".com/x?b=2&a=1"))).as("u")))
+    assert(p.linesIterator.exists(l => l.trim.matches("""\*\(\d+\) Project .*url_normalize.*""")))
+    assert(!p.contains("CodegenFallback"))
+  }
+
   test("weightedSample global path is TakeOrderedAndProject, never a full sort") {
     val df = (1 to 200).map(i => (i.toLong, (i % 9 + 1).toLong)).toDF("id", "w")
     val p = plan(TrainingData.weightedSample(df, col("id"), col("w"), k = 10))

@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** UrlKernel / url_* expression semantics — every case hand-computed
+  * from the contract in the UrlExpressions scaladoc (the oracle gates
+  * q_url_norm / q_url_domain / q_url_dedup recompute expected outputs
+  * in closed form, so this spec is where the parser itself is pinned).
+  */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(u: String): String = {
+    val r = Seq(u).toDF("u")
+      .select(UrlFunctions.urlNormalize(col("u")).as("n")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+  private def host(u: String): String = {
+    val r = Seq(u).toDF("u")
+      .select(UrlFunctions.urlHost(col("u")).as("h")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+  private def domain(u: String): String = {
+    val r = Seq(u).toDF("u")
+      .select(UrlFunctions.urlDomain(col("u")).as("d")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("urlNormalize: case, www, default port, tracking params, sort, fragment") {
+    assert(norm("HTTP://WWW.Example.COM:80/a/b?utm_source=x&b=2&a=1#frag") ==
+      "http://example.com/a/b?a=1&b=2")
+    // non-default port kept; scheme-port pairing respected
+    assert(norm("https://example.com:8443/x?a=1") ==
+      "https://example.com:8443/x?a=1")
+    assert(norm("http://example.com:443/x") == "http://example.com:443/x")
+    // userinfo dropped, trailing host dot stripped, https:443 dropped
+    assert(norm("https://user:pw@Sub.Example.org.:443/") ==
+      "https://sub.example.org/")
+    // empty path becomes /
+    assert(norm("http://example.com") == "http://example.com/")
+    // non-http scheme untouched beyond the shared rules
+    assert(norm("ftp://Files.example.com/data") == "ftp://files.example.com/data")
+    // all-tracking query drops the '?'
+    assert(norm("http://example.com/?gclid=1&UTM_CAMPAIGN=z") ==
+      "http://example.com/")
+    // duplicate keys survive, sorted as whole segments
+    assert(norm("http://e.com/p?b=2&b=1&a=3") == "http://e.com/p?a=3&b=1&b=2")
+    // empty query segments dropped
+    assert(norm("http://e.com/p?&&a=1&") == "http://e.com/p?a=1")
+    // ipv6 literal: brackets kept, non-default port kept
+    assert(norm("http://[::1]:8080/x") == "http://[::1]:8080/x")
+    // percent-encoding and dot-segments deliberately untouched
+    assert(norm("http://e.com/a/../b%20c") == "http://e.com/a/../b%20c")
+    // www-only host is not stripped to empty: the trailing-dot strip
+    // leaves "www", and the www. prefix rule needs a following label
+    assert(norm("http://www./x") == "http://www/x")
+  }
+
+  test("urlNormalize: malformed inputs reject to NULL, never throw") {
+    assert(norm("notaurl") == null)
+    assert(norm("://missing-scheme.com") == null)
+    assert(norm("ht tp://bad-scheme.com") == null)
+    assert(norm("http://") == null)
+    assert(norm("http://:80/x") == null)
+    assert(norm("http://e.com:notaport/x") == null)
+    assert(norm("http://e.com:123456/x") == null) // port > 5 digits
+    val nulls = Seq(Option.empty[String]).toDF("u")
+      .select(UrlFunctions.urlNormalize(col("u")).as("n")).head()
+    assert(nulls.isNullAt(0))
+  }
+
+  test("urlHost and urlDomain: labels, second-level suffixes, ip literals") {
+    assert(host("HTTP://WWW.Example.COM:80/x") == "www.example.com")
+    assert(host("https://user@A.B.C.org./") == "a.b.c.org")
+    assert(domain("https://www.foo.co.uk/x") == "foo.co.uk")
+    assert(domain("https://a.b.example.com/") == "example.com")
+    assert(domain("http://example.com/") == "example.com")
+    assert(domain("http://localhost/") == "localhost")
+    assert(domain("http://[::1]/") == "[::1]")
+    assert(domain("http://www.shop.com.au/") == "shop.com.au")
+    assert(host("notaurl") == null)
+    assert(domain("notaurl") == null)
+  }
+
+  test("url_* SQL registration round-trips the same kernels") {
+    graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT url_normalize('HTTP://WWW.E.COM:80/p?utm_x=1&b=2&a=1#f') AS n, " +
+        "url_host('http://User@WWW.E.COM:8080/') AS h, " +
+        "url_domain('https://www.foo.co.uk/x') AS d").head()
+    assert(r.getString(0) == "http://e.com/p?a=1&b=2")
+    assert(r.getString(1) == "www.e.com")
+    assert(r.getString(2) == "foo.co.uk")
+  }
+}
