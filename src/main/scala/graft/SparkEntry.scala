@@ -1187,6 +1187,29 @@ object SparkEntry {
         graft.functions.UrlFunctions.urlDomain(url).as("domain"))
     }),
 
+    // Html extraction: each doc wrapped in a full page (head, title,
+    // style and script blocks, a comment, attributes, entities), the
+    // REAL single-pass extractor recovers the visible text, and the
+    // oracle emits the expected string arithmetically from (source,
+    // text) — script/style/comment content must vanish, entities must
+    // decode, tags must collapse to single spaces.
+    "q_html_text" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull &&
+          col("text").isNotNull)
+      val html = concat(
+        lit("<html lang=\"en\"><head><title>"), col("source"),
+        lit("</title><style type=\"text/css\">p{color:red}</style>" +
+          "<script>if(1<2){var a=\"</p>\";}</script></head>" +
+          "<!-- hidden --><body><h1 class=\"t\">"),
+        upper(col("source")),
+        lit("</h1><p>x &amp; y &lt;z&gt;&nbsp;ok</p><p>"), col("text"),
+        lit("</p><br/></body></html>"))
+      docs.select(col("doc_id"),
+        graft.functions.UrlFunctions.htmlText(html).as("body"))
+    }),
+
     // Url-level exact dedup (the CCNet/RefinedWeb leading pass): docs
     // sharing a canonical url collapse to the min doc_id; the messy
     // construction guarantees collisions (path is doc_id mod 97).
@@ -6396,6 +6419,13 @@ object SparkEntry {
         |  (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS domain
         |FROM documents
         |WHERE doc_id IS NOT NULL AND source IS NOT NULL""".stripMargin,
+
+    "q_html_text" ->
+      """SELECT doc_id,
+        |  source || ' ' || upper(source) || ' x & y <z> ok ' || text AS body
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  AND text IS NOT NULL""".stripMargin,
 
     "q_url_dedup" ->
       """SELECT

@@ -142,6 +142,89 @@ object UrlKernel {
     if (p == null) null else UTF8String.fromString(p._2)
   }
 
+  private def regionMatchesIgnoreCase(s: String, at: Int, what: String): Boolean =
+    s.regionMatches(true, at, what, 0, what.length)
+
+  private def indexOfIgnoreCase(s: String, what: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = s.length - what.length
+    while (i <= last) {
+      if (regionMatchesIgnoreCase(s, i, what)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Visible text of an html fragment — the extraction pass that feeds
+    * every downstream text operator when the corpus arrives as raw
+    * pages. One linear scan, no DOM:
+    *
+    *  - `<script>`/`<style>` elements are dropped WITH their contents
+    *    (case-insensitive; unterminated → dropped to end of input);
+    *    `<!-- -->` comments likewise;
+    *  - every other tag is replaced by a word boundary (tags cut at the
+    *    first `>`, so attribute values containing a raw `>` are outside
+    *    the contract — real-world html escapes them);
+    *  - the named entities amp/lt/gt/quot/apos/nbsp and the numeric
+    *    `&#39;` decode AFTER tag stripping, so `&lt;script&gt;` becomes
+    *    literal text and can never resurrect an element; unknown
+    *    entities pass through verbatim;
+    *  - whitespace runs (incl. tag boundaries and nbsp) collapse to one
+    *    space; output is trimmed. Head/title text is kept (it is
+    *    retrieval-relevant); dropping it is the caller's one-liner.
+    */
+  def htmlText(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    def append(c: Char): Unit = {
+      if (pendingSpace && out.length > 0) out.append(' ')
+      pendingSpace = false
+      out.append(c)
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        pendingSpace = true
+        if (regionMatchesIgnoreCase(s, i, "<!--")) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (regionMatchesIgnoreCase(s, i, "<script")) {
+          val e = indexOfIgnoreCase(s, "</script", i + 7)
+          if (e < 0) i = n
+          else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
+        } else if (regionMatchesIgnoreCase(s, i, "<style")) {
+          val e = indexOfIgnoreCase(s, "</style", i + 6)
+          if (e < 0) i = n
+          else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
+        } else {
+          val e = s.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        }
+      } else if (c == '&') {
+        val decoded: Int =
+          if (regionMatchesIgnoreCase(s, i, "&amp;")) { append('&'); 5 }
+          else if (regionMatchesIgnoreCase(s, i, "&lt;")) { append('<'); 4 }
+          else if (regionMatchesIgnoreCase(s, i, "&gt;")) { append('>'); 4 }
+          else if (regionMatchesIgnoreCase(s, i, "&quot;")) { append('"'); 6 }
+          else if (regionMatchesIgnoreCase(s, i, "&apos;")) { append('\''); 6 }
+          else if (s.regionMatches(i, "&#39;", 0, 5)) { append('\''); 5 }
+          else if (regionMatchesIgnoreCase(s, i, "&nbsp;")) { pendingSpace = true; 6 }
+          else { append('&'); 1 }
+        i += decoded
+      } else if (Character.isWhitespace(c)) {
+        pendingSpace = true
+        i += 1
+      } else {
+        append(c)
+        i += 1
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** Registrable domain of the url's host: the last two labels, or the
     * last three when the final two form a known second-level public
     * suffix (`foo.co.uk` → `foo.co.uk`, `www.foo.com` → `foo.com`).
@@ -203,6 +286,20 @@ case class UrlHost(child: Expression) extends UrlUnary {
     copy(child = c)
 }
 
+/** html_text(html) → visible text (script/style/comments dropped,
+  * tags → word boundaries, entities decoded, whitespace collapsed).
+  * Total function over strings — never null on non-null input.
+  */
+case class HtmlText(child: Expression) extends UrlUnary {
+  override def prettyName: String = "html_text"
+  override def nullable: Boolean = child.nullable
+  override protected def kernelMethod: String = "htmlText"
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.htmlText(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** url_domain(url) → registrable domain, NULL when unparseable. */
 case class UrlRegistrableDomain(child: Expression) extends UrlUnary {
   override def prettyName: String = "url_domain"
@@ -225,4 +322,8 @@ object UrlFunctions {
   /** Column form of [[UrlRegistrableDomain]]. */
   def urlDomain(c: Column): Column =
     GraftBridge.column(UrlRegistrableDomain(GraftBridge.expression(c)))
+
+  /** Column form of [[HtmlText]]. */
+  def htmlText(c: Column): Column =
+    GraftBridge.column(HtmlText(GraftBridge.expression(c)))
 }

@@ -83,14 +83,49 @@ class UrlSpec extends SparkSpec {
     assert(domain("notaurl") == null)
   }
 
+  private def html(u: String): String = {
+    val r = Seq(u).toDF("u")
+      .select(UrlFunctions.htmlText(col("u")).as("t")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("htmlText: tags, script/style/comment blocks, entities, whitespace") {
+    assert(html("<p>Hello <b>world</b>!</p>") == "Hello world !")
+    // script content dropped even when it contains a closing-tag-like
+    // string literal; case-insensitive element names
+    assert(html("a<SCRIPT>var x=\"</p>\";</SCRIPT>b") == "a b")
+    assert(html("a<style>p{}</style>b") == "a b")
+    assert(html("a<!-- no -->b") == "a b")
+    // unterminated script drops to end of input, never throws
+    assert(html("keep<script>lost forever") == "keep")
+    // entities decode AFTER tag stripping: no element resurrection
+    assert(html("&lt;script&gt;alert(1)&lt;/script&gt;") ==
+      "<script>alert(1)</script>")
+    assert(html("x &amp; y&nbsp;&nbsp;z &#39;q&#39; &quot;r&quot;") ==
+      "x & y z 'q' \"r\"")
+    // unknown entities pass through verbatim
+    assert(html("a &unknown; b") == "a &unknown; b")
+    // whitespace runs + tag boundaries collapse; output trimmed
+    assert(html("  <div>\n\ta\n\n<p>  b  </p></div>  ") == "a b")
+    // attributes with quoted '<' are inside the tag; a raw '>' in an
+    // attribute cuts the tag early (documented contract limit)
+    assert(html("<img alt=\"a<b\">c") == "c")
+    assert(html("") == "")
+    val nulls = Seq(Option.empty[String]).toDF("u")
+      .select(UrlFunctions.htmlText(col("u")).as("t")).head()
+    assert(nulls.isNullAt(0))
+  }
+
   test("url_* SQL registration round-trips the same kernels") {
     graft.GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT url_normalize('HTTP://WWW.E.COM:80/p?utm_x=1&b=2&a=1#f') AS n, " +
         "url_host('http://User@WWW.E.COM:8080/') AS h, " +
-        "url_domain('https://www.foo.co.uk/x') AS d").head()
+        "url_domain('https://www.foo.co.uk/x') AS d, " +
+        "html_text('<p>a &amp; b</p>') AS t").head()
     assert(r.getString(0) == "http://e.com/p?a=1&b=2")
     assert(r.getString(1) == "www.e.com")
     assert(r.getString(2) == "foo.co.uk")
+    assert(r.getString(3) == "a & b")
   }
 }
