@@ -102,6 +102,7 @@ object UrlKernel {
         }
         if (p.length > 5) return null
         port = p.toInt
+        if (port > 65535) return null // out-of-range = malformed, like non-numeric
       }
     }
     host = host.toLowerCase(java.util.Locale.ROOT)
@@ -183,20 +184,50 @@ object UrlKernel {
       pendingSpace = false
       out.append(c)
     }
+    // html5 tokenizer rule: '<' opens markup only when followed by a
+    // letter (tag), '/'+letter (end tag), or '!'/'?' (declaration /
+    // bogus comment); otherwise it is literal text — scraped corpora
+    // carry unescaped '<' routinely and a greedy skip-to-'>' would eat
+    // visible text (up to the whole rest of the page when no '>'
+    // follows).
+    def isLetter(ch: Char): Boolean =
+      (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')
+    def opensMarkup(at: Int): Boolean = at + 1 < n && {
+      val ch = s.charAt(at + 1)
+      isLetter(ch) || ch == '!' || ch == '?' ||
+        (ch == '/' && at + 2 < n && isLetter(s.charAt(at + 2)))
+    }
+    // '<script' must END the tag name there (whitespace, '/', or '>')
+    // so custom elements like <scripture> / <style-guide> keep their
+    // visible contents
+    def rawTextOpen(at: Int, name: String): Boolean =
+      regionMatchesIgnoreCase(s, at, name) && {
+        val next = at + name.length
+        next >= n || {
+          val ch = s.charAt(next)
+          Character.isWhitespace(ch) || ch == '/' || ch == '>'
+        }
+      }
+    def rawTextClose(from: Int, name: String): Int = {
+      var at = indexOfIgnoreCase(s, name, from)
+      while (at >= 0 && !rawTextOpen(at, name)) // name must end there too
+        at = indexOfIgnoreCase(s, name, at + 1)
+      at
+    }
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '<') {
+      if (c == '<' && opensMarkup(i)) {
         pendingSpace = true
         if (regionMatchesIgnoreCase(s, i, "<!--")) {
           val e = s.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
-        } else if (regionMatchesIgnoreCase(s, i, "<script")) {
-          val e = indexOfIgnoreCase(s, "</script", i + 7)
+        } else if (rawTextOpen(i, "<script")) {
+          val e = rawTextClose(i + 7, "</script")
           if (e < 0) i = n
           else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
-        } else if (regionMatchesIgnoreCase(s, i, "<style")) {
-          val e = indexOfIgnoreCase(s, "</style", i + 6)
+        } else if (rawTextOpen(i, "<style")) {
+          val e = rawTextClose(i + 6, "</style")
           if (e < 0) i = n
           else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
         } else {
@@ -292,7 +323,10 @@ case class UrlHost(child: Expression) extends UrlUnary {
   */
 case class HtmlText(child: Expression) extends UrlUnary {
   override def prettyName: String = "html_text"
-  override def nullable: Boolean = child.nullable
+  // nullable stays UrlUnary's `true` even though the kernel is total:
+  // doGenCode assigns ev.isNull, and a non-nullable expression turns
+  // ev.isNull into the literal "false" — the generated Java would then
+  // assign to a non-lvalue and knock the stage out of codegen.
   override protected def kernelMethod: String = "htmlText"
   override protected def nullSafeEval(v: Any): Any =
     UrlKernel.htmlText(v.asInstanceOf[UTF8String])

@@ -290,6 +290,14 @@ class PlanShapeSpec extends SparkSpec {
         concat(lit("http://"), col("source"), lit(".com/x?b=2&a=1"))).as("u")))
     assert(p.linesIterator.exists(l => l.trim.matches("""\*\(\d+\) Project .*url_normalize.*""")))
     assert(!p.contains("CodegenFallback"))
+    // a NON-nullable child (coalesce over a literal) must not knock the
+    // stage out of codegen: the kernels pin nullable=true because their
+    // doGenCode assigns ev.isNull, which must stay an lvalue
+    val p2 = plan(real.select(
+      graft.functions.UrlFunctions.htmlText(
+        coalesce(col("text"), lit("<i>x</i>"))).as("t")))
+    assert(p2.linesIterator.exists(l => l.trim.matches("""\*\(\d+\) Project .*html_text.*""")))
+    assert(!p2.contains("CodegenFallback"))
   }
 
   test("weightedSample global path is TakeOrderedAndProject, never a full sort") {

@@ -65,6 +65,8 @@ class UrlSpec extends SparkSpec {
     assert(norm("http://:80/x") == null)
     assert(norm("http://e.com:notaport/x") == null)
     assert(norm("http://e.com:123456/x") == null) // port > 5 digits
+    assert(norm("http://e.com:99999/x") == null) // 5 digits but > 65535
+    assert(norm("http://e.com:65535/x") == "http://e.com:65535/x")
     val nulls = Seq(Option.empty[String]).toDF("u")
       .select(UrlFunctions.urlNormalize(col("u")).as("n")).head()
     assert(nulls.isNullAt(0))
@@ -110,10 +112,44 @@ class UrlSpec extends SparkSpec {
     // attributes with quoted '<' are inside the tag; a raw '>' in an
     // attribute cuts the tag early (documented contract limit)
     assert(html("<img alt=\"a<b\">c") == "c")
+    // html5 tokenizer rule: '<' followed by a non-letter is TEXT, so a
+    // stray '<' never swallows the rest of the page
+    assert(html("price is 3 < 5 here and more") == "price is 3 < 5 here and more")
+    assert(html("x < y <p>rest</p>") == "x < y rest")
+    assert(html("tail<") == "tail<")
+    // raw-text matching requires the NAME to end: custom elements that
+    // merely start with script/style keep their visible contents
+    assert(html("a<scripture>bible text</scripture>b") == "a bible text b")
+    assert(html("a<style-guide>visible</style-guide>b") == "a visible b")
+    // ...while attributes/self-closing forms still count as script
+    assert(html("a<script src=\"x\">gone</script>b") == "a b")
+    // a </scriptx> inside a script block does not terminate it
+    assert(html("a<script>var s=\"</scriptx>\";</script>b") == "a b")
     assert(html("") == "")
     val nulls = Seq(Option.empty[String]).toDF("u")
       .select(UrlFunctions.htmlText(col("u")).as("t")).head()
     assert(nulls.isNullAt(0))
+  }
+
+  test("kernels compile under codegen with NON-nullable children") {
+    // regression: nullable=child.nullable + a doGenCode that assigns
+    // ev.isNull made the generated Java assign to the literal "false"
+    // whenever the child was non-nullable — a codegen CompileException
+    // and a silent interpreted fallback. Generate the projection
+    // directly so a compile error fails the test instead of falling
+    // back.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    val lit = Literal.create("a<b>c</b>", org.apache.spark.sql.types.StringType)
+    assert(!lit.nullable)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      Alias(HtmlText(lit), "t")(),
+      Alias(UrlNormalize(Literal.create("notaurl",
+        org.apache.spark.sql.types.StringType)), "u")()))
+    val row = proj(InternalRow.empty)
+    assert(row.getUTF8String(0).toString == "a c")
+    assert(row.isNullAt(1)) // kernel null survives a non-nullable child
   }
 
   test("url_* SQL registration round-trips the same kernels") {
