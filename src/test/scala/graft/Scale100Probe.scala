@@ -220,6 +220,20 @@ object Scale100Probe {
       println(f"bpe learnMerges 500k docs (200 merges, 64k vocab cap): " +
         f"${(System.nanoTime() - t0) / 1e9}%.1fs merges=${merges.size}")
     }
+    // web ingestion kernels: pure per-row codegen — the probe pins
+    // that 500k messy urls + full-page html extraction stay scan-bound
+    // (the agg consumer defeats column pruning, so the kernels run)
+    time("urlNormalize + htmlText 500k docs")(
+      docs100.select(
+        graft.functions.UrlFunctions.urlNormalize(concat(
+          lit("HTTP://WWW."), col("lang"), lit(".example.com:80/d/"),
+          (col("doc_id") % 97).cast("string"),
+          lit("?utm_source=x&b=2&a=1#f"))).as("u"),
+        graft.functions.UrlFunctions.htmlText(concat(
+          lit("<html><head><script>var a=1;</script></head><body><p>"),
+          col("text"), lit("</p></body></html>"))).as("t"))
+        .agg(count(col("u")).as("n_urls"),
+          sum(length(col("t"))).as("html_chars")))
     } // enabled("text")
 
     spark.stop()
