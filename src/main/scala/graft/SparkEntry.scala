@@ -1210,6 +1210,49 @@ object SparkEntry {
         graft.functions.UrlFunctions.htmlText(html).as("body"))
     }),
 
+    // WARC record splitting: each doc becomes a synthetic ISO-28500
+    // blob of 1 + doc_id mod 3 response records, the REAL parser
+    // splits it back, and the oracle recomputes record indices,
+    // lengths, uris and payload hashes from the generating columns —
+    // the length-prefixed payload may contain anything (incl. header
+    // look-alikes) without confusing the split.
+    "q_warc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull &&
+          col("text").isNotNull)
+      val uri = concat(lit("http://"), col("source"),
+        lit(".example.com/d/"), col("doc_id").cast("string"))
+      val withWarc = graft.sources.Warc.attachSyntheticWarc(docs,
+        col("doc_id") % 3 + 1, uri, col("text"))
+      graft.sources.Warc.warcRecords(withWarc, "doc_id", "warc")
+        .select(col("doc_id"), col("record_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+    }),
+
+    // The full raw-crawl → documents ingestion path in one plan:
+    // binary WARC → record split → target-uri canonicalization →
+    // html visible-text extraction. Everything narrow until the
+    // caller aggregates; the oracle emits the whole expected row
+    // arithmetically.
+    "q_warc_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull &&
+          col("text").isNotNull)
+      val payload = concat(lit("<html><body><p>"), col("text"),
+        lit("</p><script>var a=1;</script></body></html>"))
+      val withWarc = graft.sources.Warc.attachSyntheticWarc(docs,
+        col("doc_id") % 2 + 1, messyUrl, payload)
+      graft.sources.Warc.warcRecords(withWarc, "doc_id", "warc")
+        .select(col("doc_id"), col("record_idx"),
+          graft.functions.UrlFunctions.urlNormalize(col("target_uri"))
+            .as("url_norm"),
+          graft.functions.UrlFunctions.htmlText(
+            col("payload").cast("string")).as("body"))
+    }),
+
     // Url-level exact dedup (the CCNet/RefinedWeb leading pass): docs
     // sharing a canonical url collapse to the min doc_id; the messy
     // construction guarantees collisions (path is doc_id mod 97).
@@ -6423,6 +6466,28 @@ object SparkEntry {
     "q_html_text" ->
       """SELECT doc_id,
         |  source || ' ' || upper(source) || ' x & y <z> ok ' || text AS body
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  AND text IS NOT NULL""".stripMargin,
+
+    "q_warc" ->
+      """SELECT doc_id,
+        |  unnest(generate_series(0, (doc_id % 3)::BIGINT)) AS record_idx,
+        |  'response' AS warc_type,
+        |  'http://' || source || '.example.com/d/' ||
+        |    CAST(doc_id AS VARCHAR) AS target_uri,
+        |  length(text)::BIGINT AS content_length,
+        |  md5(text) AS payload_md5
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  AND text IS NOT NULL""".stripMargin,
+
+    "q_warc_pipeline" ->
+      """SELECT doc_id,
+        |  unnest(generate_series(0, (doc_id % 2)::BIGINT)) AS record_idx,
+        |  'http://' || source || '.example.com/d/' ||
+        |    CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2' AS url_norm,
+        |  text AS body
         |FROM documents
         |WHERE doc_id IS NOT NULL AND source IS NOT NULL
         |  AND text IS NOT NULL""".stripMargin,
