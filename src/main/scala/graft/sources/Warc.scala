@@ -41,6 +41,11 @@ object Warc {
     require(nRecords >= 1 && uri != null && payload != null,
       s"warcEncode: need nRecords >= 1 and non-null uri/payload, got " +
         s"($nRecords, $uri)")
+    // uris are ASCII by spec (RFC 3986), and a CR/LF here would smuggle
+    // a fake header line into the record — fail at ENCODE time with
+    // this operator's name, not downstream with the parser's
+    require(uri.forall(c => c > ' ' && c <= '~'),
+      s"warcEncode: uri must be printable ASCII without spaces/CR/LF, got '$uri'")
     val out = new java.io.ByteArrayOutputStream()
     var k = 0
     while (k < nRecords) {
@@ -58,64 +63,73 @@ object Warc {
     out.toByteArray
   }
 
-  /** Parse one WARC blob → (warcType, recordId, targetUri, payload)
-    * per record. Header names are case-insensitive per the spec;
+  /** Parse a WARC blob → one (warcType, recordId, targetUri, payload)
+    * per record, LAZILY — the iterator parses a record per `next()` so
+    * a task never holds a second full copy of a ~1 GB blob's payloads
+    * (the consumer streams them into rows and earlier payloads become
+    * collectable). Header names are case-insensitive per the spec;
     * Content-Length is required; each record must terminate with two
-    * CRLFs. Throws IllegalArgumentException (operator-named) on any
-    * structural violation.
+    * CRLFs; a ZERO-byte blob fails loudly (a failed fetch / truncated
+    * upload losing all its records silently is exactly the bug class
+    * the fail-loud contract exists for). Throws
+    * IllegalArgumentException (operator-named) on any structural
+    * violation.
     */
-  def parseRecords(bytes: Array[Byte]): Seq[(String, String, String, Array[Byte])] = {
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, String, Array[Byte])]
-    var pos = 0
-    val n = bytes.length
-    def fail(what: String): Nothing =
-      throw new IllegalArgumentException(s"warcRecords: $what at byte $pos")
-    def readLine(): String = {
-      var e = pos
-      while (e + 1 < n && !(bytes(e) == '\r' && bytes(e + 1) == '\n')) e += 1
-      if (e + 1 >= n) fail("unterminated header line")
-      val line = new String(bytes, pos, e - pos, "US-ASCII")
-      pos = e + 2
-      line
-    }
-    while (pos < n) {
-      val version = readLine()
-      if (!version.startsWith("WARC/")) fail(s"expected WARC/ magic, got '$version'")
-      var warcType: String = null
-      var recordId: String = null
-      var uri: String = null
-      var len = -1L
-      var line = readLine()
-      while (line.nonEmpty) {
-        val c = line.indexOf(':')
-        if (c <= 0) fail(s"malformed header '$line'")
-        val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-        val v = line.substring(c + 1).trim
-        key match {
-          case "warc-type"       => warcType = v
-          case "warc-record-id"  => recordId = v
-          case "warc-target-uri" => uri = v
-          case "content-length"  =>
-            len = try v.toLong catch {
-              case _: NumberFormatException => fail(s"bad Content-Length '$v'")
-            }
-          case _                 => () // other headers are legal, ignored
-        }
-        line = readLine()
+  def parseRecords(bytes: Array[Byte]): Iterator[(String, String, String, Array[Byte])] = {
+    if (bytes.isEmpty)
+      throw new IllegalArgumentException(
+        "warcRecords: empty blob — zero records is a pipeline bug, not data")
+    new Iterator[(String, String, String, Array[Byte])] {
+      private var pos = 0
+      private val n = bytes.length
+      private def fail(what: String): Nothing =
+        throw new IllegalArgumentException(s"warcRecords: $what at byte $pos")
+      private def readLine(): String = {
+        var e = pos
+        while (e + 1 < n && !(bytes(e) == '\r' && bytes(e + 1) == '\n')) e += 1
+        if (e + 1 >= n) fail("unterminated header line")
+        val line = new String(bytes, pos, e - pos, "US-ASCII")
+        pos = e + 2
+        line
       }
-      if (len < 0) fail("missing Content-Length")
-      if (pos + len > n) fail(s"payload of $len bytes overruns the blob")
-      val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt)
-      pos += len.toInt
-      // two CRLFs close every record (ISO 28500 §4)
-      if (pos + 4 > n || bytes(pos) != '\r' || bytes(pos + 1) != '\n' ||
-        bytes(pos + 2) != '\r' || bytes(pos + 3) != '\n')
-        fail("record not terminated by two CRLFs")
-      pos += 4
-      out += ((warcType, recordId, uri, payload))
+      override def hasNext: Boolean = pos < n
+      override def next(): (String, String, String, Array[Byte]) = {
+        val version = readLine()
+        if (!version.startsWith("WARC/")) fail(s"expected WARC/ magic, got '$version'")
+        var warcType: String = null
+        var recordId: String = null
+        var uri: String = null
+        var len = -1L
+        var line = readLine()
+        while (line.nonEmpty) {
+          val c = line.indexOf(':')
+          if (c <= 0) fail(s"malformed header '$line'")
+          val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+          val v = line.substring(c + 1).trim
+          key match {
+            case "warc-type"       => warcType = v
+            case "warc-record-id"  => recordId = v
+            case "warc-target-uri" => uri = v
+            case "content-length"  =>
+              len = try v.toLong catch {
+                case _: NumberFormatException => fail(s"bad Content-Length '$v'")
+              }
+            case _                 => () // other headers are legal, ignored
+          }
+          line = readLine()
+        }
+        if (len < 0) fail("missing Content-Length")
+        if (pos + len > n) fail(s"payload of $len bytes overruns the blob")
+        val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt)
+        pos += len.toInt
+        // two CRLFs close every record (ISO 28500 §4)
+        if (pos + 4 > n || bytes(pos) != '\r' || bytes(pos + 1) != '\n' ||
+          bytes(pos + 2) != '\r' || bytes(pos + 3) != '\n')
+          fail("record not terminated by two CRLFs")
+        pos += 4
+        (warcType, recordId, uri, payload)
+      }
     }
-    out.toSeq
   }
 
   /** Attach a synthetic WARC payload built row-locally from columns
@@ -137,10 +151,15 @@ object Warc {
       rows.map { r =>
         require(!r.isNullAt(ni) && !r.isNullAt(ui) && !r.isNullAt(pi),
           "attachSyntheticWarc: null construction input")
+        // UTF-8, never US-ASCII: ASCII getBytes silently substitutes
+        // '?' for non-ASCII chars and the encoded lengths/hashes would
+        // quietly disagree with the source text; UTF-8 is lossless and
+        // Content-Length counts its bytes (the uri is validated ASCII
+        // inside warcEncode)
         Row.fromSeq(r.toSeq :+ warcEncode(r.getInt(ni), r.getString(ui),
-          r.getString(pi).getBytes("US-ASCII")))
+          r.getString(pi).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
-    }(enc)
+    }(enc).drop("_wn", "_wu", "_wp")
   }
 
   /** Split WARC blobs into records: one output row per record —
@@ -162,7 +181,7 @@ object Warc {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.get(idIdx)
-        parseRecords(r.getAs[Array[Byte]](binIdx)).iterator.zipWithIndex.map {
+        parseRecords(r.getAs[Array[Byte]](binIdx)).zipWithIndex.map {
           case ((t, rid, uri, payload), k) =>
             Row(id, k.toLong, t, rid, uri, payload.length.toLong, payload)
         }

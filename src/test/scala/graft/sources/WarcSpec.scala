@@ -13,7 +13,7 @@ class WarcSpec extends SparkSpec {
   test("warcEncode round-trips through parseRecords") {
     val payload = "hello warc".getBytes("US-ASCII")
     val blob = Warc.warcEncode(3, "http://e.com/x", payload)
-    val recs = Warc.parseRecords(blob)
+    val recs = Warc.parseRecords(blob).toSeq
     assert(recs.length == 3)
     recs.zipWithIndex.foreach { case ((t, rid, uri, p), k) =>
       assert(t == "response")
@@ -28,7 +28,7 @@ class WarcSpec extends SparkSpec {
     // a fake WARC record parses as one record, not two
     val evil = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
     val blob = Warc.warcEncode(1, "http://e.com", evil.getBytes("US-ASCII"))
-    val recs = Warc.parseRecords(blob)
+    val recs = Warc.parseRecords(blob).toSeq
     assert(recs.length == 1)
     assert(new String(recs.head._4, "US-ASCII") == evil)
   }
@@ -39,7 +39,7 @@ class WarcSpec extends SparkSpec {
       "X-Custom: whatever\r\n" +
       "CONTENT-LENGTH: 2\r\n" +
       "\r\nok\r\n\r\n").getBytes("US-ASCII")
-    val recs = Warc.parseRecords(blob)
+    val recs = Warc.parseRecords(blob).toSeq
     assert(recs.length == 1)
     assert(recs.head._1 == "request")
     assert(recs.head._2 == null) // no record id header
@@ -49,7 +49,7 @@ class WarcSpec extends SparkSpec {
   test("structural violations fail loudly with the operator name") {
     def bad(s: String): String = {
       val e = intercept[IllegalArgumentException] {
-        Warc.parseRecords(s.getBytes("US-ASCII"))
+        Warc.parseRecords(s.getBytes("US-ASCII")).foreach(_ => ())
       }
       assert(e.getMessage.contains("warcRecords"))
       e.getMessage
@@ -64,6 +64,34 @@ class WarcSpec extends SparkSpec {
     assert(bad("WARC/1.0\r\nContent-Length: x\r\n\r\n\r\n\r\n")
       .contains("Content-Length"))
     assert(bad("WARC/1.0\r\nnocolon\r\n").contains("malformed header"))
+    // a zero-byte blob (failed fetch / truncated upload) fails loudly
+    // instead of silently contributing zero records
+    assert(bad("").contains("empty blob"))
+  }
+
+  test("encode validates the uri and never corrupts non-ASCII payloads") {
+    // a CR/LF (or any non-printable) in the uri would smuggle a fake
+    // header line into the record — rejected at encode time, named
+    val e = intercept[IllegalArgumentException] {
+      Warc.warcEncode(1, "http://e.com/\r\nWARC-Type: fake", "x".getBytes)
+    }
+    assert(e.getMessage.contains("warcEncode"))
+    // non-ASCII payloads ride UTF-8 losslessly: Content-Length counts
+    // the encoded bytes and the round-trip recovers the exact string
+    val df = Seq((1L, 1, "http://e.com/u", "café ☃")).toDF("id", "n", "uri", "body")
+    val out = Warc.warcRecords(
+      Warc.attachSyntheticWarc(df, col("n"), col("uri"), col("body")),
+      "id", "warc").select("content_length", "payload").head()
+    val bytes = out.getAs[Array[Byte]](1)
+    assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) ==
+      "café ☃")
+    assert(out.getLong(0) == bytes.length && bytes.length == 9L)
+  }
+
+  test("attachSyntheticWarc adds exactly one column") {
+    val df = Seq((1L, 1, "http://e.com/u", "x")).toDF("id", "n", "uri", "body")
+    val out = Warc.attachSyntheticWarc(df, col("n"), col("uri"), col("body"))
+    assert(out.columns.toSeq == Seq("id", "n", "uri", "body", "warc"))
   }
 
   test("warcRecords explodes blobs distributively; attach is narrow") {
