@@ -234,6 +234,20 @@ object Scale100Probe {
           col("text"), lit("</p></body></html>"))).as("t"))
         .agg(count(col("u")).as("n_urls"),
           sum(length(col("t"))).as("html_chars")))
+    // WARC ingestion at 100×: 500k synthetic 3-record blobs → 1.5M
+    // record rows, narrow encode + narrow split, no shuffle until the
+    // final count aggregate
+    time("warc encode + record split 500k blobs")(
+      graft.sources.Warc.warcRecords(
+        graft.sources.Warc.attachSyntheticWarc(
+          docs100.select(col("doc_id"), col("text")),
+          lit(3),
+          concat(lit("http://d"), (col("doc_id") % 1000).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string")),
+          col("text")),
+        "doc_id", "warc")
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("payload_bytes")))
     } // enabled("text")
 
     spark.stop()
