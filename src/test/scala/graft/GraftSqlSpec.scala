@@ -45,7 +45,8 @@ class GraftSqlSpec extends SparkSpec {
       "vec_dot", "vec_cosine", "vec_hyperplane_bucket",
       "minhash_signature", "simhash64", "word_shingles",
       "jaro_winkler", "interleave_bits",
-      "char_shingles", "stopword_count", "subword_count", "rolling_hash"))
+      "char_shingles", "stopword_count", "subword_count", "rolling_hash",
+      "url_normalize", "url_host", "url_domain", "html_text"))
   }
 
   test("skippingFailures drops poisoned records and counts them " +
