@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharShingles, CosineSimilarity, DotProduct, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RollingHash, Simhash64, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, WordShingles}
+import graft.functions.{CharShingles, CosineSimilarity, DotProduct, HtmlLinks, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RollingHash, Simhash64, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -126,7 +126,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => { val a = arity("url_domain", 1)(es); UrlRegistrableDomain(a(0)) }),
     ("html_text",
       "html_text(html) - visible text: script/style/comments dropped, tags become word boundaries, entities decoded, whitespace collapsed",
-      (es: Seq[Expression]) => { val a = arity("html_text", 1)(es); HtmlText(a(0)) })
+      (es: Seq[Expression]) => { val a = arity("html_text", 1)(es); HtmlText(a(0)) }),
+    ("html_links",
+      "html_links(html) - array of <a> href targets in document order (entity-decoded; anchors in script/style/comments don't count)",
+      (es: Seq[Expression]) => { val a = arity("html_links", 1)(es); HtmlLinks(a(0)) })
   )
 
   /** Register every function into a live session's registry. */

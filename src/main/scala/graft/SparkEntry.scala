@@ -1210,6 +1210,51 @@ object SparkEntry {
         graft.functions.UrlFunctions.htmlText(html).as("body"))
     }),
 
+    // Link extraction: every doc becomes a page with one absolute
+    // anchor (always), one relative anchor (even doc_ids), and a
+    // decoy anchor inside a script block that must NOT be extracted;
+    // the oracle emits the expected (idx, href) rows arithmetically.
+    "q_html_links" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull)
+      val page = concat(
+        lit("<html><body><a href=\"http://"), col("source"),
+        lit(".example.com/d/"), (col("doc_id") % 50).cast("string"),
+        lit("\">x</a>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<a class='m' href='/rel/"),
+            (col("doc_id") % 7).cast("string"), lit("'>y</a>")))
+          .otherwise(lit("")),
+        lit("<script>var s='<a href=\"http://no.example.com/\">';</script>" +
+          "<p>text</p></body></html>"))
+      docs.select(col("doc_id"),
+        posexplode(graft.functions.UrlFunctions.htmlLinks(page)))
+        .withColumnRenamed("pos", "link_idx")
+        .withColumnRenamed("col", "href")
+        .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
+          col("href"))
+    }),
+
+    // The raw-crawl WEB GRAPH in one plan: pages → <a> hrefs (with an
+    // entity-encoded &amp; between query params) → url_normalize →
+    // indegree per canonical target. The oracle never parses anything:
+    // the expected canonical target and its indegree are group-by
+    // arithmetic over the generating columns.
+    "q_web_graph" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull)
+      val page = concat(
+        lit("<html><body><p>see</p><a href=\"HTTP://WWW."), col("source"),
+        lit(".example.com:80/d/"), (col("doc_id") % 50).cast("string"),
+        lit("?utm_x=1&amp;a=1\">link</a></body></html>"))
+      docs.select(
+        explode(graft.functions.UrlFunctions.htmlLinks(page)).as("href"))
+        .select(graft.functions.UrlFunctions.urlNormalize(col("href"))
+          .as("target"))
+        .groupBy(col("target"))
+        .agg(count(lit(1)).as("indegree"))
+    }),
+
     // WARC record splitting: each doc becomes a synthetic ISO-28500
     // blob of 1 + doc_id mod 3 response records, the REAL parser
     // splits it back, and the oracle recomputes record indices,
@@ -6469,6 +6514,27 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND source IS NOT NULL
         |  AND text IS NOT NULL""".stripMargin,
+
+    "q_html_links" ->
+      """SELECT doc_id, 0::BIGINT AS link_idx,
+        |  'http://' || source || '.example.com/d/' ||
+        |    CAST(doc_id % 50 AS VARCHAR) AS href
+        |FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |UNION ALL
+        |SELECT doc_id, 1::BIGINT AS link_idx,
+        |  '/rel/' || CAST(doc_id % 7 AS VARCHAR) AS href
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  AND doc_id % 2 = 0""".stripMargin,
+
+    "q_web_graph" ->
+      """SELECT
+        |  'http://' || source || '.example.com/d/' ||
+        |    CAST(doc_id % 50 AS VARCHAR) || '?a=1' AS target,
+        |  count(*) AS indegree
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q_warc" ->
       """SELECT doc_id,

@@ -156,6 +156,39 @@ object UrlKernel {
     -1
   }
 
+  // html5 tokenizer rule: '<' opens markup only when followed by a
+  // letter (tag), '/'+letter (end tag), or '!'/'?' (declaration /
+  // bogus comment); otherwise it is literal text — scraped corpora
+  // carry unescaped '<' routinely and a greedy skip-to-'>' would eat
+  // visible text. Shared by [[htmlText]] and [[htmlLinks]].
+  private def isAsciiLetter(ch: Char): Boolean =
+    (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')
+
+  private def opensMarkup(s: String, at: Int): Boolean = at + 1 < s.length && {
+    val ch = s.charAt(at + 1)
+    isAsciiLetter(ch) || ch == '!' || ch == '?' ||
+      (ch == '/' && at + 2 < s.length && isAsciiLetter(s.charAt(at + 2)))
+  }
+
+  // '<script' must END the tag name there (whitespace, '/', or '>') so
+  // custom elements like <scripture> / <style-guide> keep their
+  // visible contents
+  private def rawTextOpen(s: String, at: Int, name: String): Boolean =
+    regionMatchesIgnoreCase(s, at, name) && {
+      val next = at + name.length
+      next >= s.length || {
+        val ch = s.charAt(next)
+        Character.isWhitespace(ch) || ch == '/' || ch == '>'
+      }
+    }
+
+  private def rawTextClose(s: String, from: Int, name: String): Int = {
+    var at = indexOfIgnoreCase(s, name, from)
+    while (at >= 0 && !rawTextOpen(s, at, name)) // name must end there too
+      at = indexOfIgnoreCase(s, name, at + 1)
+    at
+  }
+
   /** Visible text of an html fragment — the extraction pass that feeds
     * every downstream text operator when the corpus arrives as raw
     * pages. One linear scan, no DOM:
@@ -184,50 +217,20 @@ object UrlKernel {
       pendingSpace = false
       out.append(c)
     }
-    // html5 tokenizer rule: '<' opens markup only when followed by a
-    // letter (tag), '/'+letter (end tag), or '!'/'?' (declaration /
-    // bogus comment); otherwise it is literal text — scraped corpora
-    // carry unescaped '<' routinely and a greedy skip-to-'>' would eat
-    // visible text (up to the whole rest of the page when no '>'
-    // follows).
-    def isLetter(ch: Char): Boolean =
-      (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')
-    def opensMarkup(at: Int): Boolean = at + 1 < n && {
-      val ch = s.charAt(at + 1)
-      isLetter(ch) || ch == '!' || ch == '?' ||
-        (ch == '/' && at + 2 < n && isLetter(s.charAt(at + 2)))
-    }
-    // '<script' must END the tag name there (whitespace, '/', or '>')
-    // so custom elements like <scripture> / <style-guide> keep their
-    // visible contents
-    def rawTextOpen(at: Int, name: String): Boolean =
-      regionMatchesIgnoreCase(s, at, name) && {
-        val next = at + name.length
-        next >= n || {
-          val ch = s.charAt(next)
-          Character.isWhitespace(ch) || ch == '/' || ch == '>'
-        }
-      }
-    def rawTextClose(from: Int, name: String): Int = {
-      var at = indexOfIgnoreCase(s, name, from)
-      while (at >= 0 && !rawTextOpen(at, name)) // name must end there too
-        at = indexOfIgnoreCase(s, name, at + 1)
-      at
-    }
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '<' && opensMarkup(i)) {
+      if (c == '<' && opensMarkup(s, i)) {
         pendingSpace = true
         if (regionMatchesIgnoreCase(s, i, "<!--")) {
           val e = s.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
-        } else if (rawTextOpen(i, "<script")) {
-          val e = rawTextClose(i + 7, "</script")
+        } else if (rawTextOpen(s, i, "<script")) {
+          val e = rawTextClose(s, i + 7, "</script")
           if (e < 0) i = n
           else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
-        } else if (rawTextOpen(i, "<style")) {
-          val e = rawTextClose(i + 6, "</style")
+        } else if (rawTextOpen(s, i, "<style")) {
+          val e = rawTextClose(s, i + 6, "</style")
           if (e < 0) i = n
           else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
         } else {
@@ -254,6 +257,110 @@ object UrlKernel {
       }
     }
     UTF8String.fromString(out.toString)
+  }
+
+  /** Decode the entity set [[htmlText]] understands inside an
+    * attribute value — hrefs routinely carry `&amp;` between query
+    * params, and an undecoded one corrupts every downstream url key.
+    */
+  private def decodeEntities(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val out = new java.lang.StringBuilder(v.length)
+    var i = 0
+    val n = v.length
+    while (i < n) {
+      val c = v.charAt(i)
+      if (c == '&') {
+        if (regionMatchesIgnoreCase(v, i, "&amp;")) { out.append('&'); i += 5 }
+        else if (regionMatchesIgnoreCase(v, i, "&lt;")) { out.append('<'); i += 4 }
+        else if (regionMatchesIgnoreCase(v, i, "&gt;")) { out.append('>'); i += 4 }
+        else if (regionMatchesIgnoreCase(v, i, "&quot;")) { out.append('"'); i += 6 }
+        else if (regionMatchesIgnoreCase(v, i, "&apos;")) { out.append('\''); i += 6 }
+        else if (v.regionMatches(i, "&#39;", 0, 5)) { out.append('\''); i += 5 }
+        else if (regionMatchesIgnoreCase(v, i, "&nbsp;")) { out.append(' '); i += 6 }
+        else { out.append('&'); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** The href attribute value inside a tag body `s[from, until)`, or
+    * null when absent: the attribute name must start at a whitespace
+    * boundary (so `data-href=` doesn't match), `=` may carry spaces on
+    * both sides, the value is quoted (either quote) or runs unquoted
+    * to whitespace/tag-end.
+    */
+  private def findHref(s: String, from: Int, until: Int): String = {
+    var i = from
+    while (i + 4 <= until) {
+      if (regionMatchesIgnoreCase(s, i, "href") &&
+        i > from && Character.isWhitespace(s.charAt(i - 1))) {
+        var j = i + 4
+        while (j < until && Character.isWhitespace(s.charAt(j))) j += 1
+        if (j < until && s.charAt(j) == '=') {
+          j += 1
+          while (j < until && Character.isWhitespace(s.charAt(j))) j += 1
+          if (j < until) {
+            val q = s.charAt(j)
+            if (q == '"' || q == '\'') {
+              val e = s.indexOf(q, j + 1)
+              return if (e < 0 || e > until) s.substring(j + 1, until)
+              else s.substring(j + 1, e)
+            } else {
+              var e = j
+              while (e < until && !Character.isWhitespace(s.charAt(e))) e += 1
+              return s.substring(j, e)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** href targets of a page's `<a>` elements in document order — the
+    * edge extractor of the raw-crawl web graph ([[Warc.warcRecords]]
+    * splits pages, this emits their outlinks, `url_normalize`
+    * canonicalizes them, and the Graph operators take the edges from
+    * there). Anchors inside script/style/comment blocks don't count;
+    * href is case-insensitive, quoted or unquoted; values
+    * entity-decode (`&amp;` → `&`); anchors without an href — or with
+    * an empty one — emit nothing. A linkless page yields an EMPTY
+    * array, never null (null is reserved for null input).
+    */
+  def htmlLinks(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<' && opensMarkup(s, i)) {
+        if (regionMatchesIgnoreCase(s, i, "<!--")) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (rawTextOpen(s, i, "<script")) {
+          val e = rawTextClose(s, i + 7, "</script")
+          if (e < 0) i = n
+          else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
+        } else if (rawTextOpen(s, i, "<style")) {
+          val e = rawTextClose(s, i + 6, "</style")
+          if (e < 0) i = n
+          else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
+        } else {
+          val e = s.indexOf('>', i)
+          val tagEnd = if (e < 0) n else e
+          if (rawTextOpen(s, i, "<a")) {
+            val href = findHref(s, i + 2, tagEnd)
+            if (href != null && href.nonEmpty)
+              out += UTF8String.fromString(decodeEntities(href))
+          }
+          i = if (e < 0) n else e + 1
+        }
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   /** Registrable domain of the url's host: the last two labels, or the
@@ -344,6 +451,36 @@ case class UrlRegistrableDomain(child: Expression) extends UrlUnary {
     copy(child = c)
 }
 
+/** html_links(html) → array of `<a>` href targets in document order
+  * (entity-decoded; empty array when linkless; NULL only on null
+  * input). Array type, so it lives outside the [[UrlUnary]] family.
+  */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "html_links"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.htmlLinks(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UrlKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    // the kernel never returns null, so no isNull assignment is needed
+    // (and none is safe: a non-nullable child makes ev.isNull a literal)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.htmlLinks($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object UrlFunctions {
   /** Column form of [[UrlNormalize]]. */
   def urlNormalize(c: Column): Column =
@@ -360,4 +497,8 @@ object UrlFunctions {
   /** Column form of [[HtmlText]]. */
   def htmlText(c: Column): Column =
     GraftBridge.column(HtmlText(GraftBridge.expression(c)))
+
+  /** Column form of [[HtmlLinks]]. */
+  def htmlLinks(c: Column): Column =
+    GraftBridge.column(HtmlLinks(GraftBridge.expression(c)))
 }

@@ -131,6 +131,35 @@ class UrlSpec extends SparkSpec {
     assert(nulls.isNullAt(0))
   }
 
+  private def links(u: String): Seq[String] = {
+    val r = Seq(u).toDF("u")
+      .select(UrlFunctions.htmlLinks(col("u")).as("l")).head()
+    r.getSeq[String](0)
+  }
+
+  test("htmlLinks: anchors, quoting, entities, excluded blocks") {
+    assert(links("<a href=\"http://a.com/1\">x</a><a href='/rel'>y</a>") ==
+      Seq("http://a.com/1", "/rel"))
+    // unquoted value runs to whitespace; '=' may carry spaces
+    assert(links("<a href = http://b.com/p >z</a>") == Seq("http://b.com/p"))
+    // entity-decoded: &amp; between query params
+    assert(links("<a href=\"/p?x=1&amp;y=2\">q</a>") == Seq("/p?x=1&y=2"))
+    // anchors in script/style/comment blocks don't count
+    assert(links("<script>var s='<a href=\"http://no.com/\">';</script>" +
+      "<!-- <a href=\"http://also-no.com/\">x</a> -->" +
+      "<a href=\"http://yes.com/\">k</a>") == Seq("http://yes.com/"))
+    // no href / empty href emit nothing; <abbr> is not <a>
+    assert(links("<a name=\"anchor\">t</a><a href=\"\">e</a><abbr>a</abbr>") ==
+      Seq.empty)
+    // data-href is not href (attribute name must start at a boundary)
+    assert(links("<a data-href=\"/no\">t</a>") == Seq.empty)
+    // linkless page: empty array, not null
+    assert(links("<p>nothing here</p>") == Seq.empty)
+    val nulls = Seq(Option.empty[String]).toDF("u")
+      .select(UrlFunctions.htmlLinks(col("u")).as("l")).head()
+    assert(nulls.isNullAt(0))
+  }
+
   test("kernels compile under codegen with NON-nullable children") {
     // regression: nullable=child.nullable + a doGenCode that assigns
     // ev.isNull made the generated Java assign to the literal "false"
