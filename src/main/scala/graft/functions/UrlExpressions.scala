@@ -189,6 +189,39 @@ object UrlKernel {
     at
   }
 
+  /** If s(i) starts a comment / script / style block, the scan
+    * position AFTER the whole block (unterminated → s.length); -1 when
+    * it is ordinary markup — THE one block-skip shared by [[htmlText]]
+    * and [[htmlLinks]], so an edge-case fix lands in both scanners.
+    */
+  private def skipNonContent(s: String, i: Int): Int = {
+    val n = s.length
+    if (regionMatchesIgnoreCase(s, i, "<!--")) {
+      val e = s.indexOf("-->", i + 4)
+      if (e < 0) n else e + 3
+    } else if (rawTextOpen(s, i, "<script")) {
+      val e = rawTextClose(s, i + 7, "</script")
+      if (e < 0) n else { val gt = s.indexOf('>', e); if (gt < 0) n else gt + 1 }
+    } else if (rawTextOpen(s, i, "<style")) {
+      val e = rawTextClose(s, i + 6, "</style")
+      if (e < 0) n else { val gt = s.indexOf('>', e); if (gt < 0) n else gt + 1 }
+    } else -1
+  }
+
+  /** (decodedChar, consumedLength) of the entity at `s(i) == '&'`, or
+    * null when unknown — THE single entity table behind `html_text`
+    * and `html_links`; extending it extends both in lockstep.
+    */
+  private def entityAt(s: String, i: Int): (Char, Int) =
+    if (regionMatchesIgnoreCase(s, i, "&amp;")) ('&', 5)
+    else if (regionMatchesIgnoreCase(s, i, "&lt;")) ('<', 4)
+    else if (regionMatchesIgnoreCase(s, i, "&gt;")) ('>', 4)
+    else if (regionMatchesIgnoreCase(s, i, "&quot;")) ('"', 6)
+    else if (regionMatchesIgnoreCase(s, i, "&apos;")) ('\'', 6)
+    else if (s.regionMatches(i, "&#39;", 0, 5)) ('\'', 5)
+    else if (regionMatchesIgnoreCase(s, i, "&nbsp;")) (' ', 6)
+    else null
+
   /** Visible text of an html fragment — the extraction pass that feeds
     * every downstream text operator when the corpus arrives as raw
     * pages. One linear scan, no DOM:
@@ -222,32 +255,20 @@ object UrlKernel {
       val c = s.charAt(i)
       if (c == '<' && opensMarkup(s, i)) {
         pendingSpace = true
-        if (regionMatchesIgnoreCase(s, i, "<!--")) {
-          val e = s.indexOf("-->", i + 4)
-          i = if (e < 0) n else e + 3
-        } else if (rawTextOpen(s, i, "<script")) {
-          val e = rawTextClose(s, i + 7, "</script")
-          if (e < 0) i = n
-          else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
-        } else if (rawTextOpen(s, i, "<style")) {
-          val e = rawTextClose(s, i + 6, "</style")
-          if (e < 0) i = n
-          else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
-        } else {
+        val skipped = skipNonContent(s, i)
+        if (skipped >= 0) i = skipped
+        else {
           val e = s.indexOf('>', i)
           i = if (e < 0) n else e + 1
         }
       } else if (c == '&') {
-        val decoded: Int =
-          if (regionMatchesIgnoreCase(s, i, "&amp;")) { append('&'); 5 }
-          else if (regionMatchesIgnoreCase(s, i, "&lt;")) { append('<'); 4 }
-          else if (regionMatchesIgnoreCase(s, i, "&gt;")) { append('>'); 4 }
-          else if (regionMatchesIgnoreCase(s, i, "&quot;")) { append('"'); 6 }
-          else if (regionMatchesIgnoreCase(s, i, "&apos;")) { append('\''); 6 }
-          else if (s.regionMatches(i, "&#39;", 0, 5)) { append('\''); 5 }
-          else if (regionMatchesIgnoreCase(s, i, "&nbsp;")) { pendingSpace = true; 6 }
-          else { append('&'); 1 }
-        i += decoded
+        val ent = entityAt(s, i)
+        if (ent == null) { append('&'); i += 1 }
+        else {
+          // a decoded space (nbsp) joins the collapse like real space
+          if (ent._1 == ' ') pendingSpace = true else append(ent._1)
+          i += ent._2
+        }
       } else if (Character.isWhitespace(c)) {
         pendingSpace = true
         i += 1
@@ -271,50 +292,74 @@ object UrlKernel {
     while (i < n) {
       val c = v.charAt(i)
       if (c == '&') {
-        if (regionMatchesIgnoreCase(v, i, "&amp;")) { out.append('&'); i += 5 }
-        else if (regionMatchesIgnoreCase(v, i, "&lt;")) { out.append('<'); i += 4 }
-        else if (regionMatchesIgnoreCase(v, i, "&gt;")) { out.append('>'); i += 4 }
-        else if (regionMatchesIgnoreCase(v, i, "&quot;")) { out.append('"'); i += 6 }
-        else if (regionMatchesIgnoreCase(v, i, "&apos;")) { out.append('\''); i += 6 }
-        else if (v.regionMatches(i, "&#39;", 0, 5)) { out.append('\''); i += 5 }
-        else if (regionMatchesIgnoreCase(v, i, "&nbsp;")) { out.append(' '); i += 6 }
-        else { out.append('&'); i += 1 }
+        val ent = entityAt(v, i)
+        if (ent == null) { out.append('&'); i += 1 }
+        else { out.append(ent._1); i += ent._2 }
       } else { out.append(c); i += 1 }
     }
     out.toString
   }
 
-  /** The href attribute value inside a tag body `s[from, until)`, or
-    * null when absent: the attribute name must start at a whitespace
-    * boundary (so `data-href=` doesn't match), `=` may carry spaces on
-    * both sides, the value is quoted (either quote) or runs unquoted
-    * to whitespace/tag-end.
+  /** Index of the '>' closing the markup at s(from)=='<', QUOTE-AWARE
+    * (a '>' inside a quoted attribute value does not close the tag —
+    * browsers agree); s.length when unterminated.
+    */
+  private def quoteAwareTagGt(s: String, from: Int): Int = {
+    var i = from
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\'') {
+        val e = s.indexOf(c, i + 1)
+        i = if (e < 0) n else e + 1
+      } else if (c == '>') return i
+      else i += 1
+    }
+    n
+  }
+
+  /** href value from the tag body `s[from, until)` via a real
+    * attribute TOKENIZER (name [= value] pairs, '/' separators,
+    * quoted or unquoted values): `href` inside ANOTHER attribute's
+    * quoted value can't match, and no whitespace is required before
+    * the name, so minified `class="x"href="/y"` parses like a browser
+    * does. null when the tag has no href attribute.
     */
   private def findHref(s: String, from: Int, until: Int): String = {
     var i = from
-    while (i + 4 <= until) {
-      if (regionMatchesIgnoreCase(s, i, "href") &&
-        i > from && Character.isWhitespace(s.charAt(i - 1))) {
-        var j = i + 4
-        while (j < until && Character.isWhitespace(s.charAt(j))) j += 1
-        if (j < until && s.charAt(j) == '=') {
-          j += 1
-          while (j < until && Character.isWhitespace(s.charAt(j))) j += 1
-          if (j < until) {
-            val q = s.charAt(j)
-            if (q == '"' || q == '\'') {
-              val e = s.indexOf(q, j + 1)
-              return if (e < 0 || e > until) s.substring(j + 1, until)
-              else s.substring(j + 1, e)
-            } else {
-              var e = j
-              while (e < until && !Character.isWhitespace(s.charAt(e))) e += 1
-              return s.substring(j, e)
-            }
+    while (i < until) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == '/') i += 1
+      else {
+        val nameStart = i
+        while (i < until && {
+          val ch = s.charAt(i)
+          !Character.isWhitespace(ch) && ch != '=' && ch != '/'
+        }) i += 1
+        if (i == nameStart) i += 1 // stray '=' — skip, don't loop forever
+        else {
+          val name = s.substring(nameStart, i)
+          while (i < until && Character.isWhitespace(s.charAt(i))) i += 1
+          var value: String = null
+          if (i < until && s.charAt(i) == '=') {
+            i += 1
+            while (i < until && Character.isWhitespace(s.charAt(i))) i += 1
+            if (i < until) {
+              val q = s.charAt(i)
+              if (q == '"' || q == '\'') {
+                val e = s.indexOf(q, i + 1)
+                if (e < 0 || e > until) { value = s.substring(i + 1, until); i = until }
+                else { value = s.substring(i + 1, e); i = e + 1 }
+              } else {
+                val vs = i
+                while (i < until && !Character.isWhitespace(s.charAt(i))) i += 1
+                value = s.substring(vs, i)
+              }
+            } else value = ""
           }
+          if (name.equalsIgnoreCase("href")) return value
         }
       }
-      i += 1
     }
     null
   }
@@ -337,26 +382,20 @@ object UrlKernel {
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<' && opensMarkup(s, i)) {
-        if (regionMatchesIgnoreCase(s, i, "<!--")) {
-          val e = s.indexOf("-->", i + 4)
-          i = if (e < 0) n else e + 3
-        } else if (rawTextOpen(s, i, "<script")) {
-          val e = rawTextClose(s, i + 7, "</script")
-          if (e < 0) i = n
-          else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
-        } else if (rawTextOpen(s, i, "<style")) {
-          val e = rawTextClose(s, i + 6, "</style")
-          if (e < 0) i = n
-          else { val gt = s.indexOf('>', e); i = if (gt < 0) n else gt + 1 }
-        } else {
-          val e = s.indexOf('>', i)
-          val tagEnd = if (e < 0) n else e
+        val skipped = skipNonContent(s, i)
+        if (skipped >= 0) i = skipped
+        else {
+          // quote-aware tag end, so an href value carrying a raw '>'
+          // survives intact (htmlText's word-boundary contract keeps
+          // the simpler first-'>' cut; a wrong BOUNDARY costs a space,
+          // a wrong HREF emits a corrupt graph edge)
+          val gt = quoteAwareTagGt(s, i)
           if (rawTextOpen(s, i, "<a")) {
-            val href = findHref(s, i + 2, tagEnd)
+            val href = findHref(s, i + 2, gt)
             if (href != null && href.nonEmpty)
               out += UTF8String.fromString(decodeEntities(href))
           }
-          i = if (e < 0) n else e + 1
+          i = if (gt >= n) n else gt + 1
         }
       } else i += 1
     }

@@ -153,6 +153,17 @@ class UrlSpec extends SparkSpec {
       Seq.empty)
     // data-href is not href (attribute name must start at a boundary)
     assert(links("<a data-href=\"/no\">t</a>") == Seq.empty)
+    // the attribute TOKENIZER: 'href' inside another attribute's
+    // quoted value can't match and can't shadow the real href
+    assert(links("<a title=\"href = broken\" href=\"/real\">x</a>") ==
+      Seq("/real"))
+    // minified html: no whitespace before the attribute name
+    assert(links("<a class=\"x\"href=\"/y\">t</a>") == Seq("/y"))
+    assert(links("<a/href=\"/z\">t</a>") == Seq("/z"))
+    // quote-aware tag end: a raw '>' inside a quoted href survives
+    assert(links("<a href=\"/p?a>b\">x</a>") == Seq("/p?a>b"))
+    // boolean href (no value) emits nothing
+    assert(links("<a href>t</a>") == Seq.empty)
     // linkless page: empty array, not null
     assert(links("<p>nothing here</p>") == Seq.empty)
     val nulls = Seq(Option.empty[String]).toDF("u")
