@@ -231,9 +231,15 @@ object Scale100Probe {
           lit("?utm_source=x&b=2&a=1#f"))).as("u"),
         graft.functions.UrlFunctions.htmlText(concat(
           lit("<html><head><script>var a=1;</script></head><body><p>"),
-          col("text"), lit("</p></body></html>"))).as("t"))
+          col("text"), lit("</p></body></html>"))).as("t"),
+        graft.functions.UrlFunctions.htmlLinks(concat(
+          lit("<html><body><a href=\"http://t"),
+          (col("doc_id") % 997).cast("string"),
+          lit(".example.com/p?x=1&amp;y=2\">l</a><p>"), col("text"),
+          lit("</p></body></html>"))).as("l"))
         .agg(count(col("u")).as("n_urls"),
-          sum(length(col("t"))).as("html_chars")))
+          sum(length(col("t"))).as("html_chars"),
+          sum(size(col("l"))).as("n_links")))
     // WARC ingestion at 100×: 500k synthetic 3-record blobs → 1.5M
     // record rows, narrow encode + narrow split, no shuffle until the
     // final count aggregate
