@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * columns that generated the messy input — the SQL side never runs a
   * parser, so the contract below is what the hash-compare pins):
   *
-  *  1. ASCII-trim; `scheme://` required (letters/digits/`+-.` scheme)
+  *  1. ASCII-trim; `scheme://` required (letter-first, then
+  *     letters/digits/`+-.` — RFC 3986 §3.1)
   *     — anything else → NULL (a filterable reject, mirroring
   *     [[graft.operators.Multimodal]]'s fail-visible rule but at the
   *     row level: web corpora carry junk urls in bulk and a throwing
@@ -67,7 +68,11 @@ object UrlKernel {
     val sep = u.indexOf("://")
     if (sep <= 0) return null
     val scheme = u.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
-    var i = 0
+    // RFC 3986 §3.1: scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )
+    // — the FIRST char must be a letter, so '1http://x' rejects to NULL
+    // instead of normalizing as a digit-led scheme
+    if (scheme.charAt(0) < 'a' || scheme.charAt(0) > 'z') return null
+    var i = 1
     while (i < scheme.length) {
       val c = scheme.charAt(i)
       val ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
@@ -405,13 +410,18 @@ object UrlKernel {
   /** Registrable domain of the url's host: the last two labels, or the
     * last three when the final two form a known second-level public
     * suffix (`foo.co.uk` → `foo.co.uk`, `www.foo.com` → `foo.com`).
-    * Hosts with fewer labels (or ip literals) return as-is.
+    * Hosts with fewer labels (or ip literals) return as-is. A host
+    * that IS a known public suffix ("co.uk") has no registrable domain
+    * and rejects to NULL like an unparseable url — otherwise suffix-
+    * only hosts would get bucketed as domains in domain-cap/mix
+    * pipelines and one bucket would absorb every site under the suffix.
     */
   def registrableDomain(u: UTF8String): UTF8String = {
     val p = parse(u.toString)
     if (p == null) return null
     val h = p._2
     if (h.startsWith("[")) return UTF8String.fromString(h) // ipv6 literal
+    if (secondLevelSuffixes.contains(h)) return null // bare suffix: no domain
     val labels = h.split("\\.", -1)
     if (labels.length < 2) return UTF8String.fromString(h)
     val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)

@@ -111,6 +111,11 @@ object Warc {
             case "warc-record-id"  => recordId = v
             case "warc-target-uri" => uri = v
             case "content-length"  =>
+              // pure ASCII digits only: toLong would also accept '+2',
+              // which no conformant writer emits — strict here keeps
+              // the fail-loud posture of the rest of the parser
+              if (v.isEmpty || !v.forall(c => c >= '0' && c <= '9'))
+                fail(s"bad Content-Length '$v'")
               len = try v.toLong catch {
                 case _: NumberFormatException => fail(s"bad Content-Length '$v'")
               }

@@ -55,6 +55,29 @@ class TestdataSmokeSpec extends SparkSpec {
     assert(counted == ev.count(), "windowed count must cover every event")
   }
 
+  test("documents generator invariants the closed-form web oracles lean on") {
+    // q_url_norm / q_url_domain / q_html_text / q_warc recompute their
+    // expected outputs arithmetically from (source, text) — which is
+    // only sound while the generator keeps source lowercase/dot-free
+    // (so url host-lowercasing and registrable-domain label math are
+    // identity) and text single-spaced printable ASCII with no '&'/'<'
+    // and no edge whitespace (so html entity decoding, tag stripping
+    // and whitespace collapsing are identity). A future dataset change
+    // fails HERE with a named cause instead of as a bare hash mismatch.
+    assume(available, s"$dir not present on this machine")
+    val docs = SparkEntry.t(spark, dir, "documents")
+    val bad = docs.where(
+      !col("source").rlike("^[a-z0-9_]+$") ||
+        !col("text").rlike("^[ -~]*$") || // printable ASCII only
+        col("text").contains("&") || col("text").contains("<") ||
+        col("text").contains("  ") ||
+        col("text").startsWith(" ") || col("text").endsWith(" "))
+    val offenders = bad.select("doc_id").limit(3).collect().toSeq
+    assert(offenders.isEmpty,
+      "documents.(source,text) drifted from the shape the closed-form " +
+        s"url/html/warc oracles assume — re-derive those oracles: $offenders")
+  }
+
   test("key non-events schema columns hold their contract types") {
     assume(available, s"$dir not present on this machine")
     val li = SparkEntry.t(spark, dir, "lineitem").schema

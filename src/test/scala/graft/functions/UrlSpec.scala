@@ -67,6 +67,11 @@ class UrlSpec extends SparkSpec {
     assert(norm("http://e.com:123456/x") == null) // port > 5 digits
     assert(norm("http://e.com:99999/x") == null) // 5 digits but > 65535
     assert(norm("http://e.com:65535/x") == "http://e.com:65535/x")
+    // RFC 3986 §3.1: the FIRST scheme char must be a letter
+    assert(norm("1http://e.com/x") == null)
+    assert(norm("+ssh://e.com/x") == null)
+    assert(norm(".x://e.com/x") == null)
+    assert(norm("x1+-.://e.com/x") == "x1+-.://e.com/x") // later chars may
     val nulls = Seq(Option.empty[String]).toDF("u")
       .select(UrlFunctions.urlNormalize(col("u")).as("n")).head()
     assert(nulls.isNullAt(0))
@@ -83,6 +88,13 @@ class UrlSpec extends SparkSpec {
     assert(domain("http://www.shop.com.au/") == "shop.com.au")
     assert(host("notaurl") == null)
     assert(domain("notaurl") == null)
+    // a host that IS a public suffix has no registrable domain —
+    // NULL (reject), not a fake domain bucket
+    assert(domain("http://co.uk/") == null)
+    assert(domain("http://CO.UK./x") == null)
+    // ...but one label under the suffix is a real registrable domain,
+    // even when that label is 'www' (www.co.uk is a registered site)
+    assert(domain("http://www.co.uk/") == "www.co.uk")
   }
 
   private def html(u: String): String = {

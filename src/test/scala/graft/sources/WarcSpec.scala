@@ -63,6 +63,12 @@ class WarcSpec extends SparkSpec {
       .contains("terminated"))
     assert(bad("WARC/1.0\r\nContent-Length: x\r\n\r\n\r\n\r\n")
       .contains("Content-Length"))
+    // strict digits: '+2' parses under toLong but no conformant
+    // writer emits it — reject like any other malformed length
+    assert(bad("WARC/1.0\r\nContent-Length: +2\r\n\r\nok\r\n\r\n")
+      .contains("Content-Length"))
+    assert(bad("WARC/1.0\r\nContent-Length:\r\n\r\n\r\n\r\n")
+      .contains("Content-Length"))
     assert(bad("WARC/1.0\r\nnocolon\r\n").contains("malformed header"))
     // a zero-byte blob (failed fetch / truncated upload) fails loudly
     // instead of silently contributing zero records
