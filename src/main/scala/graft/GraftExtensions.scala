@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharShingles, CosineSimilarity, DotProduct, HtmlLinks, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RollingHash, Simhash64, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, WordShingles}
+import graft.functions.{CharShingles, CosineSimilarity, DotProduct, HtmlLinks, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RollingHash, Simhash64, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, UrlResolve, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -129,7 +129,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => { val a = arity("html_text", 1)(es); HtmlText(a(0)) }),
     ("html_links",
       "html_links(html) - array of <a> href targets in document order (entity-decoded; anchors in script/style/comments don't count)",
-      (es: Seq[Expression]) => { val a = arity("html_links", 1)(es); HtmlLinks(a(0)) })
+      (es: Seq[Expression]) => { val a = arity("html_links", 1)(es); HtmlLinks(a(0)) }),
+    ("url_resolve",
+      "url_resolve(base, ref) - absolute uri of a (possibly relative) reference against a base page uri, RFC 3986 section-5 resolution; NULL when base has no scheme",
+      (es: Seq[Expression]) => { val a = arity("url_resolve", 2)(es); UrlResolve(a(0), a(1)) })
   )
 
   /** Register every function into a live session's registry. */

@@ -1255,6 +1255,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("indegree"))
     }),
 
+    // The realistic web graph: pages emit one ABSOLUTE anchor and one
+    // RELATIVE anchor (plain / ./ / ../ / root-absolute, cycled by
+    // doc_id), every href is resolved against the page's own uri
+    // (url_resolve, RFC 3986 §5) before url_normalize — without the
+    // resolve step the relative majority would reject to NULL and the
+    // graph would lose those edges. The base path carries a per-doc
+    // file name (page<n>.html) that resolution must strip, so the
+    // oracle — pure CASE arithmetic over (source, doc_id) — catches a
+    // resolver that grafts onto the file instead of its directory.
+    "q_web_graph_rel" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull)
+      val base = concat(lit("http://"), col("source"),
+        lit(".example.com/a/b/page"), (col("doc_id") % 5).cast("string"),
+        lit(".html"))
+      val relHref = when(col("doc_id") % 4 === 0,
+          concat(lit("d/"), (col("doc_id") % 7).cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("./e/"), (col("doc_id") % 7).cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("../f/"), (col("doc_id") % 7).cast("string")))
+        .otherwise(concat(lit("/g/"), (col("doc_id") % 7).cast("string")))
+      val page = concat(
+        lit("<html><body><a href=\"http://"), col("source"),
+        lit(".example.com/abs/"), (col("doc_id") % 50).cast("string"),
+        lit("\">x</a><a class='r' href='"), relHref,
+        lit("'>y</a><script>var s='<a href=\"/no\">';</script>" +
+          "</body></html>"))
+      docs.select(base.as("base"),
+          explode(graft.functions.UrlFunctions.htmlLinks(page)).as("href"))
+        .select(graft.functions.UrlFunctions.urlNormalize(
+          graft.functions.UrlFunctions.urlResolve(col("base"), col("href")))
+          .as("target"))
+        .groupBy(col("target"))
+        .agg(count(lit(1)).as("indegree"))
+    }),
+
     // WARC record splitting: each doc becomes a synthetic ISO-28500
     // blob of 1 + doc_id mod 3 response records, the REAL parser
     // splits it back, and the oracle recomputes record indices,
@@ -6535,6 +6572,19 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND source IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    "q_web_graph_rel" ->
+      """SELECT target, count(*) AS indegree FROM (
+        |  SELECT 'http://' || source || '.example.com/abs/' ||
+        |    CAST(doc_id % 50 AS VARCHAR) AS target
+        |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'http://' || source || '.example.com' ||
+        |    (CASE doc_id % 4 WHEN 0 THEN '/a/b/d/' WHEN 1 THEN '/a/b/e/'
+        |      WHEN 2 THEN '/a/f/' ELSE '/g/' END) ||
+        |    CAST(doc_id % 7 AS VARCHAR) AS target
+        |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |) GROUP BY 1""".stripMargin,
 
     "q_warc" ->
       """SELECT doc_id,

@@ -407,6 +407,157 @@ object UrlKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  // ---- RFC 3986 §5 reference resolution ---------------------------- //
+  // The relative-link resolver the web-graph path needs: html_links
+  // emits hrefs AS WRITTEN, and on real pages the majority are
+  // relative ("../a", "./b", "/c", "d?q", "//host/e") — without
+  // resolution against the page's own uri they reject at
+  // url_normalize and the crawl graph silently loses most of its
+  // edges. Resolution is the RFC's component algorithm (§5.2.2):
+  // transform the reference over the base's (scheme, authority, path,
+  // query), merge relative paths (§5.3), remove dot segments (§5.2.4),
+  // recompose (§5.3). The base must itself be absolute (have a
+  // scheme) — otherwise NULL, the row-local reject contract shared by
+  // every kernel in this file. Unlike [[normalize]], the OUTPUT keeps
+  // the ref's fragment and applies no canonicalization beyond dot-
+  // segment removal: resolve answers "what uri does this anchor point
+  // at" and normalize stays the one place canonical form is decided.
+
+  private def isScheme(s: String): Boolean =
+    s.nonEmpty && {
+      val c0 = s.charAt(0)
+      ((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')) && {
+        var i = 1
+        var ok = true
+        while (ok && i < s.length) {
+          val c = s.charAt(i)
+          ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+          i += 1
+        }
+        ok
+      }
+    }
+
+  /** Loose URI-reference split per RFC 3986 appendix B — every string
+    * is a syntactically valid reference, so this never rejects; null
+    * fields mean "component undefined" (the defined-but-empty vs
+    * undefined distinction matters: `g?` keeps its empty query,
+    * `g` has none). Unlike [[parse]] this accepts authority-less and
+    * scheme-less forms — resolution needs them; [[normalize]] keeps
+    * its strict contract.
+    */
+  private def splitRef(s: String):
+      (String, String, String, String, String) = {
+    var u = s
+    var fragment: String = null
+    val h = u.indexOf('#')
+    if (h >= 0) { fragment = u.substring(h + 1); u = u.substring(0, h) }
+    var scheme: String = null
+    val c = u.indexOf(':')
+    // scheme chars exclude '/' and '?', so a ':' later in a path or
+    // query never parses as one
+    if (c > 0 && isScheme(u.substring(0, c))) {
+      scheme = u.substring(0, c).toLowerCase(java.util.Locale.ROOT)
+      u = u.substring(c + 1)
+    }
+    var authority: String = null
+    if (u.startsWith("//")) {
+      var e = 2
+      while (e < u.length && u.charAt(e) != '/' && u.charAt(e) != '?') e += 1
+      authority = u.substring(2, e)
+      u = u.substring(e)
+    }
+    var query: String = null
+    val q = u.indexOf('?')
+    if (q >= 0) { query = u.substring(q + 1); u = u.substring(0, q) }
+    (scheme, authority, u, query, fragment)
+  }
+
+  /** §5.2.4 remove_dot_segments — "/a/b/../c" → "/a/c", "/./g" → "/g";
+    * leading ".."s with no segment to pop vanish (the RFC's abnormal
+    * examples: "../../../g" against "http://a/b/c/d" → "http://a/g").
+    */
+  private def removeDotSegments(path: String): String = {
+    val out = new java.lang.StringBuilder(path.length)
+    def pop(): Unit = {
+      var i = out.length - 1
+      while (i >= 0 && out.charAt(i) != '/') i -= 1
+      out.setLength(math.max(i, 0))
+    }
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); pop() }
+      else if (in == "/..") { in = "/"; pop() }
+      else if (in == "." || in == "..") in = ""
+      else {
+        var e = if (in.charAt(0) == '/') 1 else 0
+        while (e < in.length && in.charAt(e) != '/') e += 1
+        out.append(in, 0, e)
+        in = in.substring(e)
+      }
+    }
+    out.toString
+  }
+
+  /** §5.3 merge: a relative path grafts onto the base path's directory
+    * (everything up to the last '/'); a base with authority but an
+    * empty path acts as root.
+    */
+  private def mergePaths(baseAuth: String, basePath: String,
+      refPath: String): String =
+    if (baseAuth != null && basePath.isEmpty) "/" + refPath
+    else {
+      val i = basePath.lastIndexOf('/')
+      if (i < 0) refPath else basePath.substring(0, i + 1) + refPath
+    }
+
+  /** url_resolve(base, ref) — the absolute uri the reference points at
+    * when written on a page at `base`, per RFC 3986 §5.2.2; NULL when
+    * the base is not an absolute uri (no scheme). Both inputs
+    * ASCII-trim like [[normalize]] (hrefs carry stray whitespace in
+    * real markup).
+    */
+  def resolve(base: UTF8String, ref: UTF8String): UTF8String = {
+    val b = splitRef(base.toString.trim)
+    if (b._1 == null) return null // base must be absolute
+    val r = splitRef(ref.toString.trim)
+    var scheme: String = null
+    var authority: String = null
+    var path: String = null
+    var query: String = null
+    if (r._1 != null) {
+      scheme = r._1; authority = r._2
+      path = removeDotSegments(r._3); query = r._4
+    } else {
+      scheme = b._1
+      if (r._2 != null) {
+        authority = r._2; path = removeDotSegments(r._3); query = r._4
+      } else {
+        authority = b._2
+        if (r._3.isEmpty) {
+          path = b._3
+          query = if (r._4 != null) r._4 else b._4
+        } else {
+          path =
+            if (r._3.charAt(0) == '/') removeDotSegments(r._3)
+            else removeDotSegments(mergePaths(b._2, b._3, r._3))
+          query = r._4
+        }
+      }
+    }
+    val sb = new java.lang.StringBuilder(scheme).append(':')
+    if (authority != null) sb.append("//").append(authority)
+    sb.append(path)
+    if (query != null) sb.append('?').append(query)
+    if (r._5 != null) sb.append('#').append(r._5)
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Registrable domain of the url's host: the last two labels, or the
     * last three when the final two form a known second-level public
     * suffix (`foo.co.uk` → `foo.co.uk`, `www.foo.com` → `foo.com`).
@@ -490,6 +641,39 @@ case class HtmlText(child: Expression) extends UrlUnary {
     copy(child = c)
 }
 
+/** url_resolve(base, ref) → absolute uri of `ref` written on a page
+  * at `base`, per RFC 3986 §5 reference resolution (merge, dot-segment
+  * removal, recomposition); NULL when base has no scheme. The output
+  * is NOT canonicalized — chain `url_normalize` for that.
+  */
+case class UrlResolve(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "url_resolve"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // unparseable base → null
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    UrlKernel.resolve(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UrlKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = $cls.resolve($a, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** url_domain(url) → registrable domain, NULL when unparseable. */
 case class UrlRegistrableDomain(child: Expression) extends UrlUnary {
   override def prettyName: String = "url_domain"
@@ -542,6 +726,11 @@ object UrlFunctions {
   /** Column form of [[UrlRegistrableDomain]]. */
   def urlDomain(c: Column): Column =
     GraftBridge.column(UrlRegistrableDomain(GraftBridge.expression(c)))
+
+  /** Column form of [[UrlResolve]]. */
+  def urlResolve(base: Column, ref: Column): Column =
+    GraftBridge.column(UrlResolve(
+      GraftBridge.expression(base), GraftBridge.expression(ref)))
 
   /** Column form of [[HtmlText]]. */
   def htmlText(c: Column): Column =

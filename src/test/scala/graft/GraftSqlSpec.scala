@@ -46,7 +46,8 @@ class GraftSqlSpec extends SparkSpec {
       "minhash_signature", "simhash64", "word_shingles",
       "jaro_winkler", "interleave_bits",
       "char_shingles", "stopword_count", "subword_count", "rolling_hash",
-      "url_normalize", "url_host", "url_domain", "html_text", "html_links"))
+      "url_normalize", "url_host", "url_domain", "html_text", "html_links",
+      "url_resolve"))
   }
 
   test("skippingFailures drops poisoned records and counts them " +

@@ -183,6 +183,94 @@ class UrlSpec extends SparkSpec {
     assert(nulls.isNullAt(0))
   }
 
+  private def resolve(base: String, ref: String): String = {
+    val r = Seq((base, ref)).toDF("b", "r")
+      .select(UrlFunctions.urlResolve(col("b"), col("r")).as("u")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("urlResolve: RFC 3986 §5.4.1 normal reference-resolution examples") {
+    val base = "http://a/b/c/d;p?q"
+    val expected = Seq(
+      "g:h" -> "g:h",
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s",
+      "g#s" -> "http://a/b/c/g#s",
+      "g?y#s" -> "http://a/b/c/g?y#s",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    expected.foreach { case (ref, want) =>
+      assert(resolve(base, ref) == want, s"ref '$ref'")
+    }
+  }
+
+  test("urlResolve: RFC 3986 §5.4.2 abnormal examples (strict parser)") {
+    val base = "http://a/b/c/d;p?q"
+    val expected = Seq(
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g#s/./x",
+      "g#s/../x" -> "http://a/b/c/g#s/../x",
+      // strict-parser branch: same-scheme refs with their own scheme
+      // are NOT treated as relative
+      "http:g" -> "http:g")
+    expected.foreach { case (ref, want) =>
+      assert(resolve(base, ref) == want, s"ref '$ref'")
+    }
+  }
+
+  test("urlResolve: edge contracts beyond the RFC table") {
+    // base without a scheme is not absolute → NULL, never throw
+    assert(resolve("/just/a/path", "g") == null)
+    assert(resolve("", "g") == null)
+    // authority-only base: relative path grafts at root
+    assert(resolve("http://h", "g") == "http://h/g")
+    assert(resolve("http://h?q", "g") == "http://h/g")
+    // defined-but-empty query survives ('g?' is not 'g')
+    assert(resolve("http://a/b/", "g?") == "http://a/b/g?")
+    // base fragment is always discarded (RFC: fragment of the target
+    // comes from the reference alone)
+    assert(resolve("http://a/b#frag", "g") == "http://a/g")
+    assert(resolve("http://a/b#frag", "") == "http://a/b")
+    // whitespace-trimmed like normalize; chains into url_normalize
+    assert(resolve(" http://a/b/c ", " ../g ") == "http://a/g")
+    assert(norm(resolve("http://A/b/", "../d?utm_x=1&a=1#f")) ==
+      "http://a/d?a=1")
+    val nulls = Seq((Option.empty[String], Option("g"))).toDF("b", "r")
+      .select(UrlFunctions.urlResolve(col("b"), col("r")).as("u")).head()
+    assert(nulls.isNullAt(0))
+  }
+
   test("kernels compile under codegen with NON-nullable children") {
     // regression: nullable=child.nullable + a doGenCode that assigns
     // ev.isNull made the generated Java assign to the literal "false"
@@ -195,13 +283,19 @@ class UrlSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
     val lit = Literal.create("a<b>c</b>", org.apache.spark.sql.types.StringType)
     assert(!lit.nullable)
+    val st = org.apache.spark.sql.types.StringType
     val proj = GenerateUnsafeProjection.generate(Seq(
       Alias(HtmlText(lit), "t")(),
-      Alias(UrlNormalize(Literal.create("notaurl",
-        org.apache.spark.sql.types.StringType)), "u")()))
+      Alias(UrlNormalize(Literal.create("notaurl", st)), "u")(),
+      Alias(UrlResolve(Literal.create("http://a/b/", st),
+        Literal.create("../g", st)), "r")(),
+      Alias(UrlResolve(Literal.create("no-scheme", st),
+        Literal.create("g", st)), "rn")()))
     val row = proj(InternalRow.empty)
     assert(row.getUTF8String(0).toString == "a c")
     assert(row.isNullAt(1)) // kernel null survives a non-nullable child
+    assert(row.getUTF8String(2).toString == "http://a/g")
+    assert(row.isNullAt(3))
   }
 
   test("url_* SQL registration round-trips the same kernels") {
@@ -210,10 +304,12 @@ class UrlSpec extends SparkSpec {
       "SELECT url_normalize('HTTP://WWW.E.COM:80/p?utm_x=1&b=2&a=1#f') AS n, " +
         "url_host('http://User@WWW.E.COM:8080/') AS h, " +
         "url_domain('https://www.foo.co.uk/x') AS d, " +
-        "html_text('<p>a &amp; b</p>') AS t").head()
+        "html_text('<p>a &amp; b</p>') AS t, " +
+        "url_resolve('http://a/b/c/d;p?q', '../g') AS rr").head()
     assert(r.getString(0) == "http://e.com/p?a=1&b=2")
     assert(r.getString(1) == "www.e.com")
     assert(r.getString(2) == "foo.co.uk")
     assert(r.getString(3) == "a & b")
+    assert(r.getString(4) == "http://a/b/g")
   }
 }
