@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharShingles, CosineSimilarity, DotProduct, HtmlLinks, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RollingHash, Simhash64, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, UrlResolve, WordShingles}
+import graft.functions.{CharShingles, CharsetParam, CosineSimilarity, DecodeText, DotProduct, HtmlLinks, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RollingHash, Simhash64, SniffCharset, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, UrlResolve, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -132,7 +132,16 @@ object GraftFunctions {
       (es: Seq[Expression]) => { val a = arity("html_links", 1)(es); HtmlLinks(a(0)) }),
     ("url_resolve",
       "url_resolve(base, ref) - absolute uri of a (possibly relative) reference against a base page uri, RFC 3986 section-5 resolution; NULL when base has no scheme",
-      (es: Seq[Expression]) => { val a = arity("url_resolve", 2)(es); UrlResolve(a(0), a(1)) })
+      (es: Seq[Expression]) => { val a = arity("url_resolve", 2)(es); UrlResolve(a(0), a(1)) }),
+    ("charset_param",
+      "charset_param(content_type) - lowercase charset parameter of a Content-Type header value; NULL when absent/unsupported",
+      (es: Seq[Expression]) => { val a = arity("charset_param", 1)(es); CharsetParam(a(0)) }),
+    ("sniff_charset",
+      "sniff_charset(payload) - meta-declared charset in the first 1024 payload bytes (WHATWG prescan bound); NULL when undeclared",
+      (es: Seq[Expression]) => { val a = arity("sniff_charset", 1)(es); SniffCharset(a(0)) }),
+    ("decode_text",
+      "decode_text(payload, charset) - payload decoded with the named charset, malformed bytes become U+FFFD; NULL when the charset is unsupported",
+      (es: Seq[Expression]) => { val a = arity("decode_text", 2)(es); DecodeText(a(0), a(1)) })
   )
 
   /** Register every function into a live session's registry. */

@@ -1335,6 +1335,37 @@ object SparkEntry {
             col("payload").cast("string")).as("body"))
     }),
 
+    // Charset-aware payload decode: every page is REALLY iso-8859-1
+    // (with non-ASCII chars whose bytes are invalid UTF-8), even rows
+    // carry a truthful Content-Type header while their <meta> LIES
+    // (claims utf-8), odd rows have no header and a truthful meta. The
+    // documented precedence chain — charset_param, then sniff_charset,
+    // then utf-8 — must pick iso-8859-1 for every row; a wrong
+    // precedence or a blind utf-8 decode turns é into U+FFFD and
+    // hash-mismatches. The oracle emits charset and round-tripped body
+    // in closed form.
+    "q_charset" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val metaCs = when(col("doc_id") % 2 === 0, lit("utf-8"))
+        .otherwise(lit("iso-8859-1"))
+      val html = concat(lit("<html><head><meta charset=\""), metaCs,
+        lit("\"></head><body><p>"), col("text"),
+        lit(" café naïve</p></body></html>"))
+      val payload = encode(html, "ISO-8859-1")
+      val ct = when(col("doc_id") % 2 === 0,
+          lit("text/html; charset=iso-8859-1"))
+        .otherwise(lit(null).cast("string"))
+      val charset = coalesce(
+        graft.functions.UrlFunctions.charsetParam(ct),
+        graft.functions.UrlFunctions.sniffCharset(payload),
+        lit("utf-8"))
+      docs.select(col("doc_id"), charset.as("charset"),
+        graft.functions.UrlFunctions.htmlText(
+          graft.functions.UrlFunctions.decodeText(payload, charset))
+          .as("body"))
+    }),
+
     // Url-level exact dedup (the CCNet/RefinedWeb leading pass): docs
     // sharing a canonical url collapse to the min doc_id; the messy
     // construction guarantees collisions (path is doc_id mod 97).
@@ -6607,6 +6638,12 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND source IS NOT NULL
         |  AND text IS NOT NULL""".stripMargin,
+
+    "q_charset" ->
+      """SELECT doc_id, 'iso-8859-1' AS charset,
+        |  text || ' café naïve' AS body
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
 
     "q_url_dedup" ->
       """SELECT

@@ -407,6 +407,104 @@ object UrlKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  // ---- crawl payload charset handling ------------------------------ //
+  // Real CommonCrawl bodies are NOT all UTF-8: legacy pages declare
+  // windows-1252 / iso-8859-* (in the HTTP Content-Type or a <meta>
+  // tag) and their bytes are invalid UTF-8 — a blind utf-8 decode
+  // turns every accented char into U+FFFD and poisons dedup
+  // fingerprints downstream. Three composable kernels mirror the
+  // WHATWG encoding-sniffing order, with the PRECEDENCE spelled as a
+  // coalesce so the pipeline states it explicitly:
+  //
+  //   decode_text(payload, coalesce(charset_param(content_type),
+  //                                 sniff_charset(payload), 'utf-8'))
+  //
+  // Each step rejects to NULL (unknown/unsupported charset, no
+  // declaration) so the chain falls through — the row-local reject
+  // contract of every kernel in this file.
+
+  /** True when the JVM supports `name` as a charset (illegal names
+    * included in "no").
+    */
+  private def supportedCharset(name: String): Boolean =
+    name.nonEmpty && (try java.nio.charset.Charset.isSupported(name)
+    catch { case _: java.nio.charset.IllegalCharsetNameException => false })
+
+  /** The `tok` after "charset" at/after `from` in `s`: optional
+    * whitespace, '=', optional whitespace/quote, token up to
+    * quote/';'/'/'/'>' or whitespace. null when absent or empty.
+    */
+  private def charsetTokenAfter(s: String, from: Int): String = {
+    val at = indexOfIgnoreCase(s, "charset", from)
+    if (at < 0) return null
+    var i = at + 7
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    if (i >= s.length || s.charAt(i) != '=') return null
+    i += 1
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    if (i < s.length && (s.charAt(i) == '"' || s.charAt(i) == '\'')) i += 1
+    val start = i
+    while (i < s.length && {
+      val c = s.charAt(i)
+      !Character.isWhitespace(c) && c != '"' && c != '\'' && c != ';' &&
+        c != '/' && c != '>'
+    }) i += 1
+    if (i == start) null else s.substring(start, i)
+  }
+
+  /** charset parameter of a Content-Type header value
+    * (`text/html; charset=ISO-8859-1`, quoted or bare, any case) →
+    * lowercase charset name; NULL when absent or not a charset this
+    * JVM supports (an unknown declaration falls through to sniffing,
+    * like a browser's).
+    */
+  def charsetParam(ct: UTF8String): UTF8String = {
+    val tok = charsetTokenAfter(ct.toString, 0)
+    if (tok == null || !supportedCharset(tok)) null
+    else UTF8String.fromString(tok.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** Meta-declared charset within the first 1024 bytes of an html
+    * payload — the WHATWG prescan bound. Both forms are read the same
+    * way (`<meta charset="x">` and
+    * `<meta http-equiv="content-type" content="text/html; charset=x">`
+    * both carry a `charset=` inside the meta tag body); the first
+    * supported declaration wins, unsupported ones are skipped. The
+    * head bytes are read byte-transparently (latin-1), so the scan
+    * itself never depends on the answer. NULL when nothing declares.
+    */
+  def sniffCharset(bytes: Array[Byte]): UTF8String = {
+    val n = math.min(bytes.length, 1024)
+    val head = new String(bytes, 0, n,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    var i = indexOfIgnoreCase(head, "<meta", 0)
+    while (i >= 0) {
+      val gt = head.indexOf('>', i)
+      val end = if (gt < 0) head.length else gt
+      val tok = charsetTokenAfter(head.substring(i, end), 0)
+      if (tok != null && supportedCharset(tok))
+        return UTF8String.fromString(tok.toLowerCase(java.util.Locale.ROOT))
+      i = indexOfIgnoreCase(head, "<meta", i + 5)
+    }
+    null
+  }
+
+  /** Decode payload bytes with a named charset → string; malformed /
+    * unmappable sequences become U+FFFD (browser behavior — a legacy
+    * page with one bad byte should not lose the row), but an
+    * unsupported charset NAME rejects the whole row to NULL (the
+    * caller's coalesce should have supplied a real one).
+    */
+  def decodeText(bytes: Array[Byte], charset: UTF8String): UTF8String = {
+    val name = charset.toString.trim
+    if (!supportedCharset(name)) return null
+    val dec = java.nio.charset.Charset.forName(name).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    UTF8String.fromString(
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+  }
+
   // ---- RFC 3986 §5 reference resolution ---------------------------- //
   // The relative-link resolver the web-graph path needs: html_links
   // emits hrefs AS WRITTEN, and on real pages the majority are
@@ -641,6 +739,79 @@ case class HtmlText(child: Expression) extends UrlUnary {
     copy(child = c)
 }
 
+/** charset_param(content_type) → lowercase charset parameter of a
+  * Content-Type header value; NULL when absent or unsupported.
+  */
+case class CharsetParam(child: Expression) extends UrlUnary {
+  override def prettyName: String = "charset_param"
+  override protected def kernelMethod: String = "charsetParam"
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.charsetParam(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** sniff_charset(payload) → meta-declared charset within the first
+  * 1024 payload bytes (WHATWG prescan bound); NULL when undeclared.
+  */
+case class SniffCharset(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "sniff_charset"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // undeclared → null
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.sniffCharset(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UrlKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $cls.sniffCharset($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** decode_text(payload, charset) → payload bytes decoded with the
+  * named charset (malformed sequences → U+FFFD); NULL when the
+  * charset name is unsupported.
+  */
+case class DecodeText(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "decode_text"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // unsupported charset → null
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    UrlKernel.decodeText(a.asInstanceOf[Array[Byte]], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UrlKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = $cls.decodeText($a, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** url_resolve(base, ref) → absolute uri of `ref` written on a page
   * at `base`, per RFC 3986 §5 reference resolution (merge, dot-segment
   * removal, recomposition); NULL when base has no scheme. The output
@@ -739,4 +910,17 @@ object UrlFunctions {
   /** Column form of [[HtmlLinks]]. */
   def htmlLinks(c: Column): Column =
     GraftBridge.column(HtmlLinks(GraftBridge.expression(c)))
+
+  /** Column form of [[CharsetParam]]. */
+  def charsetParam(c: Column): Column =
+    GraftBridge.column(CharsetParam(GraftBridge.expression(c)))
+
+  /** Column form of [[SniffCharset]]. */
+  def sniffCharset(c: Column): Column =
+    GraftBridge.column(SniffCharset(GraftBridge.expression(c)))
+
+  /** Column form of [[DecodeText]]. */
+  def decodeText(payload: Column, charset: Column): Column =
+    GraftBridge.column(DecodeText(
+      GraftBridge.expression(payload), GraftBridge.expression(charset)))
 }

@@ -271,6 +271,82 @@ class UrlSpec extends SparkSpec {
     assert(nulls.isNullAt(0))
   }
 
+  private def cparam(s: String): String = {
+    val r = Seq(s).toDF("c")
+      .select(UrlFunctions.charsetParam(col("c")).as("p")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+  private def sniff(html: String, charset: String = "ISO-8859-1"): String = {
+    val r = Seq(html.getBytes(charset)).toDF("b")
+      .select(UrlFunctions.sniffCharset(col("b")).as("s")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+  private def dec(bytes: Array[Byte], cs: String): String = {
+    val r = Seq((bytes, cs)).toDF("b", "c")
+      .select(UrlFunctions.decodeText(col("b"), col("c")).as("t")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("charsetParam: Content-Type parameter forms; unknown rejects to NULL") {
+    assert(cparam("text/html; charset=ISO-8859-1") == "iso-8859-1")
+    assert(cparam("text/html; charset=\"windows-1252\"") == "windows-1252")
+    assert(cparam("TEXT/HTML; CHARSET = 'utf-8'") == "utf-8")
+    assert(cparam("text/html") == null)
+    assert(cparam("text/html; charset=") == null)
+    // an unknown/unsupported declaration falls through (NULL), like a
+    // browser ignoring a bogus charset and moving to the next source
+    assert(cparam("text/html; charset=klingon-99") == null)
+  }
+
+  test("sniffCharset: meta prescan within the first 1024 bytes") {
+    assert(sniff("<html><head><meta charset=\"windows-1252\"></head>") ==
+      "windows-1252")
+    assert(sniff("<html><META HTTP-EQUIV=\"Content-Type\" " +
+      "CONTENT=\"text/html; charset=ISO-8859-1\"><body>") == "iso-8859-1")
+    // the first SUPPORTED declaration wins; bogus ones are skipped
+    assert(sniff("<meta charset=\"not-a-charset\"><meta charset=\"utf-8\">") ==
+      "utf-8")
+    // 'charset=' outside a <meta> tag is page text, not a declaration
+    assert(sniff("<p>set charset=utf-8 in your config</p>") == null)
+    // prescan bound: a declaration past byte 1024 is invisible
+    assert(sniff("<html>" + "x" * 1100 + "<meta charset=\"utf-8\">") == null)
+    assert(sniff("<html><body>no declaration</body></html>") == null)
+  }
+
+  test("decodeText: legacy charsets round-trip; malformed bytes become U+FFFD") {
+    assert(dec("café".getBytes("ISO-8859-1"), "iso-8859-1") == "café")
+    // windows-1252-specific: 0x80 is the euro sign (undefined in 8859-1)
+    assert(dec(Array[Byte](0x80.toByte, 'a'), "windows-1252") == "€a")
+    assert(dec("snow ☃".getBytes("UTF-8"), "utf-8") == "snow ☃")
+    // a lone latin-1 0xE9 is invalid UTF-8 → replacement char, row kept
+    assert(dec("café".getBytes("ISO-8859-1"), "utf-8") == "caf�")
+    assert(dec("x".getBytes("UTF-8"), "klingon-99") == null)
+  }
+
+  test("charset precedence: Content-Type param beats a lying <meta>") {
+    // page REALLY iso-8859-1, meta claims utf-8, header says the truth —
+    // the documented coalesce chain must decode through the header
+    val html = "<html><head><meta charset=\"utf-8\"></head>" +
+      "<body><p>café naïve</p></body></html>"
+    val df = Seq((html.getBytes("ISO-8859-1"),
+      "text/html; charset=iso-8859-1")).toDF("payload", "ct")
+    val out = df.select(
+      UrlFunctions.htmlText(UrlFunctions.decodeText(col("payload"),
+        coalesce(UrlFunctions.charsetParam(col("ct")),
+          UrlFunctions.sniffCharset(col("payload")),
+          lit("utf-8")))).as("body")).head().getString(0)
+    assert(out == "café naïve")
+    // without a header the meta is all we have — decoded as declared
+    val noCt = Seq(("<meta charset=\"iso-8859-1\"><p>café</p>"
+      .getBytes("ISO-8859-1"), Option.empty[String])).toDF("payload", "ct")
+    val out2 = noCt.select(
+      UrlFunctions.htmlText(UrlFunctions.decodeText(col("payload"),
+        coalesce(UrlFunctions.charsetParam(col("ct")),
+          UrlFunctions.sniffCharset(col("payload")),
+          lit("utf-8")))).as("body")).head().getString(0)
+    assert(out2 == "café")
+  }
+
   test("kernels compile under codegen with NON-nullable children") {
     // regression: nullable=child.nullable + a doGenCode that assigns
     // ev.isNull made the generated Java assign to the literal "false"
