@@ -14,11 +14,14 @@ import org.apache.spark.sql.types._
   *
   * Scale shape: [[warcRecords]] is a NARROW flatMap — each task parses
   * the blobs of its own input split, emits one row per record, and
-  * nothing shuffles until the caller aggregates. The parallel unit is
-  * the FILE (CommonCrawl WARCs are ~1 GB, far under a task's reach);
-  * a single pathological multi-TB WARC would need an offset-splitting
-  * variant, which the format supports but this reader deliberately
-  * omits (records would need resync on the `WARC/` magic).
+  * nothing shuffles until the caller aggregates. Its parallel unit is
+  * the FILE (CommonCrawl WARCs are ~1 GB, within a task's reach); for
+  * larger files [[warcRecordsFiles]] is the offset-splitting variant:
+  * the unit becomes the BYTE RANGE — each task seeks into the file,
+  * resyncs forward to the next verified record boundary (CRLF CRLF
+  * context + `WARC/` magic + a header block that actually parses) and
+  * emits the records that START in its range, so one multi-TB WARC
+  * spreads over as many tasks as it has ranges.
   *
   * Parsing is fail-loud like the media decoders: a blob that is not
   * well-formed WARC raises an operator-named error (junk in a curated
@@ -134,6 +137,266 @@ object Warc {
         pos += 4
         (warcType, recordId, uri, payload)
       }
+    }
+  }
+
+  // ---- offset-splitting (byte-range) reader ------------------------ //
+
+  /** Growable byte window over a suffix of a blob: starts with `first`
+    * and pulls more bytes from `more()` on demand (`null` = source
+    * exhausted). Lets a range task hold ONLY its own bytes plus the
+    * tail of the one record that straddles its range end, instead of
+    * the whole file.
+    */
+  private final class ByteWindow(first: Array[Byte],
+      more: () => Array[Byte]) {
+    private var buf = first
+    private var len = first.length
+    /** True when at least `n` bytes are available (pulling as needed). */
+    def ensure(n: Int): Boolean = {
+      if (n < 0) return false // Int overflow upstream = record too big
+      while (len < n) {
+        val chunk = if (more == null) null else more()
+        if (chunk == null || chunk.isEmpty) return false
+        if (buf.length - len < chunk.length) {
+          val want = len.toLong + chunk.length
+          require(want <= Int.MaxValue - 8,
+            s"warcRecordsFiles: a single record spans past ${len} buffered " +
+              "bytes — records must fit one task's memory")
+          val grown = new Array[Byte](
+            math.min(math.max(buf.length.toLong * 2, want), Int.MaxValue - 8).toInt)
+          System.arraycopy(buf, 0, grown, 0, len)
+          buf = grown
+        }
+        System.arraycopy(chunk, 0, buf, len, chunk.length)
+        len += chunk.length
+      }
+      true
+    }
+    def available: Int = len
+    def apply(i: Int): Byte = buf(i)
+    def slice(from: Int, until: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(buf, from, until)
+  }
+
+  private val HeaderCap = 64 * 1024 // no real WARC header block is larger
+
+  /** Try to parse a record HEADER at window offset `rel`:
+    * (firstPayloadByteRel, warcType, recordId, targetUri, len) — or
+    * null when the bytes there are not a well-formed header (version
+    * line, `key: value` lines, blank line, pure-digit Content-Length,
+    * all within [[HeaderCap]]). Doubles as the resync VERIFIER: a
+    * payload that merely contains the `WARC/` magic fails here and the
+    * scan moves on.
+    */
+  private def tryHeader(w: ByteWindow, rel: Int):
+      (Int, String, String, String, Long) = {
+    var pos = rel
+    def line(): String = {
+      var e = pos
+      while (e - rel < HeaderCap && w.ensure(e + 2) &&
+        !(w(e) == '\r' && w(e + 1) == '\n')) e += 1
+      if (e - rel >= HeaderCap || !w.ensure(e + 2)) return null
+      val s = new String(w.slice(pos, e), "US-ASCII")
+      pos = e + 2
+      s
+    }
+    val version = line()
+    if (version == null || !version.startsWith("WARC/")) return null
+    var warcType: String = null
+    var recordId: String = null
+    var uri: String = null
+    var len = -1L
+    var l = line()
+    while (l != null && l.nonEmpty) {
+      val c = l.indexOf(':')
+      if (c <= 0) return null
+      val key = l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+      val v = l.substring(c + 1).trim
+      key match {
+        case "warc-type"       => warcType = v
+        case "warc-record-id"  => recordId = v
+        case "warc-target-uri" => uri = v
+        case "content-length"  =>
+          if (v.isEmpty || v.length > 18 ||
+            !v.forall(c0 => c0 >= '0' && c0 <= '9')) return null
+          len = v.toLong
+        case _                 => ()
+      }
+      l = line()
+    }
+    if (l == null || len < 0) return null
+    (pos, warcType, recordId, uri, len)
+  }
+
+  /** Records whose START offset lies in `[start, end)` of a blob
+    * (offsets absolute; output rows carry them) — the byte-range
+    * kernel behind [[warcRecordsFiles]], exposed for direct use on
+    * in-memory blobs. `start == 0` must sit on the blob's first record
+    * (fail-loud like [[parseRecords]]); `start > 0` RESYNCS: scan
+    * forward for two CRLFs followed by the `WARC/` magic AND a header
+    * block that parses — a payload containing magic look-alikes with
+    * broken headers cannot fool it (a payload EMBEDDING a fully valid
+    * record is genuinely ambiguous, warc-in-warc; documented, not
+    * defended). A range interior to one huge payload yields zero
+    * records, and the union over any partition of `[0, blob.length)`
+    * reassembles the exact [[parseRecords]] list.
+    */
+  def parseRecordsRange(bytes: Array[Byte], start: Long, end: Long):
+      Iterator[(Long, String, String, String, Array[Byte])] = {
+    val w = new ByteWindow(bytes, null)
+    rangeRecords(w, base = 0L, start, end, "warcRecordsRange")
+  }
+
+  /** Shared range loop over a window whose offset 0 is blob offset
+    * `base` (file tasks open at `start - 4` so the boundary-context
+    * bytes are present; in-memory use has base 0).
+    */
+  private def rangeRecords(w: ByteWindow, base: Long, start: Long, end: Long,
+      op: String): Iterator[(Long, String, String, String, Array[Byte])] = {
+    def fail(what: String, at: Long): Nothing =
+      throw new IllegalArgumentException(s"$op: $what at byte $at")
+    // locate the first record start in [start, end)
+    var first = -1L
+    if (start == 0L) {
+      if (!w.ensure(5) || w(0) != 'W' || w(1) != 'A' || w(2) != 'R' ||
+        w(3) != 'C' || w(4) != '/')
+        fail("expected WARC/ magic at blob start", 0L)
+      first = 0L
+    } else {
+      var p = math.max(start, 4L) // a boundary needs 2 CRLFs before it
+      while (first < 0 && p < end) {
+        val rel = (p - base).toInt
+        if (w.ensure(rel + 5) &&
+          w(rel - 4) == '\r' && w(rel - 3) == '\n' &&
+          w(rel - 2) == '\r' && w(rel - 1) == '\n' &&
+          w(rel) == 'W' && w(rel + 1) == 'A' && w(rel + 2) == 'R' &&
+          w(rel + 3) == 'C' && w(rel + 4) == '/' &&
+          tryHeader(w, rel) != null) first = p
+        else p += 1
+      }
+      if (first < 0) return Iterator.empty // interior to one huge payload
+    }
+    new Iterator[(Long, String, String, String, Array[Byte])] {
+      private var at = first
+      override def hasNext: Boolean = at < end
+      override def next(): (Long, String, String, String, Array[Byte]) = {
+        val rel = (at - base).toInt
+        val h = tryHeader(w, rel)
+        if (h == null) fail("malformed record header", at)
+        val (payloadRel, warcType, recordId, uri, len) = h
+        if (!w.ensure(payloadRel + len.toInt + 4))
+          fail(s"payload of $len bytes overruns the blob", at)
+        val payload = w.slice(payloadRel, payloadRel + len.toInt)
+        val termRel = payloadRel + len.toInt
+        if (w(termRel) != '\r' || w(termRel + 1) != '\n' ||
+          w(termRel + 2) != '\r' || w(termRel + 3) != '\n')
+          fail("record not terminated by two CRLFs", at)
+        val out = (at, warcType, recordId, uri, payload)
+        at = base + termRel + 4
+        out
+      }
+    }
+  }
+
+  /** Offset-splitting distributed WARC reader: list files matching
+    * `pattern`, cut each into `splitBytes` byte ranges, parse every
+    * range in its OWN task via [[parseRecordsRange]] semantics — one
+    * row per record: (path, record_offset, warc_type, record_id,
+    * target_uri, content_length, payload). This is the scale path for
+    * files too large for [[Source.binaryFiles]] + [[warcRecords]]'s
+    * file-per-task unit: parallelism = ceil(size / splitBytes) per
+    * file, independent of file count. Each task reads ONLY its range
+    * (plus the tail of the one record straddling its end and 4 bytes
+    * of boundary context before its start) through the driver's Hadoop
+    * conf, so credentials/filesystems carry to executors. Narrow —
+    * nothing shuffles until the caller aggregates.
+    */
+  def warcRecordsFiles(spark: org.apache.spark.sql.SparkSession,
+      pattern: String, splitBytes: Long = 128L << 20): DataFrame = {
+    require(splitBytes >= 1024 && splitBytes <= (1L << 30),
+      s"warcRecordsFiles: splitBytes must be in [1 KiB, 1 GiB], got $splitBytes")
+    val hPath = new org.apache.hadoop.fs.Path(pattern)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = fs.globStatus(hPath)
+    require(statuses != null && statuses.nonEmpty,
+      s"warcRecordsFiles: no files match '$pattern' — an empty crawl " +
+        "drop is a pipeline bug, not data")
+    val splits: Seq[(String, Long, Long)] = statuses.toSeq
+      .filter(_.isFile).flatMap { st =>
+        val sz = st.getLen
+        require(sz > 0,
+          s"warcRecordsFiles: empty file ${st.getPath} — zero records " +
+            "is a pipeline bug, not data")
+        (0L until sz by splitBytes).map { s0 =>
+          (st.getPath.toString, s0, math.min(s0 + splitBytes, sz))
+        }
+      }
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("record_offset", LongType, nullable = false),
+      StructField("warc_type", StringType, nullable = true),
+      StructField("record_id", StringType, nullable = true),
+      StructField("target_uri", StringType, nullable = true),
+      StructField("content_length", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = spark.sparkContext
+      .parallelize(splits, math.max(splits.size, 1))
+      .flatMap { case (p, s0, e0) =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val tfs = path.getFileSystem(conf.value)
+        val fileLen = tfs.getFileStatus(path).getLen
+        val in = tfs.open(path)
+        val readStart = math.max(0L, s0 - 4L) // boundary-context bytes
+        val head = new Array[Byte]((e0 - readStart).toInt)
+        in.readFully(readStart, head)
+        var readPos = e0
+        val more: () => Array[Byte] = () =>
+          if (readPos >= fileLen) null
+          else {
+            val n = math.min(4L << 20, fileLen - readPos).toInt
+            val chunk = new Array[Byte](n)
+            in.readFully(readPos, chunk)
+            readPos += n
+            chunk
+          }
+        val w = new ByteWindow(head, more)
+        val it = rangeRecords(w, base = readStart, s0, e0, "warcRecordsFiles")
+        new Iterator[Row] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = try it.hasNext catch { case e: Throwable =>
+              if (!closed) { closed = true; in.close() }
+              throw e
+            }
+            if (!h && !closed) { closed = true; in.close() }
+            h
+          }
+          override def next(): Row = {
+            val (off, t, rid, uri, payload) = it.next()
+            Row(p, off, t, rid, uri, payload.length.toLong, payload)
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The driver's Hadoop conf, shipped to tasks (Configuration itself
+    * is not java-serializable; Spark's own wrapper is private[spark]).
+    */
+  private final class SerializableHadoopConf(
+      @transient private var c: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = c
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      c.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      c = new org.apache.hadoop.conf.Configuration(false)
+      c.readFields(in)
     }
   }
 

@@ -94,6 +94,145 @@ class WarcSpec extends SparkSpec {
     assert(out.getLong(0) == bytes.length && bytes.length == 9L)
   }
 
+  // multi-record blob with distinct payloads, several of which are
+  // engineered resync traps: CRLFCRLF + "WARC/" magic followed by a
+  // header block that does NOT parse (no colon / bad length), plus a
+  // bare magic without boundary context — a verified-resync reader
+  // must skip all of them
+  private def trapBlob(): (Array[Byte], Seq[String]) = {
+    val payloads = Seq(
+      "plain first payload",
+      "\r\n\r\nWARC/1.0\r\nno colon here\r\n\r\n",
+      "middle WARC/ magic without boundary",
+      "\r\n\r\nWARC/1.0\r\nContent-Length: abc\r\n\r\n",
+      "x" * 700, // long payload so some ranges are interior to it
+      "\r\n\r\nWARC/9.9\r\n\r\n",
+      "tail payload")
+    val out = new java.io.ByteArrayOutputStream()
+    payloads.zipWithIndex.foreach { case (p, k) =>
+      out.write(Warc.warcEncode(1, s"http://e.com/$k", p.getBytes("US-ASCII")))
+    }
+    (out.toByteArray, payloads)
+  }
+
+  test("parseRecordsRange: any byte-range partition reassembles the full list") {
+    val (blob, payloads) = trapBlob()
+    val full = Warc.parseRecords(blob).toSeq
+    assert(full.length == payloads.length)
+    val fullRange = Warc.parseRecordsRange(blob, 0, blob.length).toSeq
+    assert(fullRange.map(t => new String(t._5, "US-ASCII")) == payloads)
+    // offsets are strictly increasing and start at 0
+    assert(fullRange.head._1 == 0L)
+    assert(fullRange.map(_._1) == fullRange.map(_._1).sorted)
+    // for MANY split widths (incl. 1-byte ranges and widths that land
+    // mid-magic/mid-header), the union over ranges equals the unsplit
+    // parse — records are emitted by the range their START byte is in,
+    // exactly once, in offset order
+    Seq(1, 7, 64, 97, 256, 701, 1000, blob.length, blob.length + 13)
+      .foreach { k =>
+        val union = (0 until blob.length by k).flatMap { s =>
+          Warc.parseRecordsRange(blob, s, math.min(s + k, blob.length)).toSeq
+        }
+        assert(union.map(_._1) == fullRange.map(_._1), s"offsets, k=$k")
+        assert(union.map(t => new String(t._5, "US-ASCII")) == payloads,
+          s"payloads, k=$k")
+        assert(union.map(_._4) == full.map(_._3), s"uris, k=$k")
+      }
+    // a range interior to the long payload has no record start: empty
+    val longStart = fullRange(4)._1
+    assert(Warc.parseRecordsRange(blob, longStart + 60, longStart + 120).isEmpty)
+  }
+
+  test("parseRecordsRange: range 0 demands the magic; traps cannot resync") {
+    val (blob, _) = trapBlob()
+    val e = intercept[IllegalArgumentException] {
+      Warc.parseRecordsRange("junk then WARC/1.0".getBytes("US-ASCII"),
+        0, 18).toSeq
+    }
+    assert(e.getMessage.contains("magic"))
+    // every resync start lands on a REAL record boundary — never
+    // inside a trap payload (verified headers, not just magic match)
+    val real = Warc.parseRecordsRange(blob, 0, blob.length).map(_._1).toSet
+    (1 until blob.length by 11).foreach { s =>
+      Warc.parseRecordsRange(blob, s, blob.length).foreach { rec =>
+        assert(real.contains(rec._1), s"resync from $s fabricated ${rec._1}")
+      }
+    }
+  }
+
+  test("warcRecordsFiles: byte-range tasks over files reassemble; parallel unit is the range") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_split").toFile
+    try {
+      val (blob, payloads) = trapBlob()
+      java.nio.file.Files.write(
+        new java.io.File(dir, "a.warc").toPath, blob)
+      val single = Warc.warcEncode(3, "http://b.com/x",
+        "second file payload".getBytes("US-ASCII"))
+      java.nio.file.Files.write(
+        new java.io.File(dir, "b.warc").toPath, single)
+      val df = Warc.warcRecordsFiles(spark, dir.getAbsolutePath + "/*.warc",
+        splitBytes = 1024)
+      // parallel unit = byte range: more partitions than files
+      assert(df.rdd.getNumPartitions ==
+        (blob.length + 1023) / 1024 + (single.length + 1023) / 1024)
+      val got = df.collect().map(r => (
+        new java.io.File(r.getString(0).stripPrefix("file:")).getName,
+        r.getLong(1), r.getString(4),
+        new String(r.getAs[Array[Byte]](6), "US-ASCII")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val wantA = Warc.parseRecordsRange(blob, 0, blob.length).toSeq
+        .map(t => ("a.warc", t._1, t._4, new String(t._5, "US-ASCII")))
+      val wantB = Warc.parseRecordsRange(single, 0, single.length).toSeq
+        .map(t => ("b.warc", t._1, t._4, new String(t._5, "US-ASCII")))
+      assert(got == wantA ++ wantB)
+      assert(got.map(_._4).take(payloads.length) == payloads)
+      // structural failures stay loud through the distributed path
+      java.nio.file.Files.write(
+        new java.io.File(dir, "bad.warc").toPath,
+        "HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII"))
+      val e = intercept[org.apache.spark.SparkException] {
+        Warc.warcRecordsFiles(spark, dir.getAbsolutePath + "/bad.warc",
+          splitBytes = 1024).count()
+      }
+      assert(e.getMessage.contains("warcRecordsFiles") ||
+        e.getCause.getMessage.contains("warcRecordsFiles"))
+      // an empty file or an empty glob is a pipeline bug, named
+      java.nio.file.Files.write(
+        new java.io.File(dir, "empty.warc").toPath, Array.emptyByteArray)
+      val e2 = intercept[IllegalArgumentException] {
+        Warc.warcRecordsFiles(spark, dir.getAbsolutePath + "/empty.warc")
+      }
+      assert(e2.getMessage.contains("empty file"))
+      val e3 = intercept[IllegalArgumentException] {
+        Warc.warcRecordsFiles(spark, dir.getAbsolutePath + "/*.nope")
+      }
+      assert(e3.getMessage.contains("no files match"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("warcRecordsFiles: a record STRADDLING a range end belongs to its start range") {
+    // one 2000-byte payload, splitBytes 1024: record 0 starts in range
+    // 0 and overruns into range 1; range 1 must emit nothing
+    val blob = Warc.warcEncode(2, "http://s.com/big",
+      ("y" * 2000).getBytes("US-ASCII"))
+    val dir = java.nio.file.Files.createTempDirectory("warc_straddle").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "s.warc").toPath, blob)
+      val df = Warc.warcRecordsFiles(spark, dir.getAbsolutePath + "/s.warc",
+        splitBytes = 1024)
+      assert(df.rdd.getNumPartitions == (blob.length + 1023) / 1024)
+      val got = df.select("record_offset", "content_length").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val want = Warc.parseRecordsRange(blob, 0, blob.length)
+        .map(t => (t._1, t._5.length.toLong)).toSeq
+      assert(got == want && got.map(_._2) == Seq(2000L, 2000L))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("attachSyntheticWarc adds exactly one column") {
     val df = Seq((1L, 1, "http://e.com/u", "x")).toDF("id", "n", "uri", "body")
     val out = Warc.attachSyntheticWarc(df, col("n"), col("uri"), col("body"))
