@@ -657,6 +657,105 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("hello" -> 2L, "world" -> 2L, "spark" -> 1L, "of" -> 1L, "streams" -> 1L))
   }
 
+  test("streaming raw-crawl leg: WARC drops across micro-batches match the batch pipeline") {
+    // Day-2 crawl ingestion, streamed: a landing dir receives WARC
+    // files batch by batch; each micro-batch splits records
+    // (warcRecords is a narrow map — it applies to streaming frames
+    // unchanged), canonicalizes the target uri, extracts visible text,
+    // and drops url-duplicates against the STANDING index the pipeline
+    // keeps (foreachBatch, like the incremental text-dedup leg). The
+    // union of survivors must equal the batch pipeline over the same
+    // files, and the standing state must stay bounded by DISTINCT urls
+    // — not feed length.
+    import graft.sources.Warc
+    val land = java.nio.file.Files.createTempDirectory("graft_warc_stream_")
+    def drop(name: String, recs: Seq[(String, String)]): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      recs.foreach { case (uri, html) =>
+        out.write(Warc.warcEncode(1, uri, html.getBytes("UTF-8")))
+      }
+      // atomic move in: file sources must never list a half-written file
+      val tmp = java.nio.file.Files.createTempFile("graft_warc_tmp_", ".part")
+      java.nio.file.Files.write(tmp, out.toByteArray)
+      java.nio.file.Files.move(tmp, land.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def page(body: String) = s"<html><body><p>$body</p></body></html>"
+    val drop1 = Seq(
+      "HTTP://WWW.A.example/d1?utm_x=1&b=2" -> page("first doc"),
+      "http://b.example/d2" -> page("second doc"),
+      "http://b.example/d2?" -> page("second doc again")) // normalizes same -> dup IN drop
+    val drop2 = Seq(
+      "http://www.a.example/d1?b=2" -> page("day-2 recrawl of first"), // dup ACROSS drops
+      "http://c.example/d3" -> page("fresh third doc"))
+    drop(s"drop1.warc", drop1)
+
+    val standingUrls = scala.collection.mutable.LinkedHashSet[String]()
+    val survivors = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc").schema(binSchema)
+      .load(land.toString)
+    val records = Warc.warcRecords(stream, "path", "content")
+      .select(
+        graft.functions.UrlFunctions.urlNormalize(col("target_uri")).as("url"),
+        graft.functions.UrlFunctions.htmlText(col("payload").cast("string"))
+          .as("body"))
+    val q = records.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_warc_ck_").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the batch may carry internal dups (drop1's d2 twice): keep
+        // the first per url inside the batch, then drop against the
+        // standing index, then append survivors to it
+        val rows = batch.collect()
+        val fresh = scala.collection.mutable.LinkedHashSet[String]()
+        rows.foreach { r =>
+          val url = r.getString(0)
+          if (!standingUrls.contains(url) && fresh.add(url))
+            survivors += (url -> r.getString(1))
+        }
+        standingUrls ++= fresh
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(survivors.map(_._1).toSeq == Seq(
+        "http://a.example/d1?b=2", "http://b.example/d2"))
+      drop(s"drop2.warc", drop2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch twin over the SAME files (drop order recovered from the
+    // file name so "first occurrence" is well defined)
+    val batchAll = Warc.warcRecords(
+      graft.sources.Source.binaryFiles("w", land.toString, "*.warc")(
+        graft.EmptyFlow)("w"), "path", "content")
+      .select(col("path"), col("record_idx"),
+        graft.functions.UrlFunctions.urlNormalize(col("target_uri")).as("url"),
+        graft.functions.UrlFunctions.htmlText(col("payload").cast("string"))
+          .as("body"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batchSurvivors = scala.collection.mutable.LinkedHashMap[String, String]()
+    batchAll.foreach { case (_, _, url, body) =>
+      if (!batchSurvivors.contains(url)) batchSurvivors(url) = body
+    }
+    assert(survivors.toMap == batchSurvivors.toMap)
+    assert(survivors.map(_._1).toSet == standingUrls.toSet)
+    // state bound: 5 records flowed, only 3 DISTINCT canonical urls live
+    assert(standingUrls.size == 3)
+    survivors.clear(); standingUrls.clear()
+  }
+
   test("stream-stream interval join with watermarks (canonical streaming CEP)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
