@@ -285,6 +285,10 @@ object Warc {
         val h = tryHeader(w, rel)
         if (h == null) fail("malformed record header", at)
         val (payloadRel, warcType, recordId, uri, len) = h
+        // guard the Int window index BEFORE casting: a declared
+        // multi-GB payload must fail by name, not wrap negative
+        if (payloadRel.toLong + len + 4 > Int.MaxValue - 8)
+          fail(s"payload of $len bytes exceeds one task's window", at)
         if (!w.ensure(payloadRel + len.toInt + 4))
           fail(s"payload of $len bytes overruns the blob", at)
         val payload = w.slice(payloadRel, payloadRel + len.toInt)
@@ -365,16 +369,19 @@ object Warc {
         val it = rangeRecords(w, base = readStart, s0, e0, "warcRecordsFiles")
         new Iterator[Row] {
           private var closed = false
+          private def close(): Unit =
+            if (!closed) { closed = true; in.close() }
           override def hasNext: Boolean = {
             val h = try it.hasNext catch { case e: Throwable =>
-              if (!closed) { closed = true; in.close() }
-              throw e
+              close(); throw e
             }
-            if (!h && !closed) { closed = true; in.close() }
+            if (!h) close()
             h
           }
           override def next(): Row = {
-            val (off, t, rid, uri, payload) = it.next()
+            // a parse failure mid-record must not leak the handle
+            val (off, t, rid, uri, payload) =
+              try it.next() catch { case e: Throwable => close(); throw e }
             Row(p, off, t, rid, uri, payload.length.toLong, payload)
           }
         }

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_DRIVER_MEM=48g sbt "Test/runMain graft.Scale100Probe"
   * Optional args select families so one leg can be re-measured without
-  * repeating the rest: any of `dedup embed graph rows text` (no args =
-  * all).
+  * repeating the rest: any of `dedup embed graph rows text warc` (no
+  * args = all). Every leg reports a MEDIAN of SPARK_GRAFT_PROBE_RUNS
+  * (default 3) builds with a blocking barrier between runs, so the
+  * printed numbers are regression-pinnable, not one-shot.
   */
 object Scale100Probe {
   def main(args: Array[String]): Unit = {
@@ -71,13 +73,30 @@ object Scale100Probe {
     // materializing localCheckpoint actions while BUILDING the frame,
     // so timing only the final count would read near-zero for exactly
     // the operators this probe exists to measure.
+    //
+    // MEDIAN-of-N per leg (round-12 verdict #7): single-shot 100×
+    // wall-clocks swung 1.6× run-to-run on this shared box (SCALE.md
+    // re-run note), too noisy to serve as regression pins. Each leg
+    // now rebuilds and re-runs `runs` times with the bench's blocking
+    // barrier (unpersist + GC) between measurements and reports the
+    // median plus the raw samples. SPARK_GRAFT_PROBE_RUNS=1 restores
+    // the quick single-shot for exploratory runs.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt.max(1)
     def time(label: String)(f: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val df = f
-      val n = df.count()
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
-      pinPlan(label, df)
-      graft.core.CacheRegistry.unpersistAll()
+      val samples = (1 to runs).map { i =>
+        val t0 = System.nanoTime()
+        val df = f
+        val n = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (i == 1) pinPlan(label, df) // plan is run-invariant
+        graft.core.CacheRegistry.unpersistAll() // barrier, untimed
+        spark.catalog.clearCache()
+        System.gc()
+        (sec, n)
+      }
+      val sorted = samples.map(_._1).sorted
+      val raw = samples.map(s => f"${s._1}%.1f").mkString("[", ",", "]")
+      println(f"$label: ${sorted(runs / 2)}%.1fs runs=$raw rows=${samples.head._2}")
     }
 
     // -- corpora ----------------------------------------------------- //
@@ -255,6 +274,47 @@ object Scale100Probe {
         .agg(count(lit(1)).as("n_records"),
           sum(col("content_length")).as("payload_bytes")))
     } // enabled("text")
+
+    if (enabled("warc")) {
+    // -- offset-splitting reader on ONE large WARC file --------------- //
+    // The file-per-task reader serializes a big WARC onto one task;
+    // warcRecordsFiles must instead spread ONE file over many
+    // byte-range tasks. Build a single ~100 MB, 100k-record file
+    // (driver-side stream write, untimed build step like mat()), then
+    // time the range-split read — and REQUIRE the multi-task shape.
+    val warcPath = new java.io.File(tmp, "big.warc")
+    locally {
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(warcPath), 1 << 20)
+      val it = docs100.where(col("doc_id") < 2000000L)
+        .select(col("doc_id"), col("text")).toLocalIterator()
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        out.write(graft.sources.Warc.warcEncode(1,
+          s"http://d${r.getLong(0) % 1000}.example.com/p/${r.getLong(0)}",
+          r.getString(1).getBytes("UTF-8")))
+        n += 1
+      }
+      out.close()
+      println(s"big.warc records=$n bytes=${warcPath.length()}")
+    }
+    locally {
+      val split = 8L << 20
+      val rec = graft.sources.Warc.warcRecordsFiles(
+        spark, warcPath.getAbsolutePath, splitBytes = split)
+      val wantTasks = (warcPath.length() + split - 1) / split
+      require(rec.rdd.getNumPartitions == wantTasks && wantTasks >= 8,
+        s"warcRecordsFiles: expected >=8 range tasks over one file, got " +
+          s"${rec.rdd.getNumPartitions}")
+      println(s"warcRecordsFiles tasks=$wantTasks over 1 file")
+    }
+    time("warcRecordsFiles 100k-record single file, 8MB ranges")(
+      graft.sources.Warc.warcRecordsFiles(
+        spark, warcPath.getAbsolutePath, splitBytes = 8L << 20)
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("payload_bytes")))
+    } // enabled("warc")
 
     spark.stop()
     def rmrf(f: java.io.File): Unit = {

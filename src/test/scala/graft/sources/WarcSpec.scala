@@ -150,6 +150,14 @@ class WarcSpec extends SparkSpec {
         0, 18).toSeq
     }
     assert(e.getMessage.contains("magic"))
+    // a declared multi-GB payload fails by NAME (window is Int-indexed)
+    // instead of wrapping negative
+    val big = intercept[IllegalArgumentException] {
+      Warc.parseRecordsRange(
+        "WARC/1.0\r\nContent-Length: 99999999999\r\n\r\n"
+          .getBytes("US-ASCII"), 0, 45).toSeq
+    }
+    assert(big.getMessage.contains("exceeds"))
     // every resync start lands on a REAL record boundary — never
     // inside a trap payload (verified headers, not just magic match)
     val real = Warc.parseRecordsRange(blob, 0, blob.length).map(_._1).toSet
