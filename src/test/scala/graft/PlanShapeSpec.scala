@@ -298,6 +298,22 @@ class PlanShapeSpec extends SparkSpec {
         coalesce(col("text"), lit("<i>x</i>"))).as("t")))
     assert(p2.linesIterator.exists(l => l.trim.matches("""\*\(\d+\) Project .*html_text.*""")))
     assert(!p2.contains("CodegenFallback"))
+    // the round-13 kernels — reference resolution and the charset
+    // chain — stay in the same codegen span
+    val p3 = plan(real.select(
+      graft.functions.UrlFunctions.urlResolve(
+        concat(lit("http://"), col("source"), lit(".com/a/b.html")),
+        lit("../g")).as("r"),
+      graft.functions.UrlFunctions.decodeText(
+        encode(col("text"), "ISO-8859-1"),
+        coalesce(
+          graft.functions.UrlFunctions.charsetParam(lit("text/html")),
+          graft.functions.UrlFunctions.sniffCharset(
+            encode(col("text"), "ISO-8859-1")),
+          lit("utf-8"))).as("t")))
+    assert(p3.linesIterator.exists(l => l.trim.matches("""\*\(\d+\) Project .*url_resolve.*""")))
+    assert(p3.contains("decode_text") && p3.contains("sniff_charset"))
+    assert(!p3.contains("CodegenFallback"))
   }
 
   test("weightedSample global path is TakeOrderedAndProject, never a full sort") {
