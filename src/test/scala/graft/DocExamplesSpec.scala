@@ -80,6 +80,27 @@ class DocExamplesSpec extends SparkSpec {
     assert(patched(Map("s" -> Seq(1).toDF("v")))("s").as[Int].head() == 4)
   }
 
+  test("doc: raw-crawl ingestion — warc split → charset decode → text + resolved links") {
+    import graft.functions.UrlFunctions._
+    import graft.sources.Warc
+    val html = "<html><head><meta charset=\"utf-8\"></head>" +
+      "<body><a href='../about'>about</a><p>Hello crawl</p></body></html>"
+    val blob = Warc.warcEncode(1, "http://www.Site.example:80/a/b/page.html",
+      html.getBytes("UTF-8"))
+    val out = Warc.warcRecords(Seq((1L, blob)).toDF("id", "warc"), "id", "warc")
+      .select(col("target_uri"),
+        htmlText(decodeText(col("payload"),
+          coalesce(sniffCharset(col("payload")), lit("utf-8")))).as("text"),
+        explode(htmlLinks(col("payload").cast("string"))).as("href"))
+      .select(
+        urlNormalize(col("target_uri")).as("page"), col("text"),
+        urlNormalize(urlResolve(col("target_uri"), col("href"))).as("link"))
+      .head()
+    assert(out.getString(0) == "http://site.example/a/b/page.html")
+    assert(out.getString(1) == "about Hello crawl")
+    assert(out.getString(2) == "http://site.example/a/about")
+  }
+
   test("doc: scoped run — drain releases only this run's caches") {
     RunScope.scoped {
       val cached = graft.core.CacheRegistry.persist(
