@@ -347,6 +347,68 @@ class UrlSpec extends SparkSpec {
     assert(out2 == "café")
   }
 
+  test("urlResolve differential fuzz vs java.net.URI over 2000 seeded pairs") {
+    // An independent reference implementation: the JDK's URI.resolve.
+    // It implements RFC 2396, which diverges from 3986 exactly on
+    // empty/query-only references and above-root ".." clamping — those
+    // classes are pinned by the §5.4 tables above, so the fuzz grammar
+    // EXCLUDES them (non-empty ref paths, parent-dots never exceeding
+    // the base directory depth, no ':' in first segments, and no dot
+    // segments at all in absolute-path/absolute-uri refs — 2396 leaves
+    // those paths verbatim where 3986 normalizes, a divergence the
+    // abnormal table's "/./g" → "/g" row pins on the 3986 side) and
+    // the two implementations must agree bit-for-bit everywhere else.
+    val seed = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260816").toLong
+    val rnd = new scala.util.Random(seed)
+    def seg(): String = "s" + rnd.nextInt(30)
+    var checked = 0
+    (1 to 2000).foreach { i =>
+      val dirDepth = 1 + rnd.nextInt(3)
+      val baseDirs = Seq.fill(dirDepth)(seg())
+      val base = "http://h" + rnd.nextInt(9) + ".example" +
+        baseDirs.mkString("/", "/", "") +
+        (if (rnd.nextBoolean()) "/f" + rnd.nextInt(9) + ".html" else "/") +
+        (if (rnd.nextInt(4) == 0) "?bq=" + rnd.nextInt(9) else "")
+      // a relative path that never climbs above its starting depth:
+      // optional ../ prefix bounded by the base dir depth, then
+      // segments with safe inner ./ and seg/../ noise
+      def relPath(maxUp: Int): String = {
+        val up = rnd.nextInt(maxUp + 1)
+        val sb = new StringBuilder("../" * up)
+        var parts = 1 + rnd.nextInt(3)
+        while (parts > 0) {
+          rnd.nextInt(4) match {
+            case 0 => sb.append("./").append(seg())
+            case 1 => sb.append(seg()).append("/../").append(seg())
+            case _ => sb.append(seg())
+          }
+          parts -= 1
+          if (parts > 0) sb.append("/")
+        }
+        if (rnd.nextInt(4) == 0) sb.append("/")
+        sb.toString
+      }
+      val ref = rnd.nextInt(5) match {
+        case 0 => "http://x" + rnd.nextInt(9) + ".example/" + seg()
+        case 1 => "//n" + rnd.nextInt(9) + ".example/" + seg() + "/" + seg()
+        case 2 => "/" + seg() + "/" + seg() // dot-free: see grammar note
+        case _ => relPath(dirDepth)
+      }
+      val suffix = (if (rnd.nextInt(3) == 0) "?a=" + rnd.nextInt(9) else "") +
+        (if (rnd.nextInt(4) == 0) "#frag" + rnd.nextInt(9) else "")
+      val r = ref + suffix
+      val got = UrlKernel.resolve(
+        org.apache.spark.unsafe.types.UTF8String.fromString(base),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r))
+      val want = new java.net.URI(base).resolve(r).toString
+      assert(got != null && got.toString == want,
+        s"seed $seed case $i: resolve('$base', '$r') = " +
+          s"${if (got == null) "NULL" else got} but URI says $want")
+      checked += 1
+    }
+    assert(checked == 2000)
+  }
+
   test("kernels compile under codegen with NON-nullable children") {
     // regression: nullable=child.nullable + a doGenCode that assigns
     // ev.isNull made the generated Java assign to the literal "false"
