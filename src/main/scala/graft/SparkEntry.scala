@@ -1089,9 +1089,10 @@ object SparkEntry {
       val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
       // nprobe 10/16: the 0.6 recall pin must hold at BOTH gate scales
-      // and under the gate's own input partitioning (the bounded
-      // takeSample quantizer is partitioning-sensitive; 6/16 sat at
-      // 0.68 on raw layout but under 0.6 on the gate layout at sf0.1)
+      // (the quantizer trains on a deterministic layout-INVARIANT
+      // content-hash sample since round 13, so the recall level is a
+      // property of the data + seed alone; 6/16 sat at 0.68/0.58
+      // historically — 10/16 keeps honest margin)
       val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 10)
         .select(col("query_id"), col("neighbor_id"))
       brute.agg(count(lit(1)).as("n_brute"))

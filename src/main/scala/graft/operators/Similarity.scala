@@ -591,24 +591,38 @@ object Similarity {
     IvfIndex(centroids, assigned, centroids.count().toInt)
   }
 
+  /** Bounded, layout-INVARIANT deterministic training sample: the
+    * `trainSample` lowest vectors by seeded content hash —
+    * TakeOrderedAndProject (per-partition top-K, then a driver merge),
+    * ONE projected corpus pass. Replaces `rdd.takeSample`, which was
+    * seeded but partition-LAYOUT-sensitive: two round-13 probes ran
+    * the same 200k vectors repartitioned 16 vs 64 ways, trained
+    * different centroids, and emitted different survivor sets — a
+    * violation of the repo-wide md5-threshold sampling rule (README
+    * design rules). Hash ties share identical vector content, so tie
+    * order cannot change the trained centroids.
+    */
+  private def deterministicSample(corpus: DataFrame, vecCol: String,
+      trainSample: Int, seed: Long): Array[Array[Double]] =
+    corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .orderBy(md5(concat(col("v").cast("string"), lit(seed.toString))))
+      // bounded: trainSample vectors, regardless of corpus size
+      .limit(trainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+
   /** Train the quantizer on a bounded driver-side sample (default 4096
-    * vectors via `takeSample` — two cheap projected passes, never a
-    * full-corpus k-means), then assign every corpus vector to its cell
-    * with the fused [[graft.functions.NearestCentroid]] codegen kernel
-    * in one distributed transform.
+    * vectors via [[deterministicSample]] — one projected top-K pass,
+    * never a full-corpus k-means), then assign every corpus vector to
+    * its cell with the fused [[graft.functions.NearestCentroid]]
+    * codegen kernel in one distributed transform.
     *
     * Lloyd's iterations run ON THE DRIVER over the collected sample:
     * 4096 × dim doubles is microseconds of CPU, and pushing it through
     * a distributed k-means costs a Spark job per iteration — at any
     * scale the right split is "sample distributed, train local, assign
-    * distributed" (the FAISS train/add split).
-    */
-  /** Sample-train a coarse quantizer: bounded `takeSample` (two cheap
-    * projected passes, never a full-corpus k-means), then driver-local
-    * k-means++/Lloyd's. The returned centroid table is tiny
-    * (nlist × dim) and rides into codegen kernels as a reference
-    * object. Shared by [[buildIvfIndex]] and
-    * [[Dedup.semanticPairs]].
+    * distributed" (the FAISS train/add split). Shared by
+    * [[buildIvfIndex]] and [[Dedup.semanticPairs]].
     */
   private[operators] def trainCentroids(
       corpus: DataFrame,
@@ -618,12 +632,7 @@ object Similarity {
       seed: Long): Array[Array[Double]] = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     require(trainSample >= nlist, s"trainSample ($trainSample) must be >= nlist ($nlist)")
-    val sampleRaw: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"))
-      .where(col("v").isNotNull)
-      .rdd.map(_.getSeq[Double](0).toArray)
-      // bounded: trainSample vectors, regardless of corpus size
-      .takeSample(withReplacement = false, trainSample, seed)
+    val sampleRaw = deterministicSample(corpus, vecCol, trainSample, seed)
     require(sampleRaw.nonEmpty, "trainCentroids: corpus is empty")
     // Mixed-dimension corpora: train on the MAJORITY dimension of the
     // sample (lloydLocal assumes one dim; a truncated partial distance
@@ -872,12 +881,7 @@ object Similarity {
       seed: Long): Array[Array[Array[Double]]] = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(kSub >= 1, s"kSub must be >= 1, got $kSub")
-    val sampleRaw: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"))
-      .where(col("v").isNotNull)
-      .rdd.map(_.getSeq[Double](0).toArray)
-      // bounded: trainSample vectors, regardless of corpus size
-      .takeSample(withReplacement = false, trainSample, seed)
+    val sampleRaw = deterministicSample(corpus, vecCol, trainSample, seed)
     require(sampleRaw.nonEmpty, "trainPqCodebooks: corpus is empty")
     val majorityDim = sampleRaw.groupBy(_.length).view.mapValues(_.length)
       .toSeq.maxBy { case (dim, n) => (n, -dim) }._1

@@ -300,7 +300,7 @@ object Scale100Probe {
       println(s"big.warc records=$n bytes=${warcPath.length()}")
     }
     locally {
-      val split = 8L << 20
+      val split = 4L << 20
       val rec = graft.sources.Warc.warcRecordsFiles(
         spark, warcPath.getAbsolutePath, splitBytes = split)
       val wantTasks = (warcPath.length() + split - 1) / split
@@ -309,9 +309,9 @@ object Scale100Probe {
           s"${rec.rdd.getNumPartitions}")
       println(s"warcRecordsFiles tasks=$wantTasks over 1 file")
     }
-    time("warcRecordsFiles 100k-record single file, 8MB ranges")(
+    time("warcRecordsFiles 100k-record single file, 4MB ranges")(
       graft.sources.Warc.warcRecordsFiles(
-        spark, warcPath.getAbsolutePath, splitBytes = 8L << 20)
+        spark, warcPath.getAbsolutePath, splitBytes = 4L << 20)
         .agg(count(lit(1)).as("n_records"),
           sum(col("content_length")).as("payload_bytes")))
     } // enabled("warc")
