@@ -599,13 +599,23 @@ object Similarity {
     * the same 200k vectors repartitioned 16 vs 64 ways, trained
     * different centroids, and emitted different survivor sets — a
     * violation of the repo-wide md5-threshold sampling rule (README
-    * design rules). Hash ties share identical vector content, so tie
-    * order cannot change the trained centroids.
+    * design rules).
+    *
+    * The sample is over DISTINCT vectors: identical content hashes
+    * identically, so without the distinct a corpus with heavy exact
+    * replication would fill the whole sample with copies of its
+    * lowest-hash few vectors (measured: the 100×-replicated probe
+    * corpus yielded ~41 distinct training points for nlist=448 — a
+    * handful of mega-cells and a quadratic candidate blowup). Distinct
+    * trains the quantizer on the corpus's geometry, not its copy
+    * counts; the map-side partial aggregate collapses replicas before
+    * the shuffle, and the top-K after it stays bounded.
     */
   private def deterministicSample(corpus: DataFrame, vecCol: String,
       trainSample: Int, seed: Long): Array[Array[Double]] =
     corpus.select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
+      .distinct()
       .orderBy(md5(concat(col("v").cast("string"), lit(seed.toString))))
       // bounded: trainSample vectors, regardless of corpus size
       .limit(trainSample)
