@@ -602,24 +602,54 @@ object Similarity {
     * design rules).
     *
     * The sample is over DISTINCT vectors: identical content hashes
-    * identically, so without the distinct a corpus with heavy exact
+    * identically, so without dedup a corpus with heavy exact
     * replication would fill the whole sample with copies of its
     * lowest-hash few vectors (measured: the 100×-replicated probe
     * corpus yielded ~41 distinct training points for nlist=448 — a
-    * handful of mega-cells and a quadratic candidate blowup). Distinct
+    * handful of mega-cells and a quadratic candidate blowup). Dedup
     * trains the quantizer on the corpus's geometry, not its copy
-    * counts; the map-side partial aggregate collapses replicas before
-    * the shuffle, and the top-K after it stays bounded.
+    * counts.
+    *
+    * Execution shape: the obvious `distinct().orderBy(hash).limit(K)`
+    * shuffles the WHOLE projected corpus to pick K rows — measured
+    * 2-3× on the bench's quantizer gates and a terabyte-class shuffle
+    * at 100 TB. Instead each partition keeps its own K lowest distinct
+    * hashes in a bounded TreeMap (narrow, one pass), and only those
+    * ≤ K·numPartitions candidate rows shuffle into the final global
+    * top-K — set semantics, so the selected sample (and therefore the
+    * trained centroids) is bit-identical to the naive plan and
+    * independent of partitioning.
     */
   private def deterministicSample(corpus: DataFrame, vecCol: String,
-      trainSample: Int, seed: Long): Array[Array[Double]] =
-    corpus.select(col(vecCol).cast("array<double>").as("v"))
+      trainSample: Int, seed: Long): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val candidates = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
-      .distinct()
-      .orderBy(md5(concat(col("v").cast("string"), lit(seed.toString))))
+      .select(md5(concat(col("v").cast("string"), lit(seed.toString)))
+        .as("h"), col("v"))
+      .as[(String, Seq[Double])]
+      .mapPartitions { it =>
+        // bounded: at most trainSample entries live here
+        val top = new java.util.TreeMap[String, Seq[Double]]()
+        it.foreach { case (h, v) =>
+          if ((top.size < trainSample || h < top.lastKey) &&
+            !top.containsKey(h)) {
+            top.put(h, v)
+            if (top.size > trainSample) { top.remove(top.lastKey); () }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        top.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+      }
+    candidates.toDF("h", "v")
+      .dropDuplicates("h") // same content surviving from several partitions
+      .orderBy(col("h"))
       // bounded: trainSample vectors, regardless of corpus size
       .limit(trainSample)
-      .collect().map(_.getSeq[Double](0).toArray)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+  }
 
   /** Train the quantizer on a bounded driver-side sample (default 4096
     * vectors via [[deterministicSample]] — one projected top-K pass,
