@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharShingles, CharsetParam, CosineSimilarity, DecodeText, DotProduct, HtmlLinks, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RollingHash, Simhash64, SniffCharset, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, UrlResolve, WordShingles}
+import graft.functions.{CharShingles, CharsetParam, CosineSimilarity, DecodeText, DotProduct, HtmlLinks, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RobotsAllowed, RollingHash, Simhash64, SniffCharset, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, UrlResolve, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -141,7 +141,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => { val a = arity("sniff_charset", 1)(es); SniffCharset(a(0)) }),
     ("decode_text",
       "decode_text(payload, charset) - payload decoded with the named charset, malformed bytes become U+FFFD; NULL when the charset is unsupported",
-      (es: Seq[Expression]) => { val a = arity("decode_text", 2)(es); DecodeText(a(0), a(1)) })
+      (es: Seq[Expression]) => { val a = arity("decode_text", 2)(es); DecodeText(a(0), a(1)) }),
+    ("robots_allowed",
+      "robots_allowed(robots_txt, agent, path) - RFC 9309 fetch permission: most-specific group, longest-match rule, allow wins ties, * and $ patterns",
+      (es: Seq[Expression]) => { val a = arity("robots_allowed", 3)(es); RobotsAllowed(a(0), a(1), a(2)) })
   )
 
   /** Register every function into a live session's registry. */

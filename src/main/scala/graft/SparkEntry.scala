@@ -1367,6 +1367,34 @@ object SparkEntry {
           .as("body"))
     }),
 
+    // Crawl politeness: a synthetic RFC 9309 robots.txt built
+    // row-locally (wildcard + $-anchored allow inside a disallowed
+    // tree + an agent-specific group), the REAL parser answers
+    // may-fetch for (agent, path) pairs cycled by doc_id residues, and
+    // the oracle recomputes every verdict as CASE arithmetic. The
+    // specific group must REPLACE the * group (not merge), the
+    // $-anchored allow must outrank the shorter disallow, and the
+    // wildcard disallow must anchor at the path end.
+    "q_robots" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id").isNotNull)
+      val robotsTxt = concat(
+        lit("# policy\nUser-agent: *\nDisallow: /private/\n" +
+          "Allow: /private/pub"), (col("doc_id") % 5).cast("string"),
+        lit("$\nDisallow: /*.tmp$\n\nUser-agent: graftbot\n" +
+          "Disallow: /graft/\n"))
+      val agent = when(col("doc_id") % 3 === 0, lit("GraftBot/1.0"))
+        .otherwise(lit("randombot"))
+      val path = when(col("doc_id") % 4 === 0,
+          concat(lit("/private/pub"), (col("doc_id") % 5).cast("string")))
+        .when(col("doc_id") % 4 === 1, lit("/private/x.tmp"))
+        .when(col("doc_id") % 4 === 2, lit("/graft/data"))
+        .otherwise(lit("/ok/page"))
+      docs.select(col("doc_id"), agent.as("agent"), path.as("path"),
+        graft.functions.UrlFunctions.robotsAllowed(robotsTxt, agent, path)
+          .as("allowed"))
+    }),
+
     // Url-level exact dedup (the CCNet/RefinedWeb leading pass): docs
     // sharing a canonical url collapse to the min doc_id; the messy
     // construction guarantees collisions (path is doc_id mod 97).
@@ -6645,6 +6673,19 @@ object SparkEntry {
         |  text || ' café naïve' AS body
         |FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
+
+    "q_robots" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'GraftBot/1.0'
+        |       ELSE 'randombot' END AS agent,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN '/private/pub' || CAST(doc_id % 5 AS VARCHAR)
+        |    WHEN 1 THEN '/private/x.tmp'
+        |    WHEN 2 THEN '/graft/data'
+        |    ELSE '/ok/page' END AS path,
+        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 4 <> 2)
+        |       ELSE (doc_id % 4 <> 1) END AS allowed
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
 
     "q_url_dedup" ->
       """SELECT

@@ -505,6 +505,117 @@ object UrlKernel {
       dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
   }
 
+  // ---- robots.txt (RFC 9309) ---------------------------------------- //
+  // The crawl-politeness filter: every raw-crawl pipeline that emits
+  // fetch lists needs "may agent X fetch path P under this
+  // robots.txt". Semantics per RFC 9309:
+  //  - groups = one or more `user-agent:` lines followed by
+  //    `allow:`/`disallow:` rules; keys case-insensitive; `#` starts
+  //    a comment; unknown directives (crawl-delay, sitemap) are
+  //    ignored but TERMINATE the user-agent run (a group's agent list
+  //    only grows while no rule has intervened);
+  //  - group selection: the MOST SPECIFIC matching user-agent — the
+  //    longest line value that is a case-insensitive substring of the
+  //    crawler's product token; `*` matches anything but loses to any
+  //    specific match. ALL groups with the winning value merge.
+  //  - rule matching: patterns anchor at the path START, `*` matches
+  //    any run, `$` (final char) anchors the end; the matching rule
+  //    with the MOST OCTETS wins; an allow/disallow tie at equal
+  //    length is ALLOW (least-restrictive rule, §2.2.2); an empty
+  //    pattern is a no-op rule;
+  //  - no matching group or no matching rule → allowed.
+  // Percent-encoding equivalence is out of scope (compare paths in
+  // the encoding the caller uses — the same contract as
+  // [[normalize]], which leaves path bytes verbatim).
+
+  /** `pattern` matches a PREFIX of `path`, `*` = any run, trailing
+    * `$` = end anchor. Iterative greedy-with-backtrack (the classic
+    * star matcher), linear-ish in practice.
+    */
+  private[functions] def robotsPatternMatches(pattern: String, path: String): Boolean = {
+    var pat = pattern
+    var anchored = false
+    if (pat.endsWith("$")) { anchored = true; pat = pat.substring(0, pat.length - 1) }
+    val n = path.length
+    val m = pat.length
+    var i = 0; var j = 0       // path / pattern cursors
+    var starJ = -1; var starI = -1
+    while (i < n) {
+      if (j < m && (pat.charAt(j) == path.charAt(i))) { i += 1; j += 1 }
+      else if (j < m && pat.charAt(j) == '*') { starJ = j; starI = i; j += 1 }
+      // unanchored + pattern exhausted = prefix matched — checked
+      // BEFORE backtracking, which only helps anchored patterns here
+      else if (j >= m && !anchored) return true
+      else if (starJ >= 0) { starI += 1; i = starI; j = starJ + 1 }
+      else return false
+    }
+    // path exhausted: rest of pattern must be stars
+    while (j < m && pat.charAt(j) == '*') j += 1
+    j >= m // anchored or not, the whole path was consumed
+  }
+
+  /** true/false per the contract above; `null` robots/agent/path are
+    * handled by the expression layer (null in → null out).
+    */
+  def robotsAllowed(robots: UTF8String, agent: UTF8String,
+      path: UTF8String): Boolean = {
+    val token = agent.toString.toLowerCase(java.util.Locale.ROOT)
+    val p = path.toString
+    // parse: (agentValueLowercase, isAllow, pattern) triples in file
+    // order, remembering each rule's owning agent values
+    var bestAgent: String = null // longest matching specific value
+    var starSeen = false
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Boolean, String)]
+    var currentAgents = List.empty[String]
+    var inAgentRun = true
+    robots.toString.linesIterator.foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      if (line.nonEmpty) {
+        val c = line.indexOf(':')
+        if (c > 0) {
+          val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(c + 1).trim
+          key match {
+            case "user-agent" =>
+              val v = value.toLowerCase(java.util.Locale.ROOT)
+              if (inAgentRun) currentAgents ::= v
+              else { currentAgents = List(v); inAgentRun = true }
+              if (v == "*") starSeen = true
+              else if (token.contains(v) &&
+                (bestAgent == null || v.length > bestAgent.length))
+                bestAgent = v
+            case "allow" | "disallow" =>
+              inAgentRun = false
+              currentAgents.foreach { a =>
+                rules += ((a, key == "allow", value))
+              }
+            case _ => inAgentRun = false // crawl-delay etc: ends the run
+          }
+        }
+      }
+    }
+    val winner = if (bestAgent != null) bestAgent else if (starSeen) "*" else null
+    if (winner == null) return true // no applicable group
+    var verdict = true        // default allow
+    var bestLen = -1
+    rules.foreach { case (a, isAllow, pattern) =>
+      if (a == winner && pattern.nonEmpty &&
+        robotsPatternMatches(pattern, p)) {
+        val len = pattern.length
+        // longest wins; equal length: allow beats disallow (§2.2.2)
+        if (len > bestLen || (len == bestLen && isAllow)) {
+          bestLen = len; verdict = isAllow
+        }
+      }
+    }
+    verdict
+  }
+
   // ---- RFC 3986 §5 reference resolution ---------------------------- //
   // The relative-link resolver the web-graph path needs: html_links
   // emits hrefs AS WRITTEN, and on real pages the majority are
@@ -812,6 +923,41 @@ case class DecodeText(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** robots_allowed(robots_txt, agent, path) → may `agent` fetch `path`
+  * under this robots.txt, per RFC 9309 (most-specific group,
+  * longest-match rule, allow wins ties, `*`/`$` patterns). Total on
+  * non-null input — an unparseable robots.txt simply contributes no
+  * rules (allowed), matching crawler behavior.
+  */
+case class RobotsAllowed(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "robots_allowed"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == StringType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string, string), got " +
+          children.map(_.dataType.catalogString).mkString("(", ", ", ")"))
+
+  override def nullSafeEval(r: Any, a: Any, p: Any): Any =
+    UrlKernel.robotsAllowed(r.asInstanceOf[UTF8String],
+      a.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UrlKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev,
+      (r, a, p) => s"${ev.value} = $cls.robotsAllowed($r, $a, $p);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** url_resolve(base, ref) → absolute uri of `ref` written on a page
   * at `base`, per RFC 3986 §5 reference resolution (merge, dot-segment
   * removal, recomposition); NULL when base has no scheme. The output
@@ -923,4 +1069,9 @@ object UrlFunctions {
   def decodeText(payload: Column, charset: Column): Column =
     GraftBridge.column(DecodeText(
       GraftBridge.expression(payload), GraftBridge.expression(charset)))
+
+  /** Column form of [[RobotsAllowed]]. */
+  def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
+    GraftBridge.column(RobotsAllowed(GraftBridge.expression(robots),
+      GraftBridge.expression(agent), GraftBridge.expression(path)))
 }

@@ -47,7 +47,8 @@ class GraftSqlSpec extends SparkSpec {
       "jaro_winkler", "interleave_bits",
       "char_shingles", "stopword_count", "subword_count", "rolling_hash",
       "url_normalize", "url_host", "url_domain", "html_text", "html_links",
-      "url_resolve", "charset_param", "sniff_charset", "decode_text"))
+      "url_resolve", "charset_param", "sniff_charset", "decode_text",
+      "robots_allowed"))
   }
 
   test("skippingFailures drops poisoned records and counts them " +

@@ -347,6 +347,80 @@ class UrlSpec extends SparkSpec {
     assert(out2 == "café")
   }
 
+  private def robots(txt: String, agent: String, path: String): Boolean =
+    Seq((txt, agent, path)).toDF("r", "a", "p")
+      .select(UrlFunctions.robotsAllowed(col("r"), col("a"), col("p"))
+        .as("ok")).head().getBoolean(0)
+
+  test("robotsAllowed: RFC 9309 group selection, longest match, allow ties") {
+    val txt =
+      """# crawl policy
+        |User-agent: *
+        |Disallow: /private/
+        |Allow: /private/pub$
+        |Disallow: /*.tmp$
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /graft-only/
+        |Crawl-delay: 10
+        |
+        |User-agent: graftbot
+        |Disallow: /also-this/""".stripMargin
+    // the * group governs unknown agents
+    assert(!robots(txt, "randombot", "/private/secret"))
+    // the longer ($-anchored) allow outranks the /private/ disallow
+    assert(robots(txt, "randombot", "/private/pub"))
+    // ...but only on the exact anchored path
+    assert(!robots(txt, "randombot", "/private/pub2"))
+    // wildcard + anchor
+    assert(!robots(txt, "randombot", "/x/y.tmp"))
+    assert(robots(txt, "randombot", "/x/y.tmpz"))
+    assert(robots(txt, "randombot", "/public/fine"))
+    // a specific group REPLACES *, it does not merge with it
+    assert(robots(txt, "GraftBot/1.2", "/private/secret"))
+    assert(!robots(txt, "graftbot", "/graft-only/x"))
+    // two groups naming the same agent merge
+    assert(!robots(txt, "graftbot", "/also-this/x"))
+    // a multi-agent run shares its rules; later groups don't leak back
+    assert(!robots(txt, "otherbot", "/graft-only/x"))
+    assert(robots(txt, "otherbot", "/also-this/x"))
+    // equal-length allow/disallow tie resolves to ALLOW (§2.2.2), in
+    // either declaration order
+    assert(robots("User-agent: *\nDisallow: /dir/\nAllow: /dir/", "a", "/dir/x"))
+    assert(robots("User-agent: *\nAllow: /dir/\nDisallow: /dir/", "a", "/dir/x"))
+    // empty disallow is a no-op rule
+    assert(robots("User-agent: *\nDisallow:", "a", "/anything"))
+    // no parseable groups -> allowed
+    assert(robots("not a robots file at all", "a", "/x"))
+    assert(robots("", "a", "/x"))
+    // the MOST SPECIFIC (longest) matching agent value wins
+    val spec = "User-agent: bot\nDisallow: /a/\n\n" +
+      "User-agent: bigbot\nDisallow: /b/"
+    assert(robots(spec, "bigbot/2.0", "/a/x"))   // 'bot' group loses
+    assert(!robots(spec, "bigbot/2.0", "/b/x"))
+    assert(!robots(spec, "somebot", "/a/x"))     // only 'bot' matches
+    // an unknown directive ends the agent run: the next user-agent
+    // line starts a NEW group rather than extending the old one
+    val runEnd = "User-agent: a\nSitemap: http://e.com/s.xml\n" +
+      "User-agent: b\nDisallow: /x/"
+    assert(robots(runEnd, "a", "/x/1")) // group a has no rules
+    assert(!robots(runEnd, "b", "/x/1"))
+  }
+
+  test("robotsPatternMatches: anchoring, wildcards, prefix semantics") {
+    assert(UrlKernel.robotsPatternMatches("/p", "/path"))
+    assert(!UrlKernel.robotsPatternMatches("/p$", "/path"))
+    assert(UrlKernel.robotsPatternMatches("/path$", "/path"))
+    assert(UrlKernel.robotsPatternMatches("/a*b", "/axxbzz"))
+    assert(UrlKernel.robotsPatternMatches("/a*b$", "/axxb"))
+    assert(!UrlKernel.robotsPatternMatches("/a*b$", "/axxbzz"))
+    assert(UrlKernel.robotsPatternMatches("/*/z", "/x/y/z"))
+    assert(UrlKernel.robotsPatternMatches("*", "/anything"))
+    assert(UrlKernel.robotsPatternMatches("/a**b", "/ab"))
+    assert(!UrlKernel.robotsPatternMatches("/b", "/a/b"))
+  }
+
   test("urlResolve differential fuzz vs java.net.URI over 2000 seeded pairs") {
     // An independent reference implementation: the JDK's URI.resolve.
     // It implements RFC 2396, which diverges from 3986 exactly on
