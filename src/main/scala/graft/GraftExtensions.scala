@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharShingles, CharsetParam, CosineSimilarity, DecodeText, DotProduct, HtmlLinks, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RobotsAllowed, RollingHash, Simhash64, SniffCharset, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, UrlResolve, WordShingles}
+import graft.functions.{CharShingles, CharsetParam, CosineSimilarity, DecodeText, DotProduct, HtmlLinks, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RobotsAllowed, RobotsSitemaps, RollingHash, Simhash64, SitemapLocs, SniffCharset, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, UrlResolve, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -144,7 +144,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => { val a = arity("decode_text", 2)(es); DecodeText(a(0), a(1)) }),
     ("robots_allowed",
       "robots_allowed(robots_txt, agent, path) - RFC 9309 fetch permission: most-specific group, longest-match rule, allow wins ties, * and $ patterns",
-      (es: Seq[Expression]) => { val a = arity("robots_allowed", 3)(es); RobotsAllowed(a(0), a(1), a(2)) })
+      (es: Seq[Expression]) => { val a = arity("robots_allowed", 3)(es); RobotsAllowed(a(0), a(1), a(2)) }),
+    ("robots_sitemaps",
+      "robots_sitemaps(robots_txt) - array of Sitemap: urls declared in a robots.txt, file order",
+      (es: Seq[Expression]) => { val a = arity("robots_sitemaps", 1)(es); RobotsSitemaps(a(0)) }),
+    ("sitemap_locs",
+      "sitemap_locs(xml) - array of <loc> targets of a sitemap or sitemap-index xml, document order, entity-decoded",
+      (es: Seq[Expression]) => { val a = arity("sitemap_locs", 1)(es); SitemapLocs(a(0)) })
   )
 
   /** Register every function into a live session's registry. */

@@ -1395,6 +1395,39 @@ object SparkEntry {
           .as("allowed"))
     }),
 
+    // Crawl discovery: robots.txt declares 1-2 Sitemap urls, the
+    // sitemap xml lists 1-3 <loc> targets (with an entity-encoded
+    // &amp; and padding whitespace the parser must strip), and the
+    // oracle recomputes the declared-map count and every loc in closed
+    // form from doc_id residues.
+    "q_sitemap" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id").isNotNull)
+      val robotsTxt = concat(
+        lit("User-agent: *\nDisallow: /tmp/\nSitemap: http://s"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/sitemap.xml\n"),
+        when(col("doc_id") % 2 === 0,
+          lit("Sitemap: http://mirror.example.com/sm.xml\n"))
+          .otherwise(lit("")))
+      def entry(k: Int) = concat(
+        lit("<url><loc> http://d"), (col("doc_id") % 7).cast("string"),
+        lit(s".example.com/p/$k?a=1&amp;b=2 </loc>" +
+          "<lastmod>2026-01-01</lastmod></url>"))
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        entry(0),
+        when(col("doc_id") % 3 >= 1, entry(1)).otherwise(lit("")),
+        when(col("doc_id") % 3 >= 2, entry(2)).otherwise(lit("")),
+        lit("</urlset>"))
+      docs.select(col("doc_id"),
+          size(graft.functions.UrlFunctions.robotsSitemaps(robotsTxt))
+            .as("n_maps"),
+          posexplode(graft.functions.UrlFunctions.sitemapLocs(xml)))
+        .select(col("doc_id"), col("n_maps"),
+          col("pos").cast("long").as("loc_idx"), col("col").as("loc"))
+    }),
+
     // Url-level exact dedup (the CCNet/RefinedWeb leading pass): docs
     // sharing a canonical url collapse to the min doc_id; the messy
     // construction guarantees collisions (path is doc_id mod 97).
@@ -6685,6 +6718,15 @@ object SparkEntry {
         |    ELSE '/ok/page' END AS path,
         |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 4 <> 2)
         |       ELSE (doc_id % 4 <> 1) END AS allowed
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    "q_sitemap" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_maps,
+        |  unnest(generate_series(0, (doc_id % 3)::BIGINT)) AS loc_idx,
+        |  'http://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' ||
+        |    CAST(unnest(generate_series(0, (doc_id % 3)::BIGINT)) AS VARCHAR)
+        |    || '?a=1&b=2' AS loc
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
 
     "q_url_dedup" ->

@@ -616,6 +616,64 @@ object UrlKernel {
     verdict
   }
 
+  /** Sitemap urls declared in a robots.txt (`Sitemap:` lines, any
+    * case, comments stripped like [[robotsAllowed]]) in file order —
+    * the discovery hop between politeness and [[sitemapLocs]]. Empty
+    * array when none are declared.
+    */
+  def robotsSitemaps(robots: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    robots.toString.linesIterator.foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val c = line.indexOf(':')
+      if (c > 0 &&
+        line.substring(0, c).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) out += UTF8String.fromString(v)
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** `<loc>` contents of a sitemap / sitemap-index xml in document
+    * order (the one element both formats share), entity-decoded with
+    * the shared table, CDATA-unwrapped, whitespace-trimmed; an
+    * unterminated `<loc>` is ignored. No DOM — one linear scan, the
+    * [[htmlLinks]] discipline.
+    */
+  def sitemapLocs(xml: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = xml.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = indexOfIgnoreCase(s, "<loc", 0)
+    while (i >= 0) {
+      val nameEnd = i + 4
+      val isLocTag = nameEnd < n && {
+        val ch = s.charAt(nameEnd)
+        ch == '>' || Character.isWhitespace(ch)
+      }
+      if (isLocTag) {
+        val gt = s.indexOf('>', i)
+        val close = if (gt < 0) -1 else indexOfIgnoreCase(s, "</loc", gt + 1)
+        if (gt < 0 || close < 0) {
+          i = -1 // unterminated: ignore the tail
+        } else {
+          var content = s.substring(gt + 1, close).trim
+          if (content.startsWith("<![CDATA[") && content.endsWith("]]>"))
+            content = content.substring(9, content.length - 3).trim
+          if (content.nonEmpty)
+            out += UTF8String.fromString(decodeEntities(content))
+          i = indexOfIgnoreCase(s, "<loc", close + 5)
+        }
+      } else i = indexOfIgnoreCase(s, "<loc", i + 4)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   // ---- RFC 3986 §5 reference resolution ---------------------------- //
   // The relative-link resolver the web-graph path needs: html_links
   // emits hrefs AS WRITTEN, and on real pages the majority are
@@ -1031,6 +1089,51 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+private[functions] abstract class UrlStringArrayUnary extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType.catalogString}")
+
+  protected def kernelMethod: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UrlKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    // the kernels never return null (empty array instead), so no
+    // isNull assignment — and none is safe with non-nullable children
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.$kernelMethod($c);")
+  }
+}
+
+/** robots_sitemaps(robots_txt) → array of declared Sitemap urls in
+  * file order; empty array when none.
+  */
+case class RobotsSitemaps(child: Expression) extends UrlStringArrayUnary {
+  override def prettyName: String = "robots_sitemaps"
+  override protected def kernelMethod: String = "robotsSitemaps"
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.robotsSitemaps(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** sitemap_locs(xml) → array of `<loc>` targets in document order
+  * (urlset or sitemapindex), entity-decoded; empty array when none.
+  */
+case class SitemapLocs(child: Expression) extends UrlStringArrayUnary {
+  override def prettyName: String = "sitemap_locs"
+  override protected def kernelMethod: String = "sitemapLocs"
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.sitemapLocs(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object UrlFunctions {
   /** Column form of [[UrlNormalize]]. */
   def urlNormalize(c: Column): Column =
@@ -1074,4 +1177,12 @@ object UrlFunctions {
   def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
     GraftBridge.column(RobotsAllowed(GraftBridge.expression(robots),
       GraftBridge.expression(agent), GraftBridge.expression(path)))
+
+  /** Column form of [[RobotsSitemaps]]. */
+  def robotsSitemaps(c: Column): Column =
+    GraftBridge.column(RobotsSitemaps(GraftBridge.expression(c)))
+
+  /** Column form of [[SitemapLocs]]. */
+  def sitemapLocs(c: Column): Column =
+    GraftBridge.column(SitemapLocs(GraftBridge.expression(c)))
 }

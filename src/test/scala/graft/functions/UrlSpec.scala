@@ -421,6 +421,37 @@ class UrlSpec extends SparkSpec {
     assert(!UrlKernel.robotsPatternMatches("/b", "/a/b"))
   }
 
+  test("robotsSitemaps + sitemapLocs: the crawl-discovery hop") {
+    def maps(txt: String): Seq[String] =
+      Seq(txt).toDF("t").select(UrlFunctions.robotsSitemaps(col("t")).as("m"))
+        .head().getSeq[String](0)
+    def locs(xml: String): Seq[String] =
+      Seq(xml).toDF("x").select(UrlFunctions.sitemapLocs(col("x")).as("l"))
+        .head().getSeq[String](0)
+    assert(maps("User-agent: *\nDisallow: /x\n" +
+      "Sitemap: http://e.com/a.xml\n" +
+      "SITEMAP: http://e.com/b.xml # mirror\n") ==
+      Seq("http://e.com/a.xml", "http://e.com/b.xml"))
+    assert(maps("User-agent: *\nDisallow: /x") == Seq.empty)
+    assert(maps("Sitemap:") == Seq.empty) // empty value is not a url
+    // urlset form: entities decode, CDATA unwraps, whitespace trims
+    assert(locs("<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc> http://e.com/p?a=1&amp;b=2 </loc><lastmod>x</lastmod></url>" +
+      "<url><loc><![CDATA[http://e.com/q]]></loc></url>" +
+      "</urlset>") == Seq("http://e.com/p?a=1&b=2", "http://e.com/q"))
+    // sitemapindex shares the element; <locomotive> is not <loc>
+    assert(locs("<sitemapindex><sitemap><loc>http://e.com/sm1.xml</loc>" +
+      "</sitemap></sitemapindex><locomotive>no</locomotive>") ==
+      Seq("http://e.com/sm1.xml"))
+    // unterminated loc ignored; empty document yields the empty array
+    assert(locs("<urlset><url><loc>http://e.com/cut") == Seq.empty)
+    assert(locs("<urlset></urlset>") == Seq.empty)
+    val nulls = Seq(Option.empty[String]).toDF("t")
+      .select(UrlFunctions.robotsSitemaps(col("t")).as("m"),
+        UrlFunctions.sitemapLocs(col("t")).as("l")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("urlResolve differential fuzz vs java.net.URI over 2000 seeded pairs") {
     // An independent reference implementation: the JDK's URI.resolve.
     // It implements RFC 2396, which diverges from 3986 exactly on
