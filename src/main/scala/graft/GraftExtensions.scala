@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharShingles, CharsetParam, CosineSimilarity, DecodeText, DotProduct, HtmlLinks, HtmlText, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RobotsAllowed, RobotsSitemaps, RollingHash, Simhash64, SitemapLocs, SniffCharset, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, UrlResolve, WordShingles}
+import graft.functions.{CharShingles, CharsetParam, CosineSimilarity, DecodeText, DotProduct, Gunzip, HtmlLinks, HtmlText, HttpBody, HttpHeader, HttpStatus, HyperplaneBucket, InterleaveBits, JaroWinklerSim, MinhashSignature, RobotsAllowed, RobotsSitemaps, RollingHash, Simhash64, SitemapLocs, SniffCharset, StopwordCount, SubwordCount, UrlHost, UrlNormalize, UrlRegistrableDomain, UrlResolve, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -150,7 +150,19 @@ object GraftFunctions {
       (es: Seq[Expression]) => { val a = arity("robots_sitemaps", 1)(es); RobotsSitemaps(a(0)) }),
     ("sitemap_locs",
       "sitemap_locs(xml) - array of <loc> targets of a sitemap or sitemap-index xml, document order, entity-decoded",
-      (es: Seq[Expression]) => { val a = arity("sitemap_locs", 1)(es); SitemapLocs(a(0)) })
+      (es: Seq[Expression]) => { val a = arity("sitemap_locs", 1)(es); SitemapLocs(a(0)) }),
+    ("http_status",
+      "http_status(payload) - status code of an HTTP response message; NULL when the payload is not one",
+      (es: Seq[Expression]) => { val a = arity("http_status", 1)(es); HttpStatus(a(0)) }),
+    ("http_header",
+      "http_header(payload, name) - first header value of that name (case-insensitive) in an HTTP response message; NULL when absent",
+      (es: Seq[Expression]) => { val a = arity("http_header", 2)(es); HttpHeader(a(0), a(1)) }),
+    ("http_body",
+      "http_body(payload) - body bytes of an HTTP response message, dechunked then content-decoded (gzip/deflate/identity); NULL when malformed/undecodable",
+      (es: Seq[Expression]) => { val a = arity("http_body", 1)(es); HttpBody(a(0)) }),
+    ("gunzip",
+      "gunzip(bytes) - decompressed bytes of one-or-more concatenated gzip members; NULL when not well-formed gzip",
+      (es: Seq[Expression]) => { val a = arity("gunzip", 1)(es); Gunzip(a(0)) })
   )
 
   /** Register every function into a live session's registry. */

@@ -1314,26 +1314,73 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"))
     }),
 
-    // The full raw-crawl → documents ingestion path in one plan:
-    // binary WARC → record split → target-uri canonicalization →
-    // html visible-text extraction. Everything narrow until the
-    // caller aggregates; the oracle emits the whole expected row
-    // arithmetically.
+    // The full raw-crawl → documents ingestion path in one plan, with
+    // payloads shaped like a REAL crawl's: each WARC record carries a
+    // complete HTTP response message — status line (404 on a residue),
+    // a truthful Content-Type header, the body gzip/deflate
+    // content-coded (cycled) and chunked-framed on even docs, the html
+    // itself iso-8859-1 (bytes invalid as UTF-8). The pipeline is
+    // binary WARC → record split → http envelope split → dechunk +
+    // content-decode → charset chain → target-uri canonicalization →
+    // html visible-text extraction; the oracle emits the whole
+    // expected row arithmetically.
     "q_warc_pipeline" -> ((s, d) => {
+      import graft.functions.UrlFunctions._
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("text"))
         .where(col("doc_id").isNotNull && col("source").isNotNull &&
           col("text").isNotNull)
-      val payload = concat(lit("<html><body><p>"), col("text"),
-        lit("</p><script>var a=1;</script></body></html>"))
-      val withWarc = graft.sources.Warc.attachSyntheticWarc(docs,
-        col("doc_id") % 2 + 1, messyUrl, payload)
-      graft.sources.Warc.warcRecords(withWarc, "doc_id", "warc")
-        .select(col("doc_id"), col("record_idx"),
-          graft.functions.UrlFunctions.urlNormalize(col("target_uri"))
-            .as("url_norm"),
-          graft.functions.UrlFunctions.htmlText(
-            col("payload").cast("string")).as("body"))
+      val html = concat(lit("<html><body><p>"), col("text"),
+        lit(" résumé</p><script>var a=1;</script></body></html>"))
+      val status = when(col("doc_id") % 7 === 0, lit(404)).otherwise(lit(200))
+      val coding = when(col("doc_id") % 3 === 0, lit("gzip"))
+        .when(col("doc_id") % 3 === 1, lit("deflate"))
+        .otherwise(lit("identity"))
+      val withHttp = graft.sources.Warc.attachSyntheticHttp(docs,
+        status, lit("text/html; charset=iso-8859-1"), coding,
+        col("doc_id") % 2 === 0, encode(html, "ISO-8859-1"))
+      val withWarc = graft.sources.Warc.attachSyntheticWarcBin(withHttp,
+        col("doc_id") % 2 + 1, messyUrl, col("http"))
+      val recs = graft.sources.Warc.warcRecords(withWarc, "doc_id", "warc")
+      val bodyBin = httpBody(col("payload"))
+      recs.select(col("doc_id"), col("record_idx"),
+        httpStatus(col("payload")).as("status"),
+        urlNormalize(col("target_uri")).as("url_norm"),
+        htmlText(decodeText(bodyBin,
+          coalesce(charsetParam(httpHeader(col("payload"), lit("content-type"))),
+            sniffCharset(bodyBin), lit("utf-8")))).as("body"))
+    }),
+
+    // The HTTP response envelope on its own: status extraction, header
+    // access (present/absent by residue), chunked dechunking, all
+    // three content codings, and the charset chain falling from a
+    // truthful header to a truthful <meta> when the header is absent.
+    // The oracle is pure CASE arithmetic over doc_id.
+    "q_http_response" -> ((s, d) => {
+      import graft.functions.UrlFunctions._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val html = concat(
+        lit("<html><head><meta charset=\"iso-8859-1\"></head><body><p>"),
+        col("text"), lit(" café</p></body></html>"))
+      val status = when(col("doc_id") % 3 === 0, lit(200))
+        .when(col("doc_id") % 3 === 1, lit(301)).otherwise(lit(404))
+      val ct = when(col("doc_id") % 2 === 0,
+        lit("text/html; charset=iso-8859-1")).otherwise(lit(null).cast("string"))
+      val coding = when(col("doc_id") % 3 === 0, lit("gzip"))
+        .when(col("doc_id") % 3 === 1, lit("identity"))
+        .otherwise(lit("deflate"))
+      val withHttp = graft.sources.Warc.attachSyntheticHttp(docs,
+        status, ct, coding, col("doc_id") % 5 < 2, encode(html, "ISO-8859-1"))
+      val p = col("http")
+      val bodyBin = httpBody(p)
+      withHttp.select(col("doc_id"),
+        httpStatus(p).as("status"),
+        httpHeader(p, lit("Content-Type")).as("content_type"),
+        httpHeader(p, lit("transfer-encoding")).as("transfer_encoding"),
+        htmlText(decodeText(bodyBin,
+          coalesce(charsetParam(httpHeader(p, lit("content-type"))),
+            sniffCharset(bodyBin), lit("utf-8")))).as("body"))
     }),
 
     // Charset-aware payload decode: every page is REALLY iso-8859-1
@@ -1426,6 +1473,93 @@ object SparkEntry {
           posexplode(graft.functions.UrlFunctions.sitemapLocs(xml)))
         .select(col("doc_id"), col("n_maps"),
           col("pos").cast("long").as("loc_idx"), col("col").as("loc"))
+    }),
+
+    // Real sitemaps ship gzipped and nested: a sitemap-INDEX (.xml.gz)
+    // lists child sitemaps (.xml.gz) which list the urls. Both levels
+    // are gzip-compressed row-locally, decoded with the gunzip kernel,
+    // recursed index → urlset, and the leaf urls canonicalized — the
+    // oracle recomputes child counts, the first child url and every
+    // leaf in closed form from doc_id residues.
+    "q_sitemap_gz" -> ((s, d) => {
+      import graft.functions.UrlFunctions._
+      val docs = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id").isNotNull)
+      val k7 = (col("doc_id") % 7).cast("string")
+      def sm(j: Int) = concat(
+        lit("<sitemap><loc>http://d"), k7,
+        lit(s".example.com/sm$j.xml.gz</loc></sitemap>"))
+      val indexXml = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex>"), sm(0),
+        when(col("doc_id") % 2 === 0, sm(1)).otherwise(lit("")),
+        lit("</sitemapindex>"))
+      def entry(k: Int) = concat(
+        lit("<url><loc>http://d"), k7,
+        lit(s".example.com/p/$k?b=2&amp;a=1</loc></url>"))
+      val urlsetXml = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"), entry(0),
+        when(col("doc_id") % 3 >= 1, entry(1)).otherwise(lit("")),
+        when(col("doc_id") % 3 >= 2, entry(2)).otherwise(lit("")),
+        lit("</urlset>"))
+      val staged = graft.sources.Warc.attachGzip(
+        graft.sources.Warc.attachGzip(
+          docs.withColumn("_ix", indexXml).withColumn("_us", urlsetXml),
+          col("_ix"), "idx_gz"),
+        col("_us"), "set_gz")
+      val children = sitemapLocs(decodeText(gunzip(col("idx_gz")), lit("utf-8")))
+      staged.select(col("doc_id"),
+          size(children).as("n_children"),
+          element_at(children, 1).as("child0"),
+          posexplode(sitemapLocs(
+            decodeText(gunzip(col("set_gz")), lit("utf-8")))))
+        .select(col("doc_id"), col("n_children"), col("child0"),
+          col("pos").cast("long").as("loc_idx"),
+          urlNormalize(col("col")).as("url_norm"))
+    }),
+
+    // The crawl-frontier composition — "what do we fetch next": pages
+    // emit absolute + relative anchors (the q_web_graph_rel
+    // construction), every href resolves + canonicalizes, an RFC 9309
+    // robots filter drops the disallowed tree (with a $-anchored
+    // exemption), url-level dedup collapses to the first discoverer,
+    // and a per-host politeness cap keeps at most 20 urls per host.
+    // The oracle recomputes every edge, verdict, group and rank in
+    // closed form.
+    "q_frontier" -> ((s, d) => {
+      import graft.functions.UrlFunctions._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull)
+      val base = concat(lit("http://"), col("source"),
+        lit(".example.com/a/b/page"), (col("doc_id") % 5).cast("string"),
+        lit(".html"))
+      val relHref = when(col("doc_id") % 4 === 0,
+          concat(lit("d/"), (col("doc_id") % 7).cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("./e/"), (col("doc_id") % 7).cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("../f/"), (col("doc_id") % 7).cast("string")))
+        .otherwise(concat(lit("/g/"), (col("doc_id") % 7).cast("string")))
+      val page = concat(
+        lit("<html><body><a href=\"http://"), col("source"),
+        lit(".example.com/abs/"), (col("doc_id") % 50).cast("string"),
+        lit("\">x</a><a class='r' href='"), relHref, lit("'>y</a></body></html>"))
+      val robotsTxt = lit(
+        "User-agent: *\nDisallow: /g/\nAllow: /g/3$\nDisallow: /*.tmp$\n")
+      val edges = docs
+        .select(col("doc_id"), base.as("base"),
+          explode(htmlLinks(page)).as("href"))
+        .select(col("doc_id"),
+          urlNormalize(urlResolve(col("base"), col("href"))).as("target"))
+      val allowed = edges.where(robotsAllowed(robotsTxt, lit("graftbot"),
+        expr("parse_url(target, 'PATH')")))
+      val deduped = allowed.groupBy(col("target"))
+        .agg(min(col("doc_id")).as("discovered_by"),
+          count(lit(1)).as("n_refs"))
+        .withColumn("host", urlHost(col("target")))
+      graft.operators.TrainingData.capPerGroup(deduped,
+        Seq(col("host")), Seq(col("target")), 20)
+        .select(col("host"), col("target"), col("discovered_by"),
+          col("n_refs"), col("rank"))
     }),
 
     // Url-level exact dedup (the CCNet/RefinedWeb leading pass): docs
@@ -6694,12 +6828,24 @@ object SparkEntry {
     "q_warc_pipeline" ->
       """SELECT doc_id,
         |  unnest(generate_series(0, (doc_id % 2)::BIGINT)) AS record_idx,
+        |  CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
         |  'http://' || source || '.example.com/d/' ||
         |    CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2' AS url_norm,
-        |  text AS body
+        |  text || ' résumé' AS body
         |FROM documents
         |WHERE doc_id IS NOT NULL AND source IS NOT NULL
         |  AND text IS NOT NULL""".stripMargin,
+
+    "q_http_response" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404 END
+        |    AS status,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=iso-8859-1'
+        |    END AS content_type,
+        |  CASE WHEN doc_id % 5 < 2 THEN 'chunked' END AS transfer_encoding,
+        |  text || ' café' AS body
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
 
     "q_charset" ->
       """SELECT doc_id, 'iso-8859-1' AS charset,
@@ -6728,6 +6874,49 @@ object SparkEntry {
         |    CAST(unnest(generate_series(0, (doc_id % 3)::BIGINT)) AS VARCHAR)
         |    || '?a=1&b=2' AS loc
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    "q_sitemap_gz" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_children,
+        |  'http://d' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.com/sm0.xml.gz' AS child0,
+        |  unnest(generate_series(0, (doc_id % 3)::BIGINT)) AS loc_idx,
+        |  'http://d' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' ||
+        |    CAST(unnest(generate_series(0, (doc_id % 3)::BIGINT)) AS VARCHAR)
+        |    || '?a=1&b=2' AS url_norm
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    "q_frontier" ->
+      """WITH edges AS (
+        |  SELECT doc_id,
+        |    'http://' || source || '.example.com/abs/' ||
+        |      CAST(doc_id % 50 AS VARCHAR) AS target,
+        |    '/abs/' || CAST(doc_id % 50 AS VARCHAR) AS path
+        |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'http://' || source || '.example.com' ||
+        |      (CASE doc_id % 4 WHEN 0 THEN '/a/b/d/' WHEN 1 THEN '/a/b/e/'
+        |        WHEN 2 THEN '/a/f/' ELSE '/g/' END) ||
+        |      CAST(doc_id % 7 AS VARCHAR) AS target,
+        |    (CASE doc_id % 4 WHEN 0 THEN '/a/b/d/' WHEN 1 THEN '/a/b/e/'
+        |      WHEN 2 THEN '/a/f/' ELSE '/g/' END) ||
+        |      CAST(doc_id % 7 AS VARCHAR) AS path
+        |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |), allowed AS (
+        |  SELECT doc_id, target FROM edges
+        |  WHERE NOT (path LIKE '/g/%' AND path <> '/g/3')
+        |), dedup AS (
+        |  SELECT target, min(doc_id) AS discovered_by, count(*) AS n_refs,
+        |    split_part(target, '/', 3) AS host
+        |  FROM allowed GROUP BY 1
+        |)
+        |SELECT host, target, discovered_by, n_refs, rank FROM (
+        |  SELECT host, target, discovered_by, n_refs,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY target)
+        |      AS INT) AS rank
+        |  FROM dedup)
+        |WHERE rank <= 20""".stripMargin,
 
     "q_url_dedup" ->
       """SELECT

@@ -433,23 +433,39 @@ object UrlKernel {
   /** The `tok` after "charset" at/after `from` in `s`: optional
     * whitespace, '=', optional whitespace/quote, token up to
     * quote/';'/'/'/'>' or whitespace. null when absent or empty.
+    * "charset" must START a token — the preceding char is ';',
+    * whitespace, a quote, or string start — so a parameter name that
+    * merely ENDS in "charset" (`notcharset=utf-16`) is not misread as
+    * a declaration; a boundary-valid occurrence that fails to parse
+    * falls through to the next occurrence (the WHATWG scan keeps
+    * going, it does not give up).
     */
   private def charsetTokenAfter(s: String, from: Int): String = {
-    val at = indexOfIgnoreCase(s, "charset", from)
-    if (at < 0) return null
-    var i = at + 7
-    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
-    if (i >= s.length || s.charAt(i) != '=') return null
-    i += 1
-    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
-    if (i < s.length && (s.charAt(i) == '"' || s.charAt(i) == '\'')) i += 1
-    val start = i
-    while (i < s.length && {
-      val c = s.charAt(i)
-      !Character.isWhitespace(c) && c != '"' && c != '\'' && c != ';' &&
-        c != '/' && c != '>'
-    }) i += 1
-    if (i == start) null else s.substring(start, i)
+    var at = indexOfIgnoreCase(s, "charset", from)
+    while (at >= 0) {
+      val boundary = at == 0 || {
+        val c = s.charAt(at - 1)
+        c == ';' || c == '"' || c == '\'' || Character.isWhitespace(c)
+      }
+      if (boundary) {
+        var i = at + 7
+        while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+        if (i < s.length && s.charAt(i) == '=') {
+          i += 1
+          while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+          if (i < s.length && (s.charAt(i) == '"' || s.charAt(i) == '\'')) i += 1
+          val start = i
+          while (i < s.length && {
+            val c = s.charAt(i)
+            !Character.isWhitespace(c) && c != '"' && c != '\'' && c != ';' &&
+              c != '/' && c != '>'
+          }) i += 1
+          if (i > start) return s.substring(start, i)
+        }
+      }
+      at = indexOfIgnoreCase(s, "charset", at + 1)
+    }
+    null
   }
 
   /** charset parameter of a Content-Type header value
@@ -515,9 +531,11 @@ object UrlKernel {
   //    ignored but TERMINATE the user-agent run (a group's agent list
   //    only grows while no rule has intervened);
   //  - group selection: the MOST SPECIFIC matching user-agent — the
-  //    longest line value that is a case-insensitive substring of the
-  //    crawler's product token; `*` matches anything but loses to any
-  //    specific match. ALL groups with the winning value merge.
+  //    longest line value that is a case-insensitive PREFIX of the
+  //    crawler's PRODUCT TOKEN (the leading letters/digits/'_'/'-'
+  //    run of its user-agent string, §2.2.1); `*` matches anything
+  //    but loses to any specific match. ALL groups with the winning
+  //    value merge.
   //  - rule matching: patterns anchor at the path START, `*` matches
   //    any run, `$` (final char) anchors the end; the matching rule
   //    with the MOST OCTETS wins; an allow/disallow tie at equal
@@ -541,8 +559,13 @@ object UrlKernel {
     var i = 0; var j = 0       // path / pattern cursors
     var starJ = -1; var starI = -1
     while (i < n) {
-      if (j < m && (pat.charAt(j) == path.charAt(i))) { i += 1; j += 1 }
-      else if (j < m && pat.charAt(j) == '*') { starJ = j; starI = i; j += 1 }
+      // '*' in an RFC 9309 pattern is ALWAYS a wildcard, never a
+      // literal — checked before literal equality, otherwise a '*'
+      // path char (legal in a URI path) would consume the pattern's
+      // star as a literal and lose the backtrack point:
+      // "/*.tmp$" must match "/*x.tmp"
+      if (j < m && pat.charAt(j) == '*') { starJ = j; starI = i; j += 1 }
+      else if (j < m && pat.charAt(j) == path.charAt(i)) { i += 1; j += 1 }
       // unanchored + pattern exhausted = prefix matched — checked
       // BEFORE backtracking, which only helps anchored patterns here
       else if (j >= m && !anchored) return true
@@ -554,12 +577,29 @@ object UrlKernel {
     j >= m // anchored or not, the whole path was consumed
   }
 
+  /** Product token of a crawler's user-agent string: the leading run
+    * of letters/'_'/'-' (RFC 9309 §2.2.1's token alphabet, plus
+    * digits — real tokens like "bot2" carry them), lowercased.
+    * "GraftBot/1.0 (+http://…)" → "graftbot". Group matching compares
+    * THIS token, never the raw string — a substring match would let a
+    * "bot" group govern "abbott/1.0".
+    */
+  private def productToken(agent: String): String = {
+    var e = 0
+    while (e < agent.length && {
+      val c = agent.charAt(e)
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-'
+    }) e += 1
+    agent.substring(0, e).toLowerCase(java.util.Locale.ROOT)
+  }
+
   /** true/false per the contract above; `null` robots/agent/path are
     * handled by the expression layer (null in → null out).
     */
   def robotsAllowed(robots: UTF8String, agent: UTF8String,
       path: UTF8String): Boolean = {
-    val token = agent.toString.toLowerCase(java.util.Locale.ROOT)
+    val token = productToken(agent.toString)
     val p = path.toString
     // parse: (agentValueLowercase, isAllow, pattern) triples in file
     // order, remembering each rule's owning agent values
@@ -585,8 +625,12 @@ object UrlKernel {
               val v = value.toLowerCase(java.util.Locale.ROOT)
               if (inAgentRun) currentAgents ::= v
               else { currentAgents = List(v); inAgentRun = true }
+              // a line value matches when it is a case-insensitive
+              // PREFIX of the crawler's product token (equality
+              // included) — "bot" governs "bot-news" but never
+              // "abbott"; most-specific = longest such prefix
               if (v == "*") starSeen = true
-              else if (token.contains(v) &&
+              else if (token.startsWith(v) &&
                 (bestAgent == null || v.length > bestAgent.length))
                 bestAgent = v
             case "allow" | "disallow" =>
@@ -845,6 +889,206 @@ object UrlKernel {
     val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)
     val n = if (labels.length >= 3 && secondLevelSuffixes.contains(lastTwo)) 3 else 2
     UTF8String.fromString(labels.takeRight(n).mkString("."))
+  }
+
+  // ---- HTTP response envelope (RFC 9112) ---------------------------- //
+  // A real crawl's WARC `response` record payload is NOT bare html: it
+  // is a full HTTP message — `HTTP/1.1 200 OK\r\nheaders\r\n\r\nbody`,
+  // with the body frequently Transfer-Encoding: chunked and/or
+  // Content-Encoding: gzip/deflate. Three kernels split the envelope
+  // so the charset/html chain downstream sees what a browser sees:
+  //   http_status(payload)        → status code (int)
+  //   http_header(payload, name)  → first header value, name
+  //                                 case-insensitive
+  //   http_body(payload)          → body bytes, DEchunked then
+  //                                 content-DEcoded
+  // plus gunzip(bytes) for standalone gzip members (sitemap .xml.gz).
+  // All reject row-locally to NULL on a malformed envelope / unknown
+  // coding — the shared contract of this file. Line endings are
+  // lenient (\r\n or bare \n — real servers emit both); header bytes
+  // are read latin-1 (byte-transparent), the body stays bytes so the
+  // charset decision happens ONCE, downstream, with the header text
+  // this splitter exposes.
+
+  /** (head-text, body-start) of an HTTP message, or null when the
+    * bytes do not start with `HTTP/` or no blank line terminates the
+    * head.
+    */
+  private def splitHttp(bytes: Array[Byte]): (String, Int) = {
+    val n = bytes.length
+    if (n < 7 || bytes(0) != 'H' || bytes(1) != 'T' || bytes(2) != 'T' ||
+      bytes(3) != 'P' || bytes(4) != '/') return null
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == '\n') {
+        if (i + 1 < n && bytes(i + 1) == '\n')
+          return (new String(bytes, 0, i,
+            java.nio.charset.StandardCharsets.ISO_8859_1), i + 2)
+        if (i + 2 < n && bytes(i + 1) == '\r' && bytes(i + 2) == '\n')
+          return (new String(bytes, 0, i,
+            java.nio.charset.StandardCharsets.ISO_8859_1), i + 3)
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** Status code of an HTTP response payload (`HTTP/1.1 200 OK` →
+    * 200); null when the payload is not an HTTP message or the status
+    * line is malformed.
+    */
+  def httpStatus(bytes: Array[Byte]): java.lang.Integer = {
+    val split = splitHttp(bytes)
+    if (split == null) return null
+    val head = split._1
+    val lineEnd = { val e = head.indexOf('\n'); if (e < 0) head.length else e }
+    val line = head.substring(0, lineEnd).stripSuffix("\r")
+    val sp = line.indexOf(' ')
+    if (sp < 0 || sp + 4 > line.length) return null
+    var code = 0
+    var i = sp + 1
+    while (i < sp + 4) {
+      val c = line.charAt(i)
+      if (c < '0' || c > '9') return null
+      code = code * 10 + (c - '0')
+      i += 1
+    }
+    // a 3-digit field per RFC 9112 §4: the next char (if any) is SP
+    if (sp + 4 < line.length && line.charAt(sp + 4) != ' ') return null
+    Integer.valueOf(code)
+  }
+
+  /** First header value named `name` (case-insensitive) of an HTTP
+    * response payload, trimmed; null when absent or the payload is not
+    * an HTTP message.
+    */
+  def httpHeader(bytes: Array[Byte], name: UTF8String): UTF8String = {
+    val split = splitHttp(bytes)
+    if (split == null) return null
+    val want = name.toString
+    val it = split._1.linesIterator
+    if (it.hasNext) it.next() // status line
+    while (it.hasNext) {
+      val line = it.next()
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase(want))
+        return UTF8String.fromString(line.substring(c + 1).trim)
+    }
+    null
+  }
+
+  /** Reverse the chunked transfer coding (RFC 9112 §7.1): hex-size
+    * lines, chunk bytes, CRLF, a zero-size terminator (trailers
+    * ignored). null on any structural violation.
+    */
+  private def dechunk(bytes: Array[Byte], from: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length - from)
+    var pos = from
+    val n = bytes.length
+    while (true) {
+      var e = pos
+      while (e < n && bytes(e) != '\n') e += 1
+      if (e >= n) return null // unterminated size line
+      val sizeLine = new String(bytes, pos, e - pos,
+        java.nio.charset.StandardCharsets.ISO_8859_1).stripSuffix("\r")
+      // chunk extensions (";ext=v") are legal and discarded
+      val semi = sizeLine.indexOf(';')
+      val hex = (if (semi >= 0) sizeLine.substring(0, semi) else sizeLine).trim
+      if (hex.isEmpty || !hex.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F'))) return null
+      val size = try java.lang.Long.parseLong(hex, 16) catch {
+        case _: NumberFormatException => return null
+      }
+      if (size == 0) return out.toByteArray // trailers/final CRLF ignored
+      pos = e + 1
+      if (pos + size > n) return null // chunk overruns the payload
+      out.write(bytes, pos, size.toInt)
+      pos += size.toInt
+      // the CRLF (or LF) closing the chunk
+      if (pos < n && bytes(pos) == '\r') pos += 1
+      if (pos >= n || bytes(pos) != '\n') return null
+      pos += 1
+    }
+    null // unreachable
+  }
+
+  /** Decompress one-or-more concatenated gzip members; null when the
+    * bytes are not well-formed gzip (row-local reject — a claimed
+    * .xml.gz that isn't).
+    */
+  def gunzip(bytes: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(math.max(bytes.length * 3, 64))
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+
+  /** Inflate a deflate body: zlib-wrapped per the RFC, with the
+    * raw-deflate fallback real servers actually send (the same
+    * auto-detect browsers do). null when neither parses.
+    */
+  private def inflate(bytes: Array[Byte]): Array[Byte] = {
+    def run(raw: Boolean): Array[Byte] =
+      try {
+        val inf = new java.util.zip.Inflater(raw)
+        inf.setInput(bytes)
+        val out = new java.io.ByteArrayOutputStream(math.max(bytes.length * 3, 64))
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val k = inf.inflate(buf)
+          if (k == 0 && (inf.needsInput() || inf.needsDictionary())) {
+            inf.end(); return null // truncated / dictionary: malformed
+          }
+          out.write(buf, 0, k)
+        }
+        inf.end()
+        out.toByteArray
+      } catch { case _: java.util.zip.DataFormatException => null }
+    val zlib = run(raw = false)
+    if (zlib != null) zlib else run(raw = true)
+  }
+
+  /** Body bytes of an HTTP response payload: the bytes after the blank
+    * line, DEchunked when `Transfer-Encoding: chunked`, then
+    * content-DEcoded per `Content-Encoding` (gzip/x-gzip, deflate,
+    * identity/absent). null when the envelope is malformed, a coding
+    * is unknown (br, compress, …) or its data doesn't parse — the
+    * caller's filter/coalesce decides what to do with rejected rows.
+    */
+  def httpBody(bytes: Array[Byte]): Array[Byte] = {
+    val split = splitHttp(bytes)
+    if (split == null) return null
+    val (head, bodyAt) = split
+    var te: String = null
+    var ce: String = null
+    val it = head.linesIterator
+    if (it.hasNext) it.next()
+    while (it.hasNext) {
+      val line = it.next()
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        if (key == "transfer-encoding" && te == null)
+          te = line.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT)
+        else if (key == "content-encoding" && ce == null)
+          ce = line.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT)
+      }
+    }
+    var body: Array[Byte] =
+      if (te != null && te.endsWith("chunked")) dechunk(bytes, bodyAt)
+      else java.util.Arrays.copyOfRange(bytes, bodyAt, bytes.length)
+    if (body == null) return null
+    ce match {
+      case null | "" | "identity" => body
+      case "gzip" | "x-gzip"      => gunzip(body)
+      case "deflate"              => inflate(body)
+      case _                      => null // br/compress/…: undecodable here
+    }
   }
 }
 
@@ -1122,6 +1366,121 @@ case class RobotsSitemaps(child: Expression) extends UrlStringArrayUnary {
     copy(child = c)
 }
 
+/** Shared shape for binary→binary envelope kernels (http_body,
+  * gunzip): reject-to-NULL, full codegen.
+  */
+private[functions] abstract class UrlBinaryUnary extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // malformed input → null
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.catalogString}")
+
+  protected def kernelMethod: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UrlKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $cls.$kernelMethod($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+}
+
+/** http_status(payload) → status code of an HTTP response message;
+  * NULL when the payload is not one.
+  */
+case class HttpStatus(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "http_status"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // not an HTTP message → null
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.httpStatus(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UrlKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("status")
+      s"""
+      java.lang.Integer $boxed = $cls.httpStatus($c);
+      ${ev.isNull} = $boxed == null;
+      if (!${ev.isNull}) ${ev.value} = $boxed.intValue();"""
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** http_header(payload, name) → first header value of that
+  * (case-insensitive) name in an HTTP response message, trimmed; NULL
+  * when absent or the payload is not an HTTP message.
+  */
+case class HttpHeader(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "http_header"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // absent header → null
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    UrlKernel.httpHeader(a.asInstanceOf[Array[Byte]], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UrlKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = $cls.httpHeader($a, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** http_body(payload) → body bytes of an HTTP response message,
+  * dechunked (Transfer-Encoding: chunked) then content-decoded
+  * (gzip/deflate/identity); NULL on a malformed envelope or an
+  * undecodable coding.
+  */
+case class HttpBody(child: Expression) extends UrlBinaryUnary {
+  override def prettyName: String = "http_body"
+  override protected def kernelMethod: String = "httpBody"
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.httpBody(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** gunzip(bytes) → decompressed bytes of one-or-more concatenated gzip
+  * members; NULL when not well-formed gzip.
+  */
+case class Gunzip(child: Expression) extends UrlBinaryUnary {
+  override def prettyName: String = "gunzip"
+  override protected def kernelMethod: String = "gunzip"
+  override protected def nullSafeEval(v: Any): Any =
+    UrlKernel.gunzip(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** sitemap_locs(xml) → array of `<loc>` targets in document order
   * (urlset or sitemapindex), entity-decoded; empty array when none.
   */
@@ -1185,4 +1544,21 @@ object UrlFunctions {
   /** Column form of [[SitemapLocs]]. */
   def sitemapLocs(c: Column): Column =
     GraftBridge.column(SitemapLocs(GraftBridge.expression(c)))
+
+  /** Column form of [[HttpStatus]]. */
+  def httpStatus(c: Column): Column =
+    GraftBridge.column(HttpStatus(GraftBridge.expression(c)))
+
+  /** Column form of [[HttpHeader]]. */
+  def httpHeader(payload: Column, name: Column): Column =
+    GraftBridge.column(HttpHeader(
+      GraftBridge.expression(payload), GraftBridge.expression(name)))
+
+  /** Column form of [[HttpBody]]. */
+  def httpBody(c: Column): Column =
+    GraftBridge.column(HttpBody(GraftBridge.expression(c)))
+
+  /** Column form of [[Gunzip]]. */
+  def gunzip(c: Column): Column =
+    GraftBridge.column(Gunzip(GraftBridge.expression(c)))
 }

@@ -672,7 +672,21 @@ object Similarity {
       seed: Long): Array[Array[Double]] = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     require(trainSample >= nlist, s"trainSample ($trainSample) must be >= nlist ($nlist)")
-    val sampleRaw = deterministicSample(corpus, vecCol, trainSample, seed)
+    trainCentroidsFromSample(
+      deterministicSample(corpus, vecCol, trainSample, seed), nlist, seed)
+  }
+
+  /** Centroid training over an already-collected sample — the shared
+    * tail of [[trainCentroids]], split out so [[buildIvfPqIndex]] can
+    * feed ONE [[deterministicSample]] pass to both the coarse
+    * quantizer and the PQ codebooks instead of scanning the projected
+    * corpus twice for the identical sample.
+    */
+  private[operators] def trainCentroidsFromSample(
+      sampleRaw: Array[Array[Double]],
+      nlist: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     require(sampleRaw.nonEmpty, "trainCentroids: corpus is empty")
     // Mixed-dimension corpora: train on the MAJORITY dimension of the
     // sample (lloydLocal assumes one dim; a truncated partial distance
@@ -694,10 +708,21 @@ object Similarity {
       nlist: Int = 16,
       trainSample: Int = 4096,
       seed: Long = 42L): IvfIndex = {
+    val centroidArr = trainCentroids(corpus, vecCol, nlist, trainSample, seed)
+    buildIvfIndexFromCentroids(corpus, idCol, vecCol, centroidArr)
+  }
+
+  /** Assignment half of [[buildIvfIndex]] over pre-trained centroids —
+    * lets [[buildIvfPqIndex]] reuse one training sample across both
+    * quantizers.
+    */
+  private def buildIvfIndexFromCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidArr: Array[Array[Double]]): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroidArr = trainCentroids(corpus, vecCol, nlist, trainSample, seed)
-
     val assigned = graft.core.CacheRegistry.persist(
       corpus.select(
         col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
@@ -918,10 +943,20 @@ object Similarity {
       m: Int,
       kSub: Int,
       trainSample: Int,
+      seed: Long): Array[Array[Array[Double]]] =
+    trainPqCodebooksFromSample(
+      deterministicSample(corpus, vecCol, trainSample, seed), m, kSub, seed)
+
+  /** Codebook training over an already-collected sample — see
+    * [[trainCentroidsFromSample]] for why the split exists.
+    */
+  private[operators] def trainPqCodebooksFromSample(
+      sampleRaw: Array[Array[Double]],
+      m: Int,
+      kSub: Int,
       seed: Long): Array[Array[Array[Double]]] = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(kSub >= 1, s"kSub must be >= 1, got $kSub")
-    val sampleRaw = deterministicSample(corpus, vecCol, trainSample, seed)
     require(sampleRaw.nonEmpty, "trainPqCodebooks: corpus is empty")
     val majorityDim = sampleRaw.groupBy(_.length).view.mapValues(_.length)
       .toSeq.maxBy { case (dim, n) => (n, -dim) }._1
@@ -1063,8 +1098,17 @@ object Similarity {
       trainSample: Int = 4096,
       seed: Long = 42L): IvfPqIndex = {
     import graft.functions.VectorFunctions._
-    val ivf = buildIvfIndex(corpus, idCol, vecCol, nlist, trainSample, seed)
-    val codebooks = trainPqCodebooks(corpus, vecCol, m, kSub, trainSample, seed)
+    require(trainSample >= nlist,
+      s"trainSample ($trainSample) must be >= nlist ($nlist)")
+    // ONE sampling pass feeds both quantizers: the coarse centroids
+    // and the PQ codebooks train on the identical (corpus, vecCol,
+    // trainSample, seed) sample, so computing it twice was a whole
+    // redundant projected-corpus scan per index build — at 100 TB, an
+    // extra full read of the embedding column for zero information.
+    val sampleRaw = deterministicSample(corpus, vecCol, trainSample, seed)
+    val ivf = buildIvfIndexFromCentroids(corpus, idCol, vecCol,
+      trainCentroidsFromSample(sampleRaw, nlist, seed))
+    val codebooks = trainPqCodebooksFromSample(sampleRaw, m, kSub, seed)
     val kEff = codebooks(0).length
     val normLut = codebooks.flatMap(_.map(cw => cw.map(x => x * x).sum)).toSeq
     val codes = graft.core.CacheRegistry.persist(

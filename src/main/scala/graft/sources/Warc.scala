@@ -367,10 +367,15 @@ object Warc {
           }
         val w = new ByteWindow(head, more)
         val it = rangeRecords(w, base = readStart, s0, e0, "warcRecordsFiles")
+        // a downstream limit/take can abandon the iterator mid-range;
+        // the task-completion hook guarantees the handle closes at
+        // task end regardless, with the eager closes below kept as the
+        // common-path optimization
+        var closed = false
+        def close(): Unit = if (!closed) { closed = true; in.close() }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
         new Iterator[Row] {
-          private var closed = false
-          private def close(): Unit =
-            if (!closed) { closed = true; in.close() }
           override def hasNext: Boolean = {
             val h = try it.hasNext catch { case e: Throwable =>
               close(); throw e
@@ -435,6 +440,158 @@ object Warc {
           r.getString(pi).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
     }(enc).drop("_wn", "_wu", "_wp")
+  }
+
+  // ---- synthetic HTTP response construction ------------------------- //
+  // Encode-side twins of the http_status/http_header/http_body kernels
+  // (graft.functions.UrlKernel): the gates build FULL HTTP messages —
+  // status line, headers, chunked framing, gzip/deflate content coding
+  // — from generating columns, so the decode path is proven against
+  // envelopes shaped like a real crawl's, while the oracle recomputes
+  // the expected text arithmetically and never parses anything.
+
+  /** gzip-compress one member (deterministic: the JDK writes MTIME=0
+    * and a fixed default compression level).
+    */
+  def gzipCompress(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    out.toByteArray
+  }
+
+  /** zlib-wrapped deflate (the RFC 9110 `deflate` coding). */
+  def deflateCompress(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+    val df = new java.util.zip.DeflaterOutputStream(out)
+    df.write(bytes); df.close()
+    out.toByteArray
+  }
+
+  private def reasonFor(status: Int): String = status match {
+    case 200 => "OK"
+    case 301 => "Moved Permanently"
+    case 304 => "Not Modified"
+    case 404 => "Not Found"
+    case 500 => "Internal Server Error"
+    case _   => "Status"
+  }
+
+  /** One HTTP/1.1 response message per RFC 9112: status line, headers,
+    * blank line, body — the body content-coded per `coding`
+    * ("identity" | "gzip" | "deflate") and, when `chunked`, wrapped in
+    * chunked transfer framing (64-byte chunks, a chunk extension on
+    * the first — parsers must discard it) instead of Content-Length.
+    */
+  def httpEncode(status: Int, contentType: String, body: Array[Byte],
+      coding: String = "identity", chunked: Boolean = false): Array[Byte] = {
+    val encoded = coding match {
+      case "identity" => body
+      case "gzip"     => gzipCompress(body)
+      case "deflate"  => deflateCompress(body)
+      case other => throw new IllegalArgumentException(
+        s"httpEncode: unknown coding '$other' (identity|gzip|deflate)")
+    }
+    val head = new java.lang.StringBuilder()
+    head.append("HTTP/1.1 ").append(status).append(' ')
+      .append(reasonFor(status)).append("\r\n")
+    head.append("Server: synthetic/1.0\r\n")
+    if (contentType != null)
+      head.append("Content-Type: ").append(contentType).append("\r\n")
+    if (coding != "identity")
+      head.append("Content-Encoding: ").append(coding).append("\r\n")
+    if (chunked) head.append("Transfer-Encoding: chunked\r\n")
+    else head.append("Content-Length: ").append(encoded.length).append("\r\n")
+    head.append("\r\n")
+    val out = new java.io.ByteArrayOutputStream(encoded.length + 256)
+    out.write(head.toString.getBytes("ISO-8859-1"))
+    if (chunked) {
+      var pos = 0
+      var firstChunk = true
+      while (pos < encoded.length) {
+        val n = math.min(64, encoded.length - pos)
+        val ext = if (firstChunk) ";x=1" else "" // discarded by parsers
+        out.write(s"${n.toHexString}$ext\r\n".getBytes("ISO-8859-1"))
+        out.write(encoded, pos, n)
+        out.write(CRLF)
+        pos += n
+        firstChunk = false
+      }
+      out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+    } else out.write(encoded)
+    out.toByteArray
+  }
+
+  /** Attach a synthetic HTTP response envelope built row-locally from
+    * columns (narrow map): `bodyCol` is BINARY — the body bytes in the
+    * page's true charset, so the charset chain downstream is exercised
+    * for real. A null `contentTypeCol` omits the header (the
+    * sniff-charset fallback case).
+    */
+  def attachSyntheticHttp(df: DataFrame, statusCol: Column,
+      contentTypeCol: Column, codingCol: Column, chunkedCol: Column,
+      bodyCol: Column, binCol: String = "http"): DataFrame = {
+    val staged = df.withColumn("_hs", statusCol.cast("int"))
+      .withColumn("_hct", contentTypeCol.cast("string"))
+      .withColumn("_hc", codingCol.cast("string"))
+      .withColumn("_hk", chunkedCol.cast("boolean"))
+      .withColumn("_hb", bodyCol.cast("binary"))
+    val schema = StructType(staged.schema.fields :+
+      StructField(binCol, BinaryType, nullable = false))
+    val (si, cti, ci, ki, bi) = (staged.schema.fieldIndex("_hs"),
+      staged.schema.fieldIndex("_hct"), staged.schema.fieldIndex("_hc"),
+      staged.schema.fieldIndex("_hk"), staged.schema.fieldIndex("_hb"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    staged.mapPartitions { rows =>
+      rows.map { r =>
+        require(!r.isNullAt(si) && !r.isNullAt(ci) && !r.isNullAt(ki) &&
+          !r.isNullAt(bi), "attachSyntheticHttp: null construction input")
+        val ct = if (r.isNullAt(cti)) null else r.getString(cti)
+        Row.fromSeq(r.toSeq :+ httpEncode(r.getInt(si), ct,
+          r.getAs[Array[Byte]](bi), r.getString(ci), r.getBoolean(ki)))
+      }
+    }(enc).drop("_hs", "_hct", "_hc", "_hk", "_hb")
+  }
+
+  /** [[attachSyntheticWarc]] with a BINARY payload column — for
+    * records whose payload is itself an encoded envelope (a full HTTP
+    * message), not text.
+    */
+  def attachSyntheticWarcBin(df: DataFrame, nCol: Column, uriCol: Column,
+      payloadCol: Column, binCol: String = "warc"): DataFrame = {
+    val staged = df.withColumn("_wn", nCol.cast("int"))
+      .withColumn("_wu", uriCol.cast("string"))
+      .withColumn("_wp", payloadCol.cast("binary"))
+    val schema = StructType(staged.schema.fields :+
+      StructField(binCol, BinaryType, nullable = false))
+    val (ni, ui, pi) = (staged.schema.fieldIndex("_wn"),
+      staged.schema.fieldIndex("_wu"), staged.schema.fieldIndex("_wp"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    staged.mapPartitions { rows =>
+      rows.map { r =>
+        require(!r.isNullAt(ni) && !r.isNullAt(ui) && !r.isNullAt(pi),
+          "attachSyntheticWarcBin: null construction input")
+        Row.fromSeq(r.toSeq :+ warcEncode(r.getInt(ni), r.getString(ui),
+          r.getAs[Array[Byte]](pi)))
+      }
+    }(enc).drop("_wn", "_wu", "_wp")
+  }
+
+  /** Attach the gzip of a binary column (narrow map) — the encode-side
+    * twin of the `gunzip` kernel, for gz-sitemap construction.
+    */
+  def attachGzip(df: DataFrame, srcCol: Column, binCol: String): DataFrame = {
+    val staged = df.withColumn("_gz", srcCol.cast("binary"))
+    val schema = StructType(staged.schema.fields :+
+      StructField(binCol, BinaryType, nullable = false))
+    val gi = staged.schema.fieldIndex("_gz")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    staged.mapPartitions { rows =>
+      rows.map { r =>
+        require(!r.isNullAt(gi), "attachGzip: null construction input")
+        Row.fromSeq(r.toSeq :+ gzipCompress(r.getAs[Array[Byte]](gi)))
+      }
+    }(enc).drop("_gz")
   }
 
   /** Split WARC blobs into records: one output row per record —

@@ -48,7 +48,8 @@ class GraftSqlSpec extends SparkSpec {
       "char_shingles", "stopword_count", "subword_count", "rolling_hash",
       "url_normalize", "url_host", "url_domain", "html_text", "html_links",
       "url_resolve", "charset_param", "sniff_charset", "decode_text",
-      "robots_allowed", "robots_sitemaps", "sitemap_locs"))
+      "robots_allowed", "robots_sitemaps", "sitemap_locs",
+      "http_status", "http_header", "http_body", "gunzip"))
   }
 
   test("skippingFailures drops poisoned records and counts them " +

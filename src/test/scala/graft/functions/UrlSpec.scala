@@ -296,6 +296,11 @@ class UrlSpec extends SparkSpec {
     // an unknown/unsupported declaration falls through (NULL), like a
     // browser ignoring a bogus charset and moving to the next source
     assert(cparam("text/html; charset=klingon-99") == null)
+    // 'charset' must start a parameter token: a name that merely ENDS
+    // in it is not a declaration...
+    assert(cparam("text/html; notcharset=utf-16") == null)
+    // ...and a failed occurrence does not mask a later real one
+    assert(cparam("text/html; notcharset=utf-16; charset=utf-8") == "utf-8")
   }
 
   test("sniffCharset: meta prescan within the first 1024 bytes") {
@@ -347,6 +352,113 @@ class UrlSpec extends SparkSpec {
     assert(out2 == "café")
   }
 
+  // ---- HTTP response envelope ---------------------------------------
+
+  private def httpRow(payload: Array[Byte]): org.apache.spark.sql.Row =
+    Seq(Tuple1(payload)).toDF("p").select(
+      UrlFunctions.httpStatus(col("p")).as("status"),
+      UrlFunctions.httpHeader(col("p"), lit("Content-Type")).as("ct"),
+      UrlFunctions.httpBody(col("p")).as("body")).head()
+
+  test("httpStatus/httpHeader: status line + case-insensitive first header") {
+    val msg = ("HTTP/1.1 200 OK\r\nserver: x\r\n" +
+      "CONTENT-TYPE: text/html; charset=utf-8\r\n" +
+      "Content-Type: text/plain\r\n\r\nhi").getBytes("ISO-8859-1")
+    val r = httpRow(msg)
+    assert(r.getInt(0) == 200)
+    assert(r.getString(1) == "text/html; charset=utf-8") // first wins
+    assert(new String(r.getAs[Array[Byte]](2), "US-ASCII") == "hi")
+    // bare-LF servers exist; the splitter is lenient
+    val lf = "HTTP/1.0 404 Not Found\nX: y\n\ngone".getBytes("ISO-8859-1")
+    val r2 = httpRow(lf)
+    assert(r2.getInt(0) == 404 && r2.isNullAt(1))
+    assert(new String(r2.getAs[Array[Byte]](2), "US-ASCII") == "gone")
+    // not an HTTP envelope at all (no magic / no blank line) → all
+    // three reject
+    for (bad <- Seq("<html>plain body</html>",
+      "HTTP/1.1 200 OK\r\nno-blank-line")) {
+      val rb = httpRow(bad.getBytes("ISO-8859-1"))
+      assert(rb.isNullAt(0) && rb.isNullAt(1) && rb.isNullAt(2), bad)
+    }
+    // a garbled STATUS LINE inside a well-formed envelope rejects only
+    // http_status — headers and body are still structurally there
+    for (bad <- Seq("HTTP/1.1 2x0 Bad\r\n\r\n", "HTTP/1.1 2000 Huh\r\n\r\n")) {
+      assert(httpRow(bad.getBytes("ISO-8859-1")).isNullAt(0), bad)
+    }
+    // status line with no reason phrase is legal
+    assert(httpRow("HTTP/1.1 304\r\n\r\n".getBytes("ISO-8859-1")).getInt(0) == 304)
+  }
+
+  test("httpBody: identity/gzip/deflate × plain/chunked, per RFC 9112") {
+    import graft.sources.Warc
+    val body = "café naïve – body".getBytes("ISO-8859-1")
+    def get(coding: String, chunked: Boolean): Array[Byte] =
+      httpRow(Warc.httpEncode(200, "text/html", body, coding, chunked))
+        .getAs[Array[Byte]](2)
+    for (coding <- Seq("identity", "gzip", "deflate");
+         chunked <- Seq(false, true)) {
+      assert(java.util.Arrays.equals(get(coding, chunked), body),
+        s"coding=$coding chunked=$chunked")
+    }
+    // raw (non-zlib) deflate: the browser-style fallback
+    val deflRaw = {
+      val d = new java.util.zip.Deflater(-1, true)
+      d.setInput(body); d.finish()
+      val buf = new Array[Byte](4096)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val rawMsg = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
+      s"Content-Length: ${deflRaw.length}\r\n\r\n").getBytes("ISO-8859-1") ++ deflRaw
+    assert(java.util.Arrays.equals(
+      httpRow(rawMsg).getAs[Array[Byte]](2), body))
+    // undecodable coding rejects the row, status/headers still parse
+    val br = ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxx")
+      .getBytes("ISO-8859-1")
+    val rBr = httpRow(br)
+    assert(rBr.getInt(0) == 200 && rBr.isNullAt(2))
+    // truncated chunk / corrupt gzip reject to NULL, never throw
+    val cut = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "ff\r\nshort").getBytes("ISO-8859-1")
+    assert(httpRow(cut).isNullAt(2))
+    val badGz = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip")
+      .getBytes("ISO-8859-1")
+    assert(httpRow(badGz).isNullAt(2))
+  }
+
+  test("gunzip: round-trips, concatenated members, rejects garbage") {
+    import graft.sources.Warc
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(UrlFunctions.gunzip(col("b")).as("g")).head()
+      if (r.isNullAt(0)) null else r.getAs[Array[Byte]](0)
+    }
+    val data = "sitemap payload ü".getBytes("UTF-8")
+    assert(java.util.Arrays.equals(gz(Warc.gzipCompress(data)), data))
+    // two concatenated members decode to the concatenated payloads
+    val two = Warc.gzipCompress("a-".getBytes("US-ASCII")) ++
+      Warc.gzipCompress("b".getBytes("US-ASCII"))
+    assert(new String(gz(two), "US-ASCII") == "a-b")
+    assert(gz("plainly not gzip".getBytes("US-ASCII")) == null)
+    assert(gz(Array.emptyByteArray) == null)
+  }
+
+  test("http envelope → charset chain end-to-end: header tells the truth over a lying meta") {
+    import graft.sources.Warc
+    val html = "<html><head><meta charset=\"utf-8\"></head>" +
+      "<body><p>café</p></body></html>"
+    val payload = Warc.httpEncode(200, "text/html; charset=iso-8859-1",
+      html.getBytes("ISO-8859-1"), "gzip", chunked = true)
+    val out = Seq(Tuple1(payload)).toDF("p")
+      .select(UrlFunctions.httpBody(col("p")).as("b"),
+        UrlFunctions.httpHeader(col("p"), lit("content-type")).as("ct"))
+      .select(UrlFunctions.htmlText(UrlFunctions.decodeText(col("b"),
+        coalesce(UrlFunctions.charsetParam(col("ct")),
+          UrlFunctions.sniffCharset(col("b")), lit("utf-8")))).as("t"))
+      .head().getString(0)
+    assert(out == "café")
+  }
+
   private def robots(txt: String, agent: String, path: String): Boolean =
     Seq((txt, agent, path)).toDF("r", "a", "p")
       .select(UrlFunctions.robotsAllowed(col("r"), col("a"), col("p"))
@@ -394,12 +506,19 @@ class UrlSpec extends SparkSpec {
     // no parseable groups -> allowed
     assert(robots("not a robots file at all", "a", "/x"))
     assert(robots("", "a", "/x"))
-    // the MOST SPECIFIC (longest) matching agent value wins
+    // the MOST SPECIFIC (longest matching prefix of the product
+    // token) wins: crawler token "bot-news" matches both groups,
+    // the longer one governs
     val spec = "User-agent: bot\nDisallow: /a/\n\n" +
-      "User-agent: bigbot\nDisallow: /b/"
-    assert(robots(spec, "bigbot/2.0", "/a/x"))   // 'bot' group loses
-    assert(!robots(spec, "bigbot/2.0", "/b/x"))
-    assert(!robots(spec, "somebot", "/a/x"))     // only 'bot' matches
+      "User-agent: bot-news\nDisallow: /b/"
+    assert(robots(spec, "Bot-News/2.1", "/a/x")) // 'bot' group loses
+    assert(!robots(spec, "Bot-News/2.1", "/b/x"))
+    assert(!robots(spec, "bot/1.0", "/a/x"))     // only 'bot' matches
+    assert(robots(spec, "bot/1.0", "/b/x"))
+    // matching is against the PRODUCT TOKEN as a prefix, never a raw
+    // substring: 'abbott' contains 'bot' but is governed by no group
+    assert(robots(spec, "abbott/1.0", "/a/x"))
+    assert(robots(spec, "abbott/1.0", "/b/x"))
     // an unknown directive ends the agent run: the next user-agent
     // line starts a NEW group rather than extending the old one
     val runEnd = "User-agent: a\nSitemap: http://e.com/s.xml\n" +
@@ -419,6 +538,13 @@ class UrlSpec extends SparkSpec {
     assert(UrlKernel.robotsPatternMatches("*", "/anything"))
     assert(UrlKernel.robotsPatternMatches("/a**b", "/ab"))
     assert(!UrlKernel.robotsPatternMatches("/b", "/a/b"))
+    // '*' is a legal URI path char: a pattern star facing a literal
+    // '*' in the path must still act as a wildcard (and record its
+    // backtrack point), never match as a literal
+    assert(UrlKernel.robotsPatternMatches("/*.tmp$", "/*x.tmp"))
+    assert(UrlKernel.robotsPatternMatches("/*.tmp$", "/*.tmp"))
+    assert(!UrlKernel.robotsPatternMatches("/*.tmp$", "/*x.tmpz"))
+    assert(UrlKernel.robotsPatternMatches("/a*c", "/a*b*c"))
   }
 
   test("robotsSitemaps + sitemapLocs: the crawl-discovery hop") {
@@ -439,9 +565,9 @@ class UrlSpec extends SparkSpec {
       "<url><loc> http://e.com/p?a=1&amp;b=2 </loc><lastmod>x</lastmod></url>" +
       "<url><loc><![CDATA[http://e.com/q]]></loc></url>" +
       "</urlset>") == Seq("http://e.com/p?a=1&b=2", "http://e.com/q"))
-    // sitemapindex shares the element; <locomotive> is not <loc>
+    // sitemapindex shares the element; <locker> is not <loc>
     assert(locs("<sitemapindex><sitemap><loc>http://e.com/sm1.xml</loc>" +
-      "</sitemap></sitemapindex><locomotive>no</locomotive>") ==
+      "</sitemap></sitemapindex><locker>no</locker>") ==
       Seq("http://e.com/sm1.xml"))
     // unterminated loc ignored; empty document yields the empty array
     assert(locs("<urlset><url><loc>http://e.com/cut") == Seq.empty)

@@ -473,6 +473,29 @@ class MiscOpSpec extends SparkSpec {
     graft.core.CacheRegistry.unpersistAll()
   }
 
+  test("buildIvfPqIndex scans the corpus exactly twice: one shared training sample + one assign/encode pass") {
+    // The r13 build sampled the corpus once for the coarse centroids
+    // and AGAIN (identical inputs) for the PQ codebooks — a whole
+    // redundant projected-corpus scan per index build. Pin the scan
+    // count with a row-counting accumulator on the corpus: sample
+    // pass + assign/encode pass = exactly 2 corpus reads.
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val base = (0L until n.toLong).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val acc = spark.sparkContext.longAccumulator("corpus_rows_read")
+    val seen = udf { (_: Long) => acc.add(1L); true }
+    val corpus = base.toDF("id", "v").filter(seen(col("id")))
+    val idx = Similarity.buildIvfPqIndex(corpus, "id", "v",
+      nlist = 4, m = 4, kSub = 8, trainSample = 32, seed = 3L)
+    assert(idx.codes.count() == n) // codes already materialized in build
+    val scans = acc.value.toDouble / n
+    assert(scans == 2.0,
+      s"IVF-PQ build must read the corpus exactly twice (shared sample " +
+        s"+ assign/encode), saw $scans passes")
+    graft.core.CacheRegistry.unpersistAll()
+  }
+
   test("Multimodal stub decode is deterministic and partition-preserving") {
     val df = Seq((1L, "hello world")).toDF("id", "text")
     val out = Multimodal.decodePartitioned(
