@@ -657,22 +657,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("hello" -> 2L, "world" -> 2L, "spark" -> 1L, "of" -> 1L, "streams" -> 1L))
   }
 
-  test("streaming raw-crawl leg: WARC drops across micro-batches match the batch pipeline") {
-    // Day-2 crawl ingestion, streamed: a landing dir receives WARC
-    // files batch by batch; each micro-batch splits records
-    // (warcRecords is a narrow map — it applies to streaming frames
-    // unchanged), canonicalizes the target uri, extracts visible text,
-    // and drops url-duplicates against the STANDING index the pipeline
-    // keeps (foreachBatch, like the incremental text-dedup leg). The
-    // union of survivors must equal the batch pipeline over the same
-    // files, and the standing state must stay bounded by DISTINCT urls
-    // — not feed length.
+  test("streaming raw-crawl pipeline (CrawlIngest): parquet-indexed drops across micro-batches match the batch twin") {
+    // The PRODUCTION composition (the driver-side-set harness this
+    // test used to carry was the prototype): readStream(binaryFile) →
+    // warcRecords → http envelope split (bare-html payloads fall back
+    // raw) → charset chain → html_text → url_normalize → foreachBatch
+    // dropping url-exact AND fingerprint-exact/band-near duplicates
+    // against the PARQUET standing index. All state lives in the two
+    // parquet dirs — bounded by distinct documents, not feed length,
+    // and not driver memory — and a replayed micro-batch rewrites its
+    // own partition instead of double-appending or self-deduping.
     import graft.sources.Warc
+    import graft.streaming.CrawlIngest
     val land = java.nio.file.Files.createTempDirectory("graft_warc_stream_")
-    def drop(name: String, recs: Seq[(String, String)]): Unit = {
+    // state dirs OUTSIDE the landing dir: the binaryFile source lists
+    // the landing tree, and partitioned parquet under it would collide
+    val state = java.nio.file.Files.createTempDirectory("graft_warc_state_")
+    val corpusDir = state.resolve("corpus").toString
+    val indexDir = state.resolve("index").toString
+    def drop(name: String, recs: Seq[(String, Array[Byte])]): Unit = {
       val out = new java.io.ByteArrayOutputStream()
-      recs.foreach { case (uri, html) =>
-        out.write(Warc.warcEncode(1, uri, html.getBytes("UTF-8")))
+      recs.foreach { case (uri, payload) =>
+        out.write(Warc.warcEncode(1, uri, payload))
       }
       // atomic move in: file sources must never list a half-written file
       val tmp = java.nio.file.Files.createTempFile("graft_warc_tmp_", ".part")
@@ -681,79 +687,75 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     def page(body: String) = s"<html><body><p>$body</p></body></html>"
+    def bare(body: String) = page(body).getBytes("UTF-8")
+    // a FULL HTTP envelope: gzip-coded iso-8859-1 body — the decode
+    // chain must surface the é, and the bare payloads must fall back
+    def http(body: String) = Warc.httpEncode(200,
+      "text/html; charset=iso-8859-1", page(body).getBytes("ISO-8859-1"),
+      "gzip", chunked = true)
+    val alphaText = "alpha document about parquet shuffles"
     val drop1 = Seq(
-      "HTTP://WWW.A.example/d1?utm_x=1&b=2" -> page("first doc"),
-      "http://b.example/d2" -> page("second doc"),
-      "http://b.example/d2?" -> page("second doc again")) // normalizes same -> dup IN drop
+      "HTTP://WWW.A.example/d1?utm_x=1&b=2" -> bare(alphaText),
+      "http://b.example/d2" -> http("bêta document counting broadcast joins"),
+      "http://b.example/d2?" -> bare("second body never kept")) // url dup IN drop
     val drop2 = Seq(
-      "http://www.a.example/d1?b=2" -> page("day-2 recrawl of first"), // dup ACROSS drops
-      "http://c.example/d3" -> page("fresh third doc"))
+      "http://www.a.example/d1?b=2" -> bare("day-2 recrawl of first"), // url dup ACROSS drops
+      "http://c.example/d3" -> bare("gamma document entirely fresh content"),
+      "http://c.example/d4" -> bare(alphaText)) // text dup of d1 -> fingerprint drop
     drop(s"drop1.warc", drop1)
 
-    val standingUrls = scala.collection.mutable.LinkedHashSet[String]()
-    val survivors = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    val binSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content",
-        org.apache.spark.sql.types.BinaryType)))
-    val stream = spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.warc").schema(binSchema)
-      .load(land.toString)
-    val records = Warc.warcRecords(stream, "path", "content")
-      .select(
-        graft.functions.UrlFunctions.urlNormalize(col("target_uri")).as("url"),
-        graft.functions.UrlFunctions.htmlText(col("payload").cast("string"))
-          .as("body"))
-    val q = records.writeStream
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_warc_ck_").toString)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        // the batch may carry internal dups (drop1's d2 twice): keep
-        // the first per url inside the batch, then drop against the
-        // standing index, then append survivors to it
-        val rows = batch.collect()
-        val fresh = scala.collection.mutable.LinkedHashSet[String]()
-        rows.foreach { r =>
-          val url = r.getString(0)
-          if (!standingUrls.contains(url) && fresh.add(url))
-            survivors += (url -> r.getString(1))
-        }
-        standingUrls ++= fresh
-        ()
-      }.start()
+    val q = CrawlIngest.start(spark, land.toString, corpusDir, indexDir,
+      java.nio.file.Files.createTempDirectory("graft_warc_ck_").toString)
     try {
       q.processAllAvailable()
-      assert(survivors.map(_._1).toSeq == Seq(
-        "http://a.example/d1?b=2", "http://b.example/d2"))
+      assert(spark.read.parquet(corpusDir).select("url").as[String]
+        .collect().sorted.toSeq ==
+        Seq("http://a.example/d1?b=2", "http://b.example/d2"))
       drop(s"drop2.warc", drop2)
       q.processAllAvailable()
     } finally q.stop()
 
-    // batch twin over the SAME files (drop order recovered from the
-    // file name so "first occurrence" is well defined)
-    val batchAll = Warc.warcRecords(
+    val corpus = spark.read.parquet(corpusDir)
+      // partition columns read back as int — cast to the written type
+      .selectExpr("url", "body", "cast(batch_id as long) as batch_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // d2? (url dup), d1-recrawl (url dup vs index), d4 (fingerprint
+    // dup vs index) all dropped; the envelope body decoded per header
+    assert(corpus.map(_._1).sorted.toSeq == Seq(
+      "http://a.example/d1?b=2", "http://b.example/d2", "http://c.example/d3"))
+    assert(corpus.find(_._1 == "http://b.example/d2").get._2 ==
+      "bêta document counting broadcast joins")
+    // state bound: 6 records flowed; the index holds 3 DISTINCT docs
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.select("id").distinct().count() == 3)
+
+    // batch twin over the SAME files, the same record→doc transform,
+    // dedup folded by hand in (path, record_idx) order: first per
+    // canonical url, then first per exact body text (the fingerprint)
+    val batchAll = CrawlIngest.recordsToDocs(Warc.warcRecords(
       graft.sources.Source.binaryFiles("w", land.toString, "*.warc")(
-        graft.EmptyFlow)("w"), "path", "content")
-      .select(col("path"), col("record_idx"),
-        graft.functions.UrlFunctions.urlNormalize(col("target_uri")).as("url"),
-        graft.functions.UrlFunctions.htmlText(col("payload").cast("string"))
-          .as("body"))
+        graft.EmptyFlow)("w"), "path", "content"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
       .sortBy(t => (t._1, t._2)).toSeq
-    val batchSurvivors = scala.collection.mutable.LinkedHashMap[String, String]()
-    batchAll.foreach { case (_, _, url, body) =>
-      if (!batchSurvivors.contains(url)) batchSurvivors(url) = body
+    val seenUrl = scala.collection.mutable.Set[String]()
+    val seenBody = scala.collection.mutable.Set[String]()
+    val twin = batchAll.flatMap { case (_, _, url, body) =>
+      if (seenUrl.add(url) && seenBody.add(body)) Some(url -> body) else None
     }
-    assert(survivors.toMap == batchSurvivors.toMap)
-    assert(survivors.map(_._1).toSet == standingUrls.toSet)
-    // state bound: 5 records flowed, only 3 DISTINCT canonical urls live
-    assert(standingUrls.size == 3)
-    survivors.clear(); standingUrls.clear()
+    assert(corpus.map(t => (t._1, t._2)).toMap == twin.toMap)
+
+    // replay idempotency: re-running drop2's micro-batch (same
+    // batch_id) rewrites its own partition identically — no double
+    // append, and no self-dedup data loss
+    val replayId = corpus.find(_._1 == "http://c.example/d3").get._3
+    val batch2 = CrawlIngest.recordsToDocs(Warc.warcRecords(
+      graft.sources.Source.binaryFiles("w2", land.toString, "drop2.warc")(
+        graft.EmptyFlow)("w2"), "path", "content"))
+    CrawlIngest.ingestBatch(batch2, replayId, corpusDir, indexDir, 3, 64, 16)
+    val replayed = spark.read.parquet(corpusDir)
+      .select("url").as[String].collect().sorted.toSeq
+    assert(replayed == Seq("http://a.example/d1?b=2",
+      "http://b.example/d2", "http://c.example/d3"))
   }
 
   test("stream-stream interval join with watermarks (canonical streaming CEP)") {
