@@ -80,25 +80,35 @@ class DocExamplesSpec extends SparkSpec {
     assert(patched(Map("s" -> Seq(1).toDF("v")))("s").as[Int].head() == 4)
   }
 
-  test("doc: raw-crawl ingestion — warc split → charset decode → text + resolved links") {
+  test("doc: raw-crawl ingestion — warc split → http envelope → charset decode → text + resolved links") {
     import graft.functions.UrlFunctions._
     import graft.sources.Warc
-    val html = "<html><head><meta charset=\"utf-8\"></head>" +
-      "<body><a href='../about'>about</a><p>Hello crawl</p></body></html>"
+    // a real crawl record's payload is a FULL HTTP message (here
+    // gzip-coded, iso-8859-1 body) — http_body/http_header split the
+    // envelope before the charset chain runs
+    val html = "<html><head><meta charset=\"utf-8\"></head>" + // meta LIES
+      "<body><a href='../about'>about</a><p>Héllo crawl</p></body></html>"
+    val payload = Warc.httpEncode(200, "text/html; charset=iso-8859-1",
+      html.getBytes("ISO-8859-1"), "gzip")
     val blob = Warc.warcEncode(1, "http://www.Site.example:80/a/b/page.html",
-      html.getBytes("UTF-8"))
+      payload)
+    val body = httpBody(col("payload"))
     val out = Warc.warcRecords(Seq((1L, blob)).toDF("id", "warc"), "id", "warc")
       .select(col("target_uri"),
-        htmlText(decodeText(col("payload"),
-          coalesce(sniffCharset(col("payload")), lit("utf-8")))).as("text"),
-        explode(htmlLinks(col("payload").cast("string"))).as("href"))
+        httpStatus(col("payload")).as("status"),
+        htmlText(decodeText(body,
+          coalesce(charsetParam(httpHeader(col("payload"), lit("content-type"))),
+            sniffCharset(body), lit("utf-8")))).as("text"),
+        explode(htmlLinks(decodeText(body, lit("iso-8859-1")))).as("href"))
       .select(
-        urlNormalize(col("target_uri")).as("page"), col("text"),
+        urlNormalize(col("target_uri")).as("page"),
+        col("status"), col("text"),
         urlNormalize(urlResolve(col("target_uri"), col("href"))).as("link"))
       .head()
     assert(out.getString(0) == "http://site.example/a/b/page.html")
-    assert(out.getString(1) == "about Hello crawl")
-    assert(out.getString(2) == "http://site.example/a/about")
+    assert(out.getInt(1) == 200)
+    assert(out.getString(2) == "about Héllo crawl")
+    assert(out.getString(3) == "http://site.example/a/about")
   }
 
   test("doc: scoped run — drain releases only this run's caches") {

@@ -241,6 +241,50 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end: a WARC FILE of full HTTP envelopes through range tasks and the decode chain") {
+    // The two halves glued: the offset-splitting range reader
+    // (parallel unit = byte range) feeding the envelope → charset →
+    // html_text chain (CrawlIngest.recordsToDocs). This is the shape
+    // a real crawl file takes — records whose payloads are complete
+    // HTTP messages in mixed transfer/content codings, bodies
+    // iso-8859-1 — and every decoded body must come back exact.
+    def page(body: String) = s"<html><body><p>$body</p></body></html>"
+    def msg(body: String, coding: String, chunked: Boolean) =
+      Warc.httpEncode(200, "text/html; charset=iso-8859-1",
+        page(body).getBytes("ISO-8859-1"), coding, chunked)
+    // rec c's identity body is long so the file REALLY spans ranges
+    // (the coded bodies compress away; identity bytes don't)
+    val recs = Seq(
+      ("http://e.com/a", msg("café gzip-chunked body", "gzip", true)),
+      ("http://e.com/b", msg("naïve deflate body", "deflate", false)),
+      ("http://e.com/c", msg("identity body único " + ("pad " * 400),
+        "identity", true)))
+    val blob = {
+      val out = new java.io.ByteArrayOutputStream()
+      recs.foreach { case (uri, payload) =>
+        out.write(Warc.warcEncode(1, uri, payload))
+      }
+      out.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("warc_e2e").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "e2e.warc").toPath, blob)
+      val ranged = Warc.warcRecordsFiles(spark,
+        dir.getAbsolutePath + "/e2e.warc", splitBytes = 1024)
+      assert(ranged.rdd.getNumPartitions > 1) // really range-split
+      val docs = graft.streaming.CrawlIngest.recordsToDocs(
+        ranged.withColumnRenamed("record_offset", "record_idx"))
+        .select("url", "body").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(docs == Seq(
+        "http://e.com/a" -> "café gzip-chunked body",
+        "http://e.com/b" -> "naïve deflate body",
+        "http://e.com/c" -> ("identity body único " + ("pad " * 400)).trim))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("attachSyntheticWarc adds exactly one column") {
     val df = Seq((1L, 1, "http://e.com/u", "x")).toDF("id", "n", "uri", "body")
     val out = Warc.attachSyntheticWarc(df, col("n"), col("uri"), col("body"))
