@@ -164,6 +164,16 @@ object Scale100Probe {
       Similarity.ivfTopK(
         emb0.where(col("vec_id") < 100).select(col("vec_id"), col("embedding")),
         emb100, "vec_id", "embedding", k = 10, nlist = 128, nprobe = 8))
+
+    // q_sim_ivfpq's operator: the one-shot build + ADC probe — the
+    // round-14 single-sample build must read the projected corpus
+    // exactly twice (shared training sample + assign/encode; spec-
+    // pinned), and the probe touches codes, never float vectors
+    time("ivfPqTopK 100 queries vs 200k corpus nlist=128 m=16")(
+      Similarity.ivfPqTopK(
+        emb0.where(col("vec_id") < 100).select(col("vec_id"), col("embedding")),
+        emb100, "vec_id", "embedding", k = 10, nlist = 128, nprobe = 8,
+        m = 16, kSub = 64))
     } // enabled("embed")
 
     // -- 100x trade graph: 117M directed edges ------------------------ //
