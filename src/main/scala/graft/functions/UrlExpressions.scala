@@ -958,6 +958,25 @@ object UrlKernel {
     Integer.valueOf(code)
   }
 
+  /** Header lines of a message head with obs-fold continuations
+    * (RFC 9112 §5.2: a line starting with SP/HTAB continues the
+    * previous header) unfolded into their owning line with one space;
+    * the status line is excluded. Deprecated syntax, but real legacy
+    * servers emit it and silently dropping the continuation would
+    * truncate the very header (Content-Type) the charset chain reads.
+    */
+  private def headerLines(head: String): List[String] = {
+    val raw = head.linesIterator.toList.drop(1) // status line
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    raw.foreach { l =>
+      if (l.nonEmpty && (l.charAt(0) == ' ' || l.charAt(0) == '\t') &&
+        out.nonEmpty)
+        out(out.length - 1) = out.last + " " + l.trim
+      else out += l
+    }
+    out.toList
+  }
+
   /** First header value named `name` (case-insensitive) of an HTTP
     * response payload, trimmed; null when absent or the payload is not
     * an HTTP message.
@@ -966,10 +985,7 @@ object UrlKernel {
     val split = splitHttp(bytes)
     if (split == null) return null
     val want = name.toString
-    val it = split._1.linesIterator
-    if (it.hasNext) it.next() // status line
-    while (it.hasNext) {
-      val line = it.next()
+    headerLines(split._1).foreach { line =>
       val c = line.indexOf(':')
       if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase(want))
         return UTF8String.fromString(line.substring(c + 1).trim)
@@ -1053,11 +1069,31 @@ object UrlKernel {
     if (zlib != null) zlib else run(raw = true)
   }
 
+  /** One coding decoded; null = unknown coding or corrupt data. */
+  private def decodeOneCoding(bytes: Array[Byte], coding: String): Array[Byte] =
+    coding match {
+      case "identity"        => bytes
+      case "gzip" | "x-gzip" => gunzip(bytes)
+      case "deflate"         => inflate(bytes)
+      case _                 => null // br/compress/…: undecodable here
+    }
+
+  /** Apply a comma-listed coding chain in DECODE direction (the sender
+    * applied them left-to-right, so decode right-to-left); null when
+    * any hop is unknown or corrupt.
+    */
+  private def decodeCodingChain(bytes: Array[Byte], codings: List[String]): Array[Byte] =
+    codings.reverse.foldLeft(bytes) { (b, c) =>
+      if (b == null) null else decodeOneCoding(b, c)
+    }
+
   /** Body bytes of an HTTP response payload: the bytes after the blank
-    * line, DEchunked when `Transfer-Encoding: chunked`, then
-    * content-DEcoded per `Content-Encoding` (gzip/x-gzip, deflate,
-    * identity/absent). null when the envelope is malformed, a coding
-    * is unknown (br, compress, …) or its data doesn't parse — the
+    * line, DEchunked when `Transfer-Encoding` ends in `chunked`, any
+    * remaining transfer codings and the `Content-Encoding` chain then
+    * decoded right-to-left (gzip/x-gzip, deflate, identity/absent —
+    * comma-listed chains like `gzip, chunked` or `deflate, gzip`
+    * included). null when the envelope is malformed, any coding is
+    * unknown (br, compress, …) or its data doesn't parse — the
     * caller's filter/coalesce decides what to do with rejected rows.
     */
   def httpBody(bytes: Array[Byte]): Array[Byte] = {
@@ -1066,10 +1102,7 @@ object UrlKernel {
     val (head, bodyAt) = split
     var te: String = null
     var ce: String = null
-    val it = head.linesIterator
-    if (it.hasNext) it.next()
-    while (it.hasNext) {
-      val line = it.next()
+    headerLines(head).foreach { line =>
       val c = line.indexOf(':')
       if (c > 0) {
         val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
@@ -1079,16 +1112,25 @@ object UrlKernel {
           ce = line.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT)
       }
     }
-    var body: Array[Byte] =
-      if (te != null && te.endsWith("chunked")) dechunk(bytes, bodyAt)
+    def codings(v: String): List[String] =
+      if (v == null) Nil
+      else v.split(",").map(_.trim).filter(_.nonEmpty).toList
+    val teCodings = codings(te)
+    // `chunked` is framing, not compression: strip it via dechunk,
+    // then the REST of the transfer chain decodes like content codings
+    // (a te list not ending in chunked is length-delimited here — the
+    // WARC record's Content-Length bounds the capture, so the raw tail
+    // IS the coded body)
+    val raw: Array[Byte] =
+      if (teCodings.nonEmpty && teCodings.last == "chunked")
+        dechunk(bytes, bodyAt)
       else java.util.Arrays.copyOfRange(bytes, bodyAt, bytes.length)
-    if (body == null) return null
-    ce match {
-      case null | "" | "identity" => body
-      case "gzip" | "x-gzip"      => gunzip(body)
-      case "deflate"              => inflate(body)
-      case _                      => null // br/compress/…: undecodable here
-    }
+    if (raw == null) return null
+    val afterTe = decodeCodingChain(raw,
+      if (teCodings.nonEmpty && teCodings.last == "chunked") teCodings.init
+      else teCodings)
+    if (afterTe == null) return null
+    decodeCodingChain(afterTe, codings(ce))
   }
 }
 

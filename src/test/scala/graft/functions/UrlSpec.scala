@@ -424,6 +424,49 @@ class UrlSpec extends SparkSpec {
     val badGz = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip")
       .getBytes("ISO-8859-1")
     assert(httpRow(badGz).isNullAt(2))
+    // CODING CHAINS decode right-to-left: 'Transfer-Encoding: gzip,
+    // chunked' is dechunked THEN gunzipped (returning the still-gzip'd
+    // bytes here would poison the charset chain downstream) ...
+    val gz = graft.sources.Warc.gzipCompress(body)
+    val chunkedGz = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(("HTTP/1.1 200 OK\r\n" +
+        "Transfer-Encoding: gzip, chunked\r\n\r\n" +
+        gz.length.toHexString + "\r\n").getBytes("ISO-8859-1"))
+      out.write(gz)
+      out.write("\r\n0\r\n\r\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    assert(java.util.Arrays.equals(
+      httpRow(chunkedGz).getAs[Array[Byte]](2), body))
+    // ... and 'Content-Encoding: deflate, gzip' means deflate was
+    // applied first, so gunzip runs before inflate
+    val doubled = graft.sources.Warc.gzipCompress(
+      graft.sources.Warc.deflateCompress(body))
+    val ceChain = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Encoding: deflate, gzip\r\n" +
+      s"Content-Length: ${doubled.length}\r\n\r\n").getBytes("ISO-8859-1") ++ doubled
+    assert(java.util.Arrays.equals(
+      httpRow(ceChain).getAs[Array[Byte]](2), body))
+    // a chain with any unknown hop rejects whole
+    val badChain = ("HTTP/1.1 200 OK\r\nContent-Encoding: br, gzip\r\n\r\nxx")
+      .getBytes("ISO-8859-1")
+    assert(httpRow(badChain).isNullAt(2))
+  }
+
+  test("http headers: obs-fold continuation lines unfold into their owning header") {
+    // RFC 9112 §5.2 deprecated folding, but legacy servers emit it —
+    // and the folded tail here carries the charset parameter itself
+    val folded = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html;\r\n \tcharset=iso-8859-1\r\n" +
+      "X-Other: a\r\n\tb\r\n\r\nbody").getBytes("ISO-8859-1")
+    val r = httpRow(folded)
+    assert(r.getString(1) == "text/html; charset=iso-8859-1")
+    val cs = Seq(Tuple1(folded)).toDF("p").select(
+      UrlFunctions.charsetParam(
+        UrlFunctions.httpHeader(col("p"), lit("content-type"))).as("cs"))
+      .head().getString(0)
+    assert(cs == "iso-8859-1")
   }
 
   test("gunzip: round-trips, concatenated members, rejects garbage") {
