@@ -1102,14 +1102,19 @@ object UrlKernel {
     val (head, bodyAt) = split
     var te: String = null
     var ce: String = null
+    // RFC 9110 §5.3: repeated field lines combine IN ORDER into one
+    // comma-list — a response carrying two Content-Encoding lines
+    // ("deflate" then "gzip") is coded gzip-over-deflate, and keeping
+    // only the first line would decode one hop and return wrong bytes
     headerLines(head).foreach { line =>
       val c = line.indexOf(':')
       if (c > 0) {
         val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-        if (key == "transfer-encoding" && te == null)
-          te = line.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT)
-        else if (key == "content-encoding" && ce == null)
-          ce = line.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT)
+        val v = line.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT)
+        if (key == "transfer-encoding")
+          te = if (te == null) v else te + "," + v
+        else if (key == "content-encoding")
+          ce = if (ce == null) v else ce + "," + v
       }
     }
     def codings(v: String): List[String] =

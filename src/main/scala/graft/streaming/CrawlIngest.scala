@@ -66,9 +66,15 @@ object CrawlIngest {
   def recordsToDocs(records: DataFrame): DataFrame = {
     val payload = col("payload")
     // a payload that is not an HTTP message (bare html, or a
-    // non-response record) decodes as-is; http_body rejects to NULL
-    // on those and coalesce falls through to the raw bytes
-    val bodyBin = coalesce(httpBody(payload), payload)
+    // non-response record) decodes as-is — but an HTTP message whose
+    // BODY is undecodable (Content-Encoding: br, corrupt gzip,
+    // malformed chunking) must REJECT, not fall back: the raw
+    // envelope (status line + headers + compressed binary) through
+    // the charset chain would inject garbage documents into the
+    // corpus and the dedup index. "Not an HTTP message" is exactly
+    // http_status = NULL, so the fallback fires only there.
+    val bodyBin = coalesce(httpBody(payload),
+      when(httpStatus(payload).isNull, payload))
     val charset = coalesce(
       charsetParam(httpHeader(payload, lit("content-type"))),
       sniffCharset(bodyBin), lit("utf-8"))
@@ -91,7 +97,20 @@ object CrawlIngest {
     // order — deterministic because that pair is unique per record
     val w = Window.partitionBy(col("url"))
       .orderBy(col("path"), col("record_idx"))
-    val firsts = batch.withColumn("_rn", row_number().over(w))
+    val urlFirsts = batch.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    // batch-internal NEAR-dup guard: among url-unique rows, the first
+    // occurrence per exact content fingerprint wins — without this,
+    // two same-batch documents with identical text at different urls
+    // would BOTH enter the index, breaking the "bounded by DISTINCT
+    // documents" contract. (Band-level intra-batch near-dups are
+    // deliberately deferred to day-2: the next batch's index join
+    // catches them, and verifying bands within the batch would cost a
+    // second band shuffle per micro-batch.)
+    val wFp = Window
+      .partitionBy(graft.functions.TextFunctions.fingerprint(col("body")))
+      .orderBy(col("path"), col("record_idx"))
+    val firsts = urlFirsts.withColumn("_rn", row_number().over(wFp))
       .where(col("_rn") === 1).drop("_rn")
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -115,6 +134,11 @@ object CrawlIngest {
     // one materialization feeds both writes (recomputing the plan
     // twice would re-read the index and re-shuffle the anti-joins)
     val surv = survivors.localCheckpoint(true)
+    // an all-duplicate (or all-unparseable) micro-batch writes NOTHING:
+    // a zero-row partitioned write would create the corpus/index dirs
+    // with only _SUCCESS, and the NEXT batch's schema inference over
+    // the empty index dir would throw and kill the streaming query
+    if (surv.isEmpty) return
     val dynamic = Map("partitionOverwriteMode" -> "dynamic")
     surv.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").options(dynamic)

@@ -452,6 +452,31 @@ class UrlSpec extends SparkSpec {
     val badChain = ("HTTP/1.1 200 OK\r\nContent-Encoding: br, gzip\r\n\r\nxx")
       .getBytes("ISO-8859-1")
     assert(httpRow(badChain).isNullAt(2))
+    // RFC 9110 §5.3: REPEATED field lines combine in order — two
+    // Content-Encoding lines ('deflate' then 'gzip') are one
+    // deflate,gzip chain, so gunzip runs first, then inflate; keeping
+    // only the first line would return the still-gzip'd bytes
+    val repeated = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Encoding: deflate\r\n" +
+      "Content-Encoding: gzip\r\n" +
+      s"Content-Length: ${doubled.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      doubled
+    assert(java.util.Arrays.equals(
+      httpRow(repeated).getAs[Array[Byte]](2), body))
+    // repeated Transfer-Encoding lines too: 'gzip' then 'chunked'
+    // combine to gzip,chunked — dechunk, then gunzip
+    val teRepeated = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(("HTTP/1.1 200 OK\r\n" +
+        "Transfer-Encoding: gzip\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" +
+        gz.length.toHexString + "\r\n").getBytes("ISO-8859-1"))
+      out.write(gz)
+      out.write("\r\n0\r\n\r\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    assert(java.util.Arrays.equals(
+      httpRow(teRepeated).getAs[Array[Byte]](2), body))
   }
 
   test("http headers: obs-fold continuation lines unfold into their owning header") {

@@ -490,7 +490,12 @@ class MiscOpSpec extends SparkSpec {
       nlist = 4, m = 4, kSub = 8, trainSample = 32, seed = 3L)
     assert(idx.codes.count() == n) // codes already materialized in build
     val scans = acc.value.toDouble / n
-    assert(scans == 2.0,
+    // accumulator updates in transformations are at-least-once: a task
+    // retry or speculative attempt double-counts a partition's rows, so
+    // the pin is a BAND — >= 2 (both passes ran) and strictly < 3 (a
+    // third full corpus scan, the r13 regression, still trips it) —
+    // instead of an equality that flakes on a retried task
+    assert(scans >= 2.0 && scans < 3.0,
       s"IVF-PQ build must read the corpus exactly twice (shared sample " +
         s"+ assign/encode), saw $scans passes")
     graft.core.CacheRegistry.unpersistAll()

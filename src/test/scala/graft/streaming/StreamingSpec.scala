@@ -758,6 +758,59 @@ class StreamingSpec extends SparkSpec {
       "http://b.example/d2", "http://c.example/d3"))
   }
 
+  test("CrawlIngest hardening: undecodable envelopes reject, empty batches write nothing, intra-batch text dups drop") {
+    import graft.sources.Warc
+    import graft.streaming.CrawlIngest
+    val land = java.nio.file.Files.createTempDirectory("graft_warc_hard_")
+    val state = java.nio.file.Files.createTempDirectory("graft_warc_hstate_")
+    val corpusDir = state.resolve("corpus").toString
+    val indexDir = state.resolve("index").toString
+    def drop(name: String, recs: Seq[(String, Array[Byte])]): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      recs.foreach { case (uri, payload) =>
+        out.write(Warc.warcEncode(1, uri, payload))
+      }
+      val tmp = java.nio.file.Files.createTempFile("graft_warc_htmp_", ".part")
+      java.nio.file.Files.write(tmp, out.toByteArray)
+      java.nio.file.Files.move(tmp, land.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def bare(body: String) =
+      s"<html><body><p>$body</p></body></html>".getBytes("UTF-8")
+    // an HTTP envelope whose body is UNDECODABLE here (brotli): the
+    // old raw-bytes fallback would have pushed the whole envelope —
+    // status line, headers, compressed binary — through html_text
+    val brEnvelope = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: br\r\nContent-Length: 4\r\n\r\nXXXX")
+      .getBytes("ISO-8859-1")
+
+    // batch 1: EVERY record rejects → zero survivors → the batch must
+    // write NOTHING (an empty partitioned write would leave a dir with
+    // only _SUCCESS whose schema inference kills the next batch)
+    drop("drop1.warc", Seq("http://a.example/br0" -> brEnvelope))
+    val q = CrawlIngest.start(spark, land.toString, corpusDir, indexDir,
+      java.nio.file.Files.createTempDirectory("graft_warc_hck_").toString)
+    try {
+      q.processAllAvailable()
+      assert(!new java.io.File(corpusDir).exists(),
+        "an all-reject batch must not create the corpus dir")
+      assert(!new java.io.File(indexDir).exists())
+      // batch 2: one good doc, one br envelope (reject), and one
+      // SAME-TEXT different-url doc (intra-batch fingerprint dup)
+      drop("drop2.warc", Seq(
+        "http://a.example/keep" -> bare("alpha body kept once"),
+        "http://a.example/br" -> brEnvelope,
+        "http://b.example/dup" -> bare("alpha body kept once")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = spark.read.parquet(corpusDir)
+      .select("url").as[String].collect().sorted.toSeq
+    assert(corpus == Seq("http://a.example/keep"),
+      s"expected the single survivor, got $corpus")
+    // the index too holds exactly the one surviving document
+    assert(spark.read.parquet(indexDir).select("id").distinct().count() == 1)
+  }
+
   test("stream-stream interval join with watermarks (canonical streaming CEP)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
