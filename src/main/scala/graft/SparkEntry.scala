@@ -2688,12 +2688,15 @@ object SparkEntry {
         Multimodal.attachBinary(t(s, d, "documents"), "text"),
         "doc_id", "payload", 8)),
 
-    // The real-decoder slot: same metadata as q_multimodal but routed
-    // through the mapPartitions decode path (deterministic stub), so
-    // the partition-batched plumbing itself is oracle-gated.
+    // The decoder slot on NON-media bytes: same metadata as
+    // q_multimodal but routed through the mapPartitions decode path
+    // with the deterministic stub passed EXPLICITLY (the slot's
+    // default is now the real imageDecode), so the partition-batched
+    // plumbing itself is oracle-gated.
     "q_decode" -> ((s, d) =>
       Multimodal.decodePartitioned(
-        Multimodal.attachBinary(t(s, d, "documents"), "text"), "payload")
+        Multimodal.attachBinary(t(s, d, "documents"), "text"), "payload",
+        Multimodal.stubDecode)
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("format"))),
 
     // REAL decoder in the pluggable slot: synthesize a solid-color BMP
@@ -2715,6 +2718,57 @@ object SparkEntry {
       Multimodal.decodeBmpStats(withBmp, "payload")
         .select(col("doc_id"), col("width"), col("height"), col("format"),
           col("n_bytes"), col("px_mean"))
+    }),
+
+    // REAL decoders for the image formats a crawl ACTUALLY ships
+    // (CommonCrawl image payloads are overwhelmingly jpeg/png/gif,
+    // never bmp): synthesize a solid-color PNG per document via the
+    // JDK encoder, SNIFF the container from magic bytes (never trust
+    // metadata), decode the raster with javax.imageio and read the
+    // pixels back. PNG is lossless, so width/height/format/px_mean are
+    // all closed-form from the generating columns; byte size is
+    // encoder-dependent and deliberately NOT pinned.
+    "q_decode_png" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .where(col("doc_id").isNotNull && col("doc_id") >= 0 &&
+          col("n_chars").isNotNull && col("n_chars") >= 0)
+      val withImg = Multimodal.attachSyntheticImage(docs,
+        col("n_chars") % 13 + 1L, col("n_chars") % 7 + 1L,
+        col("doc_id") % 256L, lit("png"))
+      Multimodal.decodeImageStats(withImg, "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("format"),
+          col("px_mean"))
+    }),
+
+    // GIF twin of q_decode_png: the JDK GIF writer palettes a solid
+    // grayscale exactly (proven across all 256 intensities in
+    // MiscOpSpec), so the same lossless closed-form oracle applies.
+    "q_decode_gif" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .where(col("doc_id").isNotNull && col("doc_id") >= 0 &&
+          col("n_chars").isNotNull && col("n_chars") >= 0)
+      val withImg = Multimodal.attachSyntheticImage(docs,
+        col("n_chars") % 13 + 1L, col("n_chars") % 7 + 1L,
+        col("doc_id") % 256L, lit("gif"))
+      Multimodal.decodeImageStats(withImg, "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("format"),
+          col("px_mean"))
+    }),
+
+    // JPEG: lossy — encoded bytes and decoded pixel values are
+    // encoder-version-dependent and NOT cross-engine-pinnable, so the
+    // oracle gates exactly what is contractual: sniffed container
+    // format and decoded dimensions. Pixel closeness (|mean - v| <= 2
+    // on solid rasters) is bounded in MiscOpSpec instead.
+    "q_decode_jpeg" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .where(col("doc_id").isNotNull && col("doc_id") >= 0 &&
+          col("n_chars").isNotNull && col("n_chars") >= 0)
+      val withImg = Multimodal.attachSyntheticImage(docs,
+        col("n_chars") % 13 + 1L, col("n_chars") % 7 + 1L,
+        col("doc_id") % 256L, lit("jpeg"))
+      Multimodal.decodeImageStats(withImg, "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("format"))
     }),
 
     // REAL audio decoder in the pluggable slot: synthesize a PCM WAV
@@ -7046,8 +7100,7 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |CAST((length(text) % 512) + 64 AS INTEGER) AS width,
         |CAST((length(text) % 384) + 64 AS INTEGER) AS height,
-        |CASE WHEN length(text) % 3 = 0 THEN 'png'
-        |     WHEN length(text) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |'stub' AS format
         |FROM documents""".stripMargin,
 
     "q_frames" ->
@@ -7101,8 +7154,7 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |CAST((length(text) % 512) + 64 AS INTEGER) AS width,
         |CAST((length(text) % 384) + 64 AS INTEGER) AS height,
-        |CASE WHEN length(text) % 3 = 0 THEN 'png'
-        |     WHEN length(text) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |'stub' AS format
         |FROM documents""".stripMargin,
 
     // q_decode_real: the REAL-decoder round-trip — the oracle knows the
@@ -7117,6 +7169,40 @@ object SparkEntry {
         |  CAST(54 + ((((n_chars % 13) + 1) * 3 + 3) // 4) * 4 *
         |    ((n_chars % 7) + 1) AS BIGINT) AS n_bytes,
         |  CAST(doc_id % 256 AS BIGINT) AS px_mean
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |  AND n_chars IS NOT NULL AND n_chars >= 0""".stripMargin,
+
+    // q_decode_png / q_decode_gif: lossless JDK round-trips — the
+    // oracle pins dims, the SNIFFED container, and the exact decoded
+    // mean; n_bytes is encoder-dependent and not emitted.
+    "q_decode_png" ->
+      """SELECT doc_id,
+        |  CAST((n_chars % 13) + 1 AS INTEGER) AS width,
+        |  CAST((n_chars % 7) + 1 AS INTEGER) AS height,
+        |  'png' AS format,
+        |  CAST(doc_id % 256 AS BIGINT) AS px_mean
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |  AND n_chars IS NOT NULL AND n_chars >= 0""".stripMargin,
+
+    "q_decode_gif" ->
+      """SELECT doc_id,
+        |  CAST((n_chars % 13) + 1 AS INTEGER) AS width,
+        |  CAST((n_chars % 7) + 1 AS INTEGER) AS height,
+        |  'gif' AS format,
+        |  CAST(doc_id % 256 AS BIGINT) AS px_mean
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |  AND n_chars IS NOT NULL AND n_chars >= 0""".stripMargin,
+
+    // q_decode_jpeg: lossy — dims + sniffed format only (pixel
+    // closeness is spec-bounded, not oracle-pinned).
+    "q_decode_jpeg" ->
+      """SELECT doc_id,
+        |  CAST((n_chars % 13) + 1 AS INTEGER) AS width,
+        |  CAST((n_chars % 7) + 1 AS INTEGER) AS height,
+        |  'jpeg' AS format
         |FROM documents
         |WHERE doc_id IS NOT NULL AND doc_id >= 0
         |  AND n_chars IS NOT NULL AND n_chars >= 0""".stripMargin,

@@ -7,16 +7,19 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns beside typed metadata, exactly like large
-  * training-data pipelines ship them in parquet. The Spark-side shape —
-  * schema, partition-preserving batch transforms, metadata extraction —
-  * is real; the general media *decode* defaults to a STUB (the
-  * container has no opencv/ffmpeg) — a deterministic byte-derived
-  * stand-in with the same signature a real decoder would have. The
-  * slot is proven with a REAL pure-JVM decoder for one format:
-  * [[bmpDecode]]/[[decodeBmpStats]] run `javax.imageio` over synthetic
-  * bitmaps ([[bmpEncode]]) and are gated by `q_decode_real`'s
-  * round-trip oracle. Swap in an opencv/ffmpeg call per partition the
-  * same way and nothing else changes.
+  * training-data pipelines ship them in parquet. Image decode is REAL
+  * for every format a crawl's image payloads actually carry —
+  * [[imageDecode]]/[[decodeImageStats]] sniff the container from magic
+  * bytes ([[sniffImageFormat]]) and run `javax.imageio` (PNG/JPEG/GIF/
+  * BMP readers ship with the JDK) over the actual raster, gated by the
+  * `q_decode_real`/`q_decode_png`/`q_decode_gif`/`q_decode_jpeg`
+  * round-trip oracles against synthetic encode twins ([[imageEncode]]).
+  * Audio is real too ([[wavDecode]] etc., `javax.sound.sampled`).
+  * Only VIDEO remains a stub (no pure-JVM codec exists): the
+  * frame-sampling shape is real, the per-frame feature is md5-derived
+  * — swap an opencv/ffmpeg call per partition into the same slot and
+  * nothing else changes. [[stubDecode]] (label `"stub"`) remains for
+  * non-media byte payloads.
   */
 object Multimodal {
 
@@ -35,29 +38,31 @@ object Multimodal {
 
   /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
     * Pure column arithmetic so it is oracle-reproducible; a real decoder
-    * would run per-partition (see [[decodePartitioned]]).
+    * would run per-partition (see [[decodePartitioned]]). The format
+    * label is the honest literal `"stub"` — it is NOT a sniffed media
+    * format (the payload here is arbitrary bytes); real format labels
+    * come from [[sniffImageFormat]] on the real-decode path.
     */
   def fakeDecodeMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
     val nBytes = length(col(binCol)).cast("long")
     df.withColumn("width", (pmod(nBytes, lit(512L)) + 64L).cast("int"))
       .withColumn("height", (pmod(nBytes, lit(384L)) + 64L).cast("int"))
-      .withColumn(
-        "format",
-        when(pmod(nBytes, lit(3L)) === 0, "png")
-          .when(pmod(nBytes, lit(3L)) === 1, "jpeg")
-          .otherwise("webp"))
+      .withColumn("format", lit("stub"))
       .withColumn("n_bytes", nBytes)
   }
 
   /** Partition-batched decode shape: the real-decoder slot. Batches rows
     * per partition through `decode` (bytes => metadata Row) — this is
-    * where a JNI/ffi decoder plugs in; the default is the deterministic
-    * stub. Output partitioning preserves input partitioning (narrow op).
+    * where a JNI/ffi decoder plugs in; the default is the REAL
+    * [[imageDecode]] (JDK ImageIO: PNG/JPEG/GIF/BMP — the formats a
+    * real crawl's image payloads actually ship). Pass [[stubDecode]]
+    * explicitly for non-media byte payloads. Output partitioning
+    * preserves input partitioning (narrow op).
     */
   def decodePartitioned(
       df: DataFrame,
       binCol: String,
-      decode: Array[Byte] => (Int, Int, String) = stubDecode): DataFrame = {
+      decode: Array[Byte] => (Int, Int, String) = imageDecode): DataFrame = {
     val schema = StructType(df.schema.fields ++ mediaMetaSchema.fields)
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
@@ -70,11 +75,47 @@ object Multimodal {
     }(enc)
   }
 
-  /** Deterministic fake decode — stands in for an image library. */
-  private[operators] def stubDecode(bytes: Array[Byte]): (Int, Int, String) = {
+  /** Deterministic fake decode — stands in for an image library on
+    * payloads that are NOT decodable media (label `"stub"`, never a
+    * real format name).
+    */
+  def stubDecode(bytes: Array[Byte]): (Int, Int, String) = {
     val n = bytes.length.toLong
-    val fmt = (n % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
-    (((n % 512) + 64).toInt, ((n % 384) + 64).toInt, fmt)
+    (((n % 512) + 64).toInt, ((n % 384) + 64).toInt, "stub")
+  }
+
+  /** Magic-byte image format sniff — the container-level twin of
+    * `sniff_charset`: PNG (PNG), JPEG (FF D8 FF), GIF (GIF87a/
+    * GIF89a), BMP (BM); null when the bytes are none of them. Pure
+    * byte inspection, no decode — cheap enough to route on (the MIME
+    * router uses the Content-Type HEADER; this sniff is the
+    * trust-but-verify check against mislabeled payloads).
+    */
+  def sniffImageFormat(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 4) return null
+    def b(i: Int): Int = bytes(i) & 0xFF
+    if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b(0) == 0xFF && b(1) == 0xD8 && b(2) == 0xFF) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else null
+  }
+
+  /** REAL image decoder for the pluggable slot — PNG/JPEG/GIF/BMP via
+    * `javax.imageio` (all four readers ship with the JDK, no external
+    * library): sniffs the container format from magic bytes, decodes
+    * the actual raster, returns (width, height, sniffedFormat). Throws
+    * an operator-named error on an unrecognized or undecodable payload
+    * (wrap in the skip-poisoned Transformer for dirty crawls).
+    */
+  def imageDecode(bytes: Array[Byte]): (Int, Int, String) = {
+    val fmt = sniffImageFormat(bytes)
+    require(fmt != null,
+      "imageDecode: payload is not a recognized image container " +
+        "(png/jpeg/gif/bmp magic bytes)")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"imageDecode: $fmt payload failed to decode")
+    (img.getWidth, img.getHeight, fmt)
   }
 
   /** REAL pure-JVM decoder for the pluggable slot — BMP via
@@ -171,6 +212,108 @@ object Multimodal {
         }
         Row.fromSeq(r.toSeq ++
           Seq(w, h, "bmp", bytes.length.toLong, sum / (w.toLong * h)))
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic image in any JDK-writable web format —
+    * the generalization of [[bmpEncode]] to the formats a real crawl's
+    * image payloads actually carry: a solid-color (v, v, v) w×h
+    * raster encoded as png, gif, jpeg or bmp. PNG/GIF/BMP are LOSSLESS
+    * (the decoded raster is bit-identical to the constructed one, so
+    * per-pixel stats are oracle-recomputable in closed form from
+    * (w, h, v)); JPEG is lossy — dimensions and container format stay
+    * exact, pixel values only approximately (gate dims, bound the
+    * rest in specs). Byte LENGTH is encoder-dependent for all but bmp
+    * — do not pin n_bytes for png/gif/jpeg.
+    */
+  def imageEncode(w: Int, h: Int, v: Int, format: String): Array[Byte] = {
+    require(w >= 1 && h >= 1 && v >= 0 && v <= 255,
+      s"imageEncode: need w,h >= 1 and v in [0,255], got ($w, $h, $v)")
+    format match {
+      case "bmp" => bmpEncode(w, h, v)
+      case "png" | "gif" | "jpeg" =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val rgb = (v << 16) | (v << 8) | v
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val ok = javax.imageio.ImageIO.write(img, format, out)
+        require(ok, s"imageEncode: no JDK writer for '$format'")
+        out.toByteArray
+      case other => throw new IllegalArgumentException(
+        s"imageEncode: unknown format '$other' (png|gif|jpeg|bmp)")
+    }
+  }
+
+  /** Attach a synthetic image payload in a per-row FORMAT (string
+    * column: png|gif|jpeg|bmp) built row-locally from integer columns
+    * (narrow map, no shuffle) — the multi-format generalization of
+    * [[attachSyntheticBmp]], pairing with [[decodeImageStats]] so the
+    * gates prove the real decoder + sniffing round-trip every
+    * container a crawl ships.
+    */
+  def attachSyntheticImage(df: DataFrame, wCol: Column, hCol: Column,
+      vCol: Column, formatCol: Column, binCol: String = "payload"): DataFrame = {
+    val staged = df.withColumn("_iw", wCol.cast("int"))
+      .withColumn("_ih", hCol.cast("int")).withColumn("_iv", vCol.cast("int"))
+      .withColumn("_if", formatCol.cast("string"))
+    val schema = StructType(staged.schema.fields :+
+      StructField(binCol, BinaryType, nullable = false))
+    val (wi, hi, vi, fi) = (staged.schema.fieldIndex("_iw"),
+      staged.schema.fieldIndex("_ih"), staged.schema.fieldIndex("_iv"),
+      staged.schema.fieldIndex("_if"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    staged.mapPartitions { rows =>
+      rows.map { r =>
+        require(!r.isNullAt(wi) && !r.isNullAt(hi) && !r.isNullAt(vi) &&
+          !r.isNullAt(fi),
+          "attachSyntheticImage: null width/height/intensity/format — " +
+            "filter null inputs upstream (the gate mirrors the filter " +
+            "in its oracle)")
+        Row.fromSeq(r.toSeq :+ imageEncode(r.getInt(wi), r.getInt(hi),
+          r.getInt(vi), r.getString(fi)))
+      }
+    }(enc).drop("_iw", "_ih", "_iv", "_if")
+  }
+
+  /** REAL multi-format image decode + pixel statistics per partition:
+    * the container format SNIFFED from magic bytes (never trusted from
+    * metadata), dimensions and mean blue-channel intensity off the
+    * decoded raster — [[decodeBmpStats]] generalized to every format
+    * the JDK reads (png/jpeg/gif/bmp). Same narrow partition-batched
+    * shape; byte size is surfaced but encoder-dependent for compressed
+    * formats (pin it only for bmp).
+    */
+  def decodeImageStats(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ mediaMetaSchema.fields :+
+      StructField("px_mean", LongType, nullable = false))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val fmt = sniffImageFormat(bytes)
+        require(fmt != null,
+          "decodeImageStats: payload is not a recognized image container")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"decodeImageStats: $fmt payload failed to decode")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq ++
+          Seq(w, h, fmt, bytes.length.toLong, sum / (w.toLong * h)))
       }
     }(enc)
   }

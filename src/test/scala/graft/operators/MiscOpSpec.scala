@@ -100,6 +100,64 @@ class MiscOpSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("Multimodal.imageDecode: png/gif lossless round-trip at every intensity; jpeg dims exact; sniff beats labels") {
+    // all 256 intensities through the JDK png and gif encoders decode
+    // back EXACTLY (the q_decode_png / q_decode_gif oracle contract)
+    val rows = (0 until 256).map(v => (v.toLong, (v % 13) + 1, (v % 7) + 1, v))
+      .toDF("id", "w", "h", "v")
+    for (fmt <- Seq("png", "gif")) {
+      val img = Multimodal.attachSyntheticImage(rows,
+        col("w"), col("h"), col("v"), lit(fmt))
+      Multimodal.decodeImageStats(img, "payload")
+        .select("id", "width", "height", "format", "px_mean")
+        .collect().foreach { r =>
+          val v = r.getLong(0).toInt
+          assert(r.getInt(1) == (v % 13) + 1 && r.getInt(2) == (v % 7) + 1,
+            s"$fmt dims v=$v")
+          assert(r.getString(3) == fmt, s"$fmt sniff v=$v")
+          assert(r.getLong(4) == v.toLong, s"$fmt mean v=$v got ${r.getLong(4)}")
+        }
+    }
+    // jpeg: dims + sniffed container exact (the oracle pin); the lossy
+    // pixel mean stays within 2 of the constructed intensity on a
+    // solid raster (spec-bounded, deliberately NOT oracle-pinned)
+    Multimodal.decodeImageStats(
+      Multimodal.attachSyntheticImage(rows, col("w"), col("h"), col("v"),
+        lit("jpeg")), "payload")
+      .select("id", "width", "height", "format", "px_mean")
+      .collect().foreach { r =>
+        val v = r.getLong(0).toInt
+        assert(r.getInt(1) == (v % 13) + 1 && r.getInt(2) == (v % 7) + 1)
+        assert(r.getString(3) == "jpeg")
+        assert(math.abs(r.getLong(4) - v) <= 2,
+          s"jpeg mean v=$v got ${r.getLong(4)}")
+      }
+    // the sniff reads MAGIC BYTES, never a label: a bmp payload through
+    // the generic path reports bmp with exact pixels
+    val viaGeneric = Multimodal.decodeImageStats(
+      Multimodal.attachSyntheticBmp(Seq((1L, 5, 3, 17)).toDF("id", "w", "h", "v"),
+        col("w"), col("h"), col("v")), "payload").head()
+    assert(viaGeneric.getAs[String]("format") == "bmp" &&
+      viaGeneric.getAs[Long]("px_mean") == 17L)
+    // junk payloads fail loudly, not silently
+    val junk = Seq((9L, "not an image at all".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImageStats(junk, "payload").collect()
+    }
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePartitioned(junk, "payload").collect()
+    }
+    // imageDecode is the slot's DEFAULT: a png payload needs no
+    // explicit decoder argument
+    val png = Multimodal.attachSyntheticImage(
+      Seq((1L, 4, 2, 9)).toDF("id", "w", "h", "v"),
+      col("w"), col("h"), col("v"), lit("png"))
+    val slot = Multimodal.decodePartitioned(png, "payload").head()
+    assert(slot.getAs[Int]("width") == 4 && slot.getAs[Int]("height") == 2 &&
+      slot.getAs[String]("format") == "png")
+  }
+
   test("Multimodal.wavDecode: a real audio decoder drops into the pluggable slot") {
     // on/off square wave, hand-computed: n=10, amp=100, period=3 ->
     // samples 0-2,6-8 on (nz=6), frames of 4 -> energies 3a²,2a²,1a²
@@ -503,13 +561,16 @@ class MiscOpSpec extends SparkSpec {
 
   test("Multimodal stub decode is deterministic and partition-preserving") {
     val df = Seq((1L, "hello world")).toDF("id", "text")
+    // the stub is EXPLICIT now (the slot defaults to the real decoder)
     val out = Multimodal.decodePartitioned(
-      Multimodal.attachBinary(df, "text"), "payload")
+      Multimodal.attachBinary(df, "text"), "payload", Multimodal.stubDecode)
     val r = out.collect().head
     assert(r.getAs[Long]("n_bytes") == 11L)
     assert(r.getAs[Int]("width") == (11 % 512) + 64)
+    assert(r.getAs[String]("format") == "stub") // honest label, not a fake media format
     val meta = Multimodal.fakeDecodeMeta(Multimodal.attachBinary(df, "text")).collect().head
     assert(meta.getAs[Int]("width") == r.getAs[Int]("width")) // stub == column path
+    assert(meta.getAs[String]("format") == "stub")
   }
 
   test("Sink removes its stream; async sinks complete on drain") {
