@@ -2321,6 +2321,41 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("seq_index"), col("seq_offset"))),
 
+    // TOKEN-exact chunking (32-token windows over the corpus-trained
+    // 200-merge BPE tokenizer), gated by the q_bpe lossless-roundtrip
+    // discipline: chunk boundaries fall MID-WORD, so concatenating a
+    // document's chunks in chunk_id order and detokenizing must
+    // rebuild the exact word stream the oracle computes independently
+    // — any boundary/marker bug breaks the md5. within_window pins
+    // that no chunk ever exceeds the token budget.
+    "q_chunk_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.functions.Bpe.learnMerges(
+        docs.select(explode(words(col("text"))).as("w")), "w", numMerges = 200)
+      TrainingData.chunkTokens(docs, Seq("doc_id"), "text", merges, 32, 32)
+        .groupBy(col("doc_id"))
+        .agg(
+          md5(trim(array_join(
+            transform(
+              array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+              x => x.getField("chunk")),
+            ""))).as("detok_md5"),
+          (max(col("n_tokens")) <= 32).as("within_window"))
+    }),
+
+    // TOKEN-exact sequence packing: the q_pack tape arithmetic with
+    // per-doc counts from the BPE encoder at zero merges — one token
+    // per code point plus the </w> terminal, so the oracle recomputes
+    // every count as len(word)+1 in closed form (the learned-merge
+    // path is exercised by q_chunk_tokens and the spec laws; the
+    // packing operator is merge-agnostic).
+    "q_pack_tokens" -> ((s, d) =>
+      TrainingData.packSequencesByTokens(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("text")),
+        Seq(col("source")), Seq(col("doc_id")), "text", Nil, 2048L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("seq_index"), col("seq_offset"))),
+
     // Train/benchmark contamination: doc_id % 5 == 0 plays the held-out
     // benchmark; training docs sharing >= 3 distinct word 3-grams with
     // any benchmark doc are flagged (planted near-dup pairs that cross
@@ -5391,6 +5426,26 @@ object SparkEntry {
 
     "q_pack" ->
       s"""WITH d AS (SELECT doc_id, source, len($W)::INTEGER AS n_tokens FROM documents)
+         |SELECT source, doc_id, n_tokens,
+         |  ((sum(n_tokens) OVER w - n_tokens) // 2048)::BIGINT AS seq_index,
+         |  ((sum(n_tokens) OVER w - n_tokens) % 2048)::BIGINT AS seq_offset
+         |FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // q_chunk_tokens: the roundtrip law — chunks concatenated in order
+    // detokenize to the exact word stream, which the oracle computes
+    // WITHOUT running BPE (lossless encode => detok == join(words)).
+    "q_chunk_tokens" ->
+      s"""SELECT doc_id, md5(array_to_string($W, ' ')) AS detok_md5,
+         |TRUE AS within_window FROM documents""".stripMargin,
+
+    // q_pack_tokens: zero-merge BPE counts are closed-form — each word
+    // contributes one token per code point plus its </w> terminal.
+    "q_pack_tokens" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  coalesce(list_sum(list_transform($W, w -> len(w) + 1)), 0)::BIGINT
+         |    AS n_tokens
+         |  FROM documents)
          |SELECT source, doc_id, n_tokens,
          |  ((sum(n_tokens) OVER w - n_tokens) // 2048)::BIGINT AS seq_index,
          |  ((sum(n_tokens) OVER w - n_tokens) % 2048)::BIGINT AS seq_offset

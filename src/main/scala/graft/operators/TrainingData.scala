@@ -289,6 +289,50 @@ object TrainingData {
             .cast("long").as("n_tokens"): _*)
   }
 
+  /** TOKEN-exact overlapping chunking: [[chunkWords]] with the window
+    * measured in BPE tokenizer tokens — what a context-window pipeline
+    * actually counts (a 2048-"word" chunk can overflow a 2048-TOKEN
+    * context; the trainer sees tokens, so the splitter must count
+    * them). Tokens come from the engine's own fused
+    * [[graft.functions.Bpe]] encoder (the learned `merges` ride along
+    * as a reference object — no join, no UDF registry), the document
+    * is tokenized ONCE and the token array materialized before the
+    * chunk explode, and every token is covered (final chunk partial;
+    * `stride <= window`). A chunk boundary may fall MID-WORD — that is
+    * the correct token-window semantics — so `chunk` is emitted as the
+    * detokenized text with `</w>` markers turned into spaces and NO
+    * trimming/padding: concatenating a document's chunks in chunk_id
+    * order rebuilds the exact detokenized stream (the lossless
+    * round-trip law `q_chunk_tokens` gates; same discipline as
+    * `q_bpe`). Output: (id columns.., chunk_id, chunk, n_tokens).
+    */
+  def chunkTokens(
+      df: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      merges: Seq[(String, String)],
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive, got $window/$stride")
+    require(stride <= window, s"stride ($stride) must be <= window ($window) for full coverage")
+    val nChunks = greatest(
+      ceil((size(col("_ts")) - lit(window)).cast("double") / lit(stride)) + lit(1L), lit(1L))
+    df.select(idCols.map(col) :+
+        graft.functions.Bpe.encode(words(col(textCol)), merges).as("_ts"): _*)
+      .select(
+        idCols.map(col) :+ col("_ts") :+
+          explode(sequence(lit(1L), (nChunks - 1L) * stride + 1L, lit(stride.toLong)))
+            .as("_start"): _*)
+      .select(
+        idCols.map(col) :+
+          ((col("_start") - 1) / stride).cast("long").as("chunk_id") :+
+          regexp_replace(
+            array_join(slice(col("_ts"), col("_start").cast("int"), lit(window)), ""),
+            "</w>", " ").as("chunk") :+
+          least(lit(window), size(col("_ts")) - col("_start") + 1)
+            .cast("long").as("n_tokens"): _*)
+  }
+
   /** Per-document n-gram repetition statistics (the Gopher-style
     * repetition quality signals): fraction of all n-gram occurrences
     * taken by the single most frequent n-gram (`top_frac`) and the
@@ -394,6 +438,26 @@ object TrainingData {
       .withColumn("seq_offset", col("_begin") % budget)
       .drop("_begin")
   }
+
+  /** [[packSequences]] with the budget measured in BPE tokenizer
+    * TOKENS — the layout the trainer actually fills: each document's
+    * token count comes from the engine's own fused
+    * [[graft.functions.Bpe]] encoder over the learned `merges` (one
+    * narrow codegen pass — tokenize, count, discard the tokens), then
+    * the same one-shuffle per-partition-key tape arithmetic. Output
+    * adds `n_tokens` beside seq_index/seq_offset.
+    */
+  def packSequencesByTokens(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      textCol: String,
+      merges: Seq[(String, String)],
+      budget: Long): DataFrame =
+    packSequences(
+      df.withColumn("n_tokens",
+        size(graft.functions.Bpe.encode(words(col(textCol)), merges)).cast("long")),
+      partitionBy, orderBy, col("n_tokens"), budget)
 
   /** Train/benchmark contamination check: training documents sharing at
     * least `minShared` distinct word n-grams with any benchmark

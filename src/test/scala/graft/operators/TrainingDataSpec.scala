@@ -132,6 +132,32 @@ class TrainingDataSpec extends SparkSpec {
     assert(short.toSeq == Seq(("a b c", 3L)))
   }
 
+  test("chunkTokens: token windows split mid-word, concatenated chunks round-trip, tail partial") {
+    // merges = [(a,a)]: "aa" -> [aa, </w>] (2 tokens), "ab" -> [a, b,
+    // </w>] (3), "b" -> [b, </w>] (2); "aa ab aa b" = 9 tokens total
+    val merges = Seq(("a", "a"))
+    val df = Seq((1L, "aa ab aa b")).toDF("doc_id", "text")
+    val chunks = TrainingData.chunkTokens(df, Seq("doc_id"), "text", merges, 4, 4)
+      .orderBy("chunk_id").select("chunk_id", "chunk", "n_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    // window 4 over 9 tokens: 4 + 4 + 1, boundary falls INSIDE "ab"
+    assert(chunks.map(_._3) == Seq(4L, 4L, 1L))
+    assert(chunks.map(_._2) == Seq("aa ab", " aa b", " "))
+    // the roundtrip law the gate pins: chunks concatenated in order
+    // (no separator) and trimmed rebuild the exact word stream
+    assert(chunks.map(_._2).mkString("").trim == "aa ab aa b")
+    // a doc shorter than the window yields one partial chunk
+    val short = TrainingData.chunkTokens(
+      Seq((2L, "aa")).toDF("doc_id", "text"), Seq("doc_id"), "text", merges, 4, 4)
+      .select("chunk", "n_tokens").as[(String, Long)].collect().toSeq
+    assert(short == Seq(("aa ", 2L)))
+    // an empty doc still emits its single empty chunk (coverage law)
+    val empty = TrainingData.chunkTokens(
+      Seq((3L, "")).toDF("doc_id", "text"), Seq("doc_id"), "text", merges, 4, 4)
+      .select("chunk", "n_tokens").as[(String, Long)].collect().toSeq
+    assert(empty == Seq(("", 0L)))
+  }
+
   test("repetitionStats measures top-gram and distinct-gram fractions") {
     // 2-grams of "a a a a b": [a a, a a, a a, a b] — top 3/4, distinct 2/4
     val df = Seq((1L, "a a a a b")).toDF("doc_id", "text")
@@ -162,6 +188,24 @@ class TrainingDataSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     // offsets 0/600/1200/1800 on the s1 tape; s2 restarts its own tape
     assert(out == Seq((1L, 0L, 0L), (2L, 0L, 600L), (3L, 1L, 200L), (4L, 1L, 800L), (5L, 0L, 0L)))
+  }
+
+  test("packSequencesByTokens counts BPE tokens under real merges, then packs the tape") {
+    // merges = [(a,a)]: "aa ab" = 2 + 3 = 5 tokens, "aa b" = 2 + 2 = 4
+    val merges = Seq(("a", "a"))
+    val df = Seq(("s", 1L, "aa ab"), ("s", 2L, "aa b")).toDF("src", "id", "text")
+    val out = TrainingData.packSequencesByTokens(
+      df, Seq(col("src")), Seq(col("id")), "text", merges, 6L)
+      .select("id", "n_tokens", "seq_index", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // tape: doc1 at [0,5), doc2 starts at 5 -> seq 0 offset 5
+    assert(out == Seq((1L, 5L, 0L, 0L), (2L, 4L, 0L, 5L)))
+    // zero merges degrade to the closed form the q_pack_tokens oracle
+    // uses: one token per code point plus the </w> terminal
+    val zero = TrainingData.packSequencesByTokens(
+      df, Seq(col("src")), Seq(col("id")), "text", Nil, 2048L)
+      .select("id", "n_tokens").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(zero == Seq((1L, 6L), (2L, 5L))) // "aa ab": (2+1)+(2+1); "aa b": 3+2
   }
 
   test("contaminationCheck flags train docs sharing n-grams with the benchmark") {
