@@ -1562,6 +1562,54 @@ object SparkEntry {
           col("n_refs"), col("rank"))
     }),
 
+    // MIME routing over a mixed crawl (the CrawlIngest router in
+    // closed form): five-way Content-Type cycle (html / png / json /
+    // br-coded html / plain), request records interleaved (%7), and
+    // uncanonicalizable target uris (%11) — every record must land on
+    // exactly ONE route with the right drop reason, the html leg's
+    // body decoded through the charset chain, and the image leg's
+    // bytes passed through UNTOUCHED (md5-pinned). The oracle
+    // recomputes route/reason/mime/body/md5 as pure CASE arithmetic.
+    "q_mime_route" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull &&
+          col("text").isNotNull)
+      val html = concat(lit("<html><body><p>"), col("text"),
+        lit(" résumé</p></body></html>"))
+      val m5 = col("doc_id") % 5
+      val ctype = when(m5 === 0, lit("text/html; charset=iso-8859-1"))
+        .when(m5 === 1, lit("image/png"))
+        .when(m5 === 2, lit("application/json"))
+        .otherwise(lit("text/plain")) // %5==3 replaced by the br envelope
+      val withHttp = graft.sources.Warc.attachSyntheticHttp(docs,
+        lit(200), ctype,
+        when(m5 === 0, lit("gzip")).otherwise(lit("identity")),
+        m5 === 0 && col("doc_id") % 2 === 0,
+        when(m5 === 0, encode(html, "ISO-8859-1"))
+          .otherwise(encode(col("text"), "UTF-8")))
+      // the brotli leg: a claimed-br body this engine cannot decode —
+      // routing must REJECT it, never push the raw envelope downstream
+      val brMsg = lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: br\r\nContent-Length: 4\r\n\r\nXXXX")
+      val frame = withHttp.select(
+        col("source").as("path"),
+        col("doc_id").cast("long").as("record_idx"),
+        when(col("doc_id") % 7 === 0, lit("request"))
+          .otherwise(lit("response")).as("warc_type"),
+        // digit-led scheme: RFC 3986 rejects it, so url_normalize
+        // NULLs and the router emits the bad_url reason
+        when(col("doc_id") % 11 === 5, lit("1http://bad/x"))
+          .otherwise(concat(lit("http://"), col("source"),
+            lit(".example.com/d/"), (col("doc_id") % 97).cast("string")))
+          .as("target_uri"),
+        when(m5 === 3, encode(brMsg, "ISO-8859-1"))
+          .otherwise(col("http")).as("payload"))
+      graft.streaming.CrawlIngest.routeRecords(frame)
+        .select(col("record_idx").as("doc_id"), col("mime"), col("route"),
+          col("reason"), col("body"), md5(col("image")).as("image_md5"))
+    }),
+
     // Url-level exact dedup (the CCNet/RefinedWeb leading pass): docs
     // sharing a canonical url collapse to the min doc_id; the messy
     // construction guarantees collisions (path is doc_id mod 97).
@@ -7026,6 +7074,30 @@ object SparkEntry {
         |      AS INT) AS rank
         |  FROM dedup)
         |WHERE rank <= 20""".stripMargin,
+
+    "q_mime_route" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'text/html' WHEN 1 THEN 'image/png'
+        |    WHEN 2 THEN 'application/json' WHEN 3 THEN 'text/html'
+        |    ELSE 'text/plain' END AS mime,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'non_response'
+        |    WHEN doc_id % 11 = 5 THEN 'reject'
+        |    WHEN doc_id % 5 = 3 THEN 'reject'
+        |    WHEN doc_id % 5 IN (2, 4) THEN 'other'
+        |    WHEN doc_id % 5 = 0 THEN 'html'
+        |    ELSE 'image' END AS route,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'non_response'
+        |    WHEN doc_id % 11 = 5 THEN 'bad_url'
+        |    WHEN doc_id % 5 = 3 THEN 'undecodable_body'
+        |    WHEN doc_id % 5 IN (2, 4) THEN 'unrouted_mime'
+        |    END AS reason,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 5 AND doc_id % 5 = 0
+        |    THEN text || ' résumé' END AS body,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 5 AND doc_id % 5 = 1
+        |    THEN md5(text) END AS image_md5
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  AND text IS NOT NULL""".stripMargin,
 
     "q_url_dedup" ->
       """SELECT

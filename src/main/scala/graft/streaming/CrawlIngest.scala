@@ -15,12 +15,15 @@ import graft.sources.Warc
   * {{{
   *   readStream(binaryFile over a landing dir)
   *     → Warc.warcRecords                  (narrow record split)
-  *     → http_body / http_header           (envelope split; bare-html
-  *                                          payloads fall back raw)
-  *     → charset chain → html_text         (header beats meta beats
-  *                                          utf-8)
-  *     → url_normalize
-  *     → foreachBatch: drop against the PARQUET standing index
+  *     → routeRecords                      (MIME routing: responses
+  *                                          only; html → charset
+  *                                          chain → html_text; image
+  *                                          → bytes for the
+  *                                          multimodal path; rest →
+  *                                          counted rejects with
+  *                                          reasons)
+  *     → foreachBatch: route/drop counters → statsDir, image bytes →
+  *       imageDir, and the html leg drops against the PARQUET standing index
   *       (url-exact + fingerprint-exact + MinHash-band near-dup via
   *       [[Dedup.dropAgainstIndex]]), append survivors to the corpus
   *       dir, append their index rows to the index dir.
@@ -56,34 +59,85 @@ object CrawlIngest {
     StructField("length", LongType),
     StructField("content", BinaryType)))
 
-  /** Canonicalized documents of a WARC record frame — the shared
-    * record→document transform of the streaming pipeline and its
-    * batch twin: envelope split with raw fallback, charset chain,
-    * visible text, canonical url. Emits (path, record_idx, url, body);
-    * rows whose url or body reject to NULL are dropped (a record with
-    * no parseable target/text feeds nothing downstream).
+  /** MIME-routed record classification — a real crawl is ~10-20%
+    * NON-html (images, pdf, json, plain text), and WARC files
+    * interleave request/revisit/metadata records with responses, so
+    * every record gets exactly one route with a drop REASON where it
+    * leaves the pipeline (reject-to-NULL is never silent; the
+    * per-batch counters in [[start]] aggregate these):
+    *
+    *  - `non_response` — WARC record type is not `response`
+    *    (request/revisit/metadata carry no fetched representation);
+    *  - `reject` — reason `bad_url` (target uri fails to
+    *    canonicalize) or `undecodable_body` (an HTTP envelope whose
+    *    body cannot be decoded here: Content-Encoding brotli, corrupt
+    *    gzip, malformed chunked framing — the raw envelope must NOT
+    *    fall through to the text path);
+    *  - `html` — Content-Type text/html / application/xhtml+xml, or
+    *    no envelope / no Content-Type header (bare payloads default
+    *    to the html path); `body` carries the charset-chain-decoded
+    *    visible text;
+    *  - `image` — `image/...` Content-Type; `image` carries the decoded
+    *    body BYTES for the multimodal path
+    *    ([[graft.operators.Multimodal.decodeImageStats]] sniffs the
+    *    actual container from magic bytes downstream — the header is
+    *    routing advice, never trusted as the format);
+    *  - `other` — any remaining MIME (counted, reason
+    *    `unrouted_mime`; the mime column says what a 100-TB run is
+    *    dropping).
+    *
+    * Pure column kernels (codegen), narrow — one projection over the
+    * record frame, no shuffle. Output: (path, record_idx, url, mime,
+    * route, reason, body, image).
     */
-  def recordsToDocs(records: DataFrame): DataFrame = {
+  def routeRecords(records: DataFrame): DataFrame = {
     val payload = col("payload")
-    // a payload that is not an HTTP message (bare html, or a
-    // non-response record) decodes as-is — but an HTTP message whose
-    // BODY is undecodable (Content-Encoding: br, corrupt gzip,
-    // malformed chunking) must REJECT, not fall back: the raw
-    // envelope (status line + headers + compressed binary) through
-    // the charset chain would inject garbage documents into the
-    // corpus and the dedup index. "Not an HTTP message" is exactly
-    // http_status = NULL, so the fallback fires only there.
-    val bodyBin = coalesce(httpBody(payload),
-      when(httpStatus(payload).isNull, payload))
-    val charset = coalesce(
-      charsetParam(httpHeader(payload, lit("content-type"))),
-      sniffCharset(bodyBin), lit("utf-8"))
-    records.select(
+    val status = httpStatus(payload)
+    val ct = httpHeader(payload, lit("content-type"))
+    val mime = lower(trim(substring_index(ct, ";", 1)))
+    // a payload that is not an HTTP message decodes as-is (bare html);
+    // an HTTP message whose BODY is undecodable rejects — "not an HTTP
+    // message" is exactly http_status = NULL
+    val bodyBin = coalesce(httpBody(payload), when(status.isNull, payload))
+    val htmlMime = mime.isNull ||
+      mime.isin("text/html", "application/xhtml+xml")
+    val staged = records.select(
       col("path"), col("record_idx"),
       urlNormalize(col("target_uri")).as("url"),
-      htmlText(decodeText(bodyBin, charset)).as("body"))
-      .where(col("url").isNotNull && col("body").isNotNull)
+      mime.as("mime"),
+      bodyBin.as("_bin"),
+      coalesce(charsetParam(ct), sniffCharset(bodyBin), lit("utf-8")).as("_cs"),
+      when(col("warc_type").isNotNull && col("warc_type") =!= "response",
+        lit("non_response"))
+        .when(urlNormalize(col("target_uri")).isNull, lit("bad_url"))
+        .when(bodyBin.isNull, lit("undecodable_body"))
+        .when(!(htmlMime || mime.startsWith("image/")), lit("unrouted_mime"))
+        .as("reason"))
+    val stagedHtml = col("mime").isNull ||
+      col("mime").isin("text/html", "application/xhtml+xml")
+    val route = when(col("reason") === "non_response", lit("non_response"))
+      .when(col("reason").isin("bad_url", "undecodable_body"), lit("reject"))
+      .when(col("reason") === "unrouted_mime", lit("other"))
+      .when(stagedHtml, lit("html"))
+      .otherwise(lit("image"))
+    staged.select(
+      col("path"), col("record_idx"), col("url"), col("mime"),
+      route.as("route"), col("reason"),
+      when(route === "html",
+        htmlText(decodeText(col("_bin"), col("_cs")))).as("body"),
+      when(route === "image", col("_bin")).as("image"))
   }
+
+  /** Canonicalized documents of a WARC record frame — the html leg of
+    * [[routeRecords]], the shared record→document transform of the
+    * streaming pipeline and its batch twin: response records only,
+    * envelope split with bare-payload fallback, charset chain, visible
+    * text, canonical url. Emits (path, record_idx, url, body); routed
+    * and rejected rows feed nothing downstream.
+    */
+  def recordsToDocs(records: DataFrame): DataFrame =
+    routeRecords(records).where(col("route") === "html")
+      .select(col("path"), col("record_idx"), col("url"), col("body"))
 
   /** One micro-batch against the standing parquet index; exposed for
     * the spec's determinism/idempotency assertions. See the object
@@ -149,23 +203,65 @@ object CrawlIngest {
       .partitionBy("batch_id").parquet(indexDir)
   }
 
+  /** Per-batch route/drop counters → `statsDir` (parquet, partitioned
+    * by batch_id, dynamic overwrite = replay-idempotent like the other
+    * outputs): one row per (route, reason, mime) with its count. This
+    * is the observability contract — at 100 TB "the crawl NULLed out"
+    * must be a number on a dashboard, never a silent filter.
+    */
+  private[streaming] def writeRouteStats(routed: DataFrame, batchId: Long,
+      statsDir: String): Unit = {
+    val stats = routed.groupBy(col("route"), col("reason"), col("mime"))
+      .agg(count(lit(1)).as("n"))
+    if (!stats.isEmpty)
+      stats.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .options(Map("partitionOverwriteMode" -> "dynamic"))
+        .partitionBy("batch_id").parquet(statsDir)
+  }
+
   /** Start the pipeline: returns the running query (callers own its
-    * lifecycle). `corpusDir` accumulates survivor documents
+    * lifecycle). `corpusDir` accumulates surviving html documents
     * (path, record_idx, url, body, batch_id); `indexDir` accumulates
-    * their [[Dedup.buildDedupIndex]] rows.
+    * their [[Dedup.buildDedupIndex]] rows. Optional sinks:
+    * `statsDir` gets the per-batch [[writeRouteStats]] counters;
+    * `imageDir` gets the `image` route's decoded payload bytes
+    * (path, record_idx, url, mime, image, batch_id) for the
+    * multimodal path. Everything before foreachBatch stays narrow;
+    * the routed frame is checkpointed ONCE per batch so the extra
+    * sinks never re-read the landing files.
     */
   def start(spark: SparkSession, landingDir: String, corpusDir: String,
       indexDir: String, checkpointDir: String, glob: String = "*.warc",
-      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): StreamingQuery = {
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      statsDir: String = null, imageDir: String = null): StreamingQuery = {
     val stream = spark.readStream.format("binaryFile")
       .option("pathGlobFilter", glob).schema(binarySchema)
       .load(landingDir)
-    val docs = recordsToDocs(Warc.warcRecords(stream, "path", "content"))
-    docs.writeStream
+    val routed = routeRecords(Warc.warcRecords(stream, "path", "content"))
+    val dynamic = Map("partitionOverwriteMode" -> "dynamic")
+    routed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, corpusDir, indexDir,
-          shingleSize, numHashes, bands)
+        // one materialization feeds stats + images + the dedup leg
+        // (foreachBatch re-executes the source plan per action
+        // otherwise — three reads of every landing file)
+        val b = if (statsDir != null || imageDir != null)
+          batch.localCheckpoint(true) else batch
+        if (statsDir != null) writeRouteStats(b, batchId, statsDir)
+        if (imageDir != null) {
+          val images = b.where(col("route") === "image")
+            .select(col("path"), col("record_idx"), col("url"),
+              col("mime"), col("image"))
+          if (!images.isEmpty)
+            images.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").options(dynamic)
+              .partitionBy("batch_id").parquet(imageDir)
+        }
+        ingestBatch(
+          b.where(col("route") === "html")
+            .select(col("path"), col("record_idx"), col("url"), col("body")),
+          batchId, corpusDir, indexDir, shingleSize, numHashes, bands)
       }
       .start()
   }

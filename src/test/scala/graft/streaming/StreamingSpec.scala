@@ -788,19 +788,29 @@ class StreamingSpec extends SparkSpec {
     // write NOTHING (an empty partitioned write would leave a dir with
     // only _SUCCESS whose schema inference kills the next batch)
     drop("drop1.warc", Seq("http://a.example/br0" -> brEnvelope))
+    val statsDir = state.resolve("stats").toString
+    val imageDir = state.resolve("images").toString
     val q = CrawlIngest.start(spark, land.toString, corpusDir, indexDir,
-      java.nio.file.Files.createTempDirectory("graft_warc_hck_").toString)
+      java.nio.file.Files.createTempDirectory("graft_warc_hck_").toString,
+      statsDir = statsDir, imageDir = imageDir)
     try {
       q.processAllAvailable()
       assert(!new java.io.File(corpusDir).exists(),
         "an all-reject batch must not create the corpus dir")
       assert(!new java.io.File(indexDir).exists())
-      // batch 2: one good doc, one br envelope (reject), and one
-      // SAME-TEXT different-url doc (intra-batch fingerprint dup)
+      // ... but the DROP is observable: the stats sink recorded it
+      val s1 = spark.read.parquet(statsDir)
+        .select("route", "reason").as[(String, String)].collect().toSeq
+      assert(s1 == Seq(("reject", "undecodable_body")))
+      // batch 2: one good doc, one br envelope (reject), one SAME-TEXT
+      // different-url doc (intra-batch fingerprint dup), and a REAL
+      // png behind a gzip-coded image/png envelope (multimodal route)
       drop("drop2.warc", Seq(
         "http://a.example/keep" -> bare("alpha body kept once"),
         "http://a.example/br" -> brEnvelope,
-        "http://b.example/dup" -> bare("alpha body kept once")))
+        "http://b.example/dup" -> bare("alpha body kept once"),
+        "http://img.example/logo.png" -> Warc.httpEncode(200, "image/png",
+          graft.operators.Multimodal.imageEncode(5, 3, 200, "png"), "gzip")))
       q.processAllAvailable()
     } finally q.stop()
     val corpus = spark.read.parquet(corpusDir)
@@ -809,6 +819,22 @@ class StreamingSpec extends SparkSpec {
       s"expected the single survivor, got $corpus")
     // the index too holds exactly the one surviving document
     assert(spark.read.parquet(indexDir).select("id").distinct().count() == 1)
+    // route counters across both batches: 2 html (the dup is dropped
+    // AFTER routing, by the index leg), 1 image, 2 rejects — and no
+    // reject is ever silent
+    val stats = spark.read.parquet(statsDir)
+      .groupBy("route").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(stats == Map("html" -> 2L, "image" -> 1L, "reject" -> 2L),
+      s"got $stats")
+    // the image leg carries the DECODED body bytes (the gzip coding
+    // stripped): magic-byte sniff + raster decode both succeed
+    val img = spark.read.parquet(imageDir)
+      .select("url", "mime", "image").collect()
+    assert(img.length == 1 && img(0).getString(1) == "image/png")
+    val (iw, ih, ifmt) = graft.operators.Multimodal.imageDecode(
+      img(0).getAs[Array[Byte]](2))
+    assert((iw, ih, ifmt) == ((5, 3, "png")))
   }
 
   test("stream-stream interval join with watermarks (canonical streaming CEP)") {
