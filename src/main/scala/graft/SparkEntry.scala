@@ -1562,6 +1562,48 @@ object SparkEntry {
           col("n_refs"), col("rank"))
     }),
 
+    // Mixed-record-type WARC files, as real CommonCrawl rounds ship
+    // them: request/revisit/metadata records interleaved with the
+    // response by doc_id residues. The pipeline must parse EVERY
+    // record (counts pin interleaving and positions) yet extract text
+    // from responses only — a request record's payload is bytes that
+    // would parse fine as text if the type check were missing. The
+    // oracle recomputes record counts, the response's record index
+    // and its decoded body arithmetically.
+    "q_warc_mixed" -> ((s, d) => {
+      import graft.functions.UrlFunctions._
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull &&
+          col("text").isNotNull)
+      val html = concat(lit("<html><body><p>"), col("text"),
+        lit(" mixed</p></body></html>"))
+      val withHttp = graft.sources.Warc.attachSyntheticHttp(docs,
+        lit(200), lit("text/html; charset=utf-8"), lit("gzip"),
+        col("doc_id") % 2 === 0, encode(html, "UTF-8"))
+      val uri = concat(lit("http://"), col("source"),
+        lit(".example.com/m/"), col("doc_id").cast("string"))
+      val withWarc = graft.sources.Warc.attachSyntheticWarcMixed(withHttp,
+        uri, col("http"),
+        col("doc_id") % 2 === 0, col("doc_id") % 3 === 0,
+        col("doc_id") % 5 === 0)
+      val recs = graft.sources.Warc.warcRecords(withWarc, "doc_id", "warc")
+        .withColumn("path", col("doc_id").cast("string"))
+      graft.streaming.CrawlIngest.routeRecords(recs)
+        .groupBy(col("path"))
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(when(col("route") === "non_response", 1L).otherwise(0L))
+            .as("n_non_response"),
+          sum(when(col("route") === "html", 1L).otherwise(0L)).as("n_html"),
+          max(when(col("route") === "html", col("record_idx")))
+            .as("response_idx"),
+          max(when(col("route") === "html", col("body"))).as("body"))
+        .select(col("path").cast("long").as("doc_id"), col("n_records"),
+          col("n_non_response"), col("n_html"), col("response_idx"),
+          col("body"))
+    }),
+
     // MIME routing over a mixed crawl (the CrawlIngest router in
     // closed form): five-way Content-Type cycle (html / png / json /
     // br-coded html / plain), request records interleaved (%7), and
@@ -7074,6 +7116,20 @@ object SparkEntry {
         |      AS INT) AS rank
         |  FROM dedup)
         |WHERE rank <= 20""".stripMargin,
+
+    "q_warc_mixed" ->
+      """SELECT doc_id,
+        |  (1 + (doc_id % 2 = 0)::INT + (doc_id % 3 = 0)::INT +
+        |    (doc_id % 5 = 0)::INT)::BIGINT AS n_records,
+        |  ((doc_id % 2 = 0)::INT + (doc_id % 3 = 0)::INT +
+        |    (doc_id % 5 = 0)::INT)::BIGINT AS n_non_response,
+        |  1::BIGINT AS n_html,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS response_idx,
+        |  text || ' mixed' AS body
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |  AND text IS NOT NULL""".stripMargin,
 
     "q_mime_route" ->
       """SELECT doc_id,

@@ -44,26 +44,97 @@ object Warc {
     require(nRecords >= 1 && uri != null && payload != null,
       s"warcEncode: need nRecords >= 1 and non-null uri/payload, got " +
         s"($nRecords, $uri)")
-    // uris are ASCII by spec (RFC 3986), and a CR/LF here would smuggle
-    // a fake header line into the record — fail at ENCODE time with
-    // this operator's name, not downstream with the parser's
-    require(uri.forall(c => c > ' ' && c <= '~'),
-      s"warcEncode: uri must be printable ASCII without spaces/CR/LF, got '$uri'")
     val out = new java.io.ByteArrayOutputStream()
     var k = 0
     while (k < nRecords) {
-      val header = ("WARC/1.0\r\n" +
-        "WARC-Type: response\r\n" +
-        s"WARC-Record-ID: <urn:uuid:rec-$k>\r\n" +
-        s"WARC-Target-URI: $uri\r\n" +
-        s"Content-Length: ${payload.length}\r\n" +
-        "\r\n").getBytes("US-ASCII")
-      out.write(header)
-      out.write(payload)
-      out.write(CRLF); out.write(CRLF)
+      writeRecord(out, "response", uri, payload, k)
       k += 1
     }
     out.toByteArray
+  }
+
+  /** One ISO 28500 record appended to `out` (shared by [[warcEncode]]
+    * and [[warcEncodeTyped]]).
+    */
+  private def writeRecord(out: java.io.ByteArrayOutputStream,
+      warcType: String, uri: String, payload: Array[Byte], k: Int): Unit = {
+    // uris are ASCII by spec (RFC 3986), and a CR/LF here would smuggle
+    // a fake header line into the record — fail at ENCODE time with
+    // this operator's name, not downstream with the parser's
+    require(uri != null && uri.forall(c => c > ' ' && c <= '~'),
+      s"warcEncode: uri must be printable ASCII without spaces/CR/LF, got '$uri'")
+    require(warcType != null && warcType.nonEmpty &&
+      warcType.forall(c => c > ' ' && c <= '~'),
+      s"warcEncode: warc-type must be printable ASCII, got '$warcType'")
+    val header = ("WARC/1.0\r\n" +
+      s"WARC-Type: $warcType\r\n" +
+      s"WARC-Record-ID: <urn:uuid:rec-$k>\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n").getBytes("US-ASCII")
+    out.write(header)
+    out.write(payload)
+    out.write(CRLF); out.write(CRLF)
+  }
+
+  /** Mixed-record-type WARC blob: one record per (warcType, uri,
+    * payload) triple, in order — how real CommonCrawl files actually
+    * look (request/response/revisit/metadata interleaved), so gates
+    * can pin that a pipeline processes RESPONSES only and counts the
+    * rest.
+    */
+  def warcEncodeTyped(records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+    require(records.nonEmpty, "warcEncodeTyped: need at least one record")
+    val out = new java.io.ByteArrayOutputStream()
+    records.zipWithIndex.foreach { case ((t, uri, payload), k) =>
+      writeRecord(out, t, uri, payload, k)
+    }
+    out.toByteArray
+  }
+
+  /** Attach a MIXED-record-type WARC payload built row-locally: an
+    * optional `request` record (a real HTTP request message — bytes
+    * that would happily parse as text if a pipeline forgot to check
+    * the record type), the `response` (the given envelope), then
+    * optional `revisit` (empty payload, like a server-side 304
+    * dedup) and `metadata` records. The synthetic twin of a real
+    * crawl file's record mix for [[warcRecords]] gates.
+    */
+  def attachSyntheticWarcMixed(df: DataFrame, uriCol: Column,
+      responseCol: Column, withRequest: Column, withRevisit: Column,
+      withMetadata: Column, binCol: String = "warc"): DataFrame = {
+    val staged = df.withColumn("_mu", uriCol.cast("string"))
+      .withColumn("_mp", responseCol.cast("binary"))
+      .withColumn("_mq", withRequest.cast("boolean"))
+      .withColumn("_mr", withRevisit.cast("boolean"))
+      .withColumn("_mm", withMetadata.cast("boolean"))
+    val schema = StructType(staged.schema.fields :+
+      StructField(binCol, BinaryType, nullable = false))
+    val (ui, pi, qi, ri, mi) = (staged.schema.fieldIndex("_mu"),
+      staged.schema.fieldIndex("_mp"), staged.schema.fieldIndex("_mq"),
+      staged.schema.fieldIndex("_mr"), staged.schema.fieldIndex("_mm"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    staged.mapPartitions { rows =>
+      rows.map { r =>
+        require(!r.isNullAt(ui) && !r.isNullAt(pi) && !r.isNullAt(qi) &&
+          !r.isNullAt(ri) && !r.isNullAt(mi),
+          "attachSyntheticWarcMixed: null construction input")
+        val uri = r.getString(ui)
+        val recs = Seq.newBuilder[(String, String, Array[Byte])]
+        if (r.getBoolean(qi))
+          recs += (("request", uri,
+            s"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n"
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+        recs += (("response", uri, r.getAs[Array[Byte]](pi)))
+        if (r.getBoolean(ri))
+          recs += (("revisit", uri, Array.emptyByteArray))
+        if (r.getBoolean(mi))
+          recs += (("metadata", uri,
+            "via: graft-crawler\n".getBytes(
+              java.nio.charset.StandardCharsets.US_ASCII)))
+        Row.fromSeq(r.toSeq :+ warcEncodeTyped(recs.result()))
+      }
+    }(enc).drop("_mu", "_mp", "_mq", "_mr", "_mm")
   }
 
   /** Parse a WARC blob → one (warcType, recordId, targetUri, payload)

@@ -23,6 +23,33 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("mixed-record-type blob: all four types parse in order; only the response routes to text") {
+    val resp = Warc.httpEncode(200, "text/html; charset=utf-8",
+      "<html><body><p>kept body</p></body></html>".getBytes("UTF-8"), "gzip")
+    val blob = Warc.warcEncodeTyped(Seq(
+      ("request", "http://e.com/x",
+        "GET /x HTTP/1.1\r\nHost: e.com\r\n\r\n".getBytes("US-ASCII")),
+      ("response", "http://e.com/x", resp),
+      ("revisit", "http://e.com/x", Array.emptyByteArray),
+      ("metadata", "http://e.com/x", "via: z\n".getBytes("US-ASCII"))))
+    val recs = Warc.parseRecords(blob).toSeq
+    assert(recs.map(_._1) == Seq("request", "response", "revisit", "metadata"))
+    assert(recs(2)._4.isEmpty) // the revisit carries no representation
+    // through the router: response -> html with the decoded body; the
+    // request's parseable-as-text payload must NOT leak into the text
+    // path; revisit/metadata count as non_response
+    val df = Seq(Tuple2("f", blob)).toDF("path", "warc")
+    val routed = graft.streaming.CrawlIngest.routeRecords(
+      Warc.warcRecords(df, "path", "warc"))
+      .select("record_idx", "route", "body")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(routed(0L) == (("non_response", None)))
+    assert(routed(1L) == (("html", Some("kept body"))))
+    assert(routed(2L) == (("non_response", None)))
+    assert(routed(3L) == (("non_response", None)))
+  }
+
   test("payload containing WARC header look-alikes cannot confuse the split") {
     // the payload is length-prefixed, so a record whose BODY is itself
     // a fake WARC record parses as one record, not two
