@@ -125,6 +125,10 @@ object CrawlIngest {
       route.as("route"), col("reason"),
       when(route === "html",
         htmlText(decodeText(col("_bin"), col("_cs")))).as("body"),
+      // anchor hrefs off the RAW decoded html (html_text has already
+      // stripped the tags) — the crawl-frontier leg resolves these
+      when(route === "html",
+        htmlLinks(decodeText(col("_bin"), col("_cs")))).as("links"),
       when(route === "image", col("_bin")).as("image"))
   }
 
@@ -203,6 +207,64 @@ object CrawlIngest {
       .partitionBy("batch_id").parquet(indexDir)
   }
 
+  /** One micro-batch of the streaming crawl FRONTIER — the q_frontier
+    * composition folded into the pipeline, sharing its kernels
+    * (url_resolve → url_normalize → robots_allowed → url dedup →
+    * per-host politeness cap):
+    *
+    *  - anchors of the batch's surviving html documents resolve
+    *    against their page url and canonicalize;
+    *  - `robots` ((host, robots_txt), broadcast — one row per host,
+    *    the natural bound of robots state) filters disallowed paths
+    *    for `agent`; a host with NO robots row is allowed (the RFC
+    *    9309 no-robots.txt default);
+    *  - urls already in the standing frontier parquet (any earlier
+    *    batch — the replayed batch's own partition excluded, same
+    *    contract as [[ingestBatch]]) drop via a short-key anti-join;
+    *  - at most `perHostCap` NEW urls per host per batch (politeness
+    *    is per fetch round) in deterministic url order.
+    *
+    * State lives in `frontierDir` parquet (host, url, n_refs, rank,
+    * batch_id) — bounded by DISTINCT discovered urls, never feed
+    * length, never driver memory.
+    */
+  private[streaming] def frontierBatch(routed: DataFrame, batchId: Long,
+      frontierDir: String, robots: DataFrame, agent: String,
+      perHostCap: Int): Unit = {
+    val spark = routed.sparkSession
+    val cand = routed.where(col("route") === "html")
+      .select(col("url"), explode(col("links")).as("_href"))
+      .select(urlNormalize(urlResolve(col("url"), col("_href"))).as("url"))
+      .where(col("url").isNotNull)
+      .withColumn("host", urlHost(col("url")))
+    val allowed = cand
+      .join(broadcast(robots.select(col("host"), col("robots_txt"))),
+        Seq("host"), "left")
+      .where(col("robots_txt").isNull ||
+        robotsAllowed(col("robots_txt"), lit(agent),
+          expr("parse_url(url, 'PATH')")))
+      .groupBy(col("host"), col("url"))
+      .agg(count(lit(1)).as("n_refs"))
+    val fs = new org.apache.hadoop.fs.Path(frontierDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(new org.apache.hadoop.fs.Path(frontierDir)))
+        allowed.join(
+          spark.read.parquet(frontierDir)
+            .where(col("batch_id") =!= lit(batchId))
+            .select(col("url")).distinct(),
+          Seq("url"), "left_anti")
+      else allowed
+    val capped = graft.operators.TrainingData.capPerGroup(
+      fresh, Seq(col("host")), Seq(col("url")), perHostCap)
+    if (!capped.isEmpty)
+      capped.select(col("host"), col("url"), col("n_refs"), col("rank"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .options(Map("partitionOverwriteMode" -> "dynamic"))
+        .partitionBy("batch_id").parquet(frontierDir)
+  }
+
   /** Per-batch route/drop counters → `statsDir` (parquet, partitioned
     * by batch_id, dynamic overwrite = replay-idempotent like the other
     * outputs): one row per (route, reason, mime) with its count. This
@@ -234,7 +296,9 @@ object CrawlIngest {
   def start(spark: SparkSession, landingDir: String, corpusDir: String,
       indexDir: String, checkpointDir: String, glob: String = "*.warc",
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      statsDir: String = null, imageDir: String = null): StreamingQuery = {
+      statsDir: String = null, imageDir: String = null,
+      frontierDir: String = null, robots: DataFrame = null,
+      agent: String = "graftbot", perHostCap: Int = 20): StreamingQuery = {
     val stream = spark.readStream.format("binaryFile")
       .option("pathGlobFilter", glob).schema(binarySchema)
       .load(landingDir)
@@ -243,12 +307,19 @@ object CrawlIngest {
     routed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // one materialization feeds stats + images + the dedup leg
-        // (foreachBatch re-executes the source plan per action
-        // otherwise — three reads of every landing file)
-        val b = if (statsDir != null || imageDir != null)
+        // one materialization feeds stats + images + frontier + the
+        // dedup leg (foreachBatch re-executes the source plan per
+        // action otherwise — one read of every landing file per sink)
+        val b = if (statsDir != null || imageDir != null || frontierDir != null)
           batch.localCheckpoint(true) else batch
         if (statsDir != null) writeRouteStats(b, batchId, statsDir)
+        if (frontierDir != null)
+          frontierBatch(b, batchId, frontierDir,
+            if (robots != null) robots
+            else spark.emptyDataFrame
+              .withColumn("host", lit(null).cast("string"))
+              .withColumn("robots_txt", lit(null).cast("string")),
+            agent, perHostCap)
         if (imageDir != null) {
           val images = b.where(col("route") === "image")
             .select(col("path"), col("record_idx"), col("url"),

@@ -837,6 +837,61 @@ class StreamingSpec extends SparkSpec {
     assert((iw, ih, ifmt) == ((5, 3, "png")))
   }
 
+  test("CrawlIngest frontier leg: robots filter, cross-batch url dedup, per-host politeness cap") {
+    import graft.sources.Warc
+    import graft.streaming.CrawlIngest
+    val land = java.nio.file.Files.createTempDirectory("graft_warc_front_")
+    val state = java.nio.file.Files.createTempDirectory("graft_warc_fstate_")
+    def drop(name: String, recs: Seq[(String, Array[Byte])]): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      recs.foreach { case (uri, p) => out.write(Warc.warcEncode(1, uri, p)) }
+      val tmp = java.nio.file.Files.createTempFile("graft_warc_ftmp_", ".part")
+      java.nio.file.Files.write(tmp, out.toByteArray)
+      java.nio.file.Files.move(tmp, land.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def page(tag: String, links: Seq[String]) =
+      ("<html><body>" +
+        links.map(h => s"""<a href="$h">x</a>""").mkString +
+        s"<p>page $tag</p></body></html>").getBytes("UTF-8")
+    val robots = Seq(("a.example", "User-agent: *\nDisallow: /g/\n"))
+      .toDF("host", "robots_txt")
+    // batch 1: a disallowed path, a RELATIVE href, and a target both
+    // pages share (n_refs = 2)
+    drop("d1.warc", Seq(
+      "http://a.example/p/1" -> page("one",
+        Seq("/g/1", "x/2", "http://b.example/keep")),
+      "http://b.example/p/2" -> page("two",
+        Seq("http://b.example/keep", "/ok/3"))))
+    val frontierDir = state.resolve("frontier").toString
+    val q = CrawlIngest.start(spark, land.toString,
+      state.resolve("corpus").toString, state.resolve("index").toString,
+      java.nio.file.Files.createTempDirectory("graft_warc_fck_").toString,
+      frontierDir = frontierDir, robots = robots, perHostCap = 2)
+    try {
+      q.processAllAvailable()
+      val f1 = spark.read.parquet(frontierDir)
+        .select("url", "n_refs").as[(String, Long)].collect().toMap
+      // /g/1 robots-dropped; the relative href resolved + canonicalized
+      assert(f1 == Map(
+        "http://a.example/p/x/2" -> 1L,
+        "http://b.example/keep" -> 2L,
+        "http://b.example/ok/3" -> 1L), s"got $f1")
+      // batch 2: an already-discovered url drops (standing frontier),
+      // and 3 fresh urls on one host hit the perHostCap = 2
+      drop("d2.warc", Seq(
+        "http://c.example/p/9" -> page("three",
+          Seq("http://b.example/keep", "/n/1", "/n/2", "/n/3"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val urls = spark.read.parquet(frontierDir)
+      .select("url").as[String].collect().sorted.toSeq
+    assert(urls == Seq(
+      "http://a.example/p/x/2", "http://b.example/keep",
+      "http://b.example/ok/3",
+      "http://c.example/n/1", "http://c.example/n/2"), s"got $urls")
+  }
+
   test("stream-stream interval join with watermarks (canonical streaming CEP)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
