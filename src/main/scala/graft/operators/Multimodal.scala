@@ -23,6 +23,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache — a temp file per
+  // encode/decode call. Every payload here is an in-memory byte array
+  // (tiny headers to ~MB images); per-row /tmp churn at 100 TB would
+  // be an I/O bottleneck for zero benefit.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
