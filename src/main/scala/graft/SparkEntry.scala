@@ -1652,6 +1652,40 @@ object SparkEntry {
           col("reason"), col("body"), md5(col("image")).as("image_md5"))
     }),
 
+    // The IMAGE arc end-to-end in one plan — the capstone the routing
+    // and decode gates compose into: a REAL png per document (JDK
+    // encoder), gzip-content-coded inside a truthful image/png HTTP
+    // envelope, framed as a WARC response record; then record split →
+    // envelope decode (binary-transparent: compressed image bytes,
+    // not text) → MIME route to the image leg → magic-byte sniff →
+    // raster decode. The oracle pins dims/format/exact pixel mean
+    // from the generating columns; any stage corrupting a byte breaks
+    // the lossless chain.
+    "q_image_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .where(col("doc_id").isNotNull && col("doc_id") >= 0 &&
+          col("source").isNotNull &&
+          col("n_chars").isNotNull && col("n_chars") >= 0)
+      val withImg = Multimodal.attachSyntheticImage(docs,
+        col("n_chars") % 13 + 1L, col("n_chars") % 7 + 1L,
+        col("doc_id") % 256L, lit("png"), binCol = "img")
+      val withHttp = graft.sources.Warc.attachSyntheticHttp(withImg,
+        lit(200), lit("image/png"), lit("gzip"),
+        col("doc_id") % 2 === 0, col("img"))
+      val uri = concat(lit("http://"), col("source"),
+        lit(".example.com/i/"), col("doc_id").cast("string"), lit(".png"))
+      val withWarc = graft.sources.Warc.attachSyntheticWarcBin(
+        withHttp.drop("img"), lit(1), uri, col("http"))
+      val recs = graft.sources.Warc.warcRecords(withWarc, "doc_id", "warc")
+        .withColumn("path", col("doc_id").cast("string"))
+      val images = graft.streaming.CrawlIngest.routeRecords(recs)
+        .where(col("route") === "image").select(col("path"), col("image"))
+      Multimodal.decodeImageStats(images, "image")
+        .select(col("path").cast("long").as("doc_id"), col("width"),
+          col("height"), col("format"), col("px_mean"))
+    }),
+
     // Url-level exact dedup (the CCNet/RefinedWeb leading pass): docs
     // sharing a canonical url collapse to the min doc_id; the messy
     // construction guarantees collisions (path is doc_id mod 97).
@@ -7116,6 +7150,18 @@ object SparkEntry {
         |      AS INT) AS rank
         |  FROM dedup)
         |WHERE rank <= 20""".stripMargin,
+
+    // q_image_pipeline: same closed form as q_decode_png — the whole
+    // warc/envelope/route chain in between must be byte-lossless.
+    "q_image_pipeline" ->
+      """SELECT doc_id,
+        |  CAST((n_chars % 13) + 1 AS INTEGER) AS width,
+        |  CAST((n_chars % 7) + 1 AS INTEGER) AS height,
+        |  'png' AS format,
+        |  CAST(doc_id % 256 AS BIGINT) AS px_mean
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id >= 0 AND source IS NOT NULL
+        |  AND n_chars IS NOT NULL AND n_chars >= 0""".stripMargin,
 
     "q_warc_mixed" ->
       """SELECT doc_id,
