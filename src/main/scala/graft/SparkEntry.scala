@@ -1606,10 +1606,11 @@ object SparkEntry {
 
     // MIME routing over a mixed crawl (the CrawlIngest router in
     // closed form): five-way Content-Type cycle (html / png / json /
-    // br-coded html / plain), request records interleaved (%7), and
-    // uncanonicalizable target uris (%11) — every record must land on
-    // exactly ONE route with the right drop reason, the html leg's
-    // body decoded through the charset chain, and the image leg's
+    // br-coded html / plain-text), request records interleaved (%7),
+    // and uncanonicalizable target uris (%11) — every record must land
+    // on exactly ONE route with the right drop reason, the html leg's
+    // body decoded through the charset chain, the text/plain leg's
+    // body decoded VERBATIM (no tag stripping), and the image leg's
     // bytes passed through UNTOUCHED (md5-pinned). The oracle
     // recomputes route/reason/mime/body/md5 as pure CASE arithmetic.
     "q_mime_route" -> ((s, d) => {
@@ -2928,6 +2929,24 @@ object SparkEntry {
         col("doc_id") % 256L, lit("jpeg"))
       Multimodal.decodeImageStats(withImg, "payload")
         .select(col("doc_id"), col("width"), col("height"), col("format"))
+    }),
+
+    // ViT patch plan over REAL decoded dimensions: the q_patches
+    // coordinate arithmetic fed by decodeImageStats' raster-decoded
+    // width/height (not stub column math) — the composition a
+    // patch-embedding stage actually runs. 4px tiles on the small
+    // synthetic rasters, edge tiles clipped; the oracle recomputes
+    // the grid from the generating columns.
+    "q_patches_real" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .where(col("doc_id").isNotNull && col("doc_id") >= 0 &&
+          col("n_chars").isNotNull && col("n_chars") >= 0)
+      val withImg = Multimodal.attachSyntheticImage(docs,
+        col("n_chars") % 13 + 1L, col("n_chars") % 7 + 1L,
+        col("doc_id") % 256L, lit("png"))
+      val stats = Multimodal.decodeImageStats(withImg, "payload")
+      Multimodal.patchGrid(stats, "doc_id", col("width"), col("height"),
+        patch = 4)
     }),
 
     // REAL audio decoder in the pluggable slot: synthesize a PCM WAV
@@ -7185,16 +7204,19 @@ object SparkEntry {
         |  CASE WHEN doc_id % 7 = 0 THEN 'non_response'
         |    WHEN doc_id % 11 = 5 THEN 'reject'
         |    WHEN doc_id % 5 = 3 THEN 'reject'
-        |    WHEN doc_id % 5 IN (2, 4) THEN 'other'
+        |    WHEN doc_id % 5 = 2 THEN 'other'
         |    WHEN doc_id % 5 = 0 THEN 'html'
+        |    WHEN doc_id % 5 = 4 THEN 'text'
         |    ELSE 'image' END AS route,
         |  CASE WHEN doc_id % 7 = 0 THEN 'non_response'
         |    WHEN doc_id % 11 = 5 THEN 'bad_url'
         |    WHEN doc_id % 5 = 3 THEN 'undecodable_body'
-        |    WHEN doc_id % 5 IN (2, 4) THEN 'unrouted_mime'
+        |    WHEN doc_id % 5 = 2 THEN 'unrouted_mime'
         |    END AS reason,
         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 5 AND doc_id % 5 = 0
-        |    THEN text || ' résumé' END AS body,
+        |    THEN text || ' résumé'
+        |    WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 5 AND doc_id % 5 = 4
+        |    THEN text END AS body,
         |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 5 AND doc_id % 5 = 1
         |    THEN md5(text) END AS image_md5
         |FROM documents
@@ -7435,6 +7457,20 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND doc_id >= 0
         |  AND n_chars IS NOT NULL AND n_chars >= 0""".stripMargin,
+
+    "q_patches_real" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST((n_chars % 13) + 1 AS BIGINT) AS w,
+        |  CAST((n_chars % 7) + 1 AS BIGINT) AS h FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id >= 0
+        |    AND n_chars IS NOT NULL AND n_chars >= 0),
+        |g AS (SELECT doc_id, w, h,
+        |  unnest(generate_series(0, (w - 1) // 4)) AS px FROM m),
+        |g2 AS (SELECT doc_id, w, h, px,
+        |  unnest(generate_series(0, (h - 1) // 4)) AS py FROM g)
+        |SELECT doc_id, px, py, px * 4 AS x0, py * 4 AS y0,
+        |  least(4, w - px * 4) AS pw, least(4, h - py * 4) AS ph
+        |FROM g2""".stripMargin,
 
     // q_decode_audio: the REAL-audio-decoder round-trip — the oracle
     // knows the wave construction (on/off square wave: sample i = amp

@@ -77,6 +77,9 @@ object CrawlIngest {
     *    no envelope / no Content-Type header (bare payloads default
     *    to the html path); `body` carries the charset-chain-decoded
     *    visible text;
+    *  - `text` — text/plain (a real crawl keeps it: READMEs, code,
+    *    plaintext mirrors); `body` is the charset-chain-decoded
+    *    content VERBATIM — no tag stripping;
     *  - `image` — `image/...` Content-Type; `image` carries the decoded
     *    body BYTES for the multimodal path
     *    ([[graft.operators.Multimodal.decodeImageStats]] sniffs the
@@ -111,7 +114,8 @@ object CrawlIngest {
         lit("non_response"))
         .when(urlNormalize(col("target_uri")).isNull, lit("bad_url"))
         .when(bodyBin.isNull, lit("undecodable_body"))
-        .when(!(htmlMime || mime.startsWith("image/")), lit("unrouted_mime"))
+        .when(!(htmlMime || mime === "text/plain" ||
+          mime.startsWith("image/")), lit("unrouted_mime"))
         .as("reason"))
     val stagedHtml = col("mime").isNull ||
       col("mime").isin("text/html", "application/xhtml+xml")
@@ -119,12 +123,18 @@ object CrawlIngest {
       .when(col("reason").isin("bad_url", "undecodable_body"), lit("reject"))
       .when(col("reason") === "unrouted_mime", lit("other"))
       .when(stagedHtml, lit("html"))
+      .when(col("mime") === "text/plain", lit("text"))
       .otherwise(lit("image"))
     staged.select(
       col("path"), col("record_idx"), col("url"), col("mime"),
       route.as("route"), col("reason"),
+      // html strips tags to visible text; text/plain (a real crawl
+      // keeps it — READMEs, robots, code, plaintext mirrors) decodes
+      // through the same charset chain VERBATIM, no tag stripping
       when(route === "html",
-        htmlText(decodeText(col("_bin"), col("_cs")))).as("body"),
+        htmlText(decodeText(col("_bin"), col("_cs"))))
+        .when(route === "text", decodeText(col("_bin"), col("_cs")))
+        .as("body"),
       // anchor hrefs off the RAW decoded html (html_text has already
       // stripped the tags) — the crawl-frontier leg resolves these
       when(route === "html",
@@ -132,15 +142,16 @@ object CrawlIngest {
       when(route === "image", col("_bin")).as("image"))
   }
 
-  /** Canonicalized documents of a WARC record frame — the html leg of
-    * [[routeRecords]], the shared record→document transform of the
-    * streaming pipeline and its batch twin: response records only,
+  /** Canonicalized documents of a WARC record frame — the html+text
+    * legs of [[routeRecords]], the shared record→document transform of
+    * the streaming pipeline and its batch twin: response records only,
     * envelope split with bare-payload fallback, charset chain, visible
-    * text, canonical url. Emits (path, record_idx, url, body); routed
-    * and rejected rows feed nothing downstream.
+    * text (html) or verbatim content (text/plain), canonical url.
+    * Emits (path, record_idx, url, body); routed and rejected rows
+    * feed nothing downstream.
     */
   def recordsToDocs(records: DataFrame): DataFrame =
-    routeRecords(records).where(col("route") === "html")
+    routeRecords(records).where(col("route").isin("html", "text"))
       .select(col("path"), col("record_idx"), col("url"), col("body"))
 
   /** One micro-batch against the standing parquet index; exposed for
@@ -330,7 +341,7 @@ object CrawlIngest {
               .partitionBy("batch_id").parquet(imageDir)
         }
         ingestBatch(
-          b.where(col("route") === "html")
+          b.where(col("route").isin("html", "text"))
             .select(col("path"), col("record_idx"), col("url"), col("body")),
           batchId, corpusDir, indexDir, shingleSize, numHashes, bands)
       }

@@ -810,23 +810,28 @@ class StreamingSpec extends SparkSpec {
         "http://a.example/br" -> brEnvelope,
         "http://b.example/dup" -> bare("alpha body kept once"),
         "http://img.example/logo.png" -> Warc.httpEncode(200, "image/png",
-          graft.operators.Multimodal.imageEncode(5, 3, 200, "png"), "gzip")))
+          graft.operators.Multimodal.imageEncode(5, 3, 200, "png"), "gzip"),
+        "http://t.example/notes.txt" -> Warc.httpEncode(200,
+          "text/plain; charset=utf-8",
+          "plain notes <not html>".getBytes("UTF-8"), "gzip")))
       q.processAllAvailable()
     } finally q.stop()
     val corpus = spark.read.parquet(corpusDir)
-      .select("url").as[String].collect().sorted.toSeq
-    assert(corpus == Seq("http://a.example/keep"),
-      s"expected the single survivor, got $corpus")
-    // the index too holds exactly the one surviving document
-    assert(spark.read.parquet(indexDir).select("id").distinct().count() == 1)
+      .select("url", "body").as[(String, String)].collect().toMap
+    // the text/plain doc joins the corpus VERBATIM (no tag stripping)
+    assert(corpus.keySet == Set("http://a.example/keep",
+      "http://t.example/notes.txt"), s"got ${corpus.keySet}")
+    assert(corpus("http://t.example/notes.txt") == "plain notes <not html>")
+    // the index holds both surviving documents
+    assert(spark.read.parquet(indexDir).select("id").distinct().count() == 2)
     // route counters across both batches: 2 html (the dup is dropped
-    // AFTER routing, by the index leg), 1 image, 2 rejects — and no
-    // reject is ever silent
+    // AFTER routing, by the index leg), 1 text, 1 image, 2 rejects —
+    // and no reject is ever silent
     val stats = spark.read.parquet(statsDir)
       .groupBy("route").agg(sum("n").as("n"))
       .as[(String, Long)].collect().toMap
-    assert(stats == Map("html" -> 2L, "image" -> 1L, "reject" -> 2L),
-      s"got $stats")
+    assert(stats == Map("html" -> 2L, "text" -> 1L, "image" -> 1L,
+      "reject" -> 2L), s"got $stats")
     // the image leg carries the DECODED body bytes (the gzip coding
     // stripped): magic-byte sniff + raster decode both succeed
     val img = spark.read.parquet(imageDir)
