@@ -283,12 +283,17 @@ object Dedup {
       .select(col("id"), col("simhash"), col("ck.chunk"), col("ck.key"))
     val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("simhash").as("sig_a"))
     val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("simhash").as("sig_b"))
+    // verify-THEN-dedup: hamming is deterministic per pair, so the
+    // dedup exchange carries only surviving (id_a, id_b, hamming) rows
+    // instead of every chunk-collision candidate (a pair matching in
+    // several chunks re-pays one bit_count — nothing — and the
+    // exchange shrinks by the filter's selectivity)
     a.join(b, Seq("chunk", "key"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard pairs via a document-frequency-capped inverted
@@ -1043,12 +1048,20 @@ object Dedup {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    // verify-THEN-dedup: cosine is deterministic per (id_a, id_b), so
+    // filtering before dropDuplicates returns the identical pair set —
+    // but the dedup exchange then carries only the few above-threshold
+    // (id_a, id_b, cosine) rows instead of every candidate pair
+    // decorated with BOTH dense vectors (measured ~300 MB/run → KBs on
+    // the gate corpus; a pair straddling `probes` shared cells pays the
+    // fused cosine kernel at most `probes` extra times, which is noise
+    // next to shuffling its two vectors)
     a.join(b, Seq("cell"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** One-call semantic dedup: [[semanticPairs]], then drop every row
@@ -1180,12 +1193,17 @@ object Dedup {
       .select(col("id"), col("v"), col("tb.tbl"), col("tb.bucket"))
     val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    // verify-THEN-dedup (the semanticPairs discipline): identical pair
+    // set, but the dedup exchange carries only above-threshold
+    // (id_a, id_b, cosine) rows — never candidate pairs decorated with
+    // both dense vectors; a pair colliding in several tables pays the
+    // fused cosine at most `tables` times instead of shuffling vectors
     a.join(b, Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** EXACT strict-prefix dedup: rows whose text is a strict prefix of

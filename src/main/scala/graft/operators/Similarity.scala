@@ -485,10 +485,17 @@ object Similarity {
 
     val q = broadcast(bucketize(queries, "query_id", "q_vec"))
     val c = bucketize(corpus, "neighbor_id", "c_vec")
+    // score-THEN-dedup: cosine is deterministic per (query, neighbor)
+    // pair, so computing it while the vectors are still join-co-located
+    // and projecting to (ids, cosine) BEFORE dropDuplicates leaves the
+    // dedup exchange (and the top-k window exchange after it) carrying
+    // three narrow columns instead of two dense vectors per candidate;
+    // a pair colliding in several tables re-pays one fused cosine
     val cand = c.join(q, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cand
       .withColumn("rank", row_number().over(w))

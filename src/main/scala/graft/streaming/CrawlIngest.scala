@@ -125,20 +125,27 @@ object CrawlIngest {
       .when(stagedHtml, lit("html"))
       .when(col("mime") === "text/plain", lit("text"))
       .otherwise(lit("image"))
-    staged.select(
+    // the charset decode runs ONCE per text-bearing record, in its own
+    // projection — html records feed BOTH htmlText (body) and htmlLinks
+    // off the same decoded string, and CSE across when-branches is not
+    // guaranteed, so a multi-MB payload would otherwise pay the decode
+    // twice (the projections don't re-collapse: CollapseProject keeps
+    // non-cheap expressions referenced more than once staged)
+    val withTxt = staged.withColumn("_txt",
+      when(route === "html" || route === "text",
+        decodeText(col("_bin"), col("_cs"))))
+    withTxt.select(
       col("path"), col("record_idx"), col("url"), col("mime"),
       route.as("route"), col("reason"),
       // html strips tags to visible text; text/plain (a real crawl
       // keeps it — READMEs, robots, code, plaintext mirrors) decodes
       // through the same charset chain VERBATIM, no tag stripping
-      when(route === "html",
-        htmlText(decodeText(col("_bin"), col("_cs"))))
-        .when(route === "text", decodeText(col("_bin"), col("_cs")))
+      when(route === "html", htmlText(col("_txt")))
+        .when(route === "text", col("_txt"))
         .as("body"),
       // anchor hrefs off the RAW decoded html (html_text has already
       // stripped the tags) — the crawl-frontier leg resolves these
-      when(route === "html",
-        htmlLinks(decodeText(col("_bin"), col("_cs")))).as("links"),
+      when(route === "html", htmlLinks(col("_txt"))).as("links"),
       when(route === "image", col("_bin")).as("image"))
   }
 
@@ -266,8 +273,15 @@ object CrawlIngest {
             .select(col("url")).distinct(),
           Seq("url"), "left_anti")
       else allowed
+    // eager localCheckpoint BEFORE the isEmpty probe and the write —
+    // the ingestBatch discipline (line ~205): without it the full
+    // candidate→robots→anti-join→cap plan executes twice (once for the
+    // probe, again for the write), and the write would overwrite
+    // frontierDir while the same plan still reads it (the standing-
+    // frontier anti-join) with only batch_id pruning as protection.
     val capped = graft.operators.TrainingData.capPerGroup(
       fresh, Seq(col("host")), Seq(col("url")), perHostCap)
+      .localCheckpoint(true)
     if (!capped.isEmpty)
       capped.select(col("host"), col("url"), col("n_refs"), col("rank"))
         .withColumn("batch_id", lit(batchId))

@@ -1,0 +1,48 @@
+package graft
+
+/** Optimization-round probe: time queries under EXPERIMENTAL Spark conf
+  * overrides without touching the bench contract. Overrides come from
+  * env `PROBE_CONF` as "key=value;key=value". Runs each named query
+  * `PROBE_RUNS` (default 4) times, reports every run + the median of
+  * the post-warmup runs. Dev tool only — never wired into Bench.
+  */
+object TimeQC {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("PROBE_CONF").foreach { s =>
+      s.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }
+    }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("PROBE_RUNS", "4").toInt
+    // JVM/codegen warmup mirroring Bench
+    Seq("q_agg", "q_words_count", "q_sim_brute").foreach { q =>
+      try SparkEntry.queries(q)(spark, d).count()
+      catch { case _: Throwable => () }
+    }
+    for (q <- args) {
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, d).count()
+        graft.core.CacheRegistry.unpersistAll(blocking = true)
+        spark.catalog.clearCache()
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, n)
+      }
+      val ts = times.map(_._1)
+      val med = ts.drop(1).sorted.apply((runs - 1) / 2)
+      println(f"$q%-24s med=${med}%.3f runs=${ts.map(t => f"$t%.2f").mkString(",")} rows=${times.head._2}")
+    }
+    spark.stop()
+  }
+}
