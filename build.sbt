@@ -30,7 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra JVM flags (space-separated) for experiments — e.g.
+  // SPARK_GRAFT_JAVA_OPTS="-XX:+UseParallelGC" to A/B a collector.
+  // Default empty: the shipped run uses the JVM defaults.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))
 
 // Parallel test groups: suites are partitioned into forked JVMs that
 // run CONCURRENTLY (suite wall-clock ~716s single-JVM -> a few min).

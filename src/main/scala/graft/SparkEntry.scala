@@ -51,6 +51,14 @@ object SparkEntry {
     // yields thousands of splits and this would be skipped.
     else if (name == "documents" || name == "embeddings")
       df.repartition(s.sparkContext.defaultParallelism)
+    // MEASURED AND REJECTED (r16): repartitioning the single-row-group
+    // fact tables (lineitem/orders/events) the same way regressed the
+    // ~100 scan-and-aggregate queries by 2-3x (the round-robin exchange
+    // + its sort-before-repartition on 600k-row frames costs more than
+    // the parallelism it buys), while the intended winners (decimal-
+    // heavy map phases) did not improve — their first aggregation
+    // exchange already distributes the reduce work, and the map-side
+    // single-threading is cheaper than an extra full-width shuffle.
     else df
   }
 
@@ -3694,10 +3702,18 @@ object SparkEntry {
       val te = e.where(col("vec_id") < 20)
       val exact = Similarity.knnShapley(tr, te, "vec_id", "embedding",
         "label", k = 5, topN = 50).localCheckpoint(true)
+      // ONE IVF build serves both probe widths (identical nlist/seed ⇒
+      // identical index ⇒ identical outputs to the per-leg builds, but
+      // the deterministic sample + local Lloyd's + assignment persist
+      // run once instead of twice)
+      val annIx = Similarity.shapleyAnnIndex(tr, "vec_id", "embedding",
+        "label", nlist = 16)
       val full = Similarity.knnShapleyAnn(tr, te, "vec_id", "embedding",
-        "label", k = 5, topN = 50, nlist = 16, nprobe = 16)
+        "label", k = 5, topN = 50, nlist = 16, nprobe = 16,
+        sharedIndex = Some(annIx))
       val work = Similarity.knnShapleyAnn(tr, te, "vec_id", "embedding",
-        "label", k = 5, topN = 50, nlist = 16, nprobe = 8)
+        "label", k = 5, topN = 50, nlist = 16, nprobe = 8,
+        sharedIndex = Some(annIx))
       val nDiff = exact.exceptAll(full)
         .unionAll(full.exceptAll(exact))
         .agg(count(lit(1)).as("_nd"))

@@ -3316,19 +3316,49 @@ object Analytics {
     // order by (x, id, y): the caller's id may not be unique, and a
     // residual tie that still differs in y would make the rank walk
     // engine-dependent — adding y leaves only FULL ties, whose order
-    // cannot move Σ|Δr| (equal r on both sides of the swap)
-    val ranked = graft.core.CacheRegistry.persist(
-      Relational.prefixSum(
-        base.join(ycdf.select(col("_y"), col("_r")), Seq("_y")),
-        Seq(col("_x"), col("_id"), col("_y")), lit(1L), "_rk"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nxt = ranked.select((col("_rk") - 1L).as("_rk"),
-      col("_r").as("_rn"))
-    val sdr = ranked.join(nxt, Seq("_rk"))
-      .agg(coalesce(sum(dec(abs(col("_rn") - col("_r")))), dec(lit(0L)))
-        .as("_sdr"))
-    denom.crossJoin(broadcast(sdr))
-      .select(col("n"), col("_sdr").cast("long").as("sum_dr"),
+    // cannot move Σ|Δr| (equal r on both sides of the swap).
+    //
+    // Σ|r_{i+1} − r_i| needs CONSECUTIVE rows in that order — not the
+    // ranks themselves — so instead of materializing a global rank
+    // (a second prefixSum pass) and self-joining the frame against its
+    // rank-shifted copy (two more full shuffles of |rows|), range-
+    // partition + locally sort ONCE and take one narrow pass per
+    // partition: the partition-local exact Σ|Δr| plus its first/last
+    // ranks. |partitions| triples reach the driver (the prefixSums
+    // offset discipline — bounded state) and the cross-partition
+    // boundary deltas are added there. Equal sort keys share a range
+    // partition, and full ties contribute |Δr| = 0 wherever they land,
+    // so the total is partitioning-independent. Accumulation is exact
+    // long with addExact — the readout below casts sum_dr to BIGINT
+    // anyway, so an input large enough to overflow fails loudly here
+    // instead of corrupting the cast.
+    val ordered = base.join(ycdf.select(col("_y"), col("_r")), Seq("_y"))
+      .repartitionByRange(col("_x"), col("_id"), col("_y"))
+      .sortWithinPartitions(col("_x"), col("_id"), col("_y"))
+      .select(col("_r").cast("long").as("_r"))
+    val sess = ordered.sparkSession
+    import sess.implicits._
+    val partStats = ordered.as[Long].rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var prev = it.next(); val first = prev; var acc = 0L
+        while (it.hasNext) {
+          val cur = it.next()
+          acc = Math.addExact(acc, Math.abs(cur - prev)); prev = cur
+        }
+        Iterator.single((pid, acc, first, prev))
+      }
+    }.collect().sortBy(_._1) // bounded: one row per non-empty partition
+    val sdrTotal = partStats.foldLeft((0L, Option.empty[Long])) {
+      case ((acc, lastPrev), (_, local, first, last)) =>
+        val withBoundary = lastPrev match {
+          case Some(lp) => Math.addExact(acc, Math.abs(first - lp))
+          case None => acc
+        }
+        (Math.addExact(withBoundary, local), Some(last))
+    }._1
+    denom
+      .select(col("n"), lit(sdrTotal).as("sum_dr"),
         (lit(2L) * col("_d")).cast("decimal(38,0)").as("denom2"))
       .withColumn("xi_ppm",
         when(col("denom2") > 0,

@@ -131,13 +131,20 @@ object Graph {
     // The deduplicated edge list feeds four readers (degree count, the
     // contrib self-join, both vertex legs) — persist it once or each
     // derived cache's materialization recomputes the upstream dedup.
+    // ONE exchange establishes the loop's src layout: hash-partitioning
+    // by src alone clusters every (src, dst) duplicate into one
+    // partition, so the dedup / weight-merge aggregate AND the degree
+    // aggregate AND the contrib self-join all plan onto the same
+    // partitioning with no further shuffle (the old shape paid a
+    // distinct exchange on (src, dst) plus an explicit repartition).
     val e = graft.core.CacheRegistry.persist(
       weightCol match {
         case None =>
           edges
             .select(col(srcCol).as("src"), col(dstCol).as("dst"))
             .where(col("src").isNotNull && col("dst").isNotNull)
-            .distinct()
+            .repartition(col("src"))
+            .dropDuplicates("src", "dst")
         case Some(wc) =>
           // duplicate edges merge by summing weight; non-positive
           // weights carry no endorsement and are dropped
@@ -145,21 +152,21 @@ object Graph {
             .select(col(srcCol).as("src"), col(dstCol).as("dst"),
               col(wc).cast("long").as("w"))
             .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+            .repartition(col("src"))
             .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       },
       MEMORY_AND_DISK)
     // (src, dst, deg|wsum) is loop-invariant: compute the out-degree /
-    // out-weight totals once, persist partitioned on src so every
-    // iteration's score join lands on the cached layout without a
-    // fresh edge shuffle.
+    // out-weight totals once; e's cached src layout serves the degree
+    // aggregate and the self-join directly, and the join output keeps
+    // it, so every iteration's score join lands on the cached layout
+    // without a fresh edge shuffle.
     val contrib = graft.core.CacheRegistry.persist(
       weightCol match {
         case None =>
           e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-            .repartition(col("src"))
         case Some(_) =>
           e.join(e.groupBy("src").agg(sum(col("w")).as("wsum")), "src")
-            .repartition(col("src"))
       },
       MEMORY_AND_DISK)
     // verts carries the teleport mask: is_seed ∈ {0, 1}, all-1 for
@@ -232,8 +239,15 @@ object Graph {
     val e = graft.core.CacheRegistry.persist(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct()
-        .repartition(col("src")),
+        // one exchange does both: hash-partitioning by src ALONE
+        // already clusters every (src, dst) duplicate into one
+        // partition, so the dedup aggregate runs on the repartitioned
+        // layout without its own exchange (the old distinct-then-
+        // repartition paid two full-|E| shuffles; callers feeding
+        // heavily duplicated edge lists shuffle the duplicates once —
+        // pre-dedup upstream if that matters)
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst"),
       MEMORY_AND_DISK)
     var visited = seeds.select(col(seedCol).as("node")).where(col("node").isNotNull)
       .distinct().select(col("node"), lit(0).as("dist"))
@@ -283,8 +297,15 @@ object Graph {
     val e = graft.core.CacheRegistry.persist(
       edges.select(srcCol.as("src"), dstCol.as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct()
-        .repartition(col("src")),
+        // one exchange does both: hash-partitioning by src ALONE
+        // already clusters every (src, dst) duplicate into one
+        // partition, so the dedup aggregate runs on the repartitioned
+        // layout without its own exchange (the old distinct-then-
+        // repartition paid two full-|E| shuffles; callers feeding
+        // heavily duplicated edge lists shuffle the duplicates once —
+        // pre-dedup upstream if that matters)
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst"),
       MEMORY_AND_DISK)
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -1143,8 +1164,15 @@ object Graph {
     val e = graft.core.CacheRegistry.persist(
       edges.select(srcCol.as("src"), dstCol.as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct()
-        .repartition(col("src")),
+        // one exchange does both: hash-partitioning by src ALONE
+        // already clusters every (src, dst) duplicate into one
+        // partition, so the dedup aggregate runs on the repartitioned
+        // layout without its own exchange (the old distinct-then-
+        // repartition paid two full-|E| shuffles; callers feeding
+        // heavily duplicated edge lists shuffle the duplicates once —
+        // pre-dedup upstream if that matters)
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst"),
       MEMORY_AND_DISK)
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -1239,8 +1267,15 @@ object Graph {
     val e = graft.core.CacheRegistry.persist(
       edges.select(srcCol.as("src"), dstCol.as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct()
-        .repartition(col("src")),
+        // one exchange does both: hash-partitioning by src ALONE
+        // already clusters every (src, dst) duplicate into one
+        // partition, so the dedup aggregate runs on the repartitioned
+        // layout without its own exchange (the old distinct-then-
+        // repartition paid two full-|E| shuffles; callers feeding
+        // heavily duplicated edge lists shuffle the duplicates once —
+        // pre-dedup upstream if that matters)
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst"),
       MEMORY_AND_DISK)
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

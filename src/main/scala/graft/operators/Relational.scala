@@ -634,6 +634,35 @@ object Relational {
     val projected = sums.zip(tmp).foldLeft(df) { case (acc, ((c, _), t)) =>
       acc.withColumn(t, c.cast("long"))
     }
+    // SIZE-ADAPTIVE layout (derive partitioning from input size, never
+    // a constant): below `spark.graft.prefixSum.localBytes` (plan-stats
+    // estimate — compile-time, no job) the global sort runs in ONE
+    // round-robin partition and the running totals are a plain window
+    // over that partition (SinglePartition already satisfies the empty
+    // partitionSpec's AllTuples requirement, so NO extra exchange) —
+    // one shuffle, zero driver collects, zero persists, and the whole
+    // pass stays in Tungsten. The range-partitioned + per-partition-
+    // offset path below remains the at-scale shape; an unknown-size
+    // plan estimates huge and lands there (safe). coalesce(sum, 0)
+    // pins the all-null-prefix row to the documented nulls-add-zero
+    // contract (a window sum alone would leave it NULL).
+    // default 128 MB of ESTIMATED bytes (Catalyst stats over-estimate
+    // 3-5x vs on-wire) — the broadcast-threshold argument: a one-task
+    // sort of tens of real MB beats a range-sampled distributed sort at
+    // ANY cluster size, and anything that matters at scale estimates
+    // far past this.
+    val localBytes = spark.conf.getOption("spark.graft.prefixSum.localBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    if (projected.queryExecution.optimizedPlan.stats.sizeInBytes <= localBytes) {
+      val one = projected.repartition(1).sortWithinPartitions(orderBy: _*)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val keepCols = one.columns.filterNot(tmp.contains).map(col)
+      return one.select(keepCols ++ sums.zip(tmp).map { case ((_, n), t) =>
+        coalesce(sum(col(t)).over(w), lit(0L)).as(n)
+      }: _*)
+    }
     val sorted = graft.core.CacheRegistry.persist(
       projected.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -386,6 +386,28 @@ object Similarity {
     * plain hash join on the cell key, and the kernel's two windows
     * share one exchange — no all-pairs stage anywhere.
     */
+  /** The IVF index [[knnShapleyAnn]] builds internally (same validity
+    * filter, same build), exposed so callers running SEVERAL probe
+    * widths over one train corpus — the equivalence-pin + working-probe
+    * gate shape — share one sample/train/assign pass via `sharedIndex`
+    * instead of paying it once per width. Requires a non-empty filtered
+    * train side (buildIvfIndex throws otherwise, which is the signal to
+    * fall back to the no-index path).
+    */
+  def shapleyAnnIndex(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      nlist: Int = 16,
+      seed: Long = 42L): IvfIndex = {
+    val dim = graft.core.VecDim.probe(train, vecCol, "knnShapleyAnn")
+    buildIvfIndex(
+      train.where(size(col(vecCol)) === dim &&
+        col(idCol).isNotNull && col(labelCol).isNotNull),
+      idCol, vecCol, nlist, seed = seed)
+  }
+
   def knnShapleyAnn(
       train: DataFrame,
       test: DataFrame,
@@ -396,7 +418,8 @@ object Similarity {
       topN: Int = 50,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      sharedIndex: Option[IvfIndex] = None): DataFrame = {
     require(k >= 1, s"knnShapleyAnn: k must be >= 1, got $k")
     require(nprobe >= 1 && nprobe <= nlist,
       s"knnShapleyAnn: nprobe must be in [1, nlist], got $nprobe")
@@ -414,8 +437,12 @@ object Similarity {
     // (its cross product is empty) — match it rather than failing
     // inside buildIvfIndex with a generic centroid-training error; the
     // twins are documented exactly equivalent at nprobe = nlist,
-    // including this edge. (bounded: isEmpty is a limit(1) probe)
-    if (trainValid.isEmpty) {
+    // including this edge. (bounded: isEmpty is a limit(1) probe.
+    // Skipped when the caller hands a prebuilt index — building one
+    // certifies the train side was non-empty, and the probe plus a
+    // duplicate sample/train/assign pass is exactly what sharedIndex
+    // exists to avoid when several probe widths run over one corpus.)
+    if (sharedIndex.isEmpty && trainValid.isEmpty) {
       val te0 = broadcast(fixed(test, "_qid", "_qv", "_qy"))
       return shapleyKernel(
         fixed(trainValid, "_tid", "_tv", "_ty").crossJoin(te0)
@@ -423,7 +450,8 @@ object Similarity {
             lit(0L).as("_d2"), lit(0L).as("_m")),
         k, topN)
     }
-    val index = buildIvfIndex(trainValid, idCol, vecCol, nlist, seed = seed)
+    val index = sharedIndex.getOrElse(
+      buildIvfIndex(trainValid, idCol, vecCol, nlist, seed = seed))
     // nprobe best cells per TEST point — the ivfKnnGraph probe shape
     // (hash-agg with a sortable struct, never a window)
     val cells = test

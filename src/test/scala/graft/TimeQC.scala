@@ -23,6 +23,24 @@ object TimeQC {
     }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Deterministic per-query work profile: jobs/stages/tasks counted
+    // off the listener bus — box-noise-free signals of scheduling
+    // overhead (seconds alone swing ±30% between invocations here).
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks.toLong); ()
+        }
+      })
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("PROBE_RUNS", "4").toInt
     // JVM/codegen warmup mirroring Bench
@@ -31,7 +49,12 @@ object TimeQC {
       catch { case _: Throwable => () }
     }
     for (q <- args) {
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).map { i =>
+        if (i == runs) { // profile the LAST run only (post-warmup)
+          org.apache.spark.GraftListenerBridge.waitUntilEmpty(
+            spark.sparkContext, 10000L)
+          jobs.set(0); stages.set(0); tasks.set(0)
+        }
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, d).count()
         graft.core.CacheRegistry.unpersistAll(blocking = true)
@@ -39,9 +62,12 @@ object TimeQC {
         val dt = (System.nanoTime() - t0) / 1e9
         (dt, n)
       }
+      org.apache.spark.GraftListenerBridge.waitUntilEmpty(
+        spark.sparkContext, 10000L)
       val ts = times.map(_._1)
       val med = ts.drop(1).sorted.apply((runs - 1) / 2)
-      println(f"$q%-24s med=${med}%.3f runs=${ts.map(t => f"$t%.2f").mkString(",")} rows=${times.head._2}")
+      println(f"$q%-24s med=${med}%.3f jobs=${jobs.get} stages=${stages.get} " +
+        f"tasks=${tasks.get} runs=${ts.map(t => f"$t%.2f").mkString(",")} rows=${times.head._2}")
     }
     spark.stop()
   }
