@@ -2690,11 +2690,16 @@ object SparkEntry {
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       val plantedSrc = old.where(col("doc_id") % 50 === 3)
         .where(size(graft.functions.TextFunctions.words(col("text"))) >= 20)
+        .localCheckpoint(true) // feeds clones AND the shingle audit leg
       val clones = plantedSrc.select(
         (col("doc_id") + 200000L).as("doc_id"),
         concat(lit("zq zq "), col("text")).as("text"))
+      // four consumers (index build, fingerprints, n_new, the kept
+      // anti-join) would each re-run the union + the regex-tokenizing
+      // clone filter — checkpoint the assembled batch once
       val newBatch = docs.where(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text")).unionAll(copies).unionAll(clones)
+        .localCheckpoint(true)
       // index and kept each feed multiple gate legs — persist so the
       // 64-hash/16-band index build and the anti-join pipeline run
       // once, not once per leg (the edgeIncidentLabels lesson).
@@ -2750,6 +2755,7 @@ object SparkEntry {
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       val newBatch = docs.where(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text")).unionAll(copies)
+        .localCheckpoint(true) // shared by index/fingerprint/readout legs
       val index = graft.core.CacheRegistry.persist(
         Dedup.buildDedupIndex(old, "doc_id", "text", 2, 64, 16),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3516,7 +3522,18 @@ object SparkEntry {
     // exact decimal moments, closed-form 2×2 inverse, one fixed
     // per-row IEEE quadratic.
     "q_mahalanobis" -> ((s, d) =>
-      Analytics.mahalanobisOutliers(t(s, d, "lineitem"),
+      Analytics.mahalanobisOutliers(
+        // narrow-projection repartition: the exact decimal scatter is
+        // per-row-heavy, the single-row-group scan is ONE task, and
+        // this operator reads its input TWICE (moment pass + scoring
+        // pass) — both consumers reuse the one 4-column exchange, so
+        // the shuffle pays for itself (measured 2.4s -> 1.5s; the same
+        // repartition REGRESSED the single-pass stats queries and was
+        // reverted there). Results are partitioning-independent.
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_quantity"))
+          .repartition(s.sparkContext.defaultParallelism),
         col("l_orderkey") * 10L + col("l_linenumber"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
         col("l_quantity").cast("long"), k = 10)),

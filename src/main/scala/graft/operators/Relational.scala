@@ -636,51 +636,49 @@ object Relational {
     }
     // SIZE-ADAPTIVE layout (derive partitioning from input size, never
     // a constant): below `spark.graft.prefixSum.localBytes` (plan-stats
-    // estimate — compile-time, no job) the global sort runs in ONE
-    // round-robin partition and the running totals are a plain window
-    // over that partition (SinglePartition already satisfies the empty
-    // partitionSpec's AllTuples requirement, so NO extra exchange) —
-    // one shuffle, zero driver collects, zero persists, and the whole
-    // pass stays in Tungsten. The range-partitioned + per-partition-
-    // offset path below remains the at-scale shape; an unknown-size
-    // plan estimates huge and lands there (safe). coalesce(sum, 0)
-    // pins the all-null-prefix row to the documented nulls-add-zero
-    // contract (a window sum alone would leave it NULL).
-    // default 128 MB of ESTIMATED bytes (Catalyst stats over-estimate
-    // 3-5x vs on-wire) — the broadcast-threshold argument: a one-task
-    // sort of tens of real MB beats a range-sampled distributed sort at
-    // ANY cluster size, and anything that matters at scale estimates
-    // far past this.
+    // estimate — compile-time, no job; default 128 MB of ESTIMATED
+    // bytes, and Catalyst stats over-estimate 3-5x vs on-wire) the
+    // global sort runs in ONE round-robin partition — no range-sampling
+    // job, no per-partition totals collect, no persist; the offsets are
+    // trivially zero and the same narrow pass below emits the running
+    // totals. The broadcast-threshold argument: a one-task sort of tens
+    // of real MB beats a range-sampled distributed sort at ANY cluster
+    // size, and anything that matters at scale estimates far past the
+    // threshold and lands on the range-partitioned path unchanged. (A
+    // global-window formulation would be fewer moving parts still, but
+    // the repo-wide plan lint rightly rejects empty-partition Windows —
+    // this form keeps the lint's guarantee intact.)
     val localBytes = spark.conf.getOption("spark.graft.prefixSum.localBytes")
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    if (projected.queryExecution.optimizedPlan.stats.sizeInBytes <= localBytes) {
-      val one = projected.repartition(1).sortWithinPartitions(orderBy: _*)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy: _*)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val keepCols = one.columns.filterNot(tmp.contains).map(col)
-      return one.select(keepCols ++ sums.zip(tmp).map { case ((_, n), t) =>
-        coalesce(sum(col(t)).over(w), lit(0L)).as(n)
-      }: _*)
-    }
+    val local =
+      projected.queryExecution.optimizedPlan.stats.sizeInBytes <= localBytes
+    // both paths persist the sorted frame: callers fan the cum frame
+    // into several readouts, and the RDD bridge below does not
+    // canonicalize, so without the cache every consumer would re-run
+    // the sort + scan pass (measured: job count doubled on the gains/
+    // lorenz shapes when the local path skipped the persist)
     val sorted = graft.core.CacheRegistry.persist(
-      projected.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*),
+      if (local) projected.repartition(1).sortWithinPartitions(orderBy: _*)
+      else projected.repartitionByRange(orderBy: _*)
+        .sortWithinPartitions(orderBy: _*),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded driver state: |partitions| × |sums| longs
-    val totals = sorted
-      .groupBy(spark_partition_id().as("_pid"))
-      .agg(coalesce(sum(col(tmp.head)), lit(0L)).as(s"_t0"),
-        tmp.tail.zipWithIndex.map { case (t, i) =>
-          coalesce(sum(col(t)), lit(0L)).as(s"_t${i + 1}")
-        }: _*)
-      // bounded: |partitions| x |sums| longs
-      .collect().map(r => r.getInt(0) -> tmp.indices.map(i => r.getLong(i + 1)).toArray)
-      .toMap
-    val nPart = sorted.rdd.getNumPartitions
     val zero = Array.fill(tmp.size)(0L)
-    val offsets = (0 until nPart).scanLeft(zero) { (acc, p) =>
-      val t = totals.getOrElse(p, zero)
-      Array.tabulate(tmp.size)(i => acc(i) + t(i))
+    val offsets: IndexedSeq[Array[Long]] = if (local) IndexedSeq(zero) else {
+      // bounded driver state: |partitions| × |sums| longs
+      val totals = sorted
+        .groupBy(spark_partition_id().as("_pid"))
+        .agg(coalesce(sum(col(tmp.head)), lit(0L)).as(s"_t0"),
+          tmp.tail.zipWithIndex.map { case (t, i) =>
+            coalesce(sum(col(t)), lit(0L)).as(s"_t${i + 1}")
+          }: _*)
+        // bounded: |partitions| x |sums| longs
+        .collect().map(r => r.getInt(0) -> tmp.indices.map(i => r.getLong(i + 1)).toArray)
+        .toMap
+      val nPart = sorted.rdd.getNumPartitions
+      (0 until nPart).scanLeft(zero) { (acc, p) =>
+        val t = totals.getOrElse(p, zero)
+        Array.tabulate(tmp.size)(i => acc(i) + t(i))
+      }
     }
     val psIdx = tmp.map(sorted.schema.fieldIndex).toArray
     val keep = sorted.schema.fields.indices.filterNot(psIdx.contains).toArray
