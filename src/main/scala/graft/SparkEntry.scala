@@ -50,7 +50,13 @@ object SparkEntry {
     // heavy expressions use every core. At real scale the scan already
     // yields thousands of splits and this would be skipped.
     else if (name == "documents" || name == "embeddings")
-      df.repartition(s.sparkContext.defaultParallelism)
+      // hash-repartition on the dense unique id instead of round-robin:
+      // same even 32-way spread, but skips round-robin's
+      // sort-before-repartition (a local sort of the full text/vector
+      // payload on the single scan task — pure overhead here since
+      // every downstream result is partitioning-independent)
+      df.repartition(s.sparkContext.defaultParallelism,
+        col(if (name == "documents") "doc_id" else "vec_id"))
     // MEASURED AND REJECTED (r16): repartitioning the single-row-group
     // fact tables (lineitem/orders/events) the same way regressed the
     // ~100 scan-and-aggregate queries by 2-3x (the round-robin exchange
