@@ -1005,7 +1005,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
       // knownCount from the RAW parquet read — a metadata-only count
       // (no scan, no shuffle); counting `e` would replan t()'s
-      // round-robin repartition and run a real job at query-build time
+      // hash repartition and run a real job at query-build time
       // (ADVICE round 2 / round-4 review).
       // exact feeds 3 readout legs and found 2 — both tiny id-pair sets
       // checkpoint so the n²/2 sweep and the LSH pipeline run once

@@ -3293,6 +3293,16 @@ object Analytics {
     * window. Emitted as signed xi_ppm (small negatives are normal at
     * independence); null when y is constant. Output one row:
     * (n, sum_dr, denom2, xi_ppm).
+    *
+    * EAGER-EVALUATION CONTRACT: unlike most operators here, this one
+    * runs bounded distributed jobs AT DATAFRAME-BUILD TIME (the
+    * range-sampled sort + the |partitions|-triple Σ|Δr| collect) and
+    * freezes `sum_dr` into the returned plan as a literal. The frame
+    * it returns is a cheap readout of that already-computed scalar:
+    * re-executing it after the input changes returns the STALE total,
+    * and even explain()/plan-dump triggers the real jobs. Callers
+    * wanting the usual lazy-plan semantics must re-invoke the
+    * operator, not re-execute its result.
     */
   def chatterjeeXi(df: DataFrame, idCol: Column, xCol: Column,
       yCol: Column): DataFrame = {

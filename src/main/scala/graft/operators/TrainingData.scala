@@ -991,17 +991,27 @@ object TrainingData {
     require(window >= 2, s"chunkDedupSummary: window must be >= 2, got $window")
     require(divisor >= 2, s"chunkDedupSummary: divisor must be >= 2, got $divisor")
     val bpos = filter(
-      sequence(lit(window), length(textCol)),
-      p => conv(substring(md5(substring(textCol, p - (window - 1), lit(window))), 1, 8),
+      sequence(lit(window), length(col("_t"))),
+      p => conv(substring(md5(substring(col("_t"), p - (window - 1), lit(window))), 1, 8),
         16, 10).cast("long") % divisor === 0)
-    val bounds = concat(array(lit(0)), bpos, array(length(textCol)))
+    // STAGE the boundary array as its own projection: higher-order
+    // functions are interpreted (CodegenFallback), so an expression
+    // tree referenced INSIDE a lambda is re-evaluated per element —
+    // inlining `bounds` under `transform` re-ran the O(len) md5
+    // boundary scan for every element_at() of every chunk
+    // (O(len·chunks) md5 calls per row, measured 4.0 s → the staged
+    // form's sub-second). Multiply-referenced + non-cheap keeps
+    // CollapseProject from re-inlining it (the routeRecords rule).
     val chunks = transform(
-      sequence(lit(0), size(bounds) - 2),
-      i => md5(substring(textCol,
-        element_at(bounds, i + 1) + 1,
-        element_at(bounds, i + 2) - element_at(bounds, i + 1))))
+      sequence(lit(0), size(col("_bounds")) - 2),
+      i => md5(substring(col("_t"),
+        element_at(col("_bounds"), i + 1) + 1,
+        element_at(col("_bounds"), i + 2) - element_at(col("_bounds"), i + 1))))
     val pairs = df.where(length(textCol) >= window)
-      .select(idCol.as("_id"), explode(chunks).as("_h"))
+      .select(idCol.as("_id"), textCol.as("_t"))
+      .withColumn("_bounds",
+        concat(array(lit(0)), bpos, array(length(col("_t")))))
+      .select(col("_id"), explode(chunks).as("_h"))
       .localCheckpoint(true)
     val perHash = pairs.groupBy(col("_h"))
       .agg(count(lit(1)).as("_n"), count_distinct(col("_id")).as("_nd"))

@@ -42,7 +42,9 @@ object TimeQC {
         }
       })
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("PROBE_RUNS", "4").toInt
+    // >= 2: run 1 is warmup-only (dropped below); PROBE_RUNS=1 would
+    // otherwise make ts.drop(1) empty and the median .apply throw
+    val runs = math.max(2, sys.env.getOrElse("PROBE_RUNS", "4").toInt)
     // JVM/codegen warmup mirroring Bench
     Seq("q_agg", "q_words_count", "q_sim_brute").foreach { q =>
       try SparkEntry.queries(q)(spark, d).count()
