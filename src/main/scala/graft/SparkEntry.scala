@@ -2209,8 +2209,13 @@ object SparkEntry {
         t(s, dd, "lineitem"), col("l_orderkey"), col("l_partkey"))
       val w = (pmod(col("item_a") + col("item_b"), lit(97)) + 1).as("w")
       val fwd = pairs.select(col("item_a").as("u"), col("item_b").as("v"), w)
+      // checkpoint the directed edge list ONCE: both consumers below
+      // (the relax-loop's edge frame and the source set) otherwise
+      // re-execute the whole cooccurrence self-join — no ReusedExchange
+      // fires across separate actions (the r16 shared-leg discipline)
       val dir = fwd.unionAll(
         pairs.select(col("item_b").as("u"), col("item_a").as("v"), w))
+        .localCheckpoint(true)
       val srcs = dir.select(col("u").as("n")).distinct().where(col("n") % 50 === 0)
       graft.operators.Graph.shortestPaths(
         dir, col("u"), col("v"), col("w"), srcs, col("n"), rounds = 4)

@@ -402,6 +402,14 @@ object Graph {
     var n = e.count()
     var round = 0
     var converged = false
+    // (r17 measured-and-rejected, twice: (a) batching 2 peel rounds
+    // per checkpoint+count cut only 4 of 56 jobs and regressed seconds
+    // ~35% — the lazy intermediate edge frame is consumed 3× by the
+    // next round's plan (degree union twice + the join left side) and
+    // the recompute outweighs the saved round-trips; (b) anti-joining
+    // the tiny below-k set instead of semi-joining keep was seconds-
+    // flat-to-worse at identical job counts. The 1-round-per-action
+    // peel is this operator's scheduling floor.)
     while (round < maxRounds && !converged && n > 0) {
       val deg = e.select(col("_u").as("_n")).unionAll(e.select(col("_v").as("_n")))
         .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
@@ -570,21 +578,64 @@ object Graph {
       sourceCol: Column,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"shortestPaths: rounds must be >= 1, got $rounds")
+    // hash-partition by the join key BEFORE the eager checkpoint: the
+    // LogicalRDD a localCheckpoint leaves behind preserves the
+    // physical output partitioning, so every round's relax join reads
+    // the edge side with NO exchange instead of re-shuffling |E| rows
+    // per round.
     val e = edges
       .select(srcCol.cast("long").as("_s"), dstCol.cast("long").as("_d"),
         weightCol.cast("long").as("_w"))
       .where(col("_s").isNotNull && col("_d").isNotNull && col("_w") >= 0)
+      .repartition(col("_s"))
       .localCheckpoint(true)
     var dist = sources.select(sourceCol.cast("long").as("node"))
       .where(col("node").isNotNull).distinct()
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val relaxed = e.join(dist, e("_s") === dist("node"))
-        .select(col("_d").as("node"), (col("dist") + col("_w")).as("dist"))
-      dist = dist.unionAll(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+    // TWO relaxations per materializing action: under AQE every query
+    // stage is a job submission, so the per-round checkpoint made the
+    // scheduling floor (not the data) the cost at small frontiers. The
+    // intermediate round's min-agg stays LAZY inside the fused plan —
+    // its two consumers (the next relax join's probe side and the
+    // union branch of the next min-agg) canonicalize to the same
+    // exchange, so the subtree runs once (ReusedExchange; at small
+    // sizes AQE may instead broadcast the join probe, re-running only
+    // the cheap |V|-row aggregate, never the |E|-row join below it).
+    // min is associative/idempotent, so relax∘relax with a single
+    // trailing checkpoint computes the identical pinned-horizon
+    // distances — the min over candidate paths of ≤ r edges does not
+    // care where the lineage was cut.
+    // TWO relaxations per materializing action: under AQE every query
+    // stage is a job submission, so a checkpoint per round made the
+    // scheduling floor (not the data) the dominant cost at small
+    // frontiers. The intermediate round's min-agg stays LAZY inside
+    // the fused plan; the SHUFFLE_HASH hint keeps BOTH of its
+    // consumers (the next relax join's probe side and the next
+    // min-agg's union branch) on the SAME canonical shuffle exchange,
+    // so the subtree executes once (ReusedExchange) — an AQE broadcast
+    // conversion would split them into broadcast + shuffle exchanges
+    // that share nothing and re-run the |E|-row relax join (measured:
+    // 4.0 s -> 6.3 s without the hint). min is associative and
+    // idempotent, so relax∘relax with one trailing checkpoint computes
+    // the identical pinned-horizon distances.
+    var done = 0
+    while (done < rounds) {
+      val step = math.min(2, rounds - done)
+      var cur = dist
+      var i = 0
+      while (i < step) {
+        // the checkpointed round-boundary frame is cheap to broadcast;
+        // only the LAZY intermediate needs the shuffle pin for reuse
+        val probe = if (i == 0) cur else cur.hint("shuffle_hash")
+        val relaxed = e.join(probe, e("_s") === probe("node"))
+          .select(col("_d").as("node"), (col("dist") + col("_w")).as("dist"))
+        cur = cur.unionAll(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        i += 1
+      }
+      dist = cur.localCheckpoint(true)
+      done += step
     }
     dist
   }
@@ -1311,6 +1362,16 @@ object Graph {
       .where(col("seed") < col("node"))
       .select(col("seed").as("s"), col("node").as("t"),
         col("dist").as("d_st"), col("cnt").as("c_st"))
+    // (r17 measured-and-rejected: folding the accumulation into ONE
+    // groupBy(node) building a seed→(dist,cnt) map + a broadcast |S|²
+    // pair array, with the pair sum as a higher-order filter/aggregate,
+    // removed the (t,v) shuffle join from the plan (34→32 jobs) but
+    // regressed seconds 40% — collect_list/map_from_entries plan as
+    // ObjectHashAggregate, which falls back to SORT-based aggregation
+    // past 128 distinct keys per partition, so the |S|·|V| BFS table
+    // paid a sort that costs more than the codegen joins it replaced.
+    // The triple join below is bounded by |S|²/2·|V| intermediate rows
+    // (|S| is a pinned small constant), all hash-join codegen.)
     val a = bfs.select(col("seed").as("s"), col("node").as("v"),
       col("dist").as("d_sv"), col("cnt").as("c_sv"))
     val b = bfs.select(col("seed").as("t"), col("node").as("v"),
