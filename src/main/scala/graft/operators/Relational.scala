@@ -624,12 +624,40 @@ object Relational {
     * counts over the same order — sorting twice would double the
     * dominant cost).
     */
+  /** The local/distributed routing gate of [[prefixSums]], split out so
+    * the path-equality spec can pin the decision itself. Local iff the
+    * plan-stats size estimate is under `spark.graft.prefixSum.localBytes`
+    * AND the optimized plan contains no Generate: in size-only
+    * estimation Filter/Join/Aggregate never under-state (filters pass
+    * the child size through, joins multiply), but Generate (explode)
+    * scales only by ROW WIDTH — blind to multiplicity — so it is the
+    * one node class that systematically under-estimates, and a
+    * mis-estimated exploded frame routed local would serialize onto a
+    * single-task sort (the silent scale cliff the r16 verdict flagged).
+    * Compile-time only: the guard costs zero jobs.
+    */
+  private[graft] def prefixSumRoutesLocal(projected: DataFrame): Boolean = {
+    val confKey = "spark.graft.prefixSum.localBytes"
+    val localBytes = projected.sparkSession.conf.getOption(confKey)
+      .map { v =>
+        try v.trim.toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"$confKey must be a plain long byte count, got '$v'", e)
+        }
+      }
+      .getOrElse(128L * 1024 * 1024)
+    val plan = projected.queryExecution.optimizedPlan
+    val hasGenerate = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate])
+    !hasGenerate && plan.stats.sizeInBytes <= localBytes
+  }
+
   def prefixSums(df: DataFrame, orderBy: Seq[Column],
       sums: Seq[(Column, String)]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(orderBy.nonEmpty, "prefixSums: orderBy must be non-empty")
     require(sums.nonEmpty, "prefixSums: need at least one sum column")
-    val spark = df.sparkSession
     val tmp = sums.indices.map(i => s"_ps$i")
     val projected = sums.zip(tmp).foldLeft(df) { case (acc, ((c, _), t)) =>
       acc.withColumn(t, c.cast("long"))
@@ -647,11 +675,10 @@ object Relational {
     // threshold and lands on the range-partitioned path unchanged. (A
     // global-window formulation would be fewer moving parts still, but
     // the repo-wide plan lint rightly rejects empty-partition Windows —
-    // this form keeps the lint's guarantee intact.)
-    val localBytes = spark.conf.getOption("spark.graft.prefixSum.localBytes")
-      .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    val local =
-      projected.queryExecution.optimizedPlan.stats.sizeInBytes <= localBytes
+    // this form keeps the lint's guarantee intact.) The gate lives in
+    // [[prefixSumRoutesLocal]] (with its Generate mis-estimate guard)
+    // so the path-equality spec can pin the routing decision directly.
+    val local = prefixSumRoutesLocal(projected)
     // both paths persist the sorted frame: callers fan the cum frame
     // into several readouts, and the RDD bridge below does not
     // canonicalize, so without the cache every consumer would re-run
@@ -682,22 +709,42 @@ object Relational {
     }
     val psIdx = tmp.map(sorted.schema.fieldIndex).toArray
     val keep = sorted.schema.fields.indices.filterNot(psIdx.contains).toArray
+    val keepTypes = keep.map(sorted.schema.fields(_).dataType)
     val schema = StructType(
       keep.map(sorted.schema.fields) ++
         sums.map { case (_, n) => StructField(n, LongType, nullable = false) })
-    val withCum = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val nKeep = keep.length
+    // Narrow emit pass in Spark's INTERNAL row format: the previous
+    // `sorted.rdd` / `createDataFrame(Row)` round trip boxed every
+    // field of every row twice (InternalRow→Row out, Row→InternalRow
+    // back through the encoder) and allocated a Seq per row — on the
+    // primitive behind ~50 call sites, the largest interpreted/boxing
+    // surface left in the hot path. The UnsafeProjection copies each
+    // field into its own buffer at projection time (reused between
+    // rows, per the scan-row contract), so input-row reuse by the
+    // cached scan is safe.
+    org.apache.spark.sql.GraftBridge.mapPartitionsInternal(sorted, schema) { (pid, it) =>
       val acc = offsets(pid).clone()
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(schema.fields.map(_.dataType))
+      val buf = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(schema.length)
       it.map { r =>
         var i = 0
         while (i < psIdx.length) {
           acc(i) += (if (r.isNullAt(psIdx(i))) 0L else r.getLong(psIdx(i)))
           i += 1
         }
-        // acc mutates across rows — materialize a copy into each Row
-        org.apache.spark.sql.Row.fromSeq(keep.map(r.get).toSeq ++ acc.toList)
+        var j = 0
+        while (j < nKeep) {
+          buf.update(j, if (r.isNullAt(keep(j))) null else r.get(keep(j), keepTypes(j)))
+          j += 1
+        }
+        var m = 0
+        while (m < acc.length) { buf.update(nKeep + m, acc(m)); m += 1 }
+        proj(buf)
       }
     }
-    spark.createDataFrame(withCum, schema)
   }
 
   /** CDC MERGE: apply a changelog of keyed upserts/deletes onto a base
