@@ -111,6 +111,46 @@ object Graph {
     prLoop(edges, srcCol, dstCol, Some(seeds.select(col(seedCol).as("node"))),
       None, iters, scale, dampNum, dampDen, checkpointIters)
 
+  /** Establish the iterative loops' src-hash edge layout from a
+    * `(src, dst)` projection. Default: ONE exchange — hash-partition
+    * by src, then dedup on the layout (hash-partitioning by src alone
+    * already clusters every (src, dst) duplicate into one partition,
+    * so the dedup aggregate, the degree aggregate, and the contrib
+    * self-join all plan with no further shuffle; the old
+    * distinct-then-repartition paid two full-|E| exchanges).
+    *
+    * Skew insurance (`spark.graft.graph.prededupEdges=true`, default
+    * off): for RAW heavily-duplicated edge lists at scale, the
+    * one-exchange form ships a hub source's entire duplicated
+    * adjacency into one partition with no map-side reduction. The
+    * guarded form dedups FIRST — partial aggregation shrinks
+    * duplication before any network hop and the dedup exchange
+    * spreads over the full (src, dst) key space — then repartitions
+    * by src: two exchanges of the already-deduped list. Identical
+    * output either way (dedup is set semantics); flip the conf when
+    * the input's duplication ratio, not the exchange count, is the
+    * scale risk. [[GraphEdgeSkewSpec]] pins both properties.
+    */
+  private def srcEdgeLayout(edges: DataFrame): DataFrame =
+    if (prededupEdges(edges)) edges.dropDuplicates("src", "dst").repartition(col("src"))
+    else edges.repartition(col("src")).dropDuplicates("src", "dst")
+
+  /** Weighted sibling of [[srcEdgeLayout]] over `(src, dst, w)`:
+    * duplicate edges merge by summing weight; same conf, same
+    * identical-output contract (sum is order-free).
+    */
+  private def srcWeightLayout(edges: DataFrame): DataFrame =
+    if (prededupEdges(edges))
+      edges.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .repartition(col("src"))
+    else
+      edges.repartition(col("src"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+
+  private def prededupEdges(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.graph.prededupEdges")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
   private def prLoop(
       edges: DataFrame,
       srcCol: String,
@@ -140,20 +180,16 @@ object Graph {
     val e = graft.core.CacheRegistry.persist(
       weightCol match {
         case None =>
-          edges
+          srcEdgeLayout(edges
             .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-            .where(col("src").isNotNull && col("dst").isNotNull)
-            .repartition(col("src"))
-            .dropDuplicates("src", "dst")
+            .where(col("src").isNotNull && col("dst").isNotNull))
         case Some(wc) =>
           // duplicate edges merge by summing weight; non-positive
           // weights carry no endorsement and are dropped
-          edges
+          srcWeightLayout(edges
             .select(col(srcCol).as("src"), col(dstCol).as("dst"),
               col(wc).cast("long").as("w"))
-            .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
-            .repartition(col("src"))
-            .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+            .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0))
       },
       MEMORY_AND_DISK)
     // (src, dst, deg|wsum) is loop-invariant: compute the out-degree /
@@ -239,15 +275,10 @@ object Graph {
     val e = graft.core.CacheRegistry.persist(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        // one exchange does both: hash-partitioning by src ALONE
-        // already clusters every (src, dst) duplicate into one
-        // partition, so the dedup aggregate runs on the repartitioned
-        // layout without its own exchange (the old distinct-then-
-        // repartition paid two full-|E| shuffles; callers feeding
-        // heavily duplicated edge lists shuffle the duplicates once —
-        // pre-dedup upstream if that matters)
-        .repartition(col("src"))
-        .dropDuplicates("src", "dst"),
+        // srcEdgeLayout: one exchange establishes the loop layout
+        // (dedup clusters on the src hash); the conf-gated prededup
+        // form is the skew insurance for raw duplicated edge lists
+        .transform(srcEdgeLayout),
       MEMORY_AND_DISK)
     var visited = seeds.select(col(seedCol).as("node")).where(col("node").isNotNull)
       .distinct().select(col("node"), lit(0).as("dist"))
@@ -297,15 +328,10 @@ object Graph {
     val e = graft.core.CacheRegistry.persist(
       edges.select(srcCol.as("src"), dstCol.as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        // one exchange does both: hash-partitioning by src ALONE
-        // already clusters every (src, dst) duplicate into one
-        // partition, so the dedup aggregate runs on the repartitioned
-        // layout without its own exchange (the old distinct-then-
-        // repartition paid two full-|E| shuffles; callers feeding
-        // heavily duplicated edge lists shuffle the duplicates once —
-        // pre-dedup upstream if that matters)
-        .repartition(col("src"))
-        .dropDuplicates("src", "dst"),
+        // srcEdgeLayout: one exchange establishes the loop layout
+        // (dedup clusters on the src hash); the conf-gated prededup
+        // form is the skew insurance for raw duplicated edge lists
+        .transform(srcEdgeLayout),
       MEMORY_AND_DISK)
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -1215,15 +1241,10 @@ object Graph {
     val e = graft.core.CacheRegistry.persist(
       edges.select(srcCol.as("src"), dstCol.as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        // one exchange does both: hash-partitioning by src ALONE
-        // already clusters every (src, dst) duplicate into one
-        // partition, so the dedup aggregate runs on the repartitioned
-        // layout without its own exchange (the old distinct-then-
-        // repartition paid two full-|E| shuffles; callers feeding
-        // heavily duplicated edge lists shuffle the duplicates once —
-        // pre-dedup upstream if that matters)
-        .repartition(col("src"))
-        .dropDuplicates("src", "dst"),
+        // srcEdgeLayout: one exchange establishes the loop layout
+        // (dedup clusters on the src hash); the conf-gated prededup
+        // form is the skew insurance for raw duplicated edge lists
+        .transform(srcEdgeLayout),
       MEMORY_AND_DISK)
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -1318,15 +1339,10 @@ object Graph {
     val e = graft.core.CacheRegistry.persist(
       edges.select(srcCol.as("src"), dstCol.as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        // one exchange does both: hash-partitioning by src ALONE
-        // already clusters every (src, dst) duplicate into one
-        // partition, so the dedup aggregate runs on the repartitioned
-        // layout without its own exchange (the old distinct-then-
-        // repartition paid two full-|E| shuffles; callers feeding
-        // heavily duplicated edge lists shuffle the duplicates once —
-        // pre-dedup upstream if that matters)
-        .repartition(col("src"))
-        .dropDuplicates("src", "dst"),
+        // srcEdgeLayout: one exchange establishes the loop layout
+        // (dedup clusters on the src hash); the conf-gated prededup
+        // form is the skew insurance for raw duplicated edge lists
+        .transform(srcEdgeLayout),
       MEMORY_AND_DISK)
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
