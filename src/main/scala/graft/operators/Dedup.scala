@@ -1138,11 +1138,23 @@ object Dedup {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val cands = Similarity.ivfKnnGraph(df, idCol, vecCol, k, nlist, nprobe,
-      mutual = false, seed = seed)
-    val dropped =
-      semanticPairsFromCandidates(df, idCol, vecCol, cands, threshold)
-        .select(col("id_b").as(idCol)).distinct()
+    // verify on the exact cosine ALREADY carried by the kNN graph's
+    // candidate rows ([[Similarity.ivfKnnRaw]] — the public graph only
+    // rounds it on output; the fused kernel is symmetric and
+    // index-order deterministic, so the raw value is bit-identical to
+    // the cosine(v_a, v_b) a join-back would recompute). The previous
+    // shape re-joined BOTH dense vectors onto every candidate pair
+    // (two |pairs|⋈|corpus| hash joins shuffling the embedding
+    // payload) purely to recompute that number. Verify-then-dedup
+    // keeps the id exchange carrying ids only (the r16 pair-generator
+    // discipline); the dropped set is the same
+    // {max(a,b) : cosine(a,b) >= threshold} either way.
+    val cands = Similarity.ivfKnnRaw(df, idCol, vecCol, k, nlist, nprobe,
+      seed = seed)
+    val dropped = cands
+      .where(col("cosine") >= threshold)
+      .select(greatest(col("query_id"), col("neighbor_id")).as(idCol))
+      .distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }
 

@@ -153,6 +153,41 @@ object Similarity {
       nprobe: Int = 4,
       mutual: Boolean = false,
       seed: Long = 42L): DataFrame = {
+    val topk = ivfKnnRaw(vectors, idCol, vecCol, k, nlist, nprobe, seed)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+    if (!mutual) topk
+    else {
+      val cp = topk.localCheckpoint(true)
+      val lo = cp.where(col("query_id") < col("neighbor_id"))
+        .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+          col("cosine"), col("rank").as("rank_a"))
+      val hi = cp.where(col("query_id") > col("neighbor_id"))
+        .select(col("neighbor_id").as("a"), col("query_id").as("b"),
+          col("rank").as("rank_b"))
+      lo.join(hi, Seq("a", "b"))
+        .select(col("a"), col("b"), col("cosine"), col("rank_a"), col("rank_b"))
+    }
+  }
+
+  /** [[ivfKnnGraph]]'s candidate core with the UNROUNDED cosine — the
+    * window already ranks on the exact value; the public graph only
+    * rounds it on the way out. Exposed so
+    * [[Dedup.semanticDedupViaKnnGraph]] can verify its threshold on
+    * the exact score ALREADY IN HAND instead of joining both dense
+    * vectors back onto every candidate pair to recompute it (the
+    * fused cosine kernel is index-order deterministic and symmetric,
+    * so the value is bit-identical whichever side was the query).
+    * Output: (query_id, neighbor_id, cosine (raw double), rank).
+    */
+  private[operators] def ivfKnnRaw(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      seed: Long): DataFrame = {
     require(k >= 1, s"ivfKnnGraph: k must be >= 1, got $k")
     require(nprobe >= 1 && nprobe <= nlist,
       s"ivfKnnGraph: nprobe must be in [1, nlist], got $nprobe")
@@ -174,25 +209,12 @@ object Similarity {
         explode(col("_best.cell")).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    val topk = index.assigned.join(cells, Seq("cell"))
+    index.assigned.join(cells, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
-    if (!mutual) topk
-    else {
-      val cp = topk.localCheckpoint(true)
-      val lo = cp.where(col("query_id") < col("neighbor_id"))
-        .select(col("query_id").as("a"), col("neighbor_id").as("b"),
-          col("cosine"), col("rank").as("rank_a"))
-      val hi = cp.where(col("query_id") > col("neighbor_id"))
-        .select(col("neighbor_id").as("a"), col("query_id").as("b"),
-          col("rank").as("rank_b"))
-      lo.join(hi, Seq("a", "b"))
-        .select(col("a"), col("b"), col("cosine"), col("rank_a"), col("rank_b"))
-    }
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** HARD-NEGATIVE MINING for contrastive training: per query, the
