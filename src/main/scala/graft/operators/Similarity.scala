@@ -379,11 +379,17 @@ object Similarity {
         .otherwise((col("_m") - col("_mNext")) *
           expr(s"(1000000L * least(CAST($k AS BIGINT), CAST(_j AS BIGINT)))" +
             s" div (CAST($k AS BIGINT) * CAST(_j AS BIGINT))")))
-    val suffix = Window.partitionBy(col("_qid"))
-      .orderBy(col("_j").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // suffix sum WITHOUT a second sort: Σ_{i≥j} c_i = Σ c − Σ_{i<j} c_i
+    // — the whole-partition total (unordered window, same exchange)
+    // minus the EXCLUSIVE prefix on the ascending order the ranking
+    // already established. Exact long arithmetic, so the regrouped
+    // form is bit-identical; the previous `orderBy(_j.desc)` window
+    // paid a full extra sort of the pair frame per kernel run.
+    val prefixExcl = byDist.rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col("_qid"))
     contrib
-      .withColumn("_s", sum(col("_c")).over(suffix))
+      .withColumn("_s", sum(col("_c")).over(whole) -
+        coalesce(sum(col("_c")).over(prefixExcl), lit(0L)))
       .groupBy(col("_tid"))
       .agg(count(lit(1)).as("n_test"), sum(col("_s")).as("value_ppm"))
       .select(col("_tid").as("vec_id"), col("n_test"), col("value_ppm"))
