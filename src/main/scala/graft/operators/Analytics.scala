@@ -2956,9 +2956,16 @@ object Analytics {
     */
   private def riskFrame(df: DataFrame, durationCol: Column,
       eventCol: Column): DataFrame = {
-    val base = df.select(durationCol.cast("long").as("_t"),
-        eventCol.cast("long").as("_e"))
-      .where(col("_t").isNotNull && col("_e").isNotNull)
+    // persist the narrow (t, e) projection: BOTH consumers below (the
+    // per-duration aggregate and the subject count) otherwise re-run
+    // the caller's whole subject-derivation pipeline — no
+    // ReusedExchange fires across separate aggregates (the r16
+    // shared-leg rule); two longs per subject, bounded by |subjects|
+    val base = graft.core.CacheRegistry.persist(
+      df.select(durationCol.cast("long").as("_t"),
+          eventCol.cast("long").as("_e"))
+        .where(col("_t").isNotNull && col("_e").isNotNull),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = base.groupBy(col("_t"))
       .agg(sum(col("_e")).as("_d"), sum(lit(1L) - col("_e")).as("_c"))
     val n = base.agg(count(lit(1)).as("_n"))
@@ -2985,12 +2992,18 @@ object Analytics {
   def rmst(df: DataFrame, durationCol: Column, eventCol: Column,
       tau: Long): DataFrame = {
     require(tau > 0, s"rmst: tau must be > 0, got $tau")
+    // persist the narrow subject projection: the KM curve and the
+    // subject count below otherwise each re-run the caller's whole
+    // derivation pipeline (third run counting riskFrame's own n)
+    val subj = graft.core.CacheRegistry.persist(
+      df.select(durationCol.as("_dur"), eventCol.as("_ev")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val km = graft.core.CacheRegistry.persist(
-      kaplanMeier(df, durationCol, eventCol)
+      kaplanMeier(subj, col("_dur"), col("_ev"))
         .select(col("t"), col("survival")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val meta = km.agg(min(col("t")).as("_t0"))
-    val n = df.where(durationCol.isNotNull && eventCol.isNotNull)
+    val n = subj.where(col("_dur").isNotNull && col("_ev").isNotNull)
       .agg(count(lit(1)).as("n"))
     val ranked = graft.core.CacheRegistry.persist(
       Relational.prefixSum(km.where(col("t") < tau), Seq(col("t")),

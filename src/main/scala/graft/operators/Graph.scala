@@ -556,6 +556,10 @@ object Graph {
         greatest(srcCol, dstCol).cast("long").as("_v"))
       .where(col("_u") < col("_v"))
       .distinct()
+    // (r17 measured-and-rejected: pre-partitioning und by _v — the
+    // shortestPaths trick — added its exchange without removing any:
+    // the per-round join broadcasts the |V|-row label side, so the
+    // big side never shuffled to begin with. +1 job, seconds flat.)
     val und = e.unionAll(e.select(col("_v").as("_u"), col("_u").as("_v")))
       .localCheckpoint(true)
     var labels = und.select(col("_u").as("node"))
