@@ -1800,6 +1800,10 @@ object SparkEntry {
     // composition showcase: every stage is the already-gated operator.
     "q_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // (r17 measured: checkpointing the (doc_id, n_words) keep set was
+      // seconds-flat at identical job counts — unlike the gate legs,
+      // both consumers of `kept` sit in ONE action, where the
+      // broadcast of q is already reused across the subtrees.)
       val q = TrainingData.qualityFilter(docs, "doc_id", "text",
           minWords = 40, maxWords = 1000)
         .where(col("keep"))
