@@ -3941,7 +3941,12 @@ object Analytics {
     val sizes = items.groupBy(col("_b")).agg(count(lit(1)).as("_sz"))
       .where(col("_sz").between(2, maxBasketSize))
     val kept = items.join(sizes.select(col("_b")), Seq("_b")).localCheckpoint(true)
-    val nBaskets = sizes.agg(count(lit(1)).as("n_baskets"))
+    // count baskets off the CHECKPOINTED frame: kept holds exactly the
+    // baskets passing the size filter, so |distinct _b| = |sizes rows|
+    // — deriving the 1-row total from `sizes` instead re-ran the whole
+    // scan + distinct + size-aggregate subtree inside every consumer's
+    // final action (the checkpoint cut kept's lineage, not sizes')
+    val nBaskets = kept.agg(count_distinct(col("_b")).as("n_baskets"))
     val cnt = kept.groupBy(col("_i")).agg(count(lit(1)).as("_ci"))
     val pairs = kept.as("a")
       .join(kept.as("b"), col("a._b") === col("b._b") && col("a._i") < col("b._i"))
